@@ -1,0 +1,77 @@
+"""SparkSession factory.
+
+The reference tunes its engine per-connection (DuckDB: memory_limit,
+threads, default_null_order — context/df_duckdb.py:493-496). The Spark
+equivalent is a session factory with scale-ready defaults:
+
+- AQE on (runtime coalesce / skew-join handling — at 100 TB the static
+  shuffle-partition number is always wrong for somebody).
+- Arrow transfers on (the reference is Arrow end-to-end,
+  context/df_base.py:113-115; so are we, driver<->python side).
+- UTC session timezone so timestamp semantics match a naive-timestamp
+  oracle (DuckDB) and don't depend on host tz.
+- shuffle partitions default to the local core count for tests; on a
+  real cluster AQE coalesces from a deliberately-high initial number.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _cpus() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return int(env)
+    return os.cpu_count() or 4
+
+
+def get_spark(
+    app_name: str = "lakeapi-spark",
+    *,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession with the engine defaults.
+
+    On a cluster, ``master``/memory come from spark-submit; everything
+    set here is safe to carry over unchanged.
+    """
+    cpus = _cpus()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for driver<->python exchange (toArrow / pandas udfs).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # AQE: runtime partition coalescing, skew-join splitting, and
+        # dynamic join-strategy switching. Essential at scale, harmless
+        # locally.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions if shuffle_partitions is not None else cpus),
+        )
+        # Scans: 128 MiB split targets; parquet filter pushdown is on by
+        # default, keep it explicit as documentation of intent.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Broadcast joins for small dims (region/nation/...): default
+        # 10 MiB threshold, AQE may upgrade larger ones at runtime.
+        .config("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_CONNECT_MODE_ENABLED") and "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
