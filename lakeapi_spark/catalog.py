@@ -27,8 +27,39 @@ TABLES = (
 )
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Determinism confs that must hold even on a caller-provided session
+    (the driver passes its own SparkSession to the query builders):
+
+    - UTC session tz: timestamp->date casts must match the (naive)
+      DuckDB oracle regardless of host timezone;
+    - nanosAsLong: events.parquet stores TIMESTAMP(NANOS) which the
+      vectorized reader rejects (SURVEY §7 risk 3) — read as long and
+      convert below;
+    - partition values stay strings (md5-derived partition dirs like
+      '12' must not be inferred as ints).
+    All are runtime-settable SQL confs.
+    """
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.sources.partitionColumnTypeInference.enabled", "false"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # immutable on some builds — best effort
+            pass
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    ensure_session_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # ns-timestamp columns surface as long under nanosAsLong: convert to
+    # a real timestamp (µs truncation; `div` keeps 64-bit precision —
+    # float division would corrupt ~1.7e18 nano epochs)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -1,0 +1,85 @@
+"""Multimodal (binary) column plumbing (greenfield extension).
+
+Treat image/audio/video payloads as opaque ``binary`` columns with a
+typed metadata struct alongside. The Spark-side plumbing — schema,
+Arrow batch shape, partition sizing, UDF signatures — is real and
+tested; the actual codec step is STUBBED (this container has no
+image/audio libraries): ``decode_stub_features`` produces a
+deterministic fake feature vector derived from the bytes, and
+``decode_real`` raises NotImplementedError with the integration point
+documented.
+
+Design rules encoded here for 100 TB:
+- binaries travel in their own column so column pruning keeps metadata
+  queries from ever reading the payload bytes;
+- decode runs in mapInPandas (Arrow batches) — per-batch Python cost,
+  bounded batch memory via maxRecordsPerBatch;
+- feature outputs are fixed-width array<float> ready for the
+  similarity operators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "id long, payload binary, media_type string, width int, height int, n_bytes long"
+)
+
+
+def attach_fake_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Build a typed media table from any table (test/demo path): payload
+    is the utf-8 bytes of the text column standing in for an image blob."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col).alias("id"),
+        payload.alias("payload"),
+        F.lit("image/fake").alias("media_type"),
+        (F.octet_length(payload) % 64 + 1).cast("int").alias("width"),
+        (F.octet_length(payload) % 48 + 1).cast("int").alias("height"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def media_metadata(df: DataFrame) -> DataFrame:
+    """Metadata-only projection: never touches the payload column — the
+    parquet reader prunes it (ReadSchema excludes `payload`)."""
+    return df.select("id", "media_type", "width", "height", "n_bytes")
+
+
+FEATURE_DIM = 8
+
+
+def decode_stub_features(df: DataFrame) -> DataFrame:
+    """STUB decode: deterministic fake features from the raw bytes
+    (byte-bucket histogram, L1-normalized). Replace the kernel body with
+    a real codec (PIL/torchvision/ffmpeg) when available — the Spark
+    plumbing (Arrow batches, schema, partitioning) is unchanged."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM).astype(np.float64)
+                total = hist.sum()
+                feats.append((hist / total if total else hist).round(6).tolist())
+            yield pd.DataFrame({"id": pdf["id"], "features": feats})
+
+    return df.select("id", "payload").mapInPandas(
+        kernel, schema="id long, features array<double>"
+    )
+
+
+def decode_real(df: DataFrame) -> DataFrame:
+    """Integration point for a real decoder (image resize / audio
+    spectrogram / video frame-sample). Not available in this container."""
+    raise NotImplementedError(
+        "real media decoding requires codec libraries (PIL/ffmpeg); "
+        "use decode_stub_features for the pipeline shape"
+    )

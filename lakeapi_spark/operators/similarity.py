@@ -1,0 +1,182 @@
+"""Similarity search over an embedding column (greenfield extension).
+
+Two paths:
+
+- brute-force top-k (the correctness baseline): query set x corpus
+  cross product with the small side broadcast; cosine via built-in
+  higher-order functions (zip_with/aggregate — JVM, no Python). Exact,
+  oracle-verifiable. At 100 TB this is what you run for a handful of
+  queries; the corpus scan is embarrassingly parallel and the top-k is
+  a per-partition heap (window row_number <= k after AQE coalesce).
+
+- LSH-bucketed (the scale path for query sets that are themselves
+  huge): random-hyperplane signatures (sign of dot with d fixed
+  deterministic planes) -> bucket equi-join -> exact re-rank within
+  buckets. Planes are generated from a seeded PRNG on the driver and
+  shipped as literals — executors stay deterministic.
+
+- numpy batch kernel (mapInPandas): the Arrow-vectorized alternative
+  when the built-in lambda path becomes the bottleneck — one BLAS
+  matmul per batch instead of per-element codegen. Same results.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def cosine(va: Column, vb: Column) -> Column:
+    """Cosine similarity of two array<float> columns, computed in double."""
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+    def norm(v: Column) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    return dot / (norm(va) * norm(vb))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (self-matches excluded).
+
+    Ranking uses the rounded cosine with an id tie-break so results are
+    totally ordered (and thus engine-independent).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine(F.col("qvec"), F.col("cvec")), round_digits))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).tolist()
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature: bit i = (vec . plane_i) >= 0, packed to a long."""
+    bits = []
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, lit_plane, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share the hyperplane signature, then
+    exact cosine re-rank within the bucket. One equi-join on the
+    signature instead of a cross product — recall is property-tested
+    against brute_force_topk (it rises with fewer planes / multi-probe).
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        lsh_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        lsh_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "sig")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine(F.col("qvec"), F.col("cvec")), 4))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def numpy_topk(
+    emb: DataFrame,
+    query_vecs: dict[int, list[float]],
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Arrow-vectorized brute force: queries broadcast as a numpy matrix,
+    one matmul per Arrow batch via mapInPandas, per-partition top-k,
+    then a global top-k re-reduce. The kernel is BLAS; Python cost is
+    per-batch, not per-row."""
+    qids = sorted(query_vecs)
+    qmat = np.array([query_vecs[i] for i in qids], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cmat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cnorm = np.linalg.norm(cmat, axis=1)
+            sims = (cmat @ qmat.T) / np.outer(cnorm, qnorm)  # (batch, nq)
+            out = []
+            ids = pdf[id_col].to_numpy()
+            for qi, qid in enumerate(qids):
+                col = sims[:, qi]
+                mask = ids != qid
+                take = min(k, int(mask.sum()))
+                idx = np.argsort(-col[mask])[:take]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": ids[mask][idx],
+                            "cosine": np.round(col[mask][idx], 4),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    partial = emb.select(id_col, vec_col).mapInPandas(
+        kernel, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,126 @@
+"""Text-analysis operators for training-data pipelines (greenfield
+extension, BASELINE.json north star; no reference equivalent).
+
+All hot-path logic is built-in ``pyspark.sql.functions`` (JVM,
+whole-stage codegen) — no Python UDFs. Each operator has an exact SQL
+twin so the DuckDB oracle can verify it.
+
+- tokens:        whitespace tokenization + counts
+- quality score: length / punctuation / stopword-ratio heuristics
+- language id:   stopword-hit n-gram heuristic over a tiny built-in
+                 lexicon (argmax of per-language hit counts)
+- fingerprint:   md5 content fingerprint of normalized text (md5 is
+                 identical across engines -> strong oracle)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny public stopword lexicons (enough for a deterministic heuristic;
+# real pipelines would swap in fastText/CLD3 behind the same operator)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "para", "en", "que"],
+}
+
+ENGLISH_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of trimmed lowercased text (empty -> [])."""
+    t = F.trim(F.lower(text))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def _count_hits(toks: Column, words: list[str]) -> Column:
+    return F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic [0,1] quality score:
+    0.4 * length_score (saturates at 200 chars)
+    + 0.3 * (1 - punct_ratio)          (punct = .,;:!?)
+    + 0.3 * stopword presence ratio    (distinct EN stopwords hit / 10)
+    Rounded to 4 digits for cross-engine hash stability."""
+    n = F.length(text)
+    length_score = F.least(n / F.lit(200.0), F.lit(1.0))
+    punct = n - F.length(F.regexp_replace(text, r"[.,;:!?]", ""))
+    punct_ratio = F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+    stop_ratio = _count_hits(tokens(text), ENGLISH_STOPWORDS) / F.lit(
+        float(len(ENGLISH_STOPWORDS))
+    )
+    return F.round(
+        F.lit(0.4) * length_score + F.lit(0.3) * (1 - punct_ratio) + F.lit(0.3) * stop_ratio,
+        4,
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = tokens(text)
+    return {lang: _count_hits(toks, words) for lang, words in LANG_STOPWORDS.items()}
+
+
+def lang_id(text: Column, default: str = "und") -> Column:
+    """Argmax of per-language distinct-stopword hits; ties broken by
+    language-code order (deterministic); no hits -> ``default``.
+
+    Expressed as a chained CASE over a fixed language list so the SQL
+    twin is mechanical.
+    """
+    scores = lang_scores(text)
+    langs = sorted(scores)  # deterministic tie-break: alphabetical
+    expr = F.lit(default)
+    # lang wins if its score is > 0, beats alphabetically-earlier langs
+    # strictly and later langs weakly (so the first lang wins ties)
+    for lang in reversed(langs):
+        cond = scores[lang] > 0
+        for o in langs:
+            if o == lang:
+                continue
+            cond = cond & (
+                (scores[lang] > scores[o]) if o < lang else (scores[lang] >= scores[o])
+            )
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def lang_id_oracle_sql(text_expr: str, default: str = "und") -> str:
+    """The DuckDB twin of :func:`lang_id` over the same lexicon."""
+    toks = f"string_split_regex(trim(lower({text_expr})), '\\s+')"
+    score = {
+        lang: (
+            "len(list_filter(["
+            + ",".join(f"'{w}'" for w in words)
+            + f"], w -> list_contains({toks}, w)))"
+        )
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    langs = sorted(score)
+    sql = f"'{default}'"
+    for lang in reversed(langs):
+        conds = [f"{score[lang]} > 0"]
+        for o in langs:
+            if o == lang:
+                continue
+            op = ">" if o < lang else ">="
+            conds.append(f"{score[lang]} {op} {score[o]}")
+        sql = f"CASE WHEN {' AND '.join(conds)} THEN '{lang}' ELSE {sql} END"
+    return sql
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of whitespace-normalized lowercased text.
+    (The scalable stand-in for a rolling/Rabin hash — identical across
+    engines, so it gets a strong oracle.)"""
+    normalized = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return F.md5(normalized)

@@ -1,0 +1,111 @@
+"""Event-time windowed aggregation — batch form (SURVEY §2.13/§7).
+
+The reference has NO streaming/window operators (SURVEY §2.13); these
+are the greenfield extension for the `events` table. Each operator is
+expressed so the *same* semantics run in three ways:
+
+- batch DataFrame (here) — verifiable against a SQL oracle,
+- Structured Streaming (lakeapi_spark/streaming/pipeline.py) — same
+  window assignment driven by ``F.window`` + watermarks,
+- plain SQL (the oracle strings in queries.py).
+
+Window starts are emitted as epoch seconds (BIGINT) rather than
+timestamps to sidestep the tz-aware-vs-naive Arrow mismatch between
+Spark and the DuckDB oracle.
+
+Scale notes: tumbling/sliding are single-shuffle groupBys on
+(bucket, key) — partial aggregation happens map-side; sliding
+materializes windows/step rows per event via explode (factor 2 here),
+which beats a range self-join at any scale. Sessionization uses one
+window spec per user — the shuffle is by user_id, skew-safe under AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _epoch(ts: Column) -> Column:
+    """Floor-to-second epoch, matching CAST(floor(epoch(ts)) AS BIGINT)."""
+    return F.unix_timestamp(ts).cast("long")
+
+
+def tumbling(
+    df: DataFrame,
+    ts_col: str,
+    width_s: int,
+    keys: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """Tumbling window: one bucket per event."""
+    start = (F.floor(_epoch(F.col(ts_col)) / width_s) * width_s).alias("window_start")
+    return df.groupBy(start, *keys).agg(*aggs)
+
+
+def sliding(
+    df: DataFrame,
+    ts_col: str,
+    width_s: int,
+    step_s: int,
+    keys: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """Sliding window via bucket explosion: each event lands in
+    width/step buckets (k = base, base-1, ... ). Equivalent to Spark's
+    ``F.window(ts, width, step)`` but with epoch-seconds output."""
+    assert width_s % step_s == 0, "width must be a multiple of step"
+    n = width_s // step_s
+    base = F.floor(_epoch(F.col(ts_col)) / step_s)
+    starts = F.array(*[(base - k) * step_s for k in range(n)])
+    return (
+        df.withColumn("window_start", F.explode(starts))
+        .filter(
+            (_epoch(F.col(ts_col)) >= F.col("window_start"))
+            & (_epoch(F.col(ts_col)) < F.col("window_start") + width_s)
+        )
+        .groupBy("window_start", *keys)
+        .agg(*aggs)
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    gap_s: int,
+    order_tiebreak: str,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the previous event of the same user exceeds ``gap_s``.
+
+    Emits one row per event with a per-user ``session_id`` ordinal.
+    ``order_tiebreak`` must make the per-user ordering total (equal
+    timestamps would otherwise make session boundaries nondeterministic).
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(order_tiebreak))
+    e = _epoch(F.col(ts_col))
+    prev = F.lag(e).over(w)
+    new_session = F.when(prev.isNull() | ((e - prev) > gap_s), 1).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def session_stats(
+    df: DataFrame, ts_col: str, user_col: str, gap_s: int, order_tiebreak: str
+) -> DataFrame:
+    e = _epoch(F.col(ts_col))
+    return (
+        sessionize(df, ts_col, user_col, gap_s, order_tiebreak)
+        .groupBy(user_col, "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(e).alias("session_start"),
+            F.max(e).alias("session_end"),
+        )
+    )

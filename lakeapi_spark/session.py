@@ -61,6 +61,9 @@ def get_spark(
         # default, keep it explicit as documentation of intent.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # hive-partition values stay strings (md5-derived partition values
+        # like '12' must not be inferred as ints — ref stores them as str)
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # Broadcast joins for small dims (region/nation/...): default
         # 10 MiB threshold, AQE may upgrade larger ones at runtime.
