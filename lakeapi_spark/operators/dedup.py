@@ -62,11 +62,20 @@ def _exploded_shingles(
     """(id, shingle) rows, distinct per doc. ``sample_nibble`` keeps only
     shingles whose md5 starts with that hex char — a deterministic 1/16
     sampler identical across engines (estimated Jaccard over the sampled
-    shingle universe; the estimate itself is what the oracle verifies)."""
-    out = (
-        df.select(F.col(id_col).alias("id"), F.explode(word_bigrams(F.col(text_col))).alias("g"))
-        .distinct()
+    shingle universe; the estimate itself is what the oracle verifies).
+
+    The token array is materialized as a projected column BEFORE the
+    bigram lambda runs: inlining ``tokens(text)`` into the transform
+    would re-evaluate the regex split on every element_at access
+    (O(tokens^2) per document — measured 20x slower at sf0.1)."""
+    toks = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
+    bigrams = F.when(F.size("t") < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - 2),
+            lambda i: F.concat_ws(" ", F.element_at("t", i + 1), F.element_at("t", i + 2)),
+        )
     )
+    out = toks.select("id", F.explode(bigrams).alias("g")).distinct()
     if sample_nibble is not None:
         out = out.filter(F.md5(F.col("g")).startswith(sample_nibble))
     return out
@@ -85,8 +94,9 @@ def ngram_jaccard_pairs(
     Plan shape: explode->distinct (1 shuffle), self-join on shingle
     (1 shuffle), pair-count aggregate (1 shuffle) joined against
     per-doc shingle counts (broadcastable at any realistic doc count
-    since it's one row per doc)."""
-    sh = _exploded_shingles(df, id_col, text_col, sample_nibble)
+    since it's one row per doc). The shingle relation feeds three plan
+    branches — persist it instead of recomputing the explode."""
+    sh = _exploded_shingles(df, id_col, text_col, sample_nibble).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -115,14 +125,20 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signature(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 128,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig: array<long>) — k min-hashes of the word-bigram set.
-    Permutation i is xxhash64(shingle, salt_i): one explode + ONE groupBy
-    computing all k mins as separate agg columns (not k passes)."""
-    sh = _exploded_shingles(df, id_col, text_col, None)
+    Permutation i is xxhash64(i, shingle) (multi-arg hash: no string
+    concat in the hot loop): one explode + ONE groupBy computing all k
+    mins as separate agg columns (not k passes). Pass ``shingles`` to
+    reuse an already-persisted (id, g) relation."""
+    sh = shingles if shingles is not None else _exploded_shingles(df, id_col, text_col, None)
     aggs = [
-        F.min(F.xxhash64(F.concat(F.lit(f"s{i}:"), F.col("g")))).alias(f"h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = sh.groupBy("id").agg(*aggs)
@@ -134,21 +150,25 @@ def minhash_lsh_pairs(
     id_col: str,
     text_col: str,
     threshold: float = 0.5,
-    num_hashes: int = 16,
-    bands: int = 8,
+    num_hashes: int = 128,
+    bands: int = 32,
 ) -> DataFrame:
     """Candidate pairs from banded MinHash, verified with exact Jaccard.
 
-    bands=8 x rows=2 over 16 hashes -> candidate probability
-    1-(1-j^2)^8 (~0.92 at j=0.5). Candidates are verified against the
-    exact bigram Jaccard and filtered to >= threshold, so precision is
-    exact; recall is the LSH curve (property-tested vs the exact op).
+    Defaults tuned for near-dup detection at threshold 0.5: 32 bands x
+    4 rows -> LSH crossover (1/32)^(1/4) ~= 0.42; recall at j=0.5 is
+    1-(1-0.5^4)^32 ~= 0.87 and false-candidate rate at j=0.05 is ~2e-4
+    (so candidate volume stays near-linear even when every document
+    shares vocabulary). Candidates are verified with exact bigram
+    Jaccard, so precision is exact; recall is property-tested vs the
+    exact operator.
 
     Scale: everything is equi-joins/groupBys on hashed keys; no O(n^2)
     stage. Bucket skew (a hot band-hash) is handled by AQE skew-join.
     """
     rows = num_hashes // bands
-    sig = minhash_signature(df, id_col, text_col, num_hashes)
+    sh = _exploded_shingles(df, id_col, text_col, None).persist()
+    sig = minhash_signature(df, id_col, text_col, num_hashes, shingles=sh)
     band_arr = F.array(
         *[
             F.xxhash64(
@@ -167,8 +187,8 @@ def minhash_lsh_pairs(
     )
     # verify ONLY candidates: intersection size via a join on
     # (candidate pair x shared shingle) — work is linear in candidate
-    # volume, never O(n^2) over the corpus
-    sh = _exploded_shingles(df, id_col, text_col, None)
+    # volume, never O(n^2) over the corpus. `sh` is the same persisted
+    # relation the signatures were built from.
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("id").alias("id_a"), "g")
     sb = sh.select(F.col("id").alias("id_b"), "g")

@@ -891,7 +891,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeapi_spark.operators.dedup import minhash_lsh_pairs
 
     d = table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, "doc_id", "text", threshold=0.2)
+    return minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5)
 
 
 @register("dedup_simhash", None)

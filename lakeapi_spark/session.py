@@ -68,6 +68,9 @@ def get_spark(
         # Broadcast joins for small dims (region/nation/...): default
         # 10 MiB threshold, AQE may upgrade larger ones at runtime.
         .config("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        # wide aggregates (128-column minhash signatures) must stay in
+        # whole-stage codegen; default field cap is 100
+        .config("spark.sql.codegen.maxFields", "300")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
