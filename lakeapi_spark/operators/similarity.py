@@ -105,32 +105,52 @@ def lsh_topk(
     id_col: str,
     vec_col: str,
     k: int,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the hyperplane signature, then
-    exact cosine re-rank within the bucket. One equi-join on the
-    signature instead of a cross product — recall is property-tested
-    against brute_force_topk (it rises with fewer planes / multi-probe).
+    """Approximate top-k via multi-table random-hyperplane LSH.
+
+    OR-amplification across ``n_tables`` independent tables of
+    ``n_planes`` sign bits each: a corpus vector is a candidate if it
+    shares ANY table's signature with the query. For a pair at angle
+    theta, per-plane agreement is 1-theta/pi, so candidate probability
+    is 1-(1-(1-theta/pi)^h)^L — steep in similarity, which is exactly
+    the selectivity/recall dial. Candidates get an exact cosine re-rank.
+
+    Plan shape: one equi-join on (table_id, signature) after exploding
+    L signatures per vector (L rows, not a cross product), distinct on
+    candidate pairs, then windowed top-k. Recall is property-tested
+    against brute_force_topk.
     """
     dim = len(emb.select(vec_col).first()[0])
-    planes = random_hyperplanes(dim, n_planes, seed)
+
+    def sig_array(vec: Column) -> Column:
+        sigs = []
+        for t in range(n_tables):
+            planes = random_hyperplanes(dim, n_planes, seed + 1000 * t)
+            sigs.append(lsh_signature(vec, planes) + F.lit(t << 32).cast("long"))
+        return F.array(*sigs)
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        lsh_signature(F.col(vec_col), planes).alias("sig"),
+        F.explode(sig_array(F.col(vec_col))).alias("sig"),
     )
     c = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
-        lsh_signature(F.col(vec_col), planes).alias("sig"),
+        F.explode(sig_array(F.col(vec_col))).alias("sig"),
     )
-    scored = (
+    cand = (
         c.join(F.broadcast(q), "sig")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine(F.col("qvec"), F.col("cvec")), 4))
-        .select("query_id", "neighbor_id", "cosine")
+        .select("query_id", "qvec", "neighbor_id", "cvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
+    scored = cand.withColumn(
+        "cosine", F.round(cosine(F.col("qvec"), F.col("cvec")), 4)
+    ).select("query_id", "neighbor_id", "cosine")
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

@@ -989,7 +989,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") <= 4)
-    out = lsh_topk(e, q, "vec_id", "embedding", k=10, n_planes=6)
+    out = lsh_topk(e, q, "vec_id", "embedding", k=10)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 

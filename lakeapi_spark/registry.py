@@ -1,0 +1,159 @@
+"""Table registry + request compiler — the service core (ref §3.1).
+
+``TableRegistry`` is the Spark analogue of the reference's startup route
+registration (core/route.py:16-142): each configured table becomes a
+lazily-read DataFrame (schema cached per table version, ref
+schema_cache.py) with the datasource defaults applied. ``compile_request``
+is the request-time pipeline (endpoint/endpoint.py:160-326): raw query
+params -> operator routing -> partition-pruning filters -> QueryRequest
+-> DataFrame.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from lakeapi_spark.config import TableConfig, clamp_limit
+from lakeapi_spark.operators.filters import split_param_postfix
+from lakeapi_spark.operators.partitioning import apply_partition_pruning
+from lakeapi_spark.operators.pipeline import QueryRequest, apply_query
+from lakeapi_spark.operators.nearby import nearby as nearby_op
+from lakeapi_spark.operators.search import search as search_op
+from lakeapi_spark.sources.readers import expand_wildcard, read_source
+
+
+class UnknownTableError(KeyError):
+    pass
+
+
+class TableRegistry:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._tables: dict[str, TableConfig] = {}
+        self._schema_cache: dict[tuple[str, int], T.StructType] = {}
+
+    def register(self, cfg: TableConfig) -> None:
+        """Wildcard configs (name='*', uri='folder/*') expand to one table
+        per child (ref config.py:341-382)."""
+        if cfg.name == "*":
+            assert cfg.datasource.uri.endswith("/*")
+            for child_name, child_uri in expand_wildcard(cfg.datasource.uri):
+                import copy
+
+                child = copy.deepcopy(cfg)
+                child.name = child_name
+                child.datasource.uri = child_uri
+                self._tables[child_name] = child
+            return
+        self._tables[cfg.name] = cfg
+
+    def names(self) -> list[str]:
+        return sorted(self._tables)
+
+    def config(self, name: str) -> TableConfig:
+        if name not in self._tables:
+            raise UnknownTableError(name)
+        return self._tables[name]
+
+    def dataframe(self, name: str) -> DataFrame:
+        cfg = self.config(name)
+        df = read_source(self.spark, cfg.datasource.uri, cfg.datasource.file_type, dict(cfg.datasource.options))
+        return df
+
+    def schema(self, name: str) -> T.StructType:
+        """Cached per (table, version) — the reference caches parquet
+        metadata with a TTL (schema_cache.py:6-32); version bumps bust it."""
+        cfg = self.config(name)
+        key = (name, cfg.version)
+        if key not in self._schema_cache:
+            self._schema_cache[key] = self.dataframe(name).schema
+        return self._schema_cache[key]
+
+    def create_views(self) -> None:
+        for name in self._tables:
+            self.dataframe(name).createOrReplaceTempView(name)
+
+
+def route_params(
+    cfg: TableConfig, raw_params: dict[str, Any]
+) -> tuple[list[tuple[str, str, Any]], list[dict[str, Any]]]:
+    """Query-string names -> (filters, combi groups) using postfix routing
+    (ref model.py:41-72 + datasource.py:400-423)."""
+    declared = {p.name: p for p in cfg.params}
+    filters: list[tuple[str, str, Any]] = []
+    combi_groups: dict[str, dict[str, Any]] = {}
+    for qname, value in raw_params.items():
+        pname, op = split_param_postfix(qname, declared.keys())
+        p = declared[pname]
+        if p.combi:
+            # combi param: value is a list of dicts, each ANDing its keys
+            for i, group in enumerate(value if isinstance(value, list) else [value]):
+                combi_groups.setdefault(f"{pname}:{i}", {}).update(group)
+            continue
+        if op not in p.operators and not (op == "=" and not p.operators):
+            raise ValueError(f"operator {op!r} not allowed for param {pname!r}")
+        filters.append((p.col, op, value))
+    return filters, list(combi_groups.values())
+
+
+def compile_request(
+    registry: TableRegistry,
+    name: str,
+    params: dict[str, Any] | None = None,
+    *,
+    select: list[str] | None = None,
+    distinct: bool = False,
+    limit: int | None = None,
+    offset: int | None = None,
+    search_text: str | None = None,
+    nearby_point: tuple[float, float, float] | None = None,
+    jsonify_complex: bool = False,
+) -> DataFrame:
+    """The full §3.1 request lifecycle on Spark."""
+    cfg = registry.config(name)
+    df = registry.dataframe(name)
+    ds = cfg.datasource
+
+    filters, combi = route_params(cfg, params or {})
+    # baked-in datasource pre-filters (ref config 'filters')
+    for f in ds.filters:
+        filters.append((f["col"], f.get("op", "="), f.get("value")))
+
+    # derived partition pruning (§2.12) before the logical filters
+    if ds.partition_columns:
+        df = apply_partition_pruning(df, ds.partition_columns, filters)
+
+    sel: list[tuple[str, str | None]] | None = None
+    if ds.select is not None:
+        sel = [(s["name"], s.get("alias")) for s in ds.select]
+    if select is not None:
+        base = sel or [(f.name, None) for f in df.schema.fields]
+        sel = [(n, a) for n, a in base if (a or n) in set(select)]
+
+    sortby = [(s["by"], s.get("direction", "asc")) for s in ds.sortby]
+
+    req = QueryRequest(
+        filters=filters,
+        combi=combi,
+        select=sel,
+        exclude=list(ds.exclude),
+        distinct=distinct,
+        sortby=sortby,
+        limit=clamp_limit(limit, cfg.allow_get_all_pages),
+        offset=offset,
+        jsonify_complex=jsonify_complex,
+    )
+    out = apply_query(df, req)
+
+    if search_text is not None:
+        assert cfg.search, f"table {name} has no search config"
+        out = search_op(out, cfg.search[0].columns, search_text)
+    if nearby_point is not None:
+        assert cfg.nearby, f"table {name} has no nearby config"
+        lat, lon, dist = nearby_point
+        nb = cfg.nearby[0]
+        out = nearby_op(out, nb.lat_col, nb.lon_col, lat, lon, dist, dist_name=nb.name)
+    return out

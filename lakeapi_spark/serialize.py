@@ -101,7 +101,24 @@ def serialize(df: DataFrame, fmt: str, *, csv_separator: str = ",", encoding: st
     if fmt == "html":
         return tab.to_pandas().to_html(index=False).encode(encoding or "utf-8")
     if fmt == "xml":
-        return tab.to_pandas().to_xml(index=False).encode(encoding or "utf-8")
+        # stdlib writer (pandas.to_xml requires lxml, not in container);
+        # same shape as the reference's pandas output: <data><row>...</row>
+        import xml.etree.ElementTree as ET
+
+        root = ET.Element("data")
+        for row in tab.to_pylist():
+            el = ET.SubElement(root, "row")
+            for k, v in row.items():
+                child = ET.SubElement(el, k)
+                if v is not None:
+                    child.text = (
+                        v.isoformat() if hasattr(v, "isoformat") else str(v)
+                    )
+        buf = io.BytesIO()
+        ET.ElementTree(root).write(
+            buf, encoding=encoding or "utf-8", xml_declaration=True
+        )
+        return buf.getvalue()
     if fmt == "xlsx":
         try:
             import openpyxl  # noqa: F401

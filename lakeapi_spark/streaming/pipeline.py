@@ -1,0 +1,122 @@
+"""Structured Streaming over the events table (SURVEY §2.13/§7).
+
+The reference has no streaming operators (its "streaming" is HTTP chunk
+transfer of finished results, core/response.py:317-335). This module is
+the greenfield extension: the SAME window semantics as the batch
+operators in operators/windows.py, expressed as a Structured Streaming
+job — file source -> watermark -> windowed agg -> sink. The batch/stream
+agreement is tested in tests/test_streaming.py (availableNow trigger vs
+the batch operator on the same data).
+
+Scale notes:
+- the file source is a stand-in for Kafka/Kinesis; swapping
+  ``readStream.format`` is the only change;
+- watermark bounds state: late events beyond the watermark are dropped
+  deterministically instead of growing state forever;
+- ``availableNow`` gives batch-like backfill runs of the same query —
+  one pipeline definition for both backfill and live tail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: events.parquet physical schema: ts is int64 TIMESTAMP(NANOS) which the
+#: streaming parquet reader surfaces as long under nanosAsLong
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over events parquet (ns timestamps normalized
+    exactly like the batch reader in catalog.table)."""
+    import os
+
+    from lakeapi_spark.catalog import ensure_session_confs
+
+    ensure_session_confs(spark)
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1)
+    if os.path.isfile(path):
+        # the file source wants a directory: stream the parent filtered
+        # to just this file
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts_stream(
+    events: DataFrame, width: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming twin of operators.windows.tumbling: per (window, type)
+    counts + sums with a watermark bounding state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts_stream(
+    events: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("window_start"), "n_events")
+    )
+
+
+def session_counts_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Gap-based session windows — Spark's native session_window operator
+    (the streaming twin of operators.windows.sessionize)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            F.unix_timestamp(F.col("w.end")).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_available_now(df: DataFrame, sink_table: str, checkpoint_dir: str, timeout_s: int = 120):
+    """Drain everything currently available into an in-memory sink (used
+    by tests and backfills), then stop. 'complete' mode because the
+    aggregation result is small; production sinks would use 'update'
+    with a Delta/Kafka writer."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q

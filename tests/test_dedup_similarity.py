@@ -1,0 +1,140 @@
+"""Property tests for the approximate operators (minhash-LSH, simhash,
+ANN-LSH) against their exact counterparts on synthetic corpora with
+KNOWN near-duplicates — the checks the DuckDB oracle can't express."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakeapi_spark.operators.dedup import (
+    exact_dedup_keepers,
+    embedding_dup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_dup_groups,
+)
+from lakeapi_spark.operators.similarity import brute_force_topk, lsh_topk, numpy_topk
+
+VOCAB = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima".split()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """60 random docs + 10 planted near-dup pairs (one-word edits)."""
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        rows.append((i, " ".join(rng.choice(VOCAB) for _ in range(40))))
+    for j in range(10):
+        base = rows[j][1].split()
+        edited = list(base)
+        edited[5] = "zulu"  # single-token edit -> jaccard ~0.87 on bigrams
+        rows.append((100 + j, " ".join(edited)))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_keepers(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")], ["doc_id", "text"]
+    )
+    out = {r.fingerprint: (r.keeper_id, r.n_dups) for r in exact_dedup_keepers(df, "doc_id", "text").collect()}
+    assert len(out) == 2
+    assert (1, 2) in out.values()  # normalized dups collapse, min id kept
+
+
+def test_minhash_lsh_recall_and_precision(corpus):
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.5).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(corpus, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert len(exact) >= 10  # the planted pairs are found by the exact op
+    # precision is exact by construction (candidates re-verified)
+    for pair, j in approx.items():
+        assert pair in exact and abs(exact[pair] - j) < 1e-9
+    # recall: at j~0.87 the 32x4 banding curve is ~1.0
+    planted = {p for p in exact if p[1] >= 100}
+    found = planted.intersection(approx)
+    assert len(found) / len(planted) >= 0.9
+
+
+def test_simhash_identical_and_distinct(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "totally different words here")],
+        ["doc_id", "text"],
+    )
+    groups = simhash_dup_groups(df, "doc_id", "text").collect()
+    assert len(groups) == 1 and groups[0].n_dups == 2 and groups[0].keeper_id == 1
+    fps = {r.id: r.simhash for r in simhash(df, "doc_id", "text").collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_simhash_near_dup_small_hamming(corpus):
+    fps = {r.id: r.simhash for r in simhash(corpus, "doc_id", "text").collect()}
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    near = [hamming(fps[j], fps[100 + j]) for j in range(10)]
+    far = [hamming(fps[20], fps[21]), hamming(fps[30], fps[40])]
+    assert max(near) < min(far), (near, far)
+
+
+def test_embedding_dup_pairs_finds_clones(spark):
+    rows = [(1, [1.0, 0.0, 0.0]), (2, [0.99, 0.01, 0.0]), (3, [0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = embedding_dup_pairs(df, "vec_id", "embedding", threshold=0.95).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") <= 4)
+    exact = brute_force_topk(emb, q, "vec_id", "embedding", k=10).collect()
+    approx = lsh_topk(emb, q, "vec_id", "embedding", k=10).collect()
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_pairs = {(r.query_id, r.neighbor_id) for r in approx}
+    # 8 tables x 4 planes OR-amplified: on uniform random vectors the
+    # top neighbors (cos ~0.4-0.5) land in a shared bucket with high
+    # probability; floor chosen well under the measured recall
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5, recall
+
+
+def test_numpy_topk_equals_builtin_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") <= 4)
+    a = brute_force_topk(emb, q, "vec_id", "embedding", k=10)
+    qvecs = {r["vec_id"]: list(r["embedding"]) for r in q.collect()}
+    b = numpy_topk(emb, qvecs, "vec_id", "embedding", k=10)
+    rows_a = sorted((r.query_id, r.neighbor_id, r.rank) for r in a.collect())
+    rows_b = sorted((r.query_id, r.neighbor_id, r.rank) for r in b.collect())
+    assert rows_a == rows_b
+
+
+def test_multimodal_stub_deterministic(spark):
+    from lakeapi_spark.operators.multimodal import attach_fake_payload, decode_stub_features
+
+    df = spark.createDataFrame([(1, "abc"), (2, "defg")], ["doc_id", "text"])
+    media = attach_fake_payload(df, "doc_id", "text")
+    f1 = {r.id: r.features for r in decode_stub_features(media).collect()}
+    f2 = {r.id: r.features for r in decode_stub_features(media).collect()}
+    assert f1 == f2
+    assert all(len(v) == 8 for v in f1.values())
+    # L1-normalized histogram (elements rounded to 6 digits -> 8*5e-7 drift)
+    assert abs(sum(f1[1]) - 1.0) < 1e-4
+
+
+def test_multimodal_metadata_prunes_payload(spark):
+    from lakeapi_spark.operators.multimodal import attach_fake_payload, media_metadata
+
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    out = media_metadata(attach_fake_payload(df, "doc_id", "text"))
+    assert "payload" not in out.columns
+    assert out.collect()[0].n_bytes == 3

@@ -1,0 +1,101 @@
+"""Metadata operators (§2.15) + source readers (§2.1)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakeapi_spark.metadata import (
+    max_string_lengths,
+    metadata_detail,
+    modified_date,
+    schema_tree,
+)
+from lakeapi_spark.sources.readers import expand_wildcard, read_source
+
+
+@pytest.fixture(scope="module")
+def nested_df(spark):
+    return spark.createDataFrame(
+        [(1, ("bob", 4), ["a", "bb"], "xyz")],
+        "id long, person struct<name:string,age:long>, tags array<string>, s string",
+    )
+
+
+def test_schema_tree_nested(nested_df):
+    tree = schema_tree(nested_df.schema)
+    by_name = {n["name"]: n for n in tree}
+    assert by_name["person"]["type"] == "struct"
+    assert by_name["person"]["fields"][0] == {"name": "name", "type": "string"}
+    assert by_name["tags"] == {"name": "tags", "type": "list", "element": {"type": "string"}}
+    assert by_name["id"]["type"] == "bigint"
+
+
+def test_schema_tree_hides_hidden(spark):
+    df = spark.createDataFrame([(1, "x")], ["a", "a_md5_prefix_2"])
+    assert [n["name"] for n in schema_tree(df.schema)] == ["a"]
+
+
+def test_max_string_lengths_incl_jsonified(nested_df):
+    row = max_string_lengths(nested_df).collect()[0].asDict()
+    assert row["s"] == 3
+    assert row["person"] == len('{"name":"bob","age":4}')
+    assert row["tags"] == len('["a","bb"]')
+    assert "id" not in row  # non-string scalar skipped
+
+
+def test_metadata_detail(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    detail = metadata_detail(df, uri=f"{sf_dir}/lineitem.parquet", partition_cols=["l_returnflag"])
+    assert {"A", "F", "N", "R"} >= {v["l_returnflag"] for v in detail["partition_values"]}
+    assert detail["modified_date"] is not None
+    assert any(n["name"] == "l_shipdate" for n in detail["schema"])
+    json.dumps(detail)  # payload must be JSON-serializable
+
+
+def test_modified_date_file_and_dir(sf_dir, tmp_path):
+    assert modified_date(f"{sf_dir}/region.parquet") is not None
+    (tmp_path / "x.txt").write_text("hi")
+    assert modified_date(str(tmp_path)) is not None
+
+
+def test_read_source_csv_json_ndjson(spark, tmp_path):
+    src = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "s"])
+    csv_dir = str(tmp_path / "csv")
+    src.write.option("header", True).csv(csv_dir)
+    assert read_source(spark, csv_dir, "csv").count() == 2
+
+    nd_dir = str(tmp_path / "nd")
+    src.write.json(nd_dir)
+    assert read_source(spark, nd_dir, "ndjson").count() == 2
+
+    arr = str(tmp_path / "arr.json")
+    with open(arr, "w") as f:
+        json.dump([{"id": 1, "s": "a"}, {"id": 2, "s": "b"}], f)
+    assert read_source(spark, arr, "json").count() == 2
+
+
+def test_read_source_arrow(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.feather as feather
+
+    tab = pa.table({"id": [1, 2, 3]})
+    path = str(tmp_path / "t.feather")
+    feather.write_feather(tab, path)
+    assert read_source(spark, path, "arrow").count() == 3
+
+
+def test_read_source_unknown(spark):
+    with pytest.raises(ValueError):
+        read_source(spark, "/nope", "excel")
+
+
+def test_expand_wildcard(tmp_path):
+    (tmp_path / "t1").mkdir()
+    (tmp_path / "t2.parquet").write_bytes(b"")
+    (tmp_path / "notes.txt").write_text("x")
+    out = expand_wildcard(str(tmp_path) + "/*")
+    assert [name for name, _ in out] == ["t1", "t2"]

@@ -1,0 +1,152 @@
+"""Operator-level unit tests (the reference's per-operator golden tests,
+SURVEY §5, re-expressed against in-memory fixtures)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakeapi_spark.operators.filters import (
+    FilterArityError,
+    combi_filter,
+    filter_expr,
+    normalize_param_name,
+    split_param_postfix,
+)
+from lakeapi_spark.operators.pipeline import QueryRequest, apply_query, is_hidden_col
+from lakeapi_spark.operators.search import SearchTooShortError, search, tf_search
+from lakeapi_spark.operators.nearby import nearby
+
+
+@pytest.fixture(scope="module")
+def fruits(spark):
+    # the reference's 7-row workhorse fixture (create_test_data.py:80-104)
+    rows = [
+        (1, "banana", 10, "beetle"),
+        (2, "apple", 20, "audi"),
+        (3, "ananas", 30, "lamborghini"),
+        (4, "apple", 40, "fiat"),
+        (5, "banana", 50, "audi"),
+        (0, None, 60, "beetle"),
+        (9, "kiwi", 70, None),
+    ]
+    return spark.createDataFrame(rows, ["A", "fruits", "B", "cars"])
+
+
+def _vals(df, col):
+    return sorted(r[col] for r in df.collect())
+
+
+def test_eq_null_aware(fruits):
+    assert _vals(fruits.filter(filter_expr("fruits", "=", None)), "A") == [0]
+    assert _vals(fruits.filter(filter_expr("fruits", "<>", None)), "A") == [1, 2, 3, 4, 5, 9]
+
+
+def test_in_not_in(fruits):
+    assert _vals(fruits.filter(filter_expr("fruits", "in", ["apple", "kiwi"])), "A") == [2, 4, 9]
+    # NOT IN keeps null-fruit row out (SQL three-valued logic, same as engines)
+    assert _vals(fruits.filter(filter_expr("fruits", "not in", ["apple"])), "A") == [1, 3, 5, 9]
+
+
+def test_between_and_arity(fruits):
+    assert _vals(fruits.filter(filter_expr("B", "between", [20, 40])), "A") == [2, 3, 4]
+    assert _vals(fruits.filter(filter_expr("B", "not between", [20, 40])), "A") == [0, 1, 5, 9]
+    with pytest.raises(FilterArityError):
+        filter_expr("B", "between", [1])
+
+
+def test_contains_startswith(fruits):
+    assert _vals(fruits.filter(filter_expr("fruits", "contains", "nan")), "A") == [1, 3, 5]
+    assert _vals(fruits.filter(filter_expr("fruits", "startswith", "a")), "A") == [2, 3, 4]
+    assert _vals(fruits.filter(filter_expr("fruits", "not contains", "nan")), "A") == [2, 4, 9]
+
+
+def test_has_array(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["b", "c"]), (3, [])], ["id", "xs"]
+    )
+    assert _vals(df.filter(filter_expr("xs", "has", "b")), "id") == [1, 2]
+
+
+def test_combi_or_of_ands(fruits):
+    cond = combi_filter([{"fruits": "banana", "cars": "beetle"}, {"fruits": "apple", "cars": "fiat"}])
+    assert _vals(fruits.filter(cond), "A") == [1, 4]
+
+
+def test_combi_null_aware(fruits):
+    cond = combi_filter([{"cars": None}])
+    assert _vals(fruits.filter(cond), "A") == [9]
+
+
+def test_param_name_routing():
+    assert normalize_param_name("Super Name_") == "super_name_"
+    assert split_param_postfix("b_gte", ["B"]) == ("B", ">=")
+    assert split_param_postfix("fruits_not_contains", ["fruits"]) == ("fruits", "not contains")
+    assert split_param_postfix("fruits", ["fruits"]) == ("fruits", "=")
+    with pytest.raises(KeyError):
+        split_param_postfix("nope_gt", ["fruits"])
+
+
+def test_hidden_cols():
+    assert is_hidden_col("_private")
+    assert is_hidden_col("cars_md5_prefix_2")
+    assert is_hidden_col("cars_md5_mod_27")
+    assert is_hidden_col("name_xxhash64_prefix_4")
+    assert not is_hidden_col("cars")
+
+
+def test_pipeline_hidden_col_excluded(spark, fruits):
+    df = fruits.withColumn("cars_md5_prefix_2", F.substring(F.md5("cars"), 1, 2))
+    out = apply_query(df, QueryRequest())
+    assert "cars_md5_prefix_2" not in out.columns
+
+
+def test_pipeline_distinct_sort_offset_limit(fruits):
+    req = QueryRequest(
+        select=[("fruits", None)],
+        distinct=True,
+        sortby=[("fruits", "asc")],
+        offset=1,
+        limit=2,
+    )
+    out = [r.fruits for r in apply_query(fruits, req).collect()]
+    # nulls first (duckdb default_null_order parity): [None, ananas, apple, banana, kiwi]
+    assert out == ["ananas", "apple"]
+
+
+def test_search_contract(spark):
+    # tests/test_search.py contract: desc scores, every hit matches >=1 term
+    df = spark.createDataFrame(
+        [(1, "spark rocks"), (2, "sparkling window pane"), (3, "nothing here")],
+        ["id", "t"],
+    )
+    out = search(df, ["t"], "spark window").collect()
+    scores = [r.search_score for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert [r.id for r in out] == [2, 1]
+    with pytest.raises(SearchTooShortError):
+        search(df, ["t"], "ab")
+
+
+def test_tf_search_counts_term_frequency(spark):
+    df = spark.createDataFrame([(1, "x spark spark y"), (2, "spark")], ["id", "t"])
+    out = {r.id: r.search_score for r in tf_search(df, "id", "t", "spark xyz").collect()}
+    assert out == {1: 2, 2: 1}
+
+
+def test_nearby_radius_and_order(spark):
+    df = spark.createDataFrame(
+        [(1, 46.70, 8.60), (2, 46.75, 8.70), (3, 45.00, 11.00)],
+        ["id", "lat", "lon"],
+    )
+    out = nearby(df, "lat", "lon", lat=46.7, lon=8.6, distance_m=20000).collect()
+    assert [r.id for r in out] == [1, 2]  # ascending distance
+    assert out[0].distance_m < 1.0
+    assert 0 < out[1].distance_m <= 20000
+
+
+def test_jsonify_complex(spark):
+    df = spark.createDataFrame([(1, ("bob", 4), ["c", "d"])], ["id", "p", "v"])
+    out = apply_query(df, QueryRequest(jsonify_complex=True)).collect()[0]
+    assert out.p == '{"_1":"bob","_2":4}'
+    assert out.v == '["c","d"]'

@@ -1,0 +1,105 @@
+"""Physical-plan assertions: correctness tests prove WHAT we compute,
+these prove HOW — filters reach the scan, partitions get pruned, small
+dims broadcast, top-k avoids full sorts. This is the 100-TB contract:
+a plan that passes these scales; one that regresses fails fast."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakeapi_spark.queries import QUERIES
+
+
+def plan_str(spark, df, mode: str = "formatted") -> str:
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = QUERIES["filter_eq"].build(spark, sf_dir)
+    plan = plan_str(spark, df)
+    assert "PushedFilters" in plan
+    assert "EqualTo(p_brand,Brand#13)" in plan, plan
+
+
+def test_column_pruning(spark, sf_dir):
+    df = QUERIES["filter_gt_lte"].build(spark, sf_dir)
+    plan = plan_str(spark, df)
+    # ReadSchema must carry only the two projected/filtered columns
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "c_custkey" in read and "c_acctbal" in read
+    assert "c_name" not in read and "c_mktsegment" not in read, read
+
+
+def test_partition_pruning_direct(spark, sf_dir):
+    df = QUERIES["partition_prune_direct"].build(spark, sf_dir)
+    plan = plan_str(spark, df)
+    assert "PartitionFilters" in plan
+    assert "l_returnflag" in plan.split("PartitionFilters")[1].splitlines()[0]
+
+
+def test_partition_pruning_md5_derived(spark, sf_dir):
+    df = QUERIES["partition_prune_md5_prefix"].build(spark, sf_dir)
+    plan = plan_str(spark, df)
+    pf_line = plan.split("PartitionFilters")[1].splitlines()[0]
+    # the derived hash filter must appear as a partition filter on the scan
+    assert "o_orderpriority_md5_prefix_2" in pf_line, pf_line
+
+
+def test_partition_pruning_prunes_files(spark, sf_dir):
+    """The md5-pruned scan must read strictly fewer partitions than exist."""
+    from lakeapi_spark.sources.partitioned import partitioned_copy
+
+    pcol = "o_orderpriority_md5_prefix_2"
+    full = partitioned_copy(spark, sf_dir, "orders", [pcol], derive=("o_orderpriority", "md5_prefix", 2))
+    n_parts = full.select(pcol).distinct().count()
+    df = QUERIES["partition_prune_md5_prefix"].build(spark, sf_dir)
+    plan = plan_str(spark, df)
+    # scan node reports the selected partition count
+    import re
+
+    m = re.search(r"partition count: (\d+)", plan)
+    if m:  # formatted plans include it on newer builds
+        assert int(m.group(1)) < n_parts
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    df = QUERIES["q5_revenue_by_nation"].build(spark, sf_dir)
+    plan = plan_str(spark, df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    df = QUERIES["sort_limit_topk"].build(spark, sf_dir)
+    plan = plan_str(spark, df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q1_whole_stage_codegen(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"].build(spark, sf_dir)
+    df.collect()  # AQE: codegen stages only exist in the executed plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark WholeStageCodegen stages in toString output
+    assert "*(1)" in plan, plan[:500]
+    # aggregation must be partial (map-side combine) before the shuffle
+    assert "partial_sum" in plan, plan[:500]
+
+
+def test_limit_pushdown_no_sort(spark, sf_dir):
+    """limit without sort/filter must not trigger a shuffle."""
+    from lakeapi_spark.catalog import table
+    from lakeapi_spark.operators.pipeline import QueryRequest, apply_query
+
+    df = apply_query(table(spark, sf_dir, "customer"), QueryRequest(limit=10))
+    plan = plan_str(spark, df, "simple")
+    assert "Exchange" not in plan or "CollectLimit" in plan
+
+
+def test_search_single_scan(spark, sf_dir):
+    """The LIKE scorer must be one scan + project/filter — no join, no
+    second pass over the data (the reference's portable scorer is one
+    SELECT too, df_base.py:354-377)."""
+    df = QUERIES["search_like_score"].build(spark, sf_dir)
+    plan = plan_str(spark, df, "simple")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1

@@ -1,0 +1,87 @@
+"""Round-trip tests for the output formats (ref test_output_formats.py +
+test_app.py:214-271 round-trip style)."""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pyarrow as pa
+import pyarrow.csv as pacsv
+import pyarrow.feather as feather
+import pyarrow.ipc as ipc
+import pyarrow.parquet as papq
+import pytest
+
+from lakeapi_spark.serialize import FORMATS, serialize, stream_ndjson
+
+
+@pytest.fixture(scope="module")
+def small_df(spark):
+    return spark.createDataFrame(
+        [(1, "a;b", 1.5), (2, "x,y", 2.5), (3, None, None)], ["id", "s", "v"]
+    )
+
+
+def test_json(small_df):
+    rows = json.loads(serialize(small_df, "json"))
+    assert rows[0] == {"id": 1, "s": "a;b", "v": 1.5}
+    assert rows[2]["s"] is None
+
+
+def test_ndjson_lines(small_df):
+    lines = serialize(small_df, "ndjson").decode().strip().split("\n")
+    assert len(lines) == 3
+    assert json.loads(lines[1])["id"] == 2
+
+
+def test_csv_and_custom_separator(small_df):
+    out = serialize(small_df, "csv").decode()
+    assert out.splitlines()[0] == '"id","s","v"'
+    assert '"x,y"' in out
+    scsv = serialize(small_df, "scsv").decode()
+    assert '"a;b"' in scsv and scsv.splitlines()[1].count(";") >= 2
+
+
+def test_csv4excel_utf16_preamble(small_df):
+    raw = serialize(small_df, "csv4excel")
+    text = raw.decode("utf-16-le")
+    assert text.startswith("sep=,\r\n")  # ref response.py:111-116
+
+
+def test_parquet_roundtrip(small_df):
+    tab = papq.read_table(io.BytesIO(serialize(small_df, "parquet")))
+    assert tab.num_rows == 3 and tab.column("id").to_pylist() == [1, 2, 3]
+
+
+def test_arrow_roundtrips(small_df):
+    tab = feather.read_table(io.BytesIO(serialize(small_df, "arrow")))
+    assert tab.num_rows == 3
+    stream = ipc.open_stream(io.BytesIO(serialize(small_df, "arrow-stream"))).read_all()
+    assert stream.column("s").to_pylist() == ["a;b", "x,y", None]
+
+
+def test_html_xml(small_df):
+    assert b"<table" in serialize(small_df, "html")
+    assert b"<row>" in serialize(small_df, "xml")
+
+
+def test_custom_encoding(small_df):
+    latin = serialize(small_df, "csv", encoding="latin-1")
+    assert b'"id"' in latin
+
+
+def test_stream_ndjson_chunks(small_df):
+    chunks = list(stream_ndjson(small_df, chunk_size=2))
+    rows = [json.loads(ln) for c in chunks for ln in c.decode().strip().split("\n")]
+    assert len(rows) == 3
+    assert len(chunks) >= 2  # chunked at 2 rows per batch
+
+
+def test_unknown_format(small_df):
+    with pytest.raises(ValueError):
+        serialize(small_df, "yaml")
+
+
+def test_all_declared_formats_covered():
+    assert set(FORMATS) >= {"json", "ndjson", "csv", "scsv", "csv4excel", "parquet", "arrow", "arrow-stream", "html", "xml"}
