@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from lakeapi_spark.operators.scale import fan_out
 from lakeapi_spark.operators.text import tokens
 
 
@@ -56,26 +57,36 @@ def word_bigrams(text: Column) -> Column:
     )
 
 
-def _exploded_shingles(
-    df: DataFrame, id_col: str, text_col: str, sample_nibble: str | None
-) -> DataFrame:
-    """(id, shingle) rows, distinct per doc. ``sample_nibble`` keeps only
-    shingles whose md5 starts with that hex char — a deterministic 1/16
-    sampler identical across engines (estimated Jaccard over the sampled
-    shingle universe; the estimate itself is what the oracle verifies).
+def doc_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sh: array<string>) — the DISTINCT word-bigram set per doc,
+    kept as a per-row array (no explode, no shuffle).
 
     The token array is materialized as a projected column BEFORE the
     bigram lambda runs: inlining ``tokens(text)`` into the transform
     would re-evaluate the regex split on every element_at access
-    (O(tokens^2) per document — measured 20x slower at sf0.1)."""
-    toks = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
+    (O(tokens^2) per document — measured 20x slower at sf0.1).
+    ``fan_out`` spreads narrow single-file scans across cores first:
+    this stage is pure CPU and byte-sized task splits starve it."""
+    toks = fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))).select(
+        "id", tokens(F.col("_txt")).alias("t")
+    )
     bigrams = F.when(F.size("t") < 2, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), F.size("t") - 2),
             lambda i: F.concat_ws(" ", F.element_at("t", i + 1), F.element_at("t", i + 2)),
         )
     )
-    out = toks.select("id", F.explode(bigrams).alias("g")).distinct()
+    return toks.select("id", F.array_distinct(bigrams).alias("sh"))
+
+
+def _exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, sample_nibble: str | None
+) -> DataFrame:
+    """(id, shingle) rows, distinct per doc. ``sample_nibble`` keeps only
+    shingles whose md5 starts with that hex char — a deterministic 1/16
+    sampler identical across engines (estimated Jaccard over the sampled
+    shingle universe; the estimate itself is what the oracle verifies)."""
+    out = doc_shingles(df, id_col, text_col).select("id", F.explode("sh").alias("g"))
     if sample_nibble is not None:
         out = out.filter(F.md5(F.col("g")).startswith(sample_nibble))
     return out
@@ -132,17 +143,25 @@ def minhash_signature(
     shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig: array<long>) — k min-hashes of the word-bigram set.
+
     Permutation i is xxhash64(i, shingle) (multi-arg hash: no string
-    concat in the hot loop): one explode + ONE groupBy computing all k
-    mins as separate agg columns (not k passes). Pass ``shingles`` to
-    reuse an already-persisted (id, g) relation."""
-    sh = shingles if shingles is not None else _exploded_shingles(df, id_col, text_col, None)
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = sh.groupBy("id").agg(*aggs)
-    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    concat in the hot loop). Computed PER ROW with nested array
+    transforms — sig[i] = array_min(transform(sh, g -> xxhash64(i, g)))
+    — which stays entirely inside whole-stage codegen: zero shuffle,
+    zero explode. The earlier explode + 128-min-column groupBy shape
+    shuffled |docs|*|shingles| rows to compute the exact same values
+    (~2x slower at sf0.1 and a full extra shuffle at 100 TB).
+
+    Docs with no shingles (under 2 tokens) are dropped, matching the
+    explode-based formulation where they simply had no rows. Pass
+    ``shingles`` to reuse an already-computed (id, sh) relation from
+    :func:`doc_shingles`."""
+    sh = shingles if shingles is not None else doc_shingles(df, id_col, text_col)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform("sh", lambda g: F.xxhash64(i, g))),
+    )
+    return sh.filter(F.size("sh") > 0).select("id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -163,11 +182,16 @@ def minhash_lsh_pairs(
     Jaccard, so precision is exact; recall is property-tested vs the
     exact operator.
 
-    Scale: everything is equi-joins/groupBys on hashed keys; no O(n^2)
-    stage. Bucket skew (a hot band-hash) is handled by AQE skew-join.
+    Plan shape: shingle + signature are per-row codegen (no shuffle);
+    the only shuffles are the bucket explode->self-join (equi-join on
+    band hash), candidate distinct, and the two id-keyed verify joins.
+    Verification fetches each side's shingle ARRAY and intersects
+    in-row (array_intersect) — linear in candidate volume, never
+    O(n^2) over the corpus. Bucket skew (a hot band-hash) is handled
+    by AQE skew-join.
     """
     rows = num_hashes // bands
-    sh = _exploded_shingles(df, id_col, text_col, None).persist()
+    sh = doc_shingles(df, id_col, text_col).persist()
     sig = minhash_signature(df, id_col, text_col, num_hashes, shingles=sh)
     band_arr = F.array(
         *[
@@ -177,7 +201,11 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    buckets = sig.select("id", F.explode(band_arr).alias("bucket")).distinct()
+    # NO distinct on buckets: a pair matching in several bands yields
+    # duplicate candidate rows, which cand.distinct() removes anyway —
+    # de-duplicating buckets first costs a full extra shuffle (measured
+    # 2-3x the whole pipeline's latency at sf0.1).
+    buckets = sig.select("id", F.explode(band_arr).alias("bucket"))
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
@@ -185,28 +213,14 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # verify ONLY candidates: intersection size via a join on
-    # (candidate pair x shared shingle) — work is linear in candidate
-    # volume, never O(n^2) over the corpus. `sh` is the same persisted
-    # relation the signatures were built from.
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.select(F.col("id").alias("id_a"), "g")
-    sb = sh.select(F.col("id").alias("id_b"), "g")
-    inter = (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "g"])  # composite-key hash join: (doc_b, shingle)
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    n_union = F.size("sh_a") + F.size("sh_b") - n_inter
     return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4),
-        )
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(n_inter / n_union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -218,27 +232,32 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """(id, simhash: long) — sign-sum simhash over token xxhash64 values.
 
-    Per (doc, bit): sum of +-1 across tokens, then bit-assemble. One
-    explode + one groupBy with 64 conditional-sum agg columns — stays
-    entirely in codegen, no UDF.
+    Per bit: sum of +-1 across tokens (frequency-weighted — tokens are
+    NOT de-duplicated), then bit-assemble. Computed per row: token
+    hashes are materialized once as an array column, then each bit is
+    an array-aggregate over it — all in whole-stage codegen, zero
+    shuffle, zero explode (the earlier explode + 64-sum-column groupBy
+    shuffled every (doc, token) pair to compute the same values).
+    Docs with no tokens are dropped, matching the explode shape.
     """
-    toks = (
-        df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t"))
-        .withColumn("h", F.xxhash64("t"))
+    hs = fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))).select(
+        "id", F.transform(tokens(F.col("_txt")), lambda t: F.xxhash64(t)).alias("hs")
     )
-    aggs = [
-        F.sum(
-            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(bits)
-    ]
-    per_bit = toks.groupBy("id").agg(*aggs)
+
+    def bit_sum(i: int) -> Column:
+        return F.aggregate(
+            "hs",
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
     fp = None
     for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = F.when(bit_sum(i) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = bit * F.lit(2 ** i if i < 63 else -(2 ** 63)).cast("long")
         fp = term if fp is None else fp + term
-    return per_bit.select("id", fp.alias("simhash"))
+    return hs.filter(F.size("hs") > 0).select("id", fp.alias("simhash"))
 
 
 def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -261,27 +280,21 @@ def embedding_dup_pairs(
 ) -> DataFrame:
     """All pairs with cosine similarity >= threshold (exact, O(n^2) —
     the LSH-bucketed scale path lives in similarity.py). Dot products in
-    double via zip_with/aggregate: built-in, no UDF."""
-    def cos(va: Column, vb: Column) -> Column:
-        dot = F.aggregate(
-            F.zip_with(va, vb, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        norm = lambda v: F.sqrt(
-            F.aggregate(
-                F.transform(v, lambda x: x.cast("double") * x.cast("double")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-        return dot / (norm(va) * norm(vb))
+    double via zip_with/aggregate: built-in, no UDF. Norms are
+    precomputed per side (HOF lambdas are interpreted — recomputing
+    both norms per pair triples the hot-loop cost)."""
+    from lakeapi_spark.operators.similarity import dot, norm
 
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = fan_out(emb).select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), norm(F.col(vec_col)).alias("na")
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), norm(F.col(vec_col)).alias("nb")
+    )
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cos(F.col("va"), F.col("vb")), 4))
+        .withColumn("cosine", F.round(sim, 4))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -30,25 +30,37 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from lakeapi_spark.operators.scale import fan_out
 
-def cosine(va: Column, vb: Column) -> Column:
-    """Cosine similarity of two array<float> columns, computed in double."""
-    dot = F.aggregate(
+
+def dot(va: Column, vb: Column) -> Column:
+    """Dot product of two array<float> columns, accumulated in double."""
+    return F.aggregate(
         F.zip_with(va, vb, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
 
-    def norm(v: Column) -> Column:
-        return F.sqrt(
-            F.aggregate(
-                F.transform(v, lambda x: x.cast("double") * x.cast("double")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
 
-    return dot / (norm(va) * norm(vb))
+def norm(v: Column) -> Column:
+    """L2 norm of an array<float> column, in double."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(va: Column, vb: Column) -> Column:
+    """Cosine similarity of two array<float> columns, computed in double.
+
+    NOTE for hot paths: array lambdas are evaluated interpreted (HOFs
+    sit outside whole-stage codegen), so pairwise operators should
+    precompute ``norm`` per SIDE before the join and use
+    ``dot(a,b)/(na*nb)`` — 3x fewer lambda walks per pair."""
+    return dot(va, vb) / (norm(va) * norm(vb))
 
 
 def brute_force_topk(
@@ -65,12 +77,19 @@ def brute_force_topk(
     totally ordered (and thus engine-independent).
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qn"),
     )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    c = fan_out(emb).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    sim = dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine(F.col("qvec"), F.col("cvec")), round_digits))
+        .withColumn("cosine", F.round(sim, round_digits))
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -135,22 +154,25 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qn"),
         F.explode(sig_array(F.col(vec_col))).alias("sig"),
     )
-    c = emb.select(
+    c = fan_out(emb).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cn"),
         F.explode(sig_array(F.col(vec_col))).alias("sig"),
     )
     cand = (
         c.join(F.broadcast(q), "sig")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qvec", "neighbor_id", "cvec")
+        .select("query_id", "qvec", "qn", "neighbor_id", "cvec", "cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn(
-        "cosine", F.round(cosine(F.col("qvec"), F.col("cvec")), 4)
-    ).select("query_id", "neighbor_id", "cosine")
+    sim = dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
+    scored = cand.withColumn("cosine", F.round(sim, 4)).select(
+        "query_id", "neighbor_id", "cosine"
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -195,7 +217,7 @@ def numpy_topk(
                 )
             yield pd.concat(out, ignore_index=True)
 
-    partial = emb.select(id_col, vec_col).mapInPandas(
+    partial = fan_out(emb.select(id_col, vec_col)).mapInPandas(
         kernel, schema="query_id long, neighbor_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
