@@ -1,0 +1,73 @@
+"""Join operators beyond Spark's built-in surface.
+
+The reference itself implements no joins (SURVEY §2.4) — equi/semi/anti
+joins and set ops are inherited through its SQL endpoint, and ours
+through ``spark.sql`` / ``DataFrame.join``. This module adds the one
+time-series join large pipelines keep re-inventing and Spark lacks as a
+built-in: the **as-of join** (for each left row, the most recent right
+row at-or-before it, per key).
+
+Spark-first formulation — the union + running-last trick:
+
+    union(left tagged 1, right tagged 0 with payload struct)
+      -> window last(payload, ignoreNulls) over
+         (PARTITION BY keys ORDER BY ts, tag ROWS UNBOUNDED PRECEDING)
+      -> keep tag=1 rows
+
+One shuffle on the join keys, one sort within partitions — the same
+cost profile as a sort-merge join, with no range-explosion. Skewed keys
+are handled by AQE; a billion-row right side never builds a per-key
+array (state is a single running struct per window frame).
+
+Right rows sort BEFORE left rows at equal timestamps (tag 0 < 1), so
+the match is inclusive: right.ts <= left.ts — the same semantics as
+DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts`` (the oracle used in the
+driver check) and pandas ``merge_asof(direction='backward')``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    by: list[str],
+    payload_cols: list[str],
+    payload_prefix: str = "right_",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row, plus ``payload_cols`` from
+    the latest ``right`` row with ``right.ts <= left.ts`` within the
+    same ``by`` keys (nulls when no such row exists).
+
+    The matched right timestamp is exposed as ``{prefix}{ts_col}``.
+    Deterministic when (by, ts) is unique on the right side; with
+    duplicate right timestamps the in-frame order (and thus the match)
+    is tie-broken arbitrarily — pre-aggregate the right side if that
+    matters.
+    """
+    payload = F.struct(F.col(ts_col).alias(ts_col), *[F.col(c) for c in payload_cols])
+    rp = right.select(
+        *[F.col(c) for c in by],
+        F.col(ts_col),
+        payload.alias("__p"),
+        F.lit(0).alias("__tag"),
+    )
+    lp = left.select("*", F.lit(None).cast(rp.schema["__p"].dataType).alias("__p"), F.lit(1).alias("__tag"))
+    unioned = lp.unionByName(rp, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(ts_col).asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn("__m", F.last("__p", ignorenulls=True).over(w)).filter(
+        F.col("__tag") == 1
+    )
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(F.col(f"__m.{ts_col}").alias(f"{payload_prefix}{ts_col}"))
+    out_cols.extend(F.col(f"__m.{c}").alias(f"{payload_prefix}{c}") for c in payload_cols)
+    return matched.select(*out_cols)

@@ -628,6 +628,30 @@ def partition_prune_md5_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "partition_prune_prefix",
+    "SELECT p_partkey, p_name, p_brand, p_retailprice FROM part WHERE p_brand = 'Brand#19'",
+)
+def partition_prune_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain value-prefix partitioning (ref datasource.py:344-353,
+    ``col_prefix_N``): partition value = first N chars of the literal,
+    derived in Python and pushed as a normal partition filter."""
+    from lakeapi_spark.operators.partitioning import apply_partition_pruning
+    from lakeapi_spark.sources.partitioned import partitioned_copy
+
+    pcol = "p_brand_prefix_7"
+    df = partitioned_copy(spark, sf_dir, "part", [pcol], derive=("p_brand", "prefix", 7))
+    filters = [("p_brand", "=", "Brand#19")]
+    df = apply_partition_pruning(df, [pcol], filters)
+    return apply_query(
+        df,
+        QueryRequest(
+            filters=filters,
+            select=[("p_partkey", None), ("p_name", None), ("p_brand", None), ("p_retailprice", None)],
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-time windows (batch form of the streaming semantics, §7)
 # ---------------------------------------------------------------------------
@@ -993,6 +1017,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@register("ann_ivf_topk", None)  # approximate: recall property-tested vs brute force
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeapi_spark.operators.similarity import ivf_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") <= 4)
+    out = ivf_topk(e, q, "vec_id", "embedding", k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (training-data extension)
 # ---------------------------------------------------------------------------
@@ -1094,6 +1128,73 @@ def jsonify_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.col("n_name"), F.lit("x")).alias("tags"),
     )
     return apply_query(df, QueryRequest(jsonify_complex=True))
+
+
+# ---------------------------------------------------------------------------
+# Joins beyond the config pipeline (§2.4 — inherited Spark surface, plus
+# the as-of extension from operators/joins.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_purchase_before_click",
+    """
+    WITH r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+    SELECT l.event_id, l.user_id,
+           CAST(floor(epoch(l.ts)) AS BIGINT) AS ts_s,
+           CAST(floor(epoch(r.ts)) AS BIGINT) AS purchase_ts_s,
+           r.value AS purchase_value
+    FROM events l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    WHERE l.event_type = 'click'
+    """,
+)
+def asof_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the user's most recent purchase at-or-before it.
+    DuckDB's native ASOF JOIN is the oracle; ours is the union+running-
+    last plan in operators/joins.py (one shuffle on user_id)."""
+    from lakeapi_spark.operators.joins import asof_join
+
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = asof_join(clicks, purchases, "ts", ["user_id"], ["value"], payload_prefix="purchase_")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("ts_s"),
+        F.floor(F.unix_timestamp("purchase_ts")).cast("long").alias("purchase_ts_s"),
+        F.col("purchase_value"),
+    )
+
+
+@register(
+    "join_semi_customers_with_urgent_orders",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "join_anti_customers_without_urgent_orders",
+    """
+    SELECT c_custkey, c_name, c_nationkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
 
 
 # ---------------------------------------------------------------------------

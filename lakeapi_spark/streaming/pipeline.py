@@ -105,15 +105,53 @@ def session_counts_stream(
     )
 
 
-def run_available_now(df: DataFrame, sink_table: str, checkpoint_dir: str, timeout_s: int = 120):
+def running_user_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (n_events, sum_value), emitted as an update row whenever a
+    micro-batch touches the user.
+
+    This is the shape Spark's built-in windowed aggs can't express —
+    arbitrary per-key state with user-defined merge logic. State is one
+    tiny (long, double) tuple per user, Arrow-batched in and out; at
+    scale the state store shards by user_id across executors and the
+    operator never sees more than one key's batches at a time.
+    """
+    import pandas as pd  # local import: executors re-import in the worker
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "sum_value": [s]})
+
+    return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    df: DataFrame,
+    sink_table: str,
+    checkpoint_dir: str,
+    timeout_s: int = 120,
+    output_mode: str = "complete",
+):
     """Drain everything currently available into an in-memory sink (used
-    by tests and backfills), then stop. 'complete' mode because the
-    aggregation result is small; production sinks would use 'update'
-    with a Delta/Kafka writer."""
+    by tests and backfills), then stop. 'complete' mode for the windowed
+    aggs (result is small); stateful applyInPandasWithState requires
+    'update'. Production sinks would be Delta/Kafka writers."""
     q = (
         df.writeStream.format("memory")
         .queryName(sink_table)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

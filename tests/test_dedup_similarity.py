@@ -107,6 +107,24 @@ def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.5, recall
 
 
+def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
+    from lakeapi_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") <= 4)
+    exact = brute_force_topk(emb, q, "vec_id", "embedding", k=10).collect()
+    approx = ivf_topk(emb, q, "vec_id", "embedding", k=10).collect()
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_pairs = {(r.query_id, r.neighbor_id) for r in approx}
+    # 4 of 16 probed lists; near-uniform vectors spread, so a modest
+    # floor — the dial is n_probe (=16 degrades to brute force)
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.4, recall
+    # determinism: same session, same centroids, same result
+    again = {(r.query_id, r.neighbor_id) for r in ivf_topk(emb, q, "vec_id", "embedding", k=10).collect()}
+    assert approx_pairs == again
+
+
 def test_numpy_topk_equals_builtin_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") <= 4)

@@ -42,6 +42,40 @@ def test_stream_tumbling_matches_batch(spark, sf_dir, tmp_path):
     q.stop()
 
 
+def test_stream_stateful_running_totals_matches_batch(spark, sf_dir, tmp_path):
+    from lakeapi_spark.streaming.pipeline import running_user_totals_stream
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    q = run_available_now(
+        running_user_totals_stream(stream),
+        "stream_user_totals",
+        str(tmp_path / "ckpt_state"),
+        output_mode="update",
+    )
+    # update mode emits one row per touched user per micro-batch; the
+    # LAST row per user is the final running state
+    rows = spark.sql(
+        """
+        SELECT user_id, n_events, sum_value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+          FROM stream_user_totals
+        ) WHERE rn = 1
+        """
+    ).collect()
+    got = {r.user_id: (r.n_events, round(r.sum_value, 4)) for r in rows}
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("sum_value"),
+        )
+    )
+    want = {r.user_id: (r.n_events, round(r.sum_value, 4)) for r in batch.collect()}
+    assert got == want
+    q.stop()
+
+
 def test_stream_session_windows(spark, sf_dir, tmp_path):
     stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
     q = run_available_now(
