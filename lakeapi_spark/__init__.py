@@ -17,13 +17,16 @@ Layout
     - ``filters``            param -> Column filter algebra (§2.3)
     - ``pipeline``           the single-table SELECT pipeline (§2, §3.1)
     - ``partitioning``       md5/prefix derived partition pruning (§2.12)
-    - ``search``             portable LIKE scorer + TF search (§2.10)
+    - ``search``             portable LIKE scorer + TF + BM25 (§2.10)
     - ``nearby``             haversine geo filter (§2.11)
+    - ``joins``              as-of join (union + running-last window)
     - ``dedup``              exact/minhash/simhash/jaccard/embedding dedup
-    - ``similarity``         brute-force + LSH ANN over embeddings
-    - ``text``               lang-id, quality, tokens, fingerprint
+    - ``similarity``         brute-force + LSH + IVF ANN over embeddings
+    - ``text``               lang-id, quality, tokens (ws + BPE-ish),
+                             md5 + rolling-hash fingerprints
     - ``multimodal``         binary-column decode/feature plumbing
     - ``windows``            event-time windowed aggregation (batch form)
+    - ``scale``              fan-out guard for narrow CPU-bound scans
 - ``sql``          validated SQL endpoint -> spark.sql (§2.8, §3.2)
 - ``metadata``     schema tree / partition values / str-lengths (§2.15)
 - ``serialize``    Arrow-based output formats (§2.2)

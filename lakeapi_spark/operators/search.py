@@ -60,6 +60,65 @@ def search(
     )
 
 
+def bm25_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    search_text: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_col: str = "bm25_score",
+) -> DataFrame:
+    """BM25 ranking as a pure relational pipeline (the Spark answer to
+    the reference's persisted DuckDB FTS index, df_duckdb.py:321-379 —
+    no side database, no index file; the "index" is a set of small
+    aggregates Catalyst computes and broadcasts).
+
+    score(D,Q) = sum_t  ln((N - df_t + 0.5)/(df_t + 0.5) + 1)
+                        * tf_tD * (k1+1) / (tf_tD + k1*(1 - b + b*|D|/avgdl))
+
+    Plan shape at scale:
+    - doc lengths: per-row ``size(tokens)`` — codegen, no shuffle;
+    - corpus stats (N, avgdl): one scalar aggregate, broadcast back;
+    - tf: tokens filtered to the (tiny) query term set BEFORE the
+      explode aggregate — map-side partial agg, one shuffle on doc id;
+    - df_t: per-term doc counts derived from tf — rows = |terms|,
+      broadcast join;
+    - final: one groupBy(doc) sum.
+    Everything is SQL-expressible, so DuckDB can verify the exact
+    scores (round 4).
+    """
+    terms = sorted({t.lower() for t in _terms(search_text)})
+    toks_arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("__id"), toks_arr.alias("__toks"))
+    doclen = base.select("__id", F.size("__toks").alias("__dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
+    )
+    tf = (
+        base.select("__id", F.explode("__toks").alias("__tok"))
+        .filter(F.col("__tok").isin(terms))
+        .groupBy("__id", "__tok")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    idf = F.log((F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1)
+    denom = F.col("__tf") + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+    contrib = idf * F.col("__tf") * (k1 + 1) / denom
+    scores = (
+        tf.join(F.broadcast(dfreq), "__tok")
+        .join(doclen, "__id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("__id")
+        .agg(F.round(F.sum(contrib), 4).alias(score_col))
+    )
+    return (
+        df.join(scores, df[id_col] == scores["__id"])
+        .drop("__id")
+        .orderBy(F.col(score_col).desc(), F.col(id_col))
+    )
+
+
 def tf_search(
     df: DataFrame,
     id_col: str,

@@ -118,6 +118,46 @@ def lang_id_oracle_sql(text_expr: str, default: str = "und") -> str:
     return sql
 
 
+#: GPT-2-flavoured coarse split: letter runs, digit runs, single
+#: punctuation marks. Deliberately simple enough to behave identically
+#: under Java regex (Spark) and RE2 (DuckDB oracle).
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Token count under a BPE-ish regex pre-tokenizer — the number a
+    subword tokenizer's input segmentation would produce, as opposed to
+    the whitespace count from :func:`token_count`. Pure codegen
+    (regexp_extract_all + size), no shuffle, no UDF."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_PATTERN), 0))
+
+
+#: rolling-hash modulus (2^31-ish prime): keeps acc*31+v inside int64 in
+#: BOTH engines (values are pre-reduced mod p, so acc*31 < 3.2e10)
+ROLLING_P = 1_000_000_007
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Order-sensitive polynomial rolling hash over whitespace tokens:
+
+        fp = fold(tokens, 0, (acc, v) -> (acc*31 + v) mod p),
+        v   = int(md5(token)[:15 hex]) mod p
+
+    Unlike the content-md5 :func:`fingerprint` this is incremental —
+    the building block for streaming / windowed fingerprints (hash of a
+    growing prefix is O(1) per new token). Token values go through md5
+    so the DuckDB oracle can reproduce them bit-for-bit; the fold is
+    one per-row array aggregate, no shuffle."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    vals = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % ROLLING_P,
+    )
+    return F.aggregate(
+        vals, F.lit(0).cast("long"), lambda acc, v: (acc * 31 + v) % ROLLING_P
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of whitespace-normalized lowercased text.
     (The scalable stand-in for a rolling/Rabin hash — identical across

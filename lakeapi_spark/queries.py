@@ -531,6 +531,39 @@ def search_tf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_bm25_score",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+    stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+      WHERE tok IN ('spark', 'window') GROUP BY doc_id, tok
+    ),
+    dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)
+    SELECT d.doc_id,
+           ROUND(SUM(ln((s.n - q.df + 0.5) / (q.df + 0.5) + 1)
+                     * t.tf * 2.2 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))), 4)
+             AS bm25_score
+    FROM tf t
+    JOIN dfq q ON t.tok = q.tok
+    JOIN dl l ON l.doc_id = t.doc_id
+    CROSS JOIN stats s
+    JOIN documents d ON d.doc_id = t.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def search_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeapi_spark.operators.search import bm25_search
+
+    df = table(spark, sf_dir, "documents")
+    return bm25_search(df, "doc_id", "text", "spark window").select("doc_id", "bm25_score")
+
+
+@register(
     "nearby_radius",
     """
     SELECT c_custkey, CAST(ROUND(dist, 2) AS DOUBLE) AS distance_m FROM (
@@ -857,6 +890,40 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "text_bpe_token_count",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT)
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeapi_spark.operators.text import bpe_ish_token_count
+
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
+@register(
+    "text_rolling_fingerprint",
+    r"""
+    SELECT doc_id,
+           list_reduce(
+             list_transform(string_split_regex(trim(lower(text)), '\s+'),
+               t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 1000000007),
+             (a, b) -> (a * 31 + b) % 1000000007) AS roll_fp
+    FROM documents
+    """,
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakeapi_spark.operators.text import rolling_fingerprint
+
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_fingerprint(F.col("text")).alias("roll_fp"))
 
 
 # ---------------------------------------------------------------------------

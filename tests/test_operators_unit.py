@@ -134,6 +134,24 @@ def test_tf_search_counts_term_frequency(spark):
     assert out == {1: 2, 2: 1}
 
 
+def test_bm25_ranking_properties(spark):
+    from lakeapi_spark.operators.search import bm25_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark"),           # high tf, short doc
+            (2, "spark and a lot of other words here making this doc long"),
+            (3, "no match at all"),
+            (4, "spark spark"),
+        ],
+        ["id", "t"],
+    )
+    out = {r.id: r.bm25_score for r in bm25_search(df, "id", "t", "spark").collect()}
+    assert 3 not in out                      # non-matching docs are dropped
+    assert out[1] > out[4] > out[2]          # more hits win; short docs beat long at equal idf
+    assert all(s > 0 for s in out.values())
+
+
 def test_nearby_radius_and_order(spark):
     df = spark.createDataFrame(
         [(1, 46.70, 8.60), (2, 46.75, 8.70), (3, 45.00, 11.00)],
