@@ -262,6 +262,98 @@ def window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "window_lag_order_gap_days",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           CAST(date_diff('day',
+                          LAG(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+                                                               ORDER BY o_orderdate, o_orderkey),
+                          CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
+    FROM orders
+    WHERE o_custkey <= 200
+    """,
+)
+def window_lag_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG analytic (§2.6): per-customer days between consecutive
+    orders. One shuffle on the partition key; the frame is implicit."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        d.alias("orderdate"),
+        F.datediff(d, F.lag(d).over(w)).cast("long").alias("days_since_prev"),
+    )
+
+
+@register(
+    "window_moving_sum_price",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+             AS moving_total_price,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_in_frame
+    FROM orders
+    WHERE o_custkey <= 200
+    """,
+)
+def window_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit rows-frame aggregate window (§2.6): trailing 3-order
+    total price per customer. Exact decimal throughout — windowed AVG
+    output types differ between engines (DuckDB DOUBLE, Spark DECIMAL)
+    and a final division lands on .005 half-way cases, so the query
+    exposes (sum, count) instead."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(dec("o_totalprice")).over(w), 2).cast("double").alias("moving_total_price"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_in_frame"),
+    )
+
+
+@register(
+    "cube_orders_priority_status",
+    """
+    SELECT COALESCE(o_orderpriority, '<all>') AS priority,
+           COALESCE(o_orderstatus, '<all>') AS status,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping (§2.5): all 2^2 grouping combinations in one pass
+    (Spark expands grouping sets before the single aggregate shuffle)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(dec("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Filter algebra (§2.3) — each operator exercised through the actual
 # compiled pipeline (QueryRequest -> apply_query), not ad-hoc DataFrame
@@ -1169,6 +1261,17 @@ _sql_endpoint_query(
     SELECT c.c_mktsegment, CAST(SUM(b.n_orders) AS BIGINT) AS total_big_orders
     FROM big_orders b JOIN customer c ON c.c_custkey = b.o_custkey
     GROUP BY c.c_mktsegment
+    """,
+)
+
+_sql_endpoint_query(
+    "sql_grouping_sets",
+    """
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
 )
 

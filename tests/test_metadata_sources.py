@@ -99,3 +99,44 @@ def test_expand_wildcard(tmp_path):
     (tmp_path / "notes.txt").write_text("x")
     out = expand_wildcard(str(tmp_path) + "/*")
     assert [name for name, _ in out] == ["t1", "t2"]
+
+
+def test_compaction_small_files(spark, tmp_path):
+    from lakeapi_spark.sources.compaction import compact, data_files, plan_n_files
+
+    src = str(tmp_path / "shattered")
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    df.repartition(64).write.parquet(src)
+    assert len(data_files(src)) == 64
+
+    dest = str(tmp_path / "compacted")
+    from lakeapi_spark.sources.compaction import dir_bytes
+
+    total = dir_bytes(src)
+    n = compact(spark, src, dest, target_file_bytes=total // 2 + 1)
+    assert n == 2 == len(data_files(dest))
+    got = spark.read.parquet(dest)
+    assert got.count() == 10_000
+    assert got.agg({"k": "sum"}).first()[0] == sum(range(10_000))
+
+    assert plan_n_files(0) == 1
+    assert plan_n_files(100, 30) == 4
+
+
+def test_compaction_partitioned_no_fanout(spark, tmp_path):
+    from lakeapi_spark.sources.compaction import compact, data_files
+
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "part_src")
+    df = spark.range(0, 8_000).select(
+        F.col("id").alias("k"), (F.col("id") % 4).cast("string").alias("p")
+    )
+    df.repartition(32).write.parquet(src)
+    dest = str(tmp_path / "part_dest")
+    compact(spark, src, dest, target_file_bytes=10**12, partition_by=["p"])
+    files = data_files(dest)
+    # hash-on-partition-col repartition: each hive partition written by
+    # ~1 task, never tasks x partitions files
+    assert len(files) <= 8
+    assert spark.read.parquet(dest).count() == 8_000
