@@ -19,7 +19,10 @@ Layout
     - ``partitioning``       md5/prefix derived partition pruning (§2.12)
     - ``search``             portable LIKE scorer + TF + BM25 (§2.10)
     - ``nearby``             haversine geo filter (§2.11)
-    - ``joins``              as-of join (union + running-last window)
+    - ``joins``              as-of join (union + running-last window),
+                             binned interval join
+    - ``skew``               skew-safe exact distinct counting
+    - ``sampling``           stable hash sampling / train-eval splits
     - ``dedup``              exact/minhash/simhash/jaccard/embedding dedup
     - ``similarity``         brute-force + LSH + IVF ANN over embeddings
     - ``text``               lang-id, quality, tokens (ws + BPE-ish),

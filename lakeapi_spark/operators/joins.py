@@ -32,6 +32,38 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def range_join_binned(
+    facts: DataFrame,
+    val_col: str,
+    ranges: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Interval join (fact value in [lo, hi)) via the binning trick.
+
+    A naive inequality join is a nested-loop: every fact row against
+    every range. Instead each range explodes into the fixed-width bins
+    it covers and each fact row computes its single bin — the join
+    becomes an EQUI-join on bin id (hashable, broadcastable, AQE-
+    skew-splittable), with an exact [lo, hi) post-filter for bin edge
+    overlap. Cost is |ranges| * (range_width / bin_width) extra rows on
+    the (small) range side, zero expansion on the fact side — the side
+    that is 100 TB.
+    """
+    bins = F.sequence(
+        F.floor(F.col(lo_col) / bin_width).cast("long"),
+        F.floor((F.col(hi_col) - 1e-9) / bin_width).cast("long"),
+    )
+    rb = ranges.withColumn("__bin", F.explode(bins))
+    fb = facts.withColumn("__bin", F.floor(F.col(val_col) / bin_width).cast("long"))
+    return (
+        fb.join(F.broadcast(rb), "__bin")
+        .filter((F.col(val_col) >= F.col(lo_col)) & (F.col(val_col) < F.col(hi_col)))
+        .drop("__bin")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

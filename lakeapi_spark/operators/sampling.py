@@ -1,0 +1,38 @@
+"""Deterministic sampling for training-data pipelines.
+
+``df.sample()`` is seed-dependent per partition layout — re-running
+after a repartition yields a different sample, which poisons
+train/eval splits and incremental reprocessing. The operators here
+hash a STABLE KEY instead: membership is a pure function of the row's
+key, identical across runs, engines, partitionings, and appends —
+the same property the reference exploits for md5-derived partitions
+(core/datasource.py:317-342), applied row-wise.
+
+Hash = first 15 hex chars of md5(key-as-string) -> int64 (60 bits,
+reproducible bit-for-bit in DuckDB with
+``CAST(concat('0x', substr(md5(v), 1, 15)) AS BIGINT)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def key_hash(col: Column) -> Column:
+    """Stable 60-bit integer hash of a column's string form."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def hash_sample(df: DataFrame, key_col: str, mod: int, keep_below: int) -> DataFrame:
+    """Keep rows with hash(key) % mod < keep_below — a keep_below/mod
+    fraction. Sampling by a GROUPING key (user id, document id, order
+    key) keeps whole groups together: all lineitems of a sampled order
+    survive, which is what a train/eval split needs."""
+    return df.filter(key_hash(F.col(key_col)) % mod < keep_below)
+
+
+def hash_split(df: DataFrame, key_col: str, mod: int, eval_below: int) -> tuple[DataFrame, DataFrame]:
+    """(train, eval) disjoint split on the same stable hash."""
+    h = key_hash(F.col(key_col)) % mod
+    return df.filter(h >= eval_below), df.filter(h < eval_below)

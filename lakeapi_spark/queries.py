@@ -354,6 +354,70 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "skew_safe_distinct_suppliers",
+    """
+    SELECT l_returnflag, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_distinct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def skew_safe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT DISTINCT over a 3-value (maximally hot) grouping key —
+    the two-stage shuffle-by-(key,value) shape from operators/skew.py."""
+    from lakeapi_spark.operators.skew import count_distinct_skew_safe
+
+    l = table(spark, sf_dir, "lineitem")
+    return count_distinct_skew_safe(l, ["l_returnflag"], "l_suppkey")
+
+
+@register(
+    "range_join_price_bands",
+    """
+    SELECT band, COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
+    FROM orders
+    JOIN (VALUES ('low', 0.0, 100000.0), ('mid', 100000.0, 250000.0),
+                 ('high', 250000.0, 400000.0), ('whale', 400000.0, 1000000.0))
+         AS bands(band, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via bin-and-equi-join (operators/joins.py): the
+    oracle runs the naive inequality join; ours never expands the fact
+    side. Post-aggregated per band so the check is value-level."""
+    from lakeapi_spark.operators.joins import range_join_binned
+
+    o = table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100000.0), ("mid", 100000.0, 250000.0),
+         ("high", 250000.0, 400000.0), ("whale", 400000.0, 1000000.0)],
+        ["band", "lo", "hi"],
+    )
+    joined = range_join_binned(o, "o_totalprice", bands, "lo", "hi", bin_width=50000.0)
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        money_sum(dec("o_totalprice")).alias("total_price"),
+    )
+
+
+@register(
+    "sample_hash_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 2
+    """,
+)
+def sample_hash_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% sample keyed on o_orderkey: identical
+    membership on every run/engine/partitioning (operators/sampling.py)."""
+    from lakeapi_spark.operators.sampling import hash_sample
+
+    o = table(spark, sf_dir, "orders")
+    return hash_sample(o, "o_orderkey", 10, 2).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
 # ---------------------------------------------------------------------------
 # Filter algebra (§2.3) — each operator exercised through the actual
 # compiled pipeline (QueryRequest -> apply_query), not ad-hoc DataFrame

@@ -168,3 +168,37 @@ def test_jsonify_complex(spark):
     out = apply_query(df, QueryRequest(jsonify_complex=True)).collect()[0]
     assert out.p == '{"_1":"bob","_2":4}'
     assert out.v == '["c","d"]'
+
+
+def test_range_join_binned_edges(spark):
+    from lakeapi_spark.operators.joins import range_join_binned
+
+    facts = spark.createDataFrame([(i, float(v)) for i, v in enumerate([0, 99, 100, 150, 199, 200, 500])], ["id", "v"])
+    ranges = spark.createDataFrame([("a", 0.0, 100.0), ("b", 100.0, 200.0)], ["band", "lo", "hi"])
+    out = {(r.id, r.band) for r in range_join_binned(facts, "v", ranges, "lo", "hi", bin_width=30.0).collect()}
+    # [lo, hi): 100 belongs to b, 200 matches nothing, 500 matches nothing
+    assert out == {(0, "a"), (1, "a"), (2, "b"), (3, "b"), (4, "b")}
+
+
+def test_hash_split_disjoint_and_stable(spark):
+    from lakeapi_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    train, ev = hash_split(df, "k", 10, 2)
+    t = {r.k for r in train.collect()}
+    e = {r.k for r in ev.collect()}
+    assert t.isdisjoint(e) and len(t) + len(e) == 1000
+    assert 100 < len(e) < 300  # ~20%
+    # stability across partitioning
+    e2 = {r.k for r in hash_split(df.repartition(7), "k", 10, 2)[1].collect()}
+    assert e == e2
+
+
+def test_count_distinct_skew_safe_matches_builtin(spark):
+    from lakeapi_spark.operators.skew import count_distinct_skew_safe
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 5), ("b", 5), ("c", 9)], ["k", "v"]
+    )
+    out = {r.k: r.n_distinct for r in count_distinct_skew_safe(df, ["k"], "v").collect()}
+    assert out == {"a": 2, "b": 1, "c": 1}
