@@ -76,6 +76,68 @@ def decode_stub_features(df: DataFrame) -> DataFrame:
     )
 
 
+def resize_stub(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Image-resize plumbing: payload bytes are interpreted as a
+    (height, width) uint8 raster (zero-padded/truncated), nearest-
+    neighbor resampled to (target_h, target_w), re-emitted as bytes
+    with updated metadata. The numpy kernel body is where PIL/OpenCV
+    slots in; batch shape, output schema and metadata update are the
+    production plumbing. Vectorized per Arrow batch, payload column
+    only (metadata-only readers never touch bytes)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                img = np.zeros(h * w, dtype=np.uint8)
+                img[: min(len(raw), h * w)] = raw[: h * w]
+                img = img.reshape(h, w)
+                ys = (np.arange(target_h) * h) // target_h
+                xs = (np.arange(target_w) * w) // target_w
+                out.append(img[np.ix_(ys, xs)].tobytes())
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "payload": out,
+                    "media_type": pdf["media_type"],
+                    "width": np.full(len(pdf), target_w, dtype=np.int32),
+                    "height": np.full(len(pdf), target_h, dtype=np.int32),
+                    "n_bytes": np.full(len(pdf), target_w * target_h, dtype=np.int64),
+                }
+            )
+
+    return df.select(
+        "id", "payload", "media_type", "width", "height", "n_bytes"
+    ).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def frame_sample_stub(df: DataFrame, frame_bytes: int, every_n: int) -> DataFrame:
+    """Video frame-sampling plumbing: payload is treated as a sequence
+    of fixed-size frames; every ``every_n``-th frame becomes its OWN
+    OUTPUT ROW (id, frame_idx, frame) — the row-expanding shape a real
+    ffmpeg sampler needs. Expansion happens inside mapInPandas, so a
+    10-minute video never materializes as one driver row, and
+    downstream ops see a plain (id, frame_idx)-keyed table."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = max(1, (len(raw) + frame_bytes - 1) // frame_bytes)
+                for i in range(0, n_frames, every_n):
+                    chunk = raw[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(rid)
+                    idxs.append(i)
+                    frames.append(chunk.ljust(frame_bytes, b"\0"))
+            yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select("id", "payload").mapInPandas(
+        kernel, schema="id long, frame_idx int, frame binary"
+    )
+
+
 def decode_real(df: DataFrame) -> DataFrame:
     """Integration point for a real decoder (image resize / audio
     spectrogram / video frame-sample). Not available in this container."""

@@ -156,3 +156,34 @@ def test_multimodal_metadata_prunes_payload(spark):
     out = media_metadata(attach_fake_payload(df, "doc_id", "text"))
     assert "payload" not in out.columns
     assert out.collect()[0].n_bytes == 3
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    from lakeapi_spark.operators.multimodal import (
+        attach_fake_payload,
+        frame_sample_stub,
+        resize_stub,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x" * 100), (2, "hello world, a slightly longer fake image")],
+        ["doc_id", "text"],
+    )
+    media = attach_fake_payload(df, "doc_id", "text")
+
+    resized = resize_stub(media, 4, 3).collect()
+    assert {r.id for r in resized} == {1, 2}
+    for r in resized:
+        assert (r.width, r.height, r.n_bytes) == (4, 3, 12)
+        assert len(bytes(r.payload)) == 12
+    # determinism
+    again = {r.id: bytes(r.payload) for r in resize_stub(media, 4, 3).collect()}
+    assert {r.id: bytes(r.payload) for r in resized} == again
+
+    frames = frame_sample_stub(media, frame_bytes=16, every_n=2).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.id, []).append(r)
+        assert len(bytes(r.frame)) == 16
+    # doc 1: 100 bytes -> 7 frames -> sampled idx 0,2,4,6
+    assert sorted(r.frame_idx for r in by_id[1]) == [0, 2, 4, 6]
