@@ -360,6 +360,7 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_distinct
     FROM lineitem GROUP BY l_returnflag
     """,
+    bench=True,
 )
 def skew_safe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT DISTINCT over a 3-value (maximally hot) grouping key —
@@ -382,6 +383,7 @@ def skew_safe_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON o_totalprice >= lo AND o_totalprice < hi
     GROUP BY band
     """,
+    bench=True,
 )
 def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join via bin-and-equi-join (operators/joins.py): the
@@ -408,6 +410,7 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_custkey, o_totalprice FROM orders
     WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 2
     """,
+    bench=True,
 )
 def sample_hash_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~20% sample keyed on o_orderkey: identical
@@ -711,6 +714,7 @@ def search_tf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN documents d ON d.doc_id = t.doc_id
     GROUP BY d.doc_id
     """,
+    bench=True,
 )
 def search_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeapi_spark.operators.search import bm25_search
@@ -1381,6 +1385,7 @@ def jsonify_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
     WHERE l.event_type = 'click'
     """,
+    bench=True,
 )
 def asof_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For every click, the user's most recent purchase at-or-before it.
