@@ -355,6 +355,28 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantiles_event_value",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.95), 4) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def quantiles_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (§2.5 breadth).
+    `percentile` is holistic (per-group value buffers) — fine for a
+    5-key group; the 100 TB path with high-cardinality keys is
+    `approx_percentile(value, p, accuracy)`, a mergeable KLL-style
+    sketch with map-side partials, same call shape."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+    )
+
+
+@register(
     "skew_safe_distinct_suppliers",
     """
     SELECT l_returnflag, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_distinct

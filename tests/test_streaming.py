@@ -89,3 +89,70 @@ def test_stream_session_windows(spark, sf_dir, tmp_path):
     for r in rows:
         assert r.session_end >= r.session_start
     q.stop()
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Real late-data semantics: stream files one-per-microbatch so the
+    watermark actually advances between batches. A window is emitted
+    (append mode) at the end of the batch whose watermark passes its
+    end; an event for that window arriving in a LATER batch is dropped
+    — append mode never re-emits. ('complete' mode keeps all state and
+    never drops, which is why this needs append.)"""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, "ts timestamp, user_id long, value double").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{src}/{name}")
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    import time
+
+    # batch 0: events up to 12:30 -> watermark advances to 12:20
+    write_file("f1", [(ts(0), 1, 1.0), (ts(2), 1, 1.0), (ts(30), 1, 1.0)])
+    time.sleep(1.1)  # file-source orders batches by mtime
+    # batch 1: timely event; at END of this batch the 12:00-12:05
+    # window (end 12:05 < wm 12:20) is emitted and its state evicted
+    write_file("f2", [(ts(31), 2, 1.0)])
+    time.sleep(1.1)
+    # batch 2: a LATE event for 12:01 — its window is already emitted,
+    # so it must be DROPPED (append mode never re-emits); plus a timely
+    # event proving the batch itself was processed
+    write_file("f3", [(ts(1), 2, 99.0), (ts(32), 2, 1.0)])
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.ws: r.n for r in spark.sql("SELECT * FROM late_drop").collect()}
+    q.stop()
+    first_window = int(t0.timestamp())
+    # the 12:00 window was finalized with ONLY batch-1 events: the late
+    # row (user 2, value 99) did not resurrect or amend it
+    assert got.get(first_window) == 2, got
