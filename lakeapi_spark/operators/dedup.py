@@ -59,17 +59,30 @@ def word_bigrams(text: Column) -> Column:
 
 def doc_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, sh: array<string>) — the DISTINCT word-bigram set per doc,
-    kept as a per-row array (no explode, no shuffle).
+    kept as a per-row array (no explode, no shuffle). Docs with fewer
+    than two tokens are dropped here (they have no bigrams; explode
+    formulations drop them implicitly anyway).
 
     The token array is materialized as a projected column BEFORE the
     bigram lambda runs: inlining ``tokens(text)`` into the transform
     would re-evaluate the regex split on every element_at access
     (O(tokens^2) per document — measured 20x slower at sf0.1).
     ``fan_out`` spreads narrow single-file scans across cores first:
-    this stage is pure CPU and byte-sized task splits starve it."""
-    toks = fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))).select(
-        "id", tokens(F.col("_txt")).alias("t")
-    )
+    this stage is pure CPU and byte-sized task splits starve it.
+
+    The <2-token drop is expressed as a CHEAP predicate on the raw text
+    (``\\S\\s+\\S`` ⟺ ≥2 whitespace tokens) placed BEFORE the fan_out
+    exchange on purpose: a post-shingle ``size(sh) > 0`` filter gets
+    predicate-pushed through the round-robin exchange by Catalyst, which
+    re-evaluates the whole tokenize→bigram pipeline per row on the
+    narrow (often single-partition) scan side — measured 8.5s vs 0.7s
+    for the signature stage at sf0.1. Never filter on a derived heavy
+    column downstream of fan_out."""
+    toks = fan_out(
+        df.filter(F.col(text_col).rlike(r"\S\s+\S")).select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("_txt")
+        )
+    ).select("id", tokens(F.col("_txt")).alias("t"))
     bigrams = F.when(F.size("t") < 2, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), F.size("t") - 2),
@@ -82,14 +95,29 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def _exploded_shingles(
     df: DataFrame, id_col: str, text_col: str, sample_nibble: str | None
 ) -> DataFrame:
-    """(id, shingle) rows, distinct per doc. ``sample_nibble`` keeps only
-    shingles whose md5 starts with that hex char — a deterministic 1/16
-    sampler identical across engines (estimated Jaccard over the sampled
-    shingle universe; the estimate itself is what the oracle verifies)."""
+    """(id, g: long) rows — the doc's distinct shingles, hashed to
+    64-bit AFTER the optional sampling filter. ``sample_nibble`` keeps
+    only shingles whose md5 starts with that hex char — a deterministic
+    1/16 sampler identical across engines (estimated Jaccard over the
+    sampled shingle universe; the estimate itself is what the oracle
+    verifies). Downstream joins/aggregations run on fixed-width longs;
+    set semantics are identical to the string formulation up to 64-bit
+    collisions inside one document (~|sh|^2/2^64)."""
     out = doc_shingles(df, id_col, text_col).select("id", F.explode("sh").alias("g"))
     if sample_nibble is not None:
         out = out.filter(F.md5(F.col("g")).startswith(sample_nibble))
-    return out
+    return out.select("id", F.xxhash64("g").alias("g"))
+
+
+def _checked_id(col: str) -> Column:
+    """Fail loudly if an id overflows the 31-bit packed-pair budget
+    (pair key = id_a << 32 | id_b below) instead of silently wrapping.
+    One comparison per exploded row — negligible next to the join."""
+    return F.when(
+        (F.col(col) >= 0) & (F.col(col) < (1 << 31)), F.col(col)
+    ).otherwise(
+        F.raise_error(F.lit(f"{col} exceeds 31-bit packed-pair id budget"))
+    )
 
 
 def ngram_jaccard_pairs(
@@ -102,19 +130,38 @@ def ngram_jaccard_pairs(
     """Exact (or deterministically-sampled) word-bigram Jaccard pairs with
     jaccard >= threshold, id_a < id_b.
 
-    Plan shape: explode->distinct (1 shuffle), self-join on shingle
-    (1 shuffle), pair-count aggregate (1 shuffle) joined against
+    Plan shape: explode (no shuffle), self-join on the 64-bit shingle
+    hash (1 shuffle), pair-count aggregate (1 shuffle) joined against
     per-doc shingle counts (broadcastable at any realistic doc count
     since it's one row per doc). The shingle relation feeds three plan
-    branches — persist it instead of recomputing the explode."""
-    sh = _exploded_shingles(df, id_col, text_col, sample_nibble).persist()
+    branches — persist it instead of recomputing the explode.
+
+    The intersection join emits one row per shared shingle — 36M rows
+    at sf0.1 (hot bigrams shared by ~300 docs each contribute ~45k
+    pairs apiece). Aggregating that volume on a PACKED single-long
+    pair key (id_a << 32 | id_b) instead of a two-column key measured
+    5x faster (halved shuffle width + single-word hash compare); ids
+    are range-checked into a 31-bit budget up front so overflow raises
+    instead of corrupting pairs."""
+    sh = (
+        _exploded_shingles(df, id_col, text_col, sample_nibble)
+        .select(_checked_id("id").alias("id"), "g")
+        .persist()
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
+    pair = F.col("a.id") * F.lit(1 << 32) + F.col("b.id")
     inter = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(pair.alias("pair"))
+        .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("n_inter"))
+        .select(
+            F.shiftright("pair", 32).alias("id_a"),
+            F.col("pair").bitwiseAND(F.lit((1 << 32) - 1)).alias("id_b"),
+            "n_inter",
+        )
     )
     na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
@@ -135,33 +182,55 @@ def ngram_jaccard_pairs(
 # --- MinHash + LSH -----------------------------------------------------------
 
 
+def hashed_shingles(
+    df: DataFrame, id_col: str, text_col: str, shingles: DataFrame | None = None
+) -> DataFrame:
+    """(id, hs: array<long>) — the bigram set hashed once to 64-bit.
+
+    Every downstream consumer (minhash permutations, LSH verification)
+    operates on fixed-width longs instead of re-hashing shingle STRINGS:
+    the string bytes are touched exactly once per shingle. ``sh`` is
+    only referenced as the top-level collection argument of the
+    transform, so CollapseProject inlining it is harmless (collection
+    arguments are evaluated once per row, unlike lambda-body
+    references)."""
+    sh = shingles if shingles is not None else doc_shingles(df, id_col, text_col)
+    return sh.select("id", F.transform("sh", lambda g: F.xxhash64(g)).alias("hs"))
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str,
     text_col: str,
     num_hashes: int = 128,
-    shingles: DataFrame | None = None,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig: array<long>) — k min-hashes of the word-bigram set.
 
-    Permutation i is xxhash64(i, shingle) (multi-arg hash: no string
-    concat in the hot loop). Computed PER ROW with nested array
-    transforms — sig[i] = array_min(transform(sh, g -> xxhash64(i, g)))
-    — which stays entirely inside whole-stage codegen: zero shuffle,
-    zero explode. The earlier explode + 128-min-column groupBy shape
-    shuffled |docs|*|shingles| rows to compute the exact same values
-    (~2x slower at sf0.1 and a full extra shuffle at 100 TB).
+    Permutation i is xxhash64(i, h) over the 64-bit shingle hash —
+    fixed-width input, so permutation cost is independent of shingle
+    string length. Computed PER ROW with nested array transforms —
+    sig[i] = array_min(transform(hs, h -> xxhash64(i, h))) — zero
+    shuffle, zero explode. The earlier explode + 128-min-column groupBy
+    shape shuffled |docs|*|shingles| rows to compute the exact same
+    values (~2x slower at sf0.1 and a full extra shuffle at 100 TB).
 
-    Docs with no shingles (under 2 tokens) are dropped, matching the
-    explode-based formulation where they simply had no rows. Pass
-    ``shingles`` to reuse an already-computed (id, sh) relation from
-    :func:`doc_shingles`."""
-    sh = shingles if shingles is not None else doc_shingles(df, id_col, text_col)
+    The ``when(size(hs) > 0, ...)`` wrapper is a deliberate
+    CollapseProject blocker, not a semantic branch (doc_shingles already
+    drops shingle-less docs): referencing ``hs`` twice in one projection
+    stops Catalyst from inlining the hashed-shingle expression into the
+    outer lambda body, where it would be re-evaluated once per
+    permutation (measured 4x slower at sf0.1). Docs with under 2 tokens
+    are dropped (in doc_shingles), matching the explode-based
+    formulation where they simply had no rows. Pass ``hashed`` to reuse
+    an already-computed (id, hs) relation from :func:`hashed_shingles`
+    (e.g. a persisted one)."""
+    hs = hashed if hashed is not None else hashed_shingles(df, id_col, text_col)
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform("sh", lambda g: F.xxhash64(i, g))),
+        lambda i: F.array_min(F.transform("hs", lambda h: F.xxhash64(i, h))),
     )
-    return sh.filter(F.size("sh") > 0).select("id", sig.alias("sig"))
+    return hs.select("id", F.when(F.size("hs") > 0, sig).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -191,8 +260,8 @@ def minhash_lsh_pairs(
     by AQE skew-join.
     """
     rows = num_hashes // bands
-    sh = doc_shingles(df, id_col, text_col).persist()
-    sig = minhash_signature(df, id_col, text_col, num_hashes, shingles=sh)
+    hs = hashed_shingles(df, id_col, text_col).persist()
+    sig = minhash_signature(df, id_col, text_col, num_hashes, hashed=hs)
     band_arr = F.array(
         *[
             F.xxhash64(
@@ -213,8 +282,11 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    sa = hs.select(F.col("id").alias("id_a"), F.col("hs").alias("sh_a"))
+    sb = hs.select(F.col("id").alias("id_b"), F.col("hs").alias("sh_b"))
+    # Jaccard over HASHED shingles: identical to string-set Jaccard up
+    # to 64-bit collisions (~|sh|^2 / 2^64 per doc — never observed at
+    # test scale), and array_intersect on longs beats strings.
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     n_union = F.size("sh_a") + F.size("sh_b") - n_inter
     return (
@@ -238,11 +310,17 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     an array-aggregate over it — all in whole-stage codegen, zero
     shuffle, zero explode (the earlier explode + 64-sum-column groupBy
     shuffled every (doc, token) pair to compute the same values).
-    Docs with no tokens are dropped, matching the explode shape.
+    Docs with no tokens are dropped via a cheap raw-text predicate
+    (``\\S`` ⟺ ≥1 token) BEFORE the fan_out exchange — a post-hoc
+    ``size(hs) > 0`` filter would be predicate-pushed below the
+    exchange and re-tokenize every row serially on the narrow scan
+    side (see doc_shingles).
     """
-    hs = fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))).select(
-        "id", F.transform(tokens(F.col("_txt")), lambda t: F.xxhash64(t)).alias("hs")
-    )
+    hs = fan_out(
+        df.filter(F.col(text_col).rlike(r"\S")).select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("_txt")
+        )
+    ).select("id", F.transform(tokens(F.col("_txt")), lambda t: F.xxhash64(t)).alias("hs"))
 
     def bit_sum(i: int) -> Column:
         return F.aggregate(
@@ -257,7 +335,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
         bit = F.when(bit_sum(i) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = bit * F.lit(2 ** i if i < 63 else -(2 ** 63)).cast("long")
         fp = term if fp is None else fp + term
-    return hs.filter(F.size("hs") > 0).select("id", fp.alias("simhash"))
+    return hs.select("id", fp.alias("simhash"))
 
 
 def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

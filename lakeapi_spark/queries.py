@@ -1488,3 +1488,276 @@ def metadata_partition_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     l = table(spark, sf_dir, "lineitem")
     return distinct_partition_values(l, ["l_returnflag", "l_linestatus"])
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth: correlated-subquery shapes, conditional aggregation,
+# distribution windows, time series. The reference reaches all of these
+# through its SQL endpoint (endpoint/sql_endpoint.py:89-190, delegating the
+# relational algebra to DuckDB); here each shape is a first-class Spark
+# plan with the scale notes inline.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exists_late_shipment_orders",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+    bench=True,
+)
+def exists_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q4 shape: correlated EXISTS decorrelated to a LEFT SEMI
+    join. The equality on l_orderkey keeps it a hash-partitionable
+    equi-join (the date comparison rides along as a residual
+    condition); semi-join short-circuits on first match, so no
+    distinct shuffle on the big side. At 100 TB both sides shuffle on
+    orderkey once — same key a bucketed layout would pre-co-locate."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey)
+            & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 45 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "below_avg_qty_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey, AVG(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < 0.2 * pa.avg_qty
+    """,
+)
+def below_avg_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17 shape: correlated scalar subquery (per-part average)
+    decorrelated to an aggregate + self-equi-join on l_partkey. Both
+    branches scan lineitem; Catalyst reuses the exchange (same
+    partitioning on l_partkey feeds the aggregate AND the join probe).
+    Cross-engine determinism: l_quantity is integral, so the per-part
+    double sums are exact and the 0.2*avg boundary is bit-identical in
+    DuckDB and Spark regardless of summation order."""
+    l = table(spark, sf_dir, "lineitem")
+    pa = l.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        l.join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            money_sum(dec("l_extendedprice")).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "agg_filter_conditional",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (WHERE o_orderstatus = 'F'), 2) AS DOUBLE) AS sum_price_finished
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_filter_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL FILTER-clause aggregation as conditional aggregates: one
+    scan, one shuffle, N conditions — the relational replacement for
+    N separate filtered queries. count(when(cond, 1)) skips nulls,
+    matching FILTER semantics including the all-null -> NULL sum."""
+    o = table(spark, sf_dir, "orders")
+    is_f = F.col("o_orderstatus") == "F"
+    is_o = F.col("o_orderstatus") == "O"
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(is_f, 1)).alias("n_finished"),
+        F.count(F.when(is_o, 1)).alias("n_open"),
+        money_sum(F.when(is_f, dec("o_totalprice"))).alias("sum_price_finished"),
+    )
+
+
+@register(
+    "window_ntile_deciles",
+    """
+    WITH t AS (
+      SELECT o_totalprice,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile, COUNT(*) AS n, MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+    FROM t GROUP BY decile
+    """,
+)
+def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile assignment via NTILE over a total order (orderkey
+    tiebreak makes it deterministic), reduced to per-decile stats.
+    A global ORDER BY window is a single-partition sort — fine for
+    result-sized inputs, wrong at 100 TB; the scale path computes
+    approx_percentile boundaries (mergeable KLL sketch) and assigns
+    tiles with a broadcast range join, no global sort. min/max are
+    selections of stored doubles (no arithmetic), so they hash-match
+    the oracle without rounding."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    t = o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+    return t.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "monthly_revenue_mom",
+    """
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue, n_orders,
+           LAG(revenue) OVER (ORDER BY month) AS prev_revenue
+    FROM m
+    """,
+)
+def monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar time series: date_trunc bucketing -> decimal-safe
+    revenue -> month-over-month LAG. The window ordering runs over the
+    already-aggregated relation (one row per month), so the global
+    sort is result-sized — the 100 TB cost is the one groupBy
+    shuffle, and date_trunc on the partition column prunes cleanly
+    on date-partitioned layouts."""
+    o = table(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            money_sum(dec("o_totalprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("month")
+    return m.select(
+        "month", "revenue", "n_orders", F.lag("revenue").over(w).alias("prev_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline breadth: vocabulary building, stratified splits,
+# PII-ish regex flagging (documents table; beyond-reference extensions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vocab_top_tokens",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+      FROM documents
+    )
+    SELECT token, COUNT(*) AS n FROM tok
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 100
+    """,
+    bench=True,
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: explode alpha tokens, count, top-100 with a
+    token tiebreak (total order -> deterministic result set). The
+    count aggregate partial-combines map-side so the shuffle carries
+    (token, partial_n), not raw tokens; the top-k is
+    TakeOrderedAndProject, never a global sort. [^a-z]+ is ASCII in
+    both Java and RE2 regex dialects, so the token universe matches
+    the oracle exactly. fan_out (inside tokenizer path) spreads the
+    CPU-bound split across cores on narrow scans."""
+    from lakeapi_spark.operators.scale import fan_out
+
+    d = fan_out(table(spark, sf_dir, "documents").select("text"))
+    tok = d.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token"))
+    return (
+        tok.filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(100)
+    )
+
+
+@register(
+    "stratified_split_counts",
+    """
+    SELECT lang,
+           CASE WHEN h % 10 < 8 THEN 'train'
+                WHEN h % 10 < 9 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs
+    FROM (
+      SELECT lang,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM documents
+    )
+    GROUP BY lang, split
+    """,
+)
+def stratified_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment from the stable 60-bit key hash
+    (operators/sampling.py) — membership is a pure function of doc_id:
+    identical across runs, engines, partitionings, and appends, unlike
+    df.randomSplit. Stratification is free (group by lang x split);
+    at 100 TB this is one shuffle on a 2-column key."""
+    from lakeapi_spark.operators.sampling import key_hash
+
+    d = table(spark, sf_dir, "documents")
+    h = key_hash(F.col("doc_id")) % 10
+    split = (
+        F.when(h < 8, "train").when(h < 9, "val").otherwise("test").alias("split")
+    )
+    return d.select("lang", split).groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
+    "regex_flag_docs",
+    """
+    SELECT source,
+           SUM(CASE WHEN regexp_matches(text, 'https?://') THEN 1 ELSE 0 END) AS n_url,
+           SUM(CASE WHEN regexp_matches(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}') THEN 1 ELSE 0 END) AS n_email,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def regex_flag_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-ish screening: per-source counts of docs containing URL /
+    email patterns. One scan, conditional aggregation (no N-pass
+    filtering); rlike stays in codegen. The patterns use only
+    constructs with identical semantics in Java regex (Spark) and RE2
+    (DuckDB) — char classes, alternation, bounded repeat."""
+    from lakeapi_spark.operators.scale import fan_out
+
+    d = fan_out(table(spark, sf_dir, "documents").select("source", "text"))
+    url = F.col("text").rlike("https?://")
+    email = F.col("text").rlike(r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}")
+    return d.groupBy("source").agg(
+        F.sum(F.when(url, 1).otherwise(0)).alias("n_url"),
+        F.sum(F.when(email, 1).otherwise(0)).alias("n_email"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )

@@ -71,6 +71,18 @@ def get_spark(
         # wide aggregates (128-column minhash signatures) must stay in
         # whole-stage codegen; default field cap is 100
         .config("spark.sql.codegen.maxFields", "300")
+        # InferFiltersFromGenerate synthesizes `size(gen)>0 AND
+        # isnotnull(gen)` from every explode(), and predicate pushdown
+        # then drags the FULL generator expression (tokenize->bigram->
+        # hash pipelines here) below repartition exchanges, re-evaluating
+        # it per row on the narrow pre-shuffle side: measured 15s vs
+        # 3.5s for the shingle explode at sf0.1. Our explode inputs are
+        # pre-filtered non-empty by cheap raw-column predicates, so the
+        # inference only ever duplicates work.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

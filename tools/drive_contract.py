@@ -12,11 +12,14 @@ from lakeapi_spark.session import get_spark
 
 spark = get_spark("drive-contract")
 
+only = set(sys.argv[1:])  # optional query names: check just those, skip smoke
+
 # t1 smoke
-df = e.entry(spark)
-rows = df.collect()
-print(f"t1 smoke: entry() -> {len(rows)} rows, schema: {[f.name for f in df.schema.fields]}")
-assert len(rows) > 0
+if not only:
+    df = e.entry(spark)
+    rows = df.collect()
+    print(f"t1 smoke: entry() -> {len(rows)} rows, schema: {[f.name for f in df.schema.fields]}")
+    assert len(rows) > 0
 
 # t2 correctness at sf0.01
 SF = "/root/testdata/sf0.01"
@@ -51,6 +54,8 @@ qs, oracles = e.queries(), e.oracle_sql()
 print(f"{len(qs)} queries, {len(oracles)} with oracle")
 fails = 0
 for name, build in qs.items():
+    if only and name not in only:
+        continue
     stab = build(spark, SF).toArrow()
     if name not in oracles:
         print(f"  {name}: rows-only, {stab.num_rows} rows")
