@@ -1761,3 +1761,37 @@ def regex_flag_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(email, 1).otherwise(0)).alias("n_email"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+@register(
+    "top_supplier_by_revenue",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS total_rev
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q15 shape: per-supplier revenue, keep the max (WITH TIES —
+    the scalar-subquery equality, not LIMIT 1). The max is a 1-row
+    aggregate of the already-aggregated relation, cross-joined back as
+    a broadcast; revenue is decimal-rounded BEFORE the equality so the
+    tie set is engine-exact. Two shuffles total (supplier groupBy +
+    the supplier-dim join); the dim side broadcasts."""
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    one = F.lit(1).cast("decimal(18,4)")
+    rev = l.groupBy("l_suppkey").agg(
+        money_sum(dec("l_extendedprice") * (one - dec("l_discount"))).alias("total_rev")
+    )
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(top), rev.total_rev == top.max_rev)
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )

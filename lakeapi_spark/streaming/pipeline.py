@@ -137,6 +137,32 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_events_stream(events: DataFrame, within: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup on event_id — the streaming twin of the
+    batch ``dedup_exact`` operator, for at-least-once upstream sources
+    (Kafka redeliveries, retried producers).
+
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key and
+    EVICTS it once the watermark passes the first-seen timestamp plus
+    the deduplication horizon, so state stays bounded by (event rate x
+    horizon) instead of growing with the whole stream — the property
+    that makes this run forever at 100 TB/day. A duplicate arriving
+    inside the horizon is dropped; after eviction a re-send would pass
+    (the at-least-once contract is time-bounded)."""
+    return events.withWatermark("ts", within).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def enriched_events_stream(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch equi-joins the static dim
+    (re-read per batch, so slowly-changing dims refresh without a
+    restart). The static side is broadcast when under the threshold —
+    no shuffle of the stream; at scale this is THE pattern for
+    enriching an event firehose with reference data. Stream-STREAM
+    joins (both sides unbounded + watermarked buffers) share the same
+    API surface and state-store machinery."""
+    return events.join(F.broadcast(user_dim), "user_id", "left")
+
+
 def run_available_now(
     df: DataFrame,
     sink_table: str,

@@ -103,3 +103,36 @@ def test_search_single_scan(spark, sf_dir):
     plan = plan_str(spark, df, "simple")
     assert "Join" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_no_heavy_filter_below_fanout_exchange(spark, sf_dir):
+    """Regression guard for the serial-filter trap: Catalyst must NOT
+    evaluate the tokenize/shingle pipeline below the fan_out exchange.
+
+    Two historical offenders: (1) InferFiltersFromGenerate synthesized
+    `size(shingles)>0` from the explode and pushdown dragged the full
+    bigram expression below the repartition (15s vs 3.5s at sf0.1);
+    (2) a post-hoc size() filter did the same. The shingle expression
+    (identified by array_distinct) must appear exactly once — in the
+    post-exchange projection — and the only pre-exchange filter is the
+    cheap rlike token-count predicate."""
+    from lakeapi_spark.operators.dedup import _exploded_shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_str(spark, _exploded_shingles(docs, "doc_id", "text", None))
+    assert plan.count("array_distinct") == 1, plan
+    assert "RLIKE" in plan
+    # signature stage: hashed-shingle projection must stay a separate
+    # node (CollapseProject would re-evaluate it once per permutation)
+    from lakeapi_spark.operators.dedup import minhash_signature
+
+    sig_plan = plan_str(spark, minhash_signature(docs, "doc_id", "text", 8))
+    assert sig_plan.count("array_distinct") == 1, sig_plan
+
+
+def test_semi_join_stays_equi_join(spark, sf_dir):
+    """EXISTS decorrelation must produce a hash-partitionable equi semi
+    join (never BroadcastNestedLoop/cartesian from the date residual)."""
+    plan = plan_str(spark, QUERIES["exists_late_shipment_orders"].build(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan

@@ -156,3 +156,82 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # the 12:00 window was finalized with ONLY batch-1 events: the late
     # row (user 2, value 99) did not resurrect or amend it
     assert got.get(first_window) == 2, got
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event_ids across micro-batches inside the dedup horizon
+    are dropped; distinct ids all survive."""
+    import datetime as dt
+    import os
+    import time
+
+    from lakeapi_spark.streaming.pipeline import dedup_events_stream
+
+    src = str(tmp_path / "dedup_src")
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, "event_id long, ts timestamp, value double").coalesce(
+            1
+        ).write.parquet(f"{src}/{name}")
+
+    write_file("f1", [(1, t0, 1.0), (2, t0 + dt.timedelta(minutes=1), 1.0)])
+    time.sleep(1.1)  # file source orders batches by mtime
+    # batch 2: id=1 again (duplicate, within horizon) + a new id=3
+    write_file("f2", [(1, t0 + dt.timedelta(minutes=2), 9.0), (3, t0 + dt.timedelta(minutes=3), 1.0)])
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        dedup_events_stream(stream, within="10 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT event_id, value FROM dedup_stream").collect()
+    q.stop()
+    got = {r.event_id: r.value for r in rows}
+    assert sorted(got) == [1, 2, 3]
+    assert got[1] == 1.0  # the FIRST occurrence won; the 9.0 resend was dropped
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static enrichment produces exactly the batch join's rows."""
+    from lakeapi_spark.streaming.pipeline import enriched_events_stream, read_events_stream
+    from lakeapi_spark.catalog import table
+
+    events_path = f"{sf_dir}/events.parquet"
+    batch_events = table(spark, sf_dir, "events")
+    user_dim = (
+        batch_events.select("user_id").distinct()
+        .withColumn("segment", (F.col("user_id") % 3).cast("string"))
+    )
+    stream = read_events_stream(spark, events_path)
+    q = (
+        enriched_events_stream(stream.select("event_id", "ts", "user_id"), user_dim)
+        .select("event_id", "user_id", "segment")
+        .writeStream.format("memory")
+        .queryName("enriched_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.event_id, r.segment) for r in spark.sql("SELECT * FROM enriched_stream").collect()}
+    q.stop()
+    expect = {
+        (r.event_id, r.segment)
+        for r in batch_events.select("event_id", "user_id")
+        .join(user_dim, "user_id", "left")
+        .collect()
+    }
+    assert got == expect
