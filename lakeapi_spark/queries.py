@@ -1795,3 +1795,111 @@ def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, rev.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev")
     )
+
+
+@register(
+    "having_repeat_customers",
+    """
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 10
+    """,
+)
+def having_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING: a post-aggregation predicate — in Spark just
+    a filter above the agg (Catalyst keeps it there; nothing to push,
+    the aggregate already reduced the data). One shuffle on
+    o_custkey."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(dec("o_totalprice")).alias("total_spend"),
+        )
+        .filter(F.col("n_orders") >= 10)
+    )
+
+
+@register(
+    "unpivot_status_counts",
+    """
+    WITH wide AS (
+      SELECT o_orderpriority,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'F' AS status, n_f AS n FROM wide
+    UNION ALL SELECT o_orderpriority, 'O', n_o FROM wide
+    UNION ALL SELECT o_orderpriority, 'P', n_p FROM wide
+    """,
+)
+def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long reshape (melt): conditional agg to one row per
+    priority, then the native DataFrame.unpivot (Expand node — one
+    pass, no self-union; the UNION ALL oracle re-reads the CTE three
+    times, Spark emits 3 rows per input row in a single operator)."""
+    o = table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_o"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_p"),
+    )
+    return (
+        wide.unpivot(["o_orderpriority"], ["n_f", "n_o", "n_p"], "status", "n")
+        .withColumn(
+            "status",
+            F.when(F.col("status") == "n_f", "F")
+            .when(F.col("status") == "n_o", "O")
+            .otherwise("P"),
+        )
+    )
+
+
+@register(
+    "user_event_type_sets",
+    """
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-valued aggregation: the distinct event types a user emitted,
+    as a canonical sorted CSV (engine-portable: array hashing differs,
+    strings don't). collect_set partial-aggregates map-side; array_sort
+    runs on the tiny per-user result, not the event stream."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "stats_price_quantity",
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_extendedprice, l_quantity), 4) AS corr_pq,
+           ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr, sample stddev) — single-pass
+    co-moment sketches in both engines, mergeable map-side partials at
+    scale. Rounded to 4 digits: the co-moment merge order differs
+    between engines (and across Spark partitionings), so only the
+    stable digits are part of the contract."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_pq"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )

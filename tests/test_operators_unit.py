@@ -202,3 +202,38 @@ def test_count_distinct_skew_safe_matches_builtin(spark):
     )
     out = {r.k: r.n_distinct for r in count_distinct_skew_safe(df, ["k"], "v").collect()}
     assert out == {"a": 2, "b": 1, "c": 1}
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """The 100 TB path for distinct counting is the HLL++ sketch
+    (mergeable map-side partials, no exact-distinct shuffle). Contract:
+    within the configured relative error of the exact count, stable
+    across partitionings."""
+    from pyspark.sql import functions as F
+
+    from lakeapi_spark.catalog import table
+
+    o = table(spark, sf_dir, "orders")
+    exact = o.select(F.count_distinct("o_custkey")).first()[0]
+    approx = o.select(F.approx_count_distinct("o_custkey", rsd=0.02)).first()[0]
+    assert abs(approx - exact) / exact < 0.05
+    approx2 = o.repartition(7).select(
+        F.approx_count_distinct("o_custkey", rsd=0.02)
+    ).first()[0]
+    assert approx == approx2  # sketch is deterministic for a fixed rsd
+
+
+def test_percentile_approx_close_to_exact(spark, sf_dir):
+    """approx_percentile (KLL-style mergeable sketch) vs the exact
+    holistic percentile: rank error bounded by 1/accuracy."""
+    from pyspark.sql import functions as F
+
+    from lakeapi_spark.catalog import table
+
+    e = table(spark, sf_dir, "events")
+    exact = e.select(F.expr("percentile(value, 0.95)")).first()[0]
+    approx = e.select(F.expr("approx_percentile(value, 0.95, 10000)")).first()[0]
+    lo, hi = e.selectExpr(
+        "percentile(value, 0.945)", "percentile(value, 0.955)"
+    ).first()
+    assert lo <= approx <= hi, (exact, approx, lo, hi)
