@@ -1903,3 +1903,49 @@ def stats_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+_CLUSTER_ORACLE = """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+    ), idx AS (
+      SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2
+    ), grams AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS g FROM idx
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes na ON na.doc_id = id_a
+      JOIN sizes nb ON nb.doc_id = id_b
+      WHERE ROUND(CAST(ni AS DOUBLE) / (na.n + nb.n - ni), 4) >= 0.2
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+@register("dedup_clusters", _CLUSTER_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair list -> canonical cluster assignment (connected
+    components, operators/dedup.dup_clusters). The DuckDB oracle is a
+    recursive-CTE transitive closure — exponential fan-out that only
+    works at oracle scale; the Spark side is the linear min-label
+    propagation that survives 100 TB."""
+    from lakeapi_spark.operators.dedup import dup_clusters, ngram_jaccard_pairs
+
+    d = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.2)
+    return dup_clusters(pairs)

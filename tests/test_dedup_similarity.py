@@ -187,3 +187,34 @@ def test_multimodal_resize_and_frame_sample(spark):
         assert len(bytes(r.frame)) == 16
     # doc 1: 100 bytes -> 7 frames -> sampled idx 0,2,4,6
     assert sorted(r.frame_idx for r in by_id[1]) == [0, 2, 4, 6]
+
+
+def test_dup_clusters_match_union_find(spark):
+    """Label propagation must agree with a reference union-find on a
+    randomized edge set, including a long chain (worst-case diameter)."""
+    import random
+
+    from lakeapi_spark.operators.dedup import dup_clusters
+
+    rnd = random.Random(7)
+    n = 200
+    edges = [(rnd.randrange(n), rnd.randrange(n)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    edges += [(i, i + 1) for i in range(150, 170)]  # a 20-hop chain
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    touched = {v for e in edges for v in e}
+    expect_root = {v: min(u for u in touched if find(u) == find(v)) for v in touched}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert got == expect_root
