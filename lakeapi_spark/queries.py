@@ -1949,3 +1949,32 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.2)
     return dup_clusters(pairs)
+
+
+@register(
+    "label_centroids",
+    """
+    WITH ex AS (
+      SELECT label, unnest(range(1, len(embedding)+1)) AS i, embedding
+      FROM embeddings
+    )
+    SELECT label, i - 1 AS pos,
+           ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS centroid_val,
+           COUNT(*) AS n_vecs
+    FROM ex GROUP BY label, i
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long form (label, dim, value)
+    — the building block for IVF coarse quantizers and class
+    prototypes. posexplode multiplies rows by the dim count, but the
+    groupBy(label, pos) average partial-aggregates map-side, so the
+    shuffle carries |labels| x dim rows, not |vectors| x dim. Averages
+    are rounded: float summation order differs per engine/partitioning,
+    only the stable digits are contractual."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    return ex.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("val").cast("double")), 4).alias("centroid_val"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
