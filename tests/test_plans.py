@@ -136,3 +136,33 @@ def test_semi_join_stays_equi_join(spark, sf_dir):
     plan = plan_str(spark, QUERIES["exists_late_shipment_orders"].build(spark, sf_dir))
     assert "LeftSemi" in plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Both sides bucketed by the join key at the same bucket count ->
+    the exchange vanishes: this is the storage-level answer to the
+    biggest shuffle at 100 TB (fact-fact joins). Broadcast is disabled
+    so the test proves co-location, not small-side shipping."""
+    from lakeapi_spark.catalog import table
+    from lakeapi_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(o, "b_orders", "o_orderkey", 8, path=str(tmp_path / "b_orders"))
+    write_bucketed(l, "b_lineitem", "l_orderkey", 8, path=str(tmp_path / "b_lineitem"))
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = read_bucketed(spark, "b_orders").join(
+            read_bucketed(spark, "b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = plan_str(spark, joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        # sorted buckets: no per-task sort either
+        n = joined.count()
+        assert n == table(spark, sf_dir, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
