@@ -1978,3 +1978,56 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("val").cast("double")), 4).alias("centroid_val"),
         F.count(F.lit(1)).alias("n_vecs"),
     )
+
+
+@register(
+    "funnel_view_to_purchase",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS first_purchase
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.first_view
+      GROUP BY e.user_id
+    )
+    SELECT COUNT(*) AS n_viewers,
+           COUNT(first_purchase) AS n_converted,
+           ROUND(CAST(COUNT(first_purchase) AS DOUBLE) / COUNT(*), 4) AS conversion,
+           SUM(epoch_us(first_purchase) - epoch_us(first_view)) AS total_us_to_convert
+    FROM v LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence funnel: users whose first 'view' precedes a
+    'purchase', conversion rate, mean time-to-convert. Two aggregates
+    + two equi-joins on user_id — all the same shuffle key, so
+    Catalyst/AQE reuses one partitioning end-to-end (and a user_id-
+    bucketed events layout would make the whole funnel shuffle-free;
+    see sources/bucketed.py). The time-to-convert total is an exact
+    integer MICROSECOND sum (unix_micros/epoch_us) — a rounded AVG
+    diverges on half-way doubles between engines and whole-second
+    epochs truncate sub-second timestamps; the exact sum does
+    neither."""
+    e = table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    j = v.join(p, "user_id", "left")
+    delta = F.unix_micros("first_purchase") - F.unix_micros("first_view")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_viewers"),
+        F.count("first_purchase").alias("n_converted"),
+        F.round(F.count("first_purchase") / F.count(F.lit(1)), 4).alias("conversion"),
+        F.sum(delta).alias("total_us_to_convert"),
+    )
