@@ -235,3 +235,58 @@ def test_stream_static_join_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_stream_stream_join_within_interval(spark, tmp_path):
+    """Stream-stream inner join with watermarks + a time-interval
+    condition: each click joins purchases of the same user within the
+    following hour. Both sides buffer watermark-bounded state; rows
+    outside the interval (or beyond the watermark) never match."""
+    import datetime as dt
+    import os
+
+    src = str(tmp_path / "ss_src")
+    os.makedirs(src)
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, "click", 10),
+        (2, t0 + dt.timedelta(minutes=30), "purchase", 10),  # joins (30m later)
+        (3, t0 + dt.timedelta(minutes=90), "purchase", 10),  # outside 1h window
+        (4, t0, "click", 20),                                 # user 20 never buys
+        (5, t0 + dt.timedelta(minutes=5), "purchase", 30),   # no prior click
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, user_id long"
+    ).coalesce(1).write.parquet(f"{src}/f1")
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string, user_id long"
+    ).parquet(src + "/*")
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.user_id)
+        & (purchases.purchase_ts > clicks.click_ts)
+        & (purchases.purchase_ts <= clicks.click_ts + F.expr("INTERVAL 1 HOUR")),
+    ).select(clicks.user_id, "click_ts", "purchase_ts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [(r.user_id,) for r in spark.sql("SELECT * FROM ss_join").collect()]
+    q.stop()
+    assert got == [(10,)]
