@@ -37,3 +37,37 @@ def count_distinct_skew_safe(df: DataFrame, key_cols: list[str], value_col: str)
         .groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("n_distinct"))
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = 8,
+) -> DataFrame:
+    """Equi-join resilient to a hot key when the small side is too big
+    to broadcast: the big side gets a random-ish salt in [0, salt)
+    derived from a stable row hash, the small side is replicated
+    ``salt`` times, and the join key becomes (key, salt) — a hot key's
+    rows land on ``salt`` reducers instead of one.
+
+    AQE's skew-join split handles most storage skew automatically (and
+    is the first thing to reach for); explicit salting remains for the
+    cases AQE can't fix: skew materializing AFTER an upstream operator
+    (mid-stage), or deterministic layout control for repeated runs.
+    The salt is xxhash64 of the whole row (not rand()): deterministic
+    across retries — a task retry with rand() salt would double-count
+    rows under speculative execution.
+
+    Cost model, stated: the small side's shuffle volume multiplies by
+    ``salt``; worth it iff the hot key's reducer time dominated. Keep
+    ``salt`` near the executor-core count, not higher."""
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
+    )
+    salted_small = small.join(
+        small.sparkSession.range(salt).select(F.col("id").cast("int").alias("_salt")),
+        how="cross",
+    )
+    out = salted_big.join(salted_small, [key, "_salt"])
+    return out.drop("_salt")

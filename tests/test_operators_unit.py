@@ -237,3 +237,21 @@ def test_percentile_approx_close_to_exact(spark, sf_dir):
         "percentile(value, 0.945)", "percentile(value, 0.955)"
     ).first()
     assert lo <= approx <= hi, (exact, approx, lo, hi)
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must not change join semantics (inner equi-join on a
+    skewed key), only the partitioning."""
+    from lakeapi_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(5000)] + [("cold", i) for i in range(10)],
+        ["k", "v"],
+    )
+    small = spark.createDataFrame([("hot", "H"), ("cold", "C"), ("miss", "M")], ["k", "tag"])
+    got = salted_join(big, small, "k", salt=4)
+    assert got.count() == 5010
+    tags = {r.tag for r in got.select("tag").distinct().collect()}
+    assert tags == {"H", "C"}
+    plain = big.join(small, "k")
+    assert got.orderBy("k", "v").collect() == plain.orderBy("k", "v").collect()
