@@ -1885,7 +1885,7 @@ def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats_price_quantity",
     """
     SELECT l_returnflag,
-           ROUND(corr(l_extendedprice, l_quantity), 4) AS corr_pq,
+           ROUND(corr(l_extendedprice, l_quantity), 4) + 0 AS corr_pq,
            ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
            COUNT(*) AS n
     FROM lineitem GROUP BY l_returnflag
@@ -1899,7 +1899,7 @@ def stats_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable digits are part of the contract."""
     l = table(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_pq"),
+        (F.round(F.corr("l_extendedprice", "l_quantity"), 4) + F.lit(0.0)).alias("corr_pq"),
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.count(F.lit(1)).alias("n"),
     )
@@ -1959,7 +1959,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT label, i - 1 AS pos,
-           ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS centroid_val,
+           CAST(ROUND(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,7))), 4) AS DOUBLE) AS centroid_sum,
            COUNT(*) AS n_vecs
     FROM ex GROUP BY label, i
     """,
@@ -1969,13 +1969,17 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the building block for IVF coarse quantizers and class
     prototypes. posexplode multiplies rows by the dim count, but the
     groupBy(label, pos) average partial-aggregates map-side, so the
-    shuffle carries |labels| x dim rows, not |vectors| x dim. Averages
-    are rounded: float summation order differs per engine/partitioning,
-    only the stable digits are contractual."""
+    shuffle carries |labels| x dim rows, not |vectors| x dim. The
+    centroid component is emitted as (exact decimal SUM, count) — a
+    rounded double AVG of near-zero values diverges across engines on
+    half-way digits and signed zero; the decimal sum path never does
+    (the caller divides)."""
     e = table(spark, sf_dir, "embeddings")
     ex = e.select("label", F.posexplode("embedding").alias("pos", "val"))
     return ex.groupBy("label", "pos").agg(
-        F.round(F.avg(F.col("val").cast("double")), 4).alias("centroid_val"),
+        F.round(F.sum(F.col("val").cast("double").cast("decimal(18,7)")), 4)
+        .cast("double")
+        .alias("centroid_sum"),
         F.count(F.lit(1)).alias("n_vecs"),
     )
 
@@ -2030,4 +2034,41 @@ def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("first_purchase").alias("n_converted"),
         F.round(F.count("first_purchase") / F.count(F.lit(1)), 4).alias("conversion"),
         F.sum(delta).alias("total_us_to_convert"),
+    )
+
+
+@register(
+    "window_trailing_7d_spend",
+    """
+    SELECT o_orderkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+           ), 2) AS DOUBLE) AS trailing_7d_spend
+    FROM orders
+    """,
+)
+def window_trailing_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: each order sees the customer's spend in
+    the trailing 7 days — a sliding window keyed by VALUE distance
+    (seconds), not row count, so bursts widen the frame contents.
+    Ordering by integer epoch seconds keeps the range arithmetic
+    identical across engines (DuckDB RANGE over INTERVAL and Spark
+    rangeBetween agree only on numeric order columns). Partitioned by
+    customer: frames never cross the shuffle key, so this scales as
+    one shuffle + per-partition sort. Same-second peers are all in
+    the frame (RANGE, not ROWS), so the result is deterministic
+    without a tiebreak."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-604800, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(F.sum(dec("o_totalprice")).over(w), 2).cast("double").alias(
+            "trailing_7d_spend"
+        ),
     )

@@ -118,6 +118,8 @@ def test_no_heavy_filter_below_fanout_exchange(spark, sf_dir):
     cheap rlike token-count predicate."""
     from lakeapi_spark.operators.dedup import _exploded_shingles
 
+    spark.catalog.clearCache()  # a cached shingle relation from earlier
+    # tests would substitute an InMemoryRelation and mask the plan shape
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = plan_str(spark, _exploded_shingles(docs, "doc_id", "text", None))
     assert plan.count("array_distinct") == 1, plan
