@@ -2072,3 +2072,40 @@ def window_trailing_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trailing_7d_spend"
         ),
     )
+
+
+@register(
+    "window_first_last_order",
+    """
+    SELECT DISTINCT o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey) OVER w AS last_order,
+           COUNT(*) OVER w AS n_orders
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey
+      ORDER BY o_orderdate, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def window_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE/LAST_VALUE over an explicit unbounded frame (the
+    default frame ends at CURRENT ROW, where LAST_VALUE is a footgun in
+    every engine — the frame is spelled out). One row per customer via
+    DISTINCT over constant-per-partition window values; at scale this
+    is equivalently a groupBy(min_by/max_by) — kept in window form to
+    exercise the frame semantics. The orderkey tiebreak makes first/
+    last deterministic under equal order dates."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.count(F.lit(1)).over(w).alias("n_orders"),
+    ).distinct()
