@@ -163,6 +163,29 @@ def enriched_events_stream(events: DataFrame, user_dim: DataFrame) -> DataFrame:
     return events.join(F.broadcast(user_dim), "user_id", "left")
 
 
+def parquet_batch_sink(path: str):
+    """foreachBatch writer with replay-idempotence: every micro-batch
+    lands in its own `_batch_id=N` partition, written with dynamic
+    partition overwrite. A batch re-delivered after a failure (the
+    foreachBatch contract is at-least-once) OVERWRITES its own
+    partition instead of appending duplicates — the classic
+    exactly-once-by-idempotence pattern for object-store sinks when a
+    transactional table format isn't available (with Delta, `txnAppId`
+    + `txnVersion` replace this). Readers filter `_batch_id` out or
+    read through a view."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(path)
+        )
+
+    return write
+
+
 def run_available_now(
     df: DataFrame,
     sink_table: str,

@@ -290,3 +290,36 @@ def test_stream_stream_join_within_interval(spark, tmp_path):
     got = [(r.user_id,) for r in spark.sql("SELECT * FROM ss_join").collect()]
     q.stop()
     assert got == [(10,)]
+
+
+def test_foreach_batch_sink_idempotent_on_replay(spark, tmp_path):
+    """Replaying a micro-batch (at-least-once foreachBatch contract)
+    must not duplicate rows: each batch overwrites its own partition."""
+    import os
+
+    from lakeapi_spark.streaming.pipeline import parquet_batch_sink
+
+    src = str(tmp_path / "fb_src")
+    os.makedirs(src)
+    spark.range(0, 100).selectExpr("id AS event_id", "id % 7 AS user_id").coalesce(
+        1
+    ).write.parquet(f"{src}/f1")
+    out = str(tmp_path / "fb_out")
+    sink = parquet_batch_sink(out)
+    stream = spark.readStream.schema("event_id long, user_id long").parquet(src + "/*")
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_fb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    first = spark.read.parquet(out).drop("_batch_id")
+    assert first.count() == 100
+    # simulate the failure-replay: the SAME batch id delivered again
+    replay = spark.range(0, 100).selectExpr("id AS event_id", "id % 7 AS user_id")
+    sink(replay, 0)
+    after = spark.read.parquet(out)
+    assert after.count() == 100  # overwrote, not appended
+    assert after.select("_batch_id").distinct().count() == 1
