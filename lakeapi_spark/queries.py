@@ -2109,3 +2109,33 @@ def window_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w).alias("last_order"),
         F.count(F.lit(1)).over(w).alias("n_orders"),
     ).distinct()
+
+
+@register(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+    FROM (
+      SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max per key (latest snapshot / SCD1 compaction shape): the
+    newest event per user with a deterministic event_id tiebreak. The
+    windowed ROW_NUMBER + rn=1 filter is the general form (top-k per
+    key = rn<=k); for rn=1 specifically Catalyst/AQE can satisfy it
+    with a partial max_by map-side — either way one shuffle on the
+    key, which an upsert-compaction job would reuse as its write
+    partitioning. Timestamps exported as exact epoch micros."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "event_type")
+    )

@@ -255,3 +255,38 @@ def test_salted_join_matches_plain_join(spark):
     assert tags == {"H", "C"}
     plain = big.join(small, "k")
     assert got.orderBy("k", "v").collect() == plain.orderBy("k", "v").collect()
+
+
+def test_cogroup_apply_in_pandas_matches_join(spark):
+    """Cogrouped applyInPandas — the escape hatch for per-key logic that
+    needs BOTH sides' rows in one pandas frame (custom as-of merges,
+    per-entity reconciliation). Contract check: a pandas implementation
+    of 'latest click value per user joined to purchase count' matches
+    the relational plan. Arrow-batched per key group; state never
+    crosses keys, so it shards like any keyed shuffle at scale."""
+    import pandas as pd
+
+    clicks = spark.createDataFrame(
+        [(1, 10.0, 1), (1, 20.0, 3), (2, 5.0, 2)], ["user_id", "value", "ts"]
+    )
+    purchases = spark.createDataFrame(
+        [(1, 100, 2), (1, 101, 4), (3, 102, 1)], ["user_id", "order_id", "ts"]
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        uid = int(left["user_id"].iloc[0]) if len(left) else int(right["user_id"].iloc[0])
+        latest = (
+            float(left.sort_values("ts")["value"].iloc[-1]) if len(left) else None
+        )
+        return pd.DataFrame(
+            {"user_id": [uid], "latest_click": [latest], "n_purchases": [len(right)]}
+        )
+
+    got = {
+        (r.user_id, r.latest_click, r.n_purchases)
+        for r in clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(merge, "user_id long, latest_click double, n_purchases long")
+        .collect()
+    }
+    assert got == {(1, 20.0, 2), (2, 5.0, 0), (3, None, 1)}
