@@ -446,3 +446,58 @@ def dup_clusters(
             break
         prev_sum = new_sum
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) — doc pairs whose 64-bit simhash differs
+    in at most ``max_hamming`` bits.
+
+    Banded LSH on the fingerprint itself: the 64 bits split into 4
+    bands of 16; by pigeonhole, any pair within hamming distance 3
+    agrees EXACTLY on at least one band, so candidates = pairs sharing
+    a (band_index, band_value) bucket — recall is 1.0 by construction
+    for max_hamming <= 3, not probabilistic. Verification is one
+    bit_count(xor) per candidate. Same join shape as minhash LSH: the
+    only shuffles are the bucket self-join and the candidate distinct;
+    fingerprints are per-row codegen."""
+    s = simhash(df, id_col, text_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned("simhash", b * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("val"),
+            )
+            for b in range(4)
+        ]
+    )
+    buckets = s.select("id", "simhash", F.explode(bands).alias("bk"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bk.band") == F.col("b.bk.band"))
+            & (F.col("a.bk.val") == F.col("b.bk.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -2262,3 +2262,14 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(disc).alias("total_revenue"),
         )
     )
+
+
+@register("dedup_simhash_near", None)  # xxhash64 internals: property-tested, rows-only
+def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by banded simhash (4x16-bit bands; recall is
+    exact for hamming <= 3 by pigeonhole — see
+    operators/dedup.simhash_near_pairs)."""
+    from lakeapi_spark.operators.dedup import simhash_near_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, "doc_id", "text", max_hamming=3)

@@ -218,3 +218,29 @@ def test_dup_clusters_match_union_find(spark):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
     assert got == expect_root
+
+
+def test_simhash_near_pairs_finds_mutations(spark):
+    """Banded-hamming simhash: lightly mutated docs pair with their
+    original (small hamming), unrelated docs don't; recall for
+    hamming <= 3 is exact by pigeonhole over the 4x16 bands."""
+    from lakeapi_spark.operators.dedup import simhash, simhash_near_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    docs = [
+        (1, base),
+        (2, base.replace("lazy", "sleepy", 1)),  # one-token mutation
+        (3, "completely different content about spark physical plans " * 8),
+        (4, base),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    fps = {r.id: r.simhash for r in simhash(df, "doc_id", "text").collect()}
+    ham12 = bin(fps[1] ^ fps[2]).count("1")
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert pairs.get((1, 4)) == 0
+    if ham12 <= 3:  # mutation distance depends on token hashes
+        assert (1, 2) in pairs and pairs[(1, 2)] == ham12
+    assert not any(3 in p for p in pairs)
