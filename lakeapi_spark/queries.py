@@ -2273,3 +2273,55 @@ def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return simhash_near_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "corpus_curation_summary",
+    """
+    WITH keepers AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+    ), kept AS (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS h
+      FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+      WHERE d.n_chars BETWEEN 80 AND 5000 AND d.lang IS NOT NULL
+    )
+    SELECT lang,
+           CASE WHEN h < 8 THEN 'train' WHEN h < 9 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM kept GROUP BY lang, split
+    """,
+)
+def corpus_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline, composed from the catalog's own
+    operators: exact dedup (normalized-content fingerprint, min-id
+    keeper) -> quality gate (length bounds, known language) -> stable
+    stratified split -> per-stratum accounting. Two shuffles total
+    (fingerprint groupBy + final 2-key agg; the keeper join is an
+    equi-join on doc_id). Every stage is a pure function of content /
+    key — re-running after appends or repartitioning moves no existing
+    doc between splits."""
+    from lakeapi_spark.operators.dedup import exact_dedup_keepers
+    from lakeapi_spark.operators.sampling import key_hash
+
+    d = table(spark, sf_dir, "documents")
+    keepers = exact_dedup_keepers(d, "doc_id", "text").select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    kept = (
+        d.join(keepers, "doc_id")
+        .filter(F.col("n_chars").between(80, 5000) & F.col("lang").isNotNull())
+        .withColumn("h", key_hash(F.col("doc_id")) % 10)
+    )
+    split = F.when(F.col("h") < 8, "train").when(F.col("h") < 9, "val").otherwise("test")
+    return (
+        kept.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
