@@ -34,6 +34,28 @@ def haversine_m(lat_col: Column, lon_col: Column, lat: float, lon: float) -> Col
     return F.lit(EARTH_RADIUS_M) * F.acos(arg)
 
 
+METERS_PER_DEGREE = 111320.0  # one degree of latitude (and of longitude at the equator)
+
+
+def bounding_box(
+    lat: float, lon: float, distance_m: float
+) -> tuple[float, float, float, float] | None:
+    """Conservative (lat_min, lat_max, lon_min, lon_max) superset of the
+    radius, or None when the cap crosses a pole / the antimeridian and
+    a simple box can't bound it."""
+    dlat = distance_m / METERS_PER_DEGREE
+    lat_min, lat_max = lat - dlat, lat + dlat
+    if lat_max >= 89.9 or lat_min <= -89.9:
+        return None
+    import math
+
+    dlon = distance_m / (METERS_PER_DEGREE * math.cos(math.radians(max(abs(lat_min), abs(lat_max)))))
+    lon_min, lon_max = lon - dlon, lon + dlon
+    if lon_min < -180.0 or lon_max > 180.0:
+        return None
+    return (lat_min, lat_max, lon_min, lon_max)
+
+
 def nearby(
     df: DataFrame,
     lat_col: str,
@@ -43,7 +65,23 @@ def nearby(
     distance_m: float,
     dist_name: str = "distance_m",
 ) -> DataFrame:
-    """Radius filter + ascending distance order (endpoint_nearby.py:67-77)."""
+    """Radius filter + ascending distance order (endpoint_nearby.py:67-77).
+
+    A plain-column bounding-box prefilter runs BEFORE the haversine:
+    the trig-expression radius filter can never reach the scan, but
+    `lat BETWEEN a AND b AND lon BETWEEN c AND d` does — parquet
+    row-group min/max skipping and geo-partitioned layouts prune on it
+    (PushedFilters asserted in tests/test_plans.py). The box is a
+    strict superset of the radius, so the exact haversine filter on
+    the survivors returns identical rows; degenerate boxes (pole /
+    antimeridian) fall back to the full scan."""
+    box = bounding_box(lat, lon, distance_m)
+    if box is not None:
+        lat_min, lat_max, lon_min, lon_max = box
+        df = df.filter(
+            F.col(lat_col).between(F.lit(lat_min), F.lit(lat_max))
+            & F.col(lon_col).between(F.lit(lon_min), F.lit(lon_max))
+        )
     d = haversine_m(F.col(lat_col), F.col(lon_col), lat, lon)
     return (
         df.withColumn(dist_name, d)

@@ -168,3 +168,26 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_nearby_bbox_reaches_scan(spark, tmp_path):
+    """The geo radius itself is trig (never pushable); on a table with
+    REAL lat/lon columns the bounding-box prefilter must reach the
+    parquet scan as plain comparisons (row-group min/max skipping).
+    The registered nearby_radius query synthesizes coordinates from a
+    key, so the box lands in a post-scan Filter there — this test is
+    the storage-shaped case."""
+    import re
+
+    from lakeapi_spark.operators.nearby import nearby
+
+    path = str(tmp_path / "geo")
+    spark.range(0, 1000).selectExpr(
+        "id",
+        "CAST(45.0 + (id % 400) / 100.0 AS DOUBLE) AS lat",
+        "CAST(7.0 + (id % 700) / 100.0 AS DOUBLE) AS lon",
+    ).write.parquet(path)
+    df = nearby(spark.read.parquet(path), "lat", "lon", 46.9, 7.44, 150000.0)
+    plan = plan_str(spark, df)
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
+    assert "GreaterThanOrEqual(lat" in pushed and "LessThanOrEqual(lon" in pushed, pushed
