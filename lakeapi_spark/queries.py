@@ -2325,3 +2325,30 @@ def corpus_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+_pipeline_query(
+    "compiled_full_request",
+    """
+    SELECT DISTINCT o_orderpriority AS priority, o_orderstatus AS status
+    FROM orders
+    WHERE o_totalprice BETWEEN 50000 AND 200000
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+      AND ((o_orderstatus = 'F') OR (o_orderstatus = 'O'))
+    ORDER BY priority, status
+    LIMIT 4 OFFSET 1
+    """,
+    "orders",
+    QueryRequest(
+        filters=[
+            ("o_totalprice", "between", [50000, 200000]),
+            ("o_orderpriority", "in", ["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+        ],
+        combi=[{"o_orderstatus": "F"}, {"o_orderstatus": "O"}],
+        select=[("o_orderpriority", "priority"), ("o_orderstatus", "status")],
+        distinct=True,
+        sortby=[("priority", "asc"), ("status", "asc")],
+        limit=4,
+        offset=1,
+    ),
+)
