@@ -290,3 +290,41 @@ def test_cogroup_apply_in_pandas_matches_join(spark):
         .collect()
     }
     assert got == {(1, 20.0, 2), (2, 5.0, 0), (3, None, 1)}
+
+
+def test_refresh_after_mutation_under_serving(spark, tmp_path):
+    """The reference serves while fixtures mutate underneath
+    (test_datamove.py:16-42). Spark caches file listings per path —
+    after an overwrite, refreshByPath invalidates the stale listing and
+    the next query sees the new data (no restart, no stale reads)."""
+    path = str(tmp_path / "moving")
+    spark.range(0, 10).write.parquet(path)
+    df = spark.read.parquet(path)
+    assert df.count() == 10
+    spark.range(0, 25).write.mode("overwrite").parquet(path)
+    spark.catalog.refreshByPath(path)
+    assert spark.read.parquet(path).count() == 25
+
+
+def test_concurrent_queries_stay_interactive(spark, sf_dir):
+    """Parity with the reference's concurrency assertion
+    (test_performance.py:64-75): overlapping requests on one warm
+    session each stay within the interactive bound. 16 threads x a
+    point-lookup-ish query; the JVM schedules concurrent jobs without
+    head-of-line blocking."""
+    import concurrent.futures as cf
+    import time
+
+    from lakeapi_spark.queries import QUERIES
+
+    build = QUERIES["sort_limit_topk"].build
+    build(spark, sf_dir).collect()  # warm
+
+    def one():
+        s = time.time()
+        build(spark, sf_dir).collect()
+        return time.time() - s
+
+    with cf.ThreadPoolExecutor(max_workers=16) as ex:
+        times = list(ex.map(lambda _: one(), range(32)))
+    assert max(times) < 3.0, sorted(times)[-3:]
