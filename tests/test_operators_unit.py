@@ -328,3 +328,24 @@ def test_concurrent_queries_stay_interactive(spark, sf_dir):
     with cf.ThreadPoolExecutor(max_workers=16) as ex:
         times = list(ex.map(lambda _: one(), range(32)))
     assert max(times) < 3.0, sorted(times)[-3:]
+
+
+def test_operators_tolerate_empty_input(spark):
+    """Empty partitions/tables are routine at 100 TB (pruned scans,
+    filtered micro-batches) — core operators must return empty, typed
+    results, not throw."""
+    from lakeapi_spark.operators.dedup import (
+        dup_clusters,
+        exact_dedup_keepers,
+        minhash_lsh_pairs,
+        simhash,
+    )
+    from lakeapi_spark.operators.sampling import hash_sample
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert exact_dedup_keepers(empty_docs, "doc_id", "text").count() == 0
+    assert simhash(empty_docs, "doc_id", "text").count() == 0
+    assert minhash_lsh_pairs(empty_docs, "doc_id", "text").count() == 0
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dup_clusters(empty_pairs).count() == 0
+    assert hash_sample(empty_docs, "doc_id", 10, 2).count() == 0
