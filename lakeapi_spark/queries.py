@@ -2352,3 +2352,32 @@ _pipeline_query(
         offset=1,
     ),
 )
+
+
+@register(
+    "histogram_doc_length",
+    """
+    SELECT LEAST(CAST(n_chars AS BIGINT) // 64, 9) AS bucket,
+           COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def histogram_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (64-char buckets, top-clamped) over doc
+    lengths — the profiling primitive for corpus QA. Integer floor
+    division keeps bucket assignment exact across engines (unlike
+    width_bucket on doubles); one shuffle of 10 partial rows per
+    map task."""
+    d = table(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 64), F.lit(9)).cast("long")
+    return (
+        d.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
