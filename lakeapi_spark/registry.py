@@ -135,6 +135,7 @@ def compile_request(
 
     sortby = [(s["by"], s.get("direction", "asc")) for s in ds.sortby]
 
+    clamped = clamp_limit(limit, cfg.allow_get_all_pages)
     req = QueryRequest(
         filters=filters,
         combi=combi,
@@ -142,16 +143,33 @@ def compile_request(
         exclude=list(ds.exclude),
         distinct=distinct,
         sortby=sortby,
-        limit=clamp_limit(limit, cfg.allow_get_all_pages),
+        limit=clamped,
         offset=offset,
         jsonify_complex=jsonify_complex,
     )
-    out = apply_query(df, req)
 
     if search_text is not None:
+        # The reference appends the score column, the `score IS NOT NULL`
+        # filter, and `ORDER BY score DESC` (append=False — REPLACING the
+        # config sortby) to the SAME Select that carries LIMIT/OFFSET
+        # (endpoint.py:295-301, endpoint_search.py:56-59), so scoring and
+        # score-ordering apply BEFORE paging. Compile the request without
+        # sort/paging, score, then page the scored result.
         assert cfg.search, f"table {name} has no search config"
+        req.sortby, req.limit, req.offset = [], None, None
+        out = apply_query(df, req)
         out = search_op(out, cfg.search[0].columns, search_text)
+        if offset:
+            out = out.offset(offset)
+        if clamped is not None and clamped >= 0:
+            out = out.limit(clamped)
+    else:
+        out = apply_query(df, req)
+
     if nearby_point is not None:
+        # Nearby stays AFTER paging: the reference wraps the already-limited
+        # query in a CTE and applies distance filter/order outside it
+        # (endpoint_nearby.py:66-79).
         assert cfg.nearby, f"table {name} has no nearby config"
         lat, lon, dist = nearby_point
         nb = cfg.nearby[0]

@@ -75,6 +75,50 @@ def test_compile_request_select_subset_and_paging(registry):
     assert rows[0].id == 2  # offset applied after the configured sort
 
 
+@pytest.fixture(scope="module")
+def search_registry(spark, sf_dir):
+    from lakeapi_spark.config import SearchConfig
+
+    reg = TableRegistry(spark)
+    reg.register(
+        TableConfig(
+            name="parts_searchable",
+            datasource=DatasourceConfig(
+                uri=f"{sf_dir}/part.parquet",
+                sortby=[{"by": "p_partkey", "direction": "asc"}],
+            ),
+            search=[SearchConfig(name="search", columns=["p_name"])],
+        )
+    )
+    return reg
+
+
+def test_search_scores_before_paging(spark, search_registry):
+    """Regression for the r1 advice: the reference applies the score column,
+    `score IS NOT NULL`, and ORDER BY score in the SAME Select as LIMIT
+    (endpoint.py:295-301), so search must see the whole table, not the
+    first page."""
+    full = compile_request(
+        search_registry, "parts_searchable", {}, search_text="widget", limit=-1
+    )
+    # limit=-1 without allow_get_all_pages clamps to 1000, enough at sf0.001
+    n_matches = full.count()
+    assert n_matches > 5, "fixture needs several matches for the paging check"
+
+    page = compile_request(
+        search_registry, "parts_searchable", {}, search_text="widget", limit=5
+    )
+    rows = page.collect()
+    assert len(rows) == 5
+    # every returned row is a real match, even though a pre-scoring LIMIT 5
+    # (first 5 by p_partkey) would include non-matches
+    assert all("widget" in r.p_name for r in rows)
+    assert all(r.search_score == 1 for r in rows)
+
+    unscored_first_5 = compile_request(search_registry, "parts_searchable", {}, limit=5)
+    assert not all("widget" in r.p_name for r in unscored_first_5.collect())
+
+
 def test_limit_clamping():
     assert clamp_limit(None, False) == 100
     assert clamp_limit(50000, False) == 1000
