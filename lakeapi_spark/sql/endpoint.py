@@ -7,12 +7,26 @@ only those configured tables, and executes the original SQL string
 (endpoint/sql_endpoint.py:89-190).
 
 sqlglot isn't available in this environment, so validation is a small
-conservative lexer: strip comments/strings, require the first keyword
-to be SELECT/WITH/VALUES-free read-only form, reject any write/DDL/meta
-keyword anywhere at top level, and require balanced parens. Table
-references are extracted from FROM/JOIN tokens for selective-register
-semantics (the reference's security property: only configured,
-non-ODBC tables are visible — sql_endpoint.py:15-43).
+token scanner that mirrors the reference's *node-type* property
+instead of blacklisting keywords anywhere (a blacklist 400s legal
+queries touching columns/aliases named ``set``, ``copy``, ``add``, …):
+
+- strip comments/strings, require balanced parens and a single
+  statement (no interior ``;``);
+- the statement verb must be SELECT (or a parenthesized SELECT /
+  WITH prologue). Crucially the verb is re-checked AFTER the CTE
+  prologue, because Spark accepts ``WITH x AS (...) INSERT INTO …`` —
+  first-keyword checks alone would let writes through;
+- Spark's script transform (``SELECT TRANSFORM(...) USING 'cmd'``)
+  is the one mutation/escape hatch that lives inside a SELECT; it is
+  rejected by its mandatory ``USING '<string>'`` clause (join USING
+  is always followed by ``(`` so there is no collision).
+
+Table references are extracted with a per-paren-depth relation
+scanner so comma joins (``FROM a, b``) and lateral subqueries are
+subject to the same visibility check as FROM/JOIN targets
+(ref sql_endpoint.py:15-43 registers only referenced configured
+tables).
 """
 
 from __future__ import annotations
@@ -40,19 +54,74 @@ _STRING_OR_COMMENT = re.compile(
 #: statement kinds the reference allows (sql_endpoint.py:118-124)
 _ALLOWED_FIRST = {"select", "with"}
 
-#: anything that mutates/escapes read-only semantics
-_FORBIDDEN = {
-    "insert", "update", "delete", "merge", "drop", "create", "alter",
-    "truncate", "grant", "revoke", "set", "reset", "call", "copy",
-    "attach", "detach", "use", "analyze", "vacuum", "optimize", "msck",
-    "refresh", "cache", "uncache", "add", "describe", "show", "explain",
+_WORD = re.compile(r"[A-Za-z_][A-Za-z0-9_.]*")
+_TOKEN = re.compile(r"[A-Za-z_][A-Za-z0-9_.]*|[(),;]")
+
+#: keywords that terminate a FROM relation list
+_CLAUSE_KEYWORDS = {
+    "where", "group", "order", "having", "limit", "offset", "union",
+    "intersect", "except", "window", "qualify", "distribute", "cluster",
+    "sort", "select", "when", "then", "else", "end", "and", "or", "not",
 }
 
-_WORD = re.compile(r"[A-Za-z_][A-Za-z0-9_.]*")
+#: words that can appear in relation position but are not table names
+_RELATION_KEYWORDS = {"lateral", "values", "unnest", "table"}
 
 
 def _scrub(sql: str) -> str:
     return _STRING_OR_COMMENT.sub(" '' ", sql)
+
+
+def _skip_parens(tokens: list[str], i: int) -> int:
+    """``tokens[i] == '('`` -> index just past the matching ``)``."""
+    depth = 0
+    n = len(tokens)
+    while i < n:
+        if tokens[i] == "(":
+            depth += 1
+        elif tokens[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return i
+
+
+def _main_verb(tokens: list[str]) -> str:
+    """The statement verb after an optional WITH prologue.
+
+    Mirrors sqlglot's node-type whitelist: ``WITH a AS (...), b AS (...)
+    <VERB> …`` — the CTE bodies are skipped as balanced paren groups and
+    ``<VERB>`` is what gets whitelisted, so ``WITH x AS (SELECT 1)
+    INSERT INTO t …`` is rejected even though it starts with WITH.
+    """
+    if not tokens:
+        return ""
+    if tokens[0].lower() != "with":
+        return tokens[0].lower()
+    i = 1
+    n = len(tokens)
+    if i < n and tokens[i].lower() == "recursive":
+        i += 1
+    while i < n:
+        if not _WORD.fullmatch(tokens[i]):  # expected CTE name
+            return tokens[i]
+        i += 1
+        if i < n and tokens[i] == "(":  # optional column list
+            i = _skip_parens(tokens, i)
+        if i >= n or tokens[i].lower() != "as":
+            break
+        i += 1
+        if i >= n or tokens[i] != "(":
+            break
+        i = _skip_parens(tokens, i)  # CTE body
+        if i < n and tokens[i] == ",":
+            i += 1
+            continue
+        break
+    while i < n and tokens[i] == "(":  # (SELECT ...) UNION (SELECT ...)
+        i += 1
+    return tokens[i].lower() if i < n else ""
 
 
 def validate_sql(sql: str) -> None:
@@ -65,24 +134,90 @@ def validate_sql(sql: str) -> None:
     body = scrubbed.strip().rstrip(";")
     if ";" in body:
         raise SqlValidationError("multiple statements are not allowed")
-    words = [w.lower() for w in _WORD.findall(body)]
-    if not words or words[0] not in _ALLOWED_FIRST:
+    tokens = _TOKEN.findall(body)
+    first = tokens[0].lower() if tokens else ""
+    if first == "(":
+        first = next((t.lower() for t in tokens if t != "("), "")
+    if first not in _ALLOWED_FIRST:
         raise SqlValidationError(
             "only SELECT / WITH (union/intersect/except) statements are allowed"
         )
-    bad = _FORBIDDEN.intersection(words)
-    if bad:
-        raise SqlValidationError(f"forbidden keyword(s): {sorted(bad)}")
+    verb = _main_verb(tokens)
+    if verb != "select":
+        raise SqlValidationError(
+            f"statement kind {verb!r} is not allowed (read-only SELECT forms only)"
+        )
+    # Spark script transform: SELECT TRANSFORM(cols) USING 'cmd' — the one
+    # escape hatch inside a SELECT. After scrubbing, its command string is
+    # '' ; join USING is always followed by '(' so this cannot false-400.
+    if re.search(r"\busing\s+''", body, re.IGNORECASE):
+        raise SqlValidationError("script transform (USING '<command>') is not allowed")
 
 
 def referenced_tables(sql: str) -> set[str]:
-    """Names appearing after FROM/JOIN (ref _register_tables,
-    sql_endpoint.py:15-43 registers only referenced configured tables)."""
-    body = _scrub(sql)
-    names = set()
-    for m in re.finditer(r"\b(?:from|join)\s+([A-Za-z_][A-Za-z0-9_.]*)", body, re.IGNORECASE):
-        names.add(m.group(1).split(".")[0].lower())
+    """Every base relation the statement reads: FROM lists including
+    comma joins, JOIN targets, and relations inside subqueries/lateral
+    subqueries (ref _register_tables, sql_endpoint.py:15-43 registers
+    only referenced configured tables — anything else must not resolve).
+    """
+    tokens = _TOKEN.findall(_scrub(sql))
+    names: set[str] = set()
+    # relation-scan state per paren depth: None | "rel" (expect a relation)
+    # | "post" (just consumed one; a comma continues the list)
+    state: dict[int, str | None] = {0: None}
+    depth = 0
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        low = t.lower()
+        if t == "(":
+            if state.get(depth) == "rel":
+                # a parenthesized relation (subquery/VALUES): what follows
+                # the closing paren is an alias, not another table
+                state[depth] = "post"
+            depth += 1
+            state[depth] = None
+            i += 1
+            continue
+        if t == ")":
+            state.pop(depth, None)
+            depth = max(0, depth - 1)
+            i += 1
+            continue
+        cur = state.get(depth)
+        if low in ("from", "join"):
+            state[depth] = "rel"
+        elif cur == "rel" and _WORD.fullmatch(t):
+            if low in _RELATION_KEYWORDS:
+                # LATERAL (SELECT…), VALUES (...), table-valued fns: the
+                # inner FROMs are scanned at their own depth
+                if low != "lateral":
+                    state[depth] = "post"
+            elif i + 1 < n and tokens[i + 1] == "(":
+                state[depth] = "post"  # table-valued function, not a table
+            else:
+                names.add(low.split(".")[0])
+                state[depth] = "post"
+        elif cur == "post":
+            if t == ",":
+                state[depth] = "rel"
+            elif low in _CLAUSE_KEYWORDS:
+                state[depth] = None
+        i += 1
     return names
+
+
+def cte_names(sql: str) -> set[str]:
+    """CTE names are legitimate relations — excluded from visibility checks."""
+    return {
+        m.group(1).lower()
+        for m in re.finditer(
+            r"\b(?:with|recursive|,)\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:\([^()]*\))?\s+as\s*\(",
+            _scrub(sql),
+            re.IGNORECASE,
+        )
+    }
 
 
 def run_sql(
@@ -94,14 +229,7 @@ def run_sql(
     validate_sql(sql)
     if allowed_tables is not None:
         refs = referenced_tables(sql)
-        # CTE names are legitimate "tables" — allow them
-        ctes = {
-            m.group(1).lower()
-            for m in re.finditer(
-                r"\b(?:with|,)\s*([A-Za-z_][A-Za-z0-9_]*)\s+as\s*\(", _scrub(sql), re.IGNORECASE
-            )
-        }
-        unknown = refs - {t.lower() for t in allowed_tables} - ctes
+        unknown = refs - {t.lower() for t in allowed_tables} - cte_names(sql)
         if unknown:
             raise SqlValidationError(f"unknown or unauthorized tables: {sorted(unknown)}")
     return spark.sql(sql)

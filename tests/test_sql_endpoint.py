@@ -53,6 +53,94 @@ def test_referenced_tables():
     assert refs == {"orders", "c", "customer"}
 
 
+def test_adversarial_identifiers_not_rejected():
+    """Regression (r1 verdict #4): forbidden-keyword matching anywhere
+    false-400'd legal queries whose identifiers collide with keywords.
+    The reference's sqlglot node-type whitelist has no such false positive."""
+    validate_sql("SELECT set, add, copy, call, analyze FROM t")
+    validate_sql("SELECT a AS set, b AS drop_count FROM t WHERE copy = 1")
+    validate_sql("SELECT refresh, cache, uncache FROM t ORDER BY describe")
+    validate_sql("SELECT t.insert, t.update FROM t")
+    validate_sql("WITH x AS (SELECT grant, revoke FROM t) SELECT * FROM x")
+    validate_sql("SELECT transform(arr, x -> x + 1) AS bumped FROM t")  # HOF, not script
+
+
+def test_with_prologue_write_rejected():
+    """Spark accepts WITH … INSERT INTO — the verb after the CTE prologue
+    is what must be whitelisted, not just the first keyword."""
+    with pytest.raises(SqlValidationError):
+        validate_sql("WITH x AS (SELECT 1) INSERT INTO t SELECT * FROM x")
+    with pytest.raises(SqlValidationError):
+        validate_sql("WITH a AS (SELECT 1), b AS (SELECT 2) DELETE FROM t")
+
+
+def test_script_transform_rejected():
+    with pytest.raises(SqlValidationError):
+        validate_sql("SELECT TRANSFORM(a) USING 'cat' FROM t")
+    # join USING stays legal
+    validate_sql("SELECT * FROM a JOIN b USING (id)")
+
+
+def test_referenced_tables_comma_join_and_lateral():
+    """Regression (r1 advice): comma joins bypassed the visibility check."""
+    assert referenced_tables("SELECT * FROM allowed, secret") == {"allowed", "secret"}
+    assert referenced_tables("SELECT * FROM a AS x, b y, c") == {"a", "b", "c"}
+    assert referenced_tables(
+        "SELECT * FROM a, LATERAL (SELECT * FROM hidden WHERE hidden.id = a.id) s"
+    ) == {"a", "hidden"}
+    # LATERAL VIEW generator functions are not tables
+    assert referenced_tables(
+        "SELECT * FROM docs LATERAL VIEW explode(tags) t AS tag"
+    ) == {"docs"}
+    # table-valued functions are not tables; commas inside call args inert
+    assert referenced_tables("SELECT * FROM range(1, 10), real_table") == {"real_table"}
+    assert referenced_tables(
+        "SELECT * FROM (SELECT * FROM inner1) q, inner2"
+    ) == {"inner1", "inner2"}
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _ADVERSARIAL = st.sampled_from(
+        "set add copy call analyze drop merge insert update delete cache "
+        "refresh show use grant revoke truncate vacuum optimize attach "
+        "describe normal_col a b".split()
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        cols=st.lists(_ADVERSARIAL, min_size=1, max_size=4, unique=True),
+        alias=_ADVERSARIAL,
+        where_col=_ADVERSARIAL,
+    )
+    def test_hypothesis_valid_selects_never_400(cols, alias, where_col):
+        """Any syntactically valid SELECT whose identifiers collide with
+        write/DDL keywords must pass validation (ref has no such 400)."""
+        col_list = ", ".join(cols)
+        validate_sql(
+            f"SELECT {col_list}, {cols[0]} AS {alias} FROM t "
+            f"WHERE {where_col} = 1 ORDER BY {cols[0]} LIMIT 10"
+        )
+        validate_sql(
+            f"WITH cte AS (SELECT {col_list} FROM t) "
+            f"SELECT {alias} FROM cte JOIN u ON cte.x = u.x"
+        )
+except ImportError:  # pragma: no cover
+    pass
+
+
+def test_run_sql_comma_join_authorization(spark, sf_dir):
+    register_views(spark, sf_dir)
+    with pytest.raises(SqlValidationError, match="unauthorized"):
+        run_sql(
+            spark,
+            "SELECT * FROM region, secret_table",
+            allowed_tables=set(TABLES),
+        )
+
+
 def test_run_sql_authorization(spark, sf_dir):
     register_views(spark, sf_dir)
     with pytest.raises(SqlValidationError, match="unauthorized"):
