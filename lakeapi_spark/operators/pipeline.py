@@ -125,10 +125,18 @@ def apply_query(df: DataFrame, req: QueryRequest) -> DataFrame:
 def paged(df: DataFrame, order: list[tuple[str, str]], limit: int, offset: int) -> DataFrame:
     """Deterministic paging helper. In a distributed engine OFFSET without a
     total order is non-deterministic (SURVEY §7 risk 2) — this variant
-    requires a sort spec and appends a monotonic tiebreak column if the
-    caller's sort may have ties, then uses native offset/limit which Spark
-    turns into a single-partition take after the sort."""
-    return df.orderBy(*_sort_cols(order)).offset(offset).limit(limit)
+    requires a sort spec and appends a monotonic tiebreak so rows with tied
+    sort keys page consistently within a query, then uses native
+    offset/limit which Spark turns into a single-partition take after the
+    sort. (The tiebreak is stable for a fixed scan partitioning — i.e.
+    within one query and across reruns over unchanged files — not across
+    data layout changes; callers needing cross-version stability must sort
+    on a unique key.)"""
+    return (
+        df.orderBy(*_sort_cols(order), F.monotonically_increasing_id())
+        .offset(offset)
+        .limit(limit)
+    )
 
 
 def topk(df: DataFrame, order: list[tuple[str, str]], k: int) -> DataFrame:

@@ -77,10 +77,11 @@ def serialize(df: DataFrame, fmt: str, *, csv_separator: str = ",", encoding: st
         )
         data = buf.getvalue()
         if fmt == "csv4excel":
-            # utf-16-le + sep= preamble so Excel detects the delimiter
-            # (ref response.py:111-116,158-169; test_output_formats.py:13-28)
-            text = "sep=,\r\n" + data.decode("utf-8")
-            return text.encode("utf-16-le")
+            # exact reference byte layout (response.py:158-169,
+            # test_output_formats.py:22-27): a raw UTF-8 'sep=,\n'
+            # preamble so Excel picks the delimiter, then the csv body
+            # re-encoded UTF-16-LE
+            return b"sep=,\n" + data.decode("utf-8").encode("utf-16-le")
         if encoding and encoding.lower() not in ("utf-8", "utf8"):
             return data.decode("utf-8").encode(encoding)
         return data

@@ -35,11 +35,12 @@ def read_source(
     if file_type == "delta":
         return spark.read.options(**opts).format("delta").load(uri)
     if file_type == "csv":
-        # ref duckdb read_csv_auto semantics: header + inference
-        return spark.read.options(header=True, inferSchema=True, **opts).csv(uri)
+        # ref duckdb read_csv_auto semantics: header + inference; defaults
+        # merged first so datasource options may override them
+        return spark.read.options(**{"header": "true", "inferSchema": "true", **opts}).csv(uri)
     if file_type == "json":
         # whole-file JSON array (ref read_json_auto format='array')
-        return spark.read.options(multiLine=True, **opts).json(uri)
+        return spark.read.options(**{"multiLine": "true", **opts}).json(uri)
     if file_type == "ndjson":
         return spark.read.options(**opts).json(uri)
     if file_type in ("arrow", "arrow-stream", "feather", "ipc"):

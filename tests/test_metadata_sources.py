@@ -68,6 +68,12 @@ def test_read_source_csv_json_ndjson(spark, tmp_path):
     src.write.option("header", True).csv(csv_dir)
     assert read_source(spark, csv_dir, "csv").count() == 2
 
+    # datasource options may override the csv defaults (regression: the
+    # defaults used to be passed as duplicate keywords -> TypeError)
+    no_header = read_source(spark, csv_dir, "csv", {"header": "false", "inferSchema": "false"})
+    # header rows (one per part file) now read as data, schema not inferred
+    assert no_header.count() > 2 and no_header.columns == ["_c0", "_c1"]
+
     nd_dir = str(tmp_path / "nd")
     src.write.json(nd_dir)
     assert read_source(spark, nd_dir, "ndjson").count() == 2

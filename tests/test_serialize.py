@@ -44,9 +44,16 @@ def test_csv_and_custom_separator(small_df):
 
 
 def test_csv4excel_utf16_preamble(small_df):
+    """Byte-exact reference layout (response.py:158-169,
+    test_output_formats.py:22-27): raw utf-8 'sep=,\\n' preamble, then
+    the csv body in utf-16-le."""
     raw = serialize(small_df, "csv4excel")
-    text = raw.decode("utf-16-le")
-    assert text.startswith("sep=,\r\n")  # ref response.py:111-116
+    assert raw[0:6].decode("ascii") == "sep=,\n"
+    import csv as _csv
+
+    body = raw[6:].decode("utf-16-le")
+    rows = list(_csv.DictReader(body.splitlines()))
+    assert rows[0]["id"] == "1" and rows[1]["s"] == "x,y"
 
 
 def test_parquet_roundtrip(small_df):
