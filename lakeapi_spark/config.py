@@ -70,6 +70,9 @@ class TableConfig:
     nearby: list[NearbyConfig] = field(default_factory=list)
     allow_get_all_pages: bool = False
     engine: str = "spark"
+    #: merge table config embedded in the data itself at registration
+    #: (ref config.py:227-254 ``config_from_delta``)
+    config_from_data: bool = False
 
     @property
     def route(self) -> str:
@@ -110,6 +113,109 @@ class TableConfig:
             allow_get_all_pages=bool(d.get("allow_get_all_pages", False)),
             engine=d.get("engine", "spark"),
         )
+
+
+CONFIG_KEY = "lakeapi.config"  # ref create_test_data.py:164-204 table property
+SIDECAR_NAME = "_lakeapi_config.json"
+
+
+def load_embedded_config(uri: str) -> dict[str, Any] | None:
+    """Table config embedded in the data (ref core/config.py:227-254).
+
+    The reference reads the delta table property ``lakeapi.config`` and
+    shallow-merges it over the YAML config so the table owner can ship
+    params/select/search next to the data. Carriers checked in order:
+
+    1. delta: the latest ``metaData`` action's ``configuration`` in
+       ``_delta_log/*.json`` — parsed directly from the commit log, so
+       it works without delta-spark on the classpath (checkpointed-only
+       logs where every JSON commit was vacuumed are not handled here);
+    2. parquet key-value file metadata under the same key;
+    3. a ``_lakeapi_config.json`` sidecar (inside a dataset directory,
+       or ``<file>.lakeapi.json`` next to a single file).
+
+    Returns the parsed dict, or None when no carrier is present.
+    Malformed JSON warns and is ignored, like the reference.
+    """
+    import glob
+    import json
+    import logging
+    import os
+
+    log = logging.getLogger(__name__)
+
+    delta_log = os.path.join(uri, "_delta_log")
+    if os.path.isdir(delta_log):
+        conf: dict | None = None
+        for commit in sorted(glob.glob(os.path.join(delta_log, "*.json"))):
+            try:
+                with open(commit) as f:
+                    for line in f:
+                        action = json.loads(line)
+                        if "metaData" in action:
+                            conf = action["metaData"].get("configuration", {})
+            except (OSError, json.JSONDecodeError) as err:
+                log.warning("unreadable delta commit %s: %s", commit, err)
+        if conf is not None and CONFIG_KEY in conf:
+            try:
+                return json.loads(conf[CONFIG_KEY])
+            except json.JSONDecodeError as err:
+                log.warning("bad %s JSON in %s: %s", CONFIG_KEY, uri, err)
+                return None
+
+    if os.path.isdir(uri):
+        sidecar = os.path.join(uri, SIDECAR_NAME)
+        if os.path.exists(sidecar):
+            try:
+                with open(sidecar) as f:
+                    return json.load(f)
+            except (OSError, json.JSONDecodeError) as err:
+                log.warning("bad sidecar %s: %s", sidecar, err)
+                return None
+
+    # parquet key-value file metadata (the single file, or the first
+    # part file of a dataset directory)
+    pq = None
+    if os.path.isfile(uri) and uri.endswith(".parquet"):
+        pq = uri
+    elif os.path.isdir(uri):
+        parts = sorted(glob.glob(os.path.join(uri, "*.parquet")))
+        pq = parts[0] if parts else None
+    if pq is not None:
+        try:
+            import pyarrow.parquet as papq
+
+            raw = (papq.read_schema(pq).metadata or {}).get(CONFIG_KEY.encode())
+            if raw is not None:
+                return json.loads(raw)
+        except (OSError, json.JSONDecodeError) as err:
+            log.warning("bad %s parquet metadata in %s: %s", CONFIG_KEY, pq, err)
+
+    if os.path.isfile(uri):
+        sibling = uri + ".lakeapi.json"
+        if os.path.exists(sibling):
+            try:
+                with open(sibling) as f:
+                    return json.load(f)
+            except (OSError, json.JSONDecodeError) as err:
+                log.warning("bad sidecar %s: %s", sibling, err)
+    return None
+
+
+def merge_config_from_data(cfg: TableConfig) -> TableConfig:
+    """Shallow-merge embedded config over ``cfg`` (data side wins —
+    ref ``config | cfg`` at config.py:243-247), preserving the original
+    uri/file_type when the embedded datasource omits them."""
+    embedded = load_embedded_config(cfg.datasource.uri)
+    if not embedded:
+        return cfg
+    from dataclasses import asdict
+
+    base = asdict(cfg)
+    merged = {**base, **embedded}
+    ds = {"uri": cfg.datasource.uri, "file_type": cfg.datasource.file_type}
+    merged["datasource"] = {**ds, **(embedded.get("datasource") or base["datasource"])}
+    return TableConfig.from_dict(merged)
 
 
 def clamp_limit(limit: int | None, allow_get_all_pages: bool) -> int | None:

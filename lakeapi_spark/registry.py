@@ -16,7 +16,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from lakeapi_spark.config import TableConfig, clamp_limit
+from lakeapi_spark.config import TableConfig, clamp_limit, merge_config_from_data
 from lakeapi_spark.operators.filters import split_param_postfix
 from lakeapi_spark.operators.partitioning import apply_partition_pruning
 from lakeapi_spark.operators.pipeline import QueryRequest, apply_query
@@ -37,7 +37,11 @@ class TableRegistry:
 
     def register(self, cfg: TableConfig) -> None:
         """Wildcard configs (name='*', uri='folder/*') expand to one table
-        per child (ref config.py:341-382)."""
+        per child (ref config.py:341-382). ``config_from_data`` merges
+        config shipped inside the table (delta ``lakeapi.config`` property,
+        parquet KV metadata, or sidecar — ref config.py:227-254)."""
+        if cfg.config_from_data:
+            cfg = merge_config_from_data(cfg)
         if cfg.name == "*":
             assert cfg.datasource.uri.endswith("/*")
             for child_name, child_uri in expand_wildcard(cfg.datasource.uri):

@@ -119,6 +119,110 @@ def test_search_scores_before_paging(spark, search_registry):
     assert not all("widget" in r.p_name for r in unscored_first_5.collect())
 
 
+_STRUCT_FRUITS_CONFIG = {
+    # mirror of the reference's struct_fruits config-in-data fixture
+    # (create_test_data.py:164-204): operator whitelists shipped with data
+    "params": [
+        {"name": "fruits", "operators": ["not in", "in", "contains", "startswith", "not contains", "<>"]},
+        {"name": "cars", "operators": ["not in", "in", "contains", "startswith", "not contains", "<>"]},
+        {"name": "B", "operators": [">", "<", "<=", ">=", "between", "startswith", "not between"]},
+    ]
+}
+
+
+@pytest.fixture(scope="module")
+def fruits_dir(spark, tmp_path_factory):
+    import json
+
+    d = tmp_path_factory.mktemp("fruits_data")
+    spark.createDataFrame(
+        [("banana", "audi", 1), ("ananas", "fiat", 2), ("kiwi", "audi", 3)],
+        ["fruits", "cars", "B"],
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "fruits"))
+    (d / "fruits" / "_lakeapi_config.json").write_text(json.dumps(_STRUCT_FRUITS_CONFIG))
+    return str(d / "fruits")
+
+
+def test_config_from_data_sidecar(spark, fruits_dir):
+    """ref config.py:227-254: table config shipped with the data is merged
+    at registration (data side wins); the struct_fruits case from the
+    reference's test_app.py."""
+    reg = TableRegistry(spark)
+    reg.register(
+        TableConfig(
+            name="fruits",
+            datasource=DatasourceConfig(uri=fruits_dir),
+            config_from_data=True,
+        )
+    )
+    cfg = reg.config("fruits")
+    assert [p.name for p in cfg.params] == ["fruits", "cars", "B"]
+    assert "between" in cfg.params[2].operators
+
+    out = compile_request(reg, "fruits", {"cars_in": ["audi"], "B_between": [1, 3]})
+    rows = out.collect()
+    assert {r.fruits for r in rows} == {"banana", "kiwi"}
+    # operators not whitelisted by the embedded config are rejected —
+    # like the reference, '=' is NOT implicit once operators are declared
+    with pytest.raises(ValueError, match="not allowed"):
+        compile_request(reg, "fruits", {"cars": "audi"})
+
+
+def test_config_from_data_delta_log(spark, tmp_path):
+    """The delta carrier: lakeapi.config in the latest metaData action's
+    configuration, parsed straight from _delta_log/*.json (works without
+    delta-spark, matching ref get_deltalake_meta usage)."""
+    import json
+
+    from lakeapi_spark.config import load_embedded_config
+
+    d = tmp_path / "delta_tbl"
+    log = d / "_delta_log"
+    log.mkdir(parents=True)
+    meta_v0 = {"metaData": {"id": "0", "configuration": {}}}
+    meta_v1 = {
+        "metaData": {
+            "id": "1",
+            "configuration": {"lakeapi.config": json.dumps(_STRUCT_FRUITS_CONFIG)},
+        }
+    }
+    (log / "00000000000000000000.json").write_text(json.dumps(meta_v0) + "\n")
+    (log / "00000000000000000001.json").write_text(
+        json.dumps({"commitInfo": {}}) + "\n" + json.dumps(meta_v1) + "\n"
+    )
+    embedded = load_embedded_config(str(d))
+    assert embedded is not None
+    assert [p["name"] for p in embedded["params"]] == ["fruits", "cars", "B"]
+
+
+def test_config_from_data_parquet_kv_metadata(spark, tmp_path):
+    """The parquet carrier: lakeapi.config in key-value file metadata."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from lakeapi_spark.config import load_embedded_config
+
+    tab = pa.table({"x": [1, 2]})
+    tab = tab.replace_schema_metadata({"lakeapi.config": json.dumps({"version": 7})})
+    path = str(tmp_path / "kv.parquet")
+    papq.write_table(tab, path)
+    assert load_embedded_config(path) == {"version": 7}
+
+
+def test_config_from_data_absent_is_noop(spark, sf_dir):
+    reg = TableRegistry(spark)
+    reg.register(
+        TableConfig(
+            name="nation",
+            datasource=DatasourceConfig(uri=f"{sf_dir}/nation.parquet"),
+            config_from_data=True,
+        )
+    )
+    assert reg.config("nation").params == []
+
+
 def test_limit_clamping():
     assert clamp_limit(None, False) == 100
     assert clamp_limit(50000, False) == 1000
