@@ -1300,10 +1300,15 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("multimodal_stub_features", None)  # numpy stub kernel: determinism unit-tested
 def multimodal_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library callers get ``features array<double>``
+    (operators/multimodal.py:decode_stub_features); the registered query
+    serializes the vector to a JSON string because the driver's
+    canonicalizer pandas-sorts every column and lists are unhashable."""
     from lakeapi_spark.operators.multimodal import attach_fake_payload, decode_stub_features
 
     d = table(spark, sf_dir, "documents")
-    return decode_stub_features(attach_fake_payload(d, "doc_id", "text"))
+    out = decode_stub_features(attach_fake_payload(d, "doc_id", "text"))
+    return out.select("id", F.to_json("features").alias("features_json"))
 
 
 # ---------------------------------------------------------------------------
@@ -1739,8 +1744,8 @@ def stratified_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regex_flag_docs",
     """
     SELECT source,
-           SUM(CASE WHEN regexp_matches(text, 'https?://') THEN 1 ELSE 0 END) AS n_url,
-           SUM(CASE WHEN regexp_matches(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}') THEN 1 ELSE 0 END) AS n_email,
+           CAST(SUM(CASE WHEN regexp_matches(text, 'https?://') THEN 1 ELSE 0 END) AS BIGINT) AS n_url,
+           CAST(SUM(CASE WHEN regexp_matches(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}') THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
            COUNT(*) AS n_docs
     FROM documents GROUP BY source
     """,
@@ -1999,7 +2004,7 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*) AS n_viewers,
            COUNT(first_purchase) AS n_converted,
            ROUND(CAST(COUNT(first_purchase) AS DOUBLE) / COUNT(*), 4) AS conversion,
-           SUM(epoch_us(first_purchase) - epoch_us(first_view)) AS total_us_to_convert
+           CAST(SUM(epoch_us(first_purchase) - epoch_us(first_view)) AS BIGINT) AS total_us_to_convert
     FROM v LEFT JOIN p ON v.user_id = p.user_id
     """,
 )
@@ -2291,7 +2296,7 @@ def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            CASE WHEN h < 8 THEN 'train' WHEN h < 9 THEN 'val' ELSE 'test' END AS split,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM kept GROUP BY lang, split
     """,
 )
@@ -2381,44 +2386,3 @@ def histogram_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
-
-
-# ---------------------------------------------------------------------------
-# Driver-window ordering.
-#
-# The correctness driver verifies the FIRST 50 registry entries per round
-# (CORRECTNESS_r01.json stopped at position 50). Round 1 verified the names
-# below; rotate them to the BACK so the remaining families (joins, SQL
-# endpoint, metadata, dedup, ANN, TPC-H q7/q10/q14, funnel, curation,
-# compiled request) land inside the driver's window this round. Queries not
-# in this list — including anything newly registered above — keep their
-# relative registration order at the front.
-# ---------------------------------------------------------------------------
-
-_DRIVER_VERIFIED_R1 = [
-    "q1_pricing_summary", "q6_revenue_forecast", "q3_shipping_priority",
-    "q5_revenue_by_nation", "rollup_region_nation", "window_top_orders_per_segment",
-    "window_lag_order_gap_days", "window_moving_sum_price", "cube_orders_priority_status",
-    "quantiles_event_value", "skew_safe_distinct_suppliers", "range_join_price_bands",
-    "sample_hash_orders", "filter_eq", "filter_ne", "filter_lt_gte", "filter_gt_lte",
-    "filter_in", "filter_not_in", "filter_between", "filter_not_between",
-    "filter_contains", "filter_not_contains", "filter_startswith", "filter_has",
-    "filter_eq_null", "filter_ne_null", "combi_or_of_ands", "select_alias_exclude",
-    "distinct_values", "sort_limit_topk", "offset_paging", "search_like_score",
-    "search_tf_score", "search_bm25_score", "nearby_radius", "partition_prune_direct",
-    "partition_prune_md5_prefix", "partition_prune_md5_mod", "partition_prune_prefix",
-    "events_tumbling_5m", "events_sliding_10m_5m", "events_sessionize_30m",
-    "events_json_extract", "events_pivot_daily", "text_token_stats",
-    "text_quality_score", "text_lang_id", "text_fingerprint", "text_bpe_token_count",
-]
-
-
-def _reorder_for_driver_window() -> None:
-    verified = [n for n in _DRIVER_VERIFIED_R1 if n in QUERIES]
-    front = [n for n in QUERIES if n not in set(verified)]
-    ordered = {n: QUERIES[n] for n in front + verified}
-    QUERIES.clear()
-    QUERIES.update(ordered)
-
-
-_reorder_for_driver_window()

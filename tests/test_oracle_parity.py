@@ -31,3 +31,47 @@ def test_all_queries_run(spark, sf_dir):
     for name, q in QUERIES.items():
         df = q.build(spark, sf_dir)
         assert df.count() >= 0, name
+
+
+def test_oracle_types_survive_driver_canon(oracle_con):
+    """Driver-canon type lint (cost round 2: CORRECTNESS_r02 hash-fails).
+
+    The repo's stringified-cell compare is type-insensitive, but the
+    driver canonicalizes through pandas, where types leak into the hash.
+    Two classes of oracle output break it:
+
+    - DuckDB ``SUM(integer)`` returns HUGEINT -> Arrow decimal128(38,0)
+      -> pandas ``Decimal``, while Spark returns int64. Every integer
+      SUM must be ``CAST(... AS BIGINT)``.
+    - Nested (list/struct/map) columns: the driver's pandas
+      ``sort_values`` over all columns dies on unhashable lists.
+    """
+    import pyarrow as pa
+
+    for name, q in QUERIES.items():
+        if q.oracle is None:
+            continue
+        schema = oracle_con.sql(q.oracle).arrow().schema
+        for field in schema:
+            t = field.type
+            assert not (pa.types.is_decimal(t) and t.precision == 38 and t.scale == 0), (
+                f"{name}.{field.name}: decimal128(38,0) = un-cast integer SUM "
+                f"(DuckDB HUGEINT); CAST(... AS BIGINT) in the oracle"
+            )
+            assert not (
+                pa.types.is_nested(t)
+            ), f"{name}.{field.name}: nested type {t} crashes the driver canonicalizer"
+
+
+def test_spark_results_survive_driver_canon(spark, sf_dir):
+    """Spark side of the same lint: no registered query may expose a
+    nested (array/map/struct) column — serialize (to_json / concat_ws)
+    in the registered query, keep the typed API for library callers.
+    Analysis-only (schema), no job execution."""
+    from pyspark.sql import types as T
+
+    for name, q in QUERIES.items():
+        for field in q.build(spark, sf_dir).schema.fields:
+            assert not isinstance(
+                field.dataType, (T.ArrayType, T.MapType, T.StructType)
+            ), f"{name}.{field.name}: nested type {field.dataType} crashes the driver canon"
