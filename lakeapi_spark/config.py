@@ -202,19 +202,41 @@ def load_embedded_config(uri: str) -> dict[str, Any] | None:
     return None
 
 
+#: Embedded config is written by whoever writes the DATA, so the merge is a
+#: trust boundary: only the fields the reference actually ships with data
+#: (param declarations, projection/sort defaults, search/nearby specs) may
+#: cross it. uri / file_type / engine / name / allow_get_all_pages stay
+#: operator-controlled — a data writer must not repoint the table at another
+#: source or widen the paging policy.
+_EMBEDDED_ALLOWED = {"params", "search", "nearby"}
+_EMBEDDED_DS_ALLOWED = {"select", "exclude", "sortby", "filters", "partition_columns", "options"}
+
+
 def merge_config_from_data(cfg: TableConfig) -> TableConfig:
     """Shallow-merge embedded config over ``cfg`` (data side wins —
-    ref ``config | cfg`` at config.py:243-247), preserving the original
-    uri/file_type when the embedded datasource omits them."""
+    ref ``config | cfg`` at config.py:243-247), restricted to the
+    whitelisted fields above; refused keys warn and are ignored."""
     embedded = load_embedded_config(cfg.datasource.uri)
     if not embedded:
         return cfg
+    import logging
     from dataclasses import asdict
 
+    log = logging.getLogger(__name__)
+    refused = set(embedded) - _EMBEDDED_ALLOWED - {"datasource"}
+    eds_in = embedded.get("datasource") or {}
+    refused |= {f"datasource.{k}" for k in set(eds_in) - _EMBEDDED_DS_ALLOWED}
+    if refused:
+        log.warning(
+            "embedded config for %s tried to set operator-controlled fields %s; ignored",
+            cfg.name, sorted(refused),
+        )
     base = asdict(cfg)
-    merged = {**base, **embedded}
-    ds = {"uri": cfg.datasource.uri, "file_type": cfg.datasource.file_type}
-    merged["datasource"] = {**ds, **(embedded.get("datasource") or base["datasource"])}
+    merged = {**base, **{k: v for k, v in embedded.items() if k in _EMBEDDED_ALLOWED}}
+    merged["datasource"] = {
+        **base["datasource"],
+        **{k: v for k, v in eds_in.items() if k in _EMBEDDED_DS_ALLOWED},
+    }
     return TableConfig.from_dict(merged)
 
 

@@ -163,6 +163,19 @@ def compile_request(
         req.sortby, req.limit, req.offset = [], None, None
         out = apply_query(df, req)
         out = search_op(out, cfg.search[0].columns, search_text)
+        # Page with the same deterministic-tiebreak discipline as paged():
+        # scores are small integers with many ties, so score-desc alone
+        # makes page N and N+1 overlap/drop rows. Secondary keys: the
+        # table's configured sortby, then a monotonic id.
+        from pyspark.sql import functions as F
+
+        from lakeapi_spark.operators.pipeline import _sort_cols
+
+        out = out.orderBy(
+            F.col("search_score").desc(),
+            *_sort_cols(sortby),
+            F.monotonically_increasing_id(),
+        )
         if offset:
             out = out.offset(offset)
         if clamped is not None and clamped >= 0:

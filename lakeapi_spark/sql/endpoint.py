@@ -65,11 +65,32 @@ _CLAUSE_KEYWORDS = {
 }
 
 #: words that can appear in relation position but are not table names
-_RELATION_KEYWORDS = {"lateral", "values", "unnest", "table"}
+#: ("table" is handled inline: ``TABLE <name>`` keeps expecting a relation)
+_RELATION_KEYWORDS = {"lateral", "values", "unnest"}
 
 
 def _scrub(sql: str) -> str:
     return _STRING_OR_COMMENT.sub(" '' ", sql)
+
+
+_PLAIN_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _scrub_keep_idents(sql: str) -> str:
+    """Like ``_scrub`` but backtick-quoted identifiers (Spark's identifier
+    quote) keep their content, so ``FROM `secret``` is visible to relation
+    extraction instead of vanishing with the string scrub. Quoted names
+    that aren't plain words become a sentinel no configured table can
+    match — conservative deny, never silent bypass."""
+
+    def repl(m: re.Match[str]) -> str:
+        text = m.group(0)
+        if text.startswith("`"):
+            inner = text[1:-1].replace("``", "`")
+            return inner if _PLAIN_IDENT.fullmatch(inner) else " __quoted_ident__ "
+        return " '' "
+
+    return _STRING_OR_COMMENT.sub(repl, sql)
 
 
 def _skip_parens(tokens: list[str], i: int) -> int:
@@ -95,12 +116,17 @@ def _main_verb(tokens: list[str]) -> str:
     ``<VERB>`` is what gets whitelisted, so ``WITH x AS (SELECT 1)
     INSERT INTO t …`` is rejected even though it starts with WITH.
     """
-    if not tokens:
-        return ""
-    if tokens[0].lower() != "with":
-        return tokens[0].lower()
-    i = 1
+    i = 0
     n = len(tokens)
+    # parenthesized set-op members: ``(SELECT 1) UNION (SELECT 2)`` — the
+    # verb is the first non-'(' token (mirrors the _ALLOWED_FIRST skip)
+    while i < n and tokens[i] == "(":
+        i += 1
+    if i >= n:
+        return ""
+    if tokens[i].lower() != "with":
+        return tokens[i].lower()
+    i += 1
     if i < n and tokens[i].lower() == "recursive":
         i += 1
     while i < n:
@@ -160,7 +186,7 @@ def referenced_tables(sql: str) -> set[str]:
     subqueries (ref _register_tables, sql_endpoint.py:15-43 registers
     only referenced configured tables — anything else must not resolve).
     """
-    tokens = _TOKEN.findall(_scrub(sql))
+    tokens = _TOKEN.findall(_scrub_keep_idents(sql))
     names: set[str] = set()
     # relation-scan state per paren depth: None | "rel" (expect a relation)
     # | "post" (just consumed one; a comma continues the list)
@@ -172,12 +198,18 @@ def referenced_tables(sql: str) -> set[str]:
         t = tokens[i]
         low = t.lower()
         if t == "(":
-            if state.get(depth) == "rel":
-                # a parenthesized relation (subquery/VALUES): what follows
-                # the closing paren is an alias, not another table
+            inherit = state.get(depth) == "rel"
+            if inherit:
+                # what follows the closing paren is an alias, not a table
                 state[depth] = "post"
             depth += 1
-            state[depth] = None
+            nxt = tokens[i + 1].lower() if i + 1 < n else ""
+            # '(' in relation position: SELECT/WITH starts a subquery
+            # (fresh scan at the inner depth); anything else — ``(t)``,
+            # ``((t))``, ``(t JOIN u ON …)``, ``(TABLE t)`` — is a
+            # parenthesized relation, so the inner depth inherits the
+            # expect-a-relation state (Spark grammar: '(' relation ')')
+            state[depth] = "rel" if inherit and nxt not in ("select", "with") else None
             i += 1
             continue
         if t == ")":
@@ -189,7 +221,9 @@ def referenced_tables(sql: str) -> set[str]:
         if low in ("from", "join"):
             state[depth] = "rel"
         elif cur == "rel" and _WORD.fullmatch(t):
-            if low in _RELATION_KEYWORDS:
+            if low == "table":
+                pass  # ``(TABLE name)``: the relation is the next word
+            elif low in _RELATION_KEYWORDS:
                 # LATERAL (SELECT…), VALUES (...), table-valued fns: the
                 # inner FROMs are scanned at their own depth
                 if low != "lateral":
@@ -214,7 +248,7 @@ def cte_names(sql: str) -> set[str]:
         m.group(1).lower()
         for m in re.finditer(
             r"\b(?:with|recursive|,)\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:\([^()]*\))?\s+as\s*\(",
-            _scrub(sql),
+            _scrub_keep_idents(sql),
             re.IGNORECASE,
         )
     }

@@ -229,3 +229,74 @@ def test_limit_clamping():
     assert clamp_limit(-1, False) == 1000
     assert clamp_limit(-1, True) is None
     assert clamp_limit(50000, True) == 50000
+
+
+def test_search_paging_deterministic_on_tied_scores(spark, search_registry):
+    """r2 ADVICE: scores are small integers with many ties; without a
+    tiebreak, page N and N+1 can overlap or drop rows. Search paging now
+    orders by (score desc, configured sortby, monotonic id) — consecutive
+    pages must tile the full result exactly."""
+    full = compile_request(
+        search_registry, "parts_searchable", {}, search_text="widget", limit=-1
+    )
+    all_keys = [r.p_partkey for r in full.collect()]
+    n = len(all_keys)
+    assert n > 10
+
+    pages: list[int] = []
+    page_size = 7
+    for off in range(0, n, page_size):
+        page = compile_request(
+            search_registry, "parts_searchable", {},
+            search_text="widget", limit=page_size, offset=off,
+        )
+        pages.extend(r.p_partkey for r in page.collect())
+    assert len(pages) == n
+    assert len(set(pages)) == n, "pages overlap on tied scores"
+    assert set(pages) == set(all_keys)
+    # tied scores resolve by the configured sortby (p_partkey asc)
+    assert pages == sorted(pages)
+
+
+def test_config_from_data_cannot_override_trust_fields(spark, tmp_path):
+    """r2 ADVICE: whoever writes the data writes the embedded config, so the
+    merge is a trust boundary — uri / engine / allow_get_all_pages /
+    file_type must stay operator-controlled."""
+    import json
+
+    d = tmp_path / "tainted"
+    spark.createDataFrame([(1, "a")], ["id", "val"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d))
+    (d / "_lakeapi_config.json").write_text(
+        json.dumps(
+            {
+                "name": "hijacked",
+                "engine": "duckdb",
+                "allow_get_all_pages": True,
+                "params": [{"name": "id", "operators": ["="]}],
+                "datasource": {
+                    "uri": "/etc/passwd",
+                    "file_type": "csv",
+                    "select": [{"name": "id"}],
+                },
+            }
+        )
+    )
+    reg = TableRegistry(spark)
+    reg.register(
+        TableConfig(
+            name="safe", datasource=DatasourceConfig(uri=str(d)), config_from_data=True
+        )
+    )
+    cfg = reg.config("safe")
+    # whitelisted fields merged
+    assert [p.name for p in cfg.params] == ["id"]
+    assert [s["name"] for s in cfg.datasource.select] == ["id"]
+    # operator-controlled fields kept
+    assert cfg.name == "safe"
+    assert cfg.engine == "spark"
+    assert cfg.allow_get_all_pages is False
+    assert cfg.datasource.uri == str(d)
+    assert cfg.datasource.file_type == "parquet"
+    assert compile_request(reg, "safe", {}).collect()[0].id == 1

@@ -162,3 +162,55 @@ def test_run_sql_union(spark, sf_dir):
         allowed_tables=set(TABLES),
     )
     assert df.count() == 30
+
+
+def test_parenthesized_relation_visibility():
+    """Spark's grammar allows '(' relation ')'; the scanner must capture the
+    inner name or the allowed_tables check is silently bypassed (r2 ADVICE)."""
+    assert referenced_tables("SELECT * FROM (secret_table)") == {"secret_table"}
+    assert referenced_tables("SELECT * FROM ((secret_table))") == {"secret_table"}
+    assert referenced_tables("SELECT * FROM (secret_table) x") == {"secret_table"}
+    assert referenced_tables("SELECT * FROM (a JOIN b ON a.id = b.id)") == {"a", "b"}
+    assert referenced_tables("SELECT * FROM (TABLE secret_table)") == {"secret_table"}
+    # subqueries still scan at their own depth, no spurious capture
+    assert referenced_tables("SELECT * FROM (SELECT 1)") == set()
+    assert referenced_tables("SELECT * FROM (SELECT * FROM inner_t) s") == {"inner_t"}
+    assert referenced_tables("SELECT * FROM (VALUES (1), (2)) t") == set()
+
+
+def test_backtick_identifier_visibility():
+    """Backticks are Spark's identifier quote: `secret` must not vanish with
+    the string scrub. Non-word quoted names become a sentinel that can never
+    match a configured table (conservative deny)."""
+    assert referenced_tables("SELECT * FROM `secret_table`") == {"secret_table"}
+    assert referenced_tables("SELECT * FROM (`secret_table`)") == {"secret_table"}
+    assert referenced_tables("SELECT * FROM `weird name`") == {"__quoted_ident__"}
+
+
+def test_parenthesized_setop_accepted():
+    """(SELECT 1) UNION (SELECT 2) is a legal read-only statement — the
+    reference's sqlglot Union whitelist accepts it (r2 ADVICE)."""
+    validate_sql("(SELECT 1) UNION (SELECT 2)")
+    validate_sql("((SELECT 1) UNION (SELECT 2)) INTERSECT (SELECT 3)")
+    validate_sql("(WITH x AS (SELECT 1) SELECT * FROM x) UNION (SELECT 1)")
+    with pytest.raises(SqlValidationError):
+        validate_sql("(INSERT INTO t VALUES (1))")
+    with pytest.raises(SqlValidationError):
+        validate_sql("(DELETE FROM t)")
+
+
+def test_run_sql_parenthesized_and_backtick_bypass_blocked(spark, sf_dir):
+    register_views(spark, sf_dir)
+    with pytest.raises(SqlValidationError, match="unauthorized"):
+        run_sql(spark, "SELECT * FROM (nation)", allowed_tables={"region"})
+    with pytest.raises(SqlValidationError, match="unauthorized"):
+        run_sql(spark, "SELECT * FROM `nation`", allowed_tables={"region"})
+    # and the legal forms still execute
+    assert run_sql(
+        spark, "(SELECT r_name FROM region) UNION (SELECT r_name FROM region)",
+        allowed_tables={"region"},
+    ).count() > 0
+    assert run_sql(
+        spark, "SELECT n_name FROM (nation) WHERE n_regionkey = 0",
+        allowed_tables={"nation"},
+    ).count() > 0
