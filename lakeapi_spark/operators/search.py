@@ -143,3 +143,161 @@ def tf_search(
         df.join(scores, on=id_col, how="inner")
         .orderBy(F.col(score_col).desc(), F.col(id_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted BM25 index (the reference's FTS index, Spark-shaped)
+# ---------------------------------------------------------------------------
+#
+# The reference persists a DuckDB FTS index next to the data and rebuilds
+# it only when the table's modified date changes (df_duckdb.py:321-379);
+# queries hit the index, never a full corpus scan. The ad-hoc
+# ``bm25_search`` above re-aggregates the corpus (doc lengths, term DFs,
+# N/avgdl) on EVERY query — 6 shuffles, which at 100 TB means re-reading
+# the corpus per search request. The index below is the Spark analogue:
+#
+# - ``postings``  (__tok, __id, __tf): the inverted index. Built once per
+#   table version; co-partitioned by __id with ``doclen`` so the
+#   query-time join needs no exchange.
+# - ``doclen``    (__id, __dl) and ``term_df`` (__tok, __df): the
+#   vocabulary-sized statistics relations.
+# - ``n_docs`` / ``avgdl``: scalars, collected once at build time.
+#
+# Query time: filter postings/term_df to the (tiny) query term set,
+# broadcast the term stats, one co-partitioned join + one aggregate.
+
+
+from dataclasses import dataclass
+
+
+@dataclass
+class Bm25Index:
+    postings: DataFrame  # (__tok, __id, __tf)
+    doclen: DataFrame  # (__id, __dl)
+    term_df: DataFrame  # (__tok, __df)
+    n_docs: int
+    avgdl: float
+
+    def unpersist(self) -> None:
+        for d in (self.postings, self.doclen, self.term_df):
+            try:
+                d.unpersist()
+            except Exception:  # noqa: BLE001 - already-unpersisted is fine
+                pass
+
+
+def build_bm25_index(df: DataFrame, id_col: str, text_col: str) -> Bm25Index:
+    """One corpus pass -> cached postings + stats relations.
+
+    ``repartition(__id)`` on both postings and doclen gives them the same
+    hash partitioning, so the per-query join satisfies EnsureRequirements
+    with no new exchange. The build cost (2 shuffles) is paid once per
+    table version instead of per query."""
+    toks_arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("__id"), toks_arr.alias("__toks"))
+    doclen = base.select("__id", F.size("__toks").alias("__dl")).repartition("__id").persist()
+    postings = (
+        base.select("__id", F.explode("__toks").alias("__tok"))
+        .groupBy("__id", "__tok")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+        .repartition("__id")
+        .persist()
+    )
+    term_df = postings.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df")).persist()
+    n_docs, avgdl = doclen.agg(F.count(F.lit(1)), F.avg("__dl")).first()
+    return Bm25Index(postings, doclen, term_df, int(n_docs), float(avgdl))
+
+
+def bm25_scores(
+    index: Bm25Index,
+    search_text: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_col: str = "bm25_score",
+) -> DataFrame:
+    """(__id, score) for every doc matching >= 1 term — identical scores
+    to ``bm25_search`` (same formula, same stats), but computed from the
+    index: term filters prune the postings scan, term stats broadcast,
+    and the only wide operations are the co-partitioned doclen join and
+    the final per-doc sum."""
+    terms = sorted({t.lower() for t in _terms(search_text)})
+    post = index.postings.filter(F.col("__tok").isin(terms))
+    dfreq = index.term_df.filter(F.col("__tok").isin(terms))
+    idf = F.log((F.lit(index.n_docs) - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1)
+    denom = F.col("__tf") + k1 * (1 - b + b * F.col("__dl") / F.lit(index.avgdl))
+    contrib = idf * F.col("__tf") * (k1 + 1) / denom
+    return (
+        post.join(F.broadcast(dfreq), "__tok")
+        .join(index.doclen, "__id")
+        .groupBy("__id")
+        .agg(F.round(F.sum(contrib), 4).alias(score_col))
+    )
+
+
+def bm25_search_indexed(
+    df: DataFrame,
+    index: Bm25Index,
+    id_col: str,
+    search_text: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_col: str = "bm25_score",
+) -> DataFrame:
+    """Drop-in for ``bm25_search`` given a prebuilt index: full rows +
+    score, ordered score desc."""
+    scores = bm25_scores(index, search_text, k1, b, score_col)
+    return (
+        df.join(scores, df[id_col] == scores["__id"])
+        .drop("__id")
+        .orderBy(F.col(score_col).desc(), F.col(id_col))
+    )
+
+
+#: (identity, version) -> index; version comes from the table's modified
+#: date (sources.fs.latest_modification), mirroring the reference's cache
+#: key. Stale versions of the same identity are evicted on rebuild.
+_BM25_CACHE: dict[tuple, Bm25Index] = {}
+
+
+def bm25_index_for(
+    df: DataFrame, id_col: str, text_col: str, key: tuple
+) -> Bm25Index:
+    """Memoized index: ``key = (identity, version)``. A new version of the
+    same identity evicts + unpersists the stale entry."""
+    idx = _BM25_CACHE.get(key)
+    if idx is None:
+        for stale in [k for k in _BM25_CACHE if k[0] == key[0]]:
+            _BM25_CACHE.pop(stale).unpersist()
+        idx = build_bm25_index(df, id_col, text_col)
+        _BM25_CACHE[key] = idx
+    return idx
+
+
+def save_bm25_index(index: Bm25Index, path: str) -> None:
+    """Persist the index as parquet — the 100 TB deployment shape, where
+    the index outlives the session like the reference's FTS file.
+    Postings are range-partitioned + sorted by term so a query's
+    ``__tok IN (...)`` filter prunes row groups via min/max stats."""
+    (
+        index.postings.repartitionByRange(F.col("__tok"))
+        .sortWithinPartitions("__tok")
+        .write.mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    index.doclen.write.mode("overwrite").parquet(f"{path}/doclen")
+    index.term_df.write.mode("overwrite").parquet(f"{path}/term_df")
+    spark = index.doclen.sparkSession
+    spark.createDataFrame(
+        [(index.n_docs, index.avgdl)], "n_docs long, avgdl double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def load_bm25_index(spark, path: str) -> Bm25Index:
+    stats = spark.read.parquet(f"{path}/stats").first()
+    return Bm25Index(
+        postings=spark.read.parquet(f"{path}/postings"),
+        doclen=spark.read.parquet(f"{path}/doclen"),
+        term_df=spark.read.parquet(f"{path}/term_df"),
+        n_docs=int(stats.n_docs),
+        avgdl=float(stats.avgdl),
+    )

@@ -739,10 +739,18 @@ def search_tf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def search_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lakeapi_spark.operators.search import bm25_search
+    """Served from the per-table-version BM25 index (the reference keys
+    its persisted FTS index by table modified date, df_duckdb.py:321-379):
+    the corpus aggregation happens once per version at build, and each
+    query is a pruned postings scan + broadcast term stats + one
+    co-partitioned join/aggregate — not a per-request corpus re-scan."""
+    from lakeapi_spark.operators.search import bm25_index_for, bm25_scores
+    from lakeapi_spark.sources.fs import latest_modification
 
     df = table(spark, sf_dir, "documents")
-    return bm25_search(df, "doc_id", "text", "spark window").select("doc_id", "bm25_score")
+    uri = f"{sf_dir}/documents.parquet"
+    idx = bm25_index_for(df, "doc_id", "text", key=(uri, latest_modification(spark, uri)))
+    return bm25_scores(idx, "spark window").withColumnRenamed("__id", "doc_id")
 
 
 @register(

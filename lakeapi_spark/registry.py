@@ -44,7 +44,7 @@ class TableRegistry:
             cfg = merge_config_from_data(cfg)
         if cfg.name == "*":
             assert cfg.datasource.uri.endswith("/*")
-            for child_name, child_uri in expand_wildcard(cfg.datasource.uri):
+            for child_name, child_uri in expand_wildcard(self.spark, cfg.datasource.uri):
                 import copy
 
                 child = copy.deepcopy(cfg)

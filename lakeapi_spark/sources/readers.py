@@ -10,7 +10,19 @@ arrow-stream | csv | json | ndjson | odbc | sqlite | duckdb
 - arrow ipc/feather: no native Spark reader — pyarrow -> createDataFrame
   (driver-side; fine for the small lookup tables this is used for, and
   documented as such; big data should land as parquet/delta)
-- odbc/sqlite/duckdb-file: ``spark.read.jdbc`` shims, driver-dependent
+- odbc/jdbc: ``spark.read.jdbc`` with explicit query-vs-dbtable routing
+  (ref df_odbc.py:122-191 pushes a user SELECT to the remote side)
+- sqlite: JDBC when a driver jar + url are configured; otherwise the
+  stdlib ``sqlite3`` driver-side path — the reference's actual use is
+  small lookup tables registered like any other table
+  (ref df_duckdb.py:459-466, config_test.yml:89-123)
+- duckdb file: the in-container duckdb package -> Arrow ->
+  createDataFrame (ref df_duckdb.py:451-458 ATTACHes the file)
+
+Driver-side paths (arrow/sqlite/duckdb) are for SMALL control/lookup
+tables only: the data crosses the driver once at registration. Anything
+measured in GB belongs in parquet/delta where executors scan in
+parallel with pushdown.
 
 Datasource-level defaults (select/exclude/sortby/filters — ref
 core/config.py:133-155) are applied by the registry after the scan.
@@ -18,9 +30,71 @@ core/config.py:133-155) are applied by the registry after the scan.
 
 from __future__ import annotations
 
-import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
+
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def jdbc_reader_options(uri: str, options: dict[str, str]) -> dict[str, str]:
+    """Resolve the option dict for ``spark.read.format("jdbc")``.
+
+    Mirrors the reference's ODBC query pushdown (df_odbc.py:122-191):
+    an explicit ``query`` option ships the user SELECT to the remote
+    database (Spark wraps it as a subquery — the remote side filters and
+    projects before anything crosses the wire); otherwise ``dbtable``
+    names the remote table. The two are mutually exclusive in Spark's
+    JDBC source, so ``query`` wins and ``dbtable`` is dropped with it."""
+    opts = dict(options)
+    opts.setdefault("url", f"jdbc:sqlite:{uri}")
+    if "query" in opts:
+        opts.pop("dbtable", None)
+    elif "dbtable" not in opts:
+        raise ValueError("jdbc/odbc source needs a 'dbtable' or 'query' option")
+    return opts
+
+
+def _sqlite_local(spark: SparkSession, uri: str, opts: dict[str, str]) -> DataFrame:
+    """stdlib-sqlite3 fallback when no JDBC driver jar is on the
+    classpath. Driver-side by design: the reference uses sqlite for
+    small lookup tables next to the service (config_test.yml:89-123)."""
+    import sqlite3
+
+    import pandas as pd
+
+    sql = opts.get("query")
+    if sql is None:
+        tbl = opts.get("dbtable") or opts.get("table")
+        if not tbl:
+            raise ValueError("sqlite source needs a 'dbtable' or 'query' option")
+        if not _IDENT.fullmatch(tbl):
+            raise ValueError(f"invalid sqlite table name {tbl!r}")
+        sql = f'SELECT * FROM "{tbl}"'
+    with sqlite3.connect(uri) as con:
+        pdf = pd.read_sql_query(sql, con)
+    return spark.createDataFrame(pdf)
+
+
+def _duckdb_file(spark: SparkSession, uri: str, opts: dict[str, str]) -> DataFrame:
+    """duckdb database file as a table (ref df_duckdb.py:451-458 ATTACH):
+    read via the duckdb package -> Arrow -> createDataFrame."""
+    import duckdb
+
+    sql = opts.get("query")
+    if sql is None:
+        tbl = opts.get("dbtable") or opts.get("table")
+        if not tbl:
+            raise ValueError("duckdb source needs a 'dbtable' or 'query' option")
+        if not _IDENT.fullmatch(tbl):
+            raise ValueError(f"invalid duckdb table name {tbl!r}")
+        sql = f'SELECT * FROM "{tbl}"'
+    con = duckdb.connect(uri, read_only=True)
+    try:
+        tab = con.sql(sql).arrow()
+    finally:
+        con.close()
+    return spark.createDataFrame(tab.to_pandas())
 
 
 def read_source(
@@ -54,21 +128,30 @@ def read_source(
         else:
             tab = feather.read_table(uri)
         return spark.createDataFrame(tab.to_pandas())
-    if file_type in ("sqlite", "odbc", "jdbc"):
-        url = opts.pop("url", f"jdbc:sqlite:{uri}")
-        return spark.read.format("jdbc").option("url", url).options(**opts).load()
+    if file_type == "sqlite":
+        # JDBC only when the caller configured a real driver; else stdlib
+        if "driver" in opts:
+            return spark.read.format("jdbc").options(**jdbc_reader_options(uri, opts)).load()
+        return _sqlite_local(spark, uri, opts)
+    if file_type == "duckdb":
+        return _duckdb_file(spark, uri, opts)
+    if file_type in ("odbc", "jdbc"):
+        return spark.read.format("jdbc").options(**jdbc_reader_options(uri, opts)).load()
     raise ValueError(f"unsupported file_type {file_type!r}")
 
 
-def expand_wildcard(uri: str) -> list[tuple[str, str]]:
+def expand_wildcard(spark: SparkSession, uri: str) -> list[tuple[str, str]]:
     """``name: "*"`` + ``uri: folder/*`` exposes every child table
-    (ref core/config.py:341-382). Returns [(table_name, child_uri)]."""
+    (ref core/config.py:341-382 walks fsspec). Listed through the Hadoop
+    FileSystem API (sources/fs.py) so the same config works on local
+    disk and object stores — the 100 TB deployment target — not just
+    ``os.listdir``. Returns [(table_name, child_uri)]."""
     assert uri.endswith("/*"), "wildcard uri must end with /*"
-    base = uri[:-2]
+    from lakeapi_spark.sources.fs import list_children
+
     out = []
-    for entry in sorted(os.listdir(base)):
-        path = os.path.join(base, entry)
-        name = entry.removesuffix(".parquet")
-        if os.path.isdir(path) or entry.endswith(".parquet"):
-            out.append((name, path))
+    for path, is_dir, _mtime in list_children(spark, uri[:-2]):
+        name = path.rsplit("/", 1)[-1]
+        if is_dir or name.endswith(".parquet"):
+            out.append((name.removesuffix(".parquet"), path))
     return out

@@ -99,12 +99,107 @@ def test_read_source_unknown(spark):
         read_source(spark, "/nope", "excel")
 
 
-def test_expand_wildcard(tmp_path):
+def test_expand_wildcard(spark, tmp_path):
+    """Wildcard expansion goes through the Hadoop FS API (works on
+    object-store URIs, not just local paths — r2 VERDICT item 3); the
+    ``file:`` scheme exercises the exact code path a cluster uses for
+    s3a/abfss."""
     (tmp_path / "t1").mkdir()
     (tmp_path / "t2.parquet").write_bytes(b"")
     (tmp_path / "notes.txt").write_text("x")
-    out = expand_wildcard(str(tmp_path) + "/*")
+    out = expand_wildcard(spark, str(tmp_path) + "/*")
     assert [name for name, _ in out] == ["t1", "t2"]
+    # explicit file: URI through the same Hadoop path
+    out_uri = expand_wildcard(spark, "file://" + str(tmp_path) + "/*")
+    assert [name for name, _ in out_uri] == ["t1", "t2"]
+    assert all(u.startswith("file:") for _, u in out_uri)
+    with pytest.raises(FileNotFoundError):
+        expand_wildcard(spark, str(tmp_path / "missing") + "/*")
+
+
+def test_sqlite_source_end_to_end(spark, tmp_path):
+    """The reference registers sqlite lookup tables like any other table
+    (df_duckdb.py:459-466, config_test.yml:89-123). Without a JDBC driver
+    jar the stdlib path serves them."""
+    import sqlite3
+
+    db = str(tmp_path / "lookup.db")
+    with sqlite3.connect(db) as con:
+        con.execute("CREATE TABLE colors (id INTEGER, name TEXT)")
+        con.executemany("INSERT INTO colors VALUES (?, ?)", [(1, "red"), (2, "blue")])
+        con.commit()
+
+    df = read_source(spark, db, "sqlite", {"dbtable": "colors"})
+    assert {(r.id, r.name) for r in df.collect()} == {(1, "red"), (2, "blue")}
+
+    # query pushdown variant: the SELECT runs inside sqlite
+    df2 = read_source(spark, db, "sqlite", {"query": "SELECT name FROM colors WHERE id = 2"})
+    assert [r.name for r in df2.collect()] == ["blue"]
+
+    with pytest.raises(ValueError, match="dbtable"):
+        read_source(spark, db, "sqlite", {})
+    with pytest.raises(ValueError, match="invalid"):
+        read_source(spark, db, "sqlite", {"dbtable": "colors; DROP TABLE colors"})
+
+
+def test_sqlite_source_via_registry(spark, tmp_path):
+    """A migrating user's sqlite lookup table, registered + queried like
+    any parquet table."""
+    import sqlite3
+
+    from lakeapi_spark.config import DatasourceConfig, TableConfig
+    from lakeapi_spark.registry import TableRegistry, compile_request
+
+    db = str(tmp_path / "lk.db")
+    with sqlite3.connect(db) as con:
+        con.execute("CREATE TABLE sizes (code TEXT, cm INTEGER)")
+        con.executemany("INSERT INTO sizes VALUES (?, ?)", [("S", 90), ("M", 100), ("L", 110)])
+        con.commit()
+    reg = TableRegistry(spark)
+    reg.register(
+        TableConfig(
+            name="sizes",
+            datasource=DatasourceConfig(
+                uri=db, file_type="sqlite", options={"dbtable": "sizes"}
+            ),
+        )
+    )
+    out = compile_request(reg, "sizes", {}).collect()
+    assert {r.code for r in out} == {"S", "M", "L"}
+
+
+def test_duckdb_file_source(spark, tmp_path):
+    """duckdb database file as a plain table (ref df_duckdb.py:451-458)."""
+    import duckdb
+
+    db = str(tmp_path / "cat.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE pets (id INTEGER, kind TEXT)")
+    con.execute("INSERT INTO pets VALUES (1, 'cat'), (2, 'dog')")
+    con.close()
+
+    df = read_source(spark, db, "duckdb", {"dbtable": "pets"})
+    assert {(r.id, r.kind) for r in df.collect()} == {(1, "cat"), (2, "dog")}
+    df2 = read_source(spark, db, "duckdb", {"query": "SELECT kind FROM pets WHERE id = 1"})
+    assert [r.kind for r in df2.collect()] == ["cat"]
+
+
+def test_jdbc_reader_options_query_pushdown():
+    """ref df_odbc.py:122-191: an explicit query option pushes the SELECT
+    to the remote database; query and dbtable are mutually exclusive."""
+    from lakeapi_spark.sources.readers import jdbc_reader_options
+
+    opts = jdbc_reader_options("/db/file.db", {"dbtable": "t"})
+    assert opts == {"url": "jdbc:sqlite:/db/file.db", "dbtable": "t"}
+
+    opts = jdbc_reader_options(
+        "ignored", {"url": "jdbc:postgresql://h/d", "query": "SELECT a FROM t WHERE x > 1", "dbtable": "t"}
+    )
+    assert opts["query"] == "SELECT a FROM t WHERE x > 1"
+    assert "dbtable" not in opts  # query wins; Spark rejects both together
+
+    with pytest.raises(ValueError, match="dbtable"):
+        jdbc_reader_options("/db", {})
 
 
 def test_compaction_small_files(spark, tmp_path):

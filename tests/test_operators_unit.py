@@ -152,6 +152,86 @@ def test_bm25_ranking_properties(spark):
     assert all(s > 0 for s in out.values())
 
 
+def test_bm25_index_matches_adhoc(spark, sf_dir):
+    """The persisted-index path must produce byte-identical scores to the
+    per-query corpus aggregation it replaces."""
+    from lakeapi_spark.catalog import table
+    from lakeapi_spark.operators.search import (
+        bm25_search,
+        bm25_search_indexed,
+        build_bm25_index,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    idx = build_bm25_index(docs, "doc_id", "text")
+    try:
+        adhoc = {
+            r.doc_id: r.bm25_score
+            for r in bm25_search(docs, "doc_id", "text", "spark window").collect()
+        }
+        indexed = {
+            r.doc_id: r.bm25_score
+            for r in bm25_search_indexed(docs, idx, "doc_id", "spark window").collect()
+        }
+        assert indexed == adhoc and len(indexed) > 0
+    finally:
+        idx.unpersist()
+
+
+def test_bm25_index_save_load_roundtrip(spark, tmp_path):
+    from lakeapi_spark.operators.search import (
+        bm25_scores,
+        build_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "spark spark window"), (2, "spark only"), (3, "nothing here")], ["id", "t"]
+    )
+    idx = build_bm25_index(df, "id", "t")
+    try:
+        path = str(tmp_path / "bm25_idx")
+        save_bm25_index(idx, path)
+        loaded = load_bm25_index(spark, path)
+        assert loaded.n_docs == idx.n_docs and loaded.avgdl == idx.avgdl
+        a = {r["__id"]: r.bm25_score for r in bm25_scores(idx, "spark window").collect()}
+        b = {r["__id"]: r.bm25_score for r in bm25_scores(loaded, "spark window").collect()}
+        assert a == b and len(a) == 2
+    finally:
+        idx.unpersist()
+
+
+def test_bm25_cache_keyed_by_version(spark):
+    from lakeapi_spark.operators.search import _BM25_CACHE, bm25_index_for
+
+    df = spark.createDataFrame([(1, "spark")], ["id", "t"])
+    try:
+        i1 = bm25_index_for(df, "id", "t", key=("tbl", 100))
+        assert bm25_index_for(df, "id", "t", key=("tbl", 100)) is i1  # memoized
+        i2 = bm25_index_for(df, "id", "t", key=("tbl", 200))  # new version
+        assert i2 is not i1
+        assert ("tbl", 100) not in _BM25_CACHE  # stale evicted
+    finally:
+        for k in [k for k in _BM25_CACHE if k[0] == "tbl"]:
+            _BM25_CACHE.pop(k).unpersist()
+
+
+def test_latest_modification_tracks_writes(spark, tmp_path):
+    from lakeapi_spark.sources.fs import latest_modification, list_children
+
+    d = tmp_path / "tbl"
+    spark.createDataFrame([(1,)], ["x"]).write.mode("overwrite").parquet(str(d))
+    m1 = latest_modification(spark, str(d))
+    assert m1 > 0
+    import time
+
+    time.sleep(1.1)
+    spark.createDataFrame([(2,)], ["x"]).write.mode("overwrite").parquet(str(d))
+    assert latest_modification(spark, str(d)) > m1
+    assert any(p.endswith(".parquet") for p, _, _ in list_children(spark, str(d)))
+
+
 def test_nearby_radius_and_order(spark):
     df = spark.createDataFrame(
         [(1, 46.70, 8.60), (2, 46.75, 8.70), (3, 45.00, 11.00)],
