@@ -1964,6 +1964,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(pairs)
 
 
+@register("dedup_clusters_star", _CLUSTER_ORACLE)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pair list and output contract as ``dedup_clusters``, computed
+    with the alternating large-star/small-star rounds
+    (operators/dedup.dup_clusters_star) — the O(log n)-round variant for
+    adversarial long-chain graphs. Shares the recursive-CTE oracle:
+    both implementations must produce the identical component-min
+    labeling."""
+    from lakeapi_spark.operators.dedup import dup_clusters_star, ngram_jaccard_pairs
+
+    d = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.2)
+    return dup_clusters_star(pairs)
+
+
 @register(
     "label_centroids",
     """

@@ -278,3 +278,35 @@ def test_ivf_partitioned_layout_prunes_files(spark, sf_dir, tmp_path):
     # and the layout is lossless: probed + unprobed == corpus
     n_total = probed.count() + lists.filter(~F.col("cid").isin([0, 3])).count()
     assert n_total == emb.count()
+
+
+def test_dup_clusters_star_path_graph_1k(spark):
+    """r2 VERDICT hardening: the alternating large-star/small-star variant
+    converges on a 1000-node PATH — the adversarial diameter-1000 graph
+    where plain propagation needs ~1000 rounds — inside its O(log n)
+    iteration budget, labeling every node with the component min (0)."""
+    from lakeapi_spark.operators.dedup import dup_clusters_star
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "id_a long, id_b long"
+    )
+    out = {r.id: r.cluster_id for r in dup_clusters_star(pairs, max_iter=20).collect()}
+    assert len(out) == 1000
+    assert set(out.values()) == {0}
+
+
+def test_dup_clusters_star_matches_propagation(spark):
+    """Same output contract as dup_clusters on a randomized multi-component
+    graph (clusters keyed by component minimum)."""
+    import random
+
+    from lakeapi_spark.operators.dedup import dup_clusters, dup_clusters_star
+
+    rnd = random.Random(11)
+    n = 300
+    edges = [(rnd.randrange(n), rnd.randrange(n)) for _ in range(260)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    b = {r.id: r.cluster_id for r in dup_clusters_star(pairs).collect()}
+    assert a == b
