@@ -300,3 +300,18 @@ def test_config_from_data_cannot_override_trust_fields(spark, tmp_path):
     assert cfg.datasource.uri == str(d)
     assert cfg.datasource.file_type == "parquet"
     assert compile_request(reg, "safe", {}).collect()[0].id == 1
+
+
+def test_wildcard_registration_expands_children(spark, tmp_path):
+    """name='*' + uri='folder/*' registers one table per child via the
+    Hadoop FS listing (ref config.py:341-382)."""
+    for t, rows in [("apples", [(1, "gala")]), ("pears", [(2, "bosc")])]:
+        spark.createDataFrame(rows, ["id", "variety"]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / t))
+    reg = TableRegistry(spark)
+    reg.register(
+        TableConfig(name="*", datasource=DatasourceConfig(uri=str(tmp_path) + "/*"))
+    )
+    assert reg.names() == ["apples", "pears"]
+    assert [r.variety for r in compile_request(reg, "pears", {}).collect()] == ["bosc"]
