@@ -32,8 +32,8 @@ _R3_WINDOW = [
     # fixed this round
     "regex_flag_docs", "funnel_view_to_purchase", "corpus_curation_summary",
     "multimodal_stub_features",
-    # new this round (shares the dedup_clusters oracle)
-    "dedup_clusters_star",
+    # new this round
+    "dedup_clusters_star", "delta_scan_roundtrip",
     # r1-window families, unchecked since round 1
     "q3_shipping_priority", "q5_revenue_by_nation", "rollup_region_nation",
     "window_top_orders_per_segment", "window_lag_order_gap_days",

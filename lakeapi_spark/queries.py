@@ -2409,3 +2409,44 @@ def histogram_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+@register(
+    "delta_scan_roundtrip",
+    """
+    SELECT r_regionkey, r_name,
+           CAST(r_regionkey % 2 AS VARCHAR) AS bucket
+    FROM region
+    """,
+)
+def delta_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executable delta evidence without delta-spark: materialize the
+    region table as a PARTITIONED delta table (sources/delta.py minimal
+    writer — real commit log: protocol + metaData + partitionValues),
+    then read it back through ``read_source("delta")``, which replays the
+    log (sources/delta.py:read_delta_fallback). The oracle reads the
+    source parquet directly, so the hash-compare proves log replay,
+    schema fidelity, and log-declared partition values end to end.
+    delta-spark, when present, takes over the same call transparently."""
+    import hashlib
+    import os
+    import tempfile
+
+    from lakeapi_spark.sources.delta import write_delta_minimal
+    from lakeapi_spark.sources.readers import read_source
+
+    src = (
+        table(spark, sf_dir, "region")
+        .select(
+            "r_regionkey",
+            "r_name",
+            (F.col("r_regionkey") % 2).cast("string").alias("bucket"),
+        )
+    )
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "lakeapi_delta_region_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    if not os.path.isdir(os.path.join(dest, "_delta_log")):
+        write_delta_minimal(src, dest, partition_by=["bucket"])
+    return read_source(spark, dest, "delta").select("r_regionkey", "r_name", "bucket")

@@ -1,0 +1,264 @@
+"""Minimal Delta Lake reader: delta-spark when present, else a native
+protocol-log fallback.
+
+The reference reads delta through deltalake2db/duckdb views
+(df_duckdb.py:438-450) with a pyarrow fallback that enforces the
+protocol check — minReaderVersion > 1 (column mapping, deletion
+vectors) is rejected rather than silently misread (df_base.py:272-284,
+README.md:66). This module mirrors that shape on Spark:
+
+- ``read_delta`` uses ``format("delta")`` when delta-spark is on the
+  classpath (the production path: data skipping, DVs, column mapping);
+- otherwise it REPLAYS THE COMMIT LOG itself: ``_delta_log/*.json``
+  actions (+ the parquet checkpoint referenced by ``_last_checkpoint``),
+  reconciling add/remove files, taking the schema from
+  ``metaData.schemaString`` (which IS Spark StructType JSON), and
+  enforcing the same minReaderVersion<=1 gate as the reference.
+
+Fallback scale notes (documented, not hidden): the log listing and
+replay are driver-side metadata work over the Hadoop FS API (object
+stores fine). Data files are read by executors as plain parquet with
+the log-declared schema. Partitioned tables read one parquet scan PER
+DISTINCT PARTITION TUPLE (partition values come from the log, injected
+as literal columns), so a filter on a partition column constant-folds
+non-matching branches to empty — real partition pruning. A table with
+millions of partitions wants delta-spark, not this fallback; a lookup
+or mid-size table is fully served.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class DeltaProtocolError(ValueError):
+    """Table requires reader features this fallback doesn't implement
+    (mirrors the reference's minReaderVersion>1 rejection, README.md:66)."""
+
+
+@dataclass
+class DeltaSnapshot:
+    version: int
+    schema: T.StructType
+    partition_columns: list[str]
+    #: file path -> partitionValues dict (string-typed, per protocol)
+    files: dict[str, dict[str, str]] = field(default_factory=dict)
+
+
+def _read_json_bytes(spark: SparkSession, uri: str) -> bytes:
+    """Small-file read through the Hadoop FS (commit JSONs are KBs);
+    py4j can't share a mutable buffer, so commons-io drains the stream
+    JVM-side in one call."""
+    from lakeapi_spark.sources.fs import _fs_and_path
+
+    fs, path = _fs_and_path(spark, uri)
+    stream = fs.open(path)
+    try:
+        return bytes(spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+
+
+def _apply_action(snap: DeltaSnapshot, action: dict) -> None:
+    if "protocol" in action:
+        if action["protocol"].get("minReaderVersion", 1) > 1:
+            raise DeltaProtocolError(
+                "minReaderVersion "
+                f"{action['protocol']['minReaderVersion']} > 1 (column mapping / "
+                "deletion vectors) is not supported by the protocol-log fallback; "
+                "install delta-spark for this table"
+            )
+    if "metaData" in action:
+        md = action["metaData"]
+        snap.schema = T.StructType.fromJson(json.loads(md["schemaString"]))
+        snap.partition_columns = list(md.get("partitionColumns", []))
+    if "add" in action:
+        a = action["add"]
+        snap.files[a["path"]] = dict(a.get("partitionValues") or {})
+    if "remove" in action:
+        snap.files.pop(action["remove"]["path"], None)
+
+
+def delta_snapshot(
+    spark: SparkSession, uri: str, version_as_of: int | None = None
+) -> DeltaSnapshot:
+    """Replay the commit log (checkpoint + JSON commits) to a snapshot."""
+    from lakeapi_spark.sources.fs import list_children
+
+    log_dir = f"{uri.rstrip('/')}/_delta_log"
+    entries = list_children(spark, log_dir)
+    commits: dict[int, str] = {}
+    checkpoints: dict[int, str] = {}
+    last_checkpoint = None
+    for path, is_dir, _ in entries:
+        if is_dir:
+            continue
+        name = path.rsplit("/", 1)[-1]
+        if name == "_last_checkpoint":
+            last_checkpoint = path
+        elif name.endswith(".checkpoint.parquet"):
+            checkpoints[int(name.split(".")[0])] = path
+        elif name.endswith(".json"):
+            stem = name[:-5]
+            if stem.isdigit():
+                commits[int(stem)] = path
+    if not commits and not checkpoints:
+        raise FileNotFoundError(f"no delta commits under {log_dir}")
+
+    snap = DeltaSnapshot(version=-1, schema=T.StructType([]), partition_columns=[])
+    start = 0
+    ckpt_version = None
+    if last_checkpoint is not None and checkpoints:
+        ckpt_version = json.loads(_read_json_bytes(spark, last_checkpoint))["version"]
+        if version_as_of is not None and ckpt_version > version_as_of:
+            ckpt_version = None  # time travel to before the checkpoint: replay JSON
+    if ckpt_version is not None and ckpt_version in checkpoints:
+        import pyarrow.parquet as papq
+
+        tab = papq.read_table(checkpoints[ckpt_version])
+        for row in tab.to_pylist():
+            action = {k: v for k, v in row.items() if v is not None}
+            _apply_action(snap, action)
+        start = ckpt_version + 1
+        snap.version = ckpt_version
+    for v in sorted(commits):
+        if v < start:
+            continue
+        if version_as_of is not None and v > version_as_of:
+            break
+        for line in _read_json_bytes(spark, commits[v]).splitlines():
+            if line.strip():
+                _apply_action(snap, json.loads(line))
+        snap.version = v
+    if version_as_of is not None and snap.version < version_as_of:
+        raise ValueError(f"versionAsOf {version_as_of} not found (latest {snap.version})")
+    if not snap.schema.fields:
+        raise ValueError(f"no metaData action found in {log_dir}")
+    return snap
+
+
+def _partition_lit(value: str | None, dtype: T.DataType):
+    # protocol: partitionValues are strings; null partition is None
+    if value is None:
+        return F.lit(None).cast(dtype)
+    return F.lit(value).cast(dtype)
+
+
+def read_delta_fallback(
+    spark: SparkSession, uri: str, version_as_of: int | None = None
+) -> DataFrame:
+    """Snapshot -> DataFrame. Data columns come from the parquet files
+    with the log-declared schema enforced; partition columns come from
+    the LOG (injected per distinct partition tuple), which is the
+    protocol's source of truth — directory names are only a convention."""
+    snap = delta_snapshot(spark, uri, version_as_of)
+    base = uri.rstrip("/")
+    pcols = snap.partition_columns
+    data_fields = [f for f in snap.schema.fields if f.name not in pcols]
+    data_schema = T.StructType(data_fields)
+    ptypes = {f.name: f.dataType for f in snap.schema.fields if f.name in pcols}
+
+    if not snap.files:
+        return spark.createDataFrame([], snap.schema)
+
+    groups: dict[tuple, list[str]] = {}
+    for path, pvals in snap.files.items():
+        key = tuple(pvals.get(c) for c in pcols)
+        groups.setdefault(key, []).append(f"{base}/{path}")
+
+    parts = []
+    for key, paths in sorted(groups.items(), key=lambda kv: tuple(str(k) for k in kv[0])):
+        df = spark.read.schema(data_schema).parquet(*paths)
+        for c, v in zip(pcols, key):
+            df = df.withColumn(c, _partition_lit(v, ptypes[c]))
+        parts.append(df.select([f.name for f in snap.schema.fields]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def read_delta(
+    spark: SparkSession,
+    uri: str,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """delta-spark when available; protocol-log fallback otherwise.
+    Honors the reader option ``versionAsOf`` on both paths."""
+    opts = dict(options or {})
+    try:
+        import delta  # noqa: F401 - presence check only
+
+        return spark.read.options(**opts).format("delta").load(uri)
+    except ImportError:
+        version = opts.pop("versionAsOf", None)
+        return read_delta_fallback(
+            spark, uri, int(version) if version is not None else None
+        )
+
+
+def write_delta_minimal(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """Minimal delta WRITER for small tables and fixtures: one commit with
+    protocol(1,2) + metaData + add actions. Collects through Arrow on the
+    driver — this is a test/fixture utility and a lookup-table tool, not
+    a data path (the reference never writes delta either; its tables are
+    produced upstream). Partitioned layouts emit one file per partition
+    tuple with log-declared partitionValues."""
+    import json
+    import os
+    import uuid
+
+    import pyarrow.parquet as papq
+
+    pcols = partition_by or []
+    tab = df.toArrow()
+    os.makedirs(path, exist_ok=True)
+    adds = []
+    if pcols:
+        import pyarrow.compute as pc
+
+        keys = tab.select(pcols).to_pylist()
+        uniq = sorted({tuple(str(k[c]) for c in pcols) for k in keys})
+        for key in uniq:
+            mask = None
+            for c, v in zip(pcols, key):
+                m = pc.equal(pc.cast(tab.column(c), "string"), v)
+                mask = m if mask is None else pc.and_(mask, m)
+            part = tab.filter(mask).drop_columns(pcols)
+            rel = "/".join(f"{c}={v}" for c, v in zip(pcols, key))
+            os.makedirs(f"{path}/{rel}", exist_ok=True)
+            fname = f"{rel}/part-{uuid.uuid5(uuid.NAMESPACE_URL, rel).hex}.parquet"
+            papq.write_table(part, f"{path}/{fname}")
+            adds.append(
+                {"add": {"path": fname, "partitionValues": dict(zip(pcols, key)),
+                         "size": 1, "modificationTime": 0, "dataChange": True}}
+            )
+    else:
+        fname = f"part-{uuid.uuid5(uuid.NAMESPACE_URL, path).hex}.parquet"
+        papq.write_table(tab, f"{path}/{fname}")
+        adds.append(
+            {"add": {"path": fname, "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}}
+        )
+    log = f"{path}/_delta_log"
+    os.makedirs(log, exist_ok=True)
+    with open(f"{log}/{0:020d}.json", "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}) + "\n")
+        f.write(
+            json.dumps(
+                {"metaData": {"id": str(uuid.uuid5(uuid.NAMESPACE_URL, path)),
+                              "schemaString": df.schema.json(),
+                              "partitionColumns": pcols,
+                              "format": {"provider": "parquet"},
+                              "configuration": {}}}
+            ) + "\n"
+        )
+        for a in adds:
+            f.write(json.dumps(a) + "\n")

@@ -107,7 +107,9 @@ def read_source(
     if file_type == "parquet":
         return spark.read.options(**opts).parquet(uri)
     if file_type == "delta":
-        return spark.read.options(**opts).format("delta").load(uri)
+        from lakeapi_spark.sources.delta import read_delta
+
+        return read_delta(spark, uri, opts)
     if file_type == "csv":
         # ref duckdb read_csv_auto semantics: header + inference; defaults
         # merged first so datasource options may override them

@@ -288,3 +288,163 @@ def test_delta_scan_partition_pruning(spark, tmp_path):
     assert df.count() == 200
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "p#" in plan
+
+
+# ---------------------------------------------------------------------------
+# Delta protocol-log fallback (sources/delta.py) — executable delta
+# evidence without delta-spark, mirroring the reference's pyarrow
+# fallback + protocol check (df_base.py:272-284, README.md:66)
+# ---------------------------------------------------------------------------
+
+
+def _write_commit(log_dir, version, actions):
+    import json
+    import os
+
+    os.makedirs(log_dir, exist_ok=True)
+    with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+
+@pytest.fixture()
+def delta_table(tmp_path):
+    """A hand-written, protocol-valid delta table: partitioned, with an
+    add/remove history (v0: f1+f3, v1: f1 replaced by f2)."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from pyspark.sql import types as T
+
+    base = str(tmp_path / "dtbl")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("val", T.StringType()),
+            T.StructField("p", T.StringType()),
+        ]
+    )
+    data_schema = pa.schema([("id", pa.int64()), ("val", pa.string())])
+
+    def part_file(rel, ids, vals):
+        import os
+
+        path = f"{base}/{rel}"
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        papq.write_table(pa.table({"id": ids, "val": vals}, schema=data_schema), path)
+
+    part_file("p=a/f1.parquet", [1, 2], ["x", "y"])
+    part_file("p=a/f2.parquet", [3], ["z"])
+    part_file("p=b/f3.parquet", [4], ["w"])
+    meta = {
+        "metaData": {
+            "id": "tbl-1",
+            "schemaString": schema.json(),
+            "partitionColumns": ["p"],
+            "format": {"provider": "parquet"},
+            "configuration": {},
+        }
+    }
+    _write_commit(
+        base + "/_delta_log",
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            meta,
+            {"add": {"path": "p=a/f1.parquet", "partitionValues": {"p": "a"}, "size": 1, "modificationTime": 0, "dataChange": True}},
+            {"add": {"path": "p=b/f3.parquet", "partitionValues": {"p": "b"}, "size": 1, "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    _write_commit(
+        base + "/_delta_log",
+        1,
+        [
+            {"remove": {"path": "p=a/f1.parquet", "dataChange": True}},
+            {"add": {"path": "p=a/f2.parquet", "partitionValues": {"p": "a"}, "size": 1, "modificationTime": 0, "dataChange": True}},
+        ],
+    )
+    return base, meta
+
+
+def test_delta_fallback_snapshot_and_time_travel(spark, delta_table):
+    base, _ = delta_table
+    df = read_source(spark, base, "delta")
+    assert sorted((r.id, r.val, r.p) for r in df.collect()) == [
+        (3, "z", "a"),
+        (4, "w", "b"),
+    ]
+    # versionAsOf replays to the pre-remove snapshot
+    df0 = read_source(spark, base, "delta", {"versionAsOf": "0"})
+    assert sorted((r.id, r.val, r.p) for r in df0.collect()) == [
+        (1, "x", "a"),
+        (2, "y", "a"),
+        (4, "w", "b"),
+    ]
+
+
+def test_delta_fallback_partition_pruning(spark, delta_table):
+    """Partition values come from the LOG, injected as literals, so a
+    partition filter constant-folds non-matching branches away: only one
+    FileScan survives in the executed plan."""
+    base, _ = delta_table
+    df = read_source(spark, base, "delta")
+    pruned = df.filter(df.p == "b")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    assert [r.id for r in pruned.collect()] == [4]
+
+
+def test_delta_fallback_rejects_advanced_protocol(spark, tmp_path, delta_table):
+    """minReaderVersion > 1 (column mapping / deletion vectors) must fail
+    loudly, exactly like the reference's pyarrow path (README.md:66)."""
+    from lakeapi_spark.sources.delta import DeltaProtocolError
+
+    _, meta = delta_table
+    base2 = str(tmp_path / "dv_tbl")
+    _write_commit(
+        base2 + "/_delta_log",
+        0,
+        [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}}, meta],
+    )
+    with pytest.raises(DeltaProtocolError, match="minReaderVersion"):
+        read_source(spark, base2, "delta")
+
+
+def test_delta_fallback_checkpoint_replay(spark, delta_table):
+    """Replay starts from the parquet checkpoint named by
+    _last_checkpoint; JSON commits before it are ignored."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from lakeapi_spark.sources.delta import delta_snapshot
+
+    base, meta = delta_table
+    log = base + "/_delta_log"
+    # pyarrow cannot write empty structs (configuration: {}); the replay
+    # only needs schemaString + partitionColumns anyway
+    ckpt_meta = {
+        k: v for k, v in meta["metaData"].items() if k not in ("configuration", "format")
+    }
+    # checkpoint at version 1 = the net snapshot state as one action list
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}, "metaData": None, "add": None},
+        {"protocol": None, "metaData": ckpt_meta, "add": None},
+        {"protocol": None, "metaData": None, "add": {"path": "p=a/f2.parquet", "partitionValues": {"p": "a"}, "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"protocol": None, "metaData": None, "add": {"path": "p=b/f3.parquet", "partitionValues": {"p": "b"}, "size": 1, "modificationTime": 0, "dataChange": True}},
+    ]
+    papq.write_table(
+        pa.Table.from_pylist(actions), f"{log}/{1:020d}.checkpoint.parquet"
+    )
+    with open(f"{log}/_last_checkpoint", "w") as f:
+        json.dump({"version": 1, "size": len(actions)}, f)
+    # corrupt the pre-checkpoint commit: replay must not read it
+    with open(f"{log}/{0:020d}.json", "w") as f:
+        f.write("{not json")
+
+    snap = delta_snapshot(spark, base)
+    assert snap.version == 1
+    assert sorted(snap.files) == ["p=a/f2.parquet", "p=b/f3.parquet"]
+    df = read_source(spark, base, "delta")
+    assert sorted(r.id for r in df.collect()) == [3, 4]
