@@ -36,8 +36,19 @@ class ParamConfig:
 
 @dataclass
 class SearchConfig:
+    """ref core/types.py:118-128. ``method`` mirrors the reference's
+    engine split: the duckdb engine serves search from a persisted FTS
+    index with BM25 ranking (df_duckdb.py:321-379) while other engines
+    use the portable LIKE scorer (df_base.py:354-377). ``"bm25"`` here
+    serves from the per-table-version inverted index
+    (operators/search.py:Bm25Index) and requires ``id_column`` — the
+    reference keys its FTS index the same way (a pk over the indexed
+    relation)."""
+
     name: str
     columns: list[str]
+    method: str = "like"  # "like" | "bm25"
+    id_column: str | None = None
 
 
 @dataclass

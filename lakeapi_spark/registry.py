@@ -162,7 +162,39 @@ def compile_request(
         assert cfg.search, f"table {name} has no search config"
         req.sortby, req.limit, req.offset = [], None, None
         out = apply_query(df, req)
-        out = search_op(out, cfg.search[0].columns, search_text)
+        sc = cfg.search[0]
+        if sc.method == "bm25":
+            # Served from the per-table-version inverted index, like the
+            # reference's duckdb FTS path (df_duckdb.py:321-379): the
+            # index covers the FULL table version (request filters don't
+            # change corpus statistics), scores broadcast-join onto the
+            # filtered request. Inner join == the reference's
+            # `score IS NOT NULL` drop of non-matching rows.
+            assert sc.id_column, "bm25 search requires SearchConfig.id_column"
+            from pyspark.sql import functions as F
+
+            from lakeapi_spark.operators.search import bm25_index_for, bm25_scores
+
+            full = registry.dataframe(name)
+            text = F.concat_ws(" ", *[F.col(c) for c in sc.columns])
+            try:
+                from lakeapi_spark.sources.fs import latest_modification
+
+                version = latest_modification(registry.spark, ds.uri)
+            except Exception:  # non-file sources: key by config version
+                version = cfg.version
+            idx = bm25_index_for(
+                full.select(F.col(sc.id_column), text.alias("__text")),
+                sc.id_column,
+                "__text",
+                key=(f"search:{name}:{ds.uri}", version),
+            )
+            scores = bm25_scores(idx, search_text, score_col="search_score")
+            out = out.join(
+                scores.withColumnRenamed("__id", sc.id_column), sc.id_column, "inner"
+            )
+        else:
+            out = search_op(out, sc.columns, search_text)
         # Page with the same deterministic-tiebreak discipline as paged():
         # scores are small integers with many ties, so score-desc alone
         # makes page N and N+1 overlap/drop rows. Secondary keys: the

@@ -315,3 +315,52 @@ def test_wildcard_registration_expands_children(spark, tmp_path):
     )
     assert reg.names() == ["apples", "pears"]
     assert [r.variety for r in compile_request(reg, "pears", {}).collect()] == ["bosc"]
+
+
+def test_search_method_bm25_served_from_index(spark, sf_dir):
+    """SearchConfig(method='bm25') serves search from the per-table-version
+    inverted index (the reference's duckdb FTS path), ranking by BM25 and
+    dropping non-matching rows; repeated requests reuse the cached index."""
+    from lakeapi_spark.config import SearchConfig
+    from lakeapi_spark.operators.search import _BM25_CACHE, bm25_search
+
+    reg = TableRegistry(spark)
+    reg.register(
+        TableConfig(
+            name="docs_bm25",
+            datasource=DatasourceConfig(
+                uri=f"{sf_dir}/documents.parquet",
+                # tiebreak on doc_id so paging order is fully deterministic
+                # and comparable with the operator-level ordering
+                sortby=[{"by": "doc_id", "direction": "asc"}],
+            ),
+            search=[
+                SearchConfig(
+                    name="search", columns=["text"], method="bm25", id_column="doc_id"
+                )
+            ],
+        )
+    )
+    before = {k for k in _BM25_CACHE if k[0].startswith("search:docs_bm25:")}
+    out = compile_request(reg, "docs_bm25", {}, search_text="spark window", limit=10)
+    rows = out.collect()
+    assert 0 < len(rows) <= 10
+    scores = [r.search_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+    # ranking parity with the operator-level BM25 on the same corpus
+    expect = bm25_search(
+        reg.dataframe("docs_bm25"), "doc_id", "text", "spark window",
+        score_col="search_score",
+    )
+    top = expect.select("doc_id", "search_score").limit(10).collect()
+    assert [(r.doc_id, r.search_score) for r in rows] == [
+        (r.doc_id, r.search_score) for r in top
+    ]
+
+    # second request hits the cache (one index per table version)
+    compile_request(reg, "docs_bm25", {}, search_text="spark", limit=5).collect()
+    after = [k for k in _BM25_CACHE if k[0].startswith("search:docs_bm25:")]
+    assert len(after) - len(before) == 1
+    for k in after:
+        _BM25_CACHE.pop(k).unpersist()
