@@ -214,3 +214,62 @@ def test_run_sql_parenthesized_and_backtick_bypass_blocked(spark, sf_dir):
         spark, "SELECT n_name FROM (nation) WHERE n_regionkey = 0",
         allowed_tables={"nation"},
     ).count() > 0
+
+
+def test_relation_scanner_fuzz():
+    """Grammar-driven fuzz: generate queries where the base-relation set is
+    known by construction — plain names, backticked names, aliased tables,
+    parenthesized relations (nested), parenthesized joins, subqueries,
+    scalar subqueries, comma joins, set-ops — and assert the scanner
+    recovers exactly that set and the validator accepts. The visibility
+    check has been bypassed twice (comma joins r1, parenthesized/backtick
+    relations r2); this pins the whole family."""
+    import random
+
+    pool = [f"tbl_{c}" for c in "abcdefgh"]
+
+    def gen_rel(rnd: random.Random, depth: int, out: set) -> str:
+        r = rnd.random()
+        if r < 0.45 or depth >= 3:
+            name = rnd.choice(pool)
+            out.add(name)
+            form = f"`{name}`" if rnd.random() < 0.25 else name
+            return form + (f" a{rnd.randrange(9)}" if rnd.random() < 0.4 else "")
+        if r < 0.6:  # parenthesized relation, possibly nested
+            return "(" + gen_rel(rnd, depth + 1, out) + ")"
+        if r < 0.75:  # parenthesized join
+            a = gen_rel(rnd, depth + 1, out)
+            b = gen_rel(rnd, depth + 1, out)
+            return f"({a} JOIN {b} ON 1 = 1)"
+        return "(" + gen_query(rnd, depth + 1, out) + ") s" + str(rnd.randrange(9))
+
+    def gen_select(rnd: random.Random, depth: int, out: set) -> str:
+        rels = [gen_rel(rnd, depth, out) for _ in range(rnd.randrange(1, 3))]
+        sql = "SELECT x, y FROM " + ", ".join(rels)
+        if rnd.random() < 0.3:
+            sql += " JOIN " + gen_rel(rnd, depth, out) + " ON 1 = 1"
+        if rnd.random() < 0.3:
+            inner: set = set()
+            sub = gen_query(rnd, depth + 1, inner)
+            out |= inner
+            sql += f" WHERE x > (SELECT max(x) FROM ({sub}) q)"
+        if rnd.random() < 0.2:
+            sql += " GROUP BY x, y"
+        return sql
+
+    def gen_query(rnd: random.Random, depth: int, out: set) -> str:
+        if depth < 2 and rnd.random() < 0.25:
+            op = rnd.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+            return (
+                "(" + gen_select(rnd, depth + 1, out) + f") {op} ("
+                + gen_select(rnd, depth + 1, out) + ")"
+            )
+        return gen_select(rnd, depth, out)
+
+    rnd = random.Random(20260813)
+    for i in range(300):
+        expect: set = set()
+        sql = gen_query(rnd, 0, expect)
+        validate_sql(sql)  # must not 400
+        got = referenced_tables(sql)
+        assert got == expect, f"seed iter {i}: {sql!r}\n got {got}\n want {expect}"
