@@ -68,7 +68,13 @@ def decode_stub_features(df: DataFrame) -> DataFrame:
                 arr = np.frombuffer(bytes(payload), dtype=np.uint8)
                 hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM).astype(np.float64)
                 total = hist.sum()
-                feats.append((hist / total if total else hist).round(6).tolist())
+                # exact IEEE division, NO decimal rounding: count/total is
+                # bit-identical in any engine, while round-to-6 lands on
+                # exact .5 ulp boundaries for power-of-two byte totals
+                # (128-byte doc: c*1e6/128) where numpy's half-even and
+                # SQL ROUND half-away diverge — cross-engine-verifiable
+                # by construction instead of by luck
+                feats.append((hist / total if total else hist).tolist())
             yield pd.DataFrame({"id": pdf["id"], "features": feats})
 
     return df.select("id", "payload").mapInPandas(

@@ -1264,8 +1264,67 @@ def ann_numpy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@register("ann_lsh_topk", None)  # approximate: recall property-tested vs brute force
+def _lsh_oracle(dim: int = 64, n_planes: int = 4, n_tables: int = 8, seed: int = 42) -> str:
+    """Exact oracle for the LSH pipeline: the hyperplanes are
+    DATA-INDEPENDENT (seeded randn), so their literal values are baked
+    into the SQL at registration and DuckDB re-derives the identical
+    sign-bit signatures, candidate set, and cosine re-rank. Uses the
+    same SUM-over-unnested-elements dot product already hash-green in
+    dedup_embedding_cosine/ann_brute_force."""
+    from lakeapi_spark.operators.similarity import random_hyperplanes
+
+    rows = []
+    for t in range(n_tables):
+        for p, plane in enumerate(random_hyperplanes(dim, n_planes, seed + 1000 * t)):
+            rows.extend(f"({t},{p},{i + 1},{w!r})" for i, w in enumerate(plane))
+    values = ",".join(rows)
+    return (
+        _EMB_DOT
+        + f"""
+    , planes(t, p, i, w) AS (VALUES {values})
+    , sigdot AS (
+        SELECT x.vec_id, pl.t, pl.p, SUM(x.val * pl.w) AS d
+        FROM x JOIN planes pl ON pl.i = x.i GROUP BY 1, 2, 3
+    )
+    , sig AS (
+        SELECT vec_id, t,
+               CAST(SUM(CASE WHEN d >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT)
+               + CAST(t AS BIGINT) * 4294967296 AS sig
+        FROM sigdot GROUP BY vec_id, t
+    )
+    , cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM sig q JOIN sig c ON q.sig = c.sig AND c.vec_id <> q.vec_id
+        WHERE q.vec_id <= 4
+    )
+    , dt AS (
+        SELECT cand.query_id, cand.neighbor_id, SUM(a.val * b.val) AS dot
+        FROM cand
+        JOIN x a ON a.vec_id = cand.query_id
+        JOIN x b ON b.vec_id = cand.neighbor_id AND b.i = a.i
+        GROUP BY 1, 2
+    )
+    , scored AS (
+        SELECT dt.query_id, dt.neighbor_id,
+               ROUND(dt.dot / (na.nrm * nb.nrm), 4) AS cosine
+        FROM dt JOIN n na ON na.vec_id = dt.query_id
+                JOIN n nb ON nb.vec_id = dt.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+           ) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """
+    )
+
+
+@register("ann_lsh_topk", _lsh_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table random-hyperplane LSH, now EXACTLY oracle-verified:
+    data-independent hyperplanes are baked into the oracle as literals
+    (see _lsh_oracle); recall remains property-tested vs brute force."""
     from lakeapi_spark.operators.similarity import lsh_topk
 
     e = table(spark, sf_dir, "embeddings")
@@ -1306,17 +1365,42 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(attach_fake_payload(d, "doc_id", "text"))
 
 
-@register("multimodal_stub_features", None)  # numpy stub kernel: determinism unit-tested
+@register(
+    "multimodal_stub_features",
+    """
+    WITH b AS (
+      SELECT doc_id, encode(text) AS payload, octet_length(encode(text)) AS total
+      FROM documents
+    ),
+    bytes AS (
+      SELECT b.doc_id,
+             CAST(concat('0x', substr(hex(b.payload), 2 * CAST(t.i AS INT) - 1, 2)) AS INT) % 8 AS bucket
+      FROM b, unnest(range(1, b.total + 1)) AS t(i)
+    ),
+    hist AS (SELECT doc_id, bucket, COUNT(*) AS c FROM bytes GROUP BY doc_id, bucket),
+    grid AS (
+      SELECT b.doc_id, b.total, p.pos FROM b, (SELECT unnest(range(8)) AS pos) p
+    )
+    SELECT g.doc_id AS id, CAST(g.pos AS INT) AS pos,
+           CASE WHEN g.total = 0 THEN 0.0
+                ELSE CAST(COALESCE(h.c, 0) AS DOUBLE) / g.total END AS value
+    FROM grid g LEFT JOIN hist h ON h.doc_id = g.doc_id AND h.bucket = g.pos
+    """,
+)
 def multimodal_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Library callers get ``features array<double>``
-    (operators/multimodal.py:decode_stub_features); the registered query
-    serializes the vector to a JSON string because the driver's
-    canonicalizer pandas-sorts every column and lists are unhashable."""
+    """The mapInPandas byte-histogram kernel, verified EXACTLY against a
+    DuckDB oracle that re-derives the histogram from hex(payload) — the
+    fake payload is the utf-8 text bytes, so both engines compute the
+    identical count/total IEEE doubles (no decimal rounding; see
+    operators/multimodal.py kernel note). Library callers get
+    ``features array<double>``; the registered query posexplodes to
+    (id, pos, value) because the driver canonicalizer cannot hash
+    array columns."""
     from lakeapi_spark.operators.multimodal import attach_fake_payload, decode_stub_features
 
     d = table(spark, sf_dir, "documents")
     out = decode_stub_features(attach_fake_payload(d, "doc_id", "text"))
-    return out.select("id", F.to_json("features").alias("features_json"))
+    return out.select("id", F.posexplode("features").alias("pos", "value"))
 
 
 # ---------------------------------------------------------------------------
