@@ -10,54 +10,71 @@ entry per implemented operator from SURVEY.md §2 plus the
 training-data-pipeline extensions. The library registry keeps its
 natural registration order; THIS file (the driver-facing contract,
 not product code) decides presentation order, because the driver
-samples the FIRST 50 entries per round. Round-3 window: the four
-queries fixed this round first, then the families last driver-checked
-in round 1 (filters, search, nearby, partition pruning, streaming
-batch-twins, text analysis). Everything else follows in registration
-order and was driver-verified green in round 1 or 2.
+samples the FIRST 50 entries per round.
+
+Ordering is MECHANICAL (no hand-maintained window): queries sort by
+(last round in which a committed ``CORRECTNESS_r*.json`` recorded a
+driver check for them, whether that latest row was fully green),
+least-recently-checked first (never-checked first of all), red rows
+before green rows from the same round, registration order as
+tiebreak. Each round the driver therefore samples the 50 queries
+with the stalest-or-weakest external evidence, every query re-enters
+the window on a fixed cadence, and a brand-new or previously-red
+query goes to the front — without anyone editing a list.
 """
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from lakeapi_spark.queries import QUERIES
 
-#: Round-3 driver window (first 50 sampled by the driver): the four
-#: rows red in CORRECTNESS_r02 (now fixed), then one-per-family
-#: refresh of everything not driver-checked since round 1.
-_R3_WINDOW = [
-    # fixed this round
-    "regex_flag_docs", "funnel_view_to_purchase", "corpus_curation_summary",
-    "multimodal_stub_features",
-    # new this round
-    "dedup_clusters_star", "delta_scan_roundtrip",
-    # r1-window families, unchecked since round 1
-    "q3_shipping_priority", "q5_revenue_by_nation", "rollup_region_nation",
-    "window_top_orders_per_segment", "window_lag_order_gap_days",
-    "cube_orders_priority_status", "quantiles_event_value",
-    "skew_safe_distinct_suppliers", "range_join_price_bands", "sample_hash_orders",
-    "filter_eq", "filter_ne", "filter_lt_gte", "filter_gt_lte",
-    "filter_in", "filter_not_in", "filter_between", "filter_not_between",
-    "filter_contains", "filter_not_contains", "filter_startswith", "filter_has",
-    "filter_eq_null", "filter_ne_null", "combi_or_of_ands", "select_alias_exclude",
-    "distinct_values", "sort_limit_topk", "offset_paging", "search_like_score",
-    "search_tf_score", "search_bm25_score", "nearby_radius",
-    "partition_prune_direct", "partition_prune_md5_prefix",
-    "partition_prune_md5_mod", "partition_prune_prefix",
-    "events_tumbling_5m", "events_sliding_10m_5m", "events_sessionize_30m",
-    "events_json_extract", "events_pivot_daily", "text_token_stats",
-    "text_quality_score", "text_lang_id", "text_fingerprint",
-    "text_bpe_token_count",
-]
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def _last_checked() -> dict[str, tuple[int, int]]:
+    """name -> (latest round with a CORRECTNESS row for it, whether that
+    row was fully green). A red row is still fresh evidence for the
+    round key, but sorts ahead of green rows from the same round so
+    just-fixed queries re-enter the window immediately. Unknown or
+    unreadable files are skipped; absent names default to (0, 0).
+    """
+    seen: dict[str, tuple[int, int]] = {}
+    for path in glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            green = int(
+                isinstance(row, dict)
+                and row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") is True
+                and row.get("err") is None
+            )
+            if rnd >= seen.get(name, (0, 0))[0]:
+                seen[name] = (rnd, green)
+    return seen
 
 
 def _ordered_names() -> list[str]:
-    front = [n for n in _R3_WINDOW if n in QUERIES]
-    rest = [n for n in QUERIES if n not in set(front)]
-    return front + rest
+    checked = _last_checked()
+    reg_order = {name: i for i, name in enumerate(QUERIES)}
+    return sorted(QUERIES, key=lambda n: (*checked.get(n, (0, 0)), reg_order[n]))
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -2140,7 +2140,13 @@ def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("first_purchase"))
     )
     j = v.join(p, "user_id", "left")
-    delta = F.unix_micros("first_purchase") - F.unix_micros("first_view")
+    # cast("timestamp"): unix_micros requires LTZ; parquet naive
+    # timestamps read as TIMESTAMP_NTZ in Spark 4 and the cast (no-op
+    # on LTZ) interprets them in the UTC session tz, matching the
+    # oracle's naive-epoch arithmetic.
+    delta = F.unix_micros(F.col("first_purchase").cast("timestamp")) - F.unix_micros(
+        F.col("first_view").cast("timestamp")
+    )
     return j.agg(
         F.count(F.lit(1)).alias("n_viewers"),
         F.count("first_purchase").alias("n_converted"),
@@ -2249,7 +2255,13 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "event_type")
+        .select(
+            "user_id",
+            "event_id",
+            # cast: unix_micros needs LTZ; NTZ parquet ts -> UTC session tz
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "event_type",
+        )
     )
 
 
@@ -2271,9 +2283,12 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q10 shape: top-20 customers by returned-item revenue.
-    Fact-fact join (orders x lineitem) shuffles on orderkey; customer
-    and nation are broadcast dims; the returnflag filter is pushed to
-    the lineitem scan so the join probe side is pre-shrunk. Top-20 is
+    Fact-fact join (orders x lineitem) shuffles on orderkey; nation is
+    a broadcast dim. Customer is NOT hinted: it is small at test SF
+    (stats/AQE broadcast it anyway) but ~15M rows at TPC-H sf100, where
+    a forced broadcast would OOM — the size-based decision must stay
+    with the optimizer. The returnflag filter is pushed to the lineitem
+    scan so the join probe side is pre-shrunk. Top-20 is
     TakeOrderedAndProject with a custkey tiebreak."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
@@ -2283,7 +2298,7 @@ def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.filter(F.col("l_returnflag") == "R")
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -2312,10 +2327,13 @@ def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q7 shape: cross-border trade volume by (customer nation,
-    supplier nation). One fact-fact shuffle on orderkey; all four
-    dimension hops broadcast, so the 5-way join adds zero extra
-    shuffles; the inequality filter runs after both nation names are
-    attached (it references both sides, so it cannot push lower)."""
+    supplier nation). One fact-fact shuffle on orderkey; the
+    guaranteed-small dims (nation x2, supplier) are hinted broadcast.
+    Customer is left unhinted — small at test SF so the optimizer
+    broadcasts it from stats, but scale-proportional (15M rows at
+    sf100) so the hint must not force it. The inequality filter runs
+    after both nation names are attached (it references both sides,
+    so it cannot push lower)."""
     l = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
@@ -2330,7 +2348,7 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
@@ -2573,9 +2591,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     one exact division — a rounded quotient re-imports the half-way
     double trap). Plan: the p_type filter prunes the broadcast part
     dim BEFORE the join, one fact-fact shuffle (lineitem x orders on
-    orderkey), every dim hop (part, customer, nation x2, region,
-    supplier) broadcast — so the 8-way join costs exactly one wide
-    exchange at any scale."""
+    orderkey); the guaranteed-small dims (part, nation x2, region,
+    supplier) are hinted broadcast. Customer is unhinted — the
+    optimizer broadcasts it from stats at small SF but must be free
+    to pick SMJ/AQE at sf100 where customer is GBs — so the 8-way
+    join costs at most two wide exchanges at any scale, never an
+    executor OOM."""
     l = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     o = table(spark, sf_dir, "orders")
@@ -2591,7 +2612,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
@@ -2661,8 +2682,10 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     appear as c_count=0 — the filter lives in the join condition, not
     WHERE, or the outer join collapses to inner). Plan: the orders
     side pre-aggregates to (custkey, count) BEFORE the join, so the
-    join input is one row per customer, the customer side broadcasts,
-    and the final distribution is a result-sized aggregate."""
+    join input is one row per customer (both sides ~|customer| — the
+    optimizer picks the join strategy from stats; no broadcast hint,
+    customer is scale-proportional), and the final distribution is a
+    result-sized aggregate."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     counts = (
@@ -2700,8 +2723,11 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate reuse the SAME groupBy(orderkey) — expressed once here,
     then filtered, so Spark computes one aggregation instead of the
     SQL text's two and the IN becomes a no-op (Catalyst sees the
-    filter directly). One orderkey shuffle + broadcast dims; top-100
-    is TakeOrderedAndProject with an orderkey tiebreak."""
+    filter directly). One orderkey shuffle; customer is joined
+    un-hinted (the >300-qty aggregate output is tiny, so either side
+    may broadcast — the optimizer decides from stats; forcing
+    broadcast(customer) would OOM at sf100). Top-100 is
+    TakeOrderedAndProject with an orderkey tiebreak."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     l = table(spark, sf_dir, "lineitem")
@@ -2712,7 +2738,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name", "c_custkey", "o_orderkey",
             F.to_date("o_orderdate").alias("o_orderdate"),
