@@ -13,14 +13,14 @@ not product code) decides presentation order, because the driver
 samples the FIRST 50 entries per round.
 
 Ordering is MECHANICAL (no hand-maintained window): queries sort by
-(last round in which a committed ``CORRECTNESS_r*.json`` recorded a
-driver check for them, whether that latest row was fully green),
-least-recently-checked first (never-checked first of all), red rows
-before green rows from the same round, registration order as
-tiebreak. Each round the driver therefore samples the 50 queries
-with the stalest-or-weakest external evidence, every query re-enters
-the window on a fixed cadence, and a brand-new or previously-red
-query goes to the front — without anyone editing a list.
+(whether the latest ``CORRECTNESS_r*.json`` row for them was fully
+green, the round of that latest row, registration order). Redness
+dominates staleness: every query whose latest driver row is red —
+including never-checked queries, which default to (0, 0) — sorts
+before ALL green queries, so a failing or brand-new query always
+re-enters the 50-query window next round; green queries rotate
+stalest-first behind them. ``CORRECTNESS_r*.json`` files are read
+from the repo directory as present on disk (tracked or not).
 """
 
 from __future__ import annotations
@@ -74,7 +74,12 @@ def _last_checked() -> dict[str, tuple[int, int]]:
 def _ordered_names() -> list[str]:
     checked = _last_checked()
     reg_order = {name: i for i, name in enumerate(QUERIES)}
-    return sorted(QUERIES, key=lambda n: (*checked.get(n, (0, 0)), reg_order[n]))
+
+    def key(n: str) -> tuple[int, int, int]:
+        rnd, green = checked.get(n, (0, 0))
+        return (green, rnd, reg_order[n])
+
+    return sorted(QUERIES, key=key)
 
 
 def entry(spark: SparkSession) -> DataFrame:

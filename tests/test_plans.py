@@ -216,7 +216,7 @@ def test_q21_single_wide_shuffle(spark, sf_dir):
     assert plan.count("FileScan") <= 3 or "Scan parquet" in plan
 
 
-def test_q8_all_dims_broadcast(spark, sf_dir):
+def test_q8_small_dims_broadcast(spark, sf_dir):
     """Eight-way join: the guaranteed-small dims (part, nation x2,
     region, supplier) are hinted broadcast — at least 5 BHJs.
     Customer is deliberately unhinted (scale-proportional at sf100);
