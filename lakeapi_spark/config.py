@@ -62,6 +62,11 @@ class NearbyConfig:
 class DatasourceConfig:
     uri: str
     file_type: str = "parquet"
+    #: credential-set name for object-store uris (ref source_uri.py
+    #: ``account`` -> accounts yaml). Operator-controlled: deliberately
+    #: NOT in _EMBEDDED_DS_ALLOWED — data writers can't switch a table
+    #: onto another credential set.
+    account: str | None = None
     select: list[dict[str, str]] | None = None  # [{name, alias}]
     exclude: list[str] = field(default_factory=list)
     sortby: list[dict[str, str]] = field(default_factory=list)  # [{by, direction}]
@@ -100,6 +105,7 @@ class TableConfig:
             datasource=DatasourceConfig(
                 uri=ds["uri"],
                 file_type=ds.get("file_type", "parquet"),
+                account=ds.get("account"),
                 select=ds.get("select"),
                 exclude=list(ds.get("exclude", [])),
                 sortby=[

@@ -9,27 +9,46 @@ Five escalating strategies, all shaped for 100 TB:
 - ngram_jaccard:  exact set-similarity via shingle self-join. Exact but
                   O(sum_g freq(g)^2) — the deterministic md5 shingle
                   sampler bounds the blow-up; use for candidate *verify*.
-- minhash_lsh:    MinHash signatures (k permutations via seeded
-                  xxhash64) banded into LSH buckets; candidate pairs
-                  only within buckets -> near-linear scale path.
-- simhash:        64-bit simhash of token hashes; near-dups = equal
+- minhash_lsh:    MinHash signatures (k universal-hash permutations over
+                  a portable 60-bit shingle hash) banded into LSH
+                  buckets; candidate pairs only within buckets ->
+                  near-linear scale path.
+- simhash:        60-bit simhash of token hashes; near-dups = equal
                   fingerprint (or small hamming distance within buckets).
 - embedding:      cosine-threshold pairs over the embeddings table
                   (see similarity.py for the ANN path).
 
-Everything below is built-in functions only (codegen-friendly); the
-LSH/simhash internals use xxhash64 which has no cross-engine twin, so
-those two are verified by property tests (recall vs the exact operator)
-rather than a value-level oracle.
+Everything below is built-in functions only (codegen-friendly). The
+LSH/simhash internals hash through :func:`portable_hash60` (md5-hex
+fold) plus pure int64 arithmetic, so a SQL oracle re-derives every
+signature bit-for-bit (see queries.py); recall additionally stays
+property-tested vs the exact operators.
 """
 
 from __future__ import annotations
+
+import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lakeapi_spark.operators.scale import fan_out
-from lakeapi_spark.operators.text import tokens
+from lakeapi_spark.operators.text import portable_hash60, tokens
+
+#: Mersenne prime 2^31-1: minhash permutation values stay < 2^31 and
+#: (h % P) * a products stay < 2^62 — inside int64 under ANSI arithmetic
+#: in BOTH Spark and the DuckDB oracle.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_perm_constants(num_hashes: int, seed: int = 7) -> tuple[list[int], list[int]]:
+    """Seeded (a, b) literals for perm_i(h) = ((h % P) * a_i + b_i) % P.
+    Derived with stdlib ``random.Random`` so the SQL oracle builder
+    regenerates the identical constants at registration time."""
+    rng = random.Random(seed)
+    a = [rng.randrange(1, MINHASH_P) for _ in range(num_hashes)]
+    b = [rng.randrange(0, MINHASH_P) for _ in range(num_hashes)]
+    return a, b
 
 
 def normalized(text: Column) -> Column:
@@ -185,7 +204,8 @@ def ngram_jaccard_pairs(
 def hashed_shingles(
     df: DataFrame, id_col: str, text_col: str, shingles: DataFrame | None = None
 ) -> DataFrame:
-    """(id, hs: array<long>) — the bigram set hashed once to 64-bit.
+    """(id, hs: array<long>) — the bigram set hashed once to 60-bit
+    via :func:`portable_hash60` (md5 fold, re-derivable in DuckDB SQL).
 
     Every downstream consumer (minhash permutations, LSH verification)
     operates on fixed-width longs instead of re-hashing shingle STRINGS:
@@ -195,7 +215,7 @@ def hashed_shingles(
     arguments are evaluated once per row, unlike lambda-body
     references)."""
     sh = shingles if shingles is not None else doc_shingles(df, id_col, text_col)
-    return sh.select("id", F.transform("sh", lambda g: F.xxhash64(g)).alias("hs"))
+    return sh.select("id", F.transform("sh", lambda g: portable_hash60(g)).alias("hs"))
 
 
 def minhash_signature(
@@ -207,10 +227,12 @@ def minhash_signature(
 ) -> DataFrame:
     """(id, sig: array<long>) — k min-hashes of the word-bigram set.
 
-    Permutation i is xxhash64(i, h) over the 64-bit shingle hash —
-    fixed-width input, so permutation cost is independent of shingle
-    string length. Computed PER ROW with nested array transforms —
-    sig[i] = array_min(transform(hs, h -> xxhash64(i, h))) — zero
+    Permutation i is the universal hash ((h % P) * a_i + b_i) % P over
+    the 60-bit shingle hash (P = 2^31-1; a/b from
+    :func:`minhash_perm_constants`) — pure int64 arithmetic, so cost is
+    independent of shingle string length AND the identical values are
+    re-derivable in a SQL oracle. Computed PER ROW with nested array
+    transforms — sig[i] = array_min(transform(hs, perm_i)) — zero
     shuffle, zero explode. The earlier explode + 128-min-column groupBy
     shape shuffled |docs|*|shingles| rows to compute the exact same
     values (~2x slower at sf0.1 and a full extra shuffle at 100 TB).
@@ -226,9 +248,18 @@ def minhash_signature(
     an already-computed (id, hs) relation from :func:`hashed_shingles`
     (e.g. a persisted one)."""
     hs = hashed if hashed is not None else hashed_shingles(df, id_col, text_col)
+    a_c, b_c = minhash_perm_constants(num_hashes)
+    a_arr = F.array(*[F.lit(a) for a in a_c])
+    b_arr = F.array(*[F.lit(b) for b in b_c])
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform("hs", lambda h: F.xxhash64(i, h))),
+        lambda i: F.array_min(
+            F.transform(
+                "hs",
+                lambda h: ((h % MINHASH_P) * F.element_at(a_arr, i + 1)
+                           + F.element_at(b_arr, i + 1)) % MINHASH_P,
+            )
+        ),
     )
     return hs.select("id", F.when(F.size("hs") > 0, sig).alias("sig"))
 
@@ -262,10 +293,18 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     hs = hashed_shingles(df, id_col, text_col).persist()
     sig = minhash_signature(df, id_col, text_col, num_hashes, hashed=hs)
+    # Bucket key = portable 60-bit fold of the band's (index, rows)
+    # rendered as a csv string: equality of buckets ⟺ equality of the
+    # band tuple (up to md5 collisions), and the SQL oracle re-derives
+    # the identical key. Cost: one md5 per (doc, band).
     band_arr = F.array(
         *[
-            F.xxhash64(
-                F.lit(b), *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+            portable_hash60(
+                F.concat_ws(
+                    ",",
+                    F.lit(str(b)),
+                    *[F.element_at("sig", b * rows + r + 1).cast("string") for r in range(rows)],
+                )
             )
             for b in range(bands)
         ]
@@ -301,26 +340,29 @@ def minhash_lsh_pairs(
 # --- SimHash -----------------------------------------------------------------
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """(id, simhash: long) — sign-sum simhash over token xxhash64 values.
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
+    """(id, simhash: long) — sign-sum simhash over portable 60-bit
+    token hashes (:func:`portable_hash60`, oracle-re-derivable).
 
     Per bit: sum of +-1 across tokens (frequency-weighted — tokens are
     NOT de-duplicated), then bit-assemble. Computed per row: token
     hashes are materialized once as an array column, then each bit is
     an array-aggregate over it — all in whole-stage codegen, zero
-    shuffle, zero explode (the earlier explode + 64-sum-column groupBy
-    shuffled every (doc, token) pair to compute the same values).
-    Docs with no tokens are dropped via a cheap raw-text predicate
-    (``\\S`` ⟺ ≥1 token) BEFORE the fan_out exchange — a post-hoc
-    ``size(hs) > 0`` filter would be predicate-pushed below the
-    exchange and re-tokenize every row serially on the narrow scan
+    shuffle, zero explode (the earlier explode + per-bit-sum-column
+    groupBy shuffled every (doc, token) pair to compute the same
+    values). Docs with no tokens are dropped via a cheap raw-text
+    predicate (``\\S`` ⟺ ≥1 token) BEFORE the fan_out exchange — a
+    post-hoc ``size(hs) > 0`` filter would be predicate-pushed below
+    the exchange and re-tokenize every row serially on the narrow scan
     side (see doc_shingles).
     """
+    if not 0 < bits <= 62:
+        raise ValueError("bits must stay within a non-negative int64")
     hs = fan_out(
         df.filter(F.col(text_col).rlike(r"\S")).select(
             F.col(id_col).alias("id"), F.col(text_col).alias("_txt")
         )
-    ).select("id", F.transform(tokens(F.col("_txt")), lambda t: F.xxhash64(t)).alias("hs"))
+    ).select("id", F.transform(tokens(F.col("_txt")), lambda t: portable_hash60(t)).alias("hs"))
 
     def bit_sum(i: int) -> Column:
         return F.aggregate(
@@ -333,7 +375,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     fp = None
     for i in range(bits):
         bit = F.when(bit_sum(i) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(2 ** i if i < 63 else -(2 ** 63)).cast("long")
+        term = bit * F.lit(2 ** i).cast("long")
         fp = term if fp is None else fp + term
     return hs.select("id", fp.alias("simhash"))
 
@@ -454,11 +496,11 @@ def simhash_near_pairs(
     text_col: str,
     max_hamming: int = 3,
 ) -> DataFrame:
-    """(id_a, id_b, hamming) — doc pairs whose 64-bit simhash differs
+    """(id_a, id_b, hamming) — doc pairs whose 60-bit simhash differs
     in at most ``max_hamming`` bits.
 
-    Banded LSH on the fingerprint itself: the 64 bits split into 4
-    bands of 16; by pigeonhole, any pair within hamming distance 3
+    Banded LSH on the fingerprint itself: the 60 bits split into 4
+    bands of 15; by pigeonhole, any pair within hamming distance 3
     agrees EXACTLY on at least one band, so candidates = pairs sharing
     a (band_index, band_value) bucket — recall is 1.0 by construction
     for max_hamming <= 3, not probabilistic. Verification is one
@@ -470,8 +512,8 @@ def simhash_near_pairs(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftrightunsigned("simhash", b * 16)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftrightunsigned("simhash", b * 15)
+                .bitwiseAND(F.lit(0x7FFF))
                 .alias("val"),
             )
             for b in range(4)

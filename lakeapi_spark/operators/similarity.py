@@ -22,6 +22,7 @@ Two paths:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -224,6 +225,53 @@ def _nearest_centroids(vec: Column, centroids: np.ndarray, n: int) -> Column:
     return F.transform(F.slice(F.array_sort(scored), 1, n), lambda s: s["cid"])
 
 
+def seeded_centroids(
+    emb: DataFrame, id_col: str, vec_col: str, centroid_ids: list[int]
+) -> list[tuple[list[float], float]]:
+    """Coarse quantizer from FIXED data points: centroid cid = the
+    cid-th embedding row (by id order) among ``centroid_ids`` — k-means
+    init with zero Lloyd iterations. Bounded driver collect
+    (len(centroid_ids) rows). Norms are computed with a SEQUENTIAL
+    Python sum so they bit-match both Spark's aggregate fold and a SQL
+    oracle's SUM over unnested elements — this quantizer exists so IVF
+    can be verified value-exactly cross-engine."""
+    rows = (
+        emb.filter(F.col(id_col).isin(list(centroid_ids)))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    by_id = {r[0]: [float(x) for x in r[1]] for r in rows}
+    out = []
+    for vid in sorted(by_id):
+        v = by_id[vid]
+        s = 0.0
+        for x in v:
+            s += x * x
+        out.append((v, math.sqrt(s)))
+    return out
+
+
+def _nearest_seeded(
+    vec: Column, vnorm: Column, cents: list[tuple[list[float], float]], n: int
+) -> Column:
+    """Array of the ``n`` nearest seeded-centroid cids by ROUNDED cosine
+    (ties by cid): rounding to 4 digits before ranking makes the
+    assignment robust to last-ULP float-sum differences across engines,
+    so an oracle re-derives identical inverted lists."""
+    scored = F.array(
+        *[
+            F.struct(
+                (-F.round(
+                    dot(vec, F.array(*[F.lit(x) for x in c])) / (vnorm * F.lit(cn)), 4
+                )).alias("negcos"),
+                F.lit(i).alias("cid"),
+            )
+            for i, (c, cn) in enumerate(cents)
+        ]
+    )
+    return F.transform(F.slice(F.array_sort(scored), 1, n), lambda s: s["cid"])
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -233,6 +281,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    centroid_ids: list[int] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the classic scale path:
 
@@ -248,20 +297,35 @@ def ivf_topk(
     4. exact cosine re-rank within candidates (windowed top-k).
 
     Recall rises with n_probe (n_probe = n_centroids degrades to brute
-    force). Property-tested against brute_force_topk."""
-    cents = ivf_fit_centroids(emb, vec_col, n_centroids, seed=seed)
+    force). Property-tested against brute_force_topk.
+
+    With ``centroid_ids`` the quantizer switches to fixed data-point
+    centroids ranked by rounded cosine (:func:`seeded_centroids`) —
+    same plan shape, but every stage is value-exactly re-derivable by a
+    SQL oracle (the k-means path's Lloyd iterations are not
+    SQL-expressible)."""
+    if centroid_ids is not None:
+        seeded = seeded_centroids(emb, id_col, vec_col, centroid_ids)
+
+        def near(vec_name: str, norm_name: str, n: int) -> Column:
+            return _nearest_seeded(F.col(vec_name), F.col(norm_name), seeded, n)
+
+    else:
+        cents = ivf_fit_centroids(emb, vec_col, n_centroids, seed=seed)
+
+        def near(vec_name: str, norm_name: str, n: int) -> Column:
+            return _nearest_centroids(F.col(vec_name), cents, n)
+
     c = fan_out(emb).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         norm(F.col(vec_col)).alias("cn"),
-        _nearest_centroids(F.col(vec_col), cents, 1)[0].alias("cid"),
-    )
+    ).select("neighbor_id", "cvec", "cn", near("cvec", "cn", 1)[0].alias("cid"))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         norm(F.col(vec_col)).alias("qn"),
-        F.explode(_nearest_centroids(F.col(vec_col), cents, n_probe)).alias("cid"),
-    )
+    ).select("query_id", "qvec", "qn", F.explode(near("qvec", "qn", n_probe)).alias("cid"))
     sim = dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
     scored = (
         c.join(F.broadcast(q), "cid")

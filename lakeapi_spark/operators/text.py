@@ -30,6 +30,14 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 ENGLISH_STOPWORDS = LANG_STOPWORDS["en"]
 
 
+def portable_hash60(c: Column) -> Column:
+    """60-bit string hash both engines compute bit-identically:
+    int(md5(x)[:15 hex chars]). DuckDB twin:
+    ``CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)``. Non-negative,
+    so shifts/mods stay in int64 under ANSI arithmetic."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokens of trimmed lowercased text (empty -> [])."""
     t = F.trim(F.lower(text))
@@ -149,10 +157,7 @@ def rolling_fingerprint(text: Column) -> Column:
     so the DuckDB oracle can reproduce them bit-for-bit; the fold is
     one per-row array aggregate, no shuffle."""
     toks = F.split(F.trim(F.lower(text)), r"\s+")
-    vals = F.transform(
-        toks,
-        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % ROLLING_P,
-    )
+    vals = F.transform(toks, lambda t: portable_hash60(t) % ROLLING_P)
     return F.aggregate(
         vals, F.lit(0).cast("long"), lambda acc, v: (acc * 31 + v) % ROLLING_P
     )

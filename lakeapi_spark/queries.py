@@ -1167,15 +1167,109 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.2)
 
 
-@register("dedup_minhash_lsh", None, bench=True)  # xxhash64 internals: property-tested, rows-only here
+#: DuckDB twin of operators.text.portable_hash60 — the hinge that makes
+#: every minhash/simhash signature value-exact cross-engine.
+_PH60 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _minhash_oracle(threshold: float = 0.5, num_hashes: int = 128, bands: int = 32) -> str:
+    """Exact oracle for the full MinHash-LSH pipeline: re-derives the
+    60-bit shingle hashes, the universal-hash permutations (constants
+    regenerated from the same seeded PRNG as the Spark side), the
+    banded bucket keys, the candidate set, and the exact-Jaccard
+    verification — bit-for-bit."""
+    from lakeapi_spark.operators.dedup import MINHASH_P, minhash_perm_constants
+
+    a_c, b_c = minhash_perm_constants(num_hashes)
+    rows = num_hashes // bands
+    sig_aggs = ",\n             ".join(
+        f"MIN(((h % {MINHASH_P}) * {a_c[i]} + {b_c[i]}) % {MINHASH_P}) AS s{i}"
+        for i in range(num_hashes)
+    )
+    bucket_items = ",\n               ".join(
+        _PH60.format(
+            x="concat_ws(',', '%d', %s)"
+            % (b, ", ".join(f"CAST(s{b * rows + r} AS VARCHAR)" for r in range(rows)))
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+    ), idx AS (
+      SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2
+    ), grams AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS g FROM idx
+    ), hsx AS (
+      SELECT doc_id, {_PH60.format(x='g')} AS h FROM grams
+    ), sig AS (
+      SELECT doc_id,
+             {sig_aggs}
+      FROM hsx GROUP BY doc_id
+    ), buckets AS (
+      SELECT doc_id, unnest([{bucket_items}]) AS bucket FROM sig
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM hsx GROUP BY doc_id
+    ), inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS ni
+      FROM cand c
+      JOIN hsx a ON a.doc_id = c.id_a
+      JOIN hsx b ON b.doc_id = c.id_b AND b.h = a.h
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b,
+           ROUND(CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni), 4) AS jaccard
+    FROM inter i JOIN sizes na ON na.doc_id = i.id_a JOIN sizes nb ON nb.doc_id = i.id_b
+    WHERE ROUND(CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni), 4) >= {threshold}
+    """
+
+
+def _simhash_fp_cte(bits: int = 60) -> str:
+    """CTE ``fp(doc_id, simhash)`` re-deriving the Spark simhash exactly:
+    portable 60-bit token hashes, per-bit +-1 sums, sign-bit assembly."""
+    terms = "\n           + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {i}) & 1 = 1"
+        f" THEN 1 ELSE -1 END)) > 0 THEN CAST({2 ** i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    tok_hash = _PH60.format(x="tk")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents WHERE regexp_matches(text, '\\S')
+    ), hsrel AS (
+      SELECT doc_id, list_transform(t, tk -> {tok_hash}) AS hs FROM toks
+    ), fp AS (
+      SELECT doc_id,
+           {terms}
+           AS simhash
+      FROM hsrel
+    )
+    """
+
+
+@register("dedup_minhash_lsh", _minhash_oracle(), bench=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH near-dup pairs, now EXACTLY oracle-verified:
+    the portable-hash + universal-permutation internals (operators/
+    dedup.py) are re-derived in SQL by _minhash_oracle; recall remains
+    property-tested vs the exact Jaccard operator."""
     from lakeapi_spark.operators.dedup import minhash_lsh_pairs
 
     d = table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5)
 
 
-@register("dedup_simhash", None)
+@register(
+    "dedup_simhash",
+    _simhash_fp_cte()
+    + """
+    SELECT COUNT(DISTINCT simhash) AS n_fingerprints, COUNT(*) AS n_docs FROM fp
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeapi_spark.operators.dedup import simhash
 
@@ -1333,13 +1427,76 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@register("ann_ivf_topk", None)  # approximate: recall property-tested vs brute force
+#: Fixed data-point centroid seeds (k-means init, zero iterations):
+#: disjoint from the query ids (0-4) and present at every SF.
+_IVF_CENTROID_IDS = list(range(5, 21))
+
+
+def _ivf_oracle(centroid_ids: list[int], n_probe: int = 4, k: int = 10) -> str:
+    """Exact oracle for the seeded-centroid IVF pipeline: re-derives the
+    centroid set (fixed vec_ids, cid = rank in id order), the rounded-
+    cosine inverted-list assignment, the n_probe probe lists, and the
+    exact re-rank — value-identical to operators/similarity.ivf_topk
+    with ``centroid_ids``."""
+    ids = ", ".join(str(i) for i in centroid_ids)
+    return (
+        _EMB_DOT
+        + f"""
+    , cents AS (
+      SELECT vec_id AS cvid, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+      FROM embeddings WHERE vec_id IN ({ids})
+    )
+    , cdot AS (
+      SELECT a.vec_id, c.cid, c.cvid, SUM(a.val * b.val) AS d
+      FROM x a JOIN cents c ON TRUE JOIN x b ON b.vec_id = c.cvid AND b.i = a.i
+      GROUP BY 1, 2, 3
+    )
+    , cscore AS (
+      SELECT cd.vec_id, cd.cid, ROUND(cd.d / (nv.nrm * nc.nrm), 4) AS cos
+      FROM cdot cd JOIN n nv ON nv.vec_id = cd.vec_id JOIN n nc ON nc.vec_id = cd.cvid
+    )
+    , ranked AS (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      FROM cscore
+    )
+    , assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1)
+    , probes AS (SELECT vec_id, cid FROM ranked WHERE rn <= {n_probe} AND vec_id <= 4)
+    , cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, a2.vec_id AS neighbor_id
+      FROM probes q JOIN assign a2 ON a2.cid = q.cid AND a2.vec_id <> q.vec_id
+    )
+    , dt AS (
+      SELECT cand.query_id, cand.neighbor_id, SUM(a.val * b.val) AS dot
+      FROM cand JOIN x a ON a.vec_id = cand.query_id
+                JOIN x b ON b.vec_id = cand.neighbor_id AND b.i = a.i
+      GROUP BY 1, 2
+    )
+    , scored AS (
+      SELECT dt.query_id, dt.neighbor_id, ROUND(dt.dot / (na.nrm * nb.nrm), 4) AS cosine
+      FROM dt JOIN n na ON na.vec_id = dt.query_id JOIN n nb ON nb.vec_id = dt.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+           ) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= {k}
+    """
+    )
+
+
+@register("ann_ivf_topk", _ivf_oracle(_IVF_CENTROID_IDS))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with the seeded data-point quantizer, EXACTLY
+    oracle-verified (see _ivf_oracle); recall of the k-means quantizer
+    path stays property-tested vs brute force."""
     from lakeapi_spark.operators.similarity import ivf_topk
 
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") <= 4)
-    out = ivf_topk(e, q, "vec_id", "embedding", k=10)
+    out = ivf_topk(
+        e, q, "vec_id", "embedding", k=10, centroid_ids=_IVF_CENTROID_IDS
+    )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -2394,15 +2551,32 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash_near", None)  # xxhash64 internals: property-tested, rows-only
+@register(
+    "dedup_simhash_near",
+    _simhash_fp_cte()
+    + """
+    , bk AS (
+      SELECT doc_id, simhash, b.band, (simhash >> (b.band * 15)) & 32767 AS val
+      FROM fp, (SELECT unnest([0, 1, 2, 3]) AS band) b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS ha, b.simhash AS hb
+      FROM bk a JOIN bk b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+    """,
+)
 def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by banded simhash (4x16-bit bands; recall is
-    exact for hamming <= 3 by pigeonhole — see
-    operators/dedup.simhash_near_pairs)."""
+    """Near-dup pairs by banded simhash (4x15-bit bands over the
+    portable 60-bit fingerprint; recall is exact for hamming <= 3 by
+    pigeonhole — see operators/dedup.simhash_near_pairs). Oracle-exact:
+    the fingerprint, banding, and hamming verify are re-derived in SQL."""
     from lakeapi_spark.operators.dedup import simhash_near_pairs
 
     d = table(spark, sf_dir, "documents")
-    return simhash_near_pairs(d, "doc_id", "text", max_hamming=3)
+    out = simhash_near_pairs(d, "doc_id", "text", max_hamming=3)
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
 
 
 @register(

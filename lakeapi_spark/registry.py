@@ -30,10 +30,33 @@ class UnknownTableError(KeyError):
 
 
 class TableRegistry:
-    def __init__(self, spark: SparkSession):
+    def __init__(
+        self,
+        spark: SparkSession,
+        accounts: dict[str, dict[str, str]] | None = None,
+        data_path: str | None = None,
+    ):
+        """``accounts``/``data_path`` mirror the reference's service-level
+        settings (source_uri.py:42-61): named credential sets for
+        object-store uris, and the base dir relative uris resolve
+        against."""
         self.spark = spark
+        self.accounts = accounts or {}
+        self.data_path = data_path
         self._tables: dict[str, TableConfig] = {}
         self._schema_cache: dict[tuple[str, int], T.StructType] = {}
+
+    def _resolve_uri(self, cfg: TableConfig) -> str:
+        """Normalize the configured uri to its Hadoop form and apply any
+        account credentials to the live session (sources/uris.py)."""
+        from lakeapi_spark.sources.uris import apply_hadoop_conf, normalize_uri
+
+        uri, hconf = normalize_uri(
+            cfg.datasource.uri, cfg.datasource.account, self.accounts, self.data_path
+        )
+        if hconf:
+            apply_hadoop_conf(self.spark, hconf)
+        return uri
 
     def register(self, cfg: TableConfig) -> None:
         """Wildcard configs (name='*', uri='folder/*') expand to one table
@@ -44,7 +67,7 @@ class TableRegistry:
             cfg = merge_config_from_data(cfg)
         if cfg.name == "*":
             assert cfg.datasource.uri.endswith("/*")
-            for child_name, child_uri in expand_wildcard(self.spark, cfg.datasource.uri):
+            for child_name, child_uri in expand_wildcard(self.spark, self._resolve_uri(cfg)):
                 import copy
 
                 child = copy.deepcopy(cfg)
@@ -64,7 +87,9 @@ class TableRegistry:
 
     def dataframe(self, name: str) -> DataFrame:
         cfg = self.config(name)
-        df = read_source(self.spark, cfg.datasource.uri, cfg.datasource.file_type, dict(cfg.datasource.options))
+        df = read_source(
+            self.spark, self._resolve_uri(cfg), cfg.datasource.file_type, dict(cfg.datasource.options)
+        )
         return df
 
     def schema(self, name: str) -> T.StructType:

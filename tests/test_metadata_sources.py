@@ -448,3 +448,92 @@ def test_delta_fallback_checkpoint_replay(spark, delta_table):
     assert sorted(snap.files) == ["p=a/f2.parquet", "p=b/f3.parquet"]
     df = read_source(spark, base, "delta")
     assert sorted(r.id for r in df.collect()) == [3, 4]
+
+
+# --- object-store URI normalization (ref source_uri.py:38-173) --------------
+
+
+def test_normalize_uri_azure_spellings():
+    """Every reference Azure spelling lands on the same canonical
+    abfss://container@account.dfs... form with SharedKey auth conf."""
+    from lakeapi_spark.sources.uris import normalize_uri
+
+    accounts = {"prod": {"account_name": "acct1", "account_key": "K=="}}
+    for scheme in ("azure", "az", "abfs", "abfss"):
+        uri, conf = normalize_uri(f"{scheme}://cont/dir/tbl", "prod", accounts)
+        assert uri == "abfss://cont@acct1.dfs.core.windows.net/dir/tbl", uri
+        assert conf["fs.azure.account.key.acct1.dfs.core.windows.net"] == "K=="
+        assert conf["fs.azure.account.auth.type.acct1.dfs.core.windows.net"] == "SharedKey"
+
+
+def test_normalize_uri_azure_qualified_and_auth_variants():
+    from lakeapi_spark.sources.uris import AccountConfigError, normalize_uri
+
+    # already-qualified container@host passes through (forced to abfss)
+    uri, _ = normalize_uri(
+        "abfs://c@a.dfs.core.windows.net/p",
+        "prod",
+        {"prod": {"account_name": "a", "sas_token": "sig=x"}},
+    )
+    assert uri == "abfss://c@a.dfs.core.windows.net/p"
+    # sas + anon auth map to their Hadoop auth types
+    _, sas = normalize_uri("az://c/p", "s", {"s": {"account_name": "a", "sas_token": "t"}})
+    assert sas["fs.azure.account.auth.type.a.dfs.core.windows.net"] == "SAS"
+    assert sas["fs.azure.sas.fixed.token.a.dfs.core.windows.net"] == "t"
+    _, anon = normalize_uri("az://c/p", "x", {"x": {"account_name": "a", "anon": True}})
+    assert anon["fs.azure.account.auth.type.a.dfs.core.windows.net"] == "Anonymous"
+    # container-relative azure uri without an account_name must fail loudly
+    import pytest
+
+    with pytest.raises(AccountConfigError):
+        normalize_uri("azure://cont/p", "nope", {"nope": {}})
+
+
+def test_normalize_uri_s3_and_local():
+    from lakeapi_spark.sources.uris import normalize_uri
+
+    acc = {
+        "aws": {
+            "access_key_id": "AK",
+            "secret_access_key": "SK",
+            "endpoint": "http://minio:9000",
+            "region": "eu-west-1",
+        }
+    }
+    uri, conf = normalize_uri("s3://bucket/k/t", "aws", acc)
+    assert uri == "s3a://bucket/k/t"
+    assert conf["fs.s3a.access.key"] == "AK"
+    assert conf["fs.s3a.secret.key"] == "SK"
+    assert conf["fs.s3a.endpoint"] == "http://minio:9000"
+    assert conf["fs.s3a.endpoint.region"] == "eu-west-1"
+    # s3a passes through; relative uris resolve against data_path;
+    # absolute and foreign schemes stay untouched
+    assert normalize_uri("s3a://b/p")[0] == "s3a://b/p"
+    assert normalize_uri("tbl.parquet", data_path="/data")[0] == "/data/tbl.parquet"
+    assert normalize_uri("/abs/p.parquet", data_path="/data")[0] == "/abs/p.parquet"
+    assert normalize_uri("hdfs://nn/p")[0] == "hdfs://nn/p"
+
+
+def test_registry_data_path_and_wildcard_resolution(spark, sf_dir, tmp_path):
+    """A relative-uri config resolves against the registry data_path
+    (ref real_uri join), including through wildcard expansion — the
+    listing goes through the Hadoop FS API, the same path an
+    abfss:// store takes."""
+    import shutil
+
+    from lakeapi_spark.config import DatasourceConfig, TableConfig
+    from lakeapi_spark.registry import TableRegistry
+
+    root = tmp_path / "store"
+    root.mkdir()
+    shutil.copy(f"{sf_dir}/nation.parquet", root / "nation.parquet")
+    shutil.copy(f"{sf_dir}/region.parquet", root / "region.parquet")
+
+    reg = TableRegistry(spark, data_path=str(root))
+    reg.register(TableConfig(name="nation", datasource=DatasourceConfig(uri="nation.parquet")))
+    assert reg.dataframe("nation").count() == 25
+
+    wild = TableRegistry(spark, data_path=str(tmp_path))
+    wild.register(TableConfig(name="*", datasource=DatasourceConfig(uri="store/*")))
+    assert set(wild.names()) == {"nation", "region"}
+    assert wild.dataframe("region").count() == 5
