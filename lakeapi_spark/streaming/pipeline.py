@@ -23,36 +23,48 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: events.parquet physical schema: ts is int64 TIMESTAMP(NANOS) which the
-#: streaming parquet reader surfaces as long under nanosAsLong
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    """events schema with the physical `ts` type discovered from the
+    batch footer (TIMESTAMP(NANOS) surfaces as long under nanosAsLong;
+    timestamp[us] surfaces as a native timestamp)."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over events parquet (ns timestamps normalized
-    exactly like the batch reader in catalog.table)."""
+    """File-source stream over events parquet, normalizing `ts` exactly
+    like the batch reader (catalog.table): probe the batch schema once
+    and convert ns->µs only when the footer stores TIMESTAMP(NANOS)
+    (which nanosAsLong surfaces as bigint). Native timestamp[us] files
+    stream through untouched — an unconditional div-1000 would shift
+    them to 1970."""
     import os
 
     from lakeapi_spark.catalog import ensure_session_confs
 
     ensure_session_confs(spark)
-    reader = spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1)
+    ts_type = spark.read.parquet(path).schema["ts"].dataType
+    ns_as_long = isinstance(ts_type, T.LongType)
+    reader = spark.readStream.schema(
+        _events_schema(T.LongType() if ns_as_long else T.TimestampType())
+    ).option("maxFilesPerTrigger", 1)
     if os.path.isfile(path):
         # the file source wants a directory: stream the parent filtered
         # to just this file
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ns_as_long:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def tumbling_counts_stream(

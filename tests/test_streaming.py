@@ -39,6 +39,9 @@ def test_stream_tumbling_matches_batch(spark, sf_dir, tmp_path):
         for r in batch.collect()
     }
     assert got == want
+    # absolute-epoch guard: a ts unit bug (ns read as µs) shifts every
+    # window to January 1970 and would still pass a ts-relative check
+    assert all(ws > 1_262_304_000 for ws, _ in got), "windows shifted to epoch 0?"
     q.stop()
 
 
@@ -88,6 +91,8 @@ def test_stream_session_windows(spark, sf_dir, tmp_path):
     assert total == n_events  # every event lands in exactly one session
     for r in rows:
         assert r.session_end >= r.session_start
+        # absolute-epoch guard against ts-unit bugs (see tumbling test)
+        assert r.session_start > 1_262_304_000, "sessions shifted to epoch 0?"
     q.stop()
 
 
