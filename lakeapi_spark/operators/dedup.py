@@ -40,6 +40,13 @@ from lakeapi_spark.operators.text import portable_hash60, tokens
 #: in BOTH Spark and the DuckDB oracle.
 MINHASH_P = 2_147_483_647
 
+#: Multiplier for the polynomial band-key fold: acc stays < P < 2^31 and
+#: acc * BAND_A < 2^51 — safely inside int64 in both engines. Band-key
+#: collisions across distinct band tuples only ADD false candidates
+#: (removed by the exact-Jaccard verify), never lose true ones: equal
+#: tuples always fold to equal keys.
+BAND_A = 1_000_003
+
 
 def minhash_perm_constants(num_hashes: int, seed: int = 7) -> tuple[list[int], list[int]]:
     """Seeded (a, b) literals for perm_i(h) = ((h % P) * a_i + b_i) % P.
@@ -145,6 +152,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     threshold: float,
     sample_nibble: str | None = None,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Exact (or deterministically-sampled) word-bigram Jaccard pairs with
     jaccard >= threshold, id_a < id_b.
@@ -161,12 +169,18 @@ def ngram_jaccard_pairs(
     pair key (id_a << 32 | id_b) instead of a two-column key measured
     5x faster (halved shuffle width + single-word hash compare); ids
     are range-checked into a 31-bit budget up front so overflow raises
-    instead of corrupting pairs."""
+    instead of corrupting pairs.
+
+    Pass ``cache_handles`` (a list) to receive the persisted shingle
+    DataFrame and ``unpersist()`` it after your action; see
+    :func:`minhash_lsh_pairs` for why serving sessions must."""
     sh = (
         _exploded_shingles(df, id_col, text_col, sample_nibble)
         .select(_checked_id("id").alias("id"), "g")
         .persist()
     )
+    if cache_handles is not None:
+        cache_handles.append(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -246,22 +260,107 @@ def minhash_signature(
     are dropped (in doc_shingles), matching the explode-based
     formulation where they simply had no rows. Pass ``hashed`` to reuse
     an already-computed (id, hs) relation from :func:`hashed_shingles`
-    (e.g. a persisted one)."""
+    (e.g. a persisted one).
+
+    ``h % P`` is hoisted into its own projected array (one mod per
+    shingle instead of one per (shingle, permutation) — HOF lambdas are
+    interpreted, so shaving an op from the k*|hs| inner loop is real);
+    the hoisted projection gets the same when() double-reference
+    CollapseProject blocker so it isn't inlined back into the per-
+    permutation lambda body."""
     hs = hashed if hashed is not None else hashed_shingles(df, id_col, text_col)
     a_c, b_c = minhash_perm_constants(num_hashes)
     a_arr = F.array(*[F.lit(a) for a in a_c])
     b_arr = F.array(*[F.lit(b) for b in b_c])
+    hsm_rel = hs.select(
+        "id",
+        F.when(
+            F.size("hs") > 0, F.transform("hs", lambda h: h % MINHASH_P)
+        ).alias("hsm"),
+    )
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(
             F.transform(
-                "hs",
-                lambda h: ((h % MINHASH_P) * F.element_at(a_arr, i + 1)
+                "hsm",
+                lambda m: (m * F.element_at(a_arr, i + 1)
                            + F.element_at(b_arr, i + 1)) % MINHASH_P,
             )
         ),
     )
-    return hs.select("id", F.when(F.size("hs") > 0, sig).alias("sig"))
+    return hsm_rel.select("id", F.when(F.size("hsm") > 0, sig).alias("sig"))
+
+
+def band_key(sig_col: str, band: int, rows: int) -> Column:
+    """LSH bucket key for one band: a polynomial fold of the band's
+    signature values in pure int64 arithmetic —
+    ``acc = band; acc = (acc * BAND_A + s) % P`` per row. Equal band
+    tuples always fold equal (recall preserved); cross-tuple collisions
+    (~|buckets|^2 / 2^31 birthday pairs) only add false candidates that
+    the exact-Jaccard verify removes. Replaces a per-band md5-of-csv
+    fold: same join shape, ~10x cheaper per (doc, band), and still
+    re-derivable verbatim in the SQL oracle (plain arithmetic)."""
+    acc: Column = F.lit(band).cast("long")
+    for r in range(rows):
+        acc = (acc * F.lit(BAND_A) + F.element_at(sig_col, band * rows + r + 1)) % F.lit(
+            MINHASH_P
+        )
+    return acc
+
+
+def minhash_buckets_numpy(
+    hs: DataFrame, num_hashes: int = 128, bands: int = 32
+) -> DataFrame:
+    """(id, bucket) LSH bucket rows from a (id, hs) hashed-shingle
+    relation — the vectorized twin of ``explode(array(band_key(...)))``
+    over :func:`minhash_signature`, bit-identical by construction (same
+    int64 arithmetic, same seeded constants; asserted in
+    tests/test_dedup_similarity.py).
+
+    Why a kernel when built-ins express this: Spark evaluates
+    higher-order-function lambdas interpreted, one dispatch per
+    element — the signature costs k*|hs| interpreted ops per doc
+    (~1.5 s of the 3 s pipeline at sf0.1). This mapInPandas kernel is
+    one Arrow batch transfer + three numpy ops per doc (measured 2x
+    end-to-end). Same justification as similarity.ann_numpy_topk.
+
+    Arithmetic stays exact in int64: h % P < 2^31, * a < 2^62, and the
+    band fold keeps acc < P. Per-doc temporaries are chunked to 4096
+    shingles (4 MB peak) so a pathological 1M-shingle doc can't OOM an
+    executor."""
+    import numpy as np
+    import pandas as pd
+
+    rows = num_hashes // bands
+    a_c, b_c = minhash_perm_constants(num_hashes)
+    ac = np.array(a_c, dtype=np.int64)
+    bc = np.array(b_c, dtype=np.int64)
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, buckets = [], []
+            for doc_id, hs_arr in zip(pdf["id"].values, pdf["hs"].values):
+                h = np.asarray(hs_arr, dtype=np.int64)
+                if h.size == 0:  # builtin path: null sig -> null buckets
+                    continue
+                h = h % MINHASH_P  # out-of-place: Arrow buffers are read-only
+                sig = np.full(num_hashes, MINHASH_P, dtype=np.int64)
+                for lo in range(0, h.size, 4096):
+                    chunk = h[lo : lo + 4096]
+                    perm = (chunk[:, None] * ac[None, :] + bc[None, :]) % MINHASH_P
+                    np.minimum(sig, perm.min(axis=0), out=sig)
+                acc = np.arange(bands, dtype=np.int64)
+                sb = sig.reshape(bands, rows)
+                for r in range(rows):
+                    acc = (acc * BAND_A + sb[:, r]) % MINHASH_P
+                ids.append(np.full(bands, doc_id, dtype=np.int64))
+                buckets.append(acc)
+            if ids:
+                yield pd.DataFrame(
+                    {"id": np.concatenate(ids), "bucket": np.concatenate(buckets)}
+                )
+
+    return hs.mapInPandas(kernel, "id long, bucket long")
 
 
 def minhash_lsh_pairs(
@@ -271,6 +370,8 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     num_hashes: int = 128,
     bands: int = 32,
+    cache_handles: list | None = None,
+    engine: str = "numpy",
 ) -> DataFrame:
     """Candidate pairs from banded MinHash, verified with exact Jaccard.
 
@@ -284,42 +385,44 @@ def minhash_lsh_pairs(
 
     Plan shape: shingle + signature are per-row codegen (no shuffle);
     the only shuffles are the bucket explode->self-join (equi-join on
-    band hash), candidate distinct, and the two id-keyed verify joins.
-    Verification fetches each side's shingle ARRAY and intersects
-    in-row (array_intersect) — linear in candidate volume, never
-    O(n^2) over the corpus. Bucket skew (a hot band-hash) is handled
-    by AQE skew-join.
-    """
+    the band key) and the two id-keyed verify joins, plus a tiny
+    distinct on the post-threshold result. Verification fetches each
+    side's shingle ARRAY and intersects in-row (array_intersect) —
+    linear in candidate volume, never O(n^2) over the corpus. Bucket
+    skew (a hot band key) is handled by AQE skew-join.
+
+    The shingle relation feeds both the signature branch and the two
+    verify sides, so it is persisted. Pass ``cache_handles`` (a list)
+    to receive the persisted DataFrame and ``unpersist()`` it after
+    your action — a long-lived serving session that skips this leaks
+    cached blocks per request (without the handle, release relies on
+    Spark's ContextCleaner collecting the plan).
+
+    ``engine='numpy'`` (default) computes signature+bucket via the
+    vectorized kernel (:func:`minhash_buckets_numpy`, 2x end-to-end);
+    ``'builtin'`` keeps the pure-DataFrame formulation — both produce
+    identical buckets."""
     rows = num_hashes // bands
     hs = hashed_shingles(df, id_col, text_col).persist()
-    sig = minhash_signature(df, id_col, text_col, num_hashes, hashed=hs)
-    # Bucket key = portable 60-bit fold of the band's (index, rows)
-    # rendered as a csv string: equality of buckets ⟺ equality of the
-    # band tuple (up to md5 collisions), and the SQL oracle re-derives
-    # the identical key. Cost: one md5 per (doc, band).
-    band_arr = F.array(
-        *[
-            portable_hash60(
-                F.concat_ws(
-                    ",",
-                    F.lit(str(b)),
-                    *[F.element_at("sig", b * rows + r + 1).cast("string") for r in range(rows)],
-                )
-            )
-            for b in range(bands)
-        ]
-    )
+    if cache_handles is not None:
+        cache_handles.append(hs)
     # NO distinct on buckets: a pair matching in several bands yields
-    # duplicate candidate rows, which cand.distinct() removes anyway —
-    # de-duplicating buckets first costs a full extra shuffle (measured
-    # 2-3x the whole pipeline's latency at sf0.1).
-    buckets = sig.select("id", F.explode(band_arr).alias("bucket"))
+    # duplicate candidate rows; de-duplicating buckets first costs a
+    # full extra shuffle (measured 2-3x the whole pipeline's latency at
+    # sf0.1). Duplicate candidates ride through the verify joins (near-
+    # dup pairs are rare, so the duplication factor is tiny in volume)
+    # and collapse in the final post-threshold distinct.
+    if engine == "numpy":
+        buckets = minhash_buckets_numpy(hs, num_hashes, bands)
+    else:
+        sig = minhash_signature(df, id_col, text_col, num_hashes, hashed=hs)
+        band_arr = F.array(*[band_key("sig", b, rows) for b in range(bands)])
+        buckets = sig.select("id", F.explode(band_arr).alias("bucket"))
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
     sa = hs.select(F.col("id").alias("id_a"), F.col("hs").alias("sh_a"))
     sb = hs.select(F.col("id").alias("id_b"), F.col("hs").alias("sh_b"))
@@ -334,6 +437,7 @@ def minhash_lsh_pairs(
         .withColumn("jaccard", F.round(n_inter / n_union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+        .distinct()
     )
 
 
@@ -382,7 +486,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
 
 def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Docs sharing an identical simhash fingerprint (hamming distance 0;
-    the banded-hamming variant splits the 64 bits into 4 bands of 16 and
+    the banded-hamming variant splits the 60 bits into 4 bands of 15 and
     buckets on each — same join shape as minhash_lsh_pairs)."""
     s = simhash(df, id_col, text_col)
     return (

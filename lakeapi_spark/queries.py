@@ -1176,9 +1176,10 @@ def _minhash_oracle(threshold: float = 0.5, num_hashes: int = 128, bands: int = 
     """Exact oracle for the full MinHash-LSH pipeline: re-derives the
     60-bit shingle hashes, the universal-hash permutations (constants
     regenerated from the same seeded PRNG as the Spark side), the
-    banded bucket keys, the candidate set, and the exact-Jaccard
+    polynomial band keys (pure int64 arithmetic — see
+    operators.dedup.band_key), the candidate set, and the exact-Jaccard
     verification — bit-for-bit."""
-    from lakeapi_spark.operators.dedup import MINHASH_P, minhash_perm_constants
+    from lakeapi_spark.operators.dedup import BAND_A, MINHASH_P, minhash_perm_constants
 
     a_c, b_c = minhash_perm_constants(num_hashes)
     rows = num_hashes // bands
@@ -1186,13 +1187,14 @@ def _minhash_oracle(threshold: float = 0.5, num_hashes: int = 128, bands: int = 
         f"MIN(((h % {MINHASH_P}) * {a_c[i]} + {b_c[i]}) % {MINHASH_P}) AS s{i}"
         for i in range(num_hashes)
     )
-    bucket_items = ",\n               ".join(
-        _PH60.format(
-            x="concat_ws(',', '%d', %s)"
-            % (b, ", ".join(f"CAST(s{b * rows + r} AS VARCHAR)" for r in range(rows)))
-        )
-        for b in range(bands)
-    )
+
+    def bucket_expr(b: int) -> str:
+        acc = f"CAST({b} AS BIGINT)"
+        for r in range(rows):
+            acc = f"((({acc}) * {BAND_A} + s{b * rows + r}) % {MINHASH_P})"
+        return acc
+
+    bucket_items = ",\n               ".join(bucket_expr(b) for b in range(bands))
     return f"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents

@@ -310,3 +310,75 @@ def test_dup_clusters_star_matches_propagation(spark):
     a = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
     b = {r.id: r.cluster_id for r in dup_clusters_star(pairs).collect()}
     assert a == b
+
+
+def test_minhash_numpy_buckets_equal_builtin(corpus):
+    """The vectorized bucket kernel must be bit-identical to the pure
+    DataFrame formulation (same constants, same int64 arithmetic)."""
+    from pyspark.sql import functions as F
+
+    from lakeapi_spark.operators.dedup import (
+        band_key,
+        hashed_shingles,
+        minhash_buckets_numpy,
+        minhash_signature,
+    )
+
+    hs = hashed_shingles(corpus, "doc_id", "text")
+    got = {
+        (r.id, r.bucket)
+        for r in minhash_buckets_numpy(hs, 128, 32).collect()
+    }
+    sig = minhash_signature(corpus, "doc_id", "text", 128, hashed=hs)
+    band_arr = F.array(*[band_key("sig", b, 4) for b in range(32)])
+    want = {
+        (r.id, r.bucket)
+        for r in sig.select("id", F.explode(band_arr).alias("bucket")).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_minhash_engines_agree_and_release_cache(corpus):
+    """numpy and builtin engines return the same pairs; cache_handles
+    lets the caller unpersist the shingle relation after its action, so
+    a serving session doesn't accumulate cached blocks. The check is
+    delta-based: other tests' localCheckpoint RDDs live in the shared
+    session and are not ours to release."""
+    spark = corpus.sparkSession
+    before = set(dict(spark.sparkContext._jsc.getPersistentRDDs()).keys())
+    handles: list = []
+    np_pairs = sorted(
+        map(
+            tuple,
+            minhash_lsh_pairs(
+                corpus, "doc_id", "text", 0.5, cache_handles=handles
+            ).collect(),
+        )
+    )
+    builtin_pairs = sorted(
+        map(
+            tuple,
+            minhash_lsh_pairs(corpus, "doc_id", "text", 0.5, engine="builtin").collect(),
+        )
+    )
+    assert np_pairs == builtin_pairs and len(np_pairs) >= 10
+    assert len(handles) == 1
+    for h in handles:
+        h.unpersist(blocking=True)
+    spark.catalog.clearCache()  # release the builtin run's internal persist too
+    after = set(dict(spark.sparkContext._jsc.getPersistentRDDs()).keys())
+    assert after <= before, "cached blocks leaked"
+
+
+def test_ngram_jaccard_cache_handle_released(corpus):
+    from lakeapi_spark.operators.dedup import ngram_jaccard_pairs as njp
+
+    spark = corpus.sparkSession
+    before = set(dict(spark.sparkContext._jsc.getPersistentRDDs()).keys())
+    handles: list = []
+    njp(corpus, "doc_id", "text", 0.5, cache_handles=handles).count()
+    assert len(handles) == 1
+    for h in handles:
+        h.unpersist(blocking=True)
+    after = set(dict(spark.sparkContext._jsc.getPersistentRDDs()).keys())
+    assert after <= before, "cached blocks leaked"
