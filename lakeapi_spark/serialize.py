@@ -134,13 +134,161 @@ def serialize(df: DataFrame, fmt: str, *, csv_separator: str = ",", encoding: st
     raise ValueError(f"unsupported format {fmt!r}")
 
 
+def _spilled_batches(df: DataFrame, chunk_size: int = 10000) -> Iterator[pa.RecordBatch]:
+    """Memory-bounded Arrow batches for LARGE exports: the executors
+    write the result to a temp parquet spill in parallel (no driver
+    materialization — ``toArrow()`` would buffer the whole result), then
+    the driver streams it back one record batch at a time. This is the
+    Spark analogue of the reference's NamedTemporaryFile spill-stream
+    (core/response.py:315-352); on a real cluster the spill dir would be
+    shared storage and the parallel write is exactly a sink write.
+
+    Driver peak memory = one batch (chunk_size rows), regardless of
+    result size."""
+    import glob
+    import shutil
+    import tempfile
+
+    spark = df.sparkSession
+    tmp = tempfile.mkdtemp(prefix="lakeapi_export_")
+    # INT96 is the parquet default for Spark timestamps; force µs so the
+    # spilled schema round-trips identically to toArrow()'s
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        df.write.mode("overwrite").parquet(tmp)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    try:
+        yielded = False
+        for f in sorted(glob.glob(f"{tmp}/part-*.parquet")):
+            pf = papq.ParquetFile(f)
+            for batch in pf.iter_batches(batch_size=chunk_size):
+                yielded = True
+                yield batch
+        if not yielded:  # empty result (no part files, or 0 row groups):
+            tab = df.limit(0).toArrow()  # callers still need the schema
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([], type=f.type) for f in tab.schema], schema=tab.schema
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+class _DrainSink(io.RawIOBase):
+    """File-like sink whose written bytes are drained incrementally —
+    lets pyarrow's sequential writers (ParquetWriter, ipc stream) feed a
+    chunked byte iterator without buffering the whole output."""
+
+    def __init__(self) -> None:
+        self._chunks: list[bytes] = []
+
+    def writable(self) -> bool:  # pragma: no cover - io protocol
+        return True
+
+    def write(self, b) -> int:
+        self._chunks.append(bytes(b))
+        return len(b)
+
+    def drain(self) -> bytes:
+        out = b"".join(self._chunks)
+        self._chunks.clear()
+        return out
+
+
+def _ndjson_bytes(rows: list[dict], encoding: str) -> bytes:
+    out = io.StringIO()
+    for row in rows:
+        out.write(json.dumps(row, default=_json_default))
+        out.write("\n")
+    return out.getvalue().encode(encoding)
+
+
+def stream_serialize(
+    df: DataFrame,
+    fmt: str,
+    *,
+    csv_separator: str = ",",
+    encoding: str | None = None,
+    chunk_size: int = 10000,
+) -> Iterator[bytes]:
+    """Chunked serialization for large (``limit=-1``) exports: yields
+    the same bytes ``serialize()`` would produce, but with driver
+    memory bounded by one Arrow batch (see :func:`_spilled_batches`).
+    Every format the reference temp-file-streams is covered: ndjson,
+    json, csv/scsv/csv4excel, parquet, arrow-stream (xlsx and the
+    feather/IPC *file* format require a seekable sink — ``serialize()``
+    handles those small-result paths)."""
+    enc = encoding or "utf-8"
+    batches = _spilled_batches(df, chunk_size)
+    if fmt == "ndjson":
+        for batch in batches:
+            yield _ndjson_bytes(batch.to_pylist(), enc)
+        return
+    if fmt == "json":
+        yield b"["
+        first = True
+        for batch in batches:
+            for row in batch.to_pylist():
+                payload = json.dumps(row, default=_json_default).encode(enc)
+                yield payload if first else b", " + payload
+                first = False
+        yield b"]"
+        return
+    if fmt in ("csv", "scsv", "csv4excel"):
+        sep = {"csv": csv_separator, "scsv": ";", "csv4excel": ","}[fmt]
+
+        def _encode(data: bytes) -> bytes:
+            if fmt == "csv4excel":
+                return data.decode("utf-8").encode("utf-16-le")
+            if encoding and encoding.lower() not in ("utf-8", "utf8"):
+                return data.decode("utf-8").encode(encoding)
+            return data
+
+        if fmt == "csv4excel":
+            yield b"sep=,\n"  # raw utf-8 preamble, exactly like serialize()
+        header_done = False
+        for batch in batches:
+            buf = io.BytesIO()
+            pacsv.write_csv(
+                pa.Table.from_batches([batch]),
+                buf,
+                write_options=pacsv.WriteOptions(
+                    delimiter=sep, include_header=not header_done
+                ),
+            )
+            header_done = True
+            yield _encode(buf.getvalue())
+        return
+    if fmt == "arrow-stream":
+        sink = _DrainSink()
+        writer = None
+        for batch in batches:
+            if writer is None:
+                writer = ipc.new_stream(sink, batch.schema)
+            writer.write_batch(batch)
+            yield sink.drain()
+        if writer is not None:
+            writer.close()
+            yield sink.drain()
+        return
+    if fmt == "parquet":
+        sink = _DrainSink()
+        writer = None
+        for batch in batches:
+            if writer is None:
+                writer = papq.ParquetWriter(sink, batch.schema)
+            writer.write_batch(batch)
+            yield sink.drain()
+        if writer is not None:
+            writer.close()  # footer
+            yield sink.drain()
+        return
+    raise ValueError(f"format {fmt!r} is not streamable; use serialize()")
+
+
 def stream_ndjson(df: DataFrame, chunk_size: int = 10000) -> Iterator[bytes]:
-    """Chunked NDJSON for large exports: Arrow batches -> bytes chunks
-    (the Spark analogue of the reference's temp-file chunk streaming,
-    response.py:315-352 — here we stream straight from batches)."""
-    for batch in _arrow_batches(df, chunk_size):
-        out = io.StringIO()
-        for row in batch.to_pylist():
-            out.write(json.dumps(row, default=_json_default))
-            out.write("\n")
-        yield out.getvalue().encode("utf-8")
+    """Chunked NDJSON for large exports (kept as the named entry point;
+    delegates to the general streamer)."""
+    yield from stream_serialize(df, "ndjson", chunk_size=chunk_size)

@@ -92,3 +92,91 @@ def test_unknown_format(small_df):
 
 def test_all_declared_formats_covered():
     assert set(FORMATS) >= {"json", "ndjson", "csv", "scsv", "csv4excel", "parquet", "arrow", "arrow-stream", "html", "xml"}
+
+
+class TestStreamSerialize:
+    """stream_serialize must (a) produce the same logical content as
+    serialize(), (b) stay memory-bounded — every yielded chunk is small
+    regardless of total result size (the full-sf lineitem test below is
+    the limit=-1 export of ref test_app.py:181-203)."""
+
+    def test_stream_matches_serialize_small(self, small_df):
+        from lakeapi_spark.serialize import serialize, stream_serialize
+
+        for fmt in ("ndjson", "json", "csv", "scsv", "csv4excel"):
+            whole = serialize(small_df.orderBy("id"), fmt)
+            streamed = b"".join(stream_serialize(small_df.orderBy("id").coalesce(1), fmt))
+            assert streamed == whole, fmt
+
+    def test_stream_parquet_and_arrow_roundtrip(self, small_df):
+        from lakeapi_spark.serialize import stream_serialize
+
+        df = small_df.orderBy("id").coalesce(1)
+        tab = papq.read_table(io.BytesIO(b"".join(stream_serialize(df, "parquet"))))
+        assert tab.column("id").to_pylist() == [1, 2, 3]
+        stream = ipc.open_stream(
+            io.BytesIO(b"".join(stream_serialize(df, "arrow-stream")))
+        ).read_all()
+        assert stream.column("s").to_pylist() == ["a;b", "x,y", None]
+
+    def test_stream_empty_result_keeps_schema(self, small_df):
+        from lakeapi_spark.serialize import stream_serialize
+
+        empty = small_df.filter("id < 0")
+        tab = papq.read_table(io.BytesIO(b"".join(stream_serialize(empty, "parquet"))))
+        assert tab.num_rows == 0 and tab.column_names == ["id", "s", "v"]
+        csv = b"".join(stream_serialize(empty, "csv")).decode()
+        assert csv.splitlines()[0] == '"id","s","v"'
+        assert json.loads(b"".join(stream_serialize(empty, "json"))) == []
+
+    def test_stream_unstreamable_format_raises(self, small_df):
+        from lakeapi_spark.serialize import stream_serialize
+
+        with pytest.raises(ValueError):
+            list(stream_serialize(small_df, "xlsx"))
+
+    @pytest.mark.parametrize("fmt", ["ndjson", "csv", "parquet", "arrow-stream"])
+    def test_full_lineitem_export_memory_bounded(self, spark, sf_dir, fmt):
+        """limit=-1 export of the whole lineitem table: chunks stay
+        bounded (driver never holds the full serialized result) and the
+        row count survives the round trip."""
+        from lakeapi_spark.catalog import table
+        from lakeapi_spark.serialize import stream_serialize
+
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_quantity", "l_shipdate"
+        )
+        n_expected = li.count()
+        total_rows = 0
+        max_chunk = 0
+        n_chunks = 0
+        if fmt in ("parquet", "arrow-stream"):
+            buf = io.BytesIO()
+            for chunk in stream_serialize(li, fmt, chunk_size=1000):
+                max_chunk = max(max_chunk, len(chunk))
+                n_chunks += 1
+                buf.write(chunk)
+            buf.seek(0)
+            tab = (
+                papq.read_table(buf)
+                if fmt == "parquet"
+                else ipc.open_stream(buf).read_all()
+            )
+            total_rows = tab.num_rows
+        else:
+            rest = b""
+            for chunk in stream_serialize(li, fmt, chunk_size=1000):
+                max_chunk = max(max_chunk, len(chunk))
+                n_chunks += 1
+                data = rest + chunk
+                lines = data.split(b"\n")
+                rest = lines[-1]
+                total_rows += sum(1 for ln in lines[:-1] if ln)
+            total_rows += 1 if rest else 0
+            if fmt == "csv":
+                total_rows -= 1  # header line
+        assert total_rows == n_expected
+        assert n_chunks > 1  # genuinely chunked
+        # one 1k-row chunk of 4 narrow columns serializes well under 1MB;
+        # a whole-result buffer would be orders of magnitude bigger
+        assert max_chunk < 1024 * 1024
