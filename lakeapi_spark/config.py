@@ -229,11 +229,19 @@ _EMBEDDED_ALLOWED = {"params", "search", "nearby"}
 _EMBEDDED_DS_ALLOWED = {"select", "exclude", "sortby", "filters", "partition_columns", "options"}
 
 
-def merge_config_from_data(cfg: TableConfig) -> TableConfig:
+def merge_config_from_data(
+    cfg: TableConfig, resolved_uri: str | None = None
+) -> TableConfig:
     """Shallow-merge embedded config over ``cfg`` (data side wins —
     ref ``config | cfg`` at config.py:243-247), restricted to the
-    whitelisted fields above; refused keys warn and are ignored."""
-    embedded = load_embedded_config(cfg.datasource.uri)
+    whitelisted fields above; refused keys warn and are ignored.
+
+    Pass ``resolved_uri`` (the data_path-joined local form) when the
+    config uri is relative: the carriers are probed with local
+    ``os.path`` calls, so probing the raw relative uri looks in the
+    wrong place and silently finds nothing. Object-store uris still
+    probe-miss by design (the carriers would need Hadoop FS reads)."""
+    embedded = load_embedded_config(resolved_uri or cfg.datasource.uri)
     if not embedded:
         return cfg
     import logging

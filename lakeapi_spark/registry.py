@@ -64,7 +64,9 @@ class TableRegistry:
         config shipped inside the table (delta ``lakeapi.config`` property,
         parquet KV metadata, or sidecar — ref config.py:227-254)."""
         if cfg.config_from_data:
-            cfg = merge_config_from_data(cfg)
+            # probe the RESOLVED uri: the raw one may be data_path-
+            # relative and the carriers are checked with local os.path
+            cfg = merge_config_from_data(cfg, resolved_uri=self._resolve_uri(cfg))
         if cfg.name == "*":
             assert cfg.datasource.uri.endswith("/*")
             for child_name, child_uri in expand_wildcard(self.spark, self._resolve_uri(cfg)):

@@ -73,9 +73,24 @@ def normalize_uri(
         return hadoop_uri, _azure_conf(opts)
     if any(uri.startswith(s) for s in _S3_SCHEMES):
         rest = uri.split("://", 1)[1]
-        return f"s3a://{rest}", _s3_conf(opts)
+        bucket = rest.split("/", 1)[0]
+        return f"s3a://{rest}", _s3_conf(opts, bucket)
     if _HAS_SCHEME.match(uri):
         return uri, {}
+    if account is not None:
+        # schemeless uri WITH an account: the reference's real_uri only
+        # joins data_path when account is None — 'container/path' plus
+        # an adlfs account is a REMOTE path (source_uri.py:60-75), so a
+        # local join would silently read the wrong filesystem. Route by
+        # the account's credential shape.
+        if opts.get("account_name"):
+            return normalize_uri(f"abfss://{uri}", account, accounts, data_path)
+        if any(k in opts for k in ("access_key_id", "secret_access_key", "endpoint")):
+            return normalize_uri(f"s3a://{uri}", account, accounts, data_path)
+        raise AccountConfigError(
+            f"schemeless uri {uri!r} with account {account!r}: the account "
+            "needs 'account_name' (azure) or s3 credentials to pick a scheme"
+        )
     if data_path is not None and not os.path.isabs(uri):
         return os.path.join(data_path, uri), {}
     return uri, {}
@@ -100,18 +115,31 @@ def _azure_conf(opts: dict[str, str]) -> dict[str, str]:
     return conf
 
 
-def _s3_conf(opts: dict[str, str]) -> dict[str, str]:
+def _s3_conf(opts: dict[str, str], bucket: str | None = None) -> dict[str, str]:
+    """S3 credentials scoped PER BUCKET (``fs.s3a.bucket.<bucket>.*``,
+    Hadoop's per-bucket configuration) rather than the session-global
+    ``fs.s3a.*`` keys: two tables on two S3 accounts must not clobber
+    each other's credentials (the Azure side gets the same isolation
+    from its per-account-host key names). Without a bucket (no uri
+    context) the keys fall back to global.
+
+    Caveat that per-bucket keys do NOT remove: Hadoop's FileSystem
+    cache is keyed by (scheme, authority) only, so ROTATING credentials
+    for a bucket inside a live session won't take effect until the
+    cached FileSystem is dropped — set ``fs.s3a.impl.disable.cache``
+    when credentials must change mid-session."""
+    prefix = f"fs.s3a.bucket.{bucket}." if bucket else "fs.s3a."
     conf: dict[str, str] = {}
     if "access_key_id" in opts:
-        conf["fs.s3a.access.key"] = opts["access_key_id"]
+        conf[f"{prefix}access.key"] = opts["access_key_id"]
     if "secret_access_key" in opts:
-        conf["fs.s3a.secret.key"] = opts["secret_access_key"]
+        conf[f"{prefix}secret.key"] = opts["secret_access_key"]
     if "endpoint" in opts:
-        conf["fs.s3a.endpoint"] = opts["endpoint"]
+        conf[f"{prefix}endpoint"] = opts["endpoint"]
     if "region" in opts:
-        conf["fs.s3a.endpoint.region"] = opts["region"]
+        conf[f"{prefix}endpoint.region"] = opts["region"]
     if opts.get("anon") in (True, "true", "True"):
-        conf["fs.s3a.aws.credentials.provider"] = (
+        conf[f"{prefix}aws.credentials.provider"] = (
             "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"
         )
     return conf
@@ -120,8 +148,11 @@ def _s3_conf(opts: dict[str, str]) -> dict[str, str]:
 def apply_hadoop_conf(spark: SparkSession, conf: dict[str, str]) -> None:
     """Set Hadoop settings on the LIVE session (per-account credentials
     arrive with table configs, after the session exists). Keys are
-    account-scoped (fs.azure.account.key.<host>) so two tables on two
-    storage accounts coexist in one session."""
+    scoped — fs.azure.account.key.<host> per Azure account,
+    fs.s3a.bucket.<bucket>.* per S3 bucket — so tables on different
+    storage accounts coexist in one session. Credential ROTATION for an
+    already-touched bucket/host additionally needs the FileSystem cache
+    disabled (see _s3_conf)."""
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     for k, v in conf.items():
         hconf.set(k, v)

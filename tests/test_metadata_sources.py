@@ -502,16 +502,70 @@ def test_normalize_uri_s3_and_local():
     }
     uri, conf = normalize_uri("s3://bucket/k/t", "aws", acc)
     assert uri == "s3a://bucket/k/t"
-    assert conf["fs.s3a.access.key"] == "AK"
-    assert conf["fs.s3a.secret.key"] == "SK"
-    assert conf["fs.s3a.endpoint"] == "http://minio:9000"
-    assert conf["fs.s3a.endpoint.region"] == "eu-west-1"
+    # credentials are PER-BUCKET (fs.s3a.bucket.<bucket>.*) so two
+    # tables on two S3 accounts can't clobber each other's keys
+    assert conf["fs.s3a.bucket.bucket.access.key"] == "AK"
+    assert conf["fs.s3a.bucket.bucket.secret.key"] == "SK"
+    assert conf["fs.s3a.bucket.bucket.endpoint"] == "http://minio:9000"
+    assert conf["fs.s3a.bucket.bucket.endpoint.region"] == "eu-west-1"
+    other = {"aws2": {"access_key_id": "AK2", "secret_access_key": "SK2"}}
+    conf2 = normalize_uri("s3://other/k", "aws2", other)[1]
+    assert conf2["fs.s3a.bucket.other.access.key"] == "AK2"
+    assert not set(conf) & set(conf2)  # disjoint key spaces
     # s3a passes through; relative uris resolve against data_path;
     # absolute and foreign schemes stay untouched
     assert normalize_uri("s3a://b/p")[0] == "s3a://b/p"
     assert normalize_uri("tbl.parquet", data_path="/data")[0] == "/data/tbl.parquet"
     assert normalize_uri("/abs/p.parquet", data_path="/data")[0] == "/abs/p.parquet"
     assert normalize_uri("hdfs://nn/p")[0] == "hdfs://nn/p"
+
+
+def test_normalize_uri_schemeless_with_account():
+    """A schemeless uri WITH an account is a remote path (ref real_uri
+    joins data_path only when account is None): azure accounts route to
+    abfss, s3 accounts to s3a, and an undecidable account raises
+    instead of silently reading a local path."""
+    import pytest as _pytest
+
+    from lakeapi_spark.sources.uris import AccountConfigError, normalize_uri
+
+    az = {"adls": {"account_name": "acct", "account_key": "K"}}
+    uri, conf = normalize_uri("cont/dir/tbl", "adls", az, data_path="/data")
+    assert uri == "abfss://cont@acct.dfs.core.windows.net/dir/tbl"
+    assert conf["fs.azure.account.key.acct.dfs.core.windows.net"] == "K"
+    s3 = {"aws": {"access_key_id": "AK", "secret_access_key": "SK"}}
+    uri2, conf2 = normalize_uri("bkt/k/t", "aws", s3, data_path="/data")
+    assert uri2 == "s3a://bkt/k/t"
+    assert conf2["fs.s3a.bucket.bkt.access.key"] == "AK"
+    with _pytest.raises(AccountConfigError):
+        normalize_uri("x/y", "mystery", {"mystery": {}}, data_path="/data")
+
+
+def test_config_from_data_probes_resolved_uri(spark, sf_dir, tmp_path):
+    """merge_config_from_data must probe the data_path-RESOLVED uri:
+    a sidecar next to a relative-uri table is found through the
+    registry, not silently missed."""
+    import json as _json
+    import shutil
+
+    from lakeapi_spark.config import DatasourceConfig, TableConfig
+    from lakeapi_spark.registry import TableRegistry
+
+    root = tmp_path / "store"
+    root.mkdir()
+    shutil.copy(f"{sf_dir}/nation.parquet", root / "nation.parquet")
+    (root / "nation.parquet.lakeapi.json").write_text(
+        _json.dumps({"search": [{"name": "sq", "columns": ["n_name"]}]})
+    )
+    reg = TableRegistry(spark, data_path=str(root))
+    cfg = TableConfig(
+        name="nation",
+        datasource=DatasourceConfig(uri="nation.parquet"),
+        config_from_data=True,
+    )
+    reg.register(cfg)
+    merged = reg.config("nation")
+    assert merged.search and merged.search[0].columns == ["n_name"]
 
 
 def test_registry_data_path_and_wildcard_resolution(spark, sf_dir, tmp_path):
@@ -537,3 +591,51 @@ def test_registry_data_path_and_wildcard_resolution(spark, sf_dir, tmp_path):
     wild.register(TableConfig(name="*", datasource=DatasourceConfig(uri="store/*")))
     assert set(wild.names()) == {"nation", "region"}
     assert wild.dataframe("region").count() == 5
+
+
+def test_jdbc_end_to_end_derby(spark, tmp_path):
+    """REAL JDBC round trip — Derby's embedded driver ships in Spark's
+    jars dir, so the jdbc/odbc routing (readers.py) runs against a live
+    JDBC database, not just the option-dict unit tests: write through
+    the JDBC writer, scan via dbtable, push a user SELECT to the remote
+    side (ref df_odbc.py:122-191), and prove filter pushdown reaches
+    the JDBC relation."""
+    from lakeapi_spark.sources.readers import read_source
+
+    url = f"jdbc:derby:{tmp_path}/jdbcdb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    src = spark.range(0, 100).selectExpr(
+        "id", "id % 7 AS grp", "CAST(id * 1.5 AS DOUBLE) AS val"
+    )
+    src.write.format("jdbc").option("url", url).option("driver", driver).option(
+        "dbtable", "T1"
+    ).save()
+
+    # dbtable scan
+    got = read_source(
+        spark, "ignored", "jdbc", {"url": url, "driver": driver, "dbtable": "T1"}
+    )
+    assert got.count() == 100
+
+    # query pushdown: the aggregate runs on the REMOTE side
+    q = read_source(
+        spark,
+        "ignored",
+        "odbc",
+        {
+            "url": url,
+            "driver": driver,
+            # quoted idents: the JDBC writer created case-sensitive
+            # lowercase columns
+            "query": 'SELECT "grp", COUNT(*) AS n FROM T1 GROUP BY "grp"',
+            "dbtable": "ignored-when-query-set",
+        },
+    )
+    rows = {r[0]: r[1] for r in q.collect()}
+    assert rows == {g: (15 if g < 2 else 14) for g in range(7)}
+
+    # filter pushdown into the JDBC relation (the remote DB filters,
+    # not Spark): the scan node advertises the pushed predicate
+    plan = got.filter("id > 90")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan" in plan
+    assert got.filter("id > 90").count() == 9
