@@ -181,12 +181,76 @@ def validate_sql(sql: str) -> None:
 
 
 def referenced_tables(sql: str) -> set[str]:
-    """Every base relation the statement reads: FROM lists including
+    """Every BASE relation the statement reads: FROM lists including
     comma joins, JOIN targets, and relations inside subqueries/lateral
     subqueries (ref _register_tables, sql_endpoint.py:15-43 registers
     only referenced configured tables — anything else must not resolve).
-    """
+
+    CTE-SCOPE-AWARE: a CTE name shadows references only while it is in
+    scope — after its definition, within the query expression that owns
+    the WITH (and inside its own body only under RECURSIVE). Global
+    name subtraction is unsound in both directions:
+    ``WITH t AS (SELECT * FROM t) SELECT * FROM t`` reads the REAL t
+    inside the body (non-recursive CTEs are not self-visible in Spark),
+    and in ``(WITH a AS (...) SELECT ...) UNION (SELECT * FROM a)`` the
+    second member's ``a`` is a base table — a CTE does not escape its
+    set-op member. Both forms previously slipped past the visibility
+    check (found by the deep-nesting fuzz, r6)."""
     tokens = _TOKEN.findall(_scrub_keep_idents(sql))
+    return _scan_expr(tokens, frozenset())
+
+
+def _strip_wrapping_parens(tokens: list[str]) -> list[str]:
+    while tokens and tokens[0] == "(" and _skip_parens(tokens, 0) == len(tokens):
+        tokens = tokens[1:-1]
+    return tokens
+
+
+def _scan_expr(tokens: list[str], scope: frozenset) -> set[str]:
+    """One query expression (SELECT / WITH-prologue query / wrapped
+    set-op member). ``scope`` = CTE names visible from enclosing
+    expressions."""
+    tokens = _strip_wrapping_parens(tokens)
+    if not tokens:
+        return set()
+    if tokens[0].lower() != "with":
+        return _scan_relations(tokens, scope)
+    refs: set[str] = set()
+    defined: set[str] = set()
+    i = 1
+    n = len(tokens)
+    recursive = i < n and tokens[i].lower() == "recursive"
+    if recursive:
+        i += 1
+    while i < n:
+        if not _WORD.fullmatch(tokens[i]):
+            break
+        name = tokens[i].lower()
+        i += 1
+        if i < n and tokens[i] == "(":  # optional column list
+            i = _skip_parens(tokens, i)
+        if i >= n or tokens[i].lower() != "as":
+            break
+        i += 1
+        if i >= n or tokens[i] != "(":
+            break
+        j = _skip_parens(tokens, i)
+        body_scope = scope | defined | ({name} if recursive else set())
+        refs |= _scan_expr(tokens[i + 1 : j - 1], frozenset(body_scope))
+        defined.add(name)
+        i = j
+        if i < n and tokens[i] == ",":
+            i += 1
+            continue
+        break
+    refs |= _scan_relations(tokens[i:], frozenset(scope | defined))
+    return refs
+
+
+def _scan_relations(tokens: list[str], scope: frozenset) -> set[str]:
+    """Flat relation scan of one SELECT (possibly with flat set-ops);
+    parenthesized subqueries / set-op members recurse through
+    :func:`_scan_expr` so their CTE scoping stays local."""
     names: set[str] = set()
     # relation-scan state per paren depth: None | "rel" (expect a relation)
     # | "post" (just consumed one; a comma continues the list)
@@ -198,18 +262,26 @@ def referenced_tables(sql: str) -> set[str]:
         t = tokens[i]
         low = t.lower()
         if t == "(":
+            nxt = tokens[i + 1].lower() if i + 1 < n else ""
+            if nxt in ("select", "with"):
+                # full subquery / set-op member: recurse with the
+                # CURRENT scope; CTEs defined inside stay inside
+                j = _skip_parens(tokens, i)
+                names |= _scan_expr(tokens[i + 1 : j - 1], scope)
+                if state.get(depth) == "rel":
+                    state[depth] = "post"  # following word is an alias
+                i = j
+                continue
             inherit = state.get(depth) == "rel"
             if inherit:
                 # what follows the closing paren is an alias, not a table
                 state[depth] = "post"
             depth += 1
-            nxt = tokens[i + 1].lower() if i + 1 < n else ""
-            # '(' in relation position: SELECT/WITH starts a subquery
-            # (fresh scan at the inner depth); anything else — ``(t)``,
+            # '(' in relation position over a non-subquery — ``(t)``,
             # ``((t))``, ``(t JOIN u ON …)``, ``(TABLE t)`` — is a
-            # parenthesized relation, so the inner depth inherits the
+            # parenthesized relation: the inner depth inherits the
             # expect-a-relation state (Spark grammar: '(' relation ')')
-            state[depth] = "rel" if inherit and nxt not in ("select", "with") else None
+            state[depth] = "rel" if inherit else None
             i += 1
             continue
         if t == ")":
@@ -231,7 +303,10 @@ def referenced_tables(sql: str) -> set[str]:
             elif i + 1 < n and tokens[i + 1] == "(":
                 state[depth] = "post"  # table-valued function, not a table
             else:
-                names.add(low.split(".")[0])
+                # an in-scope CTE name is not a base relation; qualified
+                # names (db.t) always are — CTEs cannot be qualified
+                if "." in low or low not in scope:
+                    names.add(low.split(".")[0])
                 state[depth] = "post"
         elif cur == "post":
             if t == ",":
@@ -242,28 +317,19 @@ def referenced_tables(sql: str) -> set[str]:
     return names
 
 
-def cte_names(sql: str) -> set[str]:
-    """CTE names are legitimate relations — excluded from visibility checks."""
-    return {
-        m.group(1).lower()
-        for m in re.finditer(
-            r"\b(?:with|recursive|,)\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:\([^()]*\))?\s+as\s*\(",
-            _scrub_keep_idents(sql),
-            re.IGNORECASE,
-        )
-    }
-
-
 def run_sql(
     spark: SparkSession,
     sql: str,
     allowed_tables: set[str] | None = None,
 ) -> DataFrame:
-    """Validate, check table visibility, execute."""
+    """Validate, check table visibility, execute. ``referenced_tables``
+    is already CTE-scope-aware, so visibility compares base relations
+    directly — no global CTE-name subtraction (that subtraction was the
+    bypass vector for CTE names shadowing real tables)."""
     validate_sql(sql)
     if allowed_tables is not None:
         refs = referenced_tables(sql)
-        unknown = refs - {t.lower() for t in allowed_tables} - cte_names(sql)
+        unknown = refs - {t.lower() for t in allowed_tables}
         if unknown:
             raise SqlValidationError(f"unknown or unauthorized tables: {sorted(unknown)}")
     return spark.sql(sql)

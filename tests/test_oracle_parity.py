@@ -75,3 +75,36 @@ def test_spark_results_survive_driver_canon(spark, sf_dir):
             assert not isinstance(
                 field.dataType, (T.ArrayType, T.MapType, T.StructType)
             ), f"{name}.{field.name}: nested type {field.dataType} crashes the driver canon"
+
+
+def test_plans_md_covers_every_bench_query():
+    """PLANS.md lockstep lint: every bench-flagged query must have a
+    '## <name>' plan-audit section, so the plan audit can't silently
+    rot as bench queries are added (r4/r5 advice)."""
+    import os
+    import re
+
+    plans_path = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    with open(plans_path) as f:
+        sections = set(re.findall(r"^## (\S+)", f.read(), flags=re.M))
+    bench = {n for n, q in QUERIES.items() if q.bench}
+    missing = sorted(bench - sections)
+    assert not missing, (
+        f"bench queries without a PLANS.md section: {missing} — "
+        "add a '## <name>' plan audit for each"
+    )
+
+
+def test_plans_md_lint_trips_on_unaudited_query():
+    """The lint above must actually fire: a synthetic bench query with
+    no PLANS.md section makes it fail."""
+    from lakeapi_spark.queries import Query
+
+    QUERIES["_synthetic_unaudited"] = Query(
+        build=lambda spark, sf: None, oracle=None, bench=True
+    )
+    try:
+        with pytest.raises(AssertionError, match="_synthetic_unaudited"):
+            test_plans_md_covers_every_bench_query()
+    finally:
+        del QUERIES["_synthetic_unaudited"]

@@ -50,7 +50,59 @@ def test_referenced_tables():
     refs = referenced_tables(
         "WITH c AS (SELECT * FROM orders) SELECT * FROM c JOIN customer ON 1=1"
     )
-    assert refs == {"orders", "c", "customer"}
+    # scope-aware: c is a CTE reference, not a base relation
+    assert refs == {"orders", "customer"}
+
+
+def test_referenced_tables_cte_scoping_is_not_global():
+    """Security regressions (r6 deep-nesting fuzz): global CTE-name
+    subtraction let shadowing CTEs smuggle reads of the real table."""
+    # non-recursive CTE body is NOT self-visible: the inner t is base
+    assert referenced_tables(
+        "WITH t AS (SELECT * FROM t) SELECT * FROM t"
+    ) == {"t"}
+    # ...but RECURSIVE makes the self-reference a CTE reference
+    assert referenced_tables(
+        "WITH RECURSIVE t AS (SELECT 1 UNION ALL SELECT * FROM t) SELECT * FROM t"
+    ) == set()
+    # a CTE does not escape its parenthesized set-op member
+    assert referenced_tables(
+        "(WITH a AS (SELECT 1) SELECT 1) UNION (SELECT * FROM a)"
+    ) == {"a"}
+    # earlier CTEs are visible to later bodies; later ones are not
+    assert referenced_tables(
+        "WITH a AS (SELECT * FROM base1), b AS (SELECT * FROM a) SELECT * FROM b"
+    ) == {"base1"}
+    assert referenced_tables(
+        "WITH b AS (SELECT * FROM a), a AS (SELECT 1) SELECT * FROM b"
+    ) == {"a"}
+    # qualified names are never CTE references
+    assert referenced_tables(
+        "WITH t AS (SELECT 1) SELECT * FROM db.t, t"
+    ) == {"db"}
+
+
+def test_run_sql_cte_shadowing_blocked(spark, sf_dir):
+    register_views(spark, sf_dir)
+    with pytest.raises(SqlValidationError, match="unauthorized"):
+        run_sql(
+            spark,
+            "WITH nation AS (SELECT * FROM nation) SELECT * FROM nation",
+            allowed_tables={"region"},
+        )
+    with pytest.raises(SqlValidationError, match="unauthorized"):
+        run_sql(
+            spark,
+            "(WITH nation AS (SELECT 1 AS x) SELECT x FROM nation)"
+            " UNION (SELECT n_regionkey FROM nation)",
+            allowed_tables={"region"},
+        )
+    # the legitimate shadow still runs: body reads only allowed tables
+    assert run_sql(
+        spark,
+        "WITH nation AS (SELECT r_name FROM region) SELECT * FROM nation",
+        allowed_tables={"region"},
+    ).count() > 0
 
 
 def test_adversarial_identifiers_not_rejected():
@@ -273,3 +325,49 @@ def test_relation_scanner_fuzz():
         validate_sql(sql)  # must not 400
         got = referenced_tables(sql)
         assert got == expect, f"seed iter {i}: {sql!r}\n got {got}\n want {expect}"
+
+
+def test_relation_scanner_fuzz_deep_cte_setop_nesting():
+    """r5 advice hardening: parenthesized CTE + set-op nesting >= 3 deep.
+    The generator composes set-ops of parenthesized CTE queries of
+    set-ops (depth up to 5), with CTE names shadowing real table names —
+    the scanner must exclude CTE aliases, recover exactly the base
+    relations, and the validator must accept every generated form."""
+    import random
+
+    pool = [f"tbl_{c}" for c in "abcdefgh"]
+
+    def gen_leaf(rnd: random.Random, out: set) -> str:
+        name = rnd.choice(pool)
+        out.add(name)
+        return f"SELECT x FROM {name}"
+
+    def gen(rnd: random.Random, depth: int, out: set) -> str:
+        if depth <= 0:
+            return gen_leaf(rnd, out)
+        r = rnd.random()
+        if r < 0.4:  # parenthesized set-op of two nested queries
+            op = rnd.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+            return f"({gen(rnd, depth - 1, out)}) {op} ({gen(rnd, depth - 1, out)})"
+        if r < 0.8:  # CTE whose body is itself nested; CTE name shadows
+            cte = rnd.choice(pool) if rnd.random() < 0.3 else f"cte_{depth}"
+            body: set = set()
+            inner = gen(rnd, depth - 1, body)
+            out |= body
+            # the outer select reads ONLY the cte -> no new base relation
+            return f"(WITH {cte} AS ({inner}) SELECT x FROM {cte})"
+        return "(" + gen(rnd, depth - 1, out) + ")"
+
+    rnd = random.Random(20260814)
+    deep_seen = 0
+    for i in range(300):
+        expect: set = set()
+        sql = gen(rnd, rnd.randrange(3, 6), expect)
+        deep_seen += 1
+        validate_sql(sql)
+        got = referenced_tables(sql)
+        # CTE names shadowing table names may legitimately appear in
+        # expect (the cte BODY read them) — the scanner must never
+        # report relations outside the generated base set
+        assert got == expect, f"iter {i}: {sql!r}\n got {got}\n want {expect}"
+    assert deep_seen == 300
