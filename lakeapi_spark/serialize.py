@@ -121,17 +121,98 @@ def serialize(df: DataFrame, fmt: str, *, csv_separator: str = ",", encoding: st
         )
         return buf.getvalue()
     if fmt == "xlsx":
-        try:
-            import openpyxl  # noqa: F401
-        except ImportError as exc:  # pragma: no cover
-            raise NotImplementedError(
-                "xlsx requires openpyxl (not in this container); "
-                "the reference gates this the same way (response.py:118-124)"
-            ) from exc
-        buf = io.BytesIO()
-        tab.to_pandas().to_excel(buf, index=False)
-        return buf.getvalue()
+        return _xlsx_bytes(tab)
     raise ValueError(f"unsupported format {fmt!r}")
+
+
+def _col_ref(idx: int) -> str:
+    """0-based column index -> spreadsheet letters (0->A, 26->AA)."""
+    out = ""
+    idx += 1
+    while idx:
+        idx, rem = divmod(idx - 1, 26)
+        out = chr(ord("A") + rem) + out
+    return out
+
+
+def _xlsx_bytes(tab: pa.Table) -> bytes:
+    """Minimal SpreadsheetML writer over the stdlib zipfile — no
+    openpyxl/xlsxwriter needed (the reference needs polars' xlsxwriter
+    extra, response.py:118-124; this closes that optional-dependency
+    gap). One sheet, header row, numbers/bools typed natively,
+    everything else (strings, timestamps, bytes) as inline strings —
+    small-result exports only, like every other whole-bytes format
+    here."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    def cell(ref: str, v: Any) -> str:
+        if v is None:
+            return ""
+        if isinstance(v, bool):  # before int: bool is an int subclass
+            return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+        if isinstance(v, (int, float)):
+            if isinstance(v, float) and v != v:  # NaN
+                return ""
+            return f'<c r="{ref}"><v>{v!r}</v></c>'
+        text = _json_default(v) if not isinstance(v, str) else v
+        return f'<c r="{ref}" t="inlineStr"><is><t>{escape(text)}</t></is></c>'
+
+    names = tab.column_names
+    rows_xml: list[str] = []
+    header = "".join(
+        cell(f"{_col_ref(c)}1", name) for c, name in enumerate(names)
+    )
+    rows_xml.append(f'<row r="1">{header}</row>')
+    for r, row in enumerate(tab.to_pylist(), start=2):
+        cells = "".join(
+            cell(f"{_col_ref(c)}{r}", row[name]) for c, name in enumerate(names)
+        )
+        rows_xml.append(f'<row r="{r}">{cells}</row>')
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        f"<sheetData>{''.join(rows_xml)}</sheetData></worksheet>"
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" '
+        'Target="xl/workbook.xml"/></Relationships>'
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" '
+        'ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.'
+        'openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/'
+        'vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    return buf.getvalue()
 
 
 def _spilled_batches(df: DataFrame, chunk_size: int = 10000) -> Iterator[pa.RecordBatch]:
