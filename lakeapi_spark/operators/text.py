@@ -163,6 +163,55 @@ def rolling_fingerprint(text: Column) -> Column:
     )
 
 
+def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document repetition signals — the MassiveText/Gopher-style
+    quality rules a training-data pipeline filters on (Rae et al. 2021,
+    table A1: "duplicate n-gram fraction", "top token share"):
+
+    - ``n_bigrams``         word-bigram count (order kept, repeats kept)
+    - ``dup_bigram_frac``   1 - distinct/total bigrams (null if none)
+    - ``top_token_share``   most-frequent token's share of all tokens
+
+    All built-in array expressions, zero shuffle, zero UDF; each stage
+    is its own projection with the when() double-reference blocker so
+    CollapseProject can't inline the token array into the per-element
+    lambdas (same hazard as minhash_signature). top_token_share is
+    O(|distinct| * |tokens|) per row in-row — bounded by document
+    length, never a join."""
+    t = tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("doc_id"), F.when(F.size(t) >= 0, t).alias("t"))
+    bg = F.when(F.size("t") < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - 2),
+            lambda i: F.concat_ws(" ", F.element_at("t", i + 1), F.element_at("t", i + 2)),
+        )
+    )
+    staged = base.select("doc_id", "t", F.when(F.size("t") >= 0, bg).alias("b"))
+    dup_frac = F.when(
+        F.size("b") > 0,
+        F.round(1 - F.size(F.array_distinct("b")) / F.size("b"), 4),
+    )
+    top_share = F.when(
+        F.size("t") > 0,
+        F.round(
+            F.array_max(
+                F.transform(
+                    F.array_distinct("t"),
+                    lambda d: F.size(F.filter("t", lambda x: x == d)),
+                )
+            )
+            / F.size("t"),
+            4,
+        ),
+    )
+    return staged.select(
+        "doc_id",
+        F.size("b").alias("n_bigrams"),
+        dup_frac.alias("dup_bigram_frac"),
+        top_share.alias("top_token_share"),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of whitespace-normalized lowercased text.
     (The scalable stand-in for a rolling/Rabin hash — identical across

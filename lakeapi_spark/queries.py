@@ -1116,6 +1116,42 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", rolling_fingerprint(F.col("text")).alias("roll_fp"))
 
 
+@register(
+    "text_repetition_metrics",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, t,
+             CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+             END AS b
+      FROM toks
+    )
+    SELECT doc_id,
+           len(b) AS n_bigrams,
+           CASE WHEN len(b) > 0
+                THEN ROUND(1 - CAST(len(list_distinct(b)) AS DOUBLE) / len(b), 4)
+           END AS dup_bigram_frac,
+           CASE WHEN len(t) > 0
+                THEN ROUND(CAST(list_max(list_transform(list_distinct(t),
+                       d -> len(list_filter(t, x -> x = d)))) AS DOUBLE) / len(t), 4)
+           END AS top_token_share
+    FROM bg
+    """,
+)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rules (duplicate-bigram fraction,
+    top-token share) — exact per-row oracle."""
+    from lakeapi_spark.operators.text import repetition_metrics
+
+    d = table(spark, sf_dir, "documents")
+    return repetition_metrics(d, "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # Deduplication (training-data extension)
 # ---------------------------------------------------------------------------
