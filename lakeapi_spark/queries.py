@@ -2734,19 +2734,21 @@ def histogram_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def delta_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Executable delta evidence without delta-spark: materialize the
-    region table as a PARTITIONED delta table (sources/delta.py minimal
-    writer — real commit log: protocol + metaData + partitionValues),
-    then read it back through ``read_source("delta")``, which replays the
-    log (sources/delta.py:read_delta_fallback). The oracle reads the
-    source parquet directly, so the hash-compare proves log replay,
-    schema fidelity, and log-declared partition values end to end.
-    delta-spark, when present, takes over the same call transparently."""
+    """Executable delta evidence without delta-spark: build the region
+    table as a PARTITIONED delta table through the executor-parallel
+    writer (sources/delta.py:write_delta) across THREE commits — a
+    decoy append, an overwrite (remove actions), then an append — and
+    read the result back through ``read_source("delta")``, which
+    replays the log (read_delta_fallback). The oracle reads the source
+    parquet directly, so the hash-compare proves multi-version log
+    replay incl. removes, schema fidelity, and log-declared partition
+    values end to end. delta-spark, when present, takes over the same
+    read call transparently."""
     import hashlib
     import os
     import tempfile
 
-    from lakeapi_spark.sources.delta import write_delta_minimal
+    from lakeapi_spark.sources.delta import write_delta
     from lakeapi_spark.sources.readers import read_source
 
     src = (
@@ -2762,7 +2764,14 @@ def delta_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lakeapi_delta_region_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
     )
     if not os.path.isdir(os.path.join(dest, "_delta_log")):
-        write_delta_minimal(src, dest, partition_by=["bucket"])
+        decoy = src.withColumn("r_name", F.lit("WRONG"))
+        write_delta(decoy, dest, mode="append", partition_by=["bucket"])
+        write_delta(
+            src.filter("r_regionkey < 2"), dest, mode="overwrite", partition_by=["bucket"]
+        )
+        write_delta(
+            src.filter("r_regionkey >= 2"), dest, mode="append", partition_by=["bucket"]
+        )
     return read_source(spark, dest, "delta").select("r_regionkey", "r_name", "bucket")
 
 

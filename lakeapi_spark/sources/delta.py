@@ -48,6 +48,8 @@ class DeltaSnapshot:
     partition_columns: list[str]
     #: file path -> partitionValues dict (string-typed, per protocol)
     files: dict[str, dict[str, str]] = field(default_factory=dict)
+    #: appId -> last committed txn version (streaming idempotence)
+    app_versions: dict[str, int] = field(default_factory=dict)
 
 
 def _read_json_bytes(spark: SparkSession, uri: str) -> bytes:
@@ -82,6 +84,9 @@ def _apply_action(snap: DeltaSnapshot, action: dict) -> None:
         snap.files[a["path"]] = dict(a.get("partitionValues") or {})
     if "remove" in action:
         snap.files.pop(action["remove"]["path"], None)
+    if "txn" in action:
+        t = action["txn"]
+        snap.app_versions[t["appId"]] = int(t["version"])
 
 
 def delta_snapshot(
@@ -200,6 +205,194 @@ def read_delta(
         return read_delta_fallback(
             spark, uri, int(version) if version is not None else None
         )
+
+
+def _local_path(uri: str) -> str:
+    if uri.startswith("file:"):
+        import re as _re
+
+        return _re.sub(r"^file:/{0,2}(?=/)", "", uri)
+    return uri
+
+
+def write_delta(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+    max_commit_retries: int = 10,
+) -> int:
+    """EXECUTOR-PARALLEL delta writer without delta-spark: Spark writes
+    the parquet data files (distributed, partitioned layouts included),
+    then ONE driver-side commit appends ``_delta_log/<v>.json`` with the
+    add (and, for overwrite, remove) actions. Returns the committed
+    version.
+
+    Commit atomicity uses the protocol's put-if-absent contract:
+    ``O_CREAT|O_EXCL`` on the versioned filename — a concurrent writer
+    losing the race re-reads the snapshot and retries at the next
+    version (bounded by ``max_commit_retries``). That is exactly
+    delta's LogStore contract for filesystems with atomic create;
+    object stores without it (plain S3) need a coordinating LogStore /
+    commit service — this writer targets local/HDFS-like stores and the
+    test bench.
+
+    ``txn_app_id``/``txn_version`` add the protocol's ``txn`` action:
+    the idempotence marker a streaming sink uses to make at-least-once
+    micro-batch delivery exactly-once (see :func:`delta_stream_sink`).
+
+    Data files that lose a commit race are simply never referenced by
+    the log — the same orphan semantics delta itself has (VACUUM cleans
+    them); correctness is carried by the log alone. Schema: the FULL
+    df schema (incl. partition columns) lands in metaData per the
+    protocol; appends to an existing table with a different schema are
+    rejected (no evolution here).
+    """
+    import os
+    import shutil
+    import urllib.parse
+    import uuid
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    base = _local_path(path).rstrip("/")
+    pcols = list(partition_by or [])
+    os.makedirs(base, exist_ok=True)
+
+    # 1. distributed data write into a staging dir, then move into place
+    staging = f"{base}/.staging-{uuid.uuid4().hex}"
+    writer = df.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(staging)
+    adds: list[dict] = []
+    for root, _dirs, files in os.walk(staging):
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            rel_dir = os.path.relpath(root, staging)
+            pvals: dict[str, str | None] = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, _, v = seg.partition("=")
+                    pvals[k] = (
+                        None
+                        if v == "__HIVE_DEFAULT_PARTITION__"
+                        else urllib.parse.unquote(v)
+                    )
+                os.makedirs(f"{base}/{rel_dir}", exist_ok=True)
+            rel = name if rel_dir == "." else f"{rel_dir}/{name}"
+            os.replace(src, f"{base}/{rel}")
+            adds.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": {c: pvals.get(c) for c in pcols},
+                        "size": os.path.getsize(f"{base}/{rel}"),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                }
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+
+    # 2. commit loop: snapshot -> build actions -> put-if-absent
+    spark = df.sparkSession
+    log = f"{base}/_delta_log"
+    os.makedirs(log, exist_ok=True)
+    table_id = str(uuid.uuid5(uuid.NAMESPACE_URL, base))
+    for _attempt in range(max_commit_retries):
+        try:
+            snap = delta_snapshot(spark, base)
+        except FileNotFoundError:
+            snap = None
+        version = (snap.version if snap else -1) + 1
+        actions: list[dict] = []
+        if snap is None:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+        if snap is None or mode == "overwrite":
+            actions.append(
+                {
+                    "metaData": {
+                        "id": table_id,
+                        "schemaString": df.schema.json(),
+                        "partitionColumns": pcols,
+                        "format": {"provider": "parquet"},
+                        "configuration": {},
+                    }
+                }
+            )
+        elif snap.schema.simpleString() != df.schema.simpleString():
+            # names+types must match; nullability intentionally ignored
+            # (a parquet round trip flips non-null range() columns)
+            raise ValueError(
+                f"append schema mismatch for {base}: table has "
+                f"{snap.schema.simpleString()}, df has {df.schema.simpleString()}"
+            )
+        if txn_app_id is not None:
+            actions.append(
+                {"txn": {"appId": txn_app_id, "version": int(txn_version or 0)}}
+            )
+        if mode == "overwrite" and snap is not None:
+            for old in snap.files:
+                actions.append(
+                    {"remove": {"path": old, "deletionTimestamp": 0, "dataChange": True}}
+                )
+        actions.extend(adds)
+        payload = "".join(json.dumps(a) + "\n" for a in actions)
+        try:
+            fd = os.open(
+                f"{log}/{version:020d}.json", os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+        except FileExistsError:
+            continue  # lost the race: re-snapshot, retry at next version
+        with os.fdopen(fd, "w") as f:
+            f.write(payload)
+        return version
+    raise RuntimeError(
+        f"could not commit to {base} after {max_commit_retries} attempts "
+        "(concurrent writers)"
+    )
+
+
+def last_txn_version(spark: SparkSession, path: str, app_id: str) -> int:
+    """Last committed ``txn`` version for ``app_id`` (-1 if none) —
+    driver-side log replay, metadata only."""
+    try:
+        snap = delta_snapshot(spark, _local_path(path).rstrip("/"))
+    except FileNotFoundError:
+        return -1
+    return snap.app_versions.get(app_id, -1)
+
+
+def delta_stream_sink(path: str, app_id: str, partition_by: list[str] | None = None):
+    """foreachBatch writer with EXACTLY-ONCE semantics on a delta table:
+    each micro-batch commits atomically with a ``txn`` marker, and a
+    replayed batch (the at-least-once foreachBatch contract) is SKIPPED
+    when its batch_id is already recorded for ``app_id`` — the delta-
+    native upgrade of the `_batch_id`-partition-overwrite pattern in
+    streaming.pipeline.parquet_batch_sink (and exactly what delta-spark's
+    ``txnAppId``/``txnVersion`` options do)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_id <= last_txn_version(spark, path, app_id):
+            return  # already committed: replay is a no-op
+        write_delta(
+            batch_df,
+            path,
+            mode="append",
+            partition_by=partition_by,
+            txn_app_id=app_id,
+            txn_version=batch_id,
+        )
+
+    return write
 
 
 def write_delta_minimal(

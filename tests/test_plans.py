@@ -235,3 +235,19 @@ def test_q13_preaggregates_before_join(spark, sf_dir):
     agg_pos = plan.find("HashAggregate")
     join_pos = plan.find("Join")
     assert agg_pos != -1 and join_pos != -1
+
+
+def test_minhash_lsh_plan_vectorized_kernel(spark, sf_dir):
+    """dedup_minhash_lsh plan contract (r6): the signature+bucket stage
+    runs as ONE Arrow-batched MapInPandas over the cached shingle
+    relation, and the only hash-partition shuffles are the fan_out
+    spread inside the shingle build plus the tiny final distinct —
+    bucket/verify joins must not add shuffle exchanges at this SF."""
+    df = QUERIES["dedup_minhash_lsh"].build(spark, sf_dir)
+    plan = plan_str(spark, df)
+    assert "MapInPandas" in plan, plan
+    assert "InMemoryRelation" in plan  # shingles persisted once
+    n_exchange = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange roundrobin"
+    )
+    assert n_exchange <= 2, plan
