@@ -212,6 +212,49 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the standard
+    pre-training/RAG chunking shape: windows of ``chunk_tokens``
+    whitespace tokens starting every ``chunk_tokens - overlap`` tokens
+    (the last window may be short; token-less docs yield no rows).
+
+    -> (doc_id, chunk_idx, n_tokens, chunk_text)
+
+    Pure built-ins: one ``sequence`` of window starts per row, one
+    ``posexplode`` — fan-out is |tokens|/stride rows per doc, no
+    shuffle, no UDF. At 100 TB this is a map-only stage whose output
+    feeds straight into the dedup/quality operators (each chunk is a
+    row of the same shape ``documents`` has)."""
+    stride = chunk_tokens - overlap
+    if stride < 1:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    t = tokens(F.col(text_col))
+    base = df.filter(F.col(text_col).rlike(r"\S")).select(
+        F.col(id_col).alias("doc_id"), F.when(F.size(t) >= 0, t).alias("t")
+    )
+    windows = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 1, F.lit(stride)),
+        lambda s: F.struct(
+            F.size(F.slice("t", s + 1, chunk_tokens)).alias("n_tokens"),
+            F.array_join(F.slice("t", s + 1, chunk_tokens), " ").alias("chunk_text"),
+        ),
+    )
+    return base.select(
+        "doc_id", F.posexplode(windows).alias("chunk_idx", "c")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long"),
+        F.col("c.n_tokens").cast("long").alias("n_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of whitespace-normalized lowercased text.
     (The scalable stand-in for a rolling/Rabin hash — identical across

@@ -1117,6 +1117,66 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_chunking",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE regexp_matches(text, '\S')
+    ), st AS (
+      SELECT doc_id, t, unnest(range(0, len(t), 48)) AS s FROM toks
+    )
+    SELECT doc_id,
+           CAST(s / 48 AS BIGINT) AS chunk_idx,
+           CAST(len(t[s+1 : s+64]) AS BIGINT) AS n_tokens,
+           array_to_string(t[s+1 : s+64], ' ') AS chunk_text
+    FROM st
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token windows, stride 48)
+    — exact per-chunk oracle incl. the short tail window."""
+    from lakeapi_spark.operators.text import chunk_documents
+
+    d = table(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text", chunk_tokens=64, overlap=16)
+
+
+@register(
+    "chunk_dedup_summary",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE regexp_matches(text, '\S')
+    ), st AS (
+      SELECT doc_id, t, unnest(range(0, len(t), 48)) AS s FROM toks
+    ), chunks AS (
+      SELECT doc_id * 1000 + CAST(s / 48 AS BIGINT) AS chunk_key,
+             array_to_string(t[s+1 : s+64], ' ') AS chunk_text
+      FROM st
+    )
+    SELECT md5(regexp_replace(trim(lower(chunk_text)), '\s+', ' ', 'g')) AS fingerprint,
+           MIN(chunk_key) AS keeper_id, COUNT(*) AS n_dups
+    FROM chunks GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def chunk_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition proof: chunking feeds straight into exact dedup —
+    duplicated chunk groups across the corpus (cross-doc boilerplate
+    detection, the chunk-level analogue of dedup_exact). chunk_key
+    packs (doc_id, chunk_idx) so the keeper is deterministic."""
+    from lakeapi_spark.operators.dedup import exact_dedup_keepers
+    from lakeapi_spark.operators.text import chunk_documents
+
+    d = table(spark, sf_dir, "documents")
+    chunks = chunk_documents(d, "doc_id", "text", chunk_tokens=64, overlap=16).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_key"), "chunk_text"
+    )
+    return exact_dedup_keepers(chunks, "chunk_key", "chunk_text").filter(
+        F.col("n_dups") > 1
+    )
+
+
+@register(
     "text_repetition_metrics",
     r"""
     WITH toks AS (
