@@ -395,6 +395,120 @@ def delta_stream_sink(path: str, app_id: str, partition_by: list[str] | None = N
     return write
 
 
+def optimize_delta(
+    spark: SparkSession,
+    path: str,
+    target_files_per_partition: int = 1,
+) -> int:
+    """OPTIMIZE-style bin packing: rewrite each partition's small files
+    into ``target_files_per_partition`` larger ones and commit the
+    swap (adds + removes, ``dataChange: false``-style compaction) as
+    ONE atomic version. Small-file proliferation is what kills scan
+    throughput at 100 TB — a streaming sink committing a file per
+    micro-batch needs periodic compaction or every downstream scan
+    pays per-file open costs. Readers time-traveling to pre-OPTIMIZE
+    versions still see the old files (VACUUM is the one that deletes).
+
+    Returns the committed version. Data is rewritten executor-parallel
+    (one coalesced write per partition tuple); only the commit is
+    driver-side."""
+    import os
+    import uuid
+
+    base = _local_path(path).rstrip("/")
+    snap = delta_snapshot(spark, base)
+    pcols = snap.partition_columns
+    data_fields = [f for f in snap.schema.fields if f.name not in pcols]
+    data_schema = T.StructType(data_fields)
+
+    groups: dict[tuple, list[str]] = {}
+    for rel, pvals in snap.files.items():
+        groups.setdefault(tuple(pvals.get(c) for c in pcols), []).append(rel)
+
+    adds: list[dict] = []
+    removes: list[dict] = []
+    for key, rels in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
+        if len(rels) <= target_files_per_partition:
+            continue
+        df = spark.read.schema(data_schema).parquet(*[f"{base}/{r}" for r in rels])
+        staging = f"{base}/.optimize-{uuid.uuid4().hex}"
+        df.coalesce(target_files_per_partition).write.mode("overwrite").parquet(staging)
+        rel_dir = "/".join(
+            f"{c}={v if v is not None else '__HIVE_DEFAULT_PARTITION__'}"
+            for c, v in zip(pcols, key)
+        )
+        if rel_dir:
+            os.makedirs(f"{base}/{rel_dir}", exist_ok=True)
+        for name in sorted(os.listdir(staging)):
+            if not name.endswith(".parquet"):
+                continue
+            rel = f"{rel_dir}/{name}" if rel_dir else name
+            os.replace(f"{staging}/{name}", f"{base}/{rel}")
+            adds.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": dict(zip(pcols, key)),
+                        "size": os.path.getsize(f"{base}/{rel}"),
+                        "modificationTime": 0,
+                        "dataChange": False,
+                    }
+                }
+            )
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        removes.extend(
+            {"remove": {"path": r, "deletionTimestamp": 0, "dataChange": False}}
+            for r in rels
+        )
+    if not adds:
+        return snap.version  # nothing to compact
+    log = f"{base}/_delta_log"
+    for _attempt in range(10):
+        version = delta_snapshot(spark, base).version + 1
+        try:
+            fd = os.open(
+                f"{log}/{version:020d}.json", os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w") as f:
+            for a in removes + adds:
+                f.write(json.dumps(a) + "\n")
+        return version
+    raise RuntimeError(f"could not commit OPTIMIZE to {base} (concurrent writers)")
+
+
+def vacuum_delta(spark: SparkSession, path: str, keep_versions: int = 0) -> list[str]:
+    """Delete data files no version >= (latest - keep_versions)
+    references: removed-and-aged-out files plus commit-race orphans.
+    Time travel keeps working back to ``latest - keep_versions``;
+    earlier versions become unreadable — delta's retention tradeoff,
+    expressed in versions instead of hours for deterministic tests.
+    Returns the deleted relative paths."""
+    import os
+
+    base = _local_path(path).rstrip("/")
+    latest = delta_snapshot(spark, base).version
+    keep_from = max(0, latest - keep_versions)
+    referenced: set[str] = set()
+    for v in range(keep_from, latest + 1):
+        referenced |= set(delta_snapshot(spark, base, version_as_of=v).files)
+    deleted: list[str] = []
+    for root, dirs, files in os.walk(base):
+        dirs[:] = [d for d in dirs if d != "_delta_log" and not d.startswith(".")]
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, base)
+            if rel not in referenced:
+                os.remove(full)
+                deleted.append(rel)
+    return sorted(deleted)
+
+
 def write_delta_minimal(
     df: DataFrame, path: str, partition_by: list[str] | None = None
 ) -> None:

@@ -745,3 +745,46 @@ class TestDeltaWriter:
         sink(spark.range(100, 110).selectExpr("id", "id % 7 AS user_id"), 1)
         assert read_delta_fallback(spark, out).count() == 110
         assert last_txn_version(spark, out, "events_ingest") == 1
+
+    def test_optimize_compacts_and_vacuum_reclaims(self, spark, tmp_path):
+        """OPTIMIZE packs per-partition small files into one and keeps
+        old versions readable; VACUUM then deletes unreferenced files,
+        retaining the configured version horizon."""
+        import glob
+
+        from lakeapi_spark.sources.delta import (
+            optimize_delta,
+            read_delta_fallback,
+            vacuum_delta,
+            write_delta,
+        )
+
+        path = str(tmp_path / "t6")
+        # 4 appends -> many small files per partition (2 partitions)
+        for lo in range(0, 40, 10):
+            write_delta(
+                spark.range(lo, lo + 10).selectExpr(
+                    "id", "CAST(id % 2 AS STRING) AS p"
+                ),
+                path,
+                partition_by=["p"],
+            )
+        n_files_before = len(glob.glob(f"{path}/**/*.parquet", recursive=True))
+        v = optimize_delta(spark, path)
+        assert v == 4  # one compaction commit after 4 appends
+        df = read_delta_fallback(spark, path)
+        assert df.count() == 40
+        assert {r.p for r in df.select("p").distinct().collect()} == {"0", "1"}
+        # latest snapshot references exactly 1 file per partition
+        from lakeapi_spark.sources.delta import delta_snapshot
+
+        snap = delta_snapshot(spark, path)
+        assert len(snap.files) == 2
+        # pre-OPTIMIZE version still readable (old files on disk)
+        assert read_delta_fallback(spark, path, version_as_of=3).count() == 40
+        # vacuum keeping only the latest: old files go, counts survive
+        deleted = vacuum_delta(spark, path, keep_versions=0)
+        assert len(deleted) >= n_files_before - 2
+        assert read_delta_fallback(spark, path).count() == 40
+        n_files_after = len(glob.glob(f"{path}/**/*.parquet", recursive=True))
+        assert n_files_after == 2
