@@ -144,6 +144,57 @@ def frame_sample_stub(df: DataFrame, frame_bytes: int, every_n: int) -> DataFram
     )
 
 
+#: PNG file signature, hex
+PNG_SIG_HEX = "89504E470D0A1A0A"
+#: signature + IHDR chunk length (13) + "IHDR" type tag, hex
+_PNG_HEADER_HEX = PNG_SIG_HEX + "0000000D49484452"
+
+
+def attach_png_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Typed media table whose payload is a REAL PNG header (signature +
+    IHDR with big-endian width/height) followed by the text bytes as
+    stand-in pixel data — enough structure for a header decoder to
+    parse, built entirely from JVM expressions (unhex/concat)."""
+    w = (F.length(F.col(text_col)) % 64 + 1).cast("long")
+    h = (F.length(F.col(text_col)) % 48 + 1).cast("long")
+    header = F.unhex(
+        F.concat(
+            F.lit(_PNG_HEADER_HEX),
+            F.lpad(F.hex(w), 8, "0"),
+            F.lpad(F.hex(h), 8, "0"),
+            F.lit("0806000000"),  # bit depth 8, RGBA, default methods
+        )
+    )
+    payload = F.concat(header, F.encode(F.col(text_col), "utf-8"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        payload.alias("payload"),
+        F.lit("image/png").alias("media_type"),
+        w.cast("int").alias("width"),
+        h.cast("int").alias("height"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def png_dimensions(df: DataFrame) -> DataFrame:
+    """REAL binary decode, zero Python: parse width/height out of the
+    PNG IHDR (bytes 17-24, big-endian u32s) with substring/hex/conv
+    built-ins, validating the 8-byte signature first. This is the
+    pattern for any fixed-layout header (WAV sample rate, BMP dims,
+    RIFF chunks): whole-stage codegen over the binary column, no codec
+    library, no UDF — executors never ship bytes to Python just to
+    read a header."""
+    sig_ok = F.hex(F.substring("payload", 1, 8)) == F.lit(PNG_SIG_HEX)
+    width = F.conv(F.hex(F.substring("payload", 17, 4)), 16, 10).cast("long")
+    height = F.conv(F.hex(F.substring("payload", 21, 4)), 16, 10).cast("long")
+    return df.select(
+        "id",
+        sig_ok.alias("valid_png"),
+        F.when(sig_ok, width).alias("width"),
+        F.when(sig_ok, height).alias("height"),
+    )
+
+
 def decode_real(df: DataFrame) -> DataFrame:
     """Integration point for a real decoder (image resize / audio
     spectrogram / video frame-sample). Not available in this container."""

@@ -1621,6 +1621,29 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_dimensions",
+    """
+    SELECT doc_id AS id, TRUE AS valid_png,
+           CAST(length(text) % 64 + 1 AS BIGINT) AS width,
+           CAST(length(text) % 48 + 1 AS BIGINT) AS height
+    FROM documents
+    """,
+)
+def multimodal_png_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL binary header decode, zero Python: documents become PNG
+    payloads (real signature + IHDR, built with unhex/concat), then
+    png_dimensions parses width/height back out of the IHDR bytes with
+    substring/hex/conv built-ins. The oracle computes the expected dims
+    from the encoding formula, so the hash-match proves the binary
+    parse exactly inverts the binary encode — a codec-free decode both
+    engines agree on."""
+    from lakeapi_spark.operators.multimodal import attach_png_payload, png_dimensions
+
+    d = table(spark, sf_dir, "documents")
+    return png_dimensions(attach_png_payload(d, "doc_id", "text"))
+
+
+@register(
     "multimodal_stub_features",
     """
     WITH b AS (

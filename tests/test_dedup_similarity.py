@@ -382,3 +382,25 @@ def test_ngram_jaccard_cache_handle_released(corpus):
         h.unpersist(blocking=True)
     after = set(dict(spark.sparkContext._jsc.getPersistentRDDs()).keys())
     assert after <= before, "cached blocks leaked"
+
+
+def test_png_dimensions_parse_and_reject(spark):
+    """png_dimensions inverts attach_png_payload exactly and nulls out
+    dims when the signature is corrupt — all JVM expressions."""
+    from pyspark.sql import functions as F
+
+    from lakeapi_spark.operators.multimodal import attach_png_payload, png_dimensions
+
+    df = spark.createDataFrame(
+        [(1, "x" * 100), (2, "hello world")], ["doc_id", "text"]
+    )
+    media = attach_png_payload(df, "doc_id", "text")
+    got = {r.id: (r.valid_png, r.width, r.height) for r in png_dimensions(media).collect()}
+    assert got == {1: (True, 100 % 64 + 1, 100 % 48 + 1), 2: (True, 12, 12)}
+    # corrupt the first signature byte -> invalid, dims null
+    corrupt = media.withColumn(
+        "payload",
+        F.concat(F.unhex(F.lit("00")), F.substring("payload", 2, 1 << 30)),
+    )
+    bad = {r.id: (r.valid_png, r.width) for r in png_dimensions(corrupt).collect()}
+    assert bad == {1: (False, None), 2: (False, None)}
