@@ -233,11 +233,13 @@ def write_delta(
     Commit atomicity uses the protocol's put-if-absent contract:
     ``O_CREAT|O_EXCL`` on the versioned filename — a concurrent writer
     losing the race re-reads the snapshot and retries at the next
-    version (bounded by ``max_commit_retries``). That is exactly
-    delta's LogStore contract for filesystems with atomic create;
-    object stores without it (plain S3) need a coordinating LogStore /
-    commit service — this writer targets local/HDFS-like stores and the
-    test bench.
+    version (bounded by ``max_commit_retries``). That is delta's
+    LogStore contract expressed with os-level primitives, so THIS
+    implementation requires a POSIX-visible path (local disk, NFS,
+    fuse-mounted stores); HDFS or an object store needs the same two
+    calls (data move + create-if-absent) ported to the Hadoop
+    FileSystem API, and stores without atomic create (plain S3) need a
+    coordinating LogStore / commit service.
 
     ``txn_app_id``/``txn_version`` add the protocol's ``txn`` action:
     the idempotence marker a streaming sink uses to make at-least-once
