@@ -251,3 +251,34 @@ def compile_request(
         nb = cfg.nearby[0]
         out = nearby_op(out, nb.lat_col, nb.lon_col, lat, lon, dist, dist_name=nb.name)
     return out
+
+
+def serve_request(
+    registry: TableRegistry,
+    name: str,
+    params: dict[str, Any] | None = None,
+    *,
+    fmt: str = "json",
+    csv_separator: str = ",",
+    encoding: str | None = None,
+    **kwargs: Any,
+):
+    """The serialization step the reference's HTTP handler performs
+    after compiling a request (core/response.py:87-170,315-352):
+    bounded results serialize to whole ``bytes``; an UNBOUNDED request
+    (``limit=-1`` on an ``allow_get_all_pages`` table) returns a chunk
+    ITERATOR via :func:`lakeapi_spark.serialize.stream_serialize`, so a
+    full-table export never materializes on the driver — exactly the
+    reference's temp-file chunk streaming, Spark-shaped. Formats that
+    need a seekable whole-file sink (arrow file, xlsx, html, xml) stay
+    whole-bytes in either case."""
+    from lakeapi_spark import serialize as ser
+
+    df = compile_request(registry, name, params, **kwargs)
+    cfg = registry.config(name)
+    unbounded = clamp_limit(kwargs.get("limit"), cfg.allow_get_all_pages) is None
+    if unbounded and fmt not in ("arrow", "xlsx", "html", "xml"):
+        return ser.stream_serialize(
+            df, fmt, csv_separator=csv_separator, encoding=encoding
+        )
+    return ser.serialize(df, fmt, csv_separator=csv_separator, encoding=encoding)

@@ -364,3 +364,33 @@ def test_search_method_bm25_served_from_index(spark, sf_dir):
     assert len(after) - len(before) == 1
     for k in after:
         _BM25_CACHE.pop(k).unpersist()
+
+
+def test_serve_request_streams_unbounded_exports(spark, sf_dir):
+    """limit=-1 on an allow_get_all_pages table returns a chunk
+    iterator (never a whole-result buffer); bounded requests return
+    bytes; contents agree."""
+    import json as _json
+    from collections.abc import Iterator
+
+    from lakeapi_spark.config import DatasourceConfig, TableConfig
+    from lakeapi_spark.registry import TableRegistry, serve_request
+
+    reg = TableRegistry(spark)
+    reg.register(
+        TableConfig(
+            name="nation",
+            datasource=DatasourceConfig(uri=f"{sf_dir}/nation.parquet"),
+            allow_get_all_pages=True,
+        )
+    )
+    whole = serve_request(reg, "nation", fmt="ndjson", limit=25)
+    assert isinstance(whole, bytes)
+    stream = serve_request(reg, "nation", fmt="ndjson", limit=-1)
+    assert not isinstance(stream, bytes) and isinstance(stream, Iterator)
+    streamed = b"".join(stream)
+    rows_whole = sorted(_json.loads(ln)["n_name"] for ln in whole.decode().strip().split("\n"))
+    rows_stream = sorted(_json.loads(ln)["n_name"] for ln in streamed.decode().strip().split("\n"))
+    assert rows_whole == rows_stream and len(rows_stream) == 25
+    # seekable-sink formats stay whole-bytes even unbounded
+    assert isinstance(serve_request(reg, "nation", fmt="xlsx", limit=-1), bytes)
