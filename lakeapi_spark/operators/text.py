@@ -175,9 +175,10 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     All built-in array expressions, zero shuffle, zero UDF; each stage
     is its own projection with the when() double-reference blocker so
     CollapseProject can't inline the token array into the per-element
-    lambdas (same hazard as minhash_signature). top_token_share is
-    O(|distinct| * |tokens|) per row in-row — bounded by document
-    length, never a join."""
+    lambdas (same hazard as minhash_signature). top_token_share runs as
+    sort + longest-equal-run fold — O(n log n) per row, NOT the naive
+    O(|distinct| * |tokens|) count-per-distinct-token form, which goes
+    quadratic on a pathological 100k-token document."""
     t = tokens(F.col(text_col))
     base = df.select(F.col(id_col).alias("doc_id"), F.when(F.size(t) >= 0, t).alias("t"))
     bg = F.when(F.size("t") < 2, F.array().cast("array<string>")).otherwise(
@@ -191,18 +192,28 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.size("b") > 0,
         F.round(1 - F.size(F.array_distinct("b")) / F.size("b"), 4),
     )
+    # longest equal run of the SORTED tokens == max token frequency;
+    # one fold with (prev, run, best) struct state
+    run_state = F.aggregate(
+        F.array_sort("t"),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
     top_share = F.when(
         F.size("t") > 0,
-        F.round(
-            F.array_max(
-                F.transform(
-                    F.array_distinct("t"),
-                    lambda d: F.size(F.filter("t", lambda x: x == d)),
-                )
-            )
-            / F.size("t"),
-            4,
-        ),
+        F.round(run_state / F.size("t"), 4),
     )
     return staged.select(
         "doc_id",
