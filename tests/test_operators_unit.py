@@ -429,3 +429,41 @@ def test_operators_tolerate_empty_input(spark):
     empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert dup_clusters(empty_pairs).count() == 0
     assert hash_sample(empty_docs, "doc_id", 10, 2).count() == 0
+
+
+def test_chunk_documents_differential(spark):
+    """chunk_documents vs a plain-Python reference across edge-case
+    lengths (empty, 1 token, exactly chunk, chunk+1, stride multiples,
+    long) and parameter corners (overlap 0, chunk 1)."""
+    import random
+
+    from lakeapi_spark.operators.text import chunk_documents
+
+    def ref(text, chunk, overlap):
+        toks = text.strip().lower().split()
+        stride = chunk - overlap
+        out = []
+        for idx, s in enumerate(range(0, len(toks), stride)):
+            window = toks[s : s + chunk]
+            out.append((idx, len(window), " ".join(window)))
+        return out
+
+    rng = random.Random(99)
+    lengths = [0, 1, 2, 15, 16, 17, 47, 48, 49, 64, 65, 100, 333]
+    docs = [
+        (i, " ".join(f"w{rng.randrange(50)}" for _ in range(n)))
+        for i, n in enumerate(lengths)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for chunk, overlap in [(16, 4), (16, 0), (1, 0), (64, 16)]:
+        got = {}
+        for r in chunk_documents(df, "doc_id", "text", chunk, overlap).collect():
+            got.setdefault(r.doc_id, []).append((r.chunk_idx, r.n_tokens, r.chunk_text))
+        for doc_id, text in docs:
+            expect = ref(text, chunk, overlap)
+            assert sorted(got.get(doc_id, [])) == expect, (doc_id, chunk, overlap)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=8, overlap=8)

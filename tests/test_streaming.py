@@ -328,3 +328,69 @@ def test_foreach_batch_sink_idempotent_on_replay(spark, tmp_path):
     after = spark.read.parquet(out)
     assert after.count() == 100  # overwrote, not appended
     assert after.select("_batch_id").distinct().count() == 1
+
+
+def test_stream_aggregation_into_delta_sink(spark, sf_dir, tmp_path):
+    """End-to-end: watermarked streaming aggregation committed to a
+    delta table with txn markers — the full ingest chain (file source
+    -> windowed agg -> exactly-once delta sink), readable back through
+    the protocol-log fallback and safe against batch replay."""
+    from lakeapi_spark.sources.delta import (
+        delta_stream_sink,
+        last_txn_version,
+        read_delta_fallback,
+    )
+
+    out = str(tmp_path / "delta_agg")
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = tumbling_counts_stream(stream)
+    sink = delta_stream_sink(out, app_id="tumbling_agg")
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_delta"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = read_delta_fallback(spark, out)
+    # complete mode: the LAST committed batch holds the full result;
+    # keep rows from the final txn version only
+    last = last_txn_version(spark, out, "tumbling_agg")
+    assert last >= 0
+    # compare against the batch twin on the same files
+    batch = tumbling(
+        table(spark, sf_dir, "events"),
+        "ts",
+        300,
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")],
+    )
+    want = {
+        (r.window_start, r.event_type): (r.n_events, round(r.sum_value, 4))
+        for r in batch.collect()
+    }
+    # the final append contains the complete result; earlier batches may
+    # partially overlap, so time-travel to the last commit alone
+    from lakeapi_spark.sources.delta import delta_snapshot
+
+    latest = delta_snapshot(spark, out).version
+    prev_files = (
+        set(delta_snapshot(spark, out, version_as_of=latest - 1).files)
+        if latest > 0
+        else set()
+    )
+    # rows only from files added in the final commit
+    import os
+
+    final_files = [
+        f"{out}/{p}"
+        for p in set(delta_snapshot(spark, out).files) - prev_files
+    ]
+    final = spark.read.schema(got.schema).parquet(*final_files)
+    got_map = {
+        (r.window_start, r.event_type): (r.n_events, round(r.sum_value, 4))
+        for r in final.collect()
+    }
+    assert got_map == want
