@@ -97,6 +97,74 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def quantized_vectors(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
+    """(out_id, _q: array<long>, _n2: long) — int8-range symmetric
+    quantization ``q_i = round(127 * x_i / max|x|)`` plus the integer
+    squared norm, all built-in expressions. max|x| is hoisted into its
+    own projection (when() double-reference blocker) so it isn't
+    re-evaluated per element inside the quantize lambda."""
+    base = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("_v"))
+    m_rel = base.select(
+        out_id,
+        "_v",
+        F.when(
+            F.size("_v") >= 0, F.array_max(F.transform("_v", lambda x: F.abs(x)))
+        ).alias("_m"),
+    )
+    qv = F.when(
+        F.col("_m") > 0,
+        F.transform("_v", lambda x: F.round(x / (F.col("_m") / 127)).cast("long")),
+    ).otherwise(F.transform("_v", lambda x: F.lit(0).cast("long")))
+    q_rel = m_rel.select(out_id, qv.alias("_q"))
+    n2 = F.aggregate(
+        F.transform("_q", lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return q_rel.select(out_id, "_q", F.when(F.size("_q") >= 0, n2).alias("_n2"))
+
+
+def quantized_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k over int8-QUANTIZED vectors — the 4x-smaller storage
+    path for a 100 TB embedding corpus (store array<byte> + one scale
+    instead of array<float>).
+
+    The per-vector scales CANCEL in cosine:
+    cos(deq_a, deq_b) = intdot(qa,qb) / (sqrt(n2_a) * sqrt(n2_b)),
+    so the score is computed from integer dot products — bit-exact
+    across engines by construction (no float-summation-order concerns),
+    which is why the DuckDB oracle matches it hash-for-hash. Same
+    output contract as :func:`brute_force_topk`; recall vs the float
+    path is property-tested (quantization error ~1/254 per component).
+    """
+    q = F.broadcast(quantized_vectors(queries, id_col, vec_col, "query_id"))
+    c = quantized_vectors(fan_out(emb), id_col, vec_col, "neighbor_id")
+    intdot = F.aggregate(
+        F.zip_with("_q", "_cq", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.withColumnRenamed("_q", "_cq")
+        .withColumnRenamed("_n2", "_cn2")
+        .join(q, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(intdot / F.sqrt(F.col("_n2") * F.col("_cn2")), round_digits),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).tolist()

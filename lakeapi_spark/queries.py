@@ -1433,6 +1433,55 @@ _TOPK_ORACLE = (
 )
 
 
+_QUANTIZED_TOPK_ORACLE = """
+    WITH m AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx,
+             embedding
+      FROM embeddings
+    ), qz AS (
+      SELECT vec_id,
+             CASE WHEN mx > 0
+                  THEN list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE) / (mx / 127)) AS BIGINT))
+                  ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+             END AS q
+      FROM m
+    ), xv AS (
+      SELECT vec_id, unnest(range(1, len(q)+1)) AS i, q FROM qz
+    ), xe AS (
+      SELECT vec_id, i, q[i] AS qi FROM xv
+    ), n2 AS (
+      SELECT vec_id, SUM(qi*qi) AS n2 FROM xe GROUP BY vec_id
+    ), d AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.qi*c.qi) AS dot
+      FROM (SELECT * FROM xe WHERE vec_id <= 4) q
+      JOIN xe c ON q.i = c.i AND q.vec_id <> c.vec_id GROUP BY 1, 2
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             ROUND(CAST(dot AS DOUBLE) / sqrt(CAST(nq.n2 AS DOUBLE) * nc.n2), 4) AS cosine
+      FROM d JOIN n2 nq ON nq.vec_id = query_id JOIN n2 nc ON nc.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+"""
+
+
+@register("ann_quantized_topk", _QUANTIZED_TOPK_ORACLE)
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over int8-quantized embeddings: per-vector scales cancel in
+    cosine, so the score is integer-exact and the oracle reproduces it
+    bit-for-bit — the 4x-smaller storage path for embedding corpora."""
+    from lakeapi_spark.operators.similarity import quantized_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") <= 4)
+    out = quantized_topk(e, q, "vec_id", "embedding", k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @register("ann_brute_force_topk", _TOPK_ORACLE, bench=True)
 def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeapi_spark.operators.similarity import brute_force_topk

@@ -404,3 +404,16 @@ def test_png_dimensions_parse_and_reject(spark):
     )
     bad = {r.id: (r.valid_png, r.width) for r in png_dimensions(corrupt).collect()}
     assert bad == {1: (False, None), 2: (False, None)}
+
+
+def test_quantized_topk_recall_vs_float(spark, sf_dir):
+    """int8 quantization (~1/254 per-component error) barely perturbs
+    cosine ranking: top-10 recall vs the float path stays high."""
+    from lakeapi_spark.operators.similarity import quantized_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") <= 4)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, q, "vec_id", "embedding", k=10).collect()}
+    quant = {(r.query_id, r.neighbor_id) for r in quantized_topk(emb, q, "vec_id", "embedding", k=10).collect()}
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, recall
