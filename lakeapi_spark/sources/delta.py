@@ -50,6 +50,8 @@ class DeltaSnapshot:
     files: dict[str, dict[str, str]] = field(default_factory=dict)
     #: appId -> last committed txn version (streaming idempotence)
     app_versions: dict[str, int] = field(default_factory=dict)
+    #: file path -> parsed add.stats (numRecords/minValues/maxValues)
+    stats: dict[str, dict] = field(default_factory=dict)
 
 
 def _read_json_bytes(spark: SparkSession, uri: str) -> bytes:
@@ -82,8 +84,17 @@ def _apply_action(snap: DeltaSnapshot, action: dict) -> None:
     if "add" in action:
         a = action["add"]
         snap.files[a["path"]] = dict(a.get("partitionValues") or {})
+        raw_stats = a.get("stats")
+        if raw_stats:
+            try:
+                snap.stats[a["path"]] = (
+                    json.loads(raw_stats) if isinstance(raw_stats, str) else raw_stats
+                )
+            except ValueError:
+                pass
     if "remove" in action:
         snap.files.pop(action["remove"]["path"], None)
+        snap.stats.pop(action["remove"]["path"], None)
     if "txn" in action:
         t = action["txn"]
         snap.app_versions[t["appId"]] = int(t["version"])
@@ -155,12 +166,22 @@ def _partition_lit(value: str | None, dtype: T.DataType):
 
 
 def read_delta_fallback(
-    spark: SparkSession, uri: str, version_as_of: int | None = None
+    spark: SparkSession,
+    uri: str,
+    version_as_of: int | None = None,
+    predicates: list[tuple] | None = None,
 ) -> DataFrame:
     """Snapshot -> DataFrame. Data columns come from the parquet files
     with the log-declared schema enforced; partition columns come from
     the LOG (injected per distinct partition tuple), which is the
-    protocol's source of truth — directory names are only a convention."""
+    protocol's source of truth — directory names are only a convention.
+
+    ``predicates`` = [(col, lo, hi)] closed ranges (None = unbounded)
+    enables DATA SKIPPING from the log's per-file min/max stats: a file
+    whose range provably misses the box is never opened. This bounds
+    IO only — callers still apply the exact filter (Catalyst pushes it
+    into the surviving scans). Statless files are conservatively kept,
+    so predicates never change results, just cost."""
     snap = delta_snapshot(spark, uri, version_as_of)
     base = uri.rstrip("/")
     pcols = snap.partition_columns
@@ -168,11 +189,18 @@ def read_delta_fallback(
     data_schema = T.StructType(data_fields)
     ptypes = {f.name: f.dataType for f in snap.schema.fields if f.name in pcols}
 
-    if not snap.files:
+    files = snap.files
+    if predicates:
+        files = {
+            p: pv
+            for p, pv in files.items()
+            if _stats_overlap(snap.stats.get(p), predicates)
+        }
+    if not files:
         return spark.createDataFrame([], snap.schema)
 
     groups: dict[tuple, list[str]] = {}
-    for path, pvals in snap.files.items():
+    for path, pvals in files.items():
         key = tuple(pvals.get(c) for c in pcols)
         groups.setdefault(key, []).append(f"{base}/{path}")
 
@@ -207,6 +235,58 @@ def read_delta(
         )
 
 
+def _file_stats_json(path: str) -> str | None:
+    """delta-spec ``add.stats`` JSON (numRecords/minValues/maxValues)
+    from the parquet footer — the metadata data skipping runs on. Only
+    top-level scalar columns with usable footer statistics are
+    recorded; absence is always legal (readers must keep statless
+    files)."""
+    import pyarrow.parquet as papq
+
+    try:
+        md = papq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue  # nested leaf: skip
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                except UnicodeDecodeError:
+                    continue
+            if hasattr(mn, "isoformat"):
+                mn, mx = mn.isoformat(), mx.isoformat()
+            mins[name] = mn if name not in mins else min(mins[name], mn)
+            maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    return json.dumps({"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs})
+
+
+def _stats_overlap(stats: dict | None, predicates) -> bool:
+    """True unless the file's [min,max] PROVABLY excludes the predicate
+    box — missing stats/columns keep the file (conservative)."""
+    if not stats:
+        return True
+    mins = stats.get("minValues") or {}
+    maxs = stats.get("maxValues") or {}
+    for col, lo, hi in predicates:
+        if lo is not None and col in maxs and maxs[col] < lo:
+            return False
+        if hi is not None and col in mins and mins[col] > hi:
+            return False
+    return True
+
+
 def _local_path(uri: str) -> str:
     if uri.startswith("file:"):
         import re as _re
@@ -223,6 +303,7 @@ def write_delta(
     txn_app_id: str | None = None,
     txn_version: int | None = None,
     max_commit_retries: int = 10,
+    collect_stats: bool = True,
 ) -> int:
     """EXECUTOR-PARALLEL delta writer without delta-spark: Spark writes
     the parquet data files (distributed, partitioned layouts included),
@@ -288,17 +369,18 @@ def write_delta(
                 os.makedirs(f"{base}/{rel_dir}", exist_ok=True)
             rel = name if rel_dir == "." else f"{rel_dir}/{name}"
             os.replace(src, f"{base}/{rel}")
-            adds.append(
-                {
-                    "add": {
-                        "path": rel,
-                        "partitionValues": {c: pvals.get(c) for c in pcols},
-                        "size": os.path.getsize(f"{base}/{rel}"),
-                        "modificationTime": 0,
-                        "dataChange": True,
-                    }
-                }
-            )
+            add = {
+                "path": rel,
+                "partitionValues": {c: pvals.get(c) for c in pcols},
+                "size": os.path.getsize(f"{base}/{rel}"),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+            if collect_stats:
+                stats = _file_stats_json(f"{base}/{rel}")
+                if stats:
+                    add["stats"] = stats
+            adds.append({"add": add})
     shutil.rmtree(staging, ignore_errors=True)
 
     # 2. commit loop: snapshot -> build actions -> put-if-absent
@@ -360,6 +442,58 @@ def write_delta(
         f"could not commit to {base} after {max_commit_retries} attempts "
         "(concurrent writers)"
     )
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 4,
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> int:
+    """Z-ORDER the table on ``cols`` and write it as a delta table with
+    per-file stats: each column is ranked into 2^bits range buckets
+    (bounds from one tiny min/max agg), the bucket bits are interleaved
+    into a z-key, and ``repartitionByRange`` + in-partition sort on the
+    key make every output file cover a COMPACT box in the
+    multi-dimensional space — tight min/max on EVERY z-ordered column,
+    so stats skipping (read_delta_fallback predicates) prunes files for
+    predicates on ANY of them, not just the first sort column. This is
+    the standard lakehouse answer to multi-column pruning at 100 TB
+    (linear sort orders only skip on their leading column).
+
+    Purely a layout transform: rows, schema and values are unchanged."""
+    if not 0 < bits <= 8:
+        raise ValueError("bits must be in 1..8")
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"_mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"_mx_{c}") for c in cols],
+    ).first()
+    n_buckets = 1 << bits
+    rank_cols = []
+    for c in cols:
+        mn = bounds[f"_mn_{c}"]
+        mx = bounds[f"_mx_{c}"]
+        span = (mx - mn) if (mx is not None and mn is not None and mx > mn) else 1.0
+        rank = F.least(
+            F.lit(n_buckets - 1),
+            F.floor((F.col(c).cast("double") - F.lit(mn or 0.0)) / F.lit(span) * n_buckets),
+        ).cast("long")
+        rank_cols.append(F.coalesce(rank, F.lit(0)))
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for j, rank in enumerate(rank_cols):
+            z = z + F.shiftleft(
+                F.shiftright(rank, bit).bitwiseAND(F.lit(1)), bit * len(cols) + j
+            )
+    laid_out = (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    return write_delta(laid_out, path, mode=mode, collect_stats=True)
 
 
 def last_txn_version(spark: SparkSession, path: str, app_id: str) -> int:

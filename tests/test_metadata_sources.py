@@ -788,3 +788,75 @@ class TestDeltaWriter:
         assert read_delta_fallback(spark, path).count() == 40
         n_files_after = len(glob.glob(f"{path}/**/*.parquet", recursive=True))
         assert n_files_after == 2
+
+    def test_zorder_stats_skipping_prunes_files(self, spark, tmp_path):
+        """Per-file min/max stats land in the commit log, and a z-ordered
+        layout makes a 2D box predicate prune most files — while a linear
+        sort on x prunes nothing for a y-only predicate. Results are
+        identical either way (skipping bounds IO, never changes rows)."""
+        from lakeapi_spark.sources.delta import (
+            delta_snapshot,
+            read_delta_fallback,
+            write_delta,
+            zorder_write,
+        )
+
+        df = spark.range(0, 4096).selectExpr(
+            "id", "CAST(id % 64 AS LONG) AS x", "CAST(id DIV 64 AS LONG) AS y"
+        )
+        naive = str(tmp_path / "naive")
+        write_delta(
+            df.repartitionByRange(32, "x").sortWithinPartitions("x"), naive
+        )
+        zpath = str(tmp_path / "zord")
+        zorder_write(df, zpath, cols=["x", "y"], bits=4, n_files=32)
+
+        # stats present in both logs
+        for p in (naive, zpath):
+            snap = delta_snapshot(spark, p)
+            assert snap.stats and all(
+                "minValues" in s for s in snap.stats.values()
+            ), p
+
+        preds = [("x", 0, 7), ("y", 0, 7)]
+
+        def n_kept(path):
+            snap = delta_snapshot(spark, path)
+            from lakeapi_spark.sources.delta import _stats_overlap
+
+            return sum(
+                1 for f in snap.files if _stats_overlap(snap.stats.get(f), preds)
+            )
+
+        total_z = len(delta_snapshot(spark, zpath).files)
+        kept_naive = n_kept(naive)
+        kept_z = n_kept(zpath)
+        # linear-on-x layout: an x-box keeps few files but every kept file
+        # spans ALL y; z-order keeps strictly fewer for the 2D box than
+        # its own file count and at most the naive count
+        assert kept_z < total_z / 2, (kept_z, total_z)
+        assert kept_z <= kept_naive
+
+        # y-only predicate: the x-sorted layout cannot prune at all
+        y_only = [("y", 0, 3)]
+        snap_naive = delta_snapshot(spark, naive)
+        from lakeapi_spark.sources.delta import _stats_overlap
+
+        kept_naive_y = sum(
+            1 for f in snap_naive.files if _stats_overlap(snap_naive.stats.get(f), y_only)
+        )
+        snap_z = delta_snapshot(spark, zpath)
+        kept_z_y = sum(
+            1 for f in snap_z.files if _stats_overlap(snap_z.stats.get(f), y_only)
+        )
+        assert kept_naive_y == len(snap_naive.files)  # no pruning
+        assert kept_z_y < len(snap_z.files) / 2  # real pruning
+
+        # correctness: skipped reads return exactly the full-filter rows
+        want = df.filter("x <= 7 AND y <= 7").count()
+        got = (
+            read_delta_fallback(spark, zpath, predicates=preds)
+            .filter("x <= 7 AND y <= 7")
+            .count()
+        )
+        assert got == want == 8 * 8
