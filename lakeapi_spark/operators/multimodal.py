@@ -195,6 +195,72 @@ def png_dimensions(df: DataFrame) -> DataFrame:
     )
 
 
+def _le_hex(col, pos: int, nbytes: int):
+    """Hex string of an ``nbytes`` little-endian field at 1-based byte
+    ``pos`` — the byte order reversed pair-wise so conv() can read it."""
+    return F.concat(
+        *[F.hex(F.substring(col, pos + i, 1)) for i in range(nbytes - 1, -1, -1)]
+    )
+
+
+def attach_wav_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Typed media table with a REAL RIFF/WAVE header (fmt chunk with
+    little-endian channel count + sample rate) followed by the text
+    bytes as stand-in samples — all JVM expressions."""
+    n = F.length(F.col(text_col))
+    channels = (n % 2 + 1).cast("long")  # 1 or 2
+    rate = (F.lit(8000) + (n % 5) * 8000).cast("long")  # 8k..40k
+
+    def le(v, nbytes):
+        h = F.lpad(F.hex(v), nbytes * 2, "0")
+        return F.concat(
+            *[F.substring(h, 2 * i + 1, 2) for i in range(nbytes - 1, -1, -1)]
+        )
+
+    header = F.unhex(
+        F.concat(
+            F.lit("52494646"),  # "RIFF"
+            le(n + 36, 4),  # chunk size, LE
+            F.lit("57415645666D742010000000"),  # "WAVE" + "fmt " + len 16 LE
+            F.lit("0100"),  # PCM, LE u16
+            le(channels, 2),
+            le(rate, 4),
+            le(rate * channels * 2, 4),  # byte rate
+            le(channels * 2, 2),  # block align
+            F.lit("1000"),  # 16 bits/sample, LE u16
+            F.lit("64617461"),  # "data"
+            le(n, 4),
+        )
+    )
+    payload = F.concat(header, F.encode(F.col(text_col), "utf-8"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        payload.alias("payload"),
+        F.lit("audio/wav").alias("media_type"),
+        channels.cast("int").alias("width"),  # channel count in the width slot
+        F.lit(1).alias("height"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def wav_format(df: DataFrame) -> DataFrame:
+    """REAL little-endian header decode, zero Python: channel count and
+    sample rate out of the RIFF fmt chunk (bytes 23-24 and 25-28, LE)
+    via per-byte substring + hex reorder + conv — the LE twin of
+    :func:`png_dimensions`' big-endian parse."""
+    sig_ok = (F.hex(F.substring("payload", 1, 4)) == F.lit("52494646")) & (
+        F.hex(F.substring("payload", 9, 4)) == F.lit("57415645")
+    )
+    channels = F.conv(_le_hex("payload", 23, 2), 16, 10).cast("long")
+    rate = F.conv(_le_hex("payload", 25, 4), 16, 10).cast("long")
+    return df.select(
+        "id",
+        sig_ok.alias("valid_wav"),
+        F.when(sig_ok, channels).alias("n_channels"),
+        F.when(sig_ok, rate).alias("sample_rate"),
+    )
+
+
 def decode_real(df: DataFrame) -> DataFrame:
     """Integration point for a real decoder (image resize / audio
     spectrogram / video frame-sample). Not available in this container."""

@@ -1693,6 +1693,25 @@ def multimodal_png_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_wav_format",
+    """
+    SELECT doc_id AS id, TRUE AS valid_wav,
+           CAST(length(text) % 2 + 1 AS BIGINT) AS n_channels,
+           CAST(8000 + (length(text) % 5) * 8000 AS BIGINT) AS sample_rate
+    FROM documents
+    """,
+)
+def multimodal_wav_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little-endian twin of multimodal_png_dimensions: RIFF/WAVE fmt
+    parse (channels + sample rate) with per-byte hex reordering —
+    oracle proves the LE decode inverts the LE encode exactly."""
+    from lakeapi_spark.operators.multimodal import attach_wav_payload, wav_format
+
+    d = table(spark, sf_dir, "documents")
+    return wav_format(attach_wav_payload(d, "doc_id", "text"))
+
+
+@register(
     "multimodal_stub_features",
     """
     WITH b AS (
