@@ -132,3 +132,39 @@ def test_between(corpus, op, lo, hi):
 @given(value=st.sampled_from(["a", "b", "c", "%", "_", "", "long", "zz"]))
 def test_has(corpus, value):
     run_case(corpus, "arr", "has", value)
+
+
+def test_split_param_postfix_property():
+    """Property fuzz of the postfix router: for any param name (even one
+    that itself ends in an operator-looking suffix) and any operator
+    postfix, `<name>_<postfix>` resolves back to (name, op) — exact
+    param-name matches always win over postfix interpretation, and
+    longest postfix wins (`_not_in` over `_in`)."""
+    import random
+
+    from lakeapi_spark.operators.filters import POSTFIX_TO_OP, split_param_postfix
+
+    rng = random.Random(7)
+    bases = ["price", "ship_date", "price_gte", "a", "not_in", "x_lt_y"]
+    postfixes = [p for p in POSTFIX_TO_OP if p]
+    for _ in range(500):
+        base = rng.choice(bases)
+        post = rng.choice(postfixes)
+        qname = f"{base}_{post}"
+        # exact-match param shadows the postfix reading
+        assert split_param_postfix(qname, [qname]) == (qname, "=")
+        # postfix reading when only the base is declared
+        got = split_param_postfix(qname, [base])
+        assert got == (base, POSTFIX_TO_OP[post]), (qname, got)
+        # longest-postfix precedence
+        if not post.startswith("not_"):
+            notq = f"{base}_not_{post}"
+            if f"not_{post}" in POSTFIX_TO_OP:
+                assert split_param_postfix(notq, [base]) == (
+                    base,
+                    POSTFIX_TO_OP[f"not_{post}"],
+                ), notq
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        split_param_postfix("unknown_gte", ["price"])
