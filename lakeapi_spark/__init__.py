@@ -25,9 +25,11 @@ Layout
     - ``sampling``           stable hash sampling / train-eval splits
     - ``dedup``              exact/minhash/simhash/jaccard/embedding dedup
     - ``similarity``         brute-force + LSH + IVF ANN over embeddings
-    - ``text``               lang-id, quality, tokens (ws + BPE-ish),
+    - ``text``               lang-id, quality, repetition metrics,
+                             tokens (ws + BPE-ish), chunking,
                              md5 + rolling-hash fingerprints
-    - ``multimodal``         binary-column decode/feature plumbing
+    - ``multimodal``         binary-column plumbing + JVM-side
+                             PNG/WAV header decode
     - ``windows``            event-time windowed aggregation (batch form)
     - ``scale``              fan-out guard for narrow CPU-bound scans
 - ``sql``          validated SQL endpoint -> spark.sql (§2.8, §3.2)
