@@ -119,6 +119,22 @@ def read_source(
         return spark.read.options(**{"multiLine": "true", **opts}).json(uri)
     if file_type == "ndjson":
         return spark.read.options(**opts).json(uri)
+    if file_type == "orc":
+        # native Spark reader (beyond the reference's FileTypes — free
+        # breadth for lakehouse data that already lives in ORC): same
+        # pushdown + pruning machinery as parquet
+        return spark.read.options(**opts).orc(uri)
+    if file_type == "avro":
+        # built-in-but-external Spark module: the spark-avro jar is not
+        # bundled in pyspark's jars dir, so gate with a clear error
+        # instead of Spark's generic ClassNotFound
+        try:
+            return spark.read.options(**opts).format("avro").load(uri)
+        except Exception as exc:
+            raise ValueError(
+                "avro needs the spark-avro package on the classpath "
+                "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
+            ) from exc
     if file_type in ("arrow", "arrow-stream", "feather", "ipc"):
         import pyarrow as pa
         import pyarrow.feather as feather

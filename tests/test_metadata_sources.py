@@ -860,3 +860,20 @@ class TestDeltaWriter:
             .count()
         )
         assert got == want == 8 * 8
+
+
+def test_read_source_orc_roundtrip(spark, tmp_path):
+    """ORC rides Spark's native reader with the same pushdown machinery
+    as parquet (beyond the reference's FileTypes)."""
+    src = spark.range(0, 50).selectExpr("id", "CAST(id % 5 AS STRING) AS g")
+    path = str(tmp_path / "orc_tbl")
+    src.write.orc(path)
+    df = read_source(spark, path, "orc")
+    assert df.count() == 50
+    plan = df.filter("id > 40")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan" in plan
+
+
+def test_read_source_avro_gated(spark, tmp_path):
+    with pytest.raises(ValueError, match="spark-avro"):
+        read_source(spark, str(tmp_path / "nope.avro"), "avro")
