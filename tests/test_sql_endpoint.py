@@ -371,3 +371,29 @@ def test_relation_scanner_fuzz_deep_cte_setop_nesting():
         # report relations outside the generated base set
         assert got == expect, f"iter {i}: {sql!r}\n got {got}\n want {expect}"
     assert deep_seen == 300
+
+
+def test_run_sql_recursive_cte(spark, sf_dir):
+    """Spark 4 recursive CTEs pass the whitelist, scope their
+    self-reference (not a base table), and still require authorization
+    for real tables read inside the recursive body."""
+    register_views(spark, sf_dir)
+    sql = (
+        "WITH RECURSIVE seq AS ("
+        " SELECT 1 AS n UNION ALL SELECT n + 1 FROM seq WHERE n < 5"
+        ") SELECT * FROM seq"
+    )
+    assert referenced_tables(sql) == set()
+    assert sorted(r.n for r in run_sql(spark, sql, allowed_tables=set()).collect()) == [
+        1, 2, 3, 4, 5,
+    ]
+    walk = (
+        "WITH RECURSIVE walk AS ("
+        " SELECT r_regionkey AS k FROM region WHERE r_regionkey = 0"
+        " UNION ALL SELECT k + 1 FROM walk WHERE k < 2"
+        ") SELECT * FROM walk"
+    )
+    assert referenced_tables(walk) == {"region"}
+    with pytest.raises(SqlValidationError, match="unauthorized"):
+        run_sql(spark, walk, allowed_tables={"nation"})
+    assert run_sql(spark, walk, allowed_tables={"region"}).count() == 3
