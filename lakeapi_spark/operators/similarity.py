@@ -97,12 +97,17 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def quantized_vectors(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
-    """(out_id, _q: array<long>, _n2: long) — int8-range symmetric
+def quantized_vectors(
+    df: DataFrame, id_col: str, vec_col: str, out_id: str, keep_vec: bool = False
+) -> DataFrame:
+    """(out_id, _q: array<long>, _n2: long[, _v]) — int8-range symmetric
     quantization ``q_i = round(127 * x_i / max|x|)`` plus the integer
     squared norm, all built-in expressions. max|x| is hoisted into its
     own projection (when() double-reference blocker) so it isn't
-    re-evaluated per element inside the quantize lambda."""
+    re-evaluated per element inside the quantize lambda. ``keep_vec``
+    carries the float vector through for consumers that also need it
+    (e.g. the IVF coarse quantizer)."""
+    keep = ["_v"] if keep_vec else []
     base = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("_v"))
     m_rel = base.select(
         out_id,
@@ -115,13 +120,13 @@ def quantized_vectors(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> 
         F.col("_m") > 0,
         F.transform("_v", lambda x: F.round(x / (F.col("_m") / 127)).cast("long")),
     ).otherwise(F.transform("_v", lambda x: F.lit(0).cast("long")))
-    q_rel = m_rel.select(out_id, qv.alias("_q"))
+    q_rel = m_rel.select(out_id, *keep, qv.alias("_q"))
     n2 = F.aggregate(
         F.transform("_q", lambda x: x * x),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return q_rel.select(out_id, "_q", F.when(F.size("_q") >= 0, n2).alias("_n2"))
+    return q_rel.select(out_id, *keep, "_q", F.when(F.size("_q") >= 0, n2).alias("_n2"))
 
 
 def quantized_topk(
@@ -160,6 +165,65 @@ def quantized_topk(
             F.round(intdot / F.sqrt(F.col("_n2") * F.col("_cn2")), round_digits),
         )
         .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_sq8_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    centroid_ids: list[int],
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF + int8 scalar quantization — the FAISS-style IVF-SQ8 shape
+    production ANN runs at corpus scale: the coarse quantizer (seeded
+    data-point centroids, float cosine) routes vectors into inverted
+    lists, while the vectors THEMSELVES are stored int8-quantized (4x
+    smaller lists) and the in-list re-rank uses the integer-exact
+    quantized cosine (:func:`quantized_topk` — per-vector scales
+    cancel). Candidate generation is one equi-join on centroid id; the
+    re-rank is linear in probed-list volume. Both halves are value-
+    exactly re-derivable in SQL, so the whole composition gets a full
+    oracle rather than a recall-only check."""
+    seeded = seeded_centroids(emb, id_col, vec_col, centroid_ids)
+    c = (
+        quantized_vectors(fan_out(emb), id_col, vec_col, "neighbor_id", keep_vec=True)
+        .withColumn("_cn", norm(F.col("_v")))
+        .select(
+            "neighbor_id",
+            "_q",
+            "_n2",
+            _nearest_seeded(F.col("_v"), F.col("_cn"), seeded, 1)[0].alias("cid"),
+        )
+    )
+    q = (
+        quantized_vectors(queries, id_col, vec_col, "query_id", keep_vec=True)
+        .withColumn("_qn", norm(F.col("_v")))
+        .select(
+            "query_id",
+            F.col("_q").alias("_qq"),
+            F.col("_n2").alias("_qn2"),
+            F.explode(
+                _nearest_seeded(F.col("_v"), F.col("_qn"), seeded, n_probe)
+            ).alias("cid"),
+        )
+    )
+    intdot = F.aggregate(
+        F.zip_with("_q", "_qq", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.join(F.broadcast(q), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(intdot / F.sqrt(F.col("_n2") * F.col("_qn2")), 4))
+        .select("query_id", "neighbor_id", "cosine")
+        # no distinct needed: each corpus vector lives in exactly ONE
+        # inverted list, so a (query, neighbor) pair occurs at most once
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

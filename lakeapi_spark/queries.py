@@ -1632,6 +1632,89 @@ def _ivf_oracle(centroid_ids: list[int], n_probe: int = 4, k: int = 10) -> str:
     )
 
 
+def _ivf_sq8_oracle(centroid_ids: list[int], n_probe: int = 4, k: int = 10) -> str:
+    """Exact oracle for IVF-SQ8: the float seeded-centroid routing CTEs
+    from _ivf_oracle joined with the integer quantized-cosine scoring
+    from _QUANTIZED_TOPK_ORACLE — the whole composition re-derived."""
+    ids = ", ".join(str(i) for i in centroid_ids)
+    return (
+        _EMB_DOT
+        + f"""
+    , cents AS (
+      SELECT vec_id AS cvid, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+      FROM embeddings WHERE vec_id IN ({ids})
+    )
+    , cdot AS (
+      SELECT a.vec_id, c.cid, c.cvid, SUM(a.val * b.val) AS d
+      FROM x a JOIN cents c ON TRUE JOIN x b ON b.vec_id = c.cvid AND b.i = a.i
+      GROUP BY 1, 2, 3
+    )
+    , cscore AS (
+      SELECT cd.vec_id, cd.cid, ROUND(cd.d / (nv.nrm * nc.nrm), 4) AS cos
+      FROM cdot cd JOIN n nv ON nv.vec_id = cd.vec_id JOIN n nc ON nc.vec_id = cd.cvid
+    )
+    , ranked AS (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      FROM cscore
+    )
+    , assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1)
+    , probes AS (SELECT vec_id, cid FROM ranked WHERE rn <= {n_probe} AND vec_id <= 4)
+    , cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, a2.vec_id AS neighbor_id
+      FROM probes q JOIN assign a2 ON a2.cid = q.cid AND a2.vec_id <> q.vec_id
+    )
+    , mq AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, e -> abs(CAST(e AS DOUBLE)))) AS mx,
+             embedding
+      FROM embeddings
+    ), qz AS (
+      SELECT vec_id,
+             CASE WHEN mx > 0
+                  THEN list_transform(embedding,
+                         e -> CAST(round(CAST(e AS DOUBLE) / (mx / 127)) AS BIGINT))
+                  ELSE list_transform(embedding, e -> CAST(0 AS BIGINT))
+             END AS q
+      FROM mq
+    ), xvq AS (
+      SELECT vec_id, unnest(range(1, len(q)+1)) AS i, q FROM qz
+    ), xeq AS (
+      SELECT vec_id, i, q[i] AS qi FROM xvq
+    ), n2q AS (
+      SELECT vec_id, SUM(qi*qi) AS n2 FROM xeq GROUP BY vec_id
+    ), dt AS (
+      SELECT cand.query_id, cand.neighbor_id, SUM(a.qi * b.qi) AS dot
+      FROM cand JOIN xeq a ON a.vec_id = cand.query_id
+                JOIN xeq b ON b.vec_id = cand.neighbor_id AND b.i = a.i
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT dt.query_id, dt.neighbor_id,
+             ROUND(CAST(dt.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2), 4) AS cosine
+      FROM dt JOIN n2q na ON na.vec_id = dt.query_id JOIN n2q nb ON nb.vec_id = dt.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+           ) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= {k}
+    """
+    )
+
+
+@register("ann_ivf_sq8_topk", _ivf_sq8_oracle(_IVF_CENTROID_IDS))
+def ann_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8: float coarse quantizer routes into inverted lists,
+    int8-quantized vectors score in-list with the integer-exact cosine
+    — the FAISS-standard big-corpus ANN config, fully oracle-verified."""
+    from lakeapi_spark.operators.similarity import ivf_sq8_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") <= 4)
+    out = ivf_sq8_topk(e, q, "vec_id", "embedding", k=10, centroid_ids=_IVF_CENTROID_IDS)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @register("ann_ivf_topk", _ivf_oracle(_IVF_CENTROID_IDS))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k with the seeded data-point quantizer, EXACTLY

@@ -417,3 +417,21 @@ def test_quantized_topk_recall_vs_float(spark, sf_dir):
     quant = {(r.query_id, r.neighbor_id) for r in quantized_topk(emb, q, "vec_id", "embedding", k=10).collect()}
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_ivf_sq8_recall_vs_brute_force(spark, sf_dir):
+    """The composed IVF-SQ8 path (coarse routing + int8 in-list rerank)
+    keeps recall close to the float IVF path's."""
+    from lakeapi_spark.operators.similarity import ivf_sq8_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") <= 4)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, q, "vec_id", "embedding", k=10).collect()}
+    sq8 = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_sq8_topk(
+            emb, q, "vec_id", "embedding", k=10, centroid_ids=list(range(5, 21))
+        ).collect()
+    }
+    recall = len(exact & sq8) / len(exact)
+    assert recall >= 0.4, recall  # same floor as the float IVF test
