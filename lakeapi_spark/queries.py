@@ -3338,3 +3338,343 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(dec("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H sweep completion: q2/q4/q9/q11/q16/q17/q20 shapes. This testdata
+# has no partsupp table (TESTDATA.md), so the part<->supplier bridge is
+# the distinct (l_partkey, l_suppkey) relation from lineitem, and
+# ps_supplycost / ps_availqty become deterministic lineitem/part-derived
+# proxies. The SHAPES — correlated min subquery, scalar-threshold
+# HAVING, NOT-IN supplier exclusion, correlated AVG, nested IN — are the
+# point; the proxies keep every query oracle-checkable.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH bridge AS (
+      SELECT l_partkey, l_suppkey, MIN(CAST(l_extendedprice AS DECIMAL(18,4))) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eu AS (
+      SELECT b.l_partkey, b.l_suppkey, b.cost,
+             MIN(b.cost) OVER (PARTITION BY b.l_partkey) AS best
+      FROM bridge b
+      JOIN supplier s ON b.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+           CAST(eu.cost AS DOUBLE) AS supply_cost
+    FROM eu
+    JOIN part p ON eu.l_partkey = p.p_partkey
+    JOIN supplier s ON eu.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE eu.cost = eu.best AND p.p_size = 15 AND p.p_type = 'LARGE'
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 shape (min-cost supplier per part in a region). The
+    canonical correlated MIN subquery is a window MIN over the
+    part-partitioned bridge — one pass instead of the self-join the
+    subquery spells. Plan: one wide shuffle building the bridge
+    (groupBy partkey+suppkey); supplier/nation/region are broadcast so
+    the Europe filter and the window both ride that partitioning (the
+    window's partkey partitioning is a prefix of the groupBy keys —
+    no second exchange); part is a broadcast probe at the end."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    bridge = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(dec("l_extendedprice")).alias("cost")
+    )
+    eu = (
+        bridge.join(F.broadcast(s), bridge.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    w = Window.partitionBy("l_partkey")
+    best = eu.withColumn("best", F.min("cost").over(w)).filter(
+        F.col("cost") == F.col("best")
+    )
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.col("cost").cast("double").alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01' AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q4 shape: per-priority count of orders with a late line
+    (no commit/receipt dates in this data, so late = shipped > 60 days
+    after the order date). EXISTS compiles to a LEFT SEMI join on
+    orderkey — Spark dedups the build side during the semi probe, so
+    there is no pre-DISTINCT pass over lineitem; the quarter filter
+    pushes to the orders scan and prunes the probe side first."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    """
+    SELECT n.n_name AS nation, CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(ROUND(SUM(
+             CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+             - CAST(0.6 AS DECIMAL(18,4)) * CAST(p.p_retailprice AS DECIMAL(18,4)) * CAST(l.l_quantity AS DECIMAL(18,4))
+           ), 2) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, YEAR(o.o_orderdate)
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q9 shape: profit by supplier nation and order year for one
+    part family (no ps_supplycost here, so cost = 0.6 x retailprice x
+    quantity — a deterministic decimal proxy). Plan: part is filtered
+    THEN broadcast, so the p_name family filter prunes lineitem at the
+    probe (~1/8 survives) before the single wide orderkey shuffle
+    against orders; supplier and nation are broadcast too. One wide
+    shuffle + one small agg — the same skeleton at 100 TB."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(18,4)")
+    cost_rate = F.lit(0.6).cast("decimal(18,4)")
+    profit = dec("l_extendedprice") * (one - dec("l_discount")) - cost_rate * dec(
+        "p_retailprice"
+    ) * dec("l_quantity")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(money_sum(profit).alias("profit"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    """
+    WITH val AS (
+      SELECT l.l_partkey, SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS part_value
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_7'
+      GROUP BY l.l_partkey
+    )
+    SELECT v.l_partkey, CAST(ROUND(v.part_value, 2) AS DOUBLE) AS part_value
+    FROM val v, (SELECT SUM(part_value) AS total FROM val) t
+    WHERE v.part_value > CAST(0.01 AS DECIMAL(18,4)) * t.total
+    ORDER BY part_value DESC, v.l_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q11 shape: per-part supply value for one nation's
+    suppliers, kept only when above a fraction of the nation total
+    (scalar-subquery HAVING). The grouped relation feeds both the rows
+    and the 1-row total; the total is broadcast back via cross join —
+    no collect, no single-partition window (which would funnel every
+    part through one task at scale). Spark's ReuseExchange serves both
+    branches from the same shuffle output."""
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    val = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(dec("l_extendedprice")).alias("part_value"))
+    )
+    total = val.agg(F.sum("part_value").alias("total"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.lit(0.01).cast("decimal(18,4)") * F.col("total"))
+        .select(
+            "l_partkey",
+            F.round("part_value", 2).cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+@register(
+    "q16_supplier_cnt",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT b.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
+    JOIN part p ON b.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#4' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND b.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16 shape: distinct supplier count per part attribute
+    triple, excluding a supplier blocklist (complaints become negative
+    account balances in this data). The NOT IN is a broadcast LEFT ANTI
+    join (supplier is tiny; NULL-key hazards of NOT IN don't arise —
+    keys are non-null — and the anti join is the scale-safe spelling).
+    The bridge dedup and the count-distinct share the same
+    partkey+suppkey shuffle; part is a broadcast filter."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#4")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    bridge = l.select("l_partkey", "l_suppkey").distinct()
+    return (
+        bridge.join(F.broadcast(bad), bridge.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), bridge.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    WITH pa AS (
+      SELECT l.l_partkey, SUM(l.l_quantity) AS sum_qty, COUNT(*) AS cnt
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_brand = 'Brand#23'
+      GROUP BY l.l_partkey
+    )
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND 5 * l.l_quantity * pa.cnt < pa.sum_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17 shape: revenue from lines whose quantity is under 20 %
+    of that part's average. The correlated AVG subquery is a window
+    over l_partkey on the brand-pruned lineitem — one shuffle, no
+    rejoin — and the fractional comparison is cross-multiplied
+    (5*qty*cnt < sum) so both engines compare exactly-representable
+    integers instead of a rounded average. Quantities are whole
+    numbers <= 50 stored as double, so every product is FP-exact."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    pruned = l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+    w = Window.partitionBy("l_partkey")
+    flagged = pruned.select(
+        "l_partkey", "l_quantity", "l_extendedprice",
+        F.sum("l_quantity").over(w).alias("sum_qty"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    ).filter(F.lit(5) * F.col("l_quantity") * F.col("cnt") < F.col("sum_qty"))
+    return flagged.agg(
+        money_sum(dec("l_extendedprice")).alias("revenue_sum"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q20_part_promotion",
+    """
+    SELECT s.s_name, CAST(ROUND(CAST(s.s_acctbal AS DECIMAL(18,4)), 2) AS DOUBLE) AS s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name IN ('NATION_3', 'NATION_8', 'NATION_13')
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
+          AND l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING SUM(l.l_quantity) > 90
+      )
+    ORDER BY s.s_name
+    """,
+)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20 shape: suppliers in given nations who moved more than
+    a threshold of any 'blue%' part in 1997 (no ps_availqty, so the
+    half-of-stock threshold is a constant). The nested INs become: part
+    prefilter broadcast into lineitem -> (suppkey, partkey) aggregate
+    with HAVING -> LEFT SEMI into the nation-filtered supplier. The
+    year filter pushes to the lineitem scan; the semi join dedups
+    qualifying suppliers without a DISTINCT pass."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").startswith("blue"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_8", "NATION_13")
+    )
+    movers = (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 90)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(movers, s.s_suppkey == movers.l_suppkey, "left_semi")
+        .select("s_name", F.round(dec("s_acctbal"), 2).cast("double").alias("s_acctbal"))
+        .orderBy("s_name")
+    )

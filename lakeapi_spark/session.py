@@ -16,9 +16,36 @@ equivalent is a session factory with scale-ready defaults:
 
 from __future__ import annotations
 
+import glob
 import os
 
 from pyspark.sql import SparkSession
+
+#: JDBC driver jars we know how to use when they are already present in a
+#: local artifact cache (nothing is downloaded). sqlite-jdbc and
+#: duckdb_jdbc both embed their native library, so dropping the jar on
+#: the classpath is the whole install.
+_KNOWN_DRIVER_JARS = ("duckdb_jdbc*.jar", "sqlite-jdbc*.jar")
+_JAR_CACHE_ROOTS = ("~/.cache/coursier", "~/.m2/repository", "~/.ivy2")
+
+
+def discover_extra_jars() -> list[str]:
+    """Extra jars for the session classpath: ``SPARK_GRAFT_EXTRA_JARS``
+    (comma-separated) wins; otherwise scan the standard maven/coursier/
+    ivy caches for known JDBC driver jars. This is what lets the
+    odbc/jdbc scan path (sources/readers.py) run for real instead of
+    being permanently gated on cluster spark-submit flags."""
+    env = os.environ.get("SPARK_GRAFT_EXTRA_JARS")
+    if env is not None:
+        return [p for p in env.split(",") if p]
+    jars: list[str] = []
+    for root in _JAR_CACHE_ROOTS:
+        base = os.path.expanduser(root)
+        if not os.path.isdir(base):
+            continue
+        for pat in _KNOWN_DRIVER_JARS:
+            jars.extend(glob.glob(os.path.join(base, "**", pat), recursive=True))
+    return sorted(set(jars))
 
 
 def _cpus() -> int:
@@ -86,6 +113,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    extra_jars = discover_extra_jars()
+    if extra_jars:
+        builder = builder.config("spark.jars", ",".join(extra_jars))
     if master:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_CONNECT_MODE_ENABLED") and "SPARK_MASTER" not in os.environ:

@@ -37,7 +37,9 @@ from pyspark.sql import DataFrame, SparkSession
 _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
 
-def jdbc_reader_options(uri: str, options: dict[str, str]) -> dict[str, str]:
+def jdbc_reader_options(
+    uri: str, options: dict[str, str], scheme: str = "sqlite"
+) -> dict[str, str]:
     """Resolve the option dict for ``spark.read.format("jdbc")``.
 
     Mirrors the reference's ODBC query pushdown (df_odbc.py:122-191):
@@ -47,7 +49,7 @@ def jdbc_reader_options(uri: str, options: dict[str, str]) -> dict[str, str]:
     names the remote table. The two are mutually exclusive in Spark's
     JDBC source, so ``query`` wins and ``dbtable`` is dropped with it."""
     opts = dict(options)
-    opts.setdefault("url", f"jdbc:sqlite:{uri}")
+    opts.setdefault("url", f"jdbc:{scheme}:{uri}")
     if "query" in opts:
         opts.pop("dbtable", None)
     elif "dbtable" not in opts:
@@ -152,6 +154,17 @@ def read_source(
             return spark.read.format("jdbc").options(**jdbc_reader_options(uri, opts)).load()
         return _sqlite_local(spark, uri, opts)
     if file_type == "duckdb":
+        # JDBC when the caller configured the duckdb_jdbc driver (the
+        # jar is auto-discovered from local artifact caches by
+        # session.discover_extra_jars): the scan then runs JVM-side with
+        # query pushdown into duckdb, instead of the driver-side
+        # Arrow hop below — the right path for anything non-tiny.
+        if "driver" in opts:
+            return (
+                spark.read.format("jdbc")
+                .options(**jdbc_reader_options(uri, opts, scheme="duckdb"))
+                .load()
+            )
         return _duckdb_file(spark, uri, opts)
     if file_type in ("odbc", "jdbc"):
         return spark.read.format("jdbc").options(**jdbc_reader_options(uri, opts)).load()

@@ -184,6 +184,48 @@ def test_duckdb_file_source(spark, tmp_path):
     assert [r.kind for r in df2.collect()] == ["cat"]
 
 
+def test_duckdb_jdbc_executor_side(spark, tmp_path):
+    """duckdb file scanned THROUGH JDBC (executor-side, pushdown) when
+    the duckdb_jdbc driver jar is on the classpath — the scale path for
+    duckdb sources, vs the driver-side Arrow hop of the default route.
+    The jar is auto-discovered from local artifact caches by
+    session.discover_extra_jars (nothing downloaded)."""
+    import duckdb
+
+    if "duckdb_jdbc" not in spark.conf.get("spark.jars", ""):
+        pytest.skip("duckdb_jdbc driver jar not on the session classpath")
+
+    db = str(tmp_path / "jdbc.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE m AS SELECT range AS id, 'n' || range AS name, "
+        "range % 5 AS grp FROM range(1000)"
+    )
+    con.close()
+
+    got = read_source(
+        spark, db, "duckdb", {"driver": "org.duckdb.DuckDBDriver", "dbtable": "m"}
+    )
+    assert got.count() == 1000
+
+    # user SELECT pushed into duckdb (ref df_odbc.py:122-191 semantics)
+    q = read_source(
+        spark,
+        db,
+        "duckdb",
+        {
+            "driver": "org.duckdb.DuckDBDriver",
+            "query": "SELECT grp, COUNT(*) AS n FROM m GROUP BY grp",
+        },
+    )
+    assert {(int(r.grp), int(r.n)) for r in q.collect()} == {(g, 200) for g in range(5)}
+
+    # Spark-side filter is pushed down into the JDBC relation
+    plan = got.filter("id > 990")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan" in plan
+    assert got.filter("id > 990").count() == 9
+
+
 def test_jdbc_reader_options_query_pushdown():
     """ref df_odbc.py:122-191: an explicit query option pushes the SELECT
     to the remote database; query and dbtable are mutually exclusive."""
