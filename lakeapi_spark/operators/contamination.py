@@ -1,0 +1,82 @@
+"""Benchmark-contamination detection (training-data pipeline extension).
+
+Before training on a crawled corpus you must measure how much of each
+document is verbatim-overlapping with your evaluation benchmarks —
+otherwise eval scores measure memorization. The standard check is word
+n-gram overlap: a training doc is contaminated when a meaningful
+fraction of its distinct n-grams also occur anywhere in the benchmark
+suite. (The reference engine has no such operator — this extends the
+corpus-curation family in operators/dedup.py; tokenization is shared
+with operators/text.tokens so the Spark and DuckDB spellings agree.)
+
+Scale design (the asymmetry is the whole trick):
+- the BENCHMARK side is small by construction (eval suites are at most
+  ~1e6 documents), so its distinct-gram set is collected into a
+  broadcast hash join build side — the 100 TB training side streams
+  through map-side with NO shuffle for the membership probe;
+- the only wide exchange is the per-doc groupBy(id) that counts grams
+  and hits — one shuffle, partial aggregation upstream;
+- gram sets are `array_distinct` per doc BEFORE exploding, so the
+  explode volume is bounded by distinct grams, and a doc repeating one
+  benchmark phrase a thousand times still counts it once (overlap is a
+  set measure, matching how decontamination is specified).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lakeapi_spark.operators.text import tokens
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-grams of ``text`` (space-joined token windows),
+    empty array when the doc has fewer than ``n`` tokens. Pure
+    whole-stage-codegen expressions — no UDF, no shuffle."""
+    t = tokens(text)
+    gram = lambda i: F.concat_ws(  # noqa: E731 - tiny local lambda
+        " ", *[F.element_at(t, i + F.lit(k)) for k in range(1, n + 1)]
+    )
+    grams = F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(0), F.size(t) - n), gram)
+    )
+    return F.array_distinct(grams)
+
+
+def benchmark_overlap(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Per-training-doc benchmark overlap: (id, n_grams, n_hit,
+    overlap_frac) where overlap_frac = |doc grams ∩ benchmark grams| /
+    |doc grams| as an exact integer-ratio double (identical IEEE result
+    in any engine — no rounding step to disagree on). Docs with fewer
+    than ``n`` tokens have no grams and are dropped (nothing to
+    measure, matching the set-based definition)."""
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    doc_grams = train.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "g", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit"),
+        )
+        .select(
+            "id",
+            "n_grams",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_grams")).alias("overlap_frac"),
+        )
+    )

@@ -3381,11 +3381,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q2 shape (min-cost supplier per part in a region). The
     canonical correlated MIN subquery is a window MIN over the
     part-partitioned bridge — one pass instead of the self-join the
-    subquery spells. Plan: one wide shuffle building the bridge
-    (groupBy partkey+suppkey); supplier/nation/region are broadcast so
-    the Europe filter and the window both ride that partitioning (the
-    window's partkey partitioning is a prefix of the groupBy keys —
-    no second exchange); part is a broadcast probe at the end."""
+    subquery spells. Plan: ONE wide shuffle total — lineitem is
+    explicitly repartitioned on l_partkey alone, which satisfies the
+    clustering requirement of both the (partkey, suppkey) groupBy and
+    the partkey window, so neither inserts its own exchange;
+    supplier/nation/region broadcast in between, part is a broadcast
+    probe at the end, and the final top-100 is TakeOrdered."""
     l = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
@@ -3393,8 +3394,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    bridge = l.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(dec("l_extendedprice")).alias("cost")
+    bridge = (
+        l.repartition(F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(dec("l_extendedprice")).alias("cost"))
     )
     eu = (
         bridge.join(F.broadcast(s), bridge.l_suppkey == s.s_suppkey)
@@ -3520,21 +3523,27 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q11 shape: per-part supply value for one nation's
     suppliers, kept only when above a fraction of the nation total
-    (scalar-subquery HAVING). The grouped relation feeds both the rows
-    and the 1-row total; the total is broadcast back via cross join —
-    no collect, no single-partition window (which would funnel every
-    part through one task at scale). Spark's ReuseExchange serves both
-    branches from the same shuffle output."""
+    (scalar-subquery HAVING). The grand total is summed straight off
+    the broadcast-join rows (associativity makes it decimal-exact-equal
+    to summing the per-part sums), so the total branch is a map-side
+    partial aggregate into SinglePartition — NO second wide shuffle.
+    Lineitem is scanned twice (deriving the total from `val` instead
+    does not help: column pruning de-canonicalizes the branches and
+    defeats ReuseExchange — verified on the physical plan for both the
+    two-branch and rollup+grouping_id spellings; a real deployment
+    would persist `val` to trade memory for the rescan). The total row
+    is broadcast back via cross join — no collect, no single-partition
+    window over the parts."""
     l = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
-    val = (
+    joined = (
         l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .groupBy("l_partkey")
-        .agg(F.sum(dec("l_extendedprice")).alias("part_value"))
+        .select("l_partkey", dec("l_extendedprice").alias("v"))
     )
-    total = val.agg(F.sum("part_value").alias("total"))
+    val = joined.groupBy("l_partkey").agg(F.sum("v").alias("part_value"))
+    total = joined.agg(F.sum("v").alias("total"))
     return (
         val.join(F.broadcast(total))
         .filter(F.col("part_value") > F.lit(0.01).cast("decimal(18,4)") * F.col("total"))
@@ -3568,8 +3577,10 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     account balances in this data). The NOT IN is a broadcast LEFT ANTI
     join (supplier is tiny; NULL-key hazards of NOT IN don't arise —
     keys are non-null — and the anti join is the scale-safe spelling).
-    The bridge dedup and the count-distinct share the same
-    partkey+suppkey shuffle; part is a broadcast filter."""
+    No pre-DISTINCT pass over the bridge: COUNT(DISTINCT suppkey) is
+    already set-valued, so Spark's two-phase distinct aggregate dedups
+    (attrs, suppkey) in its first shuffle — a separate distinct() would
+    add a full extra exchange for nothing; part is a broadcast filter."""
     l = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#4")
@@ -3579,7 +3590,7 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
         "s_suppkey"
     )
-    bridge = l.select("l_partkey", "l_suppkey").distinct()
+    bridge = l.select("l_partkey", "l_suppkey")
     return (
         bridge.join(F.broadcast(bad), bridge.l_suppkey == bad.s_suppkey, "left_anti")
         .join(F.broadcast(p), bridge.l_partkey == p.p_partkey)
@@ -3655,7 +3666,9 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefilter broadcast into lineitem -> (suppkey, partkey) aggregate
     with HAVING -> LEFT SEMI into the nation-filtered supplier. The
     year filter pushes to the lineitem scan; the semi join dedups
-    qualifying suppliers without a DISTINCT pass."""
+    qualifying suppliers without a DISTINCT pass, and the movers side
+    is broadcast — its cardinality is bounded by the supplier count
+    regardless of corpus size, so the supplier side never shuffles."""
     l = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -3674,7 +3687,50 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(movers, s.s_suppkey == movers.l_suppkey, "left_semi")
+        .join(F.broadcast(movers), s.s_suppkey == movers.l_suppkey, "left_semi")
         .select("s_name", F.round(dec("s_acctbal"), 2).cast("double").alias("s_acctbal"))
         .orderBy("s_name")
+    )
+
+
+@register(
+    "decontaminate_overlap",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+    ), idx AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM toks WHERE len(t) >= 5
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
+      FROM idx
+    ), bench AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 11 = 0
+    ), train AS (
+      SELECT doc_id, g FROM grams WHERE doc_id % 11 <> 0
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS overlap_frac
+    FROM train t LEFT JOIN bench b ON t.g = b.g
+    GROUP BY t.doc_id
+    """,
+    bench=True,
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination sweep: per training doc, the fraction of
+    its distinct word 5-grams that occur anywhere in the benchmark set
+    (here: every 11th doc stands in for the eval suite). The benchmark
+    gram set is the BROADCAST side — the training corpus streams
+    through the membership probe with no shuffle, and the only wide
+    exchange is the per-doc count. See operators/contamination.py for
+    the 100 TB design notes."""
+    from lakeapi_spark.operators.contamination import benchmark_overlap
+
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 11 == 0)
+    train = d.filter(F.col("doc_id") % 11 != 0)
+    return benchmark_overlap(train, bench, "doc_id", "text", n=5).withColumnRenamed(
+        "id", "doc_id"
     )
