@@ -3734,3 +3734,66 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benchmark_overlap(train, bench, "doc_id", "text", n=5).withColumnRenamed(
         "id", "doc_id"
     )
+
+
+_PACK_ORACLE_CTE = """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard,
+             CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM t
+    ), packed AS (
+      SELECT doc_id, shard, n_tokens,
+             cum_before // 512 AS seq_index,
+             cum_before % 512 AS seq_offset
+      FROM c
+    )
+"""
+
+
+@register(
+    "pack_sequences_assign",
+    _PACK_ORACLE_CTE
+    + """
+    SELECT doc_id, shard, n_tokens, seq_index, seq_offset FROM packed
+    """,
+)
+def pack_sequences_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: each document's position in the
+    stream of 512-token context windows of its hash shard. The global
+    running count is replaced by 8 shard-partitioned windows — the
+    scale move that keeps packing off a single task; see
+    operators/packing.py."""
+    from lakeapi_spark.operators.packing import pack_sequences
+
+    d = table(spark, sf_dir, "documents")
+    return pack_sequences(d, "doc_id", "text", seq_len=512, n_shards=8).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@register(
+    "pack_sequences_summary",
+    _PACK_ORACLE_CTE
+    + """
+    SELECT shard, seq_index,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEAST(n_tokens, 512 - seq_offset)) AS BIGINT) AS tokens_started
+    FROM packed GROUP BY shard, seq_index
+    """,
+)
+def pack_sequences_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill accounting per packed window (docs starting in it, tokens
+    they contribute before the boundary) — the dataloader/auditor view
+    of the packing above."""
+    from lakeapi_spark.operators.packing import pack_sequences, packing_summary
+
+    d = table(spark, sf_dir, "documents")
+    packed = pack_sequences(d, "doc_id", "text", seq_len=512, n_shards=8)
+    return packing_summary(packed, seq_len=512)

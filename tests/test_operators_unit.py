@@ -467,3 +467,71 @@ def test_chunk_documents_differential(spark):
 
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, "doc_id", "text", chunk_tokens=8, overlap=8)
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing is a deterministic greedy layout per shard: offsets are
+    in [0, seq_len), positions advance by exactly n_tokens in stable id
+    order, and the assignment is invariant under repartitioning (it is
+    a pure function of (id, text))."""
+    import random
+
+    from lakeapi_spark.operators.packing import pack_sequences, packing_summary
+
+    rng = random.Random(7)
+    docs = [
+        (i, " ".join(f"w{rng.randrange(40)}" for _ in range(rng.randrange(0, 90))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    seq_len = 64
+    packed = pack_sequences(df, "doc_id", "text", seq_len=seq_len, n_shards=4)
+    rows = sorted(packed.collect(), key=lambda r: (r.shard, r.id))
+
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r.seq_offset < seq_len
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) > 1, "hash sharding should spread docs"
+    for shard_rows in by_shard.values():
+        pos = 0
+        for r in shard_rows:
+            assert r.seq_index * seq_len + r.seq_offset == pos, r
+            pos += r.n_tokens
+
+    # repartition invariance: same assignment from a different layout
+    packed2 = pack_sequences(
+        df.repartition(13), "doc_id", "text", seq_len=seq_len, n_shards=4
+    )
+    assert sorted(map(tuple, packed2.collect())) == sorted(map(tuple, rows))
+
+    # summary never over-fills a window and accounts every started doc
+    summary = {(r.shard, r.seq_index): r for r in packing_summary(packed, seq_len).collect()}
+    for (shard, seq_index), s in summary.items():
+        # 0 tokens is legal: an empty doc still "starts" in a window
+        assert 0 <= s.tokens_started <= seq_len
+    assert sum(s.n_docs for s in summary.values()) == sum(
+        1 for r in rows if r.n_tokens >= 0
+    )
+
+
+def test_pack_sequences_single_shuffle(spark, sf_dir):
+    """The packing plan must contain exactly ONE wide exchange (the
+    shard hash-partitioning) — a global-order spelling would show a
+    single-partition exchange instead."""
+    from lakeapi_spark.operators.packing import pack_sequences
+    from lakeapi_spark.catalog import table as cat_table
+
+    d = cat_table(spark, sf_dir, "documents")
+    plan = (
+        pack_sequences(d, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    wides = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln and "Reused" not in ln
+    ]
+    assert len(wides) == 1, wides
+    assert "SinglePartition" not in wides[0]
