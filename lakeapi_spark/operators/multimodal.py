@@ -261,6 +261,119 @@ def wav_format(df: DataFrame) -> DataFrame:
     )
 
 
+_SOF_MARKERS = ("FFC0", "FFC1", "FFC2", "FFC3")  # baseline..progressive
+
+
+def attach_jpeg_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Typed media table whose payload is a REAL JPEG prelude: SOI,
+    a JFIF APP0 segment, a VARIABLE-LENGTH COM segment (first
+    ``length(text) % 17`` text bytes as the comment — so a decoder must
+    actually walk the segment chain, not read a fixed offset), then an
+    SOF0 frame header carrying big-endian height/width, SOS, and the
+    text bytes as stand-in entropy data. Built entirely from
+    unhex/concat JVM expressions."""
+    n = F.length(F.col(text_col))
+    w = (n % 200 + 1).cast("long")
+    h = (n % 120 + 1).cast("long")
+    clen = (n % 17).cast("long")
+    be2 = lambda v: F.lpad(F.hex(v), 4, "0")  # noqa: E731
+    app0 = F.lit("FFE0" + "0010" + "4A46494600" + "0101" + "00" + "0048" + "0048" + "0000")
+    com = F.concat(
+        F.unhex(F.concat(F.lit("FFFE"), be2(clen + 2))),
+        F.encode(F.substring(F.col(text_col), 1, 16), "utf-8").substr(
+            F.lit(1), clen.cast("int")
+        ),
+    )
+    sof0 = F.concat(
+        F.lit("FFC0").cast("string"),
+        F.lit("0011"),  # 17-byte segment: len+precision+dims+3 component specs
+        F.lit("08"),
+        be2(h),
+        be2(w),
+        F.lit("03" + "012200" + "021101" + "031101"),
+    )
+    sos = F.lit("FFDA" + "000C" + "03" + "013F00" + "023F00" + "033F00")
+    payload = F.concat(
+        F.unhex(F.concat(F.lit("FFD8"), app0)),
+        com,
+        F.unhex(F.concat(sof0, sos)),
+        F.encode(F.col(text_col), "utf-8"),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        payload.alias("payload"),
+        F.lit("image/jpeg").alias("media_type"),
+        w.cast("int").alias("width"),
+        h.cast("int").alias("height"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def jpeg_dimensions(df: DataFrame, max_segments: int = 8) -> DataFrame:
+    """REAL variable-layout decode, zero Python: walk the JPEG marker
+    chain (each segment = 2-byte marker + 2-byte big-endian length)
+    until an SOF0-SOF3 frame header and read its height/width. Unlike
+    the fixed-offset PNG/WAV parses, the hop target depends on each
+    segment's declared length, so the scan is an ``F.aggregate`` fold
+    over a bounded hop budget (``max_segments`` — typical files carry
+    a handful of APPn/COM segments before SOF; raise for exif-heavy
+    corpora) with an early-exit accumulator. Still a single
+    whole-stage-codegen expression per row: no UDF, no codec library,
+    bytes never leave the JVM."""
+    p = F.col("payload")
+    sig_ok = F.hex(p.substr(F.lit(1), F.lit(2))) == F.lit("FFD8")
+
+    out_t = "struct<pos:bigint,done:boolean,found:boolean,h:bigint,w:bigint>"
+
+    def mk(pos, done, found, h, w):
+        return F.struct(
+            pos.cast("long").alias("pos"),
+            done.alias("done"),
+            found.alias("found"),
+            h.cast("long").alias("h"),
+            w.cast("long").alias("w"),
+        )
+
+    null_l = F.lit(None).cast("long")
+
+    def step(acc, _):
+        pos = acc.getField("pos")
+        marker = F.hex(p.substr(pos.cast("int"), F.lit(2)))
+        seglen = F.conv(F.hex(p.substr((pos + 2).cast("int"), F.lit(2))), 16, 10).cast(
+            "long"
+        )
+        h = F.conv(F.hex(p.substr((pos + 5).cast("int"), F.lit(2))), 16, 10)
+        w = F.conv(F.hex(p.substr((pos + 7).cast("int"), F.lit(2))), 16, 10)
+        is_sof = marker.isin(*_SOF_MARKERS)
+        # SOS starts entropy data (no more headers), EOI ends the file,
+        # a non-FF byte means we lost sync: all terminal without dims
+        dead_end = (
+            (~marker.startswith("FF"))
+            | marker.isin("FFDA", "FFD9")
+            | (pos + 8 > F.octet_length(p))
+        )
+        return (
+            F.when(acc.getField("done"), acc)
+            .when(is_sof, mk(pos, F.lit(True), F.lit(True), h, w))
+            .when(dead_end, mk(pos, F.lit(True), F.lit(False), null_l, null_l))
+            .otherwise(
+                mk(pos + 2 + seglen, F.lit(False), F.lit(False), null_l, null_l)
+            )
+        )
+
+    init = mk(F.lit(3), F.lit(False), F.lit(False), null_l, null_l).cast(out_t)
+    res = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(max_segments))), init, step
+    )
+    valid = sig_ok & res.getField("found")
+    return df.select(
+        "id",
+        valid.alias("valid_jpeg"),
+        F.when(valid, res.getField("w")).alias("width"),
+        F.when(valid, res.getField("h")).alias("height"),
+    )
+
+
 def decode_real(df: DataFrame) -> DataFrame:
     """Integration point for a real decoder (image resize / audio
     spectrogram / video frame-sample). Not available in this container."""

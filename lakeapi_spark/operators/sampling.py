@@ -36,3 +36,33 @@ def hash_split(df: DataFrame, key_col: str, mod: int, eval_below: int) -> tuple[
     """(train, eval) disjoint split on the same stable hash."""
     h = key_hash(F.col(key_col)) % mod
     return df.filter(h >= eval_below), df.filter(h < eval_below)
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    rates: dict[str, tuple[int, int]],
+    default: tuple[int, int] = (1, 1),
+) -> DataFrame:
+    """Deterministic source-mixture downsampling: keep a row iff
+    ``hash(key) % mod < keep`` for its group's ``(keep, mod)`` rate —
+    the "data mixing" step that reweights corpus sources (web vs code
+    vs reference text) before training. Rates are exact rationals, not
+    floats, so membership is bit-identical in any engine; sampling by
+    the stable key hash makes the mix reproducible across runs,
+    appends, and repartitionings (same property as hash_sample).
+
+    Pure per-row expressions — a literal CASE ladder over the group
+    column, no join, no shuffle: at 100 TB this is a map-only pass
+    fused into whatever scan precedes it (upsampling is out of scope:
+    a filter can only thin; duplication-based upweighting belongs in
+    the dataloader)."""
+    keep = F.lit(default[0])
+    mod = F.lit(default[1])
+    for g, (k, m) in sorted(rates.items()):
+        if not (0 <= k <= m and m > 0):
+            raise ValueError(f"rate for {g!r} must satisfy 0 <= keep <= mod: {(k, m)}")
+        keep = F.when(F.col(group_col) == g, F.lit(k)).otherwise(keep)
+        mod = F.when(F.col(group_col) == g, F.lit(m)).otherwise(mod)
+    return df.filter(key_hash(F.col(key_col)) % mod < keep)

@@ -3797,3 +3797,59 @@ def pack_sequences_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     packed = pack_sequences(d, "doc_id", "text", seq_len=512, n_shards=8)
     return packing_summary(packed, seq_len=512)
+
+
+@register(
+    "mixture_resample_counts",
+    """
+    WITH kept AS (
+      SELECT source, n_chars FROM documents
+      WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % (CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 2 WHEN 'src2' THEN 8 ELSE 1 END)
+          < (CASE source WHEN 'src0' THEN 1 WHEN 'src1' THEN 1 WHEN 'src2' THEN 7 ELSE 1 END)
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM kept GROUP BY source
+    """,
+)
+def mixture_resample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture reweighting before training: src0 thinned to 1/4,
+    src1 to 1/2, src2 to 7/8, everything else kept — exact rational
+    rates on the stable doc-id hash (operators/sampling.mixture_sample),
+    then per-source accounting. Map-only filter + one small agg."""
+    from lakeapi_spark.operators.sampling import mixture_sample
+
+    d = table(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        d, "doc_id", "source",
+        {"src0": (1, 4), "src1": (1, 2), "src2": (7, 8)},
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@register(
+    "multimodal_jpeg_dimensions",
+    """
+    SELECT doc_id AS id, TRUE AS valid_jpeg,
+           CAST(length(text) % 200 + 1 AS BIGINT) AS width,
+           CAST(length(text) % 120 + 1 AS BIGINT) AS height
+    FROM documents
+    """,
+)
+def multimodal_jpeg_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL variable-layout binary decode, zero Python: documents become
+    JPEG payloads (SOI + APP0 + a variable-length COM segment + SOF0),
+    then jpeg_dimensions WALKS the marker chain — hop distance read
+    from each segment's declared length via an F.aggregate fold — and
+    parses height/width out of the SOF0 header. The oracle computes the
+    expected dims from the encoding formula, so the hash-match proves
+    the segment scan exactly inverts the encode even though every doc's
+    COM segment shifts the SOF offset differently."""
+    from lakeapi_spark.operators.multimodal import attach_jpeg_payload, jpeg_dimensions
+
+    d = table(spark, sf_dir, "documents")
+    return jpeg_dimensions(attach_jpeg_payload(d, "doc_id", "text"))

@@ -435,3 +435,50 @@ def test_ivf_sq8_recall_vs_brute_force(spark, sf_dir):
     }
     recall = len(exact & sq8) / len(exact)
     assert recall >= 0.4, recall  # same floor as the float IVF test
+
+
+def test_jpeg_dimensions_walk_and_reject(spark):
+    """jpeg_dimensions must WALK the segment chain (COM length varies
+    per doc, shifting the SOF offset), find SOF0 exactly, and go
+    invalid on: corrupt SOI, marker desync, SOS-before-SOF, and a
+    segment budget too small to reach SOF."""
+    from pyspark.sql import functions as F
+
+    from lakeapi_spark.operators.multimodal import (
+        attach_jpeg_payload,
+        jpeg_dimensions,
+    )
+
+    texts = ["x" * n for n in (5, 17, 33, 100, 250)]  # COM lens 5,0,16,15,12
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    media = attach_jpeg_payload(df, "doc_id", "text")
+    got = {
+        r.id: (r.valid_jpeg, r.width, r.height)
+        for r in jpeg_dimensions(media).collect()
+    }
+    assert got == {
+        i: (True, len(t) % 200 + 1, len(t) % 120 + 1) for i, t in enumerate(texts)
+    }
+
+    # corrupt SOI -> invalid
+    corrupt = media.withColumn(
+        "payload", F.concat(F.unhex(F.lit("00")), F.substring("payload", 2, 1 << 30))
+    )
+    assert all(not r.valid_jpeg for r in jpeg_dimensions(corrupt).collect())
+
+    # SOS with no prior SOF -> terminal, invalid (not an infinite walk)
+    sos_only = spark.createDataFrame([(9,)], ["id"]).select(
+        "id", F.unhex(F.lit("FFD8" + "FFDA000C03013F00023F00033F00" + "AABB")).alias("payload")
+    )
+    assert [r.valid_jpeg for r in jpeg_dimensions(sos_only).collect()] == [False]
+
+    # marker desync (length field lies, lands mid-data) -> invalid
+    desync = spark.createDataFrame([(7,)], ["id"]).select(
+        "id", F.unhex(F.lit("FFD8" + "FFE00003" + "414243444546")).alias("payload")
+    )
+    assert [r.valid_jpeg for r in jpeg_dimensions(desync).collect()] == [False]
+
+    # budget exhausted before SOF -> invalid rather than wrong dims
+    assert all(
+        not r.valid_jpeg for r in jpeg_dimensions(media, max_segments=1).collect()
+    )
