@@ -33,7 +33,15 @@ from lakeapi_spark.operators.text import tokens
 def word_ngrams(text: Column, n: int) -> Column:
     """Distinct word n-grams of ``text`` (space-joined token windows),
     empty array when the doc has fewer than ``n`` tokens. Pure
-    whole-stage-codegen expressions — no UDF, no shuffle."""
+    whole-stage-codegen expressions — no UDF, no shuffle.
+
+    PERF TRAP: ``text`` here should be an already-projected TOKEN-cheap
+    column. Because the token array is an anonymous subexpression, each
+    of the n ``element_at`` calls per gram re-evaluates it — handing a
+    raw text column straight in re-runs trim/lower/split 5x per gram
+    per doc (measured 27x slower than the staged shape at sf0.1). The
+    DataFrame-level :func:`_doc_grams` stages the token array in its
+    own projection first; use that for anything hot."""
     t = tokens(text)
     gram = lambda i: F.concat_ws(  # noqa: E731 - tiny local lambda
         " ", *[F.element_at(t, i + F.lit(k)) for k in range(1, n + 1)]
@@ -42,6 +50,24 @@ def word_ngrams(text: Column, n: int) -> Column:
         F.transform(F.sequence(F.lit(0), F.size(t) - n), gram)
     )
     return F.array_distinct(grams)
+
+
+def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, g): one row per DISTINCT word n-gram per doc. The token
+    array is materialized in its OWN projection with the when()
+    double-reference CollapseProject blocker (same hazard + fix as
+    text.repetition_metrics / dedup.minhash_signature): without it
+    Catalyst inlines trim/lower/split into every element_at of the gram
+    lambda — n re-splits per gram per doc, 27x slower at sf0.1."""
+    t = tokens(F.col(text_col))
+    staged = df.select(F.col(id_col).alias("id"), F.when(F.size(t) >= 0, t).alias("t"))
+    gram = lambda i: F.concat_ws(  # noqa: E731 - tiny local lambda
+        " ", *[F.element_at(F.col("t"), i + F.lit(k)) for k in range(1, n + 1)]
+    )
+    grams = F.when(F.size("t") < n, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(0), F.size("t") - n), gram)
+    )
+    return staged.select("id", F.explode(F.array_distinct(grams)).alias("g"))
 
 
 def benchmark_overlap(
@@ -58,14 +84,12 @@ def benchmark_overlap(
     than ``n`` tokens have no grams and are dropped (nothing to
     measure, matching the set-based definition)."""
     bench_grams = (
-        benchmark.select(F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
+        _doc_grams(benchmark, id_col, text_col, n)
+        .select("g")
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    doc_grams = train.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
-    )
+    doc_grams = _doc_grams(train, id_col, text_col, n)
     return (
         doc_grams.join(F.broadcast(bench_grams), "g", "left")
         .groupBy("id")
