@@ -524,6 +524,128 @@ def embedding_dup_pairs(
     )
 
 
+# --- Semantic dedup (cluster-then-compare) -----------------------------------
+
+
+def _semantic_assignments(
+    emb: DataFrame, id_col: str, vec_col: str, centroid_ids: list[int]
+) -> DataFrame:
+    """(id, v, nrm, cid): every embedding routed to its nearest seeded
+    centroid by rounded cosine — one codegen pass over centroid
+    literals, zero shuffle (similarity.seeded_centroids is a bounded
+    driver collect of len(centroid_ids) rows)."""
+    from lakeapi_spark.operators.similarity import _nearest_seeded, norm, seeded_centroids
+
+    cents = seeded_centroids(emb, id_col, vec_col, centroid_ids)
+    return (
+        fan_out(emb)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            norm(F.col(vec_col)).alias("nrm"),
+        )
+        .select(
+            "id", "v", "nrm", _nearest_seeded(F.col("v"), F.col("nrm"), cents, 1)[0].alias("cid")
+        )
+    )
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_ids: list[int],
+    threshold: float,
+    cache_handles: list | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (cluster-then-compare,
+    after Abbas et al. 2023): route every embedding to its nearest
+    coarse centroid, then emit cosine pairs >= threshold only WITHIN
+    each cluster (id_a < id_b). Returns (cid, id_a, id_b, cos_sim).
+
+    This is the embedding twin of MinHash-LSH's bucket trick: the
+    all-pairs O(n^2) of :func:`embedding_dup_pairs` collapses to
+    O(sum_c |cluster_c|^2) — a k-fold cut with k balanced clusters, and
+    at 100 TB the cluster id doubles as the storage partitioning so
+    pair generation becomes a per-partition local join. Plan shape:
+    assignment is zero-shuffle codegen over centroid literals; pair
+    generation is ONE self-equi-join on cid (AQE splits skewed
+    mega-clusters); scoring is built-in array arithmetic with norms
+    precomputed per side. Cross-cluster near-dups are missed by design
+    — SemDeDup's recall trade; shrink it by assigning boundary points
+    to their n>1 nearest clusters (the n_probe twin).
+
+    The quantizer is the value-exact seeded data-point quantizer, so a
+    SQL oracle re-derives the routing and hence the EXACT pair set.
+
+    Both join sides derive from the assignment relation, so it is
+    ``persist()``-ed to stop the 16-dot routing expression evaluating
+    twice per vector; pass ``cache_handles`` (a list) to receive the
+    handle and ``unpersist()`` after your action (serving sessions
+    must — see :func:`minhash_lsh_pairs`). At 100 TB you would land
+    the assignment on storage partitioned by cid instead (it IS the
+    layout the cluster join wants), not in executor memory."""
+    from lakeapi_spark.operators.similarity import dot
+
+    sides = _semantic_assignments(emb, id_col, vec_col, centroid_ids).persist()
+    if cache_handles is not None:
+        cache_handles.append(sides)
+    a = sides.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "cid"
+    )
+    b = sides.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "cid"
+    )
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(sim, 4))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("cid", "id_a", "id_b", "cos_sim")
+    )
+
+
+def semantic_dedup_summary(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_ids: list[int],
+    threshold: float,
+    cache_handles: list | None = None,
+) -> DataFrame:
+    """Per-cluster pruning report: (cid, n_docs, n_removed, keep_frac).
+    A doc is removed iff some LOWER-id doc in its cluster is
+    cosine-similar >= threshold (the deterministic min-id keeper rule
+    every dedup operator here shares), so n_removed = distinct id_b
+    over the pair set. One extra tiny aggregate over the pairs plus the
+    per-cluster counts — the shape a pipeline dashboard reads to tune
+    the threshold before committing to a full prune. The per-cluster
+    counts reuse the pair computation's persisted assignment relation
+    (see :func:`semantic_dedup_pairs` on releasing it)."""
+    handles = cache_handles if cache_handles is not None else []
+    pairs = semantic_dedup_pairs(
+        emb, id_col, vec_col, centroid_ids, threshold, cache_handles=handles
+    )
+    sides = handles[-1]  # the persisted assignment relation
+    removed = pairs.groupBy("cid").agg(
+        F.count_distinct("id_b").alias("n_removed")
+    )
+    return (
+        sides.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(removed, "cid", "left")
+        .select(
+            "cid",
+            "n_docs",
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            F.round((F.col("n_docs") - F.coalesce("n_removed", F.lit(0))) / F.col("n_docs"), 4).alias(
+                "keep_frac"
+            ),
+        )
+    )
+
+
 # --- Near-dup clustering (connected components) ------------------------------
 
 

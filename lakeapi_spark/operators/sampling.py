@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def key_hash(col: Column) -> Column:
@@ -36,6 +37,37 @@ def hash_split(df: DataFrame, key_col: str, mod: int, eval_below: int) -> tuple[
     """(train, eval) disjoint split on the same stable hash."""
     h = key_hash(F.col(key_col)) % mod
     return df.filter(h >= eval_below), df.filter(h < eval_below)
+
+
+def shuffle_shard(
+    df: DataFrame, key_col: str, n_shards: int, seed: int = 42
+) -> DataFrame:
+    """Deterministic global shuffle + sharding — the terminal export
+    step of a training pipeline ("shuffle the corpus, write N shards,
+    stream shards sequentially at train time"). Returns
+    (key, shard, shard_pos): shard = hash(seed:key) mod n_shards
+    (balanced in expectation, seed varies the permutation between
+    epochs/experiments), shard_pos = the row's position within its
+    shard ordered by (hash, key).
+
+    Because order and shard are pure functions of (seed, key), the
+    layout is reproducible across runs, engines, partitionings, and
+    cluster sizes — df.orderBy(rand()) is none of those. Plan shape:
+    ONE hash exchange on shard + an in-partition sort (the window
+    partitions BY the shard key), i.e. exactly
+    repartition(n_shards) + sortWithinPartitions at any scale — never
+    a global total-order sort. The export would follow with
+    partitionBy(shard) writes."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive: {n_shards}")
+    h = key_hash(F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy("h", key_col)
+    return (
+        df.select(F.col(key_col), h.alias("h"))
+        .withColumn("shard", F.col("h") % n_shards)
+        .withColumn("shard_pos", F.row_number().over(w).cast("long"))
+        .select(key_col, "shard", "shard_pos")
+    )
 
 
 def mixture_sample(

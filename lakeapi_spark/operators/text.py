@@ -223,6 +223,48 @@ def repetition_metrics(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-unigram language-model score per document — the cheap
+    stand-in for the perplexity filter big pipelines run with KenLM
+    (CCNet/RefinedWeb style): avg_logprob = mean over the doc's tokens
+    of ln(corpus_freq(token) / corpus_total). Docs of rare/garbled
+    tokens score very negative, boilerplate scores high; filter on a
+    percentile band (both tails are suspect). Returns
+    (id, n_tokens, avg_logprob); token-less docs drop out.
+
+    Two corpus-statistics passes, both scale-shaped:
+    1. vocabulary frequencies: explode + groupBy(token) — ONE shuffle
+       with map-side partial aggregation, output is the vocab relation
+       (Heaps' law: ~millions of rows off a 100 TB corpus, GBs not TBs);
+    2. score join-back: tokens ⋈ vocab with the vocab BROADCAST, so the
+       corpus side never shuffles. If the vocab outgrows the broadcast
+       budget (no-lowercasing, code corpora), drop the hint and this
+       becomes a plain shuffle join on token — same semantics.
+    The corpus total is an unpartitioned window SUM over the VOCAB
+    relation (not a second corpus aggregation — a `freq.agg(sum)`
+    branch would re-explode and re-aggregate the whole corpus since
+    Spark doesn't share subplans across branches); collapsing the
+    already-tiny vocab to one partition for that sum costs what the
+    broadcast costs anyway.
+
+    Cross-engine exactness: per-token logp is rounded to 6 digits
+    before averaging and the mean to 4, absorbing libm last-ULP and
+    float-sum-order differences between the JVM and the DuckDB oracle
+    (abs error ~1e-13 against a 1e-4 grid)."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    vocab = freq.select(
+        "tok",
+        F.round(F.log(F.col("n") / F.sum("n").over(Window.partitionBy())), 6).alias("logp"),
+    )
+    return toks.join(F.broadcast(vocab), "tok").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("logp"), 4).alias("avg_logprob"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

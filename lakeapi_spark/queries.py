@@ -3744,9 +3744,9 @@ _PACK_ORACLE_CTE = """
       FROM documents
     ), c AS (
       SELECT doc_id, shard, n_tokens,
-             COALESCE(SUM(n_tokens) OVER (
+             COALESCE(CAST(SUM(n_tokens) OVER (
                PARTITION BY shard ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
       FROM t
     ), packed AS (
       SELECT doc_id, shard, n_tokens,
@@ -3853,3 +3853,164 @@ def multimodal_jpeg_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return jpeg_dimensions(attach_jpeg_payload(d, "doc_id", "text"))
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style cluster-then-compare) + corpus-LM quality
+# + deterministic shuffle/shard export
+# ---------------------------------------------------------------------------
+
+#: rounded-cosine threshold for the semantic near-dup queries: the
+#: testdata embeddings are near-isotropic (within-cluster cosines top out
+#: ~0.49), so 0.38 marks the extreme tail — 21 pairs at sf0.01, 376 at
+#: sf0.1. Real embedding spaces run this at ~0.95+.
+_SEMANTIC_THRESHOLD = 0.38
+
+
+def _semantic_oracle_ctes(centroid_ids: list[int]) -> str:
+    """Assignment + within-cluster scored pairs, re-deriving the seeded
+    data-point quantizer routing exactly (same CTE chain as _ivf_oracle)."""
+    ids = ", ".join(str(i) for i in centroid_ids)
+    return (
+        _EMB_DOT
+        + f"""
+    , cents AS (
+      SELECT vec_id AS cvid, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+      FROM embeddings WHERE vec_id IN ({ids})
+    )
+    , cdot AS (
+      SELECT a.vec_id, c.cid, c.cvid, SUM(a.val * b.val) AS d
+      FROM x a JOIN cents c ON TRUE JOIN x b ON b.vec_id = c.cvid AND b.i = a.i
+      GROUP BY 1, 2, 3
+    )
+    , cscore AS (
+      SELECT cd.vec_id, cd.cid, ROUND(cd.d / (nv.nrm * nc.nrm), 4) AS cos
+      FROM cdot cd JOIN n nv ON nv.vec_id = cd.vec_id JOIN n nc ON nc.vec_id = cd.cvid
+    )
+    , ranked AS (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      FROM cscore
+    )
+    , assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1)
+    , pr AS (
+      SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    )
+    , dt AS (
+      SELECT pr.cid, pr.id_a, pr.id_b, SUM(xa.val * xb.val) AS d
+      FROM pr JOIN x xa ON xa.vec_id = pr.id_a
+              JOIN x xb ON xb.vec_id = pr.id_b AND xb.i = xa.i
+      GROUP BY 1, 2, 3
+    )
+    , scored AS (
+      SELECT dt.cid, dt.id_a, dt.id_b, ROUND(dt.d / (na.nrm * nb.nrm), 4) AS cos_sim
+      FROM dt JOIN n na ON na.vec_id = dt.id_a JOIN n nb ON nb.vec_id = dt.id_b
+    )
+    """
+    )
+
+
+@register(
+    "dedup_semantic",
+    _semantic_oracle_ctes(_IVF_CENTROID_IDS)
+    + f"""
+    SELECT cid, id_a, id_b, cos_sim FROM scored WHERE cos_sim >= {_SEMANTIC_THRESHOLD}
+    """,
+    bench=True,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: coarse-quantizer cluster
+    routing (zero-shuffle codegen over centroid literals), then cosine
+    pairs >= threshold only WITHIN clusters — one self-equi-join on the
+    cluster id instead of embedding_dup_pairs' all-pairs cross join.
+    The seeded quantizer makes the whole composition value-exactly
+    re-derivable by the SQL oracle."""
+    from lakeapi_spark.operators.dedup import semantic_dedup_pairs
+
+    e = table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(
+        e, "vec_id", "embedding", _IVF_CENTROID_IDS, _SEMANTIC_THRESHOLD
+    )
+
+
+@register(
+    "dedup_semantic_summary",
+    _semantic_oracle_ctes(_IVF_CENTROID_IDS)
+    + f"""
+    , removed AS (
+      SELECT cid, COUNT(DISTINCT id_b) AS n_removed
+      FROM scored WHERE cos_sim >= {_SEMANTIC_THRESHOLD} GROUP BY cid
+    )
+    , sizes AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_docs FROM assign GROUP BY cid)
+    SELECT s.cid, s.n_docs,
+           CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+           ROUND((s.n_docs - COALESCE(r.n_removed, 0)) / CAST(s.n_docs AS DOUBLE), 4) AS keep_frac
+    FROM sizes s LEFT JOIN removed r USING (cid)
+    """,
+)
+def dedup_semantic_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster pruning report for the semantic dedup (docs, removed
+    under the min-id keeper rule, keep fraction) — the dashboard view
+    for tuning the threshold before a full prune."""
+    from lakeapi_spark.operators.dedup import semantic_dedup_summary
+
+    e = table(spark, sf_dir, "embeddings")
+    return semantic_dedup_summary(
+        e, "vec_id", "embedding", _IVF_CENTROID_IDS, _SEMANTIC_THRESHOLD
+    )
+
+
+@register(
+    "text_unigram_logprob",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents WHERE regexp_matches(text, '\S')
+    ), freq AS (
+      SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+    ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM freq)
+    , lp AS (
+      SELECT tok, ROUND(ln(CAST(n AS DOUBLE) / t), 6) AS logp
+      FROM freq CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(logp), 4) AS avg_logprob
+    FROM toks JOIN lp USING (tok) GROUP BY doc_id
+    """,
+    bench=True,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM score per doc (the KenLM-perplexity-filter
+    stand-in): vocab frequencies in one map-side-combined shuffle, logp
+    join-back with the vocab broadcast, per-doc mean. Cross-engine
+    exact via round-before-average."""
+    from lakeapi_spark.operators.text import unigram_logprob
+
+    d = table(spark, sf_dir, "documents")
+    return unigram_logprob(d, "doc_id", "text")
+
+
+@register(
+    "shuffle_shard_docs",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM documents
+    )
+    SELECT doc_id, hv % 8 AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS BIGINT) AS shard_pos
+    FROM h
+    """,
+)
+def shuffle_shard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle + 8-way sharding — the terminal
+    training-export step: shard and in-shard position are pure
+    functions of (seed, doc_id), so the layout reproduces across runs,
+    engines, and partitionings (orderBy(rand()) is none of those). One
+    hash exchange + in-partition sort, never a global sort."""
+    from lakeapi_spark.operators.sampling import shuffle_shard
+
+    d = table(spark, sf_dir, "documents")
+    return shuffle_shard(d, "doc_id", n_shards=8, seed=42)

@@ -482,3 +482,56 @@ def test_jpeg_dimensions_walk_and_reject(spark):
     assert all(
         not r.valid_jpeg for r in jpeg_dimensions(media, max_segments=1).collect()
     )
+
+
+def test_semantic_dedup_matches_exact_within_clusters(spark):
+    """SemDeDup property: with well-separated clusters and planted
+    near-identical copies, the cluster-bounded pair set EQUALS the
+    all-pairs exact set at the same threshold (no within-cluster pair
+    lost, no cross-cluster pair invented), and the summary's removed
+    counts match the min-id keeper rule."""
+    import random as _random
+
+    from lakeapi_spark.operators.dedup import (
+        semantic_dedup_pairs,
+        semantic_dedup_summary,
+    )
+
+    rng = _random.Random(11)
+    dim, centers = 8, []
+    for c in range(4):  # well-separated: distinct dominant axis per cluster
+        base = [0.05] * dim
+        base[c] = 1.0
+        centers.append(base)
+    rows = []
+    vid = 0
+    for c, base in enumerate(centers):
+        for _ in range(10):
+            rows.append((vid, [x + rng.uniform(-0.02, 0.02) for x in base]))
+            vid += 1
+    # planted near-dups: jittered copies of the first point of each cluster
+    for c in range(4):
+        src = rows[c * 10][1]
+        rows.append((vid, [x + rng.uniform(-0.001, 0.001) for x in src]))
+        vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    centroid_ids = [0, 10, 20, 30]  # one seed point per cluster
+    thr = 0.999
+
+    sem = semantic_dedup_pairs(emb, "vec_id", "embedding", centroid_ids, thr)
+    got = {(r.id_a, r.id_b) for r in sem.collect()}
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs(emb, "vec_id", "embedding", thr).collect()
+    }
+    assert got == exact and len(exact) >= 4  # every planted copy found
+
+    summ = semantic_dedup_summary(emb, "vec_id", "embedding", centroid_ids, thr)
+    srows = summ.collect()
+    assert sum(r.n_docs for r in srows) == len(rows)
+    removed = {r.id_b for r in sem.collect()}
+    assert sum(r.n_removed for r in srows) == len(removed)
+    for r in srows:
+        assert 0.0 <= r.keep_frac <= 1.0

@@ -535,3 +535,45 @@ def test_pack_sequences_single_shuffle(spark, sf_dir):
     ]
     assert len(wides) == 1, wides
     assert "SinglePartition" not in wides[0]
+
+
+def test_shuffle_shard_deterministic_and_balanced(spark):
+    """shuffle_shard: layout is a pure function of (seed, key) —
+    identical across partitionings; positions are contiguous 1..n per
+    shard; a different seed permutes the order."""
+    from lakeapi_spark.operators.sampling import shuffle_shard
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = shuffle_shard(df, "doc_id", n_shards=8, seed=42).collect()
+    b = shuffle_shard(df.repartition(7), "doc_id", n_shards=8, seed=42).collect()
+    key = lambda rows: sorted((r.doc_id, r.shard, r.shard_pos) for r in rows)
+    assert key(a) == key(b)
+    assert {r.shard for r in a} == set(range(8))
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    c = shuffle_shard(df, "doc_id", n_shards=8, seed=43).collect()
+    assert key(a) != key(c)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        shuffle_shard(df, "doc_id", n_shards=0)
+
+
+def test_unigram_logprob_known_values(spark):
+    """Hand-computed corpus: tokens a:2 b:2 c:1, total 5."""
+    import math
+
+    from lakeapi_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a A  b"), (2, "b c"), (3, "   ")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: (r.n_tokens, r.avg_logprob) for r in unigram_logprob(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2}  # token-less doc drops out
+    lp = lambda n: round(math.log(n / 5), 6)
+    assert out[1] == (3, round((lp(2) + lp(2) + lp(2)) / 3, 4))
+    assert out[2] == (2, round((lp(2) + lp(1)) / 2, 4))
