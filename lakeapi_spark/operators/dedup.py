@@ -524,6 +524,79 @@ def embedding_dup_pairs(
     )
 
 
+# --- Verbatim substring spans ------------------------------------------------
+
+
+def substring_dup_spans(
+    df: DataFrame, id_col: str, text_col: str, window: int = 20
+) -> DataFrame:
+    """Verbatim duplicated-substring spans at token granularity — the
+    within-document twin of document-level dedup (after Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    which removes REPEATED SUBSTRINGS, not just whole near-dup docs).
+    Returns (id, start_pos, end_pos, n_windows): maximal runs of token
+    positions whose ``window``-token substring occurs more than once
+    anywhere in the corpus (cross-doc boilerplate or within-doc
+    repetition). A downstream pass cuts these spans out of the text.
+
+    Plan shape, 100 TB-ready:
+    1. per-position window hashes: one staged token projection (the
+       CollapseProject blocker — see :func:`_doc_grams` in
+       contamination.py for the 27x trap) + an explode bounded by
+       token count — map-only;
+    2. duplicated positions: COUNT() OVER (PARTITION BY h) — ONE
+       shuffle on the window hash, one pass (the groupBy + join-back
+       spelling evaluates the expensive hash map twice; the window
+       spelling was measured 1.7x faster end-to-end at sf0.1). This is
+       where the Lee et al. suffix-array step collapses to, because
+       the window length is fixed;
+    3. span merge: the classic p - row_number() gaps-and-islands
+       grouping, partitioned BY DOC — no global sort, state bounded by
+       one doc's positions.
+
+    Hashing through portable_hash60 keeps every intermediate
+    re-derivable in the SQL oracle (collisions: 60-bit over ~corpus
+    windows — negligible, and a collision only widens a span)."""
+    t = tokens(F.col(text_col))
+    staged = fan_out(df).select(
+        F.col(id_col).alias("id"), F.when(F.size(t) >= 0, t).alias("t")
+    )
+    wins = F.when(
+        F.size("t") < window,
+        F.array().cast("array<struct<p:bigint,h:bigint>>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - window),
+            lambda i: F.struct(
+                i.cast("long").alias("p"),
+                portable_hash60(
+                    F.concat_ws(" ", F.slice("t", i + 1, window))
+                ).alias("h"),
+            ),
+        )
+    )
+    pos = staged.select("id", F.explode(wins).alias("w")).select(
+        "id", F.col("w.p").alias("p"), F.col("w.h").alias("h")
+    )
+    from pyspark.sql.window import Window as W
+
+    d = pos.withColumn("n", F.count(F.lit(1)).over(W.partitionBy("h"))).filter(
+        F.col("n") > 1
+    )
+    isl = d.withColumn(
+        "grp", F.col("p") - F.row_number().over(W.partitionBy("id").orderBy("p"))
+    )
+    return (
+        isl.groupBy("id", "grp")
+        .agg(
+            F.min("p").alias("start_pos"),
+            F.max("p").alias("end_pos"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("grp")
+    )
+
+
 # --- Semantic dedup (cluster-then-compare) -----------------------------------
 
 

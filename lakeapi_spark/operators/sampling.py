@@ -70,6 +70,36 @@ def shuffle_shard(
     )
 
 
+def quota_sample(
+    df: DataFrame, key_col: str, group_col: str, quota: int
+) -> DataFrame:
+    """Per-group deterministic cap: keep the ``quota`` LOWEST-HASH rows
+    of each group — the "no language/source may exceed N docs"
+    balancing rule corpora apply before training. Because rank is by
+    the stable key hash, the kept set is a uniform-at-random-looking
+    but fully reproducible subset, stable under appends EXCEPT at the
+    quota boundary (a new low-hash row displaces the current highest —
+    the unavoidable semantics of an exact cap; use
+    :func:`mixture_sample`'s rate thinning when drift-free membership
+    matters more than an exact count).
+
+    Plan: one hash exchange on the group key + in-partition rank —
+    groups courser than executors parallelize by the exchange;
+    a pathological mega-group ranks within one task, so at 100 TB cap
+    extreme groups with a rate filter first (hash % m < k) and quota
+    only the survivors."""
+    if quota <= 0:
+        raise ValueError(f"quota must be positive: {quota}")
+    w = Window.partitionBy(group_col).orderBy(
+        key_hash(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("__qr", F.row_number().over(w))
+        .filter(F.col("__qr") <= quota)
+        .drop("__qr")
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     key_col: str,

@@ -18,6 +18,8 @@ Minimum search length is 3 chars (ref core/config.py:76).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -300,4 +302,68 @@ def load_bm25_index(spark, path: str) -> Bm25Index:
         term_df=spark.read.parquet(f"{path}/term_df"),
         n_docs=int(stats.n_docs),
         avgdl=float(stats.avgdl),
+    )
+
+
+def hybrid_search(
+    index: "Bm25Index",
+    emb: DataFrame,
+    vec_id_col: str,
+    vec_col: str,
+    search_text: str,
+    query_vec: list[float],
+    n_candidates: int = 50,
+    k: int = 20,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Hybrid lexical + dense retrieval — the standard two-stage RAG
+    stack: BM25 recalls ``n_candidates`` docs cheaply from the inverted
+    index, then a dense cosine against ``query_vec`` reranks just those
+    candidates; final score = alpha * bm25/max_bm25 + (1-alpha) * cos,
+    top ``k`` returned as (id, bm25_score, cos_sim, hybrid_score, rank).
+
+    Scale shape: stage 1 is the indexed BM25 (postings pruned to the
+    query terms, broadcast stats, co-partitioned doclen join); the
+    candidate cut and max-bm25 normalization are windows over the
+    MATCHING set only — at web scale you'd swap in a block-max WAND
+    top-N, but the interface (small candidate relation out) is the
+    same. Stage 2 touches ``n_candidates`` embedding rows via one
+    equi-join on the id — never a corpus-wide vector scan; the query
+    vector ships as a literal. All scores round to 4 so a SQL oracle
+    re-derives the exact ranking."""
+    from pyspark.sql.window import Window
+
+    from lakeapi_spark.operators.similarity import dot, norm
+
+    s = 0.0  # sequential sum, bit-matching the oracle's fold (see seeded_centroids)
+    for x in query_vec:
+        s += float(x) * float(x)
+    qnorm = math.sqrt(s)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+
+    scores = bm25_scores(index, search_text)
+    w_rank = Window.orderBy(F.col("bm25_score").desc(), F.col("__id"))
+    cand = (
+        scores.withColumn("__r", F.row_number().over(w_rank))
+        .filter(F.col("__r") <= n_candidates)
+        .withColumn("__mx", F.max("bm25_score").over(Window.partitionBy()))
+    )
+    e = emb.select(
+        F.col(vec_id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        norm(F.col(vec_col)).alias("__n"),
+    )
+    cos = F.round(dot(F.col("__v"), qlit) / (F.col("__n") * F.lit(qnorm)), 4)
+    hybrid = F.round(
+        F.lit(alpha) * F.col("bm25_score") / F.col("__mx") + F.lit(1 - alpha) * F.col("cos_sim"),
+        4,
+    )
+    w_final = Window.orderBy(F.col("hybrid_score").desc(), F.col("__id"))
+    return (
+        cand.join(e, "__id")
+        .withColumn("cos_sim", cos)
+        .withColumn("hybrid_score", hybrid)
+        .withColumn("rank", F.row_number().over(w_final).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("__id").alias("id"), "bm25_score", "cos_sim", "hybrid_score", "rank")
     )

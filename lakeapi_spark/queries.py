@@ -754,6 +754,86 @@ def search_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hybrid_search_rerank",
+    r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+    stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+      WHERE tok IN ('spark', 'window') GROUP BY doc_id, tok
+    ),
+    dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    bm AS (
+      SELECT t.doc_id,
+             ROUND(SUM(ln((s.n - q.df + 0.5) / (q.df + 0.5) + 1)
+                       * t.tf * 2.2 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))), 4)
+               AS bm25_score
+      FROM tf t
+      JOIN dfq q ON t.tok = q.tok
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+      GROUP BY t.doc_id
+    ),
+    cand AS (
+      SELECT doc_id, bm25_score
+      FROM bm QUALIFY ROW_NUMBER() OVER (ORDER BY bm25_score DESC, doc_id) <= 50
+    ),
+    cand2 AS (SELECT doc_id, bm25_score, MAX(bm25_score) OVER () AS mx FROM cand),
+    ev AS (
+      SELECT vec_id, unnest(range(1, len(embedding)+1)) AS i, embedding FROM embeddings
+    ), ex AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS val FROM ev
+    ), en AS (
+      SELECT vec_id, sqrt(SUM(val*val)) AS nrm FROM ex GROUP BY vec_id
+    ),
+    qv AS (SELECT i, val FROM ex WHERE vec_id = 0),
+    qn AS (SELECT sqrt(SUM(val*val)) AS nrm FROM qv),
+    dt AS (
+      SELECT c.doc_id, SUM(ex.val * qv.val) AS d
+      FROM cand2 c JOIN ex ON ex.vec_id = c.doc_id JOIN qv ON qv.i = ex.i
+      GROUP BY c.doc_id
+    ),
+    scored AS (
+      SELECT c.doc_id, c.bm25_score,
+             ROUND(dt.d / (en.nrm * qn.nrm), 4) AS cos_sim,
+             ROUND(0.5 * c.bm25_score / c.mx
+                   + 0.5 * ROUND(dt.d / (en.nrm * qn.nrm), 4), 4) AS hybrid_score
+      FROM cand2 c
+      JOIN dt ON dt.doc_id = c.doc_id
+      JOIN en ON en.vec_id = c.doc_id
+      CROSS JOIN qn
+    )
+    SELECT doc_id AS id, bm25_score, cos_sim, hybrid_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY hybrid_score DESC, doc_id) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 20
+    """,
+    bench=True,
+)
+def hybrid_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage hybrid retrieval (the RAG-standard stack): indexed
+    BM25 recalls 50 candidates, a dense cosine against the vec_id-0
+    embedding reranks them, hybrid = 0.5*bm25/max + 0.5*cos, top 20.
+    The rerank join touches only the candidate ids — never a
+    corpus-wide vector scan — and every score rounds to 4 so the
+    oracle re-derives the exact ranking."""
+    from lakeapi_spark.operators.search import bm25_index_for, hybrid_search
+    from lakeapi_spark.sources.fs import latest_modification
+
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    uri = f"{sf_dir}/documents.parquet"
+    idx = bm25_index_for(d, "doc_id", "text", key=(uri, latest_modification(spark, uri)))
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return hybrid_search(
+        idx, e, "vec_id", "embedding", "spark window", qv, n_candidates=50, k=20
+    )
+
+
+@register(
     "nearby_radius",
     """
     SELECT c_custkey, CAST(ROUND(dist, 2) AS DOUBLE) AS distance_m FROM (
@@ -3962,6 +4042,42 @@ def dedup_semantic_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_substring_spans",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE regexp_matches(text, '\S')
+    ), pos AS (
+      SELECT doc_id, t, unnest(range(0, greatest(len(t) - 20 + 1, 0))) AS p FROM toks
+    ), wh AS (
+      SELECT doc_id, p,
+             CAST(concat('0x', substr(md5(array_to_string(t[p+1 : p+20], ' ')), 1, 15)) AS BIGINT) AS h
+      FROM pos
+    ), dup AS (SELECT h FROM wh GROUP BY h HAVING COUNT(*) > 1),
+    d AS (SELECT doc_id, p FROM wh JOIN dup USING (h)),
+    isl AS (
+      SELECT doc_id, p, p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+      FROM d
+    )
+    SELECT doc_id AS id, MIN(p) AS start_pos, MAX(p) AS end_pos,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM isl GROUP BY doc_id, grp
+    """,
+    bench=True,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim duplicated-substring spans (Lee et al. 2022 style):
+    maximal token-position runs whose 20-token window occurs more than
+    once in the corpus — the cut list for substring-level dedup.
+    Fixed-window hashing turns the suffix-array step into one groupBy;
+    spans merge with the p - row_number gaps-and-islands trick."""
+    from lakeapi_spark.operators.dedup import substring_dup_spans
+
+    d = table(spark, sf_dir, "documents")
+    return substring_dup_spans(d, "doc_id", "text", window=20)
+
+
+@register(
     "text_unigram_logprob",
     r"""
     WITH toks AS (
@@ -3989,6 +4105,27 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return unigram_logprob(d, "doc_id", "text")
+
+
+@register(
+    "lang_quota_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY lang
+      ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id
+    ) <= 40
+    """,
+)
+def lang_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced corpus cap: at most 40 docs per language,
+    chosen by stable hash rank — reproducible balancing of
+    over-represented languages before training
+    (operators/sampling.quota_sample)."""
+    from lakeapi_spark.operators.sampling import quota_sample
+
+    d = table(spark, sf_dir, "documents")
+    return quota_sample(d, "doc_id", "lang", quota=40).select("doc_id", "lang")
 
 
 @register(

@@ -535,3 +535,38 @@ def test_semantic_dedup_matches_exact_within_clusters(spark):
     assert sum(r.n_removed for r in srows) == len(removed)
     for r in srows:
         assert 0.0 <= r.keep_frac <= 1.0
+
+
+def test_substring_dup_spans_planted(spark):
+    """Planted 12-token shared run inside two otherwise-unique docs ->
+    exactly one span per doc covering the shared window positions; a
+    doc with no repeats yields nothing."""
+    from lakeapi_spark.operators.dedup import substring_dup_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    uniq = lambda p, n: " ".join(f"{p}{i}" for i in range(n))
+    docs = [
+        (1, uniq("a", 7) + " " + shared + " " + uniq("b", 5)),
+        (2, uniq("c", 3) + " " + shared + " " + uniq("d", 9)),
+        (3, uniq("e", 30)),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r.id: (r.start_pos, r.end_pos, r.n_windows)
+        for r in substring_dup_spans(df, "doc_id", "text", window=10).collect()
+    }
+    # doc 1: tokens 7..18 are shared; 10-token windows starting at 7,8,9
+    # (positions are 0-based starts) -> span start 7, end 9, 3 windows
+    assert out == {1: (7, 9, 3), 2: (3, 5, 3)}
+
+    # within-doc repetition is also caught: the same phrase twice in one
+    # doc yields one span per occurrence (windows crossing the unique
+    # middle are not duplicated, so the runs stay separate)
+    rep = spark.createDataFrame(
+        [(9, shared + " x0 x1 x2 " + shared)], ["doc_id", "text"]
+    )
+    got = {
+        (r.start_pos, r.end_pos, r.n_windows)
+        for r in substring_dup_spans(rep, "doc_id", "text", window=10).collect()
+    }
+    assert got == {(0, 2, 3), (15, 17, 3)}

@@ -577,3 +577,24 @@ def test_unigram_logprob_known_values(spark):
     lp = lambda n: round(math.log(n / 5), 6)
     assert out[1] == (3, round((lp(2) + lp(2) + lp(2)) / 3, 4))
     assert out[2] == (2, round((lp(2) + lp(1)) / 2, 4))
+
+
+def test_quota_sample_caps_and_reproduces(spark):
+    """quota_sample: every group capped at quota, under-quota groups
+    kept whole, membership identical across partitionings."""
+    from lakeapi_spark.operators.sampling import quota_sample
+
+    rows = [(i, "big" if i < 80 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["k", "g"])
+    a = quota_sample(df, "k", "g", 25).collect()
+    counts = {}
+    for r in a:
+        counts[r.g] = counts.get(r.g, 0) + 1
+    assert counts == {"big": 25, "small": 20}  # small group is under quota
+    b = quota_sample(df.repartition(13), "k", "g", 25).collect()
+    assert sorted((r.k, r.g) for r in a) == sorted((r.k, r.g) for r in b)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        quota_sample(df, "k", "g", 0)

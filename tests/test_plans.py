@@ -251,3 +251,39 @@ def test_minhash_lsh_plan_vectorized_kernel(spark, sf_dir):
         "Exchange roundrobin"
     )
     assert n_exchange <= 2, plan
+
+
+def test_semantic_dedup_joins_on_cluster_id(spark, sf_dir):
+    """dedup_semantic plan contract: pair generation must be an
+    EQUI-join keyed on the cluster id — never a cartesian / nested-loop
+    product (that would be embedding_dup_pairs' all-pairs shape, the
+    exact thing the cluster routing exists to avoid). The assignment
+    relation is persisted once and reused by both sides."""
+    df = QUERIES["dedup_semantic"].build(spark, sf_dir)
+    plan = plan_str(spark, df, mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    joins = [ln for ln in plan.splitlines() if "HashJoin" in ln or "SortMergeJoin" in ln]
+    assert any("[cid" in ln for ln in joins), plan
+    assert "InMemoryTableScan" in plan, plan  # assignments persisted once
+
+
+def test_unigram_logprob_vocab_broadcast_and_bounded_shuffles(spark, sf_dir):
+    """text_unigram_logprob plan contract: the corpus side joins the
+    vocab through a BROADCAST (no shuffle of the exploded corpus for
+    the membership join), and the only hash exchanges are the vocab
+    aggregation and the final per-doc aggregation."""
+    df = QUERIES["text_unigram_logprob"].build(spark, sf_dir)
+    plan = plan_str(spark, df, mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_shuffle_shard_no_global_sort(spark, sf_dir):
+    """shuffle_shard plan contract: one hash exchange on the shard key
+    + in-partition sort; a rangepartitioning exchange would mean the
+    window degenerated into a global total-order sort."""
+    df = QUERIES["shuffle_shard_docs"].build(spark, sf_dir)
+    plan = plan_str(spark, df, mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "rangepartitioning" not in plan, plan
