@@ -4108,6 +4108,106 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_verdicts",
+    r"""
+    WITH q AS (
+      SELECT doc_id, lang,
+             ROUND(0.4 * LEAST(length(text) / 200.0, 1.0)
+                 + 0.3 * (1 - CASE WHEN length(text) > 0
+                                   THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
+                                   ELSE 0.0 END)
+                 + 0.3 * (len(list_filter(['the','and','of','to','a','in','is','that','it','for'],
+                                          w -> list_contains(string_split_regex(trim(lower(text)), '\s+'), w))) / 10.0),
+             4) AS quality
+      FROM documents
+    ),
+    toks0 AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, t,
+             CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+             END AS b
+      FROM toks0
+    ), rep AS (
+      SELECT doc_id,
+             CASE WHEN len(b) > 0
+                  THEN ROUND(1 - CAST(len(list_distinct(b)) AS DOUBLE) / len(b), 4)
+             END AS dup_bigram_frac
+      FROM bg
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents WHERE regexp_matches(text, '\S')
+    ), freq AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM freq),
+    lpt AS (SELECT tok, ROUND(ln(CAST(n AS DOUBLE) / t), 6) AS logp FROM freq CROSS JOIN tot),
+    lp AS (
+      SELECT doc_id, ROUND(AVG(logp), 4) AS avg_logprob
+      FROM toks JOIN lpt USING (tok) GROUP BY doc_id
+    ),
+    canon AS (
+      SELECT doc_id,
+             doc_id = MIN(doc_id) OVER (
+               PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+             ) AS is_canonical
+      FROM documents
+    )
+    SELECT q.doc_id, q.lang, q.quality, rep.dup_bigram_frac, lp.avg_logprob,
+           canon.is_canonical,
+           (canon.is_canonical AND q.quality >= 0.6
+            AND COALESCE(rep.dup_bigram_frac, 0) <= 0.06
+            AND lp.avg_logprob >= -3.41) AS keep
+    FROM q
+    JOIN rep ON rep.doc_id = q.doc_id
+    JOIN lp ON lp.doc_id = q.doc_id
+    JOIN canon ON canon.doc_id = q.doc_id
+    """,
+)
+def curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole filter stack fused into one per-doc verdict row — what
+    a user actually runs before an export: heuristic quality >= 0.6,
+    Gopher duplicate-bigram fraction <= 0.06, corpus-unigram logprob
+    above the garbled tail, exact-dup canonical flag; keep = AND of
+    all four. Every signal reuses its oracle-verified operator; the
+    joins are all on doc_id so AQE coalesces them over one exchange
+    family. Token-less docs drop (no logprob is measurable)."""
+    from pyspark.sql.window import Window
+
+    from lakeapi_spark.operators.text import (
+        fingerprint,
+        quality_score,
+        repetition_metrics,
+        unigram_logprob,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    q = d.select("doc_id", "lang", quality_score(F.col("text")).alias("quality"))
+    rep = repetition_metrics(d, "doc_id", "text").select("doc_id", "dup_bigram_frac")
+    lp = unigram_logprob(d, "doc_id", "text").select("doc_id", "avg_logprob")
+    canon = d.select("doc_id", fingerprint(F.col("text")).alias("__f")).select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("__f"))).alias(
+            "is_canonical"
+        ),
+    )
+    out = q.join(rep, "doc_id").join(lp, "doc_id").join(canon, "doc_id")
+    keep = (
+        F.col("is_canonical")
+        & (F.col("quality") >= 0.6)
+        & (F.coalesce("dup_bigram_frac", F.lit(0.0)) <= 0.06)
+        & (F.col("avg_logprob") >= -3.41)
+    )
+    return out.select(
+        "doc_id", "lang", "quality", "dup_bigram_frac", "avg_logprob",
+        "is_canonical", keep.alias("keep"),
+    )
+
+
+@register(
     "lang_quota_sample",
     """
     SELECT doc_id, lang FROM documents
