@@ -2,18 +2,21 @@
 protocol-log fallback.
 
 The reference reads delta through deltalake2db/duckdb views
-(df_duckdb.py:438-450) with a pyarrow fallback that enforces the
-protocol check — minReaderVersion > 1 (column mapping, deletion
-vectors) is rejected rather than silently misread (df_base.py:272-284,
-README.md:66). This module mirrors that shape on Spark:
+(df_duckdb.py:438-450) and SUPPORTS column mapping (README.md:66,
+exercised by tests/test_colmap.py: a table whose logical names carry
+spaces maps to physical col-xyz parquet names); deletion vectors are
+its stated unsupported boundary. This module mirrors that surface on
+Spark:
 
 - ``read_delta`` uses ``format("delta")`` when delta-spark is on the
   classpath (the production path: data skipping, DVs, column mapping);
 - otherwise it REPLAYS THE COMMIT LOG itself: ``_delta_log/*.json``
   actions (+ the parquet checkpoint referenced by ``_last_checkpoint``),
   reconciling add/remove files, taking the schema from
-  ``metaData.schemaString`` (which IS Spark StructType JSON), and
-  enforcing the same minReaderVersion<=1 gate as the reference.
+  ``metaData.schemaString`` (which IS Spark StructType JSON),
+  resolving column mapping by reading the physical schema and casting
+  back to logical names, and rejecting exactly the reader features the
+  reference rejects (deletion vectors & co., DeltaProtocolError).
 
 Fallback scale notes (documented, not hidden): the log listing and
 replay are driver-side metadata work over the Hadoop FS API (object
@@ -37,8 +40,17 @@ from pyspark.sql import types as T
 
 
 class DeltaProtocolError(ValueError):
-    """Table requires reader features this fallback doesn't implement
-    (mirrors the reference's minReaderVersion>1 rejection, README.md:66)."""
+    """Table requires reader features this fallback doesn't implement.
+    Mirrors the reference's support surface exactly (README.md:66):
+    column mapping IS supported (the reference reads mapped tables via
+    deltalake2db — tests/test_colmap.py); deletion vectors are NOT."""
+
+
+#: minReaderVersion-3 reader features this fallback implements.
+#: columnMapping: physical->logical renames below; timestampNtz: just a
+#: schema type Spark reads natively. deletionVectors & co. are rejected
+#: loudly — same boundary as the reference (README.md:66).
+_SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz"}
 
 
 @dataclass
@@ -52,6 +64,9 @@ class DeltaSnapshot:
     app_versions: dict[str, int] = field(default_factory=dict)
     #: file path -> parsed add.stats (numRecords/minValues/maxValues)
     stats: dict[str, dict] = field(default_factory=dict)
+    #: delta.columnMapping.mode from metaData.configuration ("none",
+    #: "name", "id"); physical names live in each field's metadata
+    column_mapping_mode: str = "none"
 
 
 def _read_json_bytes(spark: SparkSession, uri: str) -> bytes:
@@ -70,17 +85,37 @@ def _read_json_bytes(spark: SparkSession, uri: str) -> bytes:
 
 def _apply_action(snap: DeltaSnapshot, action: dict) -> None:
     if "protocol" in action:
-        if action["protocol"].get("minReaderVersion", 1) > 1:
+        p = action["protocol"]
+        mrv = p.get("minReaderVersion", 1)
+        if mrv == 3:
+            features = p.get("readerFeatures")
+            if features is None:
+                raise DeltaProtocolError(
+                    "minReaderVersion 3 without a readerFeatures list is malformed "
+                    "(the protocol requires it); refusing to guess — install "
+                    "delta-spark for this table"
+                )
+            unsupported = set(features) - _SUPPORTED_READER_FEATURES
+            if unsupported:
+                raise DeltaProtocolError(
+                    f"reader features {sorted(unsupported)} are not supported by the "
+                    "protocol-log fallback (the reference draws the same line: column "
+                    "mapping yes, deletion vectors no — README.md:66); install "
+                    "delta-spark for this table"
+                )
+        elif mrv > 3:
             raise DeltaProtocolError(
-                "minReaderVersion "
-                f"{action['protocol']['minReaderVersion']} > 1 (column mapping / "
-                "deletion vectors) is not supported by the protocol-log fallback; "
-                "install delta-spark for this table"
+                f"minReaderVersion {mrv} is not supported by the protocol-log "
+                "fallback; install delta-spark for this table"
             )
+        # mrv 2 = column mapping: handled via physical-name renames
     if "metaData" in action:
         md = action["metaData"]
         snap.schema = T.StructType.fromJson(json.loads(md["schemaString"]))
         snap.partition_columns = list(md.get("partitionColumns", []))
+        snap.column_mapping_mode = (md.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
     if "add" in action:
         a = action["add"]
         snap.files[a["path"]] = dict(a.get("partitionValues") or {})
@@ -165,6 +200,33 @@ def _partition_lit(value: str | None, dtype: T.DataType):
     return F.lit(value).cast(dtype)
 
 
+def _physical_name(f: T.StructField) -> str:
+    """Physical (in-file) column name under column mapping: the
+    ``delta.columnMapping.physicalName`` field metadata, else the
+    logical name (mode 'none'). 'id' mode also writes physicalName, so
+    reading by physical name covers both modes."""
+    return (f.metadata or {}).get("delta.columnMapping.physicalName", f.name)
+
+
+def _physical_type(dt: T.DataType) -> T.DataType:
+    """Recursively rename nested struct fields to their physical names
+    (column mapping applies at every nesting level)."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(_physical_name(f), _physical_type(f.dataType), f.nullable)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_physical_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _physical_type(dt.keyType), _physical_type(dt.valueType), dt.valueContainsNull
+        )
+    return dt
+
+
 def read_delta_fallback(
     spark: SparkSession,
     uri: str,
@@ -185,31 +247,49 @@ def read_delta_fallback(
     snap = delta_snapshot(spark, uri, version_as_of)
     base = uri.rstrip("/")
     pcols = snap.partition_columns
+    # column mapping ("name"/"id" — reference parity: the reference
+    # reads mapped tables, tests/test_colmap.py): files + partition
+    # values + stats are keyed by PHYSICAL names; read physically, then
+    # one positional struct cast per column renames every nesting level
+    # back to logical.
+    phys = {f.name: _physical_name(f) for f in snap.schema.fields}
     data_fields = [f for f in snap.schema.fields if f.name not in pcols]
-    data_schema = T.StructType(data_fields)
+    data_schema = T.StructType(
+        [
+            T.StructField(phys[f.name], _physical_type(f.dataType), f.nullable)
+            for f in data_fields
+        ]
+    )
     ptypes = {f.name: f.dataType for f in snap.schema.fields if f.name in pcols}
 
     files = snap.files
     if predicates:
+        phys_predicates = [(phys.get(c, c), lo, hi) for c, lo, hi in predicates]
         files = {
             p: pv
             for p, pv in files.items()
-            if _stats_overlap(snap.stats.get(p), predicates)
+            if _stats_overlap(snap.stats.get(p), phys_predicates)
         }
     if not files:
         return spark.createDataFrame([], snap.schema)
 
     groups: dict[tuple, list[str]] = {}
     for path, pvals in files.items():
-        key = tuple(pvals.get(c) for c in pcols)
+        key = tuple(pvals.get(phys[c]) for c in pcols)
         groups.setdefault(key, []).append(f"{base}/{path}")
 
     parts = []
     for key, paths in sorted(groups.items(), key=lambda kv: tuple(str(k) for k in kv[0])):
         df = spark.read.schema(data_schema).parquet(*paths)
+        renamed = df.select(
+            *[
+                F.col(phys[f.name]).cast(f.dataType).alias(f.name)
+                for f in data_fields
+            ]
+        )
         for c, v in zip(pcols, key):
-            df = df.withColumn(c, _partition_lit(v, ptypes[c]))
-        parts.append(df.select([f.name for f in snap.schema.fields]))
+            renamed = renamed.withColumn(c, _partition_lit(v, ptypes[c]))
+        parts.append(renamed.select([f.name for f in snap.schema.fields]))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

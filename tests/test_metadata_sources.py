@@ -437,8 +437,10 @@ def test_delta_fallback_partition_pruning(spark, delta_table):
 
 
 def test_delta_fallback_rejects_advanced_protocol(spark, tmp_path, delta_table):
-    """minReaderVersion > 1 (column mapping / deletion vectors) must fail
-    loudly, exactly like the reference's pyarrow path (README.md:66)."""
+    """Unsupported reader features must fail loudly — the reference's
+    boundary (README.md:66): column mapping supported, deletion vectors
+    not. A v3 protocol that omits the mandatory readerFeatures list is
+    malformed and also rejected rather than guessed at."""
     from lakeapi_spark.sources.delta import DeltaProtocolError
 
     _, meta = delta_table
@@ -448,8 +450,30 @@ def test_delta_fallback_rejects_advanced_protocol(spark, tmp_path, delta_table):
         0,
         [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}}, meta],
     )
-    with pytest.raises(DeltaProtocolError, match="minReaderVersion"):
+    with pytest.raises(DeltaProtocolError, match="readerFeatures"):
         read_source(spark, base2, "delta")
+
+    base3 = str(tmp_path / "dv_tbl3")
+    _write_commit(
+        base3 + "/_delta_log",
+        0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["deletionVectors"]}},
+            meta,
+        ],
+    )
+    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+        read_source(spark, base3, "delta")
+
+    base4 = str(tmp_path / "dv_tbl4")
+    _write_commit(
+        base4 + "/_delta_log",
+        0,
+        [{"protocol": {"minReaderVersion": 4, "minWriterVersion": 7}}, meta],
+    )
+    with pytest.raises(DeltaProtocolError, match="minReaderVersion"):
+        read_source(spark, base4, "delta")
 
 
 def test_delta_fallback_checkpoint_replay(spark, delta_table):
@@ -919,3 +943,131 @@ def test_read_source_orc_roundtrip(spark, tmp_path):
 def test_read_source_avro_gated(spark, tmp_path):
     with pytest.raises(ValueError, match="spark-avro"):
         read_source(spark, str(tmp_path / "nope.avro"), "avro")
+
+
+def test_delta_fallback_column_mapping(spark, tmp_path):
+    """Reference parity for delta column mapping (ref tests/test_colmap.py
+    reads a table whose logical name 'Super Name_' maps to a physical
+    col-xyz parquet name; README.md:66: column mapping supported,
+    deletion vectors not). The fallback must read physical files,
+    rename every nesting level back to logical, and resolve
+    physically-keyed partitionValues."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+    import pytest as _pytest
+
+    from lakeapi_spark.sources.delta import DeltaProtocolError
+    from pyspark.sql import types as T
+
+    base = str(tmp_path / "cm_tbl")
+    # logical: "Super Name_" (space!), nested struct, partition col "P Col"
+    schema_json = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "Super Name_",
+                "type": "string",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-aaa",
+                },
+            },
+            {
+                "name": "nested",
+                "type": {
+                    "type": "struct",
+                    "fields": [
+                        {
+                            "name": "Inner Val",
+                            "type": "long",
+                            "nullable": True,
+                            "metadata": {
+                                "delta.columnMapping.id": 3,
+                                "delta.columnMapping.physicalName": "col-ccc",
+                            },
+                        }
+                    ],
+                },
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-bbb",
+                },
+            },
+            {
+                "name": "P Col",
+                "type": "string",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 4,
+                    "delta.columnMapping.physicalName": "col-ddd",
+                },
+            },
+        ],
+    }
+    import os
+
+    os.makedirs(base)
+    papq.write_table(
+        pa.table(
+            {
+                "col-aaa": ["John Duncan", "Jane Roe"],
+                "col-bbb": [{"col-ccc": 10}, {"col-ccc": 20}],
+            }
+        ),
+        f"{base}/part-0.parquet",
+    )
+    _write_commit(
+        base + "/_delta_log",
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "cm-1",
+                    "schemaString": _json.dumps(schema_json),
+                    "partitionColumns": ["P Col"],
+                    "format": {"provider": "parquet"},
+                    "configuration": {"delta.columnMapping.mode": "name"},
+                }
+            },
+            {
+                "add": {
+                    "path": "part-0.parquet",
+                    "partitionValues": {"col-ddd": "g1"},
+                    "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            },
+        ],
+    )
+    df = read_source(spark, base, "delta")
+    assert [f.name for f in df.schema.fields] == ["Super Name_", "nested", "P Col"]
+    rows = sorted(
+        (r["Super Name_"], r["nested"]["Inner Val"], r["P Col"]) for r in df.collect()
+    )
+    assert rows == [("Jane Roe", 20, "g1"), ("John Duncan", 10, "g1")]
+    # filter on the logical (spaced) name, like the reference's colmap test
+    assert df.filter(F.col("`Super Name_`") == "John Duncan").count() == 1
+
+    # reader-feature boundary: columnMapping as a v3 feature is fine,
+    # deletionVectors raises — the reference's exact support line
+    _write_commit(
+        base + "/_delta_log",
+        1,
+        [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                       "readerFeatures": ["columnMapping"]}}],
+    )
+    assert read_source(spark, base, "delta").count() == 2
+    _write_commit(
+        base + "/_delta_log",
+        2,
+        [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                       "readerFeatures": ["columnMapping", "deletionVectors"]}}],
+    )
+    with _pytest.raises(DeltaProtocolError, match="deletionVectors"):
+        read_source(spark, base, "delta")
