@@ -601,15 +601,45 @@ def substring_dup_spans(
 
 
 def _semantic_assignments(
-    emb: DataFrame, id_col: str, vec_col: str, centroid_ids: list[int]
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_ids: list[int] | None,
+    n_centroids: int | None = None,
 ) -> DataFrame:
-    """(id, v, nrm, cid): every embedding routed to its nearest seeded
-    centroid by rounded cosine — one codegen pass over centroid
-    literals, zero shuffle (similarity.seeded_centroids is a bounded
-    driver collect of len(centroid_ids) rows)."""
-    from lakeapi_spark.operators.similarity import _nearest_seeded, norm, seeded_centroids
+    """(id, v, nrm, cid): every embedding routed to its nearest
+    centroid by cosine — one codegen pass over centroid literals, zero
+    shuffle. With ``centroid_ids`` the quantizer is the value-exact
+    seeded data-point one (SQL-oracle-re-derivable; bounded driver
+    collect of len(centroid_ids) rows); without it, a driver-sample
+    k-means (similarity.ivf_fit_centroids) with ``n_centroids``
+    defaulting to ceil(sqrt(n)) — the scaling rule SCALING.md calls
+    for: per-cluster population n/k stays ~sqrt(n), so the pair join's
+    Σ|cluster|² volume grows LINEARLY with the corpus instead of
+    quadratically (the one corpus count() action is metadata-cheap)."""
+    from lakeapi_spark.operators.similarity import (
+        _nearest_centroids,
+        _nearest_seeded,
+        ivf_fit_centroids,
+        norm,
+        seeded_centroids,
+    )
 
-    cents = seeded_centroids(emb, id_col, vec_col, centroid_ids)
+    if centroid_ids is not None:
+        cents = seeded_centroids(emb, id_col, vec_col, centroid_ids)
+
+        def near(v, nrm):
+            return _nearest_seeded(v, nrm, cents, 1)[0]
+
+    else:
+        import math as _math
+
+        k = n_centroids or max(2, _math.isqrt(emb.count() - 1) + 1)
+        fitted = ivf_fit_centroids(emb, vec_col, k)
+
+        def near(v, nrm):
+            return _nearest_centroids(v, fitted, 1)[0]
+
     return (
         fan_out(emb)
         .select(
@@ -617,9 +647,7 @@ def _semantic_assignments(
             F.col(vec_col).alias("v"),
             norm(F.col(vec_col)).alias("nrm"),
         )
-        .select(
-            "id", "v", "nrm", _nearest_seeded(F.col("v"), F.col("nrm"), cents, 1)[0].alias("cid")
-        )
+        .select("id", "v", "nrm", near(F.col("v"), F.col("nrm")).alias("cid"))
     )
 
 
@@ -627,9 +655,10 @@ def semantic_dedup_pairs(
     emb: DataFrame,
     id_col: str,
     vec_col: str,
-    centroid_ids: list[int],
+    centroid_ids: list[int] | None,
     threshold: float,
     cache_handles: list | None = None,
+    n_centroids: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (cluster-then-compare,
     after Abbas et al. 2023): route every embedding to its nearest
@@ -657,10 +686,17 @@ def semantic_dedup_pairs(
     handle and ``unpersist()`` after your action (serving sessions
     must — see :func:`minhash_lsh_pairs`). At 100 TB you would land
     the assignment on storage partitioned by cid instead (it IS the
-    layout the cluster join wants), not in executor memory."""
+    layout the cluster join wants), not in executor memory.
+
+    ``centroid_ids=None`` switches to the k-means quantizer with
+    ``n_centroids`` defaulting to ceil(sqrt(n)) — the production
+    scaling rule (see _semantic_assignments); the seeded path exists so
+    the SQL oracle can re-derive the routing exactly."""
     from lakeapi_spark.operators.similarity import dot
 
-    sides = _semantic_assignments(emb, id_col, vec_col, centroid_ids).persist()
+    sides = _semantic_assignments(
+        emb, id_col, vec_col, centroid_ids, n_centroids
+    ).persist()
     if cache_handles is not None:
         cache_handles.append(sides)
     a = sides.select(
