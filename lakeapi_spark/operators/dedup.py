@@ -606,6 +606,7 @@ def _semantic_assignments(
     vec_col: str,
     centroid_ids: list[int] | None,
     n_centroids: int | None = None,
+    use_kernel: bool = True,
 ) -> DataFrame:
     """(id, v, nrm, cid): every embedding routed to its nearest
     centroid by cosine — one codegen pass over centroid literals, zero
@@ -625,6 +626,8 @@ def _semantic_assignments(
         seeded_centroids,
     )
 
+    if use_kernel:
+        return _semantic_assignments_kernel(emb, id_col, vec_col, centroid_ids, n_centroids)
     if centroid_ids is not None:
         cents = seeded_centroids(emb, id_col, vec_col, centroid_ids)
 
@@ -651,6 +654,76 @@ def _semantic_assignments(
     )
 
 
+def _semantic_assignments_kernel(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_ids: list[int] | None,
+    n_centroids: int | None = None,
+) -> DataFrame:
+    """Arrow-batched twin of the expression assignment (same pattern as
+    the minhash bucket kernel and similarity.numpy_topk): one BLAS
+    matmul per batch against the centroid matrix instead of
+    n_centroids interpreted HOF dots per row. Value-parity rules:
+
+    - seeded quantizer: cid = argmax of ROUND(dot/(nrm*cnorm), 4),
+      first max = lowest cid — numpy argmax's first-occurrence rule IS
+      the expression path's (negcos, cid) sort order; cnorms reuse the
+      sequential-sum values from seeded_centroids so the oracle's
+      rounding grid lines up;
+    - k-means quantizer: cid = argmax of the UNROUNDED dot against the
+      normalized centroids (what _nearest_centroids computes; argmax is
+      invariant to the row's own norm, so no division needed).
+
+    Differential-tested against the expression twin in
+    tests/test_dedup_similarity.py."""
+    import numpy as np
+    import pandas as pd  # noqa: F401  (executors re-import in the worker)
+
+    from lakeapi_spark.operators.similarity import ivf_fit_centroids, seeded_centroids
+
+    if centroid_ids is not None:
+        seeded = seeded_centroids(emb, id_col, vec_col, centroid_ids)
+        cents_mat = np.array([c for c, _ in seeded], dtype=np.float64)
+        cnorms = np.array([cn for _, cn in seeded], dtype=np.float64)
+        rounded = True
+    else:
+        import math as _math
+
+        k = n_centroids or max(2, _math.isqrt(emb.count() - 1) + 1)
+        fitted = ivf_fit_centroids(emb, vec_col, k)
+        cents_mat = fitted / np.maximum(
+            np.linalg.norm(fitted, axis=1, keepdims=True), 1e-12
+        )
+        cnorms = None
+        rounded = False
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            nrm = np.sqrt((V * V).sum(axis=1))
+            if rounded:
+                score = np.round((V @ cents_mat.T) / np.outer(nrm, cnorms), 4)
+            else:
+                score = V @ cents_mat.T
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "cid": score.argmax(axis=1).astype("int32"),
+                    "nrm": nrm,
+                    "v": pdf[vec_col],
+                }
+            )
+
+    return fan_out(emb.select(id_col, vec_col)).mapInPandas(
+        kernel, schema="id long, cid int, nrm double, v array<float>"
+    )
+
+
 def semantic_dedup_pairs(
     emb: DataFrame,
     id_col: str,
@@ -659,6 +732,7 @@ def semantic_dedup_pairs(
     threshold: float,
     cache_handles: list | None = None,
     n_centroids: int | None = None,
+    use_kernel: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (cluster-then-compare,
     after Abbas et al. 2023): route every embedding to its nearest
@@ -669,33 +743,36 @@ def semantic_dedup_pairs(
     all-pairs O(n^2) of :func:`embedding_dup_pairs` collapses to
     O(sum_c |cluster_c|^2) — a k-fold cut with k balanced clusters, and
     at 100 TB the cluster id doubles as the storage partitioning so
-    pair generation becomes a per-partition local join. Plan shape:
-    assignment is zero-shuffle codegen over centroid literals; pair
-    generation is ONE self-equi-join on cid (AQE splits skewed
-    mega-clusters); scoring is built-in array arithmetic with norms
-    precomputed per side. Cross-cluster near-dups are missed by design
-    — SemDeDup's recall trade; shrink it by assigning boundary points
-    to their n>1 nearest clusters (the n_probe twin).
+    pair generation becomes a per-partition local job. Cross-cluster
+    near-dups are missed by design — SemDeDup's recall trade; shrink it
+    by assigning boundary points to their n>1 nearest clusters (the
+    n_probe twin).
 
-    The quantizer is the value-exact seeded data-point quantizer, so a
-    SQL oracle re-derives the routing and hence the EXACT pair set.
+    Two implementations, differential-tested against each other:
 
-    Both join sides derive from the assignment relation, so it is
-    ``persist()``-ed to stop the 16-dot routing expression evaluating
-    twice per vector; pass ``cache_handles`` (a list) to receive the
-    handle and ``unpersist()`` after your action (serving sessions
-    must — see :func:`minhash_lsh_pairs`). At 100 TB you would land
-    the assignment on storage partitioned by cid instead (it IS the
-    layout the cluster join wants), not in executor memory.
+    - ``use_kernel=True`` (default): Arrow-batched numpy — assignment
+      is one BLAS matmul per batch (mapInPandas), pair scoring is one
+      blocked gram-matrix matmul per cluster (applyInPandas after the
+      single cid shuffle). Same pattern as the minhash bucket kernel.
+    - ``use_kernel=False``: pure built-in expressions — assignment via
+      codegen over centroid literals, pairs via a self-equi-join on
+      cid; the assignment relation is persisted (pass ``cache_handles``
+      to release it — serving sessions must).
 
-    ``centroid_ids=None`` switches to the k-means quantizer with
-    ``n_centroids`` defaulting to ceil(sqrt(n)) — the production
-    scaling rule (see _semantic_assignments); the seeded path exists so
-    the SQL oracle can re-derive the routing exactly."""
+    The seeded quantizer keeps every value SQL-oracle-re-derivable in
+    both paths; ``centroid_ids=None`` switches to the k-means quantizer
+    with ``n_centroids`` defaulting to ceil(sqrt(n)) — the production
+    scaling rule that holds pair volume linear in the corpus."""
+    if use_kernel:
+        assigned = _semantic_assignments(
+            emb, id_col, vec_col, centroid_ids, n_centroids, use_kernel=True
+        )
+        return _semantic_pairs_kernel(assigned, threshold)
+
     from lakeapi_spark.operators.similarity import dot
 
     sides = _semantic_assignments(
-        emb, id_col, vec_col, centroid_ids, n_centroids
+        emb, id_col, vec_col, centroid_ids, n_centroids, use_kernel=False
     ).persist()
     if cache_handles is not None:
         cache_handles.append(sides)
@@ -715,6 +792,56 @@ def semantic_dedup_pairs(
     )
 
 
+def _semantic_pairs_kernel(assigned: DataFrame, threshold: float) -> DataFrame:
+    """Per-cluster pair scoring as ONE blocked gram-matrix matmul
+    (applyInPandas over groupBy(cid) — the same single cid shuffle the
+    equi-join spelling paid, but BLAS instead of one interpreted
+    HOF-lambda walk per pair). Value parity with the expression twin:
+    cos = ROUND(dot / (nrm_a * nrm_b), 4) on the SAME nrm values the
+    assignment emitted. Row blocks of 1024 bound the gram slice to
+    1024 x |cluster| doubles — a mega-cluster can't OOM one task (it
+    can still be slow; the fix is more centroids, see the sqrt(n)
+    rule)."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    def score(pdf):
+        import pandas as pd
+
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)
+        nrm = pdf["nrm"].to_numpy()
+        ids = pdf["id"].to_numpy()
+        cid = int(pdf["cid"].iloc[0])
+        out = []
+        B = 1024
+        for s in range(0, len(ids), B):
+            blk = slice(s, min(s + B, len(ids)))
+            C = np.round((V[blk] @ V.T) / np.outer(nrm[blk], nrm), 4)
+            mask = (C >= threshold) & (ids[blk][:, None] < ids[None, :])
+            r, c = np.nonzero(mask)
+            if len(r):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "cid": cid,
+                            "id_a": ids[blk][r],
+                            "id_b": ids[c],
+                            "cos_sim": C[r, c],
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame(
+                {"cid": pd.Series(dtype="int32"), "id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"), "cos_sim": pd.Series(dtype="float64")}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return assigned.groupBy("cid").applyInPandas(
+        score, schema="cid int, id_a long, id_b long, cos_sim double"
+    )
+
+
 def semantic_dedup_summary(
     emb: DataFrame,
     id_col: str,
@@ -729,14 +856,13 @@ def semantic_dedup_summary(
     every dedup operator here shares), so n_removed = distinct id_b
     over the pair set. One extra tiny aggregate over the pairs plus the
     per-cluster counts — the shape a pipeline dashboard reads to tune
-    the threshold before committing to a full prune. The per-cluster
-    counts reuse the pair computation's persisted assignment relation
-    (see :func:`semantic_dedup_pairs` on releasing it)."""
-    handles = cache_handles if cache_handles is not None else []
-    pairs = semantic_dedup_pairs(
-        emb, id_col, vec_col, centroid_ids, threshold, cache_handles=handles
-    )
-    sides = handles[-1]  # the persisted assignment relation
+    the threshold before committing to a full prune. The pair kernel
+    and the per-cluster counts share one persisted assignment relation;
+    pass ``cache_handles`` to release it after your action."""
+    sides = _semantic_assignments(emb, id_col, vec_col, centroid_ids).persist()
+    if cache_handles is not None:
+        cache_handles.append(sides)
+    pairs = _semantic_pairs_kernel(sides, threshold)
     removed = pairs.groupBy("cid").agg(
         F.count_distinct("id_b").alias("n_removed")
     )

@@ -619,3 +619,31 @@ def test_semantic_dedup_kmeans_autoscale_recall(spark):
     # are not asserted. Precision is exact by scoring:
     assert planted <= got
     assert got <= exact  # no invented pairs
+
+
+def test_semantic_dedup_kernel_equals_expression(spark, sf_dir):
+    """The Arrow/BLAS kernel and the built-in-expression twin must emit
+    the IDENTICAL pair set with identical rounded cosines on the real
+    embeddings table (same differential contract as the minhash bucket
+    kernel)."""
+    from lakeapi_spark.operators.dedup import semantic_dedup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ids = list(range(5, 21))
+    handles = []
+    kern = {
+        (r.cid, r.id_a, r.id_b, r.cos_sim)
+        for r in semantic_dedup_pairs(
+            emb, "vec_id", "embedding", ids, 0.38, use_kernel=True
+        ).collect()
+    }
+    expr = {
+        (r.cid, r.id_a, r.id_b, r.cos_sim)
+        for r in semantic_dedup_pairs(
+            emb, "vec_id", "embedding", ids, 0.38,
+            cache_handles=handles, use_kernel=False,
+        ).collect()
+    }
+    assert kern == expr and len(kern) > 0
+    for h in handles:
+        h.unpersist()

@@ -253,19 +253,20 @@ def test_minhash_lsh_plan_vectorized_kernel(spark, sf_dir):
     assert n_exchange <= 2, plan
 
 
-def test_semantic_dedup_joins_on_cluster_id(spark, sf_dir):
-    """dedup_semantic plan contract: pair generation must be an
-    EQUI-join keyed on the cluster id — never a cartesian / nested-loop
-    product (that would be embedding_dup_pairs' all-pairs shape, the
-    exact thing the cluster routing exists to avoid). The assignment
-    relation is persisted once and reused by both sides."""
+def test_semantic_dedup_single_cid_shuffle(spark, sf_dir):
+    """dedup_semantic plan contract (kernel path): scan -> Arrow
+    assignment kernel (MapInPandas) -> exactly ONE hash exchange on the
+    cluster id -> per-cluster pair kernel (FlatMapGroupsInPandas).
+    Never a cartesian/nested-loop product (embedding_dup_pairs'
+    all-pairs shape — the exact thing the cluster routing avoids)."""
     df = QUERIES["dedup_semantic"].build(spark, sf_dir)
     plan = plan_str(spark, df, mode="simple")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    joins = [ln for ln in plan.splitlines() if "HashJoin" in ln or "SortMergeJoin" in ln]
-    assert any("[cid" in ln for ln in joins), plan
-    assert "InMemoryTableScan" in plan, plan  # assignments persisted once
+    assert "MapInPandas" in plan, plan
+    assert "FlatMapGroupsInPandas [cid" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "hashpartitioning(cid" in plan, plan
 
 
 def test_unigram_logprob_vocab_broadcast_and_bounded_shuffles(spark, sf_dir):
