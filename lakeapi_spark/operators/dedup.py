@@ -527,6 +527,75 @@ def embedding_dup_pairs(
 # --- Verbatim substring spans ------------------------------------------------
 
 
+def _window_hashes(
+    df: DataFrame, id_col: str, text_col: str, window: int
+) -> DataFrame:
+    """(id, p, h): the portable 60-bit hash of every ``window``-token
+    substring, one row per start position. Token array staged in its
+    own projection (CollapseProject blocker) + fan_out before the
+    CPU-heavy expansion; the explode is bounded by token count —
+    map-only, no shuffle."""
+    t = tokens(F.col(text_col))
+    staged = fan_out(df).select(
+        F.col(id_col).alias("id"), F.when(F.size(t) >= 0, t).alias("t")
+    )
+    wins = F.when(
+        F.size("t") < window,
+        F.array().cast("array<struct<p:bigint,h:bigint>>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - window),
+            lambda i: F.struct(
+                i.cast("long").alias("p"),
+                portable_hash60(
+                    F.concat_ws(" ", F.slice("t", i + 1, window))
+                ).alias("h"),
+            ),
+        )
+    )
+    return staged.select("id", F.explode(wins).alias("w")).select(
+        "id", F.col("w.p").alias("p"), F.col("w.h").alias("h")
+    )
+
+
+def incremental_dedup_flags(
+    new: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 20,
+) -> DataFrame:
+    """Incremental-ingest contamination guard: flag each INCOMING doc
+    whose any ``window``-token substring already occurs in the EXISTING
+    corpus — the check an append-only pipeline runs per batch so it
+    never re-admits boilerplate or near-copies of what it already
+    holds. Returns (id, is_known) for every new doc.
+
+    Scale shape: the corpus's distinct window-hash relation is the
+    reusable artifact — build it once per corpus version (persist or
+    land it next to the table, exactly like the BM25 index keyed by
+    modified date) and each incoming batch pays only its own hashing
+    plus a LEFT SEMI join against it (hash-partitioned both sides; the
+    batch is small, the corpus relation is the big-but-static side).
+    This is the batch-incremental twin of streaming
+    ``dropDuplicatesWithinWatermark`` (which bounds state by TIME; this
+    bounds nothing — the corpus hash set IS the state, stored not
+    streamed)."""
+    nh = _window_hashes(new, id_col, text_col, window)
+    ch = _window_hashes(corpus, id_col, text_col, window).select("h").distinct()
+    hits = (
+        nh.join(ch, "h", "left_semi")
+        .select("id")
+        .distinct()
+        .withColumn("is_known", F.lit(True))
+    )
+    return (
+        new.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select("id", F.coalesce("is_known", F.lit(False)).alias("is_known"))
+    )
+
+
 def substring_dup_spans(
     df: DataFrame, id_col: str, text_col: str, window: int = 20
 ) -> DataFrame:
@@ -557,27 +626,7 @@ def substring_dup_spans(
     Hashing through portable_hash60 keeps every intermediate
     re-derivable in the SQL oracle (collisions: 60-bit over ~corpus
     windows — negligible, and a collision only widens a span)."""
-    t = tokens(F.col(text_col))
-    staged = fan_out(df).select(
-        F.col(id_col).alias("id"), F.when(F.size(t) >= 0, t).alias("t")
-    )
-    wins = F.when(
-        F.size("t") < window,
-        F.array().cast("array<struct<p:bigint,h:bigint>>"),
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size("t") - window),
-            lambda i: F.struct(
-                i.cast("long").alias("p"),
-                portable_hash60(
-                    F.concat_ws(" ", F.slice("t", i + 1, window))
-                ).alias("h"),
-            ),
-        )
-    )
-    pos = staged.select("id", F.explode(wins).alias("w")).select(
-        "id", F.col("w.p").alias("p"), F.col("w.h").alias("h")
-    )
+    pos = _window_hashes(df, id_col, text_col, window)
     from pyspark.sql.window import Window as W
 
     d = pos.withColumn("n", F.count(F.lit(1)).over(W.partitionBy("h"))).filter(
@@ -594,6 +643,48 @@ def substring_dup_spans(
             F.count(F.lit(1)).alias("n_windows"),
         )
         .drop("grp")
+    )
+
+
+def cut_dup_spans(
+    df: DataFrame, id_col: str, text_col: str, window: int = 20
+) -> DataFrame:
+    """APPLY the substring-span cut (detection -> removal, the second
+    half of Lee et al. 2022): drop every token covered by a duplicated
+    span and reassemble the text. Returns
+    (id, n_tokens_before, n_tokens_after, cleaned_text) for every doc
+    (docs with no spans pass through unchanged).
+
+    A span of window starts [start_pos, end_pos] covers tokens
+    [start_pos, end_pos + window - 1]. Spans per doc are FEW (they are
+    maximal runs), so they ride back onto the doc row as a collected
+    array — the cut itself is then a pure per-row expression:
+    F.filter's (element, index) lambda tests each token index against
+    the span array with F.exists. No second explode, no extra shuffle
+    beyond the span detection's own two."""
+    spans = substring_dup_spans(df, id_col, text_col, window)
+    sp_t = "array<struct<start_pos:bigint,end_pos:bigint>>"
+    sp = spans.groupBy("id").agg(
+        F.collect_list(F.struct("start_pos", "end_pos")).alias("sp")
+    )
+    t = tokens(F.col(text_col))
+    staged = df.select(F.col(id_col).alias("id"), F.when(F.size(t) >= 0, t).alias("t"))
+    joined = staged.join(sp, "id", "left").withColumn(
+        "sp", F.coalesce("sp", F.array().cast(sp_t))
+    )
+    kept = F.filter(
+        "t",
+        lambda x, i: ~F.exists(
+            "sp",
+            lambda s: (i.cast("long") >= s["start_pos"])
+            & (i.cast("long") <= s["end_pos"] + F.lit(window - 1)),
+        ),
+    )
+    return joined.select(
+        "id",
+        F.size("t").cast("long").alias("n_tokens_before"),
+        F.size(kept).cast("long").alias("n_tokens_after"),
+        F.array_join(kept, " ").alias("cleaned_text"),
     )
 
 

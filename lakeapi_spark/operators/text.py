@@ -265,6 +265,52 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def word_id_export(
+    df: DataFrame, id_col: str, text_col: str, vocab_size: int = 256
+) -> DataFrame:
+    """Tensor-ready id export: build the corpus vocabulary (top
+    ``vocab_size`` tokens by count, rank = id), map every token to its
+    id (-1 = OOV), and emit per doc (id, n_tokens, n_oov, ids_md5) —
+    the md5 of the space-joined ORDERED id sequence stands in for the
+    id array itself (nested columns don't survive the driver's
+    canonicalization; the hash proves the exact sequence). With
+    shuffle_shard + pack_sequences this completes the export chain:
+    text -> ids -> packed context windows -> shards.
+
+    Plan: vocab = one map-side-combined shuffle on token + a
+    single-partition rank over the (Heaps-law-small) vocab relation;
+    id mapping joins the BROADCAST vocab against the posexploded
+    corpus (no corpus shuffle); the per-doc reassembly is the one
+    unavoidable id-keyed aggregate. OOV policy is the standard
+    dataloader contract: ids >= 0 index the embedding table, -1 routes
+    to the UNK embedding."""
+    from pyspark.sql.window import Window
+
+    tl = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("p", "tok")
+    )
+    freq = tl.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        freq.withColumn(
+            "tid",
+            (F.row_number().over(Window.partitionBy().orderBy(F.col("n").desc(), "tok")) - 1).cast("long"),
+        )
+        .filter(F.col("tid") < vocab_size)
+        .select("tok", "tid")
+    )
+    ids = tl.join(F.broadcast(vocab), "tok", "left").select(
+        id_col, "p", F.coalesce("tid", F.lit(-1)).alias("tid")
+    )
+    seq = F.transform(
+        F.array_sort(F.collect_list(F.struct("p", "tid"))), lambda s: s["tid"].cast("string")
+    )
+    return ids.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("tid") == -1, 1).otherwise(0)).alias("n_oov"),
+        F.md5(F.array_join(seq, " ")).alias("ids_md5"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

@@ -4041,9 +4041,7 @@ def dedup_semantic_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_substring_spans",
-    r"""
+_SUBSTRING_SPAN_CTES = r"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
       FROM documents WHERE regexp_matches(text, '\S')
@@ -4058,10 +4056,20 @@ def dedup_semantic_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     isl AS (
       SELECT doc_id, p, p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
       FROM d
+    ),
+    spans AS (
+      SELECT doc_id, MIN(p) AS start_pos, MAX(p) AS end_pos,
+             CAST(COUNT(*) AS BIGINT) AS n_windows
+      FROM isl GROUP BY doc_id, grp
     )
-    SELECT doc_id AS id, MIN(p) AS start_pos, MAX(p) AS end_pos,
-           CAST(COUNT(*) AS BIGINT) AS n_windows
-    FROM isl GROUP BY doc_id, grp
+"""
+
+
+@register(
+    "dedup_substring_spans",
+    _SUBSTRING_SPAN_CTES
+    + """
+    SELECT doc_id AS id, start_pos, end_pos, n_windows FROM spans
     """,
     bench=True,
 )
@@ -4075,6 +4083,123 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return substring_dup_spans(d, "doc_id", "text", window=20)
+
+
+@register(
+    "dedup_substring_cut",
+    _SUBSTRING_SPAN_CTES
+    + """
+    , spl AS (
+      SELECT doc_id, list({'start_pos': start_pos, 'end_pos': end_pos}) AS sp
+      FROM spans GROUP BY doc_id
+    )
+    SELECT doc_id AS id,
+           CAST(len(t) AS BIGINT) AS n_tokens_before,
+           CAST(len(kept) AS BIGINT) AS n_tokens_after,
+           COALESCE(array_to_string(kept, ' '), '') AS cleaned_text
+    FROM (
+      SELECT tk.doc_id, tk.t,
+             list_transform(
+               list_filter(range(0, len(tk.t)),
+                 i -> len(list_filter(
+                        COALESCE(spl.sp, []::STRUCT(start_pos BIGINT, end_pos BIGINT)[]),
+                        s -> i >= s.start_pos AND i <= s.end_pos + 19)) = 0),
+               i -> tk.t[i+1]) AS kept
+      FROM toks tk LEFT JOIN spl ON spl.doc_id = tk.doc_id
+    )
+    """,
+)
+def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second half of substring dedup — APPLY the cut: every token
+    covered by a duplicated span is removed and the text reassembled
+    (detection -> removal, completing the Lee-et-al pipeline). Spans
+    ride back onto their doc row as a collected array, so the cut is a
+    pure per-row expression (F.filter with an index lambda + F.exists
+    over the span array): no extra explode or shuffle."""
+    from lakeapi_spark.operators.dedup import cut_dup_spans
+
+    d = table(spark, sf_dir, "documents").filter(F.col("text").rlike(r"\S"))
+    return cut_dup_spans(d, "doc_id", "text", window=20)
+
+
+@register(
+    "dedup_incremental",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE regexp_matches(text, '\S')
+    ), pos AS (
+      SELECT doc_id, source, t, unnest(range(0, greatest(len(t) - 20 + 1, 0))) AS p FROM toks
+    ), wh AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5(array_to_string(t[p+1 : p+20], ' ')), 1, 15)) AS BIGINT) AS h
+      FROM pos
+    ),
+    corpus AS (SELECT DISTINCT h FROM wh WHERE source <> 'src3'),
+    hits AS (
+      SELECT DISTINCT doc_id FROM wh
+      WHERE source = 'src3' AND h IN (SELECT h FROM corpus)
+    )
+    SELECT d.doc_id AS id, (hits.doc_id IS NOT NULL) AS is_known
+    FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
+    WHERE d.source = 'src3'
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest guard: treat src3 as the incoming batch and
+    every other source as the existing corpus; flag each new doc whose
+    any 20-token substring the corpus already contains. The corpus's
+    distinct window-hash relation is the once-per-version artifact the
+    batch semi-joins against (operators/dedup.incremental_dedup_flags)."""
+    from lakeapi_spark.operators.dedup import incremental_dedup_flags
+
+    d = table(spark, sf_dir, "documents")
+    return incremental_dedup_flags(
+        d.filter(F.col("source") == "src3"),
+        d.filter(F.col("source") != "src3"),
+        "doc_id",
+        "text",
+        window=20,
+    )
+
+
+@register(
+    "tokens_to_ids_export",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE regexp_matches(text, '\S')
+    ), st AS (
+      SELECT doc_id, t, unnest(range(0, len(t))) AS p FROM toks
+    ), tl AS (
+      SELECT doc_id, p, t[p+1] AS tok FROM st
+    ), freq AS (SELECT tok, COUNT(*) AS n FROM tl GROUP BY tok),
+    vocab AS (
+      SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) - 1 AS BIGINT) AS tid
+      FROM freq
+    ),
+    vc AS (SELECT tok, tid FROM vocab WHERE tid < 256),
+    ids AS (
+      SELECT tl.doc_id, tl.p, COALESCE(vc.tid, -1) AS tid
+      FROM tl LEFT JOIN vc USING (tok)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE tid = -1) AS BIGINT) AS n_oov,
+           md5(string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY p)) AS ids_md5
+    FROM ids GROUP BY doc_id
+    """,
+)
+def tokens_to_ids_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tensor-ready id export: corpus-built top-256 vocabulary, tokens
+    mapped to ids (-1 OOV), per-doc ORDERED id sequence proven by md5
+    (nested arrays don't survive the driver canon; the hash pins the
+    exact sequence). Completes the export chain with shuffle_shard and
+    pack_sequences."""
+    from lakeapi_spark.operators.text import word_id_export
+
+    d = table(spark, sf_dir, "documents")
+    return word_id_export(d, "doc_id", "text", vocab_size=256)
 
 
 @register(

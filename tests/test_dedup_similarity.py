@@ -647,3 +647,48 @@ def test_semantic_dedup_kernel_equals_expression(spark, sf_dir):
     assert kern == expr and len(kern) > 0
     for h in handles:
         h.unpersist()
+
+
+def test_cut_dup_spans_removes_shared_run(spark):
+    """The planted shared 12-token run is excised from both docs; the
+    unique prefix/suffix tokens survive; a no-dup doc passes through."""
+    from lakeapi_spark.operators.dedup import cut_dup_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    uniq = lambda p, n: " ".join(f"{p}{i}" for i in range(n))
+    docs = [
+        (1, uniq("a", 7) + " " + shared + " " + uniq("b", 5)),
+        (2, uniq("c", 3) + " " + shared + " " + uniq("d", 9)),
+        (3, uniq("e", 30)),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r.id: (r.n_tokens_before, r.n_tokens_after, r.cleaned_text)
+        for r in cut_dup_spans(df, "doc_id", "text", window=10).collect()
+    }
+    # doc 1: spans cover window starts 7..9 -> tokens 7..18 (the shared
+    # run) removed; 7 prefix + 5 suffix tokens remain
+    assert out[1] == (24, 12, uniq("a", 7) + " " + uniq("b", 5))
+    assert out[2] == (24, 12, uniq("c", 3) + " " + uniq("d", 9))
+    assert out[3] == (30, 30, uniq("e", 30))
+
+
+def test_incremental_dedup_flags_known_content(spark):
+    """A new doc repeating a corpus substring is flagged; a novel doc
+    is not; flags are independent of partitioning."""
+    from lakeapi_spark.operators.dedup import incremental_dedup_flags
+
+    boiler = " ".join(f"w{i}" for i in range(15))
+    corpus = spark.createDataFrame(
+        [(1, "x0 x1 " + boiler + " x2"), (2, " ".join(f"y{i}" for i in range(25)))],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(10, "z0 " + boiler + " z1 z2"), (11, " ".join(f"q{i}" for i in range(25)))],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.id: r.is_known
+        for r in incremental_dedup_flags(new, corpus, "doc_id", "text", window=10).collect()
+    }
+    assert out == {10: True, 11: False}

@@ -598,3 +598,22 @@ def test_quota_sample_caps_and_reproduces(spark):
 
     with _pytest.raises(ValueError):
         quota_sample(df, "k", "g", 0)
+
+
+def test_word_id_export_known_ids(spark):
+    """Hand-checked vocabulary ranking and id sequence: counts a:3 b:2
+    c:1 -> ids a=0 b=1 c=2; vocab_size=2 makes c OOV (-1)."""
+    import hashlib
+
+    from lakeapi_spark.operators.text import word_id_export
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "c b A")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.ids_md5)
+        for r in word_id_export(df, "doc_id", "text", vocab_size=2).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[1] == (3, 0, md5("0 1 0"))
+    assert out[2] == (3, 1, md5("-1 1 0"))
