@@ -692,3 +692,75 @@ def test_incremental_dedup_flags_known_content(spark):
         for r in incremental_dedup_flags(new, corpus, "doc_id", "text", window=10).collect()
     }
     assert out == {10: True, 11: False}
+
+
+# --- hypothesis differential: substring spans vs a naive Python twin --------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_DOCS_STRATEGY = st.lists(
+    st.lists(st.sampled_from(["a", "b"]), min_size=0, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _naive_spans(docs, W):
+    """Pure-Python reference: windows counted corpus-wide, duplicated
+    positions merged into maximal runs."""
+    from collections import Counter
+
+    cnt = Counter()
+    for _, toks in docs:
+        for p in range(max(len(toks) - W + 1, 0)):
+            cnt[tuple(toks[p : p + W])] += 1
+    spans = {}
+    for did, toks in docs:
+        ps = [
+            p
+            for p in range(max(len(toks) - W + 1, 0))
+            if cnt[tuple(toks[p : p + W])] > 1
+        ]
+        runs = []
+        for p in ps:
+            if runs and p == runs[-1][1] + 1:
+                runs[-1] = (runs[-1][0], p)
+            else:
+                runs.append((p, p))
+        spans[did] = runs
+    return spans
+
+
+@given(_DOCS_STRATEGY)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_substring_spans_match_naive(spark, token_docs):
+    """Differential: the distributed span detection and cut must agree
+    with the naive corpus-wide Python computation on tiny adversarial
+    corpora (2-token vocab forces heavy window collisions)."""
+    from lakeapi_spark.operators.dedup import cut_dup_spans, substring_dup_spans
+
+    W = 3
+    docs = [(i, toks) for i, toks in enumerate(token_docs)]
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs], "doc_id long, text string"
+    )
+    expect = _naive_spans(docs, W)
+    got = {}
+    for r in substring_dup_spans(df, "doc_id", "text", window=W).collect():
+        got.setdefault(r.id, []).append((r.start_pos, r.end_pos))
+    for did in got:
+        got[did].sort()
+    assert got == {d: v for d, v in expect.items() if v}
+
+    # cut consistency: tokens removed == union of covered positions
+    cut = {
+        r.id: (r.n_tokens_before, r.n_tokens_after)
+        for r in cut_dup_spans(df, "doc_id", "text", window=W).collect()
+    }
+    for did, toks in docs:
+        covered = set()
+        for s_, e_ in expect[did]:
+            covered.update(range(s_, e_ + W))
+        nb, na = cut[did]
+        assert nb == len(toks) and na == len(toks) - len(covered)
