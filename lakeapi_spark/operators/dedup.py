@@ -698,6 +698,7 @@ def _semantic_assignments(
     centroid_ids: list[int] | None,
     n_centroids: int | None = None,
     use_kernel: bool = True,
+    n_probe: int = 1,
 ) -> DataFrame:
     """(id, v, nrm, cid): every embedding routed to its nearest
     centroid by cosine — one codegen pass over centroid literals, zero
@@ -718,12 +719,14 @@ def _semantic_assignments(
     )
 
     if use_kernel:
-        return _semantic_assignments_kernel(emb, id_col, vec_col, centroid_ids, n_centroids)
+        return _semantic_assignments_kernel(
+            emb, id_col, vec_col, centroid_ids, n_centroids, n_probe
+        )
     if centroid_ids is not None:
         cents = seeded_centroids(emb, id_col, vec_col, centroid_ids)
 
         def near(v, nrm):
-            return _nearest_seeded(v, nrm, cents, 1)[0]
+            return _nearest_seeded(v, nrm, cents, n_probe)
 
     else:
         import math as _math
@@ -732,16 +735,19 @@ def _semantic_assignments(
         fitted = ivf_fit_centroids(emb, vec_col, k)
 
         def near(v, nrm):
-            return _nearest_centroids(v, fitted, 1)[0]
+            return _nearest_centroids(v, fitted, n_probe)
 
-    return (
-        fan_out(emb)
-        .select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            norm(F.col(vec_col)).alias("nrm"),
+    staged = fan_out(emb).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),
+    )
+    if n_probe == 1:
+        return staged.select(
+            "id", "v", "nrm", near(F.col("v"), F.col("nrm"))[0].alias("cid")
         )
-        .select("id", "v", "nrm", near(F.col("v"), F.col("nrm")).alias("cid"))
+    return staged.select(
+        "id", "v", "nrm", F.explode(near(F.col("v"), F.col("nrm"))).alias("cid")
     )
 
 
@@ -751,6 +757,7 @@ def _semantic_assignments_kernel(
     vec_col: str,
     centroid_ids: list[int] | None,
     n_centroids: int | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Arrow-batched twin of the expression assignment (same pattern as
     the minhash bucket kernel and similarity.numpy_topk): one BLAS
@@ -801,12 +808,27 @@ def _semantic_assignments_kernel(
                 score = np.round((V @ cents_mat.T) / np.outer(nrm, cnorms), 4)
             else:
                 score = V @ cents_mat.T
+            if n_probe == 1:
+                yield pd.DataFrame(
+                    {
+                        "id": pdf[id_col].to_numpy(),
+                        "cid": score.argmax(axis=1).astype("int32"),
+                        "nrm": nrm,
+                        "v": pdf[vec_col],
+                    }
+                )
+                continue
+            # top-n_probe clusters per row: stable argsort of -score, so
+            # ties resolve to the LOWER cid — the (negcos, cid) sort
+            # order of the expression twin
+            top = np.argsort(-score, axis=1, kind="stable")[:, :n_probe]
+            ids = np.repeat(pdf[id_col].to_numpy(), n_probe)
             yield pd.DataFrame(
                 {
-                    "id": pdf[id_col].to_numpy(),
-                    "cid": score.argmax(axis=1).astype("int32"),
-                    "nrm": nrm,
-                    "v": pdf[vec_col],
+                    "id": ids,
+                    "cid": top.reshape(-1).astype("int32"),
+                    "nrm": np.repeat(nrm, n_probe),
+                    "v": pdf[vec_col].repeat(n_probe).reset_index(drop=True),
                 }
             )
 
@@ -881,6 +903,30 @@ def semantic_dedup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("cid", "id_a", "id_b", "cos_sim")
     )
+
+
+def semantic_dedup_pairs_multiprobe(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_ids: list[int] | None,
+    threshold: float,
+    n_probe: int = 2,
+    n_centroids: int | None = None,
+) -> DataFrame:
+    """The boundary-recall dial for semantic dedup: every vector joins
+    its ``n_probe`` nearest clusters (not just the nearest), so a
+    near-dup pair split across a cluster boundary is still co-bucketed
+    whenever the two share ANY of their probed clusters — the same
+    recall lever IVF search calls n_probe. Pair volume grows ~n_probe²
+    per cluster in the worst case; pairs found in two shared clusters
+    collapse with one distinct over the (small, post-threshold) pair
+    set. Returns (id_a, id_b, cos_sim)."""
+    assigned = _semantic_assignments(
+        emb, id_col, vec_col, centroid_ids, n_centroids, n_probe=n_probe
+    )
+    pairs = _semantic_pairs_kernel(assigned, threshold)
+    return pairs.select("id_a", "id_b", "cos_sim").distinct()
 
 
 def _semantic_pairs_kernel(assigned: DataFrame, threshold: float) -> DataFrame:

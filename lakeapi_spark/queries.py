@@ -4015,6 +4015,34 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_semantic_multiprobe",
+    _semantic_oracle_ctes(_IVF_CENTROID_IDS).replace(
+        ", pr AS (\n      SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b\n      FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id\n    )",
+        ", probe2 AS (SELECT vec_id, cid FROM ranked WHERE rn <= 2)\n"
+        "    , pr AS (\n"
+        "      SELECT DISTINCT a.cid, a.vec_id AS id_a, b.vec_id AS id_b\n"
+        "      FROM probe2 a JOIN probe2 b ON a.cid = b.cid AND a.vec_id < b.vec_id\n"
+        "    )",
+    )
+    + f"""
+    SELECT DISTINCT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= {_SEMANTIC_THRESHOLD}
+    """,
+)
+def dedup_semantic_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup with the n_probe=2 boundary-recall dial: vectors
+    join their TWO nearest clusters, so near-dup pairs straddling a
+    cluster boundary are co-bucketed whenever the members share either
+    probed cluster; duplicated pair findings collapse with one distinct
+    over the post-threshold set."""
+    from lakeapi_spark.operators.dedup import semantic_dedup_pairs_multiprobe
+
+    e = table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs_multiprobe(
+        e, "vec_id", "embedding", _IVF_CENTROID_IDS, _SEMANTIC_THRESHOLD, n_probe=2
+    )
+
+
+@register(
     "dedup_semantic_summary",
     _semantic_oracle_ctes(_IVF_CENTROID_IDS)
     + f"""

@@ -764,3 +764,27 @@ def test_substring_spans_match_naive(spark, token_docs):
             covered.update(range(s_, e_ + W))
         nb, na = cut[did]
         assert nb == len(toks) and na == len(toks) - len(covered)
+
+
+def test_semantic_multiprobe_superset_of_single_probe(spark, sf_dir):
+    """n_probe=2 can only ADD pairs relative to n_probe=1 (boundary
+    pairs sharing a second-nearest cluster), never lose one; every pair
+    still meets the threshold."""
+    from lakeapi_spark.operators.dedup import (
+        semantic_dedup_pairs,
+        semantic_dedup_pairs_multiprobe,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ids = list(range(5, 21))
+    single = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_pairs(emb, "vec_id", "embedding", ids, 0.38).collect()
+    }
+    multi_rows = semantic_dedup_pairs_multiprobe(
+        emb, "vec_id", "embedding", ids, 0.38, n_probe=2
+    ).collect()
+    multi = {(r.id_a, r.id_b) for r in multi_rows}
+    assert single <= multi
+    assert all(r.cos_sim >= 0.38 for r in multi_rows)
+    assert len(multi_rows) == len(multi)  # distinct collapsed shared-cluster finds
