@@ -558,12 +558,23 @@ def _window_hashes(
     )
 
 
+def corpus_window_hashes(
+    corpus: DataFrame, id_col: str, text_col: str, window: int = 20
+) -> DataFrame:
+    """The existing corpus's DISTINCT window-hash relation — the
+    once-per-corpus-version artifact every ingest batch (or micro-batch,
+    see streaming.ingest_guard_sink) semi-joins against. Persist it or
+    land it next to the table like the BM25 index."""
+    return _window_hashes(corpus, id_col, text_col, window).select("h").distinct()
+
+
 def incremental_dedup_flags(
     new: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     id_col: str,
     text_col: str,
     window: int = 20,
+    corpus_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental-ingest contamination guard: flag each INCOMING doc
     whose any ``window``-token substring already occurs in the EXISTING
@@ -580,9 +591,16 @@ def incremental_dedup_flags(
     This is the batch-incremental twin of streaming
     ``dropDuplicatesWithinWatermark`` (which bounds state by TIME; this
     bounds nothing — the corpus hash set IS the state, stored not
-    streamed)."""
+    streamed). Pass a precomputed ``corpus_hashes`` relation
+    (:func:`corpus_window_hashes`) to skip re-hashing the corpus —
+    mandatory in per-micro-batch use."""
     nh = _window_hashes(new, id_col, text_col, window)
-    ch = _window_hashes(corpus, id_col, text_col, window).select("h").distinct()
+    if corpus_hashes is not None:
+        ch = corpus_hashes
+    else:
+        if corpus is None:
+            raise ValueError("need corpus or corpus_hashes")
+        ch = corpus_window_hashes(corpus, id_col, text_col, window)
     hits = (
         nh.join(ch, "h", "left_semi")
         .select("id")

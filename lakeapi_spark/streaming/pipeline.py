@@ -219,3 +219,33 @@ def run_available_now(
     )
     q.awaitTermination(timeout_s)
     return q
+
+
+def ingest_guard_sink(
+    corpus_hashes: DataFrame, id_col: str, text_col: str, window: int = 20
+):
+    """foreachBatch ingest guard — the streaming face of
+    operators.dedup.incremental_dedup_flags: every micro-batch of
+    incoming documents is flagged against the STATIC corpus window-hash
+    relation (built once per corpus version with
+    dedup.corpus_window_hashes, persisted — it is the state, stored not
+    streamed), and the (id, is_known) verdicts land in an in-memory
+    batch list the caller drains into its real sink.
+
+    Reusing the batch operator inside foreachBatch is the standard
+    "per-micro-batch batch job" pattern: the guard's decision is per
+    batch anyway (admit/quarantine), there is no cross-batch state to
+    manage beyond the static relation, and batch/stream semantics agree
+    BY CONSTRUCTION (asserted in tests/test_streaming.py)."""
+    from lakeapi_spark.operators.dedup import incremental_dedup_flags
+
+    results: list = []
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        flags = incremental_dedup_flags(
+            batch_df, None, id_col, text_col, window=window,
+            corpus_hashes=corpus_hashes,
+        )
+        results.extend((r.id, r.is_known, batch_id) for r in flags.collect())
+
+    return write, results

@@ -394,3 +394,62 @@ def test_stream_aggregation_into_delta_sink(spark, sf_dir, tmp_path):
         for r in final.collect()
     }
     assert got_map == want
+
+
+def test_stream_ingest_guard_matches_batch(spark, tmp_path):
+    """Per-micro-batch ingest guard: streaming the new docs one file
+    per trigger through foreachBatch produces exactly the batch
+    operator's flags (content-known docs flagged, novel docs clean)."""
+    import os
+
+    from lakeapi_spark.operators.dedup import (
+        corpus_window_hashes,
+        incremental_dedup_flags,
+    )
+    from lakeapi_spark.streaming.pipeline import ingest_guard_sink
+
+    boiler = " ".join(f"w{i}" for i in range(15))
+    corpus = spark.createDataFrame(
+        [(1, "x0 x1 " + boiler + " x2"), (2, " ".join(f"y{i}" for i in range(25)))],
+        ["doc_id", "text"],
+    )
+    ch = corpus_window_hashes(corpus, "doc_id", "text", window=10).persist()
+    try:
+        new_rows = [
+            (10, "z0 " + boiler + " z1 z2"),
+            (11, " ".join(f"q{i}" for i in range(25))),
+            (12, boiler + " tail0 tail1"),
+        ]
+        src = str(tmp_path / "guard_src")
+        os.makedirs(src)
+        for i, row in enumerate(new_rows):
+            spark.createDataFrame([row], "doc_id long, text string").coalesce(
+                1
+            ).write.parquet(f"{src}/f{i}")
+
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src + "/*")
+        write, results = ingest_guard_sink(ch, "doc_id", "text", window=10)
+        q = (
+            stream.writeStream.foreachBatch(write)
+            .option("checkpointLocation", str(tmp_path / "guard_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = {(doc_id, known) for doc_id, known, _ in results}
+        expect = {
+            (r.id, r.is_known)
+            for r in incremental_dedup_flags(
+                spark.createDataFrame(new_rows, "doc_id long, text string"),
+                corpus,
+                "doc_id",
+                "text",
+                window=10,
+            ).collect()
+        }
+        assert got == expect == {(10, True), (11, False), (12, True)}
+    finally:
+        ch.unpersist()
