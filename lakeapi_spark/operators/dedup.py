@@ -568,6 +568,28 @@ def corpus_window_hashes(
     return _window_hashes(corpus, id_col, text_col, window).select("h").distinct()
 
 
+#: (identity, version) -> persisted corpus-hash relation; version from
+#: the table's modified date, mirroring the BM25 index cache — a new
+#: corpus version evicts + unpersists the stale entry.
+_CORPUS_HASH_CACHE: dict[tuple, DataFrame] = {}
+
+
+def corpus_hashes_for(
+    corpus: DataFrame, id_col: str, text_col: str, key: tuple, window: int = 20
+) -> DataFrame:
+    """Memoized, persisted :func:`corpus_window_hashes` keyed by
+    ``(identity, version)`` — the ingest guard's per-corpus-version
+    artifact, built once and reused across batches/micro-batches
+    (the operational twin of search.bm25_index_for)."""
+    ch = _CORPUS_HASH_CACHE.get(key)
+    if ch is None:
+        for stale in [k for k in _CORPUS_HASH_CACHE if k[0] == key[0]]:
+            _CORPUS_HASH_CACHE.pop(stale).unpersist()
+        ch = corpus_window_hashes(corpus, id_col, text_col, window).persist()
+        _CORPUS_HASH_CACHE[key] = ch
+    return ch
+
+
 def incremental_dedup_flags(
     new: DataFrame,
     corpus: DataFrame | None,

@@ -788,3 +788,24 @@ def test_semantic_multiprobe_superset_of_single_probe(spark, sf_dir):
     assert single <= multi
     assert all(r.cos_sim >= 0.38 for r in multi_rows)
     assert len(multi_rows) == len(multi)  # distinct collapsed shared-cluster finds
+
+
+def test_corpus_hashes_cache_keyed_by_version(spark):
+    """Same (identity, version) reuses the persisted relation; a new
+    version evicts and unpersists the stale one (the BM25-index cache
+    contract applied to the ingest-guard artifact)."""
+    from lakeapi_spark.operators.dedup import _CORPUS_HASH_CACHE, corpus_hashes_for
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(15)))], ["doc_id", "text"]
+    )
+    try:
+        a = corpus_hashes_for(df, "doc_id", "text", ("tbl", 1), window=10)
+        b = corpus_hashes_for(df, "doc_id", "text", ("tbl", 1), window=10)
+        assert a is b
+        c = corpus_hashes_for(df, "doc_id", "text", ("tbl", 2), window=10)
+        assert c is not a and ("tbl", 1) not in _CORPUS_HASH_CACHE
+        assert c.count() == 6  # 15 tokens -> 6 window starts
+    finally:
+        for k in [k for k in _CORPUS_HASH_CACHE if k[0] == "tbl"]:
+            _CORPUS_HASH_CACHE.pop(k).unpersist()
