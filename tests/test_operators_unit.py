@@ -617,3 +617,43 @@ def test_word_id_export_known_ids(spark):
     md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
     assert out[1] == (3, 0, md5("0 1 0"))
     assert out[2] == (3, 1, md5("-1 1 0"))
+
+
+def test_full_pipeline_chain_composes(spark, sf_dir):
+    """End-to-end composition smoke: curation verdicts -> keep set ->
+    per-language quota -> deterministic shuffle+shard -> sequence
+    packing. Invariants: each stage only narrows or preserves the doc
+    set; the final layout is bit-identical across two runs (the whole
+    chain is a pure function of the data)."""
+    from lakeapi_spark.catalog import table
+    from lakeapi_spark.operators.packing import pack_sequences
+    from lakeapi_spark.operators.sampling import quota_sample, shuffle_shard
+    from lakeapi_spark.queries import QUERIES
+
+    def run():
+        verdicts = QUERIES["curation_verdicts"].build(spark, sf_dir)
+        kept_ids = verdicts.filter(F.col("keep")).select("doc_id")
+        docs = table(spark, sf_dir, "documents").join(kept_ids, "doc_id")
+        quota = quota_sample(docs, "doc_id", "lang", quota=40)
+        shards = shuffle_shard(quota, "doc_id", n_shards=4, seed=7)
+        packed = pack_sequences(quota, "doc_id", "text", seq_len=128, n_shards=4)
+        return (
+            {r.doc_id for r in kept_ids.collect()},
+            {(r.doc_id, r.lang) for r in quota.collect()},
+            sorted((r.doc_id, r.shard, r.shard_pos) for r in shards.collect()),
+            sorted((r.id, r.shard, r.seq_index, r.seq_offset) for r in packed.collect()),
+        )
+
+    kept, quota, shards, packed = run()
+    assert 0 < len(quota) <= len(kept)
+    assert {d for d, _ in quota} <= kept          # quota only narrows
+    assert {d for d, _, _ in shards} == {d for d, _ in quota}
+    assert {d for d, _, _, _ in packed} == {d for d, _ in quota}
+    # per-lang cap honored
+    by_lang = {}
+    for _, lang in quota:
+        by_lang[lang] = by_lang.get(lang, 0) + 1
+    assert max(by_lang.values()) <= 40
+    # full determinism of the chain
+    kept2, quota2, shards2, packed2 = run()
+    assert (kept, quota, shards, packed) == (kept2, quota2, shards2, packed2)
