@@ -22,15 +22,23 @@ Layout
     - ``joins``              as-of join (union + running-last window),
                              binned interval join
     - ``skew``               skew-safe exact distinct counting
-    - ``sampling``           stable hash sampling / train-eval splits
-    - ``dedup``              exact/minhash/simhash/jaccard/embedding dedup
+    - ``sampling``           stable hash sampling / train-eval splits,
+                             mixture reweighting, quota caps,
+                             shuffle+shard training export
+    - ``dedup``              exact/minhash/simhash/jaccard/embedding,
+                             SemDeDup semantic (Arrow kernels, n_probe),
+                             substring spans + cut, incremental ingest
+                             guard, connected components
     - ``similarity``         brute-force + LSH + IVF ANN over embeddings
     - ``text``               lang-id, quality, repetition metrics,
+                             corpus-unigram logprob, word-id export,
                              tokens (ws + BPE-ish), chunking,
                              md5 + rolling-hash fingerprints
     - ``multimodal``         binary-column plumbing + JVM-side
-                             PNG/WAV header decode
+                             PNG/WAV/JPEG header decode
     - ``windows``            event-time windowed aggregation (batch form)
+    - ``packing``            deterministic context-window packing
+    - ``contamination``      benchmark n-gram overlap sweep
     - ``scale``              fan-out guard for narrow CPU-bound scans
 - ``sql``          validated SQL endpoint -> spark.sql (§2.8, §3.2)
 - ``metadata``     schema tree / partition values / str-lengths (§2.15)
