@@ -568,9 +568,10 @@ def corpus_window_hashes(
     return _window_hashes(corpus, id_col, text_col, window).select("h").distinct()
 
 
-#: (identity, version) -> persisted corpus-hash relation; version from
-#: the table's modified date, mirroring the BM25 index cache — a new
-#: corpus version evicts + unpersists the stale entry.
+#: (identity, version, build-params) -> persisted corpus-hash relation;
+#: version from the table's modified date. Build params (columns,
+#: window) are part of the key: a window-10 hash set answering a
+#: window-20 lookup would silently admit contaminated docs.
 _CORPUS_HASH_CACHE: dict[tuple, DataFrame] = {}
 
 
@@ -578,16 +579,22 @@ def corpus_hashes_for(
     corpus: DataFrame, id_col: str, text_col: str, key: tuple, window: int = 20
 ) -> DataFrame:
     """Memoized, persisted :func:`corpus_window_hashes` keyed by
-    ``(identity, version)`` — the ingest guard's per-corpus-version
-    artifact, built once and reused across batches/micro-batches
-    (the operational twin of search.bm25_index_for)."""
-    ch = _CORPUS_HASH_CACHE.get(key)
-    if ch is None:
-        for stale in [k for k in _CORPUS_HASH_CACHE if k[0] == key[0]]:
-            _CORPUS_HASH_CACHE.pop(stale).unpersist()
-        ch = corpus_window_hashes(corpus, id_col, text_col, window).persist()
-        _CORPUS_HASH_CACHE[key] = ch
-    return ch
+    ``(identity, version)`` PLUS the build parameters — the ingest
+    guard's per-corpus-version artifact, built once and reused across
+    batches/micro-batches (the operational twin of
+    search.bm25_index_for, via the shared artifacts.versioned_artifact
+    cache contract)."""
+    from lakeapi_spark.artifacts import versioned_artifact
+
+    identity, version = key
+    return versioned_artifact(
+        _CORPUS_HASH_CACHE,
+        identity,
+        version,
+        (id_col, text_col, window),
+        lambda: corpus_window_hashes(corpus, id_col, text_col, window).persist(),
+        lambda df: df.unpersist(),
+    )
 
 
 def incremental_dedup_flags(
@@ -731,6 +738,26 @@ def cut_dup_spans(
 # --- Semantic dedup (cluster-then-compare) -----------------------------------
 
 
+def _auto_quantizer(emb: DataFrame, vec_col: str, n_centroids: int | None):
+    """k-means coarse quantizer with k defaulting to ceil(sqrt(n)) —
+    the rule that keeps per-cluster pair volume linear in the corpus.
+    k is clamped to the corpus size and the k-means driver sample is
+    grown with k (2k rows, min 2048): the fixed default sample would
+    make rng.choice raise once sqrt(n) passes 2048 (~4.2M embeddings),
+    i.e. exactly at the scale the auto rule targets. Driver memory
+    stays bounded at O(k * dim) doubles."""
+    import math as _math
+
+    from lakeapi_spark.operators.similarity import ivf_fit_centroids
+
+    n = emb.count()
+    if n == 0:
+        raise ValueError("semantic dedup needs a non-empty embeddings relation")
+    k = n_centroids or max(2, _math.isqrt(n - 1) + 1)
+    k = min(k, n)
+    return ivf_fit_centroids(emb, vec_col, k, sample_rows=max(2048, 2 * k))
+
+
 def _semantic_assignments(
     emb: DataFrame,
     id_col: str,
@@ -753,7 +780,6 @@ def _semantic_assignments(
     from lakeapi_spark.operators.similarity import (
         _nearest_centroids,
         _nearest_seeded,
-        ivf_fit_centroids,
         norm,
         seeded_centroids,
     )
@@ -769,10 +795,7 @@ def _semantic_assignments(
             return _nearest_seeded(v, nrm, cents, n_probe)
 
     else:
-        import math as _math
-
-        k = n_centroids or max(2, _math.isqrt(emb.count() - 1) + 1)
-        fitted = ivf_fit_centroids(emb, vec_col, k)
+        fitted = _auto_quantizer(emb, vec_col, n_centroids)
 
         def near(v, nrm):
             return _nearest_centroids(v, fitted, n_probe)
@@ -818,7 +841,7 @@ def _semantic_assignments_kernel(
     import numpy as np
     import pandas as pd  # noqa: F401  (executors re-import in the worker)
 
-    from lakeapi_spark.operators.similarity import ivf_fit_centroids, seeded_centroids
+    from lakeapi_spark.operators.similarity import seeded_centroids
 
     if centroid_ids is not None:
         seeded = seeded_centroids(emb, id_col, vec_col, centroid_ids)
@@ -826,10 +849,7 @@ def _semantic_assignments_kernel(
         cnorms = np.array([cn for _, cn in seeded], dtype=np.float64)
         rounded = True
     else:
-        import math as _math
-
-        k = n_centroids or max(2, _math.isqrt(emb.count() - 1) + 1)
-        fitted = ivf_fit_centroids(emb, vec_col, k)
+        fitted = _auto_quantizer(emb, vec_col, n_centroids)
         cents_mat = fitted / np.maximum(
             np.linalg.norm(fitted, axis=1, keepdims=True), 1e-12
         )

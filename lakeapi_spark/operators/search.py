@@ -264,15 +264,20 @@ _BM25_CACHE: dict[tuple, Bm25Index] = {}
 def bm25_index_for(
     df: DataFrame, id_col: str, text_col: str, key: tuple
 ) -> Bm25Index:
-    """Memoized index: ``key = (identity, version)``. A new version of the
-    same identity evicts + unpersists the stale entry."""
-    idx = _BM25_CACHE.get(key)
-    if idx is None:
-        for stale in [k for k in _BM25_CACHE if k[0] == key[0]]:
-            _BM25_CACHE.pop(stale).unpersist()
-        idx = build_bm25_index(df, id_col, text_col)
-        _BM25_CACHE[key] = idx
-    return idx
+    """Memoized index: ``key = (identity, version)`` plus the build
+    columns. A new version of the same identity evicts + unpersists the
+    stale entry (shared artifacts.versioned_artifact contract)."""
+    from lakeapi_spark.artifacts import versioned_artifact
+
+    identity, version = key
+    return versioned_artifact(
+        _BM25_CACHE,
+        identity,
+        version,
+        (id_col, text_col),
+        lambda: build_bm25_index(df, id_col, text_col),
+        lambda idx: idx.unpersist(),
+    )
 
 
 def save_bm25_index(index: Bm25Index, path: str) -> None:
@@ -328,9 +333,14 @@ def hybrid_search(
     MATCHING set only — at web scale you'd swap in a block-max WAND
     top-N, but the interface (small candidate relation out) is the
     same. Stage 2 touches ``n_candidates`` embedding rows via one
-    equi-join on the id — never a corpus-wide vector scan; the query
-    vector ships as a literal. All scores round to 4 so a SQL oracle
-    re-derives the exact ranking."""
+    LEFT equi-join on the id — never a corpus-wide vector scan; the
+    query vector ships as a literal. A candidate with NO embedding row
+    (lazily-backfilled vector stores are normal) is NOT dropped: it
+    keeps its lexical score with ``cos_sim`` null and a dense
+    contribution of 0 — silently losing the best lexical hit because
+    its vector hasn't landed yet would be a wrong ranking, not a
+    degraded one. All scores round to 4 so a SQL oracle re-derives the
+    exact ranking."""
     from pyspark.sql.window import Window
 
     from lakeapi_spark.operators.similarity import dot, norm
@@ -355,13 +365,14 @@ def hybrid_search(
     )
     cos = F.round(dot(F.col("__v"), qlit) / (F.col("__n") * F.lit(qnorm)), 4)
     hybrid = F.round(
-        F.lit(alpha) * F.col("bm25_score") / F.col("__mx") + F.lit(1 - alpha) * F.col("cos_sim"),
+        F.lit(alpha) * F.col("bm25_score") / F.col("__mx")
+        + F.lit(1 - alpha) * F.coalesce("cos_sim", F.lit(0.0)),
         4,
     )
     w_final = Window.orderBy(F.col("hybrid_score").desc(), F.col("__id"))
     return (
-        cand.join(e, "__id")
-        .withColumn("cos_sim", cos)
+        cand.join(e, "__id", "left")
+        .withColumn("cos_sim", F.when(F.col("__v").isNotNull(), cos))
         .withColumn("hybrid_score", hybrid)
         .withColumn("rank", F.row_number().over(w_final).cast("long"))
         .filter(F.col("rank") <= k)

@@ -799,12 +799,15 @@ def search_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT c.doc_id, c.bm25_score,
-             ROUND(dt.d / (en.nrm * qn.nrm), 4) AS cos_sim,
+             CASE WHEN en.vec_id IS NOT NULL
+                  THEN ROUND(dt.d / (en.nrm * qn.nrm), 4) END AS cos_sim,
              ROUND(0.5 * c.bm25_score / c.mx
-                   + 0.5 * ROUND(dt.d / (en.nrm * qn.nrm), 4), 4) AS hybrid_score
+                   + 0.5 * COALESCE(CASE WHEN en.vec_id IS NOT NULL
+                                         THEN ROUND(dt.d / (en.nrm * qn.nrm), 4) END,
+                                    0), 4) AS hybrid_score
       FROM cand2 c
-      JOIN dt ON dt.doc_id = c.doc_id
-      JOIN en ON en.vec_id = c.doc_id
+      LEFT JOIN dt ON dt.doc_id = c.doc_id
+      LEFT JOIN en ON en.vec_id = c.doc_id
       CROSS JOIN qn
     )
     SELECT doc_id AS id, bm25_score, cos_sim, hybrid_score,

@@ -236,16 +236,25 @@ def ingest_guard_sink(
     "per-micro-batch batch job" pattern: the guard's decision is per
     batch anyway (admit/quarantine), there is no cross-batch state to
     manage beyond the static relation, and batch/stream semantics agree
-    BY CONSTRUCTION (asserted in tests/test_streaming.py)."""
+    BY CONSTRUCTION (asserted in tests/test_streaming.py).
+
+    Verdicts land keyed BY BATCH ID, so foreachBatch's at-least-once
+    redelivery OVERWRITES its own entry instead of appending duplicates
+    — the same idempotence rule as parquet_batch_sink. The in-memory
+    dict is the demo/test sink: it grows with the stream, so a
+    production job replaces the assignment in ``write`` with a real
+    per-batch write (delta partition overwrite on ``_batch_id``, or
+    routing admitted/quarantined rows to their tables) and keeps
+    everything else."""
     from lakeapi_spark.operators.dedup import incremental_dedup_flags
 
-    results: list = []
+    results: dict[int, list] = {}
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         flags = incremental_dedup_flags(
             batch_df, None, id_col, text_col, window=window,
             corpus_hashes=corpus_hashes,
         )
-        results.extend((r.id, r.is_known, batch_id) for r in flags.collect())
+        results[batch_id] = [(r.id, r.is_known) for r in flags.collect()]
 
     return write, results

@@ -803,9 +803,40 @@ def test_corpus_hashes_cache_keyed_by_version(spark):
         a = corpus_hashes_for(df, "doc_id", "text", ("tbl", 1), window=10)
         b = corpus_hashes_for(df, "doc_id", "text", ("tbl", 1), window=10)
         assert a is b
+        # different WINDOW at the same version is a different artifact,
+        # not a cache hit (a window-10 set must not answer window-20)
+        w20 = corpus_hashes_for(df, "doc_id", "text", ("tbl", 1), window=20)
+        assert w20 is not a
         c = corpus_hashes_for(df, "doc_id", "text", ("tbl", 2), window=10)
-        assert c is not a and ("tbl", 1) not in _CORPUS_HASH_CACHE
+        assert c is not a
+        assert not any(
+            k[0] == "tbl" and k[1] == 1 for k in _CORPUS_HASH_CACHE
+        )  # stale version evicted (both window variants)
         assert c.count() == 6  # 15 tokens -> 6 window starts
     finally:
         for k in [k for k in _CORPUS_HASH_CACHE if k[0] == "tbl"]:
             _CORPUS_HASH_CACHE.pop(k).unpersist()
+
+
+def test_semantic_autoscale_clamps_and_rejects_empty(spark):
+    """n_centroids beyond the corpus size is clamped (pre-fix this
+    crashed rng.choice once k outgrew the k-means driver sample — the
+    exact regime the sqrt(n) auto rule targets); an empty corpus fails
+    loudly instead of isqrt(-1)."""
+    import random as _random
+
+    from lakeapi_spark.operators.dedup import semantic_dedup_pairs
+
+    rng = _random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(10)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    out = semantic_dedup_pairs(
+        emb, "vec_id", "embedding", None, 0.99, n_centroids=50
+    )
+    assert out.count() >= 0  # runs; k clamped to corpus size
+
+    empty = emb.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="non-empty"):
+        semantic_dedup_pairs(empty, "vec_id", "embedding", None, 0.99).count()

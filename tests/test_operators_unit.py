@@ -211,7 +211,9 @@ def test_bm25_cache_keyed_by_version(spark):
         assert bm25_index_for(df, "id", "t", key=("tbl", 100)) is i1  # memoized
         i2 = bm25_index_for(df, "id", "t", key=("tbl", 200))  # new version
         assert i2 is not i1
-        assert ("tbl", 100) not in _BM25_CACHE  # stale evicted
+        assert not any(
+            k[0] == "tbl" and k[1] == 100 for k in _BM25_CACHE
+        )  # stale version evicted
     finally:
         for k in [k for k in _BM25_CACHE if k[0] == "tbl"]:
             _BM25_CACHE.pop(k).unpersist()
@@ -657,3 +659,32 @@ def test_full_pipeline_chain_composes(spark, sf_dir):
     # full determinism of the chain
     kept2, quota2, shards2, packed2 = run()
     assert (kept, quota, shards, packed) == (kept2, quota2, shards2, packed2)
+
+
+def test_hybrid_search_keeps_candidates_without_embeddings(spark):
+    """A BM25 candidate with no embedding row must stay in the ranking
+    (cos_sim null, dense contribution 0) — dropping the best lexical
+    hit because its vector hasn't been backfilled yet would be a wrong
+    ranking, not a degraded one."""
+    from lakeapi_spark.operators.search import build_bm25_index, hybrid_search
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark"), (2, "spark window"), (3, "unrelated words")],
+        ["id", "t"],
+    )
+    # doc 1 (the strongest lexical hit) has NO embedding row
+    emb = spark.createDataFrame(
+        [(2, [1.0, 0.0]), (3, [0.0, 1.0])], ["id", "embedding"]
+    ).select("id", F.col("embedding").cast("array<float>").alias("embedding"))
+    idx = build_bm25_index(docs, "id", "t")
+    try:
+        out = {
+            r.id: (r.cos_sim, r.hybrid_score)
+            for r in hybrid_search(
+                idx, emb, "id", "embedding", "spark window", [1.0, 0.0], k=10
+            ).collect()
+        }
+        assert 1 in out and out[1][0] is None and out[1][1] > 0
+        assert out[2][0] == 1.0  # present embedding still scores dense
+    finally:
+        idx.unpersist()

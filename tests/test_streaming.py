@@ -439,7 +439,18 @@ def test_stream_ingest_guard_matches_batch(spark, tmp_path):
         )
         q.awaitTermination(120)
 
-        got = {(doc_id, known) for doc_id, known, _ in results}
+        # replay idempotence: redelivering a batch (same content, same
+        # id — the foreachBatch at-least-once contract) overwrites its
+        # entry instead of appending duplicates
+        replay_bid = next(
+            bid for bid, rows in results.items() if any(d == 10 for d, _ in rows)
+        )
+        row10 = next(r for r in new_rows if r[0] == 10)
+        write(
+            spark.createDataFrame([row10], "doc_id long, text string"), replay_bid
+        )
+        assert sum(len(rows) for rows in results.values()) == len(new_rows)
+        got = {pair for rows in results.values() for pair in rows}
         expect = {
             (r.id, r.is_known)
             for r in incremental_dedup_flags(

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import math
 import os
-import shutil
 import sys
 import time
 
@@ -63,13 +62,28 @@ def build_10x(spark, out_dir: str) -> None:
             os.symlink(f"{SF_BASE}/{name}.parquet", dst)
     if not os.path.exists(f"{out_dir}/documents.parquet"):
         d = spark.read.parquet(f"{SF_BASE}/documents.parquet")
+
+        def replica_text(r: int):
+            if r == 0:
+                return F.col("text")
+            # suffix EVERY token with the replica id: replicas share no
+            # shingles/windows with each other, so the 10x corpus is 10x
+            # DISTINCT content with the original's internal dup
+            # structure repeated — a mere trailing-marker perturbation
+            # made every replica a near-dup of its original and the
+            # minhash probe measured quadratic near-dup-group growth
+            # (pair count), not operator scaling
+            return F.array_join(
+                F.transform(
+                    F.split(F.col("text"), r"\s+"), lambda t: F.concat_ws("_", t, F.lit(str(r)))
+                ),
+                " ",
+            )
+
         reps = [
             d.select(
                 (F.col("doc_id") + r * 10_000_000).alias("doc_id"),
-                # perturb replica text so replicas aren't 100% exact dups
-                # (that would make dedup trivially collapse the corpus):
-                # append a replica marker token
-                F.concat_ws(" ", F.col("text"), F.lit(f"rep{r}")).alias("text"),
+                replica_text(r).alias("text"),
                 "lang", "source", "n_chars",
             )
             for r in range(10)
@@ -112,9 +126,15 @@ def main() -> None:
 
     rows = []
     for name in PROBED:
-        run(name, SF_SMALL)  # warm codegen/JIT so growth isn't compile noise
+        # warm EVERY size once: the first run pays one-time codegen/JIT
+        # AND any per-table-version artifact build (BM25 postings,
+        # corpus hashes — memoized per sf_dir); timing the second run
+        # keeps amortized build cost out of the growth exponents
+        run(name, SF_SMALL)
         t_small = run(name, SF_SMALL)
+        run(name, SF_BASE)
         t_base = run(name, SF_BASE)
+        run(name, ten_x)
         t_10x = run(name, ten_x)
         e1 = math.log(max(t_base, 1e-9) / max(t_small, 1e-9)) / math.log(10)
         e2 = math.log(max(t_10x, 1e-9) / max(t_base, 1e-9)) / math.log(10)
