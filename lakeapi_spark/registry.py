@@ -44,7 +44,7 @@ class TableRegistry:
         self.accounts = accounts or {}
         self.data_path = data_path
         self._tables: dict[str, TableConfig] = {}
-        self._schema_cache: dict[tuple[str, int], T.StructType] = {}
+        self._schema_cache: dict[tuple[str, int, int | None], T.StructType] = {}
 
     def _resolve_uri(self, cfg: TableConfig) -> str:
         """Normalize the configured uri to its Hadoop form and apply any
@@ -95,11 +95,26 @@ class TableRegistry:
         return df
 
     def schema(self, name: str) -> T.StructType:
-        """Cached per (table, version) — the reference caches parquet
-        metadata with a TTL (schema_cache.py:6-32); version bumps bust it."""
+        """Cached per (table, config version, DATA modified date). The
+        reference re-checks its cached delta meta incrementally on
+        every access (utils/meta_cache.py:46-58 update_incremental), so
+        a table rewritten underneath the server — its datamove test,
+        tests/test_datamove.py:16-42 — serves the NEW schema without a
+        restart. The modified-date probe is one FS listing per call
+        (the same freshness signal the BM25 index cache keys on);
+        non-filesystem sources (odbc/sqlite) fall back to the config
+        version only."""
+        from lakeapi_spark.sources.fs import latest_modification
+
         cfg = self.config(name)
-        key = (name, cfg.version)
+        try:
+            mtime = latest_modification(self.spark, self._resolve_uri(cfg))
+        except Exception:
+            mtime = None
+        key = (name, cfg.version, mtime)
         if key not in self._schema_cache:
+            for stale in [k for k in self._schema_cache if k[0] == name and k != key]:
+                self._schema_cache.pop(stale)
             self._schema_cache[key] = self.dataframe(name).schema
         return self._schema_cache[key]
 

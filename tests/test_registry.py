@@ -394,3 +394,29 @@ def test_serve_request_streams_unbounded_exports(spark, sf_dir):
     assert rows_whole == rows_stream and len(rows_stream) == 25
     # seekable-sink formats stay whole-bytes even unbounded
     assert isinstance(serve_request(reg, "nation", fmt="xlsx", limit=-1), bytes)
+
+
+def test_schema_refreshes_after_data_rewrite(spark, tmp_path):
+    """The reference's datamove semantics (test_datamove.py:16-42 +
+    meta_cache.update_incremental): a table rewritten underneath the
+    server with a NEW column serves the new schema without a restart —
+    the cache key carries the data's modified date."""
+    import time
+
+    path = str(tmp_path / "moving_tbl")
+    spark.createDataFrame([(1, "a")], ["id", "name"]).write.parquet(path)
+    reg = TableRegistry(spark)
+    reg.register(
+        TableConfig(name="moving", datasource=DatasourceConfig(uri=path))
+    )
+    s1 = reg.schema("moving")
+    assert [f.name for f in s1.fields] == ["id", "name"]
+    assert reg.schema("moving") is s1  # cached while data unchanged
+
+    time.sleep(1.1)  # fs mtime granularity
+    spark.createDataFrame([(1, "a", 9.5)], ["id", "name", "score"]).write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.catalog.refreshByPath(path)
+    s2 = reg.schema("moving")
+    assert [f.name for f in s2.fields] == ["id", "name", "score"]
