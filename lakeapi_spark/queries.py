@@ -837,6 +837,90 @@ def hybrid_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hybrid_search_partial_embeddings",
+    r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+    stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+      WHERE tok IN ('spark', 'window') GROUP BY doc_id, tok
+    ),
+    dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    bm AS (
+      SELECT t.doc_id,
+             ROUND(SUM(ln((s.n - q.df + 0.5) / (q.df + 0.5) + 1)
+                       * t.tf * 2.2 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))), 4)
+               AS bm25_score
+      FROM tf t
+      JOIN dfq q ON t.tok = q.tok
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+      GROUP BY t.doc_id
+    ),
+    cand AS (
+      SELECT doc_id, bm25_score
+      FROM bm QUALIFY ROW_NUMBER() OVER (ORDER BY bm25_score DESC, doc_id) <= 50
+    ),
+    cand2 AS (SELECT doc_id, bm25_score, MAX(bm25_score) OVER () AS mx FROM cand),
+    ev AS (
+      SELECT vec_id, unnest(range(1, len(embedding)+1)) AS i, embedding
+      FROM embeddings WHERE vec_id % 2 = 0
+    ), ex AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS val FROM ev
+    ), en AS (
+      SELECT vec_id, sqrt(SUM(val*val)) AS nrm FROM ex GROUP BY vec_id
+    ),
+    qv AS (SELECT i, val FROM ex WHERE vec_id = 0),
+    qn AS (SELECT sqrt(SUM(val*val)) AS nrm FROM qv),
+    dt AS (
+      SELECT c.doc_id, SUM(ex.val * qv.val) AS d
+      FROM cand2 c JOIN ex ON ex.vec_id = c.doc_id JOIN qv ON qv.i = ex.i
+      GROUP BY c.doc_id
+    ),
+    scored AS (
+      SELECT c.doc_id, c.bm25_score,
+             CASE WHEN en.vec_id IS NOT NULL
+                  THEN ROUND(dt.d / (en.nrm * qn.nrm), 4) END AS cos_sim,
+             ROUND(0.5 * c.bm25_score / c.mx
+                   + 0.5 * COALESCE(CASE WHEN en.vec_id IS NOT NULL
+                                         THEN ROUND(dt.d / (en.nrm * qn.nrm), 4) END,
+                                    0), 4) AS hybrid_score
+      FROM cand2 c
+      LEFT JOIN dt ON dt.doc_id = c.doc_id
+      LEFT JOIN en ON en.vec_id = c.doc_id
+      CROSS JOIN qn
+    )
+    SELECT doc_id AS id, bm25_score, cos_sim, hybrid_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY hybrid_score DESC, doc_id) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 20
+    """,
+)
+def hybrid_search_partial_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid rerank with HALF the vector store missing (even vec_ids
+    only — the lazily-backfilled-embeddings reality): candidates
+    without a vector keep their lexical rank with a null cosine and a
+    dense contribution of 0 instead of silently vanishing. This pins
+    the left-join semantics at the oracle level, not just in a unit
+    test."""
+    from lakeapi_spark.operators.search import bm25_index_for, hybrid_search
+    from lakeapi_spark.sources.fs import latest_modification
+
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    uri = f"{sf_dir}/documents.parquet"
+    idx = bm25_index_for(d, "doc_id", "text", key=(uri, latest_modification(spark, uri)))
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    partial = e.filter(F.col("vec_id") % 2 == 0)
+    return hybrid_search(
+        idx, partial, "vec_id", "embedding", "spark window", qv, n_candidates=50, k=20
+    )
+
+
+@register(
     "nearby_radius",
     """
     SELECT c_custkey, CAST(ROUND(dist, 2) AS DOUBLE) AS distance_m FROM (
