@@ -688,3 +688,72 @@ def test_hybrid_search_keeps_candidates_without_embeddings(spark):
         assert out[2][0] == 1.0  # present embedding still scores dense
     finally:
         idx.unpersist()
+
+
+def test_versioned_artifact_contract():
+    """The shared per-version artifact cache: params are part of the
+    key (different builds coexist at one version), stale VERSIONS are
+    released, hits don't rebuild."""
+    from lakeapi_spark.artifacts import versioned_artifact
+
+    cache, released, builds = {}, [], []
+
+    def make(tag):
+        def build():
+            builds.append(tag)
+            return tag
+
+        return build
+
+    a = versioned_artifact(cache, "t", 1, ("w10",), make("a"), released.append)
+    assert versioned_artifact(cache, "t", 1, ("w10",), make("a2"), released.append) == "a"
+    b = versioned_artifact(cache, "t", 1, ("w20",), make("b"), released.append)
+    assert a == "a" and b == "b" and released == []  # params coexist
+    c = versioned_artifact(cache, "t", 2, ("w10",), make("c"), released.append)
+    assert c == "c" and sorted(released) == ["a", "b"]  # stale version released
+    # other identities untouched
+    versioned_artifact(cache, "u", 1, (), make("u1"), released.append)
+    versioned_artifact(cache, "t", 2, ("w20",), make("d"), released.append)
+    assert sorted(released) == ["a", "b"] and builds == ["a", "b", "c", "u1", "d"]
+
+
+from hypothesis import HealthCheck as _HealthCheck
+from hypothesis import given as _given
+from hypothesis import settings as _settings
+from hypothesis import strategies as _st
+
+
+@_given(
+    _st.lists(
+        _st.lists(_st.sampled_from(["a", "b", "c"]), min_size=0, max_size=8),
+        min_size=1,
+        max_size=6,
+    )
+)
+@_settings(max_examples=8, deadline=None, suppress_health_check=list(_HealthCheck))
+def test_unigram_logprob_matches_naive(spark, token_docs):
+    """Differential: corpus-unigram scoring vs a pure-Python twin on
+    tiny corpora (3-token vocab -> heavy frequency collisions; empty
+    docs must drop out)."""
+    import math
+    from collections import Counter
+
+    from lakeapi_spark.operators.text import unigram_logprob
+
+    docs = [(i, toks) for i, toks in enumerate(token_docs)]
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs], "doc_id long, text string"
+    )
+    cnt = Counter(t for _, toks in docs for t in toks)
+    total = sum(cnt.values())
+    expect = {}
+    for did, toks in docs:
+        if not toks:
+            continue
+        lps = [round(math.log(cnt[t] / total), 6) for t in toks]
+        expect[did] = (len(toks), round(sum(lps) / len(lps), 4))
+    got = {
+        r.doc_id: (r.n_tokens, r.avg_logprob)
+        for r in unigram_logprob(df, "doc_id", "text").collect()
+    }
+    assert got == expect
