@@ -70,6 +70,36 @@ def max_string_lengths(df: DataFrame, columns: list[str] | None = None) -> DataF
     return df.agg(*aggs)
 
 
+def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    """One-pass data-quality profile: per column (column, n_nulls,
+    n_distinct, min_value, max_value) with min/max stringified for a
+    uniform schema — the summary a pipeline inspects before trusting a
+    new drop of data (beyond-reference; the reference's metadata detail
+    stops at string lengths).
+
+    Plan shape: ONE aggregate over a single scan computes every
+    column's four metrics (Catalyst expands the multi-distinct into one
+    pass), then a per-row ``stack`` unpivots to the long form — no
+    second scan, no shuffle beyond the aggregate itself. At extreme
+    widths or cardinalities swap count_distinct for
+    approx_count_distinct (HLL) — same shape, bounded state."""
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `__nn_{c}`, `__nd_{c}`, `__mn_{c}`, `__mx_{c}`" for c in columns
+    )
+    return wide.selectExpr(
+        f"stack({len(columns)}, {stack_args}) as (column, n_nulls, n_distinct, min_value, max_value)"
+    )
+
+
 def distinct_partition_values(df: DataFrame, partition_cols: list[str]) -> DataFrame:
     """SELECT DISTINCT partition_cols (ref detail_endpoint.py:90-99).
     On a partitioned source this is metadata-only after AQE: the scan

@@ -4448,6 +4448,46 @@ def curation_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_documents",
+    """
+    SELECT 'doc_id' AS column,
+           CAST(COUNT(*) FILTER (WHERE doc_id IS NULL) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+           CAST(MAX(doc_id) AS VARCHAR) AS max_value
+    FROM documents
+    UNION ALL
+    SELECT 'lang',
+           CAST(COUNT(*) FILTER (WHERE lang IS NULL) AS BIGINT),
+           CAST(COUNT(DISTINCT lang) AS BIGINT),
+           CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'source',
+           CAST(COUNT(*) FILTER (WHERE source IS NULL) AS BIGINT),
+           CAST(COUNT(DISTINCT source) AS BIGINT),
+           CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars',
+           CAST(COUNT(*) FILTER (WHERE n_chars IS NULL) AS BIGINT),
+           CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+           CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column data-quality profile of the documents table
+    (nulls, distincts, stringified min/max) — computed as a single
+    aggregate + stack unpivot, never one scan per column
+    (metadata.profile_columns)."""
+    from lakeapi_spark.metadata import profile_columns
+
+    d = table(spark, sf_dir, "documents")
+    return profile_columns(d, ["doc_id", "lang", "source", "n_chars"])
+
+
+@register(
     "lang_quota_sample",
     """
     SELECT doc_id, lang FROM documents

@@ -1071,3 +1071,26 @@ def test_delta_fallback_column_mapping(spark, tmp_path):
     )
     with _pytest.raises(DeltaProtocolError, match="deletionVectors"):
         read_source(spark, base, "delta")
+
+
+def test_profile_columns_single_scan_and_nulls(spark):
+    """profile_columns: correct null/distinct/min-max accounting, and
+    ONE scan feeding every column's metrics (the stack unpivot rides a
+    single aggregate — a per-column scan loop would be width x cost)."""
+    from lakeapi_spark.metadata import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, None, 20), (3, "b", None), (4, "a", 10)],
+        "id long, s string, v long",
+    )
+    out = {
+        r.column: (r.n_nulls, r.n_distinct, r.min_value, r.max_value)
+        for r in profile_columns(df, ["id", "s", "v"]).collect()
+    }
+    assert out == {
+        "id": (0, 4, "1", "4"),
+        "s": (1, 2, "a", "b"),
+        "v": (1, 2, "10", "20"),
+    }
+    plan = profile_columns(df, ["id", "s", "v"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") + plan.count("FileScan") <= 1, plan
