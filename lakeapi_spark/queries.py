@@ -3176,6 +3176,109 @@ def delta_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_source(spark, dest, "delta").select("r_regionkey", "r_name", "bucket")
 
 
+def _merge_demo_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once (marker-guarded) demo delta table for the MERGE /
+    version-diff queries: v0 = orders keys+status partitioned by
+    ``bucket``; v1 = one copy-on-write merge that updates every
+    ``o_orderkey % 97 == 0`` row's status to 'X' and inserts
+    ``% 97 == 1`` keys shifted by 100M with status 'N'. Both commits
+    are pure functions of the orders table, so DuckDB can re-derive
+    every version's contents exactly."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from lakeapi_spark.sources.delta import merge_delta, write_delta
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "lakeapi_delta_merge_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    marker = os.path.join(dest, "_merge_done")
+    if not os.path.exists(marker):
+        if os.path.isdir(dest):  # stale partial build: start over
+            shutil.rmtree(dest)
+        base = table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_orderkey") % 4).cast("string").alias("bucket"),
+        )
+        write_delta(base, dest, mode="append", partition_by=["bucket"])
+        updates = base.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+            "o_orderstatus", F.lit("X")
+        )
+        inserts = base.filter(F.col("o_orderkey") % 97 == 1).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            "bucket",
+        )
+        merge_delta(updates.unionByName(inserts), dest, on=["o_orderkey"])
+        with open(marker, "w") as f:
+            f.write("v1\n")
+    return dest
+
+
+@register(
+    "delta_merge_upsert",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+           CAST(o_orderkey % 4 AS VARCHAR) AS bucket
+    FROM orders
+    UNION ALL
+    SELECT CAST(o_orderkey + 100000000 AS BIGINT), 'N',
+           CAST(o_orderkey % 4 AS VARCHAR)
+    FROM orders WHERE o_orderkey % 97 = 1
+    """,
+)
+def delta_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) evidence end-to-end: the post-merge snapshot
+    of :func:`_merge_demo_table` read back through the delta fallback
+    must equal DuckDB's from-first-principles reconstruction — proving
+    matched-update, not-matched-insert, touched-file-only rewrite and
+    log replay in one hash compare. The write path is delta.py:
+    merge_delta (copy-on-write, cost proportional to touched files —
+    see its docstring for the 100 TB contract)."""
+    from lakeapi_spark.sources.readers import read_source
+
+    dest = _merge_demo_table(spark, sf_dir)
+    return read_source(spark, dest, "delta").select(
+        "o_orderkey", "o_orderstatus", "bucket"
+    )
+
+
+@register(
+    "delta_version_diff_rows",
+    """
+    SELECT o_orderkey, 'X' AS o_orderstatus,
+           CAST(o_orderkey % 4 AS VARCHAR) AS bucket,
+           'insert' AS _change_type
+    FROM orders WHERE o_orderkey % 97 = 0
+    UNION ALL
+    SELECT CAST(o_orderkey + 100000000 AS BIGINT), 'N',
+           CAST(o_orderkey % 4 AS VARCHAR), 'insert'
+    FROM orders WHERE o_orderkey % 97 = 1
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, CAST(o_orderkey % 4 AS VARCHAR),
+           'delete'
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+)
+def delta_version_diff_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF-style row diff between delta versions v0 and v1 of
+    :func:`_merge_demo_table` (update = delete+insert, like delta's CDF
+    on non-CDC tables). The engine reads ONLY files absent from one
+    side — common files cancel in the multiset difference without being
+    opened (delta.py:delta_version_diff; the oracle re-derives the
+    exact churn from the orders table)."""
+    from lakeapi_spark.sources.delta import delta_version_diff
+
+    dest = _merge_demo_table(spark, sf_dir)
+    return delta_version_diff(spark, dest, 0, 1)
+
+
 # ---------------------------------------------------------------------------
 # TPC-H coverage widening (round 3): q8/q12/q13/q18/q19/q21/q22 shapes
 # adapted to the driver schema (no partsupp/commitdate/receiptdate/phone

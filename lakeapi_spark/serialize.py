@@ -9,8 +9,9 @@ arrow/feather file, arrow-stream, with custom ``$csv_separator`` and
 (large exports) on the driver, exactly where the reference's
 chunk-streaming sat.
 
-xlsx needs an engine (openpyxl/xlsxwriter — not in this container):
-gated behind an import-try like the reference gates polars.write_excel.
+xlsx is a minimal stdlib SpreadsheetML writer (zipfile + escaped XML,
+:func:`_xlsx_bytes`) — no openpyxl/xlsxwriter needed, closing the
+reference's optional-dependency gate (response.py:118-124).
 """
 
 from __future__ import annotations

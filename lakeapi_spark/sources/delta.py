@@ -227,31 +227,27 @@ def _physical_type(dt: T.DataType) -> T.DataType:
     return dt
 
 
-def read_delta_fallback(
+def _files_to_df(
     spark: SparkSession,
-    uri: str,
-    version_as_of: int | None = None,
-    predicates: list[tuple] | None = None,
+    base: str,
+    snap: DeltaSnapshot,
+    files: dict[str, dict[str, str]],
+    file_col: str | None = None,
 ) -> DataFrame:
-    """Snapshot -> DataFrame. Data columns come from the parquet files
+    """Turn a subset of a snapshot's add-files into a DataFrame with the
+    snapshot's LOGICAL schema. Data columns come from the parquet files
     with the log-declared schema enforced; partition columns come from
     the LOG (injected per distinct partition tuple), which is the
     protocol's source of truth — directory names are only a convention.
+    ``file_col`` optionally appends each row's absolute scanned path
+    (``_metadata.file_path``) — the per-row provenance merge_delta uses
+    to find which files a source key touches.
 
-    ``predicates`` = [(col, lo, hi)] closed ranges (None = unbounded)
-    enables DATA SKIPPING from the log's per-file min/max stats: a file
-    whose range provably misses the box is never opened. This bounds
-    IO only — callers still apply the exact filter (Catalyst pushes it
-    into the surviving scans). Statless files are conservatively kept,
-    so predicates never change results, just cost."""
-    snap = delta_snapshot(spark, uri, version_as_of)
-    base = uri.rstrip("/")
+    Column mapping ("name"/"id" — reference parity: the reference reads
+    mapped tables, tests/test_colmap.py): files + partition values +
+    stats are keyed by PHYSICAL names; read physically, then rename
+    every nesting level back to logical."""
     pcols = snap.partition_columns
-    # column mapping ("name"/"id" — reference parity: the reference
-    # reads mapped tables, tests/test_colmap.py): files + partition
-    # values + stats are keyed by PHYSICAL names; read physically, then
-    # one positional struct cast per column renames every nesting level
-    # back to logical.
     phys = {f.name: _physical_name(f) for f in snap.schema.fields}
     data_fields = [f for f in snap.schema.fields if f.name not in pcols]
     data_schema = T.StructType(
@@ -261,17 +257,14 @@ def read_delta_fallback(
         ]
     )
     ptypes = {f.name: f.dataType for f in snap.schema.fields if f.name in pcols}
+    out_cols = [f.name for f in snap.schema.fields] + ([file_col] if file_col else [])
 
-    files = snap.files
-    if predicates:
-        phys_predicates = [(phys.get(c, c), lo, hi) for c, lo, hi in predicates]
-        files = {
-            p: pv
-            for p, pv in files.items()
-            if _stats_overlap(snap.stats.get(p), phys_predicates)
-        }
     if not files:
-        return spark.createDataFrame([], snap.schema)
+        schema = T.StructType(
+            list(snap.schema.fields)
+            + ([T.StructField(file_col, T.StringType())] if file_col else [])
+        )
+        return spark.createDataFrame([], schema)
 
     groups: dict[tuple, list[str]] = {}
     for path, pvals in files.items():
@@ -285,15 +278,45 @@ def read_delta_fallback(
             *[
                 F.col(phys[f.name]).cast(f.dataType).alias(f.name)
                 for f in data_fields
-            ]
+            ],
+            *([F.col("_metadata.file_path").alias(file_col)] if file_col else []),
         )
         for c, v in zip(pcols, key):
             renamed = renamed.withColumn(c, _partition_lit(v, ptypes[c]))
-        parts.append(renamed.select([f.name for f in snap.schema.fields]))
+        parts.append(renamed.select(out_cols))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def read_delta_fallback(
+    spark: SparkSession,
+    uri: str,
+    version_as_of: int | None = None,
+    predicates: list[tuple] | None = None,
+) -> DataFrame:
+    """Snapshot -> DataFrame (see :func:`_files_to_df` for the scan
+    shape and column-mapping handling).
+
+    ``predicates`` = [(col, lo, hi)] closed ranges (None = unbounded)
+    enables DATA SKIPPING from the log's per-file min/max stats: a file
+    whose range provably misses the box is never opened. This bounds
+    IO only — callers still apply the exact filter (Catalyst pushes it
+    into the surviving scans). Statless files are conservatively kept,
+    so predicates never change results, just cost."""
+    snap = delta_snapshot(spark, uri, version_as_of)
+    base = uri.rstrip("/")
+    files = snap.files
+    if predicates:
+        phys = {f.name: _physical_name(f) for f in snap.schema.fields}
+        phys_predicates = [(phys.get(c, c), lo, hi) for c, lo, hi in predicates]
+        files = {
+            p: pv
+            for p, pv in files.items()
+            if _stats_overlap(snap.stats.get(p), phys_predicates)
+        }
+    return _files_to_df(spark, base, snap, files)
 
 
 def read_delta(
@@ -375,6 +398,60 @@ def _local_path(uri: str) -> str:
     return uri
 
 
+def _stage_data_files(
+    df: DataFrame, base: str, pcols: list[str], collect_stats: bool
+) -> list[dict]:
+    """Distributed data write into a staging dir, then move the parquet
+    files into place; returns the protocol ``add`` actions (path +
+    partitionValues + size + footer stats). Files staged here are only
+    referenced once a commit lands — a failed/raced commit leaves them
+    as unreferenced orphans, the same semantics delta itself has
+    (VACUUM cleans them)."""
+    import os
+    import shutil
+    import urllib.parse
+    import uuid
+
+    staging = f"{base}/.staging-{uuid.uuid4().hex}"
+    writer = df.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(staging)
+    adds: list[dict] = []
+    for root, _dirs, files in os.walk(staging):
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            rel_dir = os.path.relpath(root, staging)
+            pvals: dict[str, str | None] = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, _, v = seg.partition("=")
+                    pvals[k] = (
+                        None
+                        if v == "__HIVE_DEFAULT_PARTITION__"
+                        else urllib.parse.unquote(v)
+                    )
+                os.makedirs(f"{base}/{rel_dir}", exist_ok=True)
+            rel = name if rel_dir == "." else f"{rel_dir}/{name}"
+            os.replace(src, f"{base}/{rel}")
+            add = {
+                "path": rel,
+                "partitionValues": {c: pvals.get(c) for c in pcols},
+                "size": os.path.getsize(f"{base}/{rel}"),
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+            if collect_stats:
+                stats = _file_stats_json(f"{base}/{rel}")
+                if stats:
+                    add["stats"] = stats
+            adds.append({"add": add})
+    shutil.rmtree(staging, ignore_errors=True)
+    return adds
+
+
 def write_delta(
     df: DataFrame,
     path: str,
@@ -414,8 +491,6 @@ def write_delta(
     rejected (no evolution here).
     """
     import os
-    import shutil
-    import urllib.parse
     import uuid
 
     if mode not in ("append", "overwrite"):
@@ -423,45 +498,7 @@ def write_delta(
     base = _local_path(path).rstrip("/")
     pcols = list(partition_by or [])
     os.makedirs(base, exist_ok=True)
-
-    # 1. distributed data write into a staging dir, then move into place
-    staging = f"{base}/.staging-{uuid.uuid4().hex}"
-    writer = df.write.mode("overwrite")
-    if pcols:
-        writer = writer.partitionBy(*pcols)
-    writer.parquet(staging)
-    adds: list[dict] = []
-    for root, _dirs, files in os.walk(staging):
-        for name in files:
-            if not name.endswith(".parquet"):
-                continue
-            src = os.path.join(root, name)
-            rel_dir = os.path.relpath(root, staging)
-            pvals: dict[str, str | None] = {}
-            if rel_dir != ".":
-                for seg in rel_dir.split(os.sep):
-                    k, _, v = seg.partition("=")
-                    pvals[k] = (
-                        None
-                        if v == "__HIVE_DEFAULT_PARTITION__"
-                        else urllib.parse.unquote(v)
-                    )
-                os.makedirs(f"{base}/{rel_dir}", exist_ok=True)
-            rel = name if rel_dir == "." else f"{rel_dir}/{name}"
-            os.replace(src, f"{base}/{rel}")
-            add = {
-                "path": rel,
-                "partitionValues": {c: pvals.get(c) for c in pcols},
-                "size": os.path.getsize(f"{base}/{rel}"),
-                "modificationTime": 0,
-                "dataChange": True,
-            }
-            if collect_stats:
-                stats = _file_stats_json(f"{base}/{rel}")
-                if stats:
-                    add["stats"] = stats
-            adds.append({"add": add})
-    shutil.rmtree(staging, ignore_errors=True)
+    adds = _stage_data_files(df, base, pcols, collect_stats)
 
     # 2. commit loop: snapshot -> build actions -> put-if-absent
     spark = df.sparkSession
@@ -508,19 +545,219 @@ def write_delta(
                     {"remove": {"path": old, "deletionTimestamp": 0, "dataChange": True}}
                 )
         actions.extend(adds)
-        payload = "".join(json.dumps(a) + "\n" for a in actions)
-        try:
-            fd = os.open(
-                f"{log}/{version:020d}.json", os.O_CREAT | os.O_EXCL | os.O_WRONLY
-            )
-        except FileExistsError:
-            continue  # lost the race: re-snapshot, retry at next version
-        with os.fdopen(fd, "w") as f:
-            f.write(payload)
-        return version
+        if _try_commit(log, version, actions):
+            return version
+        # lost the race: re-snapshot, retry at next version
     raise RuntimeError(
         f"could not commit to {base} after {max_commit_retries} attempts "
         "(concurrent writers)"
+    )
+
+
+def _try_commit(log_dir: str, version: int, actions: list[dict]) -> bool:
+    """Put-if-absent commit: ``O_CREAT|O_EXCL`` on the versioned
+    filename IS delta's LogStore atomicity contract for POSIX-visible
+    paths (see write_delta's docstring for the object-store caveat).
+    Returns False when another writer took this version first."""
+    import os
+
+    payload = "".join(json.dumps(a) + "\n" for a in actions)
+    try:
+        fd = os.open(
+            f"{log_dir}/{version:020d}.json", os.O_CREAT | os.O_EXCL | os.O_WRONLY
+        )
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as f:
+        f.write(payload)
+    return True
+
+
+class ConcurrentDeltaModificationError(RuntimeError):
+    """A concurrent commit changed files this operation had already
+    analyzed — the caller must re-run the whole operation on the new
+    snapshot (delta-spark surfaces the same condition as
+    ConcurrentDeleteReadException / ConcurrentAppendException)."""
+
+
+def merge_delta(
+    source: DataFrame,
+    path: str,
+    on: list[str],
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    max_commit_retries: int = 10,
+    collect_stats: bool = True,
+    validate_unique_keys: bool = True,
+) -> int:
+    """MERGE INTO (upsert) as a copy-on-write commit — the write-path
+    operator delta-spark calls ``DeltaTable.merge`` and the reference
+    cannot express at all (its write surface is zero; SURVEY §2.2 is
+    read-only serialization). Returns the committed version, or the
+    current version unchanged when the merge is a no-op.
+
+    Semantics (keyed on the ``on`` column list):
+    - ``when_matched``: ``"update"`` replaces the whole target row with
+      the source row, ``"delete"`` drops it, ``"ignore"`` keeps it.
+    - ``when_not_matched``: ``"insert"`` appends source rows matching no
+      target row, ``"ignore"`` drops them. NULL keys never equal
+      anything (SQL join semantics), so null-keyed source rows are
+      always "not matched".
+    - duplicate source keys make "update" ambiguous (delta raises the
+      same way); rejected up front with one groupBy over the source
+      unless ``validate_unique_keys=False``.
+
+    100 TB design — the cost is proportional to the TOUCHED data, not
+    the table:
+    1. one provenance scan (``_metadata.file_path``) semi-joined with
+       the source keys finds the touched files; the collected list is
+       bounded by the file count, never by rows;
+    2. only touched files are re-read and rewritten — every match and
+       every "already present" key provably lives in a touched file, so
+       both the matched rewrite AND the not-matched insert anti-join run
+       against touched rows only; untouched files carry over by log
+       reference, zero IO;
+    3. the commit is remove(touched) + add(rewritten) under the same
+       put-if-absent contract as write_delta; a concurrent commit that
+       touched the analyzed files raises
+       :class:`ConcurrentDeltaModificationError` instead of silently
+       resurrecting overwritten rows.
+
+    Column-mapped tables are read-supported but not merge-supported here
+    (rewriting would need physical-name writes); detected and rejected.
+    """
+    import os
+    import urllib.parse
+
+    if when_matched not in ("update", "delete", "ignore"):
+        raise ValueError(f"when_matched must be update|delete|ignore, got {when_matched!r}")
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(f"when_not_matched must be insert|ignore, got {when_not_matched!r}")
+    if when_matched == "ignore" and when_not_matched == "ignore":
+        raise ValueError("merge with both clauses 'ignore' is a no-op by construction")
+    spark = source.sparkSession
+    base = _local_path(path).rstrip("/")
+    snap = delta_snapshot(spark, base)
+    if snap.column_mapping_mode != "none":
+        raise NotImplementedError(
+            "merge_delta cannot rewrite column-mapped tables (physical-name "
+            "writes not implemented); use delta-spark"
+        )
+    if snap.schema.simpleString() != source.schema.simpleString():
+        raise ValueError(
+            f"merge source schema mismatch for {base}: table has "
+            f"{snap.schema.simpleString()}, source has {source.schema.simpleString()}"
+        )
+    missing = [k for k in on if k not in source.columns]
+    if missing:
+        raise ValueError(f"merge keys {missing} not in schema {source.columns}")
+    if validate_unique_keys:
+        dup = (
+            source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).collect()
+        )
+        if dup:
+            raise ValueError(
+                f"source has duplicate merge keys (e.g. "
+                f"{ {k: dup[0][k] for k in on} }); merge is ambiguous"
+            )
+
+    # 1. provenance scan: which files contain a matched key?
+    target = _files_to_df(spark, base, snap, snap.files, file_col="_file")
+    matched_files_rows = (
+        target.join(source.select(on), on, "leftsemi").select("_file").distinct().collect()
+    )
+    # _metadata.file_path is an absolute file: URI; map back to the
+    # log's relative paths (the dict is bounded by the file count)
+    abs_to_rel = {
+        os.path.abspath(f"{base}/{rel}"): rel for rel in snap.files
+    }
+    touched: list[str] = []
+    for row in matched_files_rows:
+        p = urllib.parse.urlparse(row["_file"]).path
+        rel = abs_to_rel.get(os.path.abspath(p))
+        if rel is None:  # pragma: no cover - provenance must resolve
+            raise RuntimeError(f"scanned file {p} not in snapshot {base}")
+        touched.append(rel)
+
+    touched_rows = _files_to_df(
+        spark, base, snap, {p: snap.files[p] for p in touched}
+    )
+    col_order = [f.name for f in snap.schema.fields]
+    replaced = touched_rows.join(source, on, "left_anti")
+    if when_matched == "update":
+        replaced = replaced.unionByName(
+            source.join(touched_rows.select(on), on, "leftsemi")
+        )
+    elif when_matched == "ignore":
+        replaced = touched_rows
+    new_data = replaced.select(col_order)
+    if when_not_matched == "insert":
+        # every matched source key lives in a touched file, so the
+        # anti-join needs only touched rows — untouched files stay cold
+        new_data = new_data.unionByName(
+            source.join(touched_rows.select(on), on, "left_anti").select(col_order)
+        )
+    if not touched and when_not_matched == "ignore":
+        return snap.version  # no-op: nothing matched, nothing to insert
+
+    adds = _stage_data_files(new_data, base, snap.partition_columns, collect_stats)
+    log = f"{base}/_delta_log"
+    removes = [
+        {"remove": {"path": p, "deletionTimestamp": 0, "dataChange": True}}
+        for p in touched
+    ]
+    for _attempt in range(max_commit_retries):
+        version = snap.version + 1
+        if _try_commit(log, version, removes + adds):
+            return version
+        snap2 = delta_snapshot(spark, base)
+        # conflict check: the analysis is invalid if ANY file changed
+        # (an added file may contain matching keys; a removed touched
+        # file means our removes would resurrect/duplicate data)
+        if snap2.files.keys() != snap.files.keys():
+            raise ConcurrentDeltaModificationError(
+                f"concurrent commit changed {base} during merge "
+                f"(analyzed v{snap.version}, now v{snap2.version}); re-run merge"
+            )
+        snap = snap2
+    raise RuntimeError(
+        f"could not commit merge to {base} after {max_commit_retries} attempts"
+    )
+
+
+def delta_version_diff(
+    spark: SparkSession, path: str, v_from: int, v_to: int | None = None
+) -> DataFrame:
+    """CDF-style row diff between two versions WITHOUT a change-data
+    feed: rows inserted/deleted between ``v_from`` and ``v_to`` (latest
+    when None), tagged with a ``_change_type`` column ("insert" /
+    "delete"). An update surfaces as delete+insert, exactly like
+    delta's CDF does for non-CDC tables.
+
+    100 TB design — log-metadata pruning makes the diff proportional to
+    the CHURN, not the table: files present in both snapshots
+    contribute identical rows to both sides, so they cancel in the
+    multiset difference by construction and are NEVER READ. With
+    C = common files, A = files only in v_to, R = files only in v_from:
+    ``v_to ∖ v_from = rows(A) ∖ rows(R)`` (multiset except), and the
+    delete side is the mirror image. Each side is one exceptAll (a
+    single shuffle over changed-file rows only)."""
+    base = _local_path(path).rstrip("/")
+    s_from = delta_snapshot(spark, base, v_from)
+    s_to = delta_snapshot(spark, base, v_to)
+    if s_from.schema.simpleString() != s_to.schema.simpleString():
+        raise ValueError(
+            f"schema changed between v{s_from.version} and v{s_to.version}; "
+            "row diff is undefined across schema evolution"
+        )
+    only_to = {p: pv for p, pv in s_to.files.items() if p not in s_from.files}
+    only_from = {p: pv for p, pv in s_from.files.items() if p not in s_to.files}
+    added = _files_to_df(spark, base, s_to, only_to)
+    removed = _files_to_df(spark, base, s_from, only_from)
+    return added.exceptAll(removed).withColumn(
+        "_change_type", F.lit("insert")
+    ).unionByName(
+        removed.exceptAll(added).withColumn("_change_type", F.lit("delete"))
     )
 
 

@@ -928,6 +928,174 @@ class TestDeltaWriter:
         assert got == want == 8 * 8
 
 
+class TestDeltaMerge:
+    """MERGE INTO (copy-on-write upsert) + CDF-style version diff
+    (sources/delta.py:merge_delta/delta_version_diff) — the write-path
+    surface the reference lacks entirely (its §2.2 is read-only
+    serialization; delta-spark calls this DeltaTable.merge)."""
+
+    @staticmethod
+    def _seed(spark, path, n=40):
+        from lakeapi_spark.sources.delta import write_delta
+
+        df = spark.range(n).selectExpr(
+            "id AS k", "id * 2 AS v", "CAST(id % 4 AS STRING) AS p"
+        )
+        return write_delta(df, path, mode="append", partition_by=["p"])
+
+    def test_update_insert_roundtrip(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import merge_delta, read_delta_fallback
+
+        path = str(tmp_path / "m1")
+        self._seed(spark, path)
+        src = spark.createDataFrame(
+            [(2, 999, "2"), (3, 999, "3"), (100, 1, "0"), (101, 1, "1")],
+            "k long, v long, p string",
+        )
+        v = merge_delta(src, path, on=["k"])
+        assert v == 1
+        got = {r.k: r.v for r in read_delta_fallback(spark, path).collect()}
+        assert len(got) == 42
+        assert got[2] == 999 and got[3] == 999 and got[100] == 1 and got[5] == 10
+
+    def test_untouched_files_not_rewritten(self, spark, tmp_path):
+        """The 100 TB contract: merge rewrites ONLY files containing a
+        matched key; every other file carries over by log reference."""
+        from lakeapi_spark.sources.delta import delta_snapshot, merge_delta
+
+        path = str(tmp_path / "m2")
+        self._seed(spark, path)
+        before = set(delta_snapshot(spark, path).files)
+        # keys 0,4,8..36 all live in partition p='0' only
+        src = spark.range(0, 40, 4).selectExpr(
+            "id AS k", "id * 100 AS v", "CAST(id % 4 AS STRING) AS p"
+        )
+        merge_delta(src, path, on=["k"], when_not_matched="ignore")
+        after = set(delta_snapshot(spark, path).files)
+        untouched_before = {f for f in before if not f.startswith("p=0/")}
+        assert untouched_before <= after  # p=1/2/3 files survive verbatim
+        assert not any(f.startswith("p=0/") and f in after for f in before)
+
+    def test_delete_and_ignore_modes(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import merge_delta, read_delta_fallback
+
+        path = str(tmp_path / "m3")
+        self._seed(spark, path, n=10)
+        src = spark.createDataFrame(
+            [(0, 0, "0"), (7, 0, "3"), (50, 5, "2")], "k long, v long, p string"
+        )
+        merge_delta(src, path, on=["k"], when_matched="delete", when_not_matched="ignore")
+        keys = sorted(r.k for r in read_delta_fallback(spark, path).collect())
+        assert keys == [1, 2, 3, 4, 5, 6, 8, 9]  # 0,7 deleted; 50 NOT inserted
+        # matched=ignore + insert: only the new key lands
+        merge_delta(
+            src, path, on=["k"], when_matched="ignore", when_not_matched="insert"
+        )
+        got = {r.k: r.v for r in read_delta_fallback(spark, path).collect()}
+        assert got[50] == 5 and got[1] == 2  # 1 kept original v, not src's
+
+    def test_noop_merge_commits_nothing(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import delta_snapshot, merge_delta
+
+        path = str(tmp_path / "m4")
+        self._seed(spark, path, n=8)
+        src = spark.createDataFrame([(1000, 0, "0")], "k long, v long, p string")
+        v = merge_delta(src, path, on=["k"], when_not_matched="ignore")
+        assert v == 0  # returned unchanged, no new commit
+        assert delta_snapshot(spark, path).version == 0
+
+    def test_duplicate_source_keys_rejected(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import merge_delta
+
+        path = str(tmp_path / "m5")
+        self._seed(spark, path, n=8)
+        src = spark.createDataFrame(
+            [(1, 5, "1"), (1, 6, "1")], "k long, v long, p string"
+        )
+        with pytest.raises(ValueError, match="duplicate merge keys"):
+            merge_delta(src, path, on=["k"])
+
+    def test_null_keys_are_never_matched(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import merge_delta, read_delta_fallback
+
+        path = str(tmp_path / "m6")
+        self._seed(spark, path, n=4)
+        src = spark.createDataFrame([(None, 77, "0")], "k long, v long, p string")
+        merge_delta(src, path, on=["k"])
+        rows = read_delta_fallback(spark, path).collect()
+        assert len(rows) == 5  # inserted, matched nothing
+        assert sorted(r.v for r in rows if r.k is None) == [77]
+
+    def test_concurrent_commit_raises(self, spark, tmp_path, monkeypatch):
+        """A foreign commit landing between analysis and commit must
+        raise (the analyzed file set is stale), never silently resurrect
+        or duplicate rows."""
+        import json as _json
+
+        from lakeapi_spark.sources import delta as delta_mod
+
+        path = str(tmp_path / "m7")
+        self._seed(spark, path, n=8)
+        real_try = delta_mod._try_commit
+        state = {"raced": False}
+
+        def racing_try(log_dir, version, actions):
+            if not state["raced"]:
+                state["raced"] = True
+                with open(f"{log_dir}/{version:020d}.json", "w") as f:
+                    f.write(
+                        _json.dumps(
+                            {"add": {"path": "foreign.parquet", "partitionValues": {"p": "0"},
+                                     "size": 1, "modificationTime": 0, "dataChange": True}}
+                        )
+                        + "\n"
+                    )
+                return False
+            return real_try(log_dir, version, actions)
+
+        monkeypatch.setattr(delta_mod, "_try_commit", racing_try)
+        src = spark.createDataFrame([(1, 0, "1")], "k long, v long, p string")
+        with pytest.raises(delta_mod.ConcurrentDeltaModificationError):
+            delta_mod.merge_delta(src, path, on=["k"])
+
+    def test_version_diff_rows_and_pruning(self, spark, tmp_path):
+        """Row diff is exact (update = delete+insert) and reads ONLY the
+        files that changed between the versions — common files cancel by
+        multiset arithmetic without being opened."""
+        from lakeapi_spark.sources.delta import (
+            delta_snapshot,
+            delta_version_diff,
+            merge_delta,
+        )
+
+        path = str(tmp_path / "m8")
+        self._seed(spark, path)
+        src = spark.createDataFrame(
+            [(5, -1, "1"), (200, 7, "0")], "k long, v long, p string"
+        )
+        merge_delta(src, path, on=["k"])
+        diff = delta_version_diff(spark, path, 0, 1)
+        got = sorted((r.k, r.v, r._change_type) for r in diff.collect())
+        assert got == [(5, -1, "insert"), (5, 10, "delete"), (200, 7, "insert")]
+        # pruning: the diff plan only touches files absent from one side
+        s0, s1 = delta_snapshot(spark, path, 0), delta_snapshot(spark, path)
+        changed = set(s0.files) ^ set(s1.files)
+        scanned_rel = {f.partition(path + "/")[2] or f for f in diff.inputFiles()}
+        assert scanned_rel <= changed, (scanned_rel, changed)
+        assert len(scanned_rel) < len(s1.files)
+
+    def test_version_diff_schema_change_rejected(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import delta_version_diff, write_delta
+
+        path = str(tmp_path / "m9")
+        write_delta(spark.range(3).selectExpr("id"), path)
+        write_delta(
+            spark.range(3).selectExpr("id", "id AS extra"), path, mode="overwrite"
+        )
+        with pytest.raises(ValueError, match="schema changed"):
+            delta_version_diff(spark, path, 0, 1)
+
+
 def test_read_source_orc_roundtrip(spark, tmp_path):
     """ORC rides Spark's native reader with the same pushdown machinery
     as parquet (beyond the reference's FileTypes)."""
