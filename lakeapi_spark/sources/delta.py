@@ -67,6 +67,16 @@ class DeltaSnapshot:
     #: delta.columnMapping.mode from metaData.configuration ("none",
     #: "name", "id"); physical names live in each field's metadata
     column_mapping_mode: str = "none"
+    #: the raw protocol action (as committed) — carried so checkpoints
+    #: and protocol-upgrading writers reproduce it faithfully
+    protocol: dict = field(
+        default_factory=lambda: {"minReaderVersion": 1, "minWriterVersion": 2}
+    )
+    #: the raw metaData action (id/format/configuration included)
+    metadata_raw: dict = field(default_factory=dict)
+    #: file path -> the full raw add action (size, stats string, DV
+    #: descriptor — everything a faithful re-commit/checkpoint needs)
+    adds_raw: dict[str, dict] = field(default_factory=dict)
 
 
 def _read_json_bytes(spark: SparkSession, uri: str) -> bytes:
@@ -109,6 +119,9 @@ def _apply_action(snap: DeltaSnapshot, action: dict) -> None:
                 "fallback; install delta-spark for this table"
             )
         # mrv 2 = column mapping: handled via physical-name renames
+        # (None-valued keys come from checkpoint struct columns whose
+        # optional fields were absent — drop them for faithful re-emit)
+        snap.protocol = {k: v for k, v in p.items() if v is not None}
     if "metaData" in action:
         md = action["metaData"]
         snap.schema = T.StructType.fromJson(json.loads(md["schemaString"]))
@@ -116,9 +129,11 @@ def _apply_action(snap: DeltaSnapshot, action: dict) -> None:
         snap.column_mapping_mode = (md.get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
         )
+        snap.metadata_raw = {k: v for k, v in md.items() if v is not None}
     if "add" in action:
         a = action["add"]
         snap.files[a["path"]] = dict(a.get("partitionValues") or {})
+        snap.adds_raw[a["path"]] = a
         raw_stats = a.get("stats")
         if raw_stats:
             try:
@@ -130,9 +145,29 @@ def _apply_action(snap: DeltaSnapshot, action: dict) -> None:
     if "remove" in action:
         snap.files.pop(action["remove"]["path"], None)
         snap.stats.pop(action["remove"]["path"], None)
+        snap.adds_raw.pop(action["remove"]["path"], None)
     if "txn" in action:
         t = action["txn"]
         snap.app_versions[t["appId"]] = int(t["version"])
+
+
+def _normalize_ckpt_value(v):
+    """Checkpoint parquet stores protocol-dict fields (partitionValues,
+    configuration) as map<string,string>; pyarrow's ``to_pylist`` hands
+    maps back as [(k, v), ...] tuple lists. Fold those back into dicts
+    (recursively — the actions are shallow structs) so checkpoint rows
+    and JSON commit lines feed :func:`_apply_action` identically. Lists
+    of strings (partitionColumns, readerFeatures) pass through. None
+    values inside structs stay (a null partitionValue is meaningful);
+    absent optional sub-structs are null structs, which ``to_pylist``
+    already hands back as None."""
+    if isinstance(v, list):
+        if v and all(isinstance(e, tuple) and len(e) == 2 for e in v):
+            return {k: _normalize_ckpt_value(x) for k, x in v}
+        return [_normalize_ckpt_value(e) for e in v]
+    if isinstance(v, dict):
+        return {k: _normalize_ckpt_value(x) for k, x in v.items()}
+    return v
 
 
 def delta_snapshot(
@@ -173,7 +208,9 @@ def delta_snapshot(
 
         tab = papq.read_table(checkpoints[ckpt_version])
         for row in tab.to_pylist():
-            action = {k: v for k, v in row.items() if v is not None}
+            action = {
+                k: _normalize_ckpt_value(v) for k, v in row.items() if v is not None
+            }
             _apply_action(snap, action)
         start = ckpt_version + 1
         snap.version = ckpt_version
@@ -960,6 +997,143 @@ def vacuum_delta(spark: SparkSession, path: str, keep_versions: int = 0) -> list
                 os.remove(full)
                 deleted.append(rel)
     return sorted(deleted)
+
+
+#: checkpoint parquet layout: one action per row, exactly one non-null
+#: column. Maps (not structs) for the variable-key dicts so any
+#: partition-column set round-trips; add.stats stays the protocol's
+#: JSON string so data skipping survives checkpointing.
+def _checkpoint_arrow_schema():
+    import pyarrow as pa
+
+    str_map = pa.map_(pa.string(), pa.string())
+    return pa.schema(
+        [
+            (
+                "protocol",
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
+                    ]
+                ),
+            ),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("name", pa.string()),
+                        ("description", pa.string()),
+                        ("format", pa.struct([("provider", pa.string())])),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", str_map),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", str_map),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("offset", pa.int32()),
+                                    ("sizeInBytes", pa.int32()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
+                    ]
+                ),
+            ),
+            (
+                "txn",
+                pa.struct([("appId", pa.string()), ("version", pa.int64())]),
+            ),
+        ]
+    )
+
+
+def checkpoint_delta(spark: SparkSession, path: str) -> int:
+    """Write a parquet CHECKPOINT of the current snapshot
+    (``<v>.checkpoint.parquet`` + ``_last_checkpoint``), so the next
+    reader replays ONE parquet file plus post-checkpoint commits
+    instead of the whole JSON history. Returns the checkpointed
+    version.
+
+    This is the log-replay scale lever: a table written by a streaming
+    sink accumulates a commit per micro-batch, and at 100 TB a cold
+    reader replaying tens of thousands of KB-sized JSON reads is
+    metadata-bound before it touches data. Delta's own answer is the
+    checkpoint (delta-spark writes one every 10 commits); this emits
+    the same artifact for the fallback log: the reconciled action set
+    — protocol, metaData, every live add (stats + DV descriptors
+    intact, so data skipping still works post-checkpoint), and the txn
+    app versions that carry streaming idempotence.
+
+    Time travel to PRE-checkpoint versions keeps working because JSON
+    commits are left in place (``delta_snapshot`` falls back to pure
+    JSON replay when ``versionAsOf`` predates the checkpoint). The
+    parquet is staged and ``os.replace``d, and ``_last_checkpoint`` is
+    rewritten last — a reader never observes a half-written
+    checkpoint."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    base = _local_path(path).rstrip("/")
+    snap = delta_snapshot(spark, base)
+    schema = _checkpoint_arrow_schema()
+
+    def _known(action: dict, col: str) -> dict:
+        # project onto the checkpoint columns (a foreign writer may have
+        # committed extra keys, e.g. add.tags — not part of a checkpoint)
+        names = {f.name for f in schema.field(col).type}
+        return {k: v for k, v in action.items() if k in names and v is not None}
+
+    rows: list[dict] = [{"protocol": _known(snap.protocol, "protocol")}]
+    md = dict(snap.metadata_raw)
+    md.setdefault("format", {"provider": "parquet"})
+    rows.append({"metaData": _known(md, "metaData")})
+    for app_id, ver in sorted(snap.app_versions.items()):
+        rows.append({"txn": {"appId": app_id, "version": ver}})
+    for rel in sorted(snap.files):
+        add = dict(snap.adds_raw.get(rel) or {"path": rel})
+        add.setdefault("partitionValues", snap.files[rel])
+        add.setdefault("size", 0)
+        add.setdefault("modificationTime", 0)
+        add.setdefault("dataChange", True)
+        stats = add.get("stats")
+        if stats is not None and not isinstance(stats, str):
+            add["stats"] = json.dumps(stats)
+        rows.append({"add": _known(add, "add")})
+
+    log = f"{base}/_delta_log"
+    tab = pa.Table.from_pylist(rows, schema=schema)
+    tmp = f"{log}/.ckpt-{uuid.uuid4().hex}.parquet"
+    papq.write_table(tab, tmp)
+    os.replace(tmp, f"{log}/{snap.version:020d}.checkpoint.parquet")
+    last = f"{log}/_last_checkpoint"
+    with open(f"{last}.tmp", "w") as f:
+        json.dump({"version": snap.version, "size": len(rows)}, f)
+    os.replace(f"{last}.tmp", last)
+    return snap.version
 
 
 def write_delta_minimal(

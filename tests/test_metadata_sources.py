@@ -1096,6 +1096,193 @@ class TestDeltaMerge:
             delta_version_diff(spark, path, 0, 1)
 
 
+def _colmap_table(spark, tmp_path):
+    """Tiny column-mapped delta table: logical names with spaces mapped
+    to physical col-x/col-y parquet names (mode 'name')."""
+    import json as _json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    base = str(tmp_path / "cm_small")
+    os.makedirs(base)
+    papq.write_table(
+        pa.table({"col-x": [1, 2, 3], "col-y": ["a", "b", "c"]}),
+        f"{base}/part-0.parquet",
+    )
+    schema_json = {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "my id",
+                "type": "long",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-x",
+                },
+            },
+            {
+                "name": "the value",
+                "type": "string",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-y",
+                },
+            },
+        ],
+    }
+    _write_commit(
+        base + "/_delta_log",
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "cm-small",
+                    "schemaString": _json.dumps(schema_json),
+                    "partitionColumns": [],
+                    "format": {"provider": "parquet"},
+                    "configuration": {"delta.columnMapping.mode": "name"},
+                }
+            },
+            {
+                "add": {
+                    "path": "part-0.parquet",
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+            },
+        ],
+    )
+    return base
+
+
+class TestDeltaCheckpointWriter:
+    """checkpoint_delta (sources/delta.py): the log-replay scale lever —
+    a cold reader replays one parquet + post-checkpoint commits instead
+    of the whole JSON history (delta-spark writes the same artifact
+    every 10 commits)."""
+
+    @staticmethod
+    def _seed(spark, path):
+        from lakeapi_spark.sources.delta import write_delta
+
+        df = spark.range(40).selectExpr(
+            "id AS k", "id * 2 AS v", "CAST(id % 4 AS STRING) AS p"
+        )
+        write_delta(df, path, mode="append", partition_by=["p"])
+        write_delta(
+            df.filter("k < 8"),
+            path,
+            mode="append",
+            partition_by=["p"],
+            txn_app_id="app1",
+            txn_version=7,
+        )
+
+    def test_snapshot_roundtrip_and_replay_from_checkpoint(self, spark, tmp_path):
+        import os
+
+        from lakeapi_spark.sources.delta import (
+            checkpoint_delta,
+            delta_snapshot,
+            read_delta_fallback,
+        )
+
+        path = str(tmp_path / "c1")
+        self._seed(spark, path)
+        before = delta_snapshot(spark, path)
+        assert checkpoint_delta(spark, path) == 1
+        after = delta_snapshot(spark, path)
+        # the reconciled state survives verbatim: files, per-file stats
+        # (data skipping), streaming txn versions, schema, protocol
+        assert after.files == before.files
+        assert after.stats == before.stats
+        assert after.app_versions == {"app1": 7}
+        assert after.schema.simpleString() == before.schema.simpleString()
+        assert after.protocol == before.protocol
+        # replay really starts at the checkpoint: corrupt every JSON
+        # commit at or before it — reads must not touch them
+        log = f"{path}/_delta_log"
+        for name in os.listdir(log):
+            if name.endswith(".json"):
+                with open(f"{log}/{name}", "w") as f:
+                    f.write("{corrupt")
+        assert read_delta_fallback(spark, path).count() == 48
+
+    def test_time_travel_before_checkpoint_still_works(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import checkpoint_delta, delta_snapshot
+
+        path = str(tmp_path / "c2")
+        self._seed(spark, path)
+        checkpoint_delta(spark, path)
+        # versionAsOf predating the checkpoint falls back to JSON replay
+        from lakeapi_spark.sources.delta import read_delta_fallback
+
+        v0 = delta_snapshot(spark, path, version_as_of=0)
+        assert v0.version == 0
+        assert read_delta_fallback(spark, path, version_as_of=0).count() == 40
+
+    def test_post_checkpoint_commits_apply_on_top(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import (
+            checkpoint_delta,
+            delta_snapshot,
+            read_delta_fallback,
+            write_delta,
+        )
+
+        path = str(tmp_path / "c3")
+        self._seed(spark, path)
+        checkpoint_delta(spark, path)
+        df = spark.range(100, 110).selectExpr(
+            "id AS k", "id * 2 AS v", "CAST(id % 4 AS STRING) AS p"
+        )
+        write_delta(df, path, mode="append", partition_by=["p"])
+        assert delta_snapshot(spark, path).version == 2
+        assert read_delta_fallback(spark, path).count() == 58
+
+    def test_checkpoint_preserves_data_skipping(self, spark, tmp_path):
+        """Predicate file-pruning must survive checkpointing — stats ride
+        the checkpoint's add.stats JSON strings."""
+        from lakeapi_spark.sources.delta import (
+            checkpoint_delta,
+            read_delta_fallback,
+            write_delta,
+        )
+
+        path = str(tmp_path / "c4")
+        # one file per k-range via partition column → disjoint min/max
+        df = spark.range(400).selectExpr(
+            "id AS k", "CAST(id DIV 100 AS STRING) AS p"
+        )
+        write_delta(df, path, mode="append", partition_by=["p"])
+        checkpoint_delta(spark, path)
+        pruned = read_delta_fallback(spark, path, predicates=[("k", 0, 50)])
+        assert len(pruned.inputFiles()) < len(
+            read_delta_fallback(spark, path).inputFiles()
+        )
+        assert pruned.filter("k <= 50").count() == 51
+
+    def test_checkpoint_preserves_column_mapping_config(self, spark, tmp_path):
+        """metaData.configuration rides the checkpoint's map column —
+        a column-mapped table stays readable (logical names) after its
+        log is checkpointed."""
+        from lakeapi_spark.sources.delta import checkpoint_delta, delta_snapshot
+        from lakeapi_spark.sources.readers import read_source
+
+        base = _colmap_table(spark, tmp_path)
+        checkpoint_delta(spark, base)
+        snap = delta_snapshot(spark, base)
+        assert snap.column_mapping_mode == "name"
+        df = read_source(spark, base, "delta")
+        assert df.columns == ["my id", "the value"]
+
+
 def test_read_source_orc_roundtrip(spark, tmp_path):
     """ORC rides Spark's native reader with the same pushdown machinery
     as parquet (beyond the reference's FileTypes)."""
