@@ -3279,6 +3279,67 @@ def delta_version_diff_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta_version_diff(spark, dest, 0, 1)
 
 
+def _dv_demo_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once demo delta table for the deletion-vector query:
+    orders keys+status partitioned by ``bucket``, then ONE merge-on-read
+    DELETE of every ``o_orderkey % 13 == 0`` row via deletion vectors
+    (sources/delta.py:delete_delta) — no data file is rewritten, the
+    commit is roaring bitmaps + log metadata. Deterministic function of
+    the orders table, so DuckDB re-derives the post-delete contents."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from lakeapi_spark.sources.delta import delete_delta, write_delta
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "lakeapi_delta_dv_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    marker = os.path.join(dest, "_dv_done")
+    if not os.path.exists(marker):
+        if os.path.isdir(dest):  # stale partial build: start over
+            shutil.rmtree(dest)
+        base = table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_orderkey") % 4).cast("string").alias("bucket"),
+        )
+        write_delta(base, dest, mode="append", partition_by=["bucket"])
+        delete_delta(spark, dest, "o_orderkey % 13 = 0")
+        with open(marker, "w") as f:
+            f.write("v1\n")
+    return dest
+
+
+@register(
+    "delta_delete_dv",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_orderkey % 4 AS VARCHAR) AS bucket
+    FROM orders WHERE o_orderkey % 13 <> 0
+    """,
+)
+def delta_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors, end-to-end: the
+    post-delete snapshot of :func:`_dv_demo_table` — read through the
+    fallback's roaring-bitmap anti-join (delta.py:_files_to_df,
+    sources/dv.py) — must equal DuckDB's WHERE-filtered reconstruction.
+    One hash compare proves bitmap serialize/parse, Z85 uuid paths, the
+    DV file framing, the protocol upgrade to readerFeatures, and the
+    (file, row_index) anti-join semantics. The reference REJECTS DV
+    tables (README.md:66) — this is one feature past its boundary, and
+    the 100 TB rationale is the point: the delete wrote kilobytes of
+    bitmap instead of rewriting every 13th-row-containing file."""
+    from lakeapi_spark.sources.readers import read_source
+
+    dest = _dv_demo_table(spark, sf_dir)
+    return read_source(spark, dest, "delta").select(
+        "o_orderkey", "o_orderstatus", "bucket"
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H coverage widening (round 3): q8/q12/q13/q18/q19/q21/q22 shapes
 # adapted to the driver schema (no partsupp/commitdate/receiptdate/phone

@@ -15,8 +15,9 @@ Spark:
   reconciling add/remove files, taking the schema from
   ``metaData.schemaString`` (which IS Spark StructType JSON),
   resolving column mapping by reading the physical schema and casting
-  back to logical names, and rejecting exactly the reader features the
-  reference rejects (deletion vectors & co., DeltaProtocolError).
+  back to logical names, applying deletion vectors (sources/dv.py —
+  one feature PAST the reference's support line), and rejecting any
+  other reader feature loudly (DeltaProtocolError).
 
 Fallback scale notes (documented, not hidden): the log listing and
 replay are driver-side metadata work over the Hadoop FS API (object
@@ -41,16 +42,19 @@ from pyspark.sql import types as T
 
 class DeltaProtocolError(ValueError):
     """Table requires reader features this fallback doesn't implement.
-    Mirrors the reference's support surface exactly (README.md:66):
-    column mapping IS supported (the reference reads mapped tables via
-    deltalake2db — tests/test_colmap.py); deletion vectors are NOT."""
+    The reference stops at column mapping (README.md:66: deletion
+    vectors unsupported); this fallback goes one feature further and
+    reads deletion vectors too — anything else (v2Checkpoint,
+    typeWidening, ...) is rejected loudly."""
 
 
 #: minReaderVersion-3 reader features this fallback implements.
 #: columnMapping: physical->logical renames below; timestampNtz: just a
-#: schema type Spark reads natively. deletionVectors & co. are rejected
-#: loudly — same boundary as the reference (README.md:66).
-_SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz"}
+#: schema type Spark reads natively; deletionVectors: roaring-bitmap
+#: row filters (sources/dv.py) applied in _files_to_df — one feature
+#: PAST the reference's support boundary (README.md:66). Anything else
+#: is rejected loudly.
+_SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz", "deletionVectors"}
 
 
 @dataclass
@@ -109,9 +113,8 @@ def _apply_action(snap: DeltaSnapshot, action: dict) -> None:
             if unsupported:
                 raise DeltaProtocolError(
                     f"reader features {sorted(unsupported)} are not supported by the "
-                    "protocol-log fallback (the reference draws the same line: column "
-                    "mapping yes, deletion vectors no — README.md:66); install "
-                    "delta-spark for this table"
+                    "protocol-log fallback (column mapping, timestampNtz and deletion "
+                    "vectors are); install delta-spark for this table"
                 )
         elif mrv > 3:
             raise DeltaProtocolError(
@@ -264,26 +267,152 @@ def _physical_type(dt: T.DataType) -> T.DataType:
     return dt
 
 
+#: above this many deleted rows the anti-join side stops being
+#: broadcast and shuffles instead (delta rewrites files long before a
+#: DV gets near this, so broadcast is the overwhelmingly common plan)
+_DV_BROADCAST_LIMIT = 4_000_000
+
+
+def _file_dv(snap: DeltaSnapshot, rel: str) -> dict | None:
+    return (snap.adds_raw.get(rel) or {}).get("deletionVector") or None
+
+
+#: scheme prefix of a URI ("file:///", "s3a://", ...) — folded to a
+#: single "/" on BOTH sides of the DV position join so driver-derived
+#: paths and _metadata.file_path agree regardless of scheme spelling
+_SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*:/+"
+
+
+def _norm_path(uri: str) -> str:
+    import os
+    import re
+
+    stripped = re.sub(_SCHEME_RE, "/", uri)
+    if not stripped.startswith("/"):  # relative local path
+        return os.path.abspath(stripped)
+    return os.path.normpath(stripped)
+
+
+def _read_file_bytes(spark: SparkSession, full_path: str) -> bytes:
+    """DV blobs are KB-scale; read locally when possible, else through
+    the Hadoop FS (object stores)."""
+    import os
+
+    local = _local_path(full_path)
+    if os.path.exists(local):
+        with open(local, "rb") as f:
+            return f.read()
+    return _read_json_bytes(spark, full_path)
+
+
+def _deleted_positions_df(
+    spark: SparkSession, base: str, snap: DeltaSnapshot, dv_files: list[str]
+) -> tuple[DataFrame, int]:
+    """(file_name, row position) rows for every deleted row in
+    ``dv_files``, plus the total cardinality. The driver reads only the
+    DV payload BYTES (bounded: KB per file by design — delta compacts a
+    file once its DV grows); the bitmap→positions expansion, which can
+    be millions of rows, runs on executors via mapInPandas."""
+    import pandas as pd
+
+    from lakeapi_spark.sources.dv import (
+        dv_relative_path,
+        unpack_dv_at,
+        z85_decode,
+    )
+
+    blob_cache: dict[str, bytes] = {}
+    rows = []
+    total_card = 0
+    for rel in dv_files:
+        dv = _file_dv(snap, rel)
+        st = dv["storageType"]
+        if st == "i":
+            # z85 pads to 4-byte groups; sizeInBytes trims the padding
+            payload = z85_decode(dv["pathOrInlineDv"])[: int(dv["sizeInBytes"])]
+        elif st in ("u", "p"):
+            full = (
+                f"{base}/{dv_relative_path(dv['pathOrInlineDv'])}"
+                if st == "u"
+                else dv["pathOrInlineDv"]
+            )
+            if full not in blob_cache:
+                blob_cache[full] = _read_file_bytes(spark, full)
+            payload = unpack_dv_at(
+                blob_cache[full], int(dv.get("offset") or 0), int(dv["sizeInBytes"])
+            )
+        else:
+            raise DeltaProtocolError(f"unknown DV storageType {st!r}")
+        card = int(dv.get("cardinality") or 0)
+        total_card += card
+        rows.append((_norm_path(f"{base}/{rel}"), bytearray(payload), card))
+
+    src = spark.createDataFrame(
+        rows, "__dv_file string, payload binary, cardinality long"
+    )
+
+    # executors don't have lakeapi_spark on their import path (the repo
+    # is sys.path-injected on the driver, not pip-installed): ship the
+    # dv module's functions BY VALUE inside the closure instead of by
+    # importable reference
+    from pyspark import cloudpickle as _cp
+
+    from lakeapi_spark.sources import dv as _dv_mod
+
+    _cp.register_pickle_by_value(_dv_mod)
+    parse_rba = _dv_mod.parse_rba
+
+    def decode(batches):
+        for pdf in batches:
+            for fn, payload, card in zip(
+                pdf["__dv_file"], pdf["payload"], pdf["cardinality"]
+            ):
+                pos = parse_rba(bytes(payload))
+                if card and card != len(pos):
+                    raise ValueError(
+                        f"DV cardinality mismatch for {fn}: descriptor says "
+                        f"{card}, bitmap has {len(pos)}"
+                    )
+                yield pd.DataFrame(
+                    {"__dv_file": fn, "__dv_pos": pd.Series(pos, dtype="int64")}
+                )
+
+    out = src.repartition(max(1, min(len(rows), 64))).mapInPandas(
+        decode, "__dv_file string, __dv_pos long"
+    )
+    return out, total_card
+
+
 def _files_to_df(
     spark: SparkSession,
     base: str,
     snap: DeltaSnapshot,
     files: dict[str, dict[str, str]],
     file_col: str | None = None,
+    pos_col: str | None = None,
 ) -> DataFrame:
     """Turn a subset of a snapshot's add-files into a DataFrame with the
     snapshot's LOGICAL schema. Data columns come from the parquet files
     with the log-declared schema enforced; partition columns come from
     the LOG (injected per distinct partition tuple), which is the
     protocol's source of truth — directory names are only a convention.
-    ``file_col`` optionally appends each row's absolute scanned path
-    (``_metadata.file_path``) — the per-row provenance merge_delta uses
-    to find which files a source key touches.
+    ``file_col``/``pos_col`` optionally append each row's absolute
+    scanned path / in-file row index (``_metadata``) — the per-row
+    provenance merge_delta and delete_delta use.
 
     Column mapping ("name"/"id" — reference parity: the reference reads
     mapped tables, tests/test_colmap.py): files + partition values +
     stats are keyed by PHYSICAL names; read physically, then rename
-    every nesting level back to logical."""
+    every nesting level back to logical.
+
+    DELETION VECTORS: files whose add action carries a
+    ``deletionVector`` descriptor get their deleted row positions
+    anti-joined away on (scheme-normalized file path,
+    ``_metadata.row_index``). DV-free
+    tables take this path with ZERO overhead (no metadata columns, no
+    join); when DVs exist the deleted side is broadcast below
+    ``_DV_BROADCAST_LIMIT`` total cardinality, so the "join" is a
+    map-side bloom-like probe, not a shuffle."""
     pcols = snap.partition_columns
     phys = {f.name: _physical_name(f) for f in snap.schema.fields}
     data_fields = [f for f in snap.schema.fields if f.name not in pcols]
@@ -294,12 +423,19 @@ def _files_to_df(
         ]
     )
     ptypes = {f.name: f.dataType for f in snap.schema.fields if f.name in pcols}
-    out_cols = [f.name for f in snap.schema.fields] + ([file_col] if file_col else [])
+
+    dv_files = [p for p in files if _file_dv(snap, p)]
+    extra_cols = ([file_col] if file_col else []) + ([pos_col] if pos_col else [])
+    out_cols = [f.name for f in snap.schema.fields] + extra_cols
+    scan_cols = out_cols + (
+        ["__dv_file", "__dv_pos"] if dv_files else []
+    )
 
     if not files:
         schema = T.StructType(
             list(snap.schema.fields)
             + ([T.StructField(file_col, T.StringType())] if file_col else [])
+            + ([T.StructField(pos_col, T.LongType())] if pos_col else [])
         )
         return spark.createDataFrame([], schema)
 
@@ -311,19 +447,36 @@ def _files_to_df(
     parts = []
     for key, paths in sorted(groups.items(), key=lambda kv: tuple(str(k) for k in kv[0])):
         df = spark.read.schema(data_schema).parquet(*paths)
+        meta_cols = []
+        if file_col:
+            meta_cols.append(F.col("_metadata.file_path").alias(file_col))
+        if pos_col:
+            meta_cols.append(F.col("_metadata.row_index").alias(pos_col))
+        if dv_files:
+            meta_cols.append(
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), _SCHEME_RE, "/"
+                ).alias("__dv_file")
+            )
+            meta_cols.append(F.col("_metadata.row_index").alias("__dv_pos"))
         renamed = df.select(
             *[
                 F.col(phys[f.name]).cast(f.dataType).alias(f.name)
                 for f in data_fields
             ],
-            *([F.col("_metadata.file_path").alias(file_col)] if file_col else []),
+            *meta_cols,
         )
         for c, v in zip(pcols, key):
             renamed = renamed.withColumn(c, _partition_lit(v, ptypes[c]))
-        parts.append(renamed.select(out_cols))
+        parts.append(renamed.select(scan_cols))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if dv_files:
+        deleted, total_card = _deleted_positions_df(spark, base, snap, dv_files)
+        if total_card <= _DV_BROADCAST_LIMIT:
+            deleted = F.broadcast(deleted)
+        out = out.join(deleted, ["__dv_file", "__dv_pos"], "left_anti").select(out_cols)
     return out
 
 
@@ -750,8 +903,10 @@ def merge_delta(
         snap2 = delta_snapshot(spark, base)
         # conflict check: the analysis is invalid if ANY file changed
         # (an added file may contain matching keys; a removed touched
-        # file means our removes would resurrect/duplicate data)
-        if snap2.files.keys() != snap.files.keys():
+        # file means our removes would resurrect/duplicate data; a new
+        # DV on an analyzed file means our rewrite would resurrect
+        # concurrently deleted rows)
+        if _file_identities(snap2) != _file_identities(snap):
             raise ConcurrentDeltaModificationError(
                 f"concurrent commit changed {base} during merge "
                 f"(analyzed v{snap.version}, now v{snap2.version}); re-run merge"
@@ -760,6 +915,202 @@ def merge_delta(
     raise RuntimeError(
         f"could not commit merge to {base} after {max_commit_retries} attempts"
     )
+
+
+def _file_identities(snap: DeltaSnapshot) -> dict[str, tuple]:
+    """path -> (path, DV identity): the unit of change detection. Two
+    snapshots agree on a file only if both the data file AND its
+    deletion vector are the same."""
+    out = {}
+    for p in snap.files:
+        dv = _file_dv(snap, p)
+        out[p] = (
+            p,
+            (dv["storageType"], dv["pathOrInlineDv"], dv.get("offset"))
+            if dv
+            else None,
+        )
+    return out
+
+
+def delete_delta(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    max_commit_retries: int = 10,
+    max_deleted_rows: int = 50_000_000,
+) -> int:
+    """DELETE via deletion vectors — the MERGE-ON-READ path: instead of
+    rewriting every file that contains a matching row (copy-on-write,
+    cost ∝ touched DATA), commit a kilobyte roaring bitmap per touched
+    file marking the deleted row positions (cost ∝ deleted ROWS). At
+    100 TB, deleting 0.1 % of rows scattered across every file is the
+    difference between rewriting the table and writing a few MB of
+    bitmaps. Readers apply the DVs automatically (``_files_to_df``);
+    ``optimize_delta`` later purges them by rewriting (REORG-style).
+    delta-spark exposes the same trade as DELETE under
+    ``delta.enableDeletionVectors``. Returns the committed version (or
+    the current one when nothing matched).
+
+    Mechanics:
+    1. one provenance scan with ``_metadata`` (file name + row index)
+       collects matching (file, position) pairs — rows already deleted
+       by an existing DV are excluded by the scan itself, so positions
+       union monotonically;
+    2. per touched file the NEW bitmap = old DV positions ∪ new matches
+       (the descriptor REPLACES the old one per protocol); a file whose
+       every live row matched is dropped with a plain remove instead
+       (no point keeping a fully-dead file);
+    3. all bitmaps for the commit are framed into ONE
+       ``deletion_vector_<uuid>.bin`` (sources/dv.py framing: version
+       byte, per-DV big-endian size + payload + CRC-32);
+    4. the commit re-adds each touched file with the same
+       size/stats/partitionValues and the new DV descriptor, upgrading
+       the protocol to readerVersion 3 / writerVersion 7 with the
+       ``deletionVectors`` feature on first use;
+    5. same put-if-absent commit + conflict rules as merge_delta
+       (a concurrent change to any analyzed file or ITS DV raises
+       :class:`ConcurrentDeltaModificationError`).
+
+    The matched positions are collected to the driver (bounded by
+    ``max_deleted_rows``, default 50M ≈ a few hundred MB): a DELETE
+    matching more rows than that should be a copy-on-write rewrite
+    (``merge_delta`` with when_matched='delete' or an overwrite), which
+    this function enforces by raising."""
+    import os
+    import urllib.parse
+    import uuid
+
+    from lakeapi_spark.sources.dv import (
+        make_dv_descriptor_u,
+        pack_dv_file,
+        read_dv_positions,
+        serialize_rba,
+    )
+
+    base = _local_path(path).rstrip("/")
+    snap = delta_snapshot(spark, base)
+
+    scan = _files_to_df(
+        spark, base, snap, snap.files, file_col="_file", pos_col="_pos"
+    )
+    matches = scan.filter(F.expr(predicate)).select("_file", "_pos")
+    n_matches = matches.count()
+    if n_matches == 0:
+        return snap.version
+    if n_matches > max_deleted_rows:
+        raise ValueError(
+            f"DELETE matches {n_matches} rows (> max_deleted_rows="
+            f"{max_deleted_rows}); a delete this large should rewrite files "
+            "copy-on-write (merge_delta when_matched='delete') instead of "
+            "building giant deletion vectors"
+        )
+    pdf = matches.toPandas()
+
+    abs_to_rel = {os.path.abspath(f"{base}/{rel}"): rel for rel in snap.files}
+    new_positions: dict[str, set[int]] = {}
+    for abs_uri, group in pdf.groupby("_file"):
+        p = urllib.parse.urlparse(abs_uri).path
+        rel = abs_to_rel.get(os.path.abspath(p))
+        if rel is None:  # pragma: no cover - provenance must resolve
+            raise RuntimeError(f"scanned file {p} not in snapshot {base}")
+        new_positions[rel] = set(group["_pos"].tolist())
+
+    def _read_rel(rel_or_abs: str) -> bytes:
+        full = rel_or_abs if rel_or_abs.startswith("/") else f"{base}/{rel_or_abs}"
+        return _read_file_bytes(spark, full)
+
+    removes: list[dict] = []
+    dv_adds: list[tuple[str, list[int]]] = []  # (rel, combined sorted positions)
+    for rel, pos in sorted(new_positions.items()):
+        old_dv = _file_dv(snap, rel)
+        if old_dv:
+            pos = pos | set(read_dv_positions(old_dv, _read_rel))
+        combined = sorted(pos)
+        num_records = (snap.stats.get(rel) or {}).get("numRecords")
+        if num_records is not None and len(combined) >= int(num_records):
+            # every physical row is dead: drop the file outright
+            removes.append(
+                {"remove": {"path": rel, "deletionTimestamp": 0, "dataChange": True}}
+            )
+        else:
+            dv_adds.append((rel, combined))
+
+    adds: list[dict] = []
+    if dv_adds:
+        dv_uuid = uuid.uuid4()
+        payloads = [serialize_rba(pos) for _rel, pos in dv_adds]
+        blob, offsets = pack_dv_file(payloads)
+        with open(f"{base}/deletion_vector_{dv_uuid}.bin", "wb") as f:
+            f.write(blob)
+        for (rel, pos), payload, offset in zip(dv_adds, payloads, offsets):
+            add = dict(snap.adds_raw.get(rel) or {"path": rel})
+            add.setdefault("partitionValues", snap.files[rel])
+            add["dataChange"] = True
+            if add.get("stats") is not None and not isinstance(add["stats"], str):
+                add["stats"] = json.dumps(add["stats"])  # protocol: JSON string
+            add["deletionVector"] = make_dv_descriptor_u(
+                "", dv_uuid, offset, len(payload), len(pos)
+            )
+            removes.append(
+                {"remove": {"path": rel, "deletionTimestamp": 0, "dataChange": True}}
+            )
+            adds.append({"add": add})
+
+    log = f"{base}/_delta_log"
+    for _attempt in range(max_commit_retries):
+        actions: list[dict] = []
+        proto = snap.protocol
+        if "deletionVectors" not in (proto.get("readerFeatures") or []):
+            actions.append({"protocol": _protocol_with_dv(snap)})
+        actions.extend(removes + adds)
+        version = snap.version + 1
+        if _try_commit(log, version, actions):
+            return version
+        snap2 = delta_snapshot(spark, base)
+        if _file_identities(snap2) != _file_identities(snap):
+            raise ConcurrentDeltaModificationError(
+                f"concurrent commit changed {base} during delete "
+                f"(analyzed v{snap.version}, now v{snap2.version}); re-run delete"
+            )
+        snap = snap2
+    raise RuntimeError(
+        f"could not commit delete to {base} after {max_commit_retries} attempts"
+    )
+
+
+#: legacy minWriterVersion -> the explicit writer feature list it
+#: implies when upgrading to table features (writerVersion 7)
+_LEGACY_WRITER_FEATURES = {
+    2: ["appendOnly", "invariants"],
+    3: ["appendOnly", "invariants", "checkConstraints"],
+    4: ["appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+        "generatedColumns"],
+    5: ["appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+        "generatedColumns", "columnMapping"],
+    6: ["appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+        "generatedColumns", "columnMapping", "identityColumns"],
+}
+
+
+def _protocol_with_dv(snap: DeltaSnapshot) -> dict:
+    """The table-features protocol action that adds deletionVectors:
+    readerVersion 3 / writerVersion 7, with legacy versions' implied
+    features made explicit (per the protocol's upgrade rules)."""
+    proto = snap.protocol
+    reader = set(proto.get("readerFeatures") or [])
+    if proto.get("minReaderVersion", 1) == 2 or snap.column_mapping_mode != "none":
+        reader.add("columnMapping")
+    reader.add("deletionVectors")
+    writer = set(proto.get("writerFeatures") or [])
+    writer.update(_LEGACY_WRITER_FEATURES.get(proto.get("minWriterVersion", 2), []))
+    writer.add("deletionVectors")
+    return {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": sorted(reader),
+        "writerFeatures": sorted(writer),
+    }
 
 
 def delta_version_diff(
@@ -787,8 +1138,17 @@ def delta_version_diff(
             f"schema changed between v{s_from.version} and v{s_to.version}; "
             "row diff is undefined across schema evolution"
         )
-    only_to = {p: pv for p, pv in s_to.files.items() if p not in s_from.files}
-    only_from = {p: pv for p, pv in s_from.files.items() if p not in s_to.files}
+    # identity = (path, DV): a DELETE that only attached a new deletion
+    # vector re-adds the same path — the file must land on BOTH sides
+    # (its rows read under each snapshot's own DV, so the freshly
+    # deleted rows surface as 'delete' rows in the multiset difference)
+    ids_from, ids_to = _file_identities(s_from), _file_identities(s_to)
+    only_to = {
+        p: pv for p, pv in s_to.files.items() if ids_to[p] not in set(ids_from.values())
+    }
+    only_from = {
+        p: pv for p, pv in s_from.files.items() if ids_from[p] not in set(ids_to.values())
+    }
     added = _files_to_df(spark, base, s_to, only_to)
     removed = _files_to_df(spark, base, s_from, only_from)
     return added.exceptAll(removed).withColumn(
@@ -899,6 +1259,13 @@ def optimize_delta(
     pays per-file open costs. Readers time-traveling to pre-OPTIMIZE
     versions still see the old files (VACUUM is the one that deletes).
 
+    Deletion vectors: a partition group containing DV'd files is always
+    rewritten (even when already at the target file count) with the DVs
+    APPLIED, and the new adds carry no descriptor — the same
+    purge-on-compact contract as delta's ``REORG TABLE ... APPLY
+    (PURGE)``. Merge-on-read deletes thus stay cheap at delete time and
+    get folded into data at maintenance time.
+
     Returns the committed version. Data is rewritten executor-parallel
     (one coalesced write per partition tuple); only the commit is
     driver-side."""
@@ -908,8 +1275,14 @@ def optimize_delta(
     base = _local_path(path).rstrip("/")
     snap = delta_snapshot(spark, base)
     pcols = snap.partition_columns
+    phys = {f.name: _physical_name(f) for f in snap.schema.fields}
     data_fields = [f for f in snap.schema.fields if f.name not in pcols]
-    data_schema = T.StructType(data_fields)
+    data_schema = T.StructType(
+        [
+            T.StructField(phys[f.name], _physical_type(f.dataType), f.nullable)
+            for f in data_fields
+        ]
+    )
 
     groups: dict[tuple, list[str]] = {}
     for rel, pvals in snap.files.items():
@@ -918,9 +1291,19 @@ def optimize_delta(
     adds: list[dict] = []
     removes: list[dict] = []
     for key, rels in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
-        if len(rels) <= target_files_per_partition:
+        has_dv = any(_file_dv(snap, r) for r in rels)
+        if len(rels) <= target_files_per_partition and not has_dv:
             continue
-        df = spark.read.schema(data_schema).parquet(*[f"{base}/{r}" for r in rels])
+        if has_dv:
+            # DV purge: read through the DV-applying scan (logical
+            # names), then rename back to the physical in-file names
+            df = _files_to_df(
+                spark, base, snap, {r: snap.files[r] for r in rels}
+            ).select(
+                *[F.col(f.name).alias(phys[f.name]) for f in data_fields]
+            )
+        else:
+            df = spark.read.schema(data_schema).parquet(*[f"{base}/{r}" for r in rels])
         staging = f"{base}/.optimize-{uuid.uuid4().hex}"
         df.coalesce(target_files_per_partition).write.mode("overwrite").parquet(staging)
         rel_dir = "/".join(
@@ -934,17 +1317,19 @@ def optimize_delta(
                 continue
             rel = f"{rel_dir}/{name}" if rel_dir else name
             os.replace(f"{staging}/{name}", f"{base}/{rel}")
-            adds.append(
-                {
-                    "add": {
-                        "path": rel,
-                        "partitionValues": dict(zip(pcols, key)),
-                        "size": os.path.getsize(f"{base}/{rel}"),
-                        "modificationTime": 0,
-                        "dataChange": False,
-                    }
-                }
-            )
+            add = {
+                "path": rel,
+                "partitionValues": dict(zip(pcols, key)),
+                "size": os.path.getsize(f"{base}/{rel}"),
+                "modificationTime": 0,
+                "dataChange": False,
+            }
+            # compacted files keep data skipping (and the numRecords
+            # that lets a later full-file DELETE drop them outright)
+            stats = _file_stats_json(f"{base}/{rel}")
+            if stats:
+                add["stats"] = stats
+            adds.append({"add": add})
         import shutil
 
         shutil.rmtree(staging, ignore_errors=True)
@@ -976,20 +1361,29 @@ def vacuum_delta(spark: SparkSession, path: str, keep_versions: int = 0) -> list
     Time travel keeps working back to ``latest - keep_versions``;
     earlier versions become unreadable — delta's retention tradeoff,
     expressed in versions instead of hours for deterministic tests.
-    Returns the deleted relative paths."""
+    Deletion-vector ``.bin`` files are vacuumed by the same rule: kept
+    while any retained version's add references them, deleted once only
+    purged/rewritten versions do. Returns the deleted relative paths."""
     import os
+
+    from lakeapi_spark.sources.dv import dv_relative_path
 
     base = _local_path(path).rstrip("/")
     latest = delta_snapshot(spark, base).version
     keep_from = max(0, latest - keep_versions)
     referenced: set[str] = set()
     for v in range(keep_from, latest + 1):
-        referenced |= set(delta_snapshot(spark, base, version_as_of=v).files)
+        vsnap = delta_snapshot(spark, base, version_as_of=v)
+        referenced |= set(vsnap.files)
+        for rel in vsnap.files:
+            dv = _file_dv(vsnap, rel)
+            if dv and dv["storageType"] == "u":
+                referenced.add(dv_relative_path(dv["pathOrInlineDv"]))
     deleted: list[str] = []
     for root, dirs, files in os.walk(base):
         dirs[:] = [d for d in dirs if d != "_delta_log" and not d.startswith(".")]
         for name in files:
-            if not name.endswith(".parquet"):
+            if not (name.endswith(".parquet") or name.endswith(".bin")):
                 continue
             full = os.path.join(root, name)
             rel = os.path.relpath(full, base)

@@ -437,10 +437,11 @@ def test_delta_fallback_partition_pruning(spark, delta_table):
 
 
 def test_delta_fallback_rejects_advanced_protocol(spark, tmp_path, delta_table):
-    """Unsupported reader features must fail loudly — the reference's
-    boundary (README.md:66): column mapping supported, deletion vectors
-    not. A v3 protocol that omits the mandatory readerFeatures list is
-    malformed and also rejected rather than guessed at."""
+    """Unsupported reader features must fail loudly (the fallback goes
+    one feature past the reference's README.md:66 boundary: deletion
+    vectors ARE read; v2Checkpoint & co. are not). A v3 protocol that
+    omits the mandatory readerFeatures list is malformed and also
+    rejected rather than guessed at."""
     from lakeapi_spark.sources.delta import DeltaProtocolError
 
     _, meta = delta_table
@@ -459,11 +460,11 @@ def test_delta_fallback_rejects_advanced_protocol(spark, tmp_path, delta_table):
         0,
         [
             {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                          "readerFeatures": ["deletionVectors"]}},
+                          "readerFeatures": ["v2Checkpoint"]}},
             meta,
         ],
     )
-    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
         read_source(spark, base3, "delta")
 
     base4 = str(tmp_path / "dv_tbl4")
@@ -1409,22 +1410,23 @@ def test_delta_fallback_column_mapping(spark, tmp_path):
     # filter on the logical (spaced) name, like the reference's colmap test
     assert df.filter(F.col("`Super Name_`") == "John Duncan").count() == 1
 
-    # reader-feature boundary: columnMapping as a v3 feature is fine,
-    # deletionVectors raises — the reference's exact support line
+    # reader-feature boundary: columnMapping AND deletionVectors as v3
+    # features are fine (one past the reference's support line);
+    # anything further (v2Checkpoint) raises
     _write_commit(
         base + "/_delta_log",
         1,
         [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                       "readerFeatures": ["columnMapping"]}}],
+                       "readerFeatures": ["columnMapping", "deletionVectors"]}}],
     )
     assert read_source(spark, base, "delta").count() == 2
     _write_commit(
         base + "/_delta_log",
         2,
         [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                       "readerFeatures": ["columnMapping", "deletionVectors"]}}],
+                       "readerFeatures": ["columnMapping", "v2Checkpoint"]}}],
     )
-    with _pytest.raises(DeltaProtocolError, match="deletionVectors"):
+    with _pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
         read_source(spark, base, "delta")
 
 
