@@ -509,13 +509,68 @@ def read_delta_fallback(
     return _files_to_df(spark, base, snap, files)
 
 
+def delta_timestamp_version(spark: SparkSession, uri: str, ts_ms: int) -> int:
+    """Resolve ``timestampAsOf`` to a version: the LATEST version whose
+    commit timestamp is <= the requested time — delta's documented
+    timestamp time-travel rule. Commit timestamps are the log files'
+    modification times, which is delta's own DEFAULT source (the
+    in-commit-timestamps table feature is the opt-in exception), made
+    monotonic the same way delta adjusts them: a commit whose mtime is
+    not strictly after its predecessor's reads as predecessor + 1 ms.
+    Driver-side metadata-only work: one log listing, no file reads."""
+    from lakeapi_spark.sources.fs import list_children
+
+    log_dir = f"{uri.rstrip('/')}/_delta_log"
+    commits: dict[int, int] = {}
+    for path, is_dir, mtime in list_children(spark, log_dir):
+        name = path.rsplit("/", 1)[-1]
+        stem = name[:-5]
+        if not is_dir and name.endswith(".json") and stem.isdigit():
+            commits[int(stem)] = mtime
+    if not commits:
+        raise FileNotFoundError(f"no delta commits under {log_dir}")
+    chosen = None
+    prev_ts = -1
+    for v in sorted(commits):
+        ts = max(commits[v], prev_ts + 1)  # monotonic adjustment
+        prev_ts = ts
+        if ts <= ts_ms:
+            chosen = v
+    if chosen is None:
+        raise ValueError(
+            f"timestampAsOf {ts_ms} predates the first commit of {uri} "
+            f"(earliest commit timestamp {min(commits.values())})"
+        )
+    return chosen
+
+
+def _to_ts_ms(value) -> int:
+    """timestampAsOf accepts epoch ms (int), a datetime, or an ISO
+    'YYYY-MM-DD[ HH:MM:SS]' string (delta-spark's option format)."""
+    import datetime as dt
+
+    if isinstance(value, (int, float)):
+        return int(value)
+    if isinstance(value, dt.datetime):
+        return int(value.timestamp() * 1000)
+    s = str(value).strip()
+    for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d"):
+        try:
+            parsed = dt.datetime.strptime(s, fmt).replace(tzinfo=dt.timezone.utc)
+            return int(parsed.timestamp() * 1000)
+        except ValueError:
+            continue
+    raise ValueError(f"cannot parse timestampAsOf value {value!r}")
+
+
 def read_delta(
     spark: SparkSession,
     uri: str,
     options: dict[str, str] | None = None,
 ) -> DataFrame:
     """delta-spark when available; protocol-log fallback otherwise.
-    Honors the reader option ``versionAsOf`` on both paths."""
+    Honors the reader options ``versionAsOf`` and ``timestampAsOf`` on
+    both paths."""
     opts = dict(options or {})
     try:
         import delta  # noqa: F401 - presence check only
@@ -523,6 +578,11 @@ def read_delta(
         return spark.read.options(**opts).format("delta").load(uri)
     except ImportError:
         version = opts.pop("versionAsOf", None)
+        ts = opts.pop("timestampAsOf", None)
+        if version is not None and ts is not None:
+            raise ValueError("versionAsOf and timestampAsOf are mutually exclusive")
+        if ts is not None:
+            version = delta_timestamp_version(spark, uri, _to_ts_ms(ts))
         return read_delta_fallback(
             spark, uri, int(version) if version is not None else None
         )
@@ -1220,20 +1280,32 @@ def last_txn_version(spark: SparkSession, path: str, app_id: str) -> int:
     return snap.app_versions.get(app_id, -1)
 
 
-def delta_stream_sink(path: str, app_id: str, partition_by: list[str] | None = None):
+def delta_stream_sink(
+    path: str,
+    app_id: str,
+    partition_by: list[str] | None = None,
+    checkpoint_every: int = 10,
+):
     """foreachBatch writer with EXACTLY-ONCE semantics on a delta table:
     each micro-batch commits atomically with a ``txn`` marker, and a
     replayed batch (the at-least-once foreachBatch contract) is SKIPPED
     when its batch_id is already recorded for ``app_id`` — the delta-
     native upgrade of the `_batch_id`-partition-overwrite pattern in
     streaming.pipeline.parquet_batch_sink (and exactly what delta-spark's
-    ``txnAppId``/``txnVersion`` options do)."""
+    ``txnAppId``/``txnVersion`` options do).
+
+    ``checkpoint_every``: a streaming sink is exactly the writer that
+    makes log replay the bottleneck (one commit per micro-batch,
+    thousands per day), so every Nth committed version also writes a
+    parquet checkpoint (:func:`checkpoint_delta`, delta-spark's own
+    default cadence is 10) — cold readers replay one parquet + at most
+    N-1 JSON commits instead of the full history. 0 disables."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if batch_id <= last_txn_version(spark, path, app_id):
             return  # already committed: replay is a no-op
-        write_delta(
+        version = write_delta(
             batch_df,
             path,
             mode="append",
@@ -1241,6 +1313,8 @@ def delta_stream_sink(path: str, app_id: str, partition_by: list[str] | None = N
             txn_app_id=app_id,
             txn_version=batch_id,
         )
+        if checkpoint_every and version and version % checkpoint_every == 0:
+            checkpoint_delta(spark, path)
 
     return write
 

@@ -1284,6 +1284,100 @@ class TestDeltaCheckpointWriter:
         assert df.columns == ["my id", "the value"]
 
 
+class TestDeltaTimestampTravel:
+    """timestampAsOf resolution (delta.py:delta_timestamp_version):
+    latest version whose commit timestamp <= the ask, commit timestamps
+    from log-file mtimes (delta's default source) with the monotonic
+    adjustment."""
+
+    @staticmethod
+    def _stamp(path, version, ts_ms):
+        import os
+
+        f = f"{path}/_delta_log/{version:020d}.json"
+        os.utime(f, (ts_ms / 1000, ts_ms / 1000))
+
+    def test_resolution_and_boundaries(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import (
+            delta_timestamp_version,
+            write_delta,
+        )
+        from lakeapi_spark.sources.readers import read_source
+
+        path = str(tmp_path / "tt1")
+        df = spark.range(5).selectExpr("id AS k")
+        write_delta(df, path)  # v0
+        write_delta(df.selectExpr("k + 10 AS k"), path)  # v1
+        write_delta(df.selectExpr("k + 20 AS k"), path)  # v2
+        t0, t1, t2 = 1_000_000, 2_000_000, 3_000_000
+        self._stamp(path, 0, t0)
+        self._stamp(path, 1, t1)
+        self._stamp(path, 2, t2)
+        assert delta_timestamp_version(spark, path, t0) == 0
+        assert delta_timestamp_version(spark, path, t1 - 1) == 0
+        assert delta_timestamp_version(spark, path, t1) == 1
+        assert delta_timestamp_version(spark, path, t2 + 10**9) == 2
+        with pytest.raises(ValueError, match="predates the first commit"):
+            delta_timestamp_version(spark, path, t0 - 1)
+        # reader-option plumbing: epoch-ms spelled as a string option
+        got = read_source(
+            spark, path, "delta", {"timestampAsOf": t1}
+        )
+        assert sorted(r.k for r in got.collect()) == list(range(5)) + list(
+            range(10, 15)
+        )
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            read_source(
+                spark, path, "delta", {"versionAsOf": "1", "timestampAsOf": t1}
+            )
+
+    def test_monotonic_adjustment(self, spark, tmp_path):
+        """A later commit with an EARLIER mtime (clock skew, file copy)
+        reads as predecessor+1ms — versions never reorder in time."""
+        from lakeapi_spark.sources.delta import delta_timestamp_version, write_delta
+
+        path = str(tmp_path / "tt2")
+        df = spark.range(3).selectExpr("id AS k")
+        write_delta(df, path)  # v0
+        write_delta(df, path, mode="overwrite")  # v1
+        self._stamp(path, 0, 5_000_000)
+        self._stamp(path, 1, 4_000_000)  # skewed backwards
+        # v1's effective timestamp = 5_000_000 + 1
+        assert delta_timestamp_version(spark, path, 5_000_000) == 0
+        assert delta_timestamp_version(spark, path, 5_000_001) == 1
+
+    def test_iso_string_parsing(self):
+        from lakeapi_spark.sources.delta import _to_ts_ms
+
+        assert _to_ts_ms("1970-01-01 00:00:10") == 10_000
+        assert _to_ts_ms("1970-01-02") == 86_400_000
+        assert _to_ts_ms(1234) == 1234
+        with pytest.raises(ValueError, match="cannot parse"):
+            _to_ts_ms("not-a-time")
+
+
+def test_stream_sink_auto_checkpoints(spark, tmp_path):
+    """delta_stream_sink writes a parquet checkpoint every Nth version —
+    the per-micro-batch commit stream is exactly the workload that makes
+    cold-reader log replay metadata-bound without one."""
+    import os
+
+    from lakeapi_spark.sources.delta import delta_stream_sink, read_delta_fallback
+
+    path = str(tmp_path / "sink_ckpt")
+    write = delta_stream_sink(path, app_id="ckpt-test", checkpoint_every=3)
+    df = spark.range(4).selectExpr("id AS k")
+    for batch_id in range(5):  # versions 0..4 -> checkpoint at v3
+        write(df, batch_id)
+    log = f"{path}/_delta_log"
+    names = os.listdir(log)
+    assert f"{3:020d}.checkpoint.parquet" in names
+    assert "_last_checkpoint" in names
+    # replayed batch is still a no-op (exactly-once survives)
+    write(df, 2)
+    assert read_delta_fallback(spark, path).count() == 20
+
+
 def test_read_source_orc_roundtrip(spark, tmp_path):
     """ORC rides Spark's native reader with the same pushdown machinery
     as parquet (beyond the reference's FileTypes)."""
