@@ -711,6 +711,7 @@ def write_delta(
     txn_version: int | None = None,
     max_commit_retries: int = 10,
     collect_stats: bool = True,
+    merge_schema: bool = False,
 ) -> int:
     """EXECUTOR-PARALLEL delta writer without delta-spark: Spark writes
     the parquet data files (distributed, partitioned layouts included),
@@ -738,7 +739,13 @@ def write_delta(
     them); correctness is carried by the log alone. Schema: the FULL
     df schema (incl. partition columns) lands in metaData per the
     protocol; appends to an existing table with a different schema are
-    rejected (no evolution here).
+    rejected unless ``merge_schema=True`` (delta-spark's
+    ``mergeSchema`` option): NEW columns are appended to the table
+    schema in one metaData action — old files read back null-filled
+    for them, the appended files null-fill any table column the df
+    lacks, and a type CHANGE on an existing column is always rejected
+    (no widening). Column-mapped tables can't take new columns here
+    (each would need a physicalName/id assignment).
     """
     import os
     import uuid
@@ -779,12 +786,12 @@ def write_delta(
                 }
             )
         elif snap.schema.simpleString() != df.schema.simpleString():
-            # names+types must match; nullability intentionally ignored
-            # (a parquet round trip flips non-null range() columns)
-            raise ValueError(
-                f"append schema mismatch for {base}: table has "
-                f"{snap.schema.simpleString()}, df has {df.schema.simpleString()}"
-            )
+            merged = _merged_append_schema(snap, df.schema, merge_schema, base)
+            if merged is not None:
+                md = dict(snap.metadata_raw)
+                md["schemaString"] = merged.json()
+                md.setdefault("format", {"provider": "parquet"})
+                actions.append({"metaData": md})
         if txn_app_id is not None:
             actions.append(
                 {"txn": {"appId": txn_app_id, "version": int(txn_version or 0)}}
@@ -802,6 +809,45 @@ def write_delta(
         f"could not commit to {base} after {max_commit_retries} attempts "
         "(concurrent writers)"
     )
+
+
+def _merged_append_schema(
+    snap: DeltaSnapshot, df_schema: T.StructType, merge_schema: bool, base: str
+) -> T.StructType | None:
+    """Schema reconciliation for appends whose schema differs from the
+    table's. Returns the WIDENED table schema when ``merge_schema``
+    admits the difference (new columns appended; a None return means
+    the difference collapsed to column ORDER only, needing no metaData
+    change), else raises — existing columns never change type, and a df
+    may omit table columns (they read back null) but a df column that
+    exists with another type is a conflict."""
+    table_fields = {f.name: f for f in snap.schema.fields}
+    for f in df_schema.fields:
+        have = table_fields.get(f.name)
+        if have is not None and (
+            have.dataType.simpleString() != f.dataType.simpleString()
+        ):
+            raise ValueError(
+                f"append schema mismatch for {base}: column {f.name!r} is "
+                f"{have.dataType.simpleString()} in the table but "
+                f"{f.dataType.simpleString()} in the df (type changes are "
+                "never merged)"
+            )
+    new_fields = [f for f in df_schema.fields if f.name not in table_fields]
+    if not merge_schema:
+        raise ValueError(
+            f"append schema mismatch for {base}: table has "
+            f"{snap.schema.simpleString()}, df has {df_schema.simpleString()} "
+            "(pass merge_schema=True to append new columns)"
+        )
+    if new_fields and snap.column_mapping_mode != "none":
+        raise NotImplementedError(
+            "merge_schema cannot add columns to a column-mapped table "
+            "(each new column needs a physicalName/id assignment)"
+        )
+    if not new_fields:
+        return None  # column-order difference only; table schema stands
+    return T.StructType(list(snap.schema.fields) + new_fields)
 
 
 def _try_commit(log_dir: str, version: int, actions: list[dict]) -> bool:

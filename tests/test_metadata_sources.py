@@ -1284,6 +1284,69 @@ class TestDeltaCheckpointWriter:
         assert df.columns == ["my id", "the value"]
 
 
+class TestDeltaMergeSchema:
+    """write_delta(merge_schema=True): delta-spark's mergeSchema —
+    new columns widen the table schema in one metaData action; data in
+    place is never rewritten (old files read back null-filled)."""
+
+    def test_new_column_appended_and_null_filled(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import read_delta_fallback, write_delta
+
+        path = str(tmp_path / "ms1")
+        write_delta(spark.range(3).selectExpr("id AS k"), path)
+        write_delta(
+            spark.range(3, 6).selectExpr("id AS k", "id * 10 AS extra"),
+            path,
+            merge_schema=True,
+        )
+        df = read_delta_fallback(spark, path)
+        assert df.columns == ["k", "extra"]
+        got = {r.k: r.extra for r in df.collect()}
+        assert got == {0: None, 1: None, 2: None, 3: 30, 4: 40, 5: 50}
+
+    def test_df_may_omit_table_columns(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import read_delta_fallback, write_delta
+
+        path = str(tmp_path / "ms2")
+        write_delta(spark.range(2).selectExpr("id AS k", "id AS v"), path)
+        write_delta(
+            spark.range(10, 12).selectExpr("id AS k"), path, merge_schema=True
+        )
+        got = {r.k: r.v for r in read_delta_fallback(spark, path).collect()}
+        assert got == {0: 0, 1: 1, 10: None, 11: None}
+
+    def test_rejections(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import write_delta
+
+        path = str(tmp_path / "ms3")
+        write_delta(spark.range(2).selectExpr("id AS k"), path)
+        # without the flag: mismatch still raises, pointing at the flag
+        with pytest.raises(ValueError, match="merge_schema=True"):
+            write_delta(
+                spark.range(2).selectExpr("id AS k", "id AS extra"), path
+            )
+        # type change: rejected even WITH the flag
+        with pytest.raises(ValueError, match="type changes are never merged"):
+            write_delta(
+                spark.range(2).selectExpr("CAST(id AS STRING) AS k"),
+                path,
+                merge_schema=True,
+            )
+
+    def test_time_travel_sees_old_schema(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import read_delta_fallback, write_delta
+
+        path = str(tmp_path / "ms4")
+        write_delta(spark.range(2).selectExpr("id AS k"), path)
+        write_delta(
+            spark.range(2).selectExpr("id AS k", "id AS w"),
+            path,
+            merge_schema=True,
+        )
+        assert read_delta_fallback(spark, path, version_as_of=0).columns == ["k"]
+        assert read_delta_fallback(spark, path).columns == ["k", "w"]
+
+
 class TestDeltaTimestampTravel:
     """timestampAsOf resolution (delta.py:delta_timestamp_version):
     latest version whose commit timestamp <= the ask, commit timestamps
