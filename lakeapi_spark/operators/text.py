@@ -360,3 +360,64 @@ def fingerprint(text: Column) -> Column:
     engines, so it gets a strong oracle.)"""
     normalized = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
     return F.md5(normalized)
+
+
+#: PII patterns applied IN ORDER (email before phone/ip so an address
+#: containing digits is redacted as one unit). Every pattern is written
+#: in the common subset of Java regex (Spark executors) and RE2
+#: (DuckDB oracle): no lookaround, no backreferences, ASCII \b and \d —
+#: so the scrub is bit-identically reproducible by the oracle. The
+#: reference has no PII surface; this is a training-data-pipeline
+#: first-class op (curation before pretraining).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\+\d[\d ()-]{7,}\d", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def scrub_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Redact PII spans in ``text_col``: sequential regexp_replace per
+    :data:`PII_PATTERNS` plus a per-kind hit count (``n_<kind>``,
+    counted on the ORIGINAL text so counts are order-independent) and
+    their ``n_pii`` total — the filter signal for dropping PII-heavy
+    documents. Pure JVM expressions (regexp_replace / regexp_count):
+    zero Python cost, whole-stage-codegen'd, scales as a map-only pass
+    with no shuffle."""
+    scrubbed = F.col(text_col)
+    for _name, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _repl in PII_PATTERNS
+    ]
+    out = df.select(
+        F.col(id_col),
+        scrubbed.alias("scrubbed"),
+        *counts,
+    )
+    total = sum((F.col(f"n_{name}") for name, _p, _r in PII_PATTERNS), F.lit(0))
+    return out.withColumn("n_pii", total.cast("long"))
+
+
+def scrub_pii_oracle_sql(text_expr: str) -> str:
+    """The DuckDB twin of :func:`scrub_pii` for a given text
+    expression: nested regexp_replace with the 'g' flag (Spark
+    replaces all occurrences by default) and regexp_extract_all
+    lengths for the counts."""
+    scrubbed = text_expr
+    for _name, pat, repl in PII_PATTERNS:
+        escaped = pat.replace("'", "''")
+        scrubbed = f"regexp_replace({scrubbed}, '{escaped}', '{repl}', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all({text_expr}, '{pat}')) AS n_{name}"
+        for name, pat, _repl in PII_PATTERNS
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all({text_expr}, '{pat}'))"
+        for name, pat, _repl in PII_PATTERNS
+    )
+    return (
+        f"{scrubbed} AS scrubbed, {counts}, CAST({total} AS BIGINT) AS n_pii"
+    )

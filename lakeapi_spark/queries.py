@@ -1216,6 +1216,52 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
+def _pii_oracle() -> str:
+    from lakeapi_spark.operators.text import scrub_pii_oracle_sql
+
+    enriched = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com or +1 ' || CAST(doc_id % 900 + 100 AS VARCHAR) || "
+        "'-555-0199 at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+    )
+    return f"""
+    WITH enriched AS (SELECT doc_id, {enriched} AS t FROM documents)
+    SELECT doc_id, {scrub_pii_oracle_sql('t')}
+    FROM enriched
+    """
+
+
+@register("pii_scrub_docs", _pii_oracle())
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents (training-data curation): emails,
+    SSNs, phone numbers and IPv4s replaced by typed tokens, with
+    per-kind hit counts and an ``n_pii`` total for PII-density
+    filtering. The documents text is synthetic (no real PII), so the
+    query ENRICHES each doc with deterministic doc_id-derived PII in
+    BOTH engines — the hash compare then proves the scrub itself
+    (pattern semantics, replace-all behavior, application order)
+    rather than a vacuous zero-match pass. Map-only, no shuffle, pure
+    codegen expressions (operators/text.py:scrub_pii)."""
+    from lakeapi_spark.operators.text import scrub_pii
+
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    enriched = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            did.cast("string"),
+            F.lit("@example.com or +1 "),
+            (did % 900 + 100).cast("string"),
+            F.lit("-555-0199 at 10.0."),
+            (did % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("t"),
+    )
+    return scrub_pii(enriched, "doc_id", "t")
+
+
 @register("text_lang_id", None)  # oracle injected below (built from the lexicon)
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeapi_spark.operators.text import lang_id

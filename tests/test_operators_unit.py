@@ -757,3 +757,56 @@ def test_unigram_logprob_matches_naive(spark, token_docs):
         for r in unigram_logprob(df, "doc_id", "text").collect()
     }
     assert got == expect
+
+
+class TestScrubPii:
+    """operators/text.py:scrub_pii — redaction + counts, hand-built
+    edge cases (the oracle-parity query proves corpus-scale identity
+    with DuckDB; this pins the intended semantics)."""
+
+    def _run(self, spark, text):
+        from lakeapi_spark.operators.text import scrub_pii
+
+        df = spark.createDataFrame([(1, text)], "id long, t string")
+        return scrub_pii(df, "id", "t").collect()[0]
+
+    def test_each_kind_redacts(self, spark):
+        r = self._run(
+            spark,
+            "mail a.b+c@ex-am.ple.org ssn 123-45-6789 call +1 (415) 555-0199 "
+            "host 192.168.0.1 done",
+        )
+        assert r.scrubbed == "mail <EMAIL> ssn <SSN> call <PHONE> host <IP> done"
+        assert (r.n_email, r.n_ssn, r.n_phone, r.n_ipv4) == (1, 1, 1, 1)
+        assert r.n_pii == 4
+
+    def test_email_swallows_embedded_host_and_counts_are_on_original(self, spark):
+        # the address contains an ip-shaped host: ONE email redaction
+        # (order: email first), but counts — taken on the original
+        # text — see both the email and the ip pattern hit
+        r = self._run(spark, "x root@10.0.0.1.example.com y")
+        assert r.scrubbed == "x <EMAIL> y"
+        assert r.n_email == 1 and r.n_ipv4 == 1
+        assert r.n_pii == 2
+
+    def test_clean_text_untouched(self, spark):
+        r = self._run(spark, "nothing sensitive here, version 1.2 at 3pm")
+        assert r.scrubbed == "nothing sensitive here, version 1.2 at 3pm"
+        assert r.n_pii == 0
+
+    def test_multiple_hits_same_kind(self, spark):
+        r = self._run(spark, "a@b.co c@d.io e@f.net")
+        assert r.scrubbed == "<EMAIL> <EMAIL> <EMAIL>"
+        assert r.n_email == 3 and r.n_pii == 3
+
+    def test_plan_is_map_only(self, spark):
+        from lakeapi_spark.operators.text import scrub_pii
+
+        df = spark.range(10).selectExpr("id", "CAST(id AS STRING) AS t")
+        plan = (
+            scrub_pii(df, "id", "t")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan  # no shuffle: pure projection
