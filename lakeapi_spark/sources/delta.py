@@ -802,7 +802,7 @@ def write_delta(
                     {"remove": {"path": old, "deletionTimestamp": 0, "dataChange": True}}
                 )
         actions.extend(adds)
-        if _try_commit(log, version, actions):
+        if _try_commit(log, version, actions, operation="WRITE"):
             return version
         # lost the race: re-snapshot, retry at next version
     raise RuntimeError(
@@ -850,13 +850,31 @@ def _merged_append_schema(
     return T.StructType(list(snap.schema.fields) + new_fields)
 
 
-def _try_commit(log_dir: str, version: int, actions: list[dict]) -> bool:
+def _try_commit(
+    log_dir: str, version: int, actions: list[dict], operation: str | None = None
+) -> bool:
     """Put-if-absent commit: ``O_CREAT|O_EXCL`` on the versioned
     filename IS delta's LogStore atomicity contract for POSIX-visible
     paths (see write_delta's docstring for the object-store caveat).
-    Returns False when another writer took this version first."""
-    import os
+    Returns False when another writer took this version first.
 
+    ``operation`` prepends a ``commitInfo`` action (operation name +
+    wall-clock timestamp + add/remove counts) — pure audit metadata
+    (readers skip it; checkpoints drop it per protocol) surfaced by
+    :func:`delta_history`."""
+    import os
+    import time
+
+    if operation is not None:
+        info = {
+            "timestamp": int(time.time() * 1000),
+            "operation": operation,
+            "operationMetrics": {
+                "numAddedFiles": sum(1 for a in actions if "add" in a),
+                "numRemovedFiles": sum(1 for a in actions if "remove" in a),
+            },
+        }
+        actions = [{"commitInfo": info}] + actions
     payload = "".join(json.dumps(a) + "\n" for a in actions)
     try:
         fd = os.open(
@@ -1004,7 +1022,7 @@ def merge_delta(
     ]
     for _attempt in range(max_commit_retries):
         version = snap.version + 1
-        if _try_commit(log, version, removes + adds):
+        if _try_commit(log, version, removes + adds, operation="MERGE"):
             return version
         snap2 = delta_snapshot(spark, base)
         # conflict check: the analysis is invalid if ANY file changed
@@ -1171,7 +1189,7 @@ def delete_delta(
             actions.append({"protocol": _protocol_with_dv(snap)})
         actions.extend(removes + adds)
         version = snap.version + 1
-        if _try_commit(log, version, actions):
+        if _try_commit(log, version, actions, operation="DELETE"):
             return version
         snap2 = delta_snapshot(spark, base)
         if _file_identities(snap2) != _file_identities(snap):
@@ -1462,16 +1480,8 @@ def optimize_delta(
     log = f"{base}/_delta_log"
     for _attempt in range(10):
         version = delta_snapshot(spark, base).version + 1
-        try:
-            fd = os.open(
-                f"{log}/{version:020d}.json", os.O_CREAT | os.O_EXCL | os.O_WRONLY
-            )
-        except FileExistsError:
-            continue
-        with os.fdopen(fd, "w") as f:
-            for a in removes + adds:
-                f.write(json.dumps(a) + "\n")
-        return version
+        if _try_commit(log, version, removes + adds, operation="OPTIMIZE"):
+            return version
     raise RuntimeError(f"could not commit OPTIMIZE to {base} (concurrent writers)")
 
 
@@ -1511,6 +1521,120 @@ def vacuum_delta(spark: SparkSession, path: str, keep_versions: int = 0) -> list
                 os.remove(full)
                 deleted.append(rel)
     return sorted(deleted)
+
+
+def delta_history(spark: SparkSession, path: str) -> list[dict]:
+    """DESCRIBE HISTORY: one dict per version, newest first —
+    version, timestamp (the commit's ``commitInfo.timestamp`` when
+    present, else the log file's mtime), operation name, and the
+    add/remove counts. Driver-side metadata only: reads each commit
+    JSON once (KBs), no data IO. Commits this module writes carry
+    ``commitInfo`` (operation WRITE/MERGE/DELETE/OPTIMIZE/RESTORE);
+    foreign commits without one report operation None."""
+    from lakeapi_spark.sources.fs import list_children
+
+    log_dir = f"{path.rstrip('/')}/_delta_log"
+    out = []
+    for fpath, is_dir, mtime in list_children(spark, log_dir):
+        name = fpath.rsplit("/", 1)[-1]
+        stem = name[:-5]
+        if is_dir or not name.endswith(".json") or not stem.isdigit():
+            continue
+        entry = {
+            "version": int(stem),
+            "timestamp": mtime,
+            "operation": None,
+            "numAddedFiles": 0,
+            "numRemovedFiles": 0,
+        }
+        for line in _read_json_bytes(spark, fpath).splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "commitInfo" in action:
+                info = action["commitInfo"]
+                entry["operation"] = info.get("operation")
+                if info.get("timestamp") is not None:
+                    entry["timestamp"] = int(info["timestamp"])
+                metrics = info.get("operationMetrics") or {}
+                for k in ("numAddedFiles", "numRemovedFiles"):
+                    if k in metrics:
+                        entry[k] = int(metrics[k])
+            elif "add" in action:
+                entry["numAddedFiles"] += 1
+            elif "remove" in action:
+                entry["numRemovedFiles"] += 1
+        out.append(entry)
+    return sorted(out, key=lambda e: -e["version"])
+
+
+def restore_delta(
+    spark: SparkSession, path: str, version: int, max_commit_retries: int = 10
+) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF: one commit that makes the
+    LATEST version's file set (and schema) equal the target version's —
+    removes files added since, re-adds files removed since (with their
+    original stats and DV descriptors), re-emits the old metaData when
+    the schema changed. History is preserved: the restore is a new
+    version on top, so the "bad" versions remain time-travelable —
+    exactly delta-spark's RESTORE semantics, and the cheapest possible
+    undo at 100 TB (pure log metadata, zero data IO).
+
+    Raises if a file the target version needs has been VACUUMed away
+    (delta errors the same way), or
+    :class:`ConcurrentDeltaModificationError` on a conflicting
+    concurrent commit."""
+    import os
+
+    from lakeapi_spark.sources.dv import dv_relative_path
+
+    base = _local_path(path).rstrip("/")
+    target = delta_snapshot(spark, base, version)
+    needed = list(target.files)
+    for rel in target.files:  # a restored DV'd file also needs its bin
+        dv = _file_dv(target, rel)
+        if dv and dv["storageType"] == "u":
+            needed.append(dv_relative_path(dv["pathOrInlineDv"]))
+    missing = [rel for rel in needed if not os.path.exists(f"{base}/{rel}")]
+    if missing:
+        raise ValueError(
+            f"cannot restore {base} to v{version}: {len(missing)} data "
+            f"file(s) were vacuumed (e.g. {missing[0]}); that version is "
+            "no longer reconstructable"
+        )
+    log = f"{base}/_delta_log"
+    snap = delta_snapshot(spark, base)
+    for _attempt in range(max_commit_retries):
+        cur_ids = _file_identities(snap)
+        tgt_ids = _file_identities(target)
+        actions: list[dict] = []
+        if snap.schema.simpleString() != target.schema.simpleString() or (
+            snap.partition_columns != target.partition_columns
+        ):
+            md = dict(target.metadata_raw)
+            md.setdefault("format", {"provider": "parquet"})
+            actions.append({"metaData": md})
+        for rel in snap.files:
+            if cur_ids[rel] not in set(tgt_ids.values()):
+                actions.append(
+                    {"remove": {"path": rel, "deletionTimestamp": 0, "dataChange": True}}
+                )
+        for rel in target.files:
+            if tgt_ids[rel] not in set(cur_ids.values()):
+                add = dict(target.adds_raw.get(rel) or {"path": rel})
+                add.setdefault("partitionValues", target.files[rel])
+                if add.get("stats") is not None and not isinstance(add["stats"], str):
+                    add["stats"] = json.dumps(add["stats"])
+                actions.append({"add": add})
+        if not actions:
+            return snap.version  # already at the target state
+        new_version = snap.version + 1
+        if _try_commit(log, new_version, actions, operation="RESTORE"):
+            return new_version
+        snap = delta_snapshot(spark, base)
+    raise ConcurrentDeltaModificationError(
+        f"could not commit RESTORE to {base} after {max_commit_retries} attempts"
+    )
 
 
 #: checkpoint parquet layout: one action per row, exactly one non-null

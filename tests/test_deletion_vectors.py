@@ -339,7 +339,7 @@ class TestDeleteDelta:
         real_try = delta_mod._try_commit
         state = {"raced": False}
 
-        def racing_try(log_dir, version, actions):
+        def racing_try(log_dir, version, actions, operation=None):
             if not state["raced"]:
                 state["raced"] = True
                 delta_mod.delete_delta(spark, path, "k = 4")

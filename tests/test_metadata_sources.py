@@ -1040,7 +1040,7 @@ class TestDeltaMerge:
         real_try = delta_mod._try_commit
         state = {"raced": False}
 
-        def racing_try(log_dir, version, actions):
+        def racing_try(log_dir, version, actions, operation=None):
             if not state["raced"]:
                 state["raced"] = True
                 with open(f"{log_dir}/{version:020d}.json", "w") as f:
@@ -1345,6 +1345,92 @@ class TestDeltaMergeSchema:
         )
         assert read_delta_fallback(spark, path, version_as_of=0).columns == ["k"]
         assert read_delta_fallback(spark, path).columns == ["k", "w"]
+
+
+class TestDeltaHistoryRestore:
+    """DESCRIBE HISTORY + RESTORE (delta.py:delta_history/restore_delta):
+    commitInfo-backed audit trail and metadata-only undo."""
+
+    def test_history_operations_and_counts(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import (
+            delete_delta,
+            delta_history,
+            merge_delta,
+            write_delta,
+        )
+
+        path = str(tmp_path / "h1")
+        df = spark.range(20).selectExpr("id AS k", "id AS v", "'a' AS p")
+        write_delta(df, path, partition_by=["p"])
+        merge_delta(
+            spark.createDataFrame([(1, 99, "a")], "k long, v long, p string"),
+            path,
+            on=["k"],
+        )
+        delete_delta(spark, path, "k = 5")
+        hist = delta_history(spark, path)
+        assert [h["version"] for h in hist] == [2, 1, 0]
+        assert [h["operation"] for h in hist] == ["DELETE", "MERGE", "WRITE"]
+        assert hist[-1]["numAddedFiles"] >= 1 and hist[-1]["numRemovedFiles"] == 0
+        assert hist[0]["numRemovedFiles"] >= 1  # the DV re-add removes first
+        assert all(h["timestamp"] > 0 for h in hist)
+
+    def test_restore_undoes_delete_and_keeps_history(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import (
+            delete_delta,
+            delta_history,
+            read_delta_fallback,
+            restore_delta,
+        )
+
+        path = str(tmp_path / "h2")
+        df = spark.range(30).selectExpr("id AS k", "id AS v", "'a' AS p")
+        from lakeapi_spark.sources.delta import write_delta
+
+        write_delta(df, path, partition_by=["p"])
+        delete_delta(spark, path, "k % 2 = 0")
+        assert read_delta_fallback(spark, path).count() == 15
+        v = restore_delta(spark, path, 0)
+        assert v == 2
+        assert read_delta_fallback(spark, path).count() == 30
+        # the restored-over version is still time-travelable
+        assert read_delta_fallback(spark, path, version_as_of=1).count() == 15
+        assert delta_history(spark, path)[0]["operation"] == "RESTORE"
+
+    def test_restore_undoes_overwrite_schema_change(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import (
+            read_delta_fallback,
+            restore_delta,
+            write_delta,
+        )
+
+        path = str(tmp_path / "h3")
+        write_delta(spark.range(5).selectExpr("id AS k"), path)
+        write_delta(
+            spark.range(3).selectExpr("id AS k", "id AS extra"),
+            path,
+            mode="overwrite",
+        )
+        restore_delta(spark, path, 0)
+        df = read_delta_fallback(spark, path)
+        assert df.columns == ["k"] and df.count() == 5
+
+    def test_restore_noop_and_vacuumed_guard(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import (
+            restore_delta,
+            vacuum_delta,
+            write_delta,
+        )
+
+        path = str(tmp_path / "h4")
+        write_delta(spark.range(5).selectExpr("id AS k"), path)
+        assert restore_delta(spark, path, 0) == 0  # already there: no commit
+        write_delta(
+            spark.range(9).selectExpr("id AS k"), path, mode="overwrite"
+        )
+        vacuum_delta(spark, path)  # drops v0's files
+        with pytest.raises(ValueError, match="vacuumed"):
+            restore_delta(spark, path, 0)
 
 
 class TestDeltaTimestampTravel:
