@@ -368,3 +368,148 @@ class TestDeleteDelta:
         plan = read_delta_fallback(spark, path)._jdf.queryExecution().executedPlan().toString()
         assert "Join" not in plan
         assert "__dv_pos" not in plan
+
+
+def test_dv_anti_join_is_broadcast(spark, tmp_path):
+    """Small DVs (the overwhelmingly common case) must apply as a
+    BROADCAST left-anti join — a map-side probe, not a shuffle of the
+    scanned data."""
+    from lakeapi_spark.sources.delta import (
+        delete_delta,
+        read_delta_fallback,
+        write_delta,
+    )
+
+    path = str(tmp_path / "bplan")
+    # one multi-row file per partition (coalesce) so the delete takes
+    # the DV path rather than dropping single-row files outright
+    df = spark.range(100).selectExpr(
+        "id AS k", "id * 2 AS v", "CAST(id % 4 AS STRING) AS p"
+    ).coalesce(1)
+    write_delta(df, path, mode="append", partition_by=["p"])
+    delete_delta(spark, path, "k % 11 = 0")
+    plan = (
+        read_delta_fallback(spark, path)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # the scanned side must not shuffle for the join
+    assert "Exchange hashpartitioning" not in plan.split("BroadcastHashJoin")[0]
+
+
+def _dv_log_table(tmp_path, name, dv_descriptor):
+    """10-row single-file table whose add carries ``dv_descriptor``."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    base = str(tmp_path / name)
+    os.makedirs(base)
+    papq.write_table(pa.table({"x": list(range(10))}), f"{base}/f0.parquet")
+    os.makedirs(f"{base}/_delta_log")
+    schema_str = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "x", "type": "long", "nullable": True, "metadata": {}}
+            ],
+        }
+    )
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+            }
+        },
+        {
+            "metaData": {
+                "id": name,
+                "schemaString": schema_str,
+                "partitionColumns": [],
+                "format": {"provider": "parquet"},
+                "configuration": {},
+            }
+        },
+        {
+            "add": {
+                "path": "f0.parquet",
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+                "deletionVector": dv_descriptor,
+            }
+        },
+    ]
+    with open(f"{base}/_delta_log/{0:020d}.json", "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    return base
+
+
+def test_foreign_prefixed_u_descriptor(spark, tmp_path):
+    """delta-spark writes 'u' descriptors with a random directory
+    prefix before the z85 uuid; the bin lives under <table>/<prefix>/."""
+    import os
+    import uuid
+
+    from lakeapi_spark.sources.delta import read_delta_fallback
+
+    payload = D.serialize_rba([2, 5])
+    blob, offsets = D.pack_dv_file([payload])
+    u = uuid.uuid4()
+    desc = D.make_dv_descriptor_u("ab", u, offsets[0], len(payload), 2)
+    base = _dv_log_table(tmp_path, "prefixed", desc)
+    os.makedirs(f"{base}/ab")
+    with open(f"{base}/ab/deletion_vector_{u}.bin", "wb") as f:
+        f.write(blob)
+    got = sorted(r.x for r in read_delta_fallback(spark, base).collect())
+    assert got == [0, 1, 3, 4, 6, 7, 8, 9]
+
+
+def test_foreign_absolute_p_descriptor(spark, tmp_path):
+    """storageType 'p': the descriptor names the bin by absolute path."""
+    from lakeapi_spark.sources.delta import read_delta_fallback
+
+    payload = D.serialize_rba([0, 9])
+    blob, offsets = D.pack_dv_file([payload])
+    bin_path = str(tmp_path / "elsewhere.bin")
+    with open(bin_path, "wb") as f:
+        f.write(blob)
+    desc = {
+        "storageType": "p",
+        "pathOrInlineDv": bin_path,
+        "offset": offsets[0],
+        "sizeInBytes": len(payload),
+        "cardinality": 2,
+    }
+    base = _dv_log_table(tmp_path, "absolute", desc)
+    got = sorted(r.x for r in read_delta_fallback(spark, base).collect())
+    assert got == list(range(1, 9))
+
+
+def test_corrupt_dv_checksum_fails_loudly(spark, tmp_path):
+    """A flipped byte in the bin must raise (CRC verify), never return
+    partial rows silently."""
+    import os
+    import uuid
+
+    from lakeapi_spark.sources.delta import read_delta_fallback
+
+    payload = D.serialize_rba([1])
+    blob, offsets = D.pack_dv_file([payload])
+    corrupted = bytearray(blob)
+    corrupted[offsets[0] + 5] ^= 0xFF
+    u = uuid.uuid4()
+    desc = D.make_dv_descriptor_u("", u, offsets[0], len(payload), 1)
+    base = _dv_log_table(tmp_path, "corrupt", desc)
+    with open(f"{base}/deletion_vector_{u}.bin", "wb") as f:
+        f.write(bytes(corrupted))
+    with pytest.raises(Exception, match="checksum"):
+        read_delta_fallback(spark, base).collect()

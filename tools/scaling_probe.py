@@ -41,6 +41,7 @@ PROBED = [
     "dedup_incremental",
     "dedup_semantic_multiprobe",
     "tokens_to_ids_export",
+    "pii_scrub_docs",
 ]
 
 SF_SMALL = "/root/testdata/sf0.01"
