@@ -2441,6 +2441,65 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM tok WHERE term <> '' GROUP BY doc_id, term
+    ), idf AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df
+      FROM tok WHERE term <> '' GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln((n.n + 1.0) / (idf.df + 1.0)), 6) AS score
+      FROM tf JOIN idf USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, score, rank FROM (
+      SELECT doc_id, term, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by smoothed TF-IDF
+    (``tf * ln((N+1)/(df+1))``) — the classic summarization/labeling
+    primitive over a curated corpus. Rank is computed on the ROUNDED
+    score with a term tiebreak, so the result is a total order both
+    engines reproduce bit-identically despite float math. Plan shape:
+    one tokenize pass feeds both the TF aggregate (map-side combined on
+    (doc, term)) and the DF aggregate; the doc-count N is a broadcast
+    scalar; the final top-3 is a bounded per-doc window, never a
+    global sort."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.count()
+    scored = tf.join(idf, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log((F.lit(n) + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "score", "rank")
+    )
+
+
+@register(
     "stratified_split_counts",
     """
     SELECT lang,

@@ -1282,6 +1282,37 @@ def delta_version_diff(
     )
 
 
+def delta_changes(
+    spark: SparkSession, path: str, v_from: int, v_to: int | None = None
+) -> DataFrame:
+    """``table_changes()`` without a change-data feed: per-commit row
+    changes from ``v_from`` (exclusive) to ``v_to`` (inclusive; latest
+    when None), each row tagged ``_change_type`` ('insert'/'delete')
+    and ``_commit_version`` — the incremental-tailing primitive a
+    downstream ETL uses to consume a delta table as a change stream
+    (delta-spark: ``readChangeFeed`` / ``table_changes``).
+
+    One :func:`delta_version_diff` per consecutive version pair, so the
+    cost of tailing N commits is proportional to the DATA CHURN of
+    those commits, never the table: unchanged files cancel by log
+    metadata per pair and are not read. OPTIMIZE-style commits whose
+    rewrites preserve content diff to zero rows (dataChange:false
+    compaction produces no changes — the multiset difference is empty),
+    matching CDF's no-op treatment of pure compaction."""
+    s_to = delta_snapshot(spark, path, v_to)
+    if v_from >= s_to.version:
+        raise ValueError(
+            f"v_from {v_from} must be < the target version {s_to.version}"
+        )
+    out = None
+    for v in range(v_from, s_to.version):
+        step = delta_version_diff(spark, path, v, v + 1).withColumn(
+            "_commit_version", F.lit(v + 1).cast("long")
+        )
+        out = step if out is None else out.unionByName(step)
+    return out
+
+
 def zorder_write(
     df: DataFrame,
     path: str,

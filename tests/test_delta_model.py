@@ -118,3 +118,49 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
             f"extra={sorted(set(got) - set(model))[:5]} "
             f"missing={sorted(set(model) - set(got))[:5]}"
         )
+
+
+def test_delta_changes_tails_commits(spark, tmp_path):
+    """delta_changes: per-commit change rows reconstruct the table —
+    applying inserts minus deletes over the tailed range must equal the
+    final state, and pure OPTIMIZE commits contribute zero rows."""
+    from lakeapi_spark.sources.delta import (
+        delete_delta,
+        delta_changes,
+        merge_delta,
+        optimize_delta,
+        write_delta,
+    )
+
+    path = str(tmp_path / "tail")
+    df = spark.range(20).selectExpr("id AS k", "id AS v", "CAST(id % 2 AS STRING) AS p")
+    write_delta(df, path, partition_by=["p"])  # v0
+    delete_delta(spark, path, "k < 5")  # v1
+    merge_delta(
+        spark.createDataFrame([(7, 700, "1"), (100, 1, "0")], "k long, v long, p string"),
+        path,
+        on=["k"],
+    )  # v2
+    optimize_delta(spark, path)  # v3: compaction only
+    changes = delta_changes(spark, path, 0).collect()
+    by_version = {}
+    for r in changes:
+        by_version.setdefault(r._commit_version, []).append(r)
+    assert set(by_version) <= {1, 2}  # v3 (OPTIMIZE) contributes nothing
+    assert sorted(r.k for r in by_version[1]) == [0, 1, 2, 3, 4]
+    assert all(r._change_type == "delete" for r in by_version[1])
+    v2 = {(r.k, r._change_type) for r in by_version[2]}
+    assert (7, "delete") in v2 and (7, "insert") in v2 and (100, "insert") in v2
+    # replaying the change stream over v0 yields the final state
+    state = {r.k: r.v for r in spark.createDataFrame(
+        [(k, k) for k in range(20)], "k long, v long").collect()}
+    for v in sorted(by_version):
+        for r in sorted(by_version[v], key=lambda r: r._change_type == "insert"):
+            if r._change_type == "delete":
+                del state[r.k]
+            else:
+                state[r.k] = r.v
+    from lakeapi_spark.sources.delta import read_delta_fallback
+
+    final = {r.k: r.v for r in read_delta_fallback(spark, path).collect()}
+    assert state == final
