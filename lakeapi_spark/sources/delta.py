@@ -1041,6 +1041,134 @@ def merge_delta(
     )
 
 
+#: integral widths for the lossless-upcast check
+_INT_ORDER = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+
+
+def _safe_upcast(src: str, dst: str) -> bool:
+    """True when a SET expression of type ``src`` may be stored in a
+    column of type ``dst`` without loss: identity, NULL literals,
+    integral widening, int/float -> double, float widening, date ->
+    timestamp. Anything else — notably string -> numeric, which
+    Spark's when() would silently coerce and then fail row-by-row with
+    ANSI cast errors at write time — must be cast explicitly."""
+    if src == dst or src == "void":
+        return True
+    if src in _INT_ORDER and dst in _INT_ORDER:
+        return _INT_ORDER[src] <= _INT_ORDER[dst]
+    if dst == "double" and (src in _INT_ORDER or src == "float"):
+        return True
+    if src == "date" and dst.startswith("timestamp"):
+        return True
+    return False
+
+
+def update_delta(
+    spark: SparkSession,
+    path: str,
+    set_exprs: dict[str, str],
+    predicate: str = "true",
+    max_commit_retries: int = 10,
+    collect_stats: bool = True,
+) -> int:
+    """UPDATE ... SET as a copy-on-write commit — with
+    :func:`write_delta` (INSERT), :func:`delete_delta` and
+    :func:`merge_delta` this completes the DML surface delta-spark
+    exposes. ``set_exprs`` maps column -> Spark SQL expression evaluated
+    per matching row (e.g. ``{"v": "v * 2", "status": "'X'"}``);
+    ``predicate`` selects the rows. Returns the committed version (the
+    current one when nothing matched).
+
+    Same touched-data cost model and concurrency rules as merge_delta:
+    one provenance scan finds the files containing a matching LIVE row
+    (existing deletion vectors are applied by the scan, and the rewrite
+    folds them in — a touched file comes back DV-free), only those
+    files rewrite, untouched files carry over by log reference, and a
+    conflicting concurrent commit raises
+    :class:`ConcurrentDeltaModificationError`. Updating a PARTITION
+    column is allowed — rewritten rows land in their new partition
+    directories because the rewrite re-partitions by the table's
+    partition columns. Expression type mismatches are rejected up
+    front (the updated relation must keep the table schema)."""
+    import os
+    import urllib.parse
+
+    base = _local_path(path).rstrip("/")
+    snap = delta_snapshot(spark, base)
+    if snap.column_mapping_mode != "none":
+        raise NotImplementedError(
+            "update_delta cannot rewrite column-mapped tables (physical-name "
+            "writes not implemented); use delta-spark"
+        )
+    col_order = [f.name for f in snap.schema.fields]
+    unknown = [c for c in set_exprs if c not in col_order]
+    if unknown:
+        raise ValueError(f"SET columns {unknown} not in schema {col_order}")
+
+    target = _files_to_df(spark, base, snap, snap.files, file_col="_file")
+    cond = F.expr(predicate)
+    matched_files_rows = (
+        target.filter(cond).select("_file").distinct().collect()
+    )
+    if not matched_files_rows:
+        return snap.version  # no-op
+    abs_to_rel = {os.path.abspath(f"{base}/{rel}"): rel for rel in snap.files}
+    touched: list[str] = []
+    for row in matched_files_rows:
+        p = urllib.parse.urlparse(row["_file"]).path
+        rel = abs_to_rel.get(os.path.abspath(p))
+        if rel is None:  # pragma: no cover - provenance must resolve
+            raise RuntimeError(f"scanned file {p} not in snapshot {base}")
+        touched.append(rel)
+
+    touched_rows = _files_to_df(
+        spark, base, snap, {p: snap.files[p] for p in touched}
+    )
+    # type-check each SET expression on its OWN (when() would silently
+    # coerce a mistyped branch to the column type and fail at write
+    # time with an ANSI cast error instead of a clear message)
+    probe = touched_rows.select(
+        *[F.expr(e).alias(c) for c, e in set_exprs.items()]
+    )
+    table_types = {f.name: f.dataType.simpleString() for f in snap.schema.fields}
+    for f in probe.schema.fields:
+        if not _safe_upcast(f.dataType.simpleString(), table_types[f.name]):
+            raise ValueError(
+                f"SET expressions change the schema: column {f.name!r} is "
+                f"{table_types[f.name]} in the table but the expression "
+                f"yields {f.dataType.simpleString()} — cast explicitly"
+            )
+    updated = touched_rows.select(
+        *[
+            F.when(cond, F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in col_order
+        ]
+    )
+
+    adds = _stage_data_files(updated, base, snap.partition_columns, collect_stats)
+    removes = [
+        {"remove": {"path": p, "deletionTimestamp": 0, "dataChange": True}}
+        for p in touched
+    ]
+    log = f"{base}/_delta_log"
+    for _attempt in range(max_commit_retries):
+        version = snap.version + 1
+        if _try_commit(log, version, removes + adds, operation="UPDATE"):
+            return version
+        snap2 = delta_snapshot(spark, base)
+        if _file_identities(snap2) != _file_identities(snap):
+            raise ConcurrentDeltaModificationError(
+                f"concurrent commit changed {base} during update "
+                f"(analyzed v{snap.version}, now v{snap2.version}); re-run update"
+            )
+        snap = snap2
+    raise RuntimeError(
+        f"could not commit update to {base} after {max_commit_retries} attempts"
+    )
+
+
 def _file_identities(snap: DeltaSnapshot) -> dict[str, tuple]:
     """path -> (path, DV identity): the unit of change detection. Two
     snapshots agree on a file only if both the data file AND its

@@ -65,8 +65,8 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
     )
     model.update({k: k * 2 for k in ks})
 
-    ops = ["append", "delete", "merge_upsert", "merge_delete", "optimize",
-           "checkpoint", "vacuum"]
+    ops = ["append", "delete", "update", "merge_upsert", "merge_delete",
+           "optimize", "checkpoint", "vacuum"]
     history = []
     for step in range(12):
         op = rnd.choice(ops)
@@ -85,6 +85,13 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
             delete_delta(spark, path, f"k % {m} = {r}")
             for k in [k for k in model if k % m == r]:
                 del model[k]
+        elif op == "update":
+            from lakeapi_spark.sources.delta import update_delta
+
+            m, r = rnd.randint(2, 9), rnd.randint(0, 1)
+            update_delta(spark, path, {"v": "v + 1000"}, f"k % {m} = {r}")
+            for k in [k for k in model if k % m == r]:
+                model[k] += 1000
         elif op in ("merge_upsert", "merge_delete"):
             existing = sorted(model)
             upd = rnd.sample(existing, min(len(existing), rnd.randint(0, 8)))

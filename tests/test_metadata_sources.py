@@ -1347,6 +1347,82 @@ class TestDeltaMergeSchema:
         assert read_delta_fallback(spark, path).columns == ["k", "w"]
 
 
+class TestDeltaUpdate:
+    """UPDATE ... SET (delta.py:update_delta) — copy-on-write on the
+    touched files only; completes the INSERT/UPDATE/DELETE/MERGE DML
+    surface."""
+
+    @staticmethod
+    def _seed(spark, path, n=40):
+        from lakeapi_spark.sources.delta import write_delta
+
+        df = spark.range(n).selectExpr(
+            "id AS k", "id * 2 AS v", "CAST(id % 4 AS STRING) AS p"
+        )
+        write_delta(df, path, mode="append", partition_by=["p"])
+
+    def test_update_values(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import read_delta_fallback, update_delta
+
+        path = str(tmp_path / "u1")
+        self._seed(spark, path)
+        assert update_delta(spark, path, {"v": "v * 10"}, "k % 5 = 0") == 1
+        got = {r.k: r.v for r in read_delta_fallback(spark, path).collect()}
+        assert all(
+            got[k] == (k * 20 if k % 5 == 0 else k * 2) for k in range(40)
+        )
+
+    def test_untouched_files_carry_over(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import delta_snapshot, update_delta
+
+        path = str(tmp_path / "u2")
+        self._seed(spark, path)
+        before = set(delta_snapshot(spark, path).files)
+        update_delta(spark, path, {"v": "0"}, "p = '2'")  # only p=2 files
+        after = set(delta_snapshot(spark, path).files)
+        assert {f for f in before if not f.startswith("p=2/")} <= after
+        assert not any(f.startswith("p=2/") and f in after for f in before)
+
+    def test_update_does_not_resurrect_dv_deleted_rows(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import (
+            delete_delta,
+            read_delta_fallback,
+            update_delta,
+        )
+
+        path = str(tmp_path / "u3")
+        self._seed(spark, path, n=20)
+        delete_delta(spark, path, "k % 2 = 1")
+        update_delta(spark, path, {"v": "-1"}, "k >= 0")
+        rows = read_delta_fallback(spark, path).collect()
+        assert sorted(r.k for r in rows) == list(range(0, 20, 2))
+        assert all(r.v == -1 for r in rows)
+
+    def test_partition_column_update_moves_rows(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import read_delta_fallback, update_delta
+
+        path = str(tmp_path / "u4")
+        self._seed(spark, path, n=12)
+        update_delta(spark, path, {"p": "'9'"}, "p = '1'")
+        df = read_delta_fallback(spark, path)
+        assert df.filter("p = '1'").count() == 0
+        moved = sorted(r.k for r in df.filter("p = '9'").collect())
+        assert moved == [k for k in range(12) if k % 4 == 1]
+        assert df.count() == 12
+
+    def test_rejections_and_noop(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import delta_snapshot, update_delta
+
+        path = str(tmp_path / "u5")
+        self._seed(spark, path, n=8)
+        assert update_delta(spark, path, {"v": "0"}, "k > 100") == 0  # no-op
+        assert delta_snapshot(spark, path).version == 0
+        with pytest.raises(ValueError, match="not in schema"):
+            update_delta(spark, path, {"nope": "1"}, "true")
+        with pytest.raises(ValueError, match="change the schema"):
+            update_delta(spark, path, {"v": "'text'"}, "true")
+
+
 class TestDeltaHistoryRestore:
     """DESCRIBE HISTORY + RESTORE (delta.py:delta_history/restore_delta):
     commitInfo-backed audit trail and metadata-only undo."""

@@ -397,3 +397,79 @@ def test_run_sql_recursive_cte(spark, sf_dir):
     with pytest.raises(SqlValidationError, match="unauthorized"):
         run_sql(spark, walk, allowed_tables={"nation"})
     assert run_sql(spark, walk, allowed_tables={"region"}).count() == 3
+
+
+class TestDmlRouter:
+    """sql/dml.py: the explicitly-opt-in DELETE/UPDATE surface over
+    delta tables (the read endpoint stays SELECT-only). Authorization
+    is the caller-supplied table->path mapping, full stop."""
+
+    @staticmethod
+    def _table(spark, tmp_path):
+        from lakeapi_spark.sources.delta import write_delta
+
+        path = str(tmp_path / "dml_t")
+        df = spark.range(20).selectExpr(
+            "id AS k", "id * 2 AS v", "CAST(id % 2 AS STRING) AS p"
+        )
+        write_delta(df, path, partition_by=["p"])
+        return path
+
+    def test_delete_routes_to_dv_delete(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import delta_history, read_delta_fallback
+        from lakeapi_spark.sql.dml import run_dml
+
+        path = self._table(spark, tmp_path)
+        out = run_dml(
+            spark, "DELETE FROM events WHERE k % 4 = 0", {"events": path}
+        )
+        assert out == {"operation": "DELETE", "table": "events", "version": 1}
+        assert read_delta_fallback(spark, path).count() == 15
+        assert delta_history(spark, path)[0]["operation"] == "DELETE"
+
+    def test_update_with_string_containing_where(self, spark, tmp_path):
+        """'where' inside a string literal must not split the clause."""
+        from lakeapi_spark.sources.delta import read_delta_fallback
+        from lakeapi_spark.sql.dml import run_dml
+
+        path = str(tmp_path / "dml_s")
+        from lakeapi_spark.sources.delta import write_delta
+
+        write_delta(
+            spark.range(4).selectExpr("id AS k", "'x' AS s"), path
+        )
+        run_dml(
+            spark,
+            "UPDATE t SET s = 'a where b', k = k + 10 WHERE k >= 2",
+            {"t": path},
+        )
+        got = {r.k: r.s for r in read_delta_fallback(spark, path).collect()}
+        assert got == {0: "x", 1: "x", 12: "a where b", 13: "a where b"}
+
+    def test_update_without_where_hits_all_rows(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import read_delta_fallback
+        from lakeapi_spark.sql.dml import run_dml
+
+        path = self._table(spark, tmp_path)
+        run_dml(spark, "UPDATE t SET v = 0", {"t": path})
+        assert all(
+            r.v == 0 for r in read_delta_fallback(spark, path).collect()
+        )
+
+    def test_guards(self, spark, tmp_path):
+        from lakeapi_spark.sql.dml import run_dml
+        from lakeapi_spark.sql.endpoint import SqlValidationError
+
+        path = self._table(spark, tmp_path)
+        with pytest.raises(SqlValidationError, match="unauthorized table"):
+            run_dml(spark, "DELETE FROM other WHERE true", {"t": path})
+        with pytest.raises(SqlValidationError, match="explicit WHERE"):
+            run_dml(spark, "DELETE FROM t", {"t": path})
+        with pytest.raises(SqlValidationError, match="interior ';'"):
+            run_dml(
+                spark, "DELETE FROM t WHERE true; DROP TABLE t", {"t": path}
+            )
+        with pytest.raises(SqlValidationError, match="only DELETE"):
+            run_dml(spark, "INSERT INTO t VALUES (1)", {"t": path})
+        with pytest.raises(SqlValidationError, match="malformed SET"):
+            run_dml(spark, "UPDATE t SET 5 WHERE true", {"t": path})
