@@ -1441,6 +1441,97 @@ def delta_changes(
     return out
 
 
+def sync_incremental(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    keys: list[str],
+    app_id: str | None = None,
+) -> int | None:
+    """Maintain a downstream REPLICA of a delta table by its CHANGE
+    STREAM — the materialized-view-maintenance pattern: instead of
+    recomputing the destination from a full source scan, apply only the
+    churn since the last sync. At 100 TB with a daily churn of 0.1 %,
+    that is the difference between a full-table job and one that
+    touches a few GB.
+
+    Per run: read ``last_txn_version`` markers on the DESTINATION
+    (``app_id``, default derived from the source path) to find the last
+    applied source version, pull :func:`delta_changes` over the gap,
+    and apply per source commit — upserts for rows with an insert
+    (an update surfaces as delete+insert for the same key, which the
+    upsert covers), deletes for keys whose commit had a delete and no
+    insert — each application committing a ``txn`` marker with the
+    source version. Idempotent by construction (upsert and delete of
+    already-applied rows are no-ops AND the txn marker skips replayed
+    versions), so a crash mid-sync just resumes: at-least-once
+    application + idempotence = exactly-once state, the same contract
+    as :func:`delta_stream_sink`. First run bootstraps the destination
+    with a full copy of the current source snapshot.
+
+    Returns the destination's committed version (None when already in
+    sync). Keys must be unique per source row — the replica is keyed."""
+    src_base = _local_path(src_path).rstrip("/")
+    app = app_id or f"sync:{src_base}"
+    src = delta_snapshot(spark, src_base)
+
+    try:
+        dst = delta_snapshot(spark, _local_path(dst_path).rstrip("/"))
+        last_applied = dst.app_versions.get(app, -1)
+    except FileNotFoundError:
+        last_applied = None
+
+    if last_applied is None:
+        # bootstrap: full copy of the current snapshot, marker included
+        full = _files_to_df(spark, src_base, src, src.files)
+        return write_delta(
+            full,
+            dst_path,
+            mode="append",
+            partition_by=src.partition_columns,
+            txn_app_id=app,
+            txn_version=src.version,
+        )
+    if last_applied >= src.version:
+        return None  # nothing new
+
+    version = None
+    for v in range(last_applied, src.version):
+        step = delta_version_diff(spark, src_base, v, v + 1)
+        inserts = step.filter(F.col("_change_type") == "insert").drop("_change_type")
+        deletes = step.filter(F.col("_change_type") == "delete").drop("_change_type")
+        if inserts.limit(1).count():
+            merge_delta(inserts, dst_path, on=keys, when_not_matched="insert")
+        pure_deletes = deletes.join(inserts.select(keys), keys, "left_anti")
+        if pure_deletes.limit(1).count():
+            merge_delta(
+                pure_deletes,
+                dst_path,
+                on=keys,
+                when_matched="delete",
+                when_not_matched="ignore",
+            )
+        # marker commit: this source version is fully applied
+        version = _commit_txn_marker(spark, dst_path, app, v + 1)
+    return version
+
+
+def _commit_txn_marker(
+    spark: SparkSession, path: str, app_id: str, version: int
+) -> int:
+    """Data-free commit carrying only a ``txn`` action — the streaming-
+    idempotence marker without an (empty) data write."""
+    base = _local_path(path).rstrip("/")
+    log = f"{base}/_delta_log"
+    for _attempt in range(10):
+        v = delta_snapshot(spark, base).version + 1
+        if _try_commit(
+            log, v, [{"txn": {"appId": app_id, "version": int(version)}}]
+        ):
+            return v
+    raise RuntimeError(f"could not commit txn marker to {base}")
+
+
 def zorder_write(
     df: DataFrame,
     path: str,

@@ -473,3 +473,43 @@ class TestDmlRouter:
             run_dml(spark, "INSERT INTO t VALUES (1)", {"t": path})
         with pytest.raises(SqlValidationError, match="malformed SET"):
             run_dml(spark, "UPDATE t SET 5 WHERE true", {"t": path})
+
+
+def test_dml_parser_fuzz_roundtrip():
+    """Parser-level fuzz (no Spark): build UPDATE statements from known
+    assignment/predicate pieces — string literals stuffed with 'where',
+    commas, semicolon-free parens — and check the scanner recovers
+    exactly the pieces. Mirrors the read endpoint's fuzz convention:
+    the hand-rolled scanner is the security-relevant part, so it gets
+    generative coverage, not just examples."""
+    import random
+
+    from lakeapi_spark.sql.dml import _find_top_level_where, _split_assignments
+
+    rnd = random.Random(99)
+    exprs = [
+        "k + 1",
+        "'a where b'",
+        "concat(s, ', where, ')",
+        "CASE WHEN k > 2 THEN 'x,y' ELSE s END",
+        "f(a, b, 'c,d')",
+        "'it''s, where'",
+        "(k + 2) * 3",
+    ]
+    preds = ["k > 2", "s = 'where'", "k IN (1, 2, 3)", "(k % 2) = 0"]
+    for _ in range(300):
+        cols = rnd.sample(["a", "b", "c", "d"], rnd.randint(1, 4))
+        chosen = [(c, rnd.choice(exprs)) for c in cols]
+        set_part = ", ".join(f"{c} = {e}" for c, e in chosen)
+        with_where = rnd.random() < 0.7
+        pred = rnd.choice(preds)
+        rest = set_part + (f" WHERE {pred}" if with_where else "")
+        at = _find_top_level_where(rest)
+        if with_where:
+            assert at is not None, rest
+            assert rest[at + 5 :].strip() == pred, rest
+            got = _split_assignments(rest[:at])
+        else:
+            assert at is None, rest
+            got = _split_assignments(rest)
+        assert got == [(c, e) for c, e in chosen], (rest, got)
