@@ -87,10 +87,21 @@ class TableRegistry:
             raise UnknownTableError(name)
         return self._tables[name]
 
-    def dataframe(self, name: str) -> DataFrame:
+    def dataframe(
+        self, name: str, delta_predicates: list[tuple] | None = None
+    ) -> DataFrame:
+        """``delta_predicates``: closed-range boxes (from
+        ``predicates_from_filters``) that let a delta fallback table
+        skip whole files by LOG stats before Spark ever lists them —
+        the metadata layer of pruning, on top of Catalyst's
+        row-group/partition pruning. Results never change; only IO."""
         cfg = self.config(name)
         df = read_source(
-            self.spark, self._resolve_uri(cfg), cfg.datasource.file_type, dict(cfg.datasource.options)
+            self.spark,
+            self._resolve_uri(cfg),
+            cfg.datasource.file_type,
+            dict(cfg.datasource.options),
+            delta_predicates=delta_predicates,
         )
         return df
 
@@ -160,13 +171,22 @@ def compile_request(
 ) -> DataFrame:
     """The full §3.1 request lifecycle on Spark."""
     cfg = registry.config(name)
-    df = registry.dataframe(name)
     ds = cfg.datasource
 
     filters, combi = route_params(cfg, params or {})
     # baked-in datasource pre-filters (ref config 'filters')
     for f in ds.filters:
         filters.append((f["col"], f.get("op", "="), f.get("value")))
+
+    # delta log-stats file skipping from the request's AND filters:
+    # pure-IO pruning a level above Catalyst (files are dropped before
+    # Spark lists them); combi (OR) groups don't contribute
+    delta_preds = None
+    if ds.file_type == "delta":
+        from lakeapi_spark.sources.delta import predicates_from_filters
+
+        delta_preds = predicates_from_filters(filters) or None
+    df = registry.dataframe(name, delta_predicates=delta_preds)
 
     # derived partition pruning (§2.12) before the logical filters
     if ds.partition_columns:

@@ -567,10 +567,13 @@ def read_delta(
     spark: SparkSession,
     uri: str,
     options: dict[str, str] | None = None,
+    predicates: list[tuple] | None = None,
 ) -> DataFrame:
     """delta-spark when available; protocol-log fallback otherwise.
     Honors the reader options ``versionAsOf`` and ``timestampAsOf`` on
-    both paths."""
+    both paths. ``predicates`` (closed ranges, see
+    :func:`read_delta_fallback`) enable log-stats FILE skipping on the
+    fallback; delta-spark does its own skipping and ignores them."""
     opts = dict(options or {})
     try:
         import delta  # noqa: F401 - presence check only
@@ -584,8 +587,39 @@ def read_delta(
         if ts is not None:
             version = delta_timestamp_version(spark, uri, _to_ts_ms(ts))
         return read_delta_fallback(
-            spark, uri, int(version) if version is not None else None
+            spark,
+            uri,
+            int(version) if version is not None else None,
+            predicates=predicates,
         )
+
+
+def predicates_from_filters(filters: list[tuple]) -> list[tuple]:
+    """Fold request filters (``(col, op, value)``, AND semantics) into
+    the closed-range boxes the log-stats skipper consumes. Only
+    range-expressible ops with orderable scalar values contribute —
+    anything else is simply not a skipping opportunity (the exact
+    filter still applies in the plan; skipping only bounds IO, so
+    being conservative is always correct). ``>``/``<`` fold to their
+    closed neighbors — a file whose max equals the open bound is kept
+    and filtered row-wise."""
+    out: list[tuple] = []
+    for col, op, value in filters:
+        if isinstance(value, bool) or not isinstance(value, (int, float, str)):
+            if op not in ("between",):
+                continue
+        if op in ("=", "=="):
+            out.append((col, value, value))
+        elif op in (">", ">="):
+            out.append((col, value, None))
+        elif op in ("<", "<="):
+            out.append((col, None, value))
+        elif op == "between" and isinstance(value, (list, tuple)) and len(value) == 2:
+            lo, hi = value
+            if all(isinstance(v, (int, float, str)) and not isinstance(v, bool)
+                   for v in (lo, hi)):
+                out.append((col, lo, hi))
+    return out
 
 
 def _file_stats_json(path: str) -> str | None:

@@ -104,6 +104,7 @@ def read_source(
     uri: str,
     file_type: str = "parquet",
     options: dict[str, str] | None = None,
+    delta_predicates: list[tuple] | None = None,
 ) -> DataFrame:
     opts = options or {}
     if file_type == "parquet":
@@ -111,7 +112,7 @@ def read_source(
     if file_type == "delta":
         from lakeapi_spark.sources.delta import read_delta
 
-        return read_delta(spark, uri, opts)
+        return read_delta(spark, uri, opts, predicates=delta_predicates)
     if file_type == "csv":
         # ref duckdb read_csv_auto semantics: header + inference; defaults
         # merged first so datasource options may override them

@@ -420,3 +420,61 @@ def test_schema_refreshes_after_data_rewrite(spark, tmp_path):
     spark.catalog.refreshByPath(path)
     s2 = reg.schema("moving")
     assert [f.name for f in s2.fields] == ["id", "name", "score"]
+
+
+def test_compile_request_delta_log_stats_skipping(spark, tmp_path):
+    """A served DELTA table skips whole files by LOG stats derived from
+    the request's AND filters — metadata pruning above Catalyst. Same
+    rows either way; fewer files opened."""
+    from lakeapi_spark.registry import TableRegistry, compile_request
+    from lakeapi_spark.sources.delta import write_delta
+
+    path = str(tmp_path / "delta_tbl")
+    # one file per k-century via the partition layout -> disjoint stats
+    df = spark.range(400).selectExpr(
+        "id AS k", "id * 2 AS v", "CAST(id DIV 100 AS STRING) AS bucket"
+    )
+    write_delta(df, path, mode="append", partition_by=["bucket"])
+    reg = TableRegistry(spark)
+    reg.register(
+        TableConfig(
+            name="t",
+            datasource=DatasourceConfig(uri=path, file_type="delta"),
+            params=[ParamConfig(name="k", operators=["=", "<=", ">=", "between"])],
+        )
+    )
+    unfiltered_files = len(reg.dataframe("t").inputFiles())
+    out = compile_request(reg, "t", {"k_between": [120, 180]}, limit=-1)
+    assert len(out.inputFiles()) < unfiltered_files
+    rows = out.collect()
+    assert sorted(r.k for r in rows) == list(range(120, 181))
+    # equality: prunes to a single file's worth of scan
+    out_eq = compile_request(reg, "t", {"k": 250})
+    assert len(out_eq.inputFiles()) <= len(out.inputFiles())
+    assert [r.v for r in out_eq.collect()] == [500]
+
+
+def test_predicates_from_filters_folding():
+    """Only range-expressible ops with orderable scalars fold into
+    skip boxes; everything else is conservatively ignored."""
+    from lakeapi_spark.sources.delta import predicates_from_filters
+
+    preds = predicates_from_filters(
+        [
+            ("a", "=", 5),
+            ("b", ">=", "x"),
+            ("c", "<", 2.5),
+            ("d", "between", [1, 9]),
+            ("e", "in", [1, 2]),          # not range-expressible
+            ("f", "=", None),             # null-aware: skip
+            ("g", "contains", "sub"),     # skip
+            ("h", "=", True),             # bool: stats semantics differ
+            ("i", "between", [None, 5]),  # half-open between: skip
+        ]
+    )
+    assert preds == [
+        ("a", 5, 5),
+        ("b", "x", None),
+        ("c", None, 2.5),
+        ("d", 1, 9),
+    ]
