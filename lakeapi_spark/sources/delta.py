@@ -619,6 +619,12 @@ def predicates_from_filters(filters: list[tuple]) -> list[tuple]:
             if all(isinstance(v, (int, float, str)) and not isinstance(v, bool)
                    for v in (lo, hi)):
                 out.append((col, lo, hi))
+        elif op == "startswith" and isinstance(value, str) and value:
+            # prefix p ⇒ p <= col < p + <max codepoint>; safe even
+            # against delta's truncated string stats (truncation
+            # under-states mins and over-states maxs, which only makes
+            # the overlap check MORE conservative)
+            out.append((col, value, value + "\U0010ffff"))
     return out
 
 

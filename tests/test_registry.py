@@ -478,3 +478,6 @@ def test_predicates_from_filters_folding():
         ("c", None, 2.5),
         ("d", 1, 9),
     ]
+    assert predicates_from_filters([("s", "startswith", "ab")]) == [
+        ("s", "ab", "ab\U0010ffff")
+    ]
