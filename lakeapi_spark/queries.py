@@ -1147,6 +1147,49 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "retention_cohorts",
+    f"""
+    WITH activity AS (
+      SELECT user_id, CAST({_EPOCH} // 86400 AS BIGINT) AS day FROM events
+    ), cohorted AS (
+      SELECT user_id, day,
+             MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+      FROM activity
+    )
+    SELECT CAST(cohort_day // 7 AS BIGINT) AS cohort_week,
+           CAST((day - cohort_day) // 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM cohorted
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-activity week, counted
+    at each later week-offset — the standard product-analytics
+    triangle. All time math is INTEGER epoch-day arithmetic (floor-div
+    86400 then 7) so cohort and offset are engine-exact; no date_trunc
+    dialect trap. Plan: one shuffle for the per-user MIN window (on
+    user_id), one for the cohort aggregate — the distinct-user count
+    rides the aggregate's partial dedup. At 100 TB the activity
+    relation pre-aggregates to (user, day) pairs BEFORE the window, so
+    the window input is bounded by user-days, not raw events."""
+    e = table(spark, sf_dir, "events")
+    day = (F.floor(F.unix_timestamp("ts") / 86400)).cast("long")
+    activity = e.select("user_id", day.alias("day")).distinct()
+    w = Window.partitionBy("user_id")
+    cohorted = activity.withColumn("cohort_day", F.min("day").over(w))
+    return (
+        cohorted.groupBy(
+            F.floor(F.col("cohort_day") / 7).cast("long").alias("cohort_week"),
+            F.floor((F.col("day") - F.col("cohort_day")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -1173,6 +1216,84 @@ def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+#: Gopher-rule stopword probe set (the paper's "contains at least two
+#: of ..." rule)
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+@register(
+    "gopher_quality_flags",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             list_aggregate(list_transform(toks, w -> length(w)), 'sum')
+                 AS total_len,
+             len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+                 AS n_alpha,
+             len(list_intersect(toks,
+                 {[s for s in _GOPHER_STOPS]})) AS n_stop
+      FROM t
+    )
+    SELECT doc_id, n_words, total_len, n_alpha, n_stop,
+           n_words BETWEEN 50 AND 100000 AS ok_word_count,
+           total_len >= 3 * n_words AND total_len <= 10 * n_words
+               AS ok_mean_word_len,
+           5 * n_alpha >= 4 * n_words AS ok_alpha_fraction,
+           n_stop >= 2 AS ok_stopwords,
+           (n_words BETWEEN 50 AND 100000)
+             AND total_len >= 3 * n_words AND total_len <= 10 * n_words
+             AND 5 * n_alpha >= 4 * n_words
+             AND n_stop >= 2 AS keep
+    FROM m
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition-free quality rules as per-doc
+    boolean flags (word-count bounds, mean-word-length 3..10,
+    >=80% alphabetic words, >=2 distinct probe stopwords) and their
+    conjunction ``keep`` — the standard pretraining quality gate
+    (Rahbari et al.'s line-level rules need line structure the
+    single-line synthetic docs don't have; the doc-level rules are
+    implemented in full). Every threshold is INTEGER math
+    (``5*n_alpha >= 4*n_words`` instead of a float ratio), so the
+    flags are bit-identical across engines with no rounding
+    discipline needed, and the raw counts ride along so the hash
+    compare pins every token computation (on this synthetic corpus
+    most flags are near-constant — the counts are the discriminating
+    signal). One map-only pass over array expressions — no shuffle,
+    no Python."""
+    d = table(spark, sf_dir, "documents")
+    from lakeapi_spark.operators.text import tokens
+
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks)
+    total_len = F.aggregate(
+        toks, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    n_stop = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(s) for s in _GOPHER_STOPS]))
+    )
+    ok_wc = n_words.between(50, 100000)
+    ok_mwl = (total_len >= 3 * n_words) & (total_len <= 10 * n_words)
+    ok_alpha = 5 * n_alpha >= 4 * n_words
+    ok_stop = n_stop >= 2
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        total_len.cast("long").alias("total_len"),
+        n_alpha.cast("long").alias("n_alpha"),
+        n_stop.cast("long").alias("n_stop"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha_fraction"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_alpha & ok_stop).alias("keep"),
+    )
 
 
 @register(
