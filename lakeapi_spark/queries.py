@@ -2594,22 +2594,26 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive over a curated corpus. Rank is computed on the ROUNDED
     score with a term tiebreak, so the result is a total order both
     engines reproduce bit-identically despite float math. Plan shape:
-    one tokenize pass feeds both the TF aggregate (map-side combined on
-    (doc, term)) and the DF aggregate; the doc-count N is a broadcast
-    scalar; the final top-3 is a bounded per-doc window, never a
-    global sort."""
+    ONE corpus scan by construction: the TF aggregate (map-side
+    combined on (doc, term)) is the only pass over documents, and
+    document frequency is a COUNT window over it partitioned by term
+    (tf has exactly one row per containing doc) — no second tokenize
+    pass, no df join for the optimizer to duplicate (a join-shaped
+    formulation re-scanned the corpus on the broadcast side; measured,
+    not guessed). The doc-count N is a scalar; the final top-3 is a
+    bounded per-doc window, never a global sort."""
     d = table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
     ).filter(F.col("term") != "")
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    idf = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = d.count()
-    scored = tf.join(idf, "term").select(
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    scored = tf.select(
         "doc_id",
         "term",
         F.round(
-            F.col("tf") * F.log((F.lit(n) + 1.0) / (F.col("df") + 1.0)), 6
+            F.col("tf") * F.log((F.lit(n) + 1.0) / (df_w + 1.0)), 6
         ).alias("score"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
