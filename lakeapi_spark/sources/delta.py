@@ -173,14 +173,37 @@ def _normalize_ckpt_value(v):
     return v
 
 
+#: replayed snapshots keyed by the exact log listing (names + mtimes)
+#: — any commit, checkpoint, or in-place rewrite changes the key, so a
+#: hit is provably current. Bounded FIFO; snapshots are treated as
+#: read-only by every consumer (writers copy before mutating).
+_SNAPSHOT_CACHE: dict[tuple, DeltaSnapshot] = {}
+_SNAPSHOT_CACHE_MAX = 64
+
+
 def delta_snapshot(
     spark: SparkSession, uri: str, version_as_of: int | None = None
 ) -> DeltaSnapshot:
-    """Replay the commit log (checkpoint + JSON commits) to a snapshot."""
+    """Replay the commit log (checkpoint + JSON commits) to a snapshot.
+
+    Replays are CACHED by the log listing: the driver still pays one FS
+    listing per call (the freshness probe — same discipline as the
+    schema/BM25 caches), but re-reading and re-applying N commit files
+    only happens when the log actually changed. On a long-lived serving
+    session over a streaming-written table this turns per-request
+    snapshot cost from O(commits) reads into O(1) after the first."""
     from lakeapi_spark.sources.fs import list_children
 
     log_dir = f"{uri.rstrip('/')}/_delta_log"
     entries = list_children(spark, log_dir)
+    cache_key = (
+        log_dir,
+        version_as_of,
+        tuple((p, m) for p, d, m in entries if not d),
+    )
+    cached = _SNAPSHOT_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     commits: dict[int, str] = {}
     checkpoints: dict[int, str] = {}
     last_checkpoint = None
@@ -230,6 +253,9 @@ def delta_snapshot(
         raise ValueError(f"versionAsOf {version_as_of} not found (latest {snap.version})")
     if not snap.schema.fields:
         raise ValueError(f"no metaData action found in {log_dir}")
+    if len(_SNAPSHOT_CACHE) >= _SNAPSHOT_CACHE_MAX:
+        _SNAPSHOT_CACHE.pop(next(iter(_SNAPSHOT_CACHE)))
+    _SNAPSHOT_CACHE[cache_key] = snap
     return snap
 
 

@@ -1815,3 +1815,20 @@ def test_concurrent_writers_race_real_threads(spark, tmp_path):
         for k in range(1000 * t + 100 * j, 1000 * t + 100 * j + 10)
     )
     assert ks == want
+
+
+def test_snapshot_cache_freshness(spark, tmp_path):
+    """Snapshot replay is cached by the exact log listing: same log ->
+    same object (no re-read); any new commit -> fresh snapshot."""
+    from lakeapi_spark.sources.delta import delta_snapshot, write_delta
+
+    path = str(tmp_path / "snapcache")
+    write_delta(spark.range(5).selectExpr("id AS k"), path)
+    s1 = delta_snapshot(spark, path)
+    assert delta_snapshot(spark, path) is s1  # cache hit
+    write_delta(spark.range(5, 8).selectExpr("id AS k"), path, mode="append")
+    s2 = delta_snapshot(spark, path)
+    assert s2 is not s1 and s2.version == 1
+    # version_as_of keys separately and still replays correctly
+    assert delta_snapshot(spark, path, version_as_of=0).version == 0
+    assert delta_snapshot(spark, path).version == 1
