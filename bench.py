@@ -27,7 +27,7 @@ from lakeapi_spark.session import get_spark  # noqa: E402
 
 #: queries whose output is big enough that collect() would measure
 #: driver pickling instead of query execution
-BIG_OUTPUT = {"partition_prune_direct", "dedup_minhash_lsh"}
+BIG_OUTPUT = {"partition_prune_direct", "dedup_minhash_lsh", "delta_delete_dv"}
 
 
 def main() -> None:
@@ -45,6 +45,13 @@ def main() -> None:
     from lakeapi_spark.sources.partitioned import partitioned_copy
 
     partitioned_copy(spark, sf_dir, "lineitem", ["l_returnflag"])
+
+    # pre-build the DV demo table (write-side cost, not query cost):
+    # the timed delta_delete_dv run measures the merge-on-read READ
+    # path — log replay + roaring decode + broadcast anti-join
+    from lakeapi_spark.queries import _dv_demo_table
+
+    _dv_demo_table(spark, sf_dir)
 
     def run(name: str, q) -> float:
         t0 = time.perf_counter()

@@ -1230,8 +1230,8 @@ _GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
     ), m AS (
       SELECT doc_id,
              len(toks) AS n_words,
-             list_aggregate(list_transform(toks, w -> length(w)), 'sum')
-                 AS total_len,
+             CAST(list_aggregate(list_transform(toks, w -> length(w)), 'sum')
+                  AS BIGINT) AS total_len,
              len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
                  AS n_alpha,
              len(list_intersect(toks,
@@ -3550,6 +3550,7 @@ def _dv_demo_table(spark: SparkSession, sf_dir: str) -> str:
            CAST(o_orderkey % 4 AS VARCHAR) AS bucket
     FROM orders WHERE o_orderkey % 13 <> 0
     """,
+    bench=True,
 )
 def delta_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read DELETE via deletion vectors, end-to-end: the

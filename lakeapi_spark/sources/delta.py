@@ -298,6 +298,12 @@ def _physical_type(dt: T.DataType) -> T.DataType:
 #: DV gets near this, so broadcast is the overwhelmingly common plan)
 _DV_BROADCAST_LIMIT = 4_000_000
 
+#: below this many deleted rows the DV bitmaps decode on the DRIVER
+#: into a LocalTableScan (zero exchanges, immune to subtree
+#: duplication under union pushdown); above it the decode distributes
+#: via mapInPandas over the payload bytes
+_DV_LOCAL_DECODE_LIMIT = 100_000
+
 
 def _file_dv(snap: DeltaSnapshot, rel: str) -> dict | None:
     return (snap.adds_raw.get(rel) or {}).get("deletionVector") or None
@@ -372,6 +378,21 @@ def _deleted_positions_df(
         card = int(dv.get("cardinality") or 0)
         total_card += card
         rows.append((_norm_path(f"{base}/{rel}"), bytearray(payload), card))
+
+    if total_card <= _DV_LOCAL_DECODE_LIMIT:
+        # small DVs (the common case): decode on the driver and ship a
+        # LocalTableScan — the anti-join side broadcasts with ZERO
+        # exchanges, and the decode subtree can't be duplicated when
+        # Catalyst pushes the join through the per-partition union
+        from lakeapi_spark.sources.dv import parse_rba as _parse
+
+        pos_rows = [
+            (fn, int(p)) for fn, payload, _c in rows for p in _parse(bytes(payload))
+        ]
+        return (
+            spark.createDataFrame(pos_rows, "__dv_file string, __dv_pos long"),
+            total_card,
+        )
 
     src = spark.createDataFrame(
         rows, "__dv_file string, payload binary, cardinality long"

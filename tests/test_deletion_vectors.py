@@ -513,3 +513,21 @@ def test_corrupt_dv_checksum_fails_loudly(spark, tmp_path):
         f.write(bytes(corrupted))
     with pytest.raises(Exception, match="checksum"):
         read_delta_fallback(spark, base).collect()
+
+
+def test_distributed_decode_path_matches_local(spark, tmp_path, monkeypatch):
+    """Force the mapInPandas decode path (threshold 0) and check it
+    returns exactly what the driver-local path returns."""
+    from lakeapi_spark.sources import delta as delta_mod
+
+    path = str(tmp_path / "bigdv")
+    _seed(spark, path, n=100)
+    delta_mod.delete_delta(spark, path, "k % 3 = 0")
+    local = sorted(
+        r.k for r in delta_mod.read_delta_fallback(spark, path).collect()
+    )
+    monkeypatch.setattr(delta_mod, "_DV_LOCAL_DECODE_LIMIT", 0)
+    dist = sorted(
+        r.k for r in delta_mod.read_delta_fallback(spark, path).collect()
+    )
+    assert local == dist == [k for k in range(100) if k % 3]
