@@ -24,6 +24,11 @@ class TestCodec:
         assert D.z85_encode(raw) == "HelloWorld"
         assert D.z85_decode("HelloWorld") == raw
 
+    @settings(max_examples=100, deadline=None)
+    @given(st.binary(min_size=0, max_size=64).filter(lambda b: len(b) % 4 == 0))
+    def test_z85_roundtrip_property(self, data):
+        assert D.z85_decode(D.z85_encode(data)) == data
+
     def test_z85_rejects_bad_input(self):
         with pytest.raises(ValueError, match="multiple of 4"):
             D.z85_encode(b"abc")
