@@ -1564,7 +1564,14 @@ def sync_incremental(
 
     try:
         dst = delta_snapshot(spark, _local_path(dst_path).rstrip("/"))
-        last_applied = dst.app_versions.get(app, -1)
+        last_applied = dst.app_versions.get(app)
+        if last_applied is None:
+            raise ValueError(
+                f"{dst_path} exists but carries no sync marker for "
+                f"{app!r} — refusing to guess a starting version (point "
+                "sync_incremental at a fresh destination, or pass the "
+                "app_id the table was synced under)"
+            )
     except FileNotFoundError:
         last_applied = None
 

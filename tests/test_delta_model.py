@@ -241,3 +241,15 @@ class TestSyncIncremental:
         after = {r.k: r.v for r in read_delta_fallback(spark, dst).collect()}
         assert after == before
         assert last_txn_version(spark, dst, f"sync:{src}") == 1
+
+    def test_unmarked_existing_destination_rejected(self, spark, tmp_path):
+        """A pre-existing destination without this app's sync marker
+        must raise, never silently re-tail from an arbitrary version."""
+        from lakeapi_spark.sources.delta import sync_incremental, write_delta
+
+        src = str(tmp_path / "src3")
+        dst = str(tmp_path / "dst3")
+        write_delta(spark.range(5).selectExpr("id AS k"), src)
+        write_delta(spark.range(5).selectExpr("id AS k"), dst)  # foreign dst
+        with pytest.raises(ValueError, match="no sync marker"):
+            sync_incremental(spark, src, dst, keys=["k"])
