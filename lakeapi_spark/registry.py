@@ -185,7 +185,10 @@ def compile_request(
     if ds.file_type == "delta":
         from lakeapi_spark.sources.delta import predicates_from_filters
 
-        delta_preds = predicates_from_filters(filters) or None
+        # schema-aware folding: raw params arrive untyped ('5' against
+        # a bigint column) and date/timestamp stats are isoformat
+        # strings — coercion per the table type keeps skipping sound
+        delta_preds = predicates_from_filters(filters, registry.schema(name)) or None
     df = registry.dataframe(name, delta_predicates=delta_preds)
 
     # derived partition pruning (§2.12) before the logical filters

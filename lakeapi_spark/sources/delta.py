@@ -33,6 +33,7 @@ or mid-size table is fully served.
 from __future__ import annotations
 
 import json
+import threading
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -179,6 +180,7 @@ def _normalize_ckpt_value(v):
 #: read-only by every consumer (writers copy before mutating).
 _SNAPSHOT_CACHE: dict[tuple, DeltaSnapshot] = {}
 _SNAPSHOT_CACHE_MAX = 64
+_SNAPSHOT_CACHE_LOCK = threading.Lock()
 
 
 def delta_snapshot(
@@ -253,9 +255,10 @@ def delta_snapshot(
         raise ValueError(f"versionAsOf {version_as_of} not found (latest {snap.version})")
     if not snap.schema.fields:
         raise ValueError(f"no metaData action found in {log_dir}")
-    if len(_SNAPSHOT_CACHE) >= _SNAPSHOT_CACHE_MAX:
-        _SNAPSHOT_CACHE.pop(next(iter(_SNAPSHOT_CACHE)))
-    _SNAPSHOT_CACHE[cache_key] = snap
+    with _SNAPSHOT_CACHE_LOCK:  # concurrent writers snapshot in threads
+        if len(_SNAPSHOT_CACHE) >= _SNAPSHOT_CACHE_MAX:
+            _SNAPSHOT_CACHE.pop(next(iter(_SNAPSHOT_CACHE)))
+        _SNAPSHOT_CACHE[cache_key] = snap
     return snap
 
 
@@ -316,6 +319,11 @@ _SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*:/+"
 
 
 def _norm_path(uri: str) -> str:
+    """Driver-side path key: RAW (unencoded) absolute path. The Spark
+    side (`_file_path_raw_col`) decodes ``_metadata.file_path``'s
+    percent-encoding down to the same raw form — decoding only the side
+    that is provably encoded keeps names containing a literal ``%``
+    correct."""
     import os
     import re
 
@@ -323,6 +331,29 @@ def _norm_path(uri: str) -> str:
     if not stripped.startswith("/"):  # relative local path
         return os.path.abspath(stripped)
     return os.path.normpath(stripped)
+
+
+def _file_path_raw_col():
+    """``_metadata.file_path`` as a RAW path column: scheme folded to
+    '/', percent-encoding decoded. Literal '+' must survive
+    (url_decode's application/x-www-form semantics would turn it into a
+    space), so it is pre-escaped to %2B before decoding; a literal '%'
+    in a file name arrives already encoded as %25 and decodes back
+    correctly."""
+    stripped = F.regexp_replace(F.col("_metadata.file_path"), _SCHEME_RE, "/")
+    return F.url_decode(F.regexp_replace(stripped, r"\+", "%2B"))
+
+
+def _uri_to_raw_path(abs_uri: str) -> str:
+    """Absolute ``_metadata.file_path`` URI -> raw local path (scheme
+    stripped, percent-encoding decoded) for driver-side rel-path
+    lookups."""
+    import os
+    import urllib.parse
+
+    return os.path.abspath(
+        urllib.parse.unquote(urllib.parse.urlparse(abs_uri).path)
+    )
 
 
 def _read_file_bytes(spark: SparkSession, full_path: str) -> bytes:
@@ -347,34 +378,21 @@ def _deleted_positions_df(
     be millions of rows, runs on executors via mapInPandas."""
     import pandas as pd
 
-    from lakeapi_spark.sources.dv import (
-        dv_relative_path,
-        unpack_dv_at,
-        z85_decode,
-    )
+    from lakeapi_spark.sources.dv import read_dv_payload
 
     blob_cache: dict[str, bytes] = {}
+
+    def _read_rel_or_abs(path: str) -> bytes:
+        full = path if path.startswith("/") else f"{base}/{path}"
+        if full not in blob_cache:
+            blob_cache[full] = _read_file_bytes(spark, full)
+        return blob_cache[full]
+
     rows = []
     total_card = 0
     for rel in dv_files:
         dv = _file_dv(snap, rel)
-        st = dv["storageType"]
-        if st == "i":
-            # z85 pads to 4-byte groups; sizeInBytes trims the padding
-            payload = z85_decode(dv["pathOrInlineDv"])[: int(dv["sizeInBytes"])]
-        elif st in ("u", "p"):
-            full = (
-                f"{base}/{dv_relative_path(dv['pathOrInlineDv'])}"
-                if st == "u"
-                else dv["pathOrInlineDv"]
-            )
-            if full not in blob_cache:
-                blob_cache[full] = _read_file_bytes(spark, full)
-            payload = unpack_dv_at(
-                blob_cache[full], int(dv.get("offset") or 0), int(dv["sizeInBytes"])
-            )
-        else:
-            raise DeltaProtocolError(f"unknown DV storageType {st!r}")
+        payload = read_dv_payload(dv, _read_rel_or_abs)
         card = int(dv.get("cardinality") or 0)
         total_card += card
         rows.append((_norm_path(f"{base}/{rel}"), bytearray(payload), card))
@@ -500,11 +518,7 @@ def _files_to_df(
         if pos_col:
             meta_cols.append(F.col("_metadata.row_index").alias(pos_col))
         if dv_files:
-            meta_cols.append(
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), _SCHEME_RE, "/"
-                ).alias("__dv_file")
-            )
+            meta_cols.append(_file_path_raw_col().alias("__dv_file"))
             meta_cols.append(F.col("_metadata.row_index").alias("__dv_pos"))
         renamed = df.select(
             *[
@@ -599,6 +613,13 @@ def _to_ts_ms(value) -> int:
     if isinstance(value, (int, float)):
         return int(value)
     if isinstance(value, dt.datetime):
+        if value.tzinfo is None:
+            # naive datetimes mean UTC here, matching both the ISO
+            # string branch below and the session timezone (session.py
+            # pins spark.sql.session.timeZone=UTC) — host-local-zone
+            # interpretation would resolve the same wall-clock to a
+            # different version per machine
+            value = value.replace(tzinfo=dt.timezone.utc)
         return int(value.timestamp() * 1000)
     s = str(value).strip()
     for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d"):
@@ -641,37 +662,87 @@ def read_delta(
         )
 
 
-def predicates_from_filters(filters: list[tuple]) -> list[tuple]:
+def _coerce_stat_value(value, dtype: T.DataType | None):
+    """Coerce a raw request-param value into the representation the
+    LOG STATS use for its column, or None when no sound comparison
+    exists. Raw params arrive untyped (an HTTP '5' against a bigint
+    column), and stats store numbers as numbers but dates/timestamps
+    as isoformat STRINGS ('2024-01-02T00:00:00') — comparing a
+    "2024-01-02 00:00:00" filter literal lexically against that would
+    wrongly prune (space < 'T'), so values are normalized per the
+    TABLE type; anything un-coercible just opts out of skipping."""
+    import datetime as dt
+
+    if value is None or isinstance(value, bool):
+        return None
+    if dtype is None:
+        # no schema: only same-representation scalars are sound
+        return value if isinstance(value, (int, float, str)) else None
+    if isinstance(
+        dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        try:
+            return int(value)
+        except (TypeError, ValueError):
+            return None
+    if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
+        try:
+            return float(value)
+        except (TypeError, ValueError):
+            return None
+    if isinstance(dtype, T.StringType):
+        return value if isinstance(value, str) else None
+    if isinstance(dtype, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        if isinstance(value, (dt.date, dt.datetime)):
+            return value.isoformat()
+        if isinstance(value, str):
+            return value.strip().replace(" ", "T")
+        return None
+    return None
+
+
+def predicates_from_filters(
+    filters: list[tuple], schema: T.StructType | None = None
+) -> list[tuple]:
     """Fold request filters (``(col, op, value)``, AND semantics) into
     the closed-range boxes the log-stats skipper consumes. Only
-    range-expressible ops with orderable scalar values contribute —
+    range-expressible ops whose values coerce soundly to the stats
+    representation contribute (see :func:`_coerce_stat_value`) —
     anything else is simply not a skipping opportunity (the exact
     filter still applies in the plan; skipping only bounds IO, so
     being conservative is always correct). ``>``/``<`` fold to their
     closed neighbors — a file whose max equals the open bound is kept
     and filtered row-wise."""
+    types = {f.name: f.dataType for f in schema.fields} if schema else {}
     out: list[tuple] = []
     for col, op, value in filters:
-        if isinstance(value, bool) or not isinstance(value, (int, float, str)):
-            if op not in ("between",):
-                continue
+        dtype = types.get(col)
+        if op == "startswith":
+            if isinstance(value, str) and value and (
+                dtype is None or isinstance(dtype, T.StringType)
+            ):
+                # prefix p ⇒ p <= col < p + <max codepoint>; safe even
+                # against delta's truncated string stats (truncation
+                # under-states mins and over-states maxs, which only
+                # makes the overlap check MORE conservative)
+                out.append((col, value, value + "\U0010ffff"))
+            continue
+        if op == "between":
+            if isinstance(value, (list, tuple)) and len(value) == 2:
+                lo = _coerce_stat_value(value[0], dtype)
+                hi = _coerce_stat_value(value[1], dtype)
+                if lo is not None and hi is not None:
+                    out.append((col, lo, hi))
+            continue
+        v = _coerce_stat_value(value, dtype)
+        if v is None:
+            continue
         if op in ("=", "=="):
-            out.append((col, value, value))
+            out.append((col, v, v))
         elif op in (">", ">="):
-            out.append((col, value, None))
+            out.append((col, v, None))
         elif op in ("<", "<="):
-            out.append((col, None, value))
-        elif op == "between" and isinstance(value, (list, tuple)) and len(value) == 2:
-            lo, hi = value
-            if all(isinstance(v, (int, float, str)) and not isinstance(v, bool)
-                   for v in (lo, hi)):
-                out.append((col, lo, hi))
-        elif op == "startswith" and isinstance(value, str) and value:
-            # prefix p ⇒ p <= col < p + <max codepoint>; safe even
-            # against delta's truncated string stats (truncation
-            # under-states mins and over-states maxs, which only makes
-            # the overlap check MORE conservative)
-            out.append((col, value, value + "\U0010ffff"))
+            out.append((col, None, v))
     return out
 
 
@@ -714,16 +785,22 @@ def _file_stats_json(path: str) -> str | None:
 
 def _stats_overlap(stats: dict | None, predicates) -> bool:
     """True unless the file's [min,max] PROVABLY excludes the predicate
-    box — missing stats/columns keep the file (conservative)."""
+    box — missing stats/columns keep the file (conservative). An
+    incomparable stat/value pair (foreign stats with an unexpected
+    representation) also keeps the file: a TypeError must degrade to
+    'no skipping', never to a failed read or a wrong prune."""
     if not stats:
         return True
     mins = stats.get("minValues") or {}
     maxs = stats.get("maxValues") or {}
     for col, lo, hi in predicates:
-        if lo is not None and col in maxs and maxs[col] < lo:
-            return False
-        if hi is not None and col in mins and mins[col] > hi:
-            return False
+        try:
+            if lo is not None and col in maxs and maxs[col] < lo:
+                return False
+            if hi is not None and col in mins and mins[col] > hi:
+                return False
+        except TypeError:
+            continue
     return True
 
 
@@ -1028,7 +1105,6 @@ def merge_delta(
     (rewriting would need physical-name writes); detected and rejected.
     """
     import os
-    import urllib.parse
 
     if when_matched not in ("update", "delete", "ignore"):
         raise ValueError(f"when_matched must be update|delete|ignore, got {when_matched!r}")
@@ -1053,8 +1129,14 @@ def merge_delta(
     if missing:
         raise ValueError(f"merge keys {missing} not in schema {source.columns}")
     if validate_unique_keys:
+        # null-keyed rows never match anything (SQL join semantics), so
+        # several of them are unambiguous inserts, not duplicates —
+        # exclude them from the ambiguity check (delta does the same)
+        keyed = source
+        for k in on:
+            keyed = keyed.filter(F.col(k).isNotNull())
         dup = (
-            source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).collect()
+            keyed.groupBy(*on).count().filter(F.col("count") > 1).limit(1).collect()
         )
         if dup:
             raise ValueError(
@@ -1074,10 +1156,9 @@ def merge_delta(
     }
     touched: list[str] = []
     for row in matched_files_rows:
-        p = urllib.parse.urlparse(row["_file"]).path
-        rel = abs_to_rel.get(os.path.abspath(p))
+        rel = abs_to_rel.get(_uri_to_raw_path(row["_file"]))
         if rel is None:  # pragma: no cover - provenance must resolve
-            raise RuntimeError(f"scanned file {p} not in snapshot {base}")
+            raise RuntimeError(f"scanned file not in snapshot {base}")
         touched.append(rel)
 
     touched_rows = _files_to_df(
@@ -1086,8 +1167,14 @@ def merge_delta(
     col_order = [f.name for f in snap.schema.fields]
     replaced = touched_rows.join(source, on, "left_anti")
     if when_matched == "update":
+        # one output row PER MATCHING TARGET ROW (a target may legally
+        # hold duplicate keys — delta has no key constraint — and
+        # delta-spark updates each copy; only duplicate SOURCE keys are
+        # the ambiguity rejected above), each carrying the source's
+        # values: inner-join the target's key rows (not deduplicated)
+        # with the unique-keyed source
         replaced = replaced.unionByName(
-            source.join(touched_rows.select(on), on, "leftsemi")
+            touched_rows.select(on).join(source, on, "inner")
         )
     elif when_matched == "ignore":
         replaced = touched_rows
@@ -1178,7 +1265,6 @@ def update_delta(
     partition columns. Expression type mismatches are rejected up
     front (the updated relation must keep the table schema)."""
     import os
-    import urllib.parse
 
     base = _local_path(path).rstrip("/")
     snap = delta_snapshot(spark, base)
@@ -1202,10 +1288,9 @@ def update_delta(
     abs_to_rel = {os.path.abspath(f"{base}/{rel}"): rel for rel in snap.files}
     touched: list[str] = []
     for row in matched_files_rows:
-        p = urllib.parse.urlparse(row["_file"]).path
-        rel = abs_to_rel.get(os.path.abspath(p))
+        rel = abs_to_rel.get(_uri_to_raw_path(row["_file"]))
         if rel is None:  # pragma: no cover - provenance must resolve
-            raise RuntimeError(f"scanned file {p} not in snapshot {base}")
+            raise RuntimeError(f"scanned file not in snapshot {base}")
         touched.append(rel)
 
     touched_rows = _files_to_df(
@@ -1317,7 +1402,6 @@ def delete_delta(
     (``merge_delta`` with when_matched='delete' or an overwrite), which
     this function enforces by raising."""
     import os
-    import urllib.parse
     import uuid
 
     from lakeapi_spark.sources.dv import (
@@ -1334,25 +1418,27 @@ def delete_delta(
         spark, base, snap, snap.files, file_col="_file", pos_col="_pos"
     )
     matches = scan.filter(F.expr(predicate)).select("_file", "_pos")
-    n_matches = matches.count()
-    if n_matches == 0:
+    # ONE scan, memory-bounded: collect at most max+1 rows — reaching
+    # the sentinel proves the overflow without materializing it (and a
+    # second scan could disagree with the first for nondeterministic
+    # predicates)
+    pdf = matches.limit(max_deleted_rows + 1).toPandas()
+    if len(pdf) == 0:
         return snap.version
-    if n_matches > max_deleted_rows:
+    if len(pdf) > max_deleted_rows:
         raise ValueError(
-            f"DELETE matches {n_matches} rows (> max_deleted_rows="
-            f"{max_deleted_rows}); a delete this large should rewrite files "
-            "copy-on-write (merge_delta when_matched='delete') instead of "
-            "building giant deletion vectors"
+            f"DELETE matches more than max_deleted_rows="
+            f"{max_deleted_rows} rows; a delete this large should rewrite "
+            "files copy-on-write (merge_delta when_matched='delete') "
+            "instead of building giant deletion vectors"
         )
-    pdf = matches.toPandas()
 
     abs_to_rel = {os.path.abspath(f"{base}/{rel}"): rel for rel in snap.files}
     new_positions: dict[str, set[int]] = {}
     for abs_uri, group in pdf.groupby("_file"):
-        p = urllib.parse.urlparse(abs_uri).path
-        rel = abs_to_rel.get(os.path.abspath(p))
+        rel = abs_to_rel.get(_uri_to_raw_path(abs_uri))
         if rel is None:  # pragma: no cover - provenance must resolve
-            raise RuntimeError(f"scanned file {p} not in snapshot {base}")
+            raise RuntimeError(f"scanned file not in snapshot {base}")
         new_positions[rel] = set(group["_pos"].tolist())
 
     def _read_rel(rel_or_abs: str) -> bytes:
@@ -1482,11 +1568,12 @@ def delta_version_diff(
     # (its rows read under each snapshot's own DV, so the freshly
     # deleted rows surface as 'delete' rows in the multiset difference)
     ids_from, ids_to = _file_identities(s_from), _file_identities(s_to)
+    seen_from, seen_to = set(ids_from.values()), set(ids_to.values())
     only_to = {
-        p: pv for p, pv in s_to.files.items() if ids_to[p] not in set(ids_from.values())
+        p: pv for p, pv in s_to.files.items() if ids_to[p] not in seen_from
     }
     only_from = {
-        p: pv for p, pv in s_from.files.items() if ids_from[p] not in set(ids_to.values())
+        p: pv for p, pv in s_from.files.items() if ids_from[p] not in seen_to
     }
     added = _files_to_df(spark, base, s_to, only_to)
     removed = _files_to_df(spark, base, s_from, only_from)
@@ -1951,6 +2038,7 @@ def restore_delta(
     for _attempt in range(max_commit_retries):
         cur_ids = _file_identities(snap)
         tgt_ids = _file_identities(target)
+        seen_cur, seen_tgt = set(cur_ids.values()), set(tgt_ids.values())
         actions: list[dict] = []
         if snap.schema.simpleString() != target.schema.simpleString() or (
             snap.partition_columns != target.partition_columns
@@ -1959,12 +2047,12 @@ def restore_delta(
             md.setdefault("format", {"provider": "parquet"})
             actions.append({"metaData": md})
         for rel in snap.files:
-            if cur_ids[rel] not in set(tgt_ids.values()):
+            if cur_ids[rel] not in seen_tgt:
                 actions.append(
                     {"remove": {"path": rel, "deletionTimestamp": 0, "dataChange": True}}
                 )
         for rel in target.files:
-            if tgt_ids[rel] not in set(cur_ids.values()):
+            if tgt_ids[rel] not in seen_cur:
                 add = dict(target.adds_raw.get(rel) or {"path": rel})
                 add.setdefault("partitionValues", target.files[rel])
                 if add.get("stats") is not None and not isinstance(add["stats"], str):

@@ -261,23 +261,28 @@ def make_dv_descriptor_u(
     }
 
 
-def read_dv_positions(dv: dict, read_file: "callable") -> list[int]:
-    """Resolve a deletionVector descriptor to sorted row indexes.
-    ``read_file(relative_or_absolute_path) -> bytes`` abstracts the
-    filesystem (local or Hadoop FS) — 'u' paths are table-root
-    relative, 'p' absolute, 'i' inline."""
+def read_dv_payload(dv: dict, read_file: "callable") -> bytes:
+    """Resolve a deletionVector descriptor to its serialized-bitmap
+    BYTES. ``read_file(relative_or_absolute_path) -> bytes`` abstracts
+    the filesystem (local or Hadoop FS) — 'u' paths are table-root
+    relative, 'p' absolute, 'i' inline. The single home for the
+    storageType dispatch and the z85-padding trim."""
     st = dv["storageType"]
     if st == "i":
         # z85 pads to 4-byte groups; sizeInBytes trims the padding
-        data = z85_decode(dv["pathOrInlineDv"])[: int(dv["sizeInBytes"])]
-    elif st in ("u", "p"):
+        return z85_decode(dv["pathOrInlineDv"])[: int(dv["sizeInBytes"])]
+    if st in ("u", "p"):
         blob = read_file(
             dv_relative_path(dv["pathOrInlineDv"]) if st == "u" else dv["pathOrInlineDv"]
         )
-        data = unpack_dv_at(blob, int(dv["offset"] or 0), int(dv["sizeInBytes"]))
-    else:
-        raise ValueError(f"unknown DV storageType {st!r}")
-    positions = parse_rba(data)
+        return unpack_dv_at(blob, int(dv.get("offset") or 0), int(dv["sizeInBytes"]))
+    raise ValueError(f"unknown DV storageType {st!r}")
+
+
+def read_dv_positions(dv: dict, read_file: "callable") -> list[int]:
+    """Resolve a deletionVector descriptor to sorted row indexes (see
+    :func:`read_dv_payload`), checking the descriptor cardinality."""
+    positions = parse_rba(read_dv_payload(dv, read_file))
     card = int(dv.get("cardinality") or 0)
     if card and card != len(positions):
         raise ValueError(

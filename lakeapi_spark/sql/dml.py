@@ -53,9 +53,10 @@ def _reject_multi_statement(sql: str) -> None:
 
 def _walk(text: str):
     """Yield ``(i, ch, depth, in_quote)`` over ``text`` with paren depth
-    tracked and quoted spans ('', \"\", ``, with doubled-char escapes)
-    marked — the shared scanner under comma splitting and top-level
-    WHERE detection."""
+    tracked and quoted spans ('', \"\", ``, with doubled-char escapes,
+    plus backslash escapes inside '/\" — Spark's SQL literals honor
+    ``\\'``) marked — the shared scanner under comma splitting and
+    top-level WHERE detection."""
     depth = 0
     i, n = 0, len(text)
     while i < n:
@@ -66,6 +67,12 @@ def _walk(text: str):
             i += 1
             while i < n:
                 yield i, text[i], depth, True
+                if text[i] == "\\" and quote != "`" and i + 1 < n:
+                    # backslash escape: the next char (incl. a quote)
+                    # is literal — backticks have no backslash escapes
+                    yield i + 1, text[i + 1], depth, True
+                    i += 2
+                    continue
                 if text[i] == quote:
                     if i + 1 < n and text[i + 1] == quote:  # doubled escape
                         yield i + 1, text[i + 1], depth, True

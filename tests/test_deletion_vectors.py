@@ -536,3 +536,29 @@ def test_distributed_decode_path_matches_local(spark, tmp_path, monkeypatch):
         r.k for r in delta_mod.read_delta_fallback(spark, path).collect()
     )
     assert local == dist == [k for k in range(100) if k % 3]
+
+
+def test_dv_delete_on_paths_with_spaces(spark, tmp_path):
+    """Partition values with spaces percent-encode in
+    _metadata.file_path ('p=a%20b'); the DV anti-join and the delete
+    provenance mapping must decode back to the raw path or deleted
+    rows silently resurface (review finding, verified)."""
+    from lakeapi_spark.sources.delta import (
+        delete_delta,
+        read_delta_fallback,
+        write_delta,
+    )
+
+    path = str(tmp_path / "sp")
+    df = spark.range(40).selectExpr(
+        "id AS k",
+        "CASE WHEN id % 2 = 0 THEN 'a b' ELSE 'c+d' END AS p",
+    ).coalesce(1)
+    write_delta(df, path, mode="append", partition_by=["p"])
+    delete_delta(spark, path, "k % 5 = 0")
+    got = sorted(r.k for r in read_delta_fallback(spark, path).collect())
+    assert got == [k for k in range(40) if k % 5]
+    # second delete unions into the existing DVs on the encoded paths
+    delete_delta(spark, path, "k % 7 = 0")
+    got = sorted(r.k for r in read_delta_fallback(spark, path).collect())
+    assert got == [k for k in range(40) if k % 5 and k % 7]

@@ -1832,3 +1832,47 @@ def test_snapshot_cache_freshness(spark, tmp_path):
     # version_as_of keys separately and still replays correctly
     assert delta_snapshot(spark, path, version_as_of=0).version == 0
     assert delta_snapshot(spark, path).version == 1
+
+
+def test_merge_updates_every_duplicate_target_row(spark, tmp_path):
+    """Delta tables have no key constraint: a target holding two rows
+    with the same key gets BOTH updated (delta-spark semantics), not
+    collapsed into one (review finding)."""
+    from lakeapi_spark.sources.delta import merge_delta, read_delta_fallback, write_delta
+
+    path = str(tmp_path / "dupk")
+    write_delta(
+        spark.createDataFrame(
+            [(1, 10, "a"), (1, 11, "a"), (2, 20, "a")], "k long, v long, p string"
+        ),
+        path,
+        partition_by=["p"],
+    )
+    merge_delta(
+        spark.createDataFrame([(1, 99, "a")], "k long, v long, p string"),
+        path,
+        on=["k"],
+        when_not_matched="ignore",
+    )
+    rows = sorted((r.k, r.v) for r in read_delta_fallback(spark, path).collect())
+    assert rows == [(1, 99), (1, 99), (2, 20)]  # both copies updated
+
+
+def test_merge_multiple_null_key_sources_allowed(spark, tmp_path):
+    """Null keys never match anything, so several null-keyed source
+    rows are unambiguous inserts — not 'duplicate merge keys'."""
+    from lakeapi_spark.sources.delta import merge_delta, read_delta_fallback, write_delta
+
+    path = str(tmp_path / "nullk")
+    write_delta(
+        spark.createDataFrame([(1, 1, "a")], "k long, v long, p string"),
+        path,
+        partition_by=["p"],
+    )
+    src = spark.createDataFrame(
+        [(None, 7, "a"), (None, 8, "a")], "k long, v long, p string"
+    )
+    merge_delta(src, path, on=["k"])
+    rows = read_delta_fallback(spark, path).collect()
+    assert len(rows) == 3
+    assert sorted(r.v for r in rows if r.k is None) == [7, 8]

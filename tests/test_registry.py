@@ -481,3 +481,38 @@ def test_predicates_from_filters_folding():
     assert predicates_from_filters([("s", "startswith", "ab")]) == [
         ("s", "ab", "ab\U0010ffff")
     ]
+
+
+def test_predicate_coercion_untyped_params_and_timestamps():
+    """Raw HTTP-style params ('5' against bigint) coerce to the stats
+    representation; timestamp literals normalize to the isoformat the
+    stats store ('T' separator); un-coercible values opt out instead
+    of crashing or mis-pruning (review finding)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from lakeapi_spark.sources.delta import predicates_from_filters
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    preds = predicates_from_filters(
+        [
+            ("k", "=", "5"),                       # untyped numeric
+            ("ts", ">=", "2024-01-02 00:00:00"),   # space -> T
+            ("ts", "<", dt.date(2024, 2, 1)),      # date object
+            ("k", "=", "not-a-number"),            # opts out
+            ("s", "=", 7),                         # number on string col: out
+        ],
+        schema,
+    )
+    assert preds == [
+        ("k", 5, 5),
+        ("ts", "2024-01-02T00:00:00", None),
+        ("ts", None, "2024-02-01"),
+    ]

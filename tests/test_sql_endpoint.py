@@ -513,3 +513,17 @@ def test_dml_parser_fuzz_roundtrip():
             assert at is None, rest
             got = _split_assignments(rest)
         assert got == [(c, e) for c, e in chosen], (rest, got)
+
+
+def test_dml_backslash_escaped_quote(spark, tmp_path):
+    """Spark literals honor backslash-escaped quotes; the scanner must
+    not close the string early and swallow the WHERE clause (review
+    finding: that silently turned a targeted UPDATE into full-table)."""
+    from lakeapi_spark.sources.delta import read_delta_fallback, write_delta
+    from lakeapi_spark.sql.dml import run_dml
+
+    path = str(tmp_path / "esc")
+    write_delta(spark.range(4).selectExpr("id AS k", "'x' AS s"), path)
+    run_dml(spark, r"UPDATE t SET s = 'don\'t' WHERE k = 1", {"t": path})
+    got = {r.k: r.s for r in read_delta_fallback(spark, path).collect()}
+    assert got == {0: "x", 1: "don't", 2: "x", 3: "x"}
