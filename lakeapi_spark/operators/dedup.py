@@ -135,17 +135,6 @@ def _exploded_shingles(
     return out.select("id", F.xxhash64("g").alias("g"))
 
 
-def _checked_id(col: str) -> Column:
-    """Fail loudly if an id overflows the 31-bit packed-pair budget
-    (pair key = id_a << 32 | id_b below) instead of silently wrapping.
-    One comparison per exploded row — negligible next to the join."""
-    return F.when(
-        (F.col(col) >= 0) & (F.col(col) < (1 << 31)), F.col(col)
-    ).otherwise(
-        F.raise_error(F.lit(f"{col} exceeds 31-bit packed-pair id budget"))
-    )
-
-
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -167,35 +156,51 @@ def ngram_jaccard_pairs(
     at sf0.1 (hot bigrams shared by ~300 docs each contribute ~45k
     pairs apiece). Aggregating that volume on a PACKED single-long
     pair key (id_a << 32 | id_b) instead of a two-column key measured
-    5x faster (halved shuffle width + single-word hash compare); ids
-    are range-checked into a 31-bit budget up front so overflow raises
-    instead of corrupting pairs.
+    5x faster (halved shuffle width + single-word hash compare). Ids
+    outside the 31-bit packing budget (negative, or a >2B-document
+    corpus — exactly the 100 TB regime) fall back AUTOMATICALLY to the
+    two-column pair key: same results, the packed key is purely the
+    fast path. The probe is one min/max aggregate over the persisted
+    shingle relation.
 
     Pass ``cache_handles`` (a list) to receive the persisted shingle
     DataFrame and ``unpersist()`` it after your action; see
     :func:`minhash_lsh_pairs` for why serving sessions must."""
-    sh = (
-        _exploded_shingles(df, id_col, text_col, sample_nibble)
-        .select(_checked_id("id").alias("id"), "g")
-        .persist()
-    )
+    sh = _exploded_shingles(df, id_col, text_col, sample_nibble).persist()
     if cache_handles is not None:
         cache_handles.append(sh)
+    bounds = sh.agg(F.min("id").alias("lo"), F.max("id").alias("hi")).first()
+    packable = (
+        bounds["lo"] is not None
+        and bounds["lo"] >= 0
+        and bounds["hi"] < (1 << 31)
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
-    pair = F.col("a.id") * F.lit(1 << 32) + F.col("b.id")
-    inter = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .select(pair.alias("pair"))
-        .groupBy("pair")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-        .select(
-            F.shiftright("pair", 32).alias("id_a"),
-            F.col("pair").bitwiseAND(F.lit((1 << 32) - 1)).alias("id_b"),
-            "n_inter",
-        )
+    joined = a.join(
+        b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id"))
     )
+    if packable:
+        pair = F.col("a.id") * F.lit(1 << 32) + F.col("b.id")
+        inter = (
+            joined.select(pair.alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+            .select(
+                F.shiftright("pair", 32).alias("id_a"),
+                F.col("pair").bitwiseAND(F.lit((1 << 32) - 1)).alias("id_b"),
+                "n_inter",
+            )
+        )
+    else:
+        inter = (
+            joined.select(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
     return (
@@ -937,10 +942,17 @@ def semantic_dedup_pairs(
     with ``n_centroids`` defaulting to ceil(sqrt(n)) — the production
     scaling rule that holds pair volume linear in the corpus."""
     if use_kernel:
+        n_total = emb.count()  # metadata-cheap; proves the cap can't bind
         assigned = _semantic_assignments(
             emb, id_col, vec_col, centroid_ids, n_centroids, use_kernel=True
         )
-        return _semantic_pairs_kernel(assigned, threshold)
+        if n_total > _SEM_MAX_CLUSTER_ROWS:
+            # the mega-cluster guard will probe cluster sizes — persist
+            # so the assignment matmul is paid once, not twice
+            assigned = assigned.persist()
+            if cache_handles is not None:
+                cache_handles.append(assigned)
+        return _semantic_pairs_kernel(assigned, threshold, total_rows=n_total)
 
     from lakeapi_spark.operators.similarity import dot
 
@@ -973,6 +985,7 @@ def semantic_dedup_pairs_multiprobe(
     threshold: float,
     n_probe: int = 2,
     n_centroids: int | None = None,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """The boundary-recall dial for semantic dedup: every vector joins
     its ``n_probe`` nearest clusters (not just the nearest), so a
@@ -982,29 +995,66 @@ def semantic_dedup_pairs_multiprobe(
     per cluster in the worst case; pairs found in two shared clusters
     collapse with one distinct over the (small, post-threshold) pair
     set. Returns (id_a, id_b, cos_sim)."""
+    n_total = emb.count()  # a cluster holds <= n_total rows even multiprobed
     assigned = _semantic_assignments(
         emb, id_col, vec_col, centroid_ids, n_centroids, n_probe=n_probe
     )
-    pairs = _semantic_pairs_kernel(assigned, threshold)
+    if n_total > _SEM_MAX_CLUSTER_ROWS:
+        assigned = assigned.persist()  # size probe + scoring: pay matmul once
+        if cache_handles is not None:
+            cache_handles.append(assigned)
+    pairs = _semantic_pairs_kernel(assigned, threshold, total_rows=n_total)
     return pairs.select("id_a", "id_b", "cos_sim").distinct()
 
 
-def _semantic_pairs_kernel(assigned: DataFrame, threshold: float) -> DataFrame:
+#: per-task row cap for the semantic pair kernel: a cluster larger
+#: than this is hash-split into blocks and scored as (block_i,
+#: block_j) tasks, so no applyInPandas task ever materializes more
+#: than 2 x cap vectors (at dim 768 float64 that is ~400 MB — inside
+#: one executor's working set; tune down for fatter embeddings).
+_SEM_MAX_CLUSTER_ROWS = 32768
+
+
+def _semantic_pairs_kernel(
+    assigned: DataFrame,
+    threshold: float,
+    max_cluster_rows: int = _SEM_MAX_CLUSTER_ROWS,
+    total_rows: int | None = None,
+) -> DataFrame:
     """Per-cluster pair scoring as ONE blocked gram-matrix matmul
     (applyInPandas over groupBy(cid) — the same single cid shuffle the
     equi-join spelling paid, but BLAS instead of one interpreted
     HOF-lambda walk per pair). Value parity with the expression twin:
     cos = ROUND(dot / (nrm_a * nrm_b), 4) on the SAME nrm values the
     assignment emitted. Row blocks of 1024 bound the gram slice to
-    1024 x |cluster| doubles — a mega-cluster can't OOM one task (it
-    can still be slow; the fix is more centroids, see the sqrt(n)
-    rule)."""
+    1024 x |cluster| doubles.
+
+    MEGA-CLUSTER GUARD: a cluster above ``max_cluster_rows`` (hot
+    centroid — boilerplate embeddings) would otherwise materialize all
+    its vectors in ONE task's memory. Such clusters are hash-split
+    into ceil(n/cap) blocks and every unordered block pair (gi <= gj)
+    becomes its own task holding at most TWO blocks — per-task memory
+    is bounded at 2 x cap vectors no matter how hot the centroid. The
+    pair set is identical (each {a, b} lands in exactly the
+    (min(blk_a, blk_b), max(...)) group, and the same rounded cosine
+    is computed), so results match the unsplit kernel bit-for-bit.
+    Total work stays O(|cluster|^2) — SemDeDup's sqrt(n) centroid rule
+    and n_probe are the levers that keep clusters small; this guard
+    only converts "hot centroid OOMs a task" into "hot centroid takes
+    more tasks".
+
+    The guard engages LAZILY: ``total_rows`` (a metadata-cheap corpus
+    count the callers supply) proves no cluster CAN exceed the cap
+    when the whole corpus fits it — the common small/medium case keeps
+    the original single-shuffle plan with zero extra jobs. Only above
+    the bound do cluster sizes get probed (one count aggregate over
+    the assignment relation — persist it upstream so the assignment
+    matmul is paid once)."""
     import numpy as np
     import pandas as pd  # noqa: F401
 
-    def score(pdf):
-        import pandas as pd
-
+    def _score_within(pdf, pd, np):
+        # all-pairs within one row set, id_a < id_b, blocked gram
         V = np.array(pdf["v"].tolist(), dtype=np.float64)
         nrm = pdf["nrm"].to_numpy()
         ids = pdf["id"].to_numpy()
@@ -1027,16 +1077,94 @@ def _semantic_pairs_kernel(assigned: DataFrame, threshold: float) -> DataFrame:
                         }
                     )
                 )
+        return out
+
+    def _empty(pd):
+        return pd.DataFrame(
+            {"cid": pd.Series(dtype="int32"), "id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"), "cos_sim": pd.Series(dtype="float64")}
+        )
+
+    def score(pdf):
+        import pandas as pd
+
+        out = _score_within(pdf, pd, np)
         if not out:
-            return pd.DataFrame(
-                {"cid": pd.Series(dtype="int32"), "id_a": pd.Series(dtype="int64"),
-                 "id_b": pd.Series(dtype="int64"), "cos_sim": pd.Series(dtype="float64")}
-            )
+            return _empty(pd)
         return pd.concat(out, ignore_index=True)
 
-    return assigned.groupBy("cid").applyInPandas(
-        score, schema="cid int, id_a long, id_b long, cos_sim double"
+    def score_block_pair(key, pdf):
+        import pandas as pd
+
+        _cid, gi, gj = (int(k) for k in key)
+        if gi == gj:
+            out = _score_within(pdf, pd, np)
+            return pd.concat(out, ignore_index=True) if out else _empty(pd)
+        a = pdf[pdf["_blk"] == gi]
+        b = pdf[pdf["_blk"] == gj]
+        if len(a) == 0 or len(b) == 0:
+            return _empty(pd)
+        VA = np.array(a["v"].tolist(), dtype=np.float64)
+        VB = np.array(b["v"].tolist(), dtype=np.float64)
+        ids_a = a["id"].to_numpy()
+        ids_b = b["id"].to_numpy()
+        C = np.round(
+            (VA @ VB.T) / np.outer(a["nrm"].to_numpy(), b["nrm"].to_numpy()), 4
+        )
+        mask = (C >= threshold) & (ids_a[:, None] != ids_b[None, :])
+        r, c = np.nonzero(mask)
+        if not len(r):
+            return _empty(pd)
+        lo = np.minimum(ids_a[r], ids_b[c])
+        hi = np.maximum(ids_a[r], ids_b[c])
+        return pd.DataFrame(
+            {"cid": int(pdf["cid"].iloc[0]), "id_a": lo, "id_b": hi,
+             "cos_sim": C[r, c]}
+        )
+
+    schema = "cid int, id_a long, id_b long, cos_sim double"
+    if total_rows is not None and total_rows <= max_cluster_rows:
+        # the whole corpus fits one task's budget, so no cluster can
+        # exceed it — original single-shuffle plan, zero extra jobs
+        return assigned.groupBy("cid").applyInPandas(score, schema=schema)
+    sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("_n"))
+    max_n = sizes.agg(F.max("_n")).first()[0] or 0
+    if max_n <= max_cluster_rows:
+        # no hot centroid this run — keep the original plan. The probe
+        # is one tiny agg over the persisted assignment relation.
+        return assigned.groupBy("cid").applyInPandas(score, schema=schema)
+    routed = assigned.join(F.broadcast(sizes), "cid")
+    small = routed.filter(F.col("_n") <= max_cluster_rows).drop("_n")
+    small_pairs = small.groupBy("cid").applyInPandas(score, schema=schema)
+    big = (
+        routed.filter(F.col("_n") > max_cluster_rows)
+        .withColumn(
+            "_nb",
+            F.ceil(F.col("_n") / F.lit(max_cluster_rows)).cast("int"),
+        )
+        .withColumn("_blk", F.pmod(F.xxhash64("id"), F.col("_nb")).cast("int"))
+        .select(
+            "cid",
+            "id",
+            "v",
+            "nrm",
+            "_blk",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, _nb - 1),"
+                    " j -> struct(least(_blk, j) AS gi, greatest(_blk, j) AS gj))"
+                )
+            ).alias("_g"),
+        )
+        .select(
+            "cid", "id", "v", "nrm", "_blk",
+            F.col("_g.gi").alias("_gi"), F.col("_g.gj").alias("_gj"),
+        )
     )
+    big_pairs = big.groupBy("cid", "_gi", "_gj").applyInPandas(
+        score_block_pair, schema=schema
+    )
+    return small_pairs.unionByName(big_pairs)
 
 
 def semantic_dedup_summary(
@@ -1059,7 +1187,9 @@ def semantic_dedup_summary(
     sides = _semantic_assignments(emb, id_col, vec_col, centroid_ids).persist()
     if cache_handles is not None:
         cache_handles.append(sides)
-    pairs = _semantic_pairs_kernel(sides, threshold)
+    # sides is persisted anyway (counts + pairs share it), so the
+    # mega-cluster size probe rides the cache when it engages
+    pairs = _semantic_pairs_kernel(sides, threshold, total_rows=emb.count())
     removed = pairs.groupBy("cid").agg(
         F.count_distinct("id_b").alias("n_removed")
     )

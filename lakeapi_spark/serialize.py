@@ -136,45 +136,37 @@ def _col_ref(idx: int) -> str:
     return out
 
 
-def _xlsx_bytes(tab: pa.Table) -> bytes:
+def _xlsx_cell(ref: str, v: Any) -> str:
+    from xml.sax.saxutils import escape
+
+    if v is None:
+        return ""
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+    if isinstance(v, (int, float)):
+        if isinstance(v, float) and v != v:  # NaN
+            return ""
+        return f'<c r="{ref}"><v>{v!r}</v></c>'
+    text = _json_default(v) if not isinstance(v, str) else v
+    return f'<c r="{ref}" t="inlineStr"><is><t>{escape(text)}</t></is></c>'
+
+
+def _xlsx_write(batches: Iterator[pa.RecordBatch], sink) -> None:
     """Minimal SpreadsheetML writer over the stdlib zipfile — no
     openpyxl/xlsxwriter needed (the reference needs polars' xlsxwriter
     extra, response.py:118-124; this closes that optional-dependency
     gap). One sheet, header row, numbers/bools typed natively,
-    everything else (strings, timestamps, bytes) as inline strings —
-    small-result exports only, like every other whole-bytes format
-    here."""
+    everything else (strings, timestamps, bytes) as inline strings.
+
+    STREAMING: sheet rows are written into the zip entry one Arrow
+    batch at a time (``ZipFile.open(..., 'w')``), so memory stays one
+    batch no matter the result size — ``sink`` is any writable binary
+    file (BytesIO for small results, a temp file for ``limit=-1``
+    exports). Zip entry timestamps are pinned (1980 epoch) so the same
+    table always serializes to the same bytes."""
     import zipfile
-    from xml.sax.saxutils import escape
 
-    def cell(ref: str, v: Any) -> str:
-        if v is None:
-            return ""
-        if isinstance(v, bool):  # before int: bool is an int subclass
-            return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
-        if isinstance(v, (int, float)):
-            if isinstance(v, float) and v != v:  # NaN
-                return ""
-            return f'<c r="{ref}"><v>{v!r}</v></c>'
-        text = _json_default(v) if not isinstance(v, str) else v
-        return f'<c r="{ref}" t="inlineStr"><is><t>{escape(text)}</t></is></c>'
-
-    names = tab.column_names
-    rows_xml: list[str] = []
-    header = "".join(
-        cell(f"{_col_ref(c)}1", name) for c, name in enumerate(names)
-    )
-    rows_xml.append(f'<row r="1">{header}</row>')
-    for r, row in enumerate(tab.to_pylist(), start=2):
-        cells = "".join(
-            cell(f"{_col_ref(c)}{r}", row[name]) for c, name in enumerate(names)
-        )
-        rows_xml.append(f'<row r="{r}">{cells}</row>')
-    sheet = (
-        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
-        f"<sheetData>{''.join(rows_xml)}</sheetData></worksheet>"
-    )
+    cell = _xlsx_cell
     workbook = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
@@ -206,13 +198,52 @@ def _xlsx_bytes(tab: pa.Table) -> bytes:
         '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/'
         'vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>'
     )
+
+    def entry(name: str) -> zipfile.ZipInfo:
+        zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+        zi.compress_type = zipfile.ZIP_DEFLATED
+        return zi
+
+    with zipfile.ZipFile(sink, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr(entry("[Content_Types].xml"), content_types)
+        z.writestr(entry("_rels/.rels"), root_rels)
+        z.writestr(entry("xl/workbook.xml"), workbook)
+        z.writestr(entry("xl/_rels/workbook.xml.rels"), wb_rels)
+        with z.open(entry("xl/worksheets/sheet1.xml"), "w") as sheet:
+            sheet.write(
+                b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                b'<worksheet xmlns="http://schemas.openxmlformats.org/'
+                b'spreadsheetml/2006/main"><sheetData>'
+            )
+            r = 2
+            names: list[str] | None = None
+            for batch in batches:
+                if names is None:
+                    names = batch.schema.names
+                    header = "".join(
+                        cell(f"{_col_ref(c)}1", n) for c, n in enumerate(names)
+                    )
+                    sheet.write(f'<row r="1">{header}</row>'.encode())
+                for row in batch.to_pylist():
+                    cells = "".join(
+                        cell(f"{_col_ref(c)}{r}", row[n])
+                        for c, n in enumerate(names)
+                    )
+                    sheet.write(f'<row r="{r}">{cells}</row>'.encode())
+                    r += 1
+            sheet.write(b"</sheetData></worksheet>")
+
+
+def _xlsx_bytes(tab: pa.Table) -> bytes:
+    batches = tab.to_batches(max_chunksize=10000)
+    if not batches:  # empty result still gets its header row
+        batches = [
+            pa.RecordBatch.from_arrays(
+                [pa.array([], type=f.type) for f in tab.schema], schema=tab.schema
+            )
+        ]
     buf = io.BytesIO()
-    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
-        z.writestr("[Content_Types].xml", content_types)
-        z.writestr("_rels/.rels", root_rels)
-        z.writestr("xl/workbook.xml", workbook)
-        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
-        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    _xlsx_write(iter(batches), buf)
     return buf.getvalue()
 
 
@@ -296,12 +327,16 @@ def stream_serialize(
     chunk_size: int = 10000,
 ) -> Iterator[bytes]:
     """Chunked serialization for large (``limit=-1``) exports: yields
-    the same bytes ``serialize()`` would produce, but with driver
+    the same bytes ``serialize()`` would produce (same logical content
+    for ``arrow``, whose file-level layout differs), with driver
     memory bounded by one Arrow batch (see :func:`_spilled_batches`).
-    Every format the reference temp-file-streams is covered: ndjson,
-    json, csv/scsv/csv4excel, parquet, arrow-stream (xlsx and the
-    feather/IPC *file* format require a seekable sink — ``serialize()``
-    handles those small-result paths)."""
+    EVERY format ``serialize()`` supports is covered, matching the
+    reference's temp-file chunk streaming of all its formats
+    (core/response.py:315-352): the append-only formats stream
+    directly; the seekable-sink formats (xlsx, feather/IPC file) spill
+    to a DRIVER TEMP FILE batch-by-batch — disk, never memory — and
+    re-stream it in 64 KiB chunks, exactly the reference's
+    NamedTemporaryFile pattern."""
     enc = encoding or "utf-8"
     batches = _spilled_batches(df, chunk_size)
     if fmt == "ndjson":
@@ -367,7 +402,71 @@ def stream_serialize(
             writer.close()  # footer
             yield sink.drain()
         return
-    raise ValueError(f"format {fmt!r} is not streamable; use serialize()")
+    if fmt == "xml":
+        # same element shape as serialize(): declaration + <data> with
+        # one <row> per record, streamed row-group by row-group
+        import xml.etree.ElementTree as ET
+
+        yield f"<?xml version='1.0' encoding='{enc}'?>\n<data>".encode(enc)
+        for batch in batches:
+            parts: list[bytes] = []
+            for row in batch.to_pylist():
+                el = ET.Element("row")
+                for k, v in row.items():
+                    child = ET.SubElement(el, k)
+                    if v is not None:
+                        child.text = (
+                            v.isoformat() if hasattr(v, "isoformat") else str(v)
+                        )
+                parts.append(ET.tostring(el, encoding="unicode").encode(enc))
+            if parts:
+                yield b"".join(parts)
+        yield "</data>".encode(enc)
+        return
+    if fmt == "html":
+        # pandas renders each batch; the <tbody> rows are spliced into
+        # one table so the bytes match serialize()'s single-shot output
+        tail = "\n</table>"
+        first = True
+        for batch in batches:
+            html = batch.to_pandas().to_html(index=False)
+            head, _, rest = html.partition("<tbody>")
+            body, _, tail = rest.partition("</tbody>")
+            if first:
+                yield (head + "<tbody>").encode(enc)
+                first = False
+            rows = body.strip()
+            if rows:
+                yield ("\n    " + rows).encode(enc)
+        yield ("\n  </tbody>" + tail).encode(enc)
+        return
+    if fmt in ("xlsx", "arrow"):
+        # seekable-sink formats: batch-stream into a DRIVER TEMP FILE
+        # (disk-bounded, like the reference's NamedTemporaryFile spill,
+        # response.py:315-352), then re-stream it in 64 KiB chunks
+        import os
+        import tempfile
+
+        fd, path = tempfile.mkstemp(prefix="lakeapi_export_", suffix=f".{fmt}")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                if fmt == "xlsx":
+                    _xlsx_write(batches, f)
+                else:  # feather v2 IS the Arrow IPC file format
+                    writer = None
+                    for batch in batches:
+                        if writer is None:
+                            writer = ipc.new_file(f, batch.schema)
+                        writer.write_batch(batch)
+                    if writer is not None:
+                        writer.close()
+            with open(path, "rb") as f:
+                while chunk := f.read(65536):
+                    yield chunk
+        finally:
+            os.remove(path)
+        return
+    raise ValueError(f"unsupported format {fmt!r}")
 
 
 def stream_ndjson(df: DataFrame, chunk_size: int = 10000) -> Iterator[bytes]:

@@ -312,6 +312,26 @@ def _file_dv(snap: DeltaSnapshot, rel: str) -> dict | None:
     return (snap.adds_raw.get(rel) or {}).get("deletionVector") or None
 
 
+def _dv_referenced_rel(dv: dict, base: str) -> str | None:
+    """Table-relative path of the ``.bin`` a deletionVector descriptor
+    references, or None when it references no table file (inline 'i',
+    or an absolute 'p' path outside the table root). Both vacuum's
+    referenced-set and restore's needed-set go through this so a 'p'
+    descriptor pointing inside the table is never vacuumed out from
+    under a retained snapshot."""
+    from lakeapi_spark.sources.dv import dv_relative_path
+
+    st = dv.get("storageType")
+    if st == "u":
+        return dv_relative_path(dv["pathOrInlineDv"])
+    if st == "p":
+        p = _local_path(dv["pathOrInlineDv"])
+        prefix = base.rstrip("/") + "/"
+        if p.startswith(prefix):
+            return p[len(prefix):]
+    return None
+
+
 #: scheme prefix of a URI ("file:///", "s3a://", ...) — folded to a
 #: single "/" on BOTH sides of the DV position join so driver-derived
 #: paths and _metadata.file_path agree regardless of scheme spelling
@@ -692,11 +712,29 @@ def _coerce_stat_value(value, dtype: T.DataType | None):
             return None
     if isinstance(dtype, T.StringType):
         return value if isinstance(value, str) else None
-    if isinstance(dtype, (T.DateType, T.TimestampType, T.TimestampNTZType)):
-        if isinstance(value, (dt.date, dt.datetime)):
+    if isinstance(dtype, T.DateType):
+        # date stats are plain 'YYYY-MM-DD'; a 'YYYY-MM-DDT00:00:00'
+        # literal would lexically exceed them and wrongly prune the
+        # boundary date — truncate to the date part (conservative:
+        # keeps any file whose date range touches the literal's date)
+        if isinstance(value, dt.datetime):
+            return value.date().isoformat()
+        if isinstance(value, dt.date):
             return value.isoformat()
         if isinstance(value, str):
-            return value.strip().replace(" ", "T")
+            return value.strip().replace(" ", "T").split("T", 1)[0]
+        return None
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        # timestamp stats isoformat to '...T00:00:00' even at midnight;
+        # pad date-only literals so midnight equality doesn't lexically
+        # under-shoot the stats and wrongly prune the boundary file
+        if isinstance(value, dt.datetime):
+            return value.isoformat()
+        if isinstance(value, dt.date):
+            return value.isoformat() + "T00:00:00"
+        if isinstance(value, str):
+            v = value.strip().replace(" ", "T")
+            return v if "T" in v else v + "T00:00:00"
         return None
     return None
 
@@ -1853,9 +1891,11 @@ def optimize_delta(
         ]
     )
 
+    # partitionValues in the log are keyed by PHYSICAL names (column
+    # mapping); phys[c] == c on unmapped tables, so this is uniform.
     groups: dict[tuple, list[str]] = {}
     for rel, pvals in snap.files.items():
-        groups.setdefault(tuple(pvals.get(c) for c in pcols), []).append(rel)
+        groups.setdefault(tuple(pvals.get(phys[c]) for c in pcols), []).append(rel)
 
     adds: list[dict] = []
     removes: list[dict] = []
@@ -1876,7 +1916,7 @@ def optimize_delta(
         staging = f"{base}/.optimize-{uuid.uuid4().hex}"
         df.coalesce(target_files_per_partition).write.mode("overwrite").parquet(staging)
         rel_dir = "/".join(
-            f"{c}={v if v is not None else '__HIVE_DEFAULT_PARTITION__'}"
+            f"{phys[c]}={v if v is not None else '__HIVE_DEFAULT_PARTITION__'}"
             for c, v in zip(pcols, key)
         )
         if rel_dir:
@@ -1888,7 +1928,7 @@ def optimize_delta(
             os.replace(f"{staging}/{name}", f"{base}/{rel}")
             add = {
                 "path": rel,
-                "partitionValues": dict(zip(pcols, key)),
+                "partitionValues": {phys[c]: v for c, v in zip(pcols, key)},
                 "size": os.path.getsize(f"{base}/{rel}"),
                 "modificationTime": 0,
                 "dataChange": False,
@@ -1927,8 +1967,6 @@ def vacuum_delta(spark: SparkSession, path: str, keep_versions: int = 0) -> list
     purged/rewritten versions do. Returns the deleted relative paths."""
     import os
 
-    from lakeapi_spark.sources.dv import dv_relative_path
-
     base = _local_path(path).rstrip("/")
     latest = delta_snapshot(spark, base).version
     keep_from = max(0, latest - keep_versions)
@@ -1938,8 +1976,10 @@ def vacuum_delta(spark: SparkSession, path: str, keep_versions: int = 0) -> list
         referenced |= set(vsnap.files)
         for rel in vsnap.files:
             dv = _file_dv(vsnap, rel)
-            if dv and dv["storageType"] == "u":
-                referenced.add(dv_relative_path(dv["pathOrInlineDv"]))
+            if dv:
+                dv_rel = _dv_referenced_rel(dv, base)
+                if dv_rel is not None:
+                    referenced.add(dv_rel)
     deleted: list[str] = []
     for root, dirs, files in os.walk(base):
         dirs[:] = [d for d in dirs if d != "_delta_log" and not d.startswith(".")]
@@ -2017,16 +2057,21 @@ def restore_delta(
     concurrent commit."""
     import os
 
-    from lakeapi_spark.sources.dv import dv_relative_path
-
     base = _local_path(path).rstrip("/")
     target = delta_snapshot(spark, base, version)
     needed = list(target.files)
+    missing: list[str] = []
     for rel in target.files:  # a restored DV'd file also needs its bin
         dv = _file_dv(target, rel)
-        if dv and dv["storageType"] == "u":
-            needed.append(dv_relative_path(dv["pathOrInlineDv"]))
-    missing = [rel for rel in needed if not os.path.exists(f"{base}/{rel}")]
+        if dv:
+            dv_rel = _dv_referenced_rel(dv, base)
+            if dv_rel is not None:
+                needed.append(dv_rel)
+            elif dv.get("storageType") == "p" and not os.path.exists(
+                _local_path(dv["pathOrInlineDv"])
+            ):  # absolute path outside the table root
+                missing.append(dv["pathOrInlineDv"])
+    missing += [rel for rel in needed if not os.path.exists(f"{base}/{rel}")]
     if missing:
         raise ValueError(
             f"cannot restore {base} to v{version}: {len(missing)} data "
@@ -2115,6 +2160,9 @@ def _checkpoint_arrow_schema():
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
+                        ("tags", str_map),
+                        ("baseRowId", pa.int64()),
+                        ("defaultRowCommitVersion", pa.int64()),
                         (
                             "deletionVector",
                             pa.struct(
@@ -2127,6 +2175,18 @@ def _checkpoint_arrow_schema():
                                 ]
                             ),
                         ),
+                    ]
+                ),
+            ),
+            (
+                "remove",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("deletionTimestamp", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                        ("partitionValues", str_map),
+                        ("size", pa.int64()),
                     ]
                 ),
             ),
@@ -2160,7 +2220,14 @@ def checkpoint_delta(spark: SparkSession, path: str) -> int:
     JSON replay when ``versionAsOf`` predates the checkpoint). The
     parquet is staged and ``os.replace``d, and ``_last_checkpoint`` is
     rewritten last — a reader never observes a half-written
-    checkpoint."""
+    checkpoint.
+
+    Foreign-reader interop: remove TOMBSTONES for non-live paths are
+    carried (VACUUM bookkeeping within the retention window), as are
+    the row-tracking add fields (``tags``, ``baseRowId``,
+    ``defaultRowCommitVersion``). Remaining boundary: truly unknown
+    add keys from exotic writers are projected away, and only classic
+    single-file checkpoints are emitted (no v2/sidecar)."""
     import os
     import uuid
 
@@ -2183,6 +2250,28 @@ def checkpoint_delta(spark: SparkSession, path: str) -> int:
     rows.append({"metaData": _known(md, "metaData")})
     for app_id, ver in sorted(snap.app_versions.items()):
         rows.append({"txn": {"appId": app_id, "version": ver}})
+    # remove TOMBSTONES: the protocol keeps removes in checkpoints until
+    # retention expires so a foreign VACUUM within the window still sees
+    # them. Carry the latest remove per path that is not currently live
+    # (a removed-then-re-added path stays an add, never a tombstone),
+    # emitted BEFORE the adds so replay order can't drop a live file.
+    tombstones: dict[str, dict] = {}
+    log_dir = f"{base}/_delta_log"
+    for name in sorted(os.listdir(log_dir)):
+        if not (name.endswith(".json") and name[:-5].isdigit()):
+            continue
+        if int(name[:-5]) > snap.version:
+            continue
+        with open(f"{log_dir}/{name}") as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                rm = action.get("remove")
+                if rm and rm.get("path") and rm["path"] not in snap.files:
+                    tombstones[rm["path"]] = rm
+    for rel in sorted(tombstones):
+        rows.append({"remove": _known(tombstones[rel], "remove")})
     for rel in sorted(snap.files):
         add = dict(snap.adds_raw.get(rel) or {"path": rel})
         add.setdefault("partitionValues", snap.files[rel])

@@ -370,6 +370,41 @@ def test_minhash_engines_agree_and_release_cache(corpus):
     assert after <= before, "cached blocks leaked"
 
 
+def test_ngram_jaccard_ids_beyond_31_bits(corpus):
+    """Ids past the packed-pair budget (2^31) — a >2B-document corpus,
+    exactly the 100 TB regime — must fall back to the two-column pair
+    key and return CORRECT pairs instead of raising (advice finding,
+    r6). The shifted corpus's pair set must equal the small-id pair
+    set shifted by the same offset, jaccards identical."""
+    from lakeapi_spark.operators.dedup import ngram_jaccard_pairs as njp
+
+    small = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in njp(corpus, "doc_id", "text", threshold=0.5).collect()
+    }
+    offset = (1 << 31) + 7
+    shifted = corpus.withColumn("doc_id", F.col("doc_id") + F.lit(offset))
+    big = {
+        (r.id_a - offset, r.id_b - offset): r.jaccard
+        for r in njp(shifted, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert big == small and len(small) >= 10
+
+
+def test_ngram_jaccard_negative_ids_fall_back(spark):
+    """Negative ids are un-packable too: the two-column fallback must
+    produce the right pair (and keep id_a < id_b ordering)."""
+    from lakeapi_spark.operators.dedup import ngram_jaccard_pairs as njp
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(-5, text), (-2, text), (7, "wholly unrelated words entirely")],
+        ["doc_id", "text"],
+    )
+    got = [(r.id_a, r.id_b, r.jaccard) for r in njp(df, "doc_id", "text", 0.9).collect()]
+    assert got == [(-5, -2, 1.0)]
+
+
 def test_ngram_jaccard_cache_handle_released(corpus):
     from lakeapi_spark.operators.dedup import ngram_jaccard_pairs as njp
 
@@ -647,6 +682,68 @@ def test_semantic_dedup_kernel_equals_expression(spark, sf_dir):
     assert kern == expr and len(kern) > 0
     for h in handles:
         h.unpersist()
+
+
+def test_semantic_mega_cluster_split_matches_unsplit(spark):
+    """The mega-cluster guard: when one hot centroid owns ~90 % of the
+    corpus, the pair kernel hash-splits the cluster into blocks and
+    scores (block_i, block_j) tasks — the pair set must be IDENTICAL to
+    the unsplit kernel (same ids, same rounded cosines), and no task
+    group may hold more than 2 x cap rows."""
+    import random as _random
+
+    from lakeapi_spark.operators.dedup import (
+        _semantic_assignments,
+        _semantic_pairs_kernel,
+    )
+
+    rng = _random.Random(23)
+    dim = 6
+    rows = []
+    vid = 0
+    hot = [1.0] + [0.05] * (dim - 1)
+    for _ in range(90):  # one hot centroid owns ~90 % of rows
+        rows.append((vid, [x + rng.uniform(-0.01, 0.01) for x in hot]))
+        vid += 1
+    cold = [0.05, 1.0] + [0.05] * (dim - 2)
+    for _ in range(10):
+        rows.append((vid, [x + rng.uniform(-0.01, 0.01) for x in cold]))
+        vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    assigned = _semantic_assignments(
+        emb, "vec_id", "embedding", centroid_ids=[0, 90]
+    ).persist()
+    thr = 0.999
+    unsplit = {
+        (r.cid, r.id_a, r.id_b, r.cos_sim)
+        for r in _semantic_pairs_kernel(
+            assigned, thr, max_cluster_rows=10**9
+        ).collect()
+    }
+    cap = 8  # force ceil(90/8)=12 blocks on the hot cluster
+    split = {
+        (r.cid, r.id_a, r.id_b, r.cos_sim)
+        for r in _semantic_pairs_kernel(
+            assigned, thr, max_cluster_rows=cap
+        ).collect()
+    }
+    assert split == unsplit and len(unsplit) > 0
+
+    # per-task bound: no (cid, gi, gj) group exceeds two blocks' rows,
+    # and no block exceeds ~cap rows (hash balance gives slack: 3x)
+    blk = (
+        assigned.withColumn("_n", F.count(F.lit(1)).over(__import__("pyspark").sql.Window.partitionBy("cid")))
+        .filter(F.col("_n") > cap)
+        .withColumn("_nb", F.ceil(F.col("_n") / F.lit(cap)).cast("int"))
+        .withColumn("_blk", F.pmod(F.xxhash64("id"), F.col("_nb")).cast("int"))
+        .groupBy("cid", "_blk")
+        .count()
+        .collect()
+    )
+    assert blk and max(r["count"] for r in blk) <= 3 * cap
+    assigned.unpersist()
 
 
 def test_cut_dup_spans_removes_shared_run(spark):

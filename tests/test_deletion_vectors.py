@@ -499,6 +499,69 @@ def test_foreign_absolute_p_descriptor(spark, tmp_path):
     assert got == list(range(1, 9))
 
 
+def test_vacuum_keeps_p_descriptor_bin_inside_table(spark, tmp_path):
+    """A retained add whose DV is a storageType 'p' descriptor pointing
+    INSIDE the table directory must keep its .bin through VACUUM — only
+    'u' paths were added to the referenced set before (advice finding,
+    r6), so the bin of a still-live snapshot was deleted and the table
+    became unreadable."""
+    import os
+
+    from lakeapi_spark.sources.delta import read_delta_fallback, vacuum_delta
+
+    payload = D.serialize_rba([0, 9])
+    blob, offsets = D.pack_dv_file([payload])
+    base_dir = str(tmp_path / "p_inside")
+    bin_rel = "dv/inside.bin"
+    desc = {
+        "storageType": "p",
+        "pathOrInlineDv": f"{base_dir}/{bin_rel}",
+        "offset": offsets[0],
+        "sizeInBytes": len(payload),
+        "cardinality": 2,
+    }
+    base = _dv_log_table(tmp_path, "p_inside", desc)
+    os.makedirs(f"{base}/dv")
+    with open(f"{base}/{bin_rel}", "wb") as f:
+        f.write(blob)
+    before = sorted(r.x for r in read_delta_fallback(spark, base).collect())
+    assert before == list(range(1, 9))
+
+    deleted = vacuum_delta(spark, base, keep_versions=0)
+    assert all(not d.endswith("inside.bin") for d in deleted), deleted
+    after = sorted(r.x for r in read_delta_fallback(spark, base).collect())
+    assert after == before
+
+
+def test_restore_checks_p_descriptor_bins(spark, tmp_path):
+    """restore_delta's reconstructability check must cover 'p'
+    descriptor bins the same way it covers 'u' ones: restoring to a
+    version whose in-table 'p' bin is gone raises instead of
+    committing an unreadable snapshot."""
+    import os
+
+    import pytest as _pytest
+
+    from lakeapi_spark.sources.delta import restore_delta
+
+    payload = D.serialize_rba([3])
+    blob, offsets = D.pack_dv_file([payload])
+    base_dir = str(tmp_path / "p_restore")
+    desc = {
+        "storageType": "p",
+        "pathOrInlineDv": f"{base_dir}/gone.bin",
+        "offset": offsets[0],
+        "sizeInBytes": len(payload),
+        "cardinality": 1,
+    }
+    base = _dv_log_table(tmp_path, "p_restore", desc)
+    with open(f"{base}/gone.bin", "wb") as f:
+        f.write(blob)
+    os.remove(f"{base}/gone.bin")
+    with _pytest.raises(ValueError, match="no longer reconstructable"):
+        restore_delta(spark, base, 0)
+
+
 def test_corrupt_dv_checksum_fails_loudly(spark, tmp_path):
     """A flipped byte in the bin must raise (CRC verify), never return
     partial rows silently."""

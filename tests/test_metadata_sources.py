@@ -1216,6 +1216,88 @@ class TestDeltaCheckpointWriter:
                     f.write("{corrupt")
         assert read_delta_fallback(spark, path).count() == 48
 
+    def test_checkpoint_carries_remove_tombstones(self, spark, tmp_path):
+        """The protocol keeps remove tombstones in checkpoints until
+        retention expires (VACUUM bookkeeping for foreign readers). An
+        overwrite's removed files must appear as remove rows — and a
+        removed-then-re-added live file must NOT (advice finding, r6)."""
+        import pyarrow.parquet as papq
+
+        from lakeapi_spark.sources.delta import (
+            checkpoint_delta,
+            delta_snapshot,
+            read_delta_fallback,
+            write_delta,
+        )
+
+        path = str(tmp_path / "c_tomb")
+        write_delta(spark.range(10).selectExpr("id AS k"), path)
+        old_files = set(delta_snapshot(spark, path).files)
+        write_delta(
+            spark.range(5).selectExpr("id AS k"), path, mode="overwrite"
+        )
+        v = checkpoint_delta(spark, path)
+        tab = papq.read_table(f"{path}/_delta_log/{v:020d}.checkpoint.parquet")
+        removes = {
+            r["path"] for r in tab.column("remove").to_pylist() if r is not None
+        }
+        live = set(delta_snapshot(spark, path).files)
+        assert removes == old_files - live and removes
+        assert removes.isdisjoint(live)
+        # replaying from the checkpoint still yields the live snapshot
+        assert read_delta_fallback(spark, path).count() == 5
+
+    def test_checkpoint_carries_row_tracking_add_fields(self, spark, tmp_path):
+        """Foreign-writer add fields (tags, baseRowId,
+        defaultRowCommitVersion) survive checkpointing instead of being
+        silently projected away."""
+        import pyarrow.parquet as papq
+
+        from lakeapi_spark.sources.delta import (
+            checkpoint_delta,
+            delta_snapshot,
+            write_delta,
+        )
+
+        path = str(tmp_path / "c_tags")
+        write_delta(spark.range(4).selectExpr("id AS k"), path)
+        # decorate the committed add like a row-tracking foreign writer
+        import json as _json
+        import os
+
+        log = f"{path}/_delta_log"
+        fname = f"{log}/{0:020d}.json"
+        lines = []
+        with open(fname) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = _json.loads(line)
+                if "add" in action:
+                    action["add"]["tags"] = {"INSERTION_TIME": "123"}
+                    action["add"]["baseRowId"] = 100
+                    action["add"]["defaultRowCommitVersion"] = 0
+                lines.append(action)
+        with open(fname, "w") as f:
+            for a in lines:
+                f.write(_json.dumps(a) + "\n")
+        # bust the snapshot cache (in-place rewrite keeps the mtime key
+        # only if mtime granularity hides it)
+        os.utime(fname)
+
+        v = checkpoint_delta(spark, path)
+        tab = papq.read_table(f"{path}/_delta_log/{v:020d}.checkpoint.parquet")
+        adds = [a for a in tab.column("add").to_pylist() if a is not None]
+        assert adds
+        for a in adds:
+            assert dict(a["tags"]) == {"INSERTION_TIME": "123"}
+            assert a["baseRowId"] == 100
+            assert a["defaultRowCommitVersion"] == 0
+        # and the replayed snapshot re-exposes them on adds_raw
+        snap = delta_snapshot(spark, path)
+        for add in snap.adds_raw.values():
+            assert add.get("baseRowId") == 100
+
     def test_time_travel_before_checkpoint_still_works(self, spark, tmp_path):
         from lakeapi_spark.sources.delta import checkpoint_delta, delta_snapshot
 
@@ -1268,6 +1350,104 @@ class TestDeltaCheckpointWriter:
             read_delta_fallback(spark, path).inputFiles()
         )
         assert pruned.filter("k <= 50").count() == 51
+
+    def test_optimize_colmap_partitioned_keeps_partition_values(
+        self, spark, tmp_path
+    ):
+        """OPTIMIZE on a column-mapped PARTITIONED table: the log keys
+        partitionValues by PHYSICAL names, so grouping by logical names
+        would collapse every file into one null-keyed group and the
+        rewritten adds would resolve all partition values to NULL —
+        silent corruption (advice finding, r6)."""
+        import json as _json
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        from lakeapi_spark.sources.delta import (
+            delta_snapshot,
+            optimize_delta,
+            read_delta_fallback,
+        )
+
+        base = str(tmp_path / "cm_part")
+        os.makedirs(base)
+        # two partitions x two small files each; data column only
+        rows = {"a": [[1, 2], [3]], "b": [[10], [20, 30]]}
+        adds = []
+        for pv, chunks in rows.items():
+            os.makedirs(f"{base}/col-p={pv}")
+            for i, chunk in enumerate(chunks):
+                rel = f"col-p={pv}/part-{i}.parquet"
+                papq.write_table(pa.table({"col-x": chunk}), f"{base}/{rel}")
+                adds.append(
+                    {
+                        "add": {
+                            "path": rel,
+                            "partitionValues": {"col-p": pv},
+                            "size": 1,
+                            "modificationTime": 0,
+                            "dataChange": True,
+                        }
+                    }
+                )
+        schema_json = {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "my id",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-x",
+                    },
+                },
+                {
+                    "name": "the part",
+                    "type": "string",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": "col-p",
+                    },
+                },
+            ],
+        }
+        _write_commit(
+            base + "/_delta_log",
+            0,
+            [
+                {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+                {
+                    "metaData": {
+                        "id": "cm-part",
+                        "schemaString": _json.dumps(schema_json),
+                        "partitionColumns": ["the part"],
+                        "format": {"provider": "parquet"},
+                        "configuration": {"delta.columnMapping.mode": "name"},
+                    }
+                },
+            ]
+            + adds,
+        )
+        before = {
+            (r["my id"], r["the part"])
+            for r in (x.asDict() for x in read_delta_fallback(spark, base).collect())
+        }
+        assert before == {(1, "a"), (2, "a"), (3, "a"), (10, "b"), (20, "b"), (30, "b")}
+
+        optimize_delta(spark, base)
+        snap = delta_snapshot(spark, base)
+        # one compacted file per partition, physically-keyed values
+        assert len(snap.files) == 2
+        assert sorted(pv.get("col-p") for pv in snap.files.values()) == ["a", "b"]
+        after = {
+            (r["my id"], r["the part"])
+            for r in (x.asDict() for x in read_delta_fallback(spark, base).collect())
+        }
+        assert after == before
 
     def test_checkpoint_preserves_column_mapping_config(self, spark, tmp_path):
         """metaData.configuration rides the checkpoint's map column —

@@ -514,5 +514,67 @@ def test_predicate_coercion_untyped_params_and_timestamps():
     assert preds == [
         ("k", 5, 5),
         ("ts", "2024-01-02T00:00:00", None),
-        ("ts", None, "2024-02-01"),
+        # date-only literal pads to midnight so a boundary file whose
+        # min isoformats to '...T00:00:00' is never lexically mis-pruned
+        ("ts", None, "2024-02-01T00:00:00"),
     ]
+
+
+def test_predicate_coercion_date_column_truncates_to_date():
+    """DateType stats are plain 'YYYY-MM-DD'; a datetime / 'T00:00:00'
+    literal must truncate to the date part or an equality filter at the
+    boundary date lexically exceeds the file's max and wrongly prunes
+    rows Spark's exact filter would match (advice finding, r6)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from lakeapi_spark.sources.delta import (
+        _stats_overlap,
+        predicates_from_filters,
+    )
+
+    schema = T.StructType([T.StructField("d", T.DateType())])
+    preds = predicates_from_filters(
+        [
+            ("d", "=", dt.datetime(2024, 1, 2, 0, 0, 0)),
+            ("d", ">=", "2024-01-02 00:00:00"),
+            ("d", "<", dt.date(2024, 3, 1)),
+        ],
+        schema,
+    )
+    assert preds == [
+        ("d", "2024-01-02", "2024-01-02"),
+        ("d", "2024-01-02", None),
+        ("d", None, "2024-03-01"),
+    ]
+    # the file whose min/max IS the boundary date must be kept
+    stats = {
+        "numRecords": 1,
+        "minValues": {"d": "2024-01-02"},
+        "maxValues": {"d": "2024-01-02"},
+    }
+    assert _stats_overlap(stats, [("d", "2024-01-02", "2024-01-02")])
+
+
+def test_predicate_coercion_timestamp_midnight_boundary():
+    """A date-only literal against a TimestampType column pads to
+    'T00:00:00': timestamp stats isoformat midnight as
+    '...T00:00:00', which lexically exceeds the bare date string and
+    would wrongly prune the boundary file on equality."""
+    from pyspark.sql import types as T
+
+    from lakeapi_spark.sources.delta import (
+        _stats_overlap,
+        predicates_from_filters,
+    )
+
+    schema = T.StructType([T.StructField("ts", T.TimestampType())])
+    preds = predicates_from_filters([("ts", "=", "2024-01-02")], schema)
+    assert preds == [("ts", "2024-01-02T00:00:00", "2024-01-02T00:00:00")]
+    stats = {
+        "numRecords": 1,
+        "minValues": {"ts": "2024-01-02T00:00:00"},
+        "maxValues": {"ts": "2024-01-02T00:00:00"},
+    }
+    assert _stats_overlap(stats, preds)

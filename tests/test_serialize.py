@@ -103,10 +103,24 @@ class TestStreamSerialize:
     def test_stream_matches_serialize_small(self, small_df):
         from lakeapi_spark.serialize import serialize, stream_serialize
 
-        for fmt in ("ndjson", "json", "csv", "scsv", "csv4excel"):
+        # every byte-stable format byte-matches the single-shot writer;
+        # html/xml/xlsx included since this round's seekable-sink spill
+        for fmt in ("ndjson", "json", "csv", "scsv", "csv4excel", "html", "xml", "xlsx"):
             whole = serialize(small_df.orderBy("id"), fmt)
             streamed = b"".join(stream_serialize(small_df.orderBy("id").coalesce(1), fmt))
             assert streamed == whole, fmt
+
+    def test_stream_arrow_file_roundtrip(self, small_df):
+        """The feather/IPC *file* format (seekable footer) streams via
+        the temp-file spill; layout may differ from write_feather's but
+        the table read back is identical."""
+        from lakeapi_spark.serialize import stream_serialize
+
+        df = small_df.orderBy("id").coalesce(1)
+        raw = b"".join(stream_serialize(df, "arrow"))
+        tab = feather.read_table(io.BytesIO(raw))
+        assert tab.column("id").to_pylist() == [1, 2, 3]
+        assert tab.column("s").to_pylist() == ["a;b", "x,y", None]
 
     def test_stream_parquet_and_arrow_roundtrip(self, small_df):
         from lakeapi_spark.serialize import stream_serialize
@@ -129,11 +143,34 @@ class TestStreamSerialize:
         assert csv.splitlines()[0] == '"id","s","v"'
         assert json.loads(b"".join(stream_serialize(empty, "json"))) == []
 
-    def test_stream_unstreamable_format_raises(self, small_df):
+    def test_stream_unknown_format_raises(self, small_df):
         from lakeapi_spark.serialize import stream_serialize
 
         with pytest.raises(ValueError):
-            list(stream_serialize(small_df, "xlsx"))
+            list(stream_serialize(small_df, "yaml"))
+
+    def test_stream_xlsx_full_lineitem_memory_bounded(self, spark, sf_dir):
+        """limit=-1 xlsx export of the whole lineitem table: the sheet
+        is written batch-by-batch into a DISK temp file and re-streamed
+        in 64 KiB chunks — no whole-result buffer on the driver — and
+        the workbook round-trips with every row."""
+        import xml.etree.ElementTree as ET
+        import zipfile
+
+        from lakeapi_spark.catalog import table
+        from lakeapi_spark.serialize import stream_serialize
+
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_quantity"
+        )
+        n_expected = li.count()
+        chunks = list(stream_serialize(li, "xlsx", chunk_size=1000))
+        assert len(chunks) > 1  # genuinely chunked
+        assert max(len(c) for c in chunks) <= 65536
+        z = zipfile.ZipFile(io.BytesIO(b"".join(chunks)))
+        ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+        sheet = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+        assert len(sheet.findall(".//m:row", ns)) == n_expected + 1  # + header
 
     @pytest.mark.parametrize("fmt", ["ndjson", "csv", "parquet", "arrow-stream"])
     def test_full_lineitem_export_memory_bounded(self, spark, sf_dir, fmt):

@@ -464,3 +464,66 @@ def test_stream_ingest_guard_matches_batch(spark, tmp_path):
         assert got == expect == {(10, True), (11, False), (12, True)}
     finally:
         ch.unpersist()
+
+
+def test_stream_ingest_guard_delta_sink_exactly_once(spark, tmp_path):
+    """The PRODUCTION guard sink: verdicts land in a delta table,
+    executor-parallel, and a forcibly REDELIVERED batch (the
+    foreachBatch at-least-once contract) is skipped by its txn marker
+    — the table holds exactly one verdict per doc afterwards, with no
+    driver collect anywhere in the sink."""
+    import os
+
+    from lakeapi_spark.operators.dedup import corpus_window_hashes
+    from lakeapi_spark.sources.delta import last_txn_version, read_delta_fallback
+    from lakeapi_spark.streaming.pipeline import ingest_guard_delta_sink
+
+    boiler = " ".join(f"w{i}" for i in range(15))
+    corpus = spark.createDataFrame(
+        [(1, "x0 x1 " + boiler + " x2"), (2, " ".join(f"y{i}" for i in range(25)))],
+        ["doc_id", "text"],
+    )
+    ch = corpus_window_hashes(corpus, "doc_id", "text", window=10).persist()
+    out = str(tmp_path / "guard_delta")
+    try:
+        new_rows = [
+            (10, "z0 " + boiler + " z1 z2"),
+            (11, " ".join(f"q{i}" for i in range(25))),
+            (12, boiler + " tail0 tail1"),
+        ]
+        src = str(tmp_path / "gd_src")
+        os.makedirs(src)
+        for i, row in enumerate(new_rows):
+            spark.createDataFrame([row], "doc_id long, text string").coalesce(
+                1
+            ).write.parquet(f"{src}/f{i}")
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src + "/*")
+        write = ingest_guard_delta_sink(
+            ch, "doc_id", "text", out, app_id="guard-test", window=10
+        )
+        q = (
+            stream.writeStream.foreachBatch(write)
+            .option("checkpointLocation", str(tmp_path / "gd_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        verdicts = {
+            (r.id, r.is_known) for r in read_delta_fallback(spark, out).collect()
+        }
+        assert verdicts == {(10, True), (11, False), (12, True)}
+
+        # forced redelivery: re-invoke the sink with an already-committed
+        # batch id — the txn marker skips it, nothing is appended
+        last = last_txn_version(spark, out, "guard-test")
+        assert last >= 0
+        row10 = next(r for r in new_rows if r[0] == 10)
+        write(spark.createDataFrame([row10], "doc_id long, text string"), last)
+        assert read_delta_fallback(spark, out).count() == len(new_rows)
+        rows = read_delta_fallback(spark, out).collect()
+        assert {r["_batch_id"] for r in rows} == {0, 1, 2}
+    finally:
+        ch.unpersist()
