@@ -3509,6 +3509,221 @@ def delta_version_diff_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta_version_diff(spark, dest, 0, 1)
 
 
+def _optimize_demo_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once delta table for the OPTIMIZE/VACUUM query: three
+    appends (disjoint thirds of the orders subset, partitioned by
+    ``bucket`` — a streaming-sink-shaped small-file pileup), then
+    OPTIMIZE to 1 file per partition and a VACUUM of everything the
+    latest version no longer references. Contents are a pure function
+    of orders; the 1-file-per-partition invariant is read from the log."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from lakeapi_spark.sources.delta import optimize_delta, vacuum_delta, write_delta
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "lakeapi_delta_opt_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    marker = os.path.join(dest, "_opt_done")
+    if not os.path.exists(marker):
+        if os.path.isdir(dest):  # stale partial build: start over
+            shutil.rmtree(dest)
+        base = table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_orderkey") % 4).cast("string").alias("bucket"),
+        )
+        for third in range(3):
+            write_delta(
+                base.filter(F.col("o_orderkey") % 3 == third),
+                dest,
+                mode="append",
+                partition_by=["bucket"],
+            )
+        optimize_delta(spark, dest, target_files_per_partition=1)
+        vacuum_delta(spark, dest, keep_versions=0)
+        with open(marker, "w") as f:
+            f.write("v4\n")
+    return dest
+
+
+@register(
+    "delta_optimize_vacuum",
+    """
+    SELECT CAST(o_orderkey % 4 AS VARCHAR) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(1 AS BIGINT) AS n_files
+    FROM orders GROUP BY 1
+    """,
+)
+def delta_optimize_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE + VACUUM evidence end-to-end: after a 3-commit
+    small-file pileup is compacted to 1 file per partition and the
+    unreferenced originals vacuumed, the per-bucket contents still
+    reconcile with DuckDB AND the log carries exactly one add per
+    partition (n_files, read from the snapshot — the compaction
+    invariant itself is driver-verified, not just repo-tested)."""
+    from lakeapi_spark.sources.delta import delta_snapshot
+    from lakeapi_spark.sources.readers import read_source
+
+    dest = _optimize_demo_table(spark, sf_dir)
+    snap = delta_snapshot(spark, dest)
+    counts: dict[str, int] = {}
+    for pvals in snap.files.values():
+        b = pvals.get("bucket")
+        counts[b] = counts.get(b, 0) + 1
+    files_df = spark.createDataFrame(
+        [(b, n) for b, n in sorted(counts.items())], "bucket string, n_files long"
+    )
+    data = (
+        read_source(spark, dest, "delta")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("sum_key"),
+        )
+    )
+    return data.join(files_df, "bucket").select(
+        "bucket", "n_rows", "sum_key", "n_files"
+    )
+
+
+def _restore_demo_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once delta table for the RESTORE query: v0 = orders
+    subset, v1 = merge-on-read DELETE via deletion vectors, v2 =
+    RESTORE to v0 (a new commit re-exposing v0's files, time travel
+    intact), then VACUUM — which must keep every v2-referenced file.
+    The latest version's contents therefore equal v0's exactly."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from lakeapi_spark.sources.delta import (
+        delete_delta,
+        restore_delta,
+        vacuum_delta,
+        write_delta,
+    )
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "lakeapi_delta_restore_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    marker = os.path.join(dest, "_restore_done")
+    if not os.path.exists(marker):
+        if os.path.isdir(dest):  # stale partial build: start over
+            shutil.rmtree(dest)
+        base = table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_orderkey") % 4).cast("string").alias("bucket"),
+        )
+        write_delta(base, dest, mode="append", partition_by=["bucket"])
+        delete_delta(spark, dest, "o_orderkey % 3 = 0")
+        restore_delta(spark, dest, 0)
+        vacuum_delta(spark, dest, keep_versions=0)
+        with open(marker, "w") as f:
+            f.write("v2\n")
+    return dest
+
+
+@register(
+    "delta_restore_roundtrip",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_orderkey % 4 AS VARCHAR) AS bucket
+    FROM orders
+    """,
+)
+def delta_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE evidence end-to-end: after a DV delete and a RESTORE to
+    v0 (plus a VACUUM that must not touch restored-referenced files),
+    the latest snapshot equals the original table exactly — deleted
+    rows are back, no duplicates, log replay sound
+    (sources/delta.py:restore_delta)."""
+    from lakeapi_spark.sources.readers import read_source
+
+    dest = _restore_demo_table(spark, sf_dir)
+    return read_source(spark, dest, "delta").select(
+        "o_orderkey", "o_orderstatus", "bucket"
+    )
+
+
+def _colmap_demo_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once COLUMN-MAPPED delta table for the mapped-write query:
+    v0 = nation (key, name) created with physicalName mapping
+    (sources/delta.py:write_delta_column_mapped — files store col-nk /
+    col-nm, never the logical names); v1 = one copy-on-write MERGE that
+    lowercases every ``key % 5 == 0`` name and inserts ``% 5 == 1``
+    keys shifted by 100. Both commits are pure functions of the nation
+    table, so DuckDB re-derives the post-merge contents — proving the
+    physical-layout rewrite end-to-end."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from lakeapi_spark.sources.delta import merge_delta, write_delta_column_mapped
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "lakeapi_delta_colmap_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    marker = os.path.join(dest, "_colmap_done")
+    if not os.path.exists(marker):
+        if os.path.isdir(dest):  # stale partial build: start over
+            shutil.rmtree(dest)
+        base = table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").cast("long").alias("nation_key"),
+            F.col("n_name").alias("nation_name"),
+        )
+        write_delta_column_mapped(
+            base, dest,
+            physical_names={"nation_key": "col-nk", "nation_name": "col-nm"},
+        )
+        updates = base.filter(F.col("nation_key") % 5 == 0).withColumn(
+            "nation_name", F.lower("nation_name")
+        )
+        inserts = base.filter(F.col("nation_key") % 5 == 1).select(
+            (F.col("nation_key") + 100).alias("nation_key"),
+            F.concat(F.lit("new-"), F.lower("nation_name")).alias("nation_name"),
+        )
+        merge_delta(updates.unionByName(inserts), dest, on=["nation_key"])
+        with open(marker, "w") as f:
+            f.write("v1\n")
+    return dest
+
+
+@register(
+    "delta_colmap_merge",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS nation_key,
+           CASE WHEN n_nationkey % 5 = 0 THEN lower(n_name) ELSE n_name END
+               AS nation_name
+    FROM nation
+    UNION ALL
+    SELECT CAST(n_nationkey + 100 AS BIGINT), 'new-' || lower(n_name)
+    FROM nation WHERE n_nationkey % 5 = 1
+    """,
+)
+def delta_colmap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-MAPPED delta write surface end-to-end: a mapped table
+    (files keyed by physicalName, partitionValues/stats physical) takes
+    a copy-on-write MERGE and reads back by LOGICAL names equal to
+    DuckDB's from-first-principles reconstruction. Writes stage through
+    the physical projection (delta.py:_stage_snapshot_files); reads
+    resolve the mapping at every nesting level."""
+    from lakeapi_spark.sources.readers import read_source
+
+    dest = _colmap_demo_table(spark, sf_dir)
+    return read_source(spark, dest, "delta").select("nation_key", "nation_name")
+
+
 def _dv_demo_table(spark: SparkSession, sf_dir: str) -> str:
     """Build-once demo delta table for the deletion-vector query:
     orders keys+status partitioned by ``bucket``, then ONE merge-on-read

@@ -850,6 +850,96 @@ def _local_path(uri: str) -> str:
     return uri
 
 
+def _physical_projection(df: DataFrame, fields: list[T.StructField]) -> DataFrame:
+    """Rename/cast a LOGICAL-named DataFrame into the table's PHYSICAL
+    layout at every nesting level (column mapping): top-level columns
+    by alias, nested struct fields via a cast to the physical type —
+    struct casts are positional, so same-shape renames are lossless.
+    Only df's own columns are projected (a df may legally omit table
+    columns; they read back null)."""
+    by_name = {f.name: f for f in fields}
+    return df.select(
+        *[
+            F.col(name)
+            .cast(_physical_type(by_name[name].dataType))
+            .alias(_physical_name(by_name[name]))
+            for name in df.columns
+        ]
+    )
+
+
+def _stage_snapshot_files(
+    new_data: DataFrame, base: str, snap: DeltaSnapshot, collect_stats: bool
+) -> list[dict]:
+    """Stage rewrite data in the SNAPSHOT's layout: physical column
+    names and physically-named partition directories under column
+    mapping (add.partitionValues are keyed by physical names per the
+    protocol), identity otherwise."""
+    if snap.column_mapping_mode == "none":
+        return _stage_data_files(
+            new_data, base, snap.partition_columns, collect_stats
+        )
+    phys = {f.name: _physical_name(f) for f in snap.schema.fields}
+    return _stage_data_files(
+        _physical_projection(new_data, snap.schema.fields),
+        base,
+        [phys[c] for c in snap.partition_columns],
+        collect_stats,
+    )
+
+
+def _max_mapping_id(schema: T.StructType, metadata_raw: dict | None = None) -> int:
+    """Highest ``delta.columnMapping.id`` across every nesting level,
+    folded with the table's ``delta.columnMapping.maxColumnId``
+    configuration — the watermark new column assignments count from."""
+    def walk(dt) -> list[int]:
+        ids: list[int] = []
+        if isinstance(dt, T.StructType):
+            for f in dt.fields:
+                v = (f.metadata or {}).get("delta.columnMapping.id")
+                if v is not None:
+                    ids.append(int(v))
+                ids.extend(walk(f.dataType))
+        elif isinstance(dt, T.ArrayType):
+            ids.extend(walk(dt.elementType))
+        elif isinstance(dt, T.MapType):
+            ids.extend(walk(dt.keyType))
+            ids.extend(walk(dt.valueType))
+        return ids
+
+    ids = walk(schema)
+    cfg = ((metadata_raw or {}).get("configuration") or {}).get(
+        "delta.columnMapping.maxColumnId"
+    )
+    if cfg is not None:
+        ids.append(int(cfg))
+    return max(ids, default=0)
+
+
+def _with_mapping_metadata(field: T.StructField, alloc) -> T.StructField:
+    """A copy of ``field`` carrying fresh column-mapping assignments
+    (``delta.columnMapping.id`` from ``alloc()``, a uuid physicalName —
+    delta-spark's own convention) at EVERY nesting level, so a new
+    column added to a column-mapped table is written and read
+    physically like any original column."""
+    import uuid as _uuid
+
+    dt = field.dataType
+    if isinstance(dt, T.StructType):
+        dt = T.StructType([_with_mapping_metadata(f, alloc) for f in dt.fields])
+    elif isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
+        dt = T.ArrayType(
+            T.StructType(
+                [_with_mapping_metadata(f, alloc) for f in dt.elementType.fields]
+            ),
+            dt.containsNull,
+        )
+    md = dict(field.metadata or {})
+    md["delta.columnMapping.id"] = alloc()
+    md["delta.columnMapping.physicalName"] = f"col-{_uuid.uuid4()}"
+    return T.StructField(field.name, dt, field.nullable, md)
+
+
 def _stage_data_files(
     df: DataFrame, base: str, pcols: list[str], collect_stats: bool
 ) -> list[dict]:
@@ -904,6 +994,79 @@ def _stage_data_files(
     return adds
 
 
+def write_delta_column_mapped(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    physical_names: dict[str, str] | None = None,
+    collect_stats: bool = True,
+) -> int:
+    """CREATE a new COLUMN-MAPPED delta table (mode 'name') from a
+    DataFrame: every column — nested fields included — is assigned a
+    ``delta.columnMapping.id`` and a uuid ``physicalName`` (override
+    top-level names via ``physical_names`` for deterministic fixtures),
+    data files are staged executor-parallel under the physical layout,
+    and ONE commit lands protocol(2,5) + mapped metaData + adds.
+    Subsequent writes go through the ordinary surface — write_delta
+    append/overwrite/merge_schema, merge_delta, update_delta,
+    delete_delta all handle mapped tables. Refuses to write into an
+    existing table (use write_delta for those). Returns version 0."""
+    import os
+    import uuid
+
+    base = _local_path(path).rstrip("/")
+    if os.path.isdir(f"{base}/_delta_log"):
+        raise ValueError(
+            f"{base} is already a delta table; write_delta_column_mapped "
+            "creates new tables only"
+        )
+    pcols = list(partition_by or [])
+    next_id = 0
+
+    def alloc() -> int:
+        nonlocal next_id
+        next_id += 1
+        return next_id
+
+    fields: list[T.StructField] = []
+    for f in df.schema.fields:
+        nf = _with_mapping_metadata(f, alloc)
+        if physical_names and f.name in physical_names:
+            md = dict(nf.metadata)
+            md["delta.columnMapping.physicalName"] = physical_names[f.name]
+            nf = T.StructField(nf.name, nf.dataType, nf.nullable, md)
+        fields.append(nf)
+    schema = T.StructType(fields)
+    phys = {f.name: _physical_name(f) for f in fields}
+    os.makedirs(base, exist_ok=True)
+    adds = _stage_data_files(
+        _physical_projection(df, fields),
+        base,
+        [phys[c] for c in pcols],
+        collect_stats,
+    )
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": str(uuid.uuid5(uuid.NAMESPACE_URL, base)),
+                "schemaString": schema.json(),
+                "partitionColumns": pcols,
+                "format": {"provider": "parquet"},
+                "configuration": {
+                    "delta.columnMapping.mode": "name",
+                    "delta.columnMapping.maxColumnId": str(next_id),
+                },
+            }
+        },
+    ] + adds
+    log = f"{base}/_delta_log"
+    os.makedirs(log, exist_ok=True)
+    if not _try_commit(log, 0, actions, operation="CREATE TABLE"):
+        raise RuntimeError(f"concurrent writer created {base} first")
+    return 0
+
+
 def write_delta(
     df: DataFrame,
     path: str,
@@ -946,8 +1109,12 @@ def write_delta(
     schema in one metaData action — old files read back null-filled
     for them, the appended files null-fill any table column the df
     lacks, and a type CHANGE on an existing column is always rejected
-    (no widening). Column-mapped tables can't take new columns here
-    (each would need a physicalName/id assignment).
+    (no widening). COLUMN-MAPPED tables write physically: data files
+    and partition directories use physicalNames, merge_schema assigns
+    fresh id/physicalName pairs to new columns (bumping
+    ``delta.columnMapping.maxColumnId``), and overwrite preserves the
+    mapping metadata — only a schema-CHANGING overwrite of a mapped
+    table is rejected (its mapping would be ambiguous).
     """
     import os
     import uuid
@@ -957,10 +1124,50 @@ def write_delta(
     base = _local_path(path).rstrip("/")
     pcols = list(partition_by or [])
     os.makedirs(base, exist_ok=True)
-    adds = _stage_data_files(df, base, pcols, collect_stats)
+
+    spark = df.sparkSession
+    # COLUMN-MAPPED tables: files and partitionValues are keyed by
+    # PHYSICAL names, so the mapping must be pinned BEFORE staging —
+    # one pre-snapshot decides the physical projection (and, for
+    # mergeSchema, assigns ids/physicalNames to the new columns ONCE);
+    # the commit loop then demands the schema has not moved under us.
+    try:
+        pre = delta_snapshot(spark, base)
+    except FileNotFoundError:
+        pre = None
+    mapped = pre is not None and pre.column_mapping_mode != "none"
+    pinned_md: dict | None = None  # metaData action for mapped commits
+    stage_df, stage_pcols = df, pcols
+    if mapped:
+        fields = list(pre.schema.fields)
+        if mode == "overwrite":
+            if pre.schema.simpleString() != df.schema.simpleString():
+                raise NotImplementedError(
+                    "schema-changing overwrite of a column-mapped table is "
+                    "not supported (the mapping for the new schema would be "
+                    "ambiguous); overwrite with the table schema, or use "
+                    "merge_schema appends for new columns"
+                )
+            pinned_md = dict(pre.metadata_raw)  # PRESERVE the mapping
+            pinned_md.setdefault("format", {"provider": "parquet"})
+        elif pre.schema.simpleString() != df.schema.simpleString():
+            merged = _merged_append_schema(pre, df.schema, merge_schema, base)
+            if merged is not None:
+                fields = list(merged.fields)
+                pinned_md = dict(pre.metadata_raw)
+                pinned_md["schemaString"] = merged.json()
+                pinned_md.setdefault("format", {"provider": "parquet"})
+                cfg = dict(pinned_md.get("configuration") or {})
+                cfg["delta.columnMapping.maxColumnId"] = str(
+                    _max_mapping_id(merged)
+                )
+                pinned_md["configuration"] = cfg
+        phys = {f.name: _physical_name(f) for f in fields}
+        stage_df = _physical_projection(df, fields)
+        stage_pcols = [phys.get(c, c) for c in pcols]
+    adds = _stage_data_files(stage_df, base, stage_pcols, collect_stats)
 
     # 2. commit loop: snapshot -> build actions -> put-if-absent
-    spark = df.sparkSession
     log = f"{base}/_delta_log"
     os.makedirs(log, exist_ok=True)
     table_id = str(uuid.uuid5(uuid.NAMESPACE_URL, base))
@@ -975,7 +1182,19 @@ def write_delta(
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
             )
-        if snap is None or mode == "overwrite":
+        if mapped:
+            # staged files are physical per the PRE-snapshot's mapping:
+            # any concurrent schema/mapping change invalidates them
+            if snap is None or snap.metadata_raw.get("schemaString") != (
+                pre.metadata_raw.get("schemaString")
+            ):
+                raise ConcurrentDeltaModificationError(
+                    f"concurrent commit changed the schema of {base} during "
+                    "a column-mapped write; re-run"
+                )
+            if pinned_md is not None:
+                actions.append({"metaData": pinned_md})
+        elif snap is None or mode == "overwrite":
             actions.append(
                 {
                     "metaData": {
@@ -1042,13 +1261,20 @@ def _merged_append_schema(
             f"{snap.schema.simpleString()}, df has {df_schema.simpleString()} "
             "(pass merge_schema=True to append new columns)"
         )
-    if new_fields and snap.column_mapping_mode != "none":
-        raise NotImplementedError(
-            "merge_schema cannot add columns to a column-mapped table "
-            "(each new column needs a physicalName/id assignment)"
-        )
     if not new_fields:
         return None  # column-order difference only; table schema stands
+    if snap.column_mapping_mode != "none":
+        # each new column (and nested field) gets a fresh id +
+        # uuid physicalName, counting up from the table's watermark —
+        # the same assignment delta-spark performs on mapped ALTER ADD
+        next_id = _max_mapping_id(snap.schema, snap.metadata_raw)
+
+        def alloc() -> int:
+            nonlocal next_id
+            next_id += 1
+            return next_id
+
+        new_fields = [_with_mapping_metadata(f, alloc) for f in new_fields]
     return T.StructType(list(snap.schema.fields) + new_fields)
 
 
@@ -1139,8 +1365,8 @@ def merge_delta(
        :class:`ConcurrentDeltaModificationError` instead of silently
        resurrecting overwritten rows.
 
-    Column-mapped tables are read-supported but not merge-supported here
-    (rewriting would need physical-name writes); detected and rejected.
+    Column-mapped tables merge like any other: rewritten files are
+    staged in the table's PHYSICAL layout (_stage_snapshot_files).
     """
     import os
 
@@ -1153,11 +1379,6 @@ def merge_delta(
     spark = source.sparkSession
     base = _local_path(path).rstrip("/")
     snap = delta_snapshot(spark, base)
-    if snap.column_mapping_mode != "none":
-        raise NotImplementedError(
-            "merge_delta cannot rewrite column-mapped tables (physical-name "
-            "writes not implemented); use delta-spark"
-        )
     if snap.schema.simpleString() != source.schema.simpleString():
         raise ValueError(
             f"merge source schema mismatch for {base}: table has "
@@ -1226,7 +1447,7 @@ def merge_delta(
     if not touched and when_not_matched == "ignore":
         return snap.version  # no-op: nothing matched, nothing to insert
 
-    adds = _stage_data_files(new_data, base, snap.partition_columns, collect_stats)
+    adds = _stage_snapshot_files(new_data, base, snap, collect_stats)
     log = f"{base}/_delta_log"
     removes = [
         {"remove": {"path": p, "deletionTimestamp": 0, "dataChange": True}}
@@ -1306,11 +1527,6 @@ def update_delta(
 
     base = _local_path(path).rstrip("/")
     snap = delta_snapshot(spark, base)
-    if snap.column_mapping_mode != "none":
-        raise NotImplementedError(
-            "update_delta cannot rewrite column-mapped tables (physical-name "
-            "writes not implemented); use delta-spark"
-        )
     col_order = [f.name for f in snap.schema.fields]
     unknown = [c for c in set_exprs if c not in col_order]
     if unknown:
@@ -1357,7 +1573,7 @@ def update_delta(
         ]
     )
 
-    adds = _stage_data_files(updated, base, snap.partition_columns, collect_stats)
+    adds = _stage_snapshot_files(updated, base, snap, collect_stats)
     removes = [
         {"remove": {"path": p, "deletionTimestamp": 0, "dataChange": True}}
         for p in touched

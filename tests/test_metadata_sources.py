@@ -1351,6 +1351,165 @@ class TestDeltaCheckpointWriter:
         )
         assert pruned.filter("k <= 50").count() == 51
 
+    def test_write_delta_column_mapped_creates_mapped_table(self, spark, tmp_path):
+        """write_delta_column_mapped: a NEW mode-'name' table whose
+        files/partitionValues are physically keyed from commit 0; the
+        ordinary write surface then works on it; creating over an
+        existing table is refused."""
+        import glob
+
+        import pyarrow.parquet as papq
+
+        from lakeapi_spark.sources.delta import (
+            delta_snapshot,
+            read_delta_fallback,
+            write_delta_column_mapped,
+        )
+
+        base = str(tmp_path / "cm_new")
+        df = spark.createDataFrame(
+            [(1, "a", "p0"), (2, "b", "p1"), (3, "c", "p0")],
+            "`the id` long, val string, part string",
+        )
+        write_delta_column_mapped(
+            df, base, partition_by=["part"], physical_names={"the id": "col-id"}
+        )
+        snap = delta_snapshot(spark, base)
+        assert snap.column_mapping_mode == "name"
+        assert snap.partition_columns == ["part"]
+        f0 = next(f for f in snap.schema.fields if f.name == "the id")
+        assert f0.metadata["delta.columnMapping.physicalName"] == "col-id"
+        part_phys = next(
+            _f.metadata["delta.columnMapping.physicalName"]
+            for _f in snap.schema.fields
+            if _f.name == "part"
+        )
+        # partitionValues keyed physically, dirs physically named
+        assert all(set(pv) == {part_phys} for pv in snap.files.values())
+        for f in glob.glob(f"{base}/**/*.parquet", recursive=True):
+            assert "col-id" in papq.read_schema(f).names
+        got = {
+            (r["the id"], r["val"], r["part"])
+            for r in read_delta_fallback(spark, base).collect()
+        }
+        assert got == {(1, "a", "p0"), (2, "b", "p1"), (3, "c", "p0")}
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="creates new tables only"):
+            write_delta_column_mapped(df, base)
+
+    def test_colmap_append_and_overwrite_write_physically(self, spark, tmp_path):
+        """write_delta on a column-mapped table stages files under the
+        PHYSICAL names (col-x/col-y), so reads keep resolving; overwrite
+        preserves the mapping metadata; a schema-changing overwrite is
+        rejected (its mapping would be ambiguous)."""
+        import glob
+
+        import pyarrow.parquet as papq
+
+        from lakeapi_spark.sources.delta import (
+            delta_snapshot,
+            read_delta_fallback,
+            write_delta,
+        )
+
+        base = _colmap_table(spark, tmp_path)
+        extra = spark.createDataFrame(
+            [(4, "d")], "`my id` long, `the value` string"
+        )
+        write_delta(extra, base, mode="append")
+        got = {
+            (r["my id"], r["the value"])
+            for r in read_delta_fallback(spark, base).collect()
+        }
+        assert got == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+        # every data file on disk carries PHYSICAL column names
+        for f in glob.glob(f"{base}/*.parquet"):
+            assert set(papq.read_schema(f).names) == {"col-x", "col-y"}
+
+        write_delta(extra, base, mode="overwrite")
+        snap = delta_snapshot(spark, base)
+        assert snap.column_mapping_mode == "name"  # mapping preserved
+        assert {
+            (r["my id"], r["the value"])
+            for r in read_delta_fallback(spark, base).collect()
+        } == {(4, "d")}
+
+        import pytest as _pytest
+
+        widened = spark.createDataFrame(
+            [(5, "e", 1.0)], "`my id` long, `the value` string, extra double"
+        )
+        with _pytest.raises(NotImplementedError, match="schema-changing overwrite"):
+            write_delta(widened, base, mode="overwrite")
+
+    def test_colmap_merge_and_update(self, spark, tmp_path):
+        """merge_delta / update_delta rewrite column-mapped tables in
+        the physical layout — previously a typed refusal (advice r6
+        follow-up: the read path round-trips mapping, so writes can)."""
+        from lakeapi_spark.sources.delta import (
+            merge_delta,
+            read_delta_fallback,
+            update_delta,
+        )
+
+        base = _colmap_table(spark, tmp_path)
+        source = spark.createDataFrame(
+            [(2, "B"), (9, "nine")], "`my id` long, `the value` string"
+        )
+        merge_delta(source, base, on=["my id"])
+        got = {
+            (r["my id"], r["the value"])
+            for r in read_delta_fallback(spark, base).collect()
+        }
+        assert got == {(1, "a"), (2, "B"), (3, "c"), (9, "nine")}
+
+        update_delta(
+            spark, base, {"the value": "upper(`the value`)"}, "`my id` <= 2"
+        )
+        got = {
+            (r["my id"], r["the value"])
+            for r in read_delta_fallback(spark, base).collect()
+        }
+        assert got == {(1, "A"), (2, "B"), (3, "c"), (9, "nine")}
+
+    def test_colmap_merge_schema_assigns_mapping(self, spark, tmp_path):
+        """merge_schema on a column-mapped table assigns each new column
+        a fresh id + uuid physicalName and bumps maxColumnId; old rows
+        read back null for it and the new files store it physically."""
+        from lakeapi_spark.sources.delta import (
+            delta_snapshot,
+            read_delta_fallback,
+            write_delta,
+        )
+
+        base = _colmap_table(spark, tmp_path)
+        widened = spark.createDataFrame(
+            [(4, "d", 40)], "`my id` long, `the value` string, score long"
+        )
+        write_delta(widened, base, merge_schema=True)
+        snap = delta_snapshot(spark, base)
+        new_field = next(f for f in snap.schema.fields if f.name == "score")
+        assert new_field.metadata["delta.columnMapping.id"] == 3  # watermark+1
+        phys = new_field.metadata["delta.columnMapping.physicalName"]
+        assert phys.startswith("col-") and len(phys) > 10
+        cfg = snap.metadata_raw["configuration"]
+        assert cfg["delta.columnMapping.maxColumnId"] == "3"
+        got = {
+            (r["my id"], r["the value"], r["score"])
+            for r in read_delta_fallback(spark, base).collect()
+        }
+        assert got == {(1, "a", None), (2, "b", None), (3, "c", None), (4, "d", 40)}
+        # appending WITH the widened schema keeps working (same mapping)
+        write_delta(
+            spark.createDataFrame(
+                [(5, "e", 50)], "`my id` long, `the value` string, score long"
+            ),
+            base,
+        )
+        assert read_delta_fallback(spark, base).count() == 5
+
     def test_optimize_colmap_partitioned_keeps_partition_values(
         self, spark, tmp_path
     ):
