@@ -52,9 +52,13 @@ def word_ngrams(text: Column, n: int) -> Column:
     return F.array_distinct(grams)
 
 
-def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, g): one row per DISTINCT word n-gram per doc. The token
-    array is materialized in its OWN projection with the when()
+def _doc_grams(
+    df: DataFrame, id_col: str, text_col: str, n: int, distinct: bool = True
+) -> DataFrame:
+    """(id, g): one row per word n-gram per doc — DISTINCT grams by
+    default (set semantics: contamination overlap), every occurrence
+    with ``distinct=False`` (count semantics: DSIR importance). The
+    token array is materialized in its OWN projection with the when()
     double-reference CollapseProject blocker (same hazard + fix as
     text.repetition_metrics / dedup.minhash_signature): without it
     Catalyst inlines trim/lower/split into every element_at of the gram
@@ -67,7 +71,9 @@ def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     grams = F.when(F.size("t") < n, F.array().cast("array<string>")).otherwise(
         F.transform(F.sequence(F.lit(0), F.size("t") - n), gram)
     )
-    return staged.select("id", F.explode(F.array_distinct(grams)).alias("g"))
+    if distinct:
+        grams = F.array_distinct(grams)
+    return staged.select("id", F.explode(grams).alias("g"))
 
 
 def benchmark_overlap(

@@ -128,3 +128,109 @@ def mixture_sample(
         keep = F.when(F.col(group_col) == g, F.lit(k)).otherwise(keep)
         mod = F.when(F.col(group_col) == g, F.lit(m)).otherwise(mod)
     return df.filter(key_hash(F.col(key_col)) % mod < keep)
+
+
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_predicate: str,
+    n: int = 2,
+    buckets: int = 1024,
+    cache_handles: list | None = None,
+) -> DataFrame:
+    """DSIR-style hashed-n-gram importance scores (after Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score every document by how target-like its word
+    n-gram distribution is, so a raw crawl can be resampled toward a
+    small high-quality target domain (``target_predicate`` selects the
+    target rows, e.g. ``"lang = 'en'"``).
+
+    Features are word n-grams hashed into ``buckets`` fixed buckets
+    (portable 60-bit md5 hash -- DuckDB re-derives every value). With
+    Laplace-smoothed bucket probabilities p_t (target) and p_r (raw =
+    whole corpus), a doc's score is the MEAN log importance ratio over
+    its gram occurrences:
+
+        logw_mean = avg over grams of ln(p_t(b) / p_r(b))
+
+    computed in subtraction form ln((c_t+1)(N_r+K)) - ln((c_r+1)(N_t+K))
+    over exactly-representable integer products, each bucket ratio
+    ROUNDED to 6 before the per-doc average (the round-before-average
+    discipline that makes double sums engine-exact, same as
+    text.unigram_logprob). Returns (id, n_grams, logw_mean, keep) with
+    keep = 1 iff the rounded mean is positive (more target-like than
+    the corpus average).
+
+    100 TB design: ONE gram pass carries the target flag, so both
+    bucket histograms come out of a single map-side-combined shuffle
+    whose output is at most ``buckets`` rows -- collected driver-side
+    (K-bounded, the same discipline as the IVF centroid sample and the
+    vocab broadcast) into a LITERAL ratio relation that broadcasts;
+    ln stays an ENGINE expression so the oracle's ln sees identical
+    double inputs. The corpus then streams through one broadcast join
+    + one per-doc aggregate -- no corpus-wide shuffle beyond the
+    per-doc groupBy. The gram relation feeds the histogram job and the
+    scoring job; pass ``cache_handles`` to persist it once."""
+    from lakeapi_spark.operators.text import tokens
+
+    K = buckets
+    t = tokens(F.col(text_col))
+    # the when() double-reference blocks CollapseProject from inlining
+    # the tokenize pipeline into every element_at (see contamination
+    # _doc_grams for the measured 27x hazard)
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(target_predicate).alias("_tgt"),
+        F.when(F.size(t) >= 0, t).alias("t"),
+    )
+    gram = lambda i: F.concat_ws(  # noqa: E731 - tiny local lambda
+        " ", *[F.element_at(F.col("t"), i + F.lit(k)) for k in range(1, n + 1)]
+    )
+    grams_arr = F.when(F.size("t") < n, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(0), F.size("t") - n), gram)
+    )
+    g = (
+        staged.select("id", "_tgt", F.explode(grams_arr).alias("g"))
+        .select("id", "_tgt", (key_hash(F.col("g")) % K).alias("b"))
+        .persist()  # feeds the histogram job AND the scoring job:
+        # (id, _tgt, b) is three words per gram — tokenize once, not twice
+    )
+    if cache_handles is not None:
+        cache_handles.append(g)
+    hist = (
+        g.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("c_r"),
+            F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("c_t"),
+        )
+        .collect()
+    )  # K-bounded driver collect
+    n_r = sum(int(r["c_r"]) for r in hist)
+    n_t = sum(int(r["c_t"]) for r in hist)
+    spark = df.sparkSession
+    ratios = spark.createDataFrame(
+        [(int(r["b"]), int(r["c_t"]), int(r["c_r"])) for r in hist],
+        "b long, c_t long, c_r long",
+    ).select(
+        "b",
+        F.round(
+            F.log(((F.col("c_t") + 1) * F.lit(n_r + K)).cast("double"))
+            - F.log(((F.col("c_r") + 1) * F.lit(n_t + K)).cast("double")),
+            6,
+        ).alias("lr"),
+    )
+    scored = (
+        g.join(F.broadcast(ratios), "b")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            (F.round(F.avg("lr"), 4) + F.lit(0.0)).alias("logw_mean"),  # -0.0 -> +0.0
+        )
+    )
+    return scored.select(
+        "id",
+        "n_grams",
+        "logw_mean",
+        (F.col("logw_mean") > 0).cast("long").alias("keep"),
+    )

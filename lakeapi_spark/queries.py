@@ -4577,6 +4577,58 @@ def pack_sequences_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dsir_importance_weights",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i
+      FROM toks WHERE len(t) >= 2
+    ), grams AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1]), 1, 15)) AS BIGINT)
+                 % 1024 AS b
+      FROM idx
+    ), cr AS (
+      SELECT b, COUNT(*) AS c_r FROM grams GROUP BY b
+    ), ct AS (
+      SELECT b, COUNT(*) AS c_t FROM grams WHERE lang = 'en' GROUP BY b
+    ), tot AS (
+      SELECT (SELECT COUNT(*) FROM grams) AS n_r,
+             (SELECT COUNT(*) FROM grams WHERE lang = 'en') AS n_t
+    ), ratios AS (
+      SELECT cr.b,
+             ROUND(ln(CAST((COALESCE(ct.c_t, 0) + 1) * (tot.n_r + 1024) AS DOUBLE))
+                 - ln(CAST((cr.c_r + 1) * (tot.n_t + 1024) AS DOUBLE)), 6) AS lr
+      FROM cr LEFT JOIN ct USING (b) CROSS JOIN tot
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           ROUND(AVG(r.lr), 4) + 0.0 AS logw_mean,
+           CAST(CASE WHEN ROUND(AVG(r.lr), 4) > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM grams g JOIN ratios r USING (b)
+    GROUP BY g.doc_id
+    """,
+    bench=True,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling scores (Xie et al. 2023):
+    per-doc mean log ratio of Laplace-smoothed hashed-bigram bucket
+    probabilities, target = English docs, raw = the whole corpus —
+    the data-selection step that reweights a crawl toward a target
+    domain. Bucket tables are K-bounded aggregates that broadcast;
+    the corpus streams through one broadcast join + one per-doc
+    aggregate (operators/sampling.py:dsir_importance)."""
+    from lakeapi_spark.operators.sampling import dsir_importance
+
+    d = table(spark, sf_dir, "documents")
+    return dsir_importance(d, "doc_id", "text", "lang = 'en'").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@register(
     "mixture_resample_counts",
     """
     WITH kept AS (

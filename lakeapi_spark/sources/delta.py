@@ -994,6 +994,109 @@ def _stage_data_files(
     return adds
 
 
+#: writer features this writer upholds. The protocol's rule for
+#: writerVersion-7 tables: a writer must implement EVERY feature the
+#: table declares or refuse to write. "Upholds" here means either
+#: implemented outright (columnMapping, deletionVectors) or honored by
+#: refusal at use-time (a table that declares invariants is writable
+#: until an actual invariant appears in its schema — then we refuse).
+_WRITER_FEATURES_UPHELD = {
+    "appendOnly",        # non-append operations refused below
+    "columnMapping",     # physical-layout staging throughout
+    "deletionVectors",   # merge-on-read deletes + DV-aware rewrites
+    "timestampNtz",      # plain type support
+    "invariants",        # refused at use: any delta.invariants metadata
+    "checkConstraints",  # refused at use: any delta.constraints.* config
+    "changeDataFeed",    # appends fine; row-changing ops refused below
+    "generatedColumns",  # refused at use: any generationExpression
+    "identityColumns",   # refused at use: any delta.identity.* metadata
+}
+
+
+def _walk_field_metadata(dt: T.DataType):
+    """Yield the metadata dict of every field at every nesting level."""
+    if isinstance(dt, T.StructType):
+        for f in dt.fields:
+            yield f.metadata or {}
+            yield from _walk_field_metadata(f.dataType)
+    elif isinstance(dt, T.ArrayType):
+        yield from _walk_field_metadata(dt.elementType)
+    elif isinstance(dt, T.MapType):
+        yield from _walk_field_metadata(dt.keyType)
+        yield from _walk_field_metadata(dt.valueType)
+
+
+def _gate_write(snap: DeltaSnapshot, operation: str) -> None:
+    """PROTOCOL WRITER GATE — a delta writer must refuse tables whose
+    declared writer features it cannot uphold, or it corrupts other
+    writers' invariants silently (the spec's hard rule). Called by
+    every data-changing entry point with ``operation`` in {append,
+    overwrite, merge, update, delete, restore, optimize}.
+
+    - unknown ``writerFeatures`` (writerVersion 7+) or a writer version
+      beyond 7 → typed refusal naming what's missing;
+    - ``delta.appendOnly=true`` → only appends and dataChange=false
+      maintenance (OPTIMIZE) proceed;
+    - CHECK constraints / column invariants / generated or identity
+      columns actually PRESENT → refusal (enforcing them is the only
+      alternative the protocol allows);
+    - ``delta.enableChangeDataFeed=true`` → appends proceed (CDF
+      readers derive inserts from adds), row-changing operations are
+      refused because they would need ``_change_data`` files this
+      writer does not emit."""
+    proto = snap.protocol
+    mwv = int(proto.get("minWriterVersion", 2) or 2)
+    if mwv > 7:
+        raise NotImplementedError(
+            f"table requires minWriterVersion {mwv}; this writer implements "
+            "up to 7 (table features)"
+        )
+    if mwv == 7:
+        unknown = set(proto.get("writerFeatures") or []) - _WRITER_FEATURES_UPHELD
+        if unknown:
+            raise NotImplementedError(
+                f"table declares writer features this writer cannot uphold: "
+                f"{sorted(unknown)} — refusing per protocol"
+            )
+    cfg = snap.metadata_raw.get("configuration") or {}
+    changes_rows = operation in ("overwrite", "merge", "update", "delete", "restore")
+    if str(cfg.get("delta.appendOnly", "")).lower() == "true" and changes_rows:
+        raise ValueError(
+            f"delta.appendOnly=true forbids {operation} (only appends and "
+            "dataChange=false maintenance are allowed)"
+        )
+    if any(k.startswith("delta.constraints.") for k in cfg):
+        raise NotImplementedError(
+            "table has CHECK constraints (delta.constraints.*); this writer "
+            "does not enforce them — refusing per protocol"
+        )
+    if (
+        str(cfg.get("delta.enableChangeDataFeed", "")).lower() == "true"
+        and changes_rows
+    ):
+        raise NotImplementedError(
+            f"changeDataFeed is enabled; {operation} would need _change_data "
+            "files this writer does not emit (appends are fine — CDF readers "
+            "derive inserts from add actions)"
+        )
+    for md in _walk_field_metadata(snap.schema):
+        if "delta.invariants" in md:
+            raise NotImplementedError(
+                "table has column invariants; this writer does not enforce "
+                "them — refusing per protocol"
+            )
+        if "delta.generationExpression" in md:
+            raise NotImplementedError(
+                "table has generated columns; this writer does not compute "
+                "generation expressions — refusing per protocol"
+            )
+        if any(str(k).startswith("delta.identity.") for k in md):
+            raise NotImplementedError(
+                "table has identity columns; this writer does not allocate "
+                "identity values — refusing per protocol"
+            )
+
+
 def write_delta_column_mapped(
     df: DataFrame,
     path: str,
@@ -1135,6 +1238,8 @@ def write_delta(
         pre = delta_snapshot(spark, base)
     except FileNotFoundError:
         pre = None
+    if pre is not None:
+        _gate_write(pre, mode)
     mapped = pre is not None and pre.column_mapping_mode != "none"
     pinned_md: dict | None = None  # metaData action for mapped commits
     stage_df, stage_pcols = df, pcols
@@ -1379,6 +1484,7 @@ def merge_delta(
     spark = source.sparkSession
     base = _local_path(path).rstrip("/")
     snap = delta_snapshot(spark, base)
+    _gate_write(snap, "merge")
     if snap.schema.simpleString() != source.schema.simpleString():
         raise ValueError(
             f"merge source schema mismatch for {base}: table has "
@@ -1527,6 +1633,7 @@ def update_delta(
 
     base = _local_path(path).rstrip("/")
     snap = delta_snapshot(spark, base)
+    _gate_write(snap, "update")
     col_order = [f.name for f in snap.schema.fields]
     unknown = [c for c in set_exprs if c not in col_order]
     if unknown:
@@ -1667,6 +1774,7 @@ def delete_delta(
 
     base = _local_path(path).rstrip("/")
     snap = delta_snapshot(spark, base)
+    _gate_write(snap, "delete")
 
     scan = _files_to_df(
         spark, base, snap, snap.files, file_col="_file", pos_col="_pos"
@@ -2097,6 +2205,7 @@ def optimize_delta(
 
     base = _local_path(path).rstrip("/")
     snap = delta_snapshot(spark, base)
+    _gate_write(snap, "optimize")
     pcols = snap.partition_columns
     phys = {f.name: _physical_name(f) for f in snap.schema.fields}
     data_fields = [f for f in snap.schema.fields if f.name not in pcols]
@@ -2296,6 +2405,7 @@ def restore_delta(
         )
     log = f"{base}/_delta_log"
     snap = delta_snapshot(spark, base)
+    _gate_write(snap, "restore")
     for _attempt in range(max_commit_retries):
         cur_ids = _file_identities(snap)
         tgt_ids = _file_identities(target)

@@ -1623,6 +1623,125 @@ class TestDeltaCheckpointWriter:
         assert df.columns == ["my id", "the value"]
 
 
+class TestDeltaWriterGate:
+    """_gate_write (sources/delta.py): the protocol's hard rule — a
+    writer must uphold every feature a table declares or refuse. These
+    prove the refusals fire (and that permitted operations still run)."""
+
+    @staticmethod
+    def _tweak_metadata(spark, path, configuration=None, schema_json=None):
+        """Commit a metaData (and optional protocol) tweak as the next
+        version, the way a foreign writer would."""
+        import json as _json
+
+        from lakeapi_spark.sources.delta import delta_snapshot
+
+        snap = delta_snapshot(spark, path)
+        md = dict(snap.metadata_raw)
+        if configuration is not None:
+            md["configuration"] = configuration
+        if schema_json is not None:
+            md["schemaString"] = _json.dumps(schema_json)
+        md.setdefault("format", {"provider": "parquet"})
+        _write_commit(f"{path}/_delta_log", snap.version + 1, [{"metaData": md}])
+
+    def test_append_only_allows_appends_refuses_row_changes(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import (
+            delete_delta,
+            optimize_delta,
+            read_delta_fallback,
+            update_delta,
+            write_delta,
+        )
+
+        path = str(tmp_path / "ao")
+        write_delta(spark.range(5).selectExpr("id AS k"), path)
+        self._tweak_metadata(spark, path, configuration={"delta.appendOnly": "true"})
+
+        write_delta(spark.range(5, 8).selectExpr("id AS k"), path)  # append: fine
+        assert read_delta_fallback(spark, path).count() == 8
+        optimize_delta(spark, path)  # dataChange=false maintenance: fine
+        assert read_delta_fallback(spark, path).count() == 8
+
+        with pytest.raises(ValueError, match="appendOnly"):
+            write_delta(spark.range(1).selectExpr("id AS k"), path, mode="overwrite")
+        with pytest.raises(ValueError, match="appendOnly"):
+            delete_delta(spark, path, "k = 1")
+        with pytest.raises(ValueError, match="appendOnly"):
+            update_delta(spark, path, {"k": "k + 1"}, "k = 1")
+
+    def test_unknown_writer_feature_refused(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import write_delta
+
+        path = str(tmp_path / "wf")
+        write_delta(spark.range(3).selectExpr("id AS k"), path)
+        _write_commit(
+            f"{path}/_delta_log",
+            1,
+            [
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 7,
+                        "writerFeatures": ["appendOnly", "someFutureFeature"],
+                    }
+                }
+            ],
+        )
+        with pytest.raises(NotImplementedError, match="someFutureFeature"):
+            write_delta(spark.range(1).selectExpr("id AS k"), path)
+
+    def test_cdf_table_allows_append_refuses_update(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import (
+            read_delta_fallback,
+            update_delta,
+            write_delta,
+        )
+
+        path = str(tmp_path / "cdf")
+        write_delta(spark.range(4).selectExpr("id AS k"), path)
+        self._tweak_metadata(
+            spark, path, configuration={"delta.enableChangeDataFeed": "true"}
+        )
+        write_delta(spark.range(4, 6).selectExpr("id AS k"), path)
+        assert read_delta_fallback(spark, path).count() == 6
+        with pytest.raises(NotImplementedError, match="_change_data"):
+            update_delta(spark, path, {"k": "k + 1"}, "k = 0")
+
+    def test_constraints_and_invariants_refused(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import write_delta
+
+        path = str(tmp_path / "con")
+        write_delta(spark.range(3).selectExpr("id AS k"), path)
+        self._tweak_metadata(
+            spark, path, configuration={"delta.constraints.positive": "k > 0"}
+        )
+        with pytest.raises(NotImplementedError, match="CHECK constraints"):
+            write_delta(spark.range(1).selectExpr("id AS k"), path)
+
+        path2 = str(tmp_path / "inv")
+        write_delta(spark.range(3).selectExpr("id AS k"), path2)
+        self._tweak_metadata(
+            spark,
+            path2,
+            schema_json={
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": "k",
+                        "type": "long",
+                        "nullable": True,
+                        "metadata": {
+                            "delta.invariants": '{"expression":{"expression":"k > 0"}}'
+                        },
+                    }
+                ],
+            },
+        )
+        with pytest.raises(NotImplementedError, match="invariants"):
+            write_delta(spark.range(1).selectExpr("id AS k"), path2)
+
+
 class TestDeltaMergeSchema:
     """write_delta(merge_schema=True): delta-spark's mergeSchema —
     new columns widen the table schema in one metaData action; data in

@@ -581,6 +581,48 @@ def test_unigram_logprob_known_values(spark):
     assert out[2] == (2, round((lp(2) + lp(1)) / 2, 4))
 
 
+def test_dsir_importance_ranks_target_like_docs(spark):
+    """DSIR semantics on planted vocabularies: a raw doc written in the
+    TARGET domain's vocabulary must score a positive mean log ratio
+    (keep=1) and strictly above a noise-vocabulary doc (keep=0); the
+    weights are deterministic across runs."""
+    from lakeapi_spark.operators.sampling import dsir_importance
+
+    target_text = "alpha beta gamma delta alpha beta gamma delta alpha beta"
+    noise_text = "zulu yankee xray whiskey victor uniform tango sierra quebec papa"
+    rows = []
+    for i in range(10):  # the target domain
+        rows.append((i, target_text, "tgt"))
+    for i in range(10, 30):  # raw noise
+        rows.append((i, noise_text, "raw"))
+    rows.append((100, target_text, "raw"))  # target-like raw doc
+    df = spark.createDataFrame(rows, ["doc_id", "text", "domain"])
+
+    handles = []
+    out = {
+        r.id: (r.logw_mean, r.keep, r.n_grams)
+        for r in dsir_importance(
+            df, "doc_id", "text", "domain = 'tgt'", buckets=64,
+            cache_handles=handles,
+        ).collect()
+    }
+    assert out[100][1] == 1 and out[100][0] > 0
+    assert out[10][1] == 0 and out[10][0] < 0
+    assert out[100][0] > out[10][0]
+    assert out[100][2] == 9  # 10 tokens -> 9 bigram occurrences
+
+    rerun = {
+        r.id: (r.logw_mean, r.keep, r.n_grams)
+        for r in dsir_importance(
+            df, "doc_id", "text", "domain = 'tgt'", buckets=64,
+            cache_handles=handles,
+        ).collect()
+    }
+    assert rerun == out
+    for h in handles:
+        h.unpersist()
+
+
 def test_quota_sample_caps_and_reproduces(spark):
     """quota_sample: every group capped at quota, under-quota groups
     kept whole, membership identical across partitionings."""

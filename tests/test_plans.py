@@ -280,6 +280,18 @@ def test_unigram_logprob_vocab_broadcast_and_bounded_shuffles(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 
+def test_dsir_ratio_join_is_broadcast(spark, sf_dir):
+    """dsir_importance_weights plan contract: the corpus's gram stream
+    joins the K-bounded bucket-ratio table through a BROADCAST — never
+    a shuffle of the exploded corpus — and the only hash exchanges are
+    the two bucket-count aggregates plus the per-doc aggregate."""
+    df = QUERIES["dsir_importance_weights"].build(spark, sf_dir)
+    plan = plan_str(spark, df, mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
 def test_shuffle_shard_no_global_sort(spark, sf_dir):
     """shuffle_shard plan contract: one hash exchange on the shard key
     + in-partition sort; a rangepartitioning exchange would mean the
