@@ -52,12 +52,10 @@ def word_ngrams(text: Column, n: int) -> Column:
     return F.array_distinct(grams)
 
 
-def _doc_grams(
-    df: DataFrame, id_col: str, text_col: str, n: int, distinct: bool = True
-) -> DataFrame:
-    """(id, g): one row per word n-gram per doc — DISTINCT grams by
-    default (set semantics: contamination overlap), every occurrence
-    with ``distinct=False`` (count semantics: DSIR importance). The
+def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, g): one row per DISTINCT word n-gram per doc (set
+    semantics; sampling.dsir_importance builds its own occurrence-kept
+    twin of this stage because it also carries the target flag). The
     token array is materialized in its OWN projection with the when()
     double-reference CollapseProject blocker (same hazard + fix as
     text.repetition_metrics / dedup.minhash_signature): without it
@@ -71,9 +69,7 @@ def _doc_grams(
     grams = F.when(F.size("t") < n, F.array().cast("array<string>")).otherwise(
         F.transform(F.sequence(F.lit(0), F.size("t") - n), gram)
     )
-    if distinct:
-        grams = F.array_distinct(grams)
-    return staged.select("id", F.explode(grams).alias("g"))
+    return staged.select("id", F.explode(F.array_distinct(grams)).alias("g"))
 
 
 def benchmark_overlap(

@@ -169,7 +169,18 @@ def ngram_jaccard_pairs(
     sh = _exploded_shingles(df, id_col, text_col, sample_nibble).persist()
     if cache_handles is not None:
         cache_handles.append(sh)
-    bounds = sh.agg(F.min("id").alias("lo"), F.max("id").alias("hi")).first()
+    bounds = sh.agg(
+        F.min("id").alias("lo"),
+        F.max("id").alias("hi"),
+        F.sum(F.col("id").isNull().cast("int")).alias("n_null"),
+    ).first()
+    if (bounds["n_null"] or 0) > 0:
+        # min/max ignore nulls and the pair join would silently drop
+        # null-id rows — keep the old guard's fail-loudly contract
+        raise ValueError(
+            f"{bounds['n_null']} null ids in the dedup corpus; "
+            "pair semantics are undefined for null ids"
+        )
     packable = (
         bounds["lo"] is not None
         and bounds["lo"] >= 0
@@ -1108,19 +1119,28 @@ def _semantic_pairs_kernel(
         VB = np.array(b["v"].tolist(), dtype=np.float64)
         ids_a = a["id"].to_numpy()
         ids_b = b["id"].to_numpy()
-        C = np.round(
-            (VA @ VB.T) / np.outer(a["nrm"].to_numpy(), b["nrm"].to_numpy()), 4
-        )
-        mask = (C >= threshold) & (ids_a[:, None] != ids_b[None, :])
-        r, c = np.nonzero(mask)
-        if not len(r):
-            return _empty(pd)
-        lo = np.minimum(ids_a[r], ids_b[c])
-        hi = np.maximum(ids_a[r], ids_b[c])
-        return pd.DataFrame(
-            {"cid": int(pdf["cid"].iloc[0]), "id_a": lo, "id_b": hi,
-             "cos_sim": C[r, c]}
-        )
+        nrm_a = a["nrm"].to_numpy()
+        nrm_b = b["nrm"].to_numpy()
+        cid = int(pdf["cid"].iloc[0])
+        out = []
+        B = 1024  # gram SLICE stays 1024 x |block| — never |A| x |B|
+        for s in range(0, len(ids_a), B):
+            blk = slice(s, min(s + B, len(ids_a)))
+            C = np.round((VA[blk] @ VB.T) / np.outer(nrm_a[blk], nrm_b), 4)
+            mask = (C >= threshold) & (ids_a[blk][:, None] != ids_b[None, :])
+            r, c = np.nonzero(mask)
+            if len(r):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "cid": cid,
+                            "id_a": np.minimum(ids_a[blk][r], ids_b[c]),
+                            "id_b": np.maximum(ids_a[blk][r], ids_b[c]),
+                            "cos_sim": C[r, c],
+                        }
+                    )
+                )
+        return pd.concat(out, ignore_index=True) if out else _empty(pd)
 
     schema = "cid int, id_a long, id_b long, cos_sim double"
     if total_rows is not None and total_rows <= max_cluster_rows:

@@ -101,7 +101,17 @@ def serialize(df: DataFrame, fmt: str, *, csv_separator: str = ",", encoding: st
                 writer.write_batch(batch)
         return buf.getvalue()
     if fmt == "html":
-        return tab.to_pandas().to_html(index=False).encode(encoding or "utf-8")
+        import pandas as pd
+
+        # ArrowDtype keeps each column's rendering a pure per-value
+        # function of the Arrow type (no null-driven int->float
+        # coercion), so the streamed splice below is byte-identical
+        # for ANY batch split
+        return (
+            tab.to_pandas(types_mapper=pd.ArrowDtype)
+            .to_html(index=False)
+            .encode(encoding or "utf-8")
+        )
     if fmt == "xml":
         # stdlib writer (pandas.to_xml requires lxml, not in container);
         # same shape as the reference's pandas output: <data><row>...</row>
@@ -209,7 +219,10 @@ def _xlsx_write(batches: Iterator[pa.RecordBatch], sink) -> None:
         z.writestr(entry("_rels/.rels"), root_rels)
         z.writestr(entry("xl/workbook.xml"), workbook)
         z.writestr(entry("xl/_rels/workbook.xml.rels"), wb_rels)
-        with z.open(entry("xl/worksheets/sheet1.xml"), "w") as sheet:
+        # force_zip64: the sheet is streamed without a known size and a
+        # limit=-1 export can exceed 4 GiB of XML — without the ZIP64
+        # local header the write would die mid-export at the boundary
+        with z.open(entry("xl/worksheets/sheet1.xml"), "w", force_zip64=True) as sheet:
             sheet.write(
                 b'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
                 b'<worksheet xmlns="http://schemas.openxmlformats.org/'
@@ -425,11 +438,16 @@ def stream_serialize(
         return
     if fmt == "html":
         # pandas renders each batch; the <tbody> rows are spliced into
-        # one table so the bytes match serialize()'s single-shot output
+        # one table. ArrowDtype (here AND in serialize()) keeps value
+        # rendering independent of the batch split — plain to_pandas
+        # would coerce an int64 column to float64 only in batches that
+        # happen to contain a null, diverging between batches
+        import pandas as pd
+
         tail = "\n</table>"
         first = True
         for batch in batches:
-            html = batch.to_pandas().to_html(index=False)
+            html = batch.to_pandas(types_mapper=pd.ArrowDtype).to_html(index=False)
             head, _, rest = html.partition("<tbody>")
             body, _, tail = rest.partition("</tbody>")
             if first:

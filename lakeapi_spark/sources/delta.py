@@ -1240,6 +1240,22 @@ def write_delta(
         pre = None
     if pre is not None:
         _gate_write(pre, mode)
+    # partition LAYOUT is a table property: appends (and mapped
+    # overwrites, whose metaData is preserved) must stage under the
+    # table's partitionColumns or readers resolve the partition values
+    # to NULL. An omitted partition_by adopts the table's; a
+    # conflicting one is refused rather than silently corrupting.
+    if pre is not None and pre.partition_columns and (
+        mode == "append"
+        or (mode == "overwrite" and pre.column_mapping_mode != "none")
+    ):
+        if pcols and pcols != pre.partition_columns:
+            raise ValueError(
+                f"partition_by {pcols} conflicts with the table's "
+                f"partitionColumns {pre.partition_columns} for {mode} "
+                "(the table's metaData keeps its layout)"
+            )
+        pcols = list(pre.partition_columns)
     mapped = pre is not None and pre.column_mapping_mode != "none"
     pinned_md: dict | None = None  # metaData action for mapped commits
     stage_df, stage_pcols = df, pcols
@@ -2549,11 +2565,20 @@ def checkpoint_delta(spark: SparkSession, path: str) -> int:
     checkpoint.
 
     Foreign-reader interop: remove TOMBSTONES for non-live paths are
-    carried (VACUUM bookkeeping within the retention window), as are
-    the row-tracking add fields (``tags``, ``baseRowId``,
-    ``defaultRowCommitVersion``). Remaining boundary: truly unknown
-    add keys from exotic writers are projected away, and only classic
-    single-file checkpoints are emitted (no v2/sidecar)."""
+    carried (VACUUM bookkeeping), as are the row-tracking add fields
+    (``tags``, ``baseRowId``, ``defaultRowCommitVersion``). Tombstones
+    come from the JSON commits SINCE the previous checkpoint — one
+    checkpoint generation, so checkpoint cost is O(churn since last
+    checkpoint) and size stays bounded instead of accumulating every
+    remove ever (older tombstones age out with the superseded
+    checkpoint, the version-horizon analogue of delta's
+    time-based tombstone retention). A table whose protocol declares
+    writer features this writer does not model (e.g. ``domainMetadata``
+    state it would silently drop from the checkpoint) is REFUSED —
+    the same uphold-or-refuse rule as :func:`_gate_write`. Remaining
+    boundary: truly unknown add keys from exotic writers are projected
+    away, and only classic single-file checkpoints are emitted (no
+    v2/sidecar)."""
     import os
     import uuid
 
@@ -2562,6 +2587,24 @@ def checkpoint_delta(spark: SparkSession, path: str) -> int:
 
     base = _local_path(path).rstrip("/")
     snap = delta_snapshot(spark, base)
+    # uphold-or-refuse for the checkpoint too: a feature this writer
+    # does not model (domainMetadata state, etc.) would be silently
+    # DROPPED from the checkpoint, corrupting it for foreign readers
+    proto = snap.protocol
+    mwv = int(proto.get("minWriterVersion", 2) or 2)
+    if mwv > 7:
+        raise NotImplementedError(
+            f"table requires minWriterVersion {mwv}; checkpointing could "
+            "drop state this writer does not model"
+        )
+    if mwv == 7:
+        unknown = set(proto.get("writerFeatures") or []) - _WRITER_FEATURES_UPHELD
+        if unknown:
+            raise NotImplementedError(
+                f"table declares writer features whose state this "
+                f"checkpoint writer would drop: {sorted(unknown)} — "
+                "refusing per protocol"
+            )
     schema = _checkpoint_arrow_schema()
 
     def _known(action: dict, col: str) -> dict:
@@ -2581,12 +2624,19 @@ def checkpoint_delta(spark: SparkSession, path: str) -> int:
     # them. Carry the latest remove per path that is not currently live
     # (a removed-then-re-added path stays an add, never a tombstone),
     # emitted BEFORE the adds so replay order can't drop a live file.
+    # Only the JSON commits SINCE the previous checkpoint are read —
+    # O(churn) per checkpoint, and tombstones age out one checkpoint
+    # generation later instead of accumulating forever.
     tombstones: dict[str, dict] = {}
     log_dir = f"{base}/_delta_log"
+    prev_ckpt = -1
+    for name in os.listdir(log_dir):
+        if name.endswith(".checkpoint.parquet") and name.split(".")[0].isdigit():
+            prev_ckpt = max(prev_ckpt, int(name.split(".")[0]))
     for name in sorted(os.listdir(log_dir)):
         if not (name.endswith(".json") and name[:-5].isdigit()):
             continue
-        if int(name[:-5]) > snap.version:
+        if not (prev_ckpt < int(name[:-5]) <= snap.version):
             continue
         with open(f"{log_dir}/{name}") as fh:
             for line in fh:

@@ -391,6 +391,20 @@ def test_ngram_jaccard_ids_beyond_31_bits(corpus):
     assert big == small and len(small) >= 10
 
 
+def test_ngram_jaccard_null_ids_fail_loudly(spark):
+    """min/max bounds ignore nulls and the pair join would silently
+    drop null-id rows — the operator must raise instead (the old
+    per-row guard's contract, review finding r7)."""
+    from lakeapi_spark.operators.dedup import ngram_jaccard_pairs as njp
+
+    text = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [(1, text), (None, text)], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="null ids"):
+        njp(df, "doc_id", "text", 0.5).collect()
+
+
 def test_ngram_jaccard_negative_ids_fall_back(spark):
     """Negative ids are un-packable too: the two-column fallback must
     produce the right pair (and keep id_a < id_b ordering)."""

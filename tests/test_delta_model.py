@@ -34,8 +34,15 @@ def _read(spark, path) -> dict[int, int]:
     return out
 
 
-@pytest.mark.parametrize("seed", [11, 23, 47])
-def test_random_op_sequences_match_model(spark, tmp_path, seed):
+@pytest.mark.parametrize(
+    "seed,colmap",
+    [(11, False), (23, False), (47, False), (31, True)],
+)
+def test_random_op_sequences_match_model(spark, tmp_path, seed, colmap):
+    """``colmap=True`` runs the same random sequence against a
+    COLUMN-MAPPED table (physical col-k/col-v/col-p files) — every op
+    interaction (DV deletes, merges, updates, optimize, checkpoint,
+    vacuum) must hold under the physical layout too."""
     from lakeapi_spark.sources.delta import (
         checkpoint_delta,
         delete_delta,
@@ -43,6 +50,7 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
         optimize_delta,
         vacuum_delta,
         write_delta,
+        write_delta_column_mapped,
     )
 
     rnd = random.Random(seed)
@@ -58,11 +66,19 @@ def test_random_op_sequences_match_model(spark, tmp_path, seed):
 
     # seed commit
     ks = fresh_keys(40)
-    write_delta(
-        _mk_df(spark, [(k, k * 2, _p(k)) for k in ks]),
-        path,
-        partition_by=["p"],
-    )
+    if colmap:
+        write_delta_column_mapped(
+            _mk_df(spark, [(k, k * 2, _p(k)) for k in ks]),
+            path,
+            partition_by=["p"],
+            physical_names={"k": "col-k", "v": "col-v", "p": "col-p"},
+        )
+    else:
+        write_delta(
+            _mk_df(spark, [(k, k * 2, _p(k)) for k in ks]),
+            path,
+            partition_by=["p"],
+        )
     model.update({k: k * 2 for k in ks})
 
     ops = ["append", "delete", "update", "merge_upsert", "merge_delete",

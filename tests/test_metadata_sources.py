@@ -1670,6 +1670,111 @@ class TestDeltaWriterGate:
         with pytest.raises(ValueError, match="appendOnly"):
             update_delta(spark, path, {"k": "k + 1"}, "k = 1")
 
+    def test_partition_layout_is_a_table_property(self, spark, tmp_path):
+        """Appends (and mapped overwrites) must stage under the table's
+        partitionColumns: an omitted partition_by adopts the table's, a
+        conflicting one is refused — otherwise the committed adds carry
+        partitionValues keys the metaData doesn't declare and readers
+        resolve every partition value to NULL (review finding, r7)."""
+        from lakeapi_spark.sources.delta import read_delta_fallback, write_delta
+
+        path = str(tmp_path / "layout")
+        df = spark.range(8).selectExpr("id AS k", "CAST(id % 2 AS STRING) AS p")
+        write_delta(df, path, partition_by=["p"])
+        # omitted partition_by adopts the table layout
+        write_delta(
+            spark.range(8, 12).selectExpr("id AS k", "CAST(id % 2 AS STRING) AS p"),
+            path,
+        )
+        got = {(r.k, r.p) for r in read_delta_fallback(spark, path).collect()}
+        assert got == {(k, str(k % 2)) for k in range(12)}
+        with pytest.raises(ValueError, match="partitionColumns"):
+            write_delta(df, path, partition_by=["k"])
+
+    def test_colmap_overwrite_conflicting_partition_by_refused(
+        self, spark, tmp_path
+    ):
+        """A mapped overwrite pins the table's metaData, so a
+        partition_by that disagrees with it must refuse instead of
+        committing adds whose partitionValues keys don't match."""
+        from lakeapi_spark.sources.delta import (
+            read_delta_fallback,
+            write_delta,
+            write_delta_column_mapped,
+        )
+
+        path = str(tmp_path / "cm_layout")
+        df = spark.createDataFrame(
+            [(1, "a", "p0"), (2, "b", "p1")], "k long, v string, part string"
+        )
+        write_delta_column_mapped(df, path, partition_by=["part"])
+        with pytest.raises(ValueError, match="partitionColumns"):
+            write_delta(df, path, mode="overwrite", partition_by=["k"])
+        # omitted/empty partition_by ADOPTS the pinned layout
+        from lakeapi_spark.sources.delta import delta_snapshot
+
+        write_delta(df.filter("k = 1"), path, mode="overwrite")
+        rows = read_delta_fallback(spark, path).collect()
+        assert [(r.k, r.v, r.part) for r in rows] == [(1, "a", "p0")]
+        snap = delta_snapshot(spark, path)
+        phys_part = next(
+            f.metadata["delta.columnMapping.physicalName"]
+            for f in snap.schema.fields
+            if f.name == "part"
+        )
+        assert all(pv.get(phys_part) == "p0" for pv in snap.files.values())
+
+    def test_checkpoint_refuses_unmodeled_features(self, spark, tmp_path):
+        """checkpoint_delta would silently DROP state it doesn't model
+        (e.g. domainMetadata actions) — it must refuse such tables like
+        the write gate does."""
+        from lakeapi_spark.sources.delta import checkpoint_delta, write_delta
+
+        path = str(tmp_path / "ckgate")
+        write_delta(spark.range(3).selectExpr("id AS k"), path)
+        _write_commit(
+            f"{path}/_delta_log",
+            1,
+            [
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 7,
+                        "writerFeatures": ["domainMetadata"],
+                    }
+                }
+            ],
+        )
+        with pytest.raises(NotImplementedError, match="domainMetadata"):
+            checkpoint_delta(spark, path)
+
+    def test_checkpoint_tombstones_age_out_by_generation(self, spark, tmp_path):
+        """Tombstone carry is bounded to one checkpoint generation:
+        removes committed BEFORE the previous checkpoint do not
+        re-appear in the next one (size stays O(churn), not O(history))."""
+        import pyarrow.parquet as papq
+
+        from lakeapi_spark.sources.delta import (
+            checkpoint_delta,
+            read_delta_fallback,
+            write_delta,
+        )
+
+        path = str(tmp_path / "cktomb")
+        write_delta(spark.range(4).selectExpr("id AS k"), path)
+        write_delta(spark.range(2).selectExpr("id AS k"), path, mode="overwrite")
+        v1 = checkpoint_delta(spark, path)
+        tab1 = papq.read_table(f"{path}/_delta_log/{v1:020d}.checkpoint.parquet")
+        gen1 = {r["path"] for r in tab1.column("remove").to_pylist() if r}
+        assert gen1  # the overwrite's removes are carried once
+
+        write_delta(spark.range(2, 5).selectExpr("id AS k"), path)
+        v2 = checkpoint_delta(spark, path)
+        tab2 = papq.read_table(f"{path}/_delta_log/{v2:020d}.checkpoint.parquet")
+        gen2 = {r["path"] for r in tab2.column("remove").to_pylist() if r}
+        assert gen2.isdisjoint(gen1)  # generation-1 tombstones aged out
+        assert read_delta_fallback(spark, path).count() == 5
+
     def test_unknown_writer_feature_refused(self, spark, tmp_path):
         from lakeapi_spark.sources.delta import write_delta
 

@@ -42,6 +42,7 @@ PROBED = [
     "dedup_semantic_multiprobe",
     "tokens_to_ids_export",
     "pii_scrub_docs",
+    "dsir_importance_weights",
 ]
 
 SF_SMALL = "/root/testdata/sf0.01"
