@@ -3654,6 +3654,75 @@ def delta_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdf_demo_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once CHANGE-DATA-FEED delta table: v0 = orders subset
+    created with ``delta.enableChangeDataFeed=true``; v1 = one UPDATE
+    whose pre/post images land as ``_change_data`` files committed
+    atomically with the rewrite (sources/delta.py:_stage_cdc_files).
+    Deterministic function of orders, so DuckDB re-derives the exact
+    change rows."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from lakeapi_spark.sources.delta import update_delta, write_delta
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "lakeapi_delta_cdf_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    marker = os.path.join(dest, "_cdf_done")
+    if not os.path.exists(marker):
+        if os.path.isdir(dest):  # stale partial build: start over
+            shutil.rmtree(dest)
+        base = table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_orderkey") % 4).cast("string").alias("bucket"),
+        )
+        write_delta(
+            base,
+            dest,
+            mode="append",
+            partition_by=["bucket"],
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        update_delta(spark, dest, {"o_orderstatus": "'U'"}, "o_orderkey % 53 = 0")
+        with open(marker, "w") as f:
+            f.write("v1\n")
+    return dest
+
+
+@register(
+    "delta_cdf_update_tail",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_orderkey % 4 AS VARCHAR) AS bucket,
+           'update_preimage' AS _change_type,
+           CAST(1 AS BIGINT) AS _commit_version
+    FROM orders WHERE o_orderkey % 53 = 0
+    UNION ALL
+    SELECT o_orderkey, 'U', CAST(o_orderkey % 4 AS VARCHAR),
+           'update_postimage', CAST(1 AS BIGINT)
+    FROM orders WHERE o_orderkey % 53 = 0
+    """,
+)
+def delta_cdf_update_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED end-to-end: tail the UPDATE commit of a
+    ``delta.enableChangeDataFeed=true`` table and get the PRECISE
+    ``update_preimage``/``update_postimage`` rows from its
+    ``_change_data`` files — not the delete+insert approximation a
+    version diff gives — equal to DuckDB's reconstruction from orders.
+    Cost is the change files alone (sources/delta.py:delta_changes)."""
+    from lakeapi_spark.sources.delta import delta_changes
+
+    dest = _cdf_demo_table(spark, sf_dir)
+    return delta_changes(spark, dest, 0, 1).select(
+        "o_orderkey", "o_orderstatus", "bucket", "_change_type", "_commit_version"
+    )
+
+
 def _colmap_demo_table(spark: SparkSession, sf_dir: str) -> str:
     """Build-once COLUMN-MAPPED delta table for the mapped-write query:
     v0 = nation (key, name) created with physicalName mapping

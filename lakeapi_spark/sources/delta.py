@@ -888,6 +888,112 @@ def _stage_snapshot_files(
     )
 
 
+def _cdf_enabled(snap: DeltaSnapshot) -> bool:
+    cfg = snap.metadata_raw.get("configuration") or {}
+    return str(cfg.get("delta.enableChangeDataFeed", "")).lower() == "true"
+
+
+def _stage_cdc_files(
+    cdc_df: DataFrame, base: str, snap: DeltaSnapshot
+) -> list[dict]:
+    """Stage CHANGE-DATA files (table columns + ``_change_type``) under
+    ``_change_data/`` in the table's physical layout and return the
+    protocol ``cdc`` actions for the commit (``dataChange: false`` —
+    CDF readers consume cdc actions INSTEAD of the version's add/remove
+    files when present). Same partition-directory convention as data
+    files; on column-mapped tables the cdc files are physically named
+    like any data file."""
+    import os
+
+    if snap.column_mapping_mode != "none":
+        fields = list(snap.schema.fields) + [
+            T.StructField("_change_type", T.StringType())
+        ]
+        cdc_df = _physical_projection(cdc_df, fields)
+        phys = {f.name: _physical_name(f) for f in snap.schema.fields}
+        pcols = [phys[c] for c in snap.partition_columns]
+    else:
+        pcols = list(snap.partition_columns)
+    sub = f"{base}/_change_data"
+    os.makedirs(sub, exist_ok=True)
+    staged = _stage_data_files(cdc_df, sub, pcols, collect_stats=False)
+    return [
+        {
+            "cdc": {
+                "path": f"_change_data/{a['add']['path']}",
+                "partitionValues": a["add"]["partitionValues"],
+                "size": a["add"]["size"],
+                "dataChange": False,
+            }
+        }
+        for a in staged
+    ]
+
+
+def _commit_cdc_actions(spark: SparkSession, base: str, version: int) -> list[dict]:
+    """The ``cdc`` actions of one commit's JSON (empty when none or the
+    commit file is gone). cdc actions are per-commit change metadata —
+    never part of the reconciled snapshot or a checkpoint."""
+    log = f"{base}/_delta_log/{version:020d}.json"
+    try:
+        raw = _read_json_bytes(spark, log)
+    except Exception:
+        return []
+    out: list[dict] = []
+    for line in raw.splitlines():
+        if not line.strip():
+            continue
+        action = json.loads(line)
+        if "cdc" in action:
+            out.append(action["cdc"])
+    return out
+
+
+def _read_cdc_files(
+    spark: SparkSession, base: str, snap: DeltaSnapshot, cdc_actions: list[dict]
+) -> DataFrame:
+    """cdc parquet -> DataFrame with the snapshot's LOGICAL schema plus
+    ``_change_type`` (partition values injected from the actions,
+    physical names renamed back — the same conventions as
+    :func:`_files_to_df`, minus deletion vectors, which never apply to
+    change files)."""
+    pcols = snap.partition_columns
+    phys = {f.name: _physical_name(f) for f in snap.schema.fields}
+    data_fields = [f for f in snap.schema.fields if f.name not in pcols]
+    schema = T.StructType(
+        [
+            T.StructField(phys[f.name], _physical_type(f.dataType), f.nullable)
+            for f in data_fields
+        ]
+        + [T.StructField("_change_type", T.StringType())]
+    )
+    ptypes = {f.name: f.dataType for f in snap.schema.fields if f.name in pcols}
+    out_cols = [f.name for f in snap.schema.fields] + ["_change_type"]
+    groups: dict[tuple, list[str]] = {}
+    for act in cdc_actions:
+        key = tuple((act.get("partitionValues") or {}).get(phys[c]) for c in pcols)
+        groups.setdefault(key, []).append(f"{base}/{act['path']}")
+    parts = []
+    for key, paths in sorted(
+        groups.items(), key=lambda kv: tuple(str(k) for k in kv[0])
+    ):
+        df = spark.read.schema(schema).parquet(*paths)
+        renamed = df.select(
+            *[
+                F.col(phys[f.name]).cast(f.dataType).alias(f.name)
+                for f in data_fields
+            ],
+            "_change_type",
+        )
+        for c, v in zip(pcols, key):
+            renamed = renamed.withColumn(c, _partition_lit(v, ptypes[c]))
+        parts.append(renamed.select(out_cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _max_mapping_id(schema: T.StructType, metadata_raw: dict | None = None) -> int:
     """Highest ``delta.columnMapping.id`` across every nesting level,
     folded with the table's ``delta.columnMapping.maxColumnId``
@@ -1039,11 +1145,13 @@ def _gate_write(snap: DeltaSnapshot, operation: str) -> None:
       maintenance (OPTIMIZE) proceed;
     - CHECK constraints / column invariants / generated or identity
       columns actually PRESENT → refusal (enforcing them is the only
-      alternative the protocol allows);
-    - ``delta.enableChangeDataFeed=true`` → appends proceed (CDF
-      readers derive inserts from adds), row-changing operations are
-      refused because they would need ``_change_data`` files this
-      writer does not emit."""
+      alternative the protocol allows).
+
+    ``delta.enableChangeDataFeed=true`` needs no refusal: merge /
+    update / delete emit ``_change_data`` files (:func:`_stage_cdc_files`),
+    and versions without cdc actions (appends, overwrite, restore) are
+    derived by CDF readers from their dataChange add/remove files, per
+    the spec."""
     proto = snap.protocol
     mwv = int(proto.get("minWriterVersion", 2) or 2)
     if mwv > 7:
@@ -1069,15 +1177,6 @@ def _gate_write(snap: DeltaSnapshot, operation: str) -> None:
         raise NotImplementedError(
             "table has CHECK constraints (delta.constraints.*); this writer "
             "does not enforce them — refusing per protocol"
-        )
-    if (
-        str(cfg.get("delta.enableChangeDataFeed", "")).lower() == "true"
-        and changes_rows
-    ):
-        raise NotImplementedError(
-            f"changeDataFeed is enabled; {operation} would need _change_data "
-            "files this writer does not emit (appends are fine — CDF readers "
-            "derive inserts from add actions)"
         )
     for md in _walk_field_metadata(snap.schema):
         if "delta.invariants" in md:
@@ -1180,6 +1279,7 @@ def write_delta(
     max_commit_retries: int = 10,
     collect_stats: bool = True,
     merge_schema: bool = False,
+    configuration: dict[str, str] | None = None,
 ) -> int:
     """EXECUTOR-PARALLEL delta writer without delta-spark: Spark writes
     the parquet data files (distributed, partitioned layouts included),
@@ -1323,7 +1423,9 @@ def write_delta(
                         "schemaString": df.schema.json(),
                         "partitionColumns": pcols,
                         "format": {"provider": "parquet"},
-                        "configuration": {},
+                        # tblproperties (delta.enableChangeDataFeed,
+                        # delta.appendOnly, ...) set at create/overwrite
+                        "configuration": dict(configuration or {}),
                     }
                 }
             )
@@ -1575,9 +1677,45 @@ def merge_delta(
         {"remove": {"path": p, "deletionTimestamp": 0, "dataChange": True}}
         for p in touched
     ]
+    cdc_actions: list[dict] = []
+    if _cdf_enabled(snap):
+        # CHANGE DATA FEED: matched rows as pre/post images (or
+        # deletes), unmatched source rows as inserts — one cdc file set
+        # committed atomically with the rewrite
+        parts = []
+        if when_matched == "update":
+            pre = touched_rows.join(source.select(on), on, "leftsemi")
+            parts.append(
+                pre.select(col_order).withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+            )
+            post = touched_rows.select(on).join(source, on, "inner")
+            parts.append(
+                post.select(col_order).withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            )
+        elif when_matched == "delete":
+            pre = touched_rows.join(source.select(on), on, "leftsemi")
+            parts.append(
+                pre.select(col_order).withColumn("_change_type", F.lit("delete"))
+            )
+        if when_not_matched == "insert":
+            ins = source.join(touched_rows.select(on), on, "left_anti")
+            parts.append(
+                ins.select(col_order).withColumn("_change_type", F.lit("insert"))
+            )
+        if parts:
+            cdc_df = parts[0]
+            for p in parts[1:]:
+                cdc_df = cdc_df.unionByName(p)
+            cdc_actions = _stage_cdc_files(cdc_df, base, snap)
     for _attempt in range(max_commit_retries):
         version = snap.version + 1
-        if _try_commit(log, version, removes + adds, operation="MERGE"):
+        if _try_commit(
+            log, version, removes + adds + cdc_actions, operation="MERGE"
+        ):
             return version
         snap2 = delta_snapshot(spark, base)
         # conflict check: the analysis is invalid if ANY file changed
@@ -1701,10 +1839,26 @@ def update_delta(
         {"remove": {"path": p, "deletionTimestamp": 0, "dataChange": True}}
         for p in touched
     ]
+    cdc_actions: list[dict] = []
+    if _cdf_enabled(snap):
+        # CHANGE DATA FEED: pre/post images of exactly the matched rows
+        pre = touched_rows.filter(cond).select(col_order)
+        post = pre.select(
+            *[
+                F.expr(set_exprs[c]).alias(c) if c in set_exprs else F.col(c)
+                for c in col_order
+            ]
+        )
+        cdc_df = pre.withColumn(
+            "_change_type", F.lit("update_preimage")
+        ).unionByName(post.withColumn("_change_type", F.lit("update_postimage")))
+        cdc_actions = _stage_cdc_files(cdc_df, base, snap)
     log = f"{base}/_delta_log"
     for _attempt in range(max_commit_retries):
         version = snap.version + 1
-        if _try_commit(log, version, removes + adds, operation="UPDATE"):
+        if _try_commit(
+            log, version, removes + adds + cdc_actions, operation="UPDATE"
+        ):
             return version
         snap2 = delta_snapshot(spark, base)
         if _file_identities(snap2) != _file_identities(snap):
@@ -1860,13 +2014,26 @@ def delete_delta(
             )
             adds.append({"add": add})
 
+    cdc_actions: list[dict] = []
+    if _cdf_enabled(snap):
+        # CHANGE DATA FEED: exactly the sentinel-collected (file, pos)
+        # rows — never a predicate re-evaluation, which could disagree
+        # with the committed DV for nondeterministic predicates
+        keys_df = spark.createDataFrame(pdf)
+        deleted_rows = scan.join(F.broadcast(keys_df), ["_file", "_pos"]).select(
+            [f.name for f in snap.schema.fields]
+        )
+        cdc_actions = _stage_cdc_files(
+            deleted_rows.withColumn("_change_type", F.lit("delete")), base, snap
+        )
+
     log = f"{base}/_delta_log"
     for _attempt in range(max_commit_retries):
         actions: list[dict] = []
         proto = snap.protocol
         if "deletionVectors" not in (proto.get("readerFeatures") or []):
             actions.append({"protocol": _protocol_with_dv(snap)})
-        actions.extend(removes + adds)
+        actions.extend(removes + adds + cdc_actions)
         version = snap.version + 1
         if _try_commit(log, version, actions, operation="DELETE"):
             return version
@@ -1972,13 +2139,21 @@ def delta_changes(
     downstream ETL uses to consume a delta table as a change stream
     (delta-spark: ``readChangeFeed`` / ``table_changes``).
 
-    One :func:`delta_version_diff` per consecutive version pair, so the
-    cost of tailing N commits is proportional to the DATA CHURN of
-    those commits, never the table: unchanged files cancel by log
-    metadata per pair and are not read. OPTIMIZE-style commits whose
-    rewrites preserve content diff to zero rows (dataChange:false
-    compaction produces no changes — the multiset difference is empty),
-    matching CDF's no-op treatment of pure compaction."""
+    Versions that carry ``cdc`` actions (CHANGE DATA FEED commits —
+    merge/update/delete on a ``delta.enableChangeDataFeed=true`` table)
+    are read STRAIGHT FROM their ``_change_data`` files, exactly like
+    delta's own ``table_changes``: precise per-row semantics including
+    ``update_preimage``/``update_postimage`` (which a version diff can
+    only approximate as delete+insert), at the cost of the change
+    files alone. Versions without cdc actions fall back to ONE
+    :func:`delta_version_diff` per consecutive pair, so tailing N
+    commits costs the DATA CHURN of those commits, never the table:
+    unchanged files cancel by log metadata per pair and are not read.
+    OPTIMIZE-style commits whose rewrites preserve content diff to
+    zero rows (dataChange:false compaction produces no changes — the
+    multiset difference is empty), matching CDF's no-op treatment of
+    pure compaction."""
+    base = _local_path(path).rstrip("/")
     s_to = delta_snapshot(spark, path, v_to)
     if v_from >= s_to.version:
         raise ValueError(
@@ -1986,9 +2161,13 @@ def delta_changes(
         )
     out = None
     for v in range(v_from, s_to.version):
-        step = delta_version_diff(spark, path, v, v + 1).withColumn(
-            "_commit_version", F.lit(v + 1).cast("long")
-        )
+        cdc = _commit_cdc_actions(spark, base, v + 1)
+        if cdc:
+            snap_v = delta_snapshot(spark, path, v + 1)
+            step = _read_cdc_files(spark, base, snap_v, cdc)
+        else:
+            step = delta_version_diff(spark, path, v, v + 1)
+        step = step.withColumn("_commit_version", F.lit(v + 1).cast("long"))
         out = step if out is None else out.unionByName(step)
     return out
 
@@ -2321,6 +2500,9 @@ def vacuum_delta(spark: SparkSession, path: str, keep_versions: int = 0) -> list
                 dv_rel = _dv_referenced_rel(dv, base)
                 if dv_rel is not None:
                     referenced.add(dv_rel)
+        # retained versions' CHANGE DATA files stay tail-able
+        for act in _commit_cdc_actions(spark, base, v):
+            referenced.add(act["path"])
     deleted: list[str] = []
     for root, dirs, files in os.walk(base):
         dirs[:] = [d for d in dirs if d != "_delta_log" and not d.startswith(".")]

@@ -1796,22 +1796,154 @@ class TestDeltaWriterGate:
         with pytest.raises(NotImplementedError, match="someFutureFeature"):
             write_delta(spark.range(1).selectExpr("id AS k"), path)
 
-    def test_cdf_table_allows_append_refuses_update(self, spark, tmp_path):
+    def test_cdf_update_emits_change_data(self, spark, tmp_path):
+        """UPDATE on a delta.enableChangeDataFeed table commits
+        _change_data files atomically; delta_changes reads them back as
+        precise update_preimage/update_postimage rows (not the
+        delete+insert approximation), and the table contents stay
+        correct."""
         from lakeapi_spark.sources.delta import (
+            delta_changes,
             read_delta_fallback,
             update_delta,
             write_delta,
         )
 
         path = str(tmp_path / "cdf")
-        write_delta(spark.range(4).selectExpr("id AS k"), path)
+        write_delta(
+            spark.range(6).selectExpr("id AS k", "id * 10 AS v"), path
+        )
         self._tweak_metadata(
             spark, path, configuration={"delta.enableChangeDataFeed": "true"}
         )
-        write_delta(spark.range(4, 6).selectExpr("id AS k"), path)
-        assert read_delta_fallback(spark, path).count() == 6
-        with pytest.raises(NotImplementedError, match="_change_data"):
-            update_delta(spark, path, {"k": "k + 1"}, "k = 0")
+        v = update_delta(spark, path, {"v": "v + 1"}, "k % 3 = 0")
+        got = {(r.k, r.v) for r in read_delta_fallback(spark, path).collect()}
+        assert got == {(k, k * 10 + (1 if k % 3 == 0 else 0)) for k in range(6)}
+
+        changes = {
+            (r.k, r.v, r._change_type, r._commit_version)
+            for r in delta_changes(spark, path, v - 1, v).collect()
+        }
+        assert changes == {
+            (0, 0, "update_preimage", v),
+            (0, 1, "update_postimage", v),
+            (3, 30, "update_preimage", v),
+            (3, 31, "update_postimage", v),
+        }
+
+    def test_cdf_merge_and_dv_delete_change_rows(self, spark, tmp_path):
+        """MERGE and DV-DELETE on a CDF table: cdc rows carry inserts,
+        pre/post images, and deletes exactly; non-cdc commits (appends)
+        still derive from the version diff in the same tail."""
+        from lakeapi_spark.sources.delta import (
+            delete_delta,
+            delta_changes,
+            merge_delta,
+            write_delta,
+        )
+
+        path = str(tmp_path / "cdfm")
+        write_delta(spark.range(4).selectExpr("id AS k", "id AS v"), path)
+        self._tweak_metadata(
+            spark, path, configuration={"delta.enableChangeDataFeed": "true"}
+        )
+        src = spark.createDataFrame([(1, 100), (9, 900)], "k long, v long")
+        v_merge = merge_delta(src, path, on=["k"])
+        v_del = delete_delta(spark, path, "k = 2")
+
+        merge_changes = {
+            (r.k, r.v, r._change_type)
+            for r in delta_changes(spark, path, v_merge - 1, v_merge).collect()
+        }
+        assert merge_changes == {
+            (1, 1, "update_preimage"),
+            (1, 100, "update_postimage"),
+            (9, 900, "insert"),
+        }
+        del_changes = {
+            (r.k, r.v, r._change_type)
+            for r in delta_changes(spark, path, v_del - 1, v_del).collect()
+        }
+        assert del_changes == {(2, 2, "delete")}
+
+    def test_cdf_on_column_mapped_table(self, spark, tmp_path):
+        """cdc files on a mapped table are staged physically (like any
+        data file) and read back by LOGICAL names with partition values
+        injected from the physically-keyed cdc actions."""
+        import glob
+
+        import pyarrow.parquet as papq
+
+        from lakeapi_spark.sources.delta import (
+            delta_changes,
+            update_delta,
+            write_delta_column_mapped,
+        )
+
+        path = str(tmp_path / "cdfcm")
+        df = spark.createDataFrame(
+            [(1, "a", "p0"), (2, "b", "p1")],
+            "`my id` long, v string, part string",
+        )
+        write_delta_column_mapped(
+            df, path, partition_by=["part"],
+            physical_names={"my id": "col-id", "v": "col-v", "part": "col-p"},
+        )
+        self._tweak_metadata(
+            spark,
+            path,
+            configuration={
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": "3",
+                "delta.enableChangeDataFeed": "true",
+            },
+        )
+        v = update_delta(spark, path, {"v": "upper(v)"}, "`my id` = 2")
+        for f in glob.glob(f"{path}/_change_data/**/*.parquet", recursive=True):
+            names = set(papq.read_schema(f).names)
+            assert "col-id" in names and "_change_type" in names
+            assert "my id" not in names
+        changes = {
+            (r["my id"], r["v"], r["part"], r["_change_type"])
+            for r in delta_changes(spark, path, v - 1, v).collect()
+        }
+        assert changes == {
+            (2, "b", "p1", "update_preimage"),
+            (2, "B", "p1", "update_postimage"),
+        }
+
+    def test_cdf_vacuum_keeps_retained_change_files(self, spark, tmp_path):
+        """VACUUM must keep the _change_data files of retained versions
+        (the tail stays readable) and collect them once their version
+        falls off the retention horizon."""
+        import glob
+
+        from lakeapi_spark.sources.delta import (
+            delta_changes,
+            update_delta,
+            vacuum_delta,
+            write_delta,
+        )
+
+        path = str(tmp_path / "cdfv")
+        write_delta(spark.range(4).selectExpr("id AS k", "id AS v"), path)
+        self._tweak_metadata(
+            spark, path, configuration={"delta.enableChangeDataFeed": "true"}
+        )
+        v_upd = update_delta(spark, path, {"v": "v + 1"}, "k = 1")
+        assert glob.glob(f"{path}/_change_data/*.parquet")
+
+        vacuum_delta(spark, path, keep_versions=1)  # v_upd retained
+        changes = {
+            (r.k, r.v, r._change_type)
+            for r in delta_changes(spark, path, v_upd - 1, v_upd).collect()
+        }
+        assert changes == {(1, 1, "update_preimage"), (1, 2, "update_postimage")}
+
+        write_delta(spark.range(4, 6).selectExpr("id AS k", "id AS v"), path)
+        write_delta(spark.range(6, 8).selectExpr("id AS k", "id AS v"), path)
+        vacuum_delta(spark, path, keep_versions=1)  # v_upd aged out
+        assert not glob.glob(f"{path}/_change_data/*.parquet")
 
     def test_constraints_and_invariants_refused(self, spark, tmp_path):
         from lakeapi_spark.sources.delta import write_delta
