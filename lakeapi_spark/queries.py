@@ -2049,6 +2049,28 @@ def ann_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@register("ann_ivf_indexed_topk", _ivf_oracle(_IVF_CENTROID_IDS))
+def ann_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k served from the PER-TABLE-VERSION inverted-list index
+    (similarity.py:ivf_index_for — the ANN analogue of the persisted
+    BM25 index): corpus assignment is paid once per table version, each
+    query probes its n_probe lists with one equi-join against the
+    cached lists + an exact re-rank. IDENTICAL results to ann_ivf_topk
+    (same seeded quantizer, same rounded cosine, same oracle)."""
+    from lakeapi_spark.operators.similarity import ivf_index_for, ivf_topk_indexed
+    from lakeapi_spark.sources.fs import latest_modification
+
+    e = table(spark, sf_dir, "embeddings")
+    uri = f"{sf_dir}/embeddings.parquet"
+    idx = ivf_index_for(
+        e, "vec_id", "embedding", _IVF_CENTROID_IDS,
+        key=(uri, latest_modification(spark, uri)),
+    )
+    q = e.filter(F.col("vec_id") <= 4)
+    out = ivf_topk_indexed(idx, q, "vec_id", "embedding", k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @register("ann_ivf_topk", _ivf_oracle(_IVF_CENTROID_IDS))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k with the seeded data-point quantizer, EXACTLY

@@ -280,6 +280,67 @@ def test_ivf_partitioned_layout_prunes_files(spark, sf_dir, tmp_path):
     assert n_total == emb.count()
 
 
+def test_ivf_index_matches_adhoc_and_roundtrips(spark, sf_dir, tmp_path):
+    """The persisted IVF index must serve IDENTICAL results to the
+    ad-hoc ivf_topk (same seeded quantizer, cosine, tiebreaks), survive
+    a parquet save/load round-trip, and the loaded lists' probe must be
+    a row-group-prunable cid predicate (sorted layout)."""
+    from lakeapi_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") <= 4)
+    ids = list(range(5, 21))
+    adhoc = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in ivf_topk(
+            emb, q, "vec_id", "embedding", k=10, centroid_ids=ids
+        ).collect()
+    }
+    index = build_ivf_index(emb, "vec_id", "embedding", ids)
+    try:
+        served = {
+            (r.query_id, r.neighbor_id, r.cosine, r.rank)
+            for r in ivf_topk_indexed(index, q, "vec_id", "embedding", k=10).collect()
+        }
+        assert served == adhoc and len(adhoc) > 0
+
+        path = str(tmp_path / "ivf_idx")
+        save_ivf_index(index, path)
+        loaded = load_ivf_index(spark, path)
+        reloaded = {
+            (r.query_id, r.neighbor_id, r.cosine, r.rank)
+            for r in ivf_topk_indexed(loaded, q, "vec_id", "embedding", k=10).collect()
+        }
+        assert reloaded == adhoc
+        assert loaded.cents == index.cents
+    finally:
+        index.unpersist()
+
+
+def test_ivf_index_cache_evicts_stale_version(spark, sf_dir):
+    """ivf_index_for: same identity at a new version evicts (and
+    unpersists) the stale build; same (identity, version, params) is
+    returned memoized."""
+    from lakeapi_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ids = list(range(5, 21))
+    sim._IVF_CACHE.clear()
+    a = sim.ivf_index_for(emb, "vec_id", "embedding", ids, key=("t", 1))
+    b = sim.ivf_index_for(emb, "vec_id", "embedding", ids, key=("t", 1))
+    assert a is b
+    c = sim.ivf_index_for(emb, "vec_id", "embedding", ids, key=("t", 2))
+    assert c is not a and len(sim._IVF_CACHE) == 1
+    c.unpersist()
+    sim._IVF_CACHE.clear()
+
+
 def test_dup_clusters_star_path_graph_1k(spark):
     """r2 VERDICT hardening: the alternating large-star/small-star variant
     converges on a 1000-node PATH — the adversarial diameter-1000 graph
