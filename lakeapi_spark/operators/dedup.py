@@ -176,10 +176,13 @@ def ngram_jaccard_pairs(
     ).first()
     if (bounds["n_null"] or 0) > 0:
         # min/max ignore nulls and the pair join would silently drop
-        # null-id rows — keep the old guard's fail-loudly contract
+        # null-id rows — keep the old guard's fail-loudly contract.
+        # (The count is SHINGLE rows, not docs; a null-id doc with no
+        # shingles contributes nothing to any pair and passes through —
+        # semantically a no-op either way.)
         raise ValueError(
-            f"{bounds['n_null']} null ids in the dedup corpus; "
-            "pair semantics are undefined for null ids"
+            f"corpus contains null ids ({bounds['n_null']} null-id "
+            "shingle rows); pair semantics are undefined for null ids"
         )
     packable = (
         bounds["lo"] is not None

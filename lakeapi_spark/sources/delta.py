@@ -931,14 +931,21 @@ def _stage_cdc_files(
 
 
 def _commit_cdc_actions(spark: SparkSession, base: str, version: int) -> list[dict]:
-    """The ``cdc`` actions of one commit's JSON (empty when none or the
-    commit file is gone). cdc actions are per-commit change metadata —
-    never part of the reconciled snapshot or a checkpoint."""
+    """The ``cdc`` actions of one commit's JSON (empty when the commit
+    file genuinely does not exist). cdc actions are per-commit change
+    metadata — never part of the reconciled snapshot or a checkpoint.
+    Only a MISSING file maps to []; transient read errors propagate —
+    vacuum consumes this to build its referenced set, and failing open
+    there would delete live change files."""
     log = f"{base}/_delta_log/{version:020d}.json"
     try:
         raw = _read_json_bytes(spark, log)
-    except Exception:
+    except FileNotFoundError:
         return []
+    except Exception as exc:  # Hadoop FS wraps misses differently
+        if "FileNotFound" in type(exc).__name__ or "does not exist" in str(exc):
+            return []
+        raise
     out: list[dict] = []
     for line in raw.splitlines():
         if not line.strip():
@@ -1340,12 +1347,23 @@ def write_delta(
         pre = None
     if pre is not None:
         _gate_write(pre, mode)
+    if configuration is not None and pre is not None and (
+        mode == "append" or pre.column_mapping_mode != "none"
+    ):
+        raise ValueError(
+            "configuration applies to table CREATION or an unmapped "
+            "overwrite only — appends (and mapped overwrites, whose "
+            "metaData is pinned) preserve the existing table properties"
+        )
     # partition LAYOUT is a table property: appends (and mapped
     # overwrites, whose metaData is preserved) must stage under the
-    # table's partitionColumns or readers resolve the partition values
-    # to NULL. An omitted partition_by adopts the table's; a
-    # conflicting one is refused rather than silently corrupting.
-    if pre is not None and pre.partition_columns and (
+    # table's partitionColumns. Either direction of drift corrupts:
+    # extra partition_by drops those columns from file CONTENTS
+    # (directory-encoded, but never injected — they read back NULL),
+    # missing ones commit adds without the declared partitionValues.
+    # An omitted partition_by adopts the table's; a conflicting one —
+    # including partitioning an UNPARTITIONED table — is refused.
+    if pre is not None and (
         mode == "append"
         or (mode == "overwrite" and pre.column_mapping_mode != "none")
     ):
@@ -1416,6 +1434,15 @@ def write_delta(
             if pinned_md is not None:
                 actions.append({"metaData": pinned_md})
         elif snap is None or mode == "overwrite":
+            # tblproperties: set explicitly at create/overwrite, else an
+            # overwrite PRESERVES the table's existing properties (a
+            # data overwrite must not silently switch off CDF etc.)
+            if configuration is not None:
+                cfg = dict(configuration)
+            elif snap is not None:
+                cfg = dict(snap.metadata_raw.get("configuration") or {})
+            else:
+                cfg = {}
             actions.append(
                 {
                     "metaData": {
@@ -1423,9 +1450,7 @@ def write_delta(
                         "schemaString": df.schema.json(),
                         "partitionColumns": pcols,
                         "format": {"provider": "parquet"},
-                        # tblproperties (delta.enableChangeDataFeed,
-                        # delta.appendOnly, ...) set at create/overwrite
-                        "configuration": dict(configuration or {}),
+                        "configuration": cfg,
                     }
                 }
             )
@@ -1825,34 +1850,45 @@ def update_delta(
                 f"{table_types[f.name]} in the table but the expression "
                 f"yields {f.dataType.simpleString()} — cast explicitly"
             )
-    updated = touched_rows.select(
-        *[
-            F.when(cond, F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
-            if c in set_exprs
-            else F.col(c)
-            for c in col_order
-        ]
-    )
-
-    adds = _stage_snapshot_files(updated, base, snap, collect_stats)
-    removes = [
-        {"remove": {"path": p, "deletionTimestamp": 0, "dataChange": True}}
-        for p in touched
-    ]
-    cdc_actions: list[dict] = []
-    if _cdf_enabled(snap):
-        # CHANGE DATA FEED: pre/post images of exactly the matched rows
-        pre = touched_rows.filter(cond).select(col_order)
-        post = pre.select(
+    cdf = _cdf_enabled(snap)
+    # the match flag is evaluated ONCE and (for CDF) the flagged rows
+    # are persisted, so the committed rewrite and the _change_data
+    # pre/post images see the SAME row set even for nondeterministic
+    # predicates — two independent cond evaluations could disagree
+    flagged = touched_rows.withColumn("__m", cond)
+    if cdf:
+        flagged = flagged.persist()
+    try:
+        updated = flagged.select(
             *[
-                F.expr(set_exprs[c]).alias(c) if c in set_exprs else F.col(c)
+                F.when(F.col("__m"), F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
+                if c in set_exprs
+                else F.col(c)
                 for c in col_order
             ]
         )
-        cdc_df = pre.withColumn(
-            "_change_type", F.lit("update_preimage")
-        ).unionByName(post.withColumn("_change_type", F.lit("update_postimage")))
-        cdc_actions = _stage_cdc_files(cdc_df, base, snap)
+        adds = _stage_snapshot_files(updated, base, snap, collect_stats)
+        removes = [
+            {"remove": {"path": p, "deletionTimestamp": 0, "dataChange": True}}
+            for p in touched
+        ]
+        cdc_actions: list[dict] = []
+        if cdf:
+            # CHANGE DATA FEED: pre/post images of exactly the matched rows
+            pre = flagged.filter(F.col("__m")).select(col_order)
+            post = pre.select(
+                *[
+                    F.expr(set_exprs[c]).alias(c) if c in set_exprs else F.col(c)
+                    for c in col_order
+                ]
+            )
+            cdc_df = pre.withColumn(
+                "_change_type", F.lit("update_preimage")
+            ).unionByName(post.withColumn("_change_type", F.lit("update_postimage")))
+            cdc_actions = _stage_cdc_files(cdc_df, base, snap)
+    finally:
+        if cdf:
+            flagged.unpersist()
     log = f"{base}/_delta_log"
     for _attempt in range(max_commit_retries):
         version = snap.version + 1
@@ -2018,9 +2054,11 @@ def delete_delta(
     if _cdf_enabled(snap):
         # CHANGE DATA FEED: exactly the sentinel-collected (file, pos)
         # rows — never a predicate re-evaluation, which could disagree
-        # with the committed DV for nondeterministic predicates
+        # with the committed DV for nondeterministic predicates. No
+        # broadcast hint: AQE broadcasts small key sets and shuffles
+        # the (bounded but possibly tens-of-millions-row) large ones.
         keys_df = spark.createDataFrame(pdf)
-        deleted_rows = scan.join(F.broadcast(keys_df), ["_file", "_pos"]).select(
+        deleted_rows = scan.join(keys_df, ["_file", "_pos"]).select(
             [f.name for f in snap.schema.fields]
         )
         cdc_actions = _stage_cdc_files(
@@ -2811,10 +2849,14 @@ def checkpoint_delta(spark: SparkSession, path: str) -> int:
     # generation later instead of accumulating forever.
     tombstones: dict[str, dict] = {}
     log_dir = f"{base}/_delta_log"
+    # strictly OLDER checkpoints only: re-checkpointing the same
+    # version must re-derive the same tombstones, not lose them all
     prev_ckpt = -1
     for name in os.listdir(log_dir):
         if name.endswith(".checkpoint.parquet") and name.split(".")[0].isdigit():
-            prev_ckpt = max(prev_ckpt, int(name.split(".")[0]))
+            v_ck = int(name.split(".")[0])
+            if v_ck < snap.version:
+                prev_ckpt = max(prev_ckpt, v_ck)
     for name in sorted(os.listdir(log_dir)):
         if not (name.endswith(".json") and name[:-5].isdigit()):
             continue

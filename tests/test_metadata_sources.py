@@ -1691,6 +1691,44 @@ class TestDeltaWriterGate:
         with pytest.raises(ValueError, match="partitionColumns"):
             write_delta(df, path, partition_by=["k"])
 
+        # the symmetric direction: partitioning an UNPARTITIONED table
+        # on append would drop the column from file contents (review
+        # finding r7) — refused the same way
+        flat = str(tmp_path / "layout_flat")
+        write_delta(df, flat)
+        with pytest.raises(ValueError, match="partitionColumns"):
+            write_delta(df, flat, partition_by=["p"])
+
+    def test_overwrite_preserves_table_properties(self, spark, tmp_path):
+        """A data overwrite must not silently reset tblproperties (CDF
+        would turn off); configuration= is refused where it cannot
+        apply (appends), and set explicitly replaces on overwrite."""
+        from lakeapi_spark.sources.delta import delta_snapshot, write_delta
+
+        path = str(tmp_path / "props")
+        write_delta(
+            spark.range(3).selectExpr("id AS k"),
+            path,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        write_delta(spark.range(3).selectExpr("id AS k"), path, mode="overwrite")
+        cfg = delta_snapshot(spark, path).metadata_raw["configuration"]
+        assert cfg == {"delta.enableChangeDataFeed": "true"}
+
+        with pytest.raises(ValueError, match="CREATION or an unmapped"):
+            write_delta(
+                spark.range(1).selectExpr("id AS k"),
+                path,
+                configuration={"delta.appendOnly": "true"},
+            )
+        write_delta(
+            spark.range(1).selectExpr("id AS k"),
+            path,
+            mode="overwrite",
+            configuration={},
+        )
+        assert delta_snapshot(spark, path).metadata_raw["configuration"] == {}
+
     def test_colmap_overwrite_conflicting_partition_by_refused(
         self, spark, tmp_path
     ):
@@ -1944,6 +1982,25 @@ class TestDeltaWriterGate:
         write_delta(spark.range(6, 8).selectExpr("id AS k", "id AS v"), path)
         vacuum_delta(spark, path, keep_versions=1)  # v_upd aged out
         assert not glob.glob(f"{path}/_change_data/*.parquet")
+
+    def test_recheckpoint_same_version_keeps_tombstones(self, spark, tmp_path):
+        """checkpoint_delta run twice at the same version must re-derive
+        the SAME tombstone set (only strictly older checkpoints bound
+        the carry), not silently lose them (review finding r7)."""
+        import pyarrow.parquet as papq
+
+        from lakeapi_spark.sources.delta import checkpoint_delta, write_delta
+
+        path = str(tmp_path / "reck")
+        write_delta(spark.range(4).selectExpr("id AS k"), path)
+        write_delta(spark.range(2).selectExpr("id AS k"), path, mode="overwrite")
+        v = checkpoint_delta(spark, path)
+        ck = f"{path}/_delta_log/{v:020d}.checkpoint.parquet"
+        first = {r["path"] for r in papq.read_table(ck).column("remove").to_pylist() if r}
+        assert first
+        assert checkpoint_delta(spark, path) == v  # same version again
+        second = {r["path"] for r in papq.read_table(ck).column("remove").to_pylist() if r}
+        assert second == first
 
     def test_constraints_and_invariants_refused(self, spark, tmp_path):
         from lakeapi_spark.sources.delta import write_delta
