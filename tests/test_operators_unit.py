@@ -776,11 +776,20 @@ from hypothesis import strategies as _st
 def test_unigram_logprob_matches_naive(spark, token_docs):
     """Differential: corpus-unigram scoring vs a pure-Python twin on
     tiny corpora (3-token vocab -> heavy frequency collisions; empty
-    docs must drop out)."""
+    docs must drop out). The twin must round HALF-UP like Spark's
+    ROUND (BigDecimal HALF_UP) and DuckDB's — Python's built-in round
+    is banker's (half-even) and diverges exactly on .xxxx5 boundaries
+    (hypothesis found (-0.875469*2 - 1.098612)/3 = -0.94985 rounding
+    to -0.9498 vs the engines' agreeing -0.9499)."""
     import math
     from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
 
     from lakeapi_spark.operators.text import unigram_logprob
+
+    def round_half_up(x: float, nd: int) -> float:
+        q = Decimal(1).scaleb(-nd)
+        return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
 
     docs = [(i, toks) for i, toks in enumerate(token_docs)]
     df = spark.createDataFrame(
@@ -792,8 +801,8 @@ def test_unigram_logprob_matches_naive(spark, token_docs):
     for did, toks in docs:
         if not toks:
             continue
-        lps = [round(math.log(cnt[t] / total), 6) for t in toks]
-        expect[did] = (len(toks), round(sum(lps) / len(lps), 4))
+        lps = [round_half_up(math.log(cnt[t] / total), 6) for t in toks]
+        expect[did] = (len(toks), round_half_up(sum(lps) / len(lps), 4))
     got = {
         r.doc_id: (r.n_tokens, r.avg_logprob)
         for r in unigram_logprob(df, "doc_id", "text").collect()
