@@ -404,6 +404,71 @@ def _nearest_seeded(
     return F.transform(F.slice(F.array_sort(scored), 1, n), lambda s: s["cid"])
 
 
+#: Above this centroid count the literal-expression assignment
+#: (`_nearest_seeded` / `_nearest_centroids`) would emit
+#: O(n_centroids x dim) plan literals — past Catalyst/codegen size
+#: limits at SemDeDup's sqrt(n) auto-scaled counts — so assignment
+#: switches to the Arrow numpy kernel (one BLAS matmul per batch,
+#: constant plan size). Below it, the expression path stays: it keeps
+#: the whole probe inside codegen with no Python worker round-trip.
+KERNEL_CENTROID_THRESHOLD = 128
+
+
+def _assign_seeded_kernel(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: list[tuple[list[float], float]],
+    n_probe: int,
+    out_id: str = "id",
+) -> DataFrame:
+    """Arrow-batched twin of `_nearest_seeded` assignment (same parity
+    rules as dedup's `_semantic_assignments_kernel`): cid ranking by
+    ROUND(dot/(nrm*cnorm), 4) descending, ties to the LOWER cid —
+    numpy's stable argsort first-occurrence rule IS the expression
+    path's (negcos, cid) sort order. Centroid matrix + norms are
+    closure-captured (tiny, deterministic on every executor); plan size
+    is CONSTANT in n_centroids. Returns (out_id, cid, nrm, v) with one
+    row per (row, probed cid)."""
+    cmat = np.array([c for c, _ in cents], dtype=np.float64)
+    cnorms = np.array([cn for _, cn in cents], dtype=np.float64)
+    vec_type = df.schema[vec_col].dataType.simpleString()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            nrm = np.sqrt((V * V).sum(axis=1))
+            score = np.round((V @ cmat.T) / np.outer(nrm, cnorms), 4)
+            if n_probe == 1:
+                yield pd.DataFrame(
+                    {
+                        out_id: pdf[id_col].to_numpy(),
+                        "cid": score.argmax(axis=1).astype("int32"),
+                        "nrm": nrm,
+                        "v": pdf[vec_col],
+                    }
+                )
+                continue
+            top = np.argsort(-score, axis=1, kind="stable")[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    out_id: np.repeat(pdf[id_col].to_numpy(), n_probe),
+                    "cid": top.reshape(-1).astype("int32"),
+                    "nrm": np.repeat(nrm, n_probe),
+                    "v": pdf[vec_col].repeat(n_probe).reset_index(drop=True),
+                }
+            )
+
+    return fan_out(df.select(id_col, vec_col)).mapInPandas(
+        kernel, schema=f"{out_id} long, cid int, nrm double, v {vec_type}"
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -436,28 +501,39 @@ def ivf_topk(
     same plan shape, but every stage is value-exactly re-derivable by a
     SQL oracle (the k-means path's Lloyd iterations are not
     SQL-expressible)."""
-    if centroid_ids is not None:
+    if centroid_ids is not None and len(centroid_ids) >= KERNEL_CENTROID_THRESHOLD:
         seeded = seeded_centroids(emb, id_col, vec_col, centroid_ids)
-
-        def near(vec_name: str, norm_name: str, n: int) -> Column:
-            return _nearest_seeded(F.col(vec_name), F.col(norm_name), seeded, n)
-
+        c = _assign_seeded_kernel(emb, id_col, vec_col, seeded, 1, "neighbor_id").select(
+            "neighbor_id", F.col("v").alias("cvec"), F.col("nrm").alias("cn"), "cid"
+        )
+        q = _assign_seeded_kernel(
+            queries, id_col, vec_col, seeded, n_probe, "query_id"
+        ).select("query_id", F.col("v").alias("qvec"), F.col("nrm").alias("qn"), "cid")
     else:
-        cents = ivf_fit_centroids(emb, vec_col, n_centroids, seed=seed)
+        if centroid_ids is not None:
+            seeded = seeded_centroids(emb, id_col, vec_col, centroid_ids)
 
-        def near(vec_name: str, norm_name: str, n: int) -> Column:
-            return _nearest_centroids(F.col(vec_name), cents, n)
+            def near(vec_name: str, norm_name: str, n: int) -> Column:
+                return _nearest_seeded(F.col(vec_name), F.col(norm_name), seeded, n)
 
-    c = fan_out(emb).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        norm(F.col(vec_col)).alias("cn"),
-    ).select("neighbor_id", "cvec", "cn", near("cvec", "cn", 1)[0].alias("cid"))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        norm(F.col(vec_col)).alias("qn"),
-    ).select("query_id", "qvec", "qn", F.explode(near("qvec", "qn", n_probe)).alias("cid"))
+        else:
+            cents = ivf_fit_centroids(emb, vec_col, n_centroids, seed=seed)
+
+            def near(vec_name: str, norm_name: str, n: int) -> Column:
+                return _nearest_centroids(F.col(vec_name), cents, n)
+
+        c = fan_out(emb).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec"),
+            norm(F.col(vec_col)).alias("cn"),
+        ).select("neighbor_id", "cvec", "cn", near("cvec", "cn", 1)[0].alias("cid"))
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            norm(F.col(vec_col)).alias("qn"),
+        ).select(
+            "query_id", "qvec", "qn", F.explode(near("qvec", "qn", n_probe)).alias("cid")
+        )
     sim = dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
     scored = (
         c.join(F.broadcast(q), "cid")
@@ -551,20 +627,24 @@ def build_ivf_index(
     IVF query here). ``repartition(cid)`` gives the lists the hash
     partitioning the query-time candidate join wants."""
     cents = seeded_centroids(emb, id_col, vec_col, centroid_ids)
-    lists = (
-        fan_out(emb)
-        .select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            norm(F.col(vec_col)).alias("nrm"),
+    if len(cents) >= KERNEL_CENTROID_THRESHOLD:
+        assigned = _assign_seeded_kernel(emb, id_col, vec_col, cents, 1).select(
+            "id", "v", "nrm", "cid"
         )
-        .select(
-            "id", "v", "nrm",
-            _nearest_seeded(F.col("v"), F.col("nrm"), cents, 1)[0].alias("cid"),
+    else:
+        assigned = (
+            fan_out(emb)
+            .select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("v"),
+                norm(F.col(vec_col)).alias("nrm"),
+            )
+            .select(
+                "id", "v", "nrm",
+                _nearest_seeded(F.col("v"), F.col("nrm"), cents, 1)[0].alias("cid"),
+            )
         )
-        .repartition("cid")
-        .persist()
-    )
+    lists = assigned.repartition("cid").persist()
     return IvfIndex(lists, cents)
 
 
@@ -581,16 +661,21 @@ def ivf_topk_indexed(
     the corpus-side assignment pass is gone: queries probe their
     ``n_probe`` lists, candidates come from one equi-join against the
     cached lists, exact re-rank within candidates."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        norm(F.col(vec_col)).alias("qn"),
-    ).select(
-        "query_id", "qvec", "qn",
-        F.explode(
-            _nearest_seeded(F.col("qvec"), F.col("qn"), index.cents, n_probe)
-        ).alias("cid"),
-    )
+    if len(index.cents) >= KERNEL_CENTROID_THRESHOLD:
+        q = _assign_seeded_kernel(
+            queries, id_col, vec_col, index.cents, n_probe, "query_id"
+        ).select("query_id", F.col("v").alias("qvec"), F.col("nrm").alias("qn"), "cid")
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            norm(F.col(vec_col)).alias("qn"),
+        ).select(
+            "query_id", "qvec", "qn",
+            F.explode(
+                _nearest_seeded(F.col("qvec"), F.col("qn"), index.cents, n_probe)
+            ).alias("cid"),
+        )
     sim = dot(F.col("qvec"), F.col("v")) / (F.col("qn") * F.col("nrm"))
     scored = (
         index.lists.join(F.broadcast(q), "cid")

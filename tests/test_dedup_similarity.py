@@ -1012,3 +1012,85 @@ def test_semantic_autoscale_clamps_and_rejects_empty(spark):
     empty = emb.filter(F.col("vec_id") < 0)
     with pytest.raises(ValueError, match="non-empty"):
         semantic_dedup_pairs(empty, "vec_id", "embedding", None, 0.99).count()
+
+
+def _synth_embeddings(spark, n: int, dim: int = 8):
+    """Deterministic synthetic embedding table (tests only — the
+    registry queries stay on the driver's testdata). Values are a
+    hash-grid in [0.1, 1.07) so no row has a zero norm."""
+    rows = [
+        (i, [float(((i * 31 + j * 17) % 97) / 100.0 + 0.1) for j in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivf_kernel_assignment_equals_expression(spark):
+    """Above KERNEL_CENTROID_THRESHOLD the seeded assignment switches to
+    the Arrow numpy kernel; results must be IDENTICAL to the literal-
+    expression path (forced via a monkeypatched threshold) — same
+    inverted lists, same served top-k."""
+    from lakeapi_spark.operators import similarity as sim
+
+    emb = _synth_embeddings(spark, 400)
+    q = emb.filter(F.col("vec_id") <= 3)
+    ids = list(range(10, 10 + sim.KERNEL_CENTROID_THRESHOLD))  # >= threshold
+
+    index_k = sim.build_ivf_index(emb, "vec_id", "embedding", ids)
+    old = sim.KERNEL_CENTROID_THRESHOLD
+    sim.KERNEL_CENTROID_THRESHOLD = 10**9
+    try:
+        index_e = sim.build_ivf_index(emb, "vec_id", "embedding", ids)
+        lists_k = {
+            (r.id, r.cid, round(r.nrm, 9)) for r in index_k.lists.collect()
+        }
+        lists_e = {
+            (r.id, r.cid, round(r.nrm, 9)) for r in index_e.lists.collect()
+        }
+        assert lists_k == lists_e and len(lists_k) == 400
+        served_e = {
+            (r.query_id, r.neighbor_id, r.cosine, r.rank)
+            for r in sim.ivf_topk_indexed(
+                index_e, q, "vec_id", "embedding", k=5, n_probe=3
+            ).collect()
+        }
+    finally:
+        sim.KERNEL_CENTROID_THRESHOLD = old
+        index_e.unpersist()
+    try:
+        served_k = {
+            (r.query_id, r.neighbor_id, r.cosine, r.rank)
+            for r in sim.ivf_topk_indexed(
+                index_k, q, "vec_id", "embedding", k=5, n_probe=3
+            ).collect()
+        }
+        assert served_k == served_e and len(served_k) > 0
+    finally:
+        index_k.unpersist()
+
+
+def test_ivf_2048_centroids_bounded_plan(spark):
+    """sqrt(n)-scale quantizer: 2,048 centroids must build and serve
+    with a plan whose size does NOT scale with n_centroids (the literal
+    path would bake 2048 x dim doubles into the plan; the kernel path
+    closure-captures them)."""
+    from lakeapi_spark.operators import similarity as sim
+
+    emb = _synth_embeddings(spark, 3000)
+    ids = list(range(2048))  # 2048 centroid ids, all present in the table
+    index = sim.build_ivf_index(emb, "vec_id", "embedding", ids)
+    try:
+        assert len(index.cents) == 2048
+        plan_lists = index.lists._jdf.queryExecution().simpleString()
+        assert len(plan_lists) < 20_000, len(plan_lists)
+
+        q = emb.filter(F.col("vec_id") < 3)
+        served = sim.ivf_topk_indexed(index, q, "vec_id", "embedding", k=5)
+        plan_served = served._jdf.queryExecution().simpleString()
+        assert len(plan_served) < 20_000, len(plan_served)
+        rows = served.collect()
+        assert len(rows) == 3 * 5
+        # every served neighbor comes from a probed list, ranked 1..k
+        assert {r.rank for r in rows} == {1, 2, 3, 4, 5}
+    finally:
+        index.unpersist()
