@@ -138,6 +138,7 @@ def dsir_importance(
     n: int = 2,
     buckets: int = 1024,
     cache_handles: list | None = None,
+    storage_level: "StorageLevel | None" = None,
 ) -> DataFrame:
     """DSIR-style hashed-n-gram importance scores (after Xie et al.
     2023, "Data Selection for Language Models via Importance
@@ -171,8 +172,21 @@ def dsir_importance(
     double inputs. The corpus then streams through one broadcast join
     + one per-doc aggregate -- no corpus-wide shuffle beyond the
     per-doc groupBy. The gram relation feeds the histogram job and the
-    scoring job; pass ``cache_handles`` to persist it once."""
+    scoring job; pass ``cache_handles`` to persist it once.
+
+    ``storage_level`` controls the tokenize-once persist of the gram
+    relation: the default is DISK_ONLY — at corpus scale the relation
+    is ~3 words per gram occurrence (≈ corpus-sized), and caching it in
+    executor memory would evict working memory the histogram/scoring
+    shuffles need; local spill-to-disk reads are one sequential pass.
+    Small/interactive corpora can pass MEMORY_AND_DISK to skip the
+    serialization round-trip."""
+    from pyspark import StorageLevel
+
     from lakeapi_spark.operators.text import tokens
+
+    if storage_level is None:
+        storage_level = StorageLevel.DISK_ONLY
 
     K = buckets
     t = tokens(F.col(text_col))
@@ -184,17 +198,18 @@ def dsir_importance(
         F.expr(target_predicate).alias("_tgt"),
         F.when(F.size(t) >= 0, t).alias("t"),
     )
-    gram = lambda i: F.concat_ws(  # noqa: E731 - tiny local lambda
-        " ", *[F.element_at(F.col("t"), i + F.lit(k)) for k in range(1, n + 1)]
-    )
     grams_arr = F.when(F.size("t") < n, F.array().cast("array<string>")).otherwise(
-        F.transform(F.sequence(F.lit(0), F.size("t") - n), gram)
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - n + 1),
+            lambda i: F.array_join(F.slice(F.col("t"), i, n), " "),
+        )
     )
     g = (
         staged.select("id", "_tgt", F.explode(grams_arr).alias("g"))
         .select("id", "_tgt", (key_hash(F.col("g")) % K).alias("b"))
-        .persist()  # feeds the histogram job AND the scoring job:
-        # (id, _tgt, b) is three words per gram — tokenize once, not twice
+        .persist(storage_level)  # feeds the histogram job AND the scoring
+        # job: (id, _tgt, b) is three words per gram — tokenize once, not
+        # twice (and never resident in executor memory, see docstring)
     )
     if cache_handles is not None:
         cache_handles.append(g)

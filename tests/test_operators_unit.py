@@ -623,6 +623,32 @@ def test_dsir_importance_ranks_target_like_docs(spark):
         h.unpersist()
 
 
+def test_dsir_gram_persist_storage_level(spark):
+    """The tokenize-once gram relation defaults to DISK_ONLY (at corpus
+    scale it is ~corpus-sized — it must not evict executor working
+    memory), and the storage_level parameter overrides it."""
+    from pyspark import StorageLevel
+
+    from lakeapi_spark.operators.sampling import dsir_importance
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta", "tgt" if i < 2 else "raw") for i in range(6)],
+        ["doc_id", "text", "domain"],
+    )
+    for want, kwargs in [
+        (StorageLevel.DISK_ONLY, {}),
+        (StorageLevel.MEMORY_AND_DISK, {"storage_level": StorageLevel.MEMORY_AND_DISK}),
+    ]:
+        handles = []
+        dsir_importance(
+            df, "doc_id", "text", "domain = 'tgt'", buckets=16,
+            cache_handles=handles, **kwargs,
+        ).collect()
+        assert len(handles) == 1
+        assert handles[0].storageLevel == want, (kwargs, handles[0].storageLevel)
+        handles[0].unpersist()
+
+
 def test_quota_sample_caps_and_reproduces(spark):
     """quota_sample: every group capped at quota, under-quota groups
     kept whole, membership identical across partitionings."""
