@@ -582,7 +582,7 @@ def corpus_window_hashes(
 ) -> DataFrame:
     """The existing corpus's DISTINCT window-hash relation — the
     once-per-corpus-version artifact every ingest batch (or micro-batch,
-    see streaming.ingest_guard_sink) semi-joins against. Persist it or
+    see streaming.ingest_guard_delta_sink) semi-joins against. Persist it or
     land it next to the table like the BM25 index."""
     return _window_hashes(corpus, id_col, text_col, window).select("h").distinct()
 

@@ -221,44 +221,6 @@ def run_available_now(
     return q
 
 
-def ingest_guard_sink(
-    corpus_hashes: DataFrame, id_col: str, text_col: str, window: int = 20
-):
-    """foreachBatch ingest guard — the streaming face of
-    operators.dedup.incremental_dedup_flags: every micro-batch of
-    incoming documents is flagged against the STATIC corpus window-hash
-    relation (built once per corpus version with
-    dedup.corpus_window_hashes, persisted — it is the state, stored not
-    streamed), and the (id, is_known) verdicts land in an in-memory
-    batch list the caller drains into its real sink.
-
-    Reusing the batch operator inside foreachBatch is the standard
-    "per-micro-batch batch job" pattern: the guard's decision is per
-    batch anyway (admit/quarantine), there is no cross-batch state to
-    manage beyond the static relation, and batch/stream semantics agree
-    BY CONSTRUCTION (asserted in tests/test_streaming.py).
-
-    Verdicts land keyed BY BATCH ID, so foreachBatch's at-least-once
-    redelivery OVERWRITES its own entry instead of appending duplicates
-    — the same idempotence rule as parquet_batch_sink. The in-memory
-    dict is the demo/test sink (it grows with the stream and collects
-    to the driver); the production path is
-    :func:`ingest_guard_delta_sink`, which lands the same verdicts in
-    a delta table exactly-once with no driver collect."""
-    from lakeapi_spark.operators.dedup import incremental_dedup_flags
-
-    results: dict[int, list] = {}
-
-    def write(batch_df: DataFrame, batch_id: int) -> None:
-        flags = incremental_dedup_flags(
-            batch_df, None, id_col, text_col, window=window,
-            corpus_hashes=corpus_hashes,
-        )
-        results[batch_id] = [(r.id, r.is_known) for r in flags.collect()]
-
-    return write, results
-
-
 def ingest_guard_delta_sink(
     corpus_hashes: DataFrame,
     id_col: str,
@@ -268,8 +230,14 @@ def ingest_guard_delta_sink(
     window: int = 20,
     checkpoint_every: int = 10,
 ):
-    """PRODUCTION ingest guard: the same per-micro-batch flagging as
-    :func:`ingest_guard_sink`, but the (id, is_known, _batch_id)
+    """Streaming ingest guard — the streaming face of
+    operators.dedup.incremental_dedup_flags, via the standard
+    "per-micro-batch batch job" foreachBatch pattern: every micro-batch
+    of incoming documents is flagged against the STATIC corpus
+    window-hash relation (built once per corpus version with
+    dedup.corpus_window_hashes, persisted — it is the state, stored not
+    streamed; batch/stream semantics agree BY CONSTRUCTION, asserted in
+    tests/test_streaming.py). The (id, is_known, _batch_id)
     verdicts land in a DELTA table through
     :func:`lakeapi_spark.sources.delta.delta_stream_sink` — committed
     executor-parallel (no driver collect anywhere in the sink) with a

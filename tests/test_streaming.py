@@ -398,15 +398,17 @@ def test_stream_aggregation_into_delta_sink(spark, sf_dir, tmp_path):
 
 def test_stream_ingest_guard_matches_batch(spark, tmp_path):
     """Per-micro-batch ingest guard: streaming the new docs one file
-    per trigger through foreachBatch produces exactly the batch
-    operator's flags (content-known docs flagged, novel docs clean)."""
+    per trigger through foreachBatch into the PRODUCTION delta sink
+    produces exactly the batch operator's flags (content-known docs
+    flagged, novel docs clean)."""
     import os
 
     from lakeapi_spark.operators.dedup import (
         corpus_window_hashes,
         incremental_dedup_flags,
     )
-    from lakeapi_spark.streaming.pipeline import ingest_guard_sink
+    from lakeapi_spark.sources.delta import read_delta_fallback
+    from lakeapi_spark.streaming.pipeline import ingest_guard_delta_sink
 
     boiler = " ".join(f"w{i}" for i in range(15))
     corpus = spark.createDataFrame(
@@ -414,6 +416,7 @@ def test_stream_ingest_guard_matches_batch(spark, tmp_path):
         ["doc_id", "text"],
     )
     ch = corpus_window_hashes(corpus, "doc_id", "text", window=10).persist()
+    out = str(tmp_path / "guard_parity_delta")
     try:
         new_rows = [
             (10, "z0 " + boiler + " z1 z2"),
@@ -430,7 +433,9 @@ def test_stream_ingest_guard_matches_batch(spark, tmp_path):
         stream = spark.readStream.schema("doc_id long, text string").option(
             "maxFilesPerTrigger", 1
         ).parquet(src + "/*")
-        write, results = ingest_guard_sink(ch, "doc_id", "text", window=10)
+        write = ingest_guard_delta_sink(
+            ch, "doc_id", "text", out, app_id="guard-parity", window=10
+        )
         q = (
             stream.writeStream.foreachBatch(write)
             .option("checkpointLocation", str(tmp_path / "guard_ckpt"))
@@ -439,18 +444,9 @@ def test_stream_ingest_guard_matches_batch(spark, tmp_path):
         )
         q.awaitTermination(120)
 
-        # replay idempotence: redelivering a batch (same content, same
-        # id — the foreachBatch at-least-once contract) overwrites its
-        # entry instead of appending duplicates
-        replay_bid = next(
-            bid for bid, rows in results.items() if any(d == 10 for d, _ in rows)
-        )
-        row10 = next(r for r in new_rows if r[0] == 10)
-        write(
-            spark.createDataFrame([row10], "doc_id long, text string"), replay_bid
-        )
-        assert sum(len(rows) for rows in results.values()) == len(new_rows)
-        got = {pair for rows in results.values() for pair in rows}
+        got = {
+            (r.id, r.is_known) for r in read_delta_fallback(spark, out).collect()
+        }
         expect = {
             (r.id, r.is_known)
             for r in incremental_dedup_flags(
