@@ -3,11 +3,13 @@
 Treat image/audio/video payloads as opaque ``binary`` columns with a
 typed metadata struct alongside. The Spark-side plumbing — schema,
 Arrow batch shape, partition sizing, UDF signatures — is real and
-tested; the actual codec step is STUBBED (this container has no
-image/audio libraries): ``decode_stub_features`` produces a
-deterministic fake feature vector derived from the bytes, and
-``decode_real`` raises NotImplementedError with the integration point
-documented.
+tested. Fixed-layout header decodes (PNG IHDR, RIFF/WAVE fmt, JPEG
+marker walk) are pure JVM expressions; ``decode_real`` is a REAL
+stdlib PNG pixel decode (chunk walk + CRC validation + zlib inflate +
+all-five-filter unfiltering); only the heavy codec formats
+(JPEG entropy decode, video) remain behind ``decode_stub_features``'s
+deterministic fake-feature kernel, which keeps the pipeline shape
+testable without PIL/ffmpeg.
 
 Design rules encoded here for 100 TB:
 - binaries travel in their own column so column pruning keeps metadata
@@ -374,10 +376,231 @@ def jpeg_dimensions(df: DataFrame, max_segments: int = 8) -> DataFrame:
     )
 
 
+def attach_real_png_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Typed media table whose payload is a COMPLETE, VALID PNG built
+    with the stdlib only: signature, IHDR, zlib-deflated filtered
+    scanlines split across two IDAT chunks (so readers must reassemble),
+    correct CRC32 trailers, IEND. Pixels are a deterministic function of
+    the text column that a SQL oracle re-derives without any codec:
+    flat pixel byte i = code_point(text[i mod n]) mod 256 over a
+    (h x w x c) raster with w = n%16+1, h = n%12+1, c = 1 (grayscale,
+    color type 0) for even ids and 3 (RGB, color type 2) for odd ids.
+    Scanline s is filter-encoded with type (id + s) mod 5, so a decoder
+    must implement ALL FIVE filters (None/Sub/Up/Average/Paeth) to get
+    the raster back. Rows with empty text are dropped (no raster to
+    build). Runs in mapInPandas — per-batch Python, the fixture twin of
+    :func:`decode_real`."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + typ
+                + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        # local twin of module-level _paeth: the closure must be
+        # self-contained — executors do not have lakeapi_spark on
+        # sys.path (driver-side injection only)
+        def paeth(a: int, b: int, c: int) -> int:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            return b if pb <= pc else c
+
+        for pdf in batches:
+            ids, payloads, widths, heights, nbytes = [], [], [], [], []
+            for rid, text in zip(pdf["_id"], pdf["_text"]):
+                n = len(text)
+                if n == 0:
+                    continue
+                rid = int(rid)
+                w, h = n % 16 + 1, n % 12 + 1
+                c = 1 if rid % 2 == 0 else 3
+                stride = w * c
+                raster = bytes(
+                    ord(text[i % n]) % 256 for i in range(h * stride)
+                )
+                filtered = bytearray()
+                prev = bytes(stride)
+                for s in range(h):
+                    cur = raster[s * stride : (s + 1) * stride]
+                    f = (rid + s) % 5
+                    filtered.append(f)
+                    for j in range(stride):
+                        left = cur[j - c] if j >= c else 0
+                        up = prev[j]
+                        upleft = prev[j - c] if j >= c else 0
+                        if f == 0:
+                            pred = 0
+                        elif f == 1:
+                            pred = left
+                        elif f == 2:
+                            pred = up
+                        elif f == 3:
+                            pred = (left + up) >> 1
+                        else:
+                            pred = paeth(left, up, upleft)
+                        filtered.append((cur[j] - pred) & 0xFF)
+                    prev = cur
+                comp = zlib.compress(bytes(filtered))
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if c == 1 else 2, 0, 0, 0)
+                png = (
+                    b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", comp[:32])
+                    + chunk(b"IDAT", comp[32:])
+                    + chunk(b"IEND", b"")
+                )
+                ids.append(rid)
+                payloads.append(png)
+                widths.append(w)
+                heights.append(h)
+                nbytes.append(len(png))
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "media_type": pd.Series(["image/png"] * len(ids), dtype="object"),
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "n_bytes": pd.Series(nbytes, dtype="int64"),
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    ).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
 def decode_real(df: DataFrame) -> DataFrame:
-    """Integration point for a real decoder (image resize / audio
-    spectrogram / video frame-sample). Not available in this container."""
-    raise NotImplementedError(
-        "real media decoding requires codec libraries (PIL/ffmpeg); "
-        "use decode_stub_features for the pipeline shape"
+    """REAL PNG pixel decode, stdlib only — the formerly-gated
+    integration point, now implemented: walk the chunk chain validating
+    every CRC32, reassemble multi-chunk IDAT, zlib-inflate, and
+    un-filter each scanline (all five PNG filter types incl. the Paeth
+    predictor) into the raw raster. Supports 8-bit gray/RGB/RGBA
+    (color types 0/2/6); anything else — bad signature, CRC mismatch,
+    truncation, unknown filter, wrong stream length — yields a
+    ``valid=false`` row instead of poisoning the batch.
+
+    Output is the raster reduced to SQL-re-derivable integer stats
+    (n_px, pixel_sum, and the order-pinning weighted checksum
+    Σ (i+1)·pixel_i), so an oracle that knows the fixture's pixel rule
+    can hash-verify the decode END TO END without any codec: the bytes
+    went through deflate + filters and came back bit-exact.
+
+    Scale shape: mapInPandas (Arrow batches, payload column pruned away
+    for metadata readers); per-row cost is linear in raster size. The
+    per-byte filter loop is honest Python — swap PIL/libpng into the
+    kernel body for throughput; every schema/partition/validity
+    contract stays put."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        def paeth(a: int, b: int, c: int) -> int:
+            # PNG Paeth predictor (RFC 2083 §6.6): the neighbor closest
+            # to a + b - c, ties broken left, up, upper-left
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            return b if pb <= pc else c
+
+        def decode_one(raw: bytes):
+            if raw[:8] != b"\x89PNG\r\n\x1a\n":
+                raise ValueError("bad signature")
+            pos, ihdr, idat = 8, None, b""
+            while pos + 12 <= len(raw):
+                (ln,) = struct.unpack(">I", raw[pos : pos + 4])
+                typ = raw[pos + 4 : pos + 8]
+                data = raw[pos + 8 : pos + 8 + ln]
+                if len(data) != ln or pos + 12 + ln > len(raw):
+                    raise ValueError("truncated chunk")
+                (crc,) = struct.unpack(">I", raw[pos + 8 + ln : pos + 12 + ln])
+                if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                    raise ValueError("crc mismatch")
+                if typ == b"IHDR":
+                    ihdr = data
+                elif typ == b"IDAT":
+                    idat += data
+                elif typ == b"IEND":
+                    break
+                pos += 12 + ln
+            if ihdr is None or len(ihdr) < 13:
+                raise ValueError("missing IHDR")
+            w, h, depth, color = struct.unpack(">IIBB", ihdr[:10])
+            if depth != 8 or color not in (0, 2, 6):
+                raise ValueError("unsupported format")
+            c = {0: 1, 2: 3, 6: 4}[color]
+            stream = zlib.decompress(idat)
+            stride = w * c
+            if len(stream) != h * (stride + 1):
+                raise ValueError("bad stream length")
+            prev = bytes(stride)
+            px_sum = 0
+            checksum = 0
+            base = 0  # flat index offset of the current scanline
+            for s in range(h):
+                line = stream[s * (stride + 1) : (s + 1) * (stride + 1)]
+                f = line[0]
+                cur = bytearray(line[1:])
+                if f == 1:
+                    for j in range(stride):
+                        cur[j] = (cur[j] + (cur[j - c] if j >= c else 0)) & 0xFF
+                elif f == 2:
+                    for j in range(stride):
+                        cur[j] = (cur[j] + prev[j]) & 0xFF
+                elif f == 3:
+                    for j in range(stride):
+                        left = cur[j - c] if j >= c else 0
+                        cur[j] = (cur[j] + ((left + prev[j]) >> 1)) & 0xFF
+                elif f == 4:
+                    for j in range(stride):
+                        a = cur[j - c] if j >= c else 0
+                        ul = prev[j - c] if j >= c else 0
+                        cur[j] = (cur[j] + paeth(a, prev[j], ul)) & 0xFF
+                elif f != 0:
+                    raise ValueError("unknown filter")
+                for j, v in enumerate(cur):
+                    px_sum += v
+                    checksum += (base + j + 1) * v
+                base += stride
+                prev = bytes(cur)
+            return int(w), int(h), c, h * stride, px_sum, checksum
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                try:
+                    w, h, c, n_px, px_sum, checksum = decode_one(bytes(payload))
+                    rows.append((int(rid), True, w, h, c, n_px, px_sum, checksum))
+                except Exception:  # noqa: BLE001 - any malformation -> invalid row
+                    rows.append(
+                        (int(rid), False, None, None, None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "valid", "width", "height",
+                    "n_channels", "n_px", "pixel_sum", "pixel_checksum",
+                ],
+            )
+
+    return df.select("id", "payload").mapInPandas(
+        kernel,
+        schema=(
+            "id long, valid boolean, width long, height long, "
+            "n_channels long, n_px long, pixel_sum long, pixel_checksum long"
+        ),
     )

@@ -2151,6 +2151,46 @@ def multimodal_wav_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_decode",
+    """
+    WITH m AS (
+      SELECT doc_id, text, length(text) AS n,
+             length(text) % 16 + 1 AS w,
+             length(text) % 12 + 1 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c
+      FROM documents WHERE length(text) > 0
+    ), px AS (
+      SELECT doc_id, text, n, w, h, c, unnest(range(0, w * h * c)) AS i FROM m
+    ), v AS (
+      SELECT doc_id, w, h, c, i,
+             ascii(substr(text, CAST(i % n AS INT) + 1, 1)) % 256 AS p
+      FROM px
+    )
+    SELECT doc_id AS id, TRUE AS valid,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(c AS BIGINT) AS n_channels,
+           CAST(w * h * c AS BIGINT) AS n_px,
+           CAST(SUM(p) AS BIGINT) AS pixel_sum,
+           CAST(SUM((i + 1) * p) AS BIGINT) AS pixel_checksum
+    FROM v GROUP BY doc_id, w, h, c
+    """,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END real PNG pixel decode: documents become complete
+    valid PNGs (zlib-deflated, per-scanline filters cycling through all
+    five types, CRC-trailed, IDAT split in two), then decode_real walks
+    the chunks, inflates, un-filters, and reduces the recovered raster
+    to integer stats. The oracle re-derives the SAME stats straight
+    from the fixture's pixel rule (code_point mod 256 over the text),
+    so a hash match proves the pixels survived deflate+filter+inflate+
+    unfilter bit-exactly — a real codec round-trip, no image library."""
+    from lakeapi_spark.operators.multimodal import attach_real_png_payload, decode_real
+
+    d = table(spark, sf_dir, "documents")
+    return decode_real(attach_real_png_payload(d, "doc_id", "text"))
+
+
+@register(
     "multimodal_stub_features",
     """
     WITH b AS (
