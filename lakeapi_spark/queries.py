@@ -3716,6 +3716,69 @@ def delta_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _constraints_demo_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once delta table for the CHECK-constraint query: v0 =
+    orders subset; v1 = ADD CONSTRAINT (validates existing rows, bumps
+    minWriterVersion to 3); v2 = conforming append; then a VIOLATING
+    append that must abort WITHOUT committing — the final table holds
+    exactly the conforming rows (sources/delta.py:_enforce_row_rules,
+    add_constraint_delta)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from lakeapi_spark.sources.delta import (
+        DeltaConstraintViolation,
+        add_constraint_delta,
+        write_delta,
+    )
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "lakeapi_delta_constr_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    marker = os.path.join(dest, "_constr_done")
+    if not os.path.exists(marker):
+        if os.path.isdir(dest):  # stale partial build: start over
+            shutil.rmtree(dest)
+        orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        write_delta(orders.filter(F.col("o_orderkey") % 7 == 0), dest)
+        add_constraint_delta(spark, dest, "key_positive", "o_orderkey >= 0")
+        write_delta(orders.filter(F.col("o_orderkey") % 7 == 3), dest)
+        try:
+            write_delta(
+                orders.filter(F.col("o_orderkey") % 7 == 5).select(
+                    (-F.col("o_orderkey") - 1).alias("o_orderkey"), "o_custkey"
+                ),
+                dest,
+            )
+        except DeltaConstraintViolation:
+            pass  # the point: violating rows must never land
+        else:  # pragma: no cover - enforcement regression
+            raise AssertionError("violating append committed")
+        with open(marker, "w") as f:
+            f.write("v2\n")
+    return dest
+
+
+@register(
+    "delta_check_constraints",
+    """
+    SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 7 IN (0, 3)
+    """,
+)
+def delta_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK-constraint enforcement end-to-end: after ADD CONSTRAINT,
+    a conforming append committed and a violating append aborted, so
+    the table equals exactly the conforming subset — proving rules are
+    evaluated over written rows and failed writes leave no trace."""
+    from lakeapi_spark.sources.readers import read_source
+
+    dest = _constraints_demo_table(spark, sf_dir)
+    return read_source(spark, dest, "delta").select("o_orderkey", "o_custkey")
+
+
 def _cdf_demo_table(spark: SparkSession, sf_dir: str) -> str:
     """Build-once CHANGE-DATA-FEED delta table: v0 = orders subset
     created with ``delta.enableChangeDataFeed=true``; v1 = one UPDATE

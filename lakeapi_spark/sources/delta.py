@@ -1118,8 +1118,8 @@ _WRITER_FEATURES_UPHELD = {
     "columnMapping",     # physical-layout staging throughout
     "deletionVectors",   # merge-on-read deletes + DV-aware rewrites
     "timestampNtz",      # plain type support
-    "invariants",        # refused at use: any delta.invariants metadata
-    "checkConstraints",  # refused at use: any delta.constraints.* config
+    "invariants",        # ENFORCED: see _enforce_row_rules
+    "checkConstraints",  # ENFORCED: see _enforce_row_rules
     "changeDataFeed",    # appends fine; row-changing ops refused below
     "generatedColumns",  # refused at use: any generationExpression
     "identityColumns",   # refused at use: any delta.identity.* metadata
@@ -1150,9 +1150,12 @@ def _gate_write(snap: DeltaSnapshot, operation: str) -> None:
       beyond 7 → typed refusal naming what's missing;
     - ``delta.appendOnly=true`` → only appends and dataChange=false
       maintenance (OPTIMIZE) proceed;
-    - CHECK constraints / column invariants / generated or identity
-      columns actually PRESENT → refusal (enforcing them is the only
-      alternative the protocol allows).
+    - CHECK constraints / column invariants are NOT gated here — they
+      are ENFORCED row-by-row at write time (:func:`_enforce_row_rules`,
+      the alternative to refusal the protocol allows);
+    - generated or identity columns actually PRESENT → refusal (this
+      writer does not compute generation expressions or allocate
+      identity values).
 
     ``delta.enableChangeDataFeed=true`` needs no refusal: merge /
     update / delete emit ``_change_data`` files (:func:`_stage_cdc_files`),
@@ -1180,17 +1183,11 @@ def _gate_write(snap: DeltaSnapshot, operation: str) -> None:
             f"delta.appendOnly=true forbids {operation} (only appends and "
             "dataChange=false maintenance are allowed)"
         )
-    if any(k.startswith("delta.constraints.") for k in cfg):
-        raise NotImplementedError(
-            "table has CHECK constraints (delta.constraints.*); this writer "
-            "does not enforce them — refusing per protocol"
-        )
+    # CHECK constraints (delta.constraints.*) and column invariants
+    # (delta.invariants field metadata) are ENFORCED, not refused: every
+    # data-changing path runs _enforce_row_rules over the rows it is
+    # about to write and aborts the commit on any violation.
     for md in _walk_field_metadata(snap.schema):
-        if "delta.invariants" in md:
-            raise NotImplementedError(
-                "table has column invariants; this writer does not enforce "
-                "them — refusing per protocol"
-            )
         if "delta.generationExpression" in md:
             raise NotImplementedError(
                 "table has generated columns; this writer does not compute "
@@ -1201,6 +1198,163 @@ def _gate_write(snap: DeltaSnapshot, operation: str) -> None:
                 "table has identity columns; this writer does not allocate "
                 "identity values — refusing per protocol"
             )
+
+
+class DeltaConstraintViolation(ValueError):
+    """A data-changing write produced rows violating the table's CHECK
+    constraints or column invariants; the commit was aborted."""
+
+
+def _row_rules(
+    schema: T.StructType, configuration: dict | None
+) -> list[tuple[str, str]]:
+    """(label, SQL expression) for every row-level rule the table
+    declares: CHECK constraints from ``delta.constraints.<name>`` table
+    properties, column invariants from ``delta.invariants`` field
+    metadata (the legacy JSON ``{"expression": {"expression": ...}}``
+    wrapper, protocol §Column-Invariants). Expressions reference
+    LOGICAL column names — callers evaluate them on logical rows before
+    any physical (column-mapped) staging."""
+    import json as _json
+
+    rules: list[tuple[str, str]] = []
+    for k, v in sorted((configuration or {}).items()):
+        if k.startswith("delta.constraints.") and str(v).strip():
+            rules.append((f"CHECK {k[len('delta.constraints.'):]}", str(v)))
+    for f in schema.fields:
+        inv = (f.metadata or {}).get("delta.invariants")
+        if inv:
+            try:
+                expr = _json.loads(inv)["expression"]["expression"]
+            except (ValueError, KeyError, TypeError) as e:
+                raise ValueError(
+                    f"unparseable delta.invariants metadata on column "
+                    f"{f.name!r}: {inv!r}"
+                ) from e
+            rules.append((f"INVARIANT {f.name}", str(expr)))
+        # NESTED invariants stay uphold-or-refuse: their expressions
+        # address struct paths this enforcement does not evaluate yet
+        for md in _walk_field_metadata(f.dataType):
+            if "delta.invariants" in md:
+                raise NotImplementedError(
+                    f"column {f.name!r} carries a NESTED field invariant; "
+                    "this writer enforces top-level invariants only — "
+                    "refusing per protocol"
+                )
+    return rules
+
+
+def _enforce_row_rules(
+    df: DataFrame,
+    schema: T.StructType,
+    configuration: dict | None,
+    operation: str,
+) -> None:
+    """Row-level write-time enforcement (the protocol's alternative to
+    refusing constrained tables): every rule expression must evaluate
+    to TRUE for every row about to be written — per the protocol a
+    NULL result is a violation too, unlike the SQL-standard CHECK.
+    One aggregate job counts violations for ALL rules in a single pass
+    over the candidate rows (touched-scope only on merge/update — rows
+    carried over unchanged satisfy the rules by induction); zero cost
+    when the table declares no rules. Columns the incoming relation
+    omits (merge_schema appends) evaluate as NULL, exactly how those
+    rows will read back."""
+    rules = _row_rules(schema, configuration)
+    if not rules:
+        return
+    eval_df = df
+    have = set(df.columns)
+    for f in schema.fields:
+        if f.name not in have:
+            eval_df = eval_df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    counts = eval_df.agg(
+        *[
+            F.count(
+                F.when(~F.expr(expr).eqNullSafe(F.lit(True)), F.lit(1))
+            ).alias(f"_r{i}")
+            for i, (_, expr) in enumerate(rules)
+        ]
+    ).collect()[0]
+    violated = [
+        f"{label} ({expr!r}): {int(counts[i])} row(s)"
+        for i, (label, expr) in enumerate(rules)
+        if int(counts[i]) > 0
+    ]
+    if violated:
+        raise DeltaConstraintViolation(
+            f"{operation} aborted — rows violate table rules: "
+            + "; ".join(violated)
+        )
+
+
+def add_constraint_delta(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT: validates every EXISTING row
+    satisfies ``expr`` (one aggregate scan), then commits a metaData
+    action adding ``delta.constraints.<name>`` — and, per the protocol,
+    raises the writer requirement (minWriterVersion 3, or the
+    ``checkConstraints`` writer feature on feature tables) so
+    constraint-unaware writers refuse the table instead of admitting
+    violating rows. Returns the committed version."""
+    base = _local_path(path).rstrip("/")
+    snap = delta_snapshot(spark, base)
+    _gate_write(snap, "append")  # appendOnly tables may still gain rules
+    key = f"delta.constraints.{name}"
+    cfg = dict(snap.metadata_raw.get("configuration") or {})
+    if key in cfg:
+        raise ValueError(f"constraint {name!r} already exists: {cfg[key]!r}")
+    existing = read_delta_fallback(spark, base)
+    _enforce_row_rules(
+        existing, snap.schema, {key: expr}, f"ADD CONSTRAINT {name}"
+    )
+    md = dict(snap.metadata_raw)
+    cfg[key] = expr
+    md["configuration"] = cfg
+    md.setdefault("format", {"provider": "parquet"})
+    actions: list[dict] = []
+    proto = dict(snap.protocol)
+    mwv = int(proto.get("minWriterVersion", 2) or 2)
+    if mwv == 7:
+        feats = set(proto.get("writerFeatures") or [])
+        if "checkConstraints" not in feats:
+            proto["writerFeatures"] = sorted(feats | {"checkConstraints"})
+            actions.append({"protocol": proto})
+    elif mwv < 3:
+        proto["minWriterVersion"] = 3
+        actions.append({"protocol": proto})
+    actions.append({"metaData": md})
+    log = f"{base}/_delta_log"
+    if not _try_commit(log, snap.version + 1, actions, operation="ADD CONSTRAINT"):
+        raise ConcurrentDeltaModificationError(
+            f"concurrent commit to {base} during ADD CONSTRAINT; re-run"
+        )
+    return snap.version + 1
+
+
+def drop_constraint_delta(spark: SparkSession, path: str, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT: removes the table property; the
+    protocol requirement stays (downgrades are never safe for readers
+    of intermediate versions). Returns the committed version."""
+    base = _local_path(path).rstrip("/")
+    snap = delta_snapshot(spark, base)
+    key = f"delta.constraints.{name}"
+    cfg = dict(snap.metadata_raw.get("configuration") or {})
+    if key not in cfg:
+        raise ValueError(f"no constraint named {name!r} on {base}")
+    del cfg[key]
+    md = dict(snap.metadata_raw)
+    md["configuration"] = cfg
+    md.setdefault("format", {"provider": "parquet"})
+    log = f"{base}/_delta_log"
+    if not _try_commit(
+        log, snap.version + 1, [{"metaData": md}], operation="DROP CONSTRAINT"
+    ):
+        raise ConcurrentDeltaModificationError(
+            f"concurrent commit to {base} during DROP CONSTRAINT; re-run"
+        )
+    return snap.version + 1
 
 
 def write_delta_column_mapped(
@@ -1355,6 +1509,21 @@ def write_delta(
             "overwrite only — appends (and mapped overwrites, whose "
             "metaData is pinned) preserve the existing table properties"
         )
+    # CHECK constraints / invariants: enforce against the schema+config
+    # that will GOVERN the committed version (appends and mapped
+    # overwrites keep the table's; creation and unmapped overwrites
+    # take the incoming df schema + explicit configuration)
+    keeps_table_md = pre is not None and (
+        mode == "append" or pre.column_mapping_mode != "none"
+    )
+    _enforce_row_rules(
+        df,
+        pre.schema if keeps_table_md else df.schema,
+        (pre.metadata_raw.get("configuration") or {})
+        if (keeps_table_md or (pre is not None and configuration is None))
+        else (configuration or {}),
+        mode,
+    )
     # partition LAYOUT is a table property: appends (and mapped
     # overwrites, whose metaData is preserved) must stage under the
     # table's partitionColumns. Either direction of drift corrupts:
@@ -1696,6 +1865,12 @@ def merge_delta(
     if not touched and when_not_matched == "ignore":
         return snap.version  # no-op: nothing matched, nothing to insert
 
+    # rules run over the TOUCHED-scope rewrite only: carried-over rows
+    # satisfied them when first written (induction), so cost tracks the
+    # merge, not the table
+    _enforce_row_rules(
+        new_data, snap.schema, snap.metadata_raw.get("configuration"), "merge"
+    )
     adds = _stage_snapshot_files(new_data, base, snap, collect_stats)
     log = f"{base}/_delta_log"
     removes = [
@@ -1866,6 +2041,9 @@ def update_delta(
                 else F.col(c)
                 for c in col_order
             ]
+        )
+        _enforce_row_rules(
+            updated, snap.schema, snap.metadata_raw.get("configuration"), "update"
         )
         adds = _stage_snapshot_files(updated, base, snap, collect_stats)
         removes = [

@@ -2002,19 +2002,42 @@ class TestDeltaWriterGate:
         second = {r["path"] for r in papq.read_table(ck).column("remove").to_pylist() if r}
         assert second == first
 
-    def test_constraints_and_invariants_refused(self, spark, tmp_path):
-        from lakeapi_spark.sources.delta import write_delta
+    def test_check_constraints_enforced_on_append(self, spark, tmp_path):
+        """CHECK constraints are ENFORCED (protocol's alternative to
+        refusal): conforming appends commit, violating appends abort
+        with the rule named and the table unchanged."""
+        from lakeapi_spark.sources.delta import (
+            DeltaConstraintViolation,
+            read_delta_fallback,
+            write_delta,
+        )
 
         path = str(tmp_path / "con")
-        write_delta(spark.range(3).selectExpr("id AS k"), path)
+        write_delta(spark.range(1, 4).selectExpr("id AS k"), path)
         self._tweak_metadata(
             spark, path, configuration={"delta.constraints.positive": "k > 0"}
         )
-        with pytest.raises(NotImplementedError, match="CHECK constraints"):
-            write_delta(spark.range(1).selectExpr("id AS k"), path)
+        write_delta(spark.range(4, 6).selectExpr("id AS k"), path)  # conforming
+        with pytest.raises(DeltaConstraintViolation, match="CHECK positive"):
+            write_delta(spark.range(3).selectExpr("id AS k"), path)  # k=0 violates
+        # NULL result counts as violation too (protocol: must be TRUE)
+        with pytest.raises(DeltaConstraintViolation, match="CHECK positive"):
+            write_delta(
+                spark.sql("SELECT CAST(NULL AS BIGINT) AS k"), path
+            )
+        assert {r.k for r in read_delta_fallback(spark, path).collect()} == {
+            1, 2, 3, 4, 5,
+        }
+
+    def test_column_invariants_enforced(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import (
+            DeltaConstraintViolation,
+            read_delta_fallback,
+            write_delta,
+        )
 
         path2 = str(tmp_path / "inv")
-        write_delta(spark.range(3).selectExpr("id AS k"), path2)
+        write_delta(spark.range(1, 4).selectExpr("id AS k"), path2)
         self._tweak_metadata(
             spark,
             path2,
@@ -2032,8 +2055,110 @@ class TestDeltaWriterGate:
                 ],
             },
         )
-        with pytest.raises(NotImplementedError, match="invariants"):
+        write_delta(spark.range(7, 9).selectExpr("id AS k"), path2)
+        with pytest.raises(DeltaConstraintViolation, match="INVARIANT k"):
             write_delta(spark.range(1).selectExpr("id AS k"), path2)
+        assert {r.k for r in read_delta_fallback(spark, path2).collect()} == {
+            1, 2, 3, 7, 8,
+        }
+
+    def test_constraints_enforced_on_update_and_merge(self, spark, tmp_path):
+        """UPDATE/MERGE rewrites run the rules over the touched-scope
+        rows they are about to write: a SET that pushes a row out of
+        bounds aborts; a conforming one commits."""
+        from lakeapi_spark.sources.delta import (
+            DeltaConstraintViolation,
+            merge_delta,
+            read_delta_fallback,
+            update_delta,
+            write_delta,
+        )
+
+        path = str(tmp_path / "conup")
+        write_delta(spark.range(1, 5).selectExpr("id AS k", "id * 10 AS v"), path)
+        self._tweak_metadata(
+            spark, path, configuration={"delta.constraints.v_cap": "v <= 100"}
+        )
+        update_delta(spark, path, {"v": "v + 1"}, "k = 1")  # 11 <= 100
+        with pytest.raises(DeltaConstraintViolation, match="CHECK v_cap"):
+            update_delta(spark, path, {"v": "v * 50"}, "k = 4")  # 2000 > 100
+        src_bad = spark.range(4, 6).selectExpr("id AS k", "id * 60 AS v")
+        with pytest.raises(DeltaConstraintViolation, match="CHECK v_cap"):
+            merge_delta(src_bad, path, on=["k"])  # 240/300 > 100
+        src_ok = spark.range(4, 6).selectExpr("id AS k", "id * 20 AS v")
+        merge_delta(src_ok, path, on=["k"])
+        got = {r.k: r.v for r in read_delta_fallback(spark, path).collect()}
+        assert got == {1: 11, 2: 20, 3: 30, 4: 80, 5: 100}
+
+    def test_add_and_drop_constraint(self, spark, tmp_path):
+        """ALTER-style surface: ADD CONSTRAINT validates existing rows
+        and raises the writer requirement to 3 per protocol; DROP
+        removes the rule; a conflicting ADD against existing data is
+        rejected without committing anything."""
+        from lakeapi_spark.sources.delta import (
+            DeltaConstraintViolation,
+            add_constraint_delta,
+            delta_snapshot,
+            drop_constraint_delta,
+            write_delta,
+        )
+
+        path = str(tmp_path / "alter")
+        write_delta(spark.range(1, 4).selectExpr("id AS k"), path)
+        with pytest.raises(DeltaConstraintViolation, match="CHECK big"):
+            add_constraint_delta(spark, path, "big", "k > 2")  # k=1,2 violate
+        v = add_constraint_delta(spark, path, "positive", "k > 0")
+        snap = delta_snapshot(spark, path)
+        assert snap.version == v
+        assert snap.metadata_raw["configuration"][
+            "delta.constraints.positive"
+        ] == "k > 0"
+        assert int(snap.protocol["minWriterVersion"]) == 3
+        with pytest.raises(DeltaConstraintViolation, match="CHECK positive"):
+            write_delta(spark.range(1).selectExpr("id AS k"), path)
+        drop_constraint_delta(spark, path, "positive")
+        write_delta(spark.range(1).selectExpr("id AS k"), path)  # k=0 fine now
+        with pytest.raises(ValueError, match="no constraint named"):
+            drop_constraint_delta(spark, path, "positive")
+
+    def test_nested_invariant_still_refused(self, spark, tmp_path):
+        """Invariants on NESTED struct fields stay uphold-or-refuse:
+        enforcement only evaluates top-level expressions."""
+        from lakeapi_spark.sources.delta import write_delta
+
+        path = str(tmp_path / "nestinv")
+        write_delta(
+            spark.sql("SELECT named_struct('a', 1L) AS s"), path
+        )
+        self._tweak_metadata(
+            spark,
+            path,
+            schema_json={
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": "s",
+                        "type": {
+                            "type": "struct",
+                            "fields": [
+                                {
+                                    "name": "a",
+                                    "type": "long",
+                                    "nullable": True,
+                                    "metadata": {
+                                        "delta.invariants": '{"expression":{"expression":"s.a > 0"}}'
+                                    },
+                                }
+                            ],
+                        },
+                        "nullable": True,
+                        "metadata": {},
+                    }
+                ],
+            },
+        )
+        with pytest.raises(NotImplementedError, match="NESTED"):
+            write_delta(spark.sql("SELECT named_struct('a', 5L) AS s"), path)
 
 
 class TestDeltaMergeSchema:
