@@ -1121,7 +1121,8 @@ _WRITER_FEATURES_UPHELD = {
     "invariants",        # ENFORCED: see _enforce_row_rules
     "checkConstraints",  # ENFORCED: see _enforce_row_rules
     "changeDataFeed",    # appends fine; row-changing ops refused below
-    "generatedColumns",  # refused at use: any generationExpression
+    "generatedColumns",  # COMPUTED/VALIDATED: top-level only, see
+                         # _generated_fields + _enforce_row_rules
     "identityColumns",   # refused at use: any delta.identity.* metadata
 }
 
@@ -1183,26 +1184,45 @@ def _gate_write(snap: DeltaSnapshot, operation: str) -> None:
             f"delta.appendOnly=true forbids {operation} (only appends and "
             "dataChange=false maintenance are allowed)"
         )
-    # CHECK constraints (delta.constraints.*) and column invariants
-    # (delta.invariants field metadata) are ENFORCED, not refused: every
-    # data-changing path runs _enforce_row_rules over the rows it is
-    # about to write and aborts the commit on any violation.
-    for md in _walk_field_metadata(snap.schema):
-        if "delta.generationExpression" in md:
-            raise NotImplementedError(
-                "table has generated columns; this writer does not compute "
-                "generation expressions — refusing per protocol"
-            )
-        if any(str(k).startswith("delta.identity.") for k in md):
+    # CHECK constraints, column invariants and TOP-LEVEL generated
+    # columns are ENFORCED/COMPUTED, not refused: data-changing paths
+    # run _enforce_row_rules over the rows they are about to write
+    # (generated columns additionally compute-if-absent in write_delta
+    # and recompute on UPDATE). Identity columns and NESTED generated
+    # fields stay uphold-or-refuse.
+    for f in snap.schema.fields:
+        if any(str(k).startswith("delta.identity.") for k in (f.metadata or {})):
             raise NotImplementedError(
                 "table has identity columns; this writer does not allocate "
                 "identity values — refusing per protocol"
             )
+        for md in _walk_field_metadata(f.dataType):
+            if "delta.generationExpression" in md:
+                raise NotImplementedError(
+                    f"column {f.name!r} carries a NESTED generated field; "
+                    "this writer computes top-level generated columns only "
+                    "— refusing per protocol"
+                )
+            if any(str(k).startswith("delta.identity.") for k in md):
+                raise NotImplementedError(
+                    "table has identity columns; this writer does not "
+                    "allocate identity values — refusing per protocol"
+                )
 
 
 class DeltaConstraintViolation(ValueError):
     """A data-changing write produced rows violating the table's CHECK
     constraints or column invariants; the commit was aborted."""
+
+
+def _generated_fields(schema: T.StructType) -> dict[str, str]:
+    """Top-level column -> generation expression, from
+    ``delta.generationExpression`` field metadata."""
+    return {
+        f.name: str((f.metadata or {})["delta.generationExpression"])
+        for f in schema.fields
+        if "delta.generationExpression" in (f.metadata or {})
+    }
 
 
 def _row_rules(
@@ -1241,6 +1261,11 @@ def _row_rules(
                     "this writer enforces top-level invariants only — "
                     "refusing per protocol"
                 )
+    # generated columns: a PROVIDED value must null-safe-equal its
+    # generation expression (delta's rule for explicit writes to
+    # generated columns); write_delta computes absent ones upstream
+    for name, gexpr in _generated_fields(schema).items():
+        rules.append((f"GENERATED {name}", f"`{name}` <=> ({gexpr})"))
     return rules
 
 
@@ -1509,16 +1534,21 @@ def write_delta(
             "overwrite only — appends (and mapped overwrites, whose "
             "metaData is pinned) preserve the existing table properties"
         )
-    # CHECK constraints / invariants: enforce against the schema+config
-    # that will GOVERN the committed version (appends and mapped
-    # overwrites keep the table's; creation and unmapped overwrites
-    # take the incoming df schema + explicit configuration)
+    # CHECK constraints / invariants / generated columns: enforce
+    # against the schema+config that will GOVERN the committed version
+    # (appends and mapped overwrites keep the table's; creation and
+    # unmapped overwrites take the incoming df schema + explicit
+    # configuration)
     keeps_table_md = pre is not None and (
         mode == "append" or pre.column_mapping_mode != "none"
     )
+    gov_schema = pre.schema if keeps_table_md else df.schema
+    for gname, gexpr in _generated_fields(gov_schema).items():
+        if gname not in df.columns:  # compute-if-absent, delta's rule
+            df = df.withColumn(gname, F.expr(gexpr))
     _enforce_row_rules(
         df,
-        pre.schema if keeps_table_md else df.schema,
+        gov_schema,
         (pre.metadata_raw.get("configuration") or {})
         if (keeps_table_md or (pre is not None and configuration is None))
         else (configuration or {}),
@@ -1992,6 +2022,16 @@ def update_delta(
     unknown = [c for c in set_exprs if c not in col_order]
     if unknown:
         raise ValueError(f"SET columns {unknown} not in schema {col_order}")
+    # generated columns RECOMPUTE for matched rows unless explicitly
+    # SET (delta keeps them consistent when their inputs change; an
+    # explicit inconsistent SET is caught by _enforce_row_rules below).
+    # They evaluate in a SECOND stage, over POST-update values — SET
+    # expressions themselves see pre-update rows per SQL semantics.
+    gen_recompute = {
+        g: e
+        for g, e in _generated_fields(snap.schema).items()
+        if g not in set_exprs
+    }
 
     target = _files_to_df(spark, base, snap, snap.files, file_col="_file")
     cond = F.expr(predicate)
@@ -2034,10 +2074,21 @@ def update_delta(
     if cdf:
         flagged = flagged.persist()
     try:
-        updated = flagged.select(
+        staged1 = flagged.select(
             *[
                 F.when(F.col("__m"), F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
                 if c in set_exprs
+                else F.col(c)
+                for c in col_order
+            ],
+            "__m",
+        )
+        updated = staged1.select(
+            *[
+                F.when(F.col("__m"), F.expr(gen_recompute[c]))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in gen_recompute
                 else F.col(c)
                 for c in col_order
             ]
@@ -2057,6 +2108,13 @@ def update_delta(
             post = pre.select(
                 *[
                     F.expr(set_exprs[c]).alias(c) if c in set_exprs else F.col(c)
+                    for c in col_order
+                ]
+            ).select(  # second stage: generated cols over POST-update values
+                *[
+                    F.expr(gen_recompute[c]).alias(c)
+                    if c in gen_recompute
+                    else F.col(c)
                     for c in col_order
                 ]
             )

@@ -2753,3 +2753,101 @@ def test_merge_multiple_null_key_sources_allowed(spark, tmp_path):
     rows = read_delta_fallback(spark, path).collect()
     assert len(rows) == 3
     assert sorted(r.v for r in rows if r.k is None) == [7, 8]
+
+
+class TestDeltaGeneratedColumns:
+    """Top-level generated columns are COMPUTED (when absent),
+    VALIDATED (when provided) and RECOMPUTED on UPDATE — delta's
+    writer obligations, upgraded from refusal."""
+
+    @staticmethod
+    def _gen_schema():
+        from pyspark.sql import types as T
+
+        return T.StructType(
+            [
+                T.StructField("k", T.LongType(), True),
+                T.StructField(
+                    "k2", T.LongType(), True,
+                    {"delta.generationExpression": "k * 2"},
+                ),
+            ]
+        )
+
+    def test_computed_when_absent_validated_when_present(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import (
+            DeltaConstraintViolation,
+            read_delta_fallback,
+            write_delta,
+        )
+
+        path = str(tmp_path / "gen")
+        ok = spark.createDataFrame([(1, 2), (2, 4)], self._gen_schema())
+        write_delta(ok, path)  # provided + consistent: validated, committed
+        write_delta(spark.range(3, 5).selectExpr("id AS k"), path)  # computed
+        got = {r.k: r.k2 for r in read_delta_fallback(spark, path).collect()}
+        assert got == {1: 2, 2: 4, 3: 6, 4: 8}
+        bad = spark.createDataFrame([(9, 1)], self._gen_schema())
+        with pytest.raises(DeltaConstraintViolation, match="GENERATED k2"):
+            write_delta(bad, path)
+        assert read_delta_fallback(spark, path).count() == 4
+
+    def test_recomputed_on_update(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import (
+            DeltaConstraintViolation,
+            read_delta_fallback,
+            update_delta,
+            write_delta,
+        )
+
+        path = str(tmp_path / "genup")
+        write_delta(
+            spark.createDataFrame([(1, 2), (5, 10)], self._gen_schema()), path
+        )
+        update_delta(spark, path, {"k": "k + 100"}, "k = 1")
+        got = {r.k: r.k2 for r in read_delta_fallback(spark, path).collect()}
+        assert got == {101: 202, 5: 10}  # k2 followed k; unmatched untouched
+        # explicit inconsistent SET of the generated column is rejected
+        with pytest.raises(DeltaConstraintViolation, match="GENERATED k2"):
+            update_delta(spark, path, {"k2": "k2 + 1"}, "k = 5")
+
+    def test_nested_generated_refused(self, spark, tmp_path):
+        import json as _json
+
+        from lakeapi_spark.sources.delta import write_delta
+
+        path = str(tmp_path / "gennest")
+        write_delta(spark.sql("SELECT named_struct('a', 1L) AS s"), path)
+        from lakeapi_spark.sources.delta import delta_snapshot
+
+        snap = delta_snapshot(spark, path)
+        md = dict(snap.metadata_raw)
+        md["schemaString"] = _json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": "s",
+                        "type": {
+                            "type": "struct",
+                            "fields": [
+                                {
+                                    "name": "a",
+                                    "type": "long",
+                                    "nullable": True,
+                                    "metadata": {
+                                        "delta.generationExpression": "1"
+                                    },
+                                }
+                            ],
+                        },
+                        "nullable": True,
+                        "metadata": {},
+                    }
+                ],
+            }
+        )
+        md.setdefault("format", {"provider": "parquet"})
+        _write_commit(f"{path}/_delta_log", snap.version + 1, [{"metaData": md}])
+        with pytest.raises(NotImplementedError, match="NESTED generated"):
+            write_delta(spark.sql("SELECT named_struct('a', 5L) AS s"), path)
