@@ -1123,7 +1123,9 @@ _WRITER_FEATURES_UPHELD = {
     "changeDataFeed",    # appends fine; row-changing ops refused below
     "generatedColumns",  # COMPUTED/VALIDATED: top-level only, see
                          # _generated_fields + _enforce_row_rules
-    "identityColumns",   # refused at use: any delta.identity.* metadata
+    "identityColumns",   # GENERATED on append (watermark-bumping
+                         # commit); explicit writes gated by
+                         # allowExplicitInsert — see _identity_fields
 }
 
 
@@ -1184,18 +1186,14 @@ def _gate_write(snap: DeltaSnapshot, operation: str) -> None:
             f"delta.appendOnly=true forbids {operation} (only appends and "
             "dataChange=false maintenance are allowed)"
         )
-    # CHECK constraints, column invariants and TOP-LEVEL generated
-    # columns are ENFORCED/COMPUTED, not refused: data-changing paths
-    # run _enforce_row_rules over the rows they are about to write
-    # (generated columns additionally compute-if-absent in write_delta
-    # and recompute on UPDATE). Identity columns and NESTED generated
+    # CHECK constraints, column invariants, TOP-LEVEL generated columns
+    # and TOP-LEVEL identity columns are ENFORCED/COMPUTED, not
+    # refused: data-changing paths run _enforce_row_rules over the rows
+    # they are about to write; write_delta computes absent generated
+    # columns and ALLOCATES absent identity values (bumping the high
+    # water mark atomically with the adds). NESTED generated/identity
     # fields stay uphold-or-refuse.
     for f in snap.schema.fields:
-        if any(str(k).startswith("delta.identity.") for k in (f.metadata or {})):
-            raise NotImplementedError(
-                "table has identity columns; this writer does not allocate "
-                "identity values — refusing per protocol"
-            )
         for md in _walk_field_metadata(f.dataType):
             if "delta.generationExpression" in md:
                 raise NotImplementedError(
@@ -1205,8 +1203,9 @@ def _gate_write(snap: DeltaSnapshot, operation: str) -> None:
                 )
             if any(str(k).startswith("delta.identity.") for k in md):
                 raise NotImplementedError(
-                    "table has identity columns; this writer does not "
-                    "allocate identity values — refusing per protocol"
+                    f"column {f.name!r} carries a NESTED identity field; "
+                    "this writer allocates top-level identity values only "
+                    "— refusing per protocol"
                 )
 
 
@@ -1223,6 +1222,106 @@ def _generated_fields(schema: T.StructType) -> dict[str, str]:
         for f in schema.fields
         if "delta.generationExpression" in (f.metadata or {})
     }
+
+
+def _identity_fields(schema: T.StructType) -> dict[str, dict]:
+    """Top-level identity columns: name -> {start, step, high (current
+    high water mark, None before the first allocation), allow_explicit}
+    from the ``delta.identity.*`` field-metadata keys."""
+    out: dict[str, dict] = {}
+    for f in schema.fields:
+        md = f.metadata or {}
+        if not any(str(k).startswith("delta.identity.") for k in md):
+            continue
+        step = int(md.get("delta.identity.step", 1) or 1)
+        if step == 0:
+            raise ValueError(f"identity column {f.name!r} has step 0")
+        high = md.get("delta.identity.highWaterMark")
+        out[f.name] = {
+            "start": int(md.get("delta.identity.start", 1) or 1),
+            "step": step,
+            "high": None if high is None else int(high),
+            "allow_explicit": str(
+                md.get("delta.identity.allowExplicitInsert", "false")
+            ).lower()
+            == "true",
+        }
+    return out
+
+
+def _allocate_identity(
+    df: DataFrame, name: str, spec: dict, dtype: T.DataType
+) -> tuple[DataFrame, int]:
+    """Allocate identity values ``base + k*step`` for every row of the
+    incoming batch with a DENSE global index built the scale-correct
+    way: one bounded count-per-partition job (rows collected = number
+    of partitions), broadcast offsets, then a self-contained
+    mapInPandas kernel numbers rows partition-locally. The df is
+    persisted across the two jobs so partitioning cannot shift between
+    the count and the assignment. Returns (df_with_column,
+    new_high_water_mark_or_None, cache_handle_to_unpersist_after_
+    staging)."""
+    step = spec["step"]
+    base = (
+        spec["start"] if spec["high"] is None else spec["high"] + step
+    )
+    pinned = df.persist()
+    counts = (
+        pinned.groupBy(F.spark_partition_id().alias("__pid"))
+        .count()
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[int(r["__pid"])] = acc
+        acc += int(r["count"])
+    if acc == 0:  # nothing to allocate, watermark unchanged
+        return (
+            pinned.withColumn(name, F.lit(None).cast(dtype)),
+            spec["high"],
+            pinned,
+        )
+    new_high = base + (acc - 1) * step
+    cols = df.columns
+
+    def kernel(batches):
+        local = 0
+        off = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if off is None:
+                off = offsets[int(pdf["__pid"].iloc[0])]
+            idx = off + local
+            local += len(pdf)
+            vals = [base + (idx + i) * step for i in range(len(pdf))]
+            yield pdf.drop(columns=["__pid"]).assign(**{name: vals})
+
+    schema_out = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"`{name}` {dtype.simpleString()}"]
+    )
+    with_pid = pinned.withColumn("__pid", F.spark_partition_id())
+    allocated = with_pid.mapInPandas(kernel, schema=schema_out).select(
+        *cols, name
+    )
+    return allocated, new_high, pinned
+
+
+def _schema_with_identity_high(
+    schema: T.StructType, updates: dict[str, int]
+) -> T.StructType:
+    """Copy of ``schema`` with ``delta.identity.highWaterMark`` field
+    metadata replaced per ``updates``."""
+    fields = []
+    for f in schema.fields:
+        if f.name in updates:
+            md = dict(f.metadata or {})
+            md["delta.identity.highWaterMark"] = int(updates[f.name])
+            f = T.StructField(f.name, f.dataType, f.nullable, md)
+        fields.append(f)
+    return T.StructType(fields)
 
 
 def _row_rules(
@@ -1546,6 +1645,30 @@ def write_delta(
     for gname, gexpr in _generated_fields(gov_schema).items():
         if gname not in df.columns:  # compute-if-absent, delta's rule
             df = df.withColumn(gname, F.expr(gexpr))
+    # identity columns: explicit values pass only when the column
+    # allows them; an ABSENT column gets values allocated from the
+    # high water mark, which the commit bumps atomically with the adds
+    id_specs = _identity_fields(gov_schema)
+    identity_md_updates: dict[str, int] = {}
+    id_cache_handles: list[DataFrame] = []
+    for iname, ispec in id_specs.items():
+        if iname in df.columns:
+            if not ispec["allow_explicit"]:
+                raise ValueError(
+                    f"identity column {iname!r} forbids explicit inserts "
+                    "(delta.identity.allowExplicitInsert=false); omit the "
+                    "column and let the writer allocate values"
+                )
+            # explicit values accepted; the watermark is not moved (the
+            # resync tool for that is a SYNC IDENTITY-style operation)
+        else:
+            fld = next(f for f in gov_schema.fields if f.name == iname)
+            df, new_high, handle = _allocate_identity(
+                df, iname, ispec, fld.dataType
+            )
+            id_cache_handles.append(handle)
+            if new_high is not None and new_high != ispec["high"]:
+                identity_md_updates[iname] = new_high
     _enforce_row_rules(
         df,
         gov_schema,
@@ -1604,6 +1727,8 @@ def write_delta(
         stage_df = _physical_projection(df, fields)
         stage_pcols = [phys.get(c, c) for c in pcols]
     adds = _stage_data_files(stage_df, base, stage_pcols, collect_stats)
+    for h in id_cache_handles:
+        h.unpersist()
 
     # 2. commit loop: snapshot -> build actions -> put-if-absent
     log = f"{base}/_delta_log"
@@ -1658,6 +1783,34 @@ def write_delta(
             if merged is not None:
                 md = dict(snap.metadata_raw)
                 md["schemaString"] = merged.json()
+                md.setdefault("format", {"provider": "parquet"})
+                actions.append({"metaData": md})
+        if identity_md_updates and snap is not None:
+            # our staged values assumed the PRE watermark: if another
+            # writer allocated meanwhile, they would collide — conflict
+            cur_ids = _identity_fields(snap.schema)
+            for iname in identity_md_updates:
+                if cur_ids.get(iname, {}).get("high") != id_specs[iname]["high"]:
+                    raise ConcurrentDeltaModificationError(
+                        f"concurrent identity allocation on {base} (column "
+                        f"{iname!r}); re-run the append"
+                    )
+            patched = None
+            for a in actions:
+                if "metaData" in a:  # fold into the pending metaData
+                    sch = T.StructType.fromJson(
+                        json.loads(a["metaData"]["schemaString"])
+                    )
+                    a["metaData"]["schemaString"] = _schema_with_identity_high(
+                        sch, identity_md_updates
+                    ).json()
+                    patched = a
+                    break
+            if patched is None:
+                md = dict(snap.metadata_raw)
+                md["schemaString"] = _schema_with_identity_high(
+                    snap.schema, identity_md_updates
+                ).json()
                 md.setdefault("format", {"provider": "parquet"})
                 actions.append({"metaData": md})
         if txn_app_id is not None:
@@ -1831,6 +1984,17 @@ def merge_delta(
         raise ValueError(
             f"merge source schema mismatch for {base}: table has "
             f"{snap.schema.simpleString()}, source has {source.schema.simpleString()}"
+        )
+    blocked_ident = [
+        c
+        for c, s in _identity_fields(snap.schema).items()
+        if not s["allow_explicit"]
+    ]
+    if blocked_ident and (when_matched == "update" or when_not_matched == "insert"):
+        raise ValueError(
+            f"merge writes explicit values into identity column(s) "
+            f"{blocked_ident} (allowExplicitInsert=false); append through "
+            "write_delta to have values allocated"
         )
     missing = [k for k in on if k not in source.columns]
     if missing:
@@ -2022,6 +2186,13 @@ def update_delta(
     unknown = [c for c in set_exprs if c not in col_order]
     if unknown:
         raise ValueError(f"SET columns {unknown} not in schema {col_order}")
+    ident = _identity_fields(snap.schema)
+    bad_ident = [c for c in set_exprs if c in ident]
+    if bad_ident:
+        raise ValueError(
+            f"cannot UPDATE identity column(s) {bad_ident} — identity "
+            "values are writer-allocated"
+        )
     # generated columns RECOMPUTE for matched rows unless explicitly
     # SET (delta keeps them consistent when their inputs change; an
     # explicit inconsistent SET is caught by _enforce_row_rules below).

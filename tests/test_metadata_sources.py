@@ -2851,3 +2851,128 @@ class TestDeltaGeneratedColumns:
         _write_commit(f"{path}/_delta_log", snap.version + 1, [{"metaData": md}])
         with pytest.raises(NotImplementedError, match="NESTED generated"):
             write_delta(spark.sql("SELECT named_struct('a', 5L) AS s"), path)
+
+
+class TestDeltaIdentityColumns:
+    """Top-level identity columns: values allocated from the high water
+    mark on append (dense start + k*step, watermark bumped atomically
+    with the adds), explicit writes gated by allowExplicitInsert,
+    UPDATE/MERGE refuse to write into them."""
+
+    @staticmethod
+    def _make_identity_table(spark, path, start=100, step=10, allow="false"):
+        import json as _json
+
+        from lakeapi_spark.sources.delta import delta_snapshot, write_delta
+
+        write_delta(spark.range(0).selectExpr("id AS v", "id AS rid"), path)
+        snap = delta_snapshot(spark, path)
+        md = dict(snap.metadata_raw)
+        md["schemaString"] = _json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {"name": "v", "type": "long", "nullable": True, "metadata": {}},
+                    {
+                        "name": "rid",
+                        "type": "long",
+                        "nullable": True,
+                        "metadata": {
+                            "delta.identity.start": start,
+                            "delta.identity.step": step,
+                            "delta.identity.allowExplicitInsert": allow,
+                        },
+                    },
+                ],
+            }
+        )
+        md.setdefault("format", {"provider": "parquet"})
+        _write_commit(f"{path}/_delta_log", snap.version + 1, [{"metaData": md}])
+
+    def test_allocation_bumps_watermark_across_appends(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import (
+            delta_snapshot,
+            read_delta_fallback,
+            write_delta,
+        )
+
+        path = str(tmp_path / "ident")
+        self._make_identity_table(spark, path, start=100, step=10)
+        write_delta(spark.range(3).selectExpr("id AS v"), path)
+        write_delta(spark.range(10, 12).selectExpr("id AS v"), path)
+        got = {r.v: r.rid for r in read_delta_fallback(spark, path).collect()}
+        # 5 rows, ids are 100,110,...,140 — dense, start + k*step
+        assert sorted(got.values()) == [100, 110, 120, 130, 140]
+        # the second append continued ABOVE the first's watermark
+        assert {got[10], got[11]} == {130, 140}
+        snap = delta_snapshot(spark, path)
+        rid_md = next(f for f in snap.schema.fields if f.name == "rid").metadata
+        assert int(rid_md["delta.identity.highWaterMark"]) == 140
+
+    def test_explicit_insert_gated(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import read_delta_fallback, write_delta
+
+        path = str(tmp_path / "identx")
+        self._make_identity_table(spark, path, allow="false")
+        with pytest.raises(ValueError, match="forbids explicit inserts"):
+            write_delta(spark.range(2).selectExpr("id AS v", "id AS rid"), path)
+
+        path2 = str(tmp_path / "identy")
+        self._make_identity_table(spark, path2, allow="true")
+        write_delta(spark.range(2).selectExpr("id AS v", "id + 7 AS rid"), path2)
+        got = {r.v: r.rid for r in read_delta_fallback(spark, path2).collect()}
+        assert got == {0: 7, 1: 8}
+
+    def test_update_and_merge_refuse_identity_writes(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import (
+            merge_delta,
+            update_delta,
+            write_delta,
+        )
+
+        path = str(tmp_path / "identu")
+        self._make_identity_table(spark, path)
+        write_delta(spark.range(3).selectExpr("id AS v"), path)
+        with pytest.raises(ValueError, match="identity"):
+            update_delta(spark, path, {"rid": "rid + 1"}, "v = 1")
+        update_delta(spark, path, {"v": "v + 100"}, "v = 1")  # non-identity OK
+        src = spark.range(1).selectExpr("id AS v", "id + 999 AS rid")
+        with pytest.raises(ValueError, match="identity"):
+            merge_delta(src, path, on=["v"])
+
+    def test_nested_identity_refused(self, spark, tmp_path):
+        import json as _json
+
+        from lakeapi_spark.sources.delta import delta_snapshot, write_delta
+
+        path = str(tmp_path / "identnest")
+        write_delta(spark.sql("SELECT named_struct('a', 1L) AS s"), path)
+        snap = delta_snapshot(spark, path)
+        md = dict(snap.metadata_raw)
+        md["schemaString"] = _json.dumps(
+            {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": "s",
+                        "type": {
+                            "type": "struct",
+                            "fields": [
+                                {
+                                    "name": "a",
+                                    "type": "long",
+                                    "nullable": True,
+                                    "metadata": {"delta.identity.start": 1},
+                                }
+                            ],
+                        },
+                        "nullable": True,
+                        "metadata": {},
+                    }
+                ],
+            }
+        )
+        md.setdefault("format", {"provider": "parquet"})
+        _write_commit(f"{path}/_delta_log", snap.version + 1, [{"metaData": md}])
+        with pytest.raises(NotImplementedError, match="NESTED identity"):
+            write_delta(spark.sql("SELECT named_struct('a', 5L) AS s"), path)
