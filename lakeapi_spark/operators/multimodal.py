@@ -480,6 +480,177 @@ def attach_real_png_payload(df: DataFrame, id_col: str, text_col: str) -> DataFr
     ).mapInPandas(kernel, schema=MEDIA_SCHEMA)
 
 
+def png_resize(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """REAL image resize, stdlib only: decode each PNG payload (same
+    chunk/CRC/inflate/unfilter path as :func:`decode_real`),
+    nearest-neighbor resample the raster to (target_h, target_w) per
+    channel — dst(y, x) = src((y*h)//th, (x*w)//tw), the exact rule a
+    SQL oracle re-derives — and RE-ENCODE a complete valid PNG (filters
+    cycling per scanline, CRC trailers), emitting the media schema with
+    updated metadata. Rows whose payload fails to decode are dropped
+    (the validity verdict lives in decode_real; resize is a transform).
+    mapInPandas, self-contained closure, per-row cost linear in raster
+    size — swap PIL into the kernel body for throughput, every contract
+    stays put."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        def paeth(a: int, b: int, c: int) -> int:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            return b if pb <= pc else c
+
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + typ
+                + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        def decode_raster(raw: bytes):
+            if raw[:8] != b"\x89PNG\r\n\x1a\n":
+                raise ValueError("bad signature")
+            pos, ihdr, idat = 8, None, b""
+            while pos + 12 <= len(raw):
+                (ln,) = struct.unpack(">I", raw[pos : pos + 4])
+                typ = raw[pos + 4 : pos + 8]
+                data = raw[pos + 8 : pos + 8 + ln]
+                if len(data) != ln or pos + 12 + ln > len(raw):
+                    raise ValueError("truncated chunk")
+                (crc,) = struct.unpack(">I", raw[pos + 8 + ln : pos + 12 + ln])
+                if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                    raise ValueError("crc mismatch")
+                if typ == b"IHDR":
+                    ihdr = data
+                elif typ == b"IDAT":
+                    idat += data
+                elif typ == b"IEND":
+                    break
+                pos += 12 + ln
+            if ihdr is None or len(ihdr) < 13:
+                raise ValueError("missing IHDR")
+            w, h, depth, color = struct.unpack(">IIBB", ihdr[:10])
+            if depth != 8 or color not in (0, 2, 6):
+                raise ValueError("unsupported format")
+            c = {0: 1, 2: 3, 6: 4}[color]
+            stream = zlib.decompress(idat)
+            stride = w * c
+            if len(stream) != h * (stride + 1):
+                raise ValueError("bad stream length")
+            prev = bytes(stride)
+            raster = bytearray()
+            for s in range(h):
+                line = stream[s * (stride + 1) : (s + 1) * (stride + 1)]
+                f = line[0]
+                cur = bytearray(line[1:])
+                if f == 1:
+                    for j in range(stride):
+                        cur[j] = (cur[j] + (cur[j - c] if j >= c else 0)) & 0xFF
+                elif f == 2:
+                    for j in range(stride):
+                        cur[j] = (cur[j] + prev[j]) & 0xFF
+                elif f == 3:
+                    for j in range(stride):
+                        left = cur[j - c] if j >= c else 0
+                        cur[j] = (cur[j] + ((left + prev[j]) >> 1)) & 0xFF
+                elif f == 4:
+                    for j in range(stride):
+                        a = cur[j - c] if j >= c else 0
+                        ul = prev[j - c] if j >= c else 0
+                        cur[j] = (cur[j] + paeth(a, prev[j], ul)) & 0xFF
+                elif f != 0:
+                    raise ValueError("unknown filter")
+                raster += cur
+                prev = bytes(cur)
+            return int(w), int(h), c, color, bytes(raster)
+
+        def encode_png(raster: np.ndarray, color: int) -> bytes:
+            th, tw, c = raster.shape
+            stride = tw * c
+            flat = raster.reshape(th, stride)
+            filtered = bytearray()
+            prev = np.zeros(stride, dtype=np.int16)
+            for s in range(th):
+                cur = flat[s].astype(np.int16)
+                f = s % 5
+                filtered.append(f)
+                if f == 0:
+                    out = cur
+                elif f == 2:
+                    out = (cur - prev) & 0xFF
+                else:
+                    left = np.zeros(stride, dtype=np.int16)
+                    left[c:] = cur[:-c]
+                    upleft = np.zeros(stride, dtype=np.int16)
+                    upleft[c:] = prev[:-c]
+                    if f == 1:
+                        out = (cur - left) & 0xFF
+                    elif f == 3:
+                        out = (cur - ((left + prev) >> 1)) & 0xFF
+                    else:  # Paeth — per-byte (predictor branches per value)
+                        out = np.array(
+                            [
+                                (int(cur[j]) - paeth(int(left[j]), int(prev[j]), int(upleft[j]))) & 0xFF
+                                for j in range(stride)
+                            ],
+                            dtype=np.int16,
+                        )
+                filtered += bytes(out.astype(np.uint8))
+                prev = cur
+            comp = zlib.compress(bytes(filtered))
+            ihdr = struct.pack(">IIBBBBB", tw, th, 8, color, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", comp[:32])
+                + chunk(b"IDAT", comp[32:])
+                + chunk(b"IEND", b"")
+            )
+
+        for pdf in batches:
+            ids, payloads, mts, ws, hs, nb = [], [], [], [], [], []
+            for rid, payload, mt in zip(
+                pdf["id"], pdf["payload"], pdf["media_type"]
+            ):
+                try:
+                    w, h, c, color, raster = decode_raster(bytes(payload))
+                except Exception:  # noqa: BLE001 - undecodable rows drop
+                    continue
+                arr = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, c)
+                ys = (np.arange(target_h) * h) // target_h
+                xs = (np.arange(target_w) * w) // target_w
+                resized = arr[np.ix_(ys, xs)]
+                png = encode_png(resized, color)
+                ids.append(int(rid))
+                payloads.append(png)
+                mts.append(mt)
+                ws.append(target_w)
+                hs.append(target_h)
+                nb.append(len(png))
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "media_type": pd.Series(mts, dtype="object"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_bytes": pd.Series(nb, dtype="int64"),
+                }
+            )
+
+    return df.select(
+        "id", "payload", "media_type", "width", "height", "n_bytes"
+    ).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
 def decode_real(df: DataFrame) -> DataFrame:
     """REAL PNG pixel decode, stdlib only — the formerly-gated
     integration point, now implemented: walk the chunk chain validating

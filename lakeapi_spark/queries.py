@@ -2191,6 +2191,52 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_resize",
+    """
+    WITH m AS (
+      SELECT doc_id, text, length(text) AS n,
+             length(text) % 16 + 1 AS w,
+             length(text) % 12 + 1 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c
+      FROM documents WHERE length(text) > 0
+    ), px AS (
+      SELECT doc_id, text, n, w, h, c, unnest(range(0, 4 * 5 * c)) AS i FROM m
+    ), v AS (
+      SELECT doc_id, c, i,
+             ascii(substr(text, CAST(
+               ((((i // (5 * c)) * h // 4) * w
+                 + ((i % (5 * c)) // c) * w // 5) * c + (i % c)) % n
+             AS INT) + 1, 1)) % 256 AS p
+      FROM px
+    )
+    SELECT doc_id AS id, TRUE AS valid,
+           CAST(5 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+           CAST(c AS BIGINT) AS n_channels,
+           CAST(4 * 5 * c AS BIGINT) AS n_px,
+           CAST(SUM(p) AS BIGINT) AS pixel_sum,
+           CAST(SUM((i + 1) * p) AS BIGINT) AS pixel_checksum
+    FROM v GROUP BY doc_id, c
+    """,
+)
+def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize round-trip: real PNGs decode, nearest-neighbor
+    resample to 5x4 per channel, RE-ENCODE as valid PNGs (fresh
+    filters + CRCs), then decode_real recovers the resized raster. The
+    oracle computes dst(y,x,ch) = src((y*h)//4, (x*w)//5, ch) straight
+    from the pixel rule, so the hash match proves decode -> resample ->
+    encode -> decode is bit-exact end to end."""
+    from lakeapi_spark.operators.multimodal import (
+        attach_real_png_payload,
+        decode_real,
+        png_resize,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    media = attach_real_png_payload(d, "doc_id", "text")
+    return decode_real(png_resize(media, target_w=5, target_h=4))
+
+
+@register(
     "multimodal_stub_features",
     """
     WITH b AS (

@@ -1165,3 +1165,44 @@ def test_png_real_decode_roundtrip_and_rejects(spark):
         assert r.valid and r.n_channels == 4 and r.pixel_sum == sum(pix)
     finally:
         media.unpersist()
+
+
+def test_png_resize_roundtrip(spark):
+    """png_resize: decode -> nearest-neighbor -> re-encode round-trips
+    bit-exactly (downscale and upscale, gray and RGB); undecodable
+    payloads drop out of the transform."""
+    from lakeapi_spark.operators.multimodal import (
+        attach_real_png_payload,
+        decode_real,
+        png_resize,
+    )
+
+    rows = [(0, "abcdefgh" * 4), (1, "xy" * 25), (2, "q")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    media = attach_real_png_payload(df, "doc_id", "text")
+    for tw, th in [(3, 2), (20, 15)]:  # down- and up-scale
+        out = {r.id: r for r in decode_real(png_resize(media, tw, th)).collect()}
+        for rid, text in rows:
+            n = len(text)
+            w, h = n % 16 + 1, n % 12 + 1
+            c = 1 if rid % 2 == 0 else 3
+            src = [ord(text[i % n]) % 256 for i in range(h * w * c)]
+            exp = [
+                src[(((y * h) // th) * w + (x * w) // tw) * c + ch]
+                for y in range(th)
+                for x in range(tw)
+                for ch in range(c)
+            ]
+            r = out[rid]
+            assert r.valid and (r.width, r.height, r.n_channels) == (tw, th, c)
+            assert r.pixel_sum == sum(exp)
+            assert r.pixel_checksum == sum((i + 1) * v for i, v in enumerate(exp))
+
+    # an undecodable payload is dropped, not poisoned
+    broken = spark.createDataFrame(
+        [(9, b"not a png"), (0, bytes(media.collect()[0].payload))],
+        "id long, payload binary",
+    ).selectExpr("id", "payload", "'image/png' AS media_type",
+                 "1 AS width", "1 AS height", "CAST(9 AS LONG) AS n_bytes")
+    got = decode_real(png_resize(broken, 2, 2)).collect()
+    assert [r.id for r in got] == [0] and got[0].valid
