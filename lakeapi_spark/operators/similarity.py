@@ -738,6 +738,125 @@ def save_ivf_index(index: IvfIndex, path: str) -> None:
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    codebook_ids: list[int],
+    m_subspaces: int = 8,
+) -> DataFrame:
+    """Product-quantization ANN (IVF-PQ's compression half, after
+    Jégou et al. 2011): vectors are split into ``m_subspaces``
+    subvectors, each encoded as the index of its nearest codeword, and
+    query-to-corpus distance is approximated by the asymmetric distance
+    computation (ADC) — a table lookup + sum instead of a full
+    D-dimensional scan. At 100 TB this is THE memory format: a
+    64-float vector becomes m bytes, the codes relation is ~32x
+    smaller than the corpus, and the scan is bandwidth-bound on codes
+    while the LUT (n_queries x m x K ints) rides the closure.
+
+    Engineered for cross-engine exactness, the house discipline:
+    elements are quantized JVM-side to ROUND(x*1000) int64 FIRST, so
+    every later quantity (subdistances, codes, ADC scores) is INTEGER
+    arithmetic — identical in any engine under any summation order, no
+    float-tie risk anywhere. The codebook is seeded from FIXED data
+    rows (``codebook_ids``, K = len, kidx by ascending id — same
+    convention as seeded_centroids); code ties go to the lower kidx
+    (numpy argmin first-occurrence). Returns (query_id, neighbor_id,
+    adist, rank), rank 1..k ascending by (adist, neighbor_id), self
+    excluded. Exactness tested against a DuckDB oracle; recall
+    property-tested against brute force."""
+    dim = len(
+        emb.select(vec_col).limit(1).collect()[0][0]
+    )
+    if dim % m_subspaces != 0:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    sub = dim // m_subspaces
+
+    def quantized(df: DataFrame) -> DataFrame:
+        # normalize-then-quantize: over unit vectors, L2 rank == cosine
+        # rank, so ADC approximates the same metric every other ANN op
+        # here serves. The norm reuses the SUM-over-elements spelling
+        # already hash-green in the brute-force oracles, staged in its
+        # own projection with the when() double-reference blocker so
+        # CollapseProject cannot inline the 64-element aggregate into
+        # every element of the transform (the measured 27x hazard).
+        v = F.col(vec_col)
+        staged = df.select(
+            F.col(id_col).alias("id"),
+            v.alias("_v"),
+            F.when(norm(v) >= 0, norm(v)).alias("_nrm"),
+        )
+        return staged.select(
+            "id",
+            F.transform(
+                F.col("_v"),
+                lambda x: F.round(
+                    x.cast("double") * 1000 / F.col("_nrm"), 0
+                ).cast("long"),
+            ).alias("vq"),
+        )
+
+    eq = quantized(fan_out(emb))
+    cb_rows = sorted(
+        eq.filter(F.col("id").isin(list(codebook_ids))).collect(),
+        key=lambda r: r["id"],
+    )
+    if len(cb_rows) != len(codebook_ids):
+        raise ValueError("some codebook_ids missing from the corpus")
+    # (M, K, sub) int64 codeword tensor — tiny, ships in the closure
+    cb = (
+        np.array([r["vq"] for r in cb_rows], dtype=np.int64)
+        .reshape(len(cb_rows), m_subspaces, sub)
+        .transpose(1, 0, 2)
+        .copy()
+    )
+    q_rows = quantized(queries).collect()
+    qids = np.array(sorted(r["id"] for r in q_rows), dtype=np.int64)
+    qmat = np.array(
+        [r["vq"] for r in sorted(q_rows, key=lambda r: r["id"])], dtype=np.int64
+    ).reshape(len(q_rows), m_subspaces, sub)
+    # LUT[q, m, k] = integer subdistance query-subvector -> codeword
+    lut = ((qmat[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["vq"].tolist(), dtype=np.int64).reshape(
+                len(pdf), m_subspaces, sub
+            )
+            # (batch, M): nearest codeword per subspace, ties -> lower k
+            d = ((V[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+            codes = d.argmin(axis=2)
+            # ADC: (nq, batch) int scores via LUT gather
+            adist = lut[:, np.arange(m_subspaces)[None, :], codes].sum(axis=2)
+            ids = pdf["id"].to_numpy()
+            nq = len(qids)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, len(ids)),
+                    "neighbor_id": np.tile(ids, nq),
+                    "adist": adist.reshape(-1),
+                }
+            )
+
+    scored = eq.mapInPandas(
+        kernel, schema="query_id long, neighbor_id long, adist long"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
+
+
 def load_ivf_index(spark, path: str) -> IvfIndex:
     """Read a saved index back: lists stay a (pruned-scan-able) parquet
     relation; centroids collect driver-side (n_centroids rows)."""

@@ -1826,6 +1826,73 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@register(
+    "ann_pq_adc_topk",
+    """
+    WITH nrm AS (
+      SELECT vec_id,
+             sqrt(SUM(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE)
+                      * CAST(embedding[CAST(t.i AS INT)] AS DOUBLE))) AS nv
+      FROM embeddings, range(1, 65) t(i) GROUP BY vec_id
+    ), eq AS (
+      SELECT e.vec_id, t.i AS i,
+             CAST(ROUND(CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE) * 1000 / n.nv, 0) AS BIGINT) AS v,
+             (t.i - 1) // 4 AS m
+      FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id
+      CROSS JOIN range(1, 65) t(i)
+    ), cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS kidx, vec_id
+      FROM embeddings WHERE vec_id BETWEEN 5 AND 20
+    ), cbe AS (
+      SELECT cb.kidx, eq.m, eq.i, eq.v FROM cb JOIN eq ON eq.vec_id = cb.vec_id
+    ), dist AS (
+      SELECT x.vec_id AS xid, c.kidx, x.m,
+             SUM((x.v - c.v) * (x.v - c.v)) AS d
+      FROM eq x JOIN cbe c ON c.i = x.i AND c.m = x.m
+      GROUP BY x.vec_id, c.kidx, x.m
+    ), codes AS (
+      SELECT xid, m, kidx FROM (
+        SELECT xid, m, kidx,
+               row_number() OVER (PARTITION BY xid, m ORDER BY d, kidx) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ), lut AS (
+      SELECT xid AS query_id, m, kidx, d FROM dist WHERE xid <= 4
+    ), adc AS (
+      SELECT l.query_id, c.xid AS neighbor_id, SUM(l.d) AS adist
+      FROM codes c JOIN lut l ON l.m = c.m AND l.kidx = c.kidx
+      WHERE c.xid <> l.query_id
+      GROUP BY l.query_id, c.xid
+    )
+    SELECT query_id, neighbor_id, CAST(adist AS BIGINT) AS adist,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, neighbor_id, adist,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY adist, neighbor_id
+             ) AS rank
+      FROM adc
+    ) WHERE rank <= 10
+    """,
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/similarity.py:pq_topk):
+    16 subspaces x 16 seeded codewords over normalize-then-quantized
+    int vectors — every subdistance, code and ADC score is INTEGER
+    arithmetic, so the DuckDB oracle re-derives the whole pipeline
+    exactly (no float-sum order risk anywhere past the one
+    hash-green norm). The 100 TB memory format: corpus scans read
+    16-byte codes instead of 64-float vectors."""
+    from lakeapi_spark.operators.similarity import pq_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") <= 4)
+    return pq_topk(
+        e, q, "vec_id", "embedding", k=10,
+        codebook_ids=list(range(5, 21)), m_subspaces=16,
+    )
+
+
 @register("ann_numpy_topk", _TOPK_ORACLE)
 def ann_numpy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeapi_spark.operators.similarity import numpy_topk

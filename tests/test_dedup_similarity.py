@@ -1206,3 +1206,35 @@ def test_png_resize_roundtrip(spark):
                  "1 AS width", "1 AS height", "CAST(9 AS LONG) AS n_bytes")
     got = decode_real(png_resize(broken, 2, 2)).collect()
     assert [r.id for r in got] == [0] and got[0].valid
+
+
+def test_pq_topk_recall_and_determinism(spark, sf_dir):
+    """pq_topk: ADC over 16x16 integer product codes reaches a modest
+    recall floor vs brute force on structure-free uniform vectors (real
+    embedding corpora cluster and do far better), and the whole
+    pipeline is deterministic across runs."""
+    from lakeapi_spark.operators.similarity import brute_force_topk, pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") <= 4)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, q, "vec_id", "embedding", k=10).collect()
+    }
+    ids = list(range(5, 21))
+    approx = pq_topk(
+        emb, q, "vec_id", "embedding", k=10, codebook_ids=ids, m_subspaces=16
+    )
+    got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(exact & got) / len(exact) >= 0.25
+    again = {
+        (r.query_id, r.neighbor_id, r.adist, r.rank)
+        for r in pq_topk(
+            emb, q, "vec_id", "embedding", k=10, codebook_ids=ids, m_subspaces=16
+        ).collect()
+    }
+    assert {(r.query_id, r.neighbor_id) for r in approx.collect()} == got
+    assert len(again) == 50 and all(isinstance(t[2], int) for t in again)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_topk(emb, q, "vec_id", "embedding", k=3, codebook_ids=ids, m_subspaces=7)
