@@ -421,3 +421,97 @@ def scrub_pii_oracle_sql(text_expr: str) -> str:
     return (
         f"{scrubbed} AS scrubbed, {counts}, CAST({total} AS BIGINT) AS n_pii"
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+    top: int = 100,
+) -> DataFrame:
+    """Top collocations by pointwise mutual information over ADJACENT
+    token pairs — the classic phrase-mining signal (Church & Hanks
+    1990): PMI(a,b) = ln( p(a,b) / (p(a) p(b)) ) with p(a,b) over
+    bigram occurrences and p(·) over unigram occurrences. Returns
+    (tok_a, tok_b, n_pair, n_a, n_b, pmi6) — the ``top`` pairs with
+    n_pair >= min_count, ordered (pmi6 DESC, tok_a, tok_b), a total
+    order because pmi6 is pre-rounded.
+
+    Cross-engine exactness: counts are integers; the score is a FIXED
+    expression tree of engine ln's over exactly-representable integer
+    inputs (each product kept under 2^53 by splitting into six log
+    terms), rounded to 6 — the DSIR/unigram_logprob discipline.
+
+    Scale shape: one tokenize pass feeds both the unigram and bigram
+    counts (two keyed shuffles with map-side partial aggregation,
+    output vocab- and vocab^2-bounded); the corpus totals are two
+    single-row aggregates; the unigram relation joins back BROADCAST
+    (Heaps-law-small, the unigram_logprob precedent); the final top-k
+    is a TakeOrdered over the already-aggregated pair relation."""
+    t = tokens(F.col(text_col))
+    staged = df.select(F.when(F.size(t) >= 0, t).alias("t")).persist()
+    try:
+        uni = (
+            staged.select(F.explode("t").alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("c"))
+        ).persist()
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("t"), i).alias("a"),
+                F.element_at(F.col("t"), i + F.lit(1)).alias("b"),
+            ),
+        )
+        big = (
+            staged.filter(F.size("t") >= 2)
+            .select(F.explode(pairs).alias("p"))
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_pair"))
+        )
+        n_u = int(uni.agg(F.sum("c")).collect()[0][0] or 0)
+        n_b = int(big.agg(F.sum("n_pair")).collect()[0][0] or 0)
+        if n_u == 0 or n_b == 0:
+            return big.select(
+                F.col("a").alias("tok_a"), F.col("b").alias("tok_b"),
+                "n_pair", F.lit(0).alias("n_a"), F.lit(0).alias("n_b"),
+                F.lit(0.0).alias("pmi6"),
+            ).limit(0)
+        ua = F.broadcast(uni.select(F.col("w").alias("a"), F.col("c").alias("n_a")))
+        ub = F.broadcast(uni.select(F.col("w").alias("b"), F.col("c").alias("n_b")))
+        # six-term log form, every argument an exactly-representable
+        # int64 < 2^53; SAME left-to-right tree as the SQL oracle
+        pmi = F.round(
+            F.log(F.col("n_pair").cast("double"))
+            + F.log(F.lit(float(n_u)))
+            + F.log(F.lit(float(n_u)))
+            - F.log(F.lit(float(n_b)))
+            - F.log(F.col("n_a").cast("double"))
+            - F.log(F.col("n_b").cast("double")),
+            6,
+        ) + F.lit(0.0)
+        out = (
+            big.filter(F.col("n_pair") >= min_count)
+            .join(ua, "a")
+            .join(ub, "b")
+            .select(
+                F.col("a").alias("tok_a"),
+                F.col("b").alias("tok_b"),
+                "n_pair",
+                "n_a",
+                "n_b",
+                pmi.alias("pmi6"),
+            )
+            .orderBy(F.col("pmi6").desc(), "tok_a", "tok_b")
+            .limit(top)
+        )
+        out = out.localCheckpoint(eager=True)  # sever from the persisted lineage
+        return out
+    finally:
+        staged.unpersist()
+        try:
+            uni.unpersist()
+        except NameError:  # n_u path failed before uni existed
+            pass

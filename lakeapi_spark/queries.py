@@ -4778,6 +4778,47 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_pmi_collocations",
+    """
+    WITH toks AS (
+      SELECT string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+      WHERE trim(lower(text)) <> ''
+    ), uc AS (
+      SELECT w, COUNT(*) AS c FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ), nu AS (
+      SELECT SUM(c) AS n FROM uc
+    ), bc AS (
+      SELECT a, b, COUNT(*) AS n_pair FROM (
+        SELECT t[CAST(i AS INT)] AS a, t[CAST(i AS INT) + 1] AS b
+        FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)
+      ) GROUP BY a, b
+    ), nb AS (
+      SELECT SUM(n_pair) AS n FROM bc
+    )
+    SELECT a AS tok_a, b AS tok_b, CAST(n_pair AS BIGINT) AS n_pair,
+           CAST(ua.c AS BIGINT) AS n_a, CAST(ub.c AS BIGINT) AS n_b,
+           ROUND(
+             LN(CAST(n_pair AS DOUBLE)) + LN(CAST(nu.n AS DOUBLE))
+             + LN(CAST(nu.n AS DOUBLE)) - LN(CAST(nb.n AS DOUBLE))
+             - LN(CAST(ua.c AS DOUBLE)) - LN(CAST(ub.c AS DOUBLE)), 6
+           ) + 0.0 AS pmi6
+    FROM bc JOIN uc ua ON ua.w = a JOIN uc ub ON ub.w = b, nu, nb
+    WHERE n_pair >= 5
+    ORDER BY pmi6 DESC, tok_a, tok_b LIMIT 100
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 PMI collocations over adjacent token pairs
+    (operators/text.py:pmi_collocations) — phrase mining for corpus
+    analysis; integer counts + the six-term engine-ln score the oracle
+    re-derives on the same rounding grid."""
+    from lakeapi_spark.operators.text import pmi_collocations
+
+    d = table(spark, sf_dir, "documents")
+    return pmi_collocations(d, "doc_id", "text", min_count=5, top=100)
+
+
+@register(
     "decontaminate_overlap",
     """
     WITH toks AS (

@@ -887,3 +887,27 @@ class TestScrubPii:
             .toString()
         )
         assert "Exchange" not in plan  # no shuffle: pure projection
+
+
+def test_pmi_collocations_planted_phrase(spark):
+    """A planted always-adjacent phrase outranks independent fillers;
+    counts and ordering are deterministic; min_count filters the tail."""
+    from lakeapi_spark.operators.text import pmi_collocations
+
+    rows = []
+    for i in range(20):
+        # "neural network" always adjacent; fillers shuffle freely
+        fillers = ["the", "data", "model", "runs", "fast"]
+        body = " ".join(fillers[(i + j) % 5] for j in range(6))
+        rows.append((i, f"{body} neural network {body}"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pmi_collocations(df, "doc_id", "text", min_count=3, top=10).collect()
+    assert out, "no collocations found"
+    top = out[0]
+    assert (top.tok_a, top.tok_b) == ("neural", "network")
+    assert top.n_pair == 20 and top.n_a == 20 and top.n_b == 20
+    assert top.pmi6 == max(r.pmi6 for r in out)
+    # deterministic across runs
+    again = pmi_collocations(df, "doc_id", "text", min_count=3, top=10).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
+    assert all(r.n_pair >= 3 for r in out)
