@@ -249,3 +249,87 @@ def dsir_importance(
         "logw_mean",
         (F.col("logw_mean") > 0).cast("long").alias("keep"),
     )
+
+
+def domain_reputation(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    lang_col: str,
+    dup_threshold: float = 0.2,
+    quality_threshold: float = 0.5,
+) -> DataFrame:
+    """Per-source (per-domain) curation rollup — the crawl-curation
+    companion to the per-doc ``curation_verdicts``: before spending
+    compute on a domain's documents, score the DOMAIN. Returns one row
+    per source: (source, n_docs, n_dup_docs, dup_rate, avg_quality,
+    top_lang, lang_share, verdict) where
+
+    - dup_rate = fraction of the source's docs whose normalized-text
+      fingerprint occurs more than once ANYWHERE in the corpus (a
+      domain mirroring others is itself suspect);
+    - avg_quality = mean heuristic quality, summed in DECIMAL so the
+      mean is engine-exact (the money-sum discipline);
+    - top_lang / lang_share = the source's modal language and its
+      share (tie -> lexicographically first, nulls keyed as '');
+    - verdict: 'keep' when dup_rate <= dup_threshold and avg_quality
+      >= quality_threshold, else 'review' when dup_rate <= 2x the
+      threshold, else 'drop'.
+
+    Scale shape: one corpus-wide window over the fingerprint (the
+    dedup shuffle), one groupBy(source) aggregate, one tiny
+    (source, lang) count relation joined back — outputs are
+    domain-bounded, never row-bounded."""
+    from pyspark.sql.window import Window
+
+    from lakeapi_spark.operators.dedup import normalized
+    from lakeapi_spark.operators.text import quality_score
+
+    base = df.select(
+        F.col(source_col).alias("source"),
+        F.coalesce(F.col(lang_col), F.lit("")).alias("lang"),
+        F.md5(normalized(F.col(text_col))).alias("fp"),
+        quality_score(F.col(text_col)).alias("q"),
+    )
+    flagged = base.withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    )
+    agg = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup_docs"),
+        F.sum(F.col("q").cast("decimal(10,4)")).alias("sq"),
+    )
+    lw = Window.partitionBy("source").orderBy(
+        F.col("n_lang").desc(), F.col("lang")
+    )
+    top_lang = (
+        base.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_lang"))
+        .withColumn("rn", F.row_number().over(lw))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"), "n_lang")
+    )
+    dup_rate = F.col("n_dup_docs").cast("double") / F.col("n_docs")
+    avg_q = F.round(
+        F.col("sq").cast("double") / F.col("n_docs"), 4
+    ) + F.lit(0.0)
+    verdict = (
+        F.when(
+            (dup_rate <= F.lit(dup_threshold))
+            & (avg_q >= F.lit(quality_threshold)),
+            F.lit("keep"),
+        )
+        .when(dup_rate <= F.lit(2 * dup_threshold), F.lit("review"))
+        .otherwise(F.lit("drop"))
+    )
+    return agg.join(top_lang, "source").select(
+        "source",
+        "n_docs",
+        "n_dup_docs",
+        dup_rate.alias("dup_rate"),
+        avg_q.alias("avg_quality"),
+        "top_lang",
+        (F.col("n_lang").cast("double") / F.col("n_docs")).alias("lang_share"),
+        verdict.alias("verdict"),
+    )

@@ -4778,6 +4778,63 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "domain_reputation",
+    f"""
+    WITH base AS (
+      SELECT source, COALESCE(lang, '') AS lang,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+             ROUND(0.4 * LEAST(length(text) / 200.0, 1.0)
+                 + 0.3 * (1 - CASE WHEN length(text) > 0
+                                   THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
+                                   ELSE 0.0 END)
+                 + 0.3 * (len(list_filter(['the','and','of','to','a','in','is','that','it','for'],
+                                          w -> list_contains({_TOKS}, w))) / 10.0),
+             4) AS q
+      FROM documents
+    ), flagged AS (
+      SELECT source, lang, q,
+             COUNT(*) OVER (PARTITION BY fp) AS c
+      FROM base
+    ), agg AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_dup_docs,
+             SUM(CAST(q AS DECIMAL(10,4))) AS sq
+      FROM flagged GROUP BY source
+    ), tl AS (
+      SELECT source, lang AS top_lang, n_lang FROM (
+        SELECT source, lang, COUNT(*) AS n_lang,
+               row_number() OVER (
+                 PARTITION BY source ORDER BY COUNT(*) DESC, lang
+               ) AS rn
+        FROM base GROUP BY source, lang
+      ) WHERE rn = 1
+    )
+    SELECT a.source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_dup_docs AS BIGINT) AS n_dup_docs,
+           CAST(n_dup_docs AS DOUBLE) / n_docs AS dup_rate,
+           ROUND(CAST(sq AS DOUBLE) / n_docs, 4) + 0.0 AS avg_quality,
+           top_lang,
+           CAST(n_lang AS DOUBLE) / n_docs AS lang_share,
+           CASE WHEN CAST(n_dup_docs AS DOUBLE) / n_docs <= 0.2
+                  AND ROUND(CAST(sq AS DOUBLE) / n_docs, 4) + 0.0 >= 0.5
+                THEN 'keep'
+                WHEN CAST(n_dup_docs AS DOUBLE) / n_docs <= 0.4
+                THEN 'review' ELSE 'drop' END AS verdict
+    FROM agg a JOIN tl ON tl.source = a.source
+    """,
+)
+def domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation rollup (operators/sampling.py:
+    domain_reputation): corpus-wide dup-rate window, decimal-exact mean
+    quality, modal language, and a keep/review/drop verdict per
+    domain — the before-you-crawl-more screening table."""
+    from lakeapi_spark.operators.sampling import domain_reputation as dr
+
+    d = table(spark, sf_dir, "documents")
+    return dr(d, "doc_id", "text", "source", "lang")
+
+
+@register(
     "text_pmi_collocations",
     """
     WITH toks AS (

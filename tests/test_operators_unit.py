@@ -911,3 +911,28 @@ def test_pmi_collocations_planted_phrase(spark):
     again = pmi_collocations(df, "doc_id", "text", min_count=3, top=10).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in again]
     assert all(r.n_pair >= 3 for r in out)
+
+
+def test_domain_reputation_verdicts(spark):
+    """Planted domains: a clean unique-text source keeps, a source
+    mirroring another's docs reviews/drops by dup_rate; dup detection
+    is corpus-wide (the mirrored ORIGINAL counts as dup too)."""
+    from lakeapi_spark.operators.sampling import domain_reputation
+
+    good = "The quick brown fox jumps over the lazy dog and it is fine. " * 3
+    rows = []
+    for i in range(10):  # clean: unique, high-quality text
+        rows.append((i, good + f"unique tail {i}", "clean", "en"))
+    for i in range(10, 20):  # mirror: all docs copy one text
+        rows.append((i, "copy of the same thing", "mirror", "en"))
+    rows.append((20, "copy of the same thing", "victim", "en"))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source", "lang"])
+    out = {r.source: r for r in domain_reputation(
+        df, "doc_id", "text", "source", "lang"
+    ).collect()}
+    assert out["clean"].verdict == "keep" and out["clean"].dup_rate == 0.0
+    assert out["mirror"].dup_rate == 1.0 and out["mirror"].verdict == "drop"
+    # corpus-wide: the single victim doc is a dup because mirror copies it
+    assert out["victim"].dup_rate == 1.0
+    assert out["clean"].top_lang == "en" and out["clean"].lang_share == 1.0
+    assert 0.0 <= out["mirror"].avg_quality <= 1.0
