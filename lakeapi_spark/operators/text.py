@@ -515,3 +515,93 @@ def pmi_collocations(
             uni.unpersist()
         except NameError:  # n_u path failed before uni existed
             pass
+
+
+def bigram_interp_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lam_bi: float = 0.7,
+    lam_uni: float = 0.3,
+) -> DataFrame:
+    """Interpolated bigram language-model score per document — one
+    rung up from :func:`unigram_logprob` toward the KenLM perplexity
+    filter: for each in-document transition (w_prev -> w),
+
+        lp = ln( lam_bi * c(prev,w)/c_left(prev) + lam_uni * c(w)/N )
+
+    with c_left(prev) = Σ_b c(prev,b) (bigram-left mass, a closed
+    probability universe) and N the corpus token total. Returns
+    (id, n_transitions, avg_logprob); docs with < 2 tokens drop.
+    Fluent text scores high, garbled or boilerplate-stitched text sits
+    in the tails. ``lam_bi``/``lam_uni`` are independent literals (NOT
+    derived as 1-λ, which would bake float noise into the score).
+
+    Scale shape: unigram and bigram-left relations are vocab-bounded
+    and BROADCAST; the bigram-count relation is vocab²-bounded, so its
+    join-back runs as a plain shuffle join on (prev, w) — the one wide
+    exchange besides the per-doc aggregate.
+
+    Exactness one notch past unigram_logprob's round-then-AVG: each
+    term is scaled to an INTEGER micro-log (ROUND(lp*1e6)), summed
+    exactly, and divided once at the end — AVG over rounded doubles
+    can still land a mean on a 1e-4 boundary where engines' sum orders
+    disagree (observed on 1 doc in 500); integer sums cannot."""
+    from pyspark.sql.window import Window
+
+    t = tokens(F.col(text_col))
+    staged = df.select(
+        F.col(id_col).alias("id"), F.when(F.size(t) >= 0, t).alias("t")
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("t"), i).alias("a"),
+            F.element_at(F.col("t"), i + F.lit(1)).alias("b"),
+        ),
+    )
+    tr = (
+        staged.filter(F.size("t") >= 2)
+        .select("id", F.explode(pairs).alias("p"))
+        .select("id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    bc = tr.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    la = bc.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    uni = (
+        staged.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("w", "c", F.sum("c").over(Window.partitionBy()).alias("n"))
+    )
+    lp_micro = F.round(
+        F.log(
+            F.lit(lam_bi) * (F.col("c_ab").cast("double") / F.col("c_a"))
+            + F.lit(lam_uni) * (F.col("c").cast("double") / F.col("n"))
+        )
+        * F.lit(1000000.0),
+        0,
+    ).cast("long")
+    return (
+        tr.join(bc, ["a", "b"])
+        .join(F.broadcast(la), "a")
+        .join(F.broadcast(uni), tr["b"] == uni["w"])
+        .select("id", lp_micro.alias("lp"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum("lp").alias("_slp"),
+        )
+        .select(
+            "id",
+            "n_transitions",
+            (
+                F.round(
+                    F.col("_slp").cast("double")
+                    / F.col("n_transitions")
+                    / F.lit(1000000.0),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("avg_logprob"),
+        )
+    )

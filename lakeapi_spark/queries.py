@@ -4778,6 +4778,49 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bigram_logprob",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), uni AS (
+      SELECT w, COUNT(*) AS c FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ), nu AS (
+      SELECT SUM(c) AS n FROM uni
+    ), tr AS (
+      SELECT doc_id, t[CAST(i AS INT)] AS a, t[CAST(i AS INT) + 1] AS b
+      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+            FROM toks WHERE len(t) >= 2)
+    ), bc AS (
+      SELECT a, b, COUNT(*) AS c_ab FROM tr GROUP BY a, b
+    ), la AS (
+      SELECT a, SUM(c_ab) AS c_a FROM bc GROUP BY a
+    ), scored AS (
+      SELECT tr.doc_id,
+             CAST(ROUND(LN(0.7 * (CAST(c_ab AS DOUBLE) / c_a)
+                    + 0.3 * (CAST(uni.c AS DOUBLE) / nu.n)) * 1000000.0, 0) AS BIGINT) AS lp
+      FROM tr JOIN bc ON bc.a = tr.a AND bc.b = tr.b
+              JOIN la ON la.a = tr.a
+              JOIN uni ON uni.w = tr.b, nu
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*) / 1000000.0, 4) + 0.0 AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM score per doc (operators/text.py:
+    bigram_interp_logprob) — the KenLM-direction upgrade of
+    text_unigram_logprob; vocab-bounded broadcast sides, one shuffle
+    join on the bigram key, unigram_logprob's rounding discipline."""
+    from lakeapi_spark.operators.text import bigram_interp_logprob
+
+    d = table(spark, sf_dir, "documents")
+    return bigram_interp_logprob(d, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@register(
     "domain_reputation",
     f"""
     WITH base AS (

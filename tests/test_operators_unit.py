@@ -936,3 +936,22 @@ def test_domain_reputation_verdicts(spark):
     assert out["victim"].dup_rate == 1.0
     assert out["clean"].top_lang == "en" and out["clean"].lang_share == 1.0
     assert 0.0 <= out["mirror"].avg_quality <= 1.0
+
+
+def test_bigram_logprob_fluency_ordering(spark):
+    """A doc made of the corpus's dominant bigram chains scores higher
+    than one stitched from never-adjacent tokens; short docs drop."""
+    from lakeapi_spark.operators.text import bigram_interp_logprob
+
+    fluent = "the cat sat on the mat"
+    rows = [(i, fluent) for i in range(10)]
+    rows.append((100, "mat the on cat sat the"))  # same unigrams, novel bigrams
+    rows.append((101, "solo"))  # < 2 tokens: no transitions
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.id: r for r in bigram_interp_logprob(df, "doc_id", "text").collect()}
+    assert 101 not in out
+    assert out[0].n_transitions == 5
+    assert out[0].avg_logprob > out[100].avg_logprob
+    again = {r.id: (r.n_transitions, r.avg_logprob)
+             for r in bigram_interp_logprob(df, "doc_id", "text").collect()}
+    assert again == {k: (v.n_transitions, v.avg_logprob) for k, v in out.items()}
