@@ -3892,6 +3892,72 @@ def delta_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_source(spark, dest, "delta").select("o_orderkey", "o_custkey")
 
 
+def _alter_demo_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once column-mapped table for the ALTER query: v0 = orders
+    subset (mapped); v1 = RENAME o_custkey -> customer_key (metadata
+    only); v2 = DROP o_orderstatus; v3 = append under the renamed
+    schema. Final contents = the two subsets under the new names,
+    dropped column gone (sources/delta.py:rename_column_delta,
+    drop_column_delta)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from lakeapi_spark.sources.delta import (
+        drop_column_delta,
+        rename_column_delta,
+        write_delta,
+        write_delta_column_mapped,
+    )
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "lakeapi_delta_alter_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    marker = os.path.join(dest, "_alter_done")
+    if not os.path.exists(marker):
+        if os.path.isdir(dest):  # stale partial build: start over
+            shutil.rmtree(dest)
+        orders = table(spark, sf_dir, "orders")
+        write_delta_column_mapped(
+            orders.filter(F.col("o_orderkey") % 5 == 0).select(
+                "o_orderkey", "o_custkey", "o_orderstatus"
+            ),
+            dest,
+        )
+        rename_column_delta(spark, dest, "o_custkey", "customer_key")
+        drop_column_delta(spark, dest, "o_orderstatus")
+        write_delta(
+            orders.filter(F.col("o_orderkey") % 5 == 2).select(
+                "o_orderkey", F.col("o_custkey").alias("customer_key")
+            ),
+            dest,
+        )
+        with open(marker, "w") as f:
+            f.write("v3\n")
+    return dest
+
+
+@register(
+    "delta_alter_columns",
+    """
+    SELECT o_orderkey, o_custkey AS customer_key
+    FROM orders WHERE o_orderkey % 5 IN (0, 2)
+    """,
+)
+def delta_alter_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only column evolution end-to-end: RENAME + DROP on a
+    column-mapped table touch zero data files, appends continue under
+    the new logical names, and the final table equals the oracle's
+    rename of the raw data — proving logical/physical decoupling all
+    the way through the scan."""
+    from lakeapi_spark.sources.readers import read_source
+
+    dest = _alter_demo_table(spark, sf_dir)
+    return read_source(spark, dest, "delta").select("o_orderkey", "customer_key")
+
+
 def _cdf_demo_table(spark: SparkSession, sf_dir: str) -> str:
     """Build-once CHANGE-DATA-FEED delta table: v0 = orders subset
     created with ``delta.enableChangeDataFeed=true``; v1 = one UPDATE

@@ -1481,6 +1481,173 @@ def drop_constraint_delta(spark: SparkSession, path: str, name: str) -> int:
     return snap.version + 1
 
 
+def _rules_mentioning(snap: DeltaSnapshot, col: str) -> list[str]:
+    """Labels of CHECK constraints / invariants / generation
+    expressions whose SQL mentions ``col`` as a word — the conservative
+    screen rename/drop use before changing a schema the expressions
+    compile against."""
+    import re as _re
+
+    pat = _re.compile(rf"(?<![A-Za-z0-9_`]){_re.escape(col)}(?![A-Za-z0-9_])")
+    hits = [
+        label
+        for label, expr in _row_rules(
+            snap.schema, snap.metadata_raw.get("configuration")
+        )
+        if pat.search(expr)
+    ]
+    hits.extend(
+        f"GENERATION {name}"
+        for name, gexpr in _generated_fields(snap.schema).items()
+        if pat.search(gexpr) or name == col
+    )
+    return hits
+
+
+def rename_column_delta(
+    spark: SparkSession, path: str, old: str, new: str
+) -> int:
+    """ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit — the
+    flagship column-mapping capability: because data files are keyed by
+    physicalName, renaming the logical name touches zero data bytes.
+    Requires column mapping mode 'name' (an unmapped table would need a
+    full rewrite — refused, same as delta-spark); refuses when any
+    CHECK constraint / invariant / generation expression mentions the
+    column (the stored SQL would silently break). Updates
+    partitionColumns when the renamed column is one. Time travel keeps
+    the old name at old versions (each version reads its own
+    schemaString). Returns the committed version."""
+    base = _local_path(path).rstrip("/")
+    snap = delta_snapshot(spark, base)
+    _gate_write(snap, "append")
+    if snap.column_mapping_mode == "none":
+        raise NotImplementedError(
+            "RENAME COLUMN requires column mapping mode 'name' (an unmapped "
+            "rename would have to rewrite every data file); create the table "
+            "with write_delta_column_mapped"
+        )
+    names = [f.name for f in snap.schema.fields]
+    if old not in names:
+        raise ValueError(f"no column {old!r} in schema {names}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists in {names}")
+    broken = _rules_mentioning(snap, old)
+    if broken:
+        raise ValueError(
+            f"cannot rename {old!r}: referenced by {broken} — drop/recreate "
+            "those rules first"
+        )
+    fields = [
+        T.StructField(new, f.dataType, f.nullable, f.metadata)
+        if f.name == old
+        else f
+        for f in snap.schema.fields
+    ]
+    md = dict(snap.metadata_raw)
+    md["schemaString"] = T.StructType(fields).json()
+    md["partitionColumns"] = [
+        new if c == old else c for c in (md.get("partitionColumns") or [])
+    ]
+    md.setdefault("format", {"provider": "parquet"})
+    log = f"{base}/_delta_log"
+    if not _try_commit(
+        log, snap.version + 1, [{"metaData": md}], operation="RENAME COLUMN"
+    ):
+        raise ConcurrentDeltaModificationError(
+            f"concurrent commit to {base} during RENAME COLUMN; re-run"
+        )
+    return snap.version + 1
+
+
+def drop_column_delta(spark: SparkSession, path: str, col: str) -> int:
+    """ALTER TABLE DROP COLUMN as a METADATA-ONLY commit (column
+    mapping required): the field leaves the logical schema; its
+    physical column stays in the data files but no reader projects it,
+    and a later merge_schema append reusing the LOGICAL name allocates
+    a FRESH physicalName — dropped data can never resurrect. Refuses
+    partition columns and columns referenced by constraints /
+    invariants / generation expressions. Returns the committed
+    version."""
+    base = _local_path(path).rstrip("/")
+    snap = delta_snapshot(spark, base)
+    _gate_write(snap, "append")
+    if snap.column_mapping_mode == "none":
+        raise NotImplementedError(
+            "DROP COLUMN requires column mapping mode 'name' (an unmapped "
+            "drop would have to rewrite every data file)"
+        )
+    names = [f.name for f in snap.schema.fields]
+    if col not in names:
+        raise ValueError(f"no column {col!r} in schema {names}")
+    if len(names) == 1:
+        raise ValueError("cannot drop the only column")
+    if col in (snap.partition_columns or []):
+        raise ValueError(
+            f"cannot drop partition column {col!r} (the layout is keyed on it)"
+        )
+    broken = _rules_mentioning(snap, col)
+    if broken:
+        raise ValueError(
+            f"cannot drop {col!r}: referenced by {broken} — drop/recreate "
+            "those rules first"
+        )
+    md = dict(snap.metadata_raw)
+    md["schemaString"] = T.StructType(
+        [f for f in snap.schema.fields if f.name != col]
+    ).json()
+    md.setdefault("format", {"provider": "parquet"})
+    log = f"{base}/_delta_log"
+    if not _try_commit(
+        log, snap.version + 1, [{"metaData": md}], operation="DROP COLUMN"
+    ):
+        raise ConcurrentDeltaModificationError(
+            f"concurrent commit to {base} during DROP COLUMN; re-run"
+        )
+    return snap.version + 1
+
+
+def sync_identity_delta(spark: SparkSession, path: str, col: str) -> int:
+    """SYNC IDENTITY: recompute an identity column's high water mark
+    from the stored data (one MAX aggregate) — the resync step after
+    allowExplicitInsert writes put values above the allocator's mark.
+    The new mark is the stored maximum aligned DOWN to the start/step
+    grid (values between grid points never collide with generated
+    ones); never moves the mark backwards. Returns the committed
+    version (the current one unchanged when already in sync)."""
+    base = _local_path(path).rstrip("/")
+    snap = delta_snapshot(spark, base)
+    _gate_write(snap, "append")
+    specs = _identity_fields(snap.schema)
+    if col not in specs:
+        raise ValueError(f"{col!r} is not an identity column")
+    spec = specs[col]
+    row = read_delta_fallback(spark, base).agg(F.max(F.col(col))).collect()[0]
+    mx = row[0]
+    if mx is None:
+        return snap.version
+    step, start = spec["step"], spec["start"]
+    k = (int(mx) - start) // step
+    aligned = start + max(k, 0) * step if step > 0 else start + min(k, 0) * step
+    cur = spec["high"]
+    if cur is not None and (
+        (step > 0 and aligned <= cur) or (step < 0 and aligned >= cur)
+    ):
+        return snap.version  # already in sync
+    md = dict(snap.metadata_raw)
+    md["schemaString"] = _schema_with_identity_high(
+        snap.schema, {col: aligned}
+    ).json()
+    md.setdefault("format", {"provider": "parquet"})
+    log = f"{base}/_delta_log"
+    if not _try_commit(
+        log, snap.version + 1, [{"metaData": md}], operation="SYNC IDENTITY"
+    ):
+        raise ConcurrentDeltaModificationError(
+            f"concurrent commit to {base} during SYNC IDENTITY; re-run"
+        )
+    return snap.version + 1
+
+
 def write_delta_column_mapped(
     df: DataFrame,
     path: str,

@@ -2976,3 +2976,138 @@ class TestDeltaIdentityColumns:
         _write_commit(f"{path}/_delta_log", snap.version + 1, [{"metaData": md}])
         with pytest.raises(NotImplementedError, match="NESTED identity"):
             write_delta(spark.sql("SELECT named_struct('a', 5L) AS s"), path)
+
+
+class TestDeltaAlterColumns:
+    """Metadata-only RENAME / DROP COLUMN on column-mapped tables, and
+    SYNC IDENTITY."""
+
+    def test_rename_is_metadata_only_and_time_travels(self, spark, tmp_path):
+        import glob as _glob
+
+        from lakeapi_spark.sources.delta import (
+            read_delta,
+            read_delta_fallback,
+            rename_column_delta,
+            write_delta,
+            write_delta_column_mapped,
+        )
+
+        path = str(tmp_path / "ren")
+        df = spark.range(4).selectExpr("id AS k", "id * 2 AS v")
+        write_delta_column_mapped(df, path)
+        files_before = sorted(_glob.glob(f"{path}/**/*.parquet", recursive=True))
+        v = rename_column_delta(spark, path, "v", "value")
+        files_after = sorted(_glob.glob(f"{path}/**/*.parquet", recursive=True))
+        assert files_after == files_before  # zero data bytes touched
+        got = read_delta_fallback(spark, path)
+        assert got.columns == ["k", "value"]
+        assert {(r.k, r.value) for r in got.collect()} == {(i, 2 * i) for i in range(4)}
+        # old versions keep the old name
+        old = read_delta(spark, path, options={"versionAsOf": str(v - 1)})
+        assert old.columns == ["k", "v"]
+        # appends under the new name keep working (same physicalName)
+        write_delta(
+            spark.range(4, 6).selectExpr("id AS k", "id * 2 AS value"), path
+        )
+        assert read_delta_fallback(spark, path).count() == 6
+
+    def test_rename_guards(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import (
+            add_constraint_delta,
+            rename_column_delta,
+            write_delta,
+            write_delta_column_mapped,
+        )
+
+        path = str(tmp_path / "reng")
+        write_delta_column_mapped(
+            spark.range(3).selectExpr("id AS k", "id AS v"), path
+        )
+        with pytest.raises(ValueError, match="already exists"):
+            rename_column_delta(spark, path, "v", "k")
+        with pytest.raises(ValueError, match="no column"):
+            rename_column_delta(spark, path, "zz", "v2")
+        add_constraint_delta(spark, path, "vcap", "v < 100")
+        with pytest.raises(ValueError, match="CHECK vcap"):
+            rename_column_delta(spark, path, "v", "v2")
+        # unmapped tables refuse
+        path2 = str(tmp_path / "renu")
+        write_delta(spark.range(2).selectExpr("id AS k", "id AS v"), path2)
+        with pytest.raises(NotImplementedError, match="column mapping"):
+            rename_column_delta(spark, path2, "v", "v2")
+
+    def test_drop_column_no_resurrection(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import (
+            drop_column_delta,
+            read_delta_fallback,
+            write_delta,
+            write_delta_column_mapped,
+        )
+
+        path = str(tmp_path / "drop")
+        write_delta_column_mapped(
+            spark.range(3).selectExpr("id AS k", "id * 7 AS v"), path
+        )
+        drop_column_delta(spark, path, "v")
+        got = read_delta_fallback(spark, path)
+        assert got.columns == ["k"]
+        # re-adding the LOGICAL name via merge_schema must NOT read the
+        # dropped physical column back (fresh physicalName)
+        write_delta(
+            spark.range(3, 5).selectExpr("id AS k", "id * 100 AS v"),
+            path,
+            merge_schema=True,
+        )
+        vals = {r.k: r.v for r in read_delta_fallback(spark, path).collect()}
+        assert vals == {0: None, 1: None, 2: None, 3: 300, 4: 400}
+
+    def test_drop_guards(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import (
+            drop_column_delta,
+            write_delta_column_mapped,
+        )
+
+        path = str(tmp_path / "dropg")
+        write_delta_column_mapped(
+            spark.range(3).selectExpr(
+                "id AS k", "CAST(id % 2 AS STRING) AS part"
+            ),
+            path,
+            partition_by=["part"],
+        )
+        with pytest.raises(ValueError, match="partition column"):
+            drop_column_delta(spark, path, "part")
+        with pytest.raises(ValueError, match="no column"):
+            drop_column_delta(spark, path, "zz")
+
+    def test_sync_identity_after_explicit_inserts(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import (
+            delta_snapshot,
+            read_delta_fallback,
+            sync_identity_delta,
+            write_delta,
+        )
+
+        path = str(tmp_path / "sync")
+        TestDeltaIdentityColumns._make_identity_table(
+            spark, path, start=100, step=10, allow="true"
+        )
+        # explicit rows above the (unset) watermark
+        write_delta(
+            spark.range(2).selectExpr("id AS v", "155 + id * 10 AS rid"), path
+        )
+        v = sync_identity_delta(spark, path, "rid")
+        snap = delta_snapshot(spark, path)
+        rid_md = next(f for f in snap.schema.fields if f.name == "rid").metadata
+        # max stored = 165 -> aligned DOWN to the 100+10k grid = 160
+        assert int(rid_md["delta.identity.highWaterMark"]) == 160
+        assert snap.version == v
+        # generation resumes above the synced mark
+        write_delta(spark.range(10, 12).selectExpr("id AS v"), path)
+        got = {r.v: r.rid for r in read_delta_fallback(spark, path).collect()}
+        assert {got[10], got[11]} == {170, 180}
+        # idempotent when already in sync
+        assert sync_identity_delta(spark, path, "rid") == delta_snapshot(spark, path).version
+        with pytest.raises(ValueError, match="not an identity column"):
+            sync_identity_delta(spark, path, "v")
