@@ -768,13 +768,6 @@ def pq_topk(
     adist, rank), rank 1..k ascending by (adist, neighbor_id), self
     excluded. Exactness tested against a DuckDB oracle; recall
     property-tested against brute force."""
-    dim = len(
-        emb.select(vec_col).limit(1).collect()[0][0]
-    )
-    if dim % m_subspaces != 0:
-        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
-    sub = dim // m_subspaces
-
     def quantized(df: DataFrame) -> DataFrame:
         # normalize-then-quantize: over unit vectors, L2 rank == cosine
         # rank, so ADC approximates the same metric every other ANN op
@@ -806,6 +799,11 @@ def pq_topk(
     )
     if len(cb_rows) != len(codebook_ids):
         raise ValueError("some codebook_ids missing from the corpus")
+    # dim comes off the collected codebook — no separate probe job
+    dim = len(cb_rows[0]["vq"])
+    if dim % m_subspaces != 0:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    sub = dim // m_subspaces
     # (M, K, sub) int64 codeword tensor — tiny, ships in the closure
     cb = (
         np.array([r["vq"] for r in cb_rows], dtype=np.int64)

@@ -4931,6 +4931,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN 'review' ELSE 'drop' END AS verdict
     FROM agg a JOIN tl ON tl.source = a.source
     """,
+    bench=True,
 )
 def domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source curation rollup (operators/sampling.py:
