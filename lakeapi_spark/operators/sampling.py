@@ -19,6 +19,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from lakeapi_spark.operators.scale import TEXT_TASK_BYTES, fan_out
+
 
 def key_hash(col: Column) -> Column:
     """Stable 60-bit integer hash of a column's string form."""
@@ -193,7 +195,12 @@ def dsir_importance(
     # the when() double-reference blocks CollapseProject from inlining
     # the tokenize pipeline into every element_at (see contamination
     # _doc_grams for the measured 27x hazard)
-    staged = df.select(
+    # fan_out before the CPU-heavy tokenize: a narrow input (single
+    # small file / coalesced shuffle) spreads across cores, and the
+    # persisted gram relation below inherits the parallel partitioning;
+    # an already-parallel scan passes through with no added exchange.
+    # Byte-capped task sizing — see scale.TEXT_TASK_BYTES.
+    staged = fan_out(df, per_partition_bytes=TEXT_TASK_BYTES).select(
         F.col(id_col).alias("id"),
         F.expr(target_predicate).alias("_tgt"),
         F.when(F.size(t) >= 0, t).alias("t"),
