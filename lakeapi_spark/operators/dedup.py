@@ -32,7 +32,7 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from lakeapi_spark.operators.scale import fan_out
+from lakeapi_spark.operators.scale import TEXT_TASK_BYTES, fan_out
 from lakeapi_spark.operators.text import portable_hash60, tokens
 
 #: Mersenne prime 2^31-1: minhash permutation values stay < 2^31 and
@@ -107,7 +107,8 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = fan_out(
         df.filter(F.col(text_col).rlike(r"\S\s+\S")).select(
             F.col(id_col).alias("id"), F.col(text_col).alias("_txt")
-        )
+        ),
+        per_partition_bytes=TEXT_TASK_BYTES,
     ).select("id", tokens(F.col("_txt")).alias("t"))
     bigrams = F.when(F.size("t") < 2, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -484,7 +485,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
     hs = fan_out(
         df.filter(F.col(text_col).rlike(r"\S")).select(
             F.col(id_col).alias("id"), F.col(text_col).alias("_txt")
-        )
+        ),
+        per_partition_bytes=TEXT_TASK_BYTES,
     ).select("id", F.transform(tokens(F.col("_txt")), lambda t: portable_hash60(t)).alias("hs"))
 
     def bit_sum(i: int) -> Column:
@@ -528,7 +530,7 @@ def embedding_dup_pairs(
     both norms per pair triples the hot-loop cost)."""
     from lakeapi_spark.operators.similarity import dot, norm
 
-    a = fan_out(emb).select(
+    a = fan_out(emb, per_partition_bytes=TEXT_TASK_BYTES).select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), norm(F.col(vec_col)).alias("na")
     )
     b = emb.select(
@@ -555,7 +557,7 @@ def _window_hashes(
     CPU-heavy expansion; the explode is bounded by token count —
     map-only, no shuffle."""
     t = tokens(F.col(text_col))
-    staged = fan_out(df).select(
+    staged = fan_out(df, per_partition_bytes=TEXT_TASK_BYTES).select(
         F.col(id_col).alias("id"), F.when(F.size(t) >= 0, t).alias("t")
     )
     wins = F.when(
@@ -819,7 +821,7 @@ def _semantic_assignments(
         def near(v, nrm):
             return _nearest_centroids(v, fitted, n_probe)
 
-    staged = fan_out(emb).select(
+    staged = fan_out(emb, per_partition_bytes=TEXT_TASK_BYTES).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col)).alias("nrm"),
@@ -911,7 +913,7 @@ def _semantic_assignments_kernel(
                 }
             )
 
-    return fan_out(emb.select(id_col, vec_col)).mapInPandas(
+    return fan_out(emb.select(id_col, vec_col), per_partition_bytes=TEXT_TASK_BYTES).mapInPandas(
         kernel, schema="id long, cid int, nrm double, v array<float>"
     )
 
