@@ -30,6 +30,27 @@ from lakeapi_spark.session import get_spark  # noqa: E402
 BIG_OUTPUT = {"partition_prune_direct", "dedup_minhash_lsh", "delta_delete_dv"}
 
 
+def cpu_calibration() -> float:
+    """Fixed pure-CPU probe (single-threaded BLAS matmul + a Python
+    loop), timed. Emitted as ``calib_sec`` so cross-round bench deltas
+    can be adjudicated against host speed: rounds 6→8 showed uniform
+    ±20-25% swings on IDENTICAL code (every query, including trivial
+    constant-cost probes, moved together and tracked host load), so a
+    raw total is only comparable after dividing out this constant."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = rng.random((1200, 1200))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        a = a @ a
+        a /= np.abs(a).max()
+    s = 0
+    for i in range(3_000_000):
+        s += i
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(os.path.normpath(sf_dir)).removeprefix("sf") or "0.1")
@@ -92,6 +113,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calib_sec": cpu_calibration(),
             }
         )
     )

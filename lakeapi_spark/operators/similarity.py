@@ -98,7 +98,12 @@ def brute_force_topk(
 
 
 def quantized_vectors(
-    df: DataFrame, id_col: str, vec_col: str, out_id: str, keep_vec: bool = False
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    keep_vec: bool = False,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(out_id, _q: array<long>, _n2: long[, _v]) — int8-range symmetric
     quantization ``q_i = round(127 * x_i / max|x|)`` plus the integer
@@ -106,12 +111,17 @@ def quantized_vectors(
     own projection (when() double-reference blocker) so it isn't
     re-evaluated per element inside the quantize lambda. ``keep_vec``
     carries the float vector through for consumers that also need it
-    (e.g. the IVF coarse quantizer)."""
+    (e.g. the IVF coarse quantizer); ``carry`` threads extra existing
+    columns (e.g. a precomputed centroid id) through unchanged."""
     keep = ["_v"] if keep_vec else []
-    base = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("_v"))
+    keep += list(carry)
+    base = df.select(
+        F.col(id_col).alias(out_id), F.col(vec_col).alias("_v"), *carry
+    )
     m_rel = base.select(
         out_id,
         "_v",
+        *carry,
         F.when(
             F.size("_v") >= 0, F.array_max(F.transform("_v", lambda x: F.abs(x)))
         ).alias("_m"),
@@ -190,28 +200,54 @@ def ivf_sq8_topk(
     exactly re-derivable in SQL, so the whole composition gets a full
     oracle rather than a recall-only check."""
     seeded = seeded_centroids(emb, id_col, vec_col, centroid_ids)
-    c = (
-        quantized_vectors(fan_out(emb), id_col, vec_col, "neighbor_id", keep_vec=True)
-        .withColumn("_cn", norm(F.col("_v")))
-        .select(
+    if len(seeded) >= KERNEL_CENTROID_THRESHOLD:
+        # sqrt(n)-scale quantizers: assignment via the Arrow kernel
+        # (constant plan size), then int8 quantization of the carried
+        # vector — the rerank below is integer-exact either way.
+        c = quantized_vectors(
+            _assign_seeded_kernel(emb, id_col, vec_col, seeded, 1, "neighbor_id"),
             "neighbor_id",
-            "_q",
-            "_n2",
-            _nearest_seeded(F.col("_v"), F.col("_cn"), seeded, 1)[0].alias("cid"),
-        )
-    )
-    q = (
-        quantized_vectors(queries, id_col, vec_col, "query_id", keep_vec=True)
-        .withColumn("_qn", norm(F.col("_v")))
-        .select(
+            "v",
+            "neighbor_id",
+            carry=("cid",),
+        ).select("neighbor_id", "_q", "_n2", "cid")
+        q = quantized_vectors(
+            _assign_seeded_kernel(queries, id_col, vec_col, seeded, n_probe, "query_id"),
+            "query_id",
+            "v",
+            "query_id",
+            carry=("cid",),
+        ).select(
             "query_id",
             F.col("_q").alias("_qq"),
             F.col("_n2").alias("_qn2"),
-            F.explode(
-                _nearest_seeded(F.col("_v"), F.col("_qn"), seeded, n_probe)
-            ).alias("cid"),
+            "cid",
         )
-    )
+    else:
+        c = (
+            quantized_vectors(
+                fan_out(emb), id_col, vec_col, "neighbor_id", keep_vec=True
+            )
+            .withColumn("_cn", norm(F.col("_v")))
+            .select(
+                "neighbor_id",
+                "_q",
+                "_n2",
+                _nearest_seeded(F.col("_v"), F.col("_cn"), seeded, 1)[0].alias("cid"),
+            )
+        )
+        q = (
+            quantized_vectors(queries, id_col, vec_col, "query_id", keep_vec=True)
+            .withColumn("_qn", norm(F.col("_v")))
+            .select(
+                "query_id",
+                F.col("_q").alias("_qq"),
+                F.col("_n2").alias("_qn2"),
+                F.explode(
+                    _nearest_seeded(F.col("_v"), F.col("_qn"), seeded, n_probe)
+                ).alias("cid"),
+            )
+        )
     intdot = F.aggregate(
         F.zip_with("_q", "_qq", lambda a, b: a * b),
         F.lit(0).cast("long"),

@@ -1069,6 +1069,37 @@ def test_ivf_kernel_assignment_equals_expression(spark):
         index_k.unpersist()
 
 
+def test_ivf_sq8_kernel_assignment_equals_expression(spark):
+    """ivf_sq8_topk's coarse assignment also switches to the Arrow
+    kernel above KERNEL_CENTROID_THRESHOLD; the served top-k must be
+    IDENTICAL to the literal-expression path (the in-list rerank is
+    integer-exact in both, so any drift would be an assignment bug)."""
+    from lakeapi_spark.operators import similarity as sim
+
+    emb = _synth_embeddings(spark, 400)
+    q = emb.filter(F.col("vec_id") <= 3)
+    ids = list(range(10, 10 + sim.KERNEL_CENTROID_THRESHOLD))  # >= threshold
+
+    served_k = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in sim.ivf_sq8_topk(
+            emb, q, "vec_id", "embedding", k=5, centroid_ids=ids, n_probe=3
+        ).collect()
+    }
+    old = sim.KERNEL_CENTROID_THRESHOLD
+    sim.KERNEL_CENTROID_THRESHOLD = 10**9
+    try:
+        served_e = {
+            (r.query_id, r.neighbor_id, r.cosine, r.rank)
+            for r in sim.ivf_sq8_topk(
+                emb, q, "vec_id", "embedding", k=5, centroid_ids=ids, n_probe=3
+            ).collect()
+        }
+    finally:
+        sim.KERNEL_CENTROID_THRESHOLD = old
+    assert served_k == served_e and len(served_k) == 4 * 5  # 4 queries x k
+
+
 def test_ivf_2048_centroids_bounded_plan(spark):
     """sqrt(n)-scale quantizer: 2,048 centroids must build and serve
     with a plan whose size does NOT scale with n_centroids (the literal
