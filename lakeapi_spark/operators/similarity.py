@@ -901,3 +901,45 @@ def load_ivf_index(spark, path: str) -> IvfIndex:
         for r in sorted(cents_rows, key=lambda r: r["cid"])
     ]
     return IvfIndex(lists, cents)
+
+
+def kmeans_lloyd_step(
+    emb: DataFrame, id_col: str, vec_col: str, centroid_ids: list[int]
+) -> DataFrame:
+    """One distributed Lloyd iteration of k-means from a seeded
+    data-point init: assign every vector to its nearest seeded centroid
+    (rounded cosine, ties to the lower cid — the oracle-proven
+    quantizer shared with the IVF family), then recompute per-cluster
+    per-dimension centroid components as (exact decimal SUM, member
+    count) in long form. The caller divides sum/count; emitting the
+    pair instead of a rounded AVG keeps the result value-identical in
+    any engine (same discipline as queries.label_centroids).
+
+    Scale shape: the assignment is one narrow codegen pass (or one
+    Arrow kernel pass above KERNEL_CENTROID_THRESHOLD — constant plan
+    size at sqrt(n) centroid counts); posexplode multiplies rows by
+    dim, but groupBy(cid, pos) partial-aggregates map-side so the one
+    shuffle carries K x dim rows, not n x dim. Iterating = feeding the
+    recomputed centroids back through :func:`_assign_seeded_kernel`
+    (driver holds only K x dim doubles between rounds)."""
+    cents = seeded_centroids(emb, id_col, vec_col, centroid_ids)
+    if len(cents) >= KERNEL_CENTROID_THRESHOLD:
+        assigned = _assign_seeded_kernel(emb, id_col, vec_col, cents, 1).select(
+            "cid", "v"
+        )
+    else:
+        assigned = (
+            fan_out(emb)
+            .select(
+                F.col(vec_col).alias("v"),
+                norm(F.col(vec_col)).alias("nrm"),
+            )
+            .select("v", _nearest_seeded(F.col("v"), F.col("nrm"), cents, 1)[0].alias("cid"))
+        )
+    ex = assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+    return ex.groupBy("cid", "pos").agg(
+        F.round(F.sum(F.col("val").cast("double").cast("decimal(18,7)")), 4)
+        .cast("double")
+        .alias("centroid_sum"),
+        F.count(F.lit(1)).alias("n_members"),
+    )

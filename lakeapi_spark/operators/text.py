@@ -605,3 +605,57 @@ def bigram_interp_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame, text_col: str, top_n: int = 30
+) -> DataFrame:
+    """First iteration of BPE tokenizer training: the corpus-weighted
+    counts of adjacent CHARACTER pairs inside words, ranked — the pair
+    a BPE trainer would merge first. Returns
+    (pair, weighted_count, rank) for the top ``top_n`` (count desc,
+    pair asc — total order, engine-independent).
+
+    Scale shape (the classic BPE-on-vocab trick): pairs are counted
+    over the DISTINCT-word vocabulary weighted by word frequency, not
+    over raw text — Heaps' law makes the vocab ~sqrt(corpus), so the
+    expensive character-pair explode runs on the small relation. Two
+    shuffles total (word counts, then pair counts), both with map-side
+    partial aggregation; the final rank window runs unpartitioned over
+    the AGGREGATED pair relation, which is bounded by charset^2 rows
+    regardless of corpus size. All built-in expressions, no UDF."""
+    from pyspark.sql.window import Window
+
+    from lakeapi_spark.operators.scale import TEXT_TASK_BYTES, fan_out
+
+    words = (
+        fan_out(df.select(text_col), per_partition_bytes=TEXT_TASK_BYTES)
+        .select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # sequence(1, length-1) needs the >=2-char guard: Spark's sequence
+    # STEPS DOWNWARD for start > stop, so a 1-char word would yield
+    # [1, 0] instead of the empty window list.
+    pairs = F.when(
+        F.length("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("w") - 1),
+            lambda i: F.concat(
+                F.col("w").substr(i, F.lit(1)),
+                F.lit(" "),
+                F.col("w").substr(i + F.lit(1), F.lit(1)),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counted = (
+        words.select("freq", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("weighted_count"))
+    )
+    w = Window.orderBy(F.col("weighted_count").desc(), F.col("pair"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("pair", "weighted_count", "rank")
+    )

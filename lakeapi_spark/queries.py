@@ -5708,3 +5708,150 @@ def shuffle_shard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return shuffle_shard(d, "doc_id", n_shards=8, seed=42)
+
+
+# ---------------------------------------------------------------------------
+# Clustering / graph / tokenizer-training steps (round 8)
+# ---------------------------------------------------------------------------
+
+_KMEANS_CENTROID_IDS = list(range(5, 13))  # 8 seeded data-point centroids
+
+
+@register(
+    "kmeans_lloyd_step",
+    _EMB_DOT
+    + f"""
+    , cents AS (
+      SELECT vec_id AS cvid, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+      FROM embeddings WHERE vec_id IN ({", ".join(str(i) for i in _KMEANS_CENTROID_IDS)})
+    )
+    , cdot AS (
+      SELECT a.vec_id, c.cid, c.cvid, SUM(a.val * b.val) AS d
+      FROM x a JOIN cents c ON TRUE JOIN x b ON b.vec_id = c.cvid AND b.i = a.i
+      GROUP BY 1, 2, 3
+    )
+    , cscore AS (
+      SELECT cd.vec_id, cd.cid, ROUND(cd.d / (nv.nrm * nc.nrm), 4) AS cos
+      FROM cdot cd JOIN n nv ON nv.vec_id = cd.vec_id JOIN n nc ON nc.vec_id = cd.cvid
+    )
+    , assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        FROM cscore
+      ) WHERE rn = 1
+    )
+    SELECT a.cid, x.i - 1 AS pos,
+           CAST(ROUND(SUM(CAST(CAST(x.val AS DOUBLE) AS DECIMAL(18,7))), 4) AS DOUBLE) AS centroid_sum,
+           COUNT(*) AS n_members
+    FROM assign a JOIN x ON x.vec_id = a.vec_id
+    GROUP BY 1, 2
+    """,
+)
+def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd iteration of k-means (seeded data-point
+    init shared with the IVF family): nearest-centroid assignment by
+    rounded cosine, then per-cluster per-dim centroid recompute as
+    (exact decimal sum, member count). The full training loop is this
+    step iterated with the K x dim centroid table fed back through the
+    assignment kernel — the driver never holds more than K x dim
+    doubles. See operators/similarity.kmeans_lloyd_step."""
+    from lakeapi_spark.operators.similarity import kmeans_lloyd_step as step
+
+    e = table(spark, sf_dir, "embeddings")
+    return step(e, "vec_id", "embedding", _KMEANS_CENTROID_IDS)
+
+
+@register(
+    "pagerank_cust_supp",
+    """
+    WITH eo AS (
+      SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), und AS (
+      SELECT src, dst FROM eo UNION SELECT dst AS src, src AS dst FROM eo
+    ), deg AS (
+      SELECT src, COUNT(*) AS deg FROM und GROUP BY src
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM und
+    ), nn AS (
+      SELECT COUNT(*) AS n FROM nodes
+    ), pr0 AS (
+      SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS pr FROM nodes
+    ), pr1 AS (
+      SELECT u.dst AS node,
+             ROUND((1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+                   + 0.85::DOUBLE * CAST(SUM(CAST(p.pr / d.deg AS DECIMAL(28,12))) AS DOUBLE), 10) AS pr
+      FROM und u JOIN pr0 p ON p.node = u.src JOIN deg d ON d.src = u.src
+      GROUP BY u.dst
+    ), pr2 AS (
+      SELECT u.dst AS node,
+             ROUND((1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+                   + 0.85::DOUBLE * CAST(SUM(CAST(p.pr / d.deg AS DECIMAL(28,12))) AS DOUBLE), 8) AS pr
+      FROM und u JOIN pr1 p ON p.node = u.src JOIN deg d ON d.src = u.src
+      GROUP BY u.dst
+    )
+    SELECT node, pr,
+           CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS BIGINT) AS rank
+    FROM pr2 QUALIFY rank <= 50
+    """,
+)
+def pagerank_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-iteration PageRank over the undirected customer-supplier
+    purchase graph (namespaced node ids: 2*custkey / 2*suppkey+1), top
+    50 by rank. Link-structure authority for entity curation — the
+    iterative-join family next to dedup's connected components. Per-
+    iteration shuffle carries one row per node (map-side partial SUM);
+    decimal-cast contributions make the reduction order-independent.
+    See operators/graph.pagerank."""
+    from pyspark.sql.window import Window
+
+    from lakeapi_spark.operators.graph import pagerank
+
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, iters=2)
+    w = Window.orderBy(F.col("pr").desc(), F.col("node"))
+    return (
+        pr.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 50)
+        .select("node", "pr", "rank")
+    )
+
+
+@register(
+    "bpe_merge_candidates",
+    """
+    WITH words AS (
+      SELECT w, COUNT(*) AS freq FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM documents WHERE trim(lower(text)) <> ''
+      ) GROUP BY w
+    ), pairs AS (
+      SELECT substr(w, i, 1) || ' ' || substr(w, i + 1, 1) AS pair, freq
+      FROM (SELECT w, freq, unnest(range(1, len(w))) AS i FROM words WHERE len(w) >= 2)
+    ), counted AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS weighted_count FROM pairs GROUP BY pair
+    )
+    SELECT pair, weighted_count,
+           CAST(ROW_NUMBER() OVER (ORDER BY weighted_count DESC, pair) AS BIGINT) AS rank
+    FROM counted QUALIFY rank <= 30
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE tokenizer-training iteration: corpus-weighted adjacent
+    character-pair counts inside words, top 30 — counted over the
+    Heaps-small distinct-word vocabulary weighted by word frequency,
+    never over raw text. See operators/text.bpe_merge_candidates."""
+    from lakeapi_spark.operators.text import bpe_merge_candidates as bmc
+
+    d = table(spark, sf_dir, "documents")
+    return bmc(d, "text", top_n=30).withColumn("rank", F.col("rank").cast("long"))

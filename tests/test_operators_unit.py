@@ -955,3 +955,78 @@ def test_bigram_logprob_fluency_ordering(spark):
     again = {r.id: (r.n_transitions, r.avg_logprob)
              for r in bigram_interp_logprob(df, "doc_id", "text").collect()}
     assert again == {k: (v.n_transitions, v.avg_logprob) for k, v in out.items()}
+
+
+# ---------------------------------------------------------------------------
+# round-8 additions: pagerank / bpe merge candidates / kmeans lloyd step
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_matches_naive_reference(spark):
+    """Distributed fixed-iteration PageRank == a driver-side naive
+    implementation of the SAME fixed-point contract (undirected,
+    decimal-summed contributions, per-round rounding) on a small
+    irregular graph; ranks stay positive and sum to ~1."""
+    from decimal import Decimal
+
+    from lakeapi_spark.operators.graph import pagerank
+
+    raw = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (2, 3)]  # dup edge on purpose
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    got = {r.node: r.pr for r in pagerank(edges, iters=2).collect()}
+
+    und = set()
+    for s, d in raw:
+        und.add((s, d))
+        und.add((d, s))
+    nodes = sorted({s for s, _ in und})
+    deg = {v: sum(1 for s, _ in und if s == v) for v in nodes}
+    n = len(nodes)
+    jump = (1.0 - 0.85) / n
+    pr = {v: 1.0 / n for v in nodes}
+    for digits in (10, 8):
+        acc = {v: Decimal(0) for v in nodes}
+        for s, d in und:
+            q = Decimal(pr[s] / deg[s]).quantize(Decimal(1).scaleb(-12))
+            acc[d] += q
+        pr = {v: round(jump + 0.85 * float(acc[v]), digits) for v in nodes}
+
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v] == pytest.approx(pr[v], abs=1e-9), (v, got[v], pr[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    assert min(got.values()) > 0
+
+
+def test_bpe_merge_candidates_counts_and_short_word_guard(spark):
+    """Pair counts are word-frequency weighted; 1-char words contribute
+    NO pairs (guard against Spark's descending sequence(1, 0) -> [1, 0]
+    surprise); ranking is (count desc, pair asc)."""
+    from lakeapi_spark.operators.text import bpe_merge_candidates
+
+    rows = [(1, "ab ab a"), (2, "ab I"), (3, "ba")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = [(r.pair, r.weighted_count, r.rank) for r in
+           bpe_merge_candidates(df, "text", top_n=10).collect()]
+    # vocab: ab(freq 3), a(1), i(1), ba(1) -> pairs: 'a b'x3, 'b a'x1
+    assert out == [("a b", 3, 1), ("b a", 1, 2)]
+
+
+def test_kmeans_lloyd_step_partitions_members(spark):
+    """Every vector lands in exactly one cluster: per-pos member counts
+    sum to n across clusters for every dimension, and each centroid_sum
+    equals the exact sum of its members' components."""
+    from lakeapi_spark.operators.similarity import kmeans_lloyd_step
+
+    rows = [
+        (i, [float(((i * 13 + j * 7) % 89) / 100.0 + 0.05) for j in range(4)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_lloyd_step(emb, "vec_id", "embedding", [3, 17, 31]).collect()
+    assert {r.cid for r in out} <= {0, 1, 2}
+    by_pos = {}
+    for r in out:
+        by_pos.setdefault(r.pos, 0)
+        by_pos[r.pos] += r.n_members
+    assert by_pos == {0: 60, 1: 60, 2: 60, 3: 60}
