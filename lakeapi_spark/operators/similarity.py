@@ -943,3 +943,74 @@ def kmeans_lloyd_step(
         .alias("centroid_sum"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+def kmeans_transition_matrix(
+    emb: DataFrame, id_col: str, vec_col: str, centroid_ids: list[int]
+) -> DataFrame:
+    """TWO Lloyd iterations, fully distributed, reported as the
+    assignment-transition matrix (cid_from, cid_to, n_vecs) — the
+    convergence diagnostic a k-means training loop watches (diagonal
+    mass = stable points, off-diagonal = still moving).
+
+    Iteration 1 assigns to the seeded data-point centroids (rounded
+    cosine, the IVF-family quantizer); the recomputed centroids stay a
+    RELATION (cid, pos, component) — never collected — and iteration 2
+    scores vectors against them with a pos-equi-join + decimal-summed
+    dot products, so every arithmetic step is order-independent and a
+    SQL oracle re-derives the matrix exactly. (A production many-round
+    loop would collect the K x dim centroid table into the Arrow
+    assignment kernel instead — `_assign_seeded_kernel` — trading
+    oracle-exactness for a matmul; both shapes keep only K x dim state
+    between rounds.)
+
+    Scale shape: one corpus pass per iteration; the iteration-2 join
+    explodes to n x dim x K scored terms before its partial-aggregated
+    groupBy — the same FLOP count as the dense matmul the kernel path
+    runs, expressed relationally. Centroid relations are K x dim rows,
+    always the broadcast side."""
+    cents = seeded_centroids(emb, id_col, vec_col, centroid_ids)
+    base = fan_out(emb).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    staged = base.select("id", "v", norm(F.col("v")).alias("nrm"))
+    a1 = staged.select(
+        "id", "v", "nrm",
+        _nearest_seeded(F.col("v"), F.col("nrm"), cents, 1)[0].alias("cid_from"),
+    )
+    ex = a1.select(
+        "id", "cid_from", "nrm", F.posexplode("v").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    cent2 = (
+        ex.groupBy(F.col("cid_from").alias("cid"), "pos")
+        .agg(
+            F.round(F.sum(F.col("val").cast("decimal(18,7)")), 4)
+            .cast("double")
+            .alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("cid", "pos", F.round(F.col("s") / F.col("n"), 6).alias("c2"))
+    )
+    cnorm = cent2.groupBy("cid").agg(
+        F.sqrt(
+            F.sum((F.col("c2") * F.col("c2")).cast("decimal(28,14)")).cast("double")
+        ).alias("cnrm")
+    )
+    dots = (
+        ex.join(F.broadcast(cent2), "pos")
+        .groupBy("id", "cid_from", "nrm", "cid")
+        .agg(
+            F.sum((F.col("val") * F.col("c2")).cast("decimal(28,14)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    scored = dots.join(F.broadcast(cnorm), "cid").withColumn(
+        "cos", F.round(F.col("dot") / (F.col("nrm") * F.col("cnrm")), 4)
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("cid"))
+    a2 = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        a2.groupBy("cid_from", F.col("cid").alias("cid_to"))
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )

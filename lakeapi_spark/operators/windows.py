@@ -109,3 +109,57 @@ def session_stats(
             F.max(e).alias("session_end"),
         )
     )
+
+
+def gapfill_locf(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    bucket_s: int,
+    agg: Column,
+    value_name: str,
+) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward:
+    aggregate into ``bucket_s``-second buckets per key, generate the
+    DENSE bucket spine between each key's first and last bucket, and
+    fill empty buckets with the latest preceding value. Returns
+    (key_col, bucket, is_gap, filled_value).
+
+    The LOCF fill is the gaps-and-islands spelling (running COUNT of
+    non-null values partitions rows into islands led by their one
+    non-null row; MAX over the island broadcasts it) — pure window
+    functions, portable to any engine, no IGNORE NULLS dependency.
+
+    Scale shape: the bucket aggregation is one shuffle with map-side
+    partial agg; the spine explode emits span/bucket_s rows per key —
+    exactly the output size, nothing transient is bigger; spine and
+    actuals join on (key, bucket) and the two window passes partition
+    by key, so one exchange covers them. Spine length per key is
+    bounded by that key's observed span — pick bucket_s accordingly
+    (a year at 1 s buckets is 31M rows per key by DEFINITION of the
+    dense output, not an implementation artifact)."""
+    b = (F.floor(_epoch(F.col(ts_col)) / bucket_s) * bucket_s).cast("long")
+    actual = df.groupBy(
+        F.col(key_col).alias("_key"), b.alias("bucket")
+    ).agg(agg.alias(value_name))
+    bounds = actual.groupBy("_key").agg(
+        F.min("bucket").alias("_mn"), F.max("bucket").alias("_mx")
+    )
+    spine = bounds.select(
+        "_key",
+        F.explode(F.sequence("_mn", "_mx", F.lit(bucket_s))).alias("bucket"),
+    )
+    j = spine.join(actual, ["_key", "bucket"], "left")
+    wcum = (
+        Window.partitionBy("_key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = j.withColumn("_grp", F.count(value_name).over(wcum))
+    fill = F.max(value_name).over(Window.partitionBy("_key", "_grp"))
+    return g.select(
+        F.col("_key").alias(key_col),
+        "bucket",
+        F.col(value_name).isNull().alias("is_gap"),
+        fill.alias("filled_value"),
+    )

@@ -5855,3 +5855,204 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return bmc(d, "text", top_n=30).withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "heavy_hitters_cms",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents WHERE trim(lower(text)) <> ''
+    ), truth AS (
+      SELECT token, COUNT(*) AS true_n FROM toks GROUP BY token
+    ), top AS (
+      SELECT token, true_n,
+             CAST(ROW_NUMBER() OVER (ORDER BY true_n DESC, token) AS BIGINT) AS rank
+      FROM truth QUALIFY rank <= 30
+    ), rows_ AS (
+      SELECT unnest(range(0, 4)) AS r
+    ), grid AS (
+      SELECT r.r AS row,
+             CAST(concat('0x', substr(md5('42:' || CAST(r.r AS VARCHAR) || ':' || t.token), 1, 15)) AS BIGINT) % 512 AS col,
+             COUNT(*) AS cnt
+      FROM toks t CROSS JOIN rows_ r
+      GROUP BY 1, 2
+    ), probe AS (
+      SELECT p.token,
+             r.r AS row,
+             CAST(concat('0x', substr(md5('42:' || CAST(r.r AS VARCHAR) || ':' || p.token), 1, 15)) AS BIGINT) % 512 AS col
+      FROM top p CROSS JOIN rows_ r
+    ), est AS (
+      SELECT p.token, MIN(COALESCE(g.cnt, 0)) AS est_n
+      FROM probe p LEFT JOIN grid g ON g.row = p.row AND g.col = p.col
+      GROUP BY p.token
+    )
+    SELECT t.token, t.true_n, e.est_n, t.rank
+    FROM top t JOIN est e ON e.token = t.token
+    """,
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation, demonstrated against
+    ground truth: the corpus token stream builds a 4 x 512 counter grid
+    (bounded memory at ANY corpus size — the sketch, not the key space,
+    is what shuffles), and the true top-30 tokens are point-estimated
+    from the grid. est_n >= true_n always; the gap is the CMS
+    overcount. See operators/sketches.py."""
+    from pyspark.sql.window import Window
+
+    from lakeapi_spark.operators.scale import TEXT_TASK_BYTES, fan_out
+    from lakeapi_spark.operators.sketches import cms_build, cms_estimate
+    from lakeapi_spark.operators.text import tokens
+
+    d = fan_out(
+        table(spark, sf_dir, "documents").select("text"),
+        per_partition_bytes=TEXT_TASK_BYTES,
+    )
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("token"))
+    truth = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_n"))
+    w = Window.orderBy(F.col("true_n").desc(), F.col("token"))
+    top = (
+        truth.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 30)
+    )
+    sketch = cms_build(toks, "token", depth=4, width=512)
+    est = cms_estimate(sketch, top.select("token"), "token", depth=4, width=512)
+    return top.join(
+        est.withColumnRenamed("key", "token").withColumnRenamed("est", "est_n"),
+        "token",
+    ).select("token", "true_n", "est_n", "rank")
+
+
+@register(
+    "fuzzy_join_part_names",
+    """
+    WITH names AS (
+      SELECT DISTINCT p_name FROM part
+    ), blocked AS (
+      SELECT p_name AS name_a, split_part(p_name, ' ', 1) AS blk FROM names
+    )
+    SELECT a.name_a, b.name_a AS name_b,
+           CAST(levenshtein(a.name_a, b.name_a) AS BIGINT) AS dist
+    FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.name_a < b.name_a
+    WHERE levenshtein(a.name_a, b.name_a) <= 4
+    """,
+)
+def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs over part names: block on the
+    first token, score within-block pairs with built-in Levenshtein,
+    keep dist <= 4. The blocked self-join is the scale story — O(n^2)
+    edit distances become one equi-join over the distinct-name
+    relation. See operators/joins.blocked_fuzzy_pairs."""
+    from lakeapi_spark.operators.joins import blocked_fuzzy_pairs
+
+    p = table(spark, sf_dir, "part")
+    return blocked_fuzzy_pairs(
+        p, "p_name", lambda c: F.split_part(c, F.lit(" "), F.lit(1)), max_dist=4
+    )
+
+
+@register(
+    "events_gapfill_locf",
+    f"""
+    WITH a AS (
+      SELECT user_id, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS hour_value
+      FROM events WHERE user_id < 20 GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx FROM a GROUP BY user_id
+    ), spine AS (
+      SELECT user_id, unnest(range(mn, mx + 3600, 3600)) AS bucket FROM bounds
+    ), j AS (
+      SELECT s.user_id, s.bucket, a.hour_value
+      FROM spine s LEFT JOIN a ON a.user_id = s.user_id AND a.bucket = s.bucket
+    ), g AS (
+      SELECT user_id, bucket, hour_value,
+             COUNT(hour_value) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS grp
+      FROM j
+    )
+    SELECT user_id, bucket, hour_value IS NULL AS is_gap,
+           MAX(hour_value) OVER (PARTITION BY user_id, grp) AS filled_value
+    FROM g
+    """,
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly per-user value series with gaps filled by the last
+    observed hour (LOCF) — the resample step before any time-series
+    model. Gaps-and-islands spelling, no IGNORE NULLS dependency. See
+    operators/windows.gapfill_locf."""
+    from lakeapi_spark.operators.windows import gapfill_locf
+
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return gapfill_locf(
+        e, "ts", "user_id", 3600, money_sum(dec("value")), "hour_value"
+    )
+
+
+@register(
+    "kmeans_transition_matrix",
+    _EMB_DOT
+    + f"""
+    , cents AS (
+      SELECT vec_id AS cvid, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+      FROM embeddings WHERE vec_id IN ({", ".join(str(i) for i in _KMEANS_CENTROID_IDS)})
+    )
+    , cdot AS (
+      SELECT a.vec_id, c.cid, c.cvid, SUM(a.val * b.val) AS d
+      FROM x a JOIN cents c ON TRUE JOIN x b ON b.vec_id = c.cvid AND b.i = a.i
+      GROUP BY 1, 2, 3
+    )
+    , cscore AS (
+      SELECT cd.vec_id, cd.cid, ROUND(cd.d / (nv.nrm * nc.nrm), 4) AS cos
+      FROM cdot cd JOIN n nv ON nv.vec_id = cd.vec_id JOIN n nc ON nc.vec_id = cd.cvid
+    )
+    , a1 AS (
+      SELECT vec_id, cid AS cid_from FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        FROM cscore
+      ) WHERE rn = 1
+    )
+    , cent2 AS (
+      SELECT a.cid_from AS cid, x.i - 1 AS pos,
+             ROUND(CAST(ROUND(SUM(CAST(x.val AS DECIMAL(18,7))), 4) AS DOUBLE) / COUNT(*), 6) AS c2
+      FROM a1 a JOIN x ON x.vec_id = a.vec_id
+      GROUP BY 1, 2
+    )
+    , cnorm AS (
+      SELECT cid, sqrt(CAST(SUM(CAST(c2 * c2 AS DECIMAL(28,14))) AS DOUBLE)) AS cnrm
+      FROM cent2 GROUP BY cid
+    )
+    , dots AS (
+      SELECT x.vec_id, a.cid_from, c.cid,
+             CAST(SUM(CAST(x.val * c.c2 AS DECIMAL(28,14))) AS DOUBLE) AS dot
+      FROM x JOIN cent2 c ON c.pos = x.i - 1 JOIN a1 a ON a.vec_id = x.vec_id
+      GROUP BY 1, 2, 3
+    )
+    , scored AS (
+      SELECT d.vec_id, d.cid_from, d.cid,
+             ROUND(d.dot / (nv.nrm * cn.cnrm), 4) AS cos
+      FROM dots d JOIN n nv ON nv.vec_id = d.vec_id JOIN cnorm cn ON cn.cid = d.cid
+    )
+    , a2 AS (
+      SELECT vec_id, cid_from, cid AS cid_to FROM (
+        SELECT vec_id, cid_from, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT cid_from, cid_to, COUNT(*) AS n_vecs
+    FROM a2 GROUP BY 1, 2
+    """,
+)
+def kmeans_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two fully-distributed Lloyd iterations reported as the
+    (cid_from, cid_to, n_vecs) assignment-transition matrix — the
+    k-means convergence diagnostic. See
+    operators/similarity.kmeans_transition_matrix."""
+    from lakeapi_spark.operators.similarity import kmeans_transition_matrix as ktm
+
+    e = table(spark, sf_dir, "embeddings")
+    return ktm(e, "vec_id", "embedding", _KMEANS_CENTROID_IDS)

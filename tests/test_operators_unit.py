@@ -1030,3 +1030,93 @@ def test_kmeans_lloyd_step_partitions_members(spark):
         by_pos.setdefault(r.pos, 0)
         by_pos[r.pos] += r.n_members
     assert by_pos == {0: 60, 1: 60, 2: 60, 3: 60}
+
+
+def test_cms_estimates_never_underestimate_and_merge(spark):
+    """CMS point estimates are >= true counts always, == with a wide
+    grid (no collisions at toy scale); two sub-corpus grids merged by
+    cellwise addition equal the full-corpus grid (mergeability is what
+    makes the sketch distributed)."""
+    from lakeapi_spark.operators.sketches import cms_build, cms_estimate
+
+    rows = [(w,) for w in ["a"] * 5 + ["b"] * 3 + ["c"] * 2 + ["d"]]
+    df = spark.createDataFrame(rows, ["k"])
+    truth = {"a": 5, "b": 3, "c": 2, "d": 1}
+    sk = cms_build(df, "k", depth=4, width=1024)
+    probes = spark.createDataFrame([(w,) for w in truth], ["k"])
+    est = {r.key: r.est for r in cms_estimate(sk, probes, "k", depth=4, width=1024).collect()}
+    assert est == truth  # wide grid -> no collisions
+    narrow = cms_build(df, "k", depth=2, width=2)
+    est2 = {r.key: r.est for r in cms_estimate(narrow, probes, "k", depth=2, width=2).collect()}
+    assert all(est2[w] >= truth[w] for w in truth)
+
+    part1 = [(w,) for w in ["a"] * 2 + ["b"] * 3]
+    part2 = [(w,) for w in ["a"] * 3 + ["c"] * 2 + ["d"]]
+    half1 = cms_build(spark.createDataFrame(part1, ["k"]), "k", depth=4, width=1024)
+    half2 = cms_build(spark.createDataFrame(part2, ["k"]), "k", depth=4, width=1024)
+    merged = (
+        half1.unionAll(half2)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    full = {(r.row, r.col): r.cnt for r in sk.collect()}
+    assert {(r.row, r.col): r.cnt for r in merged.collect()} == full
+
+
+def test_blocked_fuzzy_pairs_blocks_and_distances(spark):
+    from lakeapi_spark.operators.joins import blocked_fuzzy_pairs
+
+    rows = [("red widget",), ("red widgets",), ("red wudget",), ("blue widget",), ("red widget",)]
+    df = spark.createDataFrame(rows, ["name"])
+    out = {
+        (r.name_a, r.name_b): r.dist
+        for r in blocked_fuzzy_pairs(
+            df, "name", lambda c: F.split_part(c, F.lit(" "), F.lit(1)), max_dist=4
+        ).collect()
+    }
+    # 'blue widget' is in another block -> never compared despite dist 1-2
+    assert out == {
+        ("red widget", "red widgets"): 1,
+        ("red widget", "red wudget"): 1,
+        ("red widgets", "red wudget"): 2,
+    }
+
+
+def test_gapfill_locf_fills_gaps_with_last_value(spark):
+    from datetime import datetime
+
+    from lakeapi_spark.operators.windows import gapfill_locf
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 30), 10.0),
+        (1, datetime(2024, 1, 1, 3, 10), 7.0),   # hours 1,2 are gaps
+        (2, datetime(2024, 1, 1, 5, 0), 1.0),    # single bucket, no spine gap
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {
+        (r.user_id, r.bucket): (r.is_gap, r.filled_value)
+        for r in gapfill_locf(
+            df, "ts", "user_id", 3600, F.sum("value"), "hour_value"
+        ).collect()
+    }
+    h0 = int(datetime(2024, 1, 1).timestamp())
+    assert out[(1, h0)] == (False, 10.0)
+    assert out[(1, h0 + 3600)] == (True, 10.0)
+    assert out[(1, h0 + 7200)] == (True, 10.0)
+    assert out[(1, h0 + 10800)] == (False, 7.0)
+    assert out[(2, h0 + 5 * 3600)] == (False, 1.0)
+    assert len(out) == 5
+
+
+def test_kmeans_transition_matrix_partitions_all_vectors(spark):
+    from lakeapi_spark.operators.similarity import kmeans_transition_matrix
+
+    rows = [
+        (i, [float(((i * 13 + j * 7) % 89) / 100.0 + 0.05) for j in range(4)])
+        for i in range(80)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_transition_matrix(emb, "vec_id", "embedding", [3, 17, 31]).collect()
+    assert sum(r.n_vecs for r in out) == 80
+    assert {r.cid_from for r in out} <= {0, 1, 2}
+    assert {r.cid_to for r in out} <= {0, 1, 2}
