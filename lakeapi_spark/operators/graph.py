@@ -39,6 +39,7 @@ def pagerank(
     damping: float = 0.85,
     round_digits: int = 10,
     final_digits: int = 8,
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an UNDIRECTED simple graph built
     from ``edges`` (each input pair contributes both directions; dupes
@@ -53,30 +54,51 @@ def pagerank(
 
     The driver holds ONE scalar (the node count); ranks never leave the
     cluster.
+
+    ``broadcast_ranks`` is the scale dial: the rank and degree
+    relations are NODE-sized (one long + one double per node), so up to
+    ~10M nodes they broadcast and the edge list never shuffles for the
+    contribution join — the only exchange per iteration is the
+    partial-aggregated groupBy(dst). Web-scale graphs (nodes too big to
+    broadcast) set False and get the partitioned sort-merge plan, where
+    edges and ranks co-shuffle by the join key.
     """
+    from pyspark.sql.window import Window
+
     und = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
         .distinct()
+        # degree is folded INTO the edge relation (window count) so the
+        # per-iteration join touches ONE broadcast side, not two; the
+        # persist stops the node universe and every iteration re-running
+        # the edge build (plan audit showed 6 re-scans for 2 iterations)
+        .select("src", "dst", F.count(F.lit(1)).over(Window.partitionBy("src")).alias("deg"))
+        .persist()
     )
-    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = und.select(F.col("src").alias("node")).distinct()
-    n_total = nodes.count()  # bounded driver scalar
-    jump = (1.0 - damping) / n_total
-    pr = nodes.select("node", F.lit(1.0 / n_total).alias("pr"))
+    # N rides the plan as a broadcast 1-row relation instead of a
+    # driver .count() — one fewer Spark job (at sf0.1 every extra
+    # action costs ~0.5-0.8 s of stage round-trips, regardless of rows)
+    nn = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n")))
+    pr = nodes.crossJoin(nn).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr"), "n"
+    )
     for it in range(iters):
-        contrib = (
-            und.join(pr.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("pr") / F.col("deg")).cast("decimal(28,12)").alias("w"),
-            )
+        prs = pr.withColumnRenamed("node", "src")
+        if broadcast_ranks:
+            prs = F.broadcast(prs)
+        contrib = und.join(prs, "src").select(
+            F.col("dst").alias("node"),
+            (F.col("pr") / F.col("deg")).cast("decimal(28,12)").alias("w"),
+            "n",
         )
         digits = final_digits if it == iters - 1 else round_digits
-        pr = contrib.groupBy("node").agg(
+        pr = contrib.groupBy("node", "n").agg(
             F.round(
-                F.lit(jump) + F.lit(damping) * F.sum("w").cast("double"), digits
+                F.lit(1.0 - damping) / F.col("n")
+                + F.lit(damping) * F.sum("w").cast("double"),
+                digits,
             ).alias("pr")
         )
-    return pr
+    return pr.select("node", "pr")

@@ -5768,6 +5768,7 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH eo AS (
       SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate < TIMESTAMP '1996-01-01'
     ), und AS (
       SELECT src, dst FROM eo UNION SELECT dst AS src, src AS dst FROM eo
     ), deg AS (
@@ -5798,8 +5799,10 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pagerank_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-iteration PageRank over the undirected customer-supplier
-    purchase graph (namespaced node ids: 2*custkey / 2*suppkey+1), top
-    50 by rank. Link-structure authority for entity curation — the
+    purchase graph for first-year orders (date predicate pushed to the
+    orders scan, TPC-H style; namespaced node ids: 2*custkey /
+    2*suppkey+1), top 50 by rank. Link-structure authority for entity
+    curation — the
     iterative-join family next to dedup's connected components. Per-
     iteration shuffle carries one row per node (map-side partial SUM);
     decimal-cast contributions make the reduction order-independent.
@@ -5808,7 +5811,9 @@ def pagerank_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from lakeapi_spark.operators.graph import pagerank
 
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    )
     l = table(spark, sf_dir, "lineitem")
     edges = (
         o.join(l, o.o_orderkey == l.l_orderkey)
@@ -5890,6 +5895,7 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t.token, t.true_n, e.est_n, t.rank
     FROM top t JOIN est e ON e.token = t.token
     """,
+    bench=True,
 )
 def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch frequency estimation, demonstrated against
@@ -5914,6 +5920,11 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = (
         truth.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 30)
+        # 30 rows, but derived from the full corpus aggregation — the
+        # persist stops the probe branch re-scanning/re-tokenizing the
+        # corpus a third time (grid build + truth are the honest 2
+        # passes; production sketch-only use is 1)
+        .persist()
     )
     sketch = cms_build(toks, "token", depth=4, width=512)
     est = cms_estimate(sketch, top.select("token"), "token", depth=4, width=512)
