@@ -1,0 +1,64 @@
+"""Per-group standardization / outlier statistics (greenfield extension).
+
+Z-score outlier flagging with ENGINE-EXACT moments: the group sums and
+sums-of-squares are accumulated in DECIMAL (order-independent — a
+double SUM's value depends on partitioning), then converted once to
+double for the variance/σ arithmetic, which is a fixed sequence of IEEE
+operations any engine reproduces bit-for-bit. That makes an operator
+that is usually "approximately equal across runs" into one a SQL oracle
+can hash-match.
+
+Scale shape: one partial-aggregated groupBy builds the per-group
+moments (rows = |groups|); the moments join back by group key as the
+BROADCAST side; the fact stream is scored map-side and filtered — no
+second shuffle, no window over the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def zscore_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    threshold: float = 3.0,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Rows whose value deviates from their group mean by at least
+    ``threshold`` sample standard deviations. Returns the input columns
+    plus ``z`` (rounded). Groups with fewer than 2 rows or zero
+    variance produce no outliers (σ = 0 → undefined z → dropped)."""
+    moments = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(value_col).cast("double").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("_s"),
+        F.sum(
+            (F.col(value_col).cast("double") * F.col(value_col).cast("double")).cast(
+                "decimal(28,10)"
+            )
+        )
+        .cast("double")
+        .alias("_ss"),
+    )
+    scored = df.join(
+        F.broadcast(moments), df[group_col] == F.col("_g")
+    ).withColumn(
+        "_var",
+        (F.col("_ss") - F.col("_s") * F.col("_s") / F.col("_n"))
+        / (F.col("_n") - 1),
+    )
+    z = F.round(
+        (F.col(value_col).cast("double") - F.col("_s") / F.col("_n"))
+        / F.sqrt(F.col("_var")),
+        round_digits,
+    )
+    return (
+        scored.filter((F.col("_n") >= 2) & (F.col("_var") > 0))
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= threshold)
+        .drop("_g", "_n", "_s", "_ss", "_var")
+    )

@@ -659,3 +659,51 @@ def bpe_merge_candidates(
         .filter(F.col("rank") <= top_n)
         .select("pair", "weighted_count", "rank")
     )
+
+
+def oov_rate(
+    df: DataFrame, id_col: str, text_col: str, vocab_size: int = 1000
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-
+    ``vocab_size`` token vocabulary — the tokenizer-coverage check run
+    before committing to a vocab: (id, n_tokens, n_oov, oov_frac) with
+    oov_frac an exact integer-ratio double.
+
+    Two corpus passes by construction (the vocab must exist before
+    docs are scored against it): pass 1 aggregates token counts
+    (Heaps-small relation) and takes the top-K; pass 2 probes each
+    doc's tokens against the K-row vocab via BROADCAST left join and
+    partial-aggregates per doc. The vocab relation is persisted so the
+    scoring pass does not recompute pass 1; the rank window runs over
+    the aggregated vocab relation, never raw tokens."""
+    from pyspark.sql.window import Window
+
+    from lakeapi_spark.operators.scale import TEXT_TASK_BYTES, fan_out
+
+    base = fan_out(df.select(id_col, text_col), per_partition_bytes=TEXT_TASK_BYTES)
+    toks = base.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= vocab_size)
+        .select("token", F.lit(1).alias("in_vocab"))
+        .persist()
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_frac"),
+        )
+    )

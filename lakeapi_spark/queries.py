@@ -6067,3 +6067,99 @@ def kmeans_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     return ktm(e, "vec_id", "embedding", _KMEANS_CENTROID_IDS)
+
+
+@register(
+    "market_basket_part_pairs",
+    """
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS item FROM lineitem
+    ), nb AS (
+      SELECT COUNT(DISTINCT b) AS n_baskets FROM bi
+    ), sup AS (
+      SELECT item, COUNT(*) AS n_item FROM bi GROUP BY item
+    ), pairs AS (
+      SELECT x.item AS item_a, y.item AS item_b, COUNT(*) AS n_both
+      FROM bi x JOIN bi y ON x.b = y.b AND x.item < y.item
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT p.item_a, p.item_b, p.n_both, sa.n_item AS n_a, sb.n_item AS n_b,
+             CAST(p.n_both * (SELECT n_baskets FROM nb) AS DOUBLE)
+               / CAST(sa.n_item * sb.n_item AS DOUBLE) AS lift
+      FROM pairs p JOIN sup sa ON sa.item = p.item_a JOIN sup sb ON sb.item = p.item_b
+    )
+    SELECT item_a, item_b, n_both, n_a, n_b, lift,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_both DESC, item_a, item_b) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 40
+    """,
+)
+def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association pairs over order baskets: top-40 part pairs by
+    co-occurrence support, with exact-integer-ratio lift. The pair
+    explode is bounded by basket size (C(|basket|,2) per order), never
+    global. See operators/basket.market_basket_pairs."""
+    from lakeapi_spark.operators.basket import market_basket_pairs
+
+    l = table(spark, sf_dir, "lineitem")
+    return market_basket_pairs(l, "l_orderkey", "l_partkey", top_n=40)
+
+
+@register(
+    "anomaly_value_zscore",
+    """
+    WITH m AS (
+      SELECT event_type AS g, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS ss
+      FROM events GROUP BY 1
+    ), scored AS (
+      SELECT e.event_id, e.event_type, e.value,
+             m.n, (m.ss - m.s * m.s / m.n) / (m.n - 1) AS var,
+             ROUND((e.value - m.s / m.n) / sqrt((m.ss - m.s * m.s / m.n) / (m.n - 1)), 4) AS z
+      FROM events e JOIN m ON m.g = e.event_type
+    )
+    SELECT event_id, event_type, value, z
+    FROM scored WHERE n >= 2 AND var > 0 AND ABS(z) >= 3
+    """,
+)
+def anomaly_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers (|z| >= 3) with decimal-exact
+    moments, so the usually-run-dependent variance arithmetic is
+    engine-reproducible. One shuffle (group moments); the fact stream
+    is scored map-side against broadcast moments. See
+    operators/stats.zscore_outliers."""
+    from lakeapi_spark.operators.stats import zscore_outliers
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return zscore_outliers(e, "event_type", "value", threshold=3.0).select(
+        "event_id", "event_type", "value", "z"
+    )
+
+
+@register(
+    "oov_rate_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id AS id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+      FROM documents WHERE trim(lower(text)) <> ''
+    ), vc AS (
+      SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+    ), vocab AS (
+      SELECT token FROM (
+        SELECT token, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rnk FROM vc
+      ) WHERE rnk <= 500
+    )
+    SELECT t.id, COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS oov_frac
+    FROM toks t LEFT JOIN vocab v ON v.token = t.token
+    GROUP BY t.id
+    """,
+)
+def oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage check: per-doc out-of-vocabulary fraction
+    against the corpus top-500 vocabulary. See operators/text.oov_rate."""
+    from lakeapi_spark.operators.text import oov_rate
+
+    d = table(spark, sf_dir, "documents")
+    return oov_rate(d, "doc_id", "text", vocab_size=500)

@@ -1120,3 +1120,52 @@ def test_kmeans_transition_matrix_partitions_all_vectors(spark):
     assert sum(r.n_vecs for r in out) == 80
     assert {r.cid_from for r in out} <= {0, 1, 2}
     assert {r.cid_to for r in out} <= {0, 1, 2}
+
+
+def test_market_basket_pairs_support_and_lift(spark):
+    from lakeapi_spark.operators.basket import market_basket_pairs
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "b"),  # dup item in basket counts once
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "c"),
+    ]
+    df = spark.createDataFrame(rows, ["order_id", "item"])
+    out = {
+        (r.item_a, r.item_b): (r.n_both, r.n_a, r.n_b, r.lift, r.rank)
+        for r in market_basket_pairs(df, "order_id", "item", top_n=10).collect()
+    }
+    # 4 baskets; a in 3, b in 2, c in 2; ab together 2, ac together 1
+    assert out[("a", "b")] == (2, 3, 2, 2 * 4 / (3 * 2), 1)
+    assert out[("a", "c")] == (1, 3, 2, 1 * 4 / (3 * 2), 2)
+    assert len(out) == 2
+
+
+def test_zscore_outliers_flags_and_guards(spark):
+    from lakeapi_spark.operators.stats import zscore_outliers
+
+    rows = (
+        [(i, "g1", 10.0) for i in range(20)]
+        + [(100, "g1", 1000.0)]          # the outlier
+        + [(200, "const", 5.0), (201, "const", 5.0)]  # zero variance
+        + [(300, "single", 7.0)]         # n < 2
+    )
+    df = spark.createDataFrame(rows, ["event_id", "grp", "value"])
+    out = zscore_outliers(df, "grp", "value", threshold=3.0).collect()
+    assert [r.event_id for r in out] == [100]
+    assert out[0].z > 3
+
+
+def test_oov_rate_against_explicit_vocab(spark):
+    from lakeapi_spark.operators.text import oov_rate
+
+    rows = [
+        (1, "aa aa bb zz"),   # vocab(2)={aa,bb} -> 1 oov of 4
+        (2, "aa qq"),         # 1 oov of 2
+        (3, "   "),           # no tokens -> absent
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.id: (r.n_tokens, r.n_oov, r.oov_frac)
+           for r in oov_rate(df, "doc_id", "text", vocab_size=2).collect()}
+    assert out == {1: (4, 1, 0.25), 2: (2, 1, 0.5)}
