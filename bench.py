@@ -31,20 +31,21 @@ BIG_OUTPUT = {"partition_prune_direct", "dedup_minhash_lsh", "delta_delete_dv"}
 
 
 def cpu_calibration() -> float:
-    """Fixed pure-CPU probe (single-threaded BLAS matmul + a Python
-    loop), timed. Emitted as ``calib_sec`` so cross-round bench deltas
-    can be adjudicated against host speed: rounds 6→8 showed uniform
-    ±20-25% swings on IDENTICAL code (every query, including trivial
-    constant-cost probes, moved together and tracked host load), so a
-    raw total is only comparable after dividing out this constant."""
-    import numpy as np
+    """Fixed pure-Python single-thread CPU probe (hashing + integer
+    loop — deliberately NO BLAS: numpy's matmul parallelizes across
+    whatever cores happen to be free, which would make the probe track
+    free-core count instead of per-core speed). Emitted as
+    ``calib_sec`` so cross-round bench deltas can be adjudicated
+    against host speed: rounds 6→8 showed uniform ±20-25% swings on
+    IDENTICAL code (every query, including trivial constant-cost
+    probes, moved together and tracked host load), so a raw total is
+    only comparable after dividing out this constant."""
+    import hashlib
 
-    rng = np.random.default_rng(42)
-    a = rng.random((1200, 1200))
     t0 = time.perf_counter()
-    for _ in range(3):
-        a = a @ a
-        a /= np.abs(a).max()
+    h = b"calib"
+    for _ in range(60_000):
+        h = hashlib.md5(h).digest()
     s = 0
     for i in range(3_000_000):
         s += i

@@ -40,9 +40,13 @@ def market_basket_pairs(
     basket size); supports are partial-aggregated groupBys; the two
     support joins are item-keyed (the item relation is the DISTINCT
     item universe — broadcastable at any realistic catalog size)."""
-    bi = df.select(
-        F.col(basket_col).alias("b"), F.col(item_col).alias("item")
-    ).distinct()
+    bi = (
+        df.select(F.col(basket_col).alias("b"), F.col(item_col).alias("item"))
+        # null basket/item keys carry no co-occurrence information and
+        # would skew n_baskets away from the COUNT(DISTINCT b) oracle
+        .filter(F.col("b").isNotNull() & F.col("item").isNotNull())
+        .distinct()
+    )
     nb = F.broadcast(
         bi.select("b").distinct().agg(F.count(F.lit(1)).alias("n_baskets"))
     )

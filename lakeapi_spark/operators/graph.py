@@ -40,6 +40,7 @@ def pagerank(
     round_digits: int = 10,
     final_digits: int = 8,
     broadcast_ranks: bool = True,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an UNDIRECTED simple graph built
     from ``edges`` (each input pair contributes both directions; dupes
@@ -76,6 +77,11 @@ def pagerank(
         .select("src", "dst", F.count(F.lit(1)).over(Window.partitionBy("src")).alias("deg"))
         .persist()
     )
+    # long-lived serving sessions should pass cache_handles (a list)
+    # and unpersist after their action — the same release contract as
+    # dedup's shingle relation (dedup.py minhash_lsh_pairs)
+    if cache_handles is not None:
+        cache_handles.append(und)
     nodes = und.select(F.col("src").alias("node")).distinct()
     # N rides the plan as a broadcast 1-row relation instead of a
     # driver .count() — one fewer Spark job (at sf0.1 every extra

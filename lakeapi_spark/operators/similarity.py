@@ -211,12 +211,14 @@ def ivf_sq8_topk(
             "neighbor_id",
             carry=("cid",),
         ).select("neighbor_id", "_q", "_n2", "cid")
-        q = quantized_vectors(
-            _assign_seeded_kernel(queries, id_col, vec_col, seeded, n_probe, "query_id"),
-            "query_id",
-            "v",
-            "query_id",
-            carry=("cid",),
+        # quantize each query ONCE, then join the kernel's n_probe
+        # (query, cid) assignments onto it — quantizing the exploded
+        # relation would redo the abs-max/transform/n2 work per probe
+        assign_q = _assign_seeded_kernel(
+            queries, id_col, vec_col, seeded, n_probe, "query_id"
+        ).select("query_id", "cid")
+        q = quantized_vectors(queries, id_col, vec_col, "query_id").join(
+            assign_q, "query_id"
         ).select(
             "query_id",
             F.col("_q").alias("_qq"),
@@ -970,14 +972,18 @@ def kmeans_transition_matrix(
     runs, expressed relationally. Centroid relations are K x dim rows,
     always the broadcast side."""
     cents = seeded_centroids(emb, id_col, vec_col, centroid_ids)
-    base = fan_out(emb).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    )
-    staged = base.select("id", "v", norm(F.col("v")).alias("nrm"))
-    a1 = staged.select(
-        "id", "v", "nrm",
-        _nearest_seeded(F.col("v"), F.col("nrm"), cents, 1)[0].alias("cid_from"),
-    )
+    if len(cents) >= KERNEL_CENTROID_THRESHOLD:
+        a1 = _assign_seeded_kernel(emb, id_col, vec_col, cents, 1).select(
+            "id", "v", "nrm", F.col("cid").alias("cid_from")
+        )
+    else:
+        staged = fan_out(emb).select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        ).select("id", "v", norm(F.col("v")).alias("nrm"))
+        a1 = staged.select(
+            "id", "v", "nrm",
+            _nearest_seeded(F.col("v"), F.col("nrm"), cents, 1)[0].alias("cid_from"),
+        )
     ex = a1.select(
         "id", "cid_from", "nrm", F.posexplode("v").alias("pos", "val")
     ).withColumn("val", F.col("val").cast("double"))

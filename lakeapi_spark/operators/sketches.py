@@ -37,6 +37,20 @@ def _cms_col(key: Column, row: int, width: int, seed: int) -> Column:
     return portable_hash60(F.concat(F.lit(f"{seed}:{row}:"), key)) % width
 
 
+def _cms_targets(key: Column, depth: int, width: int, seed: int) -> Column:
+    """The ``depth`` (row, col) grid cells of ``key`` — ONE shared
+    definition for build and estimate: if these ever diverged,
+    estimates would probe cells the build never wrote."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"), _cms_col(key, r, width, seed).alias("col")
+            )
+            for r in range(depth)
+        ]
+    )
+
+
 def cms_build(
     df: DataFrame,
     key_col: str,
@@ -50,14 +64,7 @@ def cms_build(
     single groupBy(row, col) count with map-side partial aggregation —
     the shuffle carries at most depth * width cells."""
     key = F.col(key_col).cast("string")
-    targets = F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("row"), _cms_col(key, r, width, seed).alias("col")
-            )
-            for r in range(depth)
-        ]
-    )
+    targets = _cms_targets(key, depth, width, seed)
     ex = df.select(F.explode(targets).alias("t"))
     return (
         ex.select(F.col("t.row").alias("row"), F.col("t.col").alias("col"))
@@ -81,14 +88,7 @@ def cms_estimate(
     be arbitrarily large and never shuffles for the lookup (the only
     exchange is the per-key MIN, one row per probe key)."""
     key = F.col(key_col).cast("string")
-    targets = F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("row"), _cms_col(key, r, width, seed).alias("col")
-            )
-            for r in range(depth)
-        ]
-    )
+    targets = _cms_targets(key, depth, width, seed)
     ex = probes.select(F.col(key_col).alias("key"), F.explode(targets).alias("t")).select(
         "key", F.col("t.row").alias("row"), F.col("t.col").alias("col")
     )

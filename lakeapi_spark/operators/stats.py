@@ -32,7 +32,9 @@ def zscore_outliers(
     plus ``z`` (rounded). Groups with fewer than 2 rows or zero
     variance produce no outliers (σ = 0 → undefined z → dropped)."""
     moments = df.groupBy(F.col(group_col).alias("_g")).agg(
-        F.count(F.lit(1)).alias("_n"),
+        # count NON-NULL values, not rows — a nullable value column
+        # otherwise deflates the mean and inflates the variance
+        F.count(F.col(value_col)).alias("_n"),
         F.sum(F.col(value_col).cast("double").cast("decimal(28,10)"))
         .cast("double")
         .alias("_s"),

@@ -662,7 +662,11 @@ def bpe_merge_candidates(
 
 
 def oov_rate(
-    df: DataFrame, id_col: str, text_col: str, vocab_size: int = 1000
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 1000,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Per-document out-of-vocabulary rate against the corpus top-
     ``vocab_size`` token vocabulary — the tokenizer-coverage check run
@@ -693,6 +697,10 @@ def oov_rate(
         .select("token", F.lit(1).alias("in_vocab"))
         .persist()
     )
+    # same release contract as dedup's shingle relation: long-lived
+    # sessions pass cache_handles and unpersist after their action
+    if cache_handles is not None:
+        cache_handles.append(vocab)
     return (
         toks.join(F.broadcast(vocab), "token", "left")
         .groupBy("id")

@@ -6108,7 +6108,7 @@ def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anomaly_value_zscore",
     """
     WITH m AS (
-      SELECT event_type AS g, COUNT(*) AS n,
+      SELECT event_type AS g, COUNT(value) AS n,
              CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS s,
              CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS ss
       FROM events GROUP BY 1
