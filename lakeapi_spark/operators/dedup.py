@@ -1450,3 +1450,101 @@ def dup_clusters_star(
     return ids.join(down, ids.id == down.u, "left").select(
         "id", F.coalesce("label", "id").alias("cluster_id")
     )
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_num: int = 19,
+    threshold_den: int = 20,
+) -> DataFrame:
+    """All document pairs with exact token-SET Jaccard >= num/den via
+    prefix filtering (the AllPairs/PPJoin family — Bayardo et al.
+    WWW'07, Vernica et al. SIGMOD'10): order each doc's distinct
+    tokens by ascending global frequency and emit only the first
+    ``sz - ceil(t*sz) + 1`` (the "prefix") as candidate keys — two
+    docs whose prefixes are disjoint CANNOT reach the threshold
+    (pigeonhole on the sorted-universe overlap), so the candidate join
+    keys on rare tokens only. Complements :func:`minhash_lsh_pairs`
+    (probabilistic, fixed cost) with an EXACT join whose cost adapts
+    to the threshold. The threshold is a rational num/den so prefix
+    lengths and the final verify are integer-exact in any engine.
+
+    Plan shape (4 keyed shuffles, no driver collect):
+    token-frequency groupBy -> broadcast dictionary join (token
+    vocabulary is Heaps-law sublinear in corpus size) -> per-doc
+    window sort (partitioned by doc, parallel) -> candidate equi-join
+    on prefix token + size filter ``min*den >= num*max`` -> distinct
+    pair -> two id-keyed joins count the exact intersection for the
+    final integer verify. At 100 TB the candidate join stays bounded
+    because high-frequency tokens never land in a prefix at high
+    thresholds; skewed rare-token buckets split under AQE.
+
+    Returns (id_a, id_b, inter_sz, union_sz, jaccard) with id_a < id_b.
+    """
+    from pyspark.sql.window import Window
+
+    toks = (
+        fan_out(df, per_partition_bytes=TEXT_TASK_BYTES)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
+        )
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    ordered = (
+        toks.join(F.broadcast(freq), "token")
+        .select(
+            "id",
+            "token",
+            F.row_number()
+            .over(Window.partitionBy("id").orderBy("cnt", "token"))
+            .alias("pos"),
+            F.count(F.lit(1)).over(Window.partitionBy("id")).alias("sz"),
+        )
+    )
+    # prefix length L = sz - ceil(num*sz/den) + 1, integer-exact:
+    # ceil(num*sz/den) = (num*sz + den - 1) div den, spelled as an
+    # exactly-divisible subtraction so the double division is lossless
+    x = F.col("sz") * threshold_num + (threshold_den - 1)
+    ceil_ts = ((x - x % threshold_den) / threshold_den).cast("long")
+    pref = ordered.filter(F.col("pos") <= F.col("sz") - ceil_ts + 1)
+    a = pref.alias("a")
+    b = pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(
+            F.least("a.sz", "b.sz") * threshold_den
+            >= F.greatest("a.sz", "b.sz") * threshold_num
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .distinct()
+    )
+    ta = toks.select(F.col("id").alias("id_a"), "token")
+    tb = toks.select(F.col("id").alias("id_b"), "token")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter_sz"))
+    )
+    union_sz = F.col("sz_a") + F.col("sz_b") - F.col("inter_sz")
+    return (
+        inter.filter(F.col("inter_sz") * threshold_den >= union_sz * threshold_num)
+        .select(
+            "id_a",
+            "id_b",
+            "inter_sz",
+            union_sz.alias("union_sz"),
+            F.round(F.col("inter_sz") / union_sz, 6).alias("jaccard"),
+        )
+    )

@@ -97,3 +97,148 @@ def cms_estimate(
         .groupBy("key")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — bounded-memory cardinality (Flajolet et al. 2007, plus
+# the small-range linear-counting correction from the original paper).
+# Same portability contract as count-min above: the register grid is an
+# exact relational aggregate over the md5-derived 60-bit hash, so a SQL
+# oracle re-derives registers AND estimate bit-for-bit. The estimate's
+# 2^-M_j harmonic sum is computed as an exact DECIMAL(38,0) integer
+# (terms are 2^(62-M_j) longs) — no float accumulation order to
+# disagree on; the only floats are one final division and the ln() in
+# the small-range branch.
+# ---------------------------------------------------------------------------
+
+
+def hll_build(
+    df: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    b: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-group HLL registers: (group..., reg, mx) where reg is the
+    low ``b`` hash bits and mx the max leading-zero rank rho of the
+    remaining 60-b bits. ONE shuffle carrying at most groups * 2^b
+    partially-aggregated rows — corpus size never reaches the wire.
+    Registers MERGE by groupBy(reg).max(mx): union two builds and
+    re-aggregate to sketch a union of corpora (tested property)."""
+    m = 1 << b
+    h = portable_hash60(
+        F.concat(F.lit(f"hll{seed}:"), F.col(key_col).cast("string"))
+    )
+    w = F.shiftright(h, b)
+    # highest set bit via bin() string length (portable: Spark and
+    # DuckDB both print minimal-width binary for non-negative ints)
+    hb = F.when(w == 0, F.lit(0)).otherwise(F.length(F.bin(w)))
+    rho = F.lit(60 - b) - hb + 1
+    return (
+        df.select(
+            *[F.col(g) for g in group_cols],
+            h.bitwiseAND(F.lit(m - 1)).alias("reg"),
+            rho.alias("rho"),
+        )
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("mx"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    b: int = 8,
+    digits: int = 2,
+) -> DataFrame:
+    """Cardinality estimate per group from built registers:
+    E = alpha_m * m^2 / sum_j 2^-M_j, with empty registers contributing
+    2^-0 and the linear-counting correction E <= 2.5m & zeros > 0 ->
+    m * ln(m / zeros). The harmonic sum is the exact integer
+    sum(2^(62-M_j)) in DECIMAL(38,0) (2^62 per empty register), so the
+    estimate is reproducible to the bit in any engine with IEEE
+    doubles. Returns (group..., n_regs_set, n_est)."""
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # standard bias constant, m >= 128
+    # python-API shiftleft wants a literal bit count; the SQL form
+    # accepts a column
+    term = F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 62 - mx) AS DECIMAL(38,0))")
+    agg = registers.groupBy(*[F.col(g) for g in group_cols]).agg(
+        F.sum(term).alias("s_obs"), F.count(F.lit(1)).alias("n_obs")
+    )
+    zeros = F.lit(m) - F.col("n_obs")
+    s = (
+        F.col("s_obs") + zeros.cast("decimal(38,0)") * F.lit(1 << 62).cast("decimal(38,0)")
+    ).cast("double")
+    raw = F.lit(alpha) * F.lit(float(m * m * (1 << 62))) / s
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        F.col("n_obs").alias("n_regs_set"),
+        F.round(est, digits).alias("n_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — bounded-memory membership, the shuffle-avoidance
+# workhorse: build the bit set over a (small) key relation once, then
+# any probe side streams map-side against the broadcast bits and only
+# surviving rows continue into an exact join. False positives bounded
+# ((1 - e^-kn/m)^k); false negatives impossible — so a bloom PRE-filter
+# never changes join results, it only cuts shuffled volume.
+# ---------------------------------------------------------------------------
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 4096, k: int = 3, seed: int = 7
+) -> DataFrame:
+    """The filter's set bit positions as a relation (pos), distinct —
+    at most m_bits rows regardless of build cardinality. ONE shuffle
+    (the distinct) of at most k rows per build key, partial-agg'd."""
+    key = F.col(key_col).cast("string")
+    pos = F.array(
+        *[
+            (portable_hash60(F.concat(F.lit(f"bloom{seed}:{i}:"), key)) % m_bits).alias(
+                f"p{i}"
+            )
+            for i in range(k)
+        ]
+    )
+    return (
+        df.select(F.explode(pos).alias("pos")).distinct()
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bits: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """Probe rows with a ``bloom_pass`` flag: true iff ALL k positions
+    are set. The bits relation broadcasts (<= m_bits rows); the probe
+    side's only exchange is the per-key hit count — and when the probe
+    key is unique per row even that is map-side partial-aggregated."""
+    key = F.col(key_col).cast("string")
+    pos = F.array(
+        *[
+            (portable_hash60(F.concat(F.lit(f"bloom{seed}:{i}:"), key)) % m_bits).alias(
+                f"p{i}"
+            )
+            for i in range(k)
+        ]
+    )
+    ex = probes.select(F.col(key_col).alias("key"), F.explode(pos).alias("pos"))
+    hits = (
+        ex.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("key")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"))
+    )
+    return hits.select(
+        F.col("key").alias(key_col), (F.col("n_hit") == k).alias("bloom_pass")
+    )

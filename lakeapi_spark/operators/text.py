@@ -715,3 +715,64 @@ def oov_rate(
             (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_frac"),
         )
     )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_frac_num: int = 3,
+    max_frac_den: int = 10,
+    delim: str = "\n",
+) -> DataFrame:
+    """CCNet-style boilerplate removal: a LINE (a ``delim``-separated
+    segment; ``delim`` is a Java regex) is boilerplate when it occurs
+    in MORE than num/den of all docs — nav bars, cookie banners, and
+    license footers repeat across a crawl while real prose does not
+    (Wenzek et al., CCNet, LREC 2020 — paragraph-level dedup by
+    frequency). The threshold is rational so the keep test is
+    integer-exact in any engine. Returns (id, n_lines, n_kept,
+    kept_text) with kept lines rejoined in original order; docs whose
+    every line is empty (or with null text) are absent.
+
+    Scale shape: the line-frequency dictionary is ONE distinct + ONE
+    groupBy shuffle over (line, doc) pairs; the corpus size rides the
+    line-keyed exchanges, never the driver (doc count is a broadcast
+    1-row aggregate). The rebuild groupBy partitions by doc id. A
+    mega-hot line (the same cookie banner in 10^9 docs) is bounded by
+    the distinct's map-side partial aggregation; AQE splits residual
+    skew in the frequency join."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
+    ).filter(F.trim(F.col("line")) != "")
+    ndocs = F.broadcast(df.agg(F.count(F.lit(1)).alias("n_docs")))
+    dfreq = (
+        lines.select("line", "id")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("docs_with"))
+    )
+    flagged = (
+        lines.join(dfreq, "line")
+        .crossJoin(ndocs)
+        .withColumn(
+            "keep",
+            F.col("docs_with") * max_frac_den <= max_frac_num * F.col("n_docs"),
+        )
+    )
+    return flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct(F.col("pos"), F.col("line")))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            delim,
+        ).alias("kept_text"),
+    )

@@ -1597,6 +1597,49 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.2)
 
 
+_PREFIX_JACCARD_ORACLE = r"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS id, t AS token
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ), freq AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+    ordered AS (
+      SELECT o.id, o.token,
+             ROW_NUMBER() OVER (PARTITION BY o.id ORDER BY f.cnt, o.token) AS pos,
+             COUNT(*) OVER (PARTITION BY o.id) AS sz
+      FROM toks o JOIN freq f USING (token)
+    ), pref AS (
+      SELECT * FROM ordered WHERE pos <= sz - ((19*sz + 19) // 20) + 1
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b
+      FROM pref a JOIN pref b ON a.token = b.token AND a.id < b.id
+      WHERE LEAST(a.sz, b.sz) * 20 >= 19 * GREATEST(a.sz, b.sz)
+    ), inter AS (
+      SELECT c.id_a, c.id_b, c.sz_a, c.sz_b, COUNT(*) AS inter_sz
+      FROM cand c
+      JOIN toks ta ON ta.id = c.id_a
+      JOIN toks tb ON tb.id = c.id_b AND tb.token = ta.token
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, inter_sz, sz_a + sz_b - inter_sz AS union_sz,
+           CAST(ROUND(inter_sz / CAST(sz_a + sz_b - inter_sz AS DOUBLE), 6) AS DOUBLE) AS jaccard
+    FROM inter WHERE inter_sz * 20 >= 19 * (sz_a + sz_b - inter_sz)
+"""
+
+
+@register("dedup_jaccard_prefix_join", _PREFIX_JACCARD_ORACLE)
+def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set similarity self-join at Jaccard >= 0.95 via
+    AllPairs/PPJoin prefix filtering — the deterministic companion to
+    the probabilistic MinHash-LSH path (same pairs contract). See
+    operators/dedup.py:jaccard_prefix_pairs for the scale shape."""
+    from lakeapi_spark.operators.dedup import jaccard_prefix_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return jaccard_prefix_pairs(d, "doc_id", "text", 19, 20)
+
+
 #: DuckDB twin of operators.text.portable_hash60 — the hinge that makes
 #: every minhash/simhash signature value-exact cross-engine.
 _PH60 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
@@ -6163,3 +6206,184 @@ def oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return oov_rate(d, "doc_id", "text", vocab_size=500)
+
+
+_HLL_RAW = (
+    "0.7213/(1+1.079/256) * CAST(256*256 AS DOUBLE) * CAST(CAST(1 AS BIGINT) << 62 AS DOUBLE)"
+    " / CAST(s_obs + CAST(256 - n_obs AS DECIMAL(38,0))"
+    " * CAST(CAST(1 AS BIGINT) << 62 AS DECIMAL(38,0)) AS DOUBLE)"
+)
+
+
+@register(
+    "hll_distinct_users",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(concat('0x', substr(md5(concat('hll0:', CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS hv
+      FROM events
+    ), r AS (
+      SELECT event_type, hv & 255 AS reg,
+             CASE WHEN (hv >> 8) = 0 THEN 0 ELSE length(bin(hv >> 8)) END AS hb
+      FROM h
+    ), m AS (
+      SELECT event_type, reg, MAX(52 - hb + 1) AS mx FROM r GROUP BY 1, 2
+    ), a AS (
+      SELECT event_type,
+             SUM(CAST((CAST(1 AS BIGINT) << (62 - mx)) AS DECIMAL(38,0))) AS s_obs,
+             COUNT(*) AS n_obs
+      FROM m GROUP BY 1
+    ), e AS (
+      SELECT event_type, n_obs, {_HLL_RAW} AS raw FROM a
+    ), est AS (
+      SELECT event_type, n_obs AS n_regs_set,
+             ROUND(CASE WHEN raw <= 2.5*256 AND (256 - n_obs) > 0
+                        THEN 256.0 * LN(256.0 / CAST(256 - n_obs AS DOUBLE))
+                        ELSE raw END, 2) AS n_est
+      FROM e
+    )
+    SELECT est.event_type, est.n_regs_set, CAST(est.n_est AS DOUBLE) AS n_est, x.n_exact
+    FROM est JOIN (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY 1
+    ) x USING (event_type)
+    """,
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user cardinality from a 256-register
+    HyperLogLog, alongside the exact count to exhibit the error bound
+    (~6.5% at m=256). The register build is the only corpus-wide pass
+    — one shuffle of <= groups * 256 rows, mergeable by construction.
+    See operators/sketches.hll_build/hll_estimate."""
+    from lakeapi_spark.operators.sketches import hll_build, hll_estimate
+
+    e = table(spark, sf_dir, "events")
+    est = hll_estimate(hll_build(e, "user_id", ("event_type",), b=8), ("event_type",), b=8)
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return est.join(F.broadcast(exact), "event_type").select(
+        "event_type", "n_regs_set", F.col("n_est").cast("double").alias("n_est"), "n_exact"
+    )
+
+
+@register(
+    "bloom_semi_prefilter",
+    """
+    WITH build AS (
+      SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS key FROM customer WHERE c_nationkey < 2
+    ), bits AS (
+      SELECT DISTINCT CAST(concat('0x', substr(md5(concat('bloom7:', i, ':', key)), 1, 15)) AS BIGINT) % 1024 AS pos
+      FROM build, (SELECT unnest([0, 1, 2]) AS i)
+    ), probe AS (
+      SELECT DISTINCT o_custkey AS key FROM orders
+    ), hits AS (
+      SELECT p.key,
+             SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      FROM (
+        SELECT key, CAST(concat('0x', substr(md5(concat('bloom7:', i, ':', CAST(key AS VARCHAR))), 1, 15)) AS BIGINT) % 1024 AS pos
+        FROM probe, (SELECT unnest([0, 1, 2]) AS i)
+      ) p LEFT JOIN bits b USING (pos)
+      GROUP BY 1
+    ), truth AS (
+      SELECT DISTINCT o_custkey AS key FROM orders o
+      WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey AND c.c_nationkey < 2)
+    )
+    SELECT COUNT(*) AS n_probe,
+           CAST(SUM(CASE WHEN h.n_hit = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN t.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN h.n_hit = 3 AND t.key IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN h.n_hit < 3 AND t.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+    FROM hits h LEFT JOIN truth t USING (key)
+    """,
+)
+def bloom_semi_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership prefilter demonstrated as a semi-join
+    accelerant: bits built from a SMALL key set (customers of 2
+    nations), the BIG side (distinct order custkeys) probed map-side
+    against the broadcast bits; the summary proves the contract —
+    false positives bounded, false negatives zero. At 100 TB the probe
+    side never shuffles for the filter. See
+    operators/sketches.bloom_build/bloom_probe."""
+    from lakeapi_spark.operators.sketches import bloom_build, bloom_probe
+
+    c = table(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 2)
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key")).distinct()
+    bits = bloom_build(c, "c_custkey", m_bits=1024, k=3)
+    pr = bloom_probe(o, bits, "key", m_bits=1024, k=3)
+    truth = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 2),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_semi",
+        )
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+        .withColumn("is_true", F.lit(1))
+    )
+    return (
+        pr.join(truth, "key", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_probe"),
+            F.sum(F.col("bloom_pass").cast("long")).alias("n_pass"),
+            F.sum(F.coalesce(F.col("is_true"), F.lit(0)).cast("long")).alias("n_true"),
+            F.sum(
+                (F.col("bloom_pass") & F.col("is_true").isNull()).cast("long")
+            ).alias("n_false_pos"),
+            F.sum(
+                ((~F.col("bloom_pass")) & F.col("is_true").isNotNull()).cast("long")
+            ).alias("n_false_neg"),
+        )
+    )
+
+
+@register(
+    "boilerplate_line_removal",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE regexp_matches(text, '\S')
+    ), lines AS (
+      SELECT id, CAST(s / 8 AS BIGINT) AS pos, array_to_string(t[s+1 : s+8], ' ') AS line
+      FROM (SELECT id, t, unnest(range(0, len(t), 8)) AS s FROM toks)
+    ), nd AS (
+      SELECT COUNT(*) AS n_docs FROM toks
+    ), dfreq AS (
+      SELECT line, COUNT(DISTINCT id) AS docs_with FROM lines GROUP BY 1
+    ), flagged AS (
+      SELECT l.id, l.pos, l.line, (d.docs_with * 100 <= 1 * nd.n_docs) AS keep
+      FROM lines l JOIN dfreq d USING (line) CROSS JOIN nd
+    )
+    SELECT id, COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') AS kept_text
+    FROM flagged GROUP BY id
+    """,
+)
+def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-frequency boilerplate strip over pseudo-lines
+    (8-token segments — the synthetic docs have no newlines, so line
+    boundaries are injected identically in both engines; on a real
+    crawl the operator runs on the document's own newlines). Lines
+    occurring in more than 1% of docs are dropped and each doc is
+    rebuilt in order. See operators/text.strip_boilerplate_lines."""
+    from lakeapi_spark.operators.text import strip_boilerplate_lines, tokens
+
+    d = table(spark, sf_dir, "documents").filter(F.col("text").rlike(r"\S"))
+    t = tokens(F.col("text"))
+    # stage the token array once (CollapseProject blocker), then inject
+    # a newline every 8 tokens
+    staged = d.select("doc_id", F.when(F.size(t) >= 0, t).alias("t"))
+    lin = staged.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 1, F.lit(8)),
+                lambda s: F.array_join(F.slice(F.col("t"), s + 1, 8), " "),
+            ),
+            "\n",
+        ).alias("lined"),
+    )
+    return strip_boilerplate_lines(
+        lin, "doc_id", "lined", max_frac_num=1, max_frac_den=100
+    )

@@ -1169,3 +1169,111 @@ def test_oov_rate_against_explicit_vocab(spark):
     out = {r.id: (r.n_tokens, r.n_oov, r.oov_frac)
            for r in oov_rate(df, "doc_id", "text", vocab_size=2).collect()}
     assert out == {1: (4, 1, 0.25), 2: (2, 1, 0.5)}
+
+
+def test_jaccard_prefix_pairs_matches_bruteforce(spark):
+    """Prefix filtering must be LOSSLESS vs the brute-force all-pairs
+    exact Jaccard at the same threshold — the filter is a pruning
+    strategy, never a semantics change."""
+    from lakeapi_spark.operators.dedup import jaccard_prefix_pairs
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c d e"),            # identical to 1
+        (3, "a b c d f"),            # 4/6 with 1
+        (4, "a b c d e f"),          # 5/6 with 1
+        (5, "x y z"),                # disjoint
+        (6, "x y z"),                # identical to 5
+        (7, "q"),                    # singleton
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def brute(th_num, th_den):
+        sets = {i: set(t.split()) for i, t in rows}
+        out = set()
+        for a in sets:
+            for b in sets:
+                if a < b and sets[a] and sets[b]:
+                    inter = len(sets[a] & sets[b])
+                    union = len(sets[a] | sets[b])
+                    if inter * th_den >= union * th_num:
+                        out.add((a, b, inter, union))
+        return out
+
+    for num, den in [(1, 2), (4, 5), (1, 1)]:
+        got = {
+            (r.id_a, r.id_b, r.inter_sz, r.union_sz)
+            for r in jaccard_prefix_pairs(df, "doc_id", "text", num, den).collect()
+        }
+        assert got == brute(num, den), (num, den)
+
+
+def test_hll_merge_and_error_bound(spark):
+    """Register merge is exact: sketch(A) u sketch(B) re-aggregated ==
+    sketch(A u B). Estimate lands inside a generous multiple of the
+    1.04/sqrt(m) standard error."""
+    from lakeapi_spark.operators.sketches import hll_build, hll_estimate
+
+    a = spark.range(0, 3000).select(F.col("id").alias("k"))
+    b = spark.range(2000, 5000).select(F.col("id").alias("k"))  # overlap 1k
+    union = a.union(b)
+
+    regs_a = hll_build(a, "k", b=8)
+    regs_b = hll_build(b, "k", b=8)
+    merged = (
+        regs_a.union(regs_b).groupBy("reg").agg(F.max("mx").alias("mx"))
+    )
+    est_merged = hll_estimate(merged, b=8).collect()[0]
+    est_union = hll_estimate(hll_build(union, "k", b=8), b=8).collect()[0]
+    assert est_merged.n_est == est_union.n_est  # bit-exact merge
+
+    rel_err = abs(float(est_union.n_est) - 5000) / 5000
+    assert rel_err < 4 * 1.04 / (256 ** 0.5), rel_err
+
+
+def test_hll_small_range_linear_counting_branch(spark):
+    """Tiny cardinalities must route through the linear-counting
+    correction (raw HLL is biased low there)."""
+    from lakeapi_spark.operators.sketches import hll_build, hll_estimate
+
+    df = spark.range(0, 20).select(F.col("id").alias("k"))
+    est = float(hll_estimate(hll_build(df, "k", b=8), b=8).collect()[0].n_est)
+    assert abs(est - 20) / 20 < 0.25, est
+
+
+def test_bloom_never_false_negative(spark):
+    """Every built key must pass its own filter (the bloom contract);
+    false positives exist but stay well under the analytic bound."""
+    from lakeapi_spark.operators.sketches import bloom_build, bloom_probe
+
+    build = spark.range(0, 300).select(F.col("id").alias("k"))
+    probe = spark.range(0, 3000).select(F.col("id").alias("k"))
+    bits = bloom_build(build, "k", m_bits=4096, k=3)
+    out = {r.k: r.bloom_pass for r in bloom_probe(probe, bits, "k", 4096, 3).collect()}
+    assert all(out[i] for i in range(300))  # no false negatives
+    fp = sum(1 for i in range(300, 3000) if out[i])
+    # analytic fp rate (1 - e^-kn/m)^k ~ 0.8%; allow 4x slack
+    assert fp / 2700 < 0.032, fp
+
+
+def test_strip_boilerplate_lines_explicit(spark):
+    from lakeapi_spark.operators.text import strip_boilerplate_lines
+
+    banner = "accept cookies to continue"
+    rows = [
+        (1, f"{banner}\nreal prose one\nmore prose"),
+        (2, f"{banner}\nother text"),
+        (3, f"{banner}\nthird doc body"),
+        (4, "unique document\n\n  \nwith blank lines"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # banner in 3/4 docs > 1/2 -> stripped; everything else kept
+    out = {
+        r.id: (r.n_lines, r.n_kept, r.kept_text)
+        for r in strip_boilerplate_lines(df, "doc_id", "text", 1, 2).collect()
+    }
+    assert out[1] == (3, 2, "real prose one\nmore prose")
+    assert out[2] == (2, 1, "other text")
+    assert out[3] == (2, 1, "third doc body")
+    # blank/whitespace lines are not lines at all
+    assert out[4] == (2, 2, "unique document\nwith blank lines")
