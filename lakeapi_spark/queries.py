@@ -6387,3 +6387,91 @@ def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_boilerplate_lines(
         lin, "doc_id", "lined", max_frac_num=1, max_frac_den=100
     )
+
+
+def _clone_demo_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build-once SOURCE + SHALLOW CLONE pair for the clone query:
+    source = orders subset (bucket-partitioned), DV-delete keys
+    divisible by 5, then SHALLOW CLONE (metadata-only commit,
+    absolute-path adds + 'u'->'p' DV rewrite). The CLONE then diverges:
+    DV-delete status 'F' rows and append three sentinel rows — none of
+    which may leak back into the source."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from lakeapi_spark.sources.delta import clone_delta, delete_delta, write_delta
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "lakeapi_delta_clone_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    src, dst = os.path.join(root, "src"), os.path.join(root, "clone")
+    marker = os.path.join(root, "_clone_done")
+    if not os.path.exists(marker):
+        if os.path.isdir(root):
+            shutil.rmtree(root)
+        os.makedirs(root)
+        base = table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_orderkey") % 4).cast("string").alias("bucket"),
+        )
+        write_delta(base, src, mode="append", partition_by=["bucket"])
+        delete_delta(spark, src, "o_orderkey % 5 = 0")
+        clone_delta(spark, src, dst)
+        delete_delta(spark, dst, "o_orderstatus = 'F'")
+        extra = spark.createDataFrame(
+            [(900000001, "X"), (900000002, "X"), (900000003, "X")],
+            "o_orderkey long, o_orderstatus string",
+        ).withColumn("bucket", (F.col("o_orderkey") % 4).cast("string"))
+        write_delta(extra, dst, mode="append", partition_by=["bucket"])
+        with open(marker, "w") as f:
+            f.write("ok")
+    return src, dst
+
+
+@register(
+    "delta_clone_shallow",
+    """
+    WITH live AS (
+      SELECT o_orderkey, o_orderstatus, CAST(o_orderkey % 4 AS VARCHAR) AS bucket
+      FROM orders WHERE o_orderkey % 5 <> 0
+    ), clone_rows AS (
+      SELECT o_orderkey, bucket FROM live WHERE o_orderstatus <> 'F'
+      UNION ALL
+      SELECT * FROM (VALUES (900000001, '1'), (900000002, '2'), (900000003, '3'))
+        v(o_orderkey, bucket)
+    ), src_side AS (
+      SELECT 'source' AS side, bucket, COUNT(*) AS n_rows,
+             CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+      FROM live GROUP BY 2
+    ), clone_side AS (
+      SELECT 'clone' AS side, bucket, COUNT(*) AS n_rows,
+             CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+      FROM clone_rows GROUP BY 2
+    )
+    SELECT * FROM src_side UNION ALL SELECT * FROM clone_side
+    """,
+)
+def delta_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE divergence proof: per-bucket summaries of the
+    source AND its mutated clone in one result — the clone sees
+    absolute-path source files minus its own DV deletes plus its own
+    appends; the source is untouched by any of it. Exercises
+    cross-root reads, 'u'->'p' DV rewrite, clone-local DVs, and a
+    metadata-only 100 TB copy. See sources/delta.py:clone_delta."""
+    from lakeapi_spark.sources.readers import read_source
+
+    src, dst = _clone_demo_tables(spark, sf_dir)
+
+    def side(path: str, name: str) -> DataFrame:
+        return (
+            read_source(spark, path, "delta")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("o_orderkey").alias("sum_key"))
+            .select(F.lit(name).alias("side"), "bucket", "n_rows", "sum_key")
+        )
+
+    return side(src, "source").unionByName(side(dst, "clone"))

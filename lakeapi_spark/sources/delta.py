@@ -353,6 +353,16 @@ def _norm_path(uri: str) -> str:
     return os.path.normpath(stripped)
 
 
+def _add_abs(base: str, path: str) -> str:
+    """Absolute location of an add action's data file. The protocol
+    allows ``add.path`` to be table-root-relative (the normal case) OR
+    absolute — shallow clones reference the SOURCE table's files
+    absolutely (delta-spark CLONE semantics; PROTOCOL.md "path ...
+    absolute path"). Every site that turns an add into a readable
+    location must resolve through this helper."""
+    return path if path.startswith("/") or "://" in path else f"{base}/{path}"
+
+
 def _file_path_raw_col():
     """``_metadata.file_path`` as a RAW path column: scheme folded to
     '/', percent-encoding decoded. Literal '+' must survive
@@ -415,7 +425,7 @@ def _deleted_positions_df(
         payload = read_dv_payload(dv, _read_rel_or_abs)
         card = int(dv.get("cardinality") or 0)
         total_card += card
-        rows.append((_norm_path(f"{base}/{rel}"), bytearray(payload), card))
+        rows.append((_norm_path(_add_abs(base, rel)), bytearray(payload), card))
 
     if total_card <= _DV_LOCAL_DECODE_LIMIT:
         # small DVs (the common case): decode on the driver and ship a
@@ -527,7 +537,7 @@ def _files_to_df(
     groups: dict[tuple, list[str]] = {}
     for path, pvals in files.items():
         key = tuple(pvals.get(phys[c]) for c in pcols)
-        groups.setdefault(key, []).append(f"{base}/{path}")
+        groups.setdefault(key, []).append(_add_abs(base, path))
 
     parts = []
     for key, paths in sorted(groups.items(), key=lambda kv: tuple(str(k) for k in kv[0])):
@@ -2190,7 +2200,7 @@ def merge_delta(
     # _metadata.file_path is an absolute file: URI; map back to the
     # log's relative paths (the dict is bounded by the file count)
     abs_to_rel = {
-        os.path.abspath(f"{base}/{rel}"): rel for rel in snap.files
+        os.path.abspath(_add_abs(base, rel)): rel for rel in snap.files
     }
     touched: list[str] = []
     for row in matched_files_rows:
@@ -2378,7 +2388,7 @@ def update_delta(
     )
     if not matched_files_rows:
         return snap.version  # no-op
-    abs_to_rel = {os.path.abspath(f"{base}/{rel}"): rel for rel in snap.files}
+    abs_to_rel = {os.path.abspath(_add_abs(base, rel)): rel for rel in snap.files}
     touched: list[str] = []
     for row in matched_files_rows:
         rel = abs_to_rel.get(_uri_to_raw_path(row["_file"]))
@@ -2575,7 +2585,7 @@ def delete_delta(
             "instead of building giant deletion vectors"
         )
 
-    abs_to_rel = {os.path.abspath(f"{base}/{rel}"): rel for rel in snap.files}
+    abs_to_rel = {os.path.abspath(_add_abs(base, rel)): rel for rel in snap.files}
     new_positions: dict[str, set[int]] = {}
     for abs_uri, group in pdf.groupby("_file"):
         rel = abs_to_rel.get(_uri_to_raw_path(abs_uri))
@@ -3044,7 +3054,7 @@ def optimize_delta(
                 *[F.col(f.name).alias(phys[f.name]) for f in data_fields]
             )
         else:
-            df = spark.read.schema(data_schema).parquet(*[f"{base}/{r}" for r in rels])
+            df = spark.read.schema(data_schema).parquet(*[_add_abs(base, r) for r in rels])
         staging = f"{base}/.optimize-{uuid.uuid4().hex}"
         df.coalesce(target_files_per_partition).write.mode("overwrite").parquet(staging)
         rel_dir = "/".join(
@@ -3206,7 +3216,7 @@ def restore_delta(
                 _local_path(dv["pathOrInlineDv"])
             ):  # absolute path outside the table root
                 missing.append(dv["pathOrInlineDv"])
-    missing += [rel for rel in needed if not os.path.exists(f"{base}/{rel}")]
+    missing += [rel for rel in needed if not os.path.exists(_add_abs(base, rel))]
     if missing:
         raise ValueError(
             f"cannot restore {base} to v{version}: {len(missing)} data "
@@ -3248,6 +3258,63 @@ def restore_delta(
     raise ConcurrentDeltaModificationError(
         f"could not commit RESTORE to {base} after {max_commit_retries} attempts"
     )
+
+
+def clone_delta(
+    spark: SparkSession, src: str, dst: str, version: int | None = None
+) -> int:
+    """SHALLOW CLONE: create a new delta table at ``dst`` whose version
+    0 references the SOURCE table's data files by absolute path — zero
+    data copied, so cloning a 100 TB table is a metadata-only commit
+    (delta-spark's CREATE TABLE ... SHALLOW CLONE semantics; the
+    reference engine has no write surface at all — this extends the
+    from-scratch writer). ``version`` clones a historical snapshot
+    (time-travel clone). The clone is independent from then on: writes
+    land under ``dst`` as normal relative files; removes just drop the
+    absolute references. Caveat shared with delta-spark: VACUUM on the
+    source deletes from under a shallow clone — vacuum only walks its
+    own table root, so the clone's references are invisible to it.
+
+    Deletion vectors survive: relative 'u' descriptors are rewritten as
+    absolute 'p' descriptors into the source root (same offset/length),
+    inline 'i' and already-absolute 'p' pass through unchanged.
+
+    Returns the clone's committed version (always 0)."""
+    import os
+    import uuid
+
+    sbase = _local_path(src).rstrip("/")
+    dbase = _local_path(dst).rstrip("/")
+    if os.path.normpath(sbase) == os.path.normpath(dbase):
+        raise ValueError("cannot clone a table onto itself")
+    snap = delta_snapshot(spark, sbase, version)
+    log = f"{dbase}/_delta_log"
+    if os.path.exists(log):
+        raise ValueError(f"clone destination {dbase} is already a delta table")
+    os.makedirs(log, exist_ok=True)
+    md = dict(snap.metadata_raw)
+    md["id"] = str(uuid.uuid4())  # a clone is a NEW table identity
+    md.setdefault("format", {"provider": "parquet", "options": {}})
+    actions: list[dict] = [{"protocol": dict(snap.protocol)}, {"metaData": md}]
+    for rel, pvals in snap.files.items():
+        add = dict(snap.adds_raw.get(rel) or {"path": rel})
+        add["path"] = _add_abs(sbase, rel)
+        add.setdefault("partitionValues", pvals)
+        if add.get("stats") is not None and not isinstance(add["stats"], str):
+            add["stats"] = json.dumps(add["stats"])
+        dv = add.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            from lakeapi_spark.sources.dv import dv_relative_path
+
+            add["deletionVector"] = {
+                **{k: v for k, v in dv.items() if k != "pathOrInlineDv"},
+                "storageType": "p",
+                "pathOrInlineDv": f"{sbase}/{dv_relative_path(dv['pathOrInlineDv'])}",
+            }
+        actions.append({"add": add})
+    if not _try_commit(log, 0, actions, operation="CLONE"):
+        raise ValueError(f"clone destination {dbase} is already a delta table")
+    return 0
 
 
 #: checkpoint parquet layout: one action per row, exactly one non-null

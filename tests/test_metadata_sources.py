@@ -3111,3 +3111,95 @@ class TestDeltaAlterColumns:
         assert sync_identity_delta(spark, path, "rid") == delta_snapshot(spark, path).version
         with pytest.raises(ValueError, match="not an identity column"):
             sync_identity_delta(spark, path, "v")
+
+
+class TestDeltaShallowClone:
+    def _mk_src(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from lakeapi_spark.sources.delta import delete_delta, write_delta
+
+        src = str(tmp_path / "src")
+        df = spark.range(0, 100).select(
+            F.col("id"), (F.col("id") % 3).cast("string").alias("p")
+        )
+        write_delta(df, src, partition_by=["p"])
+        delete_delta(spark, src, "id >= 90")  # source carries a DV
+        return src
+
+    def test_clone_reads_source_snapshot(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import clone_delta, read_delta
+
+        src = self._mk_src(spark, tmp_path)
+        dst = str(tmp_path / "dst")
+        assert clone_delta(spark, src, dst) == 0
+        assert sorted(r.id for r in read_delta(spark, dst).collect()) == sorted(
+            r.id for r in read_delta(spark, src).collect()
+        )
+        # metadata-only: the clone dir holds no parquet
+        import os
+
+        data_files = [
+            f
+            for root, _, fs in os.walk(dst)
+            for f in fs
+            if f.endswith(".parquet") and "_delta_log" not in root
+        ]
+        assert data_files == []
+
+    def test_clone_divergence_is_isolated(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from lakeapi_spark.sources.delta import (
+            clone_delta,
+            delete_delta,
+            read_delta,
+            write_delta,
+        )
+
+        src = self._mk_src(spark, tmp_path)
+        dst = str(tmp_path / "dst")
+        clone_delta(spark, src, dst)
+        delete_delta(spark, dst, "id < 10")  # clone-local DV over an EXTERNAL file
+        write_delta(
+            spark.range(1000, 1005).select(F.col("id"), F.lit("9").alias("p")), dst
+        )
+        assert read_delta(spark, dst).count() == 85
+        assert read_delta(spark, src).count() == 90  # source untouched
+
+    def test_clone_vacuum_never_touches_source(self, spark, tmp_path):
+        import os
+
+        from lakeapi_spark.sources.delta import clone_delta, delete_delta, vacuum_delta
+
+        src = self._mk_src(spark, tmp_path)
+        dst = str(tmp_path / "dst")
+        clone_delta(spark, src, dst)
+        delete_delta(spark, dst, "id < 50")
+        before = {
+            os.path.join(r, f) for r, _, fs in os.walk(src) for f in fs
+        }
+        vacuum_delta(spark, dst, keep_versions=0)
+        after = {os.path.join(r, f) for r, _, fs in os.walk(src) for f in fs}
+        assert before == after
+
+    def test_time_travel_clone(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import clone_delta, read_delta
+
+        src = self._mk_src(spark, tmp_path)
+        dst = str(tmp_path / "dst0")
+        clone_delta(spark, src, dst, version=0)  # before the DV delete
+        assert read_delta(spark, dst).count() == 100
+
+    def test_clone_onto_existing_table_refuses(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from lakeapi_spark.sources.delta import clone_delta
+
+        src = self._mk_src(spark, tmp_path)
+        dst = str(tmp_path / "dst")
+        clone_delta(spark, src, dst)
+        with _pytest.raises(ValueError, match="already a delta table"):
+            clone_delta(spark, src, dst)
+        with _pytest.raises(ValueError, match="onto itself"):
+            clone_delta(spark, src, src)
