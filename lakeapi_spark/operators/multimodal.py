@@ -775,3 +775,122 @@ def decode_real(df: DataFrame) -> DataFrame:
             "n_channels long, n_px long, pixel_sum long, pixel_checksum long"
         ),
     )
+
+
+def attach_pcm_wav_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Typed media table whose payloads are COMPLETE, VALID PCM WAV
+    files (RIFF + fmt + data, mono s16le @ 16 kHz) with deterministic
+    synthetic samples s_i = ((id*31 + i*17) mod 2001) - 1000 over
+    n = 64 + id mod 64 frames — a waveform an oracle can re-derive in
+    pure SQL, so the real byte-level decode in
+    :func:`wav_decode_samples` is verifiable end-to-end. All JVM
+    expressions (hex assembly + unhex), no Python in the build."""
+    rid = F.col(id_col).cast("long")
+    n = (F.lit(64) + rid % 64).cast("long")
+
+    def le(v, nbytes):
+        h = F.lpad(F.hex(v), nbytes * 2, "0")
+        return F.concat(
+            *[F.substring(h, 2 * i + 1, 2) for i in range(nbytes - 1, -1, -1)]
+        )
+
+    header = F.concat(
+        F.lit("52494646"),  # "RIFF"
+        le(n * 2 + 36, 4),
+        F.lit("57415645666D742010000000"),  # "WAVE" + "fmt " + 16 LE
+        F.lit("0100"),  # PCM
+        F.lit("0100"),  # 1 channel
+        le(F.lit(16000).cast("long"), 4),
+        le(F.lit(32000).cast("long"), 4),  # byte rate
+        F.lit("0200"),  # block align
+        F.lit("1000"),  # 16 bits/sample
+        F.lit("64617461"),  # "data"
+        le(n * 2, 4),
+    )
+
+    def sample_le16(i):
+        v = (rid * 31 + i * 17) % 2001 - 1000
+        vv = (v + 65536) % 65536  # 16-bit two's complement
+        h = F.lpad(F.hex(vv), 4, "0")
+        return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+    data = F.array_join(
+        F.transform(F.sequence(F.lit(0), n - 1), sample_le16), ""
+    )
+    payload = F.unhex(F.concat(header, data))
+    return df.select(
+        rid.alias("id"),
+        payload.alias("payload"),
+        F.lit("audio/wav").alias("media_type"),
+        F.lit(1).alias("width"),
+        F.lit(1).alias("height"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def wav_decode_samples(df: DataFrame) -> DataFrame:
+    """REAL WAV sample decode, stdlib only: walk the RIFF chunk chain
+    (not a fixed offset — fmt may be followed by LIST/fact chunks in
+    the wild), reject non-PCM/non-16-bit forms, then decode the data
+    chunk as little-endian int16 frames. Output is reduced to
+    SQL-re-derivable integers (frame count, energy Σ s², peak |s|) so
+    an oracle that knows the fixture waveform verifies the byte path
+    end-to-end; rms stays OUT of the kernel so the caller computes it
+    with engine ROUND semantics. Malformed payloads yield
+    ``valid=false`` rows. Scale shape: mapInPandas over Arrow batches,
+    per-row cost linear in the audio length."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import pandas as pd
+
+        def decode_one(raw: bytes):
+            if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+                raise ValueError("bad signature")
+            pos, fmt, data = 12, None, None
+            while pos + 8 <= len(raw):
+                typ = raw[pos : pos + 4]
+                (ln,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+                body = raw[pos + 8 : pos + 8 + ln]
+                if len(body) != ln:
+                    raise ValueError("truncated chunk")
+                if typ == b"fmt ":
+                    fmt = body
+                elif typ == b"data":
+                    data = body
+                pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+            if fmt is None or data is None:
+                raise ValueError("missing fmt/data")
+            audio_fmt, channels = struct.unpack("<HH", fmt[:4])
+            bits = struct.unpack("<H", fmt[14:16])[0]
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError("not 16-bit PCM")
+            if len(data) % (2 * channels):
+                raise ValueError("ragged frame")
+            vals = struct.unpack(f"<{len(data) // 2}h", data)
+            n = len(vals)
+            sum_sq = sum(v * v for v in vals)
+            peak = max((abs(v) for v in vals), default=0)
+            return n // channels, int(channels), sum_sq, peak
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                try:
+                    nf, ch, ss, pk = decode_one(bytes(payload))
+                    rows.append((int(rid), True, nf, ch, ss, pk))
+                except Exception:  # noqa: BLE001 - malformed -> invalid row
+                    rows.append((int(rid), False, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "valid", "n_frames", "n_channels", "sum_sq", "peak"],
+            )
+
+    return df.select("id", "payload").mapInPandas(
+        kernel,
+        schema=(
+            "id long, valid boolean, n_frames long, n_channels long, "
+            "sum_sq long, peak long"
+        ),
+    )

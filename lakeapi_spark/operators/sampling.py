@@ -340,3 +340,47 @@ def domain_reputation(
         (F.col("n_lang").cast("double") / F.col("n_docs")).alias("lang_share"),
         verdict.alias("verdict"),
     )
+
+
+def weighted_sample_aes(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the
+    Efraimidis-Spirakis A-ES scheme (IPL 2006) — each row draws
+    u = hash(seed:key)/2^60 in (0, 1] and the k rows with the largest
+    u^(1/w) win; inclusion probability is proportional to weight, and
+    because the "randomness" is the stable md5-derived hash, the same
+    (seed, keys, weights) always select the same rows. Rows with
+    weight <= 0 or NULL never qualify.
+
+    Ranked on key = ln(u)/w (monotone in u^(1/w), one libm call
+    instead of pow) ROUNDED to 9 decimals with the row key as
+    tiebreak, so the selection is a total order two engines agree on
+    (libm ln disagreement is ~1e-16 relative; adjacent sample keys at
+    any realistic corpus size are ~1/n apart).
+
+    Plan: per-row expressions + ONE global top-k — Spark compiles the
+    orderBy(...).limit(k) to TakeOrderedAndProject (per-partition
+    heaps + a k-row driver merge), so there is no full sort and no
+    wide shuffle at any corpus size. Returns the winning rows plus
+    ``sample_key``."""
+    u = (
+        key_hash(F.concat(F.lit(f"aes{seed}:"), F.col(key_col).cast("string"))).cast(
+            "double"
+        )
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 60))
+    w = F.col(weight_col).cast("double")
+    # + 0.0 folds IEEE -0.0 (u == 1 exactly) to +0.0 — engines differ
+    # on which zero ROUND emits
+    key = F.round(F.log(u) / w, 9) + F.lit(0.0)
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), F.col(key_col))
+        .limit(k)
+    )

@@ -6475,3 +6475,75 @@ def delta_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return side(src, "source").unionByName(side(dst, "clone"))
+
+
+@register(
+    "weighted_sample_orders",
+    """
+    SELECT o_orderkey, sample_key
+    FROM (
+      SELECT o_orderkey,
+             ROUND(
+               LN((CAST(CAST(concat('0x', substr(md5(concat('aes0:', CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT) AS DOUBLE) + 1.0)
+                  / 1152921504606846976.0)
+               / CAST(o_totalprice AS DOUBLE), 9) + 0.0 AS sample_key
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+    )
+    ORDER BY sample_key DESC, o_orderkey
+    LIMIT 200
+    """,
+)
+def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement: 200
+    orders drawn with probability proportional to o_totalprice, fully
+    deterministic (hash-derived randomness) and executed as a global
+    top-k (TakeOrderedAndProject — per-partition heaps, no full sort).
+    See operators/sampling.weighted_sample_aes."""
+    from lakeapi_spark.operators.sampling import weighted_sample_aes
+
+    o = table(spark, sf_dir, "orders")
+    return weighted_sample_aes(o, "o_orderkey", "o_totalprice", k=200).select(
+        "o_orderkey", "sample_key"
+    )
+
+
+@register(
+    "multimodal_wav_decode",
+    """
+    WITH ids AS (SELECT doc_id AS id FROM documents),
+    s AS (
+      SELECT id, ((id * 31 + i * 17) % 2001) - 1000 AS v
+      FROM (SELECT id, unnest(range(0, 64 + id % 64)) AS i FROM ids)
+    )
+    SELECT id, TRUE AS valid, COUNT(*) AS n_frames,
+           CAST(SUM(CAST(v * v AS BIGINT)) AS BIGINT) AS sum_sq,
+           CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+           CAST(ROUND(SQRT(CAST(SUM(CAST(v * v AS BIGINT)) AS DOUBLE) / COUNT(*)), 6) AS DOUBLE) AS rms
+    FROM s GROUP BY id
+    """,
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: synthesize complete PCM WAV files
+    (JVM hex assembly), parse them back byte-level in an Arrow kernel
+    (RIFF chunk walk + s16le frames), and verify energy/peak against
+    the analytic waveform. rms is computed JVM-side from the kernel's
+    exact integers so ROUND semantics match the oracle. See
+    operators/multimodal.attach_pcm_wav_payload/wav_decode_samples."""
+    from lakeapi_spark.operators.multimodal import (
+        attach_pcm_wav_payload,
+        wav_decode_samples,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    dec = wav_decode_samples(attach_pcm_wav_payload(d, "doc_id"))
+    return dec.select(
+        "id",
+        "valid",
+        "n_frames",
+        "sum_sq",
+        "peak",
+        F.round(
+            F.sqrt(F.col("sum_sq").cast("double") / F.col("n_frames")), 6
+        ).alias("rms"),
+    )

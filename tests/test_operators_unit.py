@@ -1277,3 +1277,80 @@ def test_strip_boilerplate_lines_explicit(spark):
     assert out[3] == (2, 1, "third doc body")
     # blank/whitespace lines are not lines at all
     assert out[4] == (2, 2, "unique document\nwith blank lines")
+
+
+def test_weighted_sample_aes_properties(spark):
+    from lakeapi_spark.operators.sampling import weighted_sample_aes
+
+    rows = [(i, 1.0 if i < 900 else 100.0) for i in range(1000)]
+    rows += [(2000, 0.0), (2001, -5.0), (2002, None)]  # never eligible
+    df = spark.createDataFrame(rows, "k long, w double")
+    got = weighted_sample_aes(df, "k", "w", k=100)
+    ids = [r.k for r in got.collect()]
+    assert len(ids) == 100 and len(set(ids)) == 100
+    assert not {2000, 2001, 2002} & set(ids)
+    # 100 heavy rows at 100x weight should dominate the sample
+    heavy = sum(1 for i in ids if i >= 900)
+    assert heavy > 50, heavy
+    # deterministic: same call, same selection
+    again = [r.k for r in weighted_sample_aes(df, "k", "w", k=100).collect()]
+    assert ids == again
+
+
+def test_wav_decode_samples_interop_and_malformed(spark):
+    """Decode a WAV written by the STDLIB wave module (independent
+    writer - proves the chunk walk is a real parser, not a fixture
+    echo), plus malformed payloads -> valid=false."""
+    import io
+    import struct
+    import wave
+
+    from lakeapi_spark.operators.multimodal import wav_decode_samples
+
+    vals = [0, 1000, -1000, 32767, -32768, 7]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(struct.pack(f"<{len(vals)}h", *vals))
+    good = buf.getvalue()
+
+    rows = [
+        (1, bytearray(good)),
+        (2, bytearray(b"RIFFgarbage")),         # truncated
+        (3, bytearray(b"\x00" * 64)),           # wrong signature
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r.id: r for r in wav_decode_samples(df).collect()}
+    assert out[1].valid and out[1].n_channels == 2
+    assert out[1].n_frames == len(vals) // 2
+    assert out[1].sum_sq == sum(v * v for v in vals)
+    assert out[1].peak == 32768
+    assert not out[2].valid and not out[3].valid
+
+
+def test_attach_pcm_wav_roundtrip_via_stdlib_reader(spark):
+    """The JVM-assembled payload must be a WAV the stdlib wave module
+    itself can read back — byte-level validity, not just self-consistency."""
+    import io
+    import struct
+    import wave
+
+    from lakeapi_spark.operators.multimodal import attach_pcm_wav_payload
+
+    df = spark.createDataFrame([(5,), (70,)], "doc_id long")
+    payloads = {
+        r.id: bytes(r.payload)
+        for r in attach_pcm_wav_payload(df, "doc_id").collect()
+    }
+    for rid, raw in payloads.items():
+        with wave.open(io.BytesIO(raw)) as w:
+            assert w.getnchannels() == 1
+            assert w.getframerate() == 16000
+            assert w.getsampwidth() == 2
+            n = 64 + rid % 64
+            assert w.getnframes() == n
+            vals = struct.unpack(f"<{n}h", w.readframes(n))
+            expect = tuple(((rid * 31 + i * 17) % 2001) - 1000 for i in range(n))
+            assert vals == expect
