@@ -108,3 +108,70 @@ def pagerank(
             ).alias("pr")
         )
     return pr.select("node", "pr")
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    cache_handles: list | None = None,
+) -> DataFrame:
+    """Global triangle census of the UNDIRECTED simple graph induced by
+    ``edges`` (self-loops and duplicate/reverse edges collapse away):
+    one row (n_nodes, n_edges, n_triangles).
+
+    The join uses DEGREE ORIENTATION (Cohen 2009; Suri &
+    Vassilvitskii, "Counting triangles and the curse of the last
+    reducer", WWW'11 — both public): orient every edge from its
+    lower-(degree, id) endpoint to the higher one, then count paths
+    a->b->c closed by a->c. Each triangle is counted EXACTLY once, and
+    each oriented out-neighborhood is O(sqrt(m)) — so the wedge join's
+    fan-out is bounded even when a celebrity node has 10^8 neighbors,
+    which is precisely the skew that kills the naive u-joins-v-joins-w
+    plan at 100 TB. Three keyed shuffles (degree agg, wedge join,
+    closure join); the closure join is a semi-join carrying no
+    payload."""
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+        .persist()  # feeds degree agg, orientation join, and the edge count
+    )
+    if cache_handles is not None:
+        cache_handles.append(e)
+    deg = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    db = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    with_deg = e.join(da, "u").join(db, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = with_deg.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    o1, o2, o3 = o.alias("o1"), o.alias("o2"), o.alias("o3")
+    wedges = o1.join(o2, F.col("o1.b") == F.col("o2.a")).select(
+        F.col("o1.a").alias("wa"), F.col("o2.b").alias("wc")
+    )
+    tri = wedges.join(
+        o3, (F.col("wa") == F.col("o3.a")) & (F.col("wc") == F.col("o3.b")), "inner"
+    )
+    counts = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ne = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        F.broadcast(nn)
+        .crossJoin(F.broadcast(ne))
+        .crossJoin(counts)
+        .select("n_nodes", "n_edges", "n_triangles")
+    )

@@ -6547,3 +6547,43 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("sum_sq").cast("double") / F.col("n_frames")), 6
         ).alias("rms"),
     )
+
+
+@register(
+    "triangle_count_copurchase",
+    """
+    WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+    deg AS (
+      SELECT x, COUNT(*) AS d
+      FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1
+    ), o AS (
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.u < e.v) THEN e.u ELSE e.v END AS a,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e.u < e.v) THEN e.v ELSE e.u END AS b
+      FROM e JOIN deg da ON da.x = e.u JOIN deg db ON db.x = e.v
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT COUNT(*) FROM o o1
+              JOIN o o2 ON o2.a = o1.b
+              JOIN o o3 ON o3.a = o1.a AND o3.b = o2.b) AS n_triangles
+    """,
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph (parts are
+    adjacent when some order contains both). Degree orientation bounds
+    the wedge join's fan-out at O(sqrt(m)) per node — the skew-proof
+    plan shape for clustering-coefficient work at 100 TB. See
+    operators/graph.triangle_count."""
+    from lakeapi_spark.operators.graph import triangle_count
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    return triangle_count(edges)

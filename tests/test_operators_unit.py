@@ -1354,3 +1354,19 @@ def test_attach_pcm_wav_roundtrip_via_stdlib_reader(spark):
             vals = struct.unpack(f"<{n}h", w.readframes(n))
             expect = tuple(((rid * 31 + i * 17) % 2001) - 1000 for i in range(n))
             assert vals == expect
+
+
+def test_triangle_count_known_graphs(spark):
+    from lakeapi_spark.operators.graph import triangle_count
+
+    # K4 (4 triangles) plus a pendant edge, duplicates/reverses/self-loops
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(b, a) for a, b in k4] + [(3, 4), (2, 2), (0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = triangle_count(df).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (5, 7, 4)
+
+    # a triangle-free star
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
+    row = triangle_count(star).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (6, 5, 0)

@@ -523,3 +523,33 @@ def test_stream_ingest_guard_delta_sink_exactly_once(spark, tmp_path):
         assert {r["_batch_id"] for r in rows} == {0, 1, 2}
     finally:
         ch.unpersist()
+
+
+def test_stream_hll_registers_match_batch(spark, sf_dir, tmp_path):
+    """HLL register builds are streaming-native BECAUSE the sketch is
+    mergeable: groupBy(reg).max(rho) accumulates incrementally across
+    micro-batches, and the drained register table estimates to exactly
+    the batch sketch's value (bit-equal, not approximately)."""
+    from lakeapi_spark.operators.sketches import hll_build, hll_estimate
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    regs = hll_build(stream, "user_id", ("event_type",), b=8)
+    q = run_available_now(
+        regs, "stream_hll_regs", str(tmp_path / "ckpt_hll"), output_mode="complete"
+    )
+    got = {
+        (r.event_type,): (r.n_regs_set, float(r.n_est))
+        for r in hll_estimate(
+            spark.table("stream_hll_regs"), ("event_type",), b=8
+        ).collect()
+    }
+    want = {
+        (r.event_type,): (r.n_regs_set, float(r.n_est))
+        for r in hll_estimate(
+            hll_build(table(spark, sf_dir, "events"), "user_id", ("event_type",), b=8),
+            ("event_type",),
+            b=8,
+        ).collect()
+    }
+    assert got == want and got
+    q.stop()
