@@ -384,3 +384,42 @@ def weighted_sample_aes(
         .orderBy(F.col("sample_key").desc(), F.col(key_col))
         .limit(k)
     )
+
+
+def weighted_sample_aes_grouped(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    group_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-group Efraimidis-Spirakis weighted sampling without
+    replacement: the k highest-A-ES-key rows of EACH group — "200 docs
+    per language, drawn proportional to quality score" in one pass.
+    Same deterministic sample keys as :func:`weighted_sample_aes`;
+    selection is a window rank partitioned by the group (one hash
+    exchange on the group key, in-partition heapless rank). Mega-group
+    caveat matches :func:`quota_sample`: rate-filter pathological
+    groups first at 100 TB."""
+    u = (
+        key_hash(F.concat(F.lit(f"aes{seed}:"), F.col(key_col).cast("string"))).cast(
+            "double"
+        )
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 60))
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.log(u) / w, 9) + F.lit(0.0)
+    ranked = (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("sample_key", key)
+        .withColumn(
+            "sample_rank",
+            F.row_number().over(
+                Window.partitionBy(group_col).orderBy(
+                    F.col("sample_key").desc(), F.col(key_col)
+                )
+            ),
+        )
+    )
+    return ranked.filter(F.col("sample_rank") <= k)

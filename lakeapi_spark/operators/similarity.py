@@ -1020,3 +1020,60 @@ def kmeans_transition_matrix(
         a2.groupBy("cid_from", F.col("cid").alias("cid_to"))
         .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
+
+
+def random_projection(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dim: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with a DETERMINISTIC
+    sign matrix: proj_j = (1/sqrt(out_dim)) * sum_i v_i * sign(h(j,i)),
+    where the Rademacher sign is the parity of the portable 60-bit md5
+    hash — so any engine re-derives the exact projection (Achlioptas
+    2003: +-1 entries satisfy the JL lemma; no Gaussian sampling
+    needed). The dimension-reduced vectors feed LSH/clustering at a
+    fraction of the IO.
+
+    Returns (id, j, val) exploded rows with val decimal-summed then
+    rounded(6) — the engine-exact float discipline used everywhere.
+
+    Scale shape: pure expressions, ONE shuffle (the (id, j) partial
+    aggregation); volume is n * dim * out_dim rows before map-side
+    combine, bounded by keeping out_dim small (its whole purpose). A
+    BLAS batch kernel is the drop-in upgrade for hot paths (same
+    contract as _assign_seeded_kernel); the expression form IS the
+    oracle-exact reference."""
+    from lakeapi_spark.operators.scale import fan_out as _fan_out
+    from lakeapi_spark.operators.text import portable_hash60 as _h60
+
+    inv = 1.0 / (out_dim ** 0.5)
+    ex = _fan_out(emb).select(
+        F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("i", "v")
+    )
+    ex2 = ex.select(
+        "id",
+        "i",
+        F.col("v").cast("double").alias("v"),
+        F.explode(F.sequence(F.lit(0), F.lit(out_dim - 1))).alias("j"),
+    )
+    sign = F.when(
+        _h60(
+            F.concat(
+                F.lit(f"rp{seed}:"),
+                F.col("j").cast("string"),
+                F.lit(":"),
+                F.col("i").cast("string"),
+            )
+        )
+        % 2
+        == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    term = (F.col("v") * sign * F.lit(inv)).cast("decimal(28,10)")
+    return (
+        ex2.groupBy("id", "j")
+        .agg((F.round(F.sum(term).cast("double"), 6) + F.lit(0.0)).alias("val"))
+    )

@@ -6587,3 +6587,68 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_count(edges)
+
+
+@register(
+    "weighted_sample_per_lang",
+    """
+    SELECT lang, doc_id, sample_rank
+    FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY sample_key DESC, doc_id) AS sample_rank
+      FROM (
+        SELECT lang, doc_id,
+               ROUND(
+                 LN((CAST(CAST(concat('0x', substr(md5(concat('aes0:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS DOUBLE) + 1.0)
+                    / 1152921504606846976.0)
+                 / CAST(n_chars AS DOUBLE), 9) + 0.0 AS sample_key
+        FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0
+      )
+    )
+    WHERE sample_rank <= 25
+    """,
+)
+def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language weighted sampling without replacement: 25 docs per
+    lang drawn with probability proportional to n_chars — the balanced
+    corpus-construction primitive (language quota + quality weighting
+    in one deterministic pass). See
+    operators/sampling.weighted_sample_aes_grouped."""
+    from lakeapi_spark.operators.sampling import weighted_sample_aes_grouped
+
+    d = table(spark, sf_dir, "documents")
+    return weighted_sample_aes_grouped(
+        d, "doc_id", "n_chars", "lang", k=25
+    ).select("lang", "doc_id", "sample_rank")
+
+
+@register(
+    "random_projection_jl",
+    """
+    WITH ex AS (
+      SELECT vec_id AS id, i, CAST(embedding[i + 1] AS DOUBLE) AS v
+      FROM (SELECT vec_id, embedding, unnest(range(0, len(embedding))) AS i
+            FROM embeddings)
+    ), ex2 AS (
+      SELECT id, i, v, unnest(range(0, 8)) AS j FROM ex
+    ), signed AS (
+      SELECT id, j,
+             v * (CASE WHEN CAST(concat('0x', substr(md5(concat('rp0:', CAST(j AS VARCHAR), ':', CAST(i AS VARCHAR))), 1, 15)) AS BIGINT) % 2 = 0
+                       THEN 1.0 ELSE -1.0 END)
+               * 0.35355339059327373 AS term
+      FROM ex2
+    )
+    SELECT id, j,
+           CAST(ROUND(CAST(SUM(CAST(term AS DECIMAL(28,10))) AS DOUBLE), 6) + 0.0 AS DOUBLE) AS val
+    FROM signed GROUP BY id, j
+    """,
+)
+def random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss 64->8 dim reduction with a hash-derived
+    Rademacher matrix, exploded (id, j, val) form. See
+    operators/similarity.random_projection."""
+    from lakeapi_spark.operators.similarity import random_projection
+
+    e = table(spark, sf_dir, "embeddings")
+    return random_projection(e, "vec_id", "embedding", out_dim=8)

@@ -1370,3 +1370,17 @@ def test_triangle_count_known_graphs(spark):
     star = spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
     row = triangle_count(star).collect()[0]
     assert (row.n_nodes, row.n_edges, row.n_triangles) == (6, 5, 0)
+
+
+def test_random_projection_shape_and_linearity(spark):
+    from lakeapi_spark.operators.similarity import random_projection
+
+    rows = [(1, [1.0] * 16), (2, [2.0] * 16), (3, [0.0] * 16)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = random_projection(df, "vec_id", "embedding", out_dim=4).collect()
+    assert len(out) == 12  # 3 vecs x 4 dims
+    proj = {(r.id, r.j): r.val for r in out}
+    # linearity: projection of 2v is 2 * projection of v; zero stays zero
+    for j in range(4):
+        assert abs(proj[(2, j)] - 2 * proj[(1, j)]) < 1e-6
+        assert proj[(3, j)] == 0.0
