@@ -6247,6 +6247,7 @@ _HLL_RAW = (
       SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY 1
     ) x USING (event_type)
     """,
+    bench=True,
 )
 def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type distinct-user cardinality from a 256-register
@@ -6493,6 +6494,7 @@ def delta_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY sample_key DESC, o_orderkey
     LIMIT 200
     """,
+    bench=True,
 )
 def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis-Spirakis weighted sampling without replacement: 200
