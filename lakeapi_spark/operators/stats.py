@@ -64,3 +64,51 @@ def zscore_outliers(
         .filter(F.abs(F.col("z")) >= threshold)
         .drop("_g", "_n", "_s", "_ss", "_var")
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    digits: int = 4,
+) -> DataFrame:
+    """Per-group winsorized summary: clip values to the exact
+    interpolated [p_lo, p_hi] percentiles, then report
+    (group, n, n_clipped_low, n_clipped_high, mean_raw, mean_wins) —
+    the robust-mean preprocessing step that keeps a handful of
+    corrupt/outlier measurements from dragging a quality aggregate.
+    Each clipped value is ROUNDED(6) before the decimal sum
+    (round-before-average — engine-exact means, same discipline as
+    text.unigram_logprob).
+
+    Plan: one percentile aggregate per group (holistic — fine for
+    bounded group counts; swap approx_percentile's mergeable KLL
+    sketch for high-cardinality keys at 100 TB), broadcast back, one
+    map-side clip + final group aggregate. Two keyed shuffles."""
+    v = F.col(value_col).cast("double")
+    pcts = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.expr(f"percentile({value_col}, {lo!r})").alias("_plo"),
+        F.expr(f"percentile({value_col}, {hi!r})").alias("_phi"),
+    )
+    joined = df.join(
+        F.broadcast(pcts), df[group_col] == F.col("_g"), "inner"
+    )
+    clipped = F.least(F.greatest(v, F.col("_plo")), F.col("_phi"))
+    term = F.round(clipped, 6).cast("decimal(28,10)")
+    raw_term = F.round(v, 6).cast("decimal(28,10)")
+    return (
+        joined.groupBy(F.col(group_col))
+        .agg(
+            F.count(v).alias("n"),
+            F.sum((v < F.col("_plo")).cast("long")).alias("n_clipped_low"),
+            F.sum((v > F.col("_phi")).cast("long")).alias("n_clipped_high"),
+            F.round((F.sum(raw_term) / F.count(v)).cast("double"), digits).alias(
+                "mean_raw"
+            ),
+            F.round((F.sum(term) / F.count(v)).cast("double"), digits).alias(
+                "mean_wins"
+            ),
+        )
+    )

@@ -6654,3 +6654,97 @@ def random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     return random_projection(e, "vec_id", "embedding", out_dim=8)
+
+
+@register(
+    "winsorized_event_values",
+    """
+    WITH p AS (
+      SELECT event_type AS g,
+             quantile_cont(value, 0.05) AS plo,
+             quantile_cont(value, 0.95) AS phi
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type, COUNT(e.value) AS n,
+           CAST(SUM(CASE WHEN e.value < p.plo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+           CAST(SUM(CASE WHEN e.value > p.phi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+           CAST(ROUND(CAST(SUM(CAST(ROUND(e.value, 6) AS DECIMAL(28,10))) AS DOUBLE) / COUNT(e.value), 4) AS DOUBLE) AS mean_raw,
+           CAST(ROUND(CAST(SUM(CAST(ROUND(LEAST(GREATEST(e.value, p.plo), p.phi), 6) AS DECIMAL(28,10))) AS DOUBLE) / COUNT(e.value), 4) AS DOUBLE) AS mean_wins
+    FROM events e JOIN p ON p.g = e.event_type
+    GROUP BY e.event_type
+    """,
+)
+def winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorized mean vs raw mean with clip counts —
+    robust aggregation under outliers. See
+    operators/stats.winsorized_stats."""
+    from lakeapi_spark.operators.stats import winsorized_stats
+
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    return winsorized_stats(e, "event_type", "value", 0.05, 0.95)
+
+
+@register(
+    "session_paths_topk",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+                    OR CAST(floor(epoch(ts)) AS BIGINT) - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    ), paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT path, COUNT(*) AS n_sessions,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path) AS BIGINT) AS rank
+    FROM paths GROUP BY path
+    QUALIFY rank <= 20
+    """,
+)
+def session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session event-type paths (30-minute gap sessions): the
+    'what do users actually do' sequence census behind funnel design.
+    Sessionization reuses the windows operator; paths are rebuilt in
+    (ts, event_id) order so ties are deterministic. Two keyed window
+    passes + one path aggregate; the final top-k is a 20-row
+    TakeOrdered."""
+    from pyspark.sql.window import Window
+
+    from lakeapi_spark.operators.windows import sessionize
+
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    s = sessionize(e, "ts", "user_id", 1800, "event_id")
+    paths = (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda r: r["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    # TakeOrdered bounds the distinct-path relation to 20 rows BEFORE
+    # the single-partition rank window ever runs — the global window is
+    # over a constant-size input at any corpus size
+    top = counted.orderBy(F.col("n_sessions").desc(), F.col("path")).limit(20)
+    return top.select(
+        "path",
+        "n_sessions",
+        F.row_number()
+        .over(Window.orderBy(F.col("n_sessions").desc(), F.col("path")))
+        .alias("rank"),
+    )

@@ -1384,3 +1384,15 @@ def test_random_projection_shape_and_linearity(spark):
     for j in range(4):
         assert abs(proj[(2, j)] - 2 * proj[(1, j)]) < 1e-6
         assert proj[(3, j)] == 0.0
+
+
+def test_winsorized_stats_clips_outliers(spark):
+    from lakeapi_spark.operators.stats import winsorized_stats
+
+    rows = [(i, "g", 10.0) for i in range(98)] + [(98, "g", 0.0), (99, "g", 10000.0)]
+    df = spark.createDataFrame(rows, "i long, grp string, value double")
+    out = winsorized_stats(df, "grp", "value", 0.05, 0.95).collect()[0]
+    assert out.n == 100
+    assert out.n_clipped_low == 1 and out.n_clipped_high == 1
+    assert out.mean_raw > 100  # dragged by the outlier
+    assert out.mean_wins == 10.0  # robust: clipped to the p05/p95 band
