@@ -105,6 +105,65 @@ def asof_join(
     return matched.select(*out_cols)
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    by: list[str],
+    payload_cols: list[str],
+    tolerance_s: int | None = None,
+    payload_prefix: str = "right_",
+) -> DataFrame:
+    """Forward as-of join: every ``left`` row, plus ``payload_cols``
+    from the EARLIEST ``right`` row with ``right.ts >= left.ts`` within
+    the same ``by`` keys — optionally only when it lands within
+    ``tolerance_s`` seconds (outside-tolerance matches become NULLs,
+    like pandas ``merge_asof(direction='forward', tolerance=...)``).
+
+    Same union-and-window shape as :func:`asof_join` (one shuffle on
+    ``by``, no range self-join): sort DESCENDING so the running
+    last-non-null sees exactly the rows at-or-after the probe, with
+    right rows winning ties so an equal timestamp matches. The
+    tolerance is a post-hoc null-out — if the earliest following match
+    is outside tolerance, no following match is inside it.
+    """
+    payload = F.struct(F.col(ts_col).alias(ts_col), *[F.col(c) for c in payload_cols])
+    rp = right.select(
+        *[F.col(c) for c in by],
+        F.col(ts_col),
+        payload.alias("__p"),
+        F.lit(0).alias("__tag"),
+    )
+    lp = left.select(
+        "*",
+        F.lit(None).cast(rp.schema["__p"].dataType).alias("__p"),
+        F.lit(1).alias("__tag"),
+    )
+    unioned = lp.unionByName(rp, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(ts_col).desc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn("__m", F.last("__p", ignorenulls=True).over(w)).filter(
+        F.col("__tag") == 1
+    )
+    in_tol = F.lit(True)
+    if tolerance_s is not None:
+        in_tol = F.unix_timestamp(F.col(f"__m.{ts_col}")) - F.unix_timestamp(
+            F.col(ts_col)
+        ) <= F.lit(tolerance_s)
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(
+        F.when(in_tol, F.col(f"__m.{ts_col}")).alias(f"{payload_prefix}{ts_col}")
+    )
+    out_cols.extend(
+        F.when(in_tol, F.col(f"__m.{c}")).alias(f"{payload_prefix}{c}")
+        for c in payload_cols
+    )
+    return matched.select(*out_cols)
+
+
 def blocked_fuzzy_pairs(
     df: DataFrame,
     key_col: str,

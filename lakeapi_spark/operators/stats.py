@@ -112,3 +112,143 @@ def winsorized_stats(
             ),
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Median-absolute-deviation outliers — the robust twin of
+    :func:`zscore_outliers`: a single extreme value inflates σ enough
+    to hide itself from a z-test, but cannot move the median. Flags
+    rows where ``0.6745 * |v - median| / MAD >= k`` (the 0.6745
+    consistency constant makes the score σ-comparable for normal data;
+    Iglewicz-Hoskin recommend k=3.5). Groups with MAD = 0 produce no
+    outliers (score undefined).
+
+    Plan: two holistic percentile aggregates (group median, then median
+    of |v - med|) and one broadcast-scored map pass — two keyed
+    shuffles over the GROUP relation, the fact stream itself shuffles
+    once. percentile() is exact/holistic, right for bounded group
+    counts; swap approx_percentile's mergeable sketch above ~1e6
+    groups.
+    """
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    dev = df.join(F.broadcast(med), df[group_col] == F.col("_g")).withColumn(
+        "_adev", F.abs(v - F.col("_med"))
+    )
+    mad = dev.groupBy("_g").agg(
+        F.expr("percentile(_adev, 0.5)").alias("_mad"), F.first("_med").alias("_m2")
+    )
+    score = F.round(F.lit(0.6745) * F.abs(v - F.col("_m2")) / F.col("_mad") + 0.0,
+                    round_digits)
+    return (
+        df.join(F.broadcast(mad), df[group_col] == F.col("_g"))
+        .filter(F.col("_mad") > 0)
+        .withColumn("robust_z", score)
+        .filter(F.col("robust_z") >= k)
+        .drop("_g", "_mad", "_m2")
+    )
+
+
+def psi_drift(
+    base: DataFrame,
+    cur: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_bins: int = 10,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Population Stability Index between a baseline and a current
+    sample, per group: equal-width bins over the BASELINE's per-group
+    [min, max] (values outside clamp into the edge bins, so the two
+    samples always share a bin space), Laplace-smoothed proportions
+    (+0.5 per bin), ``PSI = Σ (p−q)·ln(p/q)``. The standard drift
+    gate in front of a model/data refresh: <0.1 stable, >0.25 drifted.
+
+    Plan: baseline bounds are one partial-agg groupBy broadcast to both
+    sides; each side bins map-side and partially aggregates to at most
+    ``groups × n_bins`` rows before the single merge join — the fact
+    tables shuffle nothing but their bin counts.
+    """
+    v = F.col(value_col).cast("double")
+    bounds = base.groupBy(F.col(group_col).alias("_g")).agg(
+        F.min(v).alias("_mn"), F.max(v).alias("_mx")
+    )
+
+    def binned(df: DataFrame, n_name: str) -> DataFrame:
+        width = (F.col("_mx") - F.col("_mn")) / n_bins
+        raw = F.floor((v - F.col("_mn")) / width)
+        b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+        return (
+            df.join(F.broadcast(bounds), df[group_col] == F.col("_g"))
+            .filter(F.col("_mx") > F.col("_mn"))
+            .groupBy(F.col("_g").alias("g"), b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(n_name))
+        )
+
+    bt = binned(base, "nb").groupBy("g").agg(
+        F.sum("nb").alias("tb"), F.collect_list(F.struct("bin", "nb")).alias("lb")
+    )
+    ct = binned(cur, "nc").groupBy("g").agg(
+        F.sum("nc").alias("tc"), F.collect_list(F.struct("bin", "nc")).alias("lc")
+    )
+    # dense bin spine per group so empty bins still contribute their
+    # smoothed mass (PSI is undefined without smoothing otherwise)
+    spine = bt.join(ct, "g").select(
+        "g", "tb", "tc", "lb", "lc", F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin")
+    )
+    # F.get is the null-on-missing element accessor (element_at raises
+    # under ANSI when the per-bin filter comes back empty)
+    pick = lambda lst, n: F.coalesce(
+        F.get(F.filter(F.col(lst), lambda s: s["bin"] == F.col("bin")), 0)[n],
+        F.lit(0),
+    )
+    p = (pick("lb", "nb").cast("double") + 0.5) / (F.col("tb") + 0.5 * n_bins)
+    q = (pick("lc", "nc").cast("double") + 0.5) / (F.col("tc") + 0.5 * n_bins)
+    return (
+        spine.withColumn("_term", (p - q) * F.log(p / q))
+        .groupBy(F.col("g").alias(group_col))
+        .agg(
+            F.round(F.sum("_term") + 0.0, round_digits).alias("psi"),
+            F.max("tb").alias("n_base"),
+            F.max("tc").alias("n_cur"),
+        )
+    )
+
+
+def orphan_counts(
+    pairs: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit: for each (name, child, fk, parent,
+    pk) relationship, count child rows whose non-null FK has no parent
+    (LEFT ANTI join) plus null-FK rows, reported separately. The
+    data-quality sweep run before trusting join results at scale.
+
+    Each relationship is child-anti-join-parent with the parent's
+    DISTINCT key — broadcastable for dimension-sized parents, shuffle
+    otherwise, and the child side is a 2-column projection either way.
+    Results union to |pairs| rows.
+    """
+    outs = []
+    for name, child, fk, parent, pk in pairs:
+        keys = parent.select(F.col(pk).alias(fk)).distinct()
+        nn = child.select(fk).filter(F.col(fk).isNotNull())
+        orphans = nn.join(keys, fk, "left_anti")
+        outs.append(
+            child.select(
+                F.lit(name).alias("relationship"),
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(F.col(fk).isNull().cast("long")).alias("n_null_fk"),
+            ).crossJoin(orphans.select(F.count(F.lit(1)).alias("n_orphans")))
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select("relationship", "n_child", "n_null_fk", "n_orphans")

@@ -111,6 +111,64 @@ def session_stats(
     )
 
 
+def scd2_collapse(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Collapse an observation stream into SCD Type-2 validity ranges:
+    consecutive observations of the same ``attr_col`` value per key
+    become one row with ``(valid_from, valid_to, is_current, n_obs)``,
+    where ``valid_to`` is the next version's ``valid_from`` (half-open
+    range) and NULL on the current version. This is the
+    dimension-history builder a lakehouse runs over a change stream
+    before serving point-in-time joins.
+
+    Spelling is gaps-and-islands: a change flag (null-safe — a NULL
+    attribute is a distinct tracked value, not a wildcard) feeds a
+    running sum that numbers versions per key; one aggregate per
+    version closes the ranges via ``lead``. Timestamps are emitted as
+    epoch seconds (tz-naive-safe for the oracle hash).
+
+    Scale shape: both window passes and the final aggregate partition
+    by ``key_col`` — ONE exchange covers all three; no self-join, no
+    range join. ``tiebreak`` must make the per-key order total or
+    version boundaries are nondeterministic.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(tiebreak))
+    prev = F.lag(F.col(attr_col)).over(w)
+    first_row = F.row_number().over(w) == 1
+    changed = F.when(
+        first_row | ~F.col(attr_col).eqNullSafe(prev), 1
+    ).otherwise(0)
+    numbered = df.withColumn(
+        "_ver",
+        F.sum(changed).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    e = _epoch(F.col(ts_col))
+    versions = numbered.groupBy(key_col, "_ver").agg(
+        F.min_by(F.col(attr_col), F.struct(F.col(ts_col), F.col(tiebreak))).alias(
+            "attr_value"
+        ),
+        F.min(e).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    wv = Window.partitionBy(key_col).orderBy("_ver")
+    return versions.select(
+        F.col(key_col),
+        F.col("_ver").cast("long").alias("version"),
+        "attr_value",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+        "n_obs",
+    )
+
+
 def gapfill_locf(
     df: DataFrame,
     ts_col: str,

@@ -6748,3 +6748,238 @@ def session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("n_sessions").desc(), F.col("path")))
         .alias("rank"),
     )
+
+
+@register(
+    "scd2_order_priority_history",
+    """
+    WITH ordered AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+             CASE WHEN ROW_NUMBER() OVER w = 1
+                       OR o_orderpriority IS DISTINCT FROM LAG(o_orderpriority) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), ver AS (
+      SELECT *, CAST(SUM(chg) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+      FROM ordered
+    ), agg AS (
+      SELECT o_custkey, version, MIN(o_orderpriority) AS attr_value,
+             CAST(MIN(floor(epoch(o_orderdate))) AS BIGINT) AS valid_from,
+             COUNT(*) AS n_obs
+      FROM ver GROUP BY 1, 2
+    )
+    SELECT o_custkey, version, attr_value, valid_from,
+           LEAD(valid_from) OVER wv AS valid_to,
+           LEAD(valid_from) OVER wv IS NULL AS is_current,
+           n_obs
+    FROM agg
+    WINDOW wv AS (PARTITION BY o_custkey ORDER BY version)
+    """,
+)
+def scd2_order_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history: each customer's order-priority
+    observation stream collapsed into half-open validity ranges with an
+    is_current flag — the lakehouse dimension-maintenance primitive
+    (operators/windows.scd2_collapse; one exchange on the key covers
+    both window passes and the version aggregate)."""
+    from lakeapi_spark.operators.windows import scd2_collapse
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"
+    )
+    return scd2_collapse(o, "o_custkey", "o_orderdate", "o_orderpriority", "o_orderkey")
+
+
+@register(
+    "asof_click_after_purchase_15m",
+    """
+    WITH r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT l.event_id, l.user_id,
+           CAST(floor(epoch(l.ts)) AS BIGINT) AS ts_s,
+           CASE WHEN floor(epoch(r.ts)) - floor(epoch(l.ts)) <= 900
+                THEN CAST(floor(epoch(r.ts)) AS BIGINT) END AS click_ts_s,
+           CASE WHEN floor(epoch(r.ts)) - floor(epoch(l.ts)) <= 900
+                THEN r.value END AS click_value
+    FROM events l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+    WHERE l.event_type = 'purchase'
+    """,
+)
+def asof_click_after_purchase_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: for every purchase, the user's
+    FIRST click at-or-after it, kept only when it lands within 15
+    minutes (post-purchase engagement attribution). DuckDB's native
+    forward ASOF is the oracle; ours is the descending union+window
+    plan (operators/joins.asof_join_forward, one shuffle on user_id)."""
+    from lakeapi_spark.operators.joins import asof_join_forward
+
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof_join_forward(
+        purchases, clicks, "ts", ["user_id"], ["value"],
+        tolerance_s=900, payload_prefix="click_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("ts_s"),
+        F.floor(F.unix_timestamp("click_ts")).cast("long").alias("click_ts_s"),
+        F.col("click_value"),
+    )
+
+
+@register(
+    "mad_outlier_events",
+    """
+    WITH med AS (
+      SELECT event_type AS g, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ), dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m ON e.event_type = m.g
+    ), mad AS (
+      SELECT event_type AS g, MIN(med) AS med, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT event_id, event_type, value, robust_z FROM (
+      SELECT e.event_id, e.event_type, e.value,
+             ROUND(0.6745 * ABS(e.value - m.med) / m.mad + 0.0, 4) AS robust_z
+      FROM events e JOIN mad m ON e.event_type = m.g
+      WHERE m.mad > 0
+    ) WHERE robust_z >= 3.5
+    """,
+)
+def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outliers per event type — the robust
+    outlier gate a single extreme value can't hide from (unlike σ in a
+    z-test). operators/stats.mad_outliers: two holistic group
+    percentiles broadcast back, fact stream scored map-side."""
+    from lakeapi_spark.operators.stats import mad_outliers
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return mad_outliers(e, "event_type", "value", k=3.5)
+
+
+@register(
+    "psi_event_value_drift",
+    """
+    WITH ep AS (
+      SELECT event_type, value, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+    ), sp AS (
+      SELECT CAST(FLOOR((MIN(es) + MAX(es)) / 2) AS BIGINT) AS s FROM ep
+    ), base AS (
+      SELECT event_type, value FROM ep, sp WHERE es < sp.s
+    ), cur AS (
+      SELECT event_type, value FROM ep, sp WHERE es >= sp.s
+    ), bounds AS (
+      SELECT event_type AS g, MIN(value) AS mn, MAX(value) AS mx
+      FROM base GROUP BY 1
+    ), bb AS (
+      SELECT b.g,
+             LEAST(GREATEST(CAST(FLOOR((t.value - b.mn) / ((b.mx - b.mn) / 10)) AS INT), 0), 9) AS bin,
+             COUNT(*) AS nb
+      FROM base t JOIN bounds b ON t.event_type = b.g WHERE b.mx > b.mn GROUP BY 1, 2
+    ), cb AS (
+      SELECT b.g,
+             LEAST(GREATEST(CAST(FLOOR((t.value - b.mn) / ((b.mx - b.mn) / 10)) AS INT), 0), 9) AS bin,
+             COUNT(*) AS nc
+      FROM cur t JOIN bounds b ON t.event_type = b.g WHERE b.mx > b.mn GROUP BY 1, 2
+    ), tot AS (
+      SELECT tb.g, tb.tb, tc.tc FROM (SELECT g, SUM(nb) AS tb FROM bb GROUP BY 1) tb
+      JOIN (SELECT g, SUM(nc) AS tc FROM cb GROUP BY 1) tc ON tb.g = tc.g
+    ), spine AS (
+      SELECT tot.g, tot.tb, tot.tc, r.bin FROM tot
+      CROSS JOIN (SELECT UNNEST(range(0, 10)) AS bin) r
+    ), terms AS (
+      SELECT s.g, s.tb, s.tc,
+             (CAST(COALESCE(bb.nb, 0) AS DOUBLE) + 0.5) / (s.tb + 5.0) AS p,
+             (CAST(COALESCE(cb.nc, 0) AS DOUBLE) + 0.5) / (s.tc + 5.0) AS q
+      FROM spine s
+      LEFT JOIN bb ON bb.g = s.g AND bb.bin = s.bin
+      LEFT JOIN cb ON cb.g = s.g AND cb.bin = s.bin
+    )
+    SELECT g AS event_type, ROUND(SUM((p - q) * LN(p / q)) + 0.0, 4) AS psi,
+           MAX(tb) AS n_base, MAX(tc) AS n_cur
+    FROM terms GROUP BY 1
+    """,
+)
+def psi_event_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the value distribution per event
+    type, first half vs second half of the stream's time range — the
+    standard drift gate before a data/model refresh
+    (operators/stats.psi_drift: baseline-anchored equal-width bins,
+    Laplace smoothing, counts-only shuffles)."""
+    from lakeapi_spark.operators.stats import psi_drift
+
+    e = table(spark, sf_dir, "events").select(
+        "event_type", "value", F.unix_timestamp("ts").cast("long").alias("_es")
+    )
+    b = e.agg(
+        F.floor((F.min("_es") + F.max("_es")) / 2).cast("long").alias("_split")
+    )
+    w = e.crossJoin(F.broadcast(b))
+    base = w.filter(F.col("_es") < F.col("_split")).select("event_type", "value")
+    cur = w.filter(F.col("_es") >= F.col("_split")).select("event_type", "value")
+    return psi_drift(base, cur, "event_type", "value", n_bins=10)
+
+
+@register(
+    "fk_integrity_audit",
+    """
+    SELECT 'orders->customer' AS relationship, COUNT(*) AS n_child,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk,
+           (SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem->orders', COUNT(*),
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           (SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem->part', COUNT(*),
+           CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           (SELECT COUNT(*) FROM lineitem l WHERE l.l_partkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem->even_supplier', COUNT(*),
+           CAST(SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           (SELECT COUNT(*) FROM lineitem l WHERE l.l_suppkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey % 2 = 0 AND s.s_suppkey = l.l_suppkey))
+    FROM lineitem
+    """,
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity sweep: orphaned-FK counts per declared
+    relationship (operators/stats.orphan_counts; anti-join per pair
+    against the parent's distinct keys). The last relationship audits
+    against an intentionally-restricted parent (even supplier keys) so
+    a NONZERO orphan path is exercised, not just the happy path."""
+    from lakeapi_spark.operators.stats import orphan_counts
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    c = table(spark, sf_dir, "customer")
+    p = table(spark, sf_dir, "part")
+    s = table(spark, sf_dir, "supplier")
+    return orphan_counts([
+        ("orders->customer", o, "o_custkey", c, "c_custkey"),
+        ("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+        ("lineitem->part", li, "l_partkey", p, "p_partkey"),
+        (
+            "lineitem->even_supplier",
+            li,
+            "l_suppkey",
+            s.filter(F.col("s_suppkey") % 2 == 0),
+            "s_suppkey",
+        ),
+    ])

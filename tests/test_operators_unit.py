@@ -1396,3 +1396,78 @@ def test_winsorized_stats_clips_outliers(spark):
     assert out.n_clipped_low == 1 and out.n_clipped_high == 1
     assert out.mean_raw > 100  # dragged by the outlier
     assert out.mean_wins == 10.0  # robust: clipped to the p05/p95 band
+
+
+def test_scd2_collapse_versions_and_ranges(spark):
+    from lakeapi_spark.operators.windows import scd2_collapse
+
+    rows = [
+        (1, 100, 10, "A"), (1, 200, 11, "A"), (1, 300, 12, "B"),
+        (1, 400, 13, "A"),  # A again -> NEW version, not merged with v1
+        (2, 100, 20, None), (2, 200, 21, None),  # null attr tracked as a value
+    ]
+    df = spark.createDataFrame(rows, "k int, es long, tb int, attr string").select(
+        "k", F.timestamp_seconds("es").alias("ts"), "tb", "attr"
+    )
+    out = {(r.k, r.version): r for r in
+           scd2_collapse(df, "k", "ts", "attr", "tb").collect()}
+    assert len(out) == 4
+    v1, v2, v3 = out[(1, 1)], out[(1, 2)], out[(1, 3)]
+    assert (v1.attr_value, v1.valid_from, v1.valid_to, v1.is_current, v1.n_obs) == ("A", 100, 300, False, 2)
+    assert (v2.attr_value, v2.valid_from, v2.valid_to) == ("B", 300, 400)
+    assert (v3.attr_value, v3.valid_to, v3.is_current) == ("A", None, True)
+    n = out[(2, 1)]
+    assert n.attr_value is None and n.n_obs == 2 and n.is_current
+
+
+def test_asof_forward_tolerance_and_ties(spark):
+    from lakeapi_spark.operators.joins import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 500), (3, 2, 100)], "id int, u int, es long"
+    ).select("id", "u", F.timestamp_seconds("es").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, 100, 7.0), (1, 650, 8.0)], "u int, es long, v double"
+    ).select("u", F.timestamp_seconds("es").alias("ts"), F.col("v"))
+    out = {r.id: r for r in asof_join_forward(
+        left, right, "ts", ["u"], ["v"], tolerance_s=100
+    ).collect()}
+    assert out[1].right_v == 7.0  # equal timestamp matches
+    assert out[2].right_v is None  # next is 150s away, outside tolerance
+    assert out[3].right_v is None and out[3].right_ts is None  # no right rows
+
+
+def test_mad_outliers_robust_to_single_spike(spark):
+    from lakeapi_spark.operators.stats import mad_outliers
+
+    rows = [(i, "g", float(v)) for i, v in enumerate([10, 11, 9, 10, 12, 10, 11, 9, 10, 1000])]
+    df = spark.createDataFrame(rows, "id int, grp string, value double")
+    out = mad_outliers(df, "grp", "value", k=3.5).collect()
+    assert [r.id for r in out] == [9]  # the spike, and only the spike
+
+
+def test_psi_drift_detects_shift(spark):
+    from lakeapi_spark.operators.stats import psi_drift
+
+    base = spark.createDataFrame(
+        [("a", float(i % 10)) for i in range(200)] + [("b", float(i % 10)) for i in range(200)],
+        "g string, value double",
+    )
+    shifted = spark.createDataFrame(
+        [("a", float(i % 10)) for i in range(200)] + [("b", float(i % 10) + 6.0) for i in range(200)],
+        "g string, value double",
+    )
+    out = {r.g: r.psi for r in psi_drift(base, shifted, "g", "value").collect()}
+    assert out["a"] < 0.01  # identical distribution -> ~0
+    assert out["b"] > 0.25  # shifted by 6 of 10 widths -> drifted
+
+
+def test_orphan_counts_nonzero_and_null_fk(spark):
+    from lakeapi_spark.operators.stats import orphan_counts
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id int, fk int"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk int")
+    r = orphan_counts([("c->p", child, "fk", parent, "pk")]).collect()[0]
+    assert (r.n_child, r.n_null_fk, r.n_orphans) == (4, 1, 1)
