@@ -423,3 +423,64 @@ def weighted_sample_aes_grouped(
         )
     )
     return ranked.filter(F.col("sample_rank") <= k)
+
+
+def budget_select(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    weight_col: str,
+    budget: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Greedy budgeted selection: walk rows in (score DESC, id ASC)
+    order and keep them while the running ``weight_col`` total stays
+    within ``budget`` — the "take the best documents until the token
+    budget is full" curriculum step of a training-data pipeline.
+    Returns the kept rows plus ``cum_weight`` (inclusive running
+    total).
+
+    The naive spelling is a GLOBAL window (one partition eats the
+    corpus). This one is a distributed two-pass prefix sum:
+    approxQuantile boundaries on the score split rows into
+    ``n_buckets`` value-disjoint buckets map-side (ties share a
+    bucket, so bucket order extends to a correct total order); bucket
+    weight totals — at most ``n_buckets`` rows — come to the driver to
+    form exclusive offsets; the intra-bucket running sum is a window
+    PARTITIONED BY bucket. Every stage is bounded: no global sort, no
+    single-partition window, driver traffic = n_buckets rows.
+    """
+    bnds = sorted(
+        set(
+            df.stat.approxQuantile(
+                score_col, [i / n_buckets for i in range(1, n_buckets)], 0.001
+            )
+        )
+    )
+    arr = F.array(*[F.lit(float(b)) for b in bnds])
+    # count of boundaries strictly above the score: highest scores ->
+    # bucket 0, so bucket ASC == score DESC between buckets
+    bucket = F.size(F.filter(arr, lambda b: b > F.col(score_col).cast("double")))
+    rows = df.withColumn("_bkt", bucket)
+    totals = {
+        r["_bkt"]: r["_w"]
+        for r in rows.groupBy("_bkt").agg(F.sum(weight_col).alias("_w")).collect()
+    }
+    off, offsets = 0, {}
+    for b in sorted(totals):
+        offsets[b] = off
+        off += totals[b]
+    omap = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (omap[F.col("_bkt")] + F.sum(weight_col).over(w)).cast("long")
+    return (
+        rows.withColumn("cum_weight", cum)
+        .filter(F.col("cum_weight") <= budget)
+        .drop("_bkt")
+    )

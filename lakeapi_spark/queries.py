@@ -6983,3 +6983,225 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey",
         ),
     ])
+
+
+@register(
+    "lang_temperature_weights",
+    """
+    WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+    t AS (SELECT SUM(n_docs) AS tot,
+                 CAST(SUM(CAST(POW(n_docs, 0.3) AS DECIMAL(28,10))) AS DOUBLE) AS tp
+          FROM c)
+    SELECT lang, n_docs,
+           ROUND(CAST(n_docs AS DOUBLE) / tot + 0.0, 6) AS p_raw,
+           ROUND(POW(n_docs, 0.3) / tp + 0.0, 6) AS p_temp,
+           ROUND((POW(n_docs, 0.3) / tp) / (CAST(n_docs AS DOUBLE) / tot) + 0.0, 4)
+               AS upsample
+    FROM c, t
+    """,
+)
+def lang_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual sampling weights (the XLM-R
+    alpha=0.3 recipe): p_temp ∝ p_raw^0.3 flattens the language
+    distribution so low-resource languages are upsampled; ``upsample``
+    is the resulting per-language duplication factor. One tiny groupBy
+    plus a broadcast 1-row total — nothing driver-side."""
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = c.agg(
+        F.sum("n_docs").alias("_tot"),
+        F.sum(F.pow(F.col("n_docs"), F.lit(0.3)).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("_tp"),
+    )
+    j = c.crossJoin(F.broadcast(t))
+    p = F.col("n_docs").cast("double") / F.col("_tot")
+    q = F.pow(F.col("n_docs"), F.lit(0.3)) / F.col("_tp")
+    return j.select(
+        "lang",
+        "n_docs",
+        F.round(p + 0.0, 6).alias("p_raw"),
+        F.round(q + 0.0, 6).alias("p_temp"),
+        F.round(q / p + 0.0, 4).alias("upsample"),
+    )
+
+
+@register(
+    "token_budget_head",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+      FROM documents WHERE regexp_matches(text, '\S')
+    ), s AS (
+      SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+             ROUND(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) AS quality
+      FROM t
+    ), c AS (
+      SELECT doc_id, quality, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_weight
+      FROM s
+    )
+    SELECT doc_id, quality, n_tokens, cum_weight FROM c WHERE cum_weight <= 10000
+    """,
+)
+def token_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked token-budget selection: keep the
+    highest-unique-token-ratio documents until a 10k-token budget is
+    spent — the curriculum/cut step of a data pipeline. The global
+    running sum is the DISTRIBUTED two-pass prefix sum of
+    operators/sampling.budget_select (bucketed by score quantiles, no
+    single-partition window), oracle'd against DuckDB's global
+    window."""
+    from lakeapi_spark.operators.sampling import budget_select
+
+    d = table(spark, sf_dir, "documents").filter(F.col("text").rlike(r"\S"))
+    tk = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    s = d.select(
+        "doc_id",
+        F.size(tk).cast("long").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(tk)).cast("double") / F.size(tk), 6
+        ).alias("quality"),
+    )
+    out = budget_select(s, "doc_id", "quality", "n_tokens", budget=10000)
+    return out.select("doc_id", "quality", "n_tokens", "cum_weight")
+
+
+@register(
+    "split_leakage_audit",
+    f"""
+    WITH pairs AS ({_JACCARD_ORACLE}),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 8
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM documents
+    )
+    SELECT p.id_a, p.id_b, p.jaccard, sa.split AS split_a, sb.split AS split_b
+    FROM pairs p
+    JOIN sp sa ON sa.doc_id = p.id_a
+    JOIN sp sb ON sb.doc_id = p.id_b
+    WHERE sa.split <> sb.split
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit: near-duplicate document pairs
+    (exact bigram Jaccard >= 0.2, the dedup_ngram_jaccard machinery)
+    that STRADDLE a hash-based 80/20 train/eval split — each one is an
+    eval document whose twin leaked into training. The pair relation
+    is the bounded candidate set; split labels join on after."""
+    from lakeapi_spark.operators.dedup import ngram_jaccard_pairs
+    from lakeapi_spark.operators.sampling import key_hash
+
+    d = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.2)
+    split = F.when(key_hash(F.col("doc_id")) % 10 < 8, "train").otherwise("eval")
+    sp = d.select("doc_id", split.alias("split"))
+    return (
+        pairs.join(sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")), "id_a")
+        .join(sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")), "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+    )
+
+
+def _imv_demo_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once delta table for the incremental-view-maintenance
+    query: v0 = orders subset (key, status, price, bucket) with CDF
+    enabled; v1 = UPDATE flipping status to 'U' where key % 53 == 0
+    (precise pre/post images in _change_data); v2 = append of new 'N'
+    rows where key % 97 == 1. Deterministic function of orders, so
+    DuckDB re-derives the final state from first principles."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from lakeapi_spark.sources.delta import update_delta, write_delta
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "lakeapi_delta_imv_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    marker = os.path.join(dest, "_imv_done")
+    if not os.path.exists(marker):
+        if os.path.isdir(dest):  # stale partial build: start over
+            shutil.rmtree(dest)
+        o = table(spark, sf_dir, "orders")
+        base = o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            (F.col("o_orderkey") % 4).cast("string").alias("bucket"),
+        )
+        write_delta(
+            base,
+            dest,
+            mode="append",
+            partition_by=["bucket"],
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        update_delta(spark, dest, {"o_orderstatus": "'U'"}, "o_orderkey % 53 = 0")
+        appended = o.filter(F.col("o_orderkey") % 97 == 1).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            F.col("o_totalprice"),
+            (F.col("o_orderkey") % 4).cast("string").alias("bucket"),
+        )
+        write_delta(appended, dest, mode="append", partition_by=["bucket"])
+        with open(marker, "w") as f:
+            f.write("v2\n")
+    return dest
+
+
+@register(
+    "delta_incremental_agg_refresh",
+    """
+    WITH final_state AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 53 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+             o_totalprice, CAST(o_orderkey % 4 AS VARCHAR) AS bucket
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey + 100000000, 'N', o_totalprice,
+             CAST(o_orderkey % 4 AS VARCHAR)
+      FROM orders WHERE o_orderkey % 97 = 1
+    )
+    SELECT bucket, o_orderstatus, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(28,10))), 2) AS DOUBLE)
+               AS sum_price
+    FROM final_state GROUP BY 1, 2
+    """,
+)
+def delta_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh: the (bucket, status)
+    COUNT/SUM aggregate materialized at delta v0 is brought up to date
+    by consuming ONLY the change feed of v1 (CDF update with pre/post
+    images) and v2 (append) — operators/incremental.py. The oracle is
+    a from-scratch recompute of the final state: DECIMAL accumulation
+    makes incremental == full to the last bit, which is the property
+    that lets a 100 TB table maintain its rollups at churn cost."""
+    from lakeapi_spark.operators.incremental import cdf_agg_delta, refresh_agg
+    from lakeapi_spark.sources.delta import delta_changes
+    from lakeapi_spark.sources.readers import read_source
+
+    dest = _imv_demo_table(spark, sf_dir)
+    v0 = read_source(spark, dest, "delta", {"versionAsOf": "0"})
+    agg0 = v0.groupBy("bucket", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("double").cast("decimal(28,10)")).alias(
+            "sum_o_totalprice"
+        ),
+    )
+    ch = delta_changes(spark, dest, 0, None)
+    d = cdf_agg_delta(ch, ["bucket", "o_orderstatus"], ["o_totalprice"])
+    ref = refresh_agg(
+        agg0, d, ["bucket", "o_orderstatus"], "n", ["o_totalprice"]
+    )
+    return ref.select(
+        "bucket",
+        "o_orderstatus",
+        "n",
+        F.round(F.col("sum_o_totalprice"), 2).cast("double").alias("sum_price"),
+    )

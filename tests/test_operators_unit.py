@@ -1471,3 +1471,41 @@ def test_orphan_counts_nonzero_and_null_fk(spark):
     parent = spark.createDataFrame([(10,), (20,)], "pk int")
     r = orphan_counts([("c->p", child, "fk", parent, "pk")]).collect()[0]
     assert (r.n_child, r.n_null_fk, r.n_orphans) == (4, 1, 1)
+
+
+def test_budget_select_matches_global_window(spark):
+    from lakeapi_spark.operators.sampling import budget_select
+
+    rows = [(i, float((i * 37) % 100), (i % 7) + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, score double, w long")
+    got = {
+        (r.id, r.cum_weight)
+        for r in budget_select(df, "id", "score", "w", budget=300, n_buckets=8).collect()
+    }
+    # naive oracle: global (score desc, id) order, inclusive running sum
+    cum, want = 0, set()
+    for _, _, i, w in sorted((-s, i, i, w) for i, s, w in rows):
+        cum += w
+        if cum <= 300:
+            want.add((i, cum))
+    assert got == want and len(got) > 0
+
+
+def test_refresh_agg_moves_and_drops_groups(spark):
+    from lakeapi_spark.operators.incremental import cdf_agg_delta, refresh_agg
+
+    agg0 = spark.createDataFrame(
+        [("a", 2, 10.0), ("b", 1, 5.0)], "k string, n long, s double"
+    ).select("k", "n", F.col("s").cast("decimal(28,10)").alias("sum_v"))
+    changes = spark.createDataFrame(
+        [
+            ("a", 4.0, "update_preimage"),   # row leaves group a ...
+            ("c", 4.0, "update_postimage"),  # ... and lands in NEW group c
+            ("b", 5.0, "delete"),            # empties group b entirely
+        ],
+        "k string, v double, _change_type string",
+    )
+    d = cdf_agg_delta(changes, ["k"], ["v"])
+    out = {r.k: (r.n, float(r.sum_v)) for r in
+           refresh_agg(agg0, d, ["k"], "n", ["v"]).collect()}
+    assert out == {"a": (1, 6.0), "c": (1, 4.0)}  # b dropped at n=0
