@@ -1548,3 +1548,31 @@ def jaccard_prefix_pairs(
             F.round(F.col("inter_sz") / union_sz, 6).alias("jaccard"),
         )
     )
+
+
+def best_dedup_keepers(
+    df: DataFrame, id_col: str, text_col: str, score_col: str
+) -> DataFrame:
+    """Exact dedup keeping the BEST duplicate instead of the first:
+    one row per distinct normalized text with the keeper chosen by
+    (score DESC, id ASC) — what a pipeline wants when duplicates
+    differ in upstream quality (cleanest extraction wins, not lowest
+    id). Same one-shuffle shape as :func:`exact_dedup_keepers`:
+    ``max_by`` over a packed (score, -id) ordering struct, partial
+    aggregation map-side."""
+    pick = F.struct(
+        F.col(score_col).alias("s"), (-F.col(id_col)).alias("ni")
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(score_col),
+            F.md5(normalized(F.col(text_col))).alias("fingerprint"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.max_by(F.col(id_col), pick).alias("keeper_id"),
+            F.max(F.col(score_col)).alias("keeper_score"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )

@@ -221,3 +221,44 @@ def gapfill_locf(
         F.col(value_name).isNull().alias("is_gap"),
         fill.alias("filled_value"),
     )
+
+
+def twap(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Time-weighted average value per key: each observation holds
+    until the next one (LOCF step function), so the average weights
+    every value by how LONG it was in force — the standard TWAP/uptime
+    aggregation where a plain AVG would over-count bursts. Keys with
+    one observation (zero total duration) are dropped. Weighted terms
+    accumulate in DECIMAL so the result is engine-exact.
+
+    One window pass (lead) and one aggregate, both partitioned by
+    ``key_col`` — a single exchange."""
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col))
+    e = _epoch(F.col(ts_col))
+    dur = (F.lead(e).over(w) - e).cast("long")
+    terms = df.withColumn("_dur", dur).filter(F.col("_dur").isNotNull())
+    v = F.col(value_col).cast("double")
+    return (
+        terms.groupBy(key_col)
+        .agg(
+            F.sum((v * F.col("_dur")).cast("decimal(28,10)")).alias("_num"),
+            F.sum("_dur").alias("duration_s"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .filter(F.col("duration_s") > 0)
+        .select(
+            F.col(key_col),
+            F.round(
+                (F.col("_num").cast("double") / F.col("duration_s")) + 0.0,
+                round_digits,
+            ).alias("twap_value"),
+            "duration_s",
+            "n_obs",
+        )
+    )

@@ -7205,3 +7205,140 @@ def delta_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
         "n",
         F.round(F.col("sum_o_totalprice"), 2).cast("double").alias("sum_price"),
     )
+
+
+@register(
+    "twap_event_value",
+    """
+    WITH stamped AS (
+      SELECT user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             LEAD(CAST(floor(epoch(ts)) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts) AS nxt
+      FROM events
+    ), terms AS (
+      SELECT user_id, value, nxt - es AS dur FROM stamped WHERE nxt IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(ROUND(CAST(SUM(CAST(value * dur AS DECIMAL(28,10))) AS DOUBLE)
+                      / SUM(dur) + 0.0, 4) AS DOUBLE) AS twap_value,
+           CAST(SUM(dur) AS BIGINT) AS duration_s,
+           COUNT(*) AS n_obs
+    FROM terms GROUP BY user_id HAVING SUM(dur) > 0
+    """,
+)
+def twap_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average event value per user — each value holds
+    until the user's next event, so bursts don't over-count (the
+    TWAP/uptime aggregation; operators/windows.twap, one exchange for
+    the lead window AND the aggregate)."""
+    from lakeapi_spark.operators.windows import twap
+
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return twap(e, "ts", "user_id", "value")
+
+
+@register(
+    "token_entropy_docs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents WHERE regexp_matches(text, '\S')
+    ), cnt AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(ROUND(LOG2(CAST(SUM(c) AS DOUBLE))
+                      - CAST(SUM(CAST(c * LOG2(CAST(c AS DOUBLE)) AS DECIMAL(28,10))) AS DOUBLE)
+                        / SUM(c) + 0.0, 4) AS DOUBLE) AS entropy
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of each document's token distribution —
+    the repetition/diversity quality signal (low entropy = a few
+    tokens dominate; boilerplate and keyword-stuffed docs score low).
+    Identity used: H = log2(n) − Σ c·log2(c) / n, with the Σ term in
+    DECIMAL for order-independent engine-exact sums. Explode, two
+    keyed aggregates — doc-partitioned throughout."""
+    d = table(spark, sf_dir, "documents").filter(F.col("text").rlike(r"\S"))
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    cnt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(
+                (F.col("c") * F.log2(F.col("c").cast("double"))).cast("decimal(28,10)")
+            ).alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.log2(F.col("n_tokens").cast("double"))
+                - F.col("_s").cast("double") / F.col("n_tokens")
+                + 0.0,
+                4,
+            ).alias("entropy"),
+        )
+    )
+
+
+@register(
+    "dedup_keep_best",
+    r"""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents WHERE regexp_matches(text, '\S')
+      UNION ALL
+      SELECT doc_id + 1000000, text || '  '
+      FROM documents WHERE regexp_matches(text, '\S') AND doc_id % 7 = 0
+    ), scored AS (
+      SELECT doc_id, text,
+             ROUND(CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS DOUBLE) / 1000, 6) AS quality
+      FROM aug
+    ), ranked AS (
+      SELECT doc_id, quality,
+             md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+      FROM scored
+    )
+    SELECT fingerprint, keeper_id, keeper_score, n_dups FROM (
+      SELECT fingerprint,
+             FIRST(doc_id ORDER BY quality DESC, doc_id ASC) AS keeper_id,
+             MAX(quality) AS keeper_score,
+             COUNT(*) AS n_dups
+      FROM ranked GROUP BY 1
+    ) WHERE n_dups > 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup that keeps the highest-QUALITY duplicate instead of
+    the lowest id — what a pipeline wants when duplicate extractions
+    differ in upstream cleanliness
+    (operators/dedup.best_dedup_keepers, one max_by shuffle). The
+    corpus has no exact duplicates, so the query injects them
+    deterministically: every 7th doc reappears under a shifted id with
+    whitespace-mutated text (normalizes identically) and a
+    hash-derived per-row extraction-quality score decides the
+    keeper."""
+    from lakeapi_spark.operators.dedup import best_dedup_keepers
+    from lakeapi_spark.operators.sampling import key_hash
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("text").rlike(r"\S"))
+        .select("doc_id", "text")
+    )
+    dup = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("  ")).alias("text"),
+    )
+    scored = d.unionByName(dup).withColumn(
+        "quality",
+        F.round((key_hash(F.col("doc_id")) % 1000).cast("double") / 1000, 6),
+    )
+    return best_dedup_keepers(scored, "doc_id", "text", "quality").filter(
+        F.col("n_dups") > 1
+    )

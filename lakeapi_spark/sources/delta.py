@@ -2108,6 +2108,8 @@ def merge_delta(
     max_commit_retries: int = 10,
     collect_stats: bool = True,
     validate_unique_keys: bool = True,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """MERGE INTO (upsert) as a copy-on-write commit — the write-path
     operator delta-spark calls ``DeltaTable.merge`` and the reference
@@ -2282,10 +2284,18 @@ def merge_delta(
             for p in parts[1:]:
                 cdc_df = cdc_df.unionByName(p)
             cdc_actions = _stage_cdc_files(cdc_df, base, snap)
+    txn_actions: list[dict] = []
+    if txn_app_id is not None:
+        # same idempotency marker write_delta emits: a replayed merge
+        # (streaming foreachBatch at-least-once) is skippable by
+        # checking last_txn_version before re-applying
+        txn_actions.append(
+            {"txn": {"appId": txn_app_id, "version": int(txn_version or 0)}}
+        )
     for _attempt in range(max_commit_retries):
         version = snap.version + 1
         if _try_commit(
-            log, version, removes + adds + cdc_actions, operation="MERGE"
+            log, version, removes + adds + cdc_actions + txn_actions, operation="MERGE"
         ):
             return version
         snap2 = delta_snapshot(spark, base)
@@ -3596,3 +3606,57 @@ def write_delta_minimal(
         )
         for a in adds:
             f.write(json.dumps(a) + "\n")
+
+
+def generate_symlink_manifest(spark: SparkSession, path: str) -> list[str]:
+    """GENERATE symlink_format_manifest: write
+    ``_symlink_format_manifest/<partition dirs>/manifest`` text files
+    listing the ABSOLUTE paths of the snapshot's active data files,
+    one per line — the handshake that lets Hive/Presto/Trino/Athena
+    treat a delta table as an external parquet table (delta-spark:
+    ``DeltaTable.generate("symlink_format_manifest")``). Returns the
+    manifest file paths written.
+
+    Partitioned tables get one manifest per partition directory
+    (engines prune on the directory name); unpartitioned tables one
+    manifest at the manifest root. Stale manifests from dropped
+    partitions are removed so the manifest tree always mirrors exactly
+    the current snapshot. Tables with deletion vectors are REFUSED
+    (delta-spark does the same): a symlink reader would resurrect the
+    deleted rows.
+    """
+    import os
+    import shutil
+
+    base = _local_path(path).rstrip("/")
+    snap = delta_snapshot(spark, base)
+    for rel in snap.files:
+        if (snap.adds_raw.get(rel) or {}).get("deletionVector"):
+            raise NotImplementedError(
+                f"symlink manifest for {base} refused: active file {rel} "
+                "carries a deletion vector; external symlink readers "
+                "would resurrect its deleted rows (delta-spark refuses "
+                "these tables too)"
+            )
+    root = os.path.join(base, "_symlink_format_manifest")
+    by_dir: dict[str, list[str]] = {}
+    for rel, pvals in sorted(snap.files.items()):
+        if snap.partition_columns:
+            sub = "/".join(
+                f"{c}={pvals.get(c, '__HIVE_DEFAULT_PARTITION__')}"
+                for c in snap.partition_columns
+            )
+        else:
+            sub = ""
+        by_dir.setdefault(sub, []).append(os.path.join(base, rel))
+    if os.path.isdir(root):
+        shutil.rmtree(root)  # drop stale partition manifests atomically-enough
+    written = []
+    for sub, paths in sorted(by_dir.items()):
+        d = os.path.join(root, sub) if sub else root
+        os.makedirs(d, exist_ok=True)
+        mf = os.path.join(d, "manifest")
+        with open(mf, "w") as f:
+            f.write("\n".join(paths) + "\n")
+        written.append(mf)
+    return written

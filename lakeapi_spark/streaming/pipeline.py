@@ -267,3 +267,58 @@ def ingest_guard_delta_sink(
         sink(flags, batch_id)
 
     return write
+
+
+def delta_merge_stream_sink(
+    delta_path: str,
+    on: list[str],
+    app_id: str = "stream-upsert",
+    checkpoint_every: int = 10,
+):
+    """foreachBatch UPSERT sink: every micro-batch MERGEs into the
+    delta table keyed on ``on`` (latest row per key wins across
+    batches) — the streaming CDC-apply pattern delta-spark spells
+    ``foreachBatch(lambda df, id: deltaTable.merge(df, ...))``. Unlike
+    the append sink, state REPLACES: a key re-delivered in a later
+    batch updates its row in place.
+
+    Exactly-once: each merge commit carries the same ``txn`` marker
+    write_delta uses, so an at-least-once batch redelivery is skipped
+    before any analysis happens. Batches must be de-duplicated on the
+    merge keys upstream (merge rejects ambiguous duplicate source
+    keys) — aggregate to latest-per-key inside the batch first.
+    Cost per batch is proportional to the files the batch's keys touch
+    (sources/delta.py:merge_delta), never the table.
+    """
+    from lakeapi_spark.sources.delta import (
+        checkpoint_delta,
+        last_txn_version,
+        merge_delta,
+    )
+
+    import os
+
+    from lakeapi_spark.sources.delta import _local_path, write_delta
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_id <= last_txn_version(spark, delta_path, app_id):
+            return  # replayed batch: already merged
+        if not os.path.isdir(os.path.join(_local_path(delta_path), "_delta_log")):
+            # first ever batch: merge-into-empty == plain create
+            version = write_delta(
+                batch_df, delta_path, mode="append",
+                txn_app_id=app_id, txn_version=batch_id,
+            )
+        else:
+            version = merge_delta(
+                batch_df,
+                delta_path,
+                on=on,
+                txn_app_id=app_id,
+                txn_version=batch_id,
+            )
+        if checkpoint_every and version and version % checkpoint_every == 0:
+            checkpoint_delta(spark, delta_path)
+
+    return write

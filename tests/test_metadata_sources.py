@@ -3203,3 +3203,52 @@ class TestDeltaShallowClone:
             clone_delta(spark, src, dst)
         with _pytest.raises(ValueError, match="onto itself"):
             clone_delta(spark, src, src)
+
+
+def test_generate_symlink_manifest_partitioned(spark, tmp_path):
+    """Manifest tree mirrors the live snapshot: per-partition manifest
+    files list exactly the active data files (absolute paths), stale
+    partition manifests disappear on regeneration, and DV tables are
+    refused (delta-spark parity)."""
+    import os
+
+    from lakeapi_spark.sources.delta import (
+        delete_delta,
+        delta_snapshot,
+        generate_symlink_manifest,
+        write_delta,
+    )
+
+    base = str(tmp_path / "mani")
+    df = spark.createDataFrame(
+        [(i, str(i % 3)) for i in range(30)], "id long, bucket string"
+    )
+    write_delta(df, base, mode="append", partition_by=["bucket"])
+    written = generate_symlink_manifest(spark, base)
+    assert len(written) == 3  # one per partition dir
+    listed = set()
+    for mf in written:
+        assert mf.split("_symlink_format_manifest/")[1].startswith("bucket=")
+        with open(mf) as f:
+            listed |= {ln for ln in f.read().splitlines() if ln}
+    snap = delta_snapshot(spark, base)
+    assert listed == {os.path.join(base, rel) for rel in snap.files}
+
+    # overwrite with fewer partitions: stale manifest dirs must go
+    write_delta(
+        spark.createDataFrame(
+            [(1, "0"), (2, "0"), (3, "0")], "id long, bucket string"
+        ).coalesce(1),
+        base, mode="overwrite", partition_by=["bucket"],
+    )
+    written2 = generate_symlink_manifest(spark, base)
+    assert len(written2) == 1
+    root = os.path.join(base, "_symlink_format_manifest")
+    assert sorted(os.listdir(root)) == ["bucket=0"]
+
+    # a DV-carrying table is refused (delete one row of a 3-row file
+    # so the commit is a deletion vector, not a whole-file remove)
+    delete_delta(spark, base, "id = 2")
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="deletion vector"):
+        generate_symlink_manifest(spark, base)

@@ -1509,3 +1509,33 @@ def test_refresh_agg_moves_and_drops_groups(spark):
     out = {r.k: (r.n, float(r.sum_v)) for r in
            refresh_agg(agg0, d, ["k"], "n", ["v"]).collect()}
     assert out == {"a": (1, 6.0), "c": (1, 4.0)}  # b dropped at n=0
+
+
+def test_twap_weights_by_holding_time(spark):
+    from lakeapi_spark.operators.windows import twap
+
+    # value 10 held 90s, value 100 held 10s -> twap 19.0; key 2 has a
+    # single observation (no duration) and must drop
+    rows = [(1, 0, 10.0), (1, 90, 100.0), (1, 100, 7.0), (2, 50, 5.0)]
+    df = spark.createDataFrame(rows, "k int, es long, value double").select(
+        "k", F.timestamp_seconds("es").alias("ts"), "value"
+    )
+    out = twap(df, "ts", "k", "value").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.k, r.twap_value, r.duration_s, r.n_obs) == (1, 19.0, 100, 2)
+
+
+def test_best_dedup_keepers_score_then_id_tiebreak(spark):
+    from lakeapi_spark.operators.dedup import best_dedup_keepers
+
+    rows = [
+        (1, "a  b", 0.5), (2, "a b ", 0.9), (3, " a b", 0.9),  # 2 wins: score, then min id
+        (4, "zzz", 0.1),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, q double")
+    out = {r.fingerprint: r for r in best_dedup_keepers(df, "id", "text", "q").collect()}
+    grp = [v for v in out.values() if v.n_dups == 3][0]
+    assert (grp.keeper_id, grp.keeper_score) == (2, 0.9)
+    solo = [v for v in out.values() if v.n_dups == 1][0]
+    assert solo.keeper_id == 4

@@ -553,3 +553,54 @@ def test_stream_hll_registers_match_batch(spark, sf_dir, tmp_path):
     }
     assert got == want and got
     q.stop()
+
+
+def test_stream_merge_sink_upserts_and_skips_replay(spark, tmp_path):
+    """Streaming UPSERT sink: keys re-delivered in later micro-batches
+    REPLACE their rows (merge semantics, not append), new keys insert,
+    and a redelivered batch id is a no-op via its txn marker."""
+    import os
+
+    from lakeapi_spark.sources.delta import read_delta_fallback
+    from lakeapi_spark.streaming.pipeline import delta_merge_stream_sink
+
+    src = str(tmp_path / "upsert_src")
+    os.makedirs(src)
+    batches = [
+        [(1, "a", 1.0), (2, "b", 2.0)],          # create
+        [(2, "b2", 20.0), (3, "c", 3.0)],        # update 2, insert 3
+        [(1, "a3", 100.0)],                      # update 1
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "k long, s string, v double").coalesce(
+            1
+        ).write.parquet(f"{src}/f{i}")
+
+    out = str(tmp_path / "upsert_delta")
+    write = delta_merge_stream_sink(out, on=["k"], app_id="upsert-test")
+    stream = (
+        spark.readStream.schema("k long, s string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", str(tmp_path / "upsert_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def state():
+        return {(r.k, r.s, r.v) for r in read_delta_fallback(spark, out).collect()}
+
+    want = {(1, "a3", 100.0), (2, "b2", 20.0), (3, "c", 3.0)}
+    assert state() == want
+
+    # forced redelivery of an old batch id: txn marker skips the merge
+    write(spark.createDataFrame([(1, "STALE", -1.0)], "k long, s string, v double"), 1)
+    assert state() == want
+
+    # a NEW batch id still applies
+    write(spark.createDataFrame([(4, "d", 4.0)], "k long, s string, v double"), 99)
+    assert state() == want | {(4, "d", 4.0)}
