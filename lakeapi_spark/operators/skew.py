@@ -71,3 +71,32 @@ def salted_join(
     )
     out = salted_big.join(salted_small, [key, "_salt"])
     return out.drop("_salt")
+
+
+def key_skew_report(
+    df: DataFrame, key_cols: list[str], top: int = 15
+) -> DataFrame:
+    """The diagnostic you run BEFORE picking a join/agg strategy: per-key
+    row counts for the would-be shuffle key, with each key's share of
+    the table and its skew factor (count / mean count over keys). A
+    skew_factor near 1 means hash partitioning balances; a key at 100×
+    means that reducer runs 100× longer than average — reach for
+    broadcast, salting (:func:`salted_join`) or AQE skew split.
+
+    One partial-aggregated groupBy (rows after = |keys|), a 2-row
+    global summary broadcast back, and a top-k that collapses to
+    TakeOrderedAndProject — nothing here scales with the row count
+    except the first map-side pass."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("_tot"), F.count(F.lit(1)).alias("_nk")
+    )
+    report = counts.join(F.broadcast(tot)).select(
+        *key_cols,
+        "n",
+        (F.round(F.col("n") * 100.0 / F.col("_tot"), 4) + 0.0).alias("share_pct"),
+        (F.round(F.col("n") * F.col("_nk") / F.col("_tot"), 4) + 0.0).alias(
+            "skew_factor"
+        ),
+    )
+    return report.orderBy(F.col("n").desc(), *key_cols).limit(top)

@@ -252,3 +252,136 @@ def orphan_counts(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.select("relationship", "n_child", "n_null_fk", "n_orphans")
+
+
+#: First-significant-digit frequencies under Benford's law,
+#: log10(1 + 1/d) as percentages rounded to 4 — inlined as literals in
+#: BOTH the Spark plan and the SQL oracle so the comparison is exact.
+BENFORD_PCT = {
+    1: 30.103, 2: 17.6091, 3: 12.4939, 4: 9.691, 5: 7.9181,
+    6: 6.6947, 7: 5.799, 8: 5.1153, 9: 4.5757,
+}
+
+
+def benford_audit(df: DataFrame, value_col: str, scale: int = 100) -> DataFrame:
+    """First-significant-digit census of a positive measure vs the
+    Benford expectation — the classic fabricated-data / unit-mixing
+    smell test for financial columns. Returns one row per digit 1-9:
+    (digit, n, obs_pct, exp_pct, abs_dev).
+
+    The digit is extracted EXACTLY: the value is scaled to an integer
+    (``scale`` = 10^max_decimals, e.g. 100 for money) and the first
+    character of its decimal rendering taken — no log10 float
+    boundary-crossing at powers of ten, so any engine derives the same
+    digit. One partial-aggregated groupBy over 9 groups; the total
+    re-joins as a broadcast literal — nothing shuffles more than 9
+    rows."""
+    v = F.col(value_col).cast("double")
+    digit = F.substring(
+        F.round(v * scale, 0).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        df.filter(v > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("_tot"))
+    exp_pct = F.element_at(
+        F.create_map(
+            *[F.lit(x) for d, p in sorted(BENFORD_PCT.items()) for x in (d, p)]
+        ),
+        F.col("digit"),
+    )
+    return (
+        counts.join(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            (F.round(F.col("n") * 100.0 / F.col("_tot"), 4) + 0.0).alias("obs_pct"),
+            exp_pct.alias("exp_pct"),
+        )
+        .withColumn(
+            "abs_dev", F.round(F.abs(F.col("obs_pct") - F.col("exp_pct")), 4) + 0.0
+        )
+        .orderBy("digit")
+    )
+
+
+def ols_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group ordinary-least-squares line fit y = slope*x +
+    intercept — the 'is this metric trending' primitive (x is an
+    integer period index, y a measure). Returns (group_cols..., n_pts,
+    slope, intercept) with groups of < 2 distinct x dropped.
+
+    Engine-exact by construction: x sums are integer, y and x*y sums
+    accumulate in DECIMAL, and the closed-form slope
+    (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) is then one fixed sequence of IEEE
+    double ops. One partial-aggregated groupBy — the fact table never
+    shuffles anything but its group key."""
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("double")
+    m = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.sum(x).alias("_sx"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y.cast("decimal(28,10)")).cast("double").alias("_sy"),
+        F.sum((x * y).cast("decimal(28,10)")).cast("double").alias("_sxy"),
+    )
+    den = (
+        F.col("n_pts") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    ).cast("double")
+    slope = (
+        F.col("n_pts") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    ) / den
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / F.col("n_pts")
+    return (
+        m.filter(den != 0)
+        .select(
+            *group_cols,
+            "n_pts",
+            (F.round(slope, round_digits) + 0.0).alias("slope"),
+            (F.round(intercept, round_digits) + 0.0).alias("intercept"),
+        )
+    )
+
+
+def pearson_corr(
+    df: DataFrame,
+    group_cols: list[str],
+    pairs: list[tuple[str, str, str]],
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group Pearson correlation for each (x, y, out_name) pair in
+    one aggregation pass — the profiling step behind feature-redundancy
+    pruning. Built from DECIMAL-accumulated moments (the same
+    order-independence discipline as :func:`zscore_outliers`) rather
+    than F.corr, whose float summation order varies with partitioning;
+    the closed form over exact sums is engine-reproducible. Groups
+    where either variance is zero yield NULL for that pair."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for xc, yc, name in pairs:
+        x = F.col(xc).cast("double")
+        y = F.col(yc).cast("double")
+        aggs += [
+            F.sum(x.cast("decimal(28,10)")).cast("double").alias(f"_sx_{name}"),
+            F.sum(y.cast("decimal(28,10)")).cast("double").alias(f"_sy_{name}"),
+            F.sum((x * x).cast("decimal(28,10)")).cast("double").alias(f"_sxx_{name}"),
+            F.sum((y * y).cast("decimal(28,10)")).cast("double").alias(f"_syy_{name}"),
+            F.sum((x * y).cast("decimal(28,10)")).cast("double").alias(f"_sxy_{name}"),
+        ]
+    m = df.groupBy(*group_cols).agg(*aggs)
+    out = [*group_cols, F.col("_n").alias("n_rows")]
+    for _, _, name in pairs:
+        n = F.col("_n")
+        vx = n * F.col(f"_sxx_{name}") - F.col(f"_sx_{name}") * F.col(f"_sx_{name}")
+        vy = n * F.col(f"_syy_{name}") - F.col(f"_sy_{name}") * F.col(f"_sy_{name}")
+        cov = n * F.col(f"_sxy_{name}") - F.col(f"_sx_{name}") * F.col(f"_sy_{name}")
+        r = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+        out.append((F.round(r, round_digits) + 0.0).alias(name))
+    return m.select(*out)

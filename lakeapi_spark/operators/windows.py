@@ -262,3 +262,107 @@ def twap(
             "n_obs",
         )
     )
+
+
+def gapfill_linear(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    bucket_s: int,
+    agg: Column,
+    value_name: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Linear-interpolation twin of :func:`gapfill_locf`: empty buckets
+    between two observations get the straight-line value
+    ``prev + (next - prev) * (t - t_prev) / (t_next - t_prev)`` instead
+    of a carried-forward step. Returns (key_col, bucket, is_gap,
+    filled_value).
+
+    Both bracketing observations come from the gaps-and-islands
+    spelling run twice — a running COUNT of non-null values ascending
+    (island led by the PREVIOUS observation at the island's MIN bucket)
+    and descending (led by the NEXT observation at its MAX bucket) —
+    so, like the LOCF fill, it needs no IGNORE NULLS support. Every gap
+    bucket is interior to the per-key spine (the spine spans each key's
+    first..last observation), so both brackets always exist.
+
+    Scale shape: identical to LOCF — one bucket aggregation shuffle,
+    a spine explode sized exactly like the output, and window passes
+    all partitioned by key (one exchange). The interpolation itself is
+    a fixed IEEE expression over the bracket columns, engine-exact
+    after rounding."""
+    b = (F.floor(_epoch(F.col(ts_col)) / bucket_s) * bucket_s).cast("long")
+    actual = df.groupBy(
+        F.col(key_col).alias("_key"), b.alias("bucket")
+    ).agg(agg.alias(value_name))
+    bounds = actual.groupBy("_key").agg(
+        F.min("bucket").alias("_mn"), F.max("bucket").alias("_mx")
+    )
+    spine = bounds.select(
+        "_key",
+        F.explode(F.sequence("_mn", "_mx", F.lit(bucket_s))).alias("bucket"),
+    )
+    j = spine.join(actual, ["_key", "bucket"], "left")
+    wup = (
+        Window.partitionBy("_key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wdn = (
+        Window.partitionBy("_key")
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = j.withColumn("_gp", F.count(value_name).over(wup)).withColumn(
+        "_gn", F.count(value_name).over(wdn)
+    )
+    ip = Window.partitionBy("_key", "_gp")
+    nw = Window.partitionBy("_key", "_gn")
+    g = (
+        g.withColumn("_pv", F.max(value_name).over(ip))
+        .withColumn("_pb", F.min("bucket").over(ip))
+        .withColumn("_nv", F.max(value_name).over(nw))
+        .withColumn("_nb", F.max("bucket").over(nw))
+    )
+    # Interpolate in EXACT integer arithmetic: bracket values scale to
+    # integer units (10^value_scale), the weighted numerator and the
+    # half-up rounding to `round_digits` stay in 64-bit integers, and
+    # only the final /10^round_digits touches floats. A float-path
+    # interpolation ties at the rounding digit whenever the gap length
+    # divides the value delta neatly (an 8-bucket gap between 2-decimal
+    # values lands on x.xxxx5 EXACTLY) and engines break such ties
+    # through different round implementations — integers cannot tie.
+    value_scale = 10 ** 2
+    out_scale = 10 ** round_digits
+    g = (
+        g.withColumn("_pvc", F.round(F.col("_pv") * value_scale, 0).cast("long"))
+        .withColumn("_nvc", F.round(F.col("_nv") * value_scale, 0).cast("long"))
+        .withColumn("_k", (F.col("bucket") - F.col("_pb")).cast("long"))
+        .withColumn("_m", (F.col("_nb") - F.col("_pb")).cast("long"))
+        .withColumn(
+            "_num",
+            F.col("_pvc") * (F.col("_m") - F.col("_k")) + F.col("_nvc") * F.col("_k"),
+        )
+        # round-half-up of (_num * out_scale / value_scale) / _m without
+        # leaving integers: floor((2a + b) / (2b)) for a/b, a >= 0
+        .withColumn(
+            "_r",
+            # guarded: non-gap rows are their own island leader (_m = 0)
+            # and never read _r — but ANSI mode would still error on the
+            # division, so the CASE keeps them NULL
+            F.expr(
+                f"CASE WHEN _m > 0 THEN (2 * _num * {out_scale // value_scale} + _m)"
+                " div (2 * _m) END"
+            ),
+        )
+    )
+    fill = F.when(
+        F.col(value_name).isNotNull(), F.col(value_name)
+    ).otherwise(F.col("_r").cast("double") / out_scale)
+    return g.select(
+        F.col("_key").alias(key_col),
+        "bucket",
+        F.col(value_name).isNull().alias("is_gap"),
+        (fill + 0.0).alias("filled_value"),
+    )

@@ -7342,3 +7342,235 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_dedup_keepers(scored, "doc_id", "text", "quality").filter(
         F.col("n_dups") > 1
     )
+
+
+# ---------------------------------------------------------------------------
+# Profiling / statistics extensions (round 8): shuffle-key skew report,
+# Benford first-digit audit, per-group OLS trend, exact Pearson matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "key_skew_report",
+    """
+    WITH c AS (
+      SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1
+    ), t AS (
+      SELECT SUM(n) AS tot, COUNT(*) AS nk FROM c
+    )
+    SELECT l_suppkey, n,
+           CAST(ROUND(n * 100.0 / tot, 4) AS DOUBLE) + 0.0 AS share_pct,
+           CAST(ROUND(n * nk / tot, 4) AS DOUBLE) + 0.0 AS skew_factor
+    FROM c, t
+    ORDER BY n DESC, l_suppkey
+    LIMIT 15
+    """,
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic for lineitem's supplier join key:
+    top keys by row count with table share and skew factor (count over
+    mean count). The pre-flight check before choosing broadcast vs
+    salt vs AQE for any join on this key. See
+    operators/skew.key_skew_report (one partial-agg shuffle + a
+    broadcast 1-row summary + TakeOrdered top-k)."""
+    from lakeapi_spark.operators.skew import key_skew_report as skew_report
+
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey")
+    return skew_report(li, ["l_suppkey"], top=15)
+
+
+@register(
+    "benford_price_audit",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM lineitem WHERE l_extendedprice > 0
+    ), c AS (
+      SELECT digit, COUNT(*) AS n FROM d GROUP BY 1
+    ), t AS (
+      SELECT SUM(n) AS tot FROM c
+    )
+    SELECT digit, n,
+           CAST(ROUND(n * 100.0 / tot, 4) AS DOUBLE) + 0.0 AS obs_pct,
+           CAST(CASE digit WHEN 1 THEN 30.103 WHEN 2 THEN 17.6091 WHEN 3 THEN 12.4939
+                      WHEN 4 THEN 9.691 WHEN 5 THEN 7.9181 WHEN 6 THEN 6.6947
+                      WHEN 7 THEN 5.799 WHEN 8 THEN 5.1153 ELSE 4.5757 END AS DOUBLE) AS exp_pct,
+           CAST(ROUND(ABS(CAST(ROUND(n * 100.0 / tot, 4) AS DOUBLE) + 0.0
+                          - (CASE digit WHEN 1 THEN 30.103 WHEN 2 THEN 17.6091 WHEN 3 THEN 12.4939
+                                        WHEN 4 THEN 9.691 WHEN 5 THEN 7.9181 WHEN 6 THEN 6.6947
+                                        WHEN 7 THEN 5.799 WHEN 8 THEN 5.1153 ELSE 4.5757 END)), 4) AS DOUBLE) + 0.0 AS abs_dev
+    FROM c, t
+    ORDER BY digit
+    """,
+)
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of l_extendedprice against
+    Benford's law — the fabricated-data / unit-mixing smell test. The
+    digit is extracted via exact integer rendering (scale 100 for a
+    2-decimal money column), never log10, so both engines derive it
+    identically. See operators/stats.benford_audit."""
+    from lakeapi_spark.operators.stats import benford_audit
+
+    li = table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    return benford_audit(li, "l_extendedprice", scale=100)
+
+
+@register(
+    "trend_monthly_revenue_nation",
+    """
+    WITH monthly AS (
+      SELECT n_name,
+             (CAST(year(o_orderdate) AS BIGINT) - 1992) * 12 + month(o_orderdate) - 1 AS month_idx,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT n_name, COUNT(*) AS n_pts,
+             SUM(month_idx) AS sx, SUM(month_idx * month_idx) AS sxx,
+             CAST(SUM(CAST(rev AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(month_idx * rev AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+      FROM monthly GROUP BY 1
+    )
+    SELECT n_name, n_pts,
+           CAST(ROUND((n_pts * sxy - sx * sy) / CAST(n_pts * sxx - sx * sx AS DOUBLE), 6) AS DOUBLE) + 0.0 AS slope,
+           CAST(ROUND((sy - ((n_pts * sxy - sx * sy) / CAST(n_pts * sxx - sx * sx AS DOUBLE)) * sx) / n_pts, 6) AS DOUBLE) + 0.0 AS intercept
+    FROM m
+    WHERE n_pts * sxx - sx * sx <> 0
+    """,
+)
+def trend_monthly_revenue_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS trend line of monthly order revenue — 'which
+    markets are growing' as a closed-form slope/intercept from
+    decimal-exact sums (operators/stats.ols_trend). Plan: customer
+    joins shuffle once, nation broadcasts, the monthly rollup is one
+    partial-agg shuffle, and the trend fit adds one |nations|-row
+    aggregation."""
+    from lakeapi_spark.operators.stats import ols_trend
+
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    month_idx = (
+        (F.year("o_orderdate").cast("long") - 1992) * 12 + F.month("o_orderdate") - 1
+    )
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", month_idx.alias("month_idx"))
+        .agg(money_sum(dec("o_totalprice")).alias("rev"))
+    )
+    return ols_trend(monthly, ["n_name"], "month_idx", "rev")
+
+
+@register(
+    "corr_lineitem_measures",
+    """
+    WITH m AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS sx1,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sy1,
+        CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS sxx1,
+        CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS syy1,
+        CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sxy1,
+        CAST(SUM(CAST(l_discount AS DECIMAL(28,10))) AS DOUBLE) AS sx2,
+        CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(28,10))) AS DOUBLE) AS sxx2,
+        CAST(SUM(CAST(l_discount * l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS sxy2
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, n AS n_rows,
+      CASE WHEN n * sxx1 - sx1 * sx1 > 0 AND n * syy1 - sy1 * sy1 > 0
+           THEN CAST(ROUND((n * sxy1 - sx1 * sy1) / sqrt((n * sxx1 - sx1 * sx1) * (n * syy1 - sy1 * sy1)), 4) AS DOUBLE) + 0.0
+      END AS corr_qty_price,
+      CASE WHEN n * sxx2 - sx2 * sx2 > 0 AND n * syy1 - sy1 * sy1 > 0
+           THEN CAST(ROUND((n * sxy2 - sx2 * sy1) / sqrt((n * sxx2 - sx2 * sx2) * (n * syy1 - sy1 * sy1)), 4) AS DOUBLE) + 0.0
+      END AS corr_disc_price
+    FROM m
+    """,
+)
+def corr_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-returnflag Pearson correlations (quantity vs price,
+    discount vs price) in ONE aggregation pass — the
+    feature-redundancy profiling step. Moments accumulate in DECIMAL
+    (order-independent), the closed form runs in double: engine-exact,
+    unlike F.corr whose float summation order floats with
+    partitioning. See operators/stats.pearson_corr."""
+    from lakeapi_spark.operators.stats import pearson_corr
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    return pearson_corr(
+        li,
+        ["l_returnflag"],
+        [
+            ("l_quantity", "l_extendedprice", "corr_qty_price"),
+            ("l_discount", "l_extendedprice", "corr_disc_price"),
+        ],
+    )
+
+
+@register(
+    "events_gapfill_linear",
+    """
+    WITH a AS (
+      SELECT user_id, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS hour_value
+      FROM events WHERE user_id < 20 GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx FROM a GROUP BY user_id
+    ), spine AS (
+      SELECT user_id, unnest(range(mn, mx + 3600, 3600)) AS bucket FROM bounds
+    ), j AS (
+      SELECT s.user_id, s.bucket, a.hour_value
+      FROM spine s LEFT JOIN a ON a.user_id = s.user_id AND a.bucket = s.bucket
+    ), g AS (
+      SELECT user_id, bucket, hour_value,
+             COUNT(hour_value) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS gp,
+             COUNT(hour_value) OVER (
+               PARTITION BY user_id ORDER BY bucket DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS gn
+      FROM j
+    ), br AS (
+      SELECT user_id, bucket, hour_value,
+             MAX(hour_value) OVER (PARTITION BY user_id, gp) AS pv,
+             MIN(bucket) OVER (PARTITION BY user_id, gp) AS pb,
+             MAX(hour_value) OVER (PARTITION BY user_id, gn) AS nv,
+             MAX(bucket) OVER (PARTITION BY user_id, gn) AS nb
+      FROM g
+    ), ints AS (
+      SELECT user_id, bucket, hour_value,
+             CAST(ROUND(pv * 100, 0) AS BIGINT) AS pvc,
+             CAST(ROUND(nv * 100, 0) AS BIGINT) AS nvc,
+             bucket - pb AS k, nb - pb AS m
+      FROM br
+    ), r AS (
+      SELECT user_id, bucket, hour_value,
+             CASE WHEN m > 0
+                  THEN (2 * (pvc * (m - k) + nvc * k) * 100 + m) // (2 * m)
+             END AS r4
+      FROM ints
+    )
+    SELECT user_id, bucket, hour_value IS NULL AS is_gap,
+           (CASE WHEN hour_value IS NOT NULL THEN hour_value
+                 ELSE CAST(r4 AS DOUBLE) / 10000 END) + 0.0 AS filled_value
+    FROM r
+    """,
+)
+def events_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill of the hourly per-user value
+    series — the resample step when a step function (LOCF) would bias
+    a downstream rate model. Interior gaps take the straight line
+    between their bracketing observations; the spine guarantees every
+    gap is interior. See operators/windows.gapfill_linear."""
+    from lakeapi_spark.operators.windows import gapfill_linear
+
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return gapfill_linear(
+        e, "ts", "user_id", 3600, money_sum(dec("value")), "hour_value"
+    )

@@ -1539,3 +1539,94 @@ def test_best_dedup_keepers_score_then_id_tiebreak(spark):
     assert (grp.keeper_id, grp.keeper_score) == (2, 0.9)
     solo = [v for v in out.values() if v.n_dups == 1][0]
     assert solo.keeper_id == 4
+
+
+def test_key_skew_report_shares_and_factor(spark):
+    from lakeapi_spark.operators.skew import key_skew_report
+
+    # key "hot" holds 8 of 10 rows; two singleton keys
+    rows = [(i, "hot") for i in range(8)] + [(8, "a"), (9, "b")]
+    df = spark.createDataFrame(rows, "i long, k string")
+    out = key_skew_report(df, ["k"], top=2).collect()
+    assert [(r.k, r.n) for r in out] == [("hot", 8), ("a", 1)]
+    hot = out[0]
+    assert hot.share_pct == 80.0
+    # mean count = 10/3; skew factor = 8 / (10/3) = 2.4
+    assert hot.skew_factor == 2.4
+
+
+def test_benford_audit_exact_digit_extraction(spark):
+    from lakeapi_spark.operators.stats import benford_audit, BENFORD_PCT
+
+    # 19.99 -> first digit 1 even though log10 sits near the 2.0 edge;
+    # 0.07 -> 7 after scale; non-positive rows are excluded
+    rows = [(19.99,), (19.99,), (0.07,), (200.0,), (0.0,), (-5.0,)]
+    df = spark.createDataFrame(rows, "v double")
+    out = {r.digit: r for r in benford_audit(df, "v", scale=100).collect()}
+    assert {d: r.n for d, r in out.items()} == {1: 2, 2: 1, 7: 1}
+    assert out[1].obs_pct == 50.0
+    assert out[1].exp_pct == BENFORD_PCT[1]
+    assert out[1].abs_dev == round(abs(50.0 - BENFORD_PCT[1]), 4)
+
+
+def test_ols_trend_recovers_line(spark):
+    from lakeapi_spark.operators.stats import ols_trend
+
+    # y = 3x + 7 exactly; one group with a single point is dropped
+    rows = [("g", x, 3.0 * x + 7.0) for x in range(10)] + [("solo", 0, 5.0)]
+    df = spark.createDataFrame(rows, "g string, x int, y double")
+    out = {r.g: r for r in ols_trend(df, ["g"], "x", "y").collect()}
+    assert set(out) == {"g"}
+    assert out["g"].n_pts == 10
+    assert out["g"].slope == 3.0
+    assert out["g"].intercept == 7.0
+
+
+def test_pearson_corr_signs_and_null_variance(spark):
+    from lakeapi_spark.operators.stats import pearson_corr
+
+    rows = [("g", float(x), 2.0 * x, -x + 100.0, 5.0) for x in range(20)]
+    df = spark.createDataFrame(rows, "g string, x double, y double, z double, c double")
+    out = pearson_corr(
+        df, ["g"], [("x", "y", "r_xy"), ("x", "z", "r_xz"), ("x", "c", "r_xc")]
+    ).collect()[0]
+    assert out.n_rows == 20
+    assert out.r_xy == 1.0  # perfectly linear up
+    assert out.r_xz == -1.0  # perfectly linear down
+    assert out.r_xc is None  # constant column: zero variance -> NULL
+
+
+def test_gapfill_linear_interpolates_interior_gaps(spark):
+    from lakeapi_spark.operators.windows import gapfill_linear
+
+    # observations at hours 0 and 4 (values 10 -> 30): gap hours 1-3
+    # interpolate to 15, 20, 25; a second key with one obs has no gaps
+    rows = [(1, 0, 10.0), (1, 4 * 3600, 30.0), (2, 0, 7.0)]
+    df = spark.createDataFrame(rows, "k long, es long, value double").select(
+        "k", F.timestamp_seconds("es").alias("ts"), "value"
+    )
+    out = gapfill_linear(df, "ts", "k", 3600, F.round(F.sum("value"), 2), "v")
+    got = {(r.k, r.bucket): (r.is_gap, r.filled_value) for r in out.collect()}
+    assert got[(1, 0)] == (False, 10.0)
+    assert got[(1, 3600)] == (True, 15.0)
+    assert got[(1, 2 * 3600)] == (True, 20.0)
+    assert got[(1, 3 * 3600)] == (True, 25.0)
+    assert got[(1, 4 * 3600)] == (False, 30.0)
+    assert got[(2, 0)] == (False, 7.0)
+    assert len(got) == 6
+
+
+def test_gapfill_linear_halfway_rounding_is_half_up(spark):
+    from lakeapi_spark.operators.windows import gapfill_linear
+
+    # 8-hour gap between 0.00 and 0.01: hour 1 is 0.01/8 = 0.00125 — an
+    # EXACT tie at 4 digits; integer half-up must give 0.0013, the same
+    # answer the decimal-exact SQL oracle derives
+    rows = [(1, 0, 0.0), (1, 8 * 3600, 0.01)]
+    df = spark.createDataFrame(rows, "k long, es long, value double").select(
+        "k", F.timestamp_seconds("es").alias("ts"), "value"
+    )
+    out = gapfill_linear(df, "ts", "k", 3600, F.round(F.sum("value"), 2), "v")
+    got = {r.bucket: r.filled_value for r in out.collect()}
+    assert got[3600] == 0.0013
+    assert got[4 * 3600] == 0.005
