@@ -119,3 +119,41 @@ def benchmark_overlap(
             (F.col("n_hit").cast("double") / F.col("n_grams")).alias("overlap_frac"),
         )
     )
+
+
+def novelty_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    digits: int = 4,
+) -> DataFrame:
+    """Per-doc corpus novelty: the fraction of a document's DISTINCT
+    word n-grams that appear in no other document — the inverse of the
+    near-dup signal, used to up-weight genuinely novel text in
+    curation mixes. Returns (id, n_grams, n_novel, novelty); docs with
+    fewer than ``n`` tokens produce no grams and drop out.
+
+    Shape: the staged (id, g) gram relation (:func:`_doc_grams`,
+    set-per-doc) gets each gram's document frequency from a window
+    count partitioned by the gram — one exchange on g, partial-count
+    semantics, skew bounded because a gram's partition holds at most
+    one row per document — then folds back to one row per doc (second
+    exchange, on id). No joins, no driver state, nothing
+    corpus-squared."""
+    from pyspark.sql.window import Window
+
+    g = _doc_grams(df, id_col, text_col, n)
+    per = g.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("g")))
+    out = per.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).alias("n_novel"),
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        "n_grams",
+        "n_novel",
+        (
+            F.round(F.col("n_novel") / F.col("n_grams").cast("double"), digits) + 0.0
+        ).alias("novelty"),
+    )

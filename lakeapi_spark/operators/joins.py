@@ -199,3 +199,63 @@ def blocked_fuzzy_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("name_a", "name_b", "dist")
     )
+
+
+def interval_overlap_pairs(
+    intervals: DataFrame,
+    id_cols: list[str],
+    start_col: str,
+    end_col: str,
+    bucket_s: int,
+) -> DataFrame:
+    """All unordered pairs of intervals that overlap in time
+    ([start, end] inclusive, epoch seconds) — the interval-interval
+    self-join (concurrency analysis, double-booking detection,
+    co-occurring session mining). Returns (ia, ib, overlap_s) where
+    ia/ib are the id-tuple structs with ia < ib and overlap_s the
+    inclusive overlap length.
+
+    Scale spelling: never an inequality cross-join. Each interval
+    explodes to the time buckets it spans (width ``bucket_s``, explode
+    factor span/bucket_s + 1 — pick the bucket near the typical
+    interval length), candidates meet through a bucket EQUI-join that
+    Spark hash-partitions like any other, each candidate pair
+    materializes exactly ONCE (only in the first bucket the two
+    intervals share: bk = floor(max(start_a, start_b) / bucket_s) — a
+    filter, not a distinct), and the exact overlap predicate
+    re-verifies candidates (same-bucket disjoint ranges drop). Long
+    intervals cost explode rows, not join skew; a hot bucket splits
+    under AQE like any skewed key."""
+    ids = F.struct(*[F.col(c) for c in id_cols])
+    base = intervals.select(
+        ids.alias("iv"),
+        F.col(start_col).cast("long").alias("s"),
+        F.col(end_col).cast("long").alias("e"),
+    )
+
+    def spanned(side: str) -> DataFrame:
+        return base.select(
+            F.col("iv").alias(f"i{side}"),
+            F.col("s").alias(f"s{side}"),
+            F.col("e").alias(f"e{side}"),
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("s") / bucket_s).cast("long"),
+                    F.floor(F.col("e") / bucket_s).cast("long"),
+                )
+            ).alias("bk"),
+        )
+
+    j = (
+        spanned("a")
+        .join(spanned("b"), "bk")
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(
+            F.col("bk")
+            == F.floor(F.greatest("sa", "sb") / bucket_s).cast("long")
+        )
+    )
+    overlap = F.least("ea", "eb") - F.greatest("sa", "sb")
+    return j.filter(overlap >= 0).select(
+        "ia", "ib", overlap.alias("overlap_s")
+    )

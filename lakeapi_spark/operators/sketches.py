@@ -242,3 +242,124 @@ def bloom_probe(
     return hits.select(
         F.col("key").alias(key_col), (F.col("n_hit") == k).alias("bloom_pass")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k minimum values / bottom-k) — bounded-memory DISTINCT sketch
+# with mergeable set algebra (Beyer et al., SIGMOD 2007 "On synopses
+# for distinct-value estimation under multiset operations"). Unlike
+# HLL registers, a KMV sketch supports INTERSECTION estimates, so two
+# audiences sketched independently yield distinct counts AND overlap /
+# Jaccard without ever co-shuffling the raw corpora. Everything is
+# exact relational algebra over the md5-derived 60-bit hash
+# (text.portable_hash60) — a SQL oracle re-derives sketches and
+# estimates bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def kmv_build(
+    df: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    k: int = 256,
+    seed: int = 0,
+    fan: int = 32,
+) -> DataFrame:
+    """Per-group bottom-``k`` sketch: (group..., h, r) — the k smallest
+    DISTINCT 60-bit key hashes with rank r (1-based by h). Two-phase
+    exact top-k so no single task ever ranks a corpus-sized hash set:
+    after the dedup shuffle, each of ``fan`` salt buckets (h % fan)
+    keeps its own bottom-k in parallel (a superset of the global
+    bottom-k by pigeonhole), and only the <= fan*k survivors per group
+    reach the final per-group rank. Sketches of two corpora merge by
+    unioning hash sets and re-ranking — the basis of
+    :func:`kmv_overlap`."""
+    groups = [F.col(g) for g in group_cols]
+    h = portable_hash60(
+        F.concat(F.lit(f"kmv{seed}:"), F.col(key_col).cast("string"))
+    )
+    d = df.select(*groups, h.alias("h")).distinct()
+    from pyspark.sql.window import Window
+
+    w1 = Window.partitionBy(*group_cols, F.col("h") % fan).orderBy("h")
+    pruned = (
+        d.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= k)
+        .drop("r1")
+    )
+    w2 = Window.partitionBy(*[F.col(g) for g in group_cols]).orderBy("h")
+    return pruned.withColumn("r", F.row_number().over(w2)).filter(F.col("r") <= k)
+
+
+def kmv_estimate(
+    sketch: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    k: int = 256,
+    digits: int = 2,
+) -> DataFrame:
+    """Distinct-count estimate per group from a built sketch:
+    fewer than k hashes -> the sketch IS the distinct set (exact
+    count); otherwise (k-1) * 2^60 / h_k with h_k the k-th smallest
+    hash (the unbiased KMV estimator). One |sketch|-sized aggregation;
+    the only floats are the final one-division estimate."""
+    agg = sketch.groupBy(*[F.col(g) for g in group_cols]).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.max(F.when(F.col("r") == k, F.col("h"))).alias("_hk"),
+    )
+    est = F.when(F.col("n_obs") < k, F.col("n_obs").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(1 << 60)) / F.col("_hk").cast("double")
+    )
+    return agg.select(
+        *group_cols,
+        "n_obs",
+        (F.round(est, digits) + 0.0).alias("n_est"),
+    )
+
+
+def kmv_overlap(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    k: int = 256,
+    digits: int = 4,
+) -> DataFrame:
+    """Audience-overlap estimates from two single-group KMV sketches
+    (columns (h, r)): one row (n_a, n_b, est_a, est_b, jaccard_est,
+    intersection_est). The combined sketch is the bottom-k of the hash
+    UNION; rho = how many of those combined survivors appear in BOTH
+    input sketches; jaccard ~= rho / k_eff and intersection = jaccard *
+    union_estimate (Beyer et al. 2007, Thm 4.2 shape). Inputs are
+    <= k rows each, so every join here is a broadcast of a
+    sketch-sized relation — the raw corpora are never touched."""
+    from pyspark.sql.window import Window
+
+    a = sketch_a.select(F.col("h").alias("h"), F.lit(1).alias("in_a"))
+    b = sketch_b.select(F.col("h").alias("h"), F.lit(1).alias("in_b"))
+    merged = a.join(b, "h", "full").select(
+        "h",
+        F.coalesce("in_a", F.lit(0)).alias("in_a"),
+        F.coalesce("in_b", F.lit(0)).alias("in_b"),
+    )
+    w = Window.orderBy("h")
+    ranked = merged.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
+    na = sketch_a.count()
+    nb = sketch_b.count()
+    comb = ranked.agg(
+        F.count(F.lit(1)).alias("k_eff"),
+        F.max("h").alias("_hk"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+        ).alias("rho"),
+    )
+    union_est = F.when(
+        F.col("k_eff") < k, F.col("k_eff").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(1 << 60)) / F.col("_hk").cast("double")
+    )
+    jac = F.col("rho").cast("double") / F.col("k_eff").cast("double")
+    return comb.select(
+        F.lit(na).cast("long").alias("n_a"),
+        F.lit(nb).cast("long").alias("n_b"),
+        F.col("rho"),
+        (F.round(jac, digits) + 0.0).alias("jaccard_est"),
+        (F.round(jac * union_est, digits) + 0.0).alias("intersection_est"),
+    )

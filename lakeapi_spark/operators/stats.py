@@ -385,3 +385,162 @@ def pearson_corr(
         r = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
         out.append((F.round(r, round_digits) + 0.0).alias(name))
     return m.select(*out)
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    sample_col: str,
+    a: str,
+    b: str,
+    scale: int = 100,
+    digits: int = 4,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the ``a`` and
+    ``b`` populations of ``sample_col``: D = max |F_a(v) - F_b(v)|,
+    the distribution-drift test that PSI's fixed binning can miss.
+    Returns one row (n_a, n_b, ks_stat).
+
+    The value is quantized to integers (``scale`` = 10^decimals, the
+    same exact-rendering discipline as :func:`benford_audit`) and the
+    corpus immediately collapses to a per-VALUE histogram (one
+    partial-aggregated shuffle, rows after = |value domain|, bounded
+    by quantization — not by corpus size). The CDF walk is a window
+    over that histogram: cumulative counts are exact integers, each
+    |F_a - F_b| is two divisions + rounding (fixed IEEE sequence), and
+    the global max is order-independent. The single-partition window
+    ranks the value DOMAIN, never rows."""
+    v = F.round(F.col(value_col).cast("double") * scale, 0).cast("long")
+    s = F.col(sample_col)
+    hist = (
+        df.filter(s.isin(a, b))
+        .select(
+            v.alias("v"),
+            F.when(s == a, 1).otherwise(0).alias("ia"),
+            F.when(s == b, 1).otherwise(0).alias("ib"),
+        )
+        .groupBy("v")
+        .agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cb"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select(
+        F.sum("ca").over(w).alias("fa"), F.sum("cb").over(w).alias("fb")
+    )
+    tot = hist.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    d = F.round(
+        F.abs(
+            F.col("fa") / F.col("na").cast("double")
+            - F.col("fb") / F.col("nb").cast("double")
+        ),
+        digits,
+    )
+    return (
+        cum.join(F.broadcast(tot))
+        .agg(F.max(d).alias("_d"), F.max("na").alias("n_a"), F.max("nb").alias("n_b"))
+        .select("n_a", "n_b", (F.col("_d") + 0.0).alias("ks_stat"))
+    )
+
+
+def categorical_dependence(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Mutual information (nats) and Pearson chi-squared between two
+    categorical columns in ONE contingency pass — the feature-
+    dependence audit behind redundant-column pruning and
+    stratification checks. Returns one row (n, n_x, n_y, mi_nats,
+    chi2).
+
+    The corpus collapses to the |X| x |Y| contingency table in one
+    partial-aggregated shuffle; marginals come from window sums OVER
+    THE TABLE (cell-domain-sized, never corpus rows — the
+    single-partition window ranks at most |X|*|Y| cells). Per-cell
+    terms are rounded then summed in DECIMAL, so the float-sum order
+    never differs between engines. Chi-squared includes unobserved
+    cells exactly without materializing them:
+    sum_all (O-E)^2/E = sum_obs [(O-E)^2/E - E] + N."""
+    from pyspark.sql.window import Window
+
+    cells = df.groupBy(
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    ).agg(F.count(F.lit(1)).alias("nxy"))
+    per = cells.select(
+        "_x",
+        "_y",
+        "nxy",
+        F.sum("nxy").over(Window.partitionBy("_x")).alias("nx"),
+        F.sum("nxy").over(Window.partitionBy("_y")).alias("ny"),
+        F.sum("nxy").over(Window.partitionBy()).alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    mi_term = (F.col("nxy") / nd) * F.log(
+        F.col("nxy") * nd / (F.col("nx") * F.col("ny")).cast("double")
+    )
+    e = (F.col("nx") * F.col("ny")).cast("double") / nd
+    chi_adj = (F.col("nxy").cast("double") - e) * (F.col("nxy") - e) / e - e
+    agg = per.agg(
+        F.max("n").alias("_n"),
+        F.countDistinct("_x").alias("n_x"),
+        F.countDistinct("_y").alias("n_y"),
+        F.sum(F.round(mi_term, 10).cast("decimal(38,12)")).alias("_mi"),
+        F.sum(F.round(chi_adj, 6).cast("decimal(38,8)")).alias("_chi"),
+    )
+    return agg.select(
+        F.col("_n").alias("n"),
+        "n_x",
+        "n_y",
+        (F.round(F.col("_mi").cast("double"), digits) + 0.0).alias("mi_nats"),
+        (
+            F.round(F.col("_chi").cast("double") + F.col("_n"), digits) + 0.0
+        ).alias("chi2"),
+    )
+
+
+def woe_iv(
+    df: DataFrame,
+    cat_col: str,
+    flag_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Weight-of-evidence encoding + information-value terms of a
+    categorical feature against a binary outcome — the credit-scoring
+    / feature-screening audit ("does this category separate the
+    classes, and how much"). Returns one row per category:
+    (cat_col, n, n_pos, n_neg, woe, iv_term); sum(iv_term) is the
+    feature's IV.
+
+    woe = ln(((pos+0.5)/(P+1)) / ((neg+0.5)/(N+1))) with the 0.5
+    Laplace smoothing making empty cells finite; iv_term =
+    (pos_rate - neg_rate) * woe before rounding. One
+    partial-aggregated groupBy (rows after = |categories|) plus a
+    broadcast 1-row total — category count never touches shuffle
+    width. Counts are exact integers; woe/iv are one fixed IEEE
+    sequence, rounded last."""
+    flag = F.col(flag_col).cast("boolean")
+    cells = df.groupBy(F.col(cat_col)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(flag, 1).otherwise(0)).alias("n_pos"),
+    )
+    cells = cells.withColumn("n_neg", F.col("n") - F.col("n_pos"))
+    tot = cells.agg(
+        F.sum("n_pos").alias("_p"), F.sum("n_neg").alias("_ng")
+    )
+    pr = (F.col("n_pos") + 0.5) / (F.col("_p") + 1.0)
+    nr = (F.col("n_neg") + 0.5) / (F.col("_ng") + 1.0)
+    woe = F.log(pr / nr)
+    return (
+        cells.join(F.broadcast(tot))
+        .select(
+            cat_col,
+            "n",
+            "n_pos",
+            "n_neg",
+            (F.round(woe, digits) + 0.0).alias("woe"),
+            (F.round((pr - nr) * woe, digits) + 0.0).alias("iv_term"),
+        )
+        .orderBy(cat_col)
+    )

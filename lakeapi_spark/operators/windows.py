@@ -366,3 +366,94 @@ def gapfill_linear(
         F.col(value_name).isNull().alias("is_gap"),
         (fill + 0.0).alias("filled_value"),
     )
+
+
+def ewma_halflife(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    order_tiebreak: str,
+    window: int = 8,
+    value_scale: int = 100,
+    digits: int = 4,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average with alpha = 1/2
+    (one-observation half-life) over the trailing ``window``
+    observations — the smoothing primitive behind rate dashboards and
+    drift baselines. Returns (key_col, e, ewma) with e the epoch
+    second of the observation.
+
+    Engine-exact by construction: alpha = 1/2 makes every weight a
+    power of two, the value quantizes to integer units
+    (``value_scale`` = 10^decimals), and numerator
+    sum(x_lag * 2^(W-1-lag)) and denominator sum(2^(W-1-lag) over
+    present lags) are exact 64-bit integer sums — only the final
+    division touches floats. Spelled as W LAG columns over ONE
+    key-partitioned ordered window (single exchange, no self-join, no
+    per-key state); W is a compile-time constant so the plan stays in
+    whole-stage codegen."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
+    xv = F.round(F.col(value_col).cast("double") * value_scale, 0).cast("long")
+    lags = [F.lag(xv, lag).over(w) for lag in range(window)]
+    num = None
+    den = None
+    for lag, lv in enumerate(lags):
+        wt = 1 << (window - 1 - lag)
+        term = F.coalesce(lv * wt, F.lit(0))
+        pres = F.when(lv.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        num = term if num is None else num + term
+        den = pres if den is None else den + pres
+    ewma = F.round(
+        num.cast("double") / den.cast("double") / F.lit(float(value_scale)),
+        digits,
+    )
+    return df.select(
+        F.col(key_col),
+        _epoch(F.col(ts_col)).alias("e"),
+        (ewma + 0.0).alias("ewma"),
+    )
+
+
+def growth_accounting(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    resurrect_gap_days: int = 7,
+) -> DataFrame:
+    """Daily active-user growth accounting: every (user, active day)
+    is NEW (first day ever), RETAINED (also active within the last
+    ``resurrect_gap_days`` days) or RESURRECTED (returning after a
+    longer absence) — the product-analytics decomposition of a DAU
+    curve. Returns (day, n_active, n_new, n_retained, n_resurrected)
+    with day = floor(epoch/86400), calendar-free so any engine bins
+    identically.
+
+    Shape: the corpus collapses to distinct (user, day) in one
+    partial-agg shuffle; classification is one lag over the per-user
+    day sequence (second keyed exchange); the final rollup is
+    day-domain-sized. Nothing is ever driver-side and no window spans
+    more than one user's active days."""
+    day = F.floor(_epoch(F.col(ts_col)) / 86400).cast("long")
+    ud = df.select(F.col(user_col).alias("u"), day.alias("day")).distinct()
+    w = Window.partitionBy("u").orderBy("day")
+    prev = F.lag("day").over(w)
+    cls = (
+        F.when(prev.isNull(), F.lit("new"))
+        .when(F.col("day") - prev <= resurrect_gap_days, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+    )
+    return (
+        ud.withColumn("cls", cls)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(F.when(F.col("cls") == "new", 1).otherwise(0)).alias("n_new"),
+            F.sum(F.when(F.col("cls") == "retained", 1).otherwise(0)).alias(
+                "n_retained"
+            ),
+            F.sum(F.when(F.col("cls") == "resurrected", 1).otherwise(0)).alias(
+                "n_resurrected"
+            ),
+        )
+    )

@@ -6905,7 +6905,7 @@ def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN cb ON cb.g = s.g AND cb.bin = s.bin
     )
     SELECT g AS event_type, ROUND(SUM((p - q) * LN(p / q)) + 0.0, 4) AS psi,
-           MAX(tb) AS n_base, MAX(tc) AS n_cur
+           CAST(MAX(tb) AS BIGINT) AS n_base, CAST(MAX(tc) AS BIGINT) AS n_cur
     FROM terms GROUP BY 1
     """,
 )
@@ -7574,3 +7574,307 @@ def events_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gapfill_linear(
         e, "ts", "user_id", 3600, money_sum(dec("value")), "hour_value"
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch set-algebra, corpus novelty, KS drift (round 8 batch)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kmv_distinct_users_by_type",
+    """
+    WITH d AS (
+      SELECT DISTINCT event_type,
+             CAST(concat('0x', substr(md5(concat('kmv0:', CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+      FROM events
+    ), r AS (
+      SELECT event_type, h, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS r
+      FROM d QUALIFY r <= 64
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(ROUND(CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                           ELSE 63.0 * 1152921504606846976.0 / CAST(MAX(CASE WHEN r = 64 THEN h END) AS DOUBLE) END, 2) AS DOUBLE) + 0.0 AS n_est
+    FROM r GROUP BY event_type
+    """,
+)
+def kmv_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimate from a k=64 KMV bottom-k
+    sketch — the mergeable alternative to HLL whose hash sets also
+    support intersections (see kmv_overlap_viewers_buyers). Build is
+    one dedup shuffle + a fan-bucketed exact bottom-k (no task ever
+    ranks a corpus-sized set); estimate is sketch-sized. See
+    operators/sketches.kmv_build."""
+    from lakeapi_spark.operators.sketches import kmv_build, kmv_estimate
+
+    e = table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = kmv_build(e, "user_id", ("event_type",), k=64)
+    return kmv_estimate(sk, ("event_type",), k=64)
+
+
+@register(
+    "kmv_overlap_viewers_buyers",
+    """
+    WITH da AS (
+      SELECT DISTINCT CAST(concat('0x', substr(md5(concat('kmv0:', CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+      FROM events WHERE event_type = 'view'
+    ), ra AS (
+      SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS r FROM da QUALIFY r <= 64
+    ), db AS (
+      SELECT DISTINCT CAST(concat('0x', substr(md5(concat('kmv0:', CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+      FROM events WHERE event_type = 'purchase'
+    ), rb AS (
+      SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS r FROM db QUALIFY r <= 64
+    ), m AS (
+      SELECT COALESCE(ra.h, rb.h) AS h,
+             CASE WHEN ra.h IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+             CASE WHEN rb.h IS NOT NULL THEN 1 ELSE 0 END AS in_b
+      FROM ra FULL JOIN rb ON ra.h = rb.h
+    ), rk AS (
+      SELECT h, in_a, in_b, ROW_NUMBER() OVER (ORDER BY h) AS r FROM m QUALIFY r <= 64
+    ), comb AS (
+      SELECT COUNT(*) AS k_eff, MAX(h) AS hk,
+             SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS rho
+      FROM rk
+    )
+    SELECT CAST((SELECT COUNT(*) FROM ra) AS BIGINT) AS n_a,
+           CAST((SELECT COUNT(*) FROM rb) AS BIGINT) AS n_b,
+           CAST(rho AS BIGINT) AS rho,
+           CAST(ROUND(CAST(rho AS DOUBLE) / CAST(k_eff AS DOUBLE), 4) AS DOUBLE) + 0.0 AS jaccard_est,
+           CAST(ROUND((CAST(rho AS DOUBLE) / CAST(k_eff AS DOUBLE))
+                      * (CASE WHEN k_eff < 64 THEN CAST(k_eff AS DOUBLE)
+                              ELSE 63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END), 4) AS DOUBLE) + 0.0 AS intersection_est
+    FROM comb
+    """,
+)
+def kmv_overlap_viewers_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap WITHOUT co-shuffling the raw corpora: viewers
+    and buyers are sketched independently (k=64 KMV), then Jaccard and
+    intersection cardinality come from the bottom-k of the hash union
+    (Beyer et al. 2007 set algebra). Every post-build relation is
+    sketch-sized (<= k rows) — at 100 TB the overlap join never sees
+    more than 2k rows. See operators/sketches.kmv_overlap."""
+    from lakeapi_spark.operators.sketches import kmv_build, kmv_overlap
+
+    e = table(spark, sf_dir, "events").select("event_type", "user_id")
+    a = kmv_build(e.filter(F.col("event_type") == "view"), "user_id", (), k=64)
+    b = kmv_build(e.filter(F.col("event_type") == "purchase"), "user_id", (), k=64)
+    return kmv_overlap(a, b, k=64)
+
+
+@register(
+    "novelty_ngram_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+    ), idx AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3
+    ), grams AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM idx
+    ), dfreq AS (
+      SELECT doc_id, g, COUNT(*) OVER (PARTITION BY g) AS df FROM grams
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(ROUND(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 4) AS DOUBLE) + 0.0 AS novelty
+    FROM dfreq GROUP BY doc_id
+    """,
+)
+def novelty_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc corpus novelty — the fraction of a document's distinct
+    word trigrams that no other document contains; the up-weight
+    signal for genuinely novel text in curation mixes (inverse of the
+    near-dup signal). Two keyed exchanges total (gram df via window on
+    g, fold via groupBy id); no joins. See
+    operators/contamination.novelty_scores."""
+    from lakeapi_spark.operators.contamination import novelty_scores
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return novelty_scores(d, "doc_id", "text", n=3)
+
+
+@register(
+    "ks_value_drift_events",
+    """
+    WITH h AS (
+      SELECT CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS v,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+      FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1
+    ), c AS (
+      SELECT SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fa,
+             SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fb
+      FROM h
+    ), t AS (
+      SELECT SUM(ca) AS na, SUM(cb) AS nb FROM h
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(MAX(ROUND(ABS(fa / CAST(na AS DOUBLE) - fb / CAST(nb AS DOUBLE)), 4)) AS DOUBLE) + 0.0 AS ks_stat
+    FROM c, t GROUP BY na, nb
+    """,
+)
+def ks_value_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D between the value distributions
+    of 'view' and 'purchase' events — the binning-free drift test that
+    complements psi_event_value_drift's fixed deciles. The corpus
+    collapses to a per-cent value histogram in one partial-agg
+    shuffle; the CDF walk windows over that bounded value domain, not
+    over rows. See operators/stats.ks_two_sample."""
+    from lakeapi_spark.operators.stats import ks_two_sample
+
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    return ks_two_sample(e, "value", "event_type", "view", "purchase", scale=100)
+
+
+@register(
+    "sessions_overlap_pairs",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, {_EPOCH} AS e,
+             CASE WHEN LAG({_EPOCH}) OVER w IS NULL
+                    OR {_EPOCH} - LAG({_EPOCH}) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM events WHERE user_id < 15
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, e,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    ), iv AS (
+      SELECT user_id, session_id, MIN(e) AS s, MAX(e) AS en
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT a.user_id AS user_a, a.session_id AS session_a,
+           b.user_id AS user_b, b.session_id AS session_b,
+           LEAST(a.en, b.en) - GREATEST(a.s, b.s) AS overlap_s
+    FROM iv a JOIN iv b
+      ON (a.user_id < b.user_id OR (a.user_id = b.user_id AND a.session_id < b.session_id))
+     AND a.s <= b.en AND b.s <= a.en
+    ORDER BY overlap_s DESC, user_a, session_a, user_b, session_b
+    LIMIT 50
+    """,
+)
+def sessions_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-session mining: which 30-minute-gap sessions overlap
+    in wall time (top 50 by overlap). The interval-interval self-join
+    is spelled as a time-bucket EQUI-join (operators/joins.
+    interval_overlap_pairs): intervals explode to their spanned hour
+    buckets, each candidate pair materializes exactly once in the
+    first shared bucket, and the exact predicate re-verifies — no
+    unbounded inequality cross-join anywhere in the plan."""
+    from lakeapi_spark.operators.joins import interval_overlap_pairs
+    from lakeapi_spark.operators.windows import session_stats
+
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 15)
+    iv = session_stats(e, "ts", "user_id", 1800, "event_id").withColumn(
+        "session_id", F.col("session_id").cast("long")
+    )
+    pairs = interval_overlap_pairs(
+        iv, ["user_id", "session_id"], "session_start", "session_end", 3600
+    )
+    out = pairs.select(
+        F.col("ia.user_id").alias("user_a"),
+        F.col("ia.session_id").alias("session_a"),
+        F.col("ib.user_id").alias("user_b"),
+        F.col("ib.session_id").alias("session_b"),
+        "overlap_s",
+    )
+    return out.orderBy(
+        F.col("overlap_s").desc(), "user_a", "session_a", "user_b", "session_b"
+    ).limit(50)
+
+
+@register(
+    "mi_event_type_dow",
+    """
+    WITH cells AS (
+      SELECT event_type AS x,
+             CAST(CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7 AS INT) AS y,
+             COUNT(*) AS nxy
+      FROM events GROUP BY 1, 2
+    ), per AS (
+      SELECT x, y, nxy,
+             SUM(nxy) OVER (PARTITION BY x) AS nx,
+             SUM(nxy) OVER (PARTITION BY y) AS ny,
+             SUM(nxy) OVER () AS n
+      FROM cells
+    ), terms AS (
+      SELECT n, x, y,
+        CAST(ROUND((nxy / CAST(n AS DOUBLE)) * LN(nxy * CAST(n AS DOUBLE) / CAST(nx * ny AS DOUBLE)), 10) AS DECIMAL(38,12)) AS mi_t,
+        CAST(ROUND((CAST(nxy AS DOUBLE) - CAST(nx * ny AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (nxy - CAST(nx * ny AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(nx * ny AS DOUBLE) / CAST(n AS DOUBLE))
+                   - CAST(nx * ny AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DECIMAL(38,8)) AS chi_t
+      FROM per
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT x) AS BIGINT) AS n_x,
+           CAST(COUNT(DISTINCT y) AS BIGINT) AS n_y,
+           CAST(ROUND(CAST(SUM(mi_t) AS DOUBLE), 6) AS DOUBLE) + 0.0 AS mi_nats,
+           CAST(ROUND(CAST(SUM(chi_t) AS DOUBLE) + MAX(n), 6) AS DOUBLE) + 0.0 AS chi2
+    FROM terms
+    """,
+)
+def mi_event_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is event type independent of day-of-week? Mutual information
+    (nats) + Pearson chi-squared from one contingency pass over
+    events (the day bucket is epoch-derived, calendar-free, so both
+    engines bin identically). Marginals are window sums over the
+    cell table — never corpus rows; per-cell terms round then sum in
+    DECIMAL so float order cannot differ. See
+    operators/stats.categorical_dependence."""
+    from lakeapi_spark.operators.stats import categorical_dependence
+
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 86400).cast("long") % 7)
+        .cast("int")
+        .alias("dow"),
+    )
+    return categorical_dependence(e, "event_type", "dow")
+
+
+@register(
+    "ewma_event_value",
+    f"""
+    WITH q AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS xv
+      FROM events WHERE user_id < 20
+    ), l AS (
+      SELECT user_id, ts, xv,
+             LAG(xv, 1) OVER w AS x1, LAG(xv, 2) OVER w AS x2,
+             LAG(xv, 3) OVER w AS x3, LAG(xv, 4) OVER w AS x4,
+             LAG(xv, 5) OVER w AS x5, LAG(xv, 6) OVER w AS x6,
+             LAG(xv, 7) OVER w AS x7
+      FROM q
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, {_EPOCH} AS e,
+           CAST(ROUND(CAST(COALESCE(xv * 128, 0) + COALESCE(x1 * 64, 0)
+                           + COALESCE(x2 * 32, 0) + COALESCE(x3 * 16, 0)
+                           + COALESCE(x4 * 8, 0) + COALESCE(x5 * 4, 0)
+                           + COALESCE(x6 * 2, 0) + COALESCE(x7 * 1, 0) AS DOUBLE)
+                      / CAST((CASE WHEN xv IS NOT NULL THEN 128 ELSE 0 END)
+                             + (CASE WHEN x1 IS NOT NULL THEN 64 ELSE 0 END)
+                             + (CASE WHEN x2 IS NOT NULL THEN 32 ELSE 0 END)
+                             + (CASE WHEN x3 IS NOT NULL THEN 16 ELSE 0 END)
+                             + (CASE WHEN x4 IS NOT NULL THEN 8 ELSE 0 END)
+                             + (CASE WHEN x5 IS NOT NULL THEN 4 ELSE 0 END)
+                             + (CASE WHEN x6 IS NOT NULL THEN 2 ELSE 0 END)
+                             + (CASE WHEN x7 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                      / 100.0, 4) AS DOUBLE) + 0.0 AS ewma
+    FROM l
+    """,
+)
+def ewma_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (alpha = 1/2, trailing 8 observations) of the
+    event value series — power-of-two weights over integer-quantized
+    cents make numerator and denominator exact 64-bit sums, so the
+    smoothing is engine-exact (only the final division is float). One
+    key-partitioned window pass, W compile-time lags, no self-join.
+    See operators/windows.ewma_halflife."""
+    from lakeapi_spark.operators.windows import ewma_halflife
+
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return ewma_halflife(e, "ts", "user_id", "value", "event_id", window=8)

@@ -1630,3 +1630,117 @@ def test_gapfill_linear_halfway_rounding_is_half_up(spark):
     got = {r.bucket: r.filled_value for r in out.collect()}
     assert got[3600] == 0.0013
     assert got[4 * 3600] == 0.005
+
+
+def test_kmv_estimate_matches_python_replication(spark):
+    import hashlib
+
+    from lakeapi_spark.operators.sketches import kmv_build, kmv_estimate
+
+    keys = [f"u{i}" for i in range(200)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    sk = kmv_build(df, "k", (), k=16)
+    est = kmv_estimate(sk, (), k=16).collect()[0]
+    # replicate: bottom-16 of md5-60bit hashes, estimator (k-1)*2^60/h_k
+    hs = sorted(
+        int(hashlib.md5(f"kmv0:{k}".encode()).hexdigest()[:15], 16) for k in keys
+    )
+    assert est.n_obs == 16
+    assert est.n_est == round(15.0 * float(1 << 60) / float(hs[15]), 2)
+    # small input takes the exact branch
+    tiny = spark.createDataFrame([("a",), ("b",), ("a",)], "k string")
+    e2 = kmv_estimate(kmv_build(tiny, "k", (), k=16), (), k=16).collect()[0]
+    assert (e2.n_obs, e2.n_est) == (2, 2.0)
+
+
+def test_kmv_overlap_exact_below_k(spark):
+    from lakeapi_spark.operators.sketches import kmv_build, kmv_overlap
+
+    a = spark.createDataFrame([(f"u{i}",) for i in range(10)], "k string")
+    b = spark.createDataFrame([(f"u{i}",) for i in range(5, 20)], "k string")
+    out = kmv_overlap(
+        kmv_build(a, "k", (), k=64), kmv_build(b, "k", (), k=64), k=64
+    ).collect()[0]
+    # union 20 < k: everything is exact — rho = |A∩B| = 5
+    assert (out.n_a, out.n_b, out.rho) == (10, 15, 5)
+    assert out.jaccard_est == round(5 / 20, 4)
+    assert out.intersection_est == 5.0
+
+
+def test_novelty_scores_hand_counts(spark):
+    from lakeapi_spark.operators.contamination import novelty_scores
+
+    rows = [(1, "a b c d"), (2, "a b c x"), (3, "z z z z z"), (4, "x y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in novelty_scores(df, "doc_id", "text", n=3).collect()}
+    # doc 4 (< 3 tokens) drops out; "a b c" is shared, the rest unique
+    assert set(out) == {1, 2, 3}
+    assert (out[1].n_grams, out[1].n_novel, out[1].novelty) == (2, 1, 0.5)
+    assert (out[2].n_grams, out[2].n_novel, out[2].novelty) == (2, 1, 0.5)
+    assert (out[3].n_grams, out[3].n_novel, out[3].novelty) == (1, 1, 1.0)
+
+
+def test_ks_two_sample_hand_cdf(spark):
+    from lakeapi_spark.operators.stats import ks_two_sample
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 3.0), ("b", 4.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "s string, v double")
+    out = ks_two_sample(df, "v", "s", "a", "b", scale=100).collect()[0]
+    # CDF diff peaks at v=2 and v=3: |2/3 - 0| and |1 - 1/3| = 0.6667
+    assert (out.n_a, out.n_b) == (3, 3)
+    assert out.ks_stat == 0.6667
+
+
+def test_interval_overlap_pairs_dedup_and_verify(spark):
+    from lakeapi_spark.operators.joins import interval_overlap_pairs
+
+    # A overlaps B (sharing 2 buckets — must still emit ONCE); C is in
+    # the same bucket as D but disjoint; E touches F at one second
+    rows = [
+        ("A", 0, 250), ("B", 100, 400),      # overlap 150s, buckets 0-2 shared
+        ("C", 500, 510), ("D", 520, 530),    # same bucket 5, no overlap
+        ("E", 700, 800), ("F", 800, 900),    # touching: overlap 0
+    ]
+    df = spark.createDataFrame(rows, "name string, s long, e long")
+    out = interval_overlap_pairs(df, ["name"], "s", "e", 100)
+    got = {(r.ia.name, r.ib.name): r.overlap_s for r in out.collect()}
+    assert got == {("A", "B"): 150, ("E", "F"): 0}
+
+
+def test_categorical_dependence_independent_and_perfect(spark):
+    import math
+
+    from lakeapi_spark.operators.stats import categorical_dependence
+
+    # perfectly dependent 2x2: MI = ln(2), chi2 = n
+    dep = spark.createDataFrame(
+        [("a", 1)] * 10 + [("b", 2)] * 10, "x string, y int"
+    )
+    r = categorical_dependence(dep, "x", "y").collect()[0]
+    assert (r.n, r.n_x, r.n_y) == (20, 2, 2)
+    assert r.mi_nats == round(math.log(2.0), 6)
+    assert r.chi2 == 20.0
+    # perfectly independent uniform 2x2: MI = 0, chi2 = 0
+    ind = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in (1, 2) for _ in range(5)],
+        "x string, y int",
+    )
+    r2 = categorical_dependence(ind, "x", "y").collect()[0]
+    assert (r2.mi_nats, r2.chi2) == (0.0, 0.0)
+
+
+def test_ewma_halflife_recursion_parity(spark):
+    from lakeapi_spark.operators.windows import ewma_halflife
+
+    # constant series -> ewma == the constant; step series follows the
+    # alpha=1/2 recursion s_n = (x_n + s_{n-1}) / 2 while n <= window
+    rows = [(1, i, 10.0) for i in range(5)] + [(2, 0, 4.0), (2, 1, 8.0), (2, 2, 8.0)]
+    df = spark.createDataFrame(rows, "k long, es long, value double").select(
+        "k", F.timestamp_seconds("es").alias("ts"), F.col("es").alias("event_id"), "value"
+    )
+    out = ewma_halflife(df, "ts", "k", "value", "event_id", window=8)
+    got = {(r.k, r.e): r.ewma for r in out.collect()}
+    assert all(got[(1, i)] == 10.0 for i in range(5))
+    assert got[(2, 0)] == 4.0
+    assert got[(2, 1)] == round((8.0 * 2 + 4.0) / 3, 4)  # weights 2,1 -> 20/3
+    assert got[(2, 2)] == round((8.0 * 4 + 8.0 * 2 + 4.0) / 7, 4)  # 44/7
