@@ -7878,3 +7878,147 @@ def ewma_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
     return ewma_halflife(e, "ts", "user_id", "value", "event_id", window=8)
+
+
+# ---------------------------------------------------------------------------
+# Image near-dup, feature screening, growth accounting (round 8 batch 3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_dhash_neardup",
+    """
+    WITH m AS (
+      SELECT doc_id, text, length(text) AS n,
+             length(text) % 16 + 1 AS w,
+             length(text) % 12 + 1 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS c
+      FROM documents WHERE length(text) > 0
+    ), grid AS (
+      SELECT doc_id, text, n, w, h, c, jj.j, ii.i,
+             (jj.j * h) // 8 AS y, (ii.i * w) // 9 AS x
+      FROM m
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj
+      CROSS JOIN (SELECT unnest(range(0, 9)) AS i) ii
+    ), g AS (
+      SELECT doc_id, j, i,
+             CASE WHEN c = 1
+                  THEN ascii(substr(text, CAST((y * w + x) % n AS INT) + 1, 1)) % 256
+                  ELSE (299 * (ascii(substr(text, CAST(((y * w + x) * 3) % n AS INT) + 1, 1)) % 256)
+                        + 587 * (ascii(substr(text, CAST(((y * w + x) * 3 + 1) % n AS INT) + 1, 1)) % 256)
+                        + 114 * (ascii(substr(text, CAST(((y * w + x) * 3 + 2) % n AS INT) + 1, 1)) % 256)) // 1000
+             END AS gv
+      FROM grid
+    ), b AS (
+      SELECT doc_id, j, i, gv,
+             LEAD(gv) OVER (PARTITION BY doc_id, j ORDER BY i) AS nxt
+      FROM g
+    ), bits AS (
+      SELECT doc_id, j * 8 + i AS p, CASE WHEN gv > nxt THEN 1 ELSE 0 END AS bit
+      FROM b WHERE i < 8
+    ), hx AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN p >= 32 THEN bit * (CAST(1 AS BIGINT) << CAST(p - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hash_hi,
+             CAST(SUM(CASE WHEN p < 32 THEN bit * (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END) AS BIGINT) AS hash_lo
+      FROM bits GROUP BY doc_id
+    )
+    SELECT doc_id AS id, TRUE AS valid, hash_hi, hash_lo,
+           CAST(COUNT(*) OVER (PARTITION BY hash_hi, hash_lo) AS BIGINT) AS n_same
+    FROM hx
+    """,
+)
+def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup fingerprinting END TO END on real pixels:
+    documents become complete valid PNGs, perceptual_dhash decodes the
+    raster (all five PNG filters, CRC-checked, zlib), reduces to
+    integer luma, samples a 9x8 grid and emits the 64-bit difference
+    hash as two BIGINT halves; equal hashes group as near-dup
+    candidates (n_same). The oracle re-derives the hash from the
+    fixture pixel rule with no codec — a match proves decode, luma,
+    sampling and bit packing all agree bit-for-bit. See
+    operators/multimodal.perceptual_dhash."""
+    from lakeapi_spark.operators.multimodal import (
+        attach_real_png_payload,
+        perceptual_dhash,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    hashed = perceptual_dhash(attach_real_png_payload(d, "doc_id", "text"))
+    w = Window.partitionBy("hash_hi", "hash_lo")
+    return hashed.select(
+        "id",
+        "valid",
+        "hash_hi",
+        "hash_lo",
+        F.count(F.lit(1)).over(w).alias("n_same"),
+    )
+
+
+@register(
+    "woe_orderpriority_status",
+    """
+    WITH cells AS (
+      SELECT o_orderpriority, COUNT(*) AS n,
+             SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_pos
+      FROM orders GROUP BY 1
+    ), c2 AS (
+      SELECT o_orderpriority, n, n_pos, n - n_pos AS n_neg FROM cells
+    ), tot AS (
+      SELECT SUM(n_pos) AS p, SUM(n_neg) AS ng FROM c2
+    )
+    SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+           CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           CAST(ROUND(LN(((n_pos + 0.5) / (p + 1.0)) / ((n_neg + 0.5) / (ng + 1.0))), 6) AS DOUBLE) + 0.0 AS woe,
+           CAST(ROUND(((n_pos + 0.5) / (p + 1.0) - (n_neg + 0.5) / (ng + 1.0))
+                      * LN(((n_pos + 0.5) / (p + 1.0)) / ((n_neg + 0.5) / (ng + 1.0))), 6) AS DOUBLE) + 0.0 AS iv_term
+    FROM c2, tot
+    ORDER BY o_orderpriority
+    """,
+)
+def woe_orderpriority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value screen of order priority
+    against the finished-order outcome — does the priority band
+    separate finished from open orders, and by how much. One
+    partial-agg groupBy to |categories| rows plus a broadcast 1-row
+    total; Laplace-smoothed, rounded last. See
+    operators/stats.woe_iv."""
+    from lakeapi_spark.operators.stats import woe_iv
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", (F.col("o_orderstatus") == "F").alias("is_f")
+    )
+    return woe_iv(o, "o_orderpriority", "is_f")
+
+
+@register(
+    "user_growth_accounting",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day
+      FROM events
+    ), cls AS (
+      SELECT day,
+             CASE WHEN LAG(day) OVER w IS NULL THEN 'new'
+                  WHEN day - LAG(day) OVER w <= 7 THEN 'retained'
+                  ELSE 'resurrected' END AS cls
+      FROM ud WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    )
+    SELECT day, COUNT(*) AS n_active,
+           CAST(SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+           CAST(SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+    FROM cls GROUP BY day
+    """,
+)
+def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU growth accounting: each (user, active day) classified new /
+    retained (active again within 7 days) / resurrected (back after a
+    longer absence) — the standard decomposition of an active-user
+    curve. Corpus collapses to distinct (user, day) in one shuffle;
+    classification is one per-user lag; the rollup is day-domain
+    sized. See operators/windows.growth_accounting."""
+    from lakeapi_spark.operators.windows import growth_accounting
+
+    e = table(spark, sf_dir, "events")
+    return growth_accounting(e, "ts", "user_id", resurrect_gap_days=7)

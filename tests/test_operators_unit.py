@@ -1744,3 +1744,57 @@ def test_ewma_halflife_recursion_parity(spark):
     assert got[(2, 0)] == 4.0
     assert got[(2, 1)] == round((8.0 * 2 + 4.0) / 3, 4)  # weights 2,1 -> 20/3
     assert got[(2, 2)] == round((8.0 * 4 + 8.0 * 2 + 4.0) / 7, 4)  # 44/7
+
+
+def test_perceptual_dhash_identical_and_invalid(spark):
+    from lakeapi_spark.operators.multimodal import (
+        attach_real_png_payload,
+        perceptual_dhash,
+    )
+
+    rows = [(2, "hello world, a picture"), (4, "hello world, a picture"), (3, "zz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in perceptual_dhash(
+        attach_real_png_payload(df, "doc_id", "text")
+    ).collect()}
+    assert all(out[i].valid for i in (2, 3, 4))
+    # identical pixels -> identical hash; both halves fit in 32 bits
+    assert (out[2].hash_hi, out[2].hash_lo) == (out[4].hash_hi, out[4].hash_lo)
+    for r in out.values():
+        assert 0 <= r.hash_hi < 2**32 and 0 <= r.hash_lo < 2**32
+    # corrupt payload -> valid=false row, not an exception
+    bad = spark.createDataFrame([(9, bytearray(b"nope"))], "id long, payload binary")
+    vr = perceptual_dhash(bad).collect()[0]
+    assert vr.valid is False and vr.hash_hi is None
+
+
+def test_woe_iv_separating_category(spark):
+    import math
+
+    from lakeapi_spark.operators.stats import woe_iv
+
+    # category "a": all positive; "b": all negative
+    rows = [("a", True)] * 8 + [("b", False)] * 4
+    df = spark.createDataFrame(rows, "c string, f boolean")
+    out = {r.c: r for r in woe_iv(df, "c", "f").collect()}
+    pr_a, nr_a = 8.5 / 9.0, 0.5 / 5.0
+    assert (out["a"].n, out["a"].n_pos, out["a"].n_neg) == (8, 8, 0)
+    assert out["a"].woe == round(math.log(pr_a / nr_a), 6)
+    assert out["a"].iv_term == round((pr_a - nr_a) * math.log(pr_a / nr_a), 6)
+    assert out["b"].woe < 0
+
+
+def test_growth_accounting_classes(spark):
+    from lakeapi_spark.operators.windows import growth_accounting
+
+    day = 86400
+    # u1: days 0,1 (new, retained), then day 20 (resurrected)
+    # u2: day 1 only (new); two events same day collapse to one active-day
+    rows = [(1, 0), (1, day), (1, 20 * day), (2, day), (2, day + 5)]
+    df = spark.createDataFrame(rows, "u long, es long").select(
+        "u", F.timestamp_seconds("es").alias("ts")
+    )
+    out = {r.day: r for r in growth_accounting(df, "ts", "u", 7).collect()}
+    assert (out[0].n_active, out[0].n_new) == (1, 1)
+    assert (out[1].n_active, out[1].n_new, out[1].n_retained) == (2, 1, 1)
+    assert (out[20].n_active, out[20].n_resurrected) == (1, 1)
