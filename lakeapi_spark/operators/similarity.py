@@ -1077,3 +1077,76 @@ def random_projection(
         ex2.groupBy("id", "j")
         .agg((F.round(F.sum(term).cast("double"), 6) + F.lit(0.0)).alias("val"))
     )
+
+
+def mmr_select(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    n_candidates: int = 20,
+    k: int = 8,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein
+    1998): greedily pick k of the n_candidates nearest neighbors of
+    one query, each pick maximizing
+    0.5 * relevance - 0.5 * max_similarity_to_already_picked — the
+    dedup-aware retrieval step RAG pipelines run after ANN. Returns
+    (rank, vec_id, relevance, mmr_score); rank 1 is the pure-relevance
+    pick.
+
+    Split by what distributes: candidate generation is the standard
+    brute-force top-n scan (corpus-parallel) and the candidate
+    pairwise similarity matrix is an n x n broadcast join — both
+    Spark-side. The greedy argmax chain is inherently sequential with
+    a k-deep dependency, so it runs on the DRIVER over the collected
+    ROUNDED matrix (n + n^2 rows, bounded by construction — the same
+    bounded-driver-state contract as IVF centroid fitting). Lambda is
+    fixed at 1/2 so each score is one halving + one subtraction over
+    already-rounded cosines: any engine replays the identical IEEE
+    sequence, ties break to the lower id."""
+    q = emb.filter(F.col(id_col) == query_id)
+    cand = brute_force_topk(
+        emb, q, id_col, vec_col, k=n_candidates, round_digits=round_digits
+    ).select(F.col("neighbor_id").alias("cid"), F.col("cosine").alias("rel"))
+    ce = emb.join(
+        F.broadcast(cand), F.col(id_col) == F.col("cid")
+    ).select("cid", F.col(vec_col).alias("v"), norm(F.col(vec_col)).alias("nm"))
+    a = ce.select(
+        F.col("cid").alias("ia"), F.col("v").alias("va"), F.col("nm").alias("na")
+    )
+    b = ce.select(
+        F.col("cid").alias("ib"), F.col("v").alias("vb"), F.col("nm").alias("nb")
+    )
+    pair = a.join(F.broadcast(b), F.col("ia") != F.col("ib")).select(
+        "ia",
+        "ib",
+        F.round(
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+            round_digits,
+        ).alias("s"),
+    )
+    rels = {int(r.cid): float(r.rel) for r in cand.collect()}
+    sims = {(int(r.ia), int(r.ib)): float(r.s) for r in pair.collect()}
+    picked: list[int] = []
+    rows = []
+    for rank in range(1, min(k, len(rels)) + 1):
+        best_id, best_key = None, None
+        for cid, rel in rels.items():
+            if cid in picked:
+                continue
+            if not picked:
+                score = rel
+            else:
+                score = 0.5 * rel - 0.5 * max(sims[(cid, p)] for p in picked)
+            key = (score, -cid)
+            if best_key is None or key > best_key:
+                best_id, best_key = cid, key
+        picked.append(best_id)
+        rows.append(
+            (rank, best_id, rels[best_id] + 0.0, best_key[0] + 0.0)
+        )
+    return emb.sparkSession.createDataFrame(
+        rows, "rank long, vec_id long, relevance double, mmr_score double"
+    )

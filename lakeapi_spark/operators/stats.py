@@ -544,3 +544,52 @@ def woe_iv(
         )
         .orderBy(cat_col)
     )
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    value_scale: int = 100,
+    digits: int = 2,
+) -> DataFrame:
+    """Per-group weighted (lower) median: the smallest value v whose
+    cumulative weight reaches half the total — the robust center when
+    observations carry volume (price weighted by quantity), immune to
+    the float-summation-order hazards of interpolated quantiles
+    because EVERYTHING here is integer: values quantize to
+    ``value_scale`` units, weights cast to long, and the pick rule is
+    2*cum_weight >= total_weight (no halving). Returns
+    (group_cols..., total_w, w_median).
+
+    The corpus collapses to a per-(group, value) histogram in one
+    partial-agg shuffle; the cumulative walk windows over the VALUE
+    DOMAIN per group (bounded by quantization, not corpus), and the
+    pick is a min over qualifying domain rows."""
+    from pyspark.sql.window import Window
+
+    v = F.round(F.col(value_col).cast("double") * value_scale, 0).cast("long")
+    wgt = F.col(weight_col).cast("long")
+    hist = df.groupBy(*group_cols, v.alias("_v")).agg(F.sum(wgt).alias("_w"))
+    wc = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(*group_cols)
+    cum = hist.select(
+        *group_cols,
+        "_v",
+        F.sum("_w").over(wc).alias("_cum"),
+        F.sum("_w").over(wt).alias("_tot"),
+    )
+    return (
+        cum.filter(2 * F.col("_cum") >= F.col("_tot"))
+        .groupBy(*group_cols)
+        .agg(
+            F.max("_tot").alias("total_w"),
+            (
+                F.round(F.min("_v") / F.lit(float(value_scale)), digits) + 0.0
+            ).alias("w_median"),
+        )
+    )

@@ -8022,3 +8022,178 @@ def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "events")
     return growth_accounting(e, "ts", "user_id", resurrect_gap_days=7)
+
+
+def _mmr_oracle_sql(k: int = 8, n_candidates: int = 20) -> str:
+    """Assemble the MMR oracle: the greedy chain unrolls into k
+    explicit pick CTEs (p1..pk) — plain SQL any engine runs, no
+    recursion features. Each stage scores the remaining candidates
+    0.5*rel - 0.5*MAX(sim to picked) and takes the (score DESC, id)
+    argmax, exactly the operator's driver loop."""
+    parts = [
+        _EMB_DOT,
+        """
+    , qx AS (SELECT i, val FROM x WHERE vec_id = 0)
+    , dq AS (
+      SELECT c.vec_id AS id, SUM(qx.val * c.val) AS dot
+      FROM qx JOIN x c ON qx.i = c.i WHERE c.vec_id <> 0 GROUP BY c.vec_id
+    ), rel0 AS (
+      SELECT dq.id, ROUND(dq.dot / (nq.nrm * nc.nrm), 4) AS rel
+      FROM dq JOIN n nq ON nq.vec_id = 0 JOIN n nc ON nc.vec_id = dq.id
+    ), rel AS MATERIALIZED (
+      SELECT id, rel FROM rel0
+      QUALIFY ROW_NUMBER() OVER (ORDER BY rel DESC, id) <= %(NC)d
+    ), pd AS (
+      SELECT a.id AS ia, b.id AS ib, SUM(xa.val * xb.val) AS dot
+      FROM rel a JOIN rel b ON a.id <> b.id
+      JOIN x xa ON xa.vec_id = a.id
+      JOIN x xb ON xb.vec_id = b.id AND xb.i = xa.i
+      GROUP BY a.id, b.id
+    ), sims AS MATERIALIZED (
+      SELECT ia, ib, ROUND(pd.dot / (na.nrm * nb.nrm), 4) AS s
+      FROM pd JOIN n na ON na.vec_id = ia JOIN n nb ON nb.vec_id = ib
+    )
+    , p1 AS (SELECT id, rel, rel AS score FROM rel ORDER BY rel DESC, id LIMIT 1)
+"""
+        % {"NC": n_candidates},
+    ]
+    for t in range(2, k + 1):
+        prev = " UNION ALL ".join(f"SELECT id FROM p{j}" for j in range(1, t))
+        parts.append(
+            f"""
+    , pk{t} AS ({prev})
+    , p{t} AS (
+      SELECT c.id, c.rel, 0.5 * c.rel - 0.5 * MAX(sm.s) AS score
+      FROM rel c JOIN sims sm ON sm.ia = c.id AND sm.ib IN (SELECT id FROM pk{t})
+      WHERE c.id NOT IN (SELECT id FROM pk{t})
+      GROUP BY c.id, c.rel
+      ORDER BY score DESC, c.id LIMIT 1
+    )"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {t} AS rank, id, rel, score FROM p{t}" for t in range(1, k + 1)
+    )
+    parts.append(
+        f"""
+    SELECT CAST(rank AS BIGINT) AS rank, CAST(id AS BIGINT) AS vec_id,
+           rel + 0.0 AS relevance, score + 0.0 AS mmr_score
+    FROM ({union})
+"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "weighted_median_price_by_flag",
+    """
+    WITH hist AS (
+      SELECT l_returnflag,
+             CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 100, 0) AS BIGINT) AS v,
+             SUM(CAST(l_quantity AS BIGINT)) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+      SELECT l_returnflag, v,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS t
+      FROM hist
+    )
+    SELECT l_returnflag, CAST(MAX(t) AS BIGINT) AS total_w,
+           CAST(ROUND(MIN(v) / 100.0, 2) AS DOUBLE) + 0.0 AS w_median
+    FROM cum WHERE 2 * c >= t GROUP BY l_returnflag
+    """,
+)
+def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag — the
+    volume-aware robust center. All-integer pick rule (2*cum >= total
+    over a per-cent value histogram) makes it engine-exact with no
+    interpolation; windows walk the value domain, never corpus rows.
+    See operators/stats.weighted_median."""
+    from lakeapi_spark.operators.stats import weighted_median
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    return weighted_median(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity", value_scale=100
+    )
+
+
+@register(
+    "invoice_reconciliation_audit",
+    """
+    WITH ls AS (
+      SELECT l_orderkey,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                            * (1 + CAST(l_tax AS DECIMAL(18,4)))), 2) AS DOUBLE) AS charge
+      FROM lineitem GROUP BY 1
+    ), j AS (
+      SELECT o.o_orderkey, o.o_totalprice, ls.charge,
+             CASE WHEN ls.charge IS NULL THEN NULL
+                  ELSE abs(CAST(ROUND(ls.charge * 100, 0) AS BIGINT)
+                           - CAST(ROUND(CAST(o.o_totalprice AS DOUBLE) * 100, 0) AS BIGINT))
+             END AS diff_cents
+      FROM orders o LEFT JOIN ls ON o.o_orderkey = ls.l_orderkey
+    )
+    SELECT CASE WHEN diff_cents IS NULL THEN 'no_lineitems'
+                WHEN diff_cents = 0 THEN 'exact'
+                WHEN diff_cents <= 100 THEN 'within_1'
+                ELSE 'off' END AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(COALESCE(MAX(diff_cents), 0) AS BIGINT) AS max_diff_cents
+    FROM j GROUP BY 1
+    """,
+)
+def invoice_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invoice reconciliation: does each order's o_totalprice equal the
+    decimal-exact sum of its lineitem charges? Orders bucket into
+    exact / within-a-dollar / off / no_lineitems with the worst
+    discrepancy per bucket — the classic fact-vs-rollup consistency
+    audit. One partial-agg shuffle on orderkey + one join; buckets are
+    integer-cent comparisons, engine-exact."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    one = F.lit(1).cast("decimal(18,4)")
+    ls = li.groupBy(F.col("l_orderkey")).agg(
+        money_sum(
+            dec("l_extendedprice") * (one - dec("l_discount")) * (one + dec("l_tax"))
+        ).alias("charge")
+    )
+    j = o.join(ls, o.o_orderkey == ls.l_orderkey, "left")
+    diff = F.when(
+        F.col("charge").isNotNull(),
+        F.abs(
+            F.round(F.col("charge") * 100, 0).cast("long")
+            - F.round(F.col("o_totalprice").cast("double") * 100, 0).cast("long")
+        ),
+    )
+    bucket = (
+        F.when(diff.isNull(), "no_lineitems")
+        .when(diff == 0, "exact")
+        .when(diff <= 100, "within_1")
+        .otherwise("off")
+    )
+    return (
+        j.select(bucket.alias("bucket"), diff.alias("diff_cents"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.coalesce(F.max("diff_cents"), F.lit(0)).cast("long").alias("max_diff_cents"),
+        )
+    )
+
+
+@register("mmr_diverse_topk", _mmr_oracle_sql(k=8, n_candidates=20))
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval: MMR-greedy pick of 8 results from the
+    20 nearest neighbors of query vector 0 (lambda = 1/2) — the
+    post-ANN dedup step of a RAG serving path. Candidate generation
+    and the pairwise candidate matrix are distributed; the k-deep
+    greedy chain runs on the driver over the bounded rounded matrix.
+    The oracle unrolls the same greedy chain into 8 pick CTEs. See
+    operators/similarity.mmr_select."""
+    from lakeapi_spark.operators.similarity import mmr_select
+
+    e = table(spark, sf_dir, "embeddings")
+    return mmr_select(e, "vec_id", "embedding", query_id=0, n_candidates=20, k=8)

@@ -1798,3 +1798,37 @@ def test_growth_accounting_classes(spark):
     assert (out[0].n_active, out[0].n_new) == (1, 1)
     assert (out[1].n_active, out[1].n_new, out[1].n_retained) == (2, 1, 1)
     assert (out[20].n_active, out[20].n_resurrected) == (1, 1)
+
+
+def test_weighted_median_pick_rule(spark):
+    from lakeapi_spark.operators.stats import weighted_median
+
+    # g: values 1.0 (w=1), 2.0 (w=2), 3.0 (w=1): total 4, 2*cum>=4 at 2.0
+    # h: single heavy value dominates
+    rows = [("g", 1.0, 1), ("g", 2.0, 2), ("g", 3.0, 1), ("h", 9.0, 5), ("h", 1.0, 1)]
+    df = spark.createDataFrame(rows, "g string, v double, w int")
+    out = {r.g: r for r in weighted_median(df, ["g"], "v", "w").collect()}
+    assert (out["g"].total_w, out["g"].w_median) == (4, 2.0)
+    assert (out["h"].total_w, out["h"].w_median) == (6, 9.0)
+
+
+def test_mmr_select_prefers_diversity(spark):
+    from lakeapi_spark.operators.similarity import mmr_select
+
+    # query 0 at [1,0]; candidate 2 is an exact-direction duplicate of
+    # candidate 1 (cosine 1.0), candidate 3 is orthogonal to 1. Pure
+    # top-2 by relevance = {1, 2} (tie -> lower id first); MMR's
+    # second pick takes the full sim=1.0 penalty on 2
+    # (0.5*0.9901 - 0.5*1.0 < 0.5*0.14 - 0) and must pick 3 instead.
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.99, 0.14]),
+        (2, [1.98, 0.28]),
+        (3, [0.14, -0.99]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = mmr_select(df, "vec_id", "embedding", query_id=0, n_candidates=3, k=2)
+    got = [(r.rank, r.vec_id) for r in out.orderBy("rank").collect()]
+    assert got == [(1, 1), (2, 3)]
+    r1 = out.filter(F.col("rank") == 1).collect()[0]
+    assert r1.mmr_score == r1.relevance
