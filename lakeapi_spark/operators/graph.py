@@ -175,3 +175,49 @@ def triangle_count(
         .crossJoin(counts)
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Breadth-first min-hop distances from a seed set over the
+    UNDIRECTED simple graph induced by ``edges`` (k-hop reachability —
+    the "what's within 3 links of these domains/parts" neighborhood
+    probe). Returns (node, hops) for every node within ``max_hops``,
+    hops = exact minimum distance (0 for seeds).
+
+    Level-synchronous frontier expansion, unrolled declaratively:
+    each round is one equi-join (edges x frontier) + a left-anti join
+    against the visited set — both hash-partitioned by node id, and
+    the frontier/visited relations are NODE-sized, never edge-sized.
+    By BFS invariant a node discovered in round h has min-distance h,
+    so no min-aggregation is needed across rounds. Small fixed hop
+    counts keep the whole expansion one Catalyst plan; many-round runs
+    should localCheckpoint the visited set every few rounds (the
+    connected-components pattern in operators/dedup.py)."""
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    dist = seeds.select(F.col(node).alias("node")).distinct().withColumn(
+        "hops", F.lit(0)
+    )
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            und.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        new = nxt.join(dist.select("node"), "node", "left_anti").withColumn(
+            "hops", F.lit(h)
+        )
+        dist = dist.unionByName(new)
+        frontier = new.select("node")
+    return dist

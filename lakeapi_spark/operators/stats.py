@@ -593,3 +593,102 @@ def weighted_median(
             ).alias("w_median"),
         )
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_cols: list[str],
+    entity_col: str,
+    value_col: str,
+    value_scale: int = 100,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group Gini coefficient of how concentrated ``value_col`` is
+    across entities — the inequality metric behind "does 20% of the
+    customer base drive 80% of revenue" concentration audits. Input is
+    ENTITY grain (one row per (group, entity)). Returns
+    (group_cols..., n_entities, total_value, gini).
+
+    Engine-exact by integer discipline: values quantize to
+    ``value_scale`` units (long), ranks come from a TOTAL order
+    (value, entity id), and the closed form
+    ``G = (2*SUM(rank*x) - (n+1)*SUM(x)) / (n*SUM(x))`` keeps numerator
+    and denominator in BIGINT — one double division + round at the end,
+    identical in any engine.
+
+    Scale shape: the rank window partitions by group (one shuffle,
+    skew-bounded by group sizes); the closing agg partial-aggregates
+    map-side. No self-joins, no all-pairs |x_i - x_j| form."""
+    from pyspark.sql.window import Window
+
+    x = F.round(F.col(value_col).cast("double") * value_scale, 0).cast("long")
+    w = Window.partitionBy(*group_cols).orderBy("_x", entity_col)
+    ranked = df.select(*group_cols, entity_col, x.alias("_x")).withColumn(
+        "_r", F.row_number().over(w)
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("_x")
+    srx = F.sum(F.col("_r") * F.col("_x"))
+    return ranked.groupBy(*group_cols).agg(
+        n.alias("n_entities"),
+        (F.round(sx / F.lit(float(value_scale)), 2) + 0.0).alias("total_value"),
+        F.when(
+            (n * sx) != 0,
+            F.round(
+                (2 * srx - (n + 1) * sx).cast("double") / (n * sx).cast("double"),
+                digits,
+            )
+            + 0.0,
+        ).alias("gini"),
+    )
+
+
+def largest_remainder_allocation(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    total_col: str,
+    order_col: str,
+) -> DataFrame:
+    """Integer proration (largest-remainder / Hamilton method): split
+    each group's integer ``total_col`` across its rows proportionally
+    to integer ``weight_col`` so the parts SUM EXACTLY to the total —
+    the allocation discipline financial rollups need (floats drift;
+    floor-only leaves cents unallocated). base_i = total*w_i DIV W;
+    the leftover total - SUM(base) goes one unit each to the rows with
+    the largest remainder (total*w_i MOD W), ties to the lower
+    ``order_col``. ALL integer arithmetic — any engine reproduces it.
+
+    Returns (group_col, order_col, weight, allocated, bumped). Scale
+    shape: two window passes over the same (group) partitioning — one
+    shuffle total; no joins."""
+    from pyspark.sql.window import Window
+
+    wg = Window.partitionBy(group_col)
+    wr = Window.partitionBy(group_col).orderBy(
+        F.col("_mod").desc(), F.col(order_col)
+    )
+    staged = (
+        df.select(
+            group_col,
+            order_col,
+            F.col(weight_col).cast("long").alias("_w"),
+            F.col(total_col).cast("long").alias("_t"),
+        )
+        .withColumn("_wsum", F.sum("_w").over(wg))
+        .withColumn("_base", F.expr("_t * _w DIV _wsum"))
+        .withColumn("_mod", (F.col("_t") * F.col("_w")) % F.col("_wsum"))
+    )
+    return (
+        staged.withColumn("_rem", F.col("_t") - F.sum("_base").over(wg))
+        .withColumn("_rk", F.row_number().over(wr))
+        .select(
+            group_col,
+            order_col,
+            F.col("_w").alias("weight"),
+            (F.col("_base") + (F.col("_rk") <= F.col("_rem")).cast("long")).alias(
+                "allocated"
+            ),
+            (F.col("_rk") <= F.col("_rem")).alias("bumped"),
+        )
+    )

@@ -457,3 +457,60 @@ def growth_accounting(
             ),
         )
     )
+
+
+def running_balance_floor(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    delta_col: str,
+) -> DataFrame:
+    """Floor-clamped running balance per key: b_i = max(0, b_{i-1} +
+    delta_i) over the key's events in (ts, tiebreak) order — the
+    wallet/credit-ledger recurrence (spend can't take a balance
+    negative). Returns one row per key:
+    (key, n_events, final_balance, n_floored).
+
+    This recurrence is NOT window-expressible (each step depends on the
+    clamped previous step), so it runs as applyInPandas over
+    groupBy(key) — one shuffle, keys process independently in
+    parallel, which is the distribution axis at scale. Inside the
+    kernel the whole chain is still VECTORIZED, not a Python loop, via
+    the reset-cumsum identity ``b_i = cs_i - min(0, min_{j<=i} cs_j)``
+    (prefix sums + one running minimum), with all arithmetic on int64
+    deltas so any engine — including a recursive-CTE SQL oracle —
+    reproduces it exactly."""
+    staged = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.col(delta_col).cast("long").alias("_d"),
+    )
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(["_ts", "_tb"], kind="mergesort")
+        d = pdf["_d"].to_numpy(dtype=np.int64)
+        cs = np.cumsum(d)
+        floor_level = np.minimum(np.minimum.accumulate(cs), 0)
+        b = cs - floor_level
+        prev = np.concatenate(([np.int64(0)], b[:-1]))
+        n_floored = int((prev + d < 0).sum())
+        return pd.DataFrame(
+            {
+                "_k": [pdf["_k"].iloc[0]],
+                "n_events": [len(d)],
+                "final_balance": [int(b[-1]) if len(b) else 0],
+                "n_floored": [n_floored],
+            }
+        )
+
+    out_schema = "_k long, n_events long, final_balance long, n_floored long"
+    return (
+        staged.groupBy("_k")
+        .applyInPandas(kernel, schema=out_schema)
+        .withColumnRenamed("_k", key_col)
+    )

@@ -8197,3 +8197,392 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     return mmr_select(e, "vec_id", "embedding", query_id=0, n_candidates=20, k=8)
+
+
+@register(
+    "customer_rfm_segments",
+    """
+    WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mxd FROM orders),
+    c AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                            (SELECT mxd FROM mx)) AS BIGINT) AS rec_days,
+             COUNT(*) AS freq,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT) AS mon_cents
+      FROM orders GROUP BY o_custkey
+    ), q AS (
+      SELECT NTILE(5) OVER (ORDER BY rec_days, o_custkey) AS r_q,
+             NTILE(5) OVER (ORDER BY freq DESC, o_custkey) AS f_q,
+             NTILE(5) OVER (ORDER BY mon_cents DESC, o_custkey) AS m_q,
+             mon_cents
+      FROM c
+    )
+    SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
+           CAST(SUM(mon_cents) AS BIGINT) AS monetary_cents
+    FROM q GROUP BY r_q, f_q, m_q
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency/frequency/monetary quintiles per
+    customer, reduced to segment counts: the standard CRM slicing of a
+    customer base. Quintiles come from NTILE over TOTAL orders
+    (custkey tiebreak), so bucket assignment is engine-identical;
+    monetary stays integer cents end-to-end. Global-ORDER-BY windows
+    are single-partition sorts over the CUSTOMER relation (result-
+    bounded); at 100 TB the tiles would come from approx_percentile
+    boundaries + a broadcast range join, the same swap documented at
+    window_ntile_deciles."""
+    o = table(spark, sf_dir, "orders")
+    mx = F.broadcast(
+        o.agg(F.max(F.col("o_orderdate").cast("date")).alias("mxd"))
+    )
+    c = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("lastd"),
+            F.count(F.lit(1)).alias("freq"),
+            (F.sum(dec("o_totalprice")) * 100).cast("long").alias("mon_cents"),
+        )
+        .crossJoin(mx)
+        .select(
+            "o_custkey",
+            F.datediff(F.col("mxd"), F.col("lastd")).cast("long").alias("rec_days"),
+            "freq",
+            "mon_cents",
+        )
+    )
+    q = c.select(
+        F.ntile(5).over(Window.orderBy("rec_days", "o_custkey")).alias("r_q"),
+        F.ntile(5).over(Window.orderBy(F.col("freq").desc(), "o_custkey")).alias("f_q"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("mon_cents").desc(), "o_custkey"))
+        .alias("m_q"),
+        "mon_cents",
+    )
+    return q.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("mon_cents").cast("long").alias("monetary_cents"),
+    )
+
+
+@register(
+    "top2_plus_other_by_nation",
+    """
+    WITH rev AS (
+      SELECT n.n_name, c.c_custkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS r
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), rk AS (
+      SELECT n_name, c_custkey, r,
+             ROW_NUMBER() OVER (PARTITION BY n_name
+                                ORDER BY r DESC, c_custkey) AS rnk
+      FROM rev
+    )
+    SELECT n_name,
+           CASE WHEN rnk <= 2 THEN CAST(c_custkey AS VARCHAR)
+                ELSE 'OTHER' END AS customer,
+           COUNT(*) AS n_customers,
+           CAST(SUM(r) * 100 AS BIGINT) AS revenue_cents
+    FROM rk GROUP BY 1, 2
+    """,
+)
+def top2_plus_other_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N-plus-OTHER rollup: each nation's two biggest customers by
+    revenue stay named; the long tail collapses into one 'OTHER' row —
+    the BI contribution-report shape (leaders vs residual). Ranking is
+    over exact DECIMAL revenue with a custkey tiebreak; revenue stays
+    integer cents. One agg shuffle + one nation-partitioned window;
+    nation is the broadcast side of the dim joins."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(F.sum(dec("o_totalprice")).alias("r"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("r").desc(), "c_custkey")
+    rk = rev.withColumn("rnk", F.row_number().over(w))
+    label = F.when(
+        F.col("rnk") <= 2, F.col("c_custkey").cast("string")
+    ).otherwise(F.lit("OTHER"))
+    return (
+        rk.select("n_name", label.alias("customer"), "r")
+        .groupBy("n_name", "customer")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("r") * 100).cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "revenue_gini_by_nation",
+    """
+    WITH rev AS (
+      SELECT n.n_name, c.c_custkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ), rk AS (
+      SELECT n_name, cents,
+             ROW_NUMBER() OVER (PARTITION BY n_name
+                                ORDER BY cents, c_custkey) AS r
+      FROM rev
+    )
+    SELECT n_name, COUNT(*) AS n_entities,
+           CAST(ROUND(SUM(cents) / 1.0, 2) AS DOUBLE) + 0.0 AS total_value,
+           CASE WHEN COUNT(*) * SUM(cents) <> 0 THEN
+             ROUND(CAST(2 * SUM(r * cents) - (COUNT(*) + 1) * SUM(cents) AS DOUBLE)
+                   / CAST(COUNT(*) * SUM(cents) AS DOUBLE), 6) + 0.0
+           END AS gini
+    FROM rk GROUP BY n_name
+    """,
+)
+def revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer-revenue concentration per nation —
+    "how top-heavy is each market". Integer-cents values, total-order
+    ranks, and the closed-form BIGINT numerator/denominator make the
+    inequality metric hash-exact across engines. See
+    operators/stats.gini_concentration."""
+    from lakeapi_spark.operators.stats import gini_concentration
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg((F.sum(dec("o_totalprice")) * 100).cast("long").alias("cents"))
+    )
+    return gini_concentration(
+        rev, ["n_name"], "c_custkey", "cents", value_scale=1
+    )
+
+
+@register(
+    "allocate_order_totals",
+    """
+    WITH li AS (
+      SELECT l_orderkey AS k, l_linenumber AS ln,
+             CAST(ROUND(CAST(l_extendedprice AS DOUBLE) * 100, 0) AS BIGINT) AS w
+      FROM lineitem
+    ), o AS (
+      SELECT o_orderkey AS k, o_orderpriority,
+             CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100, 0) AS BIGINT) AS t
+      FROM orders
+    ), s AS (
+      SELECT li.k, li.ln, li.w, o.t, o.o_orderpriority,
+             SUM(li.w) OVER (PARTITION BY li.k) AS tw
+      FROM li JOIN o ON li.k = o.k
+    ), b AS (
+      SELECT *, (t * w) // tw AS base, (t * w) % tw AS md FROM s
+    ), r AS (
+      SELECT *, t - SUM(base) OVER (PARTITION BY k) AS rem,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY md DESC, ln) AS rk
+      FROM b
+    )
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+           CAST(SUM(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END) AS BIGINT)
+             AS alloc_cents,
+           SUM(CASE WHEN rk <= rem THEN 1 ELSE 0 END) AS n_bumped
+    FROM r GROUP BY 1
+    """,
+)
+def allocate_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder proration: each order's integer-cent total is
+    split across its lineitems proportional to extended price so the
+    parts sum EXACTLY to the header total (the allocation audit
+    downstream ledgers require), rolled up per order priority. All
+    integer arithmetic; see operators/stats.largest_remainder_allocation.
+    One orderkey-partitioned window pass after the fact-to-header
+    equi-join; priority rollup partial-aggregates map-side."""
+    from lakeapi_spark.operators.stats import largest_remainder_allocation
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice").cast("double") * 100, 0)
+        .cast("long")
+        .alias("w"),
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice").cast("double") * 100, 0)
+        .cast("long")
+        .alias("t"),
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "w", "t"
+    )
+    alloc = largest_remainder_allocation(j, "l_orderkey", "w", "t", "l_linenumber")
+    return (
+        alloc.join(
+            o.select("o_orderkey", "o_orderpriority"),
+            alloc.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("allocated").cast("long").alias("alloc_cents"),
+            F.sum(F.col("bumped").cast("long")).alias("n_bumped"),
+        )
+    )
+
+
+@register(
+    "event_type_transitions",
+    """
+    WITH t AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), g AS (
+      SELECT prev_type, event_type, COUNT(*) AS n_transitions
+      FROM t WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, event_type, n_transitions,
+           ROUND(CAST(n_transitions AS DOUBLE)
+                 / CAST(SUM(n_transitions) OVER (PARTITION BY prev_type) AS DOUBLE),
+                 6) + 0.0 AS p_next
+    FROM g
+    """,
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event streams:
+    P(next event type | current), from per-user LAG pairs — the
+    behavioral fingerprint session-model features start from. One
+    user-partitioned window + one partial-agg shuffle; the closing
+    probability window runs over the TYPE-PAIR relation (25 rows),
+    never the event stream."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    g = t.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wp = Window.partitionBy("prev_type")
+    return g.select(
+        "prev_type",
+        "event_type",
+        "n_transitions",
+        (
+            F.round(
+                F.col("n_transitions").cast("double")
+                / F.sum("n_transitions").over(wp).cast("double"),
+                6,
+            )
+            + 0.0
+        ).alias("p_next"),
+    )
+
+
+@register(
+    "bfs_khop_copurchase",
+    """
+    WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e0 AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ),
+    e AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+    d0 AS (SELECT MIN(l_partkey) AS node FROM lineitem),
+    n1 AS (
+      SELECT DISTINCT e.v AS node FROM e JOIN d0 ON e.u = d0.node
+      WHERE e.v NOT IN (SELECT node FROM d0)
+    ),
+    n2 AS (
+      SELECT DISTINCT e.v AS node FROM e JOIN n1 ON e.u = n1.node
+      WHERE e.v NOT IN (SELECT node FROM d0)
+        AND e.v NOT IN (SELECT node FROM n1)
+    ),
+    n3 AS (
+      SELECT DISTINCT e.v AS node FROM e JOIN n2 ON e.u = n2.node
+      WHERE e.v NOT IN (SELECT node FROM d0)
+        AND e.v NOT IN (SELECT node FROM n1)
+        AND e.v NOT IN (SELECT node FROM n2)
+    )
+    SELECT hops, n_parts FROM (
+      SELECT 0 AS hops, COUNT(*) AS n_parts FROM d0 HAVING COUNT(*) > 0
+      UNION ALL SELECT 1, COUNT(*) FROM n1 HAVING COUNT(*) > 0
+      UNION ALL SELECT 2, COUNT(*) FROM n2 HAVING COUNT(*) > 0
+      UNION ALL SELECT 3, COUNT(*) FROM n3 HAVING COUNT(*) > 0
+    )
+    """,
+)
+def bfs_khop_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop BFS neighborhood census from the lowest part id over the
+    co-purchase graph (parts adjacent when an order contains both):
+    how much of the catalog is within 1/2/3 links — the reachability
+    probe recommendation features use. Level-synchronous frontier
+    joins, node-sized state, min-distance by BFS invariant. See
+    operators/graph.bfs_hops."""
+    from lakeapi_spark.operators.graph import bfs_hops
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    seeds = li.agg(F.min("p").alias("node"))
+    dist = bfs_hops(edges, seeds, max_hops=3)
+    return dist.groupBy("hops").agg(F.count(F.lit(1)).alias("n_parts"))
+
+
+@register(
+    "running_balance_floor_users",
+    """
+    WITH ev AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                  ELSE -CAST(ROUND(value * 100, 0) AS BIGINT) END AS d
+      FROM events
+    ), bal AS (
+      WITH RECURSIVE r(user_id, rn, b, nf) AS (
+        SELECT user_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM (SELECT DISTINCT user_id FROM ev)
+        UNION ALL
+        SELECT e.user_id, e.rn, GREATEST(r.b + e.d, 0),
+               r.nf + CASE WHEN r.b + e.d < 0 THEN 1 ELSE 0 END
+        FROM r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+      )
+      SELECT * FROM r
+    )
+    SELECT user_id, MAX(rn) AS n_events,
+           MAX_BY(b, rn) AS final_balance, MAX_BY(nf, rn) AS n_floored
+    FROM bal GROUP BY user_id
+    """,
+)
+def running_balance_floor_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-clamped wallet balance per user (purchases credit, every
+    other event debits, balance never goes below zero) — the
+    inherently-sequential ledger recurrence no window expresses. Spark
+    runs it as ONE applyInPandas pass (vectorized reset-cumsum inside
+    the kernel); the oracle replays the recurrence with a recursive
+    CTE. Integer cents end-to-end. See
+    operators/windows.running_balance_floor."""
+    from lakeapi_spark.operators.windows import running_balance_floor
+
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    delta = F.when(F.col("event_type") == "purchase", cents).otherwise(-cents)
+    staged = e.select("user_id", "ts", "event_id", delta.alias("delta_cents"))
+    return running_balance_floor(staged, "user_id", "ts", "event_id", "delta_cents")

@@ -1832,3 +1832,66 @@ def test_mmr_select_prefers_diversity(spark):
     assert got == [(1, 1), (2, 3)]
     r1 = out.filter(F.col("rank") == 1).collect()[0]
     assert r1.mmr_score == r1.relevance
+
+
+def test_largest_remainder_allocation_exact(spark):
+    from lakeapi_spark.operators.stats import largest_remainder_allocation
+
+    # equal weights, total 10 over 3 rows: base 3 each, remainder 1 goes
+    # to the lowest linenumber (all mods tie)
+    rows = [("g", 1, 3, 10), ("g", 2, 3, 10), ("g", 3, 3, 10),
+            ("h", 1, 1, 7), ("h", 2, 2, 7)]  # h: bases 2,4 rem 1 -> mods 1,2
+    df = spark.createDataFrame(rows, "k string, ln int, w long, t long")
+    out = {(r.k, r.ln): r for r in
+           largest_remainder_allocation(df, "k", "w", "t", "ln").collect()}
+    assert [out[("g", i)].allocated for i in (1, 2, 3)] == [4, 3, 3]
+    assert out[("g", 1)].bumped and not out[("g", 2)].bumped
+    # invariant: per-group allocations sum exactly to the total
+    assert sum(out[("h", i)].allocated for i in (1, 2)) == 7
+    assert [out[("h", i)].allocated for i in (1, 2)] == [2, 5]
+
+
+def test_gini_concentration_bounds(spark):
+    from lakeapi_spark.operators.stats import gini_concentration
+
+    rows = [("eq", i, 5.0) for i in range(4)] + [
+        ("top", 0, 0.0), ("top", 1, 0.0), ("top", 2, 0.0), ("top", 3, 10.0)]
+    df = spark.createDataFrame(rows, "g string, ent long, v double")
+    out = {r.g: r for r in
+           gini_concentration(df, ["g"], "ent", "v", value_scale=1).collect()}
+    assert out["eq"].gini == 0.0           # perfectly equal
+    assert out["top"].gini == 0.75         # (2*4*10 - 5*10) / (4*10)
+    assert out["top"].n_entities == 4
+
+
+def test_running_balance_floor_matches_naive(spark):
+    from lakeapi_spark.operators.windows import running_balance_floor
+
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    deltas = {1: [5, -10, 3, -1], 2: [-3, 4, 4, -20, 2]}
+    rows = [(u, t0 + dt.timedelta(minutes=i), i, d)
+            for u, ds in deltas.items() for i, d in enumerate(ds)]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, eid long, d long")
+    out = {r.u: r for r in
+           running_balance_floor(df, "u", "ts", "eid", "d").collect()}
+    for u, ds in deltas.items():
+        b, nf = 0, 0
+        for d in ds:
+            raw = b + d
+            if raw < 0:
+                nf += 1
+            b = max(raw, 0)
+        assert (out[u].final_balance, out[u].n_floored, out[u].n_events) == (
+            b, nf, len(ds)), u
+
+
+def test_bfs_hops_path_graph(spark):
+    from lakeapi_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (7, 8)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.hops for r in bfs_hops(edges, seeds, max_hops=2).collect()}
+    # node 4 is 3 hops away, 7/8 disconnected: neither appears
+    assert got == {1: 0, 2: 1, 3: 2}
