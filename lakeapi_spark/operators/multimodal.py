@@ -1019,3 +1019,77 @@ def perceptual_dhash(df: DataFrame) -> DataFrame:
     return df.select("id", "payload").mapInPandas(
         kernel, schema="id long, valid boolean, hash_hi long, hash_lo long"
     )
+
+
+def wav_energy_signature(
+    df: DataFrame, n_windows: int = 8, n_levels: int = 9
+) -> DataFrame:
+    """Audio near-dup fingerprint from REAL decoded WAV bytes: the
+    energy envelope. The decoded int16 stream splits into
+    ``n_windows`` balanced windows (frame i -> window i*n_windows DIV
+    n), each window's Σ s² quantizes to an integer level
+    ``(energy * n_windows) DIV (total_energy + 1)`` in
+    [0, n_windows], and the levels pack base-``n_levels`` into ONE
+    long — re-encodings/copies of the same audio collide on it while
+    different material doesn't, the audio analogue of the image dHash.
+    ALL integer arithmetic, so a SQL oracle that can re-derive the
+    waveform verifies the byte-level decode end to end. Returns
+    (id, valid, n_frames, signature); malformed payloads yield
+    valid=false. Scale: mapInPandas Arrow batches, per-row cost linear
+    in audio length, no shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def decode_pcm(raw: bytes):
+            if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+                raise ValueError("bad signature")
+            pos, fmt, data = 12, None, None
+            while pos + 8 <= len(raw):
+                typ = raw[pos : pos + 4]
+                (ln,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+                body = raw[pos + 8 : pos + 8 + ln]
+                if len(body) != ln:
+                    raise ValueError("truncated chunk")
+                if typ == b"fmt ":
+                    fmt = body
+                elif typ == b"data":
+                    data = body
+                pos += 8 + ln + (ln & 1)
+            if fmt is None or data is None:
+                raise ValueError("missing fmt/data")
+            audio_fmt, channels = struct.unpack("<HH", fmt[:4])
+            bits = struct.unpack("<H", fmt[14:16])[0]
+            if audio_fmt != 1 or bits != 16 or channels != 1:
+                raise ValueError("not mono 16-bit PCM")
+            return np.frombuffer(data, dtype="<i2").astype(np.int64)
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                try:
+                    s = decode_pcm(bytes(payload))
+                    n = len(s)
+                    if n == 0:
+                        raise ValueError("empty audio")
+                    w = (np.arange(n) * n_windows) // n
+                    e = np.bincount(w, weights=(s * s).astype(np.float64),
+                                    minlength=n_windows).astype(np.int64)
+                    total = int(e.sum())
+                    lv = (e * n_windows) // (total + 1)
+                    sig = 0
+                    for i in range(n_windows - 1, -1, -1):
+                        sig = sig * n_levels + int(lv[i])
+                    rows.append((int(rid), True, n, sig))
+                except Exception:  # noqa: BLE001 - malformed -> invalid row
+                    rows.append((int(rid), False, None, None))
+            yield pd.DataFrame(
+                rows, columns=["id", "valid", "n_frames", "signature"]
+            )
+
+    return df.select("id", "payload").mapInPandas(
+        kernel, schema="id long, valid boolean, n_frames long, signature long"
+    )

@@ -8586,3 +8586,241 @@ def running_balance_floor_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = F.when(F.col("event_type") == "purchase", cents).otherwise(-cents)
     staged = e.select("user_id", "ts", "event_id", delta.alias("delta_cents"))
     return running_balance_floor(staged, "user_id", "ts", "event_id", "delta_cents")
+
+
+@register(
+    "multimodal_wav_energy_neardup",
+    """
+    WITH seeds AS (SELECT DISTINCT doc_id % 50 AS sid FROM documents),
+    ex AS (
+      SELECT sid,
+             UNNEST(generate_series(CAST(0 AS BIGINT),
+                                    CAST(64 + sid % 64 - 1 AS BIGINT))) AS i
+      FROM seeds
+    ), sm AS (
+      SELECT sid, i, ((sid * 31 + i * 17) % 2001) - 1000 AS s,
+             CAST(64 + sid % 64 AS BIGINT) AS n
+      FROM ex
+    ), en AS (
+      SELECT sid, (i * 8) // n AS w, SUM(s * s) AS e
+      FROM sm GROUP BY 1, 2
+    ), lv AS (
+      SELECT sid, w,
+             (e * 8) // (SUM(e) OVER (PARTITION BY sid) + 1) AS l
+      FROM en
+    ), sg AS (
+      SELECT sid, CAST(SUM(l * CAST(POWER(9, w) AS BIGINT)) AS BIGINT) AS signature
+      FROM lv GROUP BY sid
+    )
+    SELECT sg.signature, COUNT(*) AS n_docs,
+           COUNT(DISTINCT sg.sid) AS n_seeds,
+           MIN(d.doc_id) AS min_doc_id
+    FROM documents d JOIN sg ON d.doc_id % 50 = sg.sid
+    GROUP BY 1
+    """,
+)
+def multimodal_wav_energy_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup via the energy-envelope signature: REAL WAV bytes
+    (deterministic PCM fixtures seeded by doc_id % 50, so copies
+    exist) decode in an Arrow kernel to an 8-window quantized-energy
+    fingerprint, and documents sharing a fingerprint group together —
+    the audio analogue of the image dHash near-dup. The oracle
+    re-derives the same all-integer signature from the fixture
+    waveform formula, verifying decode + windowing + quantization end
+    to end. See operators/multimodal.wav_energy_signature."""
+    from lakeapi_spark.operators.multimodal import (
+        attach_pcm_wav_payload,
+        wav_energy_signature,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 50).alias("sid")
+    )
+    media = attach_pcm_wav_payload(docs.select("sid").distinct(), "sid")
+    sig = wav_energy_signature(media).select(
+        F.col("id").alias("sid"), "signature"
+    )
+    return (
+        docs.join(F.broadcast(sig), "sid")
+        .groupBy("signature")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("sid").alias("n_seeds"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+@register(
+    "ab_test_conversion_z",
+    """
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS variant,
+             MAX(CASE WHEN event_type = 'purchase' AND value >= 200
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY 1, 2
+    ), v AS (
+      SELECT variant, COUNT(*) AS n_users, SUM(converted) AS n_converted
+      FROM u GROUP BY 1
+    )
+    SELECT a.n_users AS n_a, CAST(a.n_converted AS BIGINT) AS conv_a,
+           b.n_users AS n_b, CAST(b.n_converted AS BIGINT) AS conv_b,
+           ROUND(CAST(a.n_converted AS DOUBLE) / a.n_users, 6) + 0.0 AS p_a,
+           ROUND(CAST(b.n_converted AS DOUBLE) / b.n_users, 6) + 0.0 AS p_b,
+           ROUND(
+             (CAST(a.n_converted AS DOUBLE) / a.n_users
+              - CAST(b.n_converted AS DOUBLE) / b.n_users)
+             / SQRT(
+                 (CAST(a.n_converted + b.n_converted AS DOUBLE)
+                  / (a.n_users + b.n_users))
+                 * (1 - CAST(a.n_converted + b.n_converted AS DOUBLE)
+                        / (a.n_users + b.n_users))
+                 * (1.0 / a.n_users + 1.0 / b.n_users)
+               ),
+             6) + 0.0 AS z
+    FROM (SELECT * FROM v WHERE variant = 0) a,
+         (SELECT * FROM v WHERE variant = 1) b
+    """,
+)
+def ab_test_conversion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B split (variant = user_id
+    parity, conversion = any high-value purchase): the experimentation
+    readout. Engine-exact because the statistic uses only IEEE-exact
+    operations (integer-to-double casts, -, *, /, correctly-rounded
+    SQRT) in a mirrored expression tree. One groupBy(user) + one tiny
+    agg; the final cross join is 1x1."""
+    e = table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase") & (F.col("value") >= 200)
+            ).cast("int")
+        ).alias("converted")
+    ).withColumn("variant", F.col("user_id") % 2)
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    a = v.filter(F.col("variant") == 0).select(
+        F.col("n_users").alias("n_a"), F.col("n_converted").alias("conv_a")
+    )
+    b = v.filter(F.col("variant") == 1).select(
+        F.col("n_users").alias("n_b"), F.col("n_converted").alias("conv_b")
+    )
+    j = a.crossJoin(b)
+    pa = F.col("conv_a").cast("double") / F.col("n_a")
+    pb = F.col("conv_b").cast("double") / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (pa - pb) / F.sqrt(
+        pp * (F.lit(1) - pp) * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return j.select(
+        "n_a",
+        F.col("conv_a").cast("long").alias("conv_a"),
+        "n_b",
+        F.col("conv_b").cast("long").alias("conv_b"),
+        (F.round(pa, 6) + 0.0).alias("p_a"),
+        (F.round(pb, 6) + 0.0).alias("p_b"),
+        (F.round(z, 6) + 0.0).alias("z"),
+    )
+
+
+@register(
+    "per_lang_quality_filter",
+    """
+    WITH d AS (
+      SELECT doc_id, lang,
+             (len(list_distinct(string_split(text, ' '))) * 1000)
+               // len(string_split(text, ' ')) AS score
+      FROM documents
+    ), hist AS (
+      SELECT lang, score AS v, COUNT(*) AS w FROM d GROUP BY 1, 2
+    ), cum AS (
+      SELECT lang, v,
+             SUM(w) OVER (PARTITION BY lang ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+             SUM(w) OVER (PARTITION BY lang) AS t
+      FROM hist
+    ), med AS (
+      SELECT lang,
+             CAST(ROUND(MIN(v) / 1.0, 2) AS DOUBLE) + 0.0 AS threshold
+      FROM cum WHERE 2 * c >= t GROUP BY lang
+    )
+    SELECT d.lang, COUNT(*) AS n_docs,
+           SUM(CASE WHEN d.score >= med.threshold THEN 1 ELSE 0 END) AS n_kept,
+           MAX(med.threshold) AS threshold
+    FROM d JOIN med ON d.lang = med.lang
+    GROUP BY d.lang
+    """,
+)
+def per_lang_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language adaptive quality gate (the CCNet discipline:
+    thresholds calibrate WITHIN each language, because surface
+    statistics aren't comparable across languages): score = integer
+    type-token ratio, per-lang lower-median threshold from the
+    weighted-median pick rule, keep docs at-or-above their own
+    language's bar. Reuses operators/stats.weighted_median (weight 1);
+    one shuffle for the histogram, threshold relation joins back
+    broadcast."""
+    from lakeapi_spark.operators.stats import weighted_median
+
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "size(array_distinct(split(text, ' '))) * 1000L"
+            " DIV size(split(text, ' '))"
+        ).alias("score"),
+    )
+    med = weighted_median(
+        d.withColumn("_one", F.lit(1)), ["lang"], "score", "_one", value_scale=1
+    ).select("lang", F.col("w_median").alias("threshold"))
+    return (
+        d.join(F.broadcast(med), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("score") >= F.col("threshold")).cast("long")).alias(
+                "n_kept"
+            ),
+            F.max("threshold").alias("threshold"),
+        )
+    )
+
+
+@register(
+    "orc_scan_roundtrip",
+    """
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY 1
+    """,
+)
+def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC format evidence: lineitem's (flag, quantity) projection
+    round-trips through Spark's native ORC writer/reader (same
+    pushdown + pruning machinery as parquet; sources/readers.py routes
+    file_type='orc'), and the aggregate hash-matches the oracle
+    reading the source parquet — proving the format conversion loses
+    nothing. Staged once per sf_dir under the system tmp."""
+    import hashlib
+    import os
+    import tempfile
+
+    from lakeapi_spark.sources.readers import read_source
+
+    src = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "lakeapi_orc_lineitem_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    if not os.path.isdir(dest):
+        src.write.mode("overwrite").orc(dest)
+    df = read_source(spark, dest, "orc")
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+    )

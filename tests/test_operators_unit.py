@@ -1895,3 +1895,32 @@ def test_bfs_hops_path_graph(spark):
     got = {r.node: r.hops for r in bfs_hops(edges, seeds, max_hops=2).collect()}
     # node 4 is 3 hops away, 7/8 disconnected: neither appears
     assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_wav_energy_signature_dups_and_malformed(spark):
+    from lakeapi_spark.operators.multimodal import (
+        attach_pcm_wav_payload,
+        wav_energy_signature,
+    )
+
+    # ids 3 and 67 share a waveform seed family? No — the fixture
+    # waveform is a function of the id itself, so identical ids are the
+    # only true dups; prove instead that (a) equal payloads produce
+    # equal signatures, (b) different audio produces different
+    # signatures here, (c) malformed bytes yield valid=false.
+    base = spark.createDataFrame([(3,), (3,), (40,)], "sid long")
+    media = attach_pcm_wav_payload(base, "sid")
+    sigs = wav_energy_signature(media).collect()
+    by_id = {}
+    for r in sigs:
+        assert r.valid
+        by_id.setdefault(r.id, set()).add(r.signature)
+    assert len(by_id[3]) == 1              # identical audio -> one signature
+    assert by_id[3] != by_id[40]           # different audio -> different
+    assert sigs[0].n_frames is not None
+
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"RIFFxxxxWAVEtruncated"))], "id long, payload binary"
+    )
+    out = wav_energy_signature(bad).collect()[0]
+    assert not out.valid and out.signature is None
