@@ -184,6 +184,8 @@ def bfs_hops(
     src: str = "src",
     dst: str = "dst",
     node: str = "node",
+    broadcast_frontier: bool = True,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Breadth-first min-hop distances from a seed set over the
     UNDIRECTED simple graph induced by ``edges`` (k-hop reachability —
@@ -196,28 +198,55 @@ def bfs_hops(
     against the visited set — both hash-partitioned by node id, and
     the frontier/visited relations are NODE-sized, never edge-sized.
     By BFS invariant a node discovered in round h has min-distance h,
-    so no min-aggregation is needed across rounds. Small fixed hop
-    counts keep the whole expansion one Catalyst plan; many-round runs
-    should localCheckpoint the visited set every few rounds (the
-    connected-components pattern in operators/dedup.py)."""
+    so no min-aggregation is needed across rounds.
+
+    The undirected edge relation and each round's frontier are
+    PERSISTED: without that, round h's plan re-derives every earlier
+    frontier — and re-runs the (potentially expensive) edge build —
+    once per reference, turning a linear expansion into an exponential
+    one. ``cache_handles`` receives the persisted handles so
+    long-lived serving sessions can unpersist after their action (the
+    pagerank/minhash release contract); one-shot callers may ignore
+    it."""
+    # NO distinct on the doubled edge relation: BFS is idempotent in
+    # edge multiplicity (each round's frontier-candidate set has its own
+    # distinct), so deduplicating 2|E| rows here would buy nothing and
+    # cost a full edge-sized shuffle — the single most expensive step at
+    # graph scale.
     und = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
+        .persist()
     )
+    handles = [und]
     dist = seeds.select(F.col(node).alias("node")).distinct().withColumn(
         "hops", F.lit(0)
     )
     frontier = dist.select("node")
     for h in range(1, max_hops + 1):
+        fr = frontier.withColumnRenamed("node", "u")
+        if broadcast_frontier:
+            # frontier/visited are NODE-sized: broadcasting them keeps
+            # the edge relation where it sits (no per-round edge
+            # shuffle — the dominant cost otherwise; same dial as
+            # pagerank's broadcast_ranks). Graphs whose frontiers
+            # outgrow the broadcast budget set False and get the
+            # co-partitioned sort-merge plan.
+            fr = F.broadcast(fr)
         nxt = (
-            und.join(frontier.withColumnRenamed("node", "u"), "u")
+            und.join(fr, "u")
             .select(F.col("v").alias("node"))
             .distinct()
         )
-        new = nxt.join(dist.select("node"), "node", "left_anti").withColumn(
+        visited = dist.select("node")
+        if broadcast_frontier:
+            visited = F.broadcast(visited)
+        new = nxt.join(visited, "node", "left_anti").withColumn(
             "hops", F.lit(h)
-        )
+        ).persist()
+        handles.append(new)
         dist = dist.unionByName(new)
         frontier = new.select("node")
+    if cache_handles is not None:
+        cache_handles.extend(handles)
     return dist

@@ -459,6 +459,62 @@ def growth_accounting(
     )
 
 
+def _balance_reduce_keys(keys, deltas):
+    """One (key, n_events, final_balance, n_floored) row per key
+    segment of a KEY-SORTED (keys, deltas) pair — the vectorized
+    reset-cumsum core of :func:`running_balance_floor`."""
+    import numpy as np
+    import pandas as pd
+
+    out_k, out_n, out_b, out_f = [], [], [], []
+    bounds = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(keys)]))
+    for s, e in zip(starts, ends):
+        d = deltas[s:e]
+        cs = np.cumsum(d)
+        b = cs - np.minimum(np.minimum.accumulate(cs), 0)
+        prev = np.concatenate(([np.int64(0)], b[:-1]))
+        out_k.append(keys[s])
+        out_n.append(e - s)
+        out_b.append(int(b[-1]))
+        out_f.append(int((prev + d < 0).sum()))
+    return pd.DataFrame(
+        {
+            "_k": np.asarray(out_k, dtype=np.int64),
+            "n_events": np.asarray(out_n, dtype=np.int64),
+            "final_balance": np.asarray(out_b, dtype=np.int64),
+            "n_floored": np.asarray(out_f, dtype=np.int64),
+        }
+    )
+
+
+def _balance_kernel(batches):
+    """mapInPandas generator over one partition's key-sorted batches:
+    reduces complete key segments per batch and carries the trailing
+    key's rows into the next batch (Arrow may slice a key across
+    batches). Tested directly with adversarial splits in
+    tests/test_operators_unit.py."""
+    import numpy as np
+
+    carry_k = carry_d = None
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        keys = pdf["_k"].to_numpy(dtype=np.int64)
+        deltas = pdf["_d"].to_numpy(dtype=np.int64)
+        if carry_k is not None:
+            keys = np.concatenate((carry_k, keys))
+            deltas = np.concatenate((carry_d, deltas))
+        last = keys[-1]
+        cut = np.searchsorted(keys, last, side="left")
+        carry_k, carry_d = keys[cut:], deltas[cut:]
+        if cut:
+            yield _balance_reduce_keys(keys[:cut], deltas[:cut])
+    if carry_k is not None and len(carry_k):
+        yield _balance_reduce_keys(carry_k, carry_d)
+
+
 def running_balance_floor(
     df: DataFrame,
     key_col: str,
@@ -470,47 +526,39 @@ def running_balance_floor(
     delta_i) over the key's events in (ts, tiebreak) order — the
     wallet/credit-ledger recurrence (spend can't take a balance
     negative). Returns one row per key:
-    (key, n_events, final_balance, n_floored).
+    (key, n_events, final_balance, n_floored). Integer (long) keys and
+    deltas.
 
     This recurrence is NOT window-expressible (each step depends on the
-    clamped previous step), so it runs as applyInPandas over
-    groupBy(key) — one shuffle, keys process independently in
-    parallel, which is the distribution axis at scale. Inside the
-    kernel the whole chain is still VECTORIZED, not a Python loop, via
-    the reset-cumsum identity ``b_i = cs_i - min(0, min_{j<=i} cs_j)``
-    (prefix sums + one running minimum), with all arithmetic on int64
-    deltas so any engine — including a recursive-CTE SQL oracle —
+    clamped previous step), so it runs in Python — but shaped for
+    scale: ONE repartition by key + sortWithinPartitions, then a
+    mapInPandas kernel that processes a whole partition's keys per
+    Arrow batch (NOT applyInPandas, whose per-group pandas
+    materialization costs ~1 ms x |keys|), carrying the trailing key
+    across batch boundaries (:func:`_balance_kernel`). Inside, the
+    chain is VECTORIZED via the reset-cumsum identity
+    ``b_i = cs_i - min(0, min_{j<=i} cs_j)`` (prefix sums + a running
+    minimum per key segment), all int64, so a recursive-CTE SQL oracle
     reproduces it exactly."""
-    staged = df.select(
-        F.col(key_col).alias("_k"),
-        F.col(ts_col).alias("_ts"),
-        F.col(tiebreak_col).alias("_tb"),
-        F.col(delta_col).cast("long").alias("_d"),
-    )
+    from pyspark import cloudpickle as _cp
+    import sys as _sys
 
-    def kernel(pdf):
-        import numpy as np
-        import pandas as pd
+    # the kernel closes over module-level helpers; executors can't
+    # import lakeapi_spark (driver-only sys.path), so ship the module
+    # by value — the sources/dv.py pattern
+    _cp.register_pickle_by_value(_sys.modules[__name__])
 
-        pdf = pdf.sort_values(["_ts", "_tb"], kind="mergesort")
-        d = pdf["_d"].to_numpy(dtype=np.int64)
-        cs = np.cumsum(d)
-        floor_level = np.minimum(np.minimum.accumulate(cs), 0)
-        b = cs - floor_level
-        prev = np.concatenate(([np.int64(0)], b[:-1]))
-        n_floored = int((prev + d < 0).sum())
-        return pd.DataFrame(
-            {
-                "_k": [pdf["_k"].iloc[0]],
-                "n_events": [len(d)],
-                "final_balance": [int(b[-1]) if len(b) else 0],
-                "n_floored": [n_floored],
-            }
+    staged = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.col(ts_col).alias("_ts"),
+            F.col(tiebreak_col).alias("_tb"),
+            F.col(delta_col).cast("long").alias("_d"),
         )
-
+        .repartition("_k")
+        .sortWithinPartitions("_k", "_ts", "_tb")
+    )
     out_schema = "_k long, n_events long, final_balance long, n_floored long"
-    return (
-        staged.groupBy("_k")
-        .applyInPandas(kernel, schema=out_schema)
-        .withColumnRenamed("_k", key_col)
+    return staged.mapInPandas(_balance_kernel, schema=out_schema).withColumnRenamed(
+        "_k", key_col
     )

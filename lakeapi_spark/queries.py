@@ -8395,6 +8395,7 @@ def revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
            SUM(CASE WHEN rk <= rem THEN 1 ELSE 0 END) AS n_bumped
     FROM r GROUP BY 1
     """,
+    bench=True,
 )
 def allocate_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-remainder proration: each order's integer-cent total is
@@ -8493,12 +8494,13 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bfs_khop_copurchase",
     """
     WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
-    e0 AS (
-      SELECT DISTINCT a.p AS u, b.p AS v
+    po AS (
+      SELECT DISTINCT a.o, a.p AS u, b.p AS v
       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
     ),
+    e0 AS (SELECT u, v FROM po GROUP BY u, v HAVING COUNT(*) >= 2),
     e AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
-    d0 AS (SELECT MIN(l_partkey) AS node FROM lineitem),
+    d0 AS (SELECT MIN(u) AS node FROM e0),
     n1 AS (
       SELECT DISTINCT e.v AS node FROM e JOIN d0 ON e.u = d0.node
       WHERE e.v NOT IN (SELECT node FROM d0)
@@ -8521,26 +8523,37 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT 3, COUNT(*) FROM n3 HAVING COUNT(*) > 0
     )
     """,
+    bench=True,
 )
 def bfs_khop_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-hop BFS neighborhood census from the lowest part id over the
-    co-purchase graph (parts adjacent when an order contains both):
+    """k-hop BFS neighborhood census from the lowest linked part id
+    over the STRONG co-purchase graph (parts adjacent when >= 2 orders
+    contain both — one shared order is noise at TPC-H densities; the
+    support threshold is what keeps an affinity graph sparse at scale):
     how much of the catalog is within 1/2/3 links — the reachability
     probe recommendation features use. Level-synchronous frontier
     joins, node-sized state, min-distance by BFS invariant. See
     operators/graph.bfs_hops."""
     from lakeapi_spark.operators.graph import bfs_hops
 
-    li = table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    # dedupe (order, part) BEFORE pairing: one 600k-row shuffle there
+    # replaces a 2x-bigger distinct over the pair relation, and the
+    # self-join's two sides share the deduped exchange (AQE reuse)
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
     )
     a, b = li.alias("a"), li.alias("b")
     edges = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
-        .distinct()
+        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .count()
+        .filter(F.col("count") >= 2)
+        .select("src", "dst")
+        .persist()
     )
-    seeds = li.agg(F.min("p").alias("node"))
+    seeds = edges.agg(F.min("src").alias("node"))
     dist = bfs_hops(edges, seeds, max_hops=3)
     return dist.groupBy("hops").agg(F.count(F.lit(1)).alias("n_parts"))
 
@@ -8570,6 +8583,7 @@ def bfs_khop_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX_BY(b, rn) AS final_balance, MAX_BY(nf, rn) AS n_floored
     FROM bal GROUP BY user_id
     """,
+    bench=True,
 )
 def running_balance_floor_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Floor-clamped wallet balance per user (purchases credit, every

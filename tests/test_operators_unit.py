@@ -1924,3 +1924,43 @@ def test_wav_energy_signature_dups_and_malformed(spark):
     )
     out = wav_energy_signature(bad).collect()[0]
     assert not out.valid and out.signature is None
+
+
+def test_running_balance_kernel_batch_carry(spark):
+    """The mapInPandas kernel must produce identical results no matter
+    how Arrow slices a partition into batches — including a key's rows
+    split across batches and a batch boundary exactly on a key edge.
+    Drives the REAL kernel generator directly with adversarial splits."""
+    import pandas as pd
+
+    from lakeapi_spark.operators.windows import (
+        _balance_kernel,
+        running_balance_floor,
+    )
+
+    staged = spark.createDataFrame(
+        [(1, 5), (1, -9), (1, 3), (2, -4), (2, 6), (3, 7)],
+        "u long, d long",
+    )
+    truth = {
+        r.u: (r.n_events, r.final_balance, r.n_floored)
+        for r in running_balance_floor(
+            staged.withColumn("ts", F.col("d") * 0).withColumn("eid", F.lit(0)),
+            "u", "ts", "eid", "d",
+        ).collect()
+    }
+    assert truth == {1: (3, 3, 1), 2: (2, 6, 1), 3: (1, 7, 0)}
+
+    rows = [(1, 5), (1, -9), (1, 3), (2, -4), (2, 6), (3, 7)]
+    for split in range(1, len(rows)):
+        batches = [
+            pd.DataFrame(rows[:split], columns=["_k", "_d"]),
+            pd.DataFrame(rows[split:], columns=["_k", "_d"]),
+        ]
+        got = {}
+        for f in _balance_kernel(iter(batches)):
+            for _, r in f.iterrows():
+                got[int(r["_k"])] = (
+                    int(r["n_events"]), int(r["final_balance"]), int(r["n_floored"])
+                )
+        assert got == truth, split
