@@ -8838,3 +8838,41 @@ def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum(dec("l_quantity")), 2).cast("double").alias("sum_qty"),
     )
+
+
+@register(
+    "delta_convert_in_place",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def delta_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO DELTA evidence: a plain hive-partitioned parquet
+    directory (orders by priority) is registered as a delta table IN
+    PLACE — zero data movement, one commit with per-file stats and
+    log-declared partitionValues — then read back through the delta
+    reader; the aggregate hash-matches the oracle reading the source
+    parquet. See sources/delta.convert_to_delta (delta-utils parity)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from lakeapi_spark.sources.delta import convert_to_delta
+    from lakeapi_spark.sources.readers import read_source
+
+    src = table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "lakeapi_convert_orders_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    if not os.path.isdir(os.path.join(dest, "_delta_log")):
+        src.write.mode("overwrite").partitionBy("o_orderpriority").parquet(dest)
+        convert_to_delta(spark, dest, partition_by=["o_orderpriority"])
+    df = read_source(spark, dest, "delta")
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(dec("o_totalprice")), 2).cast("double").alias("revenue"),
+    )

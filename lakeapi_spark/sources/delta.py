@@ -581,21 +581,27 @@ def read_delta_fallback(
     shape and column-mapping handling).
 
     ``predicates`` = [(col, lo, hi)] closed ranges (None = unbounded)
-    enables DATA SKIPPING from the log's per-file min/max stats: a file
-    whose range provably misses the box is never opened. This bounds
-    IO only — callers still apply the exact filter (Catalyst pushes it
-    into the surviving scans). Statless files are conservatively kept,
-    so predicates never change results, just cost."""
+    enables FILE SKIPPING from the log: per-file min/max stats for data
+    columns, and the log-declared ``partitionValues`` for partition
+    columns (typed through the table schema — "10" prunes as the
+    NUMBER 10 when the column is numeric, never lexically). A file is
+    dropped only when it PROVABLY misses the box. This bounds IO only —
+    callers still apply the exact filter (Catalyst pushes it into the
+    surviving scans). Statless files and un-coercible values are
+    conservatively kept, so predicates never change results, just
+    cost."""
     snap = delta_snapshot(spark, uri, version_as_of)
     base = uri.rstrip("/")
     files = snap.files
     if predicates:
         phys = {f.name: _physical_name(f) for f in snap.schema.fields}
         phys_predicates = [(phys.get(c, c), lo, hi) for c, lo, hi in predicates]
+        ptypes = {_physical_name(f): f.dataType for f in snap.schema.fields}
         files = {
             p: pv
             for p, pv in files.items()
             if _stats_overlap(snap.stats.get(p), phys_predicates)
+            and _partition_overlap(pv, phys_predicates, ptypes)
         }
     return _files_to_df(spark, base, snap, files)
 
@@ -829,6 +835,41 @@ def _file_stats_json(path: str) -> str | None:
             mins[name] = mn if name not in mins else min(mins[name], mn)
             maxs[name] = mx if name not in maxs else max(maxs[name], mx)
     return json.dumps({"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs})
+
+
+def _partition_overlap(
+    pv: dict | None, predicates, types: dict
+) -> bool:
+    """Partition-column twin of :func:`_stats_overlap`: True unless a
+    file's log-declared partition VALUE provably misses the predicate
+    box. partitionValues are strings in the log, so both sides coerce
+    through the TABLE type (:func:`_coerce_stat_value`) before
+    comparing — never lexically for numerics. A NULL partition value
+    cannot satisfy a bounded range (the exact filter would drop those
+    rows anyway), so bounded predicates skip the file; anything
+    un-coercible keeps it (skipping degrades, never mis-prunes)."""
+    if not pv:
+        return True
+    for col, lo, hi in predicates:
+        if col not in pv or (lo is None and hi is None):
+            continue
+        raw = pv[col]
+        if raw is None:
+            return False  # bounded range, NULL partition value
+        dtype = types.get(col)
+        v = _coerce_stat_value(raw, dtype)
+        if v is None:
+            continue
+        lo_c = _coerce_stat_value(lo, dtype) if lo is not None else None
+        hi_c = _coerce_stat_value(hi, dtype) if hi is not None else None
+        try:
+            if lo_c is not None and v < lo_c:
+                return False
+            if hi_c is not None and v > hi_c:
+                return False
+        except TypeError:
+            continue
+    return True
 
 
 def _stats_overlap(stats: dict | None, predicates) -> bool:
@@ -3660,3 +3701,109 @@ def generate_symlink_manifest(spark: SparkSession, path: str) -> list[str]:
             f.write("\n".join(paths) + "\n")
         written.append(mf)
     return written
+
+
+def convert_to_delta(
+    spark: SparkSession,
+    path: str,
+    partition_by: list[str] | None = None,
+    collect_stats: bool = True,
+) -> int:
+    """CONVERT TO DELTA (delta-utils ``CONVERT TO DELTA parquet.\\``/path\\```):
+    register an existing parquet directory as a delta table IN PLACE —
+    zero data movement, one commit. Every data file becomes an ``add``
+    action carrying its hive-parsed partitionValues, byte size, mtime,
+    and (optionally) footer stats, so file skipping and partition
+    pruning work from version 0 exactly as for natively-written tables.
+
+    Mirrors delta-spark's contract: the directory must not already be a
+    delta table; a hive-partitioned layout must be DECLARED via
+    ``partition_by`` matching the directory structure (delta-spark
+    requires the partition schema for the same reason — silently
+    guessing would bake a wrong layout into table metadata); non-hive
+    subdirectories are refused rather than half-converted.
+
+    Scale note: the file walk + footer-stats read is a driver-side
+    O(files) pass (each footer read is a few KB of IO) — the same shape
+    delta-spark's convert runs; a petabyte-scale convert would
+    distribute the stats pass as a mapPartitions over the file list and
+    only the final commit would remain driver-side. Set
+    ``collect_stats=False`` to skip footers entirely.
+
+    Returns the committed version (always 0)."""
+    import os
+    import urllib.parse
+    import uuid
+
+    base = _local_path(path).rstrip("/")
+    log = f"{base}/_delta_log"
+    if os.path.isdir(log):
+        raise ValueError(f"{path!r} is already a delta table")
+    pcols = list(partition_by or [])
+    files: list[str] = []
+    for root, dirs, names in os.walk(base):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for n in names:
+            if n.endswith(".parquet") and not n.startswith((".", "_")):
+                files.append(os.path.join(root, n))
+    if not files:
+        raise ValueError(f"no parquet files under {path!r} to convert")
+    adds: list[dict] = []
+    for fpath in sorted(files):
+        rel = os.path.relpath(fpath, base)
+        pvals: dict[str, str | None] = {}
+        for seg in rel.split(os.sep)[:-1]:
+            k, eq, v = seg.partition("=")
+            if not eq:
+                raise ValueError(
+                    f"non-hive subdirectory {seg!r} under {path!r} — convert "
+                    "expects a flat dir or col=value partition layout"
+                )
+            pvals[k] = (
+                None
+                if v == "__HIVE_DEFAULT_PARTITION__"
+                else urllib.parse.unquote(v)
+            )
+        if set(pvals) != set(pcols):
+            raise ValueError(
+                f"partition layout {sorted(pvals)} of {rel!r} does not match "
+                f"declared partition_by {sorted(pcols)} — declare the layout "
+                "explicitly (delta-spark's convert requires it too)"
+            )
+        add = {
+            "path": rel.replace(os.sep, "/"),
+            "partitionValues": {c: pvals.get(c) for c in pcols},
+            "size": os.path.getsize(fpath),
+            "modificationTime": int(os.path.getmtime(fpath) * 1000),
+            "dataChange": True,
+        }
+        if collect_stats:
+            stats = _file_stats_json(fpath)
+            if stats:
+                add["stats"] = stats
+        adds.append({"add": add})
+    # schema from the parquet reader's own inference; with hive
+    # partition dirs the session pins partition values to STRING (the
+    # same convention the reference stores), matching partitionValues
+    schema = spark.read.parquet(base).schema
+    missing = set(pcols) - set(schema.fieldNames())
+    if missing:
+        raise ValueError(f"partition_by columns {sorted(missing)} not in schema")
+    os.makedirs(log, exist_ok=True)
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": str(uuid.uuid5(uuid.NAMESPACE_URL, base)),
+                "schemaString": schema.json(),
+                "partitionColumns": pcols,
+                "format": {"provider": "parquet"},
+                "configuration": {},
+            }
+        },
+    ] + adds
+    if not _try_commit(log, 0, actions, operation="CONVERT"):
+        raise ConcurrentDeltaModificationError(
+            f"another writer created {path!r} during convert"
+        )
+    return 0

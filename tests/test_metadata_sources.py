@@ -3252,3 +3252,63 @@ def test_generate_symlink_manifest_partitioned(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(NotImplementedError, match="deletion vector"):
         generate_symlink_manifest(spark, base)
+
+
+class TestConvertToDelta:
+    def test_convert_partitioned_roundtrip_and_prune(self, spark, tmp_path):
+        """convert_to_delta registers existing hive-partitioned parquet
+        in place: rows identical, partitionValues pruned from the log
+        (only matching files read), footer stats present, version 0."""
+        import json
+        import os
+
+        from lakeapi_spark.sources.delta import convert_to_delta, read_delta
+
+        p = str(tmp_path / "t")
+        src = spark.range(0, 100).selectExpr(
+            "id", "CAST(id % 4 AS STRING) AS b"
+        )
+        src.write.partitionBy("b").parquet(p)
+        assert convert_to_delta(spark, p, partition_by=["b"]) == 0
+
+        got = read_delta(spark, p, {})
+        assert got.count() == 100
+        assert {r.b for r in got.select("b").distinct().collect()} == {
+            "0", "1", "2", "3"
+        }
+        # partition pruning from log-declared partitionValues
+        pruned = read_delta(spark, p, {}, predicates=[("b", "2", "2")])
+        assert pruned.count() == 25
+
+        lines = open(os.path.join(p, "_delta_log", f"{0:020d}.json")).readlines()
+        assert json.loads(lines[0])["commitInfo"]["operation"] == "CONVERT"
+        log = json.loads(lines[3])  # commitInfo, protocol, metaData, add...
+        assert "add" in log and log["add"]["partitionValues"]["b"] in "0123"
+        assert "stats" in log["add"]  # footer stats recorded
+        assert json.loads(log["add"]["stats"])["numRecords"] > 0
+
+    def test_convert_refusals(self, spark, tmp_path):
+        import pytest
+
+        from lakeapi_spark.sources.delta import convert_to_delta
+
+        # refuse an existing delta table
+        p1 = str(tmp_path / "already")
+        spark.range(3).write.parquet(p1)
+        convert_to_delta(spark, p1)
+        with pytest.raises(ValueError, match="already a delta table"):
+            convert_to_delta(spark, p1)
+
+        # refuse undeclared partition layout
+        p2 = str(tmp_path / "undeclared")
+        spark.range(8).selectExpr("id", "CAST(id % 2 AS STRING) AS b").write\
+            .partitionBy("b").parquet(p2)
+        with pytest.raises(ValueError, match="does not match declared"):
+            convert_to_delta(spark, p2)
+
+        # refuse empty dir
+        p3 = str(tmp_path / "empty")
+        import os
+        os.makedirs(p3)
+        with pytest.raises(ValueError, match="no parquet files"):
+            convert_to_delta(spark, p3)
