@@ -8536,23 +8536,7 @@ def bfs_khop_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/graph.bfs_hops."""
     from lakeapi_spark.operators.graph import bfs_hops
 
-    # dedupe (order, part) BEFORE pairing: one 600k-row shuffle there
-    # replaces a 2x-bigger distinct over the pair relation, and the
-    # self-join's two sides share the deduped exchange (AQE reuse)
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
-        .count()
-        .filter(F.col("count") >= 2)
-        .select("src", "dst")
-        .persist()
-    )
+    edges = _strong_copurchase_edges(spark, sf_dir)
     seeds = edges.agg(F.min("src").alias("node"))
     dist = bfs_hops(edges, seeds, max_hops=3)
     return dist.groupBy("hops").agg(F.count(F.lit(1)).alias("n_parts"))
@@ -8875,4 +8859,268 @@ def delta_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum(dec("o_totalprice")), 2).cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "activity_streaks",
+    """
+    WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS dt FROM events),
+    g AS (
+      SELECT user_id, dt,
+             date_diff('day', DATE '2024-01-01', dt)
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dt) AS grp
+      FROM d
+    ), s AS (
+      SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2
+    )
+    SELECT user_id, COUNT(*) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS n_active_days
+    FROM s GROUP BY user_id
+    """,
+)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity streaks (longest run of consecutive active
+    days) — the engagement metric behind "7-day streak" product
+    features, spelled gaps-and-islands: day_ordinal - row_number is
+    constant within a consecutive run. Two shuffles (distinct days,
+    streak agg), both partitioned by user; all integer."""
+    e = table(spark, sf_dir, "events")
+    d = e.select("user_id", F.col("ts").cast("date").alias("dt")).distinct()
+    w = Window.partitionBy("user_id").orderBy("dt")
+    g = d.select(
+        "user_id",
+        (
+            F.datediff(F.col("dt"), F.lit("2024-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    s = g.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").cast("long").alias("longest_streak"),
+        F.sum("len").cast("long").alias("n_active_days"),
+    )
+
+
+def _strong_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared edge build for the graph queries: the STRONG co-purchase
+    graph — (src < dst) part pairs contained together in >= 2 distinct
+    orders. (order, part) dedupes BEFORE pairing so one shuffle covers
+    the support count; persisted because the callers iterate over it."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .count()
+        .filter(F.col("count") >= 2)
+        .select("src", "dst")
+        .persist()
+    )
+
+
+#: shared oracle CTE prefix: strong co-purchase edges (e0 oriented
+#: src<dst, e doubled) — mirrors _strong_copurchase_edges
+_STRONG_EDGES_SQL = """
+    WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    po AS (
+      SELECT DISTINCT a.o, a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ),
+    e0 AS (SELECT u, v FROM po GROUP BY u, v HAVING COUNT(*) >= 2),
+    e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0)
+"""
+
+
+@register(
+    "link_prediction_common_neighbors",
+    _STRONG_EDGES_SQL
+    + """
+    , deg AS (SELECT u, COUNT(*) AS d FROM e GROUP BY u),
+    cand AS (
+      SELECT w1.u AS u, w2.v AS v, COUNT(*) AS cn
+      FROM e w1 JOIN e w2 ON w1.v = w2.u AND w1.u < w2.v
+      WHERE NOT EXISTS (
+        SELECT 1 FROM e0 WHERE e0.u = w1.u AND e0.v = w2.v
+      )
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT cand.u, cand.v, cand.cn,
+             ROUND(CAST(cand.cn AS DOUBLE)
+                   / CAST(du.d + dv.d - cand.cn AS DOUBLE), 6) + 0.0 AS jaccard
+      FROM cand JOIN deg du ON du.u = cand.u JOIN deg dv ON dv.u = cand.v
+    )
+    SELECT * FROM (
+      SELECT ROW_NUMBER() OVER (ORDER BY cn DESC, u, v) AS rank, u, v, cn, jaccard
+      FROM scored
+    ) WHERE rank <= 20
+    """,
+)
+def link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common-neighbor count over the strong
+    co-purchase graph: the top-20 NON-adjacent part pairs that share
+    the most neighbors (+ neighborhood Jaccard) — the classic
+    recommend-a-missing-link heuristic. Wedge join (one equi-join on
+    the middle node, u<v orientation halves it), anti-join against
+    existing edges, degree relation broadcast. At 100 TB wedge fan-out
+    is bounded the same way triangle_count does it — the strong-graph
+    support threshold IS the degree cap."""
+    edges = _strong_copurchase_edges(spark, sf_dir)
+    und = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("n")).agg(F.count(F.lit(1)).alias("d"))
+    w1 = und.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    w2 = und.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    cand = (
+        w1.join(w2, "w")
+        .filter(F.col("u") < F.col("v"))
+        .join(edges.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+              ["u", "v"], "left_anti")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    scored = (
+        cand.join(F.broadcast(deg.select(F.col("n").alias("u"), F.col("d").alias("du"))), "u")
+        .join(F.broadcast(deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))), "v")
+        .select(
+            "u", "v", "cn",
+            (
+                F.round(
+                    F.col("cn").cast("double")
+                    / (F.col("du") + F.col("dv") - F.col("cn")).cast("double"),
+                    6,
+                )
+                + 0.0
+            ).alias("jaccard"),
+        )
+    )
+    wr = Window.orderBy(F.col("cn").desc(), "u", "v")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "u", "v", "cn", "jaccard")
+    )
+
+
+@register(
+    "target_encoding_loo",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority,
+             CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 100, 0) AS BIGINT) AS p
+      FROM orders
+    ), s AS (
+      SELECT o_orderpriority, SUM(p) AS sp, COUNT(*) AS n FROM o GROUP BY 1
+    )
+    SELECT o.o_orderkey, o.o_orderpriority,
+           ROUND(CAST(s.sp - o.p AS DOUBLE) / CAST(s.n - 1 AS DOUBLE), 4) + 0.0
+             AS loo_mean_cents
+    FROM o JOIN s ON o.o_orderpriority = s.o_orderpriority
+    WHERE o.o_custkey <= 100
+    """,
+)
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (the leakage-safe categorical
+    encoder: each row's category gets the target mean of every OTHER
+    row in the category): one partial-agg shuffle builds per-category
+    (sum, count) moments, broadcast back, scored map-side —
+    (sum - own)/(n - 1) per row, integer numerators. NO window over
+    the fact table; the output filter is a demo bound, the encode
+    itself is corpus-wide."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice").cast("double") * 100, 0)
+        .cast("long")
+        .alias("p"),
+    )
+    s = o.groupBy(F.col("o_orderpriority").alias("_pr")).agg(
+        F.sum("p").alias("sp"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        o.filter(F.col("o_custkey") <= 100)
+        .join(F.broadcast(s), o.o_orderpriority == F.col("_pr"))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            (
+                F.round(
+                    (F.col("sp") - F.col("p")).cast("double")
+                    / (F.col("n") - 1).cast("double"),
+                    4,
+                )
+                + 0.0
+            ).alias("loo_mean_cents"),
+        )
+    )
+
+
+@register(
+    "cohort_ltv_cumulative",
+    """
+    WITH f AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1
+    ), coh AS (
+      SELECT user_id,
+             date_diff('day', DATE '2024-01-01', d0) // 7 AS cohort_week
+      FROM f
+    ), rev AS (
+      SELECT c.cohort_week,
+             date_diff('day', DATE '2024-01-01', CAST(e.ts AS DATE)) // 7 AS week,
+             SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT)) AS rev_cents
+      FROM events e JOIN coh c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT cohort_week, week, CAST(rev_cents AS BIGINT) AS rev_cents,
+           CAST(SUM(rev_cents) OVER (PARTITION BY cohort_week ORDER BY week
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS ltv_cents
+    FROM rev
+    """,
+)
+def cohort_ltv_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: users cohorted by first-seen week, purchase
+    revenue accumulated per cohort x week — the lifetime-value readout
+    next to retention_cohorts. Integer cents; the cumulative window
+    runs over the COHORT x WEEK relation (result-sized), never the
+    event stream. Cohort assignment joins back broadcast (the cohort
+    relation is user-sized; at 100 TB it stays the small side)."""
+    e = table(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    coh = f.select(
+        "user_id",
+        F.expr("CAST(datediff(d0, DATE'2024-01-01') AS LONG) DIV 7").alias(
+            "cohort_week"
+        ),
+    )
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(coh), "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr(
+                "CAST(datediff(CAST(ts AS DATE), DATE'2024-01-01') AS LONG) DIV 7"
+            ).alias("week"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("rev_cents"))
+    )
+    wc = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rev.select(
+        "cohort_week",
+        "week",
+        F.col("rev_cents").cast("long").alias("rev_cents"),
+        F.sum("rev_cents").over(wc).cast("long").alias("ltv_cents"),
     )
