@@ -1093,3 +1093,122 @@ def wav_energy_signature(
     return df.select("id", "payload").mapInPandas(
         kernel, schema="id long, valid boolean, n_frames long, signature long"
     )
+
+
+def attach_video_payload(
+    df: DataFrame, id_col: str, text_col: str, n_frames: int = 6
+) -> DataFrame:
+    """Typed media table whose payloads are multi-frame VIDEO
+    containers built from REAL PNG frames: magic ``VID0`` + uint32-BE
+    frame count, then per frame a uint32-BE length prefix + the
+    complete PNG bytes. Frame f's image is the fixture PNG of the
+    TEXT ROTATED LEFT BY f (same length, so the raster geometry is
+    constant across a clip while every frame's pixels differ), built
+    under the synthetic id ``id*64 + f`` (so the gray/RGB and filter
+    rules stay the documented functions of the per-frame id). A SQL
+    oracle re-derives every sampled frame's pixels from the rotation
+    rule — no codec.
+
+    Assembly is ALL Spark-side: the frame relation explodes (one row
+    per (id, f)), frames render through :func:`attach_real_png_payload`
+    (mapInPandas), and the container concatenates via
+    collect_list + array_sort + F.aggregate(concat) — JVM expressions,
+    no driver collect. Returns MEDIA_SCHEMA rows with
+    media_type='video/x-fixture'."""
+    n = F.length(F.col(text_col))
+    frames = (
+        df.filter(n > 0)
+        .select(
+            F.col(id_col).alias("_vid"),
+            F.col(text_col).alias("_t"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias("_f"),
+        )
+        .select(
+            "_vid",
+            "_f",
+            (F.col("_vid") * 64 + F.col("_f")).alias("_pid"),
+            F.concat(
+                F.expr("substring(_t, _f + 1)"),
+                F.expr("substring(_t, 1, _f)"),
+            ).alias("_rt"),
+        )
+    )
+    png = attach_real_png_payload(frames, "_pid", "_rt").select(
+        F.expr("id DIV 64").alias("_vid"),
+        (F.col("id") % 64).alias("_f"),
+        F.col("payload").alias("_p"),
+    )
+    be32 = lambda c: F.unhex(F.lpad(F.hex(c.cast("long")), 8, "0"))  # noqa: E731
+    framed = png.select(
+        "_vid", "_f", F.concat(be32(F.octet_length("_p")), F.col("_p")).alias("_fp")
+    )
+    payload = F.concat(
+        F.lit(b"VID0"),
+        be32(F.size("_frames")),
+        F.aggregate(
+            F.transform(F.array_sort("_frames"), lambda s: s["_fp"]),
+            F.lit(b""),
+            lambda acc, x: F.concat(acc, x),
+        ),
+    )
+    return (
+        framed.groupBy("_vid")
+        .agg(F.collect_list(F.struct("_f", "_fp")).alias("_frames"))
+        .select(F.col("_vid").alias("id"), payload.alias("payload"))
+        .select(
+            "id",
+            "payload",
+            F.lit("video/x-fixture").alias("media_type"),
+            F.lit(1).alias("width"),
+            F.lit(1).alias("height"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        )
+    )
+
+
+def video_frame_sample(df: DataFrame, every_k: int = 3) -> DataFrame:
+    """Frame sampling over the VID0 container: walk the length-prefixed
+    frame chain and emit every ``every_k``-th frame as its own media
+    row (frame_id = container_id*64 + frame_idx, ready to pipe into
+    :func:`decode_real`) — the decode-only-what-you-keep discipline
+    video pipelines run (sampling BEFORE decode bounds codec cost by
+    the keep rate, not the clip length). Malformed containers yield a
+    single valid=false row. mapInPandas, per-batch Python."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                raw = bytes(payload)
+                try:
+                    if raw[:4] != b"VID0" or len(raw) < 8:
+                        raise ValueError("bad magic")
+                    (nf,) = struct.unpack(">I", raw[4:8])
+                    pos = 8
+                    for f in range(nf):
+                        if pos + 4 > len(raw):
+                            raise ValueError("truncated frame table")
+                        (ln,) = struct.unpack(">I", raw[pos : pos + 4])
+                        body = raw[pos + 4 : pos + 4 + ln]
+                        if len(body) != ln:
+                            raise ValueError("truncated frame")
+                        if f % every_k == 0:
+                            rows.append(
+                                (int(rid) * 64 + f, f, True, body)
+                            )
+                        pos += 4 + ln
+                    if pos != len(raw):
+                        raise ValueError("trailing bytes")
+                except Exception:  # noqa: BLE001 - malformed -> invalid row
+                    rows.append((int(rid) * 64, -1, False, None))
+            yield pd.DataFrame(
+                rows, columns=["id", "frame_idx", "valid", "payload"]
+            )
+
+    return df.select("id", "payload").mapInPandas(
+        kernel, schema="id long, frame_idx int, valid boolean, payload binary"
+    )

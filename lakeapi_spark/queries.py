@@ -9124,3 +9124,68 @@ def cohort_ltv_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev_cents").cast("long").alias("rev_cents"),
         F.sum("rev_cents").over(wc).cast("long").alias("ltv_cents"),
     )
+
+
+@register(
+    "multimodal_video_frame_sample",
+    """
+    WITH m AS (
+      SELECT doc_id, text, length(text) AS n,
+             length(text) % 16 + 1 AS w,
+             length(text) % 12 + 1 AS h
+      FROM documents WHERE length(text) > 0 AND doc_id < 200
+    ), fr AS (
+      SELECT doc_id, n, w, h, fs.fi AS f,
+             substr(text, fs.fi + 1) || substr(text, 1, fs.fi) AS rt,
+             CASE WHEN (doc_id * 64 + fs.fi) % 2 = 0 THEN 1 ELSE 3 END AS c
+      FROM m CROSS JOIN (SELECT UNNEST([0, 3]) AS fi) fs
+    ), px AS (
+      SELECT doc_id, f, w, h, c, rt, n,
+             UNNEST(range(0, w * h * c)) AS i
+      FROM fr
+    ), v AS (
+      SELECT doc_id, f, w, h, c, i,
+             ascii(substr(rt, CAST(i % n AS INT) + 1, 1)) % 256 AS p
+      FROM px
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame_idx, TRUE AS valid,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(c AS BIGINT) AS n_channels,
+           CAST(w * h * c AS BIGINT) AS n_px,
+           CAST(SUM(p) AS BIGINT) AS pixel_sum,
+           CAST(SUM((i + 1) * p) AS BIGINT) AS pixel_checksum
+    FROM v GROUP BY doc_id, f, w, h, c
+    """,
+)
+def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video plumbing end to end: documents become multi-frame VID0
+    containers of REAL PNGs (frame f = text rotated by f), frame
+    sampling keeps every 3rd frame BEFORE any decode (the keep-rate
+    bounds codec cost, not clip length), and the sampled frames run
+    through the full stdlib PNG pixel decode. The oracle re-derives
+    each sampled frame's raster stats from the rotation rule alone —
+    proving container framing + sampling + codec round-trip bit-exact.
+    See operators/multimodal.attach_video_payload / video_frame_sample."""
+    from lakeapi_spark.operators.multimodal import (
+        attach_video_payload,
+        decode_real,
+        video_frame_sample,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0) & (F.col("doc_id") < 200)
+    )
+    media = attach_video_payload(d, "doc_id", "text", n_frames=6)
+    fr = video_frame_sample(media, every_k=3).filter("valid")
+    dec = decode_real(fr.select("id", "payload"))
+    return dec.select(
+        F.expr("id DIV 64").alias("doc_id"),
+        (F.col("id") % 64).cast("int").alias("frame_idx"),
+        "valid",
+        "width",
+        "height",
+        "n_channels",
+        "n_px",
+        "pixel_sum",
+        "pixel_checksum",
+    )

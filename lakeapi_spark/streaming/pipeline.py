@@ -149,6 +149,68 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def running_balance_floor_stream(events: DataFrame) -> DataFrame:
+    """Streaming face of operators/windows.running_balance_floor — the
+    floor-clamped wallet recurrence as a CUSTOM STATEFUL operator
+    (``applyInPandasWithState``): state per user is the tiny
+    (balance, n_events, n_floored) triple; every micro-batch folds its
+    (time-sorted) deltas into it with the same vectorized reset-cumsum
+    identity, seeded by the carried balance (prepending b0 >= 0 as a
+    synthetic first delta reproduces the chained recurrence exactly,
+    and contributes nothing to the floor count). Purchases credit,
+    every other event debits, integer cents — bit-identical to the
+    batch twin, asserted in tests/test_streaming.py.
+
+    Ordering contract: a ledger stream must deliver each key's events
+    in event-time order ACROSS micro-batches (the ingestion contract
+    for transaction logs); within a batch the kernel sorts. At scale
+    the state store shards by user_id; state is O(1) per user."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        bal, n, nf = state.get if state.exists else (0, 0, 0)
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            pdf = pd.concat(frames).sort_values(["ts", "event_id"], kind="mergesort")
+            cents = np.round(pdf["value"].to_numpy(dtype=np.float64) * 100).astype(
+                np.int64
+            )
+            d = np.where(pdf["event_type"].to_numpy() == "purchase", cents, -cents)
+            d = np.concatenate(([np.int64(bal)], d))  # seed with carried balance
+            cs = np.cumsum(d)
+            b = cs - np.minimum(np.minimum.accumulate(cs), 0)
+            prev = np.concatenate(([np.int64(0)], b[:-1]))
+            nf += int((prev + d < 0).sum())  # synthetic first never floors
+            n += len(d) - 1
+            bal = int(b[-1])
+        state.update((bal, n, nf))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "final_balance": [bal],
+                "n_floored": [nf],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "event_id", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "user_id long, n_events long, final_balance long, n_floored long"
+            ),
+            stateStructType="bal long, n long, nf long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def dedup_events_stream(events: DataFrame, within: str = "10 minutes") -> DataFrame:
     """Streaming exact dedup on event_id — the streaming twin of the
     batch ``dedup_exact`` operator, for at-least-once upstream sources

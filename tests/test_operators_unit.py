@@ -1964,3 +1964,30 @@ def test_running_balance_kernel_batch_carry(spark):
                     int(r["n_events"]), int(r["final_balance"]), int(r["n_floored"])
                 )
         assert got == truth, split
+
+
+def test_video_frame_sample_malformed_and_bounds(spark):
+    from lakeapi_spark.operators.multimodal import (
+        attach_video_payload,
+        video_frame_sample,
+    )
+
+    # well-formed: 6 frames, every_k=2 keeps frames 0,2,4
+    df = spark.createDataFrame([(5, "rotate me")], "doc_id long, text string")
+    media = attach_video_payload(df, "doc_id", "text", n_frames=6)
+    got = video_frame_sample(media, every_k=2).collect()
+    assert [(r.frame_idx, r.valid) for r in sorted(got, key=lambda r: r.frame_idx)] \
+        == [(0, True), (2, True), (4, True)]
+    assert all(r.payload[:8] == b"\x89PNG\r\n\x1a\n" for r in got)
+
+    # malformed containers -> single valid=false row each, no exception
+    bad = spark.createDataFrame(
+        [
+            (1, bytearray(b"NOPE")),                        # bad magic
+            (2, bytearray(b"VID0\x00\x00\x00\x02\x00\x00\x00\x10abc")),  # truncated
+        ],
+        "id long, payload binary",
+    )
+    out = video_frame_sample(bad).collect()
+    assert [(r.id, r.valid, r.frame_idx) for r in sorted(out, key=lambda r: r.id)] \
+        == [(64, False, -1), (128, False, -1)]

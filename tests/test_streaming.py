@@ -604,3 +604,67 @@ def test_stream_merge_sink_upserts_and_skips_replay(spark, tmp_path):
     # a NEW batch id still applies
     write(spark.createDataFrame([(4, "d", 4.0)], "k long, s string, v double"), 99)
     assert state() == want | {(4, "d", 4.0)}
+
+
+def test_stream_stateful_balance_matches_batch(spark, sf_dir, tmp_path):
+    """Floor-clamped wallet balance: streaming applyInPandasWithState
+    twin must reproduce the batch operator EXACTLY (integer cents) —
+    including across micro-batch boundaries, exercised by splitting the
+    events into two time-ordered files (maxFilesPerTrigger=1)."""
+    import os
+
+    from lakeapi_spark.streaming.pipeline import (
+        _events_schema,
+        run_available_now,
+        running_balance_floor_stream,
+    )
+    from lakeapi_spark.operators.windows import running_balance_floor
+
+    src = table(spark, sf_dir, "events")
+    # two time-ordered files -> two micro-batches, state carries over
+    from pyspark.sql.window import Window
+
+    halves = src.withColumn(
+        "_h", F.ntile(2).over(Window.orderBy("ts", "event_id"))
+    )
+    import glob as _glob
+    import shutil
+
+    d = str(tmp_path / "ev")
+    os.makedirs(d)
+    for i, cond in ((1, "_h = 1"), (2, "_h = 2")):
+        stage = str(tmp_path / f"stage{i}")
+        halves.filter(cond).drop("_h").coalesce(1).write.parquet(stage)
+        part = _glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.move(part, f"{d}/p{i}.parquet")  # plain FILES for the file source
+    ts_type = src.schema["ts"].dataType
+    stream = (
+        spark.readStream.schema(_events_schema(ts_type))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = run_available_now(
+        running_balance_floor_stream(stream),
+        "stream_balance",
+        str(tmp_path / "ckpt_bal"),
+        output_mode="update",
+    )
+    rows = spark.sql(
+        """
+        SELECT user_id, n_events, final_balance, n_floored FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+          FROM stream_balance
+        ) WHERE rn = 1
+        """
+    ).collect()
+    got = {r.user_id: (r.n_events, r.final_balance, r.n_floored) for r in rows}
+
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    delta = F.when(F.col("event_type") == "purchase", cents).otherwise(-cents)
+    batch = running_balance_floor(
+        src.select("user_id", "ts", "event_id", delta.alias("d")),
+        "user_id", "ts", "event_id", "d",
+    )
+    want = {r.user_id: (r.n_events, r.final_balance, r.n_floored) for r in batch.collect()}
+    assert got == want and len(got) > 0
+    q.stop()
