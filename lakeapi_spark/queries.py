@@ -9189,3 +9189,217 @@ def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame
         "pixel_sum",
         "pixel_checksum",
     )
+
+
+@register(
+    "expectations_orders_contract",
+    """
+    WITH a AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v0,
+             COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS v1,
+             SUM(CASE WHEN o_totalprice IS NOT NULL
+                       AND (o_totalprice < 0 OR o_totalprice > 10000000)
+                      THEN 1 ELSE 0 END) AS v2,
+             SUM(CASE WHEN o_orderpriority IS NOT NULL
+                       AND o_orderpriority NOT IN
+                         ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                      THEN 1 ELSE 0 END) AS v3,
+             SUM(CASE WHEN o_orderstatus IS NOT NULL
+                       AND NOT regexp_full_match(o_orderstatus, '[A-Z]')
+                      THEN 1 ELSE 0 END) AS v4,
+             SUM(CASE WHEN o_orderdate IS NOT NULL
+                       AND CAST(o_orderdate AS DATE) < DATE '1992-01-01'
+                      THEN 1 ELSE 0 END) AS v5
+      FROM orders
+    )
+    SELECT rule, kind, col, n AS n_rows,
+           CAST(CASE idx WHEN 0 THEN v0 WHEN 1 THEN v1 WHEN 2 THEN v2
+                WHEN 3 THEN v3 WHEN 4 THEN v4 ELSE v5 END AS BIGINT)
+             AS n_violations,
+           (CASE idx WHEN 0 THEN v0 WHEN 1 THEN v1 WHEN 2 THEN v2
+             WHEN 3 THEN v3 WHEN 4 THEN v4 ELSE v5 END) = 0 AS passed
+    FROM a CROSS JOIN (VALUES
+      ('orderkey present',   'not_null', 'o_orderkey',      0),
+      ('orderkey unique',    'unique',   'o_orderkey',      1),
+      ('price in range',     'between',  'o_totalprice',    2),
+      ('priority in domain', 'in_set',   'o_orderpriority', 3),
+      ('status format',      'regex',    'o_orderstatus',   4),
+      ('date floor',         'min',      'o_orderdate',     5)
+    ) r(rule, kind, col, idx)
+    """,
+)
+def expectations_orders_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data contract over orders: six expectations
+    (presence, uniqueness, range, domain, format, date floor) verified
+    in ONE aggregate pass and reported per rule — the publish gate an
+    ingestion job runs before committing a table version. See
+    operators/expectations.expectation_report."""
+    import datetime as dt
+
+    from lakeapi_spark.operators.expectations import expectation_report
+
+    o = table(spark, sf_dir, "orders")
+    rules = [
+        {"name": "orderkey present", "kind": "not_null", "col": "o_orderkey"},
+        {"name": "orderkey unique", "kind": "unique", "col": "o_orderkey"},
+        {"name": "price in range", "kind": "between", "col": "o_totalprice",
+         "lo": 0.0, "hi": 10_000_000.0},
+        {"name": "priority in domain", "kind": "in_set", "col": "o_orderpriority",
+         "values": ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]},
+        {"name": "status format", "kind": "regex", "col": "o_orderstatus",
+         "pattern": "^[A-Z]$"},
+        {"name": "date floor", "kind": "min", "col": "o_orderdate",
+         "value": dt.datetime(1992, 1, 1)},
+    ]
+    return expectation_report(o, rules)
+
+
+@register(
+    "neyman_allocation_sample",
+    """
+    WITH m AS (
+      SELECT o_orderpriority,
+             COUNT(o_totalprice) AS n_h,
+             CAST(SUM(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(28,10)))
+                  AS DOUBLE) AS s,
+             CAST(SUM(CAST(CAST(o_totalprice AS DOUBLE)
+                           * CAST(o_totalprice AS DOUBLE) AS DECIMAL(28,10)))
+                  AS DOUBLE) AS ss
+      FROM orders GROUP BY 1
+    ), st AS (
+      SELECT o_orderpriority, n_h,
+             SQRT((ss - s * s / n_h) / (n_h - 1)) AS sigma
+      FROM m
+    ), wts AS (
+      SELECT o_orderpriority, n_h, sigma,
+             CAST(ROUND(n_h * sigma, 0) AS BIGINT) AS w
+      FROM st
+    ), tot AS (SELECT SUM(w) AS tw FROM wts),
+    b AS (
+      SELECT o_orderpriority, n_h, sigma, w,
+             (1000 * w) // tw AS base, (1000 * w) % tw AS md
+      FROM wts, tot
+    ), r AS (
+      SELECT *, 1000 - SUM(base) OVER () AS rem,
+             ROW_NUMBER() OVER (ORDER BY md DESC, o_orderpriority) AS rk
+      FROM b
+    )
+    SELECT o_orderpriority, n_h, ROUND(sigma, 4) + 0.0 AS sigma,
+           CAST(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS BIGINT)
+             AS n_sample
+    FROM r
+    """,
+)
+def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman (optimal) stratified-sampling allocation: a 1,000-row
+    sample budget split across order-priority strata proportional to
+    N_h·σ_h — variance-heavy strata get more rows, the
+    minimum-variance design for stratified estimators. σ from
+    decimal-exact moments (the zscore discipline), the integer split
+    through operators/stats.largest_remainder_allocation so the
+    allocations sum EXACTLY to the budget. Stratum relation is tiny;
+    the only corpus pass is the moments aggregate."""
+    from lakeapi_spark.operators.stats import largest_remainder_allocation
+
+    o = table(spark, sf_dir, "orders")
+    v = F.col("o_totalprice").cast("double")
+    m = o.groupBy("o_orderpriority").agg(
+        F.count(v).alias("n_h"),
+        F.sum(v.cast("decimal(28,10)")).cast("double").alias("s"),
+        F.sum((v * v).cast("decimal(28,10)")).cast("double").alias("ss"),
+    )
+    sigma = F.sqrt(
+        (F.col("ss") - F.col("s") * F.col("s") / F.col("n_h"))
+        / (F.col("n_h") - 1)
+    )
+    wts = m.select(
+        "o_orderpriority",
+        "n_h",
+        sigma.alias("_sig"),
+        F.round(F.col("n_h") * sigma, 0).cast("long").alias("w"),
+        F.lit(1).alias("_g"),
+        F.lit(1000).alias("_t"),
+    )
+    alloc = largest_remainder_allocation(wts, "_g", "w", "_t", "o_orderpriority")
+    return (
+        wts.select("o_orderpriority", "n_h", "_sig")
+        .join(alloc.select("o_orderpriority", "allocated"), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_h",
+            (F.round(F.col("_sig"), 4) + 0.0).alias("sigma"),
+            F.col("allocated").cast("long").alias("n_sample"),
+        )
+    )
+
+
+@register(
+    "vocab_zipf_fit",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ), f AS (
+      SELECT t, COUNT(*) AS n FROM tok GROUP BY 1
+    ), rk AS (
+      SELECT t, n, ROW_NUMBER() OVER (ORDER BY n DESC, t) AS r FROM f
+      QUALIFY r <= 1000
+    ), xy AS (
+      SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)), 9) AS DECIMAL(28,12)) AS x,
+             CAST(ROUND(ln(CAST(n AS DOUBLE)), 9) AS DECIMAL(28,12)) AS y
+      FROM rk
+    ), s AS (
+      SELECT COUNT(*) AS k, CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx
+      FROM xy
+    )
+    SELECT k AS n_terms,
+           ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) + 0.0 AS slope,
+           ROUND((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 6)
+             + 0.0 AS intercept
+    FROM s
+    """,
+)
+def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: OLS slope/intercept of
+    ln(freq) against ln(rank) over the top-1000 terms — the
+    distribution diagnostic that flags synthetic/templated corpora
+    (natural text slopes ≈ -1). ln terms round to 9 digits and
+    accumulate in DECIMAL (order-independent sums, the
+    unigram_logprob discipline); the closed-form OLS is one mirrored
+    double expression. One token shuffle; the fit runs over a
+    1000-row relation."""
+    d = table(spark, sf_dir, "documents")
+    f = (
+        d.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "t")
+    rk = f.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 1000)
+    xy = rk.select(
+        F.round(F.log(F.col("r").cast("double")), 9)
+        .cast("decimal(28,12)")
+        .alias("x"),
+        F.round(F.log(F.col("n").cast("double")), 9)
+        .cast("decimal(28,12)")
+        .alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("k").alias("n_terms"),
+        (F.round(slope, 6) + 0.0).alias("slope"),
+        (F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 6) + 0.0).alias(
+            "intercept"
+        ),
+    )

@@ -1991,3 +1991,41 @@ def test_video_frame_sample_malformed_and_bounds(spark):
     out = video_frame_sample(bad).collect()
     assert [(r.id, r.valid, r.frame_idx) for r in sorted(out, key=lambda r: r.id)] \
         == [(64, False, -1), (128, False, -1)]
+
+
+def test_expectation_report_counts_violations(spark):
+    from lakeapi_spark.operators.expectations import expectation_report
+
+    rows = [
+        (1, "a@x.io", 5.0, "ok"),
+        (2, None, -1.0, "ok"),          # null email, below-min score
+        (2, "bad", 120.0, "nope!"),     # dup id, bad regex, above range, bad set
+        (3, "c@y.io", 50.0, "ok"),
+    ]
+    df = spark.createDataFrame(rows, "id long, email string, score double, st string")
+    rules = [
+        {"name": "id unique", "kind": "unique", "col": "id"},
+        {"name": "email present", "kind": "not_null", "col": "email"},
+        {"name": "email format", "kind": "regex", "col": "email",
+         "pattern": "^[^@]+@[^@]+$"},
+        {"name": "score range", "kind": "between", "col": "score",
+         "lo": 0.0, "hi": 100.0},
+        {"name": "status set", "kind": "in_set", "col": "st",
+         "values": ["ok", "ko"]},
+        {"name": "score floor", "kind": "min", "col": "score", "value": 0.0},
+        {"name": "score cap", "kind": "max", "col": "score", "value": 100.0},
+    ]
+    out = {r.rule: (r.n_rows, r.n_violations, r.passed)
+           for r in expectation_report(df, rules).collect()}
+    assert out == {
+        "id unique": (4, 1, False),
+        "email present": (4, 1, False),
+        "email format": (4, 1, False),   # NULL email is not a regex violation
+        "score range": (4, 2, False),
+        "status set": (4, 1, False),
+        "score floor": (4, 1, False),
+        "score cap": (4, 1, False),
+    }
+
+    ok = expectation_report(df.filter("id = 1"), rules).collect()
+    assert all(r.passed for r in ok)
