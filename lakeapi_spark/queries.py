@@ -9403,3 +9403,128 @@ def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+@register(
+    "part_popularity_decayed",
+    """
+    WITH mx AS (SELECT MAX(CAST(l_shipdate AS DATE)) AS mxd FROM lineitem),
+    t AS (
+      SELECT l_partkey,
+             CAST(ROUND(exp(-CAST(date_diff('day', CAST(l_shipdate AS DATE),
+                                             (SELECT mxd FROM mx)) AS DOUBLE)
+                            / 30.0), 9) AS DECIMAL(28,12)) AS term
+      FROM lineitem
+    ), s AS (
+      SELECT l_partkey,
+             CAST(ROUND(CAST(SUM(term) AS DOUBLE), 4) AS DOUBLE) + 0.0 AS score,
+             COUNT(*) AS n_sales
+      FROM t GROUP BY 1
+    )
+    SELECT * FROM (
+      SELECT ROW_NUMBER() OVER (ORDER BY score DESC, l_partkey) AS rank,
+             l_partkey, score, n_sales
+      FROM s
+    ) WHERE rank <= 20
+    """,
+)
+def part_popularity_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed popularity (the recsys trending score): each
+    sale contributes exp(-age_days/30), so last month's sales dominate
+    and stale hits fade — top-20 parts by decayed score. Engine-exact
+    via the logprob discipline: per-sale terms round to 9 digits and
+    accumulate in DECIMAL (order-independent), one partial-agg
+    shuffle; ranking runs over the part relation."""
+    li = table(spark, sf_dir, "lineitem")
+    mx = F.broadcast(
+        li.agg(F.max(F.col("l_shipdate").cast("date")).alias("mxd"))
+    )
+    t = li.crossJoin(mx).select(
+        "l_partkey",
+        F.round(
+            F.exp(
+                -F.datediff(F.col("mxd"), F.col("l_shipdate").cast("date")).cast(
+                    "double"
+                )
+                / 30.0
+            ),
+            9,
+        )
+        .cast("decimal(28,12)")
+        .alias("term"),
+    )
+    s = t.groupBy("l_partkey").agg(
+        (F.round(F.sum("term").cast("double"), 4) + 0.0).alias("score"),
+        F.count(F.lit(1)).alias("n_sales"),
+    )
+    w = Window.orderBy(F.col("score").desc(), "l_partkey")
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "l_partkey", "score", "n_sales")
+    )
+
+
+@register(
+    "spc_control_chart_events",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1 AS dn,
+             CAST(ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,10)))
+                             AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS m
+      FROM events GROUP BY 1, 2
+    ), base AS (
+      SELECT COUNT(*) AS k,
+             CAST(SUM(CAST(m AS DECIMAL(28,10))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(m * m AS DECIMAL(28,10))) AS DOUBLE) AS ss
+      FROM daily WHERE dn <= 15
+    )
+    SELECT dn AS day_num, ROUND(m, 4) + 0.0 AS daily_mean,
+           ROUND(s / k, 4) + 0.0 AS baseline_mean,
+           ABS(m - s / k) > 3 * SQRT((ss - s * s / k) / (k - 1)) AS out_of_control
+    FROM daily CROSS JOIN base
+    WHERE dn > 15
+    """,
+)
+def spc_control_chart_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-process-control chart: days 16+ of the event stream
+    flagged out-of-control when their daily mean leaves the +-3 sigma
+    band fit on the first 15 days' daily means — the ops-monitoring
+    twin of the drift tests (point alarms, not distribution shift).
+    Daily means and baseline moments are decimal-exact
+    (round-before-average); the 3-sigma comparison is one mirrored
+    IEEE expression. Two partial-agg shuffles over the DAY relation."""
+    e = table(spark, sf_dir, "events")
+    day0 = F.lit("2024-01-01").cast("date")
+    daily = e.groupBy(
+        F.col("ts").cast("date").alias("d"),
+        (F.datediff(F.col("ts").cast("date"), day0) + 1).alias("dn"),
+    ).agg(
+        F.round(
+            F.sum(F.round(F.col("value"), 6).cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("m")
+    )
+    base = F.broadcast(
+        daily.filter(F.col("dn") <= 15).agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.col("m").cast("decimal(28,10)")).cast("double").alias("s"),
+            F.sum((F.col("m") * F.col("m")).cast("decimal(28,10)"))
+            .cast("double")
+            .alias("ss"),
+        )
+    )
+    mu = F.col("s") / F.col("k")
+    sig = F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("k")) / (F.col("k") - 1))
+    return (
+        daily.filter(F.col("dn") > 15)
+        .crossJoin(base)
+        .select(
+            F.col("dn").alias("day_num"),
+            (F.round(F.col("m"), 4) + 0.0).alias("daily_mean"),
+            (F.round(mu, 4) + 0.0).alias("baseline_mean"),
+            (F.abs(F.col("m") - mu) > 3 * sig).alias("out_of_control"),
+        )
+    )
