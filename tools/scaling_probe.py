@@ -50,6 +50,10 @@ PROBED = [
     "multimodal_wav_decode",
     "random_projection_jl",
     "weighted_sample_per_lang",
+    # round-9 additions
+    "per_lang_quality_filter",
+    "multimodal_wav_energy_neardup",
+    "mmr_diverse_topk",
 ]
 
 SF_SMALL = "/root/testdata/sf0.01"
