@@ -8907,17 +8907,30 @@ def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _strong_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared edge build for the graph queries: the STRONG co-purchase
     graph — (src < dst) part pairs contained together in >= 2 distinct
-    orders. (order, part) dedupes BEFORE pairing so one shuffle covers
-    the support count; persisted because the callers iterate over it."""
-    li = (
+    orders. TWO shuffles total: collect_set(part) per order (partial
+    map-side agg, dedupe inherent in the set), pairs generated JVM-side
+    from the sorted array (baskets are small — TPC-H caps at 7 items —
+    so the O(basket^2) expansion is per-row cheap), then one pair-keyed
+    count. The previous distinct + self-join shape cost 4 shuffles and
+    an edge-sized join; this one never joins. Persisted because the
+    callers iterate over it."""
+    baskets = (
         table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     )
-    a, b = li.alias("a"), li.alias("b")
+    pairs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
     return (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        baskets.select(F.explode(pairs).alias("pr"))
+        .groupBy(F.col("pr.src").alias("src"), F.col("pr.dst").alias("dst"))
         .count()
         .filter(F.col("count") >= 2)
         .select("src", "dst")
@@ -9001,10 +9014,15 @@ def link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFr
             ).alias("jaccard"),
         )
     )
+    # top-20 as sort+limit, NOT a global row_number window: Catalyst
+    # plans TakeOrderedAndProject (per-partition heap + driver merge),
+    # where the window form moves every candidate to one partition.
+    # The rank window then runs over 20 rows only.
     wr = Window.orderBy(F.col("cn").desc(), "u", "v")
     return (
-        scored.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= 20)
+        scored.orderBy(F.col("cn").desc(), "u", "v")
+        .limit(20)
+        .withColumn("rank", F.row_number().over(wr))
         .select("rank", "u", "v", "cn", "jaccard")
     )
 
