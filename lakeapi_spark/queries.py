@@ -9363,8 +9363,8 @@ def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT t, n, ROW_NUMBER() OVER (ORDER BY n DESC, t) AS r FROM f
       QUALIFY r <= 1000
     ), xy AS (
-      SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)), 9) AS DECIMAL(28,12)) AS x,
-             CAST(ROUND(ln(CAST(n AS DOUBLE)), 9) AS DECIMAL(28,12)) AS y
+      SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+             CAST(ROUND(ln(CAST(n AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
       FROM rk
     ), s AS (
       SELECT COUNT(*) AS k, CAST(SUM(x) AS DOUBLE) AS sx,
@@ -9396,12 +9396,17 @@ def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("n").desc(), "t")
     rk = f.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 1000)
+    # decimal(18,9) terms: the x*y / x*x products land at precision 37,
+    # scale 18 — inside BOTH engines' 38-digit cap, so the products and
+    # their sums are EXACT. Wider terms (28,12) overflowed the cap and
+    # each engine rounded the product scale differently (last-ULP
+    # intercept flake at a round-half boundary).
     xy = rk.select(
         F.round(F.log(F.col("r").cast("double")), 9)
-        .cast("decimal(28,12)")
+        .cast("decimal(18,9)")
         .alias("x"),
         F.round(F.log(F.col("n").cast("double")), 9)
-        .cast("decimal(28,12)")
+        .cast("decimal(18,9)")
         .alias("y"),
     )
     s = xy.agg(
@@ -9545,4 +9550,410 @@ def spc_control_chart_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(mu, 4) + 0.0).alias("baseline_mean"),
             (F.abs(F.col("m") - mu) > 3 * sig).alias("out_of_control"),
         )
+    )
+
+
+@register(
+    "survival_km_conversion",
+    """
+    WITH per_user AS (
+      SELECT user_id, MIN(ts) AS f,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS fp,
+             MAX(ts) AS l
+      FROM events GROUP BY 1
+    ), obs AS (
+      SELECT CASE WHEN fp IS NOT NULL
+                  THEN date_diff('day', CAST(f AS DATE), CAST(fp AS DATE))
+                  ELSE date_diff('day', CAST(f AS DATE), CAST(l AS DATE)) END AS t,
+             CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM per_user
+    ), byt AS (
+      SELECT t, SUM(ev) AS d, COUNT(*) - SUM(ev) AS c FROM obs GROUP BY 1
+    ), risk AS (
+      SELECT t, d,
+             (SELECT COUNT(*) FROM obs)
+               - COALESCE(SUM(d + c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+      FROM byt
+    ), evt AS (
+      SELECT t, d, n,
+             CASE WHEN d < n
+                  THEN ROUND(LN(1 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+             END AS term
+      FROM risk WHERE d > 0
+    )
+    SELECT t AS t_day, n AS n_risk, d AS n_conv,
+           CASE WHEN d < n
+                THEN ROUND(EXP(CAST(SUM(CAST(term AS DECIMAL(28,12))) OVER (
+                       ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS DOUBLE)), 6) + 0.0
+                ELSE 0.0 END AS survival
+    FROM evt
+    """,
+)
+def survival_km_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-purchase curve: per user, the
+    observed time is days from first event to first purchase (event)
+    or to last event (right-censored, no purchase yet); S(t) is the
+    product-limit estimator over the at-risk counts. Engine-exact via
+    the logprob discipline: per-day hazard terms ln(1 - d/n) round to
+    9 digits, accumulate in DECIMAL (order-independent), exp + round 6
+    at the end. ONE user-keyed partial-agg shuffle; everything after
+    runs on the DAY relation (bounded by the observation span, so the
+    unpartitioned cumulative windows are driver-trivial at any corpus
+    size)."""
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min("ts").alias("f"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("fp"),
+        F.max("ts").alias("l"),
+    )
+    obs = per_user.select(
+        F.when(
+            F.col("fp").isNotNull(),
+            F.datediff(F.col("fp").cast("date"), F.col("f").cast("date")),
+        )
+        .otherwise(F.datediff(F.col("l").cast("date"), F.col("f").cast("date")))
+        .alias("t"),
+        F.when(F.col("fp").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("ev"),
+    )
+    byt = obs.groupBy("t").agg(
+        F.sum("ev").alias("d"), (F.count(F.lit(1)) - F.sum("ev")).alias("c")
+    )
+    total = obs.agg(F.count(F.lit(1)).alias("n_total"))
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = byt.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0))
+        ).alias("n"),
+    )
+    evt = risk.filter(F.col("d") > 0).select(
+        "t",
+        "d",
+        "n",
+        F.when(
+            F.col("d") < F.col("n"),
+            F.round(F.log(1 - F.col("d").cast("double") / F.col("n").cast("double")), 9),
+        ).alias("term"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return evt.select(
+        F.col("t").alias("t_day"),
+        F.col("n").alias("n_risk"),
+        F.col("d").alias("n_conv"),
+        F.when(
+            F.col("d") < F.col("n"),
+            F.round(
+                F.exp(
+                    F.sum(F.col("term").cast("decimal(28,12)")).over(wcum).cast("double")
+                ),
+                6,
+            )
+            + 0.0,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("survival"),
+    )
+
+
+@register(
+    "attribution_linear_touch",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE event_type IN ('view', 'click')
+    ), j AS (
+      SELECT p.event_id, p.cents, t.event_type
+      FROM p JOIN t ON p.user_id = t.user_id
+       AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 24 HOURS
+    ), cr AS (
+      SELECT event_id, cents, event_type,
+             COUNT(*) OVER (PARTITION BY event_id) AS nt
+      FROM j
+    ), touch AS (
+      SELECT event_type AS channel,
+             CAST(ROUND(CAST(cents AS DOUBLE) / 100.0 / nt, 6)
+                  AS DECIMAL(28,10)) AS credit
+      FROM cr
+    ), direct AS (
+      SELECT 'direct' AS channel,
+             CAST(ROUND(CAST(cents AS DOUBLE) / 100.0, 6)
+                  AS DECIMAL(28,10)) AS credit
+      FROM p WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.event_id = p.event_id)
+    )
+    SELECT channel,
+           ROUND(CAST(SUM(credit) AS DOUBLE), 2) + 0.0 AS attributed_revenue,
+           COUNT(*) AS n_credits
+    FROM (SELECT * FROM touch UNION ALL SELECT * FROM direct)
+    GROUP BY channel
+    """,
+)
+def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's revenue splits
+    equally across the user's view/click touches in the preceding 24 h;
+    purchases with no touch in the window credit a synthetic 'direct'
+    channel. The time-range self-join runs as a DAY-BUCKETED equi-join
+    (each purchase probes its epoch-day bucket and the previous one —
+    a 24 h window spans at most two — then the exact interval filter
+    trims), so fan-out is bounded x2 and there is no range-condition
+    nested loop; at 100 TB both sides hash-partition by (user, day).
+    Credits divide in IEEE double, round 6, accumulate in DECIMAL."""
+    e = table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / F.lit(86400))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        day.alias("db"),
+    )
+    t = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+        day.alias("tb"),
+    )
+    probes = p.select(
+        "event_id",
+        "user_id",
+        "pts",
+        "cents",
+        F.explode(F.array(F.col("db"), F.col("db") - 1)).alias("tb"),
+    )
+    j = probes.join(t, ["user_id", "tb"]).filter(
+        (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 24 HOURS"))
+    )
+    wnt = Window.partitionBy("event_id")
+    touch = j.select(
+        "channel",
+        F.round(
+            F.col("cents").cast("double")
+            / 100.0
+            / F.count(F.lit(1)).over(wnt),
+            6,
+        )
+        .cast("decimal(28,10)")
+        .alias("credit"),
+    )
+    direct = p.join(
+        j.select("event_id").distinct(), "event_id", "left_anti"
+    ).select(
+        F.lit("direct").alias("channel"),
+        F.round(F.col("cents").cast("double") / 100.0, 6)
+        .cast("decimal(28,10)")
+        .alias("credit"),
+    )
+    return (
+        touch.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            (F.round(F.sum("credit").cast("double"), 2) + 0.0).alias(
+                "attributed_revenue"
+            ),
+            F.count(F.lit(1)).alias("n_credits"),
+        )
+    )
+
+
+@register(
+    "dedup_block_global",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), b AS (
+      SELECT doc_id,
+             UNNEST(generate_series(
+               CAST(0 AS BIGINT),
+               CAST(CEIL(len(ws) / 8.0) AS BIGINT) - 1)) AS bi,
+             ws
+      FROM w
+    ), blocks AS (
+      SELECT doc_id, bi,
+             array_to_string(list_slice(ws, bi * 8 + 1, bi * 8 + 8), ' ') AS block
+      FROM b
+    ), k AS (
+      SELECT doc_id, bi, block,
+             ROW_NUMBER() OVER (PARTITION BY block ORDER BY doc_id, bi) AS rn
+      FROM blocks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_blocks,
+           SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+           MD5(COALESCE(string_agg(CASE WHEN rn = 1 THEN block END,
+                                   ' ' ORDER BY bi), '')) AS kept_md5
+    FROM k GROUP BY doc_id
+    """,
+    bench=True,
+)
+def dedup_block_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global exact block dedup (the C4/RefinedWeb line-dedup
+    shape): documents split into fixed 8-word blocks; a block survives
+    only in its FIRST corpus occurrence (by doc_id, then position) and
+    is cut everywhere else; docs are rebuilt from surviving blocks in
+    order. Plan: block expansion is a JVM-side array transform (no
+    Python), first-occurrence is ONE block-keyed window shuffle (at
+    100 TB the key is the block hash — boilerplate mega-blocks are the
+    skew risk, and AQE's skew-split handles exactly that shape), and
+    the rebuild reuses the SAME doc-keyed partitioning the explode
+    started from. Output is per-doc counts + md5 of the rebuilt text,
+    so the result stays row-bounded at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    nblocks = F.ceil(F.size(ws) / F.lit(8.0)).cast("int")
+    blocks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nblocks - 1),
+                lambda i: F.array_join(F.slice(ws, i * 8 + 1, 8), " "),
+            )
+        ).alias("bi", "block"),
+    )
+    wfirst = Window.partitionBy("block").orderBy("doc_id", "bi")
+    k = blocks.withColumn("rn", F.row_number().over(wfirst))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("bi"), F.col("block"))
+    )
+    return k.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["block"],
+                ),
+                " ",
+            )
+        ).alias("kept_md5"),
+    )
+
+
+@register(
+    "agreement_cohens_kappa",
+    """
+    WITH r AS (
+      SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+             CASE WHEN len(string_split(text, ' ')) >= 60 THEN 1 ELSE 0 END AS b
+      FROM documents
+    ), s AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree,
+             SUM(a) AS na, SUM(b) AS nb
+      FROM r
+    )
+    SELECT n, agree,
+           ROUND(CAST(agree AS DOUBLE) / n, 6) + 0.0 AS po,
+           ROUND((CAST(na AS DOUBLE) / n) * (CAST(nb AS DOUBLE) / n)
+                 + (1 - CAST(na AS DOUBLE) / n) * (1 - CAST(nb AS DOUBLE) / n),
+                 6) + 0.0 AS pe,
+           ROUND((CAST(agree AS DOUBLE) / n
+                  - ((CAST(na AS DOUBLE) / n) * (CAST(nb AS DOUBLE) / n)
+                     + (1 - CAST(na AS DOUBLE) / n) * (1 - CAST(nb AS DOUBLE) / n)))
+                 / (1 - ((CAST(na AS DOUBLE) / n) * (CAST(nb AS DOUBLE) / n)
+                         + (1 - CAST(na AS DOUBLE) / n) * (1 - CAST(nb AS DOUBLE) / n))),
+                 6) + 0.0 AS kappa
+    FROM s
+    """,
+)
+def agreement_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic document 'annotators'
+    (rater A: n_chars >= 300; rater B: >= 60 whitespace tokens) — the
+    inter-annotator-agreement check every labeling pipeline runs before
+    trusting its quality labels. ONE partial-agg scan reduces the whole
+    corpus to four counters; kappa is arithmetic on the single reduced
+    row, identical IEEE expressions both engines."""
+    d = table(spark, sf_dir, "documents")
+    r = d.select(
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("a"),
+        F.when(F.size(F.split(F.col("text"), " ")) >= 60, 1)
+        .otherwise(0)
+        .alias("b"),
+    )
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0)).alias("agree"),
+        F.sum("a").alias("na"),
+        F.sum("b").alias("nb"),
+    )
+    nd = F.col("n").cast("double")
+    pa = F.col("na").cast("double") / nd
+    pb = F.col("nb").cast("double") / nd
+    po = F.col("agree").cast("double") / nd
+    pe = pa * pb + (1 - pa) * (1 - pb)
+    return s.select(
+        "n",
+        "agree",
+        (F.round(po, 6) + 0.0).alias("po"),
+        (F.round(pe, 6) + 0.0).alias("pe"),
+        (F.round((po - pe) / (1 - pe), 6) + 0.0).alias("kappa"),
+    )
+
+
+@register(
+    "did_value_policy",
+    """
+    WITH cells AS (
+      SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treated,
+             CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS post,
+             CAST(ROUND(value, 6) AS DECIMAL(28,10)) AS v
+      FROM events
+    ), m AS (
+      SELECT treated, post,
+             ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mean_value,
+             COUNT(*) AS n
+      FROM cells GROUP BY 1, 2
+    )
+    SELECT treated, post, mean_value, n,
+           ROUND(
+             MAX(CASE WHEN treated = 1 AND post = 1 THEN mean_value END) OVER ()
+             - MAX(CASE WHEN treated = 1 AND post = 0 THEN mean_value END) OVER ()
+             - (MAX(CASE WHEN treated = 0 AND post = 1 THEN mean_value END) OVER ()
+                - MAX(CASE WHEN treated = 0 AND post = 0 THEN mean_value END) OVER ()),
+             6) + 0.0 AS did
+    FROM m
+    """,
+)
+def did_value_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: odd user ids are the 'treated' group,
+    Jan 16 the policy date; DiD = (treated post - pre) - (control post
+    - pre) on mean event value — the standard quasi-experimental
+    effect readout over an event stream. One partial-agg shuffle to
+    the FOUR design cells (decimal round-before-average means); the
+    DiD contrast is a window over those 4 rows, identical on both
+    engines."""
+    e = table(spark, sf_dir, "events")
+    cells = e.select(
+        F.when(F.col("user_id") % 2 == 1, 1).otherwise(0).alias("treated"),
+        F.when(F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("post"),
+        F.round(F.col("value"), 6).cast("decimal(28,10)").alias("v"),
+    )
+    m = cells.groupBy("treated", "post").agg(
+        (F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6) + 0.0).alias(
+            "mean_value"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    wall = Window.partitionBy()
+    cell = lambda tr, po: F.max(  # noqa: E731 - tiny 4-row contrast helper
+        F.when((F.col("treated") == tr) & (F.col("post") == po), F.col("mean_value"))
+    ).over(wall)
+    return m.select(
+        "treated",
+        "post",
+        "mean_value",
+        "n",
+        (F.round(cell(1, 1) - cell(1, 0) - (cell(0, 1) - cell(0, 0)), 6) + 0.0).alias(
+            "did"
+        ),
     )
