@@ -170,6 +170,31 @@ def ngram_jaccard_pairs(
     sh = _exploded_shingles(df, id_col, text_col, sample_nibble).persist()
     if cache_handles is not None:
         cache_handles.append(sh)
+    inter, sizes = _pair_intersections(sh)
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _pair_intersections(sh: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared intersection-count core for the exact set-overlap family
+    (Jaccard / containment): from a persisted (id, g) element relation,
+    return (inter: (id_a, id_b, n_inter) with id_a < id_b, sizes:
+    (id, n)). One equi-join shuffle on the element hash + one pair-keyed
+    aggregate — packed single-long pair key when ids fit the 31-bit
+    budget, automatic two-column fallback otherwise (see
+    :func:`ngram_jaccard_pairs` for the measured rationale)."""
     bounds = sh.agg(
         F.min("id").alias("lo"),
         F.max("id").alias("hi"),
@@ -216,19 +241,42 @@ def ngram_jaccard_pairs(
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )
+    return inter, sizes
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    cache_handles: list | None = None,
+) -> DataFrame:
+    """Asymmetric set-containment near-dup pairs: containment =
+    |A ∩ B| / min(|A|, |B|) over word-bigram shingle sets, id_a < id_b.
+
+    Containment catches what Jaccard structurally can't: a short doc
+    quoted wholesale inside a much longer one scores |A|/|B| ≈ 0 on
+    Jaccard (the union is dominated by the long doc) but 1.0 on
+    containment — the quote-inclusion / boilerplate-wrapper shape that
+    dominates web-crawl near-dups. Same plan as
+    :func:`ngram_jaccard_pairs` via the shared
+    :func:`_pair_intersections` core (element-hash equi-join + packed
+    pair-key aggregate); only the final per-pair score differs."""
+    sh = _exploded_shingles(df, id_col, text_col, None).persist()
+    if cache_handles is not None:
+        cache_handles.append(sh)
+    inter, sizes = _pair_intersections(sh)
     na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
     return (
         inter.join(na, "id_a")
         .join(nb, "id_b")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
-            ),
+            "containment",
+            F.round(F.col("n_inter") / F.least(F.col("n_a"), F.col("n_b")), 4),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_inter", "containment")
     )
 
 

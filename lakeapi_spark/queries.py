@@ -9957,3 +9957,307 @@ def did_value_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "did"
         ),
     )
+
+
+@register(
+    "dedup_containment_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+    ), idx AS (
+      SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2
+    ), grams AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS g FROM idx
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ni AS n_inter,
+           ROUND(CAST(ni AS DOUBLE) / LEAST(na.n, nb.n), 4) AS containment
+    FROM inter
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE ROUND(CAST(ni AS DOUBLE) / LEAST(na.n, nb.n), 4) >= 0.4
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs (|A∩B| / min set size) —
+    catches the quote-inclusion / boilerplate-wrapper near-dups whose
+    Jaccard stays near zero because the union is dominated by the
+    longer doc. See operators/dedup.ngram_containment_pairs (shared
+    packed-pair-key intersection core with the Jaccard operator)."""
+    from lakeapi_spark.operators.dedup import ngram_containment_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(d, "doc_id", "text", threshold=0.4)
+
+
+@register(
+    "embedding_centroid_drift",
+    """
+    WITH ex AS (
+      SELECT label, vec_id % 2 AS c, t.i AS i,
+             CAST(ROUND(CAST(embedding[CAST(t.i AS INT)] AS DOUBLE), 6)
+                  AS DECIMAL(18,9)) AS xv
+      FROM embeddings CROSS JOIN range(1, 65) t(i)
+    ), g AS (
+      SELECT label, c, i,
+             ROUND(CAST(SUM(xv) AS DOUBLE) / COUNT(*), 9) AS m
+      FROM ex GROUP BY 1, 2, 3
+    ), j AS (
+      SELECT a.label, a.m AS ma, b.m AS mb
+      FROM g a JOIN g b ON a.label = b.label AND a.i = b.i
+      WHERE a.c = 0 AND b.c = 1
+    ), s AS (
+      SELECT label, COUNT(*) AS n_dims,
+             CAST(SUM(CAST(ROUND(ma * mb, 12) AS DECIMAL(28,14))) AS DOUBLE) AS dot,
+             CAST(SUM(CAST(ROUND(ma * ma, 12) AS DECIMAL(28,14))) AS DOUBLE) AS na2,
+             CAST(SUM(CAST(ROUND(mb * mb, 12) AS DECIMAL(28,14))) AS DOUBLE) AS nb2
+      FROM j GROUP BY 1
+    )
+    SELECT label, n_dims,
+           ROUND(dot / (SQRT(na2) * SQRT(nb2)), 6) + 0.0 AS cosine
+    FROM s
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid drift between two deterministic
+    corpus cohorts (vec_id parity stands in for old/new snapshot):
+    cosine between the cohorts' per-label mean vectors — the embedding
+    monitoring probe that catches encoder version skew or upstream
+    distribution shift before an ANN index goes stale. Elementwise
+    means reduce with ONE (label, cohort, dim)-keyed partial agg
+    (decimal round-before-average); the cosine runs over the tiny
+    (labels x dims) centroid relation — constant size at any corpus
+    scale. Dot/norm terms round to 12 digits and accumulate in DECIMAL
+    so the contraction is order-independent on both engines."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("c"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "label",
+        "c",
+        (F.col("pos") + 1).alias("i"),
+        F.round(F.col("x").cast("double"), 6).cast("decimal(18,9)").alias("xv"),
+    )
+    g = ex.groupBy("label", "c", "i").agg(
+        F.round(F.sum("xv").cast("double") / F.count(F.lit(1)), 9).alias("m")
+    )
+    a = g.filter(F.col("c") == 0).select("label", "i", F.col("m").alias("ma"))
+    b = g.filter(F.col("c") == 1).select("label", "i", F.col("m").alias("mb"))
+    j = a.join(b, ["label", "i"])
+    s = j.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.sum(F.round(F.col("ma") * F.col("mb"), 12).cast("decimal(28,14)"))
+        .cast("double")
+        .alias("dot"),
+        F.sum(F.round(F.col("ma") * F.col("ma"), 12).cast("decimal(28,14)"))
+        .cast("double")
+        .alias("na2"),
+        F.sum(F.round(F.col("mb") * F.col("mb"), 12).cast("decimal(28,14)"))
+        .cast("double")
+        .alias("nb2"),
+    )
+    return s.select(
+        "label",
+        "n_dims",
+        (
+            F.round(
+                F.col("dot") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))), 6
+            )
+            + 0.0
+        ).alias("cosine"),
+    )
+
+
+@register(
+    "conversion_wilson_bounds",
+    """
+    WITH ft AS (
+      SELECT user_id, event_type AS channel, MIN(ts) AS f
+      FROM events WHERE event_type IN ('view', 'click', 'signup', 'error')
+      GROUP BY 1, 2
+    ), conv AS (
+      SELECT ft.user_id, ft.channel,
+             MAX(CASE WHEN p.ts > ft.f
+                       AND p.ts <= ft.f + INTERVAL 24 HOURS
+                      THEN 1 ELSE 0 END) AS converted
+      FROM ft LEFT JOIN events p
+        ON p.user_id = ft.user_id AND p.event_type = 'purchase'
+      GROUP BY 1, 2
+    ), s AS (
+      SELECT channel, COUNT(*) AS n_users, SUM(converted) AS n_conv
+      FROM conv GROUP BY 1
+    )
+    SELECT channel, n_users, n_conv,
+           ROUND(CAST(n_conv AS DOUBLE) / n_users, 6) + 0.0 AS rate,
+           ROUND((CAST(n_conv AS DOUBLE) / n_users + 1.96 * 1.96 / (2 * n_users)
+                  - 1.96 * SQRT((CAST(n_conv AS DOUBLE) / n_users
+                                 * (1 - CAST(n_conv AS DOUBLE) / n_users)
+                                 + 1.96 * 1.96 / (4.0 * n_users * n_users)) / n_users))
+                 / (1 + 1.96 * 1.96 / n_users), 6) + 0.0 AS wilson_low
+    FROM s
+    """,
+)
+def conversion_wilson_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Channel conversion rate with the Wilson 95% lower bound — the
+    small-sample-honest ranking statistic (a 2/2 channel must NOT
+    outrank a 180/200 one, which raw rates do): converted = the user
+    purchased within 24 h of their FIRST touch on the channel. Two
+    user-keyed partial-agg shuffles; the Wilson algebra is one
+    mirrored IEEE expression over the per-channel counters."""
+    e = table(spark, sf_dir, "events")
+    ft = (
+        e.filter(F.col("event_type").isin("view", "click", "signup", "error"))
+        .groupBy("user_id", F.col("event_type").alias("channel"))
+        .agg(F.min("ts").alias("f"))
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    conv = (
+        ft.join(p, "user_id", "left")
+        .groupBy("user_id", "channel")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("pts") > F.col("f"))
+                    & (F.col("pts") <= F.col("f") + F.expr("INTERVAL 24 HOURS")),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    s = conv.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_users"), F.sum("converted").alias("n_conv")
+    )
+    z = 1.96
+    nd = F.col("n_users").cast("double")
+    ph = F.col("n_conv").cast("double") / nd
+    wlow = (
+        ph
+        + F.lit(z * z) / (2 * nd)
+        - z * F.sqrt((ph * (1 - ph) + F.lit(z * z) / (4.0 * nd * nd)) / nd)
+    ) / (1 + F.lit(z * z) / nd)
+    return s.select(
+        "channel",
+        "n_users",
+        "n_conv",
+        (F.round(ph, 6) + 0.0).alias("rate"),
+        (F.round(wlow, 6) + 0.0).alias("wilson_low"),
+    )
+
+
+@register(
+    "cusum_changepoint_daily",
+    """
+    WITH daily AS (
+      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1 AS dn,
+             ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,10)))
+                        AS DOUBLE) / COUNT(*), 6) AS m
+      FROM events GROUP BY 1
+    ), base AS (
+      SELECT ROUND(CAST(SUM(CAST(m AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS mu,
+             ROUND(SQRT((CAST(SUM(CAST(m * m AS DECIMAL(28,10))) AS DOUBLE)
+                         - CAST(SUM(CAST(m AS DECIMAL(28,10))) AS DOUBLE)
+                           * CAST(SUM(CAST(m AS DECIMAL(28,10))) AS DOUBLE)
+                           / COUNT(*))
+                        / (COUNT(*) - 1)), 6) AS sigma
+      FROM daily WHERE dn <= 15
+    ), dev AS (
+      SELECT dn, m,
+             CAST(ROUND((m - mu - 0.5 * sigma) * 1000000, 0) AS BIGINT) AS d,
+             CAST(ROUND(4 * sigma * 1000000, 0) AS BIGINT) AS h
+      FROM daily CROSS JOIN base WHERE dn > 15
+    ), cs0 AS (
+      SELECT dn, m, h,
+             SUM(d) OVER (ORDER BY dn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM dev
+    ), cs AS (
+      SELECT dn, m, h, c,
+             MIN(c) OVER (ORDER BY dn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cmin
+      FROM cs0
+    )
+    SELECT dn AS day_num, m AS daily_mean,
+           ROUND((c - LEAST(0, cmin)) / 1000000.0, 6) + 0.0 AS cusum_pos,
+           (c - LEAST(0, cmin)) > h AS breach
+    FROM cs
+    """,
+)
+def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point monitor on the daily mean event
+    value (baseline mu/sigma from the first 15 days, slack k = 0.5
+    sigma, decision interval h = 4 sigma). The clamped recurrence
+    S_t = max(0, S_{t-1} + d_t) is NOT a window function — but its
+    closed form IS: the Lindley identity
+    ``S_t = cs_t - min(0, min_{j<=t} cs_j)`` turns the sequential
+    max-recursion into a running sum + running minimum, both plain
+    windows, so the monitor stays fully declarative (no Python, no
+    recursion) on BOTH engines. Deviations are scaled to integer
+    micro-units first, so every windowed sum/min is exact int64 math.
+    One shuffle to daily grain; the windows run on the tiny DAY
+    relation (partitioned by series key when monitoring many metrics
+    at once)."""
+    e = table(spark, sf_dir, "events")
+    day0 = F.lit("2024-01-01").cast("date")
+    daily = e.groupBy(
+        (F.datediff(F.col("ts").cast("date"), day0) + 1).alias("dn")
+    ).agg(
+        F.round(
+            F.sum(F.round(F.col("value"), 6).cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("m")
+    )
+    base = F.broadcast(
+        daily.filter(F.col("dn") <= 15).agg(
+            F.round(
+                F.sum(F.col("m").cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mu"),
+            F.round(
+                F.sqrt(
+                    (
+                        F.sum((F.col("m") * F.col("m")).cast("decimal(28,10)")).cast(
+                            "double"
+                        )
+                        - F.sum(F.col("m").cast("decimal(28,10)")).cast("double")
+                        * F.sum(F.col("m").cast("decimal(28,10)")).cast("double")
+                        / F.count(F.lit(1))
+                    )
+                    / (F.count(F.lit(1)) - 1)
+                ),
+                6,
+            ).alias("sigma"),
+        )
+    )
+    dev = (
+        daily.crossJoin(base)
+        .filter(F.col("dn") > 15)
+        .select(
+            "dn",
+            "m",
+            F.round((F.col("m") - F.col("mu") - 0.5 * F.col("sigma")) * 1000000, 0)
+            .cast("bigint")
+            .alias("d"),
+            F.round(4 * F.col("sigma") * 1000000, 0).cast("bigint").alias("h"),
+        )
+    )
+    wcum = Window.orderBy("dn").rowsBetween(Window.unboundedPreceding, 0)
+    cs0 = dev.select("dn", "m", "h", F.sum("d").over(wcum).alias("c"))
+    cs = cs0.select("dn", "m", "h", "c", F.min("c").over(wcum).alias("cmin"))
+    splus = F.col("c") - F.least(F.lit(0).cast("bigint"), F.col("cmin"))
+    return cs.select(
+        F.col("dn").alias("day_num"),
+        F.col("m").alias("daily_mean"),
+        (F.round(splus / 1000000.0, 6) + 0.0).alias("cusum_pos"),
+        (splus > F.col("h")).alias("breach"),
+    )
