@@ -54,6 +54,11 @@ PROBED = [
     "per_lang_quality_filter",
     "multimodal_wav_energy_neardup",
     "mmr_diverse_topk",
+    # this round: the global block-dedup window shuffle, the shared
+    # intersection-core containment pairs, and the centroid contraction
+    "dedup_block_global",
+    "dedup_containment_pairs",
+    "embedding_centroid_drift",
 ]
 
 SF_SMALL = "/root/testdata/sf0.01"
