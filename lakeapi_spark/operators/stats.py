@@ -649,6 +649,7 @@ def largest_remainder_allocation(
     weight_col: str,
     total_col: str,
     order_col: str,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """Integer proration (largest-remainder / Hamilton method): split
     each group's integer ``total_col`` across its rows proportionally
@@ -659,19 +660,24 @@ def largest_remainder_allocation(
     the largest remainder (total*w_i MOD W), ties to the lower
     ``order_col``. ALL integer arithmetic — any engine reproduces it.
 
-    Returns (group_col, order_col, weight, allocated, bumped). Scale
-    shape: two window passes over the same (group) partitioning — one
-    shuffle total; no joins."""
+    Returns (group_col, order_col, *passthrough, weight, allocated,
+    bumped) — ``passthrough`` columns ride the window pass unchanged,
+    so callers that need sibling attributes downstream (a rollup key,
+    a currency) avoid a second fact-sized join back to the input.
+    Scale shape: two window passes over the same (group) partitioning
+    — one shuffle total; no joins."""
     from pyspark.sql.window import Window
 
     wg = Window.partitionBy(group_col)
     wr = Window.partitionBy(group_col).orderBy(
         F.col("_mod").desc(), F.col(order_col)
     )
+    extra = list(passthrough or [])
     staged = (
         df.select(
             group_col,
             order_col,
+            *extra,
             F.col(weight_col).cast("long").alias("_w"),
             F.col(total_col).cast("long").alias("_t"),
         )
@@ -685,6 +691,7 @@ def largest_remainder_allocation(
         .select(
             group_col,
             order_col,
+            *extra,
             F.col("_w").alias("weight"),
             (F.col("_base") + (F.col("_rk") <= F.col("_rem")).cast("long")).alias(
                 "allocated"

@@ -8422,20 +8422,17 @@ def allocate_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t"),
     )
     j = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        "l_orderkey", "l_linenumber", "w", "t"
+        "l_orderkey", "l_linenumber", "o_orderpriority", "w", "t"
     )
-    alloc = largest_remainder_allocation(j, "l_orderkey", "w", "t", "l_linenumber")
-    return (
-        alloc.join(
-            o.select("o_orderkey", "o_orderpriority"),
-            alloc.l_orderkey == F.col("o_orderkey"),
-        )
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.sum("allocated").cast("long").alias("alloc_cents"),
-            F.sum(F.col("bumped").cast("long")).alias("n_bumped"),
-        )
+    # priority rides the allocation window as a passthrough column —
+    # the rollup needs no second fact-sized join back to orders.
+    alloc = largest_remainder_allocation(
+        j, "l_orderkey", "w", "t", "l_linenumber", passthrough=["o_orderpriority"]
+    )
+    return alloc.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("allocated").cast("long").alias("alloc_cents"),
+        F.sum(F.col("bumped").cast("long")).alias("n_bumped"),
     )
 
 
@@ -10260,4 +10257,194 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").alias("daily_mean"),
         (F.round(splus / 1000000.0, 6) + 0.0).alias("cusum_pos"),
         (splus > F.col("h")).alias("breach"),
+    )
+
+
+@register(
+    "search_phrase_count",
+    r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+      FROM documents
+    ), tf AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 2
+                  THEN len(list_filter(range(1, len(ws)),
+                           i -> ws[i] = 'the' AND ws[i+1] = 'value'))
+                  ELSE 0 END AS phrase_tf
+      FROM w
+    )
+    SELECT * FROM (
+      SELECT ROW_NUMBER() OVER (ORDER BY phrase_tf DESC, doc_id) AS rank,
+             doc_id, phrase_tf
+      FROM tf WHERE phrase_tf > 0
+    ) WHERE rank <= 20
+    """,
+)
+def search_phrase_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("the value"): per-doc adjacent-token phrase
+    occurrences, top-20 docs. Deliberately NOT a positional-index
+    self-join: adjacency within one document is ARRAY-LOCAL, so the
+    count is a JVM lambda over the token array — zero shuffles, zero
+    candidate pairs, trivially linear at any corpus size (a positional
+    self-join would shuffle every token twice to rediscover adjacency
+    the array already encodes). Top-k compiles to
+    TakeOrderedAndProject."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    hits = F.filter(
+        F.sequence(F.lit(1), F.size(ws) - 1),
+        lambda i: (F.element_at(ws, i) == "the")
+        & (F.element_at(ws, i + 1) == "value"),
+    )
+    tf = d.select(
+        "doc_id",
+        F.when(F.size(ws) >= 2, F.size(hits)).otherwise(0).alias("phrase_tf"),
+    ).filter(F.col("phrase_tf") > 0)
+    wr = Window.orderBy(F.col("phrase_tf").desc(), "doc_id")
+    return (
+        tf.orderBy(F.col("phrase_tf").desc(), "doc_id")
+        .limit(20)
+        .withColumn("rank", F.row_number().over(wr))
+        .select("rank", "doc_id", "phrase_tf")
+    )
+
+
+@register(
+    "item_item_cosine",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    freq AS (SELECT p, COUNT(*) AS n FROM li GROUP BY 1),
+    co AS (
+      SELECT a.p AS pa, b.p AS pb, COUNT(*) AS c
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), scored AS (
+      SELECT pa, pb, c,
+             ROUND(c / SQRT(CAST(fa.n AS DOUBLE) * fb.n), 6) + 0.0 AS cosine
+      FROM co JOIN freq fa ON fa.p = pa JOIN freq fb ON fb.p = pb
+    )
+    SELECT * FROM (
+      SELECT ROW_NUMBER() OVER (ORDER BY cosine DESC, pa, pb) AS rank,
+             pa, pb, c AS n_co, cosine
+      FROM scored
+    ) WHERE rank <= 20
+    """,
+)
+def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering scores: cosine over order
+    co-occurrence (c / sqrt(n_a * n_b), support >= 2), top-20 part
+    pairs — the classic "customers also bought" similarity. Pair
+    counts come from the SAME two-shuffle basket expansion as the
+    co-purchase graph (collect_set per order, JVM array pair
+    expansion, pair-keyed count — no fact self-join); per-part order
+    frequencies join the pair relation part-keyed; ranking compiles to
+    TakeOrderedAndProject, never a global single-partition window."""
+    li = table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy(F.col("l_orderkey").alias("o")).agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    co = (
+        baskets.select(F.explode(pairs).alias("pr"))
+        .groupBy(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    freq = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    scored = (
+        co.join(freq.select(F.col("p").alias("pa"), F.col("n").alias("na")), "pa")
+        .join(freq.select(F.col("p").alias("pb"), F.col("n").alias("nb")), "pb")
+        .select(
+            "pa",
+            "pb",
+            F.col("c").alias("n_co"),
+            (
+                F.round(
+                    F.col("c") / F.sqrt(F.col("na").cast("double") * F.col("nb")), 6
+                )
+                + 0.0
+            ).alias("cosine"),
+        )
+    )
+    wr = Window.orderBy(F.col("cosine").desc(), "pa", "pb")
+    return (
+        scored.orderBy(F.col("cosine").desc(), "pa", "pb")
+        .limit(20)
+        .withColumn("rank", F.row_number().over(wr))
+        .select("rank", "pa", "pb", "n_co", "cosine")
+    )
+
+
+@register(
+    "percentile_bands_daily",
+    """
+    WITH v AS (
+      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1 AS dn,
+             value, event_id
+      FROM events
+    ), r AS (
+      SELECT dn, value,
+             ROW_NUMBER() OVER (PARTITION BY dn ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY dn) AS n
+      FROM v
+    )
+    SELECT dn AS day_num, MAX(n) AS n_events,
+           MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT) THEN value END) AS p50,
+           MAX(CASE WHEN rn = CAST(CEIL(0.90 * n) AS BIGINT) THEN value END) AS p90,
+           MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN value END) AS p99
+    FROM r GROUP BY dn
+    """,
+)
+def percentile_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT daily p50/p90/p99 bands of event value (type-1 order
+    statistic: the value at rank ceil(q*n), ties broken by event_id so
+    the statistic is deterministic under duplicates) — the latency/
+    spend percentile time series dashboards plot. One day-partitioned
+    window sort + the per-day conditional rollup: at 100 TB each day
+    sorts independently in its own partitions (no global sort), and
+    days are the natural skew-free key. approx_percentile would be one
+    pass cheaper but engine-specific — this is the hash-exact form."""
+    e = table(spark, sf_dir, "events")
+    day0 = F.lit("2024-01-01").cast("date")
+    v = e.select(
+        (F.datediff(F.col("ts").cast("date"), day0) + 1).alias("dn"),
+        "value",
+        "event_id",
+    )
+    w = Window.partitionBy("dn").orderBy("value", "event_id")
+    wn = Window.partitionBy("dn")
+    r = v.select(
+        "dn",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(q: float) -> Column:
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        )
+
+    return r.groupBy(F.col("dn").alias("day_num")).agg(
+        F.max("n").alias("n_events"),
+        pick(0.50).alias("p50"),
+        pick(0.90).alias("p90"),
+        pick(0.99).alias("p99"),
     )
