@@ -10448,3 +10448,190 @@ def percentile_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.90).alias("p90"),
         pick(0.99).alias("p99"),
     )
+
+
+@register(
+    "orders_backlog_aging",
+    """
+    WITH open_o AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DECIMAL(18,4)) AS tp,
+             date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS age
+      FROM orders
+      WHERE o_orderstatus IN ('O', 'P') AND CAST(o_orderdate AS DATE) <= DATE '1998-01-01'
+    )
+    SELECT CASE WHEN age <= 30 THEN '0-30'
+                WHEN age <= 90 THEN '31-90'
+                WHEN age <= 365 THEN '91-365' ELSE '365+' END AS age_bucket,
+           o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(tp) AS DOUBLE), 2) + 0.0 AS backlog_value
+    FROM open_o GROUP BY 1, 2
+    """,
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging as of a snapshot date: unfilled orders
+    ('O'/'P') bucketed by age, value summed in decimal per (bucket,
+    priority) — the operations WIP report. Filter + one partial-agg
+    shuffle over a handful of groups; the status/date filters push to
+    the scan."""
+    o = table(spark, sf_dir, "orders")
+    snap = F.lit("1998-01-01").cast("date")
+    age = F.datediff(snap, F.col("o_orderdate").cast("date"))
+    bucket = (
+        F.when(age <= 30, "0-30")
+        .when(age <= 90, "31-90")
+        .when(age <= 365, "91-365")
+        .otherwise("365+")
+    )
+    return (
+        o.filter(
+            F.col("o_orderstatus").isin("O", "P")
+            & (F.col("o_orderdate").cast("date") <= snap)
+        )
+        .groupBy(bucket.alias("age_bucket"), F.col("o_orderpriority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.round(F.sum(dec("o_totalprice")), 2).cast("double") + 0.0).alias(
+                "backlog_value"
+            ),
+        )
+    )
+
+
+@register(
+    "funnel_time_to_convert",
+    """
+    WITH v AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'view'
+    ), p AS (
+      SELECT user_id, MIN(ts) AS fp FROM events
+      WHERE event_type = 'purchase' GROUP BY 1
+    ), fv AS (
+      SELECT v.user_id, MIN(v.ts) AS first_view
+      FROM v JOIN p ON p.user_id = v.user_id AND v.ts < p.fp
+      GROUP BY 1
+    ), lag_h AS (
+      SELECT fv.user_id,
+             date_diff('hour', fv.first_view, p.fp) AS h
+      FROM fv JOIN p ON p.user_id = fv.user_id
+    )
+    SELECT CASE WHEN h < 1 THEN '<1h' WHEN h < 6 THEN '1-6h'
+                WHEN h < 24 THEN '6-24h' WHEN h < 72 THEN '1-3d'
+                ELSE '3d+' END AS delay_bucket,
+           COUNT(*) AS n_users
+    FROM lag_h GROUP BY 1
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: hours from a user's first VIEW to
+    their FIRST purchase (views after the purchase don't count),
+    bucketed — the histogram behind the KM curve that tells you where
+    the funnel actually stalls. Two user-keyed partial aggs + one
+    user-keyed join; the bucket rollup reduces to five groups."""
+    e = table(spark, sf_dir, "events")
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    fv = (
+        e.filter(F.col("event_type") == "view")
+        .join(p, "user_id")
+        .filter(F.col("ts") < F.col("fp"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"), F.first("fp").alias("fp"))
+    )
+    h = (
+        F.floor(F.unix_timestamp("fp") / 3600)
+        - F.floor(F.unix_timestamp("first_view") / 3600)
+    )
+    bucket = (
+        F.when(h < 1, "<1h")
+        .when(h < 6, "1-6h")
+        .when(h < 24, "6-24h")
+        .when(h < 72, "1-3d")
+        .otherwise("3d+")
+    )
+    return fv.groupBy(bucket.alias("delay_bucket")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@register(
+    "embedding_norm_outliers",
+    """
+    WITH ex AS (
+      SELECT vec_id, label, t.i AS i,
+             CASE WHEN vec_id % 10 = 0 AND t.i > 32 THEN 0.0
+                  ELSE CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) END AS x
+      FROM embeddings CROSS JOIN range(1, 65) t(i)
+    ), n AS (
+      SELECT vec_id, label,
+             ROUND(SQRT(CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28,12)))
+                             AS DOUBLE)), 6) AS nrm
+      FROM ex GROUP BY 1, 2
+    ), s AS (
+      SELECT COUNT(*) AS k,
+             CAST(SUM(CAST(nrm AS DECIMAL(28,10))) AS DOUBLE) AS sn,
+             CAST(SUM(CAST(nrm * nrm AS DECIMAL(28,10))) AS DOUBLE) AS snn
+      FROM n
+    )
+    SELECT vec_id, label, nrm,
+           ROUND((nrm - sn / k)
+                 / SQRT((snn - sn * sn / k) / (k - 1)), 4) + 0.0 AS z
+    FROM n CROSS JOIN s
+    WHERE ABS((nrm - sn / k) / SQRT((snn - sn * sn / k) / (k - 1))) > 2
+    """,
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene check: vectors whose L2 norm sits more than
+    2 sigma from the corpus mean norm — the cheap screen that catches
+    truncated/zeroed/double-scaled vectors before they poison cosine
+    ranking. The fixture corpus is perfectly unit-normalized (sigma =
+    0, nothing to catch), so the query SIMULATES the failure it
+    screens for: every 10th vector has its tail dims zeroed (the
+    classic truncated-write corruption) before norms are taken — the
+    screen must flag exactly those. Per-vector norms reduce
+    array-locally (posexplode + vec_id-keyed partial agg); corpus
+    moments are ONE broadcast row; z-scoring is a mirrored IEEE
+    expression. Norm terms round at 9 and accumulate in decimal."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x0")
+    ).select(
+        "vec_id",
+        "label",
+        F.when(
+            (F.col("vec_id") % 10 == 0) & (F.col("pos") + 1 > 32), F.lit(0.0)
+        )
+        .otherwise(F.col("x0").cast("double"))
+        .alias("x"),
+    )
+    n = ex.groupBy("vec_id", "label").agg(
+        F.round(
+            F.sqrt(
+                F.sum(
+                    F.round(F.col("x") * F.col("x"), 9).cast("decimal(28,12)")
+                ).cast("double")
+            ),
+            6,
+        ).alias("nrm")
+    )
+    s = F.broadcast(
+        n.agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.col("nrm").cast("decimal(28,10)")).cast("double").alias("sn"),
+            F.sum((F.col("nrm") * F.col("nrm")).cast("decimal(28,10)"))
+            .cast("double")
+            .alias("snn"),
+        )
+    )
+    mu = F.col("sn") / F.col("k")
+    sd = F.sqrt((F.col("snn") - F.col("sn") * F.col("sn") / F.col("k")) / (F.col("k") - 1))
+    z = (F.col("nrm") - mu) / sd
+    return (
+        n.crossJoin(s)
+        .filter(F.abs(z) > 2)
+        .select("vec_id", "label", "nrm", (F.round(z, 4) + 0.0).alias("z"))
+    )
