@@ -562,3 +562,101 @@ def running_balance_floor(
     return staged.mapInPandas(_balance_kernel, schema=out_schema).withColumnRenamed(
         "_k", key_col
     )
+
+
+def _ses_reduce_keys(keys, xs, alpha_num: int):
+    """One (key, n_events, ses_final) row per key segment of a
+    KEY-SORTED (keys, xs) pair — the sequential core of
+    :func:`exp_smooth_final`. The recursion runs on int64 micro-units
+    with integer division (s = (a*x + (1000-a)*s) DIV 1000), so a
+    recursive-CTE SQL oracle replays it bit-exactly — no float-round
+    dialect to reconcile."""
+    import numpy as np
+    import pandas as pd
+
+    beta = 1000 - alpha_num
+    out_k, out_n, out_s = [], [], []
+    bounds = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(keys)]))
+    for st, en in zip(starts, ends):
+        seg = xs[st:en]
+        s = int(seg[0])
+        for x in seg[1:]:
+            s = (alpha_num * int(x) + beta * s) // 1000
+        out_k.append(keys[st])
+        out_n.append(en - st)
+        out_s.append(s)
+    return pd.DataFrame(
+        {
+            "_k": np.asarray(out_k, dtype=np.int64),
+            "n_events": np.asarray(out_n, dtype=np.int64),
+            "ses_final": np.asarray(out_s, dtype=np.int64),
+        }
+    )
+
+
+def _ses_kernel_factory(alpha_num: int):
+    def kernel(batches):
+        import numpy as np
+
+        carry_k = carry_x = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys = pdf["_k"].to_numpy(dtype=np.int64)
+            xs = pdf["_x"].to_numpy(dtype=np.int64)
+            if carry_k is not None:
+                keys = np.concatenate((carry_k, keys))
+                xs = np.concatenate((carry_x, xs))
+            last = keys[-1]
+            cut = np.searchsorted(keys, last, side="left")
+            carry_k, carry_x = keys[cut:], xs[cut:]
+            if cut:
+                yield _ses_reduce_keys(keys[:cut], xs[:cut], alpha_num)
+        if carry_k is not None and len(carry_k):
+            yield _ses_reduce_keys(carry_k, carry_x, alpha_num)
+
+    return kernel
+
+
+def exp_smooth_final(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    x_col: str,
+    alpha_num: int = 300,
+) -> DataFrame:
+    """Per-key simple exponential smoothing, final level: s_1 = x_1,
+    s_t = (alpha_num*x_t + (1000-alpha_num)*s_{t-1}) DIV 1000 over the
+    key's rows in (ts, tiebreak) order, all int64 micro-units — the
+    one-number-per-entity trend memory (flat SES forecast) behind
+    spend prediction and anomaly baselines.
+
+    Like :func:`running_balance_floor`, the recurrence is inherently
+    sequential (the multiplicative decay has no clamped-cumsum closed
+    form once each step truncates), so it runs in Python — same scale
+    shape: ONE repartition by key + sortWithinPartitions, a
+    mapInPandas kernel over whole partitions (never per-group pandas),
+    trailing-key carry across Arrow batches. The integer recursion is
+    the determinism contract: a recursive CTE replays it exactly."""
+    from pyspark import cloudpickle as _cp
+    import sys as _sys
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+
+    staged = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.col(ts_col).alias("_ts"),
+            F.col(tiebreak_col).alias("_tb"),
+            F.col(x_col).cast("long").alias("_x"),
+        )
+        .repartition("_k")
+        .sortWithinPartitions("_k", "_ts", "_tb")
+    )
+    out_schema = "_k long, n_events long, ses_final long"
+    return staged.mapInPandas(
+        _ses_kernel_factory(alpha_num), schema=out_schema
+    ).withColumnRenamed("_k", key_col)

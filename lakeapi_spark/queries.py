@@ -10635,3 +10635,50 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 2)
         .select("vec_id", "label", "nrm", (F.round(z, 4) + 0.0).alias("z"))
     )
+
+
+@register(
+    "ses_user_spend_level",
+    """
+    WITH ev AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             CAST(ROUND(value * 1000000, 0) AS BIGINT) AS x
+      FROM events WHERE event_type = 'purchase'
+    ), rec AS (
+      WITH RECURSIVE r(user_id, rn, s) AS (
+        SELECT user_id, rn, x FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.rn, (300 * e.x + 700 * r.s) // 1000
+        FROM r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+      )
+      SELECT * FROM r
+    )
+    SELECT user_id, MAX(rn) AS n_events,
+           ROUND(MAX_BY(s, rn) / 1000000.0, 6) + 0.0 AS ses_level
+    FROM rec GROUP BY user_id
+    """,
+)
+def ses_user_spend_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-smoothed purchase level (alpha = 0.3):
+    the flat-SES one-step forecast of what each user spends next —
+    recency-weighted, robust to one-off spikes. The truncating integer
+    recursion is inherently sequential; Spark runs it as ONE
+    repartition+sort + mapInPandas pass
+    (operators/windows.exp_smooth_final), the oracle replays it with a
+    recursive CTE — bit-identical int64 math on both engines."""
+    from lakeapi_spark.operators.windows import exp_smooth_final
+
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    staged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1000000, 0).cast("long").alias("x"),
+    )
+    out = exp_smooth_final(staged, "user_id", "ts", "event_id", "x", alpha_num=300)
+    return out.select(
+        "user_id",
+        "n_events",
+        (F.round(F.col("ses_final") / 1000000.0, 6) + 0.0).alias("ses_level"),
+    )

@@ -2029,3 +2029,55 @@ def test_expectation_report_counts_violations(spark):
 
     ok = expectation_report(df.filter("id = 1"), rules).collect()
     assert all(r.passed for r in ok)
+
+
+def test_exp_smooth_final_matches_naive(spark):
+    from lakeapi_spark.operators.windows import exp_smooth_final
+
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    xs = {1: [1_000_000, 2_000_000, 500_000], 2: [7_333_331], 3: [9, 10, 11, 12]}
+    rows = [(u, t0 + dt.timedelta(minutes=i), i, x)
+            for u, vs in xs.items() for i, x in enumerate(vs)]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, eid long, x long")
+    out = {r.u: r for r in
+           exp_smooth_final(df, "u", "ts", "eid", "x", alpha_num=300).collect()}
+    for u, vs in xs.items():
+        s = vs[0]
+        for x in vs[1:]:
+            s = (300 * x + 700 * s) // 1000
+        assert (out[u].ses_final, out[u].n_events) == (s, len(vs)), u
+
+
+def test_ses_kernel_batch_carry():
+    """Adversarial Arrow batch splits: the SES kernel must be
+    insensitive to where a partition's batches are cut, including
+    mid-key and exactly on a key edge."""
+    import pandas as pd
+
+    from lakeapi_spark.operators.windows import _ses_kernel_factory
+
+    rows = [(1, 100), (1, 200), (1, 50), (2, 10), (2, 20), (3, 7)]
+
+    def run(batches):
+        got = {}
+        for f in _ses_kernel_factory(300)(iter(batches)):
+            for _, r in f.iterrows():
+                got[int(r["_k"])] = (int(r["n_events"]), int(r["ses_final"]))
+        return got
+
+    truth = run([pd.DataFrame(rows, columns=["_k", "_x"])])
+    naive = {}
+    for k, x in rows:
+        if k not in naive:
+            naive[k] = (1, x)
+        else:
+            n, s = naive[k]
+            naive[k] = (n + 1, (300 * x + 700 * s) // 1000)
+    assert truth == naive
+    for split in range(1, len(rows)):
+        batches = [
+            pd.DataFrame(rows[:split], columns=["_k", "_x"]),
+            pd.DataFrame(rows[split:], columns=["_k", "_x"]),
+        ]
+        assert run(batches) == truth, split
