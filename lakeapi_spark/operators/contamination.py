@@ -14,8 +14,6 @@ Scale design (the asymmetry is the whole trick):
   ~1e6 documents), so its distinct-gram set is collected into a
   broadcast hash join build side — the 100 TB training side streams
   through map-side with NO shuffle for the membership probe;
-- the only wide exchange is the per-doc groupBy(id) that counts grams
-  and hits — one shuffle, partial aggregation upstream;
 - gram sets are `array_distinct` per doc BEFORE exploding, so the
   explode volume is bounded by distinct grams, and a doc repeating one
   benchmark phrase a thousand times still counts it once (overlap is a
@@ -93,11 +91,22 @@ def benchmark_overlap(
     |doc grams| as an exact integer-ratio double (identical IEEE result
     in any engine — no rounding step to disagree on). Docs with fewer
     than ``n`` tokens have no grams and are dropped (nothing to
-    measure, matching the set-based definition)."""
+    measure, matching the set-based definition).
+
+    Shape note (an alternative that LOST): probing a driver-collected
+    frozenset of benchmark grams inside an Arrow kernel over per-doc
+    gram arrays deletes the explode + join + groupBy(id) exchange, but
+    ships ~n x the corpus text through Arrow as Python strings —
+    measured 6.8 s vs 0.69 s for this join shape at sf0.1, and the
+    same n x transfer tax holds at 100 TB, so the all-JVM broadcast
+    membership join stays."""
+    # no fan_out on the build side: the benchmark is small by
+    # construction, so the parallelize-before-CPU-heavy-stage trade
+    # that pays on the corpus side buys little here and costs a full
+    # round-robin exchange of the benchmark text (measured at sf0.1:
+    # 1.40 s -> 1.10 s for the whole query, interleaved min-of-5)
     bench_grams = (
-        _doc_grams(
-            fan_out(benchmark, per_partition_bytes=TEXT_TASK_BYTES), id_col, text_col, n
-        )
+        _doc_grams(benchmark, id_col, text_col, n)
         .select("g")
         .distinct()
         .withColumn("hit", F.lit(1))
