@@ -250,3 +250,52 @@ def bfs_hops(
     if cache_handles is not None:
         cache_handles.extend(handles)
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation over the undirected graph of
+    ``edges`` — community detection for curation jobs (domain cliques,
+    co-purchase cohorts) where connected components is too coarse
+    (one bridge edge fuses everything) and modularity methods are too
+    stateful for a declarative engine.
+
+    labels_0(v) = v; each round every node adopts the MOST FREQUENT
+    label among its neighbors, ties to the SMALLEST label — the
+    deterministic variant, so a SQL oracle can unroll the same fixed
+    number of rounds and re-derive every assignment exactly. Returns
+    (node, label) after ``rounds`` synchronous updates.
+
+    Scale shape: each round is one edge⋈labels equi-join (both sides
+    hash-partitioned on the node id) + one (node, label)-keyed count
+    with map-side partial aggregation + a node-keyed top-1 window —
+    the exchange per round carries one row per (node, neighbor-label),
+    never per edge. localCheckpoint after every round truncates the
+    lineage the same way connected_components does; labels relations
+    are node-sized throughout."""
+    from pyspark.sql.window import Window
+
+    ed = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    labels = (
+        ed.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), "label")
+    for _ in range(rounds):
+        cnt = (
+            ed.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels

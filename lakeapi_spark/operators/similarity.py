@@ -97,6 +97,58 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def hard_negatives(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-k most-similar corpus vectors with a DIFFERENT label — the
+    'confusable' examples a contrastive loss learns the most from.
+    Identical ranking discipline to :func:`brute_force_topk` (rounded
+    cosine desc, neighbor-id tie-break), plus the label-inequality
+    predicate evaluated inside the broadcast join so mismatched pairs
+    never materialize. Returns (query_id, query_label, neighbor_id,
+    neg_label, cosine, rank).
+
+    Scale: queries broadcast (the query set is the small side by
+    construction); the corpus streams map-side — same shape as the
+    brute-force baseline, and the same LSH/IVF candidate generators
+    can replace the full scan when the corpus is 100 TB."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qn"),
+    )
+    c = fan_out(emb).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neg_label"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cn"),
+    )
+    sim = dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("query_label") != F.col("neg_label")),
+        )
+        .withColumn("cosine", F.round(sim, round_digits))
+        .select("query_id", "query_label", "neighbor_id", "neg_label", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def quantized_vectors(
     df: DataFrame,
     id_col: str,

@@ -351,6 +351,95 @@ def ols_trend(
     )
 
 
+def _group_median(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Per-group EXACT median of a double column with the
+    engine-portable even-count rule: AVG of the rows at positions
+    (c+1) div 2 and (c+2) div 2 of the value-sorted group (one row
+    when c is odd — both positions coincide). AVG of <= 2 doubles is
+    sum/count, the identical IEEE sequence in Spark and DuckDB, so no
+    interpolated-quantile implementation detail can disagree. Returns
+    (group_cols..., _n, _median)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    wc = Window.partitionBy(*group_cols)
+    ranked = df.select(
+        *group_cols,
+        value_col,
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wc).alias("_c"),
+    )
+    lo = F.expr("(_c + 1) div 2")
+    hi = F.expr("(_c + 2) div 2")
+    return (
+        ranked.filter((F.col("_rn") == lo) | (F.col("_rn") == hi))
+        .groupBy(*group_cols)
+        .agg(F.max("_c").alias("_n"), F.avg(value_col).alias("_median"))
+    )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group Theil–Sen robust trend: slope = median of all pairwise
+    slopes (y2-y1)/(x2-x1) over x1 < x2, intercept = median of the
+    residuals y - slope*x — the estimator that shrugs off up to ~29%
+    outliers where OLS (:func:`ols_trend`) chases them. Returns
+    (group_cols..., n_pairs, slope, intercept); groups with < 2 points
+    have no pairs and drop.
+
+    Scale shape: the input here is a PRE-AGGREGATED per-(group, period)
+    series — bounded by groups x periods, never the fact table — so the
+    O(m^2) pair self-join is quadratic only in the number of PERIODS
+    (80 months -> 3,160 pairs per group). The join keys on the group
+    columns (one exchange of the small series), medians window over
+    per-group pair sets, and the residual pass broadcasts the
+    |groups|-row slope table back onto the series. Slopes are rounded
+    BEFORE the residual pass so both engines feed bit-identical slopes
+    into the intercept medians."""
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("double")
+    series = df.select(*group_cols, x.alias("_x"), y.alias("_y"))
+    a = series
+    b = series.select(
+        *group_cols, F.col("_x").alias("_x2"), F.col("_y").alias("_y2")
+    )
+    pairs = (
+        a.join(b, on=list(group_cols))
+        .filter(F.col("_x") < F.col("_x2"))
+        .select(
+            *group_cols,
+            (
+                (F.col("_y2") - F.col("_y"))
+                / (F.col("_x2") - F.col("_x")).cast("double")
+            ).alias("_s"),
+        )
+    )
+    slope = _group_median(pairs, group_cols, "_s").select(
+        *group_cols,
+        F.col("_n").alias("n_pairs"),
+        (F.round(F.col("_median"), round_digits) + 0.0).alias("slope"),
+    )
+    resid = series.join(F.broadcast(slope), on=list(group_cols)).select(
+        *group_cols,
+        "n_pairs",
+        "slope",
+        (F.col("_y") - F.col("slope") * F.col("_x")).alias("_r"),
+    )
+    return _group_median(resid, [*group_cols, "n_pairs", "slope"], "_r").select(
+        *group_cols,
+        "n_pairs",
+        "slope",
+        (F.round(F.col("_median"), round_digits) + 0.0).alias("intercept"),
+    )
+
+
 def pearson_corr(
     df: DataFrame,
     group_cols: list[str],

@@ -776,3 +776,29 @@ def strip_boilerplate_lines(
             delim,
         ).alias("kept_text"),
     )
+
+
+def feature_hash_counts(
+    df: DataFrame, id_col: str, text_col: str, dim: int = 1024
+) -> DataFrame:
+    """Hashing-trick bag-of-words: every token OCCURRENCE maps to a
+    fixed ``dim``-bucket index via the portable 60-bit md5 hash
+    (operators/sampling.key_hash — DuckDB re-derives every index), and
+    the per-doc bucket counts are the sparse feature vector rows
+    (id, idx, cnt). This is the unbounded-vocabulary featurizer: no
+    vocabulary table, no fit pass, no driver state — the property that
+    matters at 100 TB where the vocab itself would be a large
+    distributed relation (cf. vocab_top_tokens for the fitted twin).
+
+    One explode + one partial-agg shuffle on (id, idx); empty docs have
+    no tokens and produce no rows."""
+    from lakeapi_spark.operators.sampling import key_hash
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    return (
+        toks.select("id", (key_hash(F.col("tok")) % dim).alias("idx"))
+        .groupBy("id", "idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -8392,7 +8392,7 @@ def revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority, COUNT(*) AS n_items,
            CAST(SUM(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END) AS BIGINT)
              AS alloc_cents,
-           SUM(CASE WHEN rk <= rem THEN 1 ELSE 0 END) AS n_bumped
+           CAST(SUM(CASE WHEN rk <= rem THEN 1 ELSE 0 END) AS BIGINT) AS n_bumped
     FROM r GROUP BY 1
     """,
     bench=True,
@@ -8744,7 +8744,7 @@ def ab_test_conversion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cum WHERE 2 * c >= t GROUP BY lang
     )
     SELECT d.lang, COUNT(*) AS n_docs,
-           SUM(CASE WHEN d.score >= med.threshold THEN 1 ELSE 0 END) AS n_kept,
+           CAST(SUM(CASE WHEN d.score >= med.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            MAX(med.threshold) AS threshold
     FROM d JOIN med ON d.lang = med.lang
     GROUP BY d.lang
@@ -8818,6 +8818,280 @@ def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum(dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "xml_scan_roundtrip",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_total
+    FROM orders GROUP BY 1
+    """,
+)
+def xml_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML format evidence: orders' (priority, totalprice) projection
+    round-trips through Spark 4's built-in distributed XML
+    writer/reader (sources/readers.py routes file_type='xml' with the
+    same <data><row> element naming serialize.py's sink emits), and
+    the aggregate hash-matches the oracle reading the source parquet —
+    proving the format conversion and the reader's schema inference
+    lose nothing. Staged once per sf_dir under the system tmp."""
+    import hashlib
+    import os
+    import tempfile
+
+    from lakeapi_spark.sources.readers import read_source
+
+    src = table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "lakeapi_xml_orders_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    if not os.path.isdir(dest):
+        src.write.mode("overwrite").options(rootTag="data", rowTag="row").format(
+            "xml"
+        ).save(dest)
+    df = read_source(spark, dest, "xml")
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(dec("o_totalprice")), 2).cast("double").alias("sum_total"),
+    )
+
+
+@register(
+    "theil_sen_revenue_trend",
+    """
+    WITH monthly AS (
+      SELECT n_name,
+             (CAST(year(o_orderdate) AS BIGINT) - 1992) * 12 + month(o_orderdate) - 1 AS month_idx,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.n_name,
+             (b.rev - a.rev) / CAST(b.month_idx - a.month_idx AS DOUBLE) AS s
+      FROM monthly a JOIN monthly b
+        ON a.n_name = b.n_name AND a.month_idx < b.month_idx
+    ), ranked AS (
+      SELECT n_name, s,
+             ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY s) AS rn,
+             COUNT(*) OVER (PARTITION BY n_name) AS c
+      FROM pairs
+    ), slope AS (
+      SELECT n_name, CAST(MAX(c) AS BIGINT) AS n_pairs,
+             CAST(ROUND(AVG(s), 6) AS DOUBLE) + 0.0 AS slope
+      FROM ranked WHERE rn IN ((c + 1) // 2, (c + 2) // 2)
+      GROUP BY n_name
+    ), resid AS (
+      SELECT m.n_name, sl.n_pairs, sl.slope,
+             m.rev - sl.slope * m.month_idx AS r
+      FROM monthly m JOIN slope sl ON m.n_name = sl.n_name
+    ), rr AS (
+      SELECT n_name, n_pairs, slope, r,
+             ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY r) AS rn,
+             COUNT(*) OVER (PARTITION BY n_name) AS c
+      FROM resid
+    )
+    SELECT n_name, n_pairs, slope,
+           CAST(ROUND(AVG(r), 6) AS DOUBLE) + 0.0 AS intercept
+    FROM rr WHERE rn IN ((c + 1) // 2, (c + 2) // 2)
+    GROUP BY n_name, n_pairs, slope
+    """,
+)
+def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Theil–Sen robust trend of monthly revenue — the
+    outlier-immune twin of trend_monthly_revenue_nation's OLS fit
+    (operators/stats.theil_sen_trend). The pair self-join is quadratic
+    only in PERIODS (80 months -> 3,160 pairs/nation), never the fact
+    table; medians are exact rank-picked values, identical in both
+    engines by construction."""
+    from lakeapi_spark.operators.stats import theil_sen_trend
+
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    month_idx = (
+        (F.year("o_orderdate").cast("long") - 1992) * 12 + F.month("o_orderdate") - 1
+    )
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", month_idx.alias("month_idx"))
+        .agg(money_sum(dec("o_totalprice")).alias("rev"))
+    )
+    return theil_sen_trend(monthly, ["n_name"], "month_idx", "rev")
+
+
+@register(
+    "ann_hard_negatives",
+    _EMB_DOT
+    + """
+    , lab AS (SELECT vec_id, label FROM embeddings)
+    , q AS (SELECT vec_id, i, val FROM x WHERE vec_id <= 4)
+    , d AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.val*c.val) AS dot
+      FROM q JOIN x c ON q.i = c.i AND q.vec_id <> c.vec_id GROUP BY 1, 2
+    ), scored AS (
+      SELECT query_id, lq.label AS query_label, neighbor_id,
+             lc.label AS neg_label,
+             ROUND(dot/(nq.nrm*nc.nrm), 4) AS cosine
+      FROM d
+      JOIN n nq ON nq.vec_id = query_id JOIN n nc ON nc.vec_id = neighbor_id
+      JOIN lab lq ON lq.vec_id = query_id JOIN lab lc ON lc.vec_id = neighbor_id
+      WHERE lq.label <> lc.label
+    )
+    SELECT query_id, query_label, neighbor_id, neg_label, cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.hard_negatives): per
+    query vector, the 10 most-similar corpus vectors with a DIFFERENT
+    label — the confusable examples a contrastive loss learns from.
+    Brute-force exact here (the oracle-checkable baseline); the same
+    LSH/IVF candidate generators swap in at corpus scale."""
+    from lakeapi_spark.operators.similarity import hard_negatives
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") <= 4)
+    out = hard_negatives(e, q, "vec_id", "embedding", "label", k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "feature_hash_docs",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents WHERE trim(lower(text)) <> ''
+    )
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 1024 AS idx,
+           COUNT(*) AS cnt
+    FROM t GROUP BY 1, 2
+    """,
+)
+def feature_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick sparse bag-of-words (operators/text.
+    feature_hash_counts): token occurrences -> 1024 hash buckets ->
+    per-doc bucket counts, no vocabulary fit pass or driver state —
+    the unbounded-vocab featurizer for 100 TB corpora. The portable
+    md5-derived index means DuckDB re-derives every bucket exactly."""
+    from lakeapi_spark.operators.text import feature_hash_counts
+
+    d = table(spark, sf_dir, "documents")
+    return feature_hash_counts(d, "doc_id", "text", dim=1024).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@register(
+    "lpa_communities_copurchase",
+    """
+    WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    po AS (
+      SELECT DISTINCT a.o AS o, a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ), e0 AS (
+      SELECT u, v FROM po GROUP BY u, v HAVING COUNT(*) >= 2
+    ), ed AS (
+      SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v AS a, u AS b FROM e0
+    ), l0 AS (
+      SELECT DISTINCT a AS node, a AS label FROM ed
+    ), c1 AS (
+      SELECT ed.a AS node, l0.label, COUNT(*) AS c
+      FROM ed JOIN l0 ON l0.node = ed.b GROUP BY 1, 2
+    ), l1 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+        FROM c1) WHERE rn = 1
+    ), c2 AS (
+      SELECT ed.a AS node, l1.label, COUNT(*) AS c
+      FROM ed JOIN l1 ON l1.node = ed.b GROUP BY 1, 2
+    ), l2 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+        FROM c2) WHERE rn = 1
+    ), c3 AS (
+      SELECT ed.a AS node, l2.label, COUNT(*) AS c
+      FROM ed JOIN l2 ON l2.node = ed.b GROUP BY 1, 2
+    ), l3 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+        FROM c3) WHERE rn = 1
+    )
+    SELECT label AS community, COUNT(*) AS n_members
+    FROM l3 GROUP BY 1
+    """,
+)
+def lpa_communities_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the strong co-purchase graph via 3 rounds
+    of synchronous label propagation (operators/graph.
+    label_propagation) — finer-grained than connected components (a
+    bridge edge no longer fuses cohorts). Deterministic mode-with-min-
+    tie-break updates let the oracle unroll the identical 3 rounds in
+    SQL. Output: community label -> member count."""
+    from lakeapi_spark.operators.graph import label_propagation
+
+    edges = _strong_copurchase_edges(spark, sf_dir)
+    labels = label_propagation(edges, rounds=3)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+
+@register(
+    "next_event_training_pairs",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), ctx AS (
+      SELECT user_id, rn AS seq_idx, event_type AS next_event,
+             list(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING
+             ) AS c
+      FROM ev
+    )
+    SELECT user_id, seq_idx, array_to_string(c, '>') AS context, next_event
+    FROM ctx WHERE seq_idx >= 2
+    """,
+)
+def next_event_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-model training-data export: every (context -> next)
+    supervision pair from per-user event streams — context is the
+    up-to-3 preceding event types in order, the label is the current
+    one. One window pass, partitioned by user: the per-user total
+    order (ts, event_id) makes the frame contents — and therefore the
+    exported dataset — bit-identical in any engine. At 100 TB this
+    shuffles once on user_id and streams; the context never
+    materializes beyond the frame."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = table(spark, sf_dir, "events")
+    out = e.select(
+        "user_id",
+        F.row_number().over(w).alias("seq_idx"),
+        F.col("event_type").alias("next_event"),
+        F.array_join(
+            F.collect_list("event_type").over(w.rowsBetween(-3, -1)), ">"
+        ).alias("context"),
+    )
+    return out.filter(F.col("seq_idx") >= 2).select(
+        "user_id", "seq_idx", "context", "next_event"
     )
 
 
@@ -9579,7 +9853,7 @@ def spc_control_chart_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              END AS term
       FROM risk WHERE d > 0
     )
-    SELECT t AS t_day, n AS n_risk, d AS n_conv,
+    SELECT t AS t_day, CAST(n AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_conv,
            CASE WHEN d < n
                 THEN ROUND(EXP(CAST(SUM(CAST(term AS DECIMAL(28,12))) OVER (
                        ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
@@ -9783,7 +10057,7 @@ def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            COUNT(*) AS n_blocks,
-           SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            MD5(COALESCE(string_agg(CASE WHEN rn = 1 THEN block END,
                                    ' ' ORDER BY bi), '')) AS kept_md5
     FROM k GROUP BY doc_id
@@ -9843,7 +10117,7 @@ def dedup_block_global(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), s AS (
       SELECT COUNT(*) AS n,
-             SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree,
+             CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree,
              SUM(a) AS na, SUM(b) AS nb
       FROM r
     )
@@ -10088,7 +10362,7 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON p.user_id = ft.user_id AND p.event_type = 'purchase'
       GROUP BY 1, 2
     ), s AS (
-      SELECT channel, COUNT(*) AS n_users, SUM(converted) AS n_conv
+      SELECT channel, COUNT(*) AS n_users, CAST(SUM(converted) AS BIGINT) AS n_conv
       FROM conv GROUP BY 1
     )
     SELECT channel, n_users, n_conv,

@@ -127,6 +127,14 @@ def read_source(
         # breadth for lakehouse data that already lives in ORC): same
         # pushdown + pruning machinery as parquet
         return spark.read.options(**opts).orc(uri)
+    if file_type == "xml":
+        # Spark 4 ships the (formerly spark-xml) reader built in: a
+        # distributed executor-side scan with schema inference, unlike
+        # the driver-side single-document path the xml SINK uses. The
+        # default rowTag matches both Spark's xml writer and our own
+        # serialize.py sink (<data><row>...</row></data>), so sink
+        # output round-trips through this reader (tested).
+        return spark.read.options(**{"rowTag": "row", **opts}).format("xml").load(uri)
     if file_type == "avro":
         # built-in-but-external Spark module: the spark-avro jar is not
         # bundled in pyspark's jars dir, so gate with a clear error

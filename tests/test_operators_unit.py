@@ -1582,6 +1582,104 @@ def test_ols_trend_recovers_line(spark):
     assert out["g"].intercept == 7.0
 
 
+def test_theil_sen_ignores_outlier_ols_chases(spark):
+    from lakeapi_spark.operators.stats import ols_trend, theil_sen_trend
+
+    # y = 2x + 1 with one wild outlier at x=9; Theil-Sen recovers the
+    # true line, OLS on the same data does not
+    rows = [("g", x, 2.0 * x + 1.0) for x in range(9)] + [("g", 9, 1000.0)]
+    df = spark.createDataFrame(rows, "g string, x int, y double")
+    ts = theil_sen_trend(df, ["g"], "x", "y").collect()[0]
+    assert ts.n_pairs == 45
+    assert ts.slope == 2.0
+    assert ts.intercept == 1.0
+    ols = ols_trend(df, ["g"], "x", "y").collect()[0]
+    assert abs(ols.slope - 2.0) > 10  # the outlier drags OLS far off
+
+
+def test_theil_sen_even_pair_count_median_rule(spark):
+    from lakeapi_spark.operators.stats import theil_sen_trend
+
+    # 4 points -> 6 pairwise slopes (even): median = avg of the two
+    # middle slopes. Points (0,0),(1,1),(2,4),(3,9): slopes
+    # [1,2,3,3,4,5] -> median (3+3)/2 = 3.0
+    rows = [("g", 0, 0.0), ("g", 1, 1.0), ("g", 2, 4.0), ("g", 3, 9.0)]
+    df = spark.createDataFrame(rows, "g string, x int, y double")
+    out = theil_sen_trend(df, ["g"], "x", "y").collect()[0]
+    assert out.n_pairs == 6
+    assert out.slope == 3.0
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from lakeapi_spark.operators.similarity import brute_force_topk, hard_negatives
+
+    # 3 clusters on axes; query 0 (label 0): nearest overall is id 1
+    # (same label, excluded) so the top hard negative is the label-1
+    # vector with the highest cosine
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),   # same label: never a hard negative
+        (2, [0.8, 0.6, 0.0], 1),
+        (3, [0.0, 1.0, 0.0], 1),
+        (4, [0.0, 0.0, 1.0], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    q = df.filter("vec_id = 0")
+    out = hard_negatives(df, q, "vec_id", "embedding", "label", k=3).collect()
+    ids = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert 1 not in ids  # same-label neighbor excluded
+    assert ids[0] == 2  # closest different-label vector first
+    assert all(r.query_label == 0 and r.neg_label != 0 for r in out)
+    # ranking discipline matches brute_force_topk on the label-filtered set
+    bf = brute_force_topk(df.filter("label <> 0"), q, "vec_id", "embedding", k=3)
+    assert [r.neighbor_id for r in bf.orderBy("rank").collect()] == ids
+
+
+def test_feature_hash_counts_occurrences_and_dim(spark):
+    from lakeapi_spark.operators.sampling import key_hash
+    from lakeapi_spark.operators.text import feature_hash_counts
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, ""), (3, "  "), (4, "c")],
+        "doc_id long, text string",
+    )
+    out = feature_hash_counts(df, "doc_id", "text", dim=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.id, {})[r.idx] = r.cnt
+    assert set(by_doc) == {1, 4}  # empty/whitespace docs produce no rows
+    assert sum(by_doc[1].values()) == 3  # occurrences, not distinct
+    assert all(0 <= idx < 8 for d in by_doc.values() for idx in d)
+    # 'a' appears twice in doc 1: its bucket carries count 2
+    a_idx = spark.range(1).select((key_hash(F.lit("a")) % 8).alias("i")).collect()[0].i
+    assert by_doc[1][a_idx] == 2
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    from lakeapi_spark.operators.graph import label_propagation
+
+    # two triangles {1,2,3} and {10,11,12} joined by a single bridge
+    # 3-10: connected components would fuse them; LPA keeps two
+    # communities (each triangle converges to its min label)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)],
+        "src long, dst long",
+    )
+    out = {r.node: r.label for r in label_propagation(edges, rounds=3).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[10] == out[11] == out[12]
+    assert out[10] != out[1]
+
+
+def test_label_propagation_tie_breaks_to_smallest_label(spark):
+    from lakeapi_spark.operators.graph import label_propagation
+
+    # node 2's neighbors {1, 3} tie at one vote each -> adopts 1
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    one = {r.node: r.label for r in label_propagation(edges, rounds=1).collect()}
+    assert one[2] == 1
+
+
 def test_pearson_corr_signs_and_null_variance(spark):
     from lakeapi_spark.operators.stats import pearson_corr
 
