@@ -166,3 +166,42 @@ def novelty_scores(
             F.round(F.col("n_novel") / F.col("n_grams").cast("double"), digits) + 0.0
         ).alias("novelty"),
     )
+
+
+def canary_hits(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    prefix_tokens: int = 5,
+) -> DataFrame:
+    """Exact-substring decontamination — the complement of the n-gram
+    overlap measure: each benchmark doc contributes one CANARY string
+    (its first ``prefix_tokens`` tokens, space-joined — the canonical
+    'answer string' shape), and a training doc is flagged when any
+    canary occurs VERBATIM inside its lowercased text. n-gram overlap
+    tolerates paraphrase; this catches the copy-paste leak a single
+    contains() proves. Returns (id, n_canaries_hit) for flagged docs.
+
+    Scale: the canary set is benchmark-sized (small by construction)
+    and broadcast; the training side streams through the containment
+    probe map-side — the only exchange is the per-doc hit count's
+    groupBy(id), whose input is at most |hits| rows. The O(docs x
+    canaries) substring scans are the documented cost of exactness;
+    swap in an Aho-Corasick Arrow kernel if the canary set grows past
+    ~1e5."""
+    t = tokens(F.col(text_col))
+    canaries = (
+        benchmark.select(F.when(F.size(t) >= 0, t).alias("_t"))
+        .filter(F.size("_t") >= prefix_tokens)
+        .select(F.array_join(F.slice("_t", 1, prefix_tokens), " ").alias("canary"))
+        .distinct()
+    )
+    docs = train.select(
+        F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("_lt")
+    )
+    return (
+        docs.join(F.broadcast(canaries), F.contains(F.col("_lt"), F.col("canary")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_canaries_hit"))
+    )

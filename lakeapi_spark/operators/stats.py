@@ -788,3 +788,104 @@ def largest_remainder_allocation(
             (F.col("_rk") <= F.col("_rem")).alias("bumped"),
         )
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    label_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group EXACT ROC-AUC of ``score_col`` predicting the binary
+    ``label_col`` — the Mann-Whitney U identity with midrank tie
+    handling, kept INTEGER until the single final division:
+
+        2*R_pos = sum over tie-groups of p_g * (2*before_g + n_g + 1)
+        AUC     = (2*R_pos - P*(P+1)) / (2*P*N)
+
+    where p_g/n_g are positives/rows at one score value and before_g
+    the rows strictly below it. No per-row ranks materialize: the
+    corpus collapses to a per-(group, score) histogram in one
+    partial-agg shuffle, the cumulative walk windows over the SCORE
+    DOMAIN, and the numerator/denominator are exact int64 — the same
+    trick as weighted_median. Returns (group_cols..., n_pos, n_neg,
+    auc); degenerate groups (single class) drop."""
+    from pyspark.sql.window import Window
+
+    lbl = F.col(label_col).cast("long")
+    hist = df.groupBy(*group_cols, F.col(score_col).alias("_s")).agg(
+        F.count(F.lit(1)).alias("_n"), F.sum(lbl).alias("_p")
+    )
+    wb = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        *group_cols,
+        "_n",
+        "_p",
+        F.coalesce(F.sum("_n").over(wb), F.lit(0)).alias("_before"),
+    )
+    agg = cum.groupBy(*group_cols).agg(
+        F.sum("_p").alias("n_pos"),
+        (F.sum("_n") - F.sum("_p")).alias("n_neg"),
+        F.sum(F.col("_p") * (2 * F.col("_before") + F.col("_n") + 1)).alias("_r2"),
+    )
+    auc = (
+        (F.col("_r2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+        / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+    )
+    return agg.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0)).select(
+        *group_cols,
+        "n_pos",
+        "n_neg",
+        (F.round(auc, digits) + 0.0).alias("auc"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    order_cols: list[str],
+    n_bins: int = 10,
+    score_scale: int = 100,
+    digits: int = 6,
+) -> DataFrame:
+    """Reliability diagram data: rows sort into ``n_bins`` equal-count
+    bins by (score, order_cols) — ntile over a TOTAL order, so the
+    binning is engine-deterministic even with tied scores — and each
+    bin reports its mean score vs observed positive rate plus the
+    |gap| term that sums to expected calibration error. Means are
+    exact integer ratios (scores quantize to ``score_scale`` units,
+    labels are 0/1 counts), so both engines emit identical doubles.
+    Returns (bin, n, mean_score, pos_rate, abs_gap).
+
+    Scale note: the unpartitioned ntile is a single-task global sort —
+    deliberate, because calibration runs on EVAL-set scores (bounded by
+    construction, like the benchmark side of decontamination), where
+    exact equal-count bins matter more than parallel binning. For
+    corpus-sized score columns use fixed-width bins over the score
+    domain instead (the psi_drift binning shape), which needs no global
+    order."""
+    from pyspark.sql.window import Window
+
+    sq = F.round(F.col(score_col).cast("double") * score_scale, 0).cast("long")
+    w = Window.orderBy(F.col(score_col), *[F.col(c) for c in order_cols])
+    binned = df.select(
+        sq.alias("_sq"),
+        F.col(label_col).cast("long").alias("_y"),
+        F.ntile(n_bins).over(w).alias("bin"),
+    )
+    mean_score = F.sum("_sq").cast("double") / (
+        F.count(F.lit(1)) * score_scale
+    ).cast("double")
+    pos_rate = F.sum("_y").cast("double") / F.count(F.lit(1)).cast("double")
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(mean_score, digits) + 0.0).alias("mean_score"),
+        (F.round(pos_rate, digits) + 0.0).alias("pos_rate"),
+        (F.round(F.abs(mean_score - pos_rate), digits) + 0.0).alias("abs_gap"),
+    )

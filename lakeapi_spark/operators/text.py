@@ -802,3 +802,54 @@ def feature_hash_counts(
         .groupBy("id", "idx")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def readability_scores(
+    df: DataFrame, id_col: str, text_col: str, digits: int = 4
+) -> DataFrame:
+    """Flesch Reading Ease per document from three regex counts —
+    words (whitespace tokens), sentences (runs of [.!?], floored at
+    1), syllables (vowel-group runs [aeiouy]+ over lowercased text, the
+    standard cheap proxy):
+
+        206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)
+
+    Every count is an integer from a dialect-neutral regex (literal
+    classes only — Java and RE2/DuckDB agree), and the score is one
+    fixed IEEE expression over their ratios, so a SQL oracle re-derives
+    it exactly. Pure map-side expressions, no shuffle, no UDF; docs
+    with no tokens drop (nothing to score). Returns
+    (id, n_words, n_sentences, n_syllables, flesch)."""
+    t = tokens(F.col(text_col))
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_txt"),
+        F.when(F.size(t) >= 0, t).alias("_t"),
+    ).filter(F.size("_t") > 0)
+    n_words = F.size("_t").cast("long")
+    n_sentences = F.greatest(
+        F.regexp_count(F.col("_txt"), F.lit(r"[.!?]+")).cast("long"), F.lit(1)
+    )
+    n_syllables = F.regexp_count(F.lower(F.col("_txt")), F.lit(r"[aeiouy]+")).cast(
+        "long"
+    )
+    counted = staged.select(
+        "id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+        - F.lit(84.6)
+        * (F.col("n_syllables").cast("double") / F.col("n_words").cast("double"))
+    )
+    return counted.select(
+        "id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (F.round(flesch, digits) + 0.0).alias("flesch"),
+    )

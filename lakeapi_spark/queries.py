@@ -9096,6 +9096,148 @@ def next_event_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "roc_auc_value_purchase",
+    """
+    WITH e AS (
+      SELECT CAST(CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7 AS INT) AS dow,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ), h AS (
+      SELECT dow, s, COUNT(*) AS n, SUM(y) AS p FROM e GROUP BY 1, 2
+    ), c AS (
+      SELECT dow, n, p,
+             COALESCE(SUM(n) OVER (PARTITION BY dow ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+      FROM h
+    ), a AS (
+      SELECT dow, CAST(SUM(p) AS BIGINT) AS n_pos,
+             CAST(SUM(n) - SUM(p) AS BIGINT) AS n_neg,
+             SUM(p * (2 * bef + n + 1)) AS r2
+      FROM c GROUP BY 1
+    )
+    SELECT dow, n_pos, n_neg,
+           CAST(ROUND(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+                      / CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS DOUBLE) + 0.0 AS auc
+    FROM a WHERE n_pos > 0 AND n_neg > 0
+    """,
+)
+def roc_auc_value_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of event value predicting 'is a purchase', per
+    epoch-day-of-week bucket (operators/stats.roc_auc) — the
+    model/eval primitive a training pipeline runs on every scored
+    column. The Mann-Whitney rank-sum stays integer until one final
+    division; no per-row ranks ever materialize (per-score histogram +
+    domain-windowed cumulative)."""
+    from lakeapi_spark.operators.stats import roc_auc
+
+    e = table(spark, sf_dir, "events").select(
+        (
+            F.floor(F.unix_timestamp("ts").cast("double") / 86400).cast("long") % 7
+        ).cast("int").alias("dow"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("s"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    return roc_auc(e, ["dow"], "s", "y")
+
+
+@register(
+    "calibration_value_purchase",
+    """
+    WITH b AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS sq,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             NTILE(10) OVER (ORDER BY value, event_id) AS bin
+      FROM events
+    )
+    SELECT bin, COUNT(*) AS n,
+           CAST(ROUND(CAST(SUM(sq) AS DOUBLE) / CAST(COUNT(*) * 100 AS DOUBLE), 6) AS DOUBLE) + 0.0 AS mean_score,
+           CAST(ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS DOUBLE) + 0.0 AS pos_rate,
+           CAST(ROUND(ABS(CAST(SUM(sq) AS DOUBLE) / CAST(COUNT(*) * 100 AS DOUBLE)
+                    - CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 6) AS DOUBLE) + 0.0 AS abs_gap
+    FROM b GROUP BY 1
+    """,
+)
+def calibration_value_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for event value vs purchase outcome
+    (operators/stats.calibration_bins): 10 equal-count bins over the
+    (value, event_id) total order, per-bin mean score vs positive rate
+    and the |gap| terms of expected calibration error — all exact
+    integer ratios."""
+    from lakeapi_spark.operators.stats import calibration_bins
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("value"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    return calibration_bins(e, "value", "y", ["event_id"], n_bins=10)
+
+
+@register(
+    "readability_flesch_docs",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_words
+      FROM documents WHERE trim(lower(text)) <> ''
+    )
+    SELECT doc_id, n_words,
+           GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS n_sentences,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables,
+           CAST(ROUND(206.835
+                - 1.015 * (CAST(n_words AS DOUBLE)
+                           / CAST(GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS DOUBLE))
+                - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+                          / CAST(n_words AS DOUBLE)), 4) AS DOUBLE) + 0.0 AS flesch
+    FROM t
+    """,
+)
+def readability_flesch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease per document (operators/text.
+    readability_scores) — the classic quality-mix signal for curriculum
+    ordering and audience filtering. Three dialect-neutral regex counts
+    and one fixed IEEE expression; map-side only."""
+    from lakeapi_spark.operators.text import readability_scores
+
+    d = table(spark, sf_dir, "documents")
+    return readability_scores(d, "doc_id", "text").withColumnRenamed("id", "doc_id")
+
+
+@register(
+    "decontaminate_canary_hits",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), canaries AS (
+      SELECT DISTINCT array_to_string(t[1:5], ' ') AS canary
+      FROM toks WHERE doc_id % 11 = 0 AND len(t) >= 5
+    )
+    SELECT d.doc_id, COUNT(*) AS n_canaries_hit
+    FROM documents d JOIN canaries c ON contains(lower(d.text), c.canary)
+    WHERE d.doc_id % 11 <> 0
+    GROUP BY 1
+    """,
+)
+def decontaminate_canary_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring decontamination (operators/contamination.
+    canary_hits): every 11th doc stands in for the eval suite and
+    contributes its first-5-token canary string; training docs that
+    contain any canary verbatim are flagged with their hit count —
+    the copy-paste leak that paraphrase-tolerant n-gram overlap
+    measures but a single contains() proves."""
+    from lakeapi_spark.operators.contamination import canary_hits
+
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 11 == 0)
+    train = d.filter(F.col("doc_id") % 11 != 0)
+    return canary_hits(train, bench, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@register(
     "delta_convert_in_place",
     """
     SELECT o_orderpriority, COUNT(*) AS n,

@@ -1680,6 +1680,70 @@ def test_label_propagation_tie_breaks_to_smallest_label(spark):
     assert one[2] == 1
 
 
+def test_roc_auc_known_values(spark):
+    from lakeapi_spark.operators.stats import roc_auc
+
+    # perfect separation -> 1.0; reversed -> 0.0; all-tied -> 0.5
+    rows = (
+        [("sep", s, 1 if s >= 10 else 0) for s in range(20)]
+        + [("rev", s, 0 if s >= 10 else 1) for s in range(20)]
+        + [("tie", 5, y) for y in (0, 1, 0, 1)]
+        + [("degen", 1, 1), ("degen", 2, 1)]  # single class: dropped
+    )
+    df = spark.createDataFrame(rows, "g string, s long, y long")
+    out = {r.g: r for r in roc_auc(df, ["g"], "s", "y").collect()}
+    assert set(out) == {"sep", "rev", "tie"}
+    assert out["sep"].auc == 1.0 and out["sep"].n_pos == 10
+    assert out["rev"].auc == 0.0
+    assert out["tie"].auc == 0.5  # midrank tie handling
+
+
+def test_calibration_bins_balanced_and_exact(spark):
+    from lakeapi_spark.operators.stats import calibration_bins
+
+    # 20 rows, scores 0.00..0.95 in 0.05 steps, label = score >= 0.5
+    rows = [(i, i * 0.05, 1 if i * 0.05 >= 0.5 else 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "rid long, score double, y long")
+    out = {r.bin: r for r in calibration_bins(df, "score", "y", ["rid"], n_bins=10).collect()}
+    assert len(out) == 10 and all(r.n == 2 for r in out.values())
+    assert out[1].pos_rate == 0.0 and out[10].pos_rate == 1.0
+    # bin 1 holds scores 0.00, 0.05 -> mean 0.025
+    assert out[1].mean_score == 0.025
+
+
+def test_readability_flesch_hand_computed(spark):
+    from lakeapi_spark.operators.text import readability_scores
+
+    # "go now. stop it!" -> 4 words, 2 sentences, 4 syllables
+    # flesch = 206.835 - 1.015*2 - 84.6*1 = 120.205
+    df = spark.createDataFrame(
+        [(1, "go now. stop it!"), (2, "   ")], "doc_id long, text string"
+    )
+    out = readability_scores(df, "doc_id", "text").collect()
+    assert len(out) == 1  # whitespace-only doc drops
+    r = out[0]
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (4, 2, 4)
+    assert r.flesch == 120.205
+
+
+def test_canary_hits_verbatim_only(spark):
+    from lakeapi_spark.operators.contamination import canary_hits
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix THE QUICK BROWN FOX JUMPS suffix"),  # case-folded hit
+            (2, "the quick brown fox leaps over"),  # paraphrase: no hit
+            (3, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r.n_canaries_hit for r in canary_hits(train, bench, "doc_id", "text").collect()}
+    assert out == {1: 1}
+
+
 def test_pearson_corr_signs_and_null_variance(spark):
     from lakeapi_spark.operators.stats import pearson_corr
 
