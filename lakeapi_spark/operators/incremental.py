@@ -70,3 +70,158 @@ def refresh_agg(
             ).alias(f"sum_{c}")
         )
     return joined.select(*out).filter(F.col(count_col) > 0)
+
+
+# --- Incrementally-maintained MinHash-LSH index ------------------------------
+#
+# The near-dup serving shape at 100 TB: the expensive part of LSH dedup
+# is shingling + signatures over the TEXT; candidates and verification
+# are cheap relational work over the (id, bucket) and (id, hs)
+# relations. So those two relations ARE the index — persisted as
+# parquet snapshots keyed by the source table's delta version — and a
+# refresh after commits recomputes text work only for the CHANGED
+# documents (churn-sized, from the change feed), while untouched docs'
+# rows carry over by anti-join. The same versioned-snapshot contract as
+# the persisted BM25 and IVF indexes, plus change-feed maintenance like
+# refresh_agg.
+
+
+def _lsh_meta_path(index_path: str) -> str:
+    import os
+
+    # NOT underscore-prefixed: Spark's file index treats _-prefixed
+    # paths as hidden metadata and warns/ignores them on read
+    return os.path.join(index_path, "meta")
+
+
+def lsh_index_version(spark, index_path: str) -> int:
+    """Latest source-table version the index at ``index_path`` covers."""
+    row = spark.read.parquet(_lsh_meta_path(index_path)).collect()
+    return max(r.table_version for r in row)
+
+
+def _lsh_write_snapshot(
+    spark, hs: DataFrame, buckets: DataFrame, index_path: str, table_version: int
+) -> None:
+    import os
+
+    snap = os.path.join(index_path, f"v{table_version}")
+    hs.write.mode("overwrite").parquet(os.path.join(snap, "shingles"))
+    buckets.write.mode("overwrite").parquet(os.path.join(snap, "buckets"))
+    # meta written LAST: a crashed refresh leaves the old version live
+    spark.createDataFrame(
+        [(table_version,)], "table_version long"
+    ).coalesce(1).write.mode("overwrite").parquet(_lsh_meta_path(index_path))
+
+
+def _lsh_snapshot(spark, index_path: str) -> tuple[DataFrame, DataFrame, int]:
+    import os
+
+    v = lsh_index_version(spark, index_path)
+    snap = os.path.join(index_path, f"v{v}")
+    return (
+        spark.read.parquet(os.path.join(snap, "shingles")),
+        spark.read.parquet(os.path.join(snap, "buckets")),
+        v,
+    )
+
+
+def lsh_index_build(
+    spark,
+    table_path: str,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    version: int | None = None,
+) -> int:
+    """Full build of the LSH index from the delta table's snapshot at
+    ``version`` (latest when None). One pass of shingle + numpy
+    signature/band work over the corpus — the cost every subsequent
+    :func:`lsh_index_refresh` avoids. Returns the indexed version."""
+    from lakeapi_spark.operators.dedup import hashed_shingles, minhash_buckets_numpy
+    from lakeapi_spark.sources.delta import delta_snapshot, read_delta
+
+    v = version if version is not None else delta_snapshot(spark, table_path).version
+    docs = read_delta(spark, table_path, {"versionAsOf": str(v)}).select(
+        F.col(id_col).alias("id"), F.col(text_col)
+    )
+    hs = hashed_shingles(docs, "id", text_col)
+    _lsh_write_snapshot(
+        spark, hs, minhash_buckets_numpy(hs), index_path, v
+    )
+    return v
+
+
+def lsh_index_refresh(
+    spark, table_path: str, index_path: str, id_col: str, text_col: str
+) -> tuple[int, int]:
+    """Advance the index to the table's latest version by change feed:
+    the TOUCHED id set comes from ``delta_changes`` since the indexed
+    version (CDF files when present, version diffs otherwise), touched
+    docs' current text is re-read from the live snapshot with a
+    broadcast semi-join (stats/partition file-skipping applies where
+    the table is laid out by id), and only those docs pay shingle +
+    signature cost. Untouched index rows carry over via a broadcast
+    anti-join on the churn-sized touched set. Returns
+    (new_version, n_touched).
+
+    The snapshot rewrite is INDEX-sized (16-byte bucket rows + hashed
+    shingle arrays), never corpus-text-sized; partitioning the bucket
+    relation and rewriting only affected partitions is the next notch
+    if index IO ever dominates — the text recompute is the cost that
+    matters and it is churn-proportional. No-op (returns same version)
+    when the table hasn't moved."""
+    from lakeapi_spark.operators.dedup import hashed_shingles, minhash_buckets_numpy
+    from lakeapi_spark.sources.delta import (
+        delta_changes,
+        delta_snapshot,
+        read_delta,
+    )
+
+    old_hs, old_buckets, v0 = _lsh_snapshot(spark, index_path)
+    latest = delta_snapshot(spark, table_path).version
+    if latest <= v0:
+        return v0, 0
+    touched = (
+        delta_changes(spark, table_path, v_from=v0, v_to=latest)
+        .select(F.col(id_col).alias("id"))
+        .distinct()
+    )
+    current = read_delta(spark, table_path).select(
+        F.col(id_col).alias("id"), F.col(text_col)
+    )
+    changed_docs = current.join(F.broadcast(touched), "id", "semi")
+    new_hs = hashed_shingles(changed_docs, "id", text_col).persist()
+    n_touched = touched.count()
+    hs = old_hs.join(F.broadcast(touched), "id", "anti").unionByName(new_hs)
+    buckets = old_buckets.join(F.broadcast(touched), "id", "anti").unionByName(
+        minhash_buckets_numpy(new_hs)
+    )
+    _lsh_write_snapshot(spark, hs, buckets, index_path, latest)
+    new_hs.unpersist()
+    return latest, n_touched
+
+
+def lsh_index_pairs(spark, index_path: str, threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs served FROM the index — identical relation to
+    dedup.minhash_lsh_pairs over the indexed snapshot (same candidate
+    equi-join on the band key, same exact-Jaccard verification over the
+    stored hashed-shingle arrays), with zero text processing at query
+    time."""
+    hs, buckets, _ = _lsh_snapshot(spark, index_path)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    sa = hs.select(F.col("id").alias("id_a"), F.col("hs").alias("sh_a"))
+    sb = hs.select(F.col("id").alias("id_b"), F.col("hs").alias("sh_b"))
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    n_union = F.size("sh_a") + F.size("sh_b") - n_inter
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(n_inter / n_union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .distinct()
+    )

@@ -1645,13 +1645,20 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PH60 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
 
 
-def _minhash_oracle(threshold: float = 0.5, num_hashes: int = 128, bands: int = 32) -> str:
+def _minhash_oracle(
+    threshold: float = 0.5,
+    num_hashes: int = 128,
+    bands: int = 32,
+    docs_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
     """Exact oracle for the full MinHash-LSH pipeline: re-derives the
     60-bit shingle hashes, the universal-hash permutations (constants
     regenerated from the same seeded PRNG as the Spark side), the
     polynomial band keys (pure int64 arithmetic — see
     operators.dedup.band_key), the candidate set, and the exact-Jaccard
-    verification — bit-for-bit."""
+    verification — bit-for-bit. ``docs_sql`` swaps the (doc_id, text)
+    source relation — the incremental-index query points it at the
+    deterministically-transformed final table state."""
     from lakeapi_spark.operators.dedup import BAND_A, MINHASH_P, minhash_perm_constants
 
     a_c, b_c = minhash_perm_constants(num_hashes)
@@ -1670,7 +1677,8 @@ def _minhash_oracle(threshold: float = 0.5, num_hashes: int = 128, bands: int = 
     bucket_items = ",\n               ".join(bucket_expr(b) for b in range(bands))
     return f"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM ({docs_sql})
     ), idx AS (
       SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2
     ), grams AS (
@@ -9235,6 +9243,84 @@ def decontaminate_canary_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canary_hits(train, bench, "doc_id", "text").withColumnRenamed(
         "id", "doc_id"
     )
+
+
+def _lsh_incremental_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build-once fixture proving CHANGE-FEED maintenance of the LSH
+    index: a CDF-enabled delta table of documents goes through four
+    versions — v0 CREATE with doc_id%5 != 4, v1 APPEND the rest, v2
+    UPDATE doc_id%7 == 0 to doubled text, v3 DELETE doc_id%13 == 0 —
+    with the index built ONCE at v0 and then advanced purely from
+    delta_changes (operators/incremental.lsh_index_refresh): only the
+    appended/updated/deleted ids pay shingle+signature cost. Every
+    commit is a deterministic function of the documents table, so
+    DuckDB re-derives the final state for the oracle. Returns
+    (table_path, index_path)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from lakeapi_spark.operators.incremental import (
+        lsh_index_build,
+        lsh_index_refresh,
+        lsh_index_version,
+    )
+    from lakeapi_spark.sources.delta import delete_delta, update_delta, write_delta
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "lakeapi_lsh_incr_" + hashlib.md5((sf_dir + ":v2").encode()).hexdigest()[:12],
+    )
+    tbl, idx = os.path.join(dest, "docs"), os.path.join(dest, "lsh_index")
+    marker = os.path.join(dest, "_done")
+    if not os.path.exists(marker):
+        if os.path.isdir(dest):  # stale partial build: start over
+            shutil.rmtree(dest)
+        d = table(spark, sf_dir, "documents").select("doc_id", "text")
+        write_delta(
+            d.filter(F.col("doc_id") % 5 != 4),
+            tbl,
+            mode="append",
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        lsh_index_build(spark, tbl, idx, "doc_id", "text")
+        write_delta(d.filter(F.col("doc_id") % 5 == 4), tbl, mode="append")
+        update_delta(
+            spark, tbl, {"text": "concat(text, ' ', text)"}, "doc_id % 7 = 0"
+        )
+        delete_delta(spark, tbl, "doc_id % 13 = 0")
+        lsh_index_refresh(spark, tbl, idx, "doc_id", "text")
+        assert lsh_index_version(spark, idx) == 3
+        with open(marker, "w") as f:
+            f.write("v3\n")
+    return tbl, idx
+
+
+@register(
+    "dedup_lsh_incremental_index",
+    _minhash_oracle(
+        docs_sql="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text ELSE text END AS text
+        FROM documents WHERE doc_id % 13 <> 0
+        """
+    ),
+)
+def dedup_lsh_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs served from the INCREMENTALLY-MAINTAINED LSH
+    index (operators/incremental.lsh_index_*): the index was built at
+    table version 0 and advanced across an append, an update, and a
+    delete purely from the change feed — text work proportional to
+    churn, never the corpus — yet the served pairs hash-match the
+    oracle recomputing MinHash-LSH from scratch on the FINAL table
+    state. The lakehouse analogue of keeping a search index warm under
+    a mutating table (the BM25/IVF persisted indexes rebuild per
+    version; this one is maintained)."""
+    from lakeapi_spark.operators.incremental import lsh_index_pairs
+
+    _, idx = _lsh_incremental_fixture(spark, sf_dir)
+    return lsh_index_pairs(spark, idx)
 
 
 @register(

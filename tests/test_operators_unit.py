@@ -1491,6 +1491,52 @@ def test_budget_select_matches_global_window(spark):
     assert got == want and len(got) > 0
 
 
+def test_lsh_index_refresh_equals_full_rebuild(spark, tmp_path):
+    """Change-feed maintenance invariant: after append + update +
+    delete commits, the incrementally-refreshed index serves the SAME
+    pairs as a from-scratch build at the final version, and the
+    refresh touches only the churned ids."""
+    from lakeapi_spark.operators.incremental import (
+        lsh_index_build,
+        lsh_index_pairs,
+        lsh_index_refresh,
+        lsh_index_version,
+    )
+    from lakeapi_spark.sources.delta import delete_delta, update_delta, write_delta
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    rows = [(i, base + f" extra{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tbl = str(tmp_path / "docs")
+    write_delta(df, tbl, configuration={"delta.enableChangeDataFeed": "true"})
+
+    idx = str(tmp_path / "idx")
+    lsh_index_build(spark, tbl, idx, "doc_id", "text")
+
+    write_delta(
+        spark.createDataFrame([(100, base + " extra100")], "doc_id long, text string"),
+        tbl,
+    )
+    update_delta(spark, tbl, {"text": "concat(text, ' upd')"}, "doc_id = 3")
+    delete_delta(spark, tbl, "doc_id = 7")
+
+    v, n_touched = lsh_index_refresh(spark, tbl, idx, "doc_id", "text")
+    assert v == 3 and lsh_index_version(spark, idx) == 3
+    assert n_touched == 3  # 100 inserted, 3 updated, 7 deleted — nothing else
+
+    full = str(tmp_path / "idx_full")
+    lsh_index_build(spark, tbl, full, "doc_id", "text")
+    inc_pairs = {tuple(r) for r in lsh_index_pairs(spark, idx).collect()}
+    full_pairs = {tuple(r) for r in lsh_index_pairs(spark, full).collect()}
+    assert inc_pairs == full_pairs and len(inc_pairs) > 0
+    ids = {i for p in inc_pairs for i in p[:2]}
+    assert 7 not in ids  # deleted doc serves no pairs
+
+    # idempotent no-op when the table hasn't moved
+    v2, n2 = lsh_index_refresh(spark, tbl, idx, "doc_id", "text")
+    assert (v2, n2) == (3, 0)
+
+
 def test_refresh_agg_moves_and_drops_groups(spark):
     from lakeapi_spark.operators.incremental import cdf_agg_delta, refresh_agg
 
