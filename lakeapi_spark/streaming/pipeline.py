@@ -384,3 +384,45 @@ def delta_merge_stream_sink(
             checkpoint_delta(spark, delta_path)
 
     return write
+
+
+def lsh_maintained_delta_sink(
+    delta_path: str,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    app_id: str = "lsh-stream",
+    checkpoint_every: int = 10,
+):
+    """Near-dup index kept WARM under a live document stream: each
+    micro-batch appends to the delta table through
+    :func:`lakeapi_spark.sources.delta.delta_stream_sink` (txn-marked —
+    foreachBatch redelivery is skipped, so the table stays
+    exactly-once), then the MinHash-LSH index advances to the new table
+    version purely from the change feed
+    (operators/incremental.lsh_index_refresh) — shingle + signature
+    cost per micro-batch is BATCH-sized, and near-dup queries
+    (lsh_index_pairs) stay served with zero text work between batches.
+    The first batch bootstraps the index with a full build (also
+    batch-sized: the table is empty before it). A redelivered batch is
+    a no-op end to end: the sink skips the append, the table version
+    doesn't move, and refresh returns without touching the index."""
+    from lakeapi_spark.operators.incremental import (
+        lsh_index_build,
+        lsh_index_refresh,
+    )
+    from lakeapi_spark.sources.delta import delta_stream_sink
+
+    sink = delta_stream_sink(delta_path, app_id, checkpoint_every=checkpoint_every)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        sink(batch_df, batch_id)
+        spark = batch_df.sparkSession
+        if not os.path.isdir(os.path.join(index_path, "meta")):
+            lsh_index_build(spark, delta_path, index_path, id_col, text_col)
+        else:
+            lsh_index_refresh(spark, delta_path, index_path, id_col, text_col)
+
+    return write

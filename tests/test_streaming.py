@@ -668,3 +668,62 @@ def test_stream_stateful_balance_matches_batch(spark, sf_dir, tmp_path):
     want = {r.user_id: (r.n_events, r.final_balance, r.n_floored) for r in batch.collect()}
     assert got == want and len(got) > 0
     q.stop()
+
+
+def test_stream_maintained_lsh_index(spark, tmp_path):
+    """The index-under-a-stream integration: documents arrive in three
+    micro-batches, each one appends to the delta table (txn-marked)
+    and advances the LSH index from the change feed. After the stream
+    drains, the maintained index serves the SAME near-dup pairs as a
+    from-scratch build over the final table, and a forcibly
+    redelivered batch changes nothing."""
+    import os
+
+    from lakeapi_spark.operators.incremental import (
+        lsh_index_build,
+        lsh_index_pairs,
+        lsh_index_version,
+    )
+    from lakeapi_spark.sources.delta import delta_snapshot, last_txn_version
+    from lakeapi_spark.streaming.pipeline import lsh_maintained_delta_sink
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    rows = [(i, base + f" extra{i}") for i in range(9)]  # mutual near-dups
+    src = str(tmp_path / "lsh_src")
+    os.makedirs(src)
+    for i in range(3):
+        spark.createDataFrame(
+            rows[i * 3 : (i + 1) * 3], "doc_id long, text string"
+        ).coalesce(1).write.parquet(f"{src}/f{i}")
+
+    tbl, idx = str(tmp_path / "docs_delta"), str(tmp_path / "lsh_idx")
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    write = lsh_maintained_delta_sink(tbl, idx, "doc_id", "text", app_id="lsh-test")
+    q = (
+        stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", str(tmp_path / "lsh_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    final_v = delta_snapshot(spark, tbl).version
+    assert lsh_index_version(spark, idx) == final_v
+
+    full = str(tmp_path / "lsh_full")
+    lsh_index_build(spark, tbl, full, "doc_id", "text")
+    inc_pairs = {tuple(r) for r in lsh_index_pairs(spark, idx).collect()}
+    full_pairs = {tuple(r) for r in lsh_index_pairs(spark, full).collect()}
+    assert inc_pairs == full_pairs
+    # pairs span batches: docs from batch 0 and batch 2 are near-dups
+    ids = {i for p in inc_pairs for i in p[:2]}
+    assert ids == set(range(9))
+
+    # forced redelivery: table version and index untouched
+    last = last_txn_version(spark, tbl, "lsh-test")
+    write(spark.createDataFrame(rows[:1], "doc_id long, text string"), last)
+    assert delta_snapshot(spark, tbl).version == final_v
+    assert lsh_index_version(spark, idx) == final_v
+    assert {tuple(r) for r in lsh_index_pairs(spark, idx).collect()} == full_pairs
