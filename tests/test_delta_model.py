@@ -269,3 +269,145 @@ class TestSyncIncremental:
         write_delta(spark.range(5).selectExpr("id AS k"), dst)  # foreign dst
         with pytest.raises(ValueError, match="no sync marker"):
             sync_incremental(spark, src, dst, keys=["k"])
+
+
+@pytest.mark.parametrize("seed", [5, 61])
+def test_random_op_sequences_cdf_replay(spark, tmp_path, seed):
+    """Randomized CHANGE-FEED soundness: random append/delete/update/
+    merge sequences run on a CDF-enabled table, then the tailed change
+    rows — folded strictly in commit order, retractions before
+    additions within a commit — must rebuild the final state from the
+    v0 snapshot exactly. Any cdc-file or version-diff bug that drops,
+    duplicates, or mis-tags a row surfaces as a key/value mismatch."""
+    from lakeapi_spark.sources.delta import (
+        delete_delta,
+        delta_changes,
+        delta_snapshot,
+        merge_delta,
+        read_delta,
+        update_delta,
+        write_delta,
+    )
+
+    rnd = random.Random(seed)
+    path = str(tmp_path / f"cdf_{seed}")
+    next_key = 40
+
+    def fresh_keys(n):
+        nonlocal next_key
+        ks = list(range(next_key, next_key + n))
+        next_key += n
+        return ks
+
+    write_delta(
+        _mk_df(spark, [(k, k * 2, _p(k)) for k in range(40)]),
+        path,
+        partition_by=["p"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    for _ in range(8):
+        op = rnd.choice(["append", "delete", "update", "merge_upsert"])
+        if op == "append":
+            ks = fresh_keys(rnd.randint(1, 10))
+            write_delta(
+                _mk_df(spark, [(k, k * 3, _p(k)) for k in ks]),
+                path, mode="append", partition_by=["p"],
+            )
+        elif op == "delete":
+            m, r = rnd.randint(2, 9), rnd.randint(0, 1)
+            delete_delta(spark, path, f"k % {m} = {r}")
+        elif op == "update":
+            m, r = rnd.randint(2, 9), rnd.randint(0, 1)
+            update_delta(spark, path, {"v": "v + 1000"}, f"k % {m} = {r}")
+        else:
+            ks = fresh_keys(rnd.randint(1, 5))
+            merge_delta(_mk_df(spark, [(k, k * 7, _p(k)) for k in ks]), path, on=["k"])
+
+    final_v = delta_snapshot(spark, path).version
+    state = {
+        r.k: r.v
+        for r in read_delta(spark, path, {"versionAsOf": "0"}).collect()
+    }
+    ch = delta_changes(spark, path, v_from=0, v_to=final_v).collect()
+    by_version: dict[int, list] = {}
+    for r in ch:
+        by_version.setdefault(r._commit_version, []).append(r)
+    for v in sorted(by_version):
+        rows = by_version[v]
+        for r in rows:  # retractions first
+            if r._change_type in ("delete", "update_preimage"):
+                assert state.pop(r.k) == r.v, (v, r)
+        for r in rows:
+            if r._change_type in ("insert", "update_postimage"):
+                assert r.k not in state, (v, r)
+                state[r.k] = r.v
+    assert state == _read(spark, path)
+
+
+@pytest.mark.parametrize("seed", [13])
+def test_restore_to_random_historic_version(spark, tmp_path, seed):
+    """RESTORE model check: snapshots of the driver-side model are
+    recorded after every random op; restoring the table to a randomly
+    chosen historic version must reproduce that step's model exactly,
+    and the restore is itself a NEW version (history preserved) from
+    which restoring back to latest-1 round-trips."""
+    from lakeapi_spark.sources.delta import (
+        delete_delta,
+        delta_snapshot,
+        merge_delta,
+        restore_delta,
+        update_delta,
+        write_delta,
+    )
+
+    rnd = random.Random(seed)
+    path = str(tmp_path / "restore_model")
+    next_key = 30
+
+    def fresh_keys(n):
+        nonlocal next_key
+        ks = list(range(next_key, next_key + n))
+        next_key += n
+        return ks
+
+    model = {k: k * 2 for k in range(30)}
+    write_delta(
+        _mk_df(spark, [(k, v, _p(k)) for k, v in model.items()]),
+        path,
+        partition_by=["p"],
+    )
+    snapshots = {0: dict(model)}
+    for _ in range(6):
+        op = rnd.choice(["append", "delete", "update", "merge_upsert"])
+        if op == "append":
+            ks = fresh_keys(rnd.randint(1, 8))
+            write_delta(
+                _mk_df(spark, [(k, k * 3, _p(k)) for k in ks]),
+                path, mode="append", partition_by=["p"],
+            )
+            model.update({k: k * 3 for k in ks})
+        elif op == "delete":
+            m, r = rnd.randint(2, 9), rnd.randint(0, 1)
+            delete_delta(spark, path, f"k % {m} = {r}")
+            for k in [k for k in model if k % m == r]:
+                del model[k]
+        elif op == "update":
+            m, r = rnd.randint(2, 9), rnd.randint(0, 1)
+            update_delta(spark, path, {"v": "v + 1000"}, f"k % {m} = {r}")
+            for k in [k for k in model if k % m == r]:
+                model[k] += 1000
+        else:
+            ks = fresh_keys(rnd.randint(1, 4))
+            merge_delta(_mk_df(spark, [(k, k * 7, _p(k)) for k in ks]), path, on=["k"])
+            model.update({k: k * 7 for k in ks})
+        snapshots[delta_snapshot(spark, path).version] = dict(model)
+
+    versions = sorted(snapshots)
+    target = rnd.choice(versions[:-1])
+    pre_restore_latest = versions[-1]
+    restore_delta(spark, path, target)
+    assert _read(spark, path) == snapshots[target]
+    # the restore commit preserved history: restoring forward again
+    # reproduces the pre-restore latest state
+    restore_delta(spark, path, pre_restore_latest)
+    assert _read(spark, path) == snapshots[pre_restore_latest]
