@@ -1279,13 +1279,28 @@ def attach_real_jpeg_payload(df: DataFrame, id_col: str, text_col: str) -> DataF
     :func:`jpeg_decode_real`'s Huffman + dequant + IDCT path is
     verifiable bit-exactly end to end. Rows with empty text drop."""
 
+    # built DRIVER-side and closure-captured as plain values: a kernel
+    # body referencing module-level names would make cloudpickle ship a
+    # by-module reference, and executors do not have lakeapi_spark on
+    # sys.path (same self-contained-closure rule as the PNG kernels)
+    import struct as _struct
+
+    dc_codes = _jpeg_canonical_codes(JPEG_DC_BITS, JPEG_DC_VALS)
+    eob_code = _jpeg_canonical_codes(JPEG_AC_BITS, JPEG_AC_VALS)[0x00]
+
+    def _seg(marker: int, data: bytes) -> bytes:
+        return _struct.pack(">HH", marker, len(data) + 2) + data
+
+    dqt = _seg(0xFFDB, bytes([0x00]) + bytes([1] * 64))  # table 0, all-1
+    dht_dc = _seg(0xFFC4, bytes([0x00]) + bytes(JPEG_DC_BITS) + bytes(JPEG_DC_VALS))
+    dht_ac = _seg(0xFFC4, bytes([0x10]) + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS))
+    app0 = _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x48\x00\x48\x00\x00")
+    sos_hdr = _seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
 
         import pandas as pd
-
-        dc_codes = _jpeg_canonical_codes(JPEG_DC_BITS, JPEG_DC_VALS)
-        eob_code = _jpeg_canonical_codes(JPEG_AC_BITS, JPEG_AC_VALS)[0x00]
 
         class BitWriter:
             def __init__(self):
@@ -1312,16 +1327,6 @@ def attach_real_jpeg_payload(df: DataFrame, id_col: str, text_col: str) -> DataF
 
         def seg(marker: int, data: bytes) -> bytes:
             return struct.pack(">HH", marker, len(data) + 2) + data
-
-        dqt = seg(0xFFDB, bytes([0x00]) + bytes([1] * 64))  # table 0, all-1
-        dht_dc = seg(
-            0xFFC4, bytes([0x00]) + bytes(JPEG_DC_BITS) + bytes(JPEG_DC_VALS)
-        )
-        dht_ac = seg(
-            0xFFC4, bytes([0x10]) + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS)
-        )
-        app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x48\x00\x48\x00\x00")
-        sos_hdr = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
 
         for pdf in batches:
             ids, payloads, widths, heights, nbytes = [], [], [], [], []

@@ -952,3 +952,63 @@ def ndcg_at_k(
         (F.round(F.col("_idcg"), digits) + 0.0).alias("idcg"),
         (F.round(F.col("_dcg") / F.col("_idcg"), digits) + 0.0).alias("ndcg"),
     )
+
+
+def cuped_adjusted_means(
+    per_user: DataFrame,
+    variant_col: str,
+    pre_col: str,
+    post_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """CUPED variance reduction for experiment readouts: given one row
+    per unit with a PRE-period covariate x and the POST-period metric
+    y, compute theta = cov(x,y)/var(x) on the POOLED data (the
+    covariate predates assignment, so pooling is unbiased) and report
+    each variant's raw and adjusted means —
+
+        mean_y_adj(v) = mean_y(v) - theta * (mean_x(v) - mean_x)
+
+    the group-mean form of y_i - theta*(x_i - mean_x), so no per-unit
+    adjusted column ever materializes. Every sum accumulates in DECIMAL
+    (x, y are metric values quantized upstream); theta and the means
+    are then one fixed IEEE sequence — engine-exact, like ols_trend.
+    Returns (variant, n_units, mean_pre, mean_post, mean_post_adj,
+    theta). Degenerate var(x)=0 inputs drop (nothing to adjust with).
+
+    Scale: the per-unit relation is |units|-sized (built by the caller
+    with one fact-table groupBy); this adds one variant-keyed
+    partial-agg shuffle and a broadcast single-row global-moments
+    join."""
+    x = F.col(pre_col).cast("double")
+    y = F.col(post_col).cast("double")
+    d = lambda c: c.cast("decimal(28,10)")  # noqa: E731
+    per_variant = per_user.groupBy(F.col(variant_col).alias("variant")).agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum(d(x)).cast("double").alias("_sx"),
+        F.sum(d(y)).cast("double").alias("_sy"),
+    )
+    g = per_user.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(d(x)).cast("double").alias("_gsx"),
+        F.sum(d(y)).cast("double").alias("_gsy"),
+        F.sum(d(x * x)).cast("double").alias("_gsxx"),
+        F.sum(d(x * y)).cast("double").alias("_gsxy"),
+    )
+    j = per_variant.crossJoin(F.broadcast(g))
+    den = F.col("_n") * F.col("_gsxx") - F.col("_gsx") * F.col("_gsx")
+    theta = (
+        F.col("_n") * F.col("_gsxy") - F.col("_gsx") * F.col("_gsy")
+    ) / den
+    mean_x_g = F.col("_gsx") / F.col("_n")
+    mean_x_v = F.col("_sx") / F.col("n_units")
+    mean_y_v = F.col("_sy") / F.col("n_units")
+    adj = mean_y_v - theta * (mean_x_v - mean_x_g)
+    return j.filter(den != 0).select(
+        "variant",
+        "n_units",
+        (F.round(mean_x_v, digits) + 0.0).alias("mean_pre"),
+        (F.round(mean_y_v, digits) + 0.0).alias("mean_post"),
+        (F.round(adj, digits) + 0.0).alias("mean_post_adj"),
+        (F.round(theta, digits) + 0.0).alias("theta"),
+    )

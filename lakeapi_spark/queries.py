@@ -9459,6 +9459,66 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cuped_value_experiment",
+    """
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS variant,
+             CAST(SUM(CASE WHEN floor(epoch(ts) / 86400) < 19738
+                  THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) AS DOUBLE) AS x,
+             CAST(SUM(CASE WHEN floor(epoch(ts) / 86400) >= 19738
+                  THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ), v AS (
+      SELECT variant, COUNT(*) AS n_units,
+             CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy
+      FROM per_user GROUP BY 1
+    ), g AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS gsx,
+             CAST(SUM(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS gsy,
+             CAST(SUM(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS gsxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(28,10))) AS DOUBLE) AS gsxy
+      FROM per_user
+    )
+    SELECT v.variant, CAST(v.n_units AS BIGINT) AS n_units,
+           CAST(ROUND(v.sx / v.n_units, 6) AS DOUBLE) + 0.0 AS mean_pre,
+           CAST(ROUND(v.sy / v.n_units, 6) AS DOUBLE) + 0.0 AS mean_post,
+           CAST(ROUND(v.sy / v.n_units
+                - ((g.n * g.gsxy - g.gsx * g.gsy) / (g.n * g.gsxx - g.gsx * g.gsx))
+                  * (v.sx / v.n_units - g.gsx / g.n), 6) AS DOUBLE) + 0.0 AS mean_post_adj,
+           CAST(ROUND((g.n * g.gsxy - g.gsx * g.gsy)
+                / (g.n * g.gsxx - g.gsx * g.gsx), 6) AS DOUBLE) + 0.0 AS theta
+    FROM v CROSS JOIN g
+    WHERE g.n * g.gsxx - g.gsx * g.gsx <> 0
+    """,
+)
+def cuped_value_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED experiment readout (operators/stats.cuped_adjusted_means):
+    per-user pre-period spend (before epoch-day 19738) is the
+    covariate, post-period spend the metric, variant a deterministic
+    user split — raw vs variance-adjusted variant means plus the pooled
+    theta, all from decimal-exact sums (the group-mean identity means
+    no per-unit adjusted column ever materializes)."""
+    from lakeapi_spark.operators.stats import cuped_adjusted_means
+
+    e = table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts").cast("double") / 86400)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    per_user = e.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).agg(
+        F.sum(F.when(day < 19738, cents).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("x"),
+        F.sum(F.when(day >= 19738, cents).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("y"),
+    )
+    return cuped_adjusted_means(per_user, "variant", "x", "y")
+
+
+@register(
     "delta_convert_in_place",
     """
     SELECT o_orderpriority, COUNT(*) AS n,

@@ -1823,6 +1823,34 @@ def test_k_anonymity_flags(spark):
     assert not out[("c", "y")].k_violation and not out[("c", "y")].l_violation
 
 
+def test_cuped_recovers_theta_and_corrects_imbalance(spark):
+    """Balanced covariate: y = 3x + 5*1{v1} with identical x sets per
+    variant -> pooled theta is exactly 3 and both raw and adjusted
+    differences equal the true +5. Imbalanced covariate (v1's x
+    shifted): the adjusted difference lands strictly closer to the
+    true effect than the raw difference — the point of CUPED."""
+    from lakeapi_spark.operators.stats import cuped_adjusted_means
+
+    balanced = [(v, float(i), 3.0 * i + (5.0 if v == 1 else 0.0))
+                for v in (0, 1) for i in range(10)]
+    df = spark.createDataFrame(balanced, "variant int, x double, y double")
+    out = {r.variant: r for r in
+           cuped_adjusted_means(df, "variant", "x", "y").collect()}
+    assert out[0].theta == 3.0
+    assert round(out[1].mean_post_adj - out[0].mean_post_adj, 6) == 5.0
+
+    # v1's covariate shifted +2 (sampling imbalance): raw diff = 11
+    imb = [(0, float(i), 3.0 * i) for i in range(10)] + [
+        (1, float(i + 2), 3.0 * (i + 2) + 5.0) for i in range(10)
+    ]
+    df2 = spark.createDataFrame(imb, "variant int, x double, y double")
+    o2 = {r.variant: r for r in
+          cuped_adjusted_means(df2, "variant", "x", "y").collect()}
+    raw_diff = o2[1].mean_post - o2[0].mean_post
+    adj_diff = o2[1].mean_post_adj - o2[0].mean_post_adj
+    assert abs(adj_diff - 5.0) < abs(raw_diff - 5.0)
+
+
 def test_pearson_corr_signs_and_null_variance(spark):
     from lakeapi_spark.operators.stats import pearson_corr
 
