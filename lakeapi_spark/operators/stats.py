@@ -1012,3 +1012,68 @@ def cuped_adjusted_means(
         (F.round(adj, digits) + 0.0).alias("mean_post_adj"),
         (F.round(theta, digits) + 0.0).alias("theta"),
     )
+
+
+def conformal_interval_report(
+    per_obs: DataFrame,
+    split_col: str,
+    y_col: str,
+    pred_col: str,
+    alpha: float = 0.1,
+    digits: int = 6,
+) -> DataFrame:
+    """Split-conformal calibration: given per-observation rows tagged
+    'cal' / 'test' in ``split_col`` with a prediction column, find the
+    conformal half-width q_hat = the k-th smallest calibration
+    |residual| with k = ceil((n_cal + 1) * (1 - alpha)) — the
+    finite-sample rule whose intervals cover with probability >=
+    1 - alpha — then report empirical coverage of |y - pred| <= q_hat
+    on the test split. Everything is rank-picked or an integer ratio:
+    no quantile interpolation, so both engines agree exactly. Returns
+    one row (n_cal, k, q_hat, n_test, n_covered, coverage).
+
+    Scale: residuals are computed map-side; the rank pick is a
+    row_number over the CALIBRATION split only (eval-sized by
+    construction — same boundedness argument as calibration_bins), and
+    coverage is one aggregate over the test stream."""
+    from pyspark.sql.window import Window
+
+    resid = F.abs(F.col(y_col).cast("double") - F.col(pred_col).cast("double"))
+    cal = per_obs.filter(F.col(split_col) == "cal").select(resid.alias("_r"))
+    n_cal_k = cal.agg(
+        F.count(F.lit(1)).alias("n_cal"),
+        F.ceil(
+            (F.count(F.lit(1)) + 1) * F.lit(1.0 - alpha)
+        ).cast("long").alias("k"),
+    )
+    ranked = cal.select(
+        "_r", F.row_number().over(Window.orderBy("_r")).alias("_rn")
+    )
+    q_hat = (
+        ranked.crossJoin(F.broadcast(n_cal_k))
+        .filter(F.col("_rn") == F.least(F.col("k"), F.col("n_cal")))
+        .select(
+            "n_cal", "k", (F.round(F.col("_r"), digits) + 0.0).alias("q_hat")
+        )
+    )
+    test = per_obs.filter(F.col(split_col) == "test").select(resid.alias("_r"))
+    cov = test.crossJoin(F.broadcast(q_hat)).groupBy("n_cal", "k", "q_hat").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum((F.round(F.col("_r"), digits) <= F.col("q_hat")).cast("long")).alias(
+            "n_covered"
+        ),
+    )
+    return cov.select(
+        "n_cal",
+        "k",
+        "q_hat",
+        "n_test",
+        "n_covered",
+        (
+            F.round(
+                F.col("n_covered").cast("double") / F.col("n_test").cast("double"),
+                digits,
+            )
+            + 0.0
+        ).alias("coverage"),
+    )

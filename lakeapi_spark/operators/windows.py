@@ -596,6 +596,105 @@ def _ses_reduce_keys(keys, xs, alpha_num: int):
     )
 
 
+def _ses_backtest_reduce_keys(keys, xs, alpha_num: int):
+    """Per-key rows (key, n_events, n_pred, sae) for the SES one-step
+    BACKTEST: walking the same truncating integer recursion as
+    :func:`_ses_reduce_keys`, each step t >= 2 is forecast by the
+    PRE-UPDATE level s_{t-1}, and sae accumulates |x_t - s_{t-1}| in
+    int64 micro-units — rolling-origin evaluation for free, because
+    flat SES's one-step forecast IS its running level. Keys with a
+    single event have nothing to forecast and drop."""
+    import numpy as np
+    import pandas as pd
+
+    beta = 1000 - alpha_num
+    out_k, out_n, out_p, out_e = [], [], [], []
+    bounds = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(keys)]))
+    for st, en in zip(starts, ends):
+        seg = xs[st:en]
+        if en - st < 2:
+            continue
+        s = int(seg[0])
+        sae = 0
+        for x in seg[1:]:
+            sae += abs(int(x) - s)
+            s = (alpha_num * int(x) + beta * s) // 1000
+        out_k.append(keys[st])
+        out_n.append(en - st)
+        out_p.append(en - st - 1)
+        out_e.append(sae)
+    return pd.DataFrame(
+        {
+            "_k": np.asarray(out_k, dtype=np.int64),
+            "n_events": np.asarray(out_n, dtype=np.int64),
+            "n_pred": np.asarray(out_p, dtype=np.int64),
+            "sae": np.asarray(out_e, dtype=np.int64),
+        }
+    )
+
+
+def _ses_backtest_kernel_factory(alpha_num: int):
+    def kernel(batches):
+        import numpy as np
+
+        carry_k = carry_x = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys = pdf["_k"].to_numpy(dtype=np.int64)
+            xs = pdf["_x"].to_numpy(dtype=np.int64)
+            if carry_k is not None:
+                keys = np.concatenate((carry_k, keys))
+                xs = np.concatenate((carry_x, xs))
+            last = keys[-1]
+            cut = np.searchsorted(keys, last, side="left")
+            carry_k, carry_x = keys[cut:], xs[cut:]
+            if cut:
+                yield _ses_backtest_reduce_keys(keys[:cut], xs[:cut], alpha_num)
+        if carry_k is not None and len(carry_k):
+            yield _ses_backtest_reduce_keys(carry_k, carry_x, alpha_num)
+
+    return kernel
+
+
+def exp_smooth_backtest(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    x_col: str,
+    alpha_num: int = 300,
+) -> DataFrame:
+    """Rolling-origin one-step backtest of the per-key SES forecaster:
+    at every step the CURRENT level forecasts the next observation, and
+    the absolute errors accumulate — (key, n_events, n_pred, sae) in
+    exact int64 micro-units, MAE = sae/n_pred left to the caller's
+    precision policy. Same plan shape and determinism contract as
+    :func:`exp_smooth_final` (one repartition+sort, whole-partition
+    kernel, batch-boundary key carry, recursive-CTE-replayable)."""
+    from pyspark import cloudpickle as _cp
+    import sys as _sys
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+
+    staged = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.col(ts_col).alias("_ts"),
+            F.col(tiebreak_col).alias("_tb"),
+            F.col(x_col).cast("long").alias("_x"),
+        )
+        .repartition("_k")
+        .sortWithinPartitions("_k", "_ts", "_tb")
+    )
+    out_schema = "_k long, n_events long, n_pred long, sae long"
+    return staged.mapInPandas(
+        _ses_backtest_kernel_factory(alpha_num), schema=out_schema
+    ).withColumnRenamed("_k", key_col)
+
+
 def _ses_kernel_factory(alpha_num: int):
     def kernel(batches):
         import numpy as np

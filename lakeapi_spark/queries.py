@@ -9519,6 +9519,286 @@ def cuped_value_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "conformal_user_daily_spend",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS y_cents
+      FROM events GROUP BY 1, 2
+    ), pred AS (
+      SELECT user_id,
+             CAST(ROUND(CAST(SUM(y_cents) AS DOUBLE) / (100.0 * COUNT(*)), 6) AS DOUBLE) AS pred
+      FROM daily WHERE day < 19733 GROUP BY 1
+    ), obs AS (
+      SELECT CASE WHEN d.day < 19743 THEN 'cal' ELSE 'test' END AS split,
+             ABS(CAST(d.y_cents AS DOUBLE) / 100.0 - p.pred) AS r
+      FROM daily d JOIN pred p ON d.user_id = p.user_id
+      WHERE d.day >= 19733
+    ), ncal AS (
+      SELECT COUNT(*) AS n_cal,
+             CAST(CEIL((COUNT(*) + 1) * 0.9) AS BIGINT) AS k
+      FROM obs WHERE split = 'cal'
+    ), ranked AS (
+      SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn
+      FROM obs WHERE split = 'cal'
+    ), q AS (
+      SELECT n.n_cal, n.k,
+             CAST(ROUND(r.r, 6) AS DOUBLE) + 0.0 AS q_hat
+      FROM ranked r CROSS JOIN ncal n
+      WHERE r.rn = LEAST(n.k, n.n_cal)
+    )
+    SELECT q.n_cal, q.k, q.q_hat,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN ROUND(o.r, 6) <= q.q_hat THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+           CAST(ROUND(CAST(SUM(CASE WHEN ROUND(o.r, 6) <= q.q_hat THEN 1 ELSE 0 END) AS DOUBLE)
+                      / COUNT(*), 6) AS DOUBLE) + 0.0 AS coverage
+    FROM obs o CROSS JOIN q
+    WHERE o.split = 'test'
+    GROUP BY q.n_cal, q.k, q.q_hat
+    """,
+)
+def conformal_user_daily_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (operators/stats.
+    conformal_interval_report): each user's train-period mean daily
+    spend predicts their later user-days; the conformal half-width is
+    the rank-picked k-th smallest calibration |residual|
+    (k = ceil((n+1)(1-alpha)), clamped to n_cal for tiny splits), and
+    the report checks empirical coverage on the held-out test days —
+    the distribution-free uncertainty primitive for any scored
+    export."""
+    from lakeapi_spark.operators.stats import conformal_interval_report
+
+    e = table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts").cast("double") / 86400).cast("long")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    daily = e.groupBy("user_id", day.alias("day")).agg(
+        F.sum(cents).alias("y_cents")
+    )
+    pred = (
+        daily.filter(F.col("day") < 19733)
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum("y_cents").cast("double") / (100.0 * F.count(F.lit(1))), 6
+            ).alias("pred")
+        )
+    )
+    obs = (
+        daily.filter(F.col("day") >= 19733)
+        .join(pred, "user_id")
+        .select(
+            F.when(F.col("day") < 19743, F.lit("cal"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+            (F.col("y_cents").cast("double") / 100.0).alias("y"),
+            "pred",
+        )
+    )
+    return conformal_interval_report(obs, "split", "y", "pred", alpha=0.1)
+
+
+_SEASONAL_CTE = """
+    WITH daily AS (
+      SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+      FROM events GROUP BY 1
+    ), g AS (
+      SELECT CAST(SUM(CAST(cents AS DECIMAL(28,10))) AS DOUBLE) / (100.0 * COUNT(*)) AS gmean
+      FROM daily
+    ), dowm AS (
+      SELECT CAST(day % 7 AS INT) AS dow, COUNT(*) AS n_days,
+             CAST(SUM(CAST(cents AS DECIMAL(28,10))) AS DOUBLE) / (100.0 * COUNT(*)) AS dmean
+      FROM daily GROUP BY 1
+    )
+"""
+
+
+@register(
+    "seasonal_dow_index_events",
+    _SEASONAL_CTE
+    + """
+    SELECT dow, CAST(n_days AS BIGINT) AS n_days,
+           CAST(ROUND(dmean, 6) AS DOUBLE) + 0.0 AS dow_mean,
+           CAST(ROUND(dmean / g.gmean, 6) AS DOUBLE) + 0.0 AS seasonal_index
+    FROM dowm CROSS JOIN g
+    """,
+)
+def seasonal_dow_index_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile of total event value: per epoch
+    day-of-week, the mean daily total and its ratio to the overall
+    daily mean — the multiplicative seasonal index a monitor divides
+    out before alerting (see seasonal_adjusted_anomalies). Daily sums
+    are exact integer cents; the two means come from decimal sums so
+    the index is one fixed IEEE division in both engines."""
+    e = table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts").cast("double") / 86400).cast("long")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    daily = e.groupBy(day.alias("day")).agg(F.sum(cents).alias("cents"))
+    g = daily.agg(
+        (
+            F.sum(F.col("cents").cast("decimal(28,10)")).cast("double")
+            / (100.0 * F.count(F.lit(1)))
+        ).alias("gmean")
+    )
+    dowm = daily.groupBy((F.col("day") % 7).cast("int").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (
+            F.sum(F.col("cents").cast("decimal(28,10)")).cast("double")
+            / (100.0 * F.count(F.lit(1)))
+        ).alias("dmean"),
+    )
+    return dowm.crossJoin(F.broadcast(g)).select(
+        "dow",
+        "n_days",
+        (F.round(F.col("dmean"), 6) + 0.0).alias("dow_mean"),
+        (F.round(F.col("dmean") / F.col("gmean"), 6) + 0.0).alias("seasonal_index"),
+    )
+
+
+@register(
+    "seasonal_adjusted_anomalies",
+    _SEASONAL_CTE
+    + """
+    , adj AS (
+      SELECT d.day, ROUND(CAST(d.cents AS DOUBLE) / 100.0 / (m.dmean / g.gmean), 6) AS a
+      FROM daily d
+      JOIN dowm m ON m.dow = CAST(d.day % 7 AS INT)
+      CROSS JOIN g
+    ), mom AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(a AS DECIMAL(28,10))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(a * a AS DECIMAL(28,10))) AS DOUBLE) AS ss
+      FROM adj
+    )
+    SELECT adj.day, adj.a AS adjusted_total,
+           CAST(ROUND((adj.a - mom.s / mom.n)
+                / sqrt((mom.ss - mom.s * mom.s / mom.n) / (mom.n - 1)), 4) AS DOUBLE) + 0.0 AS z
+    FROM adj CROSS JOIN mom
+    WHERE mom.n >= 2 AND (mom.ss - mom.s * mom.s / mom.n) / (mom.n - 1) > 0
+      AND ABS((adj.a - mom.s / mom.n)
+              / sqrt((mom.ss - mom.s * mom.s / mom.n) / (mom.n - 1))) >= 2
+    """,
+)
+def seasonal_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted daily anomaly flags: each day's total is
+    divided by its day-of-week seasonal index (so a quiet Sunday isn't
+    an 'anomaly' every week), then days whose adjusted total sits >= 2
+    sample standard deviations from the adjusted mean are flagged.
+    Adjusted values are ROUNDED before the decimal moment sums — the
+    round-before-sum discipline keeping the z-scores engine-exact."""
+    e = table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts").cast("double") / 86400).cast("long")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    daily = e.groupBy(day.alias("day")).agg(F.sum(cents).alias("cents"))
+    g = daily.agg(
+        (
+            F.sum(F.col("cents").cast("decimal(28,10)")).cast("double")
+            / (100.0 * F.count(F.lit(1)))
+        ).alias("gmean")
+    )
+    dowm = daily.groupBy((F.col("day") % 7).cast("int").alias("dow")).agg(
+        (
+            F.sum(F.col("cents").cast("decimal(28,10)")).cast("double")
+            / (100.0 * F.count(F.lit(1)))
+        ).alias("dmean"),
+    )
+    adj = (
+        daily.join(
+            F.broadcast(dowm),
+            (F.col("day") % 7).cast("int") == F.col("dow"),
+        )
+        .crossJoin(F.broadcast(g))
+        .select(
+            "day",
+            F.round(
+                F.col("cents").cast("double")
+                / 100.0
+                / (F.col("dmean") / F.col("gmean")),
+                6,
+            ).alias("a"),
+        )
+    )
+    mom = adj.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("a").cast("decimal(28,10)")).cast("double").alias("s"),
+        F.sum((F.col("a") * F.col("a")).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    z = F.round((F.col("a") - F.col("s") / F.col("n")) / F.sqrt(var), 4)
+    return (
+        adj.crossJoin(F.broadcast(mom))
+        .filter((F.col("n") >= 2) & (var > 0))
+        .select("day", F.col("a").alias("adjusted_total"), (z + 0.0).alias("z"))
+        .filter(F.abs(F.col("z")) >= 2)
+    )
+
+
+@register(
+    "ses_backtest_mae",
+    """
+    WITH ev AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             CAST(ROUND(value * 1000000, 0) AS BIGINT) AS x
+      FROM events WHERE event_type = 'purchase'
+    ), rec AS (
+      WITH RECURSIVE r(user_id, rn, s, sae) AS (
+        SELECT user_id, rn, x, CAST(0 AS BIGINT) FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.rn,
+               (300 * e.x + 700 * r.s) // 1000,
+               r.sae + ABS(e.x - r.s)
+        FROM r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+      )
+      SELECT * FROM r
+    )
+    SELECT user_id, MAX(rn) AS n_events,
+           CAST(MAX(rn) - 1 AS BIGINT) AS n_pred,
+           MAX_BY(sae, rn) AS sae,
+           CAST((2 * MAX_BY(sae, rn) + (MAX(rn) - 1)) // (2 * (MAX(rn) - 1)) AS DOUBLE)
+             / 1000000.0 AS mae
+    FROM rec GROUP BY user_id
+    HAVING MAX(rn) >= 2
+    """,
+)
+def ses_backtest_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast evaluation: per user, the one-step-ahead
+    mean absolute error of the SES spend forecaster (alpha = 0.3) —
+    every step is predicted by the PRE-UPDATE running level, so the
+    backtest falls out of the same single sequential pass as the
+    forecast itself (operators/windows.exp_smooth_backtest). Errors
+    accumulate in exact int64 micro-units; the recursive-CTE oracle
+    replays level and error bit-identically. The 'is this forecaster
+    any good' primitive next to the forecast it evaluates."""
+    from lakeapi_spark.operators.windows import exp_smooth_backtest
+
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    staged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1000000, 0).cast("long").alias("x"),
+    )
+    out = exp_smooth_backtest(staged, "user_id", "ts", "event_id", "x", alpha_num=300)
+    return out.select(
+        "user_id",
+        "n_events",
+        "n_pred",
+        "sae",
+        # integer half-up division in micro-units: a double ROUND here
+        # hits a genuine decimal tie (sae/(1e6*n) can end in ...5
+        # exactly) where Java's HALF_UP and C's round() disagree — the
+        # all-integer form cannot
+        (
+            F.expr("(2 * sae + n_pred) div (2 * n_pred)").cast("double")
+            / 1000000.0
+        ).alias("mae"),
+    )
+
+
+@register(
     "delta_convert_in_place",
     """
     SELECT o_orderpriority, COUNT(*) AS n,

@@ -1851,6 +1851,45 @@ def test_cuped_recovers_theta_and_corrects_imbalance(spark):
     assert abs(adj_diff - 5.0) < abs(raw_diff - 5.0)
 
 
+def test_conformal_interval_rank_rule_and_coverage(spark):
+    from lakeapi_spark.operators.stats import conformal_interval_report
+
+    # 9 calibration residuals 1..9 (pred = 0), alpha = 0.1:
+    # k = ceil(10 * 0.9) = 9 -> q_hat = 9th smallest = 9.0
+    rows = [("cal", float(i), 0.0) for i in range(1, 10)] + [
+        ("test", 5.0, 0.0),   # |r| = 5 <= 9: covered
+        ("test", 9.0, 0.0),   # boundary: covered (<=)
+        ("test", 12.0, 0.0),  # not covered
+    ]
+    df = spark.createDataFrame(rows, "split string, y double, pred double")
+    r = conformal_interval_report(df, "split", "y", "pred", alpha=0.1).collect()[0]
+    assert (r.n_cal, r.k, r.q_hat) == (9, 9, 9.0)
+    assert (r.n_test, r.n_covered) == (3, 2)
+    # tiny-split clamp: k = ceil(3 * 0.9) = 3 > n_cal=2 -> q = max resid
+    small = [("cal", 1.0, 0.0), ("cal", 4.0, 0.0), ("test", 4.0, 0.0)]
+    r2 = conformal_interval_report(
+        spark.createDataFrame(small, "split string, y double, pred double"),
+        "split", "y", "pred", alpha=0.1,
+    ).collect()[0]
+    assert r2.q_hat == 4.0 and r2.n_covered == 1
+
+
+def test_exp_smooth_backtest_matches_hand_recursion(spark):
+    from lakeapi_spark.operators.windows import exp_smooth_backtest
+
+    xs = [1_000_000, 2_000_000, 500_000, 3_000_000]
+    rows = [(7, i, i, x) for i, x in enumerate(xs)] + [(8, 0, 0, 9)]
+    df = spark.createDataFrame(rows, "k long, ts long, tb long, x long")
+    out = {r.k: r for r in
+           exp_smooth_backtest(df, "k", "ts", "tb", "x", alpha_num=300).collect()}
+    assert 8 not in out  # single observation: nothing to forecast
+    s, sae = xs[0], 0
+    for x in xs[1:]:
+        sae += abs(x - s)
+        s = (300 * x + 700 * s) // 1000
+    assert (out[7].n_events, out[7].n_pred, out[7].sae) == (4, 3, sae)
+
+
 def test_pearson_corr_signs_and_null_variance(spark):
     from lakeapi_spark.operators.stats import pearson_corr
 
