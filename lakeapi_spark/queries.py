@@ -1391,12 +1391,106 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", lang_id(F.col("text")).alias("pred_lang"))
 
 
+@register("langid_class_metrics", None)  # oracle injected below
+def langid_class_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation of the heuristic lang-id against the
+    documents table's ground-truth labels: per language, support,
+    prediction count, correct count, and precision/recall/F1 as exact
+    integer-ratio doubles — the confusion-matrix readout any quality
+    gate needs before trusting a per-language pipeline split. One
+    groupBy over (actual, predicted) cells, then two tiny window sums
+    over the |classes|^2 matrix; classes the model never predicts keep
+    recall and get precision NULL (no fabricated zeros)."""
+    from lakeapi_spark.operators.text import lang_id
+
+    d = table(spark, sf_dir, "documents")
+    cells = d.groupBy(
+        F.col("lang").alias("actual"),
+        lang_id(F.col("text")).alias("predicted"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wa = Window.partitionBy("actual")
+    wp = Window.partitionBy("predicted")
+    per = cells.select(
+        "actual",
+        "predicted",
+        "n",
+        F.sum("n").over(wa).alias("n_actual"),
+        F.sum("n").over(wp).alias("n_predicted"),
+    )
+    diag = per.filter(F.col("actual") == F.col("predicted")).select(
+        F.col("actual").alias("lang"),
+        "n_actual",
+        "n_predicted",
+        F.col("n").alias("n_correct"),
+    )
+    # classes with no diagonal cell (never correct) still need a row:
+    # rebuild from the actual-side totals with n_correct = 0
+    actual_tot = cells.groupBy(F.col("actual").alias("lang")).agg(
+        F.sum("n").alias("n_actual")
+    )
+    pred_tot = cells.groupBy(F.col("predicted").alias("lang")).agg(
+        F.sum("n").alias("n_predicted")
+    )
+    base = actual_tot.join(pred_tot, "lang", "left").join(
+        diag.select("lang", "n_correct"), "lang", "left"
+    )
+    corr = F.coalesce("n_correct", F.lit(0))
+    prec = F.when(
+        F.col("n_predicted") > 0,
+        corr.cast("double") / F.col("n_predicted").cast("double"),
+    )
+    rec = corr.cast("double") / F.col("n_actual").cast("double")
+    f1 = 2.0 * prec * rec / (prec + rec)
+    return base.select(
+        "lang",
+        "n_actual",
+        F.coalesce("n_predicted", F.lit(0)).alias("n_predicted"),
+        F.coalesce("n_correct", F.lit(0)).alias("n_correct"),
+        (F.round(prec, 6) + 0.0).alias("precision"),
+        (F.round(rec, 6) + 0.0).alias("recall"),
+        (
+            F.when(prec + rec > 0, F.round(f1, 6) + 0.0)
+        ).alias("f1"),
+    )
+
+
 def _install_langid_oracle() -> None:
     from lakeapi_spark.operators.text import lang_id_oracle_sql
 
     QUERIES["text_lang_id"].oracle = (
         f"SELECT doc_id, lang, {lang_id_oracle_sql('text')} AS pred_lang FROM documents"
     )
+    QUERIES["langid_class_metrics"].oracle = f"""
+    WITH cells AS (
+      SELECT lang AS actual, {lang_id_oracle_sql('text')} AS predicted, COUNT(*) AS n
+      FROM documents GROUP BY 1, 2
+    ), at AS (
+      SELECT actual AS lang, SUM(n) AS n_actual FROM cells GROUP BY 1
+    ), pt AS (
+      SELECT predicted AS lang, SUM(n) AS n_predicted FROM cells GROUP BY 1
+    ), dg AS (
+      SELECT actual AS lang, n AS n_correct FROM cells WHERE actual = predicted
+    )
+    SELECT at.lang,
+           CAST(at.n_actual AS BIGINT) AS n_actual,
+           CAST(COALESCE(pt.n_predicted, 0) AS BIGINT) AS n_predicted,
+           CAST(COALESCE(dg.n_correct, 0) AS BIGINT) AS n_correct,
+           CASE WHEN COALESCE(pt.n_predicted, 0) > 0
+                THEN CAST(ROUND(CAST(COALESCE(dg.n_correct, 0) AS DOUBLE) / pt.n_predicted, 6) AS DOUBLE) + 0.0
+           END AS precision,
+           CAST(ROUND(CAST(COALESCE(dg.n_correct, 0) AS DOUBLE) / at.n_actual, 6) AS DOUBLE) + 0.0 AS recall,
+           CASE WHEN COALESCE(pt.n_predicted, 0) > 0
+                AND CAST(COALESCE(dg.n_correct, 0) AS DOUBLE) / pt.n_predicted
+                     + CAST(COALESCE(dg.n_correct, 0) AS DOUBLE) / at.n_actual > 0
+                THEN CAST(ROUND(2.0 * (CAST(COALESCE(dg.n_correct, 0) AS DOUBLE) / pt.n_predicted)
+                           * (CAST(COALESCE(dg.n_correct, 0) AS DOUBLE) / at.n_actual)
+                           / (CAST(COALESCE(dg.n_correct, 0) AS DOUBLE) / pt.n_predicted
+                              + CAST(COALESCE(dg.n_correct, 0) AS DOUBLE) / at.n_actual), 6) AS DOUBLE) + 0.0
+           END AS f1
+    FROM at
+    LEFT JOIN pt ON pt.lang = at.lang
+    LEFT JOIN dg ON dg.lang = at.lang
+    """
 
 
 _install_langid_oracle()
