@@ -596,6 +596,122 @@ def _ses_reduce_keys(keys, xs, alpha_num: int):
     )
 
 
+def _holt_reduce_keys(keys, xs, alpha_num: int, gamma_num: int):
+    """Per-key rows (key, n_events, level, trend, sae) for Holt LINEAR
+    smoothing with a one-step backtest in the same pass: l_1 = x_1,
+    b_1 = 0, then
+
+        f_t = l_{t-1} + b_{t-1}                       (forecast)
+        l_t = (a*x_t + (1000-a)*f_t) FLOORDIV 1000
+        b_t = (g*(l_t - l_{t-1}) + (1000-g)*b_{t-1}) FLOORDIV 1000
+
+    all int64 micro-units with TRUNCATING (toward-zero) division —
+    DuckDB's integer // truncates ((-7)//2 = -3) while Python's floors
+    (-4), and the trend register goes negative, so the kernel spells
+    the division explicitly to match the SQL oracle (measured: the
+    floor spelling diverged by a few micro-units per negative-trend
+    step). sae accumulates |x_t - f_t| for t >= 2."""
+    import numpy as np
+    import pandas as pd
+
+    def tdiv(a: int, b: int) -> int:  # C/DuckDB-style toward-zero
+        return a // b if a >= 0 else -((-a) // b)
+
+    abeta = 1000 - alpha_num
+    gbeta = 1000 - gamma_num
+    out_k, out_n, out_l, out_b, out_e = [], [], [], [], []
+    bounds = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(keys)]))
+    for st, en in zip(starts, ends):
+        seg = xs[st:en]
+        lvl, trd, sae = int(seg[0]), 0, 0
+        for x in seg[1:]:
+            f = lvl + trd
+            sae += abs(int(x) - f)
+            new_l = tdiv(alpha_num * int(x) + abeta * f, 1000)
+            trd = tdiv(gamma_num * (new_l - lvl) + gbeta * trd, 1000)
+            lvl = new_l
+        out_k.append(keys[st])
+        out_n.append(en - st)
+        out_l.append(lvl)
+        out_b.append(trd)
+        out_e.append(sae)
+    return pd.DataFrame(
+        {
+            "_k": np.asarray(out_k, dtype=np.int64),
+            "n_events": np.asarray(out_n, dtype=np.int64),
+            "level": np.asarray(out_l, dtype=np.int64),
+            "trend": np.asarray(out_b, dtype=np.int64),
+            "sae": np.asarray(out_e, dtype=np.int64),
+        }
+    )
+
+
+def _holt_kernel_factory(alpha_num: int, gamma_num: int):
+    def kernel(batches):
+        import numpy as np
+
+        carry_k = carry_x = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys = pdf["_k"].to_numpy(dtype=np.int64)
+            xs = pdf["_x"].to_numpy(dtype=np.int64)
+            if carry_k is not None:
+                keys = np.concatenate((carry_k, keys))
+                xs = np.concatenate((carry_x, xs))
+            last = keys[-1]
+            cut = np.searchsorted(keys, last, side="left")
+            carry_k, carry_x = keys[cut:], xs[cut:]
+            if cut:
+                yield _holt_reduce_keys(keys[:cut], xs[:cut], alpha_num, gamma_num)
+        if carry_k is not None and len(carry_k):
+            yield _holt_reduce_keys(carry_k, carry_x, alpha_num, gamma_num)
+
+    return kernel
+
+
+def holt_smooth_backtest(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    x_col: str,
+    alpha_num: int = 300,
+    gamma_num: int = 100,
+) -> DataFrame:
+    """Per-key Holt linear (level + trend) smoothing with the one-step
+    backtest in the same sequential pass — the trend-aware upgrade of
+    :func:`exp_smooth_final`/:func:`exp_smooth_backtest` for series
+    that drift (a flat SES lags a trending series by construction;
+    Holt's forecast l + b does not). Same plan shape and determinism
+    contract: one repartition+sort, whole-partition kernel,
+    batch-boundary key carry, recursive-CTE-replayable integer math
+    (toward-zero division, matching SQL dialects' integer //).
+    Returns (key, n_events, level, trend, sae) in int64
+    micro-units."""
+    from pyspark import cloudpickle as _cp
+    import sys as _sys
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+
+    staged = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.col(ts_col).alias("_ts"),
+            F.col(tiebreak_col).alias("_tb"),
+            F.col(x_col).cast("long").alias("_x"),
+        )
+        .repartition("_k")
+        .sortWithinPartitions("_k", "_ts", "_tb")
+    )
+    out_schema = "_k long, n_events long, level long, trend long, sae long"
+    return staged.mapInPandas(
+        _holt_kernel_factory(alpha_num, gamma_num), schema=out_schema
+    ).withColumnRenamed("_k", key_col)
+
+
 def _ses_backtest_reduce_keys(keys, xs, alpha_num: int):
     """Per-key rows (key, n_events, n_pred, sae) for the SES one-step
     BACKTEST: walking the same truncating integer recursion as

@@ -9893,6 +9893,73 @@ def ses_backtest_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "holt_backtest_user_spend",
+    """
+    WITH ev AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             CAST(ROUND(value * 1000000, 0) AS BIGINT) AS x
+      FROM events WHERE event_type = 'purchase'
+    ), rec AS (
+      WITH RECURSIVE r(user_id, rn, l, b, sae) AS (
+        SELECT user_id, rn, x, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.rn,
+               (300 * e.x + 700 * (r.l + r.b)) // 1000,
+               (100 * ((300 * e.x + 700 * (r.l + r.b)) // 1000 - r.l) + 900 * r.b) // 1000,
+               r.sae + ABS(e.x - (r.l + r.b))
+        FROM r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+      )
+      SELECT * FROM r
+    )
+    SELECT user_id, MAX(rn) AS n_events,
+           MAX_BY(l, rn) AS level, MAX_BY(b, rn) AS trend,
+           MAX_BY(sae, rn) AS sae,
+           CAST((2 * MAX_BY(sae, rn) + (MAX(rn) - 1)) // (2 * (MAX(rn) - 1)) AS DOUBLE)
+             / 1000000.0 AS mae
+    FROM rec GROUP BY user_id
+    HAVING MAX(rn) >= 2
+    """,
+)
+def holt_backtest_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (level + trend) smoothing of per-user purchase
+    values with its rolling-origin one-step MAE from the same
+    sequential pass (operators/windows.holt_smooth_backtest; alpha =
+    0.3, gamma = 0.1) — the trend-aware companion to ses_backtest_mae:
+    a flat SES lags drifting users by construction, Holt's l + b
+    forecast does not, and the per-user MAEs quantify which model to
+    trust. Floor division throughout (the trend register goes
+    negative; truncate-toward-zero dialects would diverge), errors in
+    exact int64 micro-units, tie-proof integer half-up mean."""
+    from lakeapi_spark.operators.windows import holt_smooth_backtest
+
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    staged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1000000, 0).cast("long").alias("x"),
+    )
+    out = holt_smooth_backtest(
+        staged, "user_id", "ts", "event_id", "x", alpha_num=300, gamma_num=100
+    )
+    return out.filter(F.col("n_events") >= 2).select(
+        "user_id",
+        "n_events",
+        "level",
+        "trend",
+        "sae",
+        (
+            F.expr("(2 * sae + (n_events - 1)) div (2 * (n_events - 1))").cast(
+                "double"
+            )
+            / 1000000.0
+        ).alias("mae"),
+    )
+
+
+@register(
     "delta_convert_in_place",
     """
     SELECT o_orderpriority, COUNT(*) AS n,

@@ -1890,6 +1890,36 @@ def test_exp_smooth_backtest_matches_hand_recursion(spark):
     assert (out[7].n_events, out[7].n_pred, out[7].sae) == (4, 3, sae)
 
 
+def test_holt_backtest_tracks_trend_ses_lags(spark):
+    """On a perfectly linear series Holt's l+b forecast converges onto
+    the trend while flat SES lags by construction: Holt's accumulated
+    one-step error must come out strictly smaller. Also pins the
+    toward-zero division semantics with a hand-replayed recursion."""
+    from lakeapi_spark.operators.windows import (
+        exp_smooth_backtest,
+        holt_smooth_backtest,
+    )
+
+    xs = [1_000_000 * (i + 1) for i in range(12)]  # steady +1M trend
+    rows = [(1, i, i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k long, ts long, tb long, x long")
+    holt = holt_smooth_backtest(df, "k", "ts", "tb", "x", 300, 100).collect()[0]
+    ses = exp_smooth_backtest(df, "k", "ts", "tb", "x", 300).collect()[0]
+    assert holt.sae < ses.sae
+
+    def tdiv(a, b):
+        return a // b if a >= 0 else -((-a) // b)
+
+    lvl, trd, sae = xs[0], 0, 0
+    for x in xs[1:]:
+        f = lvl + trd
+        sae += abs(x - f)
+        new_l = tdiv(300 * x + 700 * f, 1000)
+        trd = tdiv(100 * (new_l - lvl) + 900 * trd, 1000)
+        lvl = new_l
+    assert (holt.level, holt.trend, holt.sae) == (lvl, trd, sae)
+
+
 def test_pearson_corr_signs_and_null_variance(spark):
     from lakeapi_spark.operators.stats import pearson_corr
 
