@@ -333,3 +333,24 @@ def run_sql(
         if unknown:
             raise SqlValidationError(f"unknown or unauthorized tables: {sorted(unknown)}")
     return spark.sql(sql)
+
+
+def explain_sql(
+    spark: SparkSession,
+    sql: str,
+    allowed_tables: set[str] | None = None,
+    mode: str = "formatted",
+) -> str:
+    """EXPLAIN endpoint: the same validation + table-visibility gate as
+    :func:`run_sql`, but returns the PHYSICAL PLAN STRING instead of
+    executing — the introspection a serving API exposes so users can
+    see pushdown/pruning/join strategy for their query without paying
+    for it (and without any new attack surface: the statement itself
+    still has to pass the SELECT-only whitelist; only the explain mode
+    string is extra, and it is validated against Spark's closed set).
+    ``mode``: simple | extended | codegen | cost | formatted."""
+    if mode not in ("simple", "extended", "codegen", "cost", "formatted"):
+        raise SqlValidationError(f"unknown explain mode {mode!r}")
+    df = run_sql(spark, sql, allowed_tables)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)

@@ -527,3 +527,24 @@ def test_dml_backslash_escaped_quote(spark, tmp_path):
     run_dml(spark, r"UPDATE t SET s = 'don\'t' WHERE k = 1", {"t": path})
     got = {r.k: r.s for r in read_delta_fallback(spark, path).collect()}
     assert got == {0: "x", 1: "don't", 2: "x", 3: "x"}
+
+
+def test_explain_sql_gated_and_returns_plan(spark, sf_dir):
+    from lakeapi_spark.sql.endpoint import SqlValidationError, explain_sql
+
+    register_views(spark, sf_dir)
+    plan = explain_sql(
+        spark,
+        "SELECT l_returnflag, COUNT(*) FROM lineitem "
+        "WHERE l_quantity < 10 GROUP BY 1",
+        allowed_tables={"lineitem"},
+    )
+    # the plan is returned, not executed — and shows real pushdown
+    assert "PushedFilters" in plan and "l_quantity" in plan
+
+    with pytest.raises(SqlValidationError):
+        explain_sql(spark, "DROP TABLE lineitem", allowed_tables={"lineitem"})
+    with pytest.raises(SqlValidationError):
+        explain_sql(spark, "SELECT * FROM orders", allowed_tables={"lineitem"})
+    with pytest.raises(SqlValidationError):
+        explain_sql(spark, "SELECT 1", mode="sideways")
