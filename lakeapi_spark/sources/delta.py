@@ -814,24 +814,53 @@ def _file_stats_json(path: str) -> str | None:
         return None
     mins: dict = {}
     maxs: dict = {}
+    bad: set = set()  # columns with any unusable row-group stats
     for rg in range(md.num_row_groups):
         row_group = md.row_group(rg)
         for ci in range(row_group.num_columns):
             col = row_group.column(ci)
             name = col.path_in_schema
-            if "." in name:
-                continue  # nested leaf: skip
+            if "." in name or name in bad:
+                continue  # nested leaf / already disqualified
             st = col.statistics
             if st is None or not st.has_min_max:
+                if name in mins or name in maxs:
+                    # a later statless row group makes earlier file
+                    # extremes understatements — disqualify
+                    bad.add(name)
+                    mins.pop(name, None)
+                    maxs.pop(name, None)
+                else:
+                    bad.add(name)
                 continue
             mn, mx = st.min, st.max
             if isinstance(mn, bytes):
                 try:
                     mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
                 except UnicodeDecodeError:
+                    bad.add(name)
+                    mins.pop(name, None)
+                    maxs.pop(name, None)
                     continue
             if hasattr(mn, "isoformat"):
                 mn, mx = mn.isoformat(), mx.isoformat()
+            try:
+                inconsistent = mn > mx
+            except TypeError:
+                continue
+            if inconsistent:
+                # pyarrow claims has_min_max on huge strings but hands
+                # back a TRUNCATED-TO-EMPTY max ('' < min) — recording
+                # it would mis-prune files under >= predicates (delta
+                # spec: a truncated max must be adjusted UPWARD or
+                # omitted). min > max can never be genuine, so
+                # disqualify the COLUMN for this file (one bad row
+                # group makes the file-level extremes unknowable);
+                # skipping degrades, never lies.
+                bad.add(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                continue
             mins[name] = mn if name not in mins else min(mins[name], mn)
             maxs[name] = mx if name not in maxs else max(maxs[name], mx)
     return json.dumps({"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs})

@@ -3353,3 +3353,44 @@ class TestConvertToDelta:
         os.makedirs(p3)
         with pytest.raises(ValueError, match="no parquet files"):
             convert_to_delta(spark, p3)
+
+
+def test_truncated_string_footer_stats_never_misprune(spark, tmp_path):
+    """pyarrow claims has_min_max on very long strings but hands back a
+    truncated-to-empty max ('' < min) — recording that as delta
+    maxValues would let a `s >= 'b'` predicate prune a file whose true
+    max is 'zzz…'. The stats builder must disqualify inconsistent (and
+    partially-statless) columns instead: skipping degrades, never
+    lies."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from lakeapi_spark.sources.delta import (
+        _file_stats_json,
+        convert_to_delta,
+        read_delta_fallback,
+    )
+
+    src = tmp_path / "cv"
+    src.mkdir()
+    f = str(src / "part-000.parquet")
+    papq.write_table(
+        pa.table({"s": ["a", "z" * 100000 + "END"], "k": [1, 2]}), f
+    )
+    st = papq.ParquetFile(f).metadata.row_group(0).column(0).statistics
+    if not (st and st.has_min_max and st.max == ""):
+        import pytest
+
+        pytest.skip("this pyarrow build drops huge-string stats entirely")
+
+    stats = _json.loads(_file_stats_json(f))
+    assert "s" not in stats["minValues"] and "s" not in stats["maxValues"]
+    assert stats["minValues"].get("k") == 1  # other columns keep stats
+
+    convert_to_delta(spark, str(src))
+    got = read_delta_fallback(
+        spark, str(src), predicates=[("s", "b", None)]
+    ).collect()
+    assert any(r.s.startswith("z") for r in got)  # file NOT mis-pruned
