@@ -299,3 +299,90 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+    damping: float = 0.85,
+    round_digits: int = 10,
+    final_digits: int = 8,
+    broadcast_ranks: bool = True,
+    cache_handles: list | None = None,
+) -> DataFrame:
+    """Personalized (seeded-teleport) PageRank over the undirected
+    simple graph of ``edges``: random walks restart at the SEED set
+    instead of everywhere, so authority concentrates around the seeds —
+    trusted-domain propagation for crawl curation, account-centric
+    influence, 'related entities' serving. ``seeds`` is a one-column
+    relation of node ids.
+
+        pr_0(v)     = 1/|S| for seeds, else 0
+        pr_{t+1}(v) = (1-d)*1{v in S}/|S| + d * SUM pr_t(u)/deg(u)
+
+    Same engine-exactness contract as :func:`pagerank` (decimal-cast
+    contributions, per-iteration rounding) and the same scale shape:
+    rank/degree relations node-sized and broadcastable, one
+    partial-aggregated groupBy(dst) per iteration; the seed flag rides
+    the node relation. Nodes unreachable from the seeds hold rank 0
+    and drop from the output."""
+    from pyspark.sql.window import Window
+
+    und = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        .distinct()
+        .select(
+            "src", "dst",
+            F.count(F.lit(1)).over(Window.partitionBy("src")).alias("deg"),
+        )
+        .persist()
+    )
+    if cache_handles is not None:
+        cache_handles.append(und)
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    # teleport mass is split over seeds PRESENT IN THE GRAPH: a seed id
+    # with no edges can neither receive nor spread rank, and counting
+    # it would silently deflate every real seed's share
+    seed_rel = seeds.toDF("node").distinct().join(nodes, "node", "semi")
+    ns = F.broadcast(seed_rel.agg(F.count(F.lit(1)).alias("n_seeds")))
+    flagged = F.broadcast(
+        nodes.join(seed_rel.withColumn("_is_seed", F.lit(1)), "node", "left")
+        .crossJoin(ns)
+        .select(
+            "node",
+            (
+                F.coalesce("_is_seed", F.lit(0)).cast("double")
+                * F.lit(1.0 - damping)
+                / F.col("n_seeds")
+            ).alias("base"),
+            (
+                F.coalesce("_is_seed", F.lit(0)).cast("double") / F.col("n_seeds")
+            ).alias("pr0"),
+        )
+    )
+    pr = flagged.select("node", F.col("pr0").alias("pr"))
+    for it in range(iters):
+        prs = pr.withColumnRenamed("node", "src")
+        if broadcast_ranks:
+            prs = F.broadcast(prs)
+        contrib = und.join(prs, "src").select(
+            F.col("dst").alias("node"),
+            (F.col("pr") / F.col("deg")).cast("decimal(28,12)").alias("w"),
+        )
+        digits = final_digits if it == iters - 1 else round_digits
+        pr = (
+            contrib.groupBy("node")
+            .agg(F.sum("w").cast("double").alias("_s"))
+            .join(flagged.select("node", "base"), "node")
+            .select(
+                "node",
+                F.round(
+                    F.col("base") + F.lit(damping) * F.col("_s"), digits
+                ).alias("pr"),
+            )
+        )
+    return pr.filter(F.col("pr") > 0)

@@ -9960,6 +9960,94 @@ def holt_backtest_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ppr_nation_seeded",
+    """
+    WITH eo AS (
+      SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate < TIMESTAMP '1996-01-01'
+    ), und AS (
+      SELECT src, dst FROM eo UNION SELECT dst AS src, src AS dst FROM eo
+    ), deg AS (
+      SELECT src, COUNT(*) AS deg FROM und GROUP BY src
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM und
+    ), sd AS (
+      SELECT DISTINCT c_custkey * 2 AS node FROM customer WHERE c_nationkey = 0
+    ), seeds AS (
+      SELECT n.node FROM nodes n JOIN sd ON sd.node = n.node
+    ), ns AS (
+      SELECT COUNT(*) AS n_seeds FROM seeds
+    ), fl AS (
+      SELECT n.node,
+             CASE WHEN s.node IS NOT NULL
+                  THEN (1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n_seeds FROM ns)
+                  ELSE 0.0::DOUBLE END AS base,
+             CASE WHEN s.node IS NOT NULL
+                  THEN 1.0::DOUBLE / (SELECT n_seeds FROM ns)
+                  ELSE 0.0::DOUBLE END AS pr0
+      FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+    ), pr1 AS (
+      SELECT u.dst AS node,
+             ROUND(fb.base + 0.85::DOUBLE
+                   * CAST(SUM(CAST(f.pr0 / d.deg AS DECIMAL(28,12))) AS DOUBLE), 10) AS pr
+      FROM und u
+      JOIN fl f ON f.node = u.src
+      JOIN deg d ON d.src = u.src
+      JOIN fl fb ON fb.node = u.dst
+      GROUP BY u.dst, fb.base
+    ), pr2 AS (
+      SELECT u.dst AS node,
+             ROUND(fb.base + 0.85::DOUBLE
+                   * CAST(SUM(CAST(p.pr / d.deg AS DECIMAL(28,12))) AS DOUBLE), 8) AS pr
+      FROM und u
+      JOIN pr1 p ON p.node = u.src
+      JOIN deg d ON d.src = u.src
+      JOIN fl fb ON fb.node = u.dst
+      GROUP BY u.dst, fb.base
+    )
+    SELECT node, pr,
+           CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS BIGINT) AS rank
+    FROM pr2 WHERE pr > 0 QUALIFY rank <= 50
+    """,
+)
+def ppr_nation_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank on the customer-supplier purchase graph,
+    teleporting to nation-0 customers (operators/graph.
+    personalized_pagerank): authority concentrated around one market's
+    buyers — 'which suppliers matter TO THIS cohort', the seeded twin
+    of the global pagerank_cust_supp. Top 50 by rank; same decimal-
+    contribution exactness and per-iteration rounding contract."""
+    from pyspark.sql.window import Window
+
+    from lakeapi_spark.operators.graph import personalized_pagerank
+
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    )
+    l = table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 0)
+        .select((F.col("c_custkey") * 2).alias("node"))
+    )
+    pr = personalized_pagerank(edges, seeds, iters=2)
+    w = Window.orderBy(F.col("pr").desc(), "node")
+    return (
+        pr.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 50)
+    )
+
+
+@register(
     "delta_convert_in_place",
     """
     SELECT o_orderpriority, COUNT(*) AS n,

@@ -1920,6 +1920,26 @@ def test_holt_backtest_tracks_trend_ses_lags(spark):
     assert (holt.level, holt.trend, holt.sae) == (lvl, trd, sae)
 
 
+def test_personalized_pagerank_concentrates_on_seed_side(spark):
+    from lakeapi_spark.operators.graph import pagerank, personalized_pagerank
+
+    # barbell: clique {1,2,3} - bridge - clique {10,11,12}; seeding at 1
+    # must rank the seed clique above the far one; global PR is symmetric
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    ppr = {r.node: r.pr for r in personalized_pagerank(edges, seeds, iters=3).collect()}
+    assert ppr[1] > ppr[11] and ppr[2] > ppr[11]
+    gpr = {r.node: r.pr for r in pagerank(edges, iters=3).collect()}
+    assert gpr[2] == gpr[11]  # symmetric graph: global PR can't tell sides
+    # seeds outside the graph don't deflate the teleport share
+    seeds2 = spark.createDataFrame([(1,), (999,)], "node long")
+    ppr2 = {r.node: r.pr for r in personalized_pagerank(edges, seeds2, iters=3).collect()}
+    assert ppr2 == ppr
+
+
 def test_pearson_corr_signs_and_null_variance(spark):
     from lakeapi_spark.operators.stats import pearson_corr
 
