@@ -68,6 +68,9 @@ PROBED = [
     "ann_hard_negatives",
     "readability_flesch_docs",
     "decontaminate_canary_hits",
+    # real JPEG codec round-trip (encode fixture + Huffman/DCT decode,
+    # both Arrow kernels — per-doc cost linear in raster size)
+    "multimodal_jpeg_decode",
 ]
 
 SF_SMALL = "/root/testdata/sf0.01"
