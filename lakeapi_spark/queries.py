@@ -10048,6 +10048,60 @@ def ppr_nation_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_savings_summary",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+             CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tok
+      FROM documents WHERE trim(lower(text)) <> ''
+    ), k AS (
+      SELECT doc_id, n_tok,
+             doc_id <> MIN(doc_id) OVER (PARTITION BY fp) AS is_dup
+      FROM f
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN is_dup THEN n_tok ELSE 0 END) AS BIGINT) AS dup_tokens,
+           CAST(SUM(CASE WHEN is_dup THEN n_tok ELSE 0 END) AS DOUBLE)
+             / SUM(n_tok) AS savings_frac
+    FROM k
+    """,
+)
+def dedup_savings_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-planning readout for exact dedup: how many documents
+    and — the number that matters for a training budget — how many
+    TOKENS drop when only each canonical-fingerprint group's keeper
+    (min doc_id) survives. savings_frac is the exact integer ratio of
+    removable to total tokens. One fingerprint window over the scan;
+    the fingerprint/tokenization spellings are the shared
+    text-operator ones, so the whole estimate is oracle-exact."""
+    from lakeapi_spark.operators.text import fingerprint, tokens
+
+    d = table(spark, sf_dir, "documents").filter(
+        F.trim(F.lower(F.col("text"))) != ""
+    )
+    f = d.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    w = Window.partitionBy("fp")
+    k = f.select(
+        "n_tok", (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup")
+    )
+    dup_tok = F.sum(F.when(F.col("is_dup"), F.col("n_tok")).otherwise(F.lit(0)))
+    return k.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dup_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        dup_tok.alias("dup_tokens"),
+        (dup_tok.cast("double") / F.sum("n_tok")).alias("savings_frac"),
+    )
+
+
+@register(
     "delta_convert_in_place",
     """
     SELECT o_orderpriority, COUNT(*) AS n,
