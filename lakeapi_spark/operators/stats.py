@@ -1077,3 +1077,50 @@ def conformal_interval_report(
             + 0.0
         ).alias("coverage"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group Spearman rank correlation — Pearson over MIDRANKS,
+    the monotonic-dependence measure robust to outliers and nonlinear
+    scales that Pearson (pearson_corr) misses. Midranks stay INTEGER
+    via the doubled form 2*mr = 2*(rank-1) + ties + 1 (rank = RANK()
+    over the value order, ties = the value's multiplicity), so every
+    sum is exact in DECIMAL(38,0) and rho is one fixed IEEE sequence —
+    engine-identical, no rank interpolation to reconcile.
+
+    Plan: both midrank windows partition by the SAME group key (one
+    exchange, two sorts), then a single partial-agg groupBy. Degenerate
+    groups (any zero rank variance: a constant column) drop."""
+    from pyspark.sql.window import Window
+
+    def mr2(col: str) -> "Column":
+        w = Window.partitionBy(*group_cols).orderBy(col)
+        wc = Window.partitionBy(*group_cols, col)
+        return (
+            2 * (F.rank().over(w) - 1) + F.count(F.lit(1)).over(wc) + 1
+        ).cast("long")
+
+    ranked = df.select(*group_cols, mr2(x_col).alias("_rx"), mr2(y_col).alias("_ry"))
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(d(F.col("_rx"))).cast("double").alias("_sx"),
+        F.sum(d(F.col("_ry"))).cast("double").alias("_sy"),
+        F.sum(d(F.col("_rx") * F.col("_rx"))).cast("double").alias("_sxx"),
+        F.sum(d(F.col("_ry") * F.col("_ry"))).cast("double").alias("_syy"),
+        F.sum(d(F.col("_rx") * F.col("_ry"))).cast("double").alias("_sxy"),
+    )
+    vx = F.col("n_rows") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = F.col("n_rows") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    rho = (
+        F.col("n_rows") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    ) / F.sqrt(vx * vy)
+    return m.filter((vx > 0) & (vy > 0)).select(
+        *group_cols, "n_rows", (F.round(rho, digits) + 0.0).alias("spearman_rho")
+    )

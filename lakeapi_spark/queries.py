@@ -10102,6 +10102,50 @@ def dedup_savings_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "spearman_qty_price_by_flag",
+    """
+    WITH r AS (
+      SELECT l_returnflag AS flag,
+             2 * (RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) - 1)
+               + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) + 1 AS rx,
+             2 * (RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) - 1)
+               + COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) + 1 AS ry
+      FROM lineitem
+    ), m AS (
+      SELECT flag, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(rx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ry AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(rx * rx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ry * ry AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(rx * ry AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+      FROM r GROUP BY 1
+    )
+    SELECT flag AS l_returnflag, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(ROUND((n_rows * sxy - sx * sy)
+                / sqrt((n_rows * sxx - sx * sx) * (n_rows * syy - sy * sy)), 6) AS DOUBLE) + 0.0
+             AS spearman_rho
+    FROM m
+    WHERE n_rows * sxx - sx * sx > 0 AND n_rows * syy - sy * sy > 0
+    """,
+)
+def spearman_qty_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs extended price per
+    return flag (operators/stats.spearman_corr) — the monotonic twin
+    of corr_lineitem_measures' Pearson: rank-based, so one outlier
+    order can't fabricate or destroy the association. Integer doubled
+    midranks, DECIMAL(38,0) sums, one group exchange reused by both
+    rank windows."""
+    from lakeapi_spark.operators.stats import spearman_corr
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag"), "l_quantity", "l_extendedprice"
+    )
+    return spearman_corr(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice"
+    ).withColumnRenamed("flag", "l_returnflag")
+
+
+@register(
     "delta_convert_in_place",
     """
     SELECT o_orderpriority, COUNT(*) AS n,

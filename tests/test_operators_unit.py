@@ -1940,6 +1940,45 @@ def test_personalized_pagerank_concentrates_on_seed_side(spark):
     assert ppr2 == ppr
 
 
+def test_spearman_monotone_and_tie_handling(spark):
+    from lakeapi_spark.operators.stats import spearman_corr
+
+    # y = x^3 is perfectly monotone (Pearson < 1, Spearman = 1);
+    # reversed gives -1; a constant column drops
+    rows = (
+        [("up", float(i), float(i) ** 3) for i in range(10)]
+        + [("down", float(i), -float(i) ** 3) for i in range(10)]
+        + [("flat", float(i), 1.0) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.g: r for r in spearman_corr(df, ["g"], "x", "y").collect()}
+    assert set(out) == {"up", "down"}
+    assert out["up"].spearman_rho == 1.0
+    assert out["down"].spearman_rho == -1.0
+
+    # ties: midranks keep rho exact — expectation re-derived by hand
+    # with the same doubled-midrank formula 2mr = 2*(rank-1) + ties + 1
+    tied = [("t", 1.0, 1.0), ("t", 1.0, 2.0), ("t", 2.0, 3.0), ("t", 3.0, 3.0)]
+    r = spearman_corr(
+        spark.createDataFrame(tied, "g string, x double, y double"), ["g"], "x", "y"
+    ).collect()[0]
+
+    def mr2(vals):
+        return [2 * sorted(vals).index(v) + vals.count(v) + 1 for v in vals]
+
+    rx, ry = mr2([1.0, 1.0, 2.0, 3.0]), mr2([1.0, 2.0, 3.0, 3.0])
+    n = 4
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(v * v for v in rx); syy = sum(v * v for v in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    import math
+
+    expect = round(
+        (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
+    )
+    assert r.spearman_rho == expect
+
+
 def test_pearson_corr_signs_and_null_variance(spark):
     from lakeapi_spark.operators.stats import pearson_corr
 
