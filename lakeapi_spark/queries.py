@@ -10145,6 +10145,54 @@ def spearman_qty_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("flag", "l_returnflag")
 
 
+_LSH_FINAL_STATE_SQL = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text ELSE text END AS text
+        FROM documents WHERE doc_id % 13 <> 0
+        """
+
+
+@register(
+    "dedup_lsh_index_keepers",
+    "WITH RECURSIVE pairs AS (\n  SELECT id_a, id_b FROM ("
+    + _minhash_oracle(docs_sql=_LSH_FINAL_STATE_SQL)
+    + """) q
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, MIN(label) AS cluster_id, id = MIN(label) AS keep
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_lsh_index_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained index DRIVING a dedup decision: near-dup pairs
+    served from the change-feed-maintained LSH index (same fixture as
+    dedup_lsh_incremental_index — built at v0, advanced across an
+    append, an update, and a delete) feed connected components, and
+    each clustered doc gets its canonical cluster id plus the
+    keep/drop verdict (min-id keeper). End to end — stream of commits
+    -> churn-priced index refresh -> candidate pairs -> transitive
+    clusters -> curation verdicts — hash-matched against an oracle
+    that recomputes ALL of it from scratch on the final table state."""
+    from lakeapi_spark.operators.dedup import dup_clusters
+    from lakeapi_spark.operators.incremental import lsh_index_pairs
+
+    _, idx = _lsh_incremental_fixture(spark, sf_dir)
+    pairs = lsh_index_pairs(spark, idx)
+    clusters = dup_clusters(pairs)
+    return clusters.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
 @register(
     "delta_convert_in_place",
     """
