@@ -1124,3 +1124,49 @@ def spearman_corr(
     return m.filter((vx > 0) & (vy > 0)).select(
         *group_cols, "n_rows", (F.round(rho, digits) + 0.0).alias("spearman_rho")
     )
+
+
+def kendall_tau_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group Kendall tau-a over a PRE-AGGREGATED (group, period)
+    series — the Mann-Kendall-style monotonic trend test that pairs
+    naturally with :func:`theil_sen_trend`'s slope (same bounded
+    O(periods^2) pair join, same 'is the trend real' question):
+
+        tau = (concordant - discordant) / (n_pairs)
+
+    over all x1 < x2 pairs, y-ties counting as neither. Concordance is
+    integer counting, the division one IEEE op — engine-exact. Returns
+    (group_cols..., n_pairs, n_concordant, n_discordant, tau); groups
+    with < 2 points drop."""
+    series = df.select(
+        *group_cols,
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    )
+    b = series.select(
+        *group_cols, F.col("_x").alias("_x2"), F.col("_y").alias("_y2")
+    )
+    pairs = series.join(b, on=list(group_cols)).filter(F.col("_x") < F.col("_x2"))
+    sign = F.signum(F.col("_y2") - F.col("_y"))
+    agg = pairs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((sign > 0).cast("long")).alias("n_concordant"),
+        F.sum((sign < 0).cast("long")).alias("n_discordant"),
+    )
+    tau = (
+        (F.col("n_concordant") - F.col("n_discordant")).cast("double")
+        / F.col("n_pairs").cast("double")
+    )
+    return agg.select(
+        *group_cols,
+        "n_pairs",
+        "n_concordant",
+        "n_discordant",
+        (F.round(tau, digits) + 0.0).alias("tau"),
+    )

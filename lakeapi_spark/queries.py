@@ -10194,6 +10194,55 @@ def dedup_lsh_index_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kendall_trend_revenue_nation",
+    """
+    WITH monthly AS (
+      SELECT n_name,
+             (CAST(year(o_orderdate) AS BIGINT) - 1992) * 12 + month(o_orderdate) - 1 AS month_idx,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    ), p AS (
+      SELECT a.n_name,
+             CASE WHEN b.rev > a.rev THEN 1 WHEN b.rev < a.rev THEN -1 ELSE 0 END AS s
+      FROM monthly a JOIN monthly b
+        ON a.n_name = b.n_name AND a.month_idx < b.month_idx
+    )
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_concordant,
+           CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_discordant,
+           CAST(ROUND(CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END)
+                      - SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                / COUNT(*), 6) AS DOUBLE) + 0.0 AS tau
+    FROM p GROUP BY 1
+    """,
+)
+def kendall_trend_revenue_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall-style monotonic trend test per nation
+    (operators/stats.kendall_tau_trend): tau over the monthly-revenue
+    series — the nonparametric 'is the trend real' companion to
+    theil_sen_revenue_trend's 'how steep' (same bounded periods^2 pair
+    join). Integer concordance counts, one exact division."""
+    from lakeapi_spark.operators.stats import kendall_tau_trend
+
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    month_idx = (
+        (F.year("o_orderdate").cast("long") - 1992) * 12 + F.month("o_orderdate") - 1
+    )
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", month_idx.alias("month_idx"))
+        .agg(money_sum(dec("o_totalprice")).alias("rev"))
+    )
+    return kendall_tau_trend(monthly, ["n_name"], "month_idx", "rev")
+
+
+@register(
     "delta_convert_in_place",
     """
     SELECT o_orderpriority, COUNT(*) AS n,

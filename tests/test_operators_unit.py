@@ -1979,6 +1979,23 @@ def test_spearman_monotone_and_tie_handling(spark):
     assert r.spearman_rho == expect
 
 
+def test_kendall_tau_trend_directions_and_ties(spark):
+    from lakeapi_spark.operators.stats import kendall_tau_trend
+
+    rows = (
+        [("up", i, float(i * i)) for i in range(6)]          # monotone: tau 1
+        + [("down", i, float(-i)) for i in range(6)]          # tau -1
+        + [("flat", i, 5.0) for i in range(6)]                # all ties: tau 0
+        + [("solo", 0, 1.0)]                                  # <2 points: drops
+    )
+    df = spark.createDataFrame(rows, "g string, x int, y double")
+    out = {r.g: r for r in kendall_tau_trend(df, ["g"], "x", "y").collect()}
+    assert set(out) == {"up", "down", "flat"}
+    assert out["up"].tau == 1.0 and out["up"].n_pairs == 15
+    assert out["down"].tau == -1.0
+    assert out["flat"].tau == 0.0 and out["flat"].n_concordant == 0
+
+
 def test_pearson_corr_signs_and_null_variance(spark):
     from lakeapi_spark.operators.stats import pearson_corr
 
