@@ -10243,6 +10243,64 @@ def kendall_trend_revenue_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contamination_by_source",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+    ), idx AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM toks WHERE len(t) >= 5
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
+      FROM idx
+    ), bench AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 11 = 0
+    ), perdoc AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_grams,
+             SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      FROM (SELECT doc_id, g FROM grams WHERE doc_id % 11 <> 0) t
+      LEFT JOIN bench b ON t.g = b.g
+      GROUP BY t.doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN p.n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           CAST(SUM(p.n_grams) AS BIGINT) AS total_grams,
+           CAST(SUM(p.n_hit) AS BIGINT) AS hit_grams,
+           CAST(SUM(p.n_hit) AS DOUBLE) / SUM(p.n_grams) AS hit_frac
+    FROM perdoc p JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY d.source
+    """,
+)
+def contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level contamination rollup — curation acts at SOURCE
+    granularity (drop a crawl seed, not one document): per source, how
+    many training docs overlap the benchmark gram set at all, and the
+    exact leaked-gram fraction. Composes benchmark_overlap's per-doc
+    relation with one broadcast join back to the source labels; hit
+    fractions are exact integer ratios."""
+    from lakeapi_spark.operators.contamination import benchmark_overlap
+
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 11 == 0)
+    train = d.filter(F.col("doc_id") % 11 != 0)
+    per = benchmark_overlap(train, bench, "doc_id", "text", n=5)
+    src = d.select(F.col("doc_id").alias("id"), "source")
+    return (
+        per.join(src, "id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_hit") > 0).cast("long")).alias("n_contaminated"),
+            F.sum("n_grams").alias("total_grams"),
+            F.sum("n_hit").alias("hit_grams"),
+            (F.sum("n_hit").cast("double") / F.sum("n_grams")).alias("hit_frac"),
+        )
+    )
+
+
+@register(
     "delta_convert_in_place",
     """
     SELECT o_orderpriority, COUNT(*) AS n,
