@@ -179,9 +179,12 @@ def canary_hits(
     overlap measure: each benchmark doc contributes one CANARY string
     (its first ``prefix_tokens`` tokens, space-joined — the canonical
     'answer string' shape), and a training doc is flagged when any
-    canary occurs VERBATIM inside its lowercased text. n-gram overlap
-    tolerates paraphrase; this catches the copy-paste leak a single
-    contains() proves. Returns (id, n_canaries_hit) for flagged docs.
+    canary occurs VERBATIM inside its whitespace-normalized lowercased
+    text (runs of whitespace collapse to single spaces, matching how
+    the canary itself was token-joined — a copy whose tokens are
+    newline- or tab-separated still hits). n-gram overlap tolerates
+    paraphrase; this catches the copy-paste leak a single contains()
+    proves. Returns (id, n_canaries_hit) for flagged docs.
 
     Scale: the canary set is benchmark-sized (small by construction)
     and broadcast; the training side streams through the containment
@@ -198,7 +201,11 @@ def canary_hits(
         .distinct()
     )
     docs = train.select(
-        F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("_lt")
+        F.col(id_col).alias("id"),
+        # probe side gets the SAME normalization the canary tokens got
+        # (lowercase + whitespace runs -> single space), else a verbatim
+        # copy separated by newlines/tabs is silently missed
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_lt"),
     )
     return (
         docs.join(F.broadcast(canaries), F.contains(F.col("_lt"), F.col("canary")))

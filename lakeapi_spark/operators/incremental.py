@@ -100,8 +100,17 @@ def lsh_index_version(spark, index_path: str) -> int:
     return max(r.table_version for r in row)
 
 
+#: snapshot versions kept after a refresh (current + one rollback)
+_LSH_RETAIN = 2
+
+
 def _lsh_write_snapshot(
-    spark, hs: DataFrame, buckets: DataFrame, index_path: str, table_version: int
+    spark,
+    hs: DataFrame,
+    buckets: DataFrame,
+    index_path: str,
+    table_version: int,
+    retain: int = _LSH_RETAIN,
 ) -> None:
     import os
 
@@ -112,6 +121,39 @@ def _lsh_write_snapshot(
     spark.createDataFrame(
         [(table_version,)], "table_version long"
     ).coalesce(1).write.mode("overwrite").parquet(_lsh_meta_path(index_path))
+    _lsh_retain_snapshots(spark, index_path, table_version, retain)
+
+
+def _lsh_retain_snapshots(
+    spark, index_path: str, live_version: int, retain: int
+) -> list[int]:
+    """Retention AFTER the meta flip: each refresh writes a complete
+    new v{N} snapshot (full shingle + bucket relations), so under a
+    continuous stream the index directory would otherwise grow by one
+    index-sized copy per micro-batch. Keeps the ``retain`` newest
+    versions <= the live one (the live snapshot plus rollback
+    headroom) and recursively deletes the rest through the Hadoop
+    FileSystem (object-store-safe, like every probe in sources/fs.py).
+    Versions newer than ``live_version`` — a concurrent refresh mid-
+    write — are never touched. Returns the deleted version numbers."""
+    import os
+    import re
+
+    from lakeapi_spark.sources.fs import delete_recursive, list_children
+
+    versions = []
+    for child, is_dir, _ in list_children(spark, index_path):
+        m = re.fullmatch(r"v(\d+)", os.path.basename(child.rstrip("/")))
+        if is_dir and m:
+            versions.append((int(m.group(1)), child))
+    keep = {v for v, _ in sorted(versions, reverse=True) if v <= live_version}
+    keep = set(sorted(keep, reverse=True)[:max(1, retain)])
+    dropped = []
+    for v, child in versions:
+        if v <= live_version and v not in keep:
+            delete_recursive(spark, child)
+            dropped.append(v)
+    return sorted(dropped)
 
 
 def _lsh_snapshot(spark, index_path: str) -> tuple[DataFrame, DataFrame, int]:

@@ -9319,7 +9319,9 @@ def readability_flesch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks WHERE doc_id % 11 = 0 AND len(t) >= 5
     )
     SELECT d.doc_id, COUNT(*) AS n_canaries_hit
-    FROM documents d JOIN canaries c ON contains(lower(d.text), c.canary)
+    FROM documents d
+    JOIN canaries c
+      ON contains(regexp_replace(lower(d.text), '\\s+', ' ', 'g'), c.canary)
     WHERE d.doc_id % 11 <> 0
     GROUP BY 1
     """,
@@ -9929,9 +9931,10 @@ def holt_backtest_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.3, gamma = 0.1) — the trend-aware companion to ses_backtest_mae:
     a flat SES lags drifting users by construction, Holt's l + b
     forecast does not, and the per-user MAEs quantify which model to
-    trust. Floor division throughout (the trend register goes
-    negative; truncate-toward-zero dialects would diverge), errors in
-    exact int64 micro-units, tie-proof integer half-up mean."""
+    trust. Truncating (toward-zero) division throughout, matching
+    DuckDB's `//` (the trend register goes negative; flooring
+    dialects would diverge there), errors in exact int64 micro-units,
+    tie-proof integer half-up mean."""
     from lakeapi_spark.operators.windows import holt_smooth_backtest
 
     e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")

@@ -847,6 +847,13 @@ def _file_stats_json(path: str) -> str | None:
             try:
                 inconsistent = mn > mx
             except TypeError:
+                # un-comparable stat values are as unusable as absent
+                # ones: letting earlier row groups' extremes stand
+                # while this group contributes nothing is the same
+                # understatement-mispruning class as the statless case
+                bad.add(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
                 continue
             if inconsistent:
                 # pyarrow claims has_min_max on huge strings but hands

@@ -37,6 +37,25 @@ def list_children(spark: SparkSession, uri: str) -> list[tuple[str, bool, int]]:
     return sorted(out)
 
 
+def path_exists(spark: SparkSession, uri: str) -> bool:
+    """Existence probe through the Hadoop FileSystem — unlike
+    ``os.path`` checks this answers correctly for ``s3a:``/``abfss:``/
+    ``hdfs:`` URIs, not just the driver's local disk."""
+    fs, path = _fs_and_path(spark, uri)
+    return bool(fs.exists(path))
+
+
+def delete_recursive(spark: SparkSession, uri: str) -> bool:
+    """Recursive delete via the Hadoop FileSystem (False when the path
+    was already absent). Driver-side metadata call like the rest of
+    this module; used for snapshot-retention cleanup of versioned
+    index directories."""
+    fs, path = _fs_and_path(spark, uri)
+    if not fs.exists(path):
+        return False
+    return bool(fs.delete(path, True))
+
+
 def latest_modification(spark: SparkSession, uri: str) -> int:
     """Newest modification time (ms) under ``uri`` — one listing level,
     which covers both a single file and a dataset directory of part

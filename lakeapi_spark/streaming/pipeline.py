@@ -416,11 +416,15 @@ def lsh_maintained_delta_sink(
     sink = delta_stream_sink(delta_path, app_id, checkpoint_every=checkpoint_every)
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        import os
+        from lakeapi_spark.operators.incremental import _lsh_meta_path
+        from lakeapi_spark.sources.fs import path_exists
 
         sink(batch_df, batch_id)
         spark = batch_df.sparkSession
-        if not os.path.isdir(os.path.join(index_path, "meta")):
+        # bootstrap probe goes through the Hadoop FileSystem, not
+        # os.path — a local-fs check is always False for s3a/abfss/hdfs
+        # index paths and would silently full-rebuild every micro-batch
+        if not path_exists(spark, _lsh_meta_path(index_path)):
             lsh_index_build(spark, delta_path, index_path, id_col, text_col)
         else:
             lsh_index_refresh(spark, delta_path, index_path, id_col, text_col)

@@ -1790,6 +1790,77 @@ def test_canary_hits_verbatim_only(spark):
     assert out == {1: 1}
 
 
+def test_canary_hits_whitespace_normalized_copy(spark):
+    """A verbatim copy whose tokens are newline/tab/multi-space
+    separated still flags: the probe side gets the same whitespace
+    normalization the canary's token-join applied."""
+    from lakeapi_spark.operators.contamination import canary_hits
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "header\nthe quick\nbrown\tfox  jumps here"),  # ws-mangled copy
+            (2, "the quickbrown fox jumps"),  # token boundary lost: no hit
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r.n_canaries_hit for r in canary_hits(train, bench, "doc_id", "text").collect()}
+    assert out == {1: 1}
+
+
+def test_lsh_index_snapshot_retention(spark, tmp_path):
+    """Each refresh writes a full v{N} snapshot; retention after the
+    meta flip keeps only the newest _LSH_RETAIN of them so index
+    storage stays bounded under a continuous stream — and the live
+    snapshot keeps serving the same pairs as a full rebuild."""
+    import os
+    import re
+
+    from lakeapi_spark.operators.incremental import (
+        _LSH_RETAIN,
+        lsh_index_build,
+        lsh_index_pairs,
+        lsh_index_refresh,
+        lsh_index_version,
+    )
+    from lakeapi_spark.sources.delta import write_delta
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(i, base + f" extra{i}") for i in range(10)], "doc_id long, text string"
+    )
+    tbl = str(tmp_path / "docs")
+    write_delta(df, tbl, configuration={"delta.enableChangeDataFeed": "true"})
+    idx = str(tmp_path / "idx")
+    lsh_index_build(spark, tbl, idx, "doc_id", "text")
+
+    for j in range(3):  # three commits, three refreshes -> v0..v3 written
+        write_delta(
+            spark.createDataFrame(
+                [(100 + j, base + f" extra{100 + j}")], "doc_id long, text string"
+            ),
+            tbl,
+        )
+        lsh_index_refresh(spark, tbl, idx, "doc_id", "text")
+
+    snaps = sorted(
+        int(m.group(1))
+        for d in os.listdir(idx)
+        if (m := re.fullmatch(r"v(\d+)", d))
+    )
+    live = lsh_index_version(spark, idx)
+    assert live == 3
+    assert len(snaps) == _LSH_RETAIN and snaps[-1] == live  # old v* deleted
+
+    full = str(tmp_path / "idx_full")
+    lsh_index_build(spark, tbl, full, "doc_id", "text")
+    inc = {tuple(r) for r in lsh_index_pairs(spark, idx).collect()}
+    ful = {tuple(r) for r in lsh_index_pairs(spark, full).collect()}
+    assert inc == ful and len(inc) > 0
+
+
 def test_ndcg_perfect_and_inverted_rankings(spark):
     from lakeapi_spark.operators.stats import ndcg_at_k
 
