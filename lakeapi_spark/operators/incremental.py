@@ -244,6 +244,162 @@ def lsh_index_refresh(
     return latest, n_touched
 
 
+# --- Incrementally-maintained IVF (ANN) index --------------------------------
+#
+# Same versioned-snapshot contract as the LSH index above (v{N} dirs,
+# meta written last, retention after the flip), applied to the ANN
+# serving index: the expensive part of IVF at 100 TB is assigning
+# every corpus vector to its centroid; the inverted-list relation
+# (id, v, nrm, cid) IS the index, and a refresh after delta commits
+# re-assigns only the CHANGED vectors (churn-sized, from the change
+# feed) against FROZEN build-time centroids — untouched rows carry
+# over by anti-join, so served neighbors stay identical to a full
+# rebuild (the centroids are data rows excluded from mutation, so a
+# rebuild reseeds the same quantizer).
+
+
+def ivf_index_version(spark, index_path: str) -> int:
+    """Latest source-table version the IVF index covers (shared meta
+    contract with the LSH index)."""
+    return lsh_index_version(spark, index_path)
+
+
+def _ivf_write_snapshot(
+    spark,
+    lists: DataFrame,
+    cents: list[tuple[list[float], float]],
+    index_path: str,
+    table_version: int,
+    retain: int = _LSH_RETAIN,
+) -> None:
+    import os
+
+    snap = os.path.join(index_path, f"v{table_version}")
+    # lists laid out BY centroid: range-partitioned + sorted so a
+    # query's cid IN (...) probe prunes row groups via min/max stats
+    (
+        lists.repartitionByRange(F.col("cid"))
+        .sortWithinPartitions("cid")
+        .write.mode("overwrite")
+        .parquet(os.path.join(snap, "lists"))
+    )
+    spark.createDataFrame(
+        [(i, c, n) for i, (c, n) in enumerate(cents)],
+        "cid int, centroid array<double>, cnorm double",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(snap, "centroids"))
+    spark.createDataFrame(
+        [(table_version,)], "table_version long"
+    ).coalesce(1).write.mode("overwrite").parquet(_lsh_meta_path(index_path))
+    _lsh_retain_snapshots(spark, index_path, table_version, retain)
+
+
+def _ivf_snapshot(
+    spark, index_path: str
+) -> tuple[DataFrame, list[tuple[list[float], float]], int]:
+    import os
+
+    v = ivf_index_version(spark, index_path)
+    snap = os.path.join(index_path, f"v{v}")
+    lists = spark.read.parquet(os.path.join(snap, "lists"))
+    crows = spark.read.parquet(os.path.join(snap, "centroids")).collect()
+    cents = [
+        ([float(x) for x in r.centroid], float(r.cnorm))
+        for r in sorted(crows, key=lambda r: r.cid)
+    ]
+    return lists, cents, v
+
+
+def ivf_index_build_delta(
+    spark,
+    table_path: str,
+    index_path: str,
+    id_col: str,
+    vec_col: str,
+    centroid_ids: list[int],
+    version: int | None = None,
+) -> int:
+    """Full build of the persisted IVF index from the delta table's
+    snapshot at ``version`` (latest when None): seed the quantizer,
+    assign every vector once, write the inverted lists + centroid
+    sidecar under v{N}. Returns the indexed version."""
+    from lakeapi_spark.operators.similarity import (
+        assign_to_centroids,
+        seeded_centroids,
+    )
+    from lakeapi_spark.sources.delta import delta_snapshot, read_delta
+
+    v = version if version is not None else delta_snapshot(spark, table_path).version
+    emb = read_delta(spark, table_path, {"versionAsOf": str(v)}).select(
+        id_col, vec_col
+    )
+    cents = seeded_centroids(emb, id_col, vec_col, centroid_ids)
+    lists = assign_to_centroids(emb, id_col, vec_col, cents)
+    _ivf_write_snapshot(spark, lists, cents, index_path, v)
+    return v
+
+
+def ivf_index_refresh_delta(
+    spark, table_path: str, index_path: str, id_col: str, vec_col: str
+) -> tuple[int, int]:
+    """Advance the IVF index to the table's latest version by change
+    feed: touched ids from ``delta_changes`` since the indexed version,
+    their CURRENT vectors re-read from the live snapshot and assigned
+    against the FROZEN build-time centroids (the invariant that keeps
+    refresh == rebuild: assignment is a pure function of vector and
+    centroid set), untouched list rows carried over by a broadcast
+    anti-join. Deleted ids fall out naturally — touched but absent
+    from the snapshot. Assignment cost is churn-proportional; the
+    snapshot rewrite is index-sized. No-op when the table hasn't
+    moved. Returns (new_version, n_touched)."""
+    from lakeapi_spark.operators.similarity import assign_to_centroids
+    from lakeapi_spark.sources.delta import (
+        delta_changes,
+        delta_snapshot,
+        read_delta,
+    )
+
+    old_lists, cents, v0 = _ivf_snapshot(spark, index_path)
+    latest = delta_snapshot(spark, table_path).version
+    if latest <= v0:
+        return v0, 0
+    touched = (
+        delta_changes(spark, table_path, v_from=v0, v_to=latest)
+        .select(F.col(id_col).alias("id"))
+        .distinct()
+    )
+    current = read_delta(spark, table_path).select(id_col, vec_col)
+    changed = current.join(
+        F.broadcast(touched.withColumnRenamed("id", id_col)), id_col, "semi"
+    )
+    n_touched = touched.count()
+    lists = old_lists.join(F.broadcast(touched), "id", "anti").unionByName(
+        assign_to_centroids(changed, id_col, vec_col, cents)
+    )
+    _ivf_write_snapshot(spark, lists, cents, index_path, latest)
+    return latest, n_touched
+
+
+def ivf_index_topk_delta(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """ANN top-k served FROM the maintained index — identical relation
+    to similarity.ivf_topk_indexed over the indexed snapshot (same
+    quantizer routing, same rounded cosine, same tiebreaks), with zero
+    corpus assignment work at query time."""
+    from lakeapi_spark.operators.similarity import IvfIndex, ivf_topk_indexed
+
+    lists, cents, _ = _ivf_snapshot(spark, index_path)
+    return ivf_topk_indexed(
+        IvfIndex(lists, cents), queries, id_col, vec_col, k, n_probe
+    )
+
+
 def lsh_index_pairs(spark, index_path: str, threshold: float = 0.5) -> DataFrame:
     """Near-dup pairs served FROM the index — identical relation to
     dedup.minhash_lsh_pairs over the indexed snapshot (same candidate

@@ -709,6 +709,36 @@ class IvfIndex:
             pass
 
 
+def assign_to_centroids(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: list[tuple[list[float], float]],
+) -> DataFrame:
+    """(id, v, nrm, cid) rows assigning each embedding to its nearest
+    centroid by the rounded-cosine rule — the inverted-list relation.
+    Expression path under KERNEL_CENTROID_THRESHOLD (whole probe stays
+    in codegen), Arrow kernel above it (constant plan size). Shared by
+    the one-shot index build and the change-feed refresh, which must
+    assign identically against FROZEN centroids."""
+    if len(cents) >= KERNEL_CENTROID_THRESHOLD:
+        return _assign_seeded_kernel(emb, id_col, vec_col, cents, 1).select(
+            "id", "v", "nrm", "cid"
+        )
+    return (
+        fan_out(emb)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            norm(F.col(vec_col)).alias("nrm"),
+        )
+        .select(
+            "id", "v", "nrm",
+            _nearest_seeded(F.col("v"), F.col("nrm"), cents, 1)[0].alias("cid"),
+        )
+    )
+
+
 def build_ivf_index(
     emb: DataFrame, id_col: str, vec_col: str, centroid_ids: list[int]
 ) -> IvfIndex:
@@ -717,24 +747,9 @@ def build_ivf_index(
     IVF query here). ``repartition(cid)`` gives the lists the hash
     partitioning the query-time candidate join wants."""
     cents = seeded_centroids(emb, id_col, vec_col, centroid_ids)
-    if len(cents) >= KERNEL_CENTROID_THRESHOLD:
-        assigned = _assign_seeded_kernel(emb, id_col, vec_col, cents, 1).select(
-            "id", "v", "nrm", "cid"
-        )
-    else:
-        assigned = (
-            fan_out(emb)
-            .select(
-                F.col(id_col).alias("id"),
-                F.col(vec_col).alias("v"),
-                norm(F.col(vec_col)).alias("nrm"),
-            )
-            .select(
-                "id", "v", "nrm",
-                _nearest_seeded(F.col("v"), F.col("nrm"), cents, 1)[0].alias("cid"),
-            )
-        )
-    lists = assigned.repartition("cid").persist()
+    lists = assign_to_centroids(emb, id_col, vec_col, cents).repartition(
+        "cid"
+    ).persist()
     return IvfIndex(lists, cents)
 
 

@@ -853,6 +853,150 @@ def roc_auc(
     )
 
 
+#: fixed-point scale for average_precision's per-threshold precision
+#: quotient: 12 digits keeps the AP exact to ~1e-12 before the final
+#: 6-digit round, and (cum_p * SCALE) stays inside int64 up to ~9.2M
+#: positives per group — past that, drop a digit per 10x
+_AP_SCALE = 1_000_000_000_000
+
+
+def average_precision(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    label_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-group EXACT average precision (area under the precision-
+    recall step curve, tie-aware) of ``score_col`` predicting the
+    binary ``label_col`` — the ranking-eval companion to :func:`roc_auc`
+    that class imbalance doesn't wash out:
+
+        AP = sum over distinct scores s (descending) of
+             (p_s / P) * (cum_p_s / cum_all_s)
+
+    where p_s is positives AT score s, cum_* the counts at-or-above s
+    (the threshold's recall increment times its precision). The inner
+    precision quotient is computed in fixed-point integer division
+    (``_AP_SCALE``) so both engines derive bit-identical sums — no
+    per-row ranks, no float accumulation order: the corpus collapses
+    to a per-(group, score) histogram in one partial-agg shuffle and
+    the cumulative walk windows over the score domain, same shape as
+    roc_auc. Returns (group_cols..., n_pos, n, ap); groups with no
+    positives drop."""
+    from pyspark.sql.window import Window
+
+    lbl = F.col(label_col).cast("long")
+    hist = df.groupBy(*group_cols, F.col(score_col).alias("_s")).agg(
+        F.count(F.lit(1)).alias("_n"), F.sum(lbl).alias("_p")
+    )
+    wd = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("_s").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        *group_cols,
+        "_n",
+        "_p",
+        F.sum("_p").over(wd).alias("_cp"),
+        F.sum("_n").over(wd).alias("_cn"),
+    )
+    agg = cum.groupBy(*group_cols).agg(
+        F.sum("_p").alias("n_pos"),
+        F.sum("_n").alias("n"),
+        F.sum(
+            F.col("_p") * F.expr(f"(_cp * {_AP_SCALE}) div _cn")
+        ).alias("_num"),
+    )
+    ap = F.col("_num").cast("double") / (
+        F.col("n_pos") * F.lit(_AP_SCALE)
+    ).cast("double")
+    return agg.filter(F.col("n_pos") > 0).select(
+        *group_cols, "n_pos", "n", (F.round(ap, digits) + 0.0).alias("ap")
+    )
+
+
+def acf_zero_filled(
+    daily: DataFrame,
+    day_col: str,
+    val_col: str,
+    max_lag: int = 7,
+    digits: int = 6,
+) -> DataFrame:
+    """Sample autocorrelation function of a daily integer series at
+    lags 1..``max_lag`` — the seasonality probe run before picking a
+    forecast model (a weekly cycle shows as a lag-7 spike). The series
+    is the ZERO-FILLED span [min_day, max_day]: days absent from
+    ``daily`` count as 0, so the estimator matches the textbook ACF
+    over a regular grid without materializing gap rows:
+
+        acf_k = sum_t (x_t - mean)(x_{t+k} - mean) / sum_t (x_t - mean)^2
+
+    Multiplying both sides by n^2 clears the rational mean: numerator
+    n^2*A_k - n*S*B_k + (n-k)*S^2, denominator n^2*Q - n*S^2, where
+    A_k = sum x_t*x_{t+k} (observed-day equi-join on d+k — zeros
+    contribute nothing), B_k = 2S - head_k - tail_k (the k boundary
+    days each end), S/Q the plain sum / sum of squares. Every input is
+    an exact int64 (caller keeps values inside ~3e15 — sum-of-squares
+    must not overflow), so the one final double expression is
+    engine-deterministic. Scale shape: one series-sized aggregate, one
+    k-exploded equi-join (series stays tiny relative to the fact table
+    it aggregates), no per-lag passes. Returns (lag, n_pairs, acf)."""
+    d = daily.select(F.col(day_col).alias("_d"), F.col(val_col).alias("_x"))
+    g = d.agg(
+        F.min("_d").alias("_mn"),
+        F.max("_d").alias("_mx"),
+        F.sum("_x").alias("_s"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_q"),
+    )
+    ks = F.explode(F.array(*[F.lit(k) for k in range(1, max_lag + 1)])).alias("_k")
+    # A_k: one equi-join of the series against itself shifted by k
+    lagged = d.select("_d", "_x", ks).select(
+        "_k", (F.col("_d") + F.col("_k")).alias("_d2"), F.col("_x").alias("_xa")
+    )
+    b = d.select(F.col("_d").alias("_d2"), F.col("_x").alias("_xb"))
+    ak = (
+        lagged.join(b, "_d2")
+        .groupBy("_k")
+        .agg(F.sum(F.col("_xa") * F.col("_xb")).alias("_ak"))
+    )
+    # head/tail boundary sums per k (series x k, conditional agg)
+    ht = (
+        d.select("_d", "_x", ks)
+        .crossJoin(F.broadcast(g.select("_mn", "_mx")))
+        .groupBy("_k")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_d") < F.col("_mn") + F.col("_k"), F.col("_x"))),
+                F.lit(0),
+            ).alias("_head"),
+            F.coalesce(
+                F.sum(F.when(F.col("_d") > F.col("_mx") - F.col("_k"), F.col("_x"))),
+                F.lit(0),
+            ).alias("_tail"),
+        )
+    )
+    n = (F.col("_mx") - F.col("_mn") + 1).cast("double")
+    s = F.col("_s").cast("double")
+    q = F.col("_q").cast("double")
+    kd = F.col("_k").cast("double")
+    bk = 2 * s - F.col("_head").cast("double") - F.col("_tail").cast("double")
+    num = n * n * F.col("_ak").cast("double") - n * s * bk + (n - kd) * s * s
+    den = n * n * q - n * s * s
+    return (
+        ak.join(ht, "_k")
+        .crossJoin(F.broadcast(g))
+        .select(
+            F.col("_k").cast("long").alias("lag"),
+            (F.col("_mx") - F.col("_mn") + 1 - F.col("_k")).cast("long").alias(
+                "n_pairs"
+            ),
+            (F.round(num / den, digits) + 0.0).alias("acf"),
+        )
+    )
+
+
 def calibration_bins(
     df: DataFrame,
     score_col: str,

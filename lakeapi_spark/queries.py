@@ -2125,19 +2125,27 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_CENTROID_IDS = list(range(5, 21))
 
 
-def _ivf_oracle(centroid_ids: list[int], n_probe: int = 4, k: int = 10) -> str:
+def _ivf_oracle(
+    centroid_ids: list[int],
+    n_probe: int = 4,
+    k: int = 10,
+    prefix: str = _EMB_DOT,
+    source: str = "embeddings",
+) -> str:
     """Exact oracle for the seeded-centroid IVF pipeline: re-derives the
     centroid set (fixed vec_ids, cid = rank in id order), the rounded-
     cosine inverted-list assignment, the n_probe probe lists, and the
     exact re-rank — value-identical to operators/similarity.ivf_topk
-    with ``centroid_ids``."""
+    with ``centroid_ids``. ``prefix``/``source`` swap the corpus the
+    x/n/cents CTEs derive from (the CDF-maintained index verifies
+    against a MUTATED corpus re-derived in SQL)."""
     ids = ", ".join(str(i) for i in centroid_ids)
     return (
-        _EMB_DOT
+        prefix
         + f"""
     , cents AS (
       SELECT vec_id AS cvid, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
-      FROM embeddings WHERE vec_id IN ({ids})
+      FROM {source} WHERE vec_id IN ({ids})
     )
     , cdot AS (
       SELECT a.vec_id, c.cid, c.cvid, SUM(a.val * b.val) AS d
@@ -2295,6 +2303,112 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ivf_topk(
         e, q, "vec_id", "embedding", k=10, centroid_ids=_IVF_CENTROID_IDS
     )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+#: oracle corpus for the CDF-maintained IVF index: the embeddings table
+#: after the fixture's delete / update(reverse) / append(reverse) — the
+#: query ids (<=4) and centroid seeds (5-20) are excluded from mutation
+#: so the frozen quantizer stays re-derivable from the final state
+_EMB_DOT_CDF = """
+    WITH corpus AS (
+      SELECT vec_id,
+             CASE WHEN vec_id > 20 AND vec_id % 89 = 5
+                  THEN list_reverse(embedding) ELSE embedding END AS embedding
+      FROM embeddings
+      WHERE NOT (vec_id > 20 AND vec_id % 97 = 3)
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, list_reverse(embedding) AS embedding
+      FROM embeddings WHERE vec_id % 101 = 7
+    ), v AS (
+      SELECT vec_id, unnest(range(1, len(embedding)+1)) AS i, embedding FROM corpus
+    ), x AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS val FROM v
+    ), n AS (
+      SELECT vec_id, sqrt(SUM(val*val)) AS nrm FROM x GROUP BY vec_id
+    )
+"""
+
+
+def _ivf_cdf_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build-once fixture proving CHANGE-FEED maintenance of the IVF
+    index (operators/incremental.ivf_index_*): a CDF-enabled delta
+    table of embeddings goes through v0 CREATE, v1 DELETE (vec_id>20 &
+    %97==3), v2 UPDATE (vec_id>20 & %89==5 -> reversed vector — norm-
+    preserving but direction-changing, so neighbors genuinely move),
+    v3 APPEND (%101==7 -> id+100000, reversed) — the index built ONCE
+    at v0, then advanced purely from delta_changes with FROZEN
+    centroids. Every commit is a deterministic function of the
+    embeddings table, so DuckDB re-derives the final corpus for the
+    oracle. Returns (table_path, index_path)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from lakeapi_spark.operators.incremental import (
+        ivf_index_build_delta,
+        ivf_index_refresh_delta,
+        ivf_index_version,
+    )
+    from lakeapi_spark.sources.delta import delete_delta, update_delta, write_delta
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "lakeapi_ivf_cdf_" + hashlib.md5((sf_dir + ":v1").encode()).hexdigest()[:12],
+    )
+    tbl, idx = os.path.join(dest, "embeddings"), os.path.join(dest, "ivf_index")
+    marker = os.path.join(dest, "_done")
+    if not os.path.exists(marker):
+        if os.path.isdir(dest):  # stale partial build: start over
+            shutil.rmtree(dest)
+        e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        write_delta(
+            e, tbl, mode="append",
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        ivf_index_build_delta(
+            spark, tbl, idx, "vec_id", "embedding", _IVF_CENTROID_IDS
+        )
+        delete_delta(spark, tbl, "vec_id > 20 AND vec_id % 97 = 3")
+        update_delta(
+            spark, tbl, {"embedding": "reverse(embedding)"},
+            "vec_id > 20 AND vec_id % 89 = 5",
+        )
+        write_delta(
+            e.filter(F.col("vec_id") % 101 == 7).select(
+                (F.col("vec_id") + 100000).alias("vec_id"),
+                F.reverse(F.col("embedding")).alias("embedding"),
+            ),
+            tbl,
+            mode="append",
+        )
+        ivf_index_refresh_delta(spark, tbl, idx, "vec_id", "embedding")
+        assert ivf_index_version(spark, idx) == 3
+        with open(marker, "w") as f:
+            f.write("v3\n")
+    return tbl, idx
+
+
+@register(
+    "ann_ivf_cdf_refresh_topk",
+    _ivf_oracle(_IVF_CENTROID_IDS, prefix=_EMB_DOT_CDF, source="corpus"),
+)
+def ann_ivf_cdf_refresh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k served from the CHANGE-FEED-MAINTAINED IVF index: the
+    index was built at table version 0 and advanced across a delete,
+    an update, and an append purely from delta_changes with FROZEN
+    centroids (operators/incremental.ivf_index_refresh_delta) —
+    assignment cost proportional to churn, never the corpus — yet the
+    served neighbors hash-match the oracle recomputing the whole IVF
+    pipeline from scratch on the FINAL table state. The ANN analogue
+    of dedup_lsh_incremental_index."""
+    from lakeapi_spark.operators.incremental import ivf_index_topk_delta
+    from lakeapi_spark.sources.delta import read_delta
+
+    tbl, idx = _ivf_cdf_fixture(spark, sf_dir)
+    q = read_delta(spark, tbl).filter(F.col("vec_id") <= 4)
+    out = ivf_index_topk_delta(spark, idx, q, "vec_id", "embedding", k=10)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -9243,6 +9357,113 @@ def roc_auc_value_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase").cast("long").alias("y"),
     )
     return roc_auc(e, ["dow"], "s", "y")
+
+
+@register(
+    "pr_auc_value_purchase",
+    """
+    WITH e AS (
+      SELECT CAST(CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7 AS INT) AS dow,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ), h AS (
+      SELECT dow, s, COUNT(*) AS n, SUM(y) AS p FROM e GROUP BY 1, 2
+    ), c AS (
+      SELECT dow, n, p,
+             SUM(p) OVER (PARTITION BY dow ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+             SUM(n) OVER (PARTITION BY dow ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+      FROM h
+    ), a AS (
+      SELECT dow, CAST(SUM(p) AS BIGINT) AS n_pos, CAST(SUM(n) AS BIGINT) AS n,
+             SUM(p * ((cp * 1000000000000) // cn)) AS num
+      FROM c GROUP BY 1
+    )
+    SELECT dow, n_pos, n,
+           CAST(ROUND(CAST(num AS DOUBLE)
+                      / CAST(n_pos * 1000000000000 AS DOUBLE), 6) AS DOUBLE) + 0.0 AS ap
+    FROM a WHERE n_pos > 0
+    """,
+)
+def pr_auc_value_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware average precision (PR-AUC) of event value
+    predicting 'is a purchase', per epoch-day-of-week bucket
+    (operators/stats.average_precision) — the imbalance-robust
+    companion to roc_auc_value_purchase: ROC-AUC saturates when
+    negatives dominate, the precision-recall step area does not. The
+    per-threshold precision quotient runs in fixed-point integer
+    division so the sum is bit-identical cross-engine; no per-row
+    ranks materialize."""
+    from lakeapi_spark.operators.stats import average_precision
+
+    e = table(spark, sf_dir, "events").select(
+        (
+            F.floor(F.unix_timestamp("ts").cast("double") / 86400).cast("long") % 7
+        ).cast("int").alias("dow"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("s"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    return average_precision(e, ["dow"], "s", "y")
+
+
+@register(
+    "acf_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice, 0) AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ), g AS (
+      SELECT MIN(d) AS mn, MAX(d) AS mx,
+             CAST(SUM(x) AS BIGINT) AS s, CAST(SUM(x*x) AS BIGINT) AS q
+      FROM daily
+    ), ks AS (SELECT unnest(range(1, 8)) AS k),
+    a AS (
+      SELECT ks.k, CAST(SUM(da.x * db.x) AS BIGINT) AS ak
+      FROM ks JOIN daily da ON TRUE JOIN daily db ON db.d = da.d + ks.k
+      GROUP BY 1
+    ), ht AS (
+      SELECT ks.k,
+             CAST(COALESCE(SUM(CASE WHEN daily.d < g.mn + ks.k THEN daily.x END), 0) AS BIGINT) AS head,
+             CAST(COALESCE(SUM(CASE WHEN daily.d > g.mx - ks.k THEN daily.x END), 0) AS BIGINT) AS tail
+      FROM ks CROSS JOIN g JOIN daily ON TRUE GROUP BY 1
+    )
+    SELECT a.k AS lag, CAST(g.mx - g.mn + 1 - a.k AS BIGINT) AS n_pairs,
+           CAST(ROUND(
+             (CAST(g.mx - g.mn + 1 AS DOUBLE) * (g.mx - g.mn + 1) * a.ak
+              - CAST(g.mx - g.mn + 1 AS DOUBLE) * g.s
+                * (2 * CAST(g.s AS DOUBLE) - ht.head - ht.tail)
+              + (CAST(g.mx - g.mn + 1 AS DOUBLE) - a.k) * g.s * g.s)
+             / (CAST(g.mx - g.mn + 1 AS DOUBLE) * (g.mx - g.mn + 1) * g.q
+                - CAST(g.mx - g.mn + 1 AS DOUBLE) * g.s * g.s),
+             6) AS DOUBLE) + 0.0 AS acf
+    FROM a JOIN ht ON ht.k = a.k CROSS JOIN g
+    """,
+)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the zero-filled daily order-revenue series at
+    lags 1..7 (operators/stats.acf_zero_filled) — the seasonality probe
+    a forecasting pipeline runs first: a weekly cycle shows as a lag-7
+    spike, drift as slow decay. Revenue quantizes to whole currency
+    units, keeping the sum-of-squares and lag products exact int64 at
+    the tested scales (the quantization unit is the dial: coarsen
+    dollars to tens/hundreds as the fact table grows — the estimator
+    is scale-free); the single final double expression is derived from
+    exact integers in the same written order in both engines."""
+    from lakeapi_spark.operators.stats import acf_zero_filled
+
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.floor(F.unix_timestamp("o_orderdate").cast("double") / 86400)
+            .cast("long")
+            .alias("d")
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice"), 0).cast("long")).alias("x"))
+    )
+    return acf_zero_filled(daily, "d", "x", max_lag=7)
 
 
 @register(

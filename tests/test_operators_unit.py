@@ -1861,6 +1861,113 @@ def test_lsh_index_snapshot_retention(spark, tmp_path):
     assert inc == ful and len(inc) > 0
 
 
+def test_ivf_index_refresh_equals_full_rebuild(spark, tmp_path):
+    """Change-feed maintenance invariant for the IVF index: after
+    append + update + delete commits, the refreshed index (frozen
+    centroids, churn-only assignment) serves the SAME top-k as a
+    from-scratch build at the final version, retention bounds the v{N}
+    snapshot dirs, and the refresh touches only the churned ids."""
+    import os
+    import re
+
+    import numpy as np
+
+    from lakeapi_spark.operators.incremental import (
+        _LSH_RETAIN,
+        ivf_index_build_delta,
+        ivf_index_refresh_delta,
+        ivf_index_topk_delta,
+        ivf_index_version,
+    )
+    from lakeapi_spark.sources.delta import delete_delta, update_delta, write_delta
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    tbl = str(tmp_path / "emb")
+    write_delta(df, tbl, configuration={"delta.enableChangeDataFeed": "true"})
+    idx = str(tmp_path / "idx")
+    cent_ids = [0, 1, 2, 3]
+    ivf_index_build_delta(spark, tbl, idx, "vec_id", "embedding", cent_ids)
+
+    write_delta(
+        spark.createDataFrame(
+            [(100, [float(x) for x in rng.randn(8)])],
+            "vec_id long, embedding array<double>",
+        ),
+        tbl,
+    )
+    update_delta(spark, tbl, {"embedding": "reverse(embedding)"}, "vec_id = 17")
+    delete_delta(spark, tbl, "vec_id = 23")
+
+    v, n_touched = ivf_index_refresh_delta(spark, tbl, idx, "vec_id", "embedding")
+    assert (v, ivf_index_version(spark, idx)) == (3, 3)
+    assert n_touched == 3  # 100 inserted, 17 updated, 23 deleted
+
+    full = str(tmp_path / "idx_full")
+    ivf_index_build_delta(spark, tbl, full, "vec_id", "embedding", cent_ids)
+    q = spark.createDataFrame(
+        [(5, rows[5][1]), (6, rows[6][1])], "vec_id long, embedding array<double>"
+    )
+    inc = {
+        tuple(r)
+        for r in ivf_index_topk_delta(spark, idx, q, "vec_id", "embedding", k=5).collect()
+    }
+    ful = {
+        tuple(r)
+        for r in ivf_index_topk_delta(spark, full, q, "vec_id", "embedding", k=5).collect()
+    }
+    assert inc == ful and len(inc) > 0
+    assert 23 not in {t[1] for t in inc}  # deleted vector serves no neighbors
+
+    snaps = [d for d in os.listdir(idx) if re.fullmatch(r"v\d+", d)]
+    assert len(snaps) <= _LSH_RETAIN  # retention shared with the LSH index
+
+    # idempotent no-op when the table hasn't moved
+    assert ivf_index_refresh_delta(spark, tbl, idx, "vec_id", "embedding") == (3, 0)
+
+
+def test_average_precision_known_values_and_ties(spark):
+    from lakeapi_spark.operators.stats import average_precision
+
+    # g=a: scores 3,2,1 labels 1,0,1 -> AP = (1/1 + 2/3)/2 = 0.833333
+    # g=b: tied top scores (2,2) with one positive -> threshold 2 has
+    # precision 1/2; AP = (1/2 + 2/3)/2 = 0.583333
+    df = spark.createDataFrame(
+        [("a", 3, 1), ("a", 2, 0), ("a", 1, 1),
+         ("b", 2, 1), ("b", 2, 0), ("b", 1, 1)],
+        "g string, s long, y long",
+    )
+    out = {r.g: r for r in average_precision(df, ["g"], "s", "y").collect()}
+    assert (out["a"].n_pos, out["a"].n, out["a"].ap) == (2, 3, 0.833333)
+    assert (out["b"].n_pos, out["b"].n, out["b"].ap) == (2, 3, 0.583333)
+    # all-negative group drops
+    neg = spark.createDataFrame([("z", 1, 0)], "g string, s long, y long")
+    assert average_precision(neg, ["g"], "s", "y").count() == 0
+
+
+def test_acf_zero_filled_known_series_and_gaps(spark):
+    from lakeapi_spark.operators.stats import acf_zero_filled
+
+    # x = [1,2,3,4]: dev [-1.5,-.5,.5,1.5], den 5
+    # lag1 1.25/5=0.25, lag2 -1.5/5=-0.3, lag3 -2.25/5=-0.45
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "d long, x long"
+    )
+    out = {r.lag: r for r in acf_zero_filled(df, "d", "x", max_lag=3).collect()}
+    assert [out[k].n_pairs for k in (1, 2, 3)] == [3, 2, 1]
+    assert [out[k].acf for k in (1, 2, 3)] == [0.25, -0.3, -0.45]
+
+    # a missing day counts as 0: days (0,1,3) == explicit series [2,4,0,6]
+    gap = spark.createDataFrame([(0, 2), (1, 4), (3, 6)], "d long, x long")
+    dense = spark.createDataFrame(
+        [(0, 2), (1, 4), (2, 0), (3, 6)], "d long, x long"
+    )
+    got = sorted(tuple(r) for r in acf_zero_filled(gap, "d", "x", 3).collect())
+    want = sorted(tuple(r) for r in acf_zero_filled(dense, "d", "x", 3).collect())
+    assert got == want
+
+
 def test_ndcg_perfect_and_inverted_rankings(spark):
     from lakeapi_spark.operators.stats import ndcg_at_k
 
