@@ -201,6 +201,113 @@ def blocked_fuzzy_pairs(
     )
 
 
+def _make_jaro_winkler():
+    """Factory for the classic Jaro-Winkler scorer (Winkler's census
+    record-linkage variant: boost threshold 0.7, prefix cap 4, scaling
+    0.1), written to be BIT-IDENTICAL as a double to DuckDB's
+    ``jaro_winkler_similarity`` (verified exact on 20k random pairs),
+    so SQL oracles can use the built-in. Empty strings score 0 even
+    against themselves — DuckDB's convention. Returned as a NESTED
+    function so cloudpickle ships it by value into executor closures
+    (the self-contained-closure rule: executors may not have
+    lakeapi_spark on sys.path when the driver runs off-repo)."""
+
+    def jw(a: str, b: str) -> float:
+        la, lb = len(a), len(b)
+        if la == 0 or lb == 0:
+            return 0.0
+        if a == b:
+            return 1.0
+        window = max(la, lb) // 2 - 1
+        if window < 0:
+            window = 0
+        fa = [False] * la
+        fb = [False] * lb
+        m = 0
+        for i in range(la):
+            lo = max(0, i - window)
+            hi = min(lb, i + window + 1)
+            for j in range(lo, hi):
+                if not fb[j] and a[i] == b[j]:
+                    fa[i] = fb[j] = True
+                    m += 1
+                    break
+        if m == 0:
+            return 0.0
+        t = 0
+        j2 = 0
+        for i in range(la):
+            if fa[i]:
+                while not fb[j2]:
+                    j2 += 1
+                if a[i] != b[j2]:
+                    t += 1
+                j2 += 1
+        t //= 2
+        jr = (m / la + m / lb + (m - t) / m) / 3
+        if jr > 0.7:
+            l = 0
+            for x, y in zip(a, b):
+                if x == y and l < 4:
+                    l += 1
+                else:
+                    break
+            jr = jr + l * 0.1 * (1 - jr)
+        return jr
+
+    return jw
+
+
+#: driver-side handle (tests, ad-hoc scoring); kernels capture their
+#: own _make_jaro_winkler() result as a closure value instead
+_jaro_winkler = _make_jaro_winkler()
+
+
+def jaro_winkler_pairs(
+    df: DataFrame,
+    key_col: str,
+    block,
+    threshold: float,
+) -> DataFrame:
+    """Blocked entity-resolution pairs scored with Jaro-Winkler — the
+    record-linkage companion to :func:`blocked_fuzzy_pairs`: edit
+    distance punishes transpositions and long shared prefixes equally;
+    JW is the census-bureau standard for exactly those name-typo
+    shapes. Same scale shape as the Levenshtein variant (distinct
+    keys, one block-keyed equi-join, per-block quadratic candidates,
+    AQE splits mega-blocks); scoring runs in an Arrow-batched
+    mapInPandas kernel — per-pair Python like the multimodal codecs,
+    justified because JW's zig-zag matching loop has no vectorized
+    form and the blocked pair relation is tiny next to the corpus.
+    Returns (name_a, name_b, jw) with name_a < name_b and
+    jw = round(similarity, 4) >= ``threshold``."""
+    keys = df.select(F.col(key_col).alias("name_a")).distinct().select(
+        "name_a", block(F.col("name_a")).alias("_blk")
+    )
+    right = keys.select(F.col("name_a").alias("name_b"), F.col("_blk"))
+    cand = keys.join(right, "_blk").filter(F.col("name_a") < F.col("name_b"))
+    score = _make_jaro_winkler()  # closure-captured BY VALUE (nested fn)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            jw = [
+                round(score(x, y), 4)
+                for x, y in zip(pdf["name_a"], pdf["name_b"])
+            ]
+            out = pd.DataFrame(
+                {"name_a": pdf["name_a"], "name_b": pdf["name_b"], "jw": jw}
+            )
+            yield out[out["jw"] >= threshold]
+
+    return cand.select("name_a", "name_b").mapInPandas(
+        kernel, schema="name_a string, name_b string, jw double"
+    )
+
+
 def interval_overlap_pairs(
     intervals: DataFrame,
     id_cols: list[str],

@@ -378,3 +378,51 @@ def hybrid_search(
         .filter(F.col("rank") <= k)
         .select(F.col("__id").alias("id"), "bm25_score", "cos_sim", "hybrid_score", "rank")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "id",
+    rank_col: str = "rank",
+    c: int = 60,
+    scale: int = 1_000_000_000_000,
+    digits: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked candidate lists — the
+    training-free hybrid-retrieval combiner (Cormack et al.): a doc's
+    fused score is sum over the lists it appears in of 1/(c + rank).
+    Unlike score interpolation (hybrid_search's 0.5/0.5 blend) RRF
+    needs no score normalization, so it composes rankings whose score
+    scales are incomparable (BM25 logs vs cosine).
+
+    Each contribution is computed as ``scale div (c + rank)`` —
+    integer division on exact int64 — so the fused ordering is a sort
+    on an INTEGER sum: engine-deterministic with no float accumulation
+    anywhere. Ties break by id. Scale shape: the inputs are already
+    top-k candidate lists (bounded), so the union + groupBy moves
+    k*N rows; the final rank is a window over the fused candidate
+    set, never the corpus. Returns (id, n_lists, rrf_score, rank)."""
+    from pyspark.sql.window import Window
+
+    parts = [
+        r.select(
+            F.col(id_col).alias("id"),
+            F.expr(f"{scale} div ({c} + {rank_col})").alias("_c"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("id").agg(
+        F.sum("_c").alias("_s"), F.count(F.lit(1)).alias("n_lists")
+    )
+    w = Window.orderBy(F.col("_s").desc(), F.col("id"))
+    return fused.select(
+        "id",
+        "n_lists",
+        (F.round(F.col("_s").cast("double") / scale, digits) + 0.0).alias(
+            "rrf_score"
+        ),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

@@ -517,6 +517,108 @@ def pmi_collocations(
             pass
 
 
+def _xlnx(k) -> Column:
+    """k * ln(k) with the 0*ln(0) = 0 convention, k an int64-valued
+    Column — the entropy-term building block for log-likelihood
+    statistics. Exactly mirrored in SQL as
+    ``CASE WHEN k = 0 THEN 0 ELSE k * LN(CAST(k AS DOUBLE)) END``."""
+    kk = k.cast("double")
+    return F.when(k == 0, F.lit(0.0)).otherwise(kk * F.log(kk))
+
+
+def llr_collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+    top: int = 100,
+) -> DataFrame:
+    """Top collocations by Dunning's log-likelihood ratio (G^2, Dunning
+    1993) over ADJACENT token pairs — the phrase-mining test that,
+    unlike PMI, does not explode on rare pairs (PMI is maximal for two
+    hapaxes that co-occur once; G^2 weights by evidence mass, which is
+    why it's the collocation default in practice). The 2x2 table is
+    over BIGRAM events: k11 = count(a b), row total c1 = count(a *),
+    column total c2 = count(* b), N = all bigrams, and
+
+        G^2 = 2 * [ sum xlnx(k_ij) - xlnx(c1) - xlnx(N-c1)
+                    - xlnx(c2) - xlnx(N-c2) + xlnx(N) ]
+
+    (the entropy identity; zero cells contribute 0). Returns (tok_a,
+    tok_b, n_pair, llr6) — ``top`` pairs with n_pair >= min_count,
+    ordered (llr6 DESC, tok_a, tok_b), a total order via pre-round.
+
+    Cross-engine exactness: every xlnx argument is an exact int64
+    < 2^53 and the expression tree is written in the same order in
+    the SQL oracle — the pmi_collocations discipline.
+
+    Scale shape: one tokenize pass -> one bigram-keyed count shuffle;
+    the row/column marginals are vocab-sized re-aggregations of the
+    pair relation joined back BROADCAST; N is a single-row aggregate;
+    the final top-k is a TakeOrdered."""
+    t = tokens(F.col(text_col))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("t"), i).alias("a"),
+            F.element_at(F.col("t"), i + F.lit(1)).alias("b"),
+        ),
+    )
+    big = (
+        df.select(F.when(F.size(t) >= 0, t).alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .persist()
+    )
+    try:
+        n_total = int(big.agg(F.sum("n_pair")).collect()[0][0] or 0)
+        if n_total == 0:
+            return big.select(
+                F.col("a").alias("tok_a"), F.col("b").alias("tok_b"),
+                "n_pair", F.lit(0.0).alias("llr6"),
+            ).limit(0)
+        fa = F.broadcast(
+            big.groupBy("a").agg(F.sum("n_pair").alias("c1"))
+        )
+        fb = F.broadcast(
+            big.groupBy("b").agg(F.sum("n_pair").alias("c2"))
+        )
+        n = F.lit(n_total)
+        k11 = F.col("n_pair")
+        k12 = F.col("c1") - k11
+        k21 = F.col("c2") - k11
+        k22 = n - F.col("c1") - F.col("c2") + k11
+        llr = F.round(
+            2.0
+            * (
+                _xlnx(k11) + _xlnx(k12) + _xlnx(k21) + _xlnx(k22)
+                - _xlnx(F.col("c1")) - _xlnx(n - F.col("c1"))
+                - _xlnx(F.col("c2")) - _xlnx(n - F.col("c2"))
+                + _xlnx(n)
+            ),
+            6,
+        ) + F.lit(0.0)
+        out = (
+            big.filter(F.col("n_pair") >= min_count)
+            .join(fa, "a")
+            .join(fb, "b")
+            .select(
+                F.col("a").alias("tok_a"),
+                F.col("b").alias("tok_b"),
+                "n_pair",
+                llr.alias("llr6"),
+            )
+            .orderBy(F.col("llr6").desc(), "tok_a", "tok_b")
+            .limit(top)
+        )
+        return out.localCheckpoint(eager=True)  # sever persisted lineage
+    finally:
+        big.unpersist()
+
+
 def bigram_interp_logprob(
     df: DataFrame,
     id_col: str,

@@ -837,6 +837,104 @@ def hybrid_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "search_rrf_fusion",
+    r"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+    stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+      WHERE tok IN ('spark', 'window') GROUP BY doc_id, tok
+    ),
+    dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    bm AS (
+      SELECT t.doc_id,
+             ROUND(SUM(ln((s.n - q.df + 0.5) / (q.df + 0.5) + 1)
+                       * t.tf * 2.2 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))), 4)
+               AS bm25_score
+      FROM tf t
+      JOIN dfq q ON t.tok = q.tok
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+      GROUP BY t.doc_id
+    ),
+    bmr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25_score DESC, doc_id) AS r
+      FROM bm QUALIFY r <= 50
+    ),
+    ev AS (
+      SELECT vec_id, unnest(range(1, len(embedding)+1)) AS i, embedding FROM embeddings
+    ), ex AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS val FROM ev
+    ), en AS (
+      SELECT vec_id, sqrt(SUM(val*val)) AS nrm FROM ex GROUP BY vec_id
+    ),
+    qv AS (SELECT i, val FROM ex WHERE vec_id = 0),
+    qn AS (SELECT sqrt(SUM(val*val)) AS nrm FROM qv),
+    dt AS (
+      SELECT ex.vec_id, SUM(ex.val * qv.val) AS d
+      FROM ex JOIN qv ON qv.i = ex.i WHERE ex.vec_id <> 0
+      GROUP BY ex.vec_id
+    ),
+    dr AS (
+      SELECT dt.vec_id AS doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY ROUND(dt.d / (en.nrm * qn.nrm), 4) DESC, dt.vec_id
+             ) AS r
+      FROM dt JOIN en ON en.vec_id = dt.vec_id CROSS JOIN qn
+      QUALIFY r <= 50
+    ),
+    contrib AS (
+      SELECT doc_id, 1000000000000 // (60 + r) AS c FROM bmr
+      UNION ALL
+      SELECT doc_id, 1000000000000 // (60 + r) AS c FROM dr
+    ),
+    fused AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS s, COUNT(*) AS n_lists
+      FROM contrib GROUP BY 1
+    )
+    SELECT doc_id AS id, n_lists,
+           CAST(ROUND(CAST(s AS DOUBLE) / 1000000000000.0, 6) AS DOUBLE) + 0.0 AS rrf_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank
+    FROM fused QUALIFY rank <= 20
+    """,
+)
+def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the indexed-BM25 top-50 and the dense
+    cosine top-50 for the same query (operators/search.rrf_fuse) — the
+    normalization-free alternative to hybrid_search_rerank's score
+    interpolation: 1/(60+rank) contributions in fixed-point integer
+    division, fused order decided on an exact int64 sum. Docs
+    appearing in only one list still rank (n_lists tells which)."""
+    from pyspark.sql.window import Window
+
+    from lakeapi_spark.operators.search import bm25_index_for, bm25_scores, rrf_fuse
+    from lakeapi_spark.operators.similarity import brute_force_topk
+    from lakeapi_spark.sources.fs import latest_modification
+
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    uri = f"{sf_dir}/documents.parquet"
+    idx = bm25_index_for(
+        d, "doc_id", "text", key=(uri, latest_modification(spark, uri))
+    )
+    wb = Window.orderBy(F.col("bm25_score").desc(), F.col("__id"))
+    bm_rank = (
+        bm25_scores(idx, "spark window")
+        .withColumn("rank", F.row_number().over(wb))
+        .filter(F.col("rank") <= 50)
+        .select(F.col("__id").alias("id"), "rank")
+    )
+    dense_rank = brute_force_topk(
+        e, e.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=50
+    ).select(F.col("neighbor_id").alias("id"), "rank")
+    return rrf_fuse([bm_rank, dense_rank]).filter(F.col("rank") <= 20)
+
+
+@register(
     "hybrid_search_partial_embeddings",
     r"""
     WITH base AS (
@@ -5245,6 +5343,58 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_llr_collocations",
+    """
+    WITH toks AS (
+      SELECT string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+      WHERE trim(lower(text)) <> ''
+    ), bc AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_pair FROM (
+        SELECT t[CAST(i AS INT)] AS a, t[CAST(i AS INT) + 1] AS b
+        FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2)
+      ) GROUP BY a, b
+    ), fa AS (SELECT a, CAST(SUM(n_pair) AS BIGINT) AS c1 FROM bc GROUP BY a),
+    fb AS (SELECT b, CAST(SUM(n_pair) AS BIGINT) AS c2 FROM bc GROUP BY b),
+    nt AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n FROM bc),
+    cells AS (
+      SELECT bc.a, bc.b, bc.n_pair,
+             bc.n_pair AS k11, fa.c1 - bc.n_pair AS k12,
+             fb.c2 - bc.n_pair AS k21, nt.n - fa.c1 - fb.c2 + bc.n_pair AS k22,
+             fa.c1 AS c1, fb.c2 AS c2, nt.n AS n
+      FROM bc JOIN fa ON fa.a = bc.a JOIN fb ON fb.b = bc.b, nt
+      WHERE bc.n_pair >= 5
+    )
+    SELECT a AS tok_a, b AS tok_b, n_pair,
+           ROUND(2.0 * (
+             (CASE WHEN k11 = 0 THEN 0 ELSE k11 * LN(CAST(k11 AS DOUBLE)) END)
+             + (CASE WHEN k12 = 0 THEN 0 ELSE k12 * LN(CAST(k12 AS DOUBLE)) END)
+             + (CASE WHEN k21 = 0 THEN 0 ELSE k21 * LN(CAST(k21 AS DOUBLE)) END)
+             + (CASE WHEN k22 = 0 THEN 0 ELSE k22 * LN(CAST(k22 AS DOUBLE)) END)
+             - (CASE WHEN c1 = 0 THEN 0 ELSE c1 * LN(CAST(c1 AS DOUBLE)) END)
+             - (CASE WHEN n - c1 = 0 THEN 0 ELSE (n - c1) * LN(CAST(n - c1 AS DOUBLE)) END)
+             - (CASE WHEN c2 = 0 THEN 0 ELSE c2 * LN(CAST(c2 AS DOUBLE)) END)
+             - (CASE WHEN n - c2 = 0 THEN 0 ELSE (n - c2) * LN(CAST(n - c2 AS DOUBLE)) END)
+             + (CASE WHEN n = 0 THEN 0 ELSE n * LN(CAST(n AS DOUBLE)) END)
+           ), 6) + 0.0 AS llr6
+    FROM cells
+    ORDER BY llr6 DESC, tok_a, tok_b LIMIT 100
+    """,
+)
+def text_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 collocations by Dunning's log-likelihood ratio
+    (operators/text.llr_collocations) — the evidence-weighted
+    companion to text_pmi_collocations: PMI crowns rare-pair flukes,
+    G^2 ranks by how much data backs the association, which is the
+    statistic phrase-mining pipelines actually threshold. Integer 2x2
+    cells + the entropy-identity ln expression on the shared rounding
+    grid."""
+    from lakeapi_spark.operators.text import llr_collocations
+
+    d = table(spark, sf_dir, "documents")
+    return llr_collocations(d, "doc_id", "text", min_count=5, top=100)
+
+
+@register(
     "decontaminate_overlap",
     """
     WITH toks AS (
@@ -6218,6 +6368,37 @@ def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part")
     return blocked_fuzzy_pairs(
         p, "p_name", lambda c: F.split_part(c, F.lit(" "), F.lit(1)), max_dist=4
+    )
+
+
+@register(
+    "er_jaro_winkler_parts",
+    """
+    WITH names AS (
+      SELECT DISTINCT p_name FROM part
+    ), blocked AS (
+      SELECT p_name AS name_a, split_part(p_name, ' ', 1) AS blk FROM names
+    )
+    SELECT a.name_a, b.name_a AS name_b,
+           ROUND(jaro_winkler_similarity(a.name_a, b.name_a), 4) AS jw
+    FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.name_a < b.name_a
+    WHERE ROUND(jaro_winkler_similarity(a.name_a, b.name_a), 4) >= 0.86
+    """,
+)
+def er_jaro_winkler_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage pairs over part names scored with Jaro-Winkler
+    (operators/joins.jaro_winkler_pairs) — the transposition-tolerant,
+    prefix-boosted complement to fuzzy_join_part_names' edit distance;
+    same first-token blocking, so the scale story is identical. The
+    Arrow-batched kernel reproduces DuckDB's jaro_winkler_similarity
+    bit-identically (classic Winkler: boost threshold 0.7, prefix cap
+    4), which is what lets the oracle use the built-in."""
+    from lakeapi_spark.operators.joins import jaro_winkler_pairs
+
+    p = table(spark, sf_dir, "part")
+    return jaro_winkler_pairs(
+        p, "p_name", lambda c: F.split_part(c, F.lit(" "), F.lit(1)),
+        threshold=0.86,
     )
 
 

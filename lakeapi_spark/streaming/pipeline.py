@@ -430,3 +430,47 @@ def lsh_maintained_delta_sink(
             lsh_index_refresh(spark, delta_path, index_path, id_col, text_col)
 
     return write
+
+
+def ivf_maintained_delta_sink(
+    delta_path: str,
+    index_path: str,
+    id_col: str,
+    vec_col: str,
+    centroid_ids: list[int],
+    app_id: str = "ivf-stream",
+    checkpoint_every: int = 10,
+):
+    """ANN serving index kept WARM under a live embedding stream — the
+    IVF twin of :func:`lsh_maintained_delta_sink`: each micro-batch
+    appends through the txn-marked delta sink (exactly-once under
+    foreachBatch redelivery), then the IVF index advances from the
+    change feed (operators/incremental.ivf_index_refresh_delta) —
+    centroid assignment per micro-batch is BATCH-sized against the
+    FROZEN first-batch quantizer, and top-k queries
+    (ivf_index_topk_delta) stay served with zero corpus work between
+    batches. ``centroid_ids`` seed the quantizer from the FIRST
+    batch's vectors, so they must land in it (the bootstrap build is
+    batch-sized: the table holds only that batch)."""
+    from lakeapi_spark.operators.incremental import (
+        ivf_index_build_delta,
+        ivf_index_refresh_delta,
+    )
+    from lakeapi_spark.sources.delta import delta_stream_sink
+
+    sink = delta_stream_sink(delta_path, app_id, checkpoint_every=checkpoint_every)
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        from lakeapi_spark.operators.incremental import _lsh_meta_path
+        from lakeapi_spark.sources.fs import path_exists
+
+        sink(batch_df, batch_id)
+        spark = batch_df.sparkSession
+        if not path_exists(spark, _lsh_meta_path(index_path)):
+            ivf_index_build_delta(
+                spark, delta_path, index_path, id_col, vec_col, centroid_ids
+            )
+        else:
+            ivf_index_refresh_delta(spark, delta_path, index_path, id_col, vec_col)
+
+    return write

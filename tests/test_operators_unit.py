@@ -1968,6 +1968,50 @@ def test_acf_zero_filled_known_series_and_gaps(spark):
     assert got == want
 
 
+def test_jaro_winkler_matches_duckdb_exactly():
+    """The kernel's contract is BIT-IDENTITY with DuckDB's
+    jaro_winkler_similarity (that's what lets the oracle use the
+    built-in): differential check over random pairs incl. empties,
+    transpositions, and shared prefixes — exact doubles, no rounding."""
+    import random
+
+    import duckdb
+
+    from lakeapi_spark.operators.joins import _jaro_winkler
+
+    con = duckdb.connect()
+    rng = random.Random(1234)
+    for _ in range(2000):
+        a = "".join(rng.choices("abcdef ", k=rng.randint(0, 16)))
+        b = "".join(rng.choices("abcdef ", k=rng.randint(0, 16)))
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert _jaro_winkler(a, b) == want, (a, b)
+    # pinned classics
+    assert round(_jaro_winkler("martha", "marhta"), 6) == 0.961111
+    assert _jaro_winkler("", "") == 0.0
+    assert _jaro_winkler("abc", "abc") == 1.0
+    assert _jaro_winkler("ab", "ba") == 0.0
+
+
+def test_rrf_fuse_known_values(spark):
+    from lakeapi_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "id long, rank long")
+    b = spark.createDataFrame([(20, 1), (10, 2), (40, 3)], "id long, rank long")
+    out = {r.id: r for r in rrf_fuse([a, b]).collect()}
+    # both-list docs beat single-list docs; 10 and 20 tie exactly
+    # (1/61 + 1/62 each) -> tie broken by id
+    assert out[10].n_lists == 2 and out[20].n_lists == 2
+    assert out[10].rrf_score == out[20].rrf_score
+    assert (out[10].rank, out[20].rank) == (1, 2)
+    assert out[30].n_lists == 1 and out[40].n_lists == 1
+    # 30 and 40 both rank 3 in their lists -> identical score, id tiebreak
+    assert (out[30].rank, out[40].rank) == (3, 4)
+    assert out[10].rrf_score == round(1 / 61 + 1 / 62, 6)
+
+
 def test_ndcg_perfect_and_inverted_rankings(spark):
     from lakeapi_spark.operators.stats import ndcg_at_k
 

@@ -727,3 +727,81 @@ def test_stream_maintained_lsh_index(spark, tmp_path):
     assert delta_snapshot(spark, tbl).version == final_v
     assert lsh_index_version(spark, idx) == final_v
     assert {tuple(r) for r in lsh_index_pairs(spark, idx).collect()} == full_pairs
+
+
+def test_stream_maintained_ivf_index(spark, tmp_path):
+    """The ANN-index-under-a-stream integration (IVF twin of the LSH
+    test): embeddings arrive in three micro-batches; batch 0 bootstraps
+    the index and seeds the FROZEN quantizer, later batches advance it
+    from the change feed. After the stream drains, the maintained index
+    serves the SAME top-k as a from-scratch build over the final table
+    with the same centroids, and a redelivered batch changes nothing."""
+    import os
+
+    import numpy as np
+
+    from lakeapi_spark.operators.incremental import (
+        ivf_index_build_delta,
+        ivf_index_topk_delta,
+        ivf_index_version,
+    )
+    from lakeapi_spark.sources.delta import delta_snapshot, last_txn_version
+    from lakeapi_spark.streaming.pipeline import ivf_maintained_delta_sink
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(6)]) for i in range(12)]
+    src = str(tmp_path / "ivf_src")
+    os.makedirs(src)
+    for i in range(3):
+        spark.createDataFrame(
+            rows[i * 4 : (i + 1) * 4], "vec_id long, embedding array<double>"
+        ).coalesce(1).write.parquet(f"{src}/f{i}")
+
+    tbl, idx = str(tmp_path / "emb_delta"), str(tmp_path / "ivf_idx")
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).option("maxFilesPerTrigger", 1).parquet(src + "/*")
+    cent_ids = [0, 1]  # land in batch 0, the bootstrap build
+    write = ivf_maintained_delta_sink(
+        tbl, idx, "vec_id", "embedding", cent_ids, app_id="ivf-test"
+    )
+    q = (
+        stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", str(tmp_path / "ivf_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    final_v = delta_snapshot(spark, tbl).version
+    assert ivf_index_version(spark, idx) == final_v
+
+    full = str(tmp_path / "ivf_full")
+    ivf_index_build_delta(spark, tbl, full, "vec_id", "embedding", cent_ids)
+    queries = spark.createDataFrame(
+        rows[2:4], "vec_id long, embedding array<double>"
+    )
+    inc = {
+        tuple(r)
+        for r in ivf_index_topk_delta(
+            spark, idx, queries, "vec_id", "embedding", k=5
+        ).collect()
+    }
+    ful = {
+        tuple(r)
+        for r in ivf_index_topk_delta(
+            spark, full, queries, "vec_id", "embedding", k=5
+        ).collect()
+    }
+    assert inc == ful and len(inc) > 0
+    # neighbors span batches: some served ids arrived after the build
+    assert {t[1] for t in inc} & set(range(4, 12))
+
+    # forced redelivery: table version and index untouched
+    last = last_txn_version(spark, tbl, "ivf-test")
+    write(
+        spark.createDataFrame(rows[:1], "vec_id long, embedding array<double>"),
+        last,
+    )
+    assert delta_snapshot(spark, tbl).version == final_v
+    assert ivf_index_version(spark, idx) == final_v
