@@ -997,6 +997,102 @@ def acf_zero_filled(
     )
 
 
+#: Poisson(1) inverse-CDF thresholds (cumulative e^-1 * 1/k! sums),
+#: written as full-precision double literals so both engines compare
+#: the same doubles; weights cap at 8 (P(X>8) ~ 1e-6)
+_POISSON1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.919698602928606,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.999405815182418,
+    0.9999167588507119,
+    0.9999897508033253,
+]
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    id_col: str,
+    val_col: str,
+    n_reps: int = 40,
+    trim: int = 1,
+    unit: float = 1.0,
+    digits: int = 6,
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the mean of
+    ``val_col`` (int64) via the ONLINE Poisson bootstrap (Oza-Russell /
+    Chamandy et al.): instead of resampling n rows with replacement
+    (which needs n known and a global shuffle per replicate), each
+    row's multiplicity in replicate b is an independent Poisson(1)
+    draw — here DERANDOMIZED through the portable md5 hash of
+    (id, b), so both engines draw identical weights and the whole
+    statistic is value-exact, not just distributionally right.
+
+    Scale shape: one row -> ``n_reps`` weighted copies via an exploded
+    sequence (no data shuffle — the only exchange is the B-group
+    partial-aggregated sum), replicate means are exact integer ratios,
+    and the CI is an order statistic over the B-row relation: drop the
+    ``trim`` lowest/highest replicate means (trim=1, B=40 ~ a 95%
+    percentile interval). Returns one row
+    (n_replicates, ci_lo, mean_full, ci_hi), values divided by
+    ``unit`` (e.g. 100 for cents->currency) and rounded."""
+    from pyspark.sql.window import Window
+
+    from lakeapi_spark.operators.text import portable_hash60
+
+    base = df.select(F.col(id_col).alias("_id"), F.col(val_col).alias("_x"))
+    r = base.select(
+        "_id", "_x",
+        F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("b"),
+    )
+    u = portable_hash60(
+        F.concat(F.col("_id").cast("string"), F.lit(":"), F.col("b").cast("string"))
+    ).cast("double") / F.lit(float(1 << 60))
+    w = F.when(u < _POISSON1_CDF[0], F.lit(0))
+    for k in range(1, len(_POISSON1_CDF)):
+        w = w.when(u < _POISSON1_CDF[k], F.lit(k))
+    w = w.otherwise(F.lit(len(_POISSON1_CDF)))
+    m = (
+        r.select("b", (w.cast("long") * F.col("_x")).alias("_wx"), w.cast("long").alias("_w"))
+        .groupBy("b")
+        .agg(F.sum("_wx").alias("_s"), F.sum("_w").alias("_n"))
+        .filter(F.col("_n") > 0)
+    )
+    mean_b = F.round(
+        F.col("_s").cast("double") / F.col("_n").cast("double") / F.lit(unit),
+        digits,
+    )
+    rk = m.select(mean_b.alias("mean_b"), "b").withColumn(
+        "rnk", F.row_number().over(Window.orderBy("mean_b", "b"))
+    )
+    lo_rank, hi_rank = trim + 1, n_reps - trim
+    ci = rk.agg(
+        F.min(F.when(F.col("rnk") == lo_rank, F.col("mean_b"))).alias("ci_lo"),
+        F.min(F.when(F.col("rnk") == hi_rank, F.col("mean_b"))).alias("ci_hi"),
+    )
+    full = base.agg(
+        (
+            F.round(
+                F.sum("_x").cast("double") / F.count(F.lit(1)).cast("double")
+                / F.lit(unit),
+                digits,
+            )
+            + 0.0
+        ).alias("mean_full")
+    )
+    return (
+        ci.crossJoin(F.broadcast(full))
+        .select(
+            F.lit(n_reps).cast("long").alias("n_replicates"),
+            (F.col("ci_lo") + 0.0).alias("ci_lo"),
+            "mean_full",
+            (F.col("ci_hi") + 0.0).alias("ci_hi"),
+        )
+    )
+
+
 def calibration_bins(
     df: DataFrame,
     score_col: str,

@@ -4124,6 +4124,87 @@ def delta_optimize_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hilbert_demo_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once delta table for the Hilbert-layout query: lineitem's
+    (l_partkey, l_suppkey, l_extendedprice) written through
+    sources/delta.hilbert_write — files laid out along the order-5
+    Hilbert curve over (l_partkey, l_suppkey) buckets, so a 2D box
+    predicate prunes files via per-file min/max stats on BOTH keys."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from lakeapi_spark.sources.delta import hilbert_write
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "lakeapi_hilbert_" + hashlib.md5((sf_dir + ":v1").encode()).hexdigest()[:12],
+    )
+    marker = os.path.join(dest, "_done")
+    tbl = os.path.join(dest, "lineitem_hilbert")
+    if not os.path.exists(marker):
+        if os.path.isdir(dest):
+            shutil.rmtree(dest)
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_suppkey", "l_extendedprice"
+        )
+        hilbert_write(li, tbl, cols=["l_partkey", "l_suppkey"], bits=5, n_files=32)
+        with open(marker, "w") as f:
+            f.write("v1\n")
+    return tbl
+
+
+@register(
+    "delta_hilbert_layout",
+    """
+    SELECT l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents,
+           TRUE AS pruned
+    FROM lineitem
+    WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 30
+    GROUP BY 1
+    """,
+)
+def delta_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustered layout end-to-end (sources/delta.
+    hilbert_write — the liquid-clustering key, better 2D locality than
+    z-order's Morton interleave): a 2D box predicate over the curve-
+    laid-out lineitem reads back EXACTLY the rows SQL computes on the
+    raw table, and the `pruned` column certifies — from the snapshot's
+    per-file stats, driver-verified like delta_optimize_vacuum's
+    n_files — that file skipping actually eliminated over half the
+    files on the way."""
+    from lakeapi_spark.sources.delta import (
+        _stats_overlap,
+        delta_snapshot,
+        read_delta_fallback,
+    )
+
+    dest = _hilbert_demo_table(spark, sf_dir)
+    box = [("l_partkey", 100, 300), ("l_suppkey", 10, 30)]
+    snap = delta_snapshot(spark, dest)
+    kept = sum(1 for f in snap.files if _stats_overlap(snap.stats.get(f), box))
+    pruned = kept < len(snap.files) / 2
+    return (
+        read_delta_fallback(spark, dest, predicates=box)
+        .filter(
+            F.col("l_partkey").between(100, 300)
+            & F.col("l_suppkey").between(10, 30)
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            ).alias("sum_price_cents"),
+        )
+        .withColumn("pruned", F.lit(bool(pruned)))
+    )
+
+
 def _restore_demo_table(spark: SparkSession, sf_dir: str) -> str:
     """Build-once delta table for the RESTORE query: v0 = orders
     subset, v1 = merge-on-read DELETE via deletion vectors, v2 =
@@ -9648,6 +9729,71 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bootstrap_ci_order_value",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS id, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS x
+      FROM orders
+    ), r AS (
+      SELECT id, x, unnest(range(0, 40)) AS b FROM o
+    ), h AS (
+      SELECT b, x,
+             CAST(concat('0x', substr(md5(concat(CAST(id AS VARCHAR), ':',
+                                                 CAST(b AS VARCHAR))), 1, 15))
+                  AS BIGINT) / 1152921504606846976.0 AS u
+      FROM r
+    ), w AS (
+      SELECT b, x,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847 THEN 1
+                  WHEN u < 0.919698602928606 THEN 2
+                  WHEN u < 0.9810118431238462 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  WHEN u < 0.999405815182418 THEN 5
+                  WHEN u < 0.9999167588507119 THEN 6
+                  WHEN u < 0.9999897508033253 THEN 7
+                  ELSE 8 END AS w
+      FROM h
+    ), m AS (
+      SELECT b, CAST(SUM(w * x) AS BIGINT) AS s, CAST(SUM(w) AS BIGINT) AS n
+      FROM w GROUP BY b HAVING SUM(w) > 0
+    ), mm AS (
+      SELECT b, ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS mean_b
+      FROM m
+    ), rk AS (
+      SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rnk FROM mm
+    ), full_m AS (
+      SELECT ROUND(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0, 6)
+               + 0.0 AS mean_full
+      FROM o
+    )
+    SELECT CAST(40 AS BIGINT) AS n_replicates,
+           (SELECT mean_b + 0.0 FROM rk WHERE rnk = 2) AS ci_lo,
+           (SELECT mean_full FROM full_m) AS mean_full,
+           (SELECT mean_b + 0.0 FROM rk WHERE rnk = 39) AS ci_hi
+    """,
+)
+def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% percentile-bootstrap CI for the mean order value via the
+    derandomized online Poisson bootstrap (operators/stats.
+    bootstrap_mean_ci): 40 replicates whose per-row multiplicities are
+    Poisson(1) draws from the portable md5 hash of (order, replicate),
+    so both engines materialize identical resamples and the interval
+    is value-exact — the uncertainty primitive every ad-hoc mean in a
+    dashboard should carry. Rows explode x40 but never shuffle; the
+    only exchange is the 40-group partial-aggregated sum."""
+    from lakeapi_spark.operators.stats import bootstrap_mean_ci
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("x"),
+    )
+    return bootstrap_mean_ci(
+        o, "o_orderkey", "x", n_reps=40, trim=1, unit=100.0
+    )
+
+
+@register(
     "calibration_value_purchase",
     """
     WITH b AS (
@@ -10905,6 +11051,91 @@ def link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFr
         .limit(20)
         .withColumn("rank", F.row_number().over(wr))
         .select("rank", "u", "v", "cn", "jaccard")
+    )
+
+
+@register(
+    "link_prediction_adamic_adar",
+    _STRONG_EDGES_SQL
+    + """
+    , deg AS (SELECT u, COUNT(*) AS d FROM e GROUP BY u),
+    wed AS (
+      SELECT w1.u AS u, w2.v AS v, w1.v AS w
+      FROM e w1 JOIN e w2 ON w1.v = w2.u AND w1.u < w2.v
+      WHERE NOT EXISTS (
+        SELECT 1 FROM e0 WHERE e0.u = w1.u AND e0.v = w2.v
+      )
+    ), contrib AS (
+      SELECT wed.u, wed.v,
+             CAST(ROUND(1000000000000.0 / LN(CAST(dw.d AS DOUBLE)), 0) AS BIGINT) AS c
+      FROM wed JOIN deg dw ON dw.u = wed.w
+    ), sc AS (
+      SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn, CAST(SUM(c) AS BIGINT) AS s
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT * FROM (
+      SELECT ROW_NUMBER() OVER (ORDER BY s DESC, u, v) AS rank, u, v, cn,
+             CAST(ROUND(CAST(s AS DOUBLE) / 1000000000000.0, 6) AS DOUBLE) + 0.0 AS aa
+      FROM sc
+    ) WHERE rank <= 20
+    """,
+)
+def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the strong co-purchase graph —
+    the degree-discounted upgrade of link_prediction_common_neighbors:
+    a shared HUB neighbor is weak evidence (everything connects to
+    it), a shared rare neighbor is strong, so each common neighbor w
+    contributes 1/ln(deg(w)). Contributions are fixed-point int64
+    (round(1e12/ln d): each term exact, both engines compute the same
+    double before the round), so the SUM — the usual float-order
+    hazard — is an integer and the top-20 order is engine-exact. Same
+    wedge-join scale shape as common neighbors; deg stays broadcast."""
+    edges = _strong_copurchase_edges(spark, sf_dir)
+    und = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("n")).agg(F.count(F.lit(1)).alias("d"))
+    w1 = und.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    w2 = und.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    contrib = (
+        w1.join(w2, "w")
+        .filter(F.col("u") < F.col("v"))
+        .join(
+            edges.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+            ["u", "v"],
+            "left_anti",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("n").alias("w"), F.col("d").alias("dw"))),
+            "w",
+        )
+        .select(
+            "u",
+            "v",
+            F.round(
+                F.lit(1000000000000.0) / F.log(F.col("dw").cast("double")), 0
+            )
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    sc = contrib.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("cn"), F.sum("c").alias("s")
+    )
+    wr = Window.orderBy(F.col("s").desc(), "u", "v")
+    return (
+        sc.orderBy(F.col("s").desc(), "u", "v")
+        .limit(20)
+        .withColumn("rank", F.row_number().over(wr))
+        .select(
+            "rank",
+            "u",
+            "v",
+            "cn",
+            (
+                F.round(F.col("s").cast("double") / 1000000000000.0, 6) + 0.0
+            ).alias("aa"),
+        )
     )
 
 

@@ -3031,6 +3031,84 @@ def zorder_write(
     return write_delta(laid_out, path, mode=mode, collect_stats=True)
 
 
+def hilbert_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 4,
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> int:
+    """HILBERT-curve layout on two columns — the clustering key behind
+    Databricks' liquid clustering and the better-locality alternative
+    to :func:`zorder_write`'s Morton key: the Hilbert curve never takes
+    the long diagonal jumps Morton interleaving does, so consecutive
+    key ranges cover tighter boxes and per-file min/max stats are
+    tighter on BOTH dimensions (fewer false-positive file reads per
+    box predicate). Bucketization is identical to zorder_write (2^bits
+    range buckets per column from one tiny min/max agg); the bucket
+    pair maps to its distance along the order-``bits`` Hilbert curve
+    with the classic per-bit rotate/reflect recurrence, UNROLLED into
+    integer Column expressions (``bits`` iterations, linear plan
+    growth — whole-stage codegen, no UDF), then
+    ``repartitionByRange`` + in-partition sort lay files out along the
+    curve.
+
+    Purely a layout transform: rows, schema and values are unchanged."""
+    if len(cols) != 2:
+        raise ValueError("hilbert_write clusters exactly 2 columns")
+    if not 0 < bits <= 8:
+        raise ValueError("bits must be in 1..8")
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"_mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"_mx_{c}") for c in cols],
+    ).first()
+    n_buckets = 1 << bits
+    ranks = []
+    for c in cols:
+        mn = bounds[f"_mn_{c}"]
+        mx = bounds[f"_mx_{c}"]
+        span = (mx - mn) if (mx is not None and mn is not None and mx > mn) else 1.0
+        rank = F.least(
+            F.lit(n_buckets - 1),
+            F.floor((F.col(c).cast("double") - F.lit(mn or 0.0)) / F.lit(span) * n_buckets),
+        ).cast("long")
+        ranks.append(F.coalesce(rank, F.lit(0)))
+    # classic xy2d unrolled: per bit (high to low) accumulate the
+    # quadrant's curve offset, then rotate/reflect the frame. x/y are
+    # rebuilt as plain integer expressions each step via withColumn, so
+    # the plan grows linearly in `bits`.
+    staged = df.withColumn("_hx", ranks[0]).withColumn("_hy", ranks[1]).withColumn(
+        "_hd", F.lit(0).cast("long")
+    )
+    n = F.lit(n_buckets - 1)
+    for i in reversed(range(bits)):
+        s = 1 << i
+        rx = F.shiftright(F.col("_hx"), i).bitwiseAND(F.lit(1))
+        ry = F.shiftright(F.col("_hy"), i).bitwiseAND(F.lit(1))
+        staged = staged.withColumn(
+            "_hd", F.col("_hd") + F.lit(s * s) * ((F.lit(3) * rx).bitwiseXOR(ry))
+        )
+        # rotation: ry==0 -> (rx==1 reflects both, then swap x/y)
+        refl_x = F.when(
+            (ry == 0) & (rx == 1), n - F.col("_hx")
+        ).otherwise(F.col("_hx"))
+        refl_y = F.when(
+            (ry == 0) & (rx == 1), n - F.col("_hy")
+        ).otherwise(F.col("_hy"))
+        new_x = F.when(ry == 0, refl_y).otherwise(F.col("_hx"))
+        new_y = F.when(ry == 0, refl_x).otherwise(F.col("_hy"))
+        staged = staged.withColumn("_hx2", new_x).withColumn("_hy2", new_y).drop(
+            "_hx", "_hy"
+        ).withColumnRenamed("_hx2", "_hx").withColumnRenamed("_hy2", "_hy")
+    laid_out = (
+        staged.repartitionByRange(n_files, F.col("_hd"))
+        .sortWithinPartitions("_hd")
+        .drop("_hx", "_hy", "_hd")
+    )
+    return write_delta(laid_out, path, mode=mode, collect_stats=True)
+
+
 def last_txn_version(spark: SparkSession, path: str, app_id: str) -> int:
     """Last committed ``txn`` version for ``app_id`` (-1 if none) —
     driver-side log replay, metadata only."""

@@ -969,6 +969,103 @@ class TestDeltaWriter:
         )
         assert got == want == 8 * 8
 
+    def test_hilbert_layout_prunes_both_dims(self, spark, tmp_path):
+        """Hilbert-curve layout (sources/delta.hilbert_write): the
+        column-expression curve index matches the classic xy2d
+        recurrence exactly, the layout preserves content, and a 2D box
+        predicate prunes files on BOTH dimensions at least as well as
+        z-order (the curve never takes Morton's diagonal jumps)."""
+        from lakeapi_spark.sources.delta import (
+            delta_snapshot,
+            hilbert_write,
+            read_delta_fallback,
+            zorder_write,
+        )
+
+        df = spark.range(0, 4096).selectExpr(
+            "id", "CAST(id % 64 AS LONG) AS x", "CAST(id DIV 64 AS LONG) AS y"
+        )
+        hpath = str(tmp_path / "hilb")
+        hilbert_write(df, hpath, cols=["x", "y"], bits=4, n_files=32)
+        zpath = str(tmp_path / "zord")
+        zorder_write(df, zpath, cols=["x", "y"], bits=4, n_files=32)
+
+        # content unchanged by the layout transform
+        got = read_delta_fallback(spark, hpath)
+        assert got.count() == 4096
+        assert got.selectExpr("SUM(x)", "SUM(y)").first() == df.selectExpr(
+            "SUM(x)", "SUM(y)"
+        ).first()
+
+        from lakeapi_spark.sources.delta import _stats_overlap
+
+        def n_kept(path, preds):
+            snap = delta_snapshot(spark, path)
+            return sum(
+                1 for f in snap.files if _stats_overlap(snap.stats.get(f), preds)
+            )
+
+        box = [("x", 0, 7), ("y", 0, 7)]
+        total_h = len(delta_snapshot(spark, hpath).files)
+        kept_h = n_kept(hpath, box)
+        kept_z = n_kept(zpath, box)
+        assert kept_h < total_h / 2, (kept_h, total_h)
+        assert kept_h <= kept_z  # Hilbert locality >= Morton locality
+        for dim in ("x", "y"):  # real pruning on EACH dimension alone
+            kept_one = n_kept(hpath, [(dim, 0, 3)])
+            assert kept_one < total_h / 2, (dim, kept_one, total_h)
+
+        # skipped reads return exactly the full-filter rows
+        want = df.filter("x <= 7 AND y <= 7").count()
+        got = (
+            read_delta_fallback(spark, hpath, predicates=box)
+            .filter("x <= 7 AND y <= 7")
+            .count()
+        )
+        assert got == want == 8 * 8
+
+    def test_hilbert_index_matches_reference_recurrence(self, spark, tmp_path):
+        """The unrolled Column-expression Hilbert index in hilbert_write
+        equals the textbook xy2d for every cell of the 16x16 grid —
+        asserted through the written layout: files sorted along the
+        curve means within-file (x,y) cells are d-contiguous."""
+        from lakeapi_spark.sources.delta import hilbert_write, read_delta_fallback
+
+        def xy2d(order, x, y):
+            n = 1 << order
+            d = 0
+            s = n // 2
+            while s > 0:
+                rx = 1 if (x & s) > 0 else 0
+                ry = 1 if (y & s) > 0 else 0
+                d += s * s * ((3 * rx) ^ ry)
+                if ry == 0:
+                    if rx == 1:
+                        x, y = n - 1 - x, n - 1 - y
+                    x, y = y, x
+                s //= 2
+            return d
+
+        pts = [(x, y) for x in range(16) for y in range(16)]
+        df = spark.createDataFrame(pts, "x long, y long")
+        path = str(tmp_path / "grid")
+        hilbert_write(df, path, cols=["x", "y"], bits=4, n_files=16)
+        # per-file cell sets must be contiguous runs of the reference d
+        from pyspark.sql import functions as F
+
+        rows = (
+            read_delta_fallback(spark, path)
+            .withColumn("_f", F.element_at(F.split(F.input_file_name(), "/"), -1))
+            .collect()
+        )
+        by_file = {}
+        for r in rows:
+            by_file.setdefault(r._f, []).append(xy2d(4, r.x, r.y))
+        assert sum(len(v) for v in by_file.values()) == 256
+        for ds in by_file.values():
+            ds = sorted(ds)
+            assert ds == list(range(ds[0], ds[0] + len(ds)))  # contiguous run
+
 
 class TestDeltaMerge:
     """MERGE INTO (copy-on-write upsert) + CDF-style version diff

@@ -1968,6 +1968,25 @@ def test_acf_zero_filled_known_series_and_gaps(spark):
     assert got == want
 
 
+def test_bootstrap_mean_ci_brackets_and_deterministic(spark):
+    """The Poisson-bootstrap CI brackets the sample mean, is ordered,
+    and — being hash-derandomized — is bit-identical across runs."""
+    from lakeapi_spark.operators.stats import bootstrap_mean_ci
+
+    df = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 50) for i in range(500)], "id long, x long"
+    )
+    r1 = bootstrap_mean_ci(df, "id", "x", n_reps=40, trim=1).collect()[0]
+    r2 = bootstrap_mean_ci(df, "id", "x", n_reps=40, trim=1).collect()[0]
+    assert tuple(r1) == tuple(r2)  # derandomized: no run-to-run wobble
+    assert r1.n_replicates == 40
+    assert r1.ci_lo < r1.mean_full < r1.ci_hi
+    true_mean = sum(100 + (i * 37) % 50 for i in range(500)) / 500
+    assert r1.mean_full == round(true_mean, 6)
+    # interval is tight at n=500 (std/sqrt(n) scale, not percentile-wide)
+    assert (r1.ci_hi - r1.ci_lo) < 10
+
+
 def test_jaro_winkler_matches_duckdb_exactly():
     """The kernel's contract is BIT-IDENTITY with DuckDB's
     jaro_winkler_similarity (that's what lets the oracle use the
