@@ -244,6 +244,170 @@ def lsh_index_refresh(
     return latest, n_touched
 
 
+# --- Incrementally-maintained BM25 index --------------------------------------
+#
+# Third leg of the maintained-index trilogy (LSH near-dup, IVF ANN,
+# BM25 text search): the corpus-proportional cost of BM25 is
+# tokenizing every document into postings; doc-decomposable relations
+# (postings, doclen) refresh from the change feed at churn cost, and
+# the vocabulary statistics (term_df, n_docs, sum_dl) re-derive from
+# the MAINTAINED relations — index-sized aggregations, never a corpus
+# re-tokenize.
+
+
+def bm25_index_version(spark, index_path: str) -> int:
+    """Latest source-table version the BM25 index covers (shared meta
+    contract with the LSH/IVF indexes)."""
+    return lsh_index_version(spark, index_path)
+
+
+def _bm25_tokenize(docs: DataFrame, id_col: str, text_col: str):
+    """(postings, doclen) for ``docs`` — the SAME split expressions as
+    search.build_bm25_index so maintained scores match the one-shot
+    index and its SQL oracles."""
+    toks_arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = docs.select(F.col(id_col).alias("__id"), toks_arr.alias("__toks"))
+    doclen = base.select("__id", F.size("__toks").alias("__dl"))
+    postings = (
+        base.select("__id", F.explode("__toks").alias("__tok"))
+        .groupBy("__id", "__tok")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    return postings, doclen
+
+
+def _bm25_write_snapshot(
+    spark,
+    postings: DataFrame,
+    doclen: DataFrame,
+    index_path: str,
+    table_version: int,
+    retain: int = _LSH_RETAIN,
+) -> None:
+    import os
+
+    snap = os.path.join(index_path, f"v{table_version}")
+    # postings laid out BY TERM: a query's `__tok IN (...)` probe prunes
+    # row groups via min/max stats — the serving-path access pattern
+    (
+        postings.repartitionByRange(F.col("__tok"))
+        .sortWithinPartitions("__tok")
+        .write.mode("overwrite")
+        .parquet(os.path.join(snap, "postings"))
+    )
+    doclen.write.mode("overwrite").parquet(os.path.join(snap, "doclen"))
+    # vocabulary stats re-derived from the maintained postings/doclen —
+    # index-sized aggs, written alongside so serving never re-aggregates
+    postings.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(snap, "term_df"))
+    doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("__dl").alias("sum_dl")
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(snap, "stats"))
+    spark.createDataFrame(
+        [(table_version,)], "table_version long"
+    ).coalesce(1).write.mode("overwrite").parquet(_lsh_meta_path(index_path))
+    _lsh_retain_snapshots(spark, index_path, table_version, retain)
+
+
+def bm25_index_build_delta(
+    spark,
+    table_path: str,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    version: int | None = None,
+) -> int:
+    """Full build of the persisted BM25 index from the delta table's
+    snapshot at ``version`` (latest when None) — the one corpus
+    tokenize every subsequent refresh avoids. Returns the indexed
+    version."""
+    from lakeapi_spark.sources.delta import delta_snapshot, read_delta
+
+    v = version if version is not None else delta_snapshot(spark, table_path).version
+    docs = read_delta(spark, table_path, {"versionAsOf": str(v)}).select(
+        id_col, text_col
+    )
+    postings, doclen = _bm25_tokenize(docs, id_col, text_col)
+    _bm25_write_snapshot(spark, postings, doclen, index_path, v)
+    return v
+
+
+def bm25_index_refresh_delta(
+    spark, table_path: str, index_path: str, id_col: str, text_col: str
+) -> tuple[int, int]:
+    """Advance the BM25 index to the table's latest version by change
+    feed: touched ids from ``delta_changes`` since the indexed version,
+    their CURRENT text re-read and tokenized (churn-sized), untouched
+    postings/doclen rows carried over by broadcast anti-join; the
+    vocabulary stats re-derive from the maintained relations inside
+    the snapshot write. Deleted ids fall out naturally. No-op when the
+    table hasn't moved. Returns (new_version, n_touched)."""
+    import os
+
+    from lakeapi_spark.sources.delta import (
+        delta_changes,
+        delta_snapshot,
+        read_delta,
+    )
+
+    v0 = bm25_index_version(spark, index_path)
+    latest = delta_snapshot(spark, table_path).version
+    if latest <= v0:
+        return v0, 0
+    snap = os.path.join(index_path, f"v{v0}")
+    old_postings = spark.read.parquet(os.path.join(snap, "postings"))
+    old_doclen = spark.read.parquet(os.path.join(snap, "doclen"))
+    touched = (
+        delta_changes(spark, table_path, v_from=v0, v_to=latest)
+        .select(F.col(id_col).alias("__id"))
+        .distinct()
+    )
+    current = read_delta(spark, table_path).select(id_col, text_col)
+    changed = current.join(
+        F.broadcast(touched.withColumnRenamed("__id", id_col)), id_col, "semi"
+    )
+    new_postings, new_doclen = _bm25_tokenize(changed, id_col, text_col)
+    n_touched = touched.count()
+    postings = old_postings.join(F.broadcast(touched), "__id", "anti").unionByName(
+        new_postings
+    )
+    doclen = old_doclen.join(F.broadcast(touched), "__id", "anti").unionByName(
+        new_doclen
+    )
+    _bm25_write_snapshot(spark, postings, doclen, index_path, latest)
+    return latest, n_touched
+
+
+def bm25_index_scores_delta(
+    spark,
+    index_path: str,
+    search_text: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_col: str = "bm25_score",
+) -> DataFrame:
+    """BM25 scores served FROM the maintained index — identical
+    relation to search.bm25_scores over the indexed snapshot (same
+    formula, same rounding), with zero tokenize work at query time:
+    the term filter prunes the term-sorted postings parquet."""
+    import os
+
+    from lakeapi_spark.operators.search import Bm25Index, bm25_scores
+
+    v = bm25_index_version(spark, index_path)
+    snap = os.path.join(index_path, f"v{v}")
+    stats = spark.read.parquet(os.path.join(snap, "stats")).first()
+    idx = Bm25Index(
+        postings=spark.read.parquet(os.path.join(snap, "postings")),
+        doclen=spark.read.parquet(os.path.join(snap, "doclen")),
+        term_df=spark.read.parquet(os.path.join(snap, "term_df")),
+        n_docs=int(stats.n_docs),
+        avgdl=float(stats.sum_dl) / int(stats.n_docs),
+    )
+    return bm25_scores(idx, search_text, k1, b, score_col)
+
+
 # --- Incrementally-maintained IVF (ANN) index --------------------------------
 #
 # Same versioned-snapshot contract as the LSH index above (v{N} dirs,

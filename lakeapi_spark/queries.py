@@ -9969,6 +9969,102 @@ def dedup_lsh_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_index_pairs(spark, idx)
 
 
+def _bm25_incremental_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build-once fixture proving CHANGE-FEED maintenance of the BM25
+    index — the same four-version document history as
+    _lsh_incremental_fixture (v0 CREATE %5!=4, v1 APPEND the rest, v2
+    UPDATE %7==0 to doubled text, v3 DELETE %13==0) with the index
+    built ONCE at v0 and advanced purely from delta_changes
+    (operators/incremental.bm25_index_refresh_delta): only churned
+    docs re-tokenize; the vocabulary stats re-derive from the
+    maintained relations. Returns (table_path, index_path)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from lakeapi_spark.operators.incremental import (
+        bm25_index_build_delta,
+        bm25_index_refresh_delta,
+        bm25_index_version,
+    )
+    from lakeapi_spark.sources.delta import delete_delta, update_delta, write_delta
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "lakeapi_bm25_incr_" + hashlib.md5((sf_dir + ":v1").encode()).hexdigest()[:12],
+    )
+    tbl, idx = os.path.join(dest, "docs"), os.path.join(dest, "bm25_index")
+    marker = os.path.join(dest, "_done")
+    if not os.path.exists(marker):
+        if os.path.isdir(dest):  # stale partial build: start over
+            shutil.rmtree(dest)
+        d = table(spark, sf_dir, "documents").select("doc_id", "text")
+        write_delta(
+            d.filter(F.col("doc_id") % 5 != 4),
+            tbl,
+            mode="append",
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        bm25_index_build_delta(spark, tbl, idx, "doc_id", "text")
+        write_delta(d.filter(F.col("doc_id") % 5 == 4), tbl, mode="append")
+        update_delta(
+            spark, tbl, {"text": "concat(text, ' ', text)"}, "doc_id % 7 = 0"
+        )
+        delete_delta(spark, tbl, "doc_id % 13 = 0")
+        bm25_index_refresh_delta(spark, tbl, idx, "doc_id", "text")
+        assert bm25_index_version(spark, idx) == 3
+        with open(marker, "w") as f:
+            f.write("v3\n")
+    return tbl, idx
+
+
+@register(
+    "search_bm25_incremental",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text ELSE text END AS text
+      FROM documents WHERE doc_id % 13 <> 0
+    ), base AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM docs
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+    stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+      WHERE tok IN ('spark', 'window') GROUP BY doc_id, tok
+    ),
+    dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)
+    SELECT t.doc_id,
+           ROUND(SUM(ln((s.n - q.df + 0.5) / (q.df + 0.5) + 1)
+                     * t.tf * 2.2 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))), 4)
+             AS bm25_score
+    FROM tf t
+    JOIN dfq q ON t.tok = q.tok
+    JOIN dl l ON l.doc_id = t.doc_id
+    CROSS JOIN stats s
+    GROUP BY t.doc_id
+    """,
+)
+def search_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 scores served from the CHANGE-FEED-MAINTAINED index
+    (operators/incremental.bm25_index_*): built at table version 0,
+    advanced across an append, an update, and a delete purely from
+    delta_changes — tokenize cost proportional to churn, never the
+    corpus — yet scores hash-match the oracle recomputing BM25 from
+    scratch on the FINAL table state. Completes the maintained-index
+    trilogy with dedup_lsh_incremental_index and
+    ann_ivf_cdf_refresh_topk."""
+    from lakeapi_spark.operators.incremental import bm25_index_scores_delta
+
+    _, idx = _bm25_incremental_fixture(spark, sf_dir)
+    return bm25_index_scores_delta(spark, idx, "spark window").withColumnRenamed(
+        "__id", "doc_id"
+    )
+
+
 @register(
     "ndcg_search_tf",
     """

@@ -1861,6 +1861,51 @@ def test_lsh_index_snapshot_retention(spark, tmp_path):
     assert inc == ful and len(inc) > 0
 
 
+def test_bm25_index_refresh_equals_full_rebuild(spark, tmp_path):
+    """Change-feed maintenance invariant for the BM25 index: after
+    append + update + delete commits, the refreshed index serves the
+    SAME scores as a from-scratch build at the final version (postings
+    and doclen carry over for untouched docs; vocabulary stats
+    re-derive from the maintained relations)."""
+    from lakeapi_spark.operators.incremental import (
+        bm25_index_build_delta,
+        bm25_index_refresh_delta,
+        bm25_index_scores_delta,
+        bm25_index_version,
+    )
+    from lakeapi_spark.sources.delta import delete_delta, update_delta, write_delta
+
+    rows = [(i, f"spark window doc{i} " + "filler " * (i % 5)) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tbl = str(tmp_path / "docs")
+    write_delta(df, tbl, configuration={"delta.enableChangeDataFeed": "true"})
+    idx = str(tmp_path / "idx")
+    bm25_index_build_delta(spark, tbl, idx, "doc_id", "text")
+
+    write_delta(
+        spark.createDataFrame(
+            [(100, "spark spark window brand new")], "doc_id long, text string"
+        ),
+        tbl,
+    )
+    update_delta(spark, tbl, {"text": "concat(text, ' window')"}, "doc_id = 3")
+    delete_delta(spark, tbl, "doc_id = 7")
+
+    v, n_touched = bm25_index_refresh_delta(spark, tbl, idx, "doc_id", "text")
+    assert (v, bm25_index_version(spark, idx)) == (3, 3)
+    assert n_touched == 3
+
+    full = str(tmp_path / "idx_full")
+    bm25_index_build_delta(spark, tbl, full, "doc_id", "text")
+    inc = {tuple(r) for r in bm25_index_scores_delta(spark, idx, "spark window").collect()}
+    ful = {tuple(r) for r in bm25_index_scores_delta(spark, full, "spark window").collect()}
+    assert inc == ful and len(inc) > 0
+    assert 7 not in {t[0] for t in inc}  # deleted doc scores nothing
+
+    # idempotent no-op when the table hasn't moved
+    assert bm25_index_refresh_delta(spark, tbl, idx, "doc_id", "text") == (3, 0)
+
+
 def test_ivf_index_refresh_equals_full_rebuild(spark, tmp_path):
     """Change-feed maintenance invariant for the IVF index: after
     append + update + delete commits, the refreshed index (frozen
