@@ -943,7 +943,12 @@ def acf_zero_filled(
     engine-deterministic. Scale shape: one series-sized aggregate, one
     k-exploded equi-join (series stays tiny relative to the fact table
     it aggregates), no per-lag passes. Returns (lag, n_pairs, acf)."""
-    d = daily.select(F.col(day_col).alias("_d"), F.col(val_col).alias("_x"))
+    # the series relation feeds four consumers (totals, both sides of
+    # the lag join, boundary sums) — persist so the upstream fact-table
+    # aggregate runs ONCE, not once per reference
+    d = daily.select(
+        F.col(day_col).alias("_d"), F.col(val_col).alias("_x")
+    ).persist()
     g = d.agg(
         F.min("_d").alias("_mn"),
         F.max("_d").alias("_mx"),
@@ -984,7 +989,7 @@ def acf_zero_filled(
     bk = 2 * s - F.col("_head").cast("double") - F.col("_tail").cast("double")
     num = n * n * F.col("_ak").cast("double") - n * s * bk + (n - kd) * s * s
     den = n * n * q - n * s * s
-    return (
+    out = (
         ak.join(ht, "_k")
         .crossJoin(F.broadcast(g))
         .select(
@@ -995,6 +1000,9 @@ def acf_zero_filled(
             (F.round(num / den, digits) + 0.0).alias("acf"),
         )
     )
+    out = out.localCheckpoint(eager=True)  # sever from the persisted lineage
+    d.unpersist()
+    return out
 
 
 #: Poisson(1) inverse-CDF thresholds (cumulative e^-1 * 1/k! sums),
@@ -1025,10 +1033,19 @@ def bootstrap_mean_ci(
     ``val_col`` (int64) via the ONLINE Poisson bootstrap (Oza-Russell /
     Chamandy et al.): instead of resampling n rows with replacement
     (which needs n known and a global shuffle per replicate), each
-    row's multiplicity in replicate b is an independent Poisson(1)
-    draw — here DERANDOMIZED through the portable md5 hash of
-    (id, b), so both engines draw identical weights and the whole
-    statistic is value-exact, not just distributionally right.
+    row's multiplicity in replicate b is a Poisson(1) draw — here
+    DERANDOMIZED from the row id, so both engines draw identical
+    weights and the whole statistic is value-exact, not just
+    distributionally right.
+
+    One md5 per ROW seeds a per-row LCG whose b-th state is jumped to
+    directly with precomputed (A_b, C_b) literals — h_b = (A_b*seed +
+    C_b) mod 2^31, all exact int64 — so the per-replicate uniform
+    costs one multiply-add-mod instead of one md5 (40x fewer hash
+    calls; md5 dominated the first implementation's runtime).
+    Within-row replicate draws are LCG-correlated rather than fully
+    independent — immaterial for percentile intervals, which average
+    within replicates and only order across them.
 
     Scale shape: one row -> ``n_reps`` weighted copies via an exploded
     sequence (no data shuffle — the only exchange is the B-group
@@ -1042,14 +1059,28 @@ def bootstrap_mean_ci(
 
     from lakeapi_spark.operators.text import portable_hash60
 
+    a_mul, c_add, m_mod = 1103515245, 12345, 1 << 31
+    jumps = []
+    A, C = 1, 0
+    for _ in range(n_reps):
+        A = (a_mul * A) % m_mod
+        C = (a_mul * C + c_add) % m_mod
+        jumps.append((A, C))
+
     base = df.select(F.col(id_col).alias("_id"), F.col(val_col).alias("_x"))
-    r = base.select(
-        "_id", "_x",
+    seeded = base.select(
+        "_x",
+        (portable_hash60(F.col("_id").cast("string")) % F.lit(m_mod)).alias("_h0"),
+    )
+    r = seeded.select(
+        "_x", "_h0",
         F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("b"),
     )
-    u = portable_hash60(
-        F.concat(F.col("_id").cast("string"), F.lit(":"), F.col("b").cast("string"))
-    ).cast("double") / F.lit(float(1 << 60))
+    A_b = F.element_at(F.array(*[F.lit(a) for a, _ in jumps]), F.col("b") + 1)
+    C_b = F.element_at(F.array(*[F.lit(c) for _, c in jumps]), F.col("b") + 1)
+    u = ((A_b * F.col("_h0") + C_b) % F.lit(m_mod)).cast("double") / F.lit(
+        float(m_mod)
+    )
     w = F.when(u < _POISSON1_CDF[0], F.lit(0))
     for k in range(1, len(_POISSON1_CDF)):
         w = w.when(u < _POISSON1_CDF[k], F.lit(k))

@@ -901,6 +901,7 @@ def hybrid_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank
     FROM fused QUALIFY rank <= 20
     """,
+    bench=True,
 )
 def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of the indexed-BM25 top-50 and the dense
@@ -9648,6 +9649,7 @@ def roc_auc_value_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                       / CAST(n_pos * 1000000000000 AS DOUBLE), 6) AS DOUBLE) + 0.0 AS ap
     FROM a WHERE n_pos > 0
     """,
+    bench=True,
 )
 def pr_auc_value_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact tie-aware average precision (PR-AUC) of event value
@@ -9703,6 +9705,7 @@ def pr_auc_value_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
              6) AS DOUBLE) + 0.0 AS acf
     FROM a JOIN ht ON ht.k = a.k CROSS JOIN g
     """,
+    bench=True,
 )
 def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation of the zero-filled daily order-revenue series at
@@ -9728,32 +9731,49 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acf_zero_filled(daily, "d", "x", max_lag=7)
 
 
-@register(
-    "bootstrap_ci_order_value",
-    """
+def _bootstrap_ci_oracle(n_reps: int = 40, trim: int = 1) -> str:
+    """DuckDB twin of operators/stats.bootstrap_mean_ci over orders:
+    same md5 row seed, same precomputed LCG jump literals, same
+    Poisson(1) thresholds — bit-identical resamples."""
+    a_mul, c_add, m_mod = 1103515245, 12345, 1 << 31
+    A, C = 1, 0
+    As, Cs = [], []
+    for _ in range(n_reps):
+        A = (a_mul * A) % m_mod
+        C = (a_mul * C + c_add) % m_mod
+        As.append(A)
+        Cs.append(C)
+    a_list = ", ".join(map(str, As))
+    c_list = ", ".join(map(str, Cs))
+    lo_rank, hi_rank = trim + 1, n_reps - trim
+    return f"""
     WITH o AS (
       SELECT o_orderkey AS id, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS x
       FROM orders
+    ), seeded AS (
+      SELECT x,
+             CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {m_mod} AS h0
+      FROM o
     ), r AS (
-      SELECT id, x, unnest(range(0, 40)) AS b FROM o
-    ), h AS (
+      SELECT x, h0, unnest(range(0, {n_reps})) AS b FROM seeded
+    ), hu AS (
       SELECT b, x,
-             CAST(concat('0x', substr(md5(concat(CAST(id AS VARCHAR), ':',
-                                                 CAST(b AS VARCHAR))), 1, 15))
-                  AS BIGINT) / 1152921504606846976.0 AS u
+             (([{a_list}])[CAST(b AS INT) + 1] * h0
+              + ([{c_list}])[CAST(b AS INT) + 1]) % {m_mod} AS hb
       FROM r
     ), w AS (
       SELECT b, x,
-             CASE WHEN u < 0.36787944117144233 THEN 0
-                  WHEN u < 0.7357588823428847 THEN 1
-                  WHEN u < 0.919698602928606 THEN 2
-                  WHEN u < 0.9810118431238462 THEN 3
-                  WHEN u < 0.9963401531726563 THEN 4
-                  WHEN u < 0.999405815182418 THEN 5
-                  WHEN u < 0.9999167588507119 THEN 6
-                  WHEN u < 0.9999897508033253 THEN 7
+             CASE WHEN hb / {m_mod}.0 < 0.36787944117144233 THEN 0
+                  WHEN hb / {m_mod}.0 < 0.7357588823428847 THEN 1
+                  WHEN hb / {m_mod}.0 < 0.919698602928606 THEN 2
+                  WHEN hb / {m_mod}.0 < 0.9810118431238462 THEN 3
+                  WHEN hb / {m_mod}.0 < 0.9963401531726563 THEN 4
+                  WHEN hb / {m_mod}.0 < 0.999405815182418 THEN 5
+                  WHEN hb / {m_mod}.0 < 0.9999167588507119 THEN 6
+                  WHEN hb / {m_mod}.0 < 0.9999897508033253 THEN 7
                   ELSE 8 END AS w
-      FROM h
+      FROM hu
     ), m AS (
       SELECT b, CAST(SUM(w * x) AS BIGINT) AS s, CAST(SUM(w) AS BIGINT) AS n
       FROM w GROUP BY b HAVING SUM(w) > 0
@@ -9767,21 +9787,29 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                + 0.0 AS mean_full
       FROM o
     )
-    SELECT CAST(40 AS BIGINT) AS n_replicates,
-           (SELECT mean_b + 0.0 FROM rk WHERE rnk = 2) AS ci_lo,
+    SELECT CAST({n_reps} AS BIGINT) AS n_replicates,
+           (SELECT mean_b + 0.0 FROM rk WHERE rnk = {lo_rank}) AS ci_lo,
            (SELECT mean_full FROM full_m) AS mean_full,
-           (SELECT mean_b + 0.0 FROM rk WHERE rnk = 39) AS ci_hi
-    """,
+           (SELECT mean_b + 0.0 FROM rk WHERE rnk = {hi_rank}) AS ci_hi
+    """
+
+
+@register(
+    "bootstrap_ci_order_value",
+    _bootstrap_ci_oracle(),
+    bench=True,
 )
 def bootstrap_ci_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """95% percentile-bootstrap CI for the mean order value via the
     derandomized online Poisson bootstrap (operators/stats.
     bootstrap_mean_ci): 40 replicates whose per-row multiplicities are
-    Poisson(1) draws from the portable md5 hash of (order, replicate),
-    so both engines materialize identical resamples and the interval
-    is value-exact — the uncertainty primitive every ad-hoc mean in a
-    dashboard should carry. Rows explode x40 but never shuffle; the
-    only exchange is the 40-group partial-aggregated sum."""
+    Poisson(1) draws seeded from the portable md5 of the order key and
+    jumped per-replicate with precomputed LCG literals, so both
+    engines materialize identical resamples and the interval is
+    value-exact — the uncertainty primitive every ad-hoc mean in a
+    dashboard should carry. One md5 per row (not per replicate); rows
+    explode x40 but never shuffle — the only exchange is the 40-group
+    partial-aggregated sum."""
     from lakeapi_spark.operators.stats import bootstrap_mean_ci
 
     o = table(spark, sf_dir, "orders").select(
@@ -11035,10 +11063,26 @@ def _strong_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the sorted array (baskets are small — TPC-H caps at 7 items —
     so the O(basket^2) expansion is per-row cheap), then one pair-keyed
     count. The previous distinct + self-join shape cost 4 shuffles and
-    an edge-sized join; this one never joins. Persisted because the
-    callers iterate over it."""
+    an edge-sized join; this one never joins. Persisted FRESH per call
+    because the callers iterate over it; a cross-query memoized
+    variant was tried (r9) and measured SLOWER under cache-clearing
+    session hygiene — a long-lived DataFrame whose cache has been
+    externally dropped recomputes its build once per downstream
+    reference instead of re-materializing once."""
+    return _strong_copurchase_edges_build(spark, sf_dir)
+
+
+def _strong_copurchase_edges_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = (
         table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        # explicit repartition ON the groupBy key: the scan's natural
+        # parallelism is row-group-bounded (3 tasks at sf0.1), so the
+        # fat map tasks serialize collect_set; pre-hashing by key costs
+        # the SAME single exchange the groupBy needs anyway (Catalyst
+        # reuses the partitioning) and spreads build work over every
+        # core. Partial agg is no loss: order keys are near-unique.
+        .repartition(F.col("l_orderkey"))
         .groupBy(F.col("l_orderkey").alias("o"))
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     )
@@ -11175,6 +11219,7 @@ def link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFr
       FROM sc
     ) WHERE rank <= 20
     """,
+    bench=True,
 )
 def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adamic-Adar link prediction over the strong co-purchase graph —
