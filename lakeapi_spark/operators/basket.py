@@ -83,3 +83,77 @@ def market_basket_pairs(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= top_n)
     )
+
+
+def market_basket_triples(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    top_n: int = 40,
+) -> DataFrame:
+    """Top 3-item association sets by co-occurrence support — the next
+    Apriori level above :func:`market_basket_pairs`: returns (item_a,
+    item_b, item_c, n_all, lift3, rank) where lift3 = P(a,b,c) /
+    (P(a)P(b)P(c)) over baskets = n_all * n_baskets^2 / (n_a n_b n_c)
+    as one double expression over exact int64 counts (same order both
+    engines). a < b < c, ranked (n_all desc, a, b, c) — total order.
+
+    Scale shape: triple expansion is the within-basket 3-way
+    self-join, bounded at C(|basket|,3) rows per basket (TPC-H caps
+    baskets at 7 -> <= 35/basket) — never a global cross join; the
+    ``min_support`` filter applies right after the count so only
+    recurring triples join the broadcast item supports. At retail-
+    scale baskets (100s of items) prefilter items by pair support
+    first (full Apriori) — the candidate join shape stays the same."""
+    bi = (
+        df.select(F.col(basket_col).alias("b"), F.col(item_col).alias("item"))
+        .filter(F.col("b").isNotNull() & F.col("item").isNotNull())
+        .distinct()
+    )
+    nb = F.broadcast(
+        bi.select("b").distinct().agg(F.count(F.lit(1)).alias("n_baskets"))
+    )
+    item_support = bi.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    triples = (
+        bi.alias("x")
+        .join(bi.alias("y"), "b")
+        .filter(F.col("x.item") < F.col("y.item"))
+        .join(bi.alias("z"), "b")
+        .filter(F.col("y.item") < F.col("z.item"))
+        .groupBy(
+            F.col("x.item").alias("item_a"),
+            F.col("y.item").alias("item_b"),
+            F.col("z.item").alias("item_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_all"))
+        .filter(F.col("n_all") >= min_support)
+    )
+    s = lambda side: F.broadcast(  # noqa: E731 - three aliased copies
+        item_support.select(
+            F.col("item").alias(f"item_{side}"), F.col("n_item").alias(f"n_{side}")
+        )
+    )
+    scored = (
+        triples.join(s("a"), "item_a")
+        .join(s("b"), "item_b")
+        .join(s("c"), "item_c")
+        .crossJoin(nb)
+        .select(
+            "item_a",
+            "item_b",
+            "item_c",
+            "n_all",
+            (
+                (F.col("n_all") * F.col("n_baskets") * F.col("n_baskets")).cast(
+                    "double"
+                )
+                / (F.col("n_a") * F.col("n_b") * F.col("n_c")).cast("double")
+            ).alias("lift3"),
+        )
+    )
+    w = Window.orderBy(F.col("n_all").desc(), "item_a", "item_b", "item_c")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_n)
+    )

@@ -1124,6 +1124,74 @@ def bootstrap_mean_ci(
     )
 
 
+def isotonic_fit_minimax(
+    binned: DataFrame,
+    bin_col: str,
+    pos_col: str,
+    n_col: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Weighted isotonic regression of a per-bin positive rate — the
+    monotone calibrator (PAV fit) behind isotonic probability
+    calibration, computed EXACTLY through the minimax identity instead
+    of the sequential pool-adjacent-violators loop:
+
+        iso(i) = max over j<=i of  min over k>=i of
+                 ( sum pos[j..k] / sum n[j..k] )
+
+    which is declarative: prefix sums over the BIN relation, an
+    (i, j, k) triple join with j<=i<=k, and two tiny groupBys (min
+    over k per (i,j), max over j per i). O(B^3) in the number of BINS
+    — the whole point: the corpus collapses to B rows in one
+    partial-agg shuffle first, and B is a dial (20 here), so the
+    cubic term is constant work while PAV's sequential pooling would
+    need a driver loop or a stateful kernel. Interval means are
+    rationals of exact int64 prefix sums evaluated identically in
+    both engines. Returns (bin, n, pos, raw_rate, iso_rate), iso_rate
+    monotone non-decreasing in bin."""
+    from pyspark.sql.window import Window
+
+    b = binned.select(
+        F.col(bin_col).alias("_b"),
+        F.col(pos_col).cast("long").alias("_p"),
+        F.col(n_col).cast("long").alias("_n"),
+    )
+    w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    pre = b.select(
+        "_b", "_p", "_n",
+        F.sum("_p").over(w).alias("_cp"),
+        F.sum("_n").over(w).alias("_cn"),
+    )
+    j = pre.select(
+        F.col("_b").alias("_j"),
+        (F.col("_cp") - F.col("_p")).alias("_cpj"),  # prefix BEFORE j
+        (F.col("_cn") - F.col("_n")).alias("_cnj"),
+    )
+    k = pre.select(
+        F.col("_b").alias("_k"), F.col("_cp").alias("_cpk"), F.col("_cn").alias("_cnk")
+    )
+    i = pre.select("_b", "_p", "_n")
+    mean_jk = (F.col("_cpk") - F.col("_cpj")).cast("double") / (
+        F.col("_cnk") - F.col("_cnj")
+    ).cast("double")
+    triples = (
+        i.join(F.broadcast(j), F.col("_j") <= F.col("_b"))
+        .join(F.broadcast(k), F.col("_k") >= F.col("_b"))
+        .filter(F.col("_j") <= F.col("_k"))
+        .select("_b", "_p", "_n", "_j", mean_jk.alias("_m"))
+    )
+    inner = triples.groupBy("_b", "_p", "_n", "_j").agg(F.min("_m").alias("_mn"))
+    iso = inner.groupBy("_b", "_p", "_n").agg(F.max("_mn").alias("_iso"))
+    raw = F.col("_p").cast("double") / F.col("_n").cast("double")
+    return iso.select(
+        F.col("_b").alias("bin"),
+        F.col("_n").alias("n"),
+        F.col("_p").alias("pos"),
+        (F.round(raw, digits) + 0.0).alias("raw_rate"),
+        (F.round(F.col("_iso"), digits) + 0.0).alias("iso_rate"),
+    )
+
+
 def calibration_bins(
     df: DataFrame,
     score_col: str,

@@ -6485,6 +6485,86 @@ def er_jaro_winkler_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "er_entity_clusters",
+    """
+    WITH RECURSIVE nid AS (
+      SELECT p_name AS n, CAST(MIN(p_partkey) AS BIGINT) AS id
+      FROM part GROUP BY p_name
+    ), blocked AS (
+      SELECT n, id, split_part(n, ' ', 1) AS blk FROM nid
+    ), pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.n < b.n
+      WHERE ROUND(jaro_winkler_similarity(a.n, b.n), 4) >= 0.86
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(id, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+    ), assign AS (
+      SELECT id, MIN(label) AS ent FROM reach GROUP BY id
+    )
+    SELECT nn.n AS name, en.n AS entity_name,
+           CAST(COUNT(*) OVER (PARTITION BY assign.ent) AS BIGINT) AS n_members
+    FROM assign
+    JOIN nid nn ON nn.id = assign.id
+    JOIN nid en ON en.id = assign.ent
+    """,
+)
+def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full entity-resolution pipeline end to end: blocked
+    Jaro-Winkler match pairs -> connected components (min-label, the
+    same linear propagation the dedup clusters use) -> one canonical
+    entity per matched name plus its entity size — what a catalog-
+    cleanup job publishes. Names map to stable NUMERIC ids (min part
+    key per distinct name) before propagation — the scale-correct
+    practice (labels stay 8 bytes through every round, and the
+    monotone label-sum convergence probe applies) — then map back for
+    the published canonical name. The oracle re-derives everything:
+    DuckDB's built-in JW (bit-identical to our kernel) feeds a
+    recursive-CTE transitive closure over the same numeric ids."""
+    from lakeapi_spark.operators.dedup import dup_clusters
+    from lakeapi_spark.operators.joins import jaro_winkler_pairs
+
+    p = table(spark, sf_dir, "part")
+    nid = p.groupBy(F.col("p_name").alias("n")).agg(
+        F.min("p_partkey").cast("long").alias("id")
+    )
+    pairs = (
+        jaro_winkler_pairs(
+            p, "p_name", lambda c: F.split_part(c, F.lit(" "), F.lit(1)),
+            threshold=0.86,
+        )
+        .join(F.broadcast(nid.select(F.col("n").alias("name_a"), F.col("id").alias("id_a"))), "name_a")
+        .join(F.broadcast(nid.select(F.col("n").alias("name_b"), F.col("id").alias("id_b"))), "name_b")
+        .select("id_a", "id_b")
+    )
+    clusters = dup_clusters(pairs)
+    w = Window.partitionBy("cluster_id")
+    return (
+        clusters.join(
+            F.broadcast(nid.select(F.col("id"), F.col("n").alias("name"))), "id"
+        )
+        .join(
+            F.broadcast(
+                nid.select(
+                    F.col("id").alias("cluster_id"), F.col("n").alias("entity_name")
+                )
+            ),
+            "cluster_id",
+        )
+        .select(
+            "name",
+            "entity_name",
+            F.count(F.lit(1)).over(w).cast("long").alias("n_members"),
+        )
+    )
+
+
+@register(
     "events_gapfill_locf",
     f"""
     WITH a AS (
@@ -6624,6 +6704,50 @@ def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     l = table(spark, sf_dir, "lineitem")
     return market_basket_pairs(l, "l_orderkey", "l_partkey", top_n=40)
+
+
+@register(
+    "market_basket_triples",
+    """
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS item FROM lineitem
+    ), nb AS (
+      SELECT COUNT(DISTINCT b) AS n_baskets FROM bi
+    ), sup AS (
+      SELECT item, COUNT(*) AS n_item FROM bi GROUP BY item
+    ), triples AS (
+      SELECT x.item AS item_a, y.item AS item_b, z.item AS item_c,
+             CAST(COUNT(*) AS BIGINT) AS n_all
+      FROM bi x
+      JOIN bi y ON x.b = y.b AND x.item < y.item
+      JOIN bi z ON y.b = z.b AND y.item < z.item
+      GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+    ), scored AS (
+      SELECT t.item_a, t.item_b, t.item_c, t.n_all,
+             CAST(t.n_all * nb.n_baskets * nb.n_baskets AS DOUBLE)
+               / CAST(sa.n_item * sb.n_item * sc.n_item AS DOUBLE) AS lift3
+      FROM triples t
+      JOIN sup sa ON sa.item = t.item_a
+      JOIN sup sb ON sb.item = t.item_b
+      JOIN sup sc ON sc.item = t.item_c, nb
+    )
+    SELECT item_a, item_b, item_c, n_all, lift3,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY n_all DESC, item_a, item_b, item_c
+           ) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 40
+    """,
+)
+def market_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top recurring 3-item sets over order baskets with exact-ratio
+    lift against full independence (operators/basket.
+    market_basket_triples) — the Apriori level above pair mining;
+    triple expansion stays bounded at C(|basket|,3) per order and the
+    min-support filter runs before any support join."""
+    from lakeapi_spark.operators.basket import market_basket_triples
+
+    l = table(spark, sf_dir, "lineitem")
+    return market_basket_triples(l, "l_orderkey", "l_partkey", min_support=2, top_n=40)
 
 
 @register(
@@ -9620,6 +9744,114 @@ def roc_auc_value_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase").cast("long").alias("y"),
     )
     return roc_auc(e, ["dow"], "s", "y")
+
+
+@register(
+    "isotonic_calibration_value",
+    """
+    WITH e AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ), mx AS (SELECT MAX(cents) AS mc FROM e),
+    binned AS (
+      SELECT (e.cents * 20) // (mx.mc + 1) AS b,
+             CAST(SUM(e.y) AS BIGINT) AS p, CAST(COUNT(*) AS BIGINT) AS n
+      FROM e, mx GROUP BY 1
+    ), pre AS (
+      SELECT b, p, n,
+             SUM(p) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+             SUM(n) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+      FROM binned
+    ), pj AS (SELECT b AS jb, cp - p AS cpj, cn - n AS cnj FROM pre),
+    pk AS (SELECT b AS kb, cp AS cpk, cn AS cnk FROM pre),
+    tri AS (
+      SELECT i.b, i.p, i.n, pj.jb,
+             CAST(pk.cpk - pj.cpj AS DOUBLE) / CAST(pk.cnk - pj.cnj AS DOUBLE) AS m
+      FROM pre i JOIN pj ON pj.jb <= i.b JOIN pk ON pk.kb >= i.b
+    ), inn AS (
+      SELECT b, p, n, jb, MIN(m) AS mn FROM tri GROUP BY 1, 2, 3, 4
+    ), iso AS (
+      SELECT b, p, n, MAX(mn) AS v FROM inn GROUP BY 1, 2, 3
+    )
+    SELECT b AS bin, n, p AS pos,
+           ROUND(CAST(p AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS raw_rate,
+           ROUND(v, 6) + 0.0 AS iso_rate
+    FROM iso
+    """,
+)
+def isotonic_calibration_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone) calibration of purchase rate against event
+    value over 20 fixed-width bins (operators/stats.
+    isotonic_fit_minimax) — the nonparametric calibrator that beats
+    Platt scaling when the score-probability relation is monotone but
+    not sigmoid. Computed exactly through the minimax identity rather
+    than a sequential PAV loop: the corpus collapses to the bin
+    relation first, so the cubic-in-bins work is constant; the fit is
+    differential-tested against classic PAV in the repo suite."""
+    from lakeapi_spark.operators.stats import isotonic_fit_minimax
+
+    e = table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    mx = e.agg(F.max("cents").alias("mc"))
+    binned = (
+        e.crossJoin(F.broadcast(mx))
+        .select(F.expr("(cents * 20) div (mc + 1)").alias("b"), "y")
+        .groupBy("b")
+        .agg(F.sum("y").alias("p"), F.count(F.lit(1)).alias("n"))
+    )
+    return isotonic_fit_minimax(binned, "b", "p", "n")
+
+
+@register(
+    "cv_fold_auc",
+    """
+    WITH e AS (
+      SELECT CAST(CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 5 AS INT) AS fold,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ), h AS (
+      SELECT fold, s, COUNT(*) AS n, SUM(y) AS p FROM e GROUP BY 1, 2
+    ), c AS (
+      SELECT fold, n, p,
+             COALESCE(SUM(n) OVER (PARTITION BY fold ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+      FROM h
+    ), a AS (
+      SELECT fold, CAST(SUM(p) AS BIGINT) AS n_pos,
+             CAST(SUM(n) - SUM(p) AS BIGINT) AS n_neg,
+             SUM(p * (2 * bef + n + 1)) AS r2
+      FROM c GROUP BY 1
+    )
+    SELECT fold, n_pos, n_neg,
+           CAST(ROUND(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+                      / CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS DOUBLE) + 0.0 AS auc
+    FROM a WHERE n_pos > 0 AND n_neg > 0
+    """,
+)
+def cv_fold_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-validation harness readout: 5 hash-assigned folds (the
+    portable md5 of the event id — deterministic, engine-identical,
+    no stored split column) each scored with the exact integer
+    Mann-Whitney ROC-AUC. The spread across folds is the variance
+    estimate an eval pipeline reports next to the point metric; folds
+    land once at the histogram groupBy, so the whole readout costs
+    the same one shuffle as a single AUC."""
+    from lakeapi_spark.operators.stats import roc_auc
+    from lakeapi_spark.operators.text import portable_hash60
+
+    e = table(spark, sf_dir, "events").select(
+        (portable_hash60(F.col("event_id").cast("string")) % 5)
+        .cast("int")
+        .alias("fold"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("s"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    return roc_auc(e, ["fold"], "s", "y")
 
 
 @register(

@@ -2013,6 +2013,51 @@ def test_acf_zero_filled_known_series_and_gaps(spark):
     assert got == want
 
 
+def test_isotonic_minimax_matches_pav(spark):
+    """The declarative minimax isotonic fit equals the classic
+    sequential pool-adjacent-violators algorithm on random weighted
+    bins, and the fit is monotone non-decreasing."""
+    import random
+
+    from lakeapi_spark.operators.stats import isotonic_fit_minimax
+
+    def pav(ps, ns):
+        # blocks of [pos_sum, n_sum, n_bins]; pool while out of order
+        # (rate comparison in exact integer cross-multiplication)
+        blocks = []
+        for p, n in zip(ps, ns):
+            blocks.append([p, n, 1])
+            while len(blocks) > 1 and (
+                blocks[-2][0] * blocks[-1][1] >= blocks[-1][0] * blocks[-2][1]
+            ):
+                p2, n2, c2 = blocks.pop()
+                blocks[-1][0] += p2
+                blocks[-1][1] += n2
+                blocks[-1][2] += c2
+        fitted = []
+        for p, n, c in blocks:
+            fitted.extend([p / n] * c)
+        return fitted
+
+    rng = random.Random(99)
+    for trial in range(5):
+        B = 12
+        ns = [rng.randint(1, 50) for _ in range(B)]
+        ps = [rng.randint(0, n) for n in ns]
+        df = spark.createDataFrame(
+            list(zip(range(B), ps, ns)), "b long, p long, n long"
+        )
+        got = {
+            r.bin: r.iso_rate
+            for r in isotonic_fit_minimax(df, "b", "p", "n").collect()
+        }
+        want = pav(ps, ns)
+        for i in range(B):
+            assert got[i] == round(want[i], 6), (trial, i, got[i], want[i])
+        vals = [got[i] for i in range(B)]
+        assert vals == sorted(vals)  # monotone
+
+
 def test_bootstrap_mean_ci_brackets_and_deterministic(spark):
     """The Poisson-bootstrap CI brackets the sample mean, is ordered,
     and — being hash-derandomized — is bit-identical across runs."""
