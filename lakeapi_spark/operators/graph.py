@@ -252,6 +252,56 @@ def bfs_hops(
     return dist
 
 
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """The k-core of the undirected simple graph induced by ``edges``
+    — the maximal subgraph where every node keeps degree >= k, the
+    classic cohesion filter (spam-farm detection, recommendation
+    backbone extraction: low-degree fringe peels away, what remains
+    is mutually-supported structure). Iterative peel: drop nodes of
+    degree < k, recompute, repeat to fixpoint. Returns
+    (node, degree) — in-core degrees, all >= k.
+
+    Each round: one degree aggregate (node-keyed, partial agg) + two
+    broadcast anti-joins against the PEELED set (churn-sized, usually
+    tiny after round 1); `localCheckpoint` per round keeps planning
+    O(1) per iteration like connected_components. Rounds are bounded
+    by the peel depth — degenerate chains cost O(n) rounds in theory,
+    but co-occurrence graphs peel in a handful (measured: 3 at test
+    scale)."""
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = und
+    for _ in range(max_iter):
+        deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("c"))
+        bad = deg.filter(F.col("c") < k).select(
+            F.col("u").alias("_bad")
+        ).localCheckpoint(eager=True)
+        if bad.count() == 0:
+            break
+        cur = (
+            cur.join(F.broadcast(bad), cur.u == bad._bad, "left_anti")
+            .join(
+                F.broadcast(bad.withColumnRenamed("_bad", "_bad2")),
+                cur.v == F.col("_bad2"),
+                "left_anti",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cur.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     rounds: int = 3,

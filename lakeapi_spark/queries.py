@@ -1436,6 +1436,75 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
+@register(
+    "preference_pairs_quality",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, doc_id % 50 AS grp,
+             ROUND(0.4 * LEAST(length(text) / 200.0, 1.0)
+                 + 0.3 * (1 - CASE WHEN length(text) > 0
+                                   THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
+                                   ELSE 0.0 END)
+                 + 0.3 * (len(list_filter(['the','and','of','to','a','in','is','that','it','for'],
+                                          w -> list_contains({_TOKS}, w))) / 10.0),
+             4) AS q
+      FROM documents
+    ), best AS (
+      SELECT grp, doc_id AS chosen_id, q AS chosen_q
+      FROM scored QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY grp ORDER BY q DESC, doc_id) = 1
+    ), worst AS (
+      SELECT grp, doc_id AS rejected_id, q AS rejected_q
+      FROM scored QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY grp ORDER BY q, doc_id DESC) = 1
+    )
+    SELECT b.grp, b.chosen_id, w.rejected_id,
+           ROUND(b.chosen_q - w.rejected_q, 4) AS quality_gap
+    FROM best b JOIN worst w ON w.grp = b.grp
+    WHERE b.chosen_id <> w.rejected_id
+    """,
+)
+def preference_pairs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for reward-model / DPO training
+    data: within each prompt group (hash bucket standing in for the
+    shared prompt), the highest- and lowest-quality responses become
+    the (chosen, rejected) pair, with the score gap as a curriculum /
+    margin signal. Two windows over the group key — one shuffle;
+    deterministic tiebreaks keep the pairing engine-exact. Groups
+    whose best and worst coincide (single doc) drop."""
+    from pyspark.sql.window import Window as W
+
+    from lakeapi_spark.operators.text import quality_score
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 50).alias("grp"),
+        quality_score(F.col("text")).alias("q"),
+    )
+    wb = W.partitionBy("grp").orderBy(F.col("q").desc(), "doc_id")
+    ww = W.partitionBy("grp").orderBy(F.col("q"), F.col("doc_id").desc())
+    best = (
+        d.withColumn("_r", F.row_number().over(wb))
+        .filter(F.col("_r") == 1)
+        .select("grp", F.col("doc_id").alias("chosen_id"), F.col("q").alias("cq"))
+    )
+    worst = (
+        d.withColumn("_r", F.row_number().over(ww))
+        .filter(F.col("_r") == 1)
+        .select("grp", F.col("doc_id").alias("rejected_id"), F.col("q").alias("rq"))
+    )
+    return (
+        best.join(worst, "grp")
+        .filter(F.col("chosen_id") != F.col("rejected_id"))
+        .select(
+            "grp",
+            "chosen_id",
+            "rejected_id",
+            F.round(F.col("cq") - F.col("rq"), 4).alias("quality_gap"),
+        )
+    )
+
+
 def _pii_oracle() -> str:
     from lakeapi_spark.operators.text import scrub_pii_oracle_sql
 
@@ -11510,6 +11579,45 @@ def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("aa"),
         )
     )
+
+
+def _kcore_oracle(k: int = 2, rounds: int = 6) -> str:
+    """Unrolled peel oracle for k_core (the LPA-oracle trick: a fixed
+    round count that provably reaches the fixpoint at oracle scale —
+    measured 3 peels at sf0.01, unrolled with 2x margin)."""
+    ctes = [", e_0 AS (SELECT u, v FROM e)"]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f""", d_{r} AS (SELECT u AS nd, COUNT(*) AS c FROM e_{r - 1} GROUP BY 1)
+    , e_{r} AS (
+      SELECT x.u, x.v FROM e_{r - 1} x
+      JOIN d_{r} a ON a.nd = x.u AND a.c >= {k}
+      JOIN d_{r} b ON b.nd = x.v AND b.c >= {k}
+    )"""
+        )
+    return (
+        _STRONG_EDGES_SQL
+        + "\n".join(ctes)
+        + f"""
+    SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM e_{rounds} GROUP BY 1
+    """
+    )
+
+
+@register("kcore_copurchase", _kcore_oracle())
+def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the strong co-purchase graph (operators/graph.k_core):
+    iteratively peel degree-1 fringe parts until every remaining part
+    has >= 2 mutually-supported neighbors — the cohesion backbone a
+    recommender mines instead of the raw graph. The oracle unrolls
+    the same peel a fixed number of rounds (fixpoint reached well
+    inside them at oracle scale); the Spark side iterates with a
+    convergence probe and per-round localCheckpoint."""
+    from lakeapi_spark.operators.graph import k_core
+
+    edges = _strong_copurchase_edges(spark, sf_dir)
+    return k_core(edges, k=2)
 
 
 @register(
