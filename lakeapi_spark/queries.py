@@ -4275,6 +4275,84 @@ def delta_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _replace_where_demo_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once delta table for the replaceWhere query: v0 = orders
+    keyed (o_orderkey, price cents, bucket = key % 4) partitioned by
+    bucket; v1 = one atomic replaceWhere backfill of bucket '2' — the
+    replacement keeps only keys ≡ 2 (mod 8) at doubled price, so both
+    the row COUNT and the values of the replaced scope change while
+    every other bucket's files carry over untouched."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from lakeapi_spark.sources.delta import replace_where_delta, write_delta
+
+    dest = os.path.join(
+        tempfile.gettempdir(),
+        "lakeapi_replwhere_" + hashlib.md5((sf_dir + ":v1").encode()).hexdigest()[:12],
+    )
+    tbl = os.path.join(dest, "orders_rw")
+    marker = os.path.join(dest, "_done")
+    if not os.path.exists(marker):
+        if os.path.isdir(dest):
+            shutil.rmtree(dest)
+        o = table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+            (F.col("o_orderkey") % 4).cast("string").alias("bucket"),
+        )
+        write_delta(o, tbl, partition_by=["bucket"])
+        backfill = (
+            o.filter(F.col("k") % 8 == 2)
+            .select("k", (F.col("cents") * 2).alias("cents"), "bucket")
+        )
+        replace_where_delta(backfill, tbl, "bucket = '2'")
+        with open(marker, "w") as f:
+            f.write("v1\n")
+    return tbl
+
+
+@register(
+    "delta_replace_where",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS k,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             CAST(o_orderkey % 4 AS VARCHAR) AS bucket
+      FROM orders
+    ), final AS (
+      SELECT k, cents, bucket FROM o WHERE bucket <> '2'
+      UNION ALL
+      SELECT k, cents * 2 AS cents, bucket FROM o WHERE k % 8 = 2
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM final GROUP BY 1
+    """,
+)
+def delta_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """replaceWhere backfill end-to-end (sources/delta.
+    replace_where_delta — delta-spark's predicate-scoped overwrite):
+    after one atomic commit swaps bucket '2' for a reshaped reload
+    (fewer rows, doubled prices), the per-bucket contents reconcile
+    with DuckDB recomputing the final state from first principles —
+    proving the scope boundary (other buckets untouched, carried by
+    log reference) and the in-scope replacement both landed."""
+    from lakeapi_spark.sources.readers import read_source
+
+    dest = _replace_where_demo_table(spark, sf_dir)
+    return (
+        read_source(spark, dest, "delta")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
 def _restore_demo_table(spark: SparkSession, sf_dir: str) -> str:
     """Build-once delta table for the RESTORE query: v0 = orders
     subset, v1 = merge-on-read DELETE via deletion vectors, v2 =
@@ -11618,6 +11696,101 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _strong_copurchase_edges(spark, sf_dir)
     return k_core(edges, k=2)
+
+
+@register(
+    "er_blocking_quality",
+    """
+    WITH names AS (
+      SELECT DISTINCT p_name AS n FROM part
+    ), blocked AS (
+      SELECT n, split_part(n, ' ', 1) AS blk FROM names
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_names FROM names
+    ), cand AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS cand_pairs
+      FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.n < b.n
+    ), samp AS (
+      SELECT n, split_part(n, ' ', 1) AS blk FROM names
+      WHERE CAST(concat('0x', substr(md5(n), 1, 15)) AS BIGINT) % 2 = 0
+    ), truth AS (
+      SELECT a.n AS na, b.n AS nb, a.blk = b.blk AS captured
+      FROM samp a JOIN samp b ON a.n < b.n
+      WHERE ROUND(jaro_winkler_similarity(a.n, b.n), 4) >= 0.86
+    )
+    SELECT tot.n_names, cand.cand_pairs,
+           ROUND(1.0 - CAST(cand.cand_pairs AS DOUBLE)
+                 / (CAST(tot.n_names AS DOUBLE) * (tot.n_names - 1) / 2.0), 6)
+             + 0.0 AS reduction_ratio,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS sample_true_pairs,
+           (SELECT CAST(COUNT(*) FILTER (WHERE captured) AS BIGINT) FROM truth)
+             AS sample_captured
+    FROM tot, cand
+    """,
+)
+def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality report for the entity-resolution pipeline —
+    the two numbers every blocking scheme is judged by: REDUCTION
+    RATIO (how much of the quadratic pair space the first-token
+    blocks eliminate — exact integer ratio over the full name
+    universe) and PAIR COMPLETENESS evidence (on a deterministic
+    md5-sampled 1/20 name subset, ground-truth Jaro-Winkler matches
+    are scored ALL-PAIRS — quadratic only in the sample, the standard
+    evaluation shape; shrink the sampling fraction as the catalog
+    grows (1/2 here because the test catalog has only dozens of
+    distinct names) — and counted as captured when blocking would
+    co-locate them). The sample keeps the quadratic term bounded at
+    any corpus size; the blocking side stays one equi-join."""
+    from lakeapi_spark.operators.joins import jaro_winkler_pairs
+    from lakeapi_spark.operators.text import portable_hash60
+
+    p = table(spark, sf_dir, "part")
+    names = p.select(F.col("p_name").alias("n")).distinct()
+    blk = F.split_part(F.col("n"), F.lit(" "), F.lit(1))
+    tot = names.agg(F.count(F.lit(1)).alias("n_names"))
+    cand = (
+        names.select("n", blk.alias("blk"))
+        .alias("a")
+        .join(names.select(F.col("n").alias("n2"), blk.alias("blk")).alias("b"), "blk")
+        .filter(F.col("n") < F.col("n2"))
+        .agg(F.count(F.lit(1)).alias("cand_pairs"))
+    )
+    samp = names.filter(portable_hash60(F.col("n")) % 2 == 0)
+    truth = jaro_winkler_pairs(
+        samp.select(F.col("n").alias("p_name")),
+        "p_name",
+        lambda c: F.lit(1),
+        threshold=0.86,
+    ).select(
+        (
+            F.split_part(F.col("name_a"), F.lit(" "), F.lit(1))
+            == F.split_part(F.col("name_b"), F.lit(" "), F.lit(1))
+        ).alias("captured")
+    )
+    tr = truth.agg(
+        F.count(F.lit(1)).alias("sample_true_pairs"),
+        F.coalesce(
+            F.sum(F.col("captured").cast("long")), F.lit(0)
+        ).alias("sample_captured"),
+    )
+    rr = F.round(
+        1.0
+        - F.col("cand_pairs").cast("double")
+        / (F.col("n_names").cast("double") * (F.col("n_names") - 1) / 2.0),
+        6,
+    ) + 0.0
+    return (
+        F.broadcast(tot)
+        .crossJoin(F.broadcast(cand))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "n_names",
+            "cand_pairs",
+            rr.alias("reduction_ratio"),
+            "sample_true_pairs",
+            "sample_captured",
+        )
+    )
 
 
 @register(

@@ -2579,6 +2579,149 @@ def update_delta(
     )
 
 
+def replace_where_delta(
+    df: DataFrame,
+    path: str,
+    predicate: str,
+    max_commit_retries: int = 10,
+    collect_stats: bool = True,
+) -> int:
+    """Predicate-scoped atomic overwrite — delta-spark's
+    ``option("replaceWhere", pred)`` with mode=overwrite, the backfill
+    primitive ("reload this day/region idempotently"): ONE commit
+    removes every existing row matching ``predicate`` and lands ``df``
+    in its place, with delta's constraint that every INCOMING row must
+    itself satisfy the predicate (a backfill that writes outside its
+    declared scope is a silent corruption — rejected up front).
+
+    Copy-on-write with touched-data cost: a provenance scan finds the
+    files containing a matching LIVE row (existing deletion vectors
+    applied; the rewrite folds them in), only those files rewrite —
+    keeping their non-matching rows — untouched files carry over by
+    log reference, and the new data stages alongside, all landing in
+    one atomic version (same put-if-absent + conflict rules as
+    merge/update). On a partition-aligned predicate the scan prunes to
+    the affected partitions, so cost ∝ replaced partitions — the
+    backfill sweet spot. CDF tables record delete pre-images for
+    replaced rows and insert rows for the incoming data. Generated
+    columns compute-if-absent; identity columns must be supplied
+    explicitly (use write_delta's append path for allocation).
+    Returns the committed version."""
+    import os
+
+    spark = df.sparkSession
+    base = _local_path(path).rstrip("/")
+    snap = delta_snapshot(spark, base)
+    _gate_write(snap, "overwrite")
+    col_order = [f.name for f in snap.schema.fields]
+    for gname, gexpr in _generated_fields(snap.schema).items():
+        if gname not in df.columns:  # compute-if-absent, delta's rule
+            df = df.withColumn(gname, F.expr(gexpr))
+    missing_ident = [c for c in _identity_fields(snap.schema) if c not in df.columns]
+    if missing_ident:
+        raise ValueError(
+            f"replaceWhere requires explicit values for identity column(s) "
+            f"{missing_ident}; the allocating writer is write_delta(mode='append')"
+        )
+    if set(df.columns) != set(col_order):
+        raise ValueError(
+            f"replaceWhere keeps the table schema: expected columns "
+            f"{col_order}, got {sorted(df.columns)} (no mergeSchema on a "
+            "scoped overwrite)"
+        )
+    df = df.select(*col_order)
+    table_types = {f.name: f.dataType.simpleString() for f in snap.schema.fields}
+    for f in df.schema.fields:
+        if not _safe_upcast(f.dataType.simpleString(), table_types[f.name]):
+            raise ValueError(
+                f"replaceWhere schema mismatch: column {f.name!r} is "
+                f"{table_types[f.name]} in the table but "
+                f"{f.dataType.simpleString()} in the incoming data"
+            )
+    cond = F.expr(predicate)
+    if df.filter(~F.coalesce(cond, F.lit(False))).limit(1).count() > 0:
+        raise ValueError(
+            "replaceWhere constraint violated: incoming rows must all "
+            f"satisfy the predicate {predicate!r} (delta's rule — a "
+            "backfill may not write outside its declared scope)"
+        )
+    _enforce_row_rules(
+        df, snap.schema, snap.metadata_raw.get("configuration"), "replaceWhere"
+    )
+
+    target = _files_to_df(spark, base, snap, snap.files, file_col="_file")
+    matched_files_rows = target.filter(cond).select("_file").distinct().collect()
+    abs_to_rel = {os.path.abspath(_add_abs(base, rel)): rel for rel in snap.files}
+    touched: list[str] = []
+    for row in matched_files_rows:
+        rel = abs_to_rel.get(_uri_to_raw_path(row["_file"]))
+        if rel is None:  # pragma: no cover - provenance must resolve
+            raise RuntimeError(f"scanned file not in snapshot {base}")
+        touched.append(rel)
+
+    cdf = _cdf_enabled(snap)
+    adds: list[dict] = []
+    removes: list[dict] = []
+    cdc_actions: list[dict] = []
+    flagged = None
+    try:
+        if touched:
+            touched_rows = _files_to_df(
+                spark, base, snap, {p: snap.files[p] for p in touched}
+            )
+            # the match flag is evaluated ONCE (persisted under CDF) so
+            # the kept rewrite and the delete pre-images see the SAME
+            # row set even for nondeterministic predicates — the
+            # update_delta discipline
+            flagged = touched_rows.withColumn(
+                "__m", F.coalesce(cond, F.lit(False))
+            )
+            if cdf:
+                flagged = flagged.persist()
+            kept = flagged.filter(~F.col("__m")).select(*col_order)
+            adds += _stage_snapshot_files(kept, base, snap, collect_stats)
+            removes = [
+                {"remove": {"path": p, "deletionTimestamp": 0, "dataChange": True}}
+                for p in touched
+            ]
+            if cdf:
+                cdc_df = (
+                    flagged.filter(F.col("__m"))
+                    .select(*col_order)
+                    .withColumn("_change_type", F.lit("delete"))
+                    .unionByName(
+                        df.withColumn("_change_type", F.lit("insert"))
+                    )
+                )
+                cdc_actions = _stage_cdc_files(cdc_df, base, snap)
+        elif cdf:
+            cdc_actions = _stage_cdc_files(
+                df.withColumn("_change_type", F.lit("insert")), base, snap
+            )
+        adds += _stage_snapshot_files(df, base, snap, collect_stats)
+    finally:
+        if flagged is not None and cdf:
+            flagged.unpersist()
+
+    log = f"{base}/_delta_log"
+    for _attempt in range(max_commit_retries):
+        version = snap.version + 1
+        if _try_commit(
+            log, version, removes + adds + cdc_actions, operation="REPLACE WHERE"
+        ):
+            return version
+        snap2 = delta_snapshot(spark, base)
+        if _file_identities(snap2) != _file_identities(snap):
+            raise ConcurrentDeltaModificationError(
+                f"concurrent commit changed {base} during replaceWhere "
+                f"(analyzed v{snap.version}, now v{snap2.version}); re-run"
+            )
+        snap = snap2
+    raise RuntimeError(
+        f"could not commit replaceWhere to {base} after {max_commit_retries} attempts"
+    )
+
+
 def _file_identities(snap: DeltaSnapshot) -> dict[str, tuple]:
     """path -> (path, DV identity): the unit of change detection. Two
     snapshots agree on a file only if both the data file AND its

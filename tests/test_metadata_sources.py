@@ -1067,6 +1067,92 @@ class TestDeltaWriter:
             assert ds == list(range(ds[0], ds[0] + len(ds)))  # contiguous run
 
 
+class TestReplaceWhere:
+    """Predicate-scoped atomic overwrite (sources/delta.
+    replace_where_delta) — delta-spark's replaceWhere backfill
+    primitive: one commit swaps exactly the matching rows."""
+
+    @staticmethod
+    def _seed(spark, path):
+        from lakeapi_spark.sources.delta import write_delta
+
+        df = spark.range(40).selectExpr(
+            "id AS k", "id * 2 AS v", "CAST(id % 4 AS STRING) AS p"
+        )
+        write_delta(df, path, partition_by=["p"])
+        return df
+
+    def test_partition_aligned_backfill(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import (
+            delta_snapshot,
+            read_delta_fallback,
+            replace_where_delta,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        before = delta_snapshot(spark, path)
+        untouched_before = {
+            f for f, pv in before.files.items() if pv.get("p") != "1"
+        }
+        new = spark.createDataFrame(
+            [(100, 1000, "1"), (101, 1010, "1")], "k long, v long, p string"
+        )
+        v = replace_where_delta(new, path, "p = '1'")
+        assert v == before.version + 1  # ONE atomic commit
+        after = read_delta_fallback(spark, path)
+        got_p1 = {(r.k, r.v) for r in after.filter("p = '1'").collect()}
+        assert got_p1 == {(100, 1000), (101, 1010)}  # fully replaced
+        assert after.filter("p <> '1'").count() == 30  # others untouched
+        # untouched files carried by log reference, not rewritten
+        snap2 = delta_snapshot(spark, path)
+        assert untouched_before <= set(snap2.files)
+
+    def test_row_level_predicate_keeps_nonmatching_rows(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import (
+            read_delta_fallback,
+            replace_where_delta,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)  # k in 0..39
+        new = spark.createDataFrame([(2, 999, "2")], "k long, v long, p string")
+        replace_where_delta(new, path, "k < 5")
+        rows = {(r.k, r.v) for r in read_delta_fallback(spark, path).collect()}
+        assert (2, 999) in rows
+        assert not any(k < 5 for k, _ in rows - {(2, 999)})  # old k<5 gone
+        assert sum(1 for k, _ in rows if k >= 5) == 35  # kept rows intact
+
+    def test_out_of_scope_rows_rejected(self, spark, tmp_path):
+        import pytest
+
+        from lakeapi_spark.sources.delta import replace_where_delta
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        bad = spark.createDataFrame([(7, 70, "3")], "k long, v long, p string")
+        with pytest.raises(ValueError, match="satisfy the predicate"):
+            replace_where_delta(bad, path, "p = '1'")
+
+    def test_cdf_records_deletes_and_inserts(self, spark, tmp_path):
+        from lakeapi_spark.sources.delta import (
+            delta_changes,
+            replace_where_delta,
+            write_delta,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.range(10).selectExpr("id AS k", "id * 2 AS v")
+        write_delta(df, path, configuration={"delta.enableChangeDataFeed": "true"})
+        new = spark.createDataFrame([(3, 333)], "k long, v long")
+        v = replace_where_delta(new, path, "k IN (3, 4)")
+        ch = delta_changes(spark, path, v_from=v - 1, v_to=v).collect()
+        kinds = {(r.k, r._change_type) for r in ch}
+        assert (3, "delete") in kinds and (4, "delete") in kinds
+        assert (3, "insert") in kinds
+        assert len([r for r in ch if r._change_type == "insert"]) == 1
+
+
 class TestDeltaMerge:
     """MERGE INTO (copy-on-write upsert) + CDF-style version diff
     (sources/delta.py:merge_delta/delta_version_diff) — the write-path
