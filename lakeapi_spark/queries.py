@@ -1996,6 +1996,93 @@ def _simhash_fp_cte(bits: int = 60) -> str:
     """
 
 
+def _lsh_quality_oracle(threshold: float = 0.5) -> str:
+    """Composition oracle for the LSH quality report: the FULL minhash
+    pipeline re-derivation (as a subquery) full-outer-joined against
+    the exact hashed-shingle Jaccard pair set at the same threshold."""
+    lsh_sql = _minhash_oracle(threshold=threshold)
+    return f"""
+    WITH lshp AS (SELECT id_a, id_b FROM ({lsh_sql})),
+    toks2 AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents
+    ), idx2 AS (
+      SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks2 WHERE len(t) >= 2
+    ), grams2 AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS g FROM idx2
+    ), hsx2 AS (
+      SELECT doc_id, {_PH60.format(x='g')} AS h FROM grams2
+    ), sizes2 AS (
+      SELECT doc_id, COUNT(*) AS n FROM hsx2 GROUP BY doc_id
+    ), inter2 AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+      FROM hsx2 a JOIN hsx2 b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2
+    ), exactp AS (
+      SELECT i.id_a, i.id_b FROM inter2 i
+      JOIN sizes2 na ON na.doc_id = i.id_a
+      JOIN sizes2 nb ON nb.doc_id = i.id_b
+      WHERE ROUND(CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni), 4) >= {threshold}
+    ), m AS (
+      SELECT CASE WHEN e.id_a IS NOT NULL THEN 1 ELSE 0 END AS ex,
+             CASE WHEN l.id_a IS NOT NULL THEN 1 ELSE 0 END AS ls
+      FROM exactp e FULL OUTER JOIN lshp l
+        ON l.id_a = e.id_a AND l.id_b = e.id_b
+    )
+    SELECT CAST(SUM(ex) AS BIGINT) AS n_exact, CAST(SUM(ls) AS BIGINT) AS n_lsh,
+           CAST(SUM(ex * ls) AS BIGINT) AS n_common,
+           ROUND(CAST(SUM(ex * ls) AS DOUBLE) / SUM(ex), 6) + 0.0 AS recall,
+           ROUND(CAST(SUM(ex * ls) AS DOUBLE) / SUM(ls), 6) + 0.0 AS precision
+    FROM m
+    """
+
+
+@register("dedup_lsh_quality", _lsh_quality_oracle())
+def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality report — what a data-quality team measures before
+    trusting approximate dedup at scale: the banded MinHash pair set
+    vs the EXACT hashed-shingle Jaccard pair set at the same
+    threshold, full-outer-joined into (n_exact, n_lsh, n_common,
+    recall, precision). Precision is 1 by construction (LSH verifies
+    candidates with the exact Jaccard); recall < 1 quantifies banding
+    misses — the number you tune bands/rows against. Exact side costs
+    one shingle self-join (the thing LSH avoids), so at corpus scale
+    this report runs on a hash-sampled subset; at test scale it runs
+    whole."""
+    from lakeapi_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    d = table(spark, sf_dir, "documents")
+    lsh = (
+        minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5)
+        .select("id_a", "id_b")
+        .withColumn("ls", F.lit(1))
+    )
+    ex = (
+        ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.5)
+        .select("id_a", "id_b")
+        .withColumn("ex", F.lit(1))
+    )
+    m = ex.join(lsh, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce("ex", F.lit(0)).alias("ex"),
+        F.coalesce("ls", F.lit(0)).alias("ls"),
+    )
+    return m.agg(
+        F.sum("ex").alias("n_exact"),
+        F.sum("ls").alias("n_lsh"),
+        F.sum(F.col("ex") * F.col("ls")).alias("n_common"),
+        (
+            F.round(
+                F.sum(F.col("ex") * F.col("ls")).cast("double") / F.sum("ex"), 6
+            )
+            + 0.0
+        ).alias("recall"),
+        (
+            F.round(
+                F.sum(F.col("ex") * F.col("ls")).cast("double") / F.sum("ls"), 6
+            )
+            + 0.0
+        ).alias("precision"),
+    )
+
+
 @register("dedup_minhash_lsh", _minhash_oracle(), bench=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH near-dup pairs, now EXACTLY oracle-verified:
@@ -10374,6 +10461,98 @@ def dedup_lsh_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, idx = _lsh_incremental_fixture(spark, sf_dir)
     return lsh_index_pairs(spark, idx)
+
+
+@register(
+    "search_more_like_this",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+      GROUP BY 1, 2
+    ), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+    dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    qv AS (
+      SELECT tf.tok, tf.tf AS qtf, dfq.df
+      FROM tf JOIN dfq ON dfq.tok = tf.tok WHERE tf.doc_id = 0
+    ), contrib AS (
+      SELECT t.doc_id,
+             CAST(ROUND(
+               (qv.qtf * LN(CAST(nd.n AS DOUBLE) / qv.df))
+               * (t.tf * LN(CAST(nd.n AS DOUBLE) / qv.df)) * 1000000.0, 0)
+             AS BIGINT) AS c
+      FROM tf t JOIN qv ON qv.tok = t.tok, nd
+      WHERE t.doc_id <> 0
+    ), scored AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS s FROM contrib GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(ROUND(CAST(s AS DOUBLE) / 1000000.0, 4) AS DOUBLE) + 0.0 AS mlt_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank
+    FROM scored QUALIFY rank <= 20
+    """,
+)
+def search_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'More like this' — top-20 documents by TF-IDF dot product with
+    a query DOCUMENT (doc 0), the zero-setup related-content /
+    find-similar primitive when no embeddings exist. Candidates come
+    from the postings join on the QUERY DOC's terms only (never an
+    all-pairs scan); each term contribution rounds to fixed-point
+    int64 BEFORE the per-doc sum, so the ranking is an exact integer
+    sort with no float-accumulation-order hazard — the rrf_fuse
+    discipline applied to weighted retrieval. One tokenize pass feeds
+    tf and df; the query vector is broadcast-sized."""
+    from pyspark.sql.window import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = d.select("doc_id", toks.alias("toks"))
+    tf = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    ).persist()
+    try:
+        n_docs = base.count()
+        dfq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        qv = (
+            tf.filter(F.col("doc_id") == 0)
+            .join(dfq, "tok")
+            .select("tok", F.col("tf").alias("qtf"), "df")
+        )
+        idf = F.log(F.lit(float(n_docs)) / F.col("df"))
+        contrib = (
+            tf.filter(F.col("doc_id") != 0)
+            .join(F.broadcast(qv), "tok")
+            .select(
+                "doc_id",
+                F.round(
+                    (F.col("qtf") * idf) * (F.col("tf") * idf) * 1000000.0, 0
+                )
+                .cast("long")
+                .alias("c"),
+            )
+        )
+        scored = contrib.groupBy("doc_id").agg(F.sum("c").alias("s"))
+        w = W.orderBy(F.col("s").desc(), "doc_id")
+        out = (
+            scored.orderBy(F.col("s").desc(), "doc_id")
+            .limit(20)
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .select(
+                "doc_id",
+                (F.round(F.col("s").cast("double") / 1000000.0, 4) + 0.0).alias(
+                    "mlt_score"
+                ),
+                "rank",
+            )
+        )
+        return out.localCheckpoint(eager=True)  # sever persisted lineage
+    finally:
+        tf.unpersist()
 
 
 def _bm25_incremental_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
