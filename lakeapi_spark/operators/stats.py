@@ -1059,13 +1059,8 @@ def bootstrap_mean_ci(
 
     from lakeapi_spark.operators.text import portable_hash60
 
-    a_mul, c_add, m_mod = 1103515245, 12345, 1 << 31
-    jumps = []
-    A, C = 1, 0
-    for _ in range(n_reps):
-        A = (a_mul * A) % m_mod
-        C = (a_mul * C + c_add) % m_mod
-        jumps.append((A, C))
+    m_mod = 1 << 31
+    jumps = _lcg_jumps(n_reps)
 
     base = df.select(F.col(id_col).alias("_id"), F.col(val_col).alias("_x"))
     seeded = base.select(
@@ -1121,6 +1116,117 @@ def bootstrap_mean_ci(
             "mean_full",
             (F.col("ci_hi") + 0.0).alias("ci_hi"),
         )
+    )
+
+
+def _lcg_jumps(n_reps: int) -> list[tuple[int, int]]:
+    """(A_b, C_b) jump constants so h_b = (A_b*seed + C_b) mod 2^31
+    lands the b-th state of the glibc LCG directly — shared by the
+    Poisson bootstrap and the permutation test (one md5 per row, one
+    multiply-add-mod per replicate)."""
+    a_mul, c_add, m_mod = 1103515245, 12345, 1 << 31
+    out = []
+    A, C = 1, 0
+    for _ in range(n_reps):
+        A = (a_mul * A) % m_mod
+        C = (a_mul * C + c_add) % m_mod
+        out.append((A, C))
+    return out
+
+
+def permutation_test_means(
+    df: DataFrame,
+    id_col: str,
+    val_col: str,
+    group_col: str,
+    n_reps: int = 60,
+    digits: int = 6,
+) -> DataFrame:
+    """Two-sample permutation test for a difference in means — the
+    assumption-free significance readout (no normality, no equal
+    variance) an experiment pipeline runs when the z-test's
+    assumptions are in doubt. ``group_col`` must be 0/1. Under H0 the
+    labels are exchangeable: each replicate b re-assigns every row to
+    pseudo-group A with probability n_a/n, DERANDOMIZED — the row's
+    md5 seed jumped to replicate b with precomputed LCG literals
+    (:func:`_lcg_jumps`), and the Bernoulli threshold test done as an
+    EXACT integer cross-multiplication (h_b * n < n_a * 2^31), so
+    both engines materialize identical pseudo-assignments. p_value =
+    (1 + #{b : |diff_b| >= |diff_obs|}) / (B + 1), the standard
+    add-one estimator. Replicate stats are rationals of exact int64
+    sums; comparisons are engine-identical doubles.
+
+    Scale shape: the bootstrap's — rows explode xB with no raw-data
+    shuffle, one B-group partial-aggregated sum, order statistics
+    over the B-row relation. Returns one row
+    (n_a, n_b, diff_obs, n_reps, n_ge, p_value)."""
+    from lakeapi_spark.operators.text import portable_hash60
+
+    m_mod = 1 << 31
+    jumps = _lcg_jumps(n_reps)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(val_col).cast("long").alias("_x"),
+        F.col(group_col).cast("int").alias("_g"),
+    )
+    tot = base.agg(
+        F.sum(F.col("_g").cast("long")).alias("n_a"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("_g") == 1, F.col("_x"))).alias("sa"),
+        F.sum(F.when(F.col("_g") == 0, F.col("_x"))).alias("sb"),
+    ).first()
+    n_a, n, sa, sb = int(tot.n_a), int(tot.n), int(tot.sa), int(tot.sb)
+    n_b = n - n_a
+    diff_obs = abs(sa / n_a - sb / n_b)
+    seeded = base.select(
+        "_x",
+        (portable_hash60(F.col("_id").cast("string")) % F.lit(m_mod)).alias("_h0"),
+    )
+    r = seeded.select(
+        "_x", "_h0",
+        F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("b"),
+    )
+    A_b = F.element_at(F.array(*[F.lit(a) for a, _ in jumps]), F.col("b") + 1)
+    C_b = F.element_at(F.array(*[F.lit(c) for _, c in jumps]), F.col("b") + 1)
+    hb = (A_b * F.col("_h0") + C_b) % F.lit(m_mod)
+    in_a = (hb * F.lit(n)) < F.lit(n_a * m_mod)  # exact integer Bernoulli
+    rep = (
+        r.select(
+            "b",
+            F.when(in_a, F.col("_x")).alias("_xa"),
+            F.when(~in_a, F.col("_x")).alias("_xb"),
+        )
+        .groupBy("b")
+        .agg(
+            F.sum("_xa").alias("_sa"),
+            F.count("_xa").alias("_na"),
+            F.sum("_xb").alias("_sb"),
+            F.count("_xb").alias("_nb"),
+        )
+        .filter((F.col("_na") > 0) & (F.col("_nb") > 0))
+    )
+    stat = F.abs(
+        F.col("_sa").cast("double") / F.col("_na").cast("double")
+        - F.col("_sb").cast("double") / F.col("_nb").cast("double")
+    )
+    agg = rep.agg(
+        F.sum((stat >= F.lit(diff_obs)).cast("long")).alias("n_ge"),
+        F.count(F.lit(1)).alias("n_used"),
+    )
+    return agg.select(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        (F.round(F.lit(diff_obs), digits) + 0.0).alias("diff_obs"),
+        F.col("n_used").cast("long").alias("n_reps"),
+        F.col("n_ge").cast("long").alias("n_ge"),
+        (
+            F.round(
+                (F.col("n_ge") + 1).cast("double")
+                / (F.col("n_used") + 1).cast("double"),
+                digits,
+            )
+            + 0.0
+        ).alias("p_value"),
     )
 
 

@@ -10197,6 +10197,88 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acf_zero_filled(daily, "d", "x", max_lag=7)
 
 
+def _permutation_test_oracle(n_reps: int = 60) -> str:
+    """DuckDB twin of operators/stats.permutation_test_means over the
+    purchase-vs-view event values: same md5 row seed, same LCG jump
+    literals, same exact-integer Bernoulli assignment."""
+    from lakeapi_spark.operators.stats import _lcg_jumps
+
+    m_mod = 1 << 31
+    jumps = _lcg_jumps(n_reps)
+    a_list = ", ".join(str(a) for a, _ in jumps)
+    c_list = ", ".join(str(c) for _, c in jumps)
+    return f"""
+    WITH e AS (
+      SELECT event_id AS id, CAST(ROUND(value * 100, 0) AS BIGINT) AS x,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ), tot AS (
+      SELECT CAST(SUM(g) AS BIGINT) AS n_a, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN g = 1 THEN x END) AS BIGINT) AS sa,
+             CAST(SUM(CASE WHEN g = 0 THEN x END) AS BIGINT) AS sb
+      FROM e
+    ), obs AS (
+      SELECT n_a, n - n_a AS n_b,
+             ABS(CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / (n - n_a)) AS d
+      FROM tot
+    ), seeded AS (
+      SELECT x,
+             CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {m_mod} AS h0
+      FROM e
+    ), r AS (
+      SELECT x, h0, unnest(range(0, {n_reps})) AS b FROM seeded
+    ), asn AS (
+      SELECT b, x,
+             ((([{a_list}])[CAST(b AS INT) + 1] * h0
+               + ([{c_list}])[CAST(b AS INT) + 1]) % {m_mod}) * tot.n
+               < tot.n_a * {m_mod} AS in_a
+      FROM r, tot
+    ), rep AS (
+      SELECT b,
+             CAST(SUM(CASE WHEN in_a THEN x END) AS BIGINT) AS sa,
+             COUNT(CASE WHEN in_a THEN 1 END) AS na,
+             CAST(SUM(CASE WHEN NOT in_a THEN x END) AS BIGINT) AS sb,
+             COUNT(CASE WHEN NOT in_a THEN 1 END) AS nb
+      FROM asn GROUP BY b HAVING na > 0 AND nb > 0
+    ), cmp AS (
+      SELECT CAST(SUM(CASE WHEN ABS(CAST(rep.sa AS DOUBLE) / rep.na
+                                 - CAST(rep.sb AS DOUBLE) / rep.nb) >= obs.d
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+             CAST(COUNT(*) AS BIGINT) AS n_used
+      FROM rep, obs
+    )
+    SELECT obs.n_a, obs.n_b,
+           ROUND(obs.d, 6) + 0.0 AS diff_obs,
+           cmp.n_used AS n_reps, cmp.n_ge,
+           ROUND(CAST(cmp.n_ge + 1 AS DOUBLE) / (cmp.n_used + 1), 6) + 0.0 AS p_value
+    FROM obs, cmp
+    """
+
+
+@register("permutation_test_value", _permutation_test_oracle())
+def permutation_test_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assumption-free permutation test: are purchase event values
+    drawn from the same distribution as view values? 60 derandomized
+    label permutations (md5 row seed + LCG jump literals, Bernoulli
+    assignment as an exact integer cross-multiplication) re-compute
+    the mean difference under H0; the add-one p-value falls out of an
+    order comparison on engine-identical doubles
+    (operators/stats.permutation_test_means)."""
+    from lakeapi_spark.operators.stats import permutation_test_means
+
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select(
+            "event_id",
+            F.round(F.col("value") * 100, 0).cast("long").alias("x"),
+            (F.col("event_type") == "purchase").cast("int").alias("g"),
+        )
+    )
+    return permutation_test_means(e, "event_id", "x", "g", n_reps=60)
+
+
 def _bootstrap_ci_oracle(n_reps: int = 40, trim: int = 1) -> str:
     """DuckDB twin of operators/stats.bootstrap_mean_ci over orders:
     same md5 row seed, same precomputed LCG jump literals, same

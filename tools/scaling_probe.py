@@ -71,6 +71,15 @@ PROBED = [
     # real JPEG codec round-trip (encode fixture + Huffman/DCT decode,
     # both Arrow kernels — per-doc cost linear in raster size)
     "multimodal_jpeg_decode",
+    # round-9: LSH-vs-exact quality report (the exact shingle self-join
+    # IS the quadratic-candidate cost the report quantifies) and the
+    # text quality preference pairing. NOTE: queries whose build() ends
+    # in an EAGER localCheckpoint (llr collocations, more-like-this,
+    # pmi) cannot be probed here — their work executes inside build(),
+    # so the timed noop save would read back checkpointed rows and
+    # report overhead, not growth.
+    "dedup_lsh_quality",
+    "preference_pairs_quality",
 ]
 
 SF_SMALL = "/root/testdata/sf0.01"
