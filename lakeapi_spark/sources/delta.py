@@ -32,7 +32,9 @@ or mid-size table is fully served.
 
 from __future__ import annotations
 
+import decimal
 import json
+import math
 import threading
 from dataclasses import dataclass, field
 
@@ -844,6 +846,19 @@ def _file_stats_json(path: str) -> str | None:
                     continue
             if hasattr(mn, "isoformat"):
                 mn, mx = mn.isoformat(), mx.isoformat()
+            if isinstance(mn, decimal.Decimal):
+                # decimal footer stats land as JSON numbers via
+                # CONSERVATIVE float bounds: a float cast can round to
+                # either side, so the recorded min widens DOWN and the
+                # max UP one ulp when the cast overstated them —
+                # skipping stays sound (never prunes a boundary row),
+                # exactness stays in the data
+                fm, fx = float(mn), float(mx)
+                if decimal.Decimal(fm) > mn:
+                    fm = math.nextafter(fm, -math.inf)
+                if decimal.Decimal(fx) < mx:
+                    fx = math.nextafter(fx, math.inf)
+                mn, mx = fm, fx
             try:
                 inconsistent = mn > mx
             except TypeError:

@@ -432,6 +432,81 @@ def lsh_maintained_delta_sink(
     return write
 
 
+def agg_maintained_delta_sink(
+    delta_path: str,
+    agg_path: str,
+    keys: list[str],
+    sum_cols: list[str],
+    app_id: str = "agg-stream",
+    checkpoint_every: int = 10,
+):
+    """Materialized-aggregate-under-a-stream: each micro-batch appends
+    to the fact delta table through the txn-marked sink (exactly-once
+    under foreachBatch redelivery), then the materialized GROUP BY
+    table at ``agg_path`` advances by the INCREMENTAL refresh
+    (operators/incremental.cdf_agg_delta + refresh_agg) — signed
+    per-group deltas from the change feed since the last refreshed
+    version, applied to the previous aggregate state; refresh cost is
+    CHURN-sized, never fact-table-sized, and the result stays
+    bit-identical to a from-scratch recompute (DECIMAL sums). The
+    aggregate table is itself delta, its commits carrying a txn
+    marker with the refreshed-through fact version so a redelivered
+    batch (or a crash between the two writes) is detected and the
+    refresh re-runs idempotently from the recorded version. Aggregate
+    columns: ``n`` (row count) and ``sum_<col>`` per ``sum_cols``."""
+    from lakeapi_spark.operators.incremental import cdf_agg_delta, refresh_agg
+    from lakeapi_spark.sources.delta import (
+        delta_changes,
+        delta_snapshot,
+        delta_stream_sink,
+        last_txn_version,
+        read_delta,
+        write_delta,
+    )
+
+    sink = delta_stream_sink(delta_path, app_id, checkpoint_every=checkpoint_every)
+    agg_app = f"{app_id}-agg"
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sink(batch_df, batch_id)
+        latest = delta_snapshot(spark, delta_path).version
+        done_through = last_txn_version(spark, agg_path, agg_app)
+        if latest <= done_through:
+            return  # redelivery (or no fact movement): aggregate current
+        if done_through < 0:
+            # bootstrap: full aggregate of the fact table as of `latest`
+            base = read_delta(spark, delta_path, {"versionAsOf": str(latest)})
+            agg = base.groupBy(*keys).agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(
+                        F.col(c).cast("double").cast("decimal(28,10)")
+                    ).alias(f"sum_{c}")
+                    for c in sum_cols
+                ],
+            )
+        else:
+            ch = delta_changes(
+                spark, delta_path, v_from=done_through, v_to=latest
+            )
+            delta = cdf_agg_delta(ch, keys, sum_cols)
+            prev = read_delta(spark, agg_path)
+            agg = refresh_agg(prev, delta, keys, "n", sum_cols)
+        # overwrite + txn marker in ONE commit: the marker records the
+        # fact version this state reflects, making the refresh
+        # idempotent under redelivery and crash-between-writes
+        write_delta(
+            agg,
+            agg_path,
+            mode="overwrite",
+            txn_app_id=agg_app,
+            txn_version=latest,
+        )
+
+    return write
+
+
 def ivf_maintained_delta_sink(
     delta_path: str,
     index_path: str,

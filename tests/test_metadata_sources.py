@@ -897,6 +897,47 @@ class TestDeltaWriter:
         n_files_after = len(glob.glob(f"{path}/**/*.parquet", recursive=True))
         assert n_files_after == 2
 
+    def test_decimal_stats_conservative_and_prune(self, spark, tmp_path):
+        """DECIMAL column footer stats land as JSON-number min/max with
+        CONSERVATIVE float bounds (min widens down, max up when the
+        float cast overstates), so skipping on decimal predicates is
+        sound: boundary rows always survive, and out-of-range boxes
+        still prune."""
+        from lakeapi_spark.sources.delta import (
+            _stats_overlap,
+            delta_snapshot,
+            read_delta_fallback,
+            write_delta,
+        )
+
+        df = spark.range(100).selectExpr(
+            "id AS k",
+            "CAST(id AS DECIMAL(28,10)) / 3 AS d",  # repeating decimals
+        )
+        path = str(tmp_path / "t")
+        write_delta(df.repartitionByRange(4, "k").sortWithinPartitions("k"), path)
+        snap = delta_snapshot(spark, path)
+        assert snap.stats
+        for s in snap.stats.values():  # decimal stats present as numbers
+            assert isinstance(s["minValues"]["d"], float)
+            assert s["minValues"]["d"] <= s["maxValues"]["d"]
+        # a box covering only the top quartile prunes lower files
+        kept = sum(
+            1
+            for f in snap.files
+            if _stats_overlap(snap.stats.get(f), [("d", 30, 33)])
+        )
+        assert kept < len(snap.files)
+        # boundary correctness: predicate at an exact stat boundary
+        # returns the same rows with and without skipping
+        want = df.filter("d >= 20 AND d <= 25").count()
+        got = (
+            read_delta_fallback(spark, path, predicates=[("d", 20, 25)])
+            .filter("d >= 20 AND d <= 25")
+            .count()
+        )
+        assert got == want > 0
+
     def test_zorder_stats_skipping_prunes_files(self, spark, tmp_path):
         """Per-file min/max stats land in the commit log, and a z-ordered
         layout makes a 2D box predicate prune most files — while a linear
@@ -1133,6 +1174,26 @@ class TestReplaceWhere:
         bad = spark.createDataFrame([(7, 70, "3")], "k long, v long, p string")
         with pytest.raises(ValueError, match="satisfy the predicate"):
             replace_where_delta(bad, path, "p = '1'")
+
+    def test_column_mapped_table_replace_where(self, spark, tmp_path):
+        """replaceWhere stages rewrites and new data under the
+        PHYSICAL layout of a column-mapped table."""
+        from lakeapi_spark.sources.delta import (
+            read_delta,
+            replace_where_delta,
+            write_delta_column_mapped,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.range(10).selectExpr("id AS k", "id * 2 AS v")
+        write_delta_column_mapped(
+            df, path, physical_names={"k": "pk", "v": "pv"}
+        )
+        new = spark.createDataFrame([(3, 333), (4, 444)], "k long, v long")
+        replace_where_delta(new, path, "k IN (3, 4)")
+        rows = {(r.k, r.v) for r in read_delta(spark, path).collect()}
+        assert (3, 333) in rows and (4, 444) in rows
+        assert (3, 6) not in rows and len(rows) == 10
 
     def test_cdf_records_deletes_and_inserts(self, spark, tmp_path):
         from lakeapi_spark.sources.delta import (

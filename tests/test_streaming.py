@@ -729,6 +729,100 @@ def test_stream_maintained_lsh_index(spark, tmp_path):
     assert {tuple(r) for r in lsh_index_pairs(spark, idx).collect()} == full_pairs
 
 
+def test_stream_maintained_aggregate(spark, tmp_path):
+    """Materialized aggregate kept fresh under a live stream: three
+    micro-batches append to the fact table and each refresh applies
+    only the change-feed deltas, yet the aggregate table equals a
+    from-scratch GROUP BY after the stream drains; a redelivered batch
+    is a no-op; and a refresh after out-of-band fact commits catches
+    up across the version gap (the crash-between-writes contract)."""
+    import os
+
+    from lakeapi_spark.sources.delta import (
+        delta_snapshot,
+        last_txn_version,
+        read_delta,
+        write_delta,
+    )
+    from lakeapi_spark.streaming.pipeline import agg_maintained_delta_sink
+
+    rows = [(i, f"g{i % 3}", float(10 + i)) for i in range(12)]
+    src = str(tmp_path / "agg_src")
+    os.makedirs(src)
+    for i in range(3):
+        spark.createDataFrame(
+            rows[i * 4 : (i + 1) * 4], "k long, g string, v double"
+        ).coalesce(1).write.parquet(f"{src}/f{i}")
+
+    fact, agg = str(tmp_path / "fact"), str(tmp_path / "agg")
+    stream = spark.readStream.schema("k long, g string, v double").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    write = agg_maintained_delta_sink(fact, agg, ["g"], ["v"], app_id="agg-test")
+    q = (
+        stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", str(tmp_path / "agg_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    from decimal import Decimal
+
+    def agg_state():
+        return {
+            (r.g, r.n, Decimal(r.sum_v).normalize())
+            for r in read_delta(spark, agg).collect()
+        }
+
+    def full_recompute():
+        from pyspark.sql import functions as F
+
+        return {
+            (r.g, r.n, Decimal(r.sum_v).normalize())
+            for r in read_delta(spark, fact)
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("v").cast("double").cast("decimal(28,10)")).alias(
+                    "sum_v"
+                ),
+            )
+            .collect()
+        }
+
+    final_v = delta_snapshot(spark, fact).version
+    assert last_txn_version(spark, agg, "agg-test-agg") == final_v
+    assert agg_state() == full_recompute()
+
+    # redelivery: fact version unmoved, aggregate untouched
+    before = agg_state()
+    write(
+        spark.createDataFrame(rows[:1], "k long, g string, v double"),
+        last_txn_version(spark, fact, "agg-test"),
+    )
+    assert delta_snapshot(spark, fact).version == final_v
+    assert agg_state() == before
+
+    # out-of-band fact commits: the next refresh catches up the gap
+    write_delta(
+        spark.createDataFrame([(100, "g0", 5.0)], "k long, g string, v double"),
+        fact,
+    )
+    write_delta(
+        spark.createDataFrame([(101, "g9", 7.0)], "k long, g string, v double"),
+        fact,
+    )
+    write(
+        spark.createDataFrame(
+            [(102, "g1", 1.0)], "k long, g string, v double"
+        ),
+        last_txn_version(spark, fact, "agg-test") + 1,
+    )
+    assert agg_state() == full_recompute()
+    assert ("g9", 1, Decimal(7)) in agg_state()  # new group appeared
+
+
 def test_stream_maintained_ivf_index(spark, tmp_path):
     """The ANN-index-under-a-stream integration (IVF twin of the LSH
     test): embeddings arrive in three micro-batches; batch 0 bootstraps
