@@ -10040,6 +10040,72 @@ def isotonic_calibration_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouped_split_assignment",
+    """
+    WITH ua AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 10 < 8 THEN 'train'
+                  WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 10 = 8 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM events
+    ), j AS (
+      SELECT e.user_id, e.event_id, ua.split FROM events e JOIN ua USING (user_id)
+    ), per_user AS (
+      SELECT user_id, COUNT(DISTINCT split) AS n_splits FROM j GROUP BY 1
+    )
+    SELECT j.split, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT j.user_id) AS BIGINT) AS n_users,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM per_user WHERE n_splits > 1)
+             AS leaked_users
+    FROM j GROUP BY 1
+    """,
+)
+def grouped_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE train/val/test split — the split a recommender or
+    per-user model must use: the hash unit is the USER, so every event
+    of a user lands in one split and cross-split leakage through
+    shared users is structurally impossible. The readout publishes
+    per-split volumes plus a leakage CERTIFICATE (users appearing in
+    more than one split — zero by construction, and verified from the
+    data rather than asserted). Deterministic md5 assignment: no
+    stored split column, stable under appends; one broadcast-sized
+    user relation joins back to the fact table."""
+    from lakeapi_spark.operators.text import portable_hash60
+
+    e = table(spark, sf_dir, "events")
+    bucket = portable_hash60(F.col("user_id").cast("string")) % 10
+    ua = (
+        e.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(bucket < 8, F.lit("train"))
+            .when(bucket == 8, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )
+    j = e.select("user_id", "event_id").join(F.broadcast(ua), "user_id")
+    leaked = (
+        j.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .agg(F.count(F.lit(1)).alias("leaked_users"))
+    )
+    return (
+        j.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .crossJoin(F.broadcast(leaked))
+        .select("split", "n_events", "n_users", "leaked_users")
+    )
+
+
+@register(
     "cv_fold_auc",
     """
     WITH e AS (
