@@ -145,10 +145,23 @@ def market_basket_triples(
             "item_c",
             "n_all",
             (
-                (F.col("n_all") * F.col("n_baskets") * F.col("n_baskets")).cast(
-                    "double"
+                # Each factor is cast to double BEFORE multiplying: the
+                # numerator n_all * n_baskets^2 wraps int64 (non-ANSI)
+                # at ~2M baskets with a high-support triple, silently
+                # emitting wrong/negative lift3. Double products of
+                # exact integers are exact below 2^53 per step and
+                # rank order is by n_all anyway, so the cast order is
+                # the safe one at every scale.
+                (
+                    F.col("n_all").cast("double")
+                    * F.col("n_baskets").cast("double")
+                    * F.col("n_baskets").cast("double")
                 )
-                / (F.col("n_a") * F.col("n_b") * F.col("n_c")).cast("double")
+                / (
+                    F.col("n_a").cast("double")
+                    * F.col("n_b").cast("double")
+                    * F.col("n_c").cast("double")
+                )
             ).alias("lift3"),
         )
     )

@@ -174,6 +174,7 @@ def canary_hits(
     id_col: str,
     text_col: str,
     prefix_tokens: int = 5,
+    max_canaries: int = 100_000,
 ) -> DataFrame:
     """Exact-substring decontamination — the complement of the n-gram
     overlap measure: each benchmark doc contributes one CANARY string
@@ -190,9 +191,13 @@ def canary_hits(
     and broadcast; the training side streams through the containment
     probe map-side — the only exchange is the per-doc hit count's
     groupBy(id), whose input is at most |hits| rows. The O(docs x
-    canaries) substring scans are the documented cost of exactness;
-    swap in an Aho-Corasick Arrow kernel if the canary set grows past
-    ~1e5."""
+    canaries) substring scans are the documented cost of exactness,
+    GUARDED: the canary set is counted up front (benchmark-sized, one
+    cheap aggregate) and a set larger than ``max_canaries`` (default
+    1e5, where per-doc contains() scans stop being free) raises
+    ValueError instead of silently planning an O(docs x canaries)
+    probe — segment the benchmark into <=max_canaries chunks and union
+    the hit counts, or swap in an Aho-Corasick Arrow kernel."""
     t = tokens(F.col(text_col))
     canaries = (
         benchmark.select(F.when(F.size(t) >= 0, t).alias("_t"))
@@ -200,6 +205,15 @@ def canary_hits(
         .select(F.array_join(F.slice("_t", 1, prefix_tokens), " ").alias("canary"))
         .distinct()
     )
+    n_canaries = canaries.count()
+    if n_canaries > max_canaries:
+        raise ValueError(
+            f"canary_hits: {n_canaries} canaries exceeds max_canaries="
+            f"{max_canaries}; the broadcast-contains probe would go "
+            f"O(docs x canaries). Segment the benchmark into chunks of "
+            f"<= {max_canaries} and union the per-chunk hit counts, or "
+            f"use an Aho-Corasick kernel for this canary volume."
+        )
     docs = train.select(
         F.col(id_col).alias("id"),
         # probe side gets the SAME normalization the canary tokens got

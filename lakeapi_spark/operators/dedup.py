@@ -509,6 +509,69 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_quality_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    exact_sample_mod: int | None = None,
+) -> DataFrame:
+    """One-row LSH quality report: the banded MinHash pair set vs the
+    EXACT bigram-Jaccard pair set at the same ``threshold``,
+    full-outer-joined into (n_exact, n_lsh, n_common, recall,
+    precision) — the bands/rows tuning signal. Precision is 1 by
+    construction (LSH verifies candidates with the exact Jaccard);
+    recall < 1 quantifies banding misses.
+
+    The exact side costs the one shingle self-join LSH exists to
+    avoid, so it is the report's own quadratic hazard at corpus scale.
+    ``exact_sample_mod=m`` bounds it: BOTH sides restrict to the
+    deterministic md5-sampled doc subset (portable_hash60(id) % m ==
+    0 — the er_blocking_quality evaluation pattern), so recall and
+    precision are measured over the same (1/m)-universe and the
+    all-pairs term is bounded at (n/m)^2 regardless of corpus size.
+    ``None`` runs whole — the test-scale / oracle-parity path."""
+    from lakeapi_spark.operators.text import portable_hash60
+
+    if exact_sample_mod is not None:
+        df = df.filter(
+            portable_hash60(F.col(id_col).cast("string"))
+            % F.lit(exact_sample_mod)
+            == 0
+        )
+    lsh = (
+        minhash_lsh_pairs(df, id_col, text_col, threshold=threshold)
+        .select("id_a", "id_b")
+        .withColumn("ls", F.lit(1))
+    )
+    ex = (
+        ngram_jaccard_pairs(df, id_col, text_col, threshold=threshold)
+        .select("id_a", "id_b")
+        .withColumn("ex", F.lit(1))
+    )
+    m = ex.join(lsh, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce("ex", F.lit(0)).alias("ex"),
+        F.coalesce("ls", F.lit(0)).alias("ls"),
+    )
+    return m.agg(
+        F.sum("ex").alias("n_exact"),
+        F.sum("ls").alias("n_lsh"),
+        F.sum(F.col("ex") * F.col("ls")).alias("n_common"),
+        (
+            F.round(
+                F.sum(F.col("ex") * F.col("ls")).cast("double") / F.sum("ex"), 6
+            )
+            + 0.0
+        ).alias("recall"),
+        (
+            F.round(
+                F.sum(F.col("ex") * F.col("ls")).cast("double") / F.sum("ls"), 6
+            )
+            + 0.0
+        ).alias("precision"),
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 

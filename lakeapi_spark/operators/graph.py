@@ -273,7 +273,10 @@ def k_core(
     O(1) per iteration like connected_components. Rounds are bounded
     by the peel depth — degenerate chains cost O(n) rounds in theory,
     but co-occurrence graphs peel in a handful (measured: 3 at test
-    scale)."""
+    scale). If ``max_iter`` rounds exhaust BEFORE the fixpoint (deep
+    peel chains), raises RuntimeError rather than silently returning a
+    subgraph that still contains sub-k nodes — the caller could not
+    otherwise distinguish that from convergence."""
     und = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -297,6 +300,22 @@ def k_core(
             )
             .localCheckpoint(eager=True)
         )
+    else:
+        # Loop fell off max_iter without hitting the empty-peel break:
+        # verify the fixpoint actually landed (same convergence-probe
+        # discipline as connected_components' label-sum check).
+        leftover = (
+            cur.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") < k)
+            .count()
+        )
+        if leftover:
+            raise RuntimeError(
+                f"k_core: peel did not reach fixpoint within max_iter="
+                f"{max_iter} rounds ({leftover} node(s) still below degree "
+                f"{k}); raise max_iter for deep-peel graphs (long chains)"
+            )
     return cur.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
@@ -436,3 +455,140 @@ def personalized_pagerank(
             )
         )
     return pr.filter(F.col("pr") > 0)
+
+
+def _wedge_candidates(
+    edges: DataFrame, max_hub_degree: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """Shared wedge scaffolding for the link-prediction pair: from the
+    oriented simple edge list (src < dst), return (deg: (n, d) over the
+    undirected view, wed: (u, v, w) open wedges u-w-v with u < v and
+    (u, v) not already an edge).
+
+    ``max_hub_degree`` is the explicit fan-out bound: a middle node of
+    degree d emits O(d^2) wedges, so one hub dominates the join at
+    scale. The strong-graph support threshold bounds this implicitly
+    for co-purchase graphs; the cap makes the bound a dial (standard
+    Adamic-Adar practice — an excluded hub's contribution is
+    1/ln(huge) ~ 0 anyway, and for common neighbors a hub certifies
+    little). Both wedge sides are pruned with a broadcast semi-join
+    against the allowed-middle set, so capped fan-out never reaches
+    the shuffle."""
+    und = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("n")).agg(F.count(F.lit(1)).alias("d"))
+    w1 = und.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    w2 = und.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    if max_hub_degree is not None:
+        mid_ok = F.broadcast(
+            deg.filter(F.col("d") <= max_hub_degree).select(F.col("n").alias("w"))
+        )
+        w1 = w1.join(mid_ok, "w", "semi")
+        w2 = w2.join(mid_ok, "w", "semi")
+    wed = (
+        w1.join(w2, "w")
+        .filter(F.col("u") < F.col("v"))
+        .join(
+            edges.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+            ["u", "v"],
+            "left_anti",
+        )
+    )
+    return deg, wed
+
+
+def common_neighbors_topk(
+    edges: DataFrame, top_n: int = 20, max_hub_degree: int | None = None
+) -> DataFrame:
+    """Link prediction by common-neighbor count: the top-``top_n``
+    NON-adjacent pairs sharing the most neighbors, plus neighborhood
+    Jaccard. ``edges`` is the oriented simple edge list (src < dst).
+    Returns (rank, u, v, cn, jaccard).
+
+    Plan: one wedge equi-join on the middle node (u < v orientation
+    halves it), anti-join against existing edges, degree relation
+    broadcast; top-n as sort+limit so Catalyst plans
+    TakeOrderedAndProject (per-partition heap + driver merge) instead
+    of a single-partition global window — the rank window then runs
+    over ``top_n`` rows only. ``max_hub_degree`` bounds the wedge
+    fan-out explicitly (see :func:`_wedge_candidates`)."""
+    from pyspark.sql.window import Window
+
+    deg, wed = _wedge_candidates(edges, max_hub_degree)
+    cand = wed.groupBy("u", "v").agg(F.count(F.lit(1)).alias("cn"))
+    scored = (
+        cand.join(
+            F.broadcast(deg.select(F.col("n").alias("u"), F.col("d").alias("du"))),
+            "u",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))),
+            "v",
+        )
+        .select(
+            "u",
+            "v",
+            "cn",
+            (
+                F.round(
+                    F.col("cn").cast("double")
+                    / (F.col("du") + F.col("dv") - F.col("cn")).cast("double"),
+                    6,
+                )
+                + 0.0
+            ).alias("jaccard"),
+        )
+    )
+    wr = Window.orderBy(F.col("cn").desc(), "u", "v")
+    return (
+        scored.orderBy(F.col("cn").desc(), "u", "v")
+        .limit(top_n)
+        .withColumn("rank", F.row_number().over(wr))
+        .select("rank", "u", "v", "cn", "jaccard")
+    )
+
+
+def adamic_adar_topk(
+    edges: DataFrame, top_n: int = 20, max_hub_degree: int | None = None
+) -> DataFrame:
+    """Adamic-Adar link prediction — the degree-discounted upgrade of
+    :func:`common_neighbors_topk`: each common neighbor w contributes
+    1/ln(deg(w)), so shared HUBS count for little and shared rare
+    neighbors count for much. Contributions are fixed-point int64
+    (round(1e12/ln d): each term exact, both engines compute the same
+    double before the round), so the SUM — the usual float-order
+    hazard — is an integer and the top-n order is engine-exact.
+    Returns (rank, u, v, cn, aa). Same wedge shape and
+    ``max_hub_degree`` bound as common neighbors."""
+    from pyspark.sql.window import Window
+
+    deg, wed = _wedge_candidates(edges, max_hub_degree)
+    contrib = wed.join(
+        F.broadcast(deg.select(F.col("n").alias("w"), F.col("d").alias("dw"))),
+        "w",
+    ).select(
+        "u",
+        "v",
+        F.round(F.lit(1000000000000.0) / F.log(F.col("dw").cast("double")), 0)
+        .cast("long")
+        .alias("c"),
+    )
+    sc = contrib.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("cn"), F.sum("c").alias("s")
+    )
+    wr = Window.orderBy(F.col("s").desc(), "u", "v")
+    return (
+        sc.orderBy(F.col("s").desc(), "u", "v")
+        .limit(top_n)
+        .withColumn("rank", F.row_number().over(wr))
+        .select(
+            "rank",
+            "u",
+            "v",
+            "cn",
+            (
+                F.round(F.col("s").cast("double") / 1000000000000.0, 6) + 0.0
+            ).alias("aa"),
+        )
+    )

@@ -229,7 +229,10 @@ def lsh_index_refresh(
         .select(F.col(id_col).alias("id"))
         .distinct()
     )
-    current = read_delta(spark, table_path).select(
+    # Pin the re-read to versionAsOf=latest: a commit landing between
+    # delta_snapshot() and the read would otherwise make the snapshot
+    # record version `latest` while containing newer rows.
+    current = read_delta(spark, table_path, {"versionAsOf": str(latest)}).select(
         F.col(id_col).alias("id"), F.col(text_col)
     )
     changed_docs = current.join(F.broadcast(touched), "id", "semi")
@@ -363,7 +366,11 @@ def bm25_index_refresh_delta(
         .select(F.col(id_col).alias("__id"))
         .distinct()
     )
-    current = read_delta(spark, table_path).select(id_col, text_col)
+    # versionAsOf pin: snapshot content must match the recorded meta
+    # version even if a commit lands between the two calls.
+    current = read_delta(spark, table_path, {"versionAsOf": str(latest)}).select(
+        id_col, text_col
+    )
     changed = current.join(
         F.broadcast(touched.withColumnRenamed("__id", id_col)), id_col, "semi"
     )
@@ -531,7 +538,10 @@ def ivf_index_refresh_delta(
         .select(F.col(id_col).alias("id"))
         .distinct()
     )
-    current = read_delta(spark, table_path).select(id_col, vec_col)
+    # versionAsOf pin: same race guard as the BM25/LSH refreshers.
+    current = read_delta(spark, table_path, {"versionAsOf": str(latest)}).select(
+        id_col, vec_col
+    )
     changed = current.join(
         F.broadcast(touched.withColumnRenamed("id", id_col)), id_col, "semi"
     )

@@ -1052,9 +1052,12 @@ def bootstrap_mean_ci(
     partial-aggregated sum), replicate means are exact integer ratios,
     and the CI is an order statistic over the B-row relation: drop the
     ``trim`` lowest/highest replicate means (trim=1, B=40 ~ a 95%
-    percentile interval). Returns one row
-    (n_replicates, ci_lo, mean_full, ci_hi), values divided by
-    ``unit`` (e.g. 100 for cents->currency) and rounded."""
+    percentile interval); the high bound is rank-picked DESCENDING so
+    it survives replicates dropped for all-zero weights. Returns one
+    row (n_replicates, ci_lo, mean_full, ci_hi) — n_replicates is the
+    SURVIVING replicate count (< n_reps flags a degenerate tiny
+    input), values divided by ``unit`` (e.g. 100 for cents->currency)
+    and rounded."""
     from pyspark.sql.window import Window
 
     from lakeapi_spark.operators.text import portable_hash60
@@ -1090,13 +1093,25 @@ def bootstrap_mean_ci(
         F.col("_s").cast("double") / F.col("_n").cast("double") / F.lit(unit),
         digits,
     )
-    rk = m.select(mean_b.alias("mean_b"), "b").withColumn(
-        "rnk", F.row_number().over(Window.orderBy("mean_b", "b"))
+    # ci_hi comes from a DESCENDING rank so it stays correct when a
+    # degenerate replicate (all Poisson weights zero) is filtered out:
+    # an ascending rank of n_reps - trim would match nothing and
+    # silently NULL the bound. n_replicates reports the SURVIVING
+    # count so a dropped replicate is visible in the output.
+    rk = (
+        m.select(mean_b.alias("mean_b"), "b")
+        .withColumn("rnk", F.row_number().over(Window.orderBy("mean_b", "b")))
+        .withColumn(
+            "rnk_d",
+            F.row_number().over(
+                Window.orderBy(F.col("mean_b").desc(), F.col("b").desc())
+            ),
+        )
     )
-    lo_rank, hi_rank = trim + 1, n_reps - trim
     ci = rk.agg(
-        F.min(F.when(F.col("rnk") == lo_rank, F.col("mean_b"))).alias("ci_lo"),
-        F.min(F.when(F.col("rnk") == hi_rank, F.col("mean_b"))).alias("ci_hi"),
+        F.min(F.when(F.col("rnk") == trim + 1, F.col("mean_b"))).alias("ci_lo"),
+        F.min(F.when(F.col("rnk_d") == trim + 1, F.col("mean_b"))).alias("ci_hi"),
+        F.count(F.lit(1)).alias("_n_surv"),
     )
     full = base.agg(
         (
@@ -1111,7 +1126,7 @@ def bootstrap_mean_ci(
     return (
         ci.crossJoin(F.broadcast(full))
         .select(
-            F.lit(n_reps).cast("long").alias("n_replicates"),
+            F.col("_n_surv").cast("long").alias("n_replicates"),
             (F.col("ci_lo") + 0.0).alias("ci_lo"),
             "mean_full",
             (F.col("ci_hi") + 0.0).alias("ci_hi"),
@@ -1174,9 +1189,26 @@ def permutation_test_means(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("_g") == 1, F.col("_x"))).alias("sa"),
         F.sum(F.when(F.col("_g") == 0, F.col("_x"))).alias("sb"),
+        F.sum(
+            F.when(F.col("_g").isin(0, 1), F.lit(0)).otherwise(F.lit(1))
+        ).alias("n_bad"),
     ).first()
-    n_a, n, sa, sb = int(tot.n_a), int(tot.n), int(tot.sa), int(tot.sb)
+    # Contract checks on the same (already-run) totals aggregate — a
+    # violated contract must raise a named error here, not surface as
+    # int(None) TypeError / ZeroDivisionError downstream.
+    if tot.n_bad:
+        raise ValueError(
+            f"permutation_test_means: {group_col} must be 0/1; "
+            f"{tot.n_bad} row(s) have other/null values"
+        )
+    n_a, n = int(tot.n_a or 0), int(tot.n)
     n_b = n - n_a
+    if n_a <= 0 or n_b <= 0:
+        raise ValueError(
+            f"permutation_test_means: both groups must be non-empty "
+            f"({group_col}=1: {n_a} rows, {group_col}=0: {n_b} rows)"
+        )
+    sa, sb = int(tot.sa), int(tot.sb)
     diff_obs = abs(sa / n_a - sb / n_b)
     seeded = base.select(
         "_x",

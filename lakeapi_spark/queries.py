@@ -2044,43 +2044,18 @@ def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall, precision). Precision is 1 by construction (LSH verifies
     candidates with the exact Jaccard); recall < 1 quantifies banding
     misses — the number you tune bands/rows against. Exact side costs
-    one shingle self-join (the thing LSH avoids), so at corpus scale
-    this report runs on a hash-sampled subset; at test scale it runs
-    whole."""
-    from lakeapi_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    one shingle self-join (the thing LSH avoids) — at corpus scale run
+    the report with ``exact_sample_mod=m`` (wired in operators/dedup.
+    lsh_quality_report: both sides restrict to a deterministic
+    md5-sampled 1/m doc subset, bounding the all-pairs term at
+    (n/m)^2); this registered query runs WHOLE at test scale so the
+    oracle verifies the unsampled relation, and the sampled path is
+    verified by the sample==prefiltered-universe unit test + the
+    SCALING.md curve."""
+    from lakeapi_spark.operators.dedup import lsh_quality_report
 
     d = table(spark, sf_dir, "documents")
-    lsh = (
-        minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5)
-        .select("id_a", "id_b")
-        .withColumn("ls", F.lit(1))
-    )
-    ex = (
-        ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.5)
-        .select("id_a", "id_b")
-        .withColumn("ex", F.lit(1))
-    )
-    m = ex.join(lsh, ["id_a", "id_b"], "full_outer").select(
-        F.coalesce("ex", F.lit(0)).alias("ex"),
-        F.coalesce("ls", F.lit(0)).alias("ls"),
-    )
-    return m.agg(
-        F.sum("ex").alias("n_exact"),
-        F.sum("ls").alias("n_lsh"),
-        F.sum(F.col("ex") * F.col("ls")).alias("n_common"),
-        (
-            F.round(
-                F.sum(F.col("ex") * F.col("ls")).cast("double") / F.sum("ex"), 6
-            )
-            + 0.0
-        ).alias("recall"),
-        (
-            F.round(
-                F.sum(F.col("ex") * F.col("ls")).cast("double") / F.sum("ls"), 6
-            )
-            + 0.0
-        ).alias("precision"),
-    )
+    return lsh_quality_report(d, "doc_id", "text", threshold=0.5)
 
 
 @register("dedup_minhash_lsh", _minhash_oracle(), bench=True)
@@ -6958,8 +6933,10 @@ def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
     ), scored AS (
       SELECT t.item_a, t.item_b, t.item_c, t.n_all,
-             CAST(t.n_all * nb.n_baskets * nb.n_baskets AS DOUBLE)
-               / CAST(sa.n_item * sb.n_item * sc.n_item AS DOUBLE) AS lift3
+             (CAST(t.n_all AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
+                * CAST(nb.n_baskets AS DOUBLE))
+               / (CAST(sa.n_item AS DOUBLE) * CAST(sb.n_item AS DOUBLE)
+                  * CAST(sc.n_item AS DOUBLE)) AS lift3
       FROM triples t
       JOIN sup sa ON sa.item = t.item_a
       JOIN sup sb ON sb.item = t.item_b
@@ -10359,7 +10336,7 @@ def _bootstrap_ci_oracle(n_reps: int = 40, trim: int = 1) -> str:
         Cs.append(C)
     a_list = ", ".join(map(str, As))
     c_list = ", ".join(map(str, Cs))
-    lo_rank, hi_rank = trim + 1, n_reps - trim
+    lo_rank = trim + 1
     return f"""
     WITH o AS (
       SELECT o_orderkey AS id, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS x
@@ -10395,16 +10372,19 @@ def _bootstrap_ci_oracle(n_reps: int = 40, trim: int = 1) -> str:
       SELECT b, ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS mean_b
       FROM m
     ), rk AS (
-      SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rnk FROM mm
+      SELECT mean_b,
+             ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rnk,
+             ROW_NUMBER() OVER (ORDER BY mean_b DESC, b DESC) AS rnk_d
+      FROM mm
     ), full_m AS (
       SELECT ROUND(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0, 6)
                + 0.0 AS mean_full
       FROM o
     )
-    SELECT CAST({n_reps} AS BIGINT) AS n_replicates,
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM mm) AS n_replicates,
            (SELECT mean_b + 0.0 FROM rk WHERE rnk = {lo_rank}) AS ci_lo,
            (SELECT mean_full FROM full_m) AS mean_full,
-           (SELECT mean_b + 0.0 FROM rk WHERE rnk = {hi_rank}) AS ci_hi
+           (SELECT mean_b + 0.0 FROM rk WHERE rnk_d = {lo_rank}) AS ci_hi
     """
 
 
@@ -11854,50 +11834,17 @@ def link_prediction_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFr
     the most neighbors (+ neighborhood Jaccard) — the classic
     recommend-a-missing-link heuristic. Wedge join (one equi-join on
     the middle node, u<v orientation halves it), anti-join against
-    existing edges, degree relation broadcast. At 100 TB wedge fan-out
-    is bounded the same way triangle_count does it — the strong-graph
-    support threshold IS the degree cap."""
+    existing edges, degree relation broadcast
+    (operators/graph.common_neighbors_topk). At 100 TB wedge fan-out
+    is bounded two ways: the strong-graph support threshold prunes
+    implicitly, and the operator's ``max_hub_degree`` parameter caps
+    the middle node's degree explicitly (off here — the oracle
+    verifies the uncapped relation; the capped path is unit-tested on
+    a star graph)."""
+    from lakeapi_spark.operators.graph import common_neighbors_topk
+
     edges = _strong_copurchase_edges(spark, sf_dir)
-    und = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    deg = und.groupBy(F.col("src").alias("n")).agg(F.count(F.lit(1)).alias("d"))
-    w1 = und.select(F.col("src").alias("u"), F.col("dst").alias("w"))
-    w2 = und.select(F.col("src").alias("w"), F.col("dst").alias("v"))
-    cand = (
-        w1.join(w2, "w")
-        .filter(F.col("u") < F.col("v"))
-        .join(edges.select(F.col("src").alias("u"), F.col("dst").alias("v")),
-              ["u", "v"], "left_anti")
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("cn"))
-    )
-    scored = (
-        cand.join(F.broadcast(deg.select(F.col("n").alias("u"), F.col("d").alias("du"))), "u")
-        .join(F.broadcast(deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))), "v")
-        .select(
-            "u", "v", "cn",
-            (
-                F.round(
-                    F.col("cn").cast("double")
-                    / (F.col("du") + F.col("dv") - F.col("cn")).cast("double"),
-                    6,
-                )
-                + 0.0
-            ).alias("jaccard"),
-        )
-    )
-    # top-20 as sort+limit, NOT a global row_number window: Catalyst
-    # plans TakeOrderedAndProject (per-partition heap + driver merge),
-    # where the window form moves every candidate to one partition.
-    # The rank window then runs over 20 rows only.
-    wr = Window.orderBy(F.col("cn").desc(), "u", "v")
-    return (
-        scored.orderBy(F.col("cn").desc(), "u", "v")
-        .limit(20)
-        .withColumn("rank", F.row_number().over(wr))
-        .select("rank", "u", "v", "cn", "jaccard")
-    )
+    return common_neighbors_topk(edges, top_n=20)
 
 
 @register(
@@ -11936,54 +11883,14 @@ def link_prediction_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round(1e12/ln d): each term exact, both engines compute the same
     double before the round), so the SUM — the usual float-order
     hazard — is an integer and the top-20 order is engine-exact. Same
-    wedge-join scale shape as common neighbors; deg stays broadcast."""
+    wedge-join scale shape as common neighbors; deg stays broadcast;
+    ``max_hub_degree`` (operators/graph.adamic_adar_topk) is the
+    explicit fan-out dial at 100x (off here for oracle parity —
+    excluded hubs would contribute ~1/ln(huge) ~ 0 anyway)."""
+    from lakeapi_spark.operators.graph import adamic_adar_topk
+
     edges = _strong_copurchase_edges(spark, sf_dir)
-    und = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    deg = und.groupBy(F.col("src").alias("n")).agg(F.count(F.lit(1)).alias("d"))
-    w1 = und.select(F.col("src").alias("u"), F.col("dst").alias("w"))
-    w2 = und.select(F.col("src").alias("w"), F.col("dst").alias("v"))
-    contrib = (
-        w1.join(w2, "w")
-        .filter(F.col("u") < F.col("v"))
-        .join(
-            edges.select(F.col("src").alias("u"), F.col("dst").alias("v")),
-            ["u", "v"],
-            "left_anti",
-        )
-        .join(
-            F.broadcast(deg.select(F.col("n").alias("w"), F.col("d").alias("dw"))),
-            "w",
-        )
-        .select(
-            "u",
-            "v",
-            F.round(
-                F.lit(1000000000000.0) / F.log(F.col("dw").cast("double")), 0
-            )
-            .cast("long")
-            .alias("c"),
-        )
-    )
-    sc = contrib.groupBy("u", "v").agg(
-        F.count(F.lit(1)).alias("cn"), F.sum("c").alias("s")
-    )
-    wr = Window.orderBy(F.col("s").desc(), "u", "v")
-    return (
-        sc.orderBy(F.col("s").desc(), "u", "v")
-        .limit(20)
-        .withColumn("rank", F.row_number().over(wr))
-        .select(
-            "rank",
-            "u",
-            "v",
-            "cn",
-            (
-                F.round(F.col("s").cast("double") / 1000000000000.0, 6) + 0.0
-            ).alias("aa"),
-        )
-    )
+    return adamic_adar_topk(edges, top_n=20)
 
 
 def _kcore_oracle(k: int = 2, rounds: int = 6) -> str:

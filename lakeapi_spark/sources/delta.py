@@ -1842,15 +1842,15 @@ def write_delta(
     version.
 
     Commit atomicity uses the protocol's put-if-absent contract:
-    ``O_CREAT|O_EXCL`` on the versioned filename — a concurrent writer
-    losing the race re-reads the snapshot and retries at the next
-    version (bounded by ``max_commit_retries``). That is delta's
-    LogStore contract expressed with os-level primitives, so THIS
-    implementation requires a POSIX-visible path (local disk, NFS,
-    fuse-mounted stores); HDFS or an object store needs the same two
-    calls (data move + create-if-absent) ported to the Hadoop
-    FileSystem API, and stores without atomic create (plain S3) need a
-    coordinating LogStore / commit service.
+    ``O_CREAT|O_EXCL`` on the versioned filename for POSIX-visible
+    paths (local disk, NFS, fuse mounts), and the Hadoop FileSystem
+    temp-write + rename-if-absent port (:func:`_try_commit_fs` —
+    delta's HDFSLogStore algorithm) for scheme-carrying URIs (hdfs:,
+    abfss:, explicit file:) — a concurrent writer losing the race
+    re-reads the snapshot and retries at the next version (bounded by
+    ``max_commit_retries``). Stores without atomic rename-if-absent
+    (plain S3) need a coordinating LogStore / commit service, exactly
+    as delta-spark does.
 
     ``txn_app_id``/``txn_version`` add the protocol's ``txn`` action:
     the idempotence marker a streaming sink uses to make at-least-once
@@ -2147,13 +2147,25 @@ def _merged_append_schema(
     return T.StructType(list(snap.schema.fields) + new_fields)
 
 
+import re as _re_mod
+
+#: a log_dir that still carries a URI scheme after _local_path (which
+#: strips only ``file:``) belongs to a Hadoop filesystem, not POSIX
+_URI_SCHEME = _re_mod.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+
+
 def _try_commit(
     log_dir: str, version: int, actions: list[dict], operation: str | None = None
 ) -> bool:
-    """Put-if-absent commit: ``O_CREAT|O_EXCL`` on the versioned
-    filename IS delta's LogStore atomicity contract for POSIX-visible
-    paths (see write_delta's docstring for the object-store caveat).
-    Returns False when another writer took this version first.
+    """Put-if-absent commit — delta's LogStore atomicity contract.
+
+    POSIX-visible paths (local disk, NFS, fuse mounts) use
+    ``O_CREAT|O_EXCL`` on the versioned filename directly. URIs that
+    still carry a scheme (``hdfs:``, ``abfss:``, ``s3a:``, or an
+    explicit ``file:`` — anything _local_path did not strip) route
+    through :func:`_try_commit_fs`, the Hadoop FileSystem port of the
+    same primitive. Returns False when another writer took this
+    version first.
 
     ``operation`` prepends a ``commitInfo`` action (operation name +
     wall-clock timestamp + add/remove counts) — pure audit metadata
@@ -2173,6 +2185,8 @@ def _try_commit(
         }
         actions = [{"commitInfo": info}] + actions
     payload = "".join(json.dumps(a) + "\n" for a in actions)
+    if _URI_SCHEME.match(log_dir):
+        return _try_commit_fs(log_dir, version, payload)
     try:
         fd = os.open(
             f"{log_dir}/{version:020d}.json", os.O_CREAT | os.O_EXCL | os.O_WRONLY
@@ -2182,6 +2196,49 @@ def _try_commit(
     with os.fdopen(fd, "w") as f:
         f.write(payload)
     return True
+
+
+def _try_commit_fs(log_uri: str, version: int, payload: str) -> bool:
+    """Hadoop-FS put-if-absent: write the payload to a dotted temp file
+    in the log dir (invisible to the snapshot lister, which requires a
+    bare ``<digits>.json`` name), then ``rename`` onto the versioned
+    name. ``FileSystem.rename`` fails — returns False — when the
+    destination exists, which IS the put-if-absent contract on HDFS /
+    ABFS / local (delta's own HDFSLogStore algorithm). Stores without
+    atomic rename-if-absent (plain S3) need a coordinating LogStore /
+    commit service, exactly as delta-spark does.
+
+    Driver-side metadata call through the JVM gateway like the rest of
+    sources/fs.py — one temp write + one rename per commit."""
+    import uuid
+
+    from pyspark.sql import SparkSession
+
+    from lakeapi_spark.sources.fs import _fs_and_path
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            f"_try_commit_fs({log_uri}): no active SparkSession for the "
+            f"Hadoop FileSystem gateway"
+        )
+    base = log_uri.rstrip("/")
+    fs, dest = _fs_and_path(spark, f"{base}/{version:020d}.json")
+    if fs.exists(dest):  # cheap fast-path; rename below is the real gate
+        return False
+    jvm = spark._jvm
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{base}/.{version:020d}.json.{uuid.uuid4().hex}.tmp"
+    )
+    out = fs.create(tmp, False)
+    try:
+        out.write(bytearray(payload.encode("utf-8")))
+    finally:
+        out.close()
+    ok = bool(fs.rename(tmp, dest))
+    if not ok:
+        fs.delete(tmp, False)
+    return ok
 
 
 class ConcurrentDeltaModificationError(RuntimeError):

@@ -411,3 +411,40 @@ def test_restore_to_random_historic_version(spark, tmp_path, seed):
     # reproduces the pre-restore latest state
     restore_delta(spark, path, pre_restore_latest)
     assert _read(spark, path) == snapshots[pre_restore_latest]
+
+
+def test_fs_routed_commit_file_uri_roundtrip(spark, tmp_path):
+    """The Hadoop-FS put-if-absent commit (temp write + rename-if-
+    absent — delta's HDFSLogStore algorithm): committing through an
+    explicit ``file:`` URI must land a commit the normal read path
+    replays, losing the version race must return False, and no temp
+    litter may remain in _delta_log."""
+    import json
+    import os
+
+    from lakeapi_spark.sources.delta import (
+        _try_commit,
+        read_delta_fallback,
+        write_delta,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_delta(_mk_df(spark, [(1, 10, _p(1)), (2, 20, _p(2))]), path)  # v0
+
+    log_uri = f"file://{path}/_delta_log"
+    snap_files = [
+        json.loads(line)["add"]["path"]
+        for line in open(f"{path}/_delta_log/{0:020d}.json")
+        if '"add"' in line
+    ]
+    removes = [
+        {"remove": {"path": p, "deletionTimestamp": 1, "dataChange": True}}
+        for p in snap_files
+    ]
+    assert _try_commit(log_uri, 1, removes, operation="DELETE") is True
+    assert _try_commit(log_uri, 1, removes, operation="DELETE") is False  # race lost
+    assert read_delta_fallback(spark, path).count() == 0  # reader replays the commit
+
+    log_names = sorted(os.listdir(f"{path}/_delta_log"))
+    assert f"{1:020d}.json" in log_names
+    assert not [n for n in log_names if n.endswith(".tmp")]  # no temp litter

@@ -2919,3 +2919,195 @@ def test_ses_kernel_batch_carry():
             pd.DataFrame(rows[split:], columns=["_k", "_x"]),
         ]
         assert run(batches) == truth, split
+
+
+def test_bootstrap_mean_ci_degenerate_input_keeps_bounds(spark):
+    """A tiny input drops replicates whose Poisson weights are all
+    zero; the CI bounds must still materialize (ci_hi is rank-picked
+    DESCENDING) and n_replicates must report the SURVIVING count so
+    the degeneracy is visible, not a silent NULL bound."""
+    from lakeapi_spark.operators.stats import bootstrap_mean_ci
+
+    df = spark.createDataFrame([(1, 100), (2, 140)], "id long, x long")
+    r = bootstrap_mean_ci(df, "id", "x", n_reps=40, trim=1).collect()[0]
+    assert r.n_replicates < 40  # 2-row input: some replicates all-zero
+    assert r.ci_lo is not None and r.ci_hi is not None
+    assert r.ci_lo <= r.ci_hi
+
+
+def test_permutation_test_contract_errors(spark):
+    """Empty group / out-of-contract group values raise a named
+    ValueError at the totals aggregate instead of surfacing as
+    int(None) TypeError or ZeroDivisionError downstream."""
+    import pytest
+
+    from lakeapi_spark.operators.stats import permutation_test_means
+
+    one_group = spark.createDataFrame(
+        [(i, 10 + i, 1) for i in range(5)], "id long, x long, g int"
+    )
+    with pytest.raises(ValueError, match="both groups must be non-empty"):
+        permutation_test_means(one_group, "id", "x", "g")
+
+    bad_values = spark.createDataFrame(
+        [(1, 10, 0), (2, 11, 1), (3, 12, 2), (4, 13, None)],
+        "id long, x long, g int",
+    )
+    with pytest.raises(ValueError, match="must be 0/1"):
+        permutation_test_means(bad_values, "id", "x", "g")
+
+
+def test_k_core_converges_and_raises_on_max_iter(spark):
+    """k_core returns the true 2-core when it converges; when
+    max_iter exhausts before the peel fixpoint (long chain), it
+    raises instead of silently returning a non-k-core subgraph."""
+    import pytest
+
+    from lakeapi_spark.operators.graph import k_core
+
+    # triangle 1-2-3 plus a pendant chain 3-4-5-6: 2-core = triangle
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)], "src long, dst long"
+    )
+    got = {r.node: r.degree for r in k_core(edges, 2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+    # chain of 8 peels one endpoint-pair per round: max_iter=1 cannot
+    # reach the (empty) fixpoint and must fail loudly
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not reach fixpoint"):
+        k_core(chain, 2, max_iter=1)
+
+
+def test_bm25_refresh_pins_read_to_recorded_version(spark, tmp_path, monkeypatch):
+    """Race guard: if a commit lands between the refresh's
+    delta_snapshot() probe and its table read, the index must still
+    contain exactly the rows of the version it RECORDS. Simulated by
+    capping the latest-version probe at v2 while the table is at v3:
+    the refreshed index must equal a full build at v2 — the v3 row
+    must NOT leak in."""
+    import lakeapi_spark.sources.delta as dsrc
+    from lakeapi_spark.operators.incremental import (
+        bm25_index_build_delta,
+        bm25_index_refresh_delta,
+        bm25_index_scores_delta,
+        bm25_index_version,
+    )
+    from lakeapi_spark.sources.delta import write_delta
+
+    rows = [(i, f"spark window doc{i}") for i in range(10)]
+    tbl = str(tmp_path / "docs")
+    write_delta(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        tbl,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    idx = str(tmp_path / "idx")
+    bm25_index_build_delta(spark, tbl, idx, "doc_id", "text")  # v0
+
+    schema = "doc_id long, text string"
+    write_delta(spark.createDataFrame([(100, "spark window one")], schema), tbl)  # v1
+    write_delta(spark.createDataFrame([(101, "spark window two")], schema), tbl)  # v2
+    write_delta(spark.createDataFrame([(102, "spark window three")], schema), tbl)  # v3
+
+    real = dsrc.delta_snapshot
+
+    def stale_probe(spark_, uri_, *args, **kwargs):
+        if args or kwargs:  # explicit version (delta_changes internals)
+            return real(spark_, uri_, *args, **kwargs)
+        return real(spark_, uri_, 2)  # latest-probe sees only v2
+
+    monkeypatch.setattr(dsrc, "delta_snapshot", stale_probe)
+    v, n_touched = bm25_index_refresh_delta(spark, tbl, idx, "doc_id", "text")
+    assert (v, bm25_index_version(spark, idx)) == (2, 2)
+    assert n_touched == 2  # docs 100, 101 — NOT 102
+    monkeypatch.undo()
+
+    full = str(tmp_path / "idx_full")
+    bm25_index_build_delta(spark, tbl, full, "doc_id", "text", version=2)
+    inc = {tuple(r) for r in bm25_index_scores_delta(spark, idx, "spark window").collect()}
+    ful = {tuple(r) for r in bm25_index_scores_delta(spark, full, "spark window").collect()}
+    assert inc == ful and len(inc) > 0
+    assert 102 not in {t[0] for t in inc}  # the raced commit stayed out
+
+
+def test_lsh_quality_report_sampled_equals_prefiltered(spark):
+    """exact_sample_mod=m must equal running the whole report on the
+    md5-prefiltered 1/m doc universe — sampling restricts BOTH sides,
+    so recall/precision stay comparable (the er_blocking_quality
+    evaluation pattern), and the refactored registered query (mod=None)
+    keeps its oracle semantics."""
+    from lakeapi_spark.operators.dedup import lsh_quality_report
+    from lakeapi_spark.operators.text import portable_hash60
+
+    base = " ".join(f"w{i}" for i in range(25))
+    rows = [(i, base + f" tail{i // 2}") for i in range(40)]  # near-dup pairs
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sampled = lsh_quality_report(df, "doc_id", "text", exact_sample_mod=2)
+    pre = df.filter(portable_hash60(F.col("doc_id").cast("string")) % 2 == 0)
+    whole_on_pre = lsh_quality_report(pre, "doc_id", "text")
+    r_s, r_p = sampled.collect()[0], whole_on_pre.collect()[0]
+    assert tuple(r_s) == tuple(r_p)
+    assert 0 < r_s.n_exact  # the sample still contains true pairs
+    full = lsh_quality_report(df, "doc_id", "text").collect()[0]
+    assert full.n_exact > r_s.n_exact  # sampling genuinely shrank the universe
+
+
+def test_canary_hits_guards_benchmark_blowup(spark):
+    """A canary set past max_canaries must refuse loudly (the
+    O(docs x canaries) broadcast-contains plan would otherwise run
+    silently quadratic); below the threshold the probe works as
+    before."""
+    from lakeapi_spark.operators.contamination import canary_hits
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "nothing here")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    ok = canary_hits(train, bench, "doc_id", "text").collect()
+    assert {(r.id, r.n_canaries_hit) for r in ok} == {(1, 1)}
+
+    big_bench = spark.createDataFrame(
+        [(i, f"tok{i} a b c d e") for i in range(30)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="exceeds max_canaries"):
+        canary_hits(train, big_bench, "doc_id", "text", max_canaries=10)
+
+
+def test_link_prediction_hub_degree_cap(spark):
+    """Star graph: every wedge goes through the hub, so capping
+    max_hub_degree below the hub's degree empties the candidate set;
+    uncapped, every leaf pair is predicted (cn=1 via the hub). The
+    rare-neighbor wedge must survive the cap."""
+    from lakeapi_spark.operators.graph import adamic_adar_topk, common_neighbors_topk
+
+    # hub 100 -> leaves 1..5 (deg(hub)=5), plus a rare path 1-7-2
+    # (deg(7)=2): capping at 3 keeps only the wedge through 7
+    edges = spark.createDataFrame(
+        [(i, 100) for i in range(1, 6)] + [(1, 7), (2, 7)],
+        "src long, dst long",
+    )
+    uncapped = common_neighbors_topk(edges).collect()
+    leaf_pairs = {(a, b) for a in range(1, 6) for b in range(a + 1, 6)}
+    assert {(r.u, r.v) for r in uncapped} == leaf_pairs | {(7, 100)}
+    assert {r.cn for r in uncapped} == {1, 2}  # (1,2) shares hub AND 7
+
+    # cap at 3 excludes the hub (deg 5) as a middle node: the leaf
+    # pairs certified only by the hub vanish; (1,2) survives via 7
+    # (deg 2) and (7,100) survives via 1 and 2 (deg 2 each)
+    capped = common_neighbors_topk(edges, max_hub_degree=3).collect()
+    assert [(r.u, r.v, r.cn) for r in capped] == [(7, 100, 2), (1, 2, 1)]
+
+    aa_capped = adamic_adar_topk(edges, max_hub_degree=3).collect()
+    assert [(r.u, r.v, r.cn) for r in aa_capped] == [(7, 100, 2), (1, 2, 1)]
+    import math
+
+    c_ln2 = round(1e12 / math.log(2.0), 0)  # every surviving middle has deg 2
+    assert aa_capped[0].aa == round(2 * c_ln2 / 1e12, 6)
+    assert aa_capped[1].aa == round(c_ln2 / 1e12, 6)  # engine-exact fixed-point

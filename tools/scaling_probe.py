@@ -79,8 +79,27 @@ PROBED = [
     # so the timed noop save would read back checkpointed rows and
     # report overhead, not growth.
     "dedup_lsh_quality",
+    # round-10: the SAMPLED quality report — same operator with
+    # exact_sample_mod=4 (deterministic md5 1/4-doc universe), the
+    # dial the docstring prescribes at corpus scale; probed from
+    # EXTRA_BUILDERS since only the unsampled variant is registered
+    "dedup_lsh_quality_sampled4",
     "preference_pairs_quality",
 ]
+
+
+def _lsh_quality_sampled4(spark, sf_dir: str):
+    from lakeapi_spark.operators.dedup import lsh_quality_report
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lsh_quality_report(d, "doc_id", "text", threshold=0.5, exact_sample_mod=4)
+
+
+#: probes that aren't registry queries (variants exercising a scale
+#: dial the registered query keeps off for oracle parity)
+EXTRA_BUILDERS = {
+    "dedup_lsh_quality_sampled4": _lsh_quality_sampled4,
+}
 
 SF_SMALL = "/root/testdata/sf0.01"
 SF_BASE = "/root/testdata/sf0.1"
@@ -158,7 +177,8 @@ def main() -> None:
     build_10x(spark, ten_x)
 
     def run(name: str, sf_dir: str) -> float:
-        df = QUERIES[name].build(spark, sf_dir)
+        build = EXTRA_BUILDERS.get(name) or QUERIES[name].build
+        df = build(spark, sf_dir)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
@@ -207,6 +227,10 @@ def main() -> None:
             verdict = ("quadratic ONLY under a fixed tiny vocab (e1); "
                        "sub-linear when vocab grows with the corpus (e2) "
                        "— the Heaps-law regime of real text")
+        elif name == "dedup_lsh_quality_sampled4":
+            verdict = ("the exact_sample_mod dial working: the all-pairs "
+                       "term is bounded at (n/4)^2 over the md5-sampled "
+                       "universe — compare the unsampled row above")
         elif e2 < 0.5:
             verdict = "overhead-dominated; scan cost still amortizing"
         elif e2 < 1.3:
