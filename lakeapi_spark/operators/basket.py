@@ -31,9 +31,11 @@ def market_basket_pairs(
     """Top association pairs by co-occurrence support: returns
     (item_a, item_b, n_both, n_a, n_b, lift, rank) where lift =
     P(a,b) / (P(a) P(b)) over baskets = n_both * n_baskets /
-    (n_a * n_b), computed as one exact-integer product ratio divided in
-    IEEE double (both factors < 2^53 — exact). item_a < item_b, ranked
-    by (n_both desc, item_a, item_b) — total order.
+    (n_a * n_b), each factor cast to double BEFORE multiplying (exact
+    below 2^53 per factor and immune to int64 wrap at any basket
+    count — the same guard as the triple variant's lift3; rank order
+    is by n_both regardless). item_a < item_b, ranked by
+    (n_both desc, item_a, item_b) — total order.
 
     One distinct pass builds (basket, item); the within-basket
     self-join explodes to C(|basket|,2) rows per basket (bounded by
@@ -73,8 +75,8 @@ def market_basket_pairs(
             "n_a",
             "n_b",
             (
-                (F.col("n_both") * F.col("n_baskets")).cast("double")
-                / (F.col("n_a") * F.col("n_b")).cast("double")
+                (F.col("n_both").cast("double") * F.col("n_baskets").cast("double"))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
             ).alias("lift"),
         )
     )

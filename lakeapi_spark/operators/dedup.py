@@ -1411,6 +1411,16 @@ def dup_clusters(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    else:
+        # max_iter exhausted before the label-sum fixpoint: labels are
+        # partially propagated — oversplit clusters that the caller
+        # could not distinguish from converged ones (same discipline
+        # as graph.k_core's peel guard).
+        raise RuntimeError(
+            f"dup_clusters: min-label propagation did not converge within "
+            f"max_iter={max_iter} rounds; raise max_iter or use "
+            f"dup_clusters_star (O(log n) rounds) for long-chain graphs"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
@@ -1554,6 +1564,12 @@ def dup_clusters_star(
         if cur == prev:
             break
         prev = cur
+    else:
+        raise RuntimeError(
+            f"dup_clusters_star: edge set did not reach its fixpoint within "
+            f"max_iter={max_iter} alternations (needs ~log2(longest chain)); "
+            f"raise max_iter"
+        )
 
     # fixed point = stars rooted at component minima: each non-root has
     # exactly one downward edge (u -> root); roots label themselves

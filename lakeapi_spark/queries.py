@@ -6895,8 +6895,9 @@ def kmeans_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     ), scored AS (
       SELECT p.item_a, p.item_b, p.n_both, sa.n_item AS n_a, sb.n_item AS n_b,
-             CAST(p.n_both * (SELECT n_baskets FROM nb) AS DOUBLE)
-               / CAST(sa.n_item * sb.n_item AS DOUBLE) AS lift
+             (CAST(p.n_both AS DOUBLE)
+                * CAST((SELECT n_baskets FROM nb) AS DOUBLE))
+               / (CAST(sa.n_item AS DOUBLE) * CAST(sb.n_item AS DOUBLE)) AS lift
       FROM pairs p JOIN sup sa ON sa.item = p.item_a JOIN sup sb ON sb.item = p.item_b
     )
     SELECT item_a, item_b, n_both, n_a, n_b, lift,

@@ -1269,3 +1269,27 @@ def test_pq_topk_recall_and_determinism(spark, sf_dir):
 
     with pytest.raises(ValueError, match="not divisible"):
         pq_topk(emb, q, "vec_id", "embedding", k=3, codebook_ids=ids, m_subspaces=7)
+
+
+def test_cluster_loops_raise_on_max_iter_exhaustion(spark):
+    """Both connected-components variants must fail loudly when
+    max_iter exhausts before their fixpoint (partially-propagated
+    labels are indistinguishable from converged ones otherwise), and
+    still converge normally on the same input with enough rounds."""
+    import pytest
+
+    from lakeapi_spark.operators.dedup import dup_clusters, dup_clusters_star
+
+    # a 12-node path needs ~11 propagation rounds / ~4 alternations
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    ok = dup_clusters(chain).collect()
+    assert {r.cluster_id for r in ok} == {0}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(chain, max_iter=3)
+
+    ok_star = dup_clusters_star(chain).collect()
+    assert {r.cluster_id for r in ok_star} == {0}
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        dup_clusters_star(chain, max_iter=1)

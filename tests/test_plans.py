@@ -344,3 +344,22 @@ def test_canary_probe_broadcasts_bench_side(spark, sf_dir):
     # only the per-doc hit count is allowed a hash exchange
     n_exchange = plan.count("Exchange hashpartitioning")
     assert n_exchange <= 2, f"{n_exchange} shuffles\n{plan}"
+
+
+def test_hub_degree_cap_prunes_before_wedge_shuffle(spark):
+    """The max_hub_degree dial must materialize as broadcast LEFT SEMI
+    joins on BOTH wedge sides BEFORE the wedge equi-join — capped hub
+    fan-out never reaches the shuffle (the 100x escape hatch for
+    link prediction)."""
+    from lakeapi_spark.operators.graph import adamic_adar_topk
+
+    edges = spark.createDataFrame(
+        [(i, 100) for i in range(1, 6)] + [(1, 7), (2, 7)],
+        "src long, dst long",
+    )
+    plan = plan_str(spark, adamic_adar_topk(edges, max_hub_degree=3))
+    assert plan.count("LeftSemi") >= 2, plan
+    assert "BroadcastExchange" in plan, plan
+    # uncapped plan has no semi joins — the dial is genuinely off
+    plan_off = plan_str(spark, adamic_adar_topk(edges))
+    assert "LeftSemi" not in plan_off, plan_off
