@@ -1169,6 +1169,19 @@ def _stage_data_files(
     import urllib.parse
     import uuid
 
+    if _URI_SCHEME.match(base):
+        # uphold-or-refuse: the COMMIT primitive is Hadoop-FS-ready
+        # (_try_commit_fs), but staging walks/moves/stats data files
+        # with POSIX primitives — refusing beats littering a literal
+        # "s3a:..." directory on the driver's local disk and failing
+        # somewhere obscure. Object-store writes go through delta-spark
+        # (the gated integration path).
+        raise NotImplementedError(
+            f"fallback delta writer stages data files with POSIX "
+            f"primitives; {base!r} carries a URI scheme — use delta-spark "
+            f"for object-store tables (commit atomicity itself is "
+            f"FS-ported, see _try_commit_fs)"
+        )
     staging = f"{base}/.staging-{uuid.uuid4().hex}"
     writer = df.write.mode("overwrite")
     if pcols:
@@ -1879,6 +1892,16 @@ def write_delta(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     base = _local_path(path).rstrip("/")
+    if _URI_SCHEME.match(base):
+        # refuse BEFORE os.makedirs litters a literal "scheme:" dir on
+        # local disk; _stage_data_files carries the same gate for the
+        # other write entry points (merge/update/delete/optimize/...)
+        raise NotImplementedError(
+            f"fallback delta writer stages data files with POSIX "
+            f"primitives; {base!r} carries a URI scheme — use delta-spark "
+            f"for object-store tables (commit atomicity itself is "
+            f"FS-ported, see _try_commit_fs)"
+        )
     pcols = list(partition_by or [])
     os.makedirs(base, exist_ok=True)
 

@@ -448,3 +448,21 @@ def test_fs_routed_commit_file_uri_roundtrip(spark, tmp_path):
     log_names = sorted(os.listdir(f"{path}/_delta_log"))
     assert f"{1:020d}.json" in log_names
     assert not [n for n in log_names if n.endswith(".tmp")]  # no temp litter
+
+
+def test_write_delta_refuses_object_store_staging(spark, tmp_path):
+    """Data staging is POSIX-only (commit atomicity is FS-ported):
+    a scheme-carrying table URI must refuse up front instead of
+    littering a literal 's3a:...' directory on local disk; explicit
+    file: URIs strip to POSIX and keep working."""
+    with pytest.raises(NotImplementedError, match="URI scheme"):
+        from lakeapi_spark.sources.delta import write_delta
+
+        write_delta(
+            _mk_df(spark, [(1, 10, _p(1))]), "s3a://bucket/tbl"
+        )
+    from lakeapi_spark.sources.delta import read_delta_fallback, write_delta
+
+    p = str(tmp_path / "t2")
+    write_delta(_mk_df(spark, [(1, 10, _p(1))]), f"file://{p}")
+    assert read_delta_fallback(spark, p).count() == 1

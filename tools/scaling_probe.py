@@ -248,7 +248,8 @@ def main() -> None:
             # fixed-size, making the probe linear in corpus
             verdict = ("quadratic ONLY because the fixture grows the benchmark "
                        "side with the corpus; fixed real eval suites -> linear "
-                       "(swap in Aho-Corasick past ~1e5 canaries)")
+                       "(GUARDED r10: >1e5 canaries refuses with the "
+                       "segment-or-Aho-Corasick prescription)")
         else:
             verdict = "super-linear — inspect the plan at target scale"
         lines.append(
