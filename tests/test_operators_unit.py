@@ -3111,3 +3111,64 @@ def test_link_prediction_hub_degree_cap(spark):
     c_ln2 = round(1e12 / math.log(2.0), 0)  # every surviving middle has deg 2
     assert aa_capped[0].aa == round(2 * c_ln2 / 1e12, 6)
     assert aa_capped[1].aa == round(c_ln2 / 1e12, 6)  # engine-exact fixed-point
+
+
+def test_link_prediction_matches_bruteforce_random_graphs(spark):
+    """Differential check: common_neighbors_topk and adamic_adar_topk
+    (capped and uncapped) must match a driver-side brute force on
+    seeded random simple graphs — covering rank ties, the anti-join
+    against existing edges, and the hub cap's exclusion semantics."""
+    import math
+    import random
+
+    from lakeapi_spark.operators.graph import adamic_adar_topk, common_neighbors_topk
+
+    def brute(edge_list, cap):
+        nbrs = {}
+        eset = set()
+        for a, b in edge_list:
+            u, v = min(a, b), max(a, b)
+            if u == v:
+                continue
+            eset.add((u, v))
+            nbrs.setdefault(u, set()).add(v)
+            nbrs.setdefault(v, set()).add(u)
+        cn, aa = {}, {}
+        for w, ns in nbrs.items():
+            if cap is not None and len(ns) > cap:
+                continue
+            for u in ns:
+                for v in ns:
+                    if u < v and (u, v) not in eset:
+                        cn[(u, v)] = cn.get((u, v), 0) + 1
+                        c = round(1e12 / math.log(len(nbrs[w])), 0)
+                        aa[(u, v)] = aa.get((u, v), 0) + int(c)
+        top_cn = sorted(cn.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        top_aa = sorted(aa.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        return (
+            [(u, v, n) for (u, v), n in top_cn],
+            [(u, v, cn[(u, v)], round(s / 1e12, 6)) for (u, v), s in top_aa],
+        )
+
+    for seed in (3, 17, 52):
+        rng = random.Random(seed)
+        n = 30
+        edge_list = list(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(70)
+            }
+        )
+        df = spark.createDataFrame(edge_list, "src long, dst long")
+        for cap in (None, 3):
+            want_cn, want_aa = brute(edge_list, cap)
+            got_cn = [
+                (r.u, r.v, r.cn)
+                for r in common_neighbors_topk(df, max_hub_degree=cap).collect()
+            ]
+            assert got_cn == want_cn, (seed, cap)
+            got_aa = [
+                (r.u, r.v, r.cn, r.aa)
+                for r in adamic_adar_topk(df, max_hub_degree=cap).collect()
+            ]
+            assert got_aa == want_aa, (seed, cap)
