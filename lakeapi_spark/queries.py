@@ -11742,7 +11742,9 @@ def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _strong_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _strong_copurchase_edges(
+    spark: SparkSession, sf_dir: str, cache_partitions: int = 1
+) -> DataFrame:
     """Shared edge build for the graph queries: the STRONG co-purchase
     graph — (src < dst) part pairs contained together in >= 2 distinct
     orders. TWO shuffles total: collect_set(part) per order (partial
@@ -11755,11 +11757,23 @@ def _strong_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant was tried (r9) and measured SLOWER under cache-clearing
     session hygiene — a long-lived DataFrame whose cache has been
     externally dropped recomputes its build once per downstream
-    reference instead of re-materializing once."""
-    return _strong_copurchase_edges_build(spark, sf_dir)
+    reference instead of re-materializing once.
+
+    ``cache_partitions`` sets the CACHED layout width (r10): the
+    support>=2 filter prunes the pair space to a few-thousand-row
+    relation whose 32-way cached layout cost every downstream stage 32
+    scheduling slots for microseconds of work — persist() pins the
+    pre-AQE partitioning, so the coalesce AQE would have applied must
+    be explicit. Measured on adamic_adar end-to-end: 2.08 s -> 1.26 s.
+    Graphs whose strong edge set outgrows a few tens of MB should
+    raise it toward the core count; every consumer re-shuffles by its
+    own key anyway, so width only throttles the cache scan."""
+    return _strong_copurchase_edges_build(spark, sf_dir, cache_partitions)
 
 
-def _strong_copurchase_edges_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _strong_copurchase_edges_build(
+    spark: SparkSession, sf_dir: str, cache_partitions: int = 1
+) -> DataFrame:
     baskets = (
         table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
@@ -11788,6 +11802,7 @@ def _strong_copurchase_edges_build(spark: SparkSession, sf_dir: str) -> DataFram
         .count()
         .filter(F.col("count") >= 2)
         .select("src", "dst")
+        .coalesce(max(1, cache_partitions))
         .persist()
     )
 
