@@ -243,7 +243,17 @@ def bfs_hops(
             visited = F.broadcast(visited)
         new = nxt.join(visited, "node", "left_anti").withColumn(
             "hops", F.lit(h)
-        ).persist()
+        )
+        if broadcast_frontier:
+            # a frontier small enough to BROADCAST is small enough to
+            # cache in ONE partition: persist() pins the pre-AQE
+            # 32-wide layout, and each later round re-reads every
+            # earlier frontier — paying a full task wave per round for
+            # microseconds of work (measured on the co-purchase graph:
+            # 3.4 s -> 2.1 s end-to-end). Non-broadcast graphs keep
+            # the wide layout their frontier volume needs.
+            new = new.coalesce(1)
+        new = new.persist()
         handles.append(new)
         dist = dist.unionByName(new)
         frontier = new.select("node")
