@@ -2255,10 +2255,16 @@ def _try_commit_fs(log_uri: str, version: int, payload: str) -> bool:
     )
     out = fs.create(tmp, False)
     try:
-        out.write(bytearray(payload.encode("utf-8")))
-    finally:
-        out.close()
-    ok = bool(fs.rename(tmp, dest))
+        try:
+            out.write(bytearray(payload.encode("utf-8")))
+        finally:
+            out.close()
+        ok = bool(fs.rename(tmp, dest))
+    except BaseException:
+        # a failed write/rename must not leak temp litter into
+        # _delta_log (invisible to the lister, but it accumulates)
+        fs.delete(tmp, False)
+        raise
     if not ok:
         fs.delete(tmp, False)
     return ok
