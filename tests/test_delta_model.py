@@ -450,6 +450,31 @@ def test_fs_routed_commit_file_uri_roundtrip(spark, tmp_path):
     assert not [n for n in log_names if n.endswith(".tmp")]  # no temp litter
 
 
+def test_hadoop_fs_rename_refuses_existing_destination(spark, tmp_path):
+    """Pin the platform assumption _try_commit_fs's atomicity rests on:
+    ``FileSystem.rename`` onto an EXISTING destination must return
+    False and leave the destination byte-identical (Hadoop routes the
+    local scheme through nio ``Files.move`` without REPLACE_EXISTING).
+    The roundtrip test above never reaches this gate — its race-lost
+    call returns via the ``fs.exists`` fast-path — so two writers that
+    both pass the exists check are only kept from clobbering each
+    other by the semantics asserted here."""
+    from lakeapi_spark.sources.fs import _fs_and_path
+
+    fs, dst = _fs_and_path(spark, f"file://{tmp_path}/dst.json")
+    out = fs.create(dst, False)
+    out.write(bytearray(b"winner"))
+    out.close()
+    _, src = _fs_and_path(spark, f"file://{tmp_path}/src.tmp")
+    out = fs.create(src, False)
+    out.write(bytearray(b"loser"))
+    out.close()
+
+    assert bool(fs.rename(src, dst)) is False  # put-if-absent holds
+    assert (tmp_path / "dst.json").read_bytes() == b"winner"
+    assert (tmp_path / "src.tmp").exists()  # loser's temp is intact for cleanup
+
+
 def test_write_delta_refuses_object_store_staging(spark, tmp_path):
     """Data staging is POSIX-only (commit atomicity is FS-ported):
     a scheme-carrying table URI must refuse up front instead of
