@@ -73,7 +73,11 @@ def shuffle_shard(
 
 
 def quota_sample(
-    df: DataFrame, key_col: str, group_col: str, quota: int
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    quota: int,
+    prefilter_keep: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Per-group deterministic cap: keep the ``quota`` LOWEST-HASH rows
     of each group — the "no language/source may exceed N docs"
@@ -86,12 +90,46 @@ def quota_sample(
     matters more than an exact count).
 
     Plan: one hash exchange on the group key + in-partition rank —
-    groups courser than executors parallelize by the exchange;
-    a pathological mega-group ranks within one task, so at 100 TB cap
-    extreme groups with a rate filter first (hash % m < k) and quota
-    only the survivors."""
+    groups courser than executors parallelize by the exchange; a
+    pathological mega-group ranks within one task. The 100 TB escape is
+    ``prefilter_keep=(keep, mod)``: rows with ``key_hash >= 2^60 *
+    keep / mod`` drop BEFORE the rank, shrinking the mega-group's
+    in-task sort by ~mod/keep. Because the rank itself is by that same
+    hash ascending, the prefilter keeps the EXACT winner set whenever
+    every group retains ``min(total, quota)`` survivors — verified by a
+    group-sized count pass that raises RuntimeError naming the first
+    truncated groups when the fraction was cut too thin (loud, never a
+    silently-smaller sample; same convergence-probe discipline as
+    k_core / connected components)."""
     if quota <= 0:
         raise ValueError(f"quota must be positive: {quota}")
+    if prefilter_keep is not None:
+        keep, mod = prefilter_keep
+        if not (0 < keep <= mod):
+            raise ValueError(
+                f"prefilter_keep must satisfy 0 < keep <= mod: {prefilter_keep}"
+            )
+        ceiling = (2**60 * keep) // mod  # key_hash is 60-bit; exact int math
+        survivors = df.filter(key_hash(F.col(key_col)) < F.lit(ceiling))
+        tot = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__tot"))
+        kept = survivors.groupBy(group_col).agg(F.count(F.lit(1)).alias("__kept"))
+        truncated = (
+            tot.join(kept, group_col, "left")
+            .filter(
+                F.coalesce(F.col("__kept"), F.lit(0))
+                < F.least(F.col("__tot"), F.lit(quota))
+            )
+            .select(group_col)
+        )
+        bad = [r[0] for r in truncated.limit(5).collect()]
+        if bad:
+            raise RuntimeError(
+                f"quota_sample(prefilter_keep={prefilter_keep}): the hash "
+                f"prefilter truncated group(s) {bad} below min(total, "
+                f"quota={quota}) — raise the keep fraction (the result "
+                f"would otherwise silently differ from the unfiltered cap)"
+            )
+        df = survivors
     w = Window.partitionBy(group_col).orderBy(
         key_hash(F.col(key_col)), F.col(key_col)
     )

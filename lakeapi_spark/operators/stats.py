@@ -120,6 +120,7 @@ def mad_outliers(
     value_col: str,
     k: float = 3.5,
     round_digits: int = 4,
+    approx_accuracy: int | None = None,
 ) -> DataFrame:
     """Median-absolute-deviation outliers — the robust twin of
     :func:`zscore_outliers`: a single extreme value inflates σ enough
@@ -132,24 +133,37 @@ def mad_outliers(
     Plan: two holistic percentile aggregates (group median, then median
     of |v - med|) and one broadcast-scored map pass — two keyed
     shuffles over the GROUP relation, the fact stream itself shuffles
-    once. percentile() is exact/holistic, right for bounded group
-    counts; swap approx_percentile's mergeable sketch above ~1e6
-    groups.
+    once. percentile() is exact/holistic and the group relation is
+    broadcast — right for bounded group counts. Above ~1e6 groups set
+    ``approx_accuracy`` (e.g. 10000): both medians switch to
+    approx_percentile's mergeable GK sketch (partial-aggregates
+    map-side instead of holding each group's values in one task) and
+    the group relation joins by hash instead of broadcast — the flagged
+    SET may differ near the threshold by the sketch's rank-error
+    guarantee (at most 1/accuracy of a group's rows), which is the
+    documented trade for unbounded group counts.
     """
     v = F.col(value_col).cast("double")
+
+    def _p50(col_sql: str) -> Column:
+        if approx_accuracy is not None:
+            return F.expr(f"approx_percentile({col_sql}, 0.5, {int(approx_accuracy)})")
+        return F.expr(f"percentile({col_sql}, 0.5)")
+
+    maybe_bcast = F.broadcast if approx_accuracy is None else (lambda d: d)
     med = df.groupBy(F.col(group_col).alias("_g")).agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+        _p50(value_col).alias("_med")
     )
-    dev = df.join(F.broadcast(med), df[group_col] == F.col("_g")).withColumn(
+    dev = df.join(maybe_bcast(med), df[group_col] == F.col("_g")).withColumn(
         "_adev", F.abs(v - F.col("_med"))
     )
     mad = dev.groupBy("_g").agg(
-        F.expr("percentile(_adev, 0.5)").alias("_mad"), F.first("_med").alias("_m2")
+        _p50("_adev").alias("_mad"), F.first("_med").alias("_m2")
     )
     score = F.round(F.lit(0.6745) * F.abs(v - F.col("_m2")) / F.col("_mad") + 0.0,
                     round_digits)
     return (
-        df.join(F.broadcast(mad), df[group_col] == F.col("_g"))
+        df.join(maybe_bcast(mad), df[group_col] == F.col("_g"))
         .filter(F.col("_mad") > 0)
         .withColumn("robust_z", score)
         .filter(F.col("robust_z") >= k)

@@ -3172,3 +3172,60 @@ def test_link_prediction_matches_bruteforce_random_graphs(spark):
                 for r in adamic_adar_topk(df, max_hub_degree=cap).collect()
             ]
             assert got_aa == want_aa, (seed, cap)
+
+
+def test_quota_sample_prefilter_exactness_and_guard(spark):
+    """The prefilter_keep hash-ceiling dial must reproduce the
+    unfiltered cap EXACTLY when enough rows survive per group (the
+    winners are the lowest-hash rows, so a hash ceiling is
+    rank-correlated), and raise loudly — never silently under-sample —
+    when the fraction is cut too thin for some group."""
+    from lakeapi_spark.operators.sampling import quota_sample
+
+    rows = [(i, "big" if i < 300 else "small") for i in range(360)]
+    df = spark.createDataFrame(rows, ["k", "g"])
+    want = sorted((r.k, r.g) for r in quota_sample(df, "k", "g", 10).collect())
+    got = sorted(
+        (r.k, r.g)
+        for r in quota_sample(df, "k", "g", 10, prefilter_keep=(3, 4)).collect()
+    )
+    assert got == want  # exact same winner set, quarter of the sort dropped
+
+    import pytest as _pytest
+
+    # ceiling so low every row drops: each group retains 0 < min(total,
+    # quota) survivors -> the count guard must refuse
+    with _pytest.raises(RuntimeError, match="truncated group"):
+        quota_sample(df, "k", "g", 10, prefilter_keep=(1, 2**50))
+    with _pytest.raises(ValueError):
+        quota_sample(df, "k", "g", 10, prefilter_keep=(5, 4))
+
+
+def test_mad_outliers_approx_dial_matches_exact_here(spark):
+    """approx_accuracy switches both medians to the mergeable GK sketch
+    and drops the broadcast hints; on data this small the sketch is
+    rank-exact, so the flagged set must match the exact path."""
+    from lakeapi_spark.operators.stats import mad_outliers
+
+    rows = [
+        (i, g, float(v))
+        for g in ("a", "b")
+        for i, v in enumerate([10, 11, 9, 10, 12, 10, 11, 9, 10, 1000])
+    ]
+    df = spark.createDataFrame(rows, "id int, grp string, value double")
+    exact = sorted((r.id, r.grp) for r in mad_outliers(df, "grp", "value").collect())
+    approx = sorted(
+        (r.id, r.grp)
+        for r in mad_outliers(df, "grp", "value", approx_accuracy=10000).collect()
+    )
+    assert exact == approx == [(9, "a"), (9, "b")]
+    # the exact path broadcasts the group relation; the approx path
+    # must NOT pin a broadcast (group counts may exceed the threshold)
+    exact_plan = mad_outliers(df, "grp", "value")._jdf.queryExecution().toString()
+    approx_plan = (
+        mad_outliers(df, "grp", "value", approx_accuracy=10000)
+        ._jdf.queryExecution()
+        .toString()
+    )
+    assert "ResolvedHint" in exact_plan or "broadcast" in exact_plan.lower()
+    assert "approx_percentile" in approx_plan
