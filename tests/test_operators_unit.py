@@ -3229,3 +3229,37 @@ def test_mad_outliers_approx_dial_matches_exact_here(spark):
     )
     assert "ResolvedHint" in exact_plan or "broadcast" in exact_plan.lower()
     assert "approx_percentile" in approx_plan
+
+
+@_given(
+    sizes=_st.lists(_st.integers(min_value=1, max_value=60), min_size=1, max_size=4),
+    quota=_st.integers(min_value=1, max_value=15),
+    keep=_st.integers(min_value=1, max_value=8),
+    mod=_st.sampled_from([2, 4, 8]),
+)
+@_settings(max_examples=10, deadline=None, suppress_health_check=list(_HealthCheck))
+def test_quota_sample_prefilter_never_silently_differs(spark, sizes, quota, keep, mod):
+    """Property: for ANY group sizes / quota / keep fraction, the
+    prefiltered cap either returns EXACTLY the unfiltered winner set or
+    raises RuntimeError — there is no input where it silently returns a
+    different (smaller) sample. This is the whole contract of the
+    prefilter_keep dial."""
+    from lakeapi_spark.operators.sampling import quota_sample
+
+    keep = min(keep, mod)
+    rows = [
+        (g * 1000 + i, f"g{g}") for g, n in enumerate(sizes) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["k", "g"])
+    want = sorted((r.k, r.g) for r in quota_sample(df, "k", "g", quota).collect())
+    try:
+        got = sorted(
+            (r.k, r.g)
+            for r in quota_sample(
+                df, "k", "g", quota, prefilter_keep=(keep, mod)
+            ).collect()
+        )
+    except RuntimeError as exc:
+        assert "truncated group" in str(exc)
+        return
+    assert got == want
