@@ -34,9 +34,20 @@ def _read(spark, path) -> dict[int, int]:
     return out
 
 
+_SOAK_SEEDS: list[tuple[int, bool]] = (
+    # SPARK_GRAFT_SOAK widens the random-sequence sweep (run on demand —
+    # each seed is a full 12-op table history, too slow for every CI
+    # pass; the default 4 seeds stay unconditional)
+    [(s, False) for s in (3, 7, 19, 59, 71, 83, 97, 101)]
+    + [(s, True) for s in (13, 29, 61, 89)]
+    if __import__("os").environ.get("SPARK_GRAFT_SOAK")
+    else []
+)
+
+
 @pytest.mark.parametrize(
     "seed,colmap",
-    [(11, False), (23, False), (47, False), (31, True)],
+    [(11, False), (23, False), (47, False), (31, True)] + _SOAK_SEEDS,
 )
 def test_random_op_sequences_match_model(spark, tmp_path, seed, colmap):
     """``colmap=True`` runs the same random sequence against a
