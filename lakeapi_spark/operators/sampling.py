@@ -111,14 +111,17 @@ def quota_sample(
             )
         ceiling = (2**60 * keep) // mod  # key_hash is 60-bit; exact int math
         survivors = df.filter(key_hash(F.col(key_col)) < F.lit(ceiling))
-        tot = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__tot"))
-        kept = survivors.groupBy(group_col).agg(F.count(F.lit(1)).alias("__kept"))
+        # one conditional-aggregate pass computes both counts (a
+        # group-sized partial agg — no second scan, no join)
         truncated = (
-            tot.join(kept, group_col, "left")
-            .filter(
-                F.coalesce(F.col("__kept"), F.lit(0))
-                < F.least(F.col("__tot"), F.lit(quota))
+            df.groupBy(group_col)
+            .agg(
+                F.count(F.lit(1)).alias("__tot"),
+                F.count(
+                    F.when(key_hash(F.col(key_col)) < F.lit(ceiling), 1)
+                ).alias("__kept"),
             )
+            .filter(F.col("__kept") < F.least(F.col("__tot"), F.lit(quota)))
             .select(group_col)
         )
         bad = [r[0] for r in truncated.limit(5).collect()]

@@ -138,10 +138,16 @@ def mad_outliers(
     ``approx_accuracy`` (e.g. 10000): both medians switch to
     approx_percentile's mergeable GK sketch (partial-aggregates
     map-side instead of holding each group's values in one task) and
-    the group relation joins by hash instead of broadcast — the flagged
-    SET may differ near the threshold by the sketch's rank-error
-    guarantee (at most 1/accuracy of a group's rows), which is the
-    documented trade for unbounded group counts.
+    the group relation joins by hash instead of broadcast. TWO
+    documented divergences from the exact path: (a) the sketch's rank
+    error (at most 1/accuracy of a group's rows); (b) independent of
+    accuracy, approx_percentile returns a rank-nearest ELEMENT while
+    percentile() INTERPOLATES between the middle pair on even counts —
+    on small groups of discrete values the MAD itself can differ, not
+    just threshold-adjacent rows (measured: 10-row integer-valued
+    groups flip between MAD=0 and MAD>0). The dial is for the
+    many-LARGE-group regime, where both medians converge; keep the
+    default exact path when groups are small or values coarse.
     """
     v = F.col(value_col).cast("double")
 

@@ -3204,13 +3204,16 @@ def test_quota_sample_prefilter_exactness_and_guard(spark):
 def test_mad_outliers_approx_dial_matches_exact_here(spark):
     """approx_accuracy switches both medians to the mergeable GK sketch
     and drops the broadcast hints; on data this small the sketch is
-    rank-exact, so the flagged set must match the exact path."""
+    rank-exact AND the group sizes are odd, so both median passes pick
+    an element (percentile() interpolates on EVEN counts where
+    approx_percentile still picks an element — the documented
+    divergence) and the flagged set must match the exact path."""
     from lakeapi_spark.operators.stats import mad_outliers
 
     rows = [
         (i, g, float(v))
         for g in ("a", "b")
-        for i, v in enumerate([10, 11, 9, 10, 12, 10, 11, 9, 10, 1000])
+        for i, v in enumerate([10, 11, 9, 10, 12, 10, 11, 9, 10, 13, 1000])
     ]
     df = spark.createDataFrame(rows, "id int, grp string, value double")
     exact = sorted((r.id, r.grp) for r in mad_outliers(df, "grp", "value").collect())
@@ -3218,7 +3221,7 @@ def test_mad_outliers_approx_dial_matches_exact_here(spark):
         (r.id, r.grp)
         for r in mad_outliers(df, "grp", "value", approx_accuracy=10000).collect()
     )
-    assert exact == approx == [(9, "a"), (9, "b")]
+    assert exact == approx == [(10, "a"), (10, "b")]  # the 1000 spike only
     # the exact path broadcasts the group relation; the approx path
     # must NOT pin a broadcast (group counts may exceed the threshold)
     exact_plan = mad_outliers(df, "grp", "value")._jdf.queryExecution().toString()
