@@ -192,10 +192,19 @@ def psi_drift(
     (+0.5 per bin), ``PSI = Σ (p−q)·ln(p/q)``. The standard drift
     gate in front of a model/data refresh: <0.1 stable, >0.25 drifted.
 
+    Every BASELINE group appears in the output exactly once: groups
+    whose baseline is constant (max == min — no bin space) and groups
+    with zero current rows (vanished — drift is maximal, not absent)
+    report ``psi`` NULL with their true ``n_base``/``n_cur`` counts
+    rather than silently disappearing from the drift report. Groups
+    present only in ``cur`` are NOT reported (a new group has no
+    baseline to drift from — onboard it as its own baseline).
+
     Plan: baseline bounds are one partial-agg groupBy broadcast to both
     sides; each side bins map-side and partially aggregates to at most
     ``groups × n_bins`` rows before the single merge join — the fact
-    tables shuffle nothing but their bin counts.
+    tables shuffle nothing but their bin counts. The completeness
+    spine adds two more group-sized count aggregates.
     """
     v = F.col(value_col).cast("double")
     bounds = base.groupBy(F.col(group_col).alias("_g")).agg(
@@ -232,13 +241,28 @@ def psi_drift(
     )
     p = (pick("lb", "nb").cast("double") + 0.5) / (F.col("tb") + 0.5 * n_bins)
     q = (pick("lc", "nc").cast("double") + 0.5) / (F.col("tc") + 0.5 * n_bins)
-    return (
+    core = (
         spine.withColumn("_term", (p - q) * F.log(p / q))
-        .groupBy(F.col("g").alias(group_col))
-        .agg(
-            F.round(F.sum("_term") + 0.0, round_digits).alias("psi"),
-            F.max("tb").alias("n_base"),
-            F.max("tc").alias("n_cur"),
+        .groupBy(F.col("g"))
+        .agg(F.round(F.sum("_term") + 0.0, round_digits).alias("psi"))
+    )
+    # completeness spine: one row per BASELINE group, true row counts,
+    # NULL psi where the index is undefined (constant baseline) or the
+    # group vanished from cur (tc = 0)
+    base_n = base.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n_base")
+    )
+    cur_n = cur.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("_nc")
+    )
+    return (
+        base_n.join(cur_n, "g", "left")
+        .join(core, "g", "left")
+        .select(
+            F.col("g").alias(group_col),
+            "psi",
+            "n_base",
+            F.coalesce(F.col("_nc"), F.lit(0)).alias("n_cur"),
         )
     )
 

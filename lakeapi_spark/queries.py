@@ -7718,10 +7718,18 @@ def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM spine s
       LEFT JOIN bb ON bb.g = s.g AND bb.bin = s.bin
       LEFT JOIN cb ON cb.g = s.g AND cb.bin = s.bin
+    ), core AS (
+      SELECT g, ROUND(SUM((p - q) * LN(p / q)) + 0.0, 4) AS psi
+      FROM terms GROUP BY 1
+    ), gb AS (
+      SELECT event_type AS g, COUNT(*) AS n_base FROM base GROUP BY 1
+    ), gc AS (
+      SELECT event_type AS g, COUNT(*) AS n_cur FROM cur GROUP BY 1
     )
-    SELECT g AS event_type, ROUND(SUM((p - q) * LN(p / q)) + 0.0, 4) AS psi,
-           CAST(MAX(tb) AS BIGINT) AS n_base, CAST(MAX(tc) AS BIGINT) AS n_cur
-    FROM terms GROUP BY 1
+    SELECT gb.g AS event_type, core.psi,
+           CAST(gb.n_base AS BIGINT) AS n_base,
+           CAST(COALESCE(gc.n_cur, 0) AS BIGINT) AS n_cur
+    FROM gb LEFT JOIN gc ON gb.g = gc.g LEFT JOIN core ON gb.g = core.g
     """,
 )
 def psi_event_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3266,3 +3266,33 @@ def test_quota_sample_prefilter_never_silently_differs(spark, sizes, quota, keep
         assert "truncated group" in str(exc)
         return
     assert got == want
+
+
+def test_psi_drift_reports_degenerate_and_vanished_groups(spark):
+    """Completeness contract: every BASELINE group appears exactly once.
+    A constant-baseline group (no bin space) and a group with zero
+    current rows (vanished — maximal drift) report psi NULL with true
+    counts instead of silently disappearing; cur-only groups stay out
+    (no baseline to drift from)."""
+    from lakeapi_spark.operators.stats import psi_drift
+
+    base = spark.createDataFrame(
+        [("const", 5.0)] * 50
+        + [("gone", float(i % 10)) for i in range(100)]
+        + [("ok", float(i % 10)) for i in range(200)],
+        "g string, value double",
+    )
+    cur = spark.createDataFrame(
+        [("const", 9.0)] * 20
+        + [("ok", float(i % 10)) for i in range(200)]
+        + [("new", 1.0)] * 30,
+        "g string, value double",
+    )
+    out = {r.g: r for r in psi_drift(base, cur, "g", "value").collect()}
+    assert set(out) == {"const", "gone", "ok"}  # cur-only "new" excluded
+    assert out["const"].psi is None
+    assert (out["const"].n_base, out["const"].n_cur) == (50, 20)
+    assert out["gone"].psi is None
+    assert (out["gone"].n_base, out["gone"].n_cur) == (100, 0)
+    assert out["ok"].psi is not None and out["ok"].psi < 0.01
+    assert (out["ok"].n_base, out["ok"].n_cur) == (200, 200)
