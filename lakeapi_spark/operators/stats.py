@@ -701,7 +701,10 @@ def weighted_median(
     because EVERYTHING here is integer: values quantize to
     ``value_scale`` units, weights cast to long, and the pick rule is
     2*cum_weight >= total_weight (no halving). Returns
-    (group_cols..., total_w, w_median).
+    (group_cols..., total_w, w_median). Groups whose TOTAL weight is
+    <= 0 (all-zero, or negatives outweighing positives) report
+    ``w_median`` NULL — with no positive mass the pick rule would
+    otherwise degenerate to "the smallest value", a fabricated center.
 
     The corpus collapses to a per-(group, value) histogram in one
     partial-agg shuffle; the cumulative walk windows over the VALUE
@@ -724,15 +727,20 @@ def weighted_median(
         F.sum("_w").over(wc).alias("_cum"),
         F.sum("_w").over(wt).alias("_tot"),
     )
-    return (
+    picked = (
         cum.filter(2 * F.col("_cum") >= F.col("_tot"))
         .groupBy(*group_cols)
         .agg(
             F.max("_tot").alias("total_w"),
             (
                 F.round(F.min("_v") / F.lit(float(value_scale)), digits) + 0.0
-            ).alias("w_median"),
+            ).alias("_wm"),
         )
+    )
+    return picked.select(
+        *group_cols,
+        "total_w",
+        F.when(F.col("total_w") > 0, F.col("_wm")).alias("w_median"),
     )
 
 

@@ -8922,7 +8922,8 @@ def _mmr_oracle_sql(k: int = 8, n_candidates: int = 20) -> str:
       FROM hist
     )
     SELECT l_returnflag, CAST(MAX(t) AS BIGINT) AS total_w,
-           CAST(ROUND(MIN(v) / 100.0, 2) AS DOUBLE) + 0.0 AS w_median
+           CASE WHEN MAX(t) > 0
+                THEN CAST(ROUND(MIN(v) / 100.0, 2) AS DOUBLE) + 0.0 END AS w_median
     FROM cum WHERE 2 * c >= t GROUP BY l_returnflag
     """,
 )

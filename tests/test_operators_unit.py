@@ -3296,3 +3296,20 @@ def test_psi_drift_reports_degenerate_and_vanished_groups(spark):
     assert (out["gone"].n_base, out["gone"].n_cur) == (100, 0)
     assert out["ok"].psi is not None and out["ok"].psi < 0.01
     assert (out["ok"].n_base, out["ok"].n_cur) == (200, 200)
+
+
+def test_weighted_median_zero_total_weight_is_null_not_min(spark):
+    """A group with no positive weight mass has no weighted median:
+    before the guard, 2*cum >= tot held vacuously at tot = 0 and the
+    group's SMALLEST value came back as a fabricated center. It must
+    report NULL (group still visible) while positive-mass groups are
+    untouched."""
+    from lakeapi_spark.operators.stats import weighted_median
+
+    df = spark.createDataFrame(
+        [("dead", 1.0, 0), ("dead", 2.0, 0), ("live", 1.0, 1), ("live", 2.0, 1)],
+        "g string, v double, w int",
+    )
+    out = {r.g: r for r in weighted_median(df, ["g"], "v", "w").collect()}
+    assert out["dead"].w_median is None and out["dead"].total_w == 0
+    assert out["live"].w_median == 1.0 and out["live"].total_w == 2
