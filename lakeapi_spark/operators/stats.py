@@ -540,7 +540,9 @@ def ks_two_sample(
     """Two-sample Kolmogorov-Smirnov statistic between the ``a`` and
     ``b`` populations of ``sample_col``: D = max |F_a(v) - F_b(v)|,
     the distribution-drift test that PSI's fixed binning can miss.
-    Returns one row (n_a, n_b, ks_stat).
+    Returns one row (n_a, n_b, ks_stat); if either population is empty
+    the statistic is undefined and ``ks_stat`` is NULL (the counts
+    still report which side was empty).
 
     The value is quantized to integers (``scale`` = 10^decimals, the
     same exact-rendering discipline as :func:`benford_audit`) and the
@@ -570,10 +572,13 @@ def ks_two_sample(
         F.sum("ca").over(w).alias("fa"), F.sum("cb").over(w).alias("fb")
     )
     tot = hist.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    # try_divide: an EMPTY population (na or nb = 0) must surface as a
+    # NULL ks_stat next to the true counts, not as an ANSI
+    # divide-by-zero from inside the CDF walk
     d = F.round(
         F.abs(
-            F.col("fa") / F.col("na").cast("double")
-            - F.col("fb") / F.col("nb").cast("double")
+            F.try_divide(F.col("fa").cast("double"), F.col("na").cast("double"))
+            - F.try_divide(F.col("fb").cast("double"), F.col("nb").cast("double"))
         ),
         digits,
     )
@@ -810,7 +815,9 @@ def largest_remainder_allocation(
     ``order_col``. ALL integer arithmetic — any engine reproduces it.
 
     Returns (group_col, order_col, *passthrough, weight, allocated,
-    bumped) — ``passthrough`` columns ride the window pass unchanged,
+    bumped); groups whose weight sum is <= 0 (no mass to prorate by)
+    report NULL allocated/bumped with their rows still visible.
+    ``passthrough`` columns ride the window pass unchanged,
     so callers that need sibling attributes downstream (a rollup key,
     a currency) avoid a second fact-sized join back to the input.
     Scale shape: two window passes over the same (group) partitioning
@@ -831,8 +838,20 @@ def largest_remainder_allocation(
             F.col(total_col).cast("long").alias("_t"),
         )
         .withColumn("_wsum", F.sum("_w").over(wg))
-        .withColumn("_base", F.expr("_t * _w DIV _wsum"))
-        .withColumn("_mod", (F.col("_t") * F.col("_w")) % F.col("_wsum"))
+        # proration is undefined without positive weight mass: a group
+        # whose weight sum is <= 0 emits NULL allocations (rows stay
+        # visible; NULL propagates into any downstream rollup) instead
+        # of an ANSI divide-by-zero out of the DIV
+        .withColumn(
+            "_base",
+            F.when(F.col("_wsum") > 0, F.expr("_t * _w DIV _wsum")),
+        )
+        .withColumn(
+            "_mod",
+            F.when(
+                F.col("_wsum") > 0, (F.col("_t") * F.col("_w")) % F.col("_wsum")
+            ),
+        )
     )
     return (
         staged.withColumn("_rem", F.col("_t") - F.sum("_base").over(wg))

@@ -3313,3 +3313,39 @@ def test_weighted_median_zero_total_weight_is_null_not_min(spark):
     out = {r.g: r for r in weighted_median(df, ["g"], "v", "w").collect()}
     assert out["dead"].w_median is None and out["dead"].total_w == 0
     assert out["live"].w_median == 1.0 and out["live"].total_w == 2
+
+
+def test_ks_two_sample_empty_population_reports_null_stat(spark):
+    """KS vs an EMPTY population is undefined: the report must carry
+    the true counts with a NULL statistic, not explode with an ANSI
+    divide-by-zero from inside the CDF walk."""
+    from lakeapi_spark.operators.stats import ks_two_sample
+
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (3.0, "a")], "v double, s string"
+    )
+    (row,) = ks_two_sample(df, "v", "s", "a", "b").collect()
+    assert (row.n_a, row.n_b, row.ks_stat) == (3, None, None) or (
+        row.n_a,
+        row.n_b,
+        row.ks_stat,
+    ) == (3, 0, None)
+
+
+def test_largest_remainder_zero_weight_group_is_null_not_crash(spark):
+    """A group with zero weight mass cannot be prorated: its rows emit
+    NULL allocated/bumped (visible, NULL-propagating) instead of an
+    ANSI divide-by-zero; positive-mass groups are untouched."""
+    from lakeapi_spark.operators.stats import largest_remainder_allocation
+
+    df = spark.createDataFrame(
+        [("dead", 0, 10, "a"), ("dead", 0, 10, "b"),
+         ("live", 1, 10, "a"), ("live", 3, 10, "b")],
+        "grp string, w int, tot int, ord string",
+    )
+    out = {(r.grp, r.ord): r for r in
+           largest_remainder_allocation(df, "grp", "w", "tot", "ord").collect()}
+    assert out[("dead", "a")].allocated is None
+    assert out[("dead", "b")].allocated is None
+    assert out[("live", "a")].allocated + out[("live", "b")].allocated == 10
+    assert (out[("live", "a")].allocated, out[("live", "b")].allocated) == (3, 7)
