@@ -639,7 +639,7 @@ def embedding_dup_pairs(
     double via zip_with/aggregate: built-in, no UDF. Norms are
     precomputed per side (HOF lambdas are interpreted — recomputing
     both norms per pair triples the hot-loop cost)."""
-    from lakeapi_spark.operators.similarity import dot, norm
+    from lakeapi_spark.operators.similarity import cosine_parts, dot, norm
 
     a = fan_out(emb, per_partition_bytes=TEXT_TASK_BYTES).select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), norm(F.col(vec_col)).alias("na")
@@ -647,7 +647,7 @@ def embedding_dup_pairs(
     b = emb.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), norm(F.col(vec_col)).alias("nb")
     )
-    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    sim = cosine_parts(dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", F.round(sim, 4))
@@ -1081,7 +1081,7 @@ def semantic_dedup_pairs(
                 cache_handles.append(assigned)
         return _semantic_pairs_kernel(assigned, threshold, total_rows=n_total)
 
-    from lakeapi_spark.operators.similarity import dot
+    from lakeapi_spark.operators.similarity import cosine_parts, dot
 
     sides = _semantic_assignments(
         emb, id_col, vec_col, centroid_ids, n_centroids, use_kernel=False
@@ -1094,7 +1094,7 @@ def semantic_dedup_pairs(
     b = sides.select(
         F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "cid"
     )
-    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    sim = cosine_parts(dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
     return (
         a.join(b, "cid")
         .filter(F.col("id_a") < F.col("id_b"))

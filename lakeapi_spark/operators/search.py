@@ -343,7 +343,7 @@ def hybrid_search(
     exact ranking."""
     from pyspark.sql.window import Window
 
-    from lakeapi_spark.operators.similarity import dot, norm
+    from lakeapi_spark.operators.similarity import cosine_parts, dot, norm
 
     s = 0.0  # sequential sum, bit-matching the oracle's fold (see seeded_centroids)
     for x in query_vec:
@@ -363,7 +363,9 @@ def hybrid_search(
         F.col(vec_col).alias("__v"),
         norm(F.col(vec_col)).alias("__n"),
     )
-    cos = F.round(dot(F.col("__v"), qlit) / (F.col("__n") * F.lit(qnorm)), 4)
+    cos = F.round(
+        cosine_parts(dot(F.col("__v"), qlit), F.col("__n"), F.lit(qnorm)), 4
+    )
     hybrid = F.round(
         F.lit(alpha) * F.col("bm25_score") / F.col("__mx")
         + F.lit(1 - alpha) * F.coalesce("cos_sim", F.lit(0.0)),

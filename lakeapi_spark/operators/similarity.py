@@ -54,14 +54,29 @@ def norm(v: Column) -> Column:
     )
 
 
+def cosine_parts(d: Column, na: Column, nb: Column) -> Column:
+    """NaN-free cosine from a precomputed dot product and per-side
+    norms: a zero-norm vector (a failed/missing embedding — they DO
+    occur in real corpora) scores 0.0 instead of 0/0 = NaN. This is
+    load-bearing for ranking: Spark orders NaN ABOVE every double, so
+    an unguarded zero vector would NaN-sort to the TOP of every
+    ``ORDER BY cosine DESC`` top-k, while the numpy kernels (which
+    guard with ``max(norm, 1e-12)`` and thus score such rows 0.0)
+    would rank it last — the two documented-equivalent paths must
+    agree."""
+    return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
+
+
 def cosine(va: Column, vb: Column) -> Column:
-    """Cosine similarity of two array<float> columns, computed in double.
+    """Cosine similarity of two array<float> columns, computed in
+    double; zero-norm vectors score 0.0 (see :func:`cosine_parts`).
 
     NOTE for hot paths: array lambdas are evaluated interpreted (HOFs
     sit outside whole-stage codegen), so pairwise operators should
     precompute ``norm`` per SIDE before the join and use
-    ``dot(a,b)/(na*nb)`` — 3x fewer lambda walks per pair."""
-    return dot(va, vb) / (norm(va) * norm(vb))
+    ``cosine_parts(dot(a,b), na, nb)`` — 3x fewer lambda walks per
+    pair."""
+    return cosine_parts(dot(va, vb), norm(va), norm(vb))
 
 
 def brute_force_topk(
@@ -87,7 +102,7 @@ def brute_force_topk(
         F.col(vec_col).alias("cvec"),
         norm(F.col(vec_col)).alias("cn"),
     )
-    sim = dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
+    sim = cosine_parts(dot(F.col("qvec"), F.col("cvec")), F.col("qn"), F.col("cn"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", F.round(sim, round_digits))
@@ -131,7 +146,7 @@ def hard_negatives(
         F.col(vec_col).alias("cvec"),
         norm(F.col(vec_col)).alias("cn"),
     )
-    sim = dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
+    sim = cosine_parts(dot(F.col("qvec"), F.col("cvec")), F.col("qn"), F.col("cn"))
     scored = (
         c.join(
             F.broadcast(q),
@@ -392,7 +407,7 @@ def lsh_topk(
         .select("query_id", "qvec", "qn", "neighbor_id", "cvec", "cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    sim = dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
+    sim = cosine_parts(dot(F.col("qvec"), F.col("cvec")), F.col("qn"), F.col("cn"))
     scored = cand.withColumn("cosine", F.round(sim, 4)).select(
         "query_id", "neighbor_id", "cosine"
     )
@@ -624,7 +639,7 @@ def ivf_topk(
         ).select(
             "query_id", "qvec", "qn", F.explode(near("qvec", "qn", n_probe)).alias("cid")
         )
-    sim = dot(F.col("qvec"), F.col("cvec")) / (F.col("qn") * F.col("cn"))
+    sim = cosine_parts(dot(F.col("qvec"), F.col("cvec")), F.col("qn"), F.col("cn"))
     scored = (
         c.join(F.broadcast(q), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -781,7 +796,7 @@ def ivf_topk_indexed(
                 _nearest_seeded(F.col("qvec"), F.col("qn"), index.cents, n_probe)
             ).alias("cid"),
         )
-    sim = dot(F.col("qvec"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    sim = cosine_parts(dot(F.col("qvec"), F.col("v")), F.col("qn"), F.col("nrm"))
     scored = (
         index.lists.join(F.broadcast(q), "cid")
         .filter(F.col("query_id") != F.col("id"))
@@ -1190,7 +1205,7 @@ def mmr_select(
         "ia",
         "ib",
         F.round(
-            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+            cosine_parts(dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")),
             round_digits,
         ).alias("s"),
     )

@@ -1293,3 +1293,27 @@ def test_cluster_loops_raise_on_max_iter_exhaustion(spark):
     assert {r.cluster_id for r in ok_star} == {0}
     with pytest.raises(RuntimeError, match="fixpoint"):
         dup_clusters_star(chain, max_iter=1)
+
+
+def test_zero_norm_vector_ranks_last_and_paths_agree(spark):
+    """A zero vector (failed embedding) must score cosine 0.0 — NOT
+    NaN, which Spark sorts ABOVE every double and which therefore
+    NaN-sorted to the TOP of every desc top-k before the cosine_parts
+    guard. The JVM expression path and the numpy kernel (which always
+    guarded with max(norm, 1e-12)) must agree on such corpora."""
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 0.0]),  # the failed-embed row
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    q = emb.filter(F.col("vec_id") == 1)
+    a = {(r.neighbor_id, r.rank): r.cosine
+         for r in brute_force_topk(emb, q, "vec_id", "embedding", k=3).collect()}
+    # zero vector scores 0.0 and lands LAST, never first
+    assert a[(2, 1)] > a[(3, 2)] >= 0.0
+    assert a[(4, 3)] == 0.0
+    b = numpy_topk(emb, {1: [1.0, 0.0, 0.0]}, "vec_id", "embedding", k=3)
+    rows_b = sorted((r.neighbor_id, r.rank) for r in b.collect())
+    assert rows_b == sorted(k for k in a)
