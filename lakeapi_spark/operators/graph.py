@@ -69,6 +69,7 @@ def pagerank(
     und = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))  # simple graph: no self-loops
         .distinct()
         # degree is folded INTO the edge relation (window count) so the
         # per-iteration join touches ONE broadcast side, not two; the
@@ -290,6 +291,9 @@ def k_core(
     und = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        # simple graph: a self-loop must not let a degree-(k-1) node
+        # survive the peel on its own vote
+        .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -358,8 +362,12 @@ def label_propagation(
     are node-sized throughout."""
     from pyspark.sql.window import Window
 
-    ed = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ed = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        # simple graph: a self-loop would let a node vote for its own
+        # label every round, freezing it against any majority
+        .filter(F.col("a") != F.col("b"))
     )
     labels = (
         ed.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
@@ -413,6 +421,7 @@ def personalized_pagerank(
     und = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        .filter(F.col("src") != F.col("dst"))  # simple graph: no self-loops
         .distinct()
         .select(
             "src", "dst",

@@ -3349,3 +3349,26 @@ def test_largest_remainder_zero_weight_group_is_null_not_crash(spark):
     assert out[("dead", "b")].allocated is None
     assert out[("live", "a")].allocated + out[("live", "b")].allocated == 10
     assert (out[("live", "a")].allocated, out[("live", "b")].allocated) == (3, 7)
+
+
+def test_graph_operators_ignore_self_loops(spark):
+    """The graph family documents SIMPLE undirected graphs; a
+    self-loop in the input must not inflate k_core degrees (letting a
+    degree-(k-1) node survive on its own vote), freeze an LPA node
+    against the neighbor majority, or shift pagerank mass."""
+    from lakeapi_spark.operators.graph import k_core, label_propagation, pagerank
+
+    # triangle a-b-c (each degree 2) + pendant d-a + self-loop d-d
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("d", "a"), ("d", "d")],
+        "src string, dst string",
+    )
+    clean = edges.filter("src <> dst")
+    core = {r.node: r.degree for r in k_core(edges, k=2).collect()}
+    assert set(core) == {"a", "b", "c"}  # d's self-loop must not keep it
+    lp_loop = sorted((r.node, r.label) for r in label_propagation(edges, rounds=3).collect())
+    lp_clean = sorted((r.node, r.label) for r in label_propagation(clean, rounds=3).collect())
+    assert lp_loop == lp_clean
+    pr_loop = {r.node: r.pr for r in pagerank(edges).collect()}
+    pr_clean = {r.node: r.pr for r in pagerank(clean).collect()}
+    assert pr_loop == pr_clean
