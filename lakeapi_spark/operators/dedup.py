@@ -59,7 +59,9 @@ def minhash_perm_constants(num_hashes: int, seed: int = 7) -> tuple[list[int], l
 
 
 def normalized(text: Column) -> Column:
-    return F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return F.regexp_replace(
+        F.regexp_replace(F.lower(text), r"^\s+|\s+$", ""), r"\s+", " "
+    )
 
 
 def exact_dedup_keepers(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

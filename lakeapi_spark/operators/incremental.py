@@ -268,7 +268,9 @@ def _bm25_tokenize(docs: DataFrame, id_col: str, text_col: str):
     """(postings, doclen) for ``docs`` — the SAME split expressions as
     search.build_bm25_index so maintained scores match the one-shot
     index and its SQL oracles."""
-    toks_arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks_arr = F.split(
+        F.regexp_replace(F.lower(F.col(text_col)), r"^\s+|\s+$", ""), r"\s+"
+    )
     base = docs.select(F.col(id_col).alias("__id"), toks_arr.alias("__toks"))
     doclen = base.select("__id", F.size("__toks").alias("__dl"))
     postings = (

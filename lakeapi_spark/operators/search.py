@@ -91,7 +91,9 @@ def bm25_search(
     scores (round 4).
     """
     terms = sorted({t.lower() for t in _terms(search_text)})
-    toks_arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks_arr = F.split(
+        F.regexp_replace(F.lower(F.col(text_col)), r"^\s+|\s+$", ""), r"\s+"
+    )
     base = df.select(F.col(id_col).alias("__id"), toks_arr.alias("__toks"))
     doclen = base.select("__id", F.size("__toks").alias("__dl"))
     stats = doclen.agg(
@@ -195,7 +197,9 @@ def build_bm25_index(df: DataFrame, id_col: str, text_col: str) -> Bm25Index:
     hash partitioning, so the per-query join satisfies EnsureRequirements
     with no new exchange. The build cost (2 shuffles) is paid once per
     table version instead of per query."""
-    toks_arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks_arr = F.split(
+        F.regexp_replace(F.lower(F.col(text_col)), r"^\s+|\s+$", ""), r"\s+"
+    )
     base = df.select(F.col(id_col).alias("__id"), toks_arr.alias("__toks"))
     doclen = base.select("__id", F.size("__toks").alias("__dl")).repartition("__id").persist()
     postings = (

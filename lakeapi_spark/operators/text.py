@@ -40,7 +40,7 @@ def portable_hash60(c: Column) -> Column:
 
 def tokens(text: Column) -> Column:
     """Whitespace tokens of trimmed lowercased text (empty -> [])."""
-    t = F.trim(F.lower(text))
+    t = F.regexp_replace(F.lower(text), r"^\s+|\s+$", "")
     return F.when(t == "", F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )
@@ -104,7 +104,10 @@ def lang_id(text: Column, default: str = "und") -> Column:
 
 def lang_id_oracle_sql(text_expr: str, default: str = "und") -> str:
     """The DuckDB twin of :func:`lang_id` over the same lexicon."""
-    toks = f"string_split_regex(trim(lower({text_expr})), '\\s+')"
+    toks = (
+        f"string_split_regex(regexp_replace(lower({text_expr}),"
+        f" '^\\s+|\\s+$', '', 'g'), '\\s+')"
+    )
     score = {
         lang: (
             "len(list_filter(["
@@ -156,7 +159,7 @@ def rolling_fingerprint(text: Column) -> Column:
     growing prefix is O(1) per new token). Token values go through md5
     so the DuckDB oracle can reproduce them bit-for-bit; the fold is
     one per-row array aggregate, no shuffle."""
-    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    toks = F.split(F.regexp_replace(F.lower(text), r"^\s+|\s+$", ""), r"\s+")
     vals = F.transform(toks, lambda t: portable_hash60(t) % ROLLING_P)
     return F.aggregate(
         vals, F.lit(0).cast("long"), lambda acc, v: (acc * 31 + v) % ROLLING_P
@@ -358,7 +361,9 @@ def fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of whitespace-normalized lowercased text.
     (The scalable stand-in for a rolling/Rabin hash — identical across
     engines, so it gets a strong oracle.)"""
-    normalized = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    normalized = F.regexp_replace(
+        F.regexp_replace(F.lower(text), r"^\s+|\s+$", ""), r"\s+", " "
+    )
     return F.md5(normalized)
 
 

@@ -3372,3 +3372,33 @@ def test_graph_operators_ignore_self_loops(spark):
     pr_loop = {r.node: r.pr for r in pagerank(edges).collect()}
     pr_clean = {r.node: r.pr for r in pagerank(clean).collect()}
     assert pr_loop == pr_clean
+
+
+def test_tokens_regex_trim_no_empty_edge_tokens(spark):
+    """tokens() documents 'whitespace tokens of trimmed text (empty ->
+    [])' — but Spark/DuckDB trim() strips ONLY ASCII spaces, so a doc
+    whose edge whitespace is \\n or \\t split into EMPTY-STRING tokens
+    that then polluted vocab/TF/BM25 pipelines. The regex trim must
+    yield zero empty tokens for any whitespace dressing."""
+    from lakeapi_spark.operators.text import token_count, tokens
+
+    df = spark.createDataFrame(
+        [(1, "\n\thello world\t\n"), (2, "\n\t"), (3, "  x  "), (4, "")],
+        "id int, text string",
+    )
+    out = {r.id: (r.n, r.t) for r in df.select(
+        "id", token_count(F.col("text")).alias("n"), tokens(F.col("text")).alias("t")
+    ).collect()}
+    assert out[1] == (2, ["hello", "world"])
+    assert out[2] == (0, [])  # was 2 empty-string tokens before the fix
+    assert out[3] == (1, ["x"])
+    assert out[4] == (0, [])
+    # engine twin: the oracle helper spelling must agree on the same input
+    import duckdb
+    from lakeapi_spark.operators.text import lang_id_oracle_sql  # noqa: F401 (spelling lives there)
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT string_split_regex(regexp_replace(lower(?), '^\\s+|\\s+$', '', 'g'), '\\s+')",
+        ["\n\thello world\t\n"],
+    ).fetchone()[0]
+    assert got == ["hello", "world"]
