@@ -715,7 +715,7 @@ def search_tf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "search_bm25_score",
     """
     WITH base AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\\s+') AS toks FROM documents
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks FROM documents
     ),
     dl AS (SELECT doc_id, len(toks) AS dl FROM base),
     stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
@@ -757,7 +757,7 @@ def search_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hybrid_search_rerank",
     r"""
     WITH base AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS toks FROM documents
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+') AS toks FROM documents
     ),
     dl AS (SELECT doc_id, len(toks) AS dl FROM base),
     stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
@@ -840,7 +840,7 @@ def hybrid_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "search_rrf_fusion",
     r"""
     WITH base AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS toks FROM documents
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+') AS toks FROM documents
     ),
     dl AS (SELECT doc_id, len(toks) AS dl FROM base),
     stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
@@ -939,7 +939,7 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hybrid_search_partial_embeddings",
     r"""
     WITH base AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS toks FROM documents
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+') AS toks FROM documents
     ),
     dl AS (SELECT doc_id, len(toks) AS dl FROM base),
     stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
@@ -1314,7 +1314,7 @@ def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Text analysis (training-data extension)
 # ---------------------------------------------------------------------------
 
-_TOKS = "string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\\s+')"
+_TOKS = "string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')"
 
 #: Gopher-rule stopword probe set (the paper's "contains at least two
 #: of ..." rule)
@@ -1667,7 +1667,7 @@ _install_langid_oracle()
 @register(
     "text_fingerprint",
     """
-    SELECT doc_id, md5(regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\\s+', ' ', 'g')) AS fingerprint
+    SELECT doc_id, md5(regexp_replace(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g')) AS fingerprint
     FROM documents
     """,
 )
@@ -1699,7 +1699,7 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT doc_id,
            list_reduce(
-             list_transform(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'),
+             list_transform(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+'),
                t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 1000000007),
              (a, b) -> (a * 31 + b) % 1000000007) AS roll_fp
     FROM documents
@@ -1716,7 +1716,7 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_chunking",
     r"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS t
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+') AS t
       FROM documents WHERE regexp_matches(text, '\S')
     ), st AS (
       SELECT doc_id, t, unnest(range(0, len(t), 48)) AS s FROM toks
@@ -1741,7 +1741,7 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "chunk_dedup_summary",
     r"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS t
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+') AS t
       FROM documents WHERE regexp_matches(text, '\S')
     ), st AS (
       SELECT doc_id, t, unnest(range(0, len(t), 48)) AS s FROM toks
@@ -1750,7 +1750,7 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
              array_to_string(t[s+1 : s+64], ' ') AS chunk_text
       FROM st
     )
-    SELECT md5(regexp_replace(regexp_replace(lower(chunk_text), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g')) AS fingerprint,
+    SELECT md5(regexp_replace(regexp_replace(lower(chunk_text), '^\\s+|\\s+$', '', 'g'), '\s+', ' ', 'g')) AS fingerprint,
            MIN(chunk_key) AS keeper_id, COUNT(*) AS n_dups
     FROM chunks GROUP BY 1 HAVING COUNT(*) > 1
     """,
@@ -1777,8 +1777,8 @@ def chunk_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH toks AS (
       SELECT doc_id,
-             CASE WHEN regexp_replace(lower(text), '^\s+|\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
-                  ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS t
+             CASE WHEN regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+') END AS t
       FROM documents
     ), bg AS (
       SELECT doc_id, t,
@@ -1816,7 +1816,7 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_exact",
     """
-    SELECT md5(regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\\s+', ' ', 'g')) AS fingerprint,
+    SELECT md5(regexp_replace(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g')) AS fingerprint,
            MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
     FROM documents GROUP BY 1
     """,
@@ -1831,7 +1831,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_ORACLE = """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\\s+') AS t FROM documents
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS t FROM documents
     ), idx AS (
       SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2
     ), grams AS (
@@ -1862,7 +1862,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PREFIX_JACCARD_ORACLE = r"""
     WITH toks AS (
       SELECT DISTINCT doc_id AS id, t AS token
-      FROM (SELECT doc_id, unnest(regexp_split_to_array(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS t
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+')) AS t
             FROM documents)
       WHERE t <> ''
     ), freq AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
@@ -1939,7 +1939,7 @@ def _minhash_oracle(
     bucket_items = ",\n               ".join(bucket_expr(b) for b in range(bands))
     return f"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\\s+') AS t
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS t
       FROM ({docs_sql})
     ), idx AS (
       SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2
@@ -1983,7 +1983,7 @@ def _simhash_fp_cte(bits: int = 60) -> str:
     tok_hash = _PH60.format(x="tk")
     return f"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\\s+') AS t
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS t
       FROM documents WHERE regexp_matches(text, '\\S')
     ), hsrel AS (
       SELECT doc_id, list_transform(t, tk -> {tok_hash}) AS hs FROM toks
@@ -2004,7 +2004,7 @@ def _lsh_quality_oracle(threshold: float = 0.5) -> str:
     return f"""
     WITH lshp AS (SELECT id_a, id_b FROM ({lsh_sql})),
     toks2 AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\\s+') AS t FROM documents
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS t FROM documents
     ), idx2 AS (
       SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks2 WHERE len(t) >= 2
     ), grams2 AS (
@@ -3494,7 +3494,7 @@ def stats_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CLUSTER_ORACLE = """
     WITH RECURSIVE toks AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\\s+') AS t FROM documents
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS t FROM documents
     ), idx AS (
       SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2
     ), grams AS (
@@ -3918,7 +3918,7 @@ def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH keepers AS (
       SELECT MIN(doc_id) AS doc_id
       FROM documents
-      GROUP BY md5(regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\\s+', ' ', 'g'))
+      GROUP BY md5(regexp_replace(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g'))
     ), kept AS (
       SELECT d.doc_id, d.lang, d.n_chars,
              CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS h
@@ -5539,7 +5539,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH base AS (
       SELECT source, COALESCE(lang, '') AS lang,
-             md5(regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\\s+', ' ', 'g')) AS fp,
+             md5(regexp_replace(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g')) AS fp,
              ROUND(0.4 * LEAST(length(text) / 200.0, 1.0)
                  + 0.3 * (1 - CASE WHEN length(text) > 0
                                    THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
@@ -5596,8 +5596,8 @@ def domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_pmi_collocations",
     """
     WITH toks AS (
-      SELECT string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\\s+') AS t FROM documents
-      WHERE regexp_replace(lower(text), '^\s+|\s+$', '', 'g') <> ''
+      SELECT string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS t FROM documents
+      WHERE regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g') <> ''
     ), uc AS (
       SELECT w, COUNT(*) AS c FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
     ), nu AS (
@@ -5637,8 +5637,8 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_llr_collocations",
     """
     WITH toks AS (
-      SELECT string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\\s+') AS t FROM documents
-      WHERE regexp_replace(lower(text), '^\s+|\s+$', '', 'g') <> ''
+      SELECT string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS t FROM documents
+      WHERE regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g') <> ''
     ), bc AS (
       SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_pair FROM (
         SELECT t[CAST(i AS INT)] AS a, t[CAST(i AS INT) + 1] AS b
@@ -5689,7 +5689,7 @@ def text_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decontaminate_overlap",
     """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\\s+') AS t FROM documents
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS t FROM documents
     ), idx AS (
       SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM toks WHERE len(t) >= 5
     ), grams AS (
@@ -5732,7 +5732,7 @@ _PACK_ORACLE_CTE = """
     WITH t AS (
       SELECT doc_id,
              CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard,
-             CAST(len(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\\s+')) AS BIGINT) AS n_tokens
+             CAST(len(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS BIGINT) AS n_tokens
       FROM documents
     ), c AS (
       SELECT doc_id, shard, n_tokens,
@@ -5795,7 +5795,7 @@ def pack_sequences_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dsir_importance_weights",
     r"""
     WITH toks AS (
-      SELECT doc_id, lang, string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS t
+      SELECT doc_id, lang, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+') AS t
       FROM documents
     ), idx AS (
       SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i
@@ -6035,7 +6035,7 @@ def dedup_semantic_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SUBSTRING_SPAN_CTES = r"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS t
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+') AS t
       FROM documents WHERE regexp_matches(text, '\S')
     ), pos AS (
       SELECT doc_id, t, unnest(range(0, greatest(len(t) - 20 + 1, 0))) AS p FROM toks
@@ -6118,7 +6118,7 @@ def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_incremental",
     r"""
     WITH toks AS (
-      SELECT doc_id, source, string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS t
+      SELECT doc_id, source, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+') AS t
       FROM documents WHERE regexp_matches(text, '\S')
     ), pos AS (
       SELECT doc_id, source, t, unnest(range(0, greatest(len(t) - 20 + 1, 0))) AS p FROM toks
@@ -6159,7 +6159,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tokens_to_ids_export",
     r"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS t
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+') AS t
       FROM documents WHERE regexp_matches(text, '\S')
     ), st AS (
       SELECT doc_id, t, unnest(range(0, len(t))) AS p FROM toks
@@ -6198,7 +6198,7 @@ def tokens_to_ids_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_unigram_logprob",
     r"""
     WITH toks AS (
-      SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS tok
+      SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+')) AS tok
       FROM documents WHERE regexp_matches(text, '\S')
     ), freq AS (
       SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
@@ -6234,14 +6234,14 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
                                    ELSE 0.0 END)
                  + 0.3 * (len(list_filter(['the','and','of','to','a','in','is','that','it','for'],
-                                          w -> list_contains(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'), w))) / 10.0),
+                                          w -> list_contains(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+'), w))) / 10.0),
              4) AS quality
       FROM documents
     ),
     toks0 AS (
       SELECT doc_id,
-             CASE WHEN regexp_replace(lower(text), '^\s+|\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
-                  ELSE string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS t
+             CASE WHEN regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+') END AS t
       FROM documents
     ), bg AS (
       SELECT doc_id, t,
@@ -6257,7 +6257,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bg
     ),
     toks AS (
-      SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS tok
+      SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+')) AS tok
       FROM documents WHERE regexp_matches(text, '\S')
     ), freq AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
     tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM freq),
@@ -6269,7 +6269,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon AS (
       SELECT doc_id,
              doc_id = MIN(doc_id) OVER (
-               PARTITION BY md5(regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g'))
+               PARTITION BY md5(regexp_replace(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+', ' ', 'g'))
              ) AS is_canonical
       FROM documents
     )
@@ -6537,8 +6537,8 @@ def pagerank_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH words AS (
       SELECT w, COUNT(*) AS freq FROM (
-        SELECT unnest(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\\s+')) AS w
-        FROM documents WHERE regexp_replace(lower(text), '^\s+|\s+$', '', 'g') <> ''
+        SELECT unnest(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS w
+        FROM documents WHERE regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g') <> ''
       ) GROUP BY w
     ), pairs AS (
       SELECT substr(w, i, 1) || ' ' || substr(w, i + 1, 1) AS pair, freq
@@ -6566,8 +6566,8 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "heavy_hitters_cms",
     """
     WITH toks AS (
-      SELECT unnest(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\\s+')) AS token
-      FROM documents WHERE regexp_replace(lower(text), '^\s+|\s+$', '', 'g') <> ''
+      SELECT unnest(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token
+      FROM documents WHERE regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g') <> ''
     ), truth AS (
       SELECT token, COUNT(*) AS true_n FROM toks GROUP BY token
     ), top AS (
@@ -6998,8 +6998,8 @@ def anomaly_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oov_rate_docs",
     """
     WITH toks AS (
-      SELECT doc_id AS id, unnest(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\\s+')) AS token
-      FROM documents WHERE regexp_replace(lower(text), '^\s+|\s+$', '', 'g') <> ''
+      SELECT doc_id AS id, unnest(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token
+      FROM documents WHERE regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g') <> ''
     ), vc AS (
       SELECT token, COUNT(*) AS n FROM toks GROUP BY token
     ), vocab AS (
@@ -7157,7 +7157,7 @@ def bloom_semi_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "boilerplate_line_removal",
     r"""
     WITH toks AS (
-      SELECT doc_id AS id, string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS t
+      SELECT doc_id AS id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+') AS t
       FROM documents WHERE regexp_matches(text, '\S')
     ), lines AS (
       SELECT id, CAST(s / 8 AS BIGINT) AS pos, array_to_string(t[s+1 : s+8], ' ') AS line
@@ -7853,7 +7853,7 @@ def lang_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_budget_head",
     r"""
     WITH t AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS tk
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+') AS tk
       FROM documents WHERE regexp_matches(text, '\S')
     ), s AS (
       SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
@@ -8066,7 +8066,7 @@ def twap_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_entropy_docs",
     r"""
     WITH toks AS (
-      SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')) AS tok
+      SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+')) AS tok
       FROM documents WHERE regexp_matches(text, '\S')
     ), cnt AS (
       SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
@@ -8131,7 +8131,7 @@ def token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM aug
     ), ranked AS (
       SELECT doc_id, quality,
-             md5(regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g')) AS fingerprint
+             md5(regexp_replace(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+', ' ', 'g')) AS fingerprint
       FROM scored
     )
     SELECT fingerprint, keeper_id, keeper_score, n_dups FROM (
@@ -8496,7 +8496,7 @@ def kmv_overlap_viewers_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "novelty_ngram_docs",
     """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\\s+') AS t FROM documents
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS t FROM documents
     ), idx AS (
       SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3
     ), grams AS (
@@ -9803,8 +9803,8 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
       SELECT doc_id,
-             unnest(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\\s+')) AS tok
-      FROM documents WHERE regexp_replace(lower(text), '^\s+|\s+$', '', 'g') <> ''
+             unnest(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS tok
+      FROM documents WHERE regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g') <> ''
     )
     SELECT doc_id,
            CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 1024 AS idx,
@@ -10470,8 +10470,8 @@ def calibration_value_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
       SELECT doc_id, text,
-             CAST(len(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\\s+')) AS BIGINT) AS n_words
-      FROM documents WHERE regexp_replace(lower(text), '^\s+|\s+$', '', 'g') <> ''
+             CAST(len(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS BIGINT) AS n_words
+      FROM documents WHERE regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g') <> ''
     )
     SELECT doc_id, n_words,
            GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS n_sentences,
@@ -10499,7 +10499,7 @@ def readability_flesch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decontaminate_canary_hits",
     """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\\s+') AS t
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS t
       FROM documents
     ), canaries AS (
       SELECT DISTINCT array_to_string(t[1:5], ' ') AS canary
@@ -10612,7 +10612,7 @@ def dedup_lsh_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "search_more_like_this",
     """
     WITH base AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\\s+') AS toks
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks
       FROM documents
     ), tf AS (
       SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
@@ -10760,7 +10760,7 @@ def _bm25_incremental_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, st
              CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text ELSE text END AS text
       FROM documents WHERE doc_id % 13 <> 0
     ), base AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\\s+') AS toks FROM docs
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks FROM docs
     ),
     dl AS (SELECT doc_id, len(toks) AS dl FROM base),
     stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
@@ -10802,7 +10802,7 @@ def search_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ndcg_search_tf",
     """
     WITH base AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\\s+') AS toks FROM documents
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks FROM documents
     ), tf AS (
       SELECT doc_id, tok, COUNT(*) AS tf
       FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
@@ -11432,9 +11432,9 @@ def ppr_nation_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH f AS (
       SELECT doc_id,
-             md5(regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\\s+', ' ', 'g')) AS fp,
-             CAST(len(string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\\s+')) AS BIGINT) AS n_tok
-      FROM documents WHERE regexp_replace(lower(text), '^\s+|\s+$', '', 'g') <> ''
+             md5(regexp_replace(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g')) AS fp,
+             CAST(len(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS BIGINT) AS n_tok
+      FROM documents WHERE regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g') <> ''
     ), k AS (
       SELECT doc_id, n_tok,
              doc_id <> MIN(doc_id) OVER (PARTITION BY fp) AS is_dup
@@ -11626,7 +11626,7 @@ def kendall_trend_revenue_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contamination_by_source",
     """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\\s+') AS t FROM documents
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS t FROM documents
     ), idx AS (
       SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM toks WHERE len(t) >= 5
     ), grams AS (
@@ -12997,7 +12997,7 @@ def did_value_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_containment_pairs",
     r"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS t FROM documents
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+') AS t FROM documents
     ), idx AS (
       SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2
     ), grams AS (
@@ -13301,7 +13301,7 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "search_phrase_count",
     r"""
     WITH w AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS ws
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+') AS ws
       FROM documents
     ), tf AS (
       SELECT doc_id,
