@@ -98,11 +98,34 @@ def main() -> None:
     for name, q in bench_queries.items():
         run(name, q)  # warm-up: codegen + shuffle-file reuse, untimed
         spark.catalog.clearCache()
+
+    # Capture discipline (VERDICT r10): the recorded artifact must not
+    # depend on which host-load window it happened to land in. Every
+    # round is bracketed by a calib probe and ALL calibs are embedded;
+    # if even the best calib stays above CALIB_SETTLED (a contended
+    # window — BENCH_r10 recorded 0.146 while settled runs measured
+    # 0.118-0.136), up to EXTRA_ROUNDS additional full passes run, so
+    # the per-query min gets a shot at a settled window. If the host
+    # never settles, host_contended=true says so IN the artifact
+    # instead of leaving adjudication to BENCHNOTES archaeology.
+    CALIB_SETTLED = 0.140
+    EXTRA_ROUNDS = 3
+    calibs: list[float] = [cpu_calibration()]
     timings: dict[str, float] = {n: float("inf") for n in bench_queries}
-    for _round in range(3):
+
+    def timed_round() -> None:
         for name, q in bench_queries.items():
             timings[name] = min(timings[name], run(name, q))
             spark.catalog.clearCache()  # drop operator-persisted intermediates
+        calibs.append(cpu_calibration())
+
+    rounds = 0
+    for _ in range(3):
+        timed_round()
+        rounds += 1
+    while min(calibs) > CALIB_SETTLED and rounds < 3 + EXTRA_ROUNDS:
+        timed_round()
+        rounds += 1
     timings = {n: round(t, 3) for n, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
@@ -114,7 +137,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "calib_sec": cpu_calibration(),
+                "calib_sec": min(calibs),
+                "calibs": [round(c, 3) for c in calibs],
+                "rounds": rounds,
+                "host_contended": min(calibs) > CALIB_SETTLED,
             }
         )
     )

@@ -219,7 +219,7 @@ def canary_hits(
         # probe side gets the SAME normalization the canary tokens got
         # (lowercase + whitespace runs -> single space), else a verbatim
         # copy separated by newlines/tabs is silently missed
-        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ").alias("_lt"),
+        F.regexp_replace(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+", " ").alias("_lt"),
     )
     return (
         docs.join(F.broadcast(canaries), F.contains(F.col("_lt"), F.col("canary")))

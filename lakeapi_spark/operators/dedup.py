@@ -60,7 +60,7 @@ def minhash_perm_constants(num_hashes: int, seed: int = 7) -> tuple[list[int], l
 
 def normalized(text: Column) -> Column:
     return F.regexp_replace(
-        F.regexp_replace(F.lower(text), r"^\s+|\s+$", ""), r"\s+", " "
+        F.regexp_replace(F.lower(text), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+", " "
     )
 
 
@@ -99,7 +99,7 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     this stage is pure CPU and byte-sized task splits starve it.
 
     The <2-token drop is expressed as a CHEAP predicate on the raw text
-    (``\\S\\s+\\S`` ⟺ ≥2 whitespace tokens) placed BEFORE the fan_out
+    (``[^ \\t\\n\\x0B\\f\\r][ \\t\\n\\x0B\\f\\r]+[^ \\t\\n\\x0B\\f\\r]`` ⟺ ≥2 whitespace tokens) placed BEFORE the fan_out
     exchange on purpose: a post-shingle ``size(sh) > 0`` filter gets
     predicate-pushed through the round-robin exchange by Catalyst, which
     re-evaluates the whole tokenize→bigram pipeline per row on the
@@ -107,7 +107,7 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     for the signature stage at sf0.1. Never filter on a derived heavy
     column downstream of fan_out."""
     toks = fan_out(
-        df.filter(F.col(text_col).rlike(r"\S\s+\S")).select(
+        df.filter(F.col(text_col).rlike(r"[^ \t\n\x0B\f\r][ \t\n\x0B\f\r]+[^ \t\n\x0B\f\r]")).select(
             F.col(id_col).alias("id"), F.col(text_col).alias("_txt")
         ),
         per_partition_bytes=TEXT_TASK_BYTES,
@@ -588,7 +588,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
     shuffle, zero explode (the earlier explode + per-bit-sum-column
     groupBy shuffled every (doc, token) pair to compute the same
     values). Docs with no tokens are dropped via a cheap raw-text
-    predicate (``\\S`` ⟺ ≥1 token) BEFORE the fan_out exchange — a
+    predicate (``[^ \\t\\n\\x0B\\f\\r]`` ⟺ ≥1 token) BEFORE the fan_out exchange — a
     post-hoc ``size(hs) > 0`` filter would be predicate-pushed below
     the exchange and re-tokenize every row serially on the narrow scan
     side (see doc_shingles).
@@ -596,7 +596,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFr
     if not 0 < bits <= 62:
         raise ValueError("bits must stay within a non-negative int64")
     hs = fan_out(
-        df.filter(F.col(text_col).rlike(r"\S")).select(
+        df.filter(F.col(text_col).rlike(r"[^ \t\n\x0B\f\r]")).select(
             F.col(id_col).alias("id"), F.col(text_col).alias("_txt")
         ),
         per_partition_bytes=TEXT_TASK_BYTES,

@@ -111,6 +111,167 @@ def pagerank(
     return pr.select("node", "pr")
 
 
+def weighted_pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    iters: int = 2,
+    damping: float = 0.85,
+    round_digits: int = 10,
+    final_digits: int = 8,
+    broadcast_ranks: bool = True,
+    cache_handles: list | None = None,
+) -> DataFrame:
+    """PageRank with EDGE WEIGHTS over the undirected simple graph
+    induced by ``edges`` (both directions added; self-loops dropped;
+    parallel-edge weights sum). Contribution mass splits by weight
+    share instead of degree share:
+
+        pr_{t+1}(v) = (1-d)/N + d * SUM over u~v of
+                      pr_t(u) * w(u,v) / wdeg(u)
+
+    — the natural authority measure when edges carry strength
+    (co-purchase support, interaction counts): a node pushes most of
+    its rank down its STRONG edges. Same exact-oracle fixed-point
+    contract as :func:`pagerank` (intermediate round to
+    ``round_digits``, decimal-cast contributions so the reduction is
+    order-independent), same plan shape: weighted degree folds into
+    the persisted edge relation via one window sum, so each iteration
+    is one broadcast(rank) join + one node-keyed partial-agg shuffle.
+    ``broadcast_ranks=False`` gives the sort-merge plan for graphs
+    whose node relation outgrows the broadcast budget."""
+    from pyspark.sql.window import Window
+
+    und = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .unionByName(
+            edges.select(
+                F.col(dst).alias("src"),
+                F.col(src).alias("dst"),
+                F.col(weight).cast("long").alias("w"),
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))  # simple graph: no self-loops
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))  # parallel edges merge additively
+        .select(
+            "src",
+            "dst",
+            "w",
+            F.sum("w").over(Window.partitionBy("src")).alias("wdeg"),
+        )
+        .persist()
+    )
+    if cache_handles is not None:
+        cache_handles.append(und)
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    nn = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n")))
+    pr = nodes.crossJoin(nn).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr"), "n"
+    )
+    for it in range(iters):
+        prs = pr.withColumnRenamed("node", "src")
+        if broadcast_ranks:
+            prs = F.broadcast(prs)
+        contrib = und.join(prs, "src").select(
+            F.col("dst").alias("node"),
+            (F.col("pr") * F.col("w") / F.col("wdeg"))
+            .cast("decimal(28,12)")
+            .alias("c"),
+            "n",
+        )
+        digits = final_digits if it == iters - 1 else round_digits
+        pr = contrib.groupBy("node", "n").agg(
+            F.round(
+                F.lit(1.0 - damping) / F.col("n")
+                + F.lit(damping) * F.sum("c").cast("double"),
+                digits,
+            ).alias("pr")
+        )
+    return pr.select("node", "pr")
+
+
+def eigenvector_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iters: int = 3,
+    round_digits: int = 10,
+    final_digits: int = 8,
+    broadcast_ranks: bool = True,
+    cache_handles: list | None = None,
+) -> DataFrame:
+    """Fixed-iteration eigenvector centrality (power iteration on the
+    adjacency matrix, L1-normalized each step) over the undirected
+    simple graph induced by ``edges``:
+
+        y_{t+1}(v) = SUM over u~v of w(u,v) * x_t(u)
+        x_{t+1}(v) = round(y_{t+1}(v) / SUM_v y_{t+1}(v), digits)
+
+    x_0 = 1. Unlike PageRank there is no teleport mass: influence is
+    purely "being connected to influential nodes", the classic
+    prestige measure. ``weight=None`` treats every edge as 1.
+
+    Exact-oracle fixed-point contract: per-step scores round to
+    ``round_digits`` (final to ``final_digits``); the matvec sums
+    decimal(28,12)-cast products so the reduction commutes; the
+    normalizer divides double-by-double on the decimal-exact sums, so
+    both engines hit bit-identical IEEE operations. Plan per
+    iteration: broadcast(x) join + node-keyed partial-agg shuffle +
+    one scalar aggregate that rides back as a broadcast 1-row
+    relation (no driver collect)."""
+    w_expr = (
+        F.lit(1).cast("long") if weight is None else F.col(weight).cast("long")
+    )
+    und = (
+        edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"), w_expr.alias("w")
+        )
+        .unionByName(
+            edges.select(
+                F.col(dst).alias("src"), F.col(src).alias("dst"), w_expr.alias("w")
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .persist()
+    )
+    if cache_handles is not None:
+        cache_handles.append(und)
+    x = und.select(F.col("src").alias("node")).distinct().withColumn(
+        "x", F.lit(1.0)
+    )
+    for it in range(iters):
+        xs = x.withColumnRenamed("node", "src")
+        if broadcast_ranks:
+            xs = F.broadcast(xs)
+        y = (
+            und.join(xs, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("x") * F.col("w")).cast("decimal(28,12)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("y"))
+        )
+        s = F.broadcast(y.agg(F.sum("y").alias("s")))
+        digits = final_digits if it == iters - 1 else round_digits
+        x = y.crossJoin(s).select(
+            "node",
+            F.round(
+                F.col("y").cast("double") / F.col("s").cast("double"), digits
+            ).alias("x"),
+        )
+    return x.select("node", F.col("x").alias("score"))
+
+
 def triangle_count(
     edges: DataFrame,
     src_col: str = "src",
@@ -186,6 +347,7 @@ def bfs_hops(
     dst: str = "dst",
     node: str = "node",
     broadcast_frontier: bool = True,
+    broadcast_limit: int = 4_000_000,
     cache_handles: list | None = None,
 ) -> DataFrame:
     """Breadth-first min-hop distances from a seed set over the
@@ -208,7 +370,19 @@ def bfs_hops(
     one. ``cache_handles`` receives the persisted handles so
     long-lived serving sessions can unpersist after their action (the
     pagerank/minhash release contract); one-shot callers may ignore
-    it."""
+    it.
+
+    Broadcast-budget fallback: because every round's frontier is
+    persisted AND counted (the count doubles as the materializing
+    action, so later rounds plan O(1) and the cached round is computed
+    exactly once), the loop knows each relation's exact size BEFORE it
+    would broadcast it. Once the frontier or the accumulated visited
+    set exceeds ``broadcast_limit`` rows, subsequent rounds flip to
+    the co-partitioned sort-merge plan instead of broadcast-OOMing
+    mid-expansion (a dense graph's round-2 frontier can be 100x round
+    1). Nothing is ever broadcast whose count wasn't already taken, so
+    the budget cannot be crossed by surprise; ``broadcast_frontier=
+    False`` skips broadcasting outright."""
     # NO distinct on the doubled edge relation: BFS is idempotent in
     # edge multiplicity (each round's frontier-candidate set has its own
     # distinct), so deduplicating 2|E| rows here would buy nothing and
@@ -224,15 +398,21 @@ def bfs_hops(
         "hops", F.lit(0)
     )
     frontier = dist.select("node")
+    bcast = broadcast_frontier
+    if bcast:
+        # seeds were never counted — budget-check them before the
+        # first broadcast, same rule as every later round
+        visited_rows = frontier.count()
+        bcast = visited_rows <= broadcast_limit
     for h in range(1, max_hops + 1):
         fr = frontier.withColumnRenamed("node", "u")
-        if broadcast_frontier:
+        if bcast:
             # frontier/visited are NODE-sized: broadcasting them keeps
             # the edge relation where it sits (no per-round edge
             # shuffle — the dominant cost otherwise; same dial as
-            # pagerank's broadcast_ranks). Graphs whose frontiers
-            # outgrow the broadcast budget set False and get the
-            # co-partitioned sort-merge plan.
+            # pagerank's broadcast_ranks). Frontiers that outgrow
+            # broadcast_limit flip to the co-partitioned sort-merge
+            # plan below.
             fr = F.broadcast(fr)
         nxt = (
             und.join(fr, "u")
@@ -240,12 +420,12 @@ def bfs_hops(
             .distinct()
         )
         visited = dist.select("node")
-        if broadcast_frontier:
+        if bcast:
             visited = F.broadcast(visited)
         new = nxt.join(visited, "node", "left_anti").withColumn(
             "hops", F.lit(h)
         )
-        if broadcast_frontier:
+        if bcast:
             # a frontier small enough to BROADCAST is small enough to
             # cache in ONE partition: persist() pins the pre-AQE
             # 32-wide layout, and each later round re-reads every
@@ -256,6 +436,16 @@ def bfs_hops(
             new = new.coalesce(1)
         new = new.persist()
         handles.append(new)
+        if broadcast_frontier:
+            # materialize + measure: this round ran with only already-
+            # counted relations broadcast; whether the NEXT round may
+            # broadcast depends on what this one produced
+            frontier_rows = new.count()
+            visited_rows += frontier_rows
+            if bcast and (
+                frontier_rows > broadcast_limit or visited_rows > broadcast_limit
+            ):
+                bcast = False
         dist = dist.unionByName(new)
         frontier = new.select("node")
     if cache_handles is not None:

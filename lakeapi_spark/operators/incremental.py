@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lakeapi_spark.operators.text import tokens
+
 #: change-feed row kinds that add (+1) vs retract (-1) a row's mass
 _ADDS = ("insert", "update_postimage")
 _RETRACTS = ("delete", "update_preimage")
@@ -268,9 +270,7 @@ def _bm25_tokenize(docs: DataFrame, id_col: str, text_col: str):
     """(postings, doclen) for ``docs`` — the SAME split expressions as
     search.build_bm25_index so maintained scores match the one-shot
     index and its SQL oracles."""
-    toks_arr = F.split(
-        F.regexp_replace(F.lower(F.col(text_col)), r"^\s+|\s+$", ""), r"\s+"
-    )
+    toks_arr = tokens(F.col(text_col))
     base = docs.select(F.col(id_col).alias("__id"), toks_arr.alias("__toks"))
     doclen = base.select("__id", F.size("__toks").alias("__dl"))
     postings = (

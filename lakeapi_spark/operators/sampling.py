@@ -100,7 +100,17 @@ def quota_sample(
     group-sized count pass that raises RuntimeError naming the first
     truncated groups when the fraction was cut too thin (loud, never a
     silently-smaller sample; same convergence-probe discipline as
-    k_core / connected components)."""
+    k_core / connected components).
+
+    Cost note (dial on only): the guard is an EAGER action at call
+    time — construction fails fast instead of deep inside a later
+    job — and it recomputes ``df``'s lineage once more than the plain
+    path (guard aggregate now + survivors scan at action time). With
+    an expensive upstream pipeline, ``df.persist()`` before calling,
+    or pass an already-materialized input; the operator deliberately
+    does not persist for you (it cannot know the caller's storage
+    budget, and an unsolicited persist pins executor memory at 100 TB
+    scale)."""
     if quota <= 0:
         raise ValueError(f"quota must be positive: {quota}")
     if prefilter_keep is not None:

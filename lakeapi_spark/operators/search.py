@@ -23,6 +23,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from lakeapi_spark.operators.text import tokens
+
 MIN_SEARCH_LENGTH = 3
 
 
@@ -91,9 +93,7 @@ def bm25_search(
     scores (round 4).
     """
     terms = sorted({t.lower() for t in _terms(search_text)})
-    toks_arr = F.split(
-        F.regexp_replace(F.lower(F.col(text_col)), r"^\s+|\s+$", ""), r"\s+"
-    )
+    toks_arr = tokens(F.col(text_col))
     base = df.select(F.col(id_col).alias("__id"), toks_arr.alias("__toks"))
     doclen = base.select("__id", F.size("__toks").alias("__dl"))
     stats = doclen.agg(
@@ -140,7 +140,7 @@ def tf_search(
     terms = [t.lower() for t in _terms(search_text)]
     tok = df.select(
         F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("__tok"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+")).alias("__tok"),
     ).filter(F.col("__tok").isin(terms))
     scores = tok.groupBy(id_col).agg(F.count("*").alias(score_col))
     return (
@@ -197,9 +197,7 @@ def build_bm25_index(df: DataFrame, id_col: str, text_col: str) -> Bm25Index:
     hash partitioning, so the per-query join satisfies EnsureRequirements
     with no new exchange. The build cost (2 shuffles) is paid once per
     table version instead of per query."""
-    toks_arr = F.split(
-        F.regexp_replace(F.lower(F.col(text_col)), r"^\s+|\s+$", ""), r"\s+"
-    )
+    toks_arr = tokens(F.col(text_col))
     base = df.select(F.col(id_col).alias("__id"), toks_arr.alias("__toks"))
     doclen = base.select("__id", F.size("__toks").alias("__dl")).repartition("__id").persist()
     postings = (

@@ -121,6 +121,7 @@ def mad_outliers(
     k: float = 3.5,
     round_digits: int = 4,
     approx_accuracy: int | None = None,
+    min_group_rows: int = 1000,
 ) -> DataFrame:
     """Median-absolute-deviation outliers — the robust twin of
     :func:`zscore_outliers`: a single extreme value inflates σ enough
@@ -148,13 +149,47 @@ def mad_outliers(
     groups flip between MAD=0 and MAD>0). The dial is for the
     many-LARGE-group regime, where both medians converge; keep the
     default exact path when groups are small or values coarse.
+
+    That regime is ENFORCED, not advisory: with the dial on, an eager
+    group-count pass raises ValueError naming the first groups smaller
+    than ``min_group_rows`` (default 1000 — the scale at which the
+    element-vs-interpolation gap stops mattering for continuous
+    values). Callers who have verified rank-exactness on smaller
+    groups can lower the floor explicitly; ``min_group_rows=0``
+    disables the check. Like quota_sample's prefilter guard this costs
+    one extra aggregate over ``df``'s lineage at call time — persist
+    upstream if it is expensive.
+
+    Both paths return DOUBLE medians: the approx branch casts its
+    input (approx_percentile otherwise returns the input column's
+    type, drifting the schema for integer value columns).
     """
     v = F.col(value_col).cast("double")
 
     def _p50(col_sql: str) -> Column:
         if approx_accuracy is not None:
-            return F.expr(f"approx_percentile({col_sql}, 0.5, {int(approx_accuracy)})")
+            return F.expr(
+                f"approx_percentile(CAST({col_sql} AS DOUBLE), 0.5,"
+                f" {int(approx_accuracy)})"
+            )
         return F.expr(f"percentile({col_sql}, 0.5)")
+
+    if approx_accuracy is not None and min_group_rows > 0:
+        small = (
+            df.groupBy(F.col(group_col).alias("_g"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") < min_group_rows)
+        )
+        bad = [(r["_g"], r["_n"]) for r in small.limit(5).collect()]
+        if bad:
+            raise ValueError(
+                f"mad_outliers(approx_accuracy={approx_accuracy}): group(s) "
+                f"{bad} have fewer than min_group_rows={min_group_rows} rows "
+                f"— approx_percentile picks a rank-nearest ELEMENT while the "
+                f"exact path interpolates, so small/coarse groups can flip "
+                f"MAD between 0 and >0. Use the exact path, or lower "
+                f"min_group_rows explicitly after verifying rank-exactness."
+            )
 
     maybe_bcast = F.broadcast if approx_accuracy is None else (lambda d: d)
     med = df.groupBy(F.col(group_col).alias("_g")).agg(

@@ -40,9 +40,9 @@ def portable_hash60(c: Column) -> Column:
 
 def tokens(text: Column) -> Column:
     """Whitespace tokens of trimmed lowercased text (empty -> [])."""
-    t = F.regexp_replace(F.lower(text), r"^\s+|\s+$", "")
+    t = F.regexp_replace(F.lower(text), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", "")
     return F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
+        F.split(t, r"[ \t\n\x0B\f\r]+")
     )
 
 
@@ -106,7 +106,7 @@ def lang_id_oracle_sql(text_expr: str, default: str = "und") -> str:
     """The DuckDB twin of :func:`lang_id` over the same lexicon."""
     toks = (
         f"string_split_regex(regexp_replace(lower({text_expr}),"
-        f" '^\\s+|\\s+$', '', 'g'), '\\s+')"
+        f" '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')"
     )
     score = {
         lang: (
@@ -132,7 +132,7 @@ def lang_id_oracle_sql(text_expr: str, default: str = "und") -> str:
 #: GPT-2-flavoured coarse split: letter runs, digit runs, single
 #: punctuation marks. Deliberately simple enough to behave identically
 #: under Java regex (Spark) and RE2 (DuckDB oracle).
-BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]"
 
 
 def bpe_ish_token_count(text: Column) -> Column:
@@ -158,9 +158,9 @@ def rolling_fingerprint(text: Column) -> Column:
     the building block for streaming / windowed fingerprints (hash of a
     growing prefix is O(1) per new token). Token values go through md5
     so the DuckDB oracle can reproduce them bit-for-bit; the fold is
-    one per-row array aggregate, no shuffle."""
-    toks = F.split(F.regexp_replace(F.lower(text), r"^\s+|\s+$", ""), r"\s+")
-    vals = F.transform(toks, lambda t: portable_hash60(t) % ROLLING_P)
+    one per-row array aggregate, no shuffle. Empty / whitespace-only
+    text folds over [] (the :func:`tokens` contract) -> fp 0."""
+    vals = F.transform(tokens(text), lambda t: portable_hash60(t) % ROLLING_P)
     return F.aggregate(
         vals, F.lit(0).cast("long"), lambda acc, v: (acc * 31 + v) % ROLLING_P
     )
@@ -337,7 +337,7 @@ def chunk_documents(
     if stride < 1:
         raise ValueError("overlap must be smaller than chunk_tokens")
     t = tokens(F.col(text_col))
-    base = df.filter(F.col(text_col).rlike(r"\S")).select(
+    base = df.filter(F.col(text_col).rlike(r"[^ \t\n\x0B\f\r]")).select(
         F.col(id_col).alias("doc_id"), F.when(F.size(t) >= 0, t).alias("t")
     )
     windows = F.transform(
@@ -362,7 +362,7 @@ def fingerprint(text: Column) -> Column:
     (The scalable stand-in for a rolling/Rabin hash — identical across
     engines, so it gets a strong oracle.)"""
     normalized = F.regexp_replace(
-        F.regexp_replace(F.lower(text), r"^\s+|\s+$", ""), r"\s+", " "
+        F.regexp_replace(F.lower(text), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+", " "
     )
     return F.md5(normalized)
 

@@ -698,7 +698,7 @@ def search_like_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id, s.search_score FROM documents d
     JOIN (
       SELECT doc_id, COUNT(*) AS search_score
-      FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents)
+      FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+')) AS tok FROM documents)
       WHERE tok IN ('spark','window')
       GROUP BY doc_id
     ) s ON d.doc_id = s.doc_id
@@ -715,9 +715,9 @@ def search_tf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "search_bm25_score",
     """
     WITH base AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks FROM documents
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') AS toks FROM documents
     ),
-    dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+    dl AS (SELECT doc_id, CASE WHEN toks = [''] THEN 0 ELSE len(toks) END AS dl FROM base),
     stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
     tf AS (
       SELECT doc_id, tok, COUNT(*) AS tf
@@ -757,9 +757,9 @@ def search_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hybrid_search_rerank",
     r"""
     WITH base AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+') AS toks FROM documents
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS toks FROM documents
     ),
-    dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+    dl AS (SELECT doc_id, CASE WHEN toks = [''] THEN 0 ELSE len(toks) END AS dl FROM base),
     stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
     tf AS (
       SELECT doc_id, tok, COUNT(*) AS tf
@@ -840,9 +840,9 @@ def hybrid_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "search_rrf_fusion",
     r"""
     WITH base AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+') AS toks FROM documents
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS toks FROM documents
     ),
-    dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+    dl AS (SELECT doc_id, CASE WHEN toks = [''] THEN 0 ELSE len(toks) END AS dl FROM base),
     stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
     tf AS (
       SELECT doc_id, tok, COUNT(*) AS tf
@@ -939,9 +939,9 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hybrid_search_partial_embeddings",
     r"""
     WITH base AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+') AS toks FROM documents
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS toks FROM documents
     ),
-    dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+    dl AS (SELECT doc_id, CASE WHEN toks = [''] THEN 0 ELSE len(toks) END AS dl FROM base),
     stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
     tf AS (
       SELECT doc_id, tok, COUNT(*) AS tf
@@ -1314,7 +1314,7 @@ def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Text analysis (training-data extension)
 # ---------------------------------------------------------------------------
 
-_TOKS = "string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')"
+_TOKS = "string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')"
 
 #: Gopher-rule stopword probe set (the paper's "contains at least two
 #: of ..." rule)
@@ -1667,7 +1667,7 @@ _install_langid_oracle()
 @register(
     "text_fingerprint",
     """
-    SELECT doc_id, md5(regexp_replace(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g')) AS fingerprint
+    SELECT doc_id, md5(regexp_replace(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fingerprint
     FROM documents
     """,
 )
@@ -1682,7 +1682,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_bpe_token_count",
     r"""
     SELECT doc_id,
-           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT)
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]')) AS INT)
              AS n_bpe_tokens
     FROM documents
     """,
@@ -1698,11 +1698,12 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_rolling_fingerprint",
     r"""
     SELECT doc_id,
-           list_reduce(
-             list_transform(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+'),
-               t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 1000000007),
-             (a, b) -> (a * 31 + b) % 1000000007) AS roll_fp
-    FROM documents
+           CASE WHEN toks = [''] THEN 0 ELSE
+             list_reduce(
+               list_transform(toks,
+                 t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 1000000007),
+               (a, b) -> (a * 31 + b) % 1000000007) END AS roll_fp
+    FROM (SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS toks FROM documents)
     """,
 )
 def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1716,8 +1717,8 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_chunking",
     r"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+') AS t
-      FROM documents WHERE regexp_matches(text, '\S')
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS t
+      FROM documents WHERE regexp_matches(text, '[^ \t\n\x0B\f\r]')
     ), st AS (
       SELECT doc_id, t, unnest(range(0, len(t), 48)) AS s FROM toks
     )
@@ -1741,8 +1742,8 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "chunk_dedup_summary",
     r"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+') AS t
-      FROM documents WHERE regexp_matches(text, '\S')
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS t
+      FROM documents WHERE regexp_matches(text, '[^ \t\n\x0B\f\r]')
     ), st AS (
       SELECT doc_id, t, unnest(range(0, len(t), 48)) AS s FROM toks
     ), chunks AS (
@@ -1750,7 +1751,7 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
              array_to_string(t[s+1 : s+64], ' ') AS chunk_text
       FROM st
     )
-    SELECT md5(regexp_replace(regexp_replace(lower(chunk_text), '^\\s+|\\s+$', '', 'g'), '\s+', ' ', 'g')) AS fingerprint,
+    SELECT md5(regexp_replace(regexp_replace(lower(chunk_text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS fingerprint,
            MIN(chunk_key) AS keeper_id, COUNT(*) AS n_dups
     FROM chunks GROUP BY 1 HAVING COUNT(*) > 1
     """,
@@ -1777,8 +1778,8 @@ def chunk_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH toks AS (
       SELECT doc_id,
-             CASE WHEN regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
-                  ELSE string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+') END AS t
+             CASE WHEN regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') END AS t
       FROM documents
     ), bg AS (
       SELECT doc_id, t,
@@ -1816,7 +1817,7 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_exact",
     """
-    SELECT md5(regexp_replace(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g')) AS fingerprint,
+    SELECT md5(regexp_replace(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fingerprint,
            MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
     FROM documents GROUP BY 1
     """,
@@ -1831,7 +1832,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_ORACLE = """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS t FROM documents
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
     ), idx AS (
       SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2
     ), grams AS (
@@ -1862,7 +1863,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PREFIX_JACCARD_ORACLE = r"""
     WITH toks AS (
       SELECT DISTINCT doc_id AS id, t AS token
-      FROM (SELECT doc_id, unnest(regexp_split_to_array(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+')) AS t
+      FROM (SELECT doc_id, unnest(regexp_split_to_array(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')) AS t
             FROM documents)
       WHERE t <> ''
     ), freq AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
@@ -1939,7 +1940,7 @@ def _minhash_oracle(
     bucket_items = ",\n               ".join(bucket_expr(b) for b in range(bands))
     return f"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS t
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') AS t
       FROM ({docs_sql})
     ), idx AS (
       SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2
@@ -1983,8 +1984,8 @@ def _simhash_fp_cte(bits: int = 60) -> str:
     tok_hash = _PH60.format(x="tk")
     return f"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS t
-      FROM documents WHERE regexp_matches(text, '\\S')
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') AS t
+      FROM documents WHERE regexp_matches(text, '[^ \\t\\n\\x0B\\f\\r]')
     ), hsrel AS (
       SELECT doc_id, list_transform(t, tk -> {tok_hash}) AS hs FROM toks
     ), fp AS (
@@ -2004,7 +2005,7 @@ def _lsh_quality_oracle(threshold: float = 0.5) -> str:
     return f"""
     WITH lshp AS (SELECT id_a, id_b FROM ({lsh_sql})),
     toks2 AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS t FROM documents
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
     ), idx2 AS (
       SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks2 WHERE len(t) >= 2
     ), grams2 AS (
@@ -3494,7 +3495,7 @@ def stats_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CLUSTER_ORACLE = """
     WITH RECURSIVE toks AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS t FROM documents
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
     ), idx AS (
       SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2
     ), grams AS (
@@ -3918,7 +3919,7 @@ def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH keepers AS (
       SELECT MIN(doc_id) AS doc_id
       FROM documents
-      GROUP BY md5(regexp_replace(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g'))
+      GROUP BY md5(regexp_replace(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
     ), kept AS (
       SELECT d.doc_id, d.lang, d.n_chars,
              CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS h
@@ -5539,7 +5540,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH base AS (
       SELECT source, COALESCE(lang, '') AS lang,
-             md5(regexp_replace(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g')) AS fp,
+             md5(regexp_replace(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fp,
              ROUND(0.4 * LEAST(length(text) / 200.0, 1.0)
                  + 0.3 * (1 - CASE WHEN length(text) > 0
                                    THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
@@ -5596,8 +5597,8 @@ def domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_pmi_collocations",
     """
     WITH toks AS (
-      SELECT string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS t FROM documents
-      WHERE regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g') <> ''
+      SELECT string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
+      WHERE regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g') <> ''
     ), uc AS (
       SELECT w, COUNT(*) AS c FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
     ), nu AS (
@@ -5637,8 +5638,8 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_llr_collocations",
     """
     WITH toks AS (
-      SELECT string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS t FROM documents
-      WHERE regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g') <> ''
+      SELECT string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
+      WHERE regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g') <> ''
     ), bc AS (
       SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_pair FROM (
         SELECT t[CAST(i AS INT)] AS a, t[CAST(i AS INT) + 1] AS b
@@ -5689,7 +5690,7 @@ def text_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decontaminate_overlap",
     """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS t FROM documents
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
     ), idx AS (
       SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM toks WHERE len(t) >= 5
     ), grams AS (
@@ -5732,7 +5733,7 @@ _PACK_ORACLE_CTE = """
     WITH t AS (
       SELECT doc_id,
              CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard,
-             CAST(len(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS BIGINT) AS n_tokens
+             CAST(len(string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens
       FROM documents
     ), c AS (
       SELECT doc_id, shard, n_tokens,
@@ -5795,7 +5796,7 @@ def pack_sequences_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dsir_importance_weights",
     r"""
     WITH toks AS (
-      SELECT doc_id, lang, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+') AS t
+      SELECT doc_id, lang, string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS t
       FROM documents
     ), idx AS (
       SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i
@@ -6035,8 +6036,8 @@ def dedup_semantic_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SUBSTRING_SPAN_CTES = r"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+') AS t
-      FROM documents WHERE regexp_matches(text, '\S')
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS t
+      FROM documents WHERE regexp_matches(text, '[^ \t\n\x0B\f\r]')
     ), pos AS (
       SELECT doc_id, t, unnest(range(0, greatest(len(t) - 20 + 1, 0))) AS p FROM toks
     ), wh AS (
@@ -6110,7 +6111,7 @@ def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the span array): no extra explode or shuffle."""
     from lakeapi_spark.operators.dedup import cut_dup_spans
 
-    d = table(spark, sf_dir, "documents").filter(F.col("text").rlike(r"\S"))
+    d = table(spark, sf_dir, "documents").filter(F.col("text").rlike(r"[^ \t\n\x0B\f\r]"))
     return cut_dup_spans(d, "doc_id", "text", window=20)
 
 
@@ -6118,8 +6119,8 @@ def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_incremental",
     r"""
     WITH toks AS (
-      SELECT doc_id, source, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+') AS t
-      FROM documents WHERE regexp_matches(text, '\S')
+      SELECT doc_id, source, string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS t
+      FROM documents WHERE regexp_matches(text, '[^ \t\n\x0B\f\r]')
     ), pos AS (
       SELECT doc_id, source, t, unnest(range(0, greatest(len(t) - 20 + 1, 0))) AS p FROM toks
     ), wh AS (
@@ -6159,8 +6160,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tokens_to_ids_export",
     r"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+') AS t
-      FROM documents WHERE regexp_matches(text, '\S')
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS t
+      FROM documents WHERE regexp_matches(text, '[^ \t\n\x0B\f\r]')
     ), st AS (
       SELECT doc_id, t, unnest(range(0, len(t))) AS p FROM toks
     ), tl AS (
@@ -6198,8 +6199,8 @@ def tokens_to_ids_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_unigram_logprob",
     r"""
     WITH toks AS (
-      SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+')) AS tok
-      FROM documents WHERE regexp_matches(text, '\S')
+      SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')) AS tok
+      FROM documents WHERE regexp_matches(text, '[^ \t\n\x0B\f\r]')
     ), freq AS (
       SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
     ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM freq)
@@ -6234,14 +6235,14 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    THEN CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text)
                                    ELSE 0.0 END)
                  + 0.3 * (len(list_filter(['the','and','of','to','a','in','is','that','it','for'],
-                                          w -> list_contains(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+'), w))) / 10.0),
+                                          w -> list_contains(string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+'), w))) / 10.0),
              4) AS quality
       FROM documents
     ),
     toks0 AS (
       SELECT doc_id,
-             CASE WHEN regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
-                  ELSE string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+') END AS t
+             CASE WHEN regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g') = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') END AS t
       FROM documents
     ), bg AS (
       SELECT doc_id, t,
@@ -6257,8 +6258,8 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bg
     ),
     toks AS (
-      SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+')) AS tok
-      FROM documents WHERE regexp_matches(text, '\S')
+      SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')) AS tok
+      FROM documents WHERE regexp_matches(text, '[^ \t\n\x0B\f\r]')
     ), freq AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
     tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM freq),
     lpt AS (SELECT tok, ROUND(ln(CAST(n AS DOUBLE) / t), 6) AS logp FROM freq CROSS JOIN tot),
@@ -6269,7 +6270,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon AS (
       SELECT doc_id,
              doc_id = MIN(doc_id) OVER (
-               PARTITION BY md5(regexp_replace(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+', ' ', 'g'))
+               PARTITION BY md5(regexp_replace(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g'))
              ) AS is_canonical
       FROM documents
     )
@@ -6537,8 +6538,8 @@ def pagerank_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH words AS (
       SELECT w, COUNT(*) AS freq FROM (
-        SELECT unnest(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS w
-        FROM documents WHERE regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g') <> ''
+        SELECT unnest(string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')) AS w
+        FROM documents WHERE regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g') <> ''
       ) GROUP BY w
     ), pairs AS (
       SELECT substr(w, i, 1) || ' ' || substr(w, i + 1, 1) AS pair, freq
@@ -6566,8 +6567,8 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "heavy_hitters_cms",
     """
     WITH toks AS (
-      SELECT unnest(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token
-      FROM documents WHERE regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g') <> ''
+      SELECT unnest(string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')) AS token
+      FROM documents WHERE regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g') <> ''
     ), truth AS (
       SELECT token, COUNT(*) AS true_n FROM toks GROUP BY token
     ), top AS (
@@ -6998,8 +6999,8 @@ def anomaly_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oov_rate_docs",
     """
     WITH toks AS (
-      SELECT doc_id AS id, unnest(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS token
-      FROM documents WHERE regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g') <> ''
+      SELECT doc_id AS id, unnest(string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')) AS token
+      FROM documents WHERE regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g') <> ''
     ), vc AS (
       SELECT token, COUNT(*) AS n FROM toks GROUP BY token
     ), vocab AS (
@@ -7157,8 +7158,8 @@ def bloom_semi_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "boilerplate_line_removal",
     r"""
     WITH toks AS (
-      SELECT doc_id AS id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+') AS t
-      FROM documents WHERE regexp_matches(text, '\S')
+      SELECT doc_id AS id, string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS t
+      FROM documents WHERE regexp_matches(text, '[^ \t\n\x0B\f\r]')
     ), lines AS (
       SELECT id, CAST(s / 8 AS BIGINT) AS pos, array_to_string(t[s+1 : s+8], ' ') AS line
       FROM (SELECT id, t, unnest(range(0, len(t), 8)) AS s FROM toks)
@@ -7185,7 +7186,7 @@ def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilt in order. See operators/text.strip_boilerplate_lines."""
     from lakeapi_spark.operators.text import strip_boilerplate_lines, tokens
 
-    d = table(spark, sf_dir, "documents").filter(F.col("text").rlike(r"\S"))
+    d = table(spark, sf_dir, "documents").filter(F.col("text").rlike(r"[^ \t\n\x0B\f\r]"))
     t = tokens(F.col("text"))
     # stage the token array once (CollapseProject blocker), then inject
     # a newline every 8 tokens
@@ -7853,8 +7854,8 @@ def lang_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_budget_head",
     r"""
     WITH t AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+') AS tk
-      FROM documents WHERE regexp_matches(text, '\S')
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS tk
+      FROM documents WHERE regexp_matches(text, '[^ \t\n\x0B\f\r]')
     ), s AS (
       SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
              ROUND(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) AS quality
@@ -7878,9 +7879,9 @@ def token_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     window."""
     from lakeapi_spark.operators.sampling import budget_select
 
-    d = table(spark, sf_dir, "documents").filter(F.col("text").rlike(r"\S"))
+    d = table(spark, sf_dir, "documents").filter(F.col("text").rlike(r"[^ \t\n\x0B\f\r]"))
     tk = F.split(
-        F.regexp_replace(F.lower(F.col("text")), r"^\s+|\s+$", ""), r"\s+"
+        F.regexp_replace(F.lower(F.col("text")), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+"
     )
     s = d.select(
         "doc_id",
@@ -8066,8 +8067,8 @@ def twap_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_entropy_docs",
     r"""
     WITH toks AS (
-      SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+')) AS tok
-      FROM documents WHERE regexp_matches(text, '\S')
+      SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')) AS tok
+      FROM documents WHERE regexp_matches(text, '[^ \t\n\x0B\f\r]')
     ), cnt AS (
       SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
     )
@@ -8085,13 +8086,13 @@ def token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Identity used: H = log2(n) − Σ c·log2(c) / n, with the Σ term in
     DECIMAL for order-independent engine-exact sums. Explode, two
     keyed aggregates — doc-partitioned throughout."""
-    d = table(spark, sf_dir, "documents").filter(F.col("text").rlike(r"\S"))
+    d = table(spark, sf_dir, "documents").filter(F.col("text").rlike(r"[^ \t\n\x0B\f\r]"))
     toks = d.select(
         "doc_id",
         F.explode(
             F.split(
-                F.regexp_replace(F.lower(F.col("text")), r"^\s+|\s+$", ""),
-                r"\s+",
+                F.regexp_replace(F.lower(F.col("text")), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""),
+                r"[ \t\n\x0B\f\r]+",
             )
         ).alias("tok"),
     )
@@ -8121,17 +8122,17 @@ def token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_keep_best",
     r"""
     WITH aug AS (
-      SELECT doc_id, text FROM documents WHERE regexp_matches(text, '\S')
+      SELECT doc_id, text FROM documents WHERE regexp_matches(text, '[^ \t\n\x0B\f\r]')
       UNION ALL
       SELECT doc_id + 1000000, text || '  '
-      FROM documents WHERE regexp_matches(text, '\S') AND doc_id % 7 = 0
+      FROM documents WHERE regexp_matches(text, '[^ \t\n\x0B\f\r]') AND doc_id % 7 = 0
     ), scored AS (
       SELECT doc_id, text,
              ROUND(CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS DOUBLE) / 1000, 6) AS quality
       FROM aug
     ), ranked AS (
       SELECT doc_id, quality,
-             md5(regexp_replace(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+', ' ', 'g')) AS fingerprint
+             md5(regexp_replace(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS fingerprint
       FROM scored
     )
     SELECT fingerprint, keeper_id, keeper_score, n_dups FROM (
@@ -8158,7 +8159,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = (
         table(spark, sf_dir, "documents")
-        .filter(F.col("text").rlike(r"\S"))
+        .filter(F.col("text").rlike(r"[^ \t\n\x0B\f\r]"))
         .select("doc_id", "text")
     )
     dup = d.filter(F.col("doc_id") % 7 == 0).select(
@@ -8496,7 +8497,7 @@ def kmv_overlap_viewers_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "novelty_ngram_docs",
     """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS t FROM documents
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
     ), idx AS (
       SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 3
     ), grams AS (
@@ -9803,8 +9804,8 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
       SELECT doc_id,
-             unnest(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS tok
-      FROM documents WHERE regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g') <> ''
+             unnest(string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
+      FROM documents WHERE regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g') <> ''
     )
     SELECT doc_id,
            CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 1024 AS idx,
@@ -10470,8 +10471,8 @@ def calibration_value_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
       SELECT doc_id, text,
-             CAST(len(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS BIGINT) AS n_words
-      FROM documents WHERE regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g') <> ''
+             CAST(len(string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_words
+      FROM documents WHERE regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g') <> ''
     )
     SELECT doc_id, n_words,
            GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS n_sentences,
@@ -10499,7 +10500,7 @@ def readability_flesch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decontaminate_canary_hits",
     """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS t
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') AS t
       FROM documents
     ), canaries AS (
       SELECT DISTINCT array_to_string(t[1:5], ' ') AS canary
@@ -10508,7 +10509,7 @@ def readability_flesch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id, COUNT(*) AS n_canaries_hit
     FROM documents d
     JOIN canaries c
-      ON contains(regexp_replace(lower(d.text), '\\s+', ' ', 'g'), c.canary)
+      ON contains(regexp_replace(lower(d.text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), c.canary)
     WHERE d.doc_id % 11 <> 0
     GROUP BY 1
     """,
@@ -10612,7 +10613,7 @@ def dedup_lsh_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "search_more_like_this",
     """
     WITH base AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') AS toks
       FROM documents
     ), tf AS (
       SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
@@ -10654,7 +10655,7 @@ def search_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     toks = F.split(
-        F.regexp_replace(F.lower(F.col("text")), r"^\s+|\s+$", ""), r"\s+"
+        F.regexp_replace(F.lower(F.col("text")), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+"
     )
     base = d.select("doc_id", toks.alias("toks"))
     tf = (
@@ -10760,9 +10761,9 @@ def _bm25_incremental_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, st
              CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text ELSE text END AS text
       FROM documents WHERE doc_id % 13 <> 0
     ), base AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks FROM docs
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') AS toks FROM docs
     ),
-    dl AS (SELECT doc_id, len(toks) AS dl FROM base),
+    dl AS (SELECT doc_id, CASE WHEN toks = [''] THEN 0 ELSE len(toks) END AS dl FROM base),
     stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
     tf AS (
       SELECT doc_id, tok, COUNT(*) AS tf
@@ -10802,7 +10803,7 @@ def search_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ndcg_search_tf",
     """
     WITH base AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks FROM documents
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') AS toks FROM documents
     ), tf AS (
       SELECT doc_id, tok, COUNT(*) AS tf
       FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
@@ -11432,9 +11433,9 @@ def ppr_nation_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH f AS (
       SELECT doc_id,
-             md5(regexp_replace(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+', ' ', 'g')) AS fp,
-             CAST(len(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) AS BIGINT) AS n_tok
-      FROM documents WHERE regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g') <> ''
+             md5(regexp_replace(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fp,
+             CAST(len(string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tok
+      FROM documents WHERE regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g') <> ''
     ), k AS (
       SELECT doc_id, n_tok,
              doc_id <> MIN(doc_id) OVER (PARTITION BY fp) AS is_dup
@@ -11460,7 +11461,7 @@ def dedup_savings_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeapi_spark.operators.text import fingerprint, tokens
 
     d = table(spark, sf_dir, "documents").filter(
-        F.regexp_replace(F.lower(F.col("text")), r"^\s+|\s+$", "") != ""
+        F.regexp_replace(F.lower(F.col("text")), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", "") != ""
     )
     f = d.select(
         "doc_id",
@@ -11626,7 +11627,7 @@ def kendall_trend_revenue_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contamination_by_source",
     """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS t FROM documents
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
     ), idx AS (
       SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM toks WHERE len(t) >= 5
     ), grams AS (
@@ -11820,6 +11821,41 @@ def _strong_copurchase_edges_build(
         .count()
         .filter(F.col("count") >= 2)
         .select("src", "dst")
+        .coalesce(max(1, cache_partitions))
+        .persist()
+    )
+
+
+def _weighted_copurchase_edges(
+    spark: SparkSession, sf_dir: str, cache_partitions: int = 1
+) -> DataFrame:
+    """The strong co-purchase graph WITH its support count kept as the
+    edge weight ``w`` — the input for the weighted-centrality queries
+    (weighted PageRank / eigenvector). Identical build and cache-layout
+    discipline as :func:`_strong_copurchase_edges`; the only delta is
+    that the >= 2 support count survives the projection."""
+    baskets = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .repartition(F.col("l_orderkey"))
+        .groupBy(F.col("l_orderkey").alias("o"))
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pairs).alias("pr"))
+        .groupBy(F.col("pr.src").alias("src"), F.col("pr.dst").alias("dst"))
+        .count()
+        .filter(F.col("count") >= 2)
+        .select("src", "dst", F.col("count").alias("w"))
         .coalesce(max(1, cache_partitions))
         .persist()
     )
@@ -12997,7 +13033,7 @@ def did_value_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_containment_pairs",
     r"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+') AS t FROM documents
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS t FROM documents
     ), idx AS (
       SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2
     ), grams AS (
@@ -13301,7 +13337,7 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "search_phrase_count",
     r"""
     WITH w AS (
-      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\s+') AS ws
+      SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS ws
       FROM documents
     ), tf AS (
       SELECT doc_id,
@@ -13329,7 +13365,7 @@ def search_phrase_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject."""
     d = table(spark, sf_dir, "documents")
     ws = F.split(
-        F.regexp_replace(F.lower(F.col("text")), r"^\s+|\s+$", ""), r"\s+"
+        F.regexp_replace(F.lower(F.col("text")), r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""), r"[ \t\n\x0B\f\r]+"
     )
     hits = F.filter(
         F.sequence(F.lit(1), F.size(ws) - 1),
@@ -13721,3 +13757,202 @@ def ses_user_spend_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.round(F.col("ses_final") / 1000000.0, 6) + 0.0).alias("ses_level"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: weighted centralities on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+#: weighted strong co-purchase edges (support count kept as w) —
+#: mirrors _weighted_copurchase_edges
+_WEIGHTED_EDGES_SQL = """
+    WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    po AS (
+      SELECT DISTINCT a.o, a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ),
+    e0 AS (SELECT u, v, COUNT(*) AS w FROM po GROUP BY u, v HAVING COUNT(*) >= 2),
+    e AS (SELECT u, v, w FROM e0 UNION ALL SELECT v AS u, u AS v, w FROM e0)
+"""
+
+
+@register(
+    "pagerank_weighted_copurchase",
+    _WEIGHTED_EDGES_SQL
+    + """
+    , wdeg AS (SELECT u, SUM(w) AS wdeg FROM e GROUP BY u),
+    nodes AS (SELECT DISTINCT u AS node FROM e),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    pr0 AS (SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS pr FROM nodes),
+    pr1 AS (
+      SELECT e.v AS node,
+             ROUND((1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+                   + 0.85::DOUBLE * CAST(SUM(CAST(p.pr * e.w / d.wdeg AS DECIMAL(28,12))) AS DOUBLE), 10) AS pr
+      FROM e JOIN pr0 p ON p.node = e.u JOIN wdeg d ON d.u = e.u
+      GROUP BY e.v
+    ),
+    pr2 AS (
+      SELECT e.v AS node,
+             ROUND((1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+                   + 0.85::DOUBLE * CAST(SUM(CAST(p.pr * e.w / d.wdeg AS DECIMAL(28,12))) AS DOUBLE), 8) AS pr
+      FROM e JOIN pr1 p ON p.node = e.u JOIN wdeg d ON d.u = e.u
+      GROUP BY e.v
+    )
+    SELECT node, pr,
+           CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS BIGINT) AS rank
+    FROM pr2 QUALIFY rank <= 50
+    """,
+)
+def pagerank_weighted_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-iteration WEIGHTED PageRank over the strong co-purchase
+    graph, edge weight = co-purchase support: a part's authority flows
+    proportionally down its strongest co-purchase ties, top 50 by
+    rank. Extends pagerank_cust_supp's exact-fixed-point contract
+    (decimal-cast contributions, per-iteration rounding) to weighted
+    mass splitting — see operators/graph.weighted_pagerank for the
+    plan shape (weighted degree folded into the persisted edge
+    relation, one broadcast join + one partial-agg shuffle per
+    iteration)."""
+    from pyspark.sql.window import Window as _W
+
+    from lakeapi_spark.operators.graph import weighted_pagerank
+
+    handles: list = []
+    edges = _weighted_copurchase_edges(spark, sf_dir)
+    pr = weighted_pagerank(edges, weight="w", iters=2, cache_handles=handles)
+    w = _W.orderBy(F.col("pr").desc(), F.col("node"))
+    return (
+        pr.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 50)
+        .select("node", "pr", "rank")
+    )
+
+
+@register(
+    "eigencentrality_copurchase",
+    _WEIGHTED_EDGES_SQL
+    + """
+    , x0 AS (SELECT DISTINCT u AS node, 1.0::DOUBLE AS x FROM e),
+    y1 AS (
+      SELECT e.v AS node, SUM(CAST(x.x * e.w AS DECIMAL(28,12))) AS y
+      FROM e JOIN x0 x ON x.node = e.u GROUP BY e.v
+    ),
+    x1 AS (
+      SELECT node, ROUND(CAST(y AS DOUBLE) / CAST((SELECT SUM(y) FROM y1) AS DOUBLE), 10) AS x
+      FROM y1
+    ),
+    y2 AS (
+      SELECT e.v AS node, SUM(CAST(x.x * e.w AS DECIMAL(28,12))) AS y
+      FROM e JOIN x1 x ON x.node = e.u GROUP BY e.v
+    ),
+    x2 AS (
+      SELECT node, ROUND(CAST(y AS DOUBLE) / CAST((SELECT SUM(y) FROM y2) AS DOUBLE), 10) AS x
+      FROM y2
+    ),
+    y3 AS (
+      SELECT e.v AS node, SUM(CAST(x.x * e.w AS DECIMAL(28,12))) AS y
+      FROM e JOIN x2 x ON x.node = e.u GROUP BY e.v
+    ),
+    x3 AS (
+      SELECT node, ROUND(CAST(y AS DOUBLE) / CAST((SELECT SUM(y) FROM y3) AS DOUBLE), 8) AS x
+      FROM y3
+    )
+    SELECT node, x AS score,
+           CAST(ROW_NUMBER() OVER (ORDER BY x DESC, node) AS BIGINT) AS rank
+    FROM x3 QUALIFY rank <= 50
+    """,
+)
+def eigencentrality_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step power-iteration eigenvector centrality on the
+    weighted strong co-purchase graph (L1-normalized each step, x0=1),
+    top 50: "connected to well-connected parts" prestige, the
+    teleport-free sibling of weighted PageRank. Exact across engines
+    by the decimal-matvec + per-step-rounding contract; the L1
+    normalizer rides the plan as a broadcast scalar, no driver
+    collect. See operators/graph.eigenvector_centrality."""
+    from pyspark.sql.window import Window as _W
+
+    from lakeapi_spark.operators.graph import eigenvector_centrality
+
+    handles: list = []
+    edges = _weighted_copurchase_edges(spark, sf_dir)
+    x = eigenvector_centrality(
+        edges, weight="w", iters=3, cache_handles=handles
+    )
+    w = _W.orderBy(F.col("score").desc(), F.col("node"))
+    return (
+        x.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 50)
+        .select("node", "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: scale-dial proving queries (the r10 dials, driven by the
+# driver's own harness instead of only pytest)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lang_quota_sample_prefiltered",
+    """
+    SELECT doc_id, lang FROM documents
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY lang
+      ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id
+    ) <= 40
+    """,
+)
+def lang_quota_sample_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lang_quota_sample with the r10 ``prefilter_keep`` scale dial ON
+    (keep 3/4 of the hash space before ranking): the dial is
+    exactness-preserving — the guard pass proves every language
+    retains min(total, quota) survivors, so the oracle is IDENTICAL to
+    the unfiltered query. This registers the dial under the driver's
+    hash gate: a silent winner-set change would mismatch here.
+    operators/sampling.quota_sample."""
+    from lakeapi_spark.operators.sampling import quota_sample
+
+    d = table(spark, sf_dir, "documents")
+    return quota_sample(
+        d, "doc_id", "lang", quota=40, prefilter_keep=(3, 4)
+    ).select("doc_id", "lang")
+
+
+@register(
+    "mad_outlier_events_approx",
+    """
+    WITH med AS (
+      SELECT event_type AS g, quantile_disc(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ), dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m ON e.event_type = m.g
+    ), mad AS (
+      SELECT event_type AS g, MIN(med) AS med, quantile_disc(adev, 0.5) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT event_id, event_type, value, robust_z FROM (
+      SELECT e.event_id, e.event_type, e.value,
+             ROUND(0.6745 * ABS(e.value - m.med) / m.mad + 0.0, 4) AS robust_z
+      FROM events e JOIN mad m ON e.event_type = m.g
+      WHERE m.mad > 0
+    ) WHERE robust_z >= 3.5
+    """,
+)
+def mad_outlier_events_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mad_outlier_events with the r10 ``approx_accuracy`` dial ON
+    (GK-sketch medians, hash join instead of broadcast — the >1e6-group
+    plan). At accuracy 10000 the sketch is rank-EXACT for ~2000-row
+    groups, so the dial's entire divergence from the exact path is
+    element-vs-interpolation median selection — which DuckDB expresses
+    PRECISELY as quantile_disc vs quantile_cont. The oracle therefore
+    pins the approx path's full robust_z values bit-for-bit, not just
+    the flagged id set. The ~2000-row event_type groups clear the
+    min_group_rows=1000 floor the dial now enforces
+    (operators/stats.mad_outliers)."""
+    from lakeapi_spark.operators.stats import mad_outliers
+
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return mad_outliers(e, "event_type", "value", k=3.5, approx_accuracy=10000)
