@@ -146,6 +146,128 @@ def topk(df: DataFrame, order: list[tuple[str, str]], k: int) -> DataFrame:
     return df.orderBy(*_sort_cols(order)).limit(k)
 
 
+def _partial_topk_kernel_factory(k: int, n_group: int):
+    """Build the mapInPandas generator for :func:`topk_per_group`'s
+    phase 1: input batches arrive group-contiguous (the partition is
+    sorted by group, then rank order), so "first k rows per group"
+    is a carry-one-counter scan — vectorized as a cumulative count
+    over each batch's group run-lengths plus the carried (last group,
+    emitted so far) pair. Bounded memory: one counter, never a
+    per-group pandas materialization."""
+
+    def kernel(batches):
+        import numpy as np
+
+        last_key = None
+        emitted = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keys = pdf.iloc[:, :n_group].astype(object)
+            # group run id within the batch (change points over the
+            # composite key tuple)
+            tup = list(map(tuple, keys.itertuples(index=False, name=None)))
+            arr = np.empty(len(tup), dtype=object)
+            arr[:] = tup
+            change = np.ones(len(arr), dtype=bool)
+            change[1:] = arr[1:] != arr[:-1]
+            run = np.cumsum(change) - 1
+            # rank within run
+            idx = np.arange(len(arr))
+            run_start = np.zeros(len(arr), dtype=np.int64)
+            starts = idx[change]
+            run_start[change] = starts
+            run_start = np.maximum.accumulate(run_start)
+            rank = idx - run_start
+            # carry: the first run continues the previous batch's group
+            if last_key is not None and len(arr) and arr[0] == last_key:
+                rank[run == 0] += emitted
+            keep = rank < k
+            last_key = arr[-1]
+            emitted = int(rank[-1]) + 1
+            if keep.any():
+                yield pdf.loc[keep]
+
+    return kernel
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    tiebreak_col: str,
+    descending: bool = True,
+) -> DataFrame:
+    """EXACT top-k rows per group WITHOUT a per-group global window —
+    the two-phase pattern every "top products per region" query needs
+    at 100 TB. Returns the input columns plus ``rank`` (1-based).
+
+    A window ``row_number() OVER (PARTITION BY group ORDER BY ...)``
+    shuffles and SORTS the full fact table by group. Instead:
+
+    - Phase 1 (zero shuffle): ``sortWithinPartitions(group, order)``
+      + an Arrow-batch scan keeping the first k rows of each group
+      run per partition. Per-partition top-k is a superset of global
+      top-k, so this only discards rows that cannot win; output is
+      at most k * n_partitions rows per group.
+    - Phase 2 (one small shuffle): groupBy(group) collects the
+      survivors (bounded: k per partition), array_sorts, slices k,
+      posexplodes with the final rank. No WindowExec anywhere —
+      ``tests/test_plans.py`` asserts it.
+
+    Exact iff (order_col, tiebreak_col) is a total order per group
+    (tiebreak ascending breaks order_col ties both phases the same
+    way). NULL order values sort last and cannot displace winners;
+    rows with NULL in ``order_col`` are dropped (a NULL can never be
+    a top-k winner under a total order)."""
+    from pyspark import cloudpickle as _cp
+    import sys as _sys
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+
+    df = df.filter(F.col(order_col).isNotNull())
+    payload_order = [c for c in df.columns if c not in group_cols]
+    # group cols FIRST: the phase-1 kernel reads the leading n_group
+    # columns as the run key
+    df = df.select(*group_cols, *payload_order)
+    order_expr = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    staged = df.sortWithinPartitions(
+        *[F.col(c) for c in group_cols], order_expr, F.col(tiebreak_col).asc()
+    )
+    survivors = staged.mapInPandas(
+        _partial_topk_kernel_factory(k, len(group_cols)),
+        schema=staged.schema,
+    )
+    payload_cols = [c for c in df.columns if c not in group_cols]
+    sort_key = F.struct(
+        (-F.col(order_col)).alias("o") if descending else F.col(order_col).alias("o"),
+        F.col(tiebreak_col).alias("t"),
+        *[F.col(c).alias(c) for c in payload_cols if c != tiebreak_col],
+    )
+    agg = survivors.groupBy(*group_cols).agg(
+        F.slice(F.array_sort(F.collect_list(sort_key)), 1, k).alias("__top")
+    )
+    exploded = agg.select(
+        *group_cols, F.posexplode("__top").alias("__pos", "__row")
+    )
+    out = exploded.select(
+        *group_cols,
+        *[
+            (
+                (-F.col("__row.o")).alias(order_col)
+                if descending
+                else F.col("__row.o").alias(order_col)
+            )
+            if c == order_col
+            else F.col(f"__row.{'t' if c == tiebreak_col else c}").alias(c)
+            for c in payload_cols
+        ],
+        (F.col("__pos") + 1).cast("long").alias("rank"),
+    )
+    return out
+
+
 def row_number_paged(
     df: DataFrame, order: list[tuple[str, str]], limit: int, offset: int
 ) -> DataFrame:

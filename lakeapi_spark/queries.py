@@ -13956,3 +13956,358 @@ def mad_outlier_events_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     return mad_outliers(e, "event_type", "value", k=3.5, approx_accuracy=10000)
+
+
+@register(
+    "topk_customers_per_nation_two_phase",
+    """
+    SELECT c_nationkey, c_custkey, c_acctbal, rank FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey
+             ) AS BIGINT) AS rank
+      FROM customer
+    ) WHERE rank <= 3
+    """,
+)
+def topk_customers_per_nation_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by account balance per nation via the TWO-PHASE
+    top-k operator: per-partition Arrow-batch partial top-k over
+    sortWithinPartitions (zero shuffle) + one bounded groupBy merge —
+    NO per-group window over the fact table (plan-asserted WindowExec-
+    free in tests/test_plans.py). The window-rank SQL is the oracle:
+    same rows, same ranks, different (scale-correct) plan.
+    operators/pipeline.topk_per_group."""
+    from lakeapi_spark.operators.pipeline import topk_per_group
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey", "c_acctbal"
+    )
+    return topk_per_group(
+        c, ["c_nationkey"], "c_acctbal", k=3, tiebreak_col="c_custkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: channel analytics — per-channel sessions, touch attribution,
+# windowed funnel, decile bridge
+# ---------------------------------------------------------------------------
+
+#: derived acquisition channel: a deterministic function of the event's
+#: props.k payload (the fixture has no channel column; the mapping IS
+#: the contract both engines compute)
+_CHANNEL_SQL = """CASE (CAST(json_extract_string(props, '$.k') AS INT) % 4)
+             WHEN 0 THEN 'organic' WHEN 1 THEN 'paid'
+             WHEN 2 THEN 'email' ELSE 'social' END"""
+
+
+def _channel_col() -> F.Column:
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        F.when(k % 4 == 0, "organic")
+        .when(k % 4 == 1, "paid")
+        .when(k % 4 == 2, "email")
+        .otherwise("social")
+    )
+
+
+@register(
+    "channel_sessions_stats",
+    f"""
+    WITH ce AS (
+      SELECT user_id, ts, event_id, event_type, {_EPOCH} AS e,
+             {_CHANNEL_SQL} AS channel
+      FROM events
+    ), flagged AS (
+      SELECT user_id, channel, ts, event_id, e, event_type,
+             CASE WHEN LAG(e) OVER w IS NULL OR e - LAG(e) OVER w > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ce
+      WINDOW w AS (PARTITION BY user_id, channel ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, channel, e, event_type,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id, channel
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, channel, session_id, COUNT(*) AS n_events,
+           MIN(e) AS session_start, MAX(e) AS session_end,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+    FROM sess GROUP BY user_id, channel, session_id
+    """,
+)
+def channel_sessions_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, acquisition channel) 30-minute-gap sessionization
+    with a session-level conversion flag — the real-world variant of
+    events_sessionize_30m: journeys interleave across channels, so the
+    inactivity gap must be measured WITHIN each channel's stream, and
+    'did this channel-session convert' is the attribution input. Same
+    gaps-and-islands spelling, composite partition key: ONE exchange
+    on (user, channel) covers both window passes and the aggregate."""
+    e = table(spark, sf_dir, "events")
+    ep = F.unix_timestamp(F.col("ts")).cast("long")
+    ce = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        ep.alias("e"),
+        _channel_col().alias("channel"),
+    )
+    w = Window.partitionBy("user_id", "channel").orderBy("ts", "event_id")
+    lag_e = F.lag("e").over(w)
+    flagged = ce.withColumn(
+        "new_s",
+        F.when(lag_e.isNull() | (F.col("e") - lag_e > 1800), 1).otherwise(0),
+    )
+    ws = (
+        Window.partitionBy("user_id", "channel")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_s").over(ws).cast("long"))
+    return sess.groupBy("user_id", "channel", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("e").alias("session_start"),
+        F.max("e").alias("session_end"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+
+
+@register(
+    "session_attribution_first_last",
+    f"""
+    WITH t AS (
+      SELECT user_id, {_EPOCH} * 1000000000 + event_id AS comb,
+             {_CHANNEL_SQL} AS channel
+      FROM events WHERE event_type IN ('view', 'click')
+    ), p AS (
+      SELECT user_id, {_EPOCH} * 1000000000 + event_id AS comb
+      FROM events WHERE event_type = 'purchase'
+    ), m AS (
+      SELECT p.user_id, p.comb,
+             MAX_BY(t.channel, t.comb) AS last_ch,
+             MIN_BY(t.channel, t.comb) AS first_ch
+      FROM p LEFT JOIN t ON t.user_id = p.user_id AND t.comb <= p.comb
+      GROUP BY p.user_id, p.comb
+    )
+    SELECT model, channel, COUNT(*) AS conversions FROM (
+      SELECT 'first_touch' AS model, COALESCE(first_ch, 'direct') AS channel FROM m
+      UNION ALL
+      SELECT 'last_touch' AS model, COALESCE(last_ch, 'direct') AS channel FROM m
+    ) GROUP BY model, channel
+    """,
+)
+def session_attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch conversion attribution: each purchase
+    credits (a) the user's EARLIEST view/click channel and (b) the
+    LATEST one at-or-before the purchase; purchases with no prior
+    touch credit 'direct'. The linear-touch sibling is
+    attribution_linear_touch; this adds the two boundary models every
+    marketing readout compares.
+
+    Spark plan: ONE union + window pass (the as-of shape of
+    operators/joins.asof_join) computes both models — running
+    first-non-null and last-non-null of the touch payload over the
+    per-user (epoch*1e9 + event_id) total order — one exchange on
+    user_id, then a tiny (model, channel) aggregate. The oracle
+    spells the same semantics as a left join + MIN_BY/MAX_BY."""
+    e = table(spark, sf_dir, "events")
+    comb = (
+        F.unix_timestamp(F.col("ts")).cast("long") * F.lit(1000000000).cast("long")
+        + F.col("event_id")
+    ).alias("comb")
+    touches = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        comb,
+        F.struct(_channel_col().alias("ch")).alias("__p"),
+        F.lit(0).alias("__tag"),
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        comb,
+        F.lit(None).cast(touches.schema["__p"].dataType).alias("__p"),
+        F.lit(1).alias("__tag"),
+    )
+    unioned = touches.unionByName(purch)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("comb").asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attributed = (
+        unioned.withColumn("last_ch", F.last("__p", ignorenulls=True).over(w)["ch"])
+        .withColumn("first_ch", F.first("__p", ignorenulls=True).over(w)["ch"])
+        .filter(F.col("__tag") == 1)
+    )
+    models = attributed.select(
+        F.lit("first_touch").alias("model"),
+        F.coalesce(F.col("first_ch"), F.lit("direct")).alias("channel"),
+    ).unionByName(
+        attributed.select(
+            F.lit("last_touch").alias("model"),
+            F.coalesce(F.col("last_ch"), F.lit("direct")).alias("channel"),
+        )
+    )
+    return models.groupBy("model", "channel").agg(
+        F.count(F.lit(1)).alias("conversions")
+    )
+
+
+@register(
+    "funnel_windowed_3step",
+    f"""
+    WITH ev AS (
+      SELECT user_id, event_type, {_EPOCH} * 1000000000 + event_id AS comb
+      FROM events
+    ), v AS (
+      SELECT user_id, MIN(comb) AS v0 FROM ev WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.comb) AS c0
+      FROM ev e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.comb >= v.v0
+        AND e.comb // 1000000000 - v.v0 // 1000000000 <= 3600
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.comb) AS p0
+      FROM ev e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.comb >= c.c0
+        AND e.comb // 1000000000 - c.c0 // 1000000000 <= 3600
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view_users,
+           (SELECT COUNT(*) FROM c) AS n_click_within_1h,
+           (SELECT COUNT(*) FROM p) AS n_purchase_within_1h
+    """,
+)
+def funnel_windowed_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step funnel with a PAIRWISE window constraint: first view
+    -> first click within 1 h OF THE VIEW -> first purchase within 1 h
+    OF THE CLICK (funnel_view_to_purchase / funnel_time_to_convert
+    only constrain against the FIRST step — this is the
+    steps-must-chain variant real funnel tools default to). Chained
+    min-aggregate + join rounds, each keyed on user_id: the fact
+    table scans once into per-user stage times; no row-pair
+    explosion. Events totally ordered by epoch*1e9 + event_id, so
+    stage picks are deterministic on both engines."""
+    e = table(spark, sf_dir, "events")
+    comb = (
+        F.unix_timestamp(F.col("ts")).cast("long") * F.lit(1000000000).cast("long")
+        + F.col("event_id")
+    )
+    ev = e.select("user_id", "event_type", comb.alias("comb"))
+    epoch_of = lambda c: F.floor(c / F.lit(1000000000)).cast("long")  # noqa: E731
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("comb").alias("v0"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("comb") >= F.col("v0"))
+            & (epoch_of(F.col("comb")) - epoch_of(F.col("v0")) <= 3600)
+        )
+        .groupBy("user_id")
+        .agg(F.min("comb").alias("c0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("comb") >= F.col("c0"))
+            & (epoch_of(F.col("comb")) - epoch_of(F.col("c0")) <= 3600)
+        )
+        .groupBy("user_id")
+        .agg(F.min("comb").alias("p0"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view_users"))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_click_within_1h"))))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_purchase_within_1h"))))
+    )
+
+
+@register(
+    "decile_revenue_bridge",
+    """
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice, 0.1) AS b1, quantile_cont(o_totalprice, 0.2) AS b2,
+             quantile_cont(o_totalprice, 0.3) AS b3, quantile_cont(o_totalprice, 0.4) AS b4,
+             quantile_cont(o_totalprice, 0.5) AS b5, quantile_cont(o_totalprice, 0.6) AS b6,
+             quantile_cont(o_totalprice, 0.7) AS b7, quantile_cont(o_totalprice, 0.8) AS b8,
+             quantile_cont(o_totalprice, 0.9) AS b9
+      FROM orders
+    ), a AS (
+      SELECT o_totalprice AS v,
+             CAST(1 + (CASE WHEN o_totalprice > b1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN o_totalprice > b2 THEN 1 ELSE 0 END)
+                    + (CASE WHEN o_totalprice > b3 THEN 1 ELSE 0 END)
+                    + (CASE WHEN o_totalprice > b4 THEN 1 ELSE 0 END)
+                    + (CASE WHEN o_totalprice > b5 THEN 1 ELSE 0 END)
+                    + (CASE WHEN o_totalprice > b6 THEN 1 ELSE 0 END)
+                    + (CASE WHEN o_totalprice > b7 THEN 1 ELSE 0 END)
+                    + (CASE WHEN o_totalprice > b8 THEN 1 ELSE 0 END)
+                    + (CASE WHEN o_totalprice > b9 THEN 1 ELSE 0 END) AS INT) AS decile
+      FROM orders, b
+    ), s AS (
+      SELECT decile, COUNT(*) AS n, SUM(CAST(v AS DECIMAL(18,4))) AS sd
+      FROM a GROUP BY decile
+    )
+    SELECT decile, n,
+           CAST(ROUND(sd, 2) AS DOUBLE) AS revenue,
+           ROUND(CAST(sd AS DOUBLE) / CAST(SUM(sd) OVER () AS DOUBLE), 6) AS share,
+           ROUND(CAST(SUM(sd) OVER (ORDER BY decile) AS DOUBLE)
+                 / CAST(SUM(sd) OVER () AS DOUBLE), 6) AS cum_share
+    FROM s
+    """,
+)
+def decile_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bridge / quantile-join analysis of order revenue: exact
+    value-boundary deciles (NOT a global NTILE sort — boundaries come
+    from ONE percentile aggregate, assignment is a broadcast
+    compare-and-count against the 9-boundary array), then per-decile
+    revenue, share of total, and cumulative share — the Pareto /
+    concentration readout. window_ntile_deciles documents this as the
+    scale path; this query IS it: no global sort, no single-partition
+    window over the fact table (the only windows run over the 10-row
+    decile relation). At 100 TB swap percentile for approx_percentile
+    and re-verify rank stability."""
+    o = table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.expr(
+            "percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("bs")
+    )
+    a = o.crossJoin(F.broadcast(bounds)).select(
+        F.col("o_totalprice").alias("v"),
+        (
+            F.lit(1)
+            + F.size(
+                F.filter(F.col("bs"), lambda b: F.col("o_totalprice") > b)
+            )
+        ).cast("int").alias("decile"),
+    )
+    s = a.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("v")).alias("sd"),
+    )
+    wt = Window.partitionBy()
+    wc = Window.partitionBy().orderBy("decile")
+    return s.select(
+        "decile",
+        "n",
+        F.round(F.col("sd"), 2).cast("double").alias("revenue"),
+        F.round(
+            F.col("sd").cast("double") / F.sum("sd").over(wt).cast("double"), 6
+        ).alias("share"),
+        F.round(
+            F.sum("sd").over(wc).cast("double") / F.sum("sd").over(wt).cast("double"),
+            6,
+        ).alias("cum_share"),
+    )

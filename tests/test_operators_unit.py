@@ -3644,3 +3644,41 @@ def test_eigenvector_centrality_k4_and_star(spark):
     }
     assert gw[0] > gw[1] > gw[2] == gw[3]
     spark.catalog.clearCache()
+
+
+def test_topk_per_group_exact_across_partitions_and_batches(spark):
+    """Phase-1 correctness hazards: a group split across partitions
+    (both fragments' local top-k must survive to the merge) and a
+    group run split across Arrow batches (the carried counter must
+    keep ranking, not restart). Compare against the window-rank
+    truth on a shape that forces both."""
+    import random
+
+    from pyspark.sql.window import Window as _W
+
+    from lakeapi_spark.operators.pipeline import topk_per_group
+
+    rng = random.Random(7)
+    rows = [
+        (g, i, float(rng.randrange(1000)))
+        for g in range(6)
+        for i in range(g * 500, g * 500 + 400)
+    ]
+    df = spark.createDataFrame(rows, "g int, id long, v double").repartition(8)
+    got = sorted(
+        (r.g, r.id, r.v, r.rank)
+        for r in topk_per_group(df, ["g"], "v", k=5, tiebreak_col="id").collect()
+    )
+    w = _W.partitionBy("g").orderBy(F.col("v").desc(), F.col("id"))
+    want = sorted(
+        (r.g, r.id, r.v, r.rank)
+        for r in df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    )
+    assert got == want and len(got) == 30
+    # ascending variant + NULL order values never win
+    rows_n = [(1, 1, None), (1, 2, 5.0), (1, 3, 1.0), (1, 4, 3.0)]
+    dfn = spark.createDataFrame(rows_n, "g int, id long, v double")
+    asc = topk_per_group(dfn, ["g"], "v", k=2, tiebreak_col="id", descending=False)
+    assert [(r.id, r.rank) for r in asc.orderBy("rank").collect()] == [(3, 1), (4, 2)]

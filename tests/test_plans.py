@@ -363,3 +363,17 @@ def test_hub_degree_cap_prunes_before_wedge_shuffle(spark):
     # uncapped plan has no semi joins — the dial is genuinely off
     plan_off = plan_str(spark, adamic_adar_topk(edges))
     assert "LeftSemi" not in plan_off, plan_off
+
+
+def test_topk_per_group_no_window_one_shuffle(spark, sf_dir):
+    """Two-phase top-k must never plan a per-group window over the
+    fact table: phase 1 is an in-partition Arrow scan (zero shuffle),
+    phase 2 one bounded hash aggregate. WindowExec-free, exactly one
+    hash exchange."""
+    df = QUERIES["topk_customers_per_nation_two_phase"].build(spark, sf_dir)
+    plan = plan_str(spark, df)
+    assert "Window" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange <= 1, f"{n_exchange} shuffles\n{plan}"
+    assert "Exchange rangepartitioning" not in plan, plan
