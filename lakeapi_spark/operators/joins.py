@@ -164,6 +164,71 @@ def asof_join_forward(
     return matched.select(*out_cols)
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    by: list[str],
+    payload_cols: list[str],
+    tolerance_s: int | None = None,
+    payload_prefix: str = "right_",
+) -> DataFrame:
+    """Nearest as-of join (pandas ``merge_asof(direction='nearest')``):
+    every ``left`` row, plus payload from whichever ``right`` row is
+    CLOSEST in time within the same ``by`` keys — backward and forward
+    candidates compete on absolute gap; equal gaps prefer the backward
+    (at-or-before) match; ``tolerance_s`` nulls out matches farther
+    than the bound. Adds ``{prefix}{ts_col}``, the payload columns,
+    ``{prefix}direction`` ('backward'/'forward'/NULL) and
+    ``{prefix}gap_s``.
+
+    Composition, not a new algorithm: the backward pass
+    (:func:`asof_join`) feeds the forward pass
+    (:func:`asof_join_forward`) as its left side — two union+window
+    passes, each ONE shuffle on ``by``, no range self-join. Requires
+    unique (by, ts) on the right (pre-aggregate otherwise), or ties
+    are matched arbitrarily like the underlying passes."""
+    back = asof_join(left, right, ts_col, by, payload_cols, payload_prefix="__b_")
+    both = asof_join_forward(
+        back, right, ts_col, by, payload_cols, payload_prefix="__f_"
+    )
+    lts = F.unix_timestamp(F.col(ts_col))
+    bts = F.unix_timestamp(F.col(f"__b_{ts_col}"))
+    fts = F.unix_timestamp(F.col(f"__f_{ts_col}"))
+    gap_b = lts - bts  # >= 0 when matched; whole-second resolution
+    gap_f = fts - lts
+    pick_back = bts.isNotNull() & (fts.isNull() | (gap_b <= gap_f))
+    gap = F.when(pick_back, gap_b).otherwise(gap_f)
+    in_tol = gap.isNotNull() & (
+        F.lit(True) if tolerance_s is None else gap <= F.lit(int(tolerance_s))
+    )
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(
+        F.when(
+            in_tol,
+            F.when(pick_back, F.col(f"__b_{ts_col}")).otherwise(
+                F.col(f"__f_{ts_col}")
+            ),
+        ).alias(f"{payload_prefix}{ts_col}")
+    )
+    out_cols.extend(
+        F.when(
+            in_tol,
+            F.when(pick_back, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")),
+        ).alias(f"{payload_prefix}{c}")
+        for c in payload_cols
+    )
+    out_cols.append(
+        F.when(in_tol, F.when(pick_back, "backward").otherwise("forward")).alias(
+            f"{payload_prefix}direction"
+        )
+    )
+    out_cols.append(
+        F.when(in_tol, gap).cast("long").alias(f"{payload_prefix}gap_s")
+    )
+    return both.select(*out_cols)
+
+
 def blocked_fuzzy_pairs(
     df: DataFrame,
     key_col: str,

@@ -1753,3 +1753,176 @@ def kendall_tau_trend(
         "n_discordant",
         (F.round(tau, digits) + 0.0).alias("tau"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: rank-sum test, contingency independence, portable normal CDF
+# ---------------------------------------------------------------------------
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    digits: int = 6,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test of ``group_a`` vs ``group_b``
+    values (two-sided normal approximation WITH tie correction) — the
+    nonparametric two-sample test to reach for when a t/z test's
+    normality assumption is the question. One row:
+    (n_a, n_b, u_stat, z).
+
+    Never ranks rows: the same histogram-collapse shape as the
+    ROC-AUC query — aggregate to per-distinct-value (n_a, n_b) counts
+    first (one keyed shuffle over the fact stream), then rank
+    arithmetic over the BOUNDED distinct-value relation. Midranks are
+    half-integers, so they sum exactly in DECIMAL(28,1); U derives
+    from that exact sum, and only the final (U - mu) / sigma touches
+    floating point — the same expression spelling on both engines.
+
+        avg_rank(v) = (#values < v) + (tie_count(v) + 1) / 2
+        U  = R_A - n_a(n_a+1)/2
+        mu = n_a n_b / 2
+        sigma^2 = n_a n_b / 12 * ((N+1) - sum(t^3 - t) / (N(N-1)))
+    """
+    from pyspark.sql.window import Window
+
+    vals = df.filter(
+        F.col(group_col).isin(group_a, group_b) & F.col(value_col).isNotNull()
+    ).select(
+        F.col(value_col).alias("_v"),
+        (F.col(group_col) == group_a).cast("long").alias("_a"),
+    )
+    hist = vals.groupBy("_v").agg(
+        F.sum("_a").alias("na"), F.sum(F.lit(1) - F.col("_a")).alias("nb")
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    t = F.col("na") + F.col("nb")
+    ranked = hist.select(
+        "na",
+        t.alias("t"),
+        F.coalesce(F.sum(F.col("na") + F.col("nb")).over(w), F.lit(0)).alias(
+            "before"
+        ),
+    )
+    avg_rank = (
+        F.col("before").cast("decimal(28,1)")
+        + (F.col("t") + 1).cast("decimal(28,1)") / 2
+    )
+    agg = ranked.agg(
+        F.sum(F.col("na").cast("decimal(28,1)") * avg_rank).alias("ra"),
+        F.sum("na").alias("n_a"),
+        F.sum(F.col("t") - F.col("na")).alias("n_b"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("ties"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    n = n_a + n_b
+    u = F.col("ra").cast("double") - (n_a * (n_a + 1)).cast("double") / 2
+    mu = (n_a * n_b).cast("double") / 2
+    sigma = F.sqrt(
+        (n_a * n_b).cast("double")
+        / 12
+        * (
+            (n + 1).cast("double")
+            - F.col("ties").cast("double") / (n * (n - 1)).cast("double")
+        )
+    )
+    return agg.select(
+        n_a.alias("n_a"),
+        n_b.alias("n_b"),
+        u.alias("u_stat"),
+        (F.round((u - mu) / sigma, digits) + 0.0).alias("z"),
+    )
+
+
+def chi_square_independence(
+    df: DataFrame, a_col: str, b_col: str, digits: int = 6
+) -> DataFrame:
+    """Pearson chi-square test of independence for two categorical
+    columns, plus Cramér's V effect size. One row:
+    (n, dof, chi2, cramers_v).
+
+    One fact-stream aggregate to the (a, b) contingency cells; row and
+    column margins come from windows OVER THE CELL RELATION (bounded
+    by the category product, not the data). Each cell's (O-E)^2/E is
+    computed in double with a fixed expression order, then
+    decimal-cast before the final sum so the reduction commutes — the
+    engine-parity discipline of the rest of this module."""
+    from pyspark.sql.window import Window
+
+    cells = (
+        df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    wa = Window.partitionBy("_a")
+    wb = Window.partitionBy("_b")
+    wt = Window.partitionBy()
+    m = cells.select(
+        "_a",
+        "_b",
+        "o",
+        F.sum("o").over(wa).alias("ra"),
+        F.sum("o").over(wb).alias("cb"),
+        F.sum("o").over(wt).alias("n"),
+    )
+    e = F.col("ra").cast("double") * F.col("cb").cast("double") / F.col("n").cast("double")
+    contrib = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    agg = m.agg(
+        F.sum(contrib.cast("decimal(28,10)")).alias("chi2d"),
+        F.countDistinct("_a").alias("r"),
+        F.countDistinct("_b").alias("c"),
+        F.max("n").alias("n"),
+    )
+    chi2 = F.col("chi2d").cast("double")
+    mindim = F.least(F.col("r") - 1, F.col("c") - 1)
+    return agg.select(
+        F.col("n"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        (F.round(chi2, digits) + 0.0).alias("chi2"),
+        (
+            F.round(
+                F.sqrt(chi2 / (F.col("n").cast("double") * mindim.cast("double"))),
+                digits,
+            )
+            + 0.0
+        ).alias("cramers_v"),
+    )
+
+
+def normal_sf_two_sided(z) -> "F.Column":
+    """Two-sided normal-tail p-value 2*(1 - Phi(|z|)) via the
+    Abramowitz & Stegun 26.2.17 polynomial (|error| < 7.5e-8) — pure
+    arithmetic + exp, spelled IDENTICALLY in the SQL twin
+    (:data:`NORMAL_SF_TWO_SIDED_SQL`), because neither engine ships a
+    normal CDF. p = 2 * phi(z) * poly(t), t = 1/(1 + 0.2316419 |z|)."""
+    az = F.abs(z)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * az)
+    poly = t * (
+        F.lit(0.319381530)
+        + t
+        * (
+            F.lit(-0.356563782)
+            + t
+            * (
+                F.lit(1.781477937)
+                + t * (F.lit(-1.821255978) + t * F.lit(1.330274429))
+            )
+        )
+    )
+    pdf = F.lit(0.3989422804014327) * F.exp(-az * az / 2)
+    return 2 * pdf * poly
+
+
+#: the DuckDB spelling of :func:`normal_sf_two_sided` — substitute the
+#: z expression for {z}
+NORMAL_SF_TWO_SIDED_SQL = (
+    "2 * 0.3989422804014327 * EXP(-ABS({z}) * ABS({z}) / 2) * "
+    "((1.0 / (1.0 + 0.2316419 * ABS({z}))) * (0.319381530 + "
+    "(1.0 / (1.0 + 0.2316419 * ABS({z}))) * (-0.356563782 + "
+    "(1.0 / (1.0 + 0.2316419 * ABS({z}))) * (1.781477937 + "
+    "(1.0 / (1.0 + 0.2316419 * ABS({z}))) * (-1.821255978 + "
+    "(1.0 / (1.0 + 0.2316419 * ABS({z}))) * 1.330274429)))))"
+)

@@ -14311,3 +14311,604 @@ def decile_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: corpus-mixing split audit, rolling actives, concentration,
+# new-vs-returning revenue
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mixture_split_rate_table",
+    """
+    WITH kept AS (
+      SELECT doc_id, source FROM documents
+      WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % (CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 2 ELSE 1 END)
+          < (CASE source WHEN 'src0' THEN 1 WHEN 'src1' THEN 1 ELSE 1 END)
+    ), tagged AS (
+      SELECT source,
+             CASE WHEN CAST(concat('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 8
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM kept
+    )
+    SELECT source, split, COUNT(*) AS n_docs,
+           CASE source WHEN 'src0' THEN 1 WHEN 'src1' THEN 1 ELSE 1 END AS rate_keep,
+           CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 2 ELSE 1 END AS rate_mod
+    FROM tagged GROUP BY source, split
+    """,
+)
+def mixture_split_rate_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture thinning COMPOSED with a train/eval split, plus the
+    per-stratum rate table: src0 thinned to 1/4 and src1 to 1/2 by the
+    doc-id hash, then an 80/20 split on a SEEDED hash ('split:' || id).
+    The seed matters: reusing the raw key hash for both decisions
+    correlates membership (every kept src0 doc has hash%4==0, so its
+    hash%10 is NOT uniform) — the composition hazard this query pins.
+    Both decisions stay pure row-local functions: map-only filter +
+    one small aggregate. operators/sampling.{mixture_sample,key_hash}."""
+    from lakeapi_spark.operators.sampling import key_hash, mixture_sample
+
+    d = table(spark, sf_dir, "documents")
+    rates = {"src0": (1, 4), "src1": (1, 2)}
+    kept = mixture_sample(d, "doc_id", "source", rates)
+    sh = key_hash(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 10
+    tagged = kept.select(
+        "source", F.when(sh < 8, "train").otherwise("eval").alias("split")
+    )
+    keep_c = (
+        F.when(F.col("source") == "src0", 1)
+        .when(F.col("source") == "src1", 1)
+        .otherwise(1)
+    )
+    mod_c = (
+        F.when(F.col("source") == "src0", 4)
+        .when(F.col("source") == "src1", 2)
+        .otherwise(1)
+    )
+    return tagged.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.first(keep_c).alias("rate_keep"),
+        F.first(mod_c).alias("rate_mod"),
+    )
+
+
+@register(
+    "rolling_28d_mau",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), spine AS (
+      SELECT UNNEST(generate_series(
+        (SELECT MIN(d) FROM ud), (SELECT MAX(d) FROM ud), INTERVAL 1 DAY)) AS day
+    )
+    SELECT CAST(s.day AS DATE) AS day, COUNT(DISTINCT u.user_id) AS mau_28d
+    FROM spine s JOIN ud u ON u.d BETWEEN CAST(s.day AS DATE) - 27 AND CAST(s.day AS DATE)
+    GROUP BY 1
+    """,
+)
+def rolling_28d_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """28-day rolling monthly-active-users for every day of the data
+    range — the DAU/WAU/MAU family's expensive member, because rolling
+    COUNT DISTINCT doesn't decompose into a window aggregate. Scale
+    shape: collapse events to distinct (user, day) pairs FIRST (one
+    shuffle, the fact table's only pass), then explode each pair into
+    the <= 28 future days it keeps the user active on and count
+    distinct users per day — a bounded 28x fan-out of the SMALL pair
+    relation, never a per-day scan or a range self-join of events. The
+    oracle spells the same semantics as a spine range join."""
+    e = table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    rng = F.broadcast(ud.agg(F.min("d").alias("lo"), F.max("d").alias("hi")))
+    contrib = (
+        ud.crossJoin(rng)
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("d"),
+                    F.least(F.date_add(F.col("d"), 27), F.col("hi")),
+                )
+            ).alias("day"),
+        )
+    )
+    return contrib.groupBy("day").agg(
+        F.countDistinct("user_id").alias("mau_28d")
+    )
+
+
+@register(
+    "pareto_revenue_parts",
+    """
+    WITH pr AS (
+      SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT l_partkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey) AS cum,
+             SUM(rev) OVER () AS total
+      FROM pr
+    )
+    SELECT COUNT(*) AS n_parts,
+           COUNT(*) FILTER (WHERE cum - rev < CAST(0.8 AS DECIMAL(18,4)) * total) AS n_parts_80,
+           ROUND(CAST(COUNT(*) FILTER (WHERE cum - rev < CAST(0.8 AS DECIMAL(18,4)) * total) AS DOUBLE)
+                 / COUNT(*), 6) AS frac_parts_80
+    FROM ranked
+    """,
+)
+def pareto_revenue_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration of part revenue: how many parts (and what
+    fraction of the catalog) cover 80% of revenue — the 80/20 readout
+    behind assortment and dedup-priority decisions. One fact-table
+    aggregate to the bounded per-part relation, then rank windows OVER
+    THAT relation only; membership is 'the cumulative sum BEFORE this
+    part is still under 80%', so the cut is deterministic under the
+    (rev desc, partkey) total order, and all sums are decimal-exact."""
+    l = table(spark, sf_dir, "lineitem")
+    pr = l.groupBy("l_partkey").agg(F.sum(dec("l_extendedprice")).alias("rev"))
+    wc = Window.orderBy(F.col("rev").desc(), F.col("l_partkey"))
+    wt = Window.partitionBy()
+    ranked = pr.select(
+        "rev",
+        F.sum("rev").over(wc).alias("cum"),
+        F.sum("rev").over(wt).alias("total"),
+    )
+    hit = (
+        F.col("cum") - F.col("rev")
+        < F.lit(0.8).cast("decimal(18,4)") * F.col("total")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.count(F.when(hit, 1)).alias("n_parts_80"),
+        F.round(
+            F.count(F.when(hit, 1)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("frac_parts_80"),
+    )
+
+
+@register(
+    "new_vs_returning_revenue_monthly",
+    """
+    WITH fo AS (
+      SELECT o_custkey, MIN(o_orderdate) AS first_dt FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+           CASE WHEN date_trunc('month', o.o_orderdate) = date_trunc('month', f.first_dt)
+                THEN 'new' ELSE 'returning' END AS cohort,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+    FROM orders o JOIN fo f ON f.o_custkey = o.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def new_vs_returning_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue split into first-month ('new') vs repeat
+    ('returning') customer orders — the growth-accounting twin for
+    REVENUE (user_growth_accounting covers user states). Plan: one
+    per-customer MIN aggregate, joined back on the customer key (both
+    sides hash-partition by o_custkey — a single co-keyed exchange
+    each), then a bounded (month, cohort) rollup with decimal money
+    sums."""
+    o = table(spark, sf_dir, "orders")
+    fo = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    j = o.join(fo, "o_custkey")
+    cohort = F.when(
+        F.date_trunc("month", F.col("o_orderdate"))
+        == F.date_trunc("month", F.col("first_dt")),
+        "new",
+    ).otherwise("returning")
+    return (
+        j.select(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+            cohort.alias("cohort"),
+            "o_totalprice",
+        )
+        .groupBy("month", "cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(dec("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: nonparametric tests, independence, FDR-controlled readouts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mann_whitney_purchase_vs_click",
+    """
+    WITH vals AS (
+      SELECT value AS v, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+      FROM events WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+    ), hist AS (
+      SELECT v, SUM(a) AS na, SUM(1 - a) AS nb FROM vals GROUP BY v
+    ), ranked AS (
+      SELECT na, na + nb AS t,
+             COALESCE(SUM(na + nb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+      FROM hist
+    ), agg AS (
+      SELECT SUM(CAST(na AS DECIMAL(28,1))
+                 * (CAST(bef AS DECIMAL(28,1)) + CAST(t + 1 AS DECIMAL(28,1)) / 2)) AS ra,
+             SUM(na) AS n_a, SUM(t - na) AS n_b,
+             SUM(t * t * t - t) AS ties
+      FROM ranked
+    )
+    SELECT n_a, n_b,
+           CAST(ra AS DOUBLE) - CAST(n_a * (n_a + 1) AS DOUBLE) / 2 AS u_stat,
+           ROUND((CAST(ra AS DOUBLE) - CAST(n_a * (n_a + 1) AS DOUBLE) / 2
+                  - CAST(n_a * n_b AS DOUBLE) / 2)
+                 / SQRT(CAST(n_a * n_b AS DOUBLE) / 12
+                        * (CAST(n_a + n_b + 1 AS DOUBLE)
+                           - CAST(ties AS DOUBLE)
+                             / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE))), 6)
+           + 0.0 AS z
+    FROM agg
+    """,
+)
+def mann_whitney_purchase_vs_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test: do purchase event values
+    stochastically dominate click values? Tie-corrected two-sided
+    normal approximation; midranks sum exactly in decimal via the
+    histogram-collapse shape (never ranks rows — see
+    operators/stats.mann_whitney_u)."""
+    from lakeapi_spark.operators.stats import mann_whitney_u
+
+    e = table(spark, sf_dir, "events")
+    return mann_whitney_u(e, "value", "event_type", "purchase", "click")
+
+
+@register(
+    "chi2_event_type_dow",
+    """
+    WITH cells AS (
+      SELECT event_type AS a,
+             (date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7 + 7) % 7 AS b,
+             COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT o,
+             SUM(o) OVER (PARTITION BY a) AS ra,
+             SUM(o) OVER (PARTITION BY b) AS cb,
+             SUM(o) OVER () AS n,
+             a, b
+      FROM cells
+    ), agg AS (
+      SELECT SUM(CAST((CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+                      / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+                      AS DECIMAL(28,10))) AS chi2d,
+             COUNT(DISTINCT a) AS r, COUNT(DISTINCT b) AS c, MAX(n) AS n
+      FROM m
+    )
+    SELECT n, CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           ROUND(CAST(chi2d AS DOUBLE), 6) + 0.0 AS chi2,
+           ROUND(SQRT(CAST(chi2d AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(LEAST(r - 1, c - 1) AS DOUBLE))), 6)
+           + 0.0 AS cramers_v
+    FROM agg
+    """,
+)
+def chi2_event_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of event type vs day-of-week (+
+    Cramér's V effect size) — 'is traffic mix a function of weekday',
+    the categorical sibling of mi_event_type_dow's mutual information.
+    Day-of-week is spelled as modular date arithmetic from a fixed
+    Monday anchor so both engines agree on the labels.
+    operators/stats.chi_square_independence."""
+    from lakeapi_spark.operators.stats import chi_square_independence
+
+    e = table(spark, sf_dir, "events")
+    dow = (
+        (F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")) % 7 + 7)
+        % 7
+    )
+    staged = e.select("event_type", dow.alias("dow"))
+    return chi_square_independence(staged, "event_type", "dow")
+
+
+def _fdr_p_sql(z_expr: str) -> str:
+    from lakeapi_spark.operators.stats import NORMAL_SF_TWO_SIDED_SQL
+
+    return NORMAL_SF_TWO_SIDED_SQL.format(z=z_expr)
+
+
+@register(
+    "fdr_bh_nation_price_tests",
+    """
+    WITH oc AS (
+      SELECT c.c_nationkey AS nation,
+             CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), g AS (
+      SELECT COUNT(*) AS n, SUM(cents) AS s,
+             SUM(CAST(cents AS DECIMAL(38,0)) * cents) AS ssq
+      FROM oc
+    ), per AS (
+      SELECT nation, COUNT(*) AS n_i, SUM(cents) AS s_i FROM oc GROUP BY nation
+    ), zt AS (
+      SELECT per.nation, per.n_i,
+             (CAST(per.s_i AS DOUBLE) / per.n_i - CAST(g.s AS DOUBLE) / g.n)
+             / SQRT(((CAST(g.ssq AS DOUBLE)
+                      - CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE) / g.n)
+                     / (g.n - 1)) / per.n_i) AS z
+      FROM per, g
+    ), pt AS (
+      SELECT nation, n_i, z, {P_EXPR} AS p FROM zt
+    ), ranked AS (
+      SELECT nation, n_i, z, p,
+             CAST(ROW_NUMBER() OVER (ORDER BY p, nation) AS BIGINT) AS bh_rank,
+             COUNT(*) OVER () AS m
+      FROM pt
+    ), cut AS (
+      SELECT *,
+             MAX(CASE WHEN p <= 0.10 * bh_rank / m THEN bh_rank ELSE 0 END)
+               OVER () AS k
+      FROM ranked
+    )
+    SELECT nation, n_i, ROUND(z, 6) + 0.0 AS z, ROUND(p, 6) + 0.0 AS p,
+           bh_rank, CAST(bh_rank <= k AS INT) AS is_discovery
+    FROM cut
+    """.replace(
+        "{P_EXPR}", _fdr_p_sql("z")
+    ),
+)
+def fdr_bh_nation_price_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation order-value z-tests with Benjamini-Hochberg FDR
+    control at q=0.10 — the multiple-testing readout an
+    experimentation platform runs over many segments at once: rank the
+    25 nations' two-sided p-values, find the largest rank k with
+    p_(k) <= 0.10*k/m, flag ranks <= k as discoveries. Neither engine
+    ships a normal CDF, so p comes from the Abramowitz-Stegun
+    polynomial spelled identically in both
+    (operators/stats.normal_sf_two_sided). Every moment feeding z is
+    an exact integer-cents sum (decimal for the sum of squares), so
+    the doubles entering the shared expressions are bit-identical;
+    windows run over the 25-row test relation only."""
+    from lakeapi_spark.operators.stats import normal_sf_two_sided
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    oc = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_nationkey").alias("nation"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    g = F.broadcast(
+        oc.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s"),
+            F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+                "ssq"
+            ),
+        )
+    )
+    per = oc.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_i"), F.sum("cents").alias("s_i")
+    )
+    var = (
+        F.col("ssq").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    z = (
+        F.col("s_i").cast("double") / F.col("n_i")
+        - F.col("s").cast("double") / F.col("n")
+    ) / F.sqrt(var / F.col("n_i"))
+    pt = per.crossJoin(g).select(
+        "nation", "n_i", z.alias("z"), normal_sf_two_sided(z).alias("p")
+    )
+    wr = Window.orderBy("p", "nation")
+    wall = Window.partitionBy()
+    ranked = pt.select(
+        "nation",
+        "n_i",
+        "z",
+        "p",
+        F.row_number().over(wr).cast("long").alias("bh_rank"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    )
+    k = F.max(
+        F.when(
+            F.col("p") <= F.lit(0.10) * F.col("bh_rank") / F.col("m"),
+            F.col("bh_rank"),
+        ).otherwise(F.lit(0))
+    ).over(wall)
+    cut = ranked.withColumn("k", k)
+    return cut.select(
+        "nation",
+        "n_i",
+        (F.round(F.col("z"), 6) + 0.0).alias("z"),
+        (F.round(F.col("p"), 6) + 0.0).alias("p"),
+        "bh_rank",
+        (F.col("bh_rank") <= F.col("k")).cast("int").alias("is_discovery"),
+    )
+
+
+@register(
+    "asof_nearest_click_for_purchase",
+    f"""
+    WITH c AS (
+      SELECT user_id, ts, MIN(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), p AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ), cand AS (
+      SELECT p.event_id, c.click_id,
+             CAST(floor(epoch(c.ts)) AS BIGINT) AS ce,
+             ABS(CAST(floor(epoch(c.ts)) AS BIGINT) - CAST(floor(epoch(p.ts)) AS BIGINT)) AS gap,
+             CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END AS fwd
+      FROM p JOIN c ON c.user_id = p.user_id
+      WHERE ABS(CAST(floor(epoch(c.ts)) AS BIGINT) - CAST(floor(epoch(p.ts)) AS BIGINT)) <= 900
+    ), pick AS (
+      SELECT event_id,
+             MIN_BY(click_id, gap * 2 + fwd) AS click_id,
+             MIN_BY(ce, gap * 2 + fwd) AS click_epoch,
+             MIN_BY(CASE WHEN fwd = 0 THEN 'backward' ELSE 'forward' END,
+                    gap * 2 + fwd) AS direction,
+             MIN_BY(gap, gap * 2 + fwd) AS gap_s
+      FROM cand GROUP BY event_id
+    )
+    SELECT p.event_id, pick.click_id, pick.click_epoch, pick.direction, pick.gap_s
+    FROM p LEFT JOIN pick USING (event_id)
+    """,
+)
+def asof_nearest_click_for_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-click attribution: each purchase matched to the CLOSEST
+    click by the same user within +/- 15 minutes, either direction,
+    ties preferring the at-or-before click (pandas merge_asof
+    'nearest' semantics) — the missing direction between the existing
+    backward (asof_purchase_before_click) and forward
+    (asof_click_after_purchase_15m) queries. Spark runs the
+    operators/joins.asof_join_nearest composition: two union+window
+    passes, each one shuffle on user_id, never a range self-join; the
+    oracle spells the same pick as an arg-min over the bounded
+    candidate join."""
+    from lakeapi_spark.operators.joins import asof_join_nearest
+
+    e = table(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("click_id"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    m = asof_join_nearest(
+        purchases, clicks, "ts", ["user_id"], ["click_id"], tolerance_s=900
+    )
+    return m.select(
+        "event_id",
+        F.col("right_click_id").alias("click_id"),
+        F.unix_timestamp("right_ts").cast("long").alias("click_epoch"),
+        F.col("right_direction").alias("direction"),
+        F.col("right_gap_s").alias("gap_s"),
+    )
+
+
+@register(
+    "delta_vacuum_dry_run",
+    """
+    SELECT CAST(4 AS BIGINT) AS n_files_on_disk,
+           CAST(1 AS BIGINT) AS n_dry_candidates,
+           CAST(1 AS BIGINT) AS candidates_survive_dry_run,
+           CAST(1 AS BIGINT) AS dry_equals_real,
+           CAST(3 AS BIGINT) AS n_files_after_real
+    """,
+)
+def delta_vacuum_dry_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM DRY RUN — the retention-audit read API on the vacuum
+    surface: stage a table with a known removable file (overwrite v0's
+    single file with two files at v1, then one at v2; keep_versions=1
+    retains v1..v2, stranding exactly v0's file), then prove the audit
+    contract end-to-end IN the result row: the dry run names exactly 1
+    candidate out of 4 data files, deletes nothing (the candidate
+    still exists afterward), and the subsequent REAL vacuum removes
+    exactly the dry-run's list. Every number is a pure function of the
+    staged commit sequence, so the oracle is the expected-constants
+    row. sources/delta.vacuum_delta(dry_run=True)."""
+    import os
+    import shutil
+    import tempfile
+
+    from lakeapi_spark.sources.delta import vacuum_delta, write_delta
+
+    base = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    dest = tempfile.mkdtemp(prefix="lakeapi_vacuum_dry_")
+    try:
+        shutil.rmtree(dest)
+        write_delta(base.filter(F.col("o_orderkey") % 5 == 0).coalesce(1), dest)
+        write_delta(
+            base.filter(F.col("o_orderkey") % 5 == 1).repartition(2),
+            dest,
+            mode="overwrite",
+        )
+        write_delta(
+            base.filter(F.col("o_orderkey") % 5 == 2).coalesce(1),
+            dest,
+            mode="overwrite",
+        )
+
+        def data_files() -> set[str]:
+            out = set()
+            for root, dirs, files in os.walk(dest):
+                dirs[:] = [d for d in dirs if d != "_delta_log"]
+                out |= {
+                    os.path.relpath(os.path.join(root, f), dest)
+                    for f in files
+                    if f.endswith(".parquet")
+                }
+            return out
+
+        before = data_files()
+        dry = vacuum_delta(spark, dest, keep_versions=1, dry_run=True)
+        survive = all(os.path.exists(os.path.join(dest, r)) for r in dry)
+        real = vacuum_delta(spark, dest, keep_versions=1)
+        after = data_files()
+        row = (
+            len(before),
+            len(dry),
+            int(survive and data_files() | set(real) == before | set()),
+            int(dry == real),
+            len(after),
+        )
+    finally:
+        shutil.rmtree(dest, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        "n_files_on_disk long, n_dry_candidates long, "
+        "candidates_survive_dry_run long, dry_equals_real long, "
+        "n_files_after_real long",
+    )
+
+
+@register(
+    "cosine_pair_histogram",
+    _EMB_DOT.replace("FROM embeddings", """FROM embeddings
+      WHERE CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5 = 0""")
+    + """
+    , d AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.val*b.val) AS dot
+      FROM x a JOIN x b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2
+    ), c AS (
+      SELECT ROUND(dot/(na.nrm*nb.nrm), 4) AS cosine
+      FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+    ), binned AS (
+      SELECT CAST(LEAST(FLOOR((cosine + 1.0) / 0.2), 9) AS BIGINT) AS bin FROM c
+    )
+    SELECT bin,
+           ROUND(bin * 0.2 - 1.0, 1) AS lo,
+           ROUND(bin * 0.2 - 0.8, 1) AS hi,
+           COUNT(*) AS n_pairs
+    FROM binned GROUP BY bin
+    """,
+)
+def cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine distribution over a hash-sampled embedding
+    subset (~1/5 of vectors -> ~4.3k pairs), binned into ten [-1, 1)
+    buckets — the similarity-threshold tuning aid run BEFORE choosing
+    a dedup/ANN cutoff: you read the histogram's near-duplicate bump
+    off the top bins. The sample is the stable md5 id hash, so the
+    histogram is reproducible and the exact O(s^2) pair cost is capped
+    at (n/5)^2 regardless of corpus size — the same bounded-exact-side
+    discipline as dedup_lsh_quality's exact_sample_mod dial."""
+    from lakeapi_spark.operators.dedup import embedding_dup_pairs
+    from lakeapi_spark.operators.sampling import key_hash
+
+    e = table(spark, sf_dir, "embeddings").filter(
+        key_hash(F.col("vec_id").cast("string")) % 5 == 0
+    )
+    pairs = embedding_dup_pairs(e, "vec_id", "embedding", threshold=-2.0)
+    binned = pairs.select(
+        F.least(F.floor((F.col("cosine") + 1.0) / 0.2), F.lit(9))
+        .cast("long")
+        .alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n_pairs")).select(
+        "bin",
+        F.round(F.col("bin") * 0.2 - 1.0, 1).alias("lo"),
+        F.round(F.col("bin") * 0.2 - 0.8, 1).alias("hi"),
+        "n_pairs",
+    )

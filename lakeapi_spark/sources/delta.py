@@ -3507,7 +3507,12 @@ def optimize_delta(
     raise RuntimeError(f"could not commit OPTIMIZE to {base} (concurrent writers)")
 
 
-def vacuum_delta(spark: SparkSession, path: str, keep_versions: int = 0) -> list[str]:
+def vacuum_delta(
+    spark: SparkSession,
+    path: str,
+    keep_versions: int = 0,
+    dry_run: bool = False,
+) -> list[str]:
     """Delete data files no version >= (latest - keep_versions)
     references: removed-and-aged-out files plus commit-race orphans.
     Time travel keeps working back to ``latest - keep_versions``;
@@ -3515,7 +3520,12 @@ def vacuum_delta(spark: SparkSession, path: str, keep_versions: int = 0) -> list
     expressed in versions instead of hours for deterministic tests.
     Deletion-vector ``.bin`` files are vacuumed by the same rule: kept
     while any retained version's add references them, deleted once only
-    purged/rewritten versions do. Returns the deleted relative paths."""
+    purged/rewritten versions do. Returns the deleted relative paths.
+
+    ``dry_run=True`` is the retention AUDIT surface (VACUUM DRY RUN):
+    the identical walk + reference computation, returning exactly the
+    paths a real vacuum would delete while touching nothing — run it
+    before committing to a retention cut."""
     import os
 
     base = _local_path(path).rstrip("/")
@@ -3543,7 +3553,8 @@ def vacuum_delta(spark: SparkSession, path: str, keep_versions: int = 0) -> list
             full = os.path.join(root, name)
             rel = os.path.relpath(full, base)
             if rel not in referenced:
-                os.remove(full)
+                if not dry_run:
+                    os.remove(full)
                 deleted.append(rel)
     return sorted(deleted)
 
