@@ -14912,3 +14912,67 @@ def cosine_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("bin") * 0.2 - 0.8, 1).alias("hi"),
         "n_pairs",
     )
+
+
+@register(
+    "ann_ivf_recall_report",
+    """
+    WITH ivf AS ({IVF}),
+    brute AS ({BRUTE}),
+    hits AS (
+      SELECT b.query_id,
+             COUNT(i.neighbor_id) AS n_hits,
+             COUNT(*) AS k
+      FROM brute b LEFT JOIN ivf i
+        ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+      GROUP BY b.query_id
+    )
+    SELECT query_id, n_hits, k,
+           ROUND(CAST(n_hits AS DOUBLE) / k, 2) AS recall_at_k
+    FROM hits
+    """.replace("{IVF}", _ivf_oracle(_IVF_CENTROID_IDS)).replace(
+        "{BRUTE}", _TOPK_ORACLE
+    ),
+)
+def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF index against exact brute force, per query
+    — the index-quality report you run before trusting an ANN path at
+    scale (the ANN sibling of dedup_lsh_quality). Both sides are the
+    ALREADY-verified pipelines (ann_ivf_topk / ann_brute_force_topk);
+    this composes them with one bounded join on (query, neighbor) and
+    scores overlap. The brute side's cost is capped by the query-set
+    size (5 x corpus, broadcast queries), never corpus x corpus — the
+    exact side stays affordable because the query sample, not the
+    corpus, pays the quadratic term."""
+    from lakeapi_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") <= 4)
+    ivf = ivf_topk(
+        e, q, "vec_id", "embedding", k=10, centroid_ids=_IVF_CENTROID_IDS
+    ).select("query_id", "neighbor_id")
+    brute = brute_force_topk(e, q, "vec_id", "embedding", k=10).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        brute.join(
+            ivf.withColumnRenamed("neighbor_id", "__n"),
+            (brute["query_id"] == ivf["query_id"])
+            & (brute["neighbor_id"] == F.col("__n")),
+            "left",
+        )
+        .drop(ivf["query_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count("__n").alias("n_hits"),
+            F.count(F.lit(1)).alias("k"),
+        )
+    )
+    return hits.select(
+        "query_id",
+        "n_hits",
+        "k",
+        F.round(F.col("n_hits").cast("double") / F.col("k"), 2).alias(
+            "recall_at_k"
+        ),
+    )

@@ -549,3 +549,80 @@ def ivf_maintained_delta_sink(
             ivf_index_refresh_delta(spark, delta_path, index_path, id_col, vec_col)
 
     return write
+
+
+def hll_maintained_delta_sink(
+    delta_path: str,
+    hll_path: str,
+    key_col: str,
+    group_cols: list[str],
+    b: int = 8,
+    app_id: str = "hll-stream",
+    checkpoint_every: int = 10,
+):
+    """Windowed / grouped DISTINCT-COUNT under a live stream, kept as a
+    persisted HLL register table: each micro-batch appends to the fact
+    delta table through the txn-marked sink, then the batch's own
+    registers (sketches.hll_build over JUST the batch — churn-sized)
+    merge into the register table by groupBy(group, reg).max(mx). The
+    merge is idempotent (max is), and the register table's commit
+    carries a txn marker with the merged-through fact version, so a
+    redelivered batch is detected and skipped outright — the same
+    exactly-once discipline as agg_maintained_delta_sink, but the
+    state is a SKETCH: groups * 2^b rows forever, regardless of
+    distinct-key cardinality, and estimates from the maintained table
+    are BIT-EQUAL to a from-scratch batch sketch (tested property).
+    Append-only contract: deletes in the fact stream cannot shrink a
+    max-merged register (the standard HLL limitation — rebuild for
+    retention cuts). Estimate with sketches.hll_estimate over
+    ``read_delta(hll_path)``, grouping windows from the fact ts before
+    the stream (e.g. a tumbling-day column) like any other group."""
+    from lakeapi_spark.operators.sketches import hll_build
+    from lakeapi_spark.sources.delta import (
+        delta_changes,
+        delta_snapshot,
+        delta_stream_sink,
+        last_txn_version,
+        read_delta,
+        write_delta,
+    )
+
+    sink = delta_stream_sink(delta_path, app_id, checkpoint_every=checkpoint_every)
+    hll_app = f"{app_id}-hll"
+
+    def write(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sink(batch_df, batch_id)
+        latest = delta_snapshot(spark, delta_path).version
+        done_through = last_txn_version(spark, hll_path, hll_app)
+        if latest <= done_through:
+            return  # redelivery: registers already reflect this batch
+        if done_through >= 0:
+            # catch-up from the change feed, not the in-hand batch: a
+            # crash between the fact append and the register commit
+            # leaves a version gap the next trigger must close (the
+            # agg_maintained_delta_sink contract); inserts only — the
+            # fact stream is append-only here
+            ch = delta_changes(spark, delta_path, v_from=done_through, v_to=latest)
+            new_rows = ch.filter(F.col("_change_type") == "insert")
+        else:
+            new_rows = read_delta(spark, delta_path, {"versionAsOf": str(latest)})
+        batch_regs = hll_build(new_rows, key_col, tuple(group_cols), b=b)
+        if done_through >= 0:
+            prev = read_delta(spark, hll_path).select(*group_cols, "reg", "mx")
+            merged = (
+                prev.unionByName(batch_regs)
+                .groupBy(*group_cols, "reg")
+                .agg(F.max("mx").alias("mx"))
+            )
+        else:
+            merged = batch_regs
+        write_delta(
+            merged,
+            hll_path,
+            mode="overwrite",
+            txn_app_id=hll_app,
+            txn_version=latest,
+        )
+
+    return write

@@ -899,3 +899,80 @@ def test_stream_maintained_ivf_index(spark, tmp_path):
     )
     assert delta_snapshot(spark, tbl).version == final_v
     assert ivf_index_version(spark, idx) == final_v
+
+
+def test_stream_maintained_hll_windowed_distinct(spark, tmp_path):
+    """Windowed distinct-count under a stream via the persisted HLL
+    register sink: three micro-batches append to the fact table and
+    merge churn-sized register deltas; after the drain the maintained
+    table's per-day estimates are BIT-EQUAL to a from-scratch batch
+    sketch of the whole fact table; a redelivered batch is a no-op;
+    and a version gap (out-of-band fact commit with no register
+    refresh) is closed from the change feed on the next trigger."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lakeapi_spark.operators.sketches import hll_build, hll_estimate
+    from lakeapi_spark.sources.delta import (
+        last_txn_version,
+        read_delta,
+        write_delta,
+    )
+    from lakeapi_spark.streaming.pipeline import hll_maintained_delta_sink
+
+    rows = [
+        (i, f"2024-03-{1 + (i % 3):02d}", 100 + (i * 7) % 40) for i in range(60)
+    ]
+    src = str(tmp_path / "hll_src")
+    os.makedirs(src)
+    for i in range(3):
+        spark.createDataFrame(
+            rows[i * 20 : (i + 1) * 20], "eid long, day string, user_id long"
+        ).coalesce(1).write.parquet(f"{src}/f{i}")
+
+    fact, hll = str(tmp_path / "hll_fact"), str(tmp_path / "hll_regs")
+    stream = spark.readStream.schema("eid long, day string, user_id long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src + "/*")
+    write = hll_maintained_delta_sink(
+        fact, hll, "user_id", ["day"], b=8, app_id="hll-test"
+    )
+    q = (
+        stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def estimates(regs_df):
+        return {
+            (r.day, r.n_regs_set, float(r.n_est))
+            for r in hll_estimate(regs_df, ("day",), b=8).collect()
+        }
+
+    got = estimates(read_delta(spark, hll).select("day", "reg", "mx"))
+    want = estimates(hll_build(read_delta(spark, fact), "user_id", ("day",), b=8))
+    assert got == want and len(got) == 3
+
+    # redelivery: same batch id / no fact movement -> register table
+    # version unchanged
+    v_before = last_txn_version(spark, hll, "hll-test-hll")
+    write(spark.createDataFrame(rows[40:60], "eid long, day string, user_id long"), 2)
+    assert last_txn_version(spark, hll, "hll-test-hll") == v_before
+
+    # version gap: out-of-band fact append (new users), then a trigger
+    # whose own batch is EMPTY must still fold the gap rows in from
+    # the change feed
+    extra = [(100 + i, "2024-03-01", 900 + i) for i in range(5)]
+    write_delta(
+        spark.createDataFrame(extra, "eid long, day string, user_id long"), fact
+    )
+    write(
+        spark.createDataFrame([], "eid long, day string, user_id long"),
+        3,
+    )
+    got2 = estimates(read_delta(spark, hll).select("day", "reg", "mx"))
+    want2 = estimates(hll_build(read_delta(spark, fact), "user_id", ("day",), b=8))
+    assert got2 == want2 and got2 != got
