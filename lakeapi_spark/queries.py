@@ -14012,6 +14012,43 @@ def _channel_col() -> F.Column:
     )
 
 
+def _channel_sessions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared session build for the channel queries: per (user,
+    channel) 30-min-gap sessions with n_events / start / end /
+    converted. One exchange on the composite key covers both window
+    passes and the aggregate."""
+    e = table(spark, sf_dir, "events")
+    ep = F.unix_timestamp(F.col("ts")).cast("long")
+    ce = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        ep.alias("e"),
+        _channel_col().alias("channel"),
+    )
+    w = Window.partitionBy("user_id", "channel").orderBy("ts", "event_id")
+    lag_e = F.lag("e").over(w)
+    flagged = ce.withColumn(
+        "new_s",
+        F.when(lag_e.isNull() | (F.col("e") - lag_e > 1800), 1).otherwise(0),
+    )
+    ws = (
+        Window.partitionBy("user_id", "channel")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_s").over(ws).cast("long"))
+    return sess.groupBy("user_id", "channel", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("e").alias("session_start"),
+        F.max("e").alias("session_end"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+
+
 @register(
     "channel_sessions_stats",
     f"""
@@ -14046,36 +14083,7 @@ def channel_sessions_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     'did this channel-session convert' is the attribution input. Same
     gaps-and-islands spelling, composite partition key: ONE exchange
     on (user, channel) covers both window passes and the aggregate."""
-    e = table(spark, sf_dir, "events")
-    ep = F.unix_timestamp(F.col("ts")).cast("long")
-    ce = e.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        ep.alias("e"),
-        _channel_col().alias("channel"),
-    )
-    w = Window.partitionBy("user_id", "channel").orderBy("ts", "event_id")
-    lag_e = F.lag("e").over(w)
-    flagged = ce.withColumn(
-        "new_s",
-        F.when(lag_e.isNull() | (F.col("e") - lag_e > 1800), 1).otherwise(0),
-    )
-    ws = (
-        Window.partitionBy("user_id", "channel")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    sess = flagged.withColumn("session_id", F.sum("new_s").over(ws).cast("long"))
-    return sess.groupBy("user_id", "channel", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("e").alias("session_start"),
-        F.max("e").alias("session_end"),
-        F.max(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-        ).alias("converted"),
-    )
+    return _channel_sessions_df(spark, sf_dir)
 
 
 @register(
@@ -14975,4 +14983,253 @@ def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_hits").cast("double") / F.col("k"), 2).alias(
             "recall_at_k"
         ),
+    )
+
+
+@register(
+    "channel_session_rollup",
+    f"""
+    WITH ce AS (
+      SELECT user_id, ts, event_id, event_type, {_EPOCH} AS e,
+             {_CHANNEL_SQL} AS channel
+      FROM events
+    ), flagged AS (
+      SELECT user_id, channel, ts, event_id, e, event_type,
+             CASE WHEN LAG(e) OVER w IS NULL OR e - LAG(e) OVER w > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ce
+      WINDOW w AS (PARTITION BY user_id, channel ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, channel, e, event_type,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id, channel
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    ), sm AS (
+      SELECT user_id, channel, session_id,
+             MAX(e) - MIN(e) AS dur,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM sess GROUP BY user_id, channel, session_id
+    )
+    SELECT channel, COUNT(*) AS n_sessions,
+           ROUND(CAST(SUM(conv) AS DOUBLE) / COUNT(*), 4) + 0.0 AS conversion_rate,
+           ROUND(quantile_cont(dur, 0.5), 4) + 0.0 AS p50_duration_s,
+           ROUND(quantile_cont(dur, 0.9), 4) + 0.0 AS p90_duration_s
+    FROM sm GROUP BY channel
+    """,
+)
+def channel_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The marketing readout OVER channel sessions: per channel,
+    session count, conversion rate, and exact p50/p90 session duration
+    — the rollup a team actually pages through (channel_sessions_stats
+    is its raw input). Reuses the shared session build; one extra
+    bounded aggregate per channel."""
+    s = _channel_sessions_df(spark, sf_dir)
+    dur = (F.col("session_end") - F.col("session_start")).alias("dur")
+    sm = s.select("channel", dur, F.col("converted").alias("conv"))
+    return sm.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        (F.round(F.sum("conv").cast("double") / F.count(F.lit(1)), 4) + 0.0).alias(
+            "conversion_rate"
+        ),
+        (F.round(F.expr("percentile(dur, 0.5)"), 4) + 0.0).alias("p50_duration_s"),
+        (F.round(F.expr("percentile(dur, 0.9)"), 4) + 0.0).alias("p90_duration_s"),
+    )
+
+
+@register(
+    "ship_latency_percentiles_by_priority",
+    """
+    WITH lat AS (
+      SELECT o.o_orderpriority AS priority,
+             date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT priority, COUNT(*) AS n,
+           ROUND(quantile_cont(days, 0.5), 4) + 0.0 AS p50_days,
+           ROUND(quantile_cont(days, 0.9), 4) + 0.0 AS p90_days,
+           ROUND(quantile_cont(days, 0.99), 4) + 0.0 AS p99_days
+    FROM lat GROUP BY priority
+    """,
+)
+def ship_latency_percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency percentiles per order priority — the SLA
+    readout shape (p50/p90/p99 of an integer day gap, exact holistic
+    percentiles per bounded group). One fact join shuffled on the
+    order key, one percentile aggregate per priority."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    lat = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days"),
+    )
+    return lat.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.expr("percentile(days, 0.5)"), 4) + 0.0).alias("p50_days"),
+        (F.round(F.expr("percentile(days, 0.9)"), 4) + 0.0).alias("p90_days"),
+        (F.round(F.expr("percentile(days, 0.99)"), 4) + 0.0).alias("p99_days"),
+    )
+
+
+@register(
+    "knn_label_accuracy",
+    _EMB_DOT
+    + """
+    , q AS (SELECT vec_id, i, val FROM x WHERE vec_id <= 49)
+    , d AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.val*c.val) AS dot
+      FROM q JOIN x c ON q.i = c.i AND q.vec_id <> c.vec_id GROUP BY 1, 2
+    ), scored AS (
+      SELECT query_id, neighbor_id, ROUND(dot/(nq.nrm*nc.nrm), 4) AS cosine
+      FROM d JOIN n nq ON nq.vec_id = query_id JOIN n nc ON nc.vec_id = neighbor_id
+    ), topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+      ) WHERE rank <= 10
+    ), votes AS (
+      SELECT t.query_id, e.label, COUNT(*) AS cnt
+      FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+      GROUP BY 1, 2
+    ), pred AS (
+      SELECT query_id, MIN((10 - cnt) * 100 + label) % 100 AS pred_label
+      FROM votes GROUP BY query_id
+    )
+    SELECT e.label AS true_label, COUNT(*) AS n_queries,
+           SUM(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END) AS n_correct,
+           ROUND(CAST(SUM(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) + 0.0 AS accuracy
+    FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+    GROUP BY e.label
+    """,
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out k-NN label accuracy over the embedding corpus
+    (50 query vectors, k=10 majority vote, ties to the smallest
+    label): the embedding-quality smoke test every similarity pipeline
+    runs — if neighbors don't share labels, no ANN index will save
+    the downstream task. Reuses the verified brute-force top-k; the
+    vote is an integer arg-min key ((10-count)*100+label), identical
+    on both engines."""
+    from lakeapi_spark.operators.similarity import brute_force_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") <= 49)
+    topk = brute_force_topk(e, q, "vec_id", "embedding", k=10).select(
+        "query_id", "neighbor_id"
+    )
+    labels = e.select("vec_id", "label")
+    votes = (
+        topk.join(labels, topk.neighbor_id == labels.vec_id)
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pred = votes.groupBy("query_id").agg(
+        (F.min((10 - F.col("cnt")) * 100 + F.col("label")) % 100).alias(
+            "pred_label"
+        )
+    )
+    truth = e.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    j = pred.join(truth, "query_id")
+    correct = (F.col("pred_label") == F.col("true_label")).cast("long")
+    return j.groupBy("true_label").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(correct).alias("n_correct"),
+        (F.round(F.sum(correct).cast("double") / F.count(F.lit(1)), 4) + 0.0).alias(
+            "accuracy"
+        ),
+    )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    """
+    WITH base AS ({CLUSTERS}),
+    sizes AS (
+      SELECT cluster_id, COUNT(*) AS size FROM base GROUP BY cluster_id
+    )
+    SELECT size, COUNT(*) AS n_clusters, CAST(size * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY size
+    """.replace("{CLUSTERS}", _CLUSTER_ORACLE),
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of near-duplicate cluster sizes — the dedup triage
+    readout (many small clusters = boilerplate families; one mega
+    cluster = a template or a broken threshold). Two bounded
+    aggregates over the verified connected-components labeling; same
+    recursive-CTE oracle as dedup_clusters, rolled up."""
+    from lakeapi_spark.operators.dedup import dup_clusters, ngram_jaccard_pairs
+
+    d = table(spark, sf_dir, "documents")
+    clusters = dup_clusters(ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.2))
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    )
+
+
+@register(
+    "stickiness_dau_mau",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), spine AS (
+      SELECT UNNEST(generate_series(
+        (SELECT MIN(d) FROM ud), (SELECT MAX(d) FROM ud), INTERVAL 1 DAY)) AS day
+    ), mau AS (
+      SELECT CAST(s.day AS DATE) AS day, COUNT(DISTINCT u.user_id) AS mau_28d
+      FROM spine s JOIN ud u ON u.d BETWEEN CAST(s.day AS DATE) - 27 AND CAST(s.day AS DATE)
+      GROUP BY 1
+    ), dau AS (
+      SELECT d AS day, COUNT(*) AS dau FROM ud GROUP BY d
+    )
+    SELECT m.day, COALESCE(dau.dau, 0) AS dau, m.mau_28d,
+           ROUND(CAST(COALESCE(dau.dau, 0) AS DOUBLE) / m.mau_28d, 4) + 0.0 AS stickiness
+    FROM mau m LEFT JOIN dau ON dau.day = m.day
+    """,
+)
+def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / MAU(28d) stickiness per day — the engagement-frequency
+    ratio product teams track (0.2 means the average monthly user
+    shows up ~6 days). Shares rolling_28d_mau's bounded 28x explode of
+    the distinct user-day relation; DAU is one count over the same
+    relation; no range self-join anywhere."""
+    e = table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    rng = F.broadcast(ud.agg(F.min("d").alias("lo"), F.max("d").alias("hi")))
+    mau = (
+        ud.crossJoin(rng)
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("d"),
+                    F.least(F.date_add(F.col("d"), 27), F.col("hi")),
+                )
+            ).alias("day"),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("mau_28d"))
+    )
+    dau = ud.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    j = mau.join(dau, "day", "left")
+    return j.select(
+        "day",
+        F.coalesce(F.col("dau"), F.lit(0)).alias("dau"),
+        "mau_28d",
+        (
+            F.round(
+                F.coalesce(F.col("dau"), F.lit(0)).cast("double")
+                / F.col("mau_28d"),
+                4,
+            )
+            + 0.0
+        ).alias("stickiness"),
     )
