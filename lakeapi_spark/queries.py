@@ -13970,6 +13970,7 @@ def mad_outlier_events_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer
     ) WHERE rank <= 3
     """,
+    bench=True,
 )
 def topk_customers_per_nation_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 customers by account balance per nation via the TWO-PHASE
@@ -14074,6 +14075,7 @@ def _channel_sessions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
     FROM sess GROUP BY user_id, channel, session_id
     """,
+    bench=True,
 )
 def channel_sessions_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(user, acquisition channel) 30-minute-gap sessionization
@@ -14395,6 +14397,7 @@ def mixture_split_rate_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM spine s JOIN ud u ON u.d BETWEEN CAST(s.day AS DATE) - 27 AND CAST(s.day AS DATE)
     GROUP BY 1
     """,
+    bench=True,
 )
 def rolling_28d_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """28-day rolling monthly-active-users for every day of the data
@@ -15232,4 +15235,144 @@ def stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + 0.0
         ).alias("stickiness"),
+    )
+
+
+@register(
+    "delta_history_operations",
+    """
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), 'WRITE',  CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+      (CAST(1 AS BIGINT), 'WRITE',  CAST(2 AS BIGINT), CAST(0 AS BIGINT)),
+      (CAST(2 AS BIGINT), 'WRITE',  CAST(1 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(3 AS BIGINT), 'DELETE', CAST(1 AS BIGINT), CAST(1 AS BIGINT))
+    ) t(version, operation, n_added_files, n_removed_files)
+    """,
+)
+def delta_history_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY as a queryable relation — the audit-log read
+    API over the write surface: stage a deterministic commit sequence
+    (append 1 file, append 2, overwrite with 1 removing all 3, then a
+    DV DELETE that re-adds 1 touched file with its bitmap and removes
+    the old add), read the log back with sources/delta.delta_history,
+    and return (version, operation, added, removed). Every cell is a
+    pure function of the staged sequence, so the oracle is the
+    expected rows; timestamps are excluded (wall-clock). Driver-side
+    metadata only — KBs of commit JSON, no data IO. (This query also
+    pinned a real delta_history defect: metrics-carrying commits were
+    double-counted by the action-count fallback.)"""
+    import shutil
+    import tempfile
+
+    from lakeapi_spark.sources.delta import (
+        delete_delta,
+        delta_history,
+        write_delta,
+    )
+
+    base = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    dest = tempfile.mkdtemp(prefix="lakeapi_hist_")
+    try:
+        shutil.rmtree(dest)
+        write_delta(base.filter(F.col("o_orderkey") % 7 == 0).coalesce(1), dest)
+        write_delta(
+            base.filter(F.col("o_orderkey") % 7 == 1).repartition(2),
+            dest,
+            mode="append",
+        )
+        write_delta(
+            base.filter(F.col("o_orderkey") % 7 == 2).coalesce(1),
+            dest,
+            mode="overwrite",
+        )
+        delete_delta(spark, dest, "o_orderkey % 3 = 0")
+        hist = delta_history(spark, dest)
+    finally:
+        shutil.rmtree(dest, ignore_errors=True)
+    rows = [
+        (
+            int(h["version"]),
+            h["operation"],
+            int(h["numAddedFiles"]),
+            int(h["numRemovedFiles"]),
+        )
+        for h in sorted(hist, key=lambda h: h["version"])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version long, operation string, n_added_files long, n_removed_files long",
+    )
+
+
+@register(
+    "jsd_source_unigrams",
+    """
+    WITH toks AS (
+      SELECT source,
+             unnest(string_split_regex(regexp_replace(lower(text),
+               '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'),
+               '[ \\t\\n\\x0B\\f\\r]+')) AS tok
+      FROM documents WHERE source IN ('src0', 'src1')
+        AND regexp_matches(text, '[^ \\t\\n\\x0B\\f\\r]')
+    ), cnt AS (
+      SELECT tok,
+             COUNT(*) FILTER (WHERE source = 'src0') AS a,
+             COUNT(*) FILTER (WHERE source = 'src1') AS b
+      FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT SUM(a) AS ta, SUM(b) AS tb FROM cnt
+    ), terms AS (
+      SELECT CAST(a AS DOUBLE) / ta AS p, CAST(b AS DOUBLE) / tb AS q
+      FROM cnt, tot
+    ), contrib AS (
+      SELECT CAST(CASE WHEN p > 0 THEN 0.5 * p * LN(p / ((p + q) / 2)) ELSE 0 END
+                  + CASE WHEN q > 0 THEN 0.5 * q * LN(q / ((p + q) / 2)) ELSE 0 END
+                  AS DECIMAL(28,12)) AS c
+      FROM terms
+    )
+    SELECT (SELECT COUNT(*) FROM cnt) AS n_vocab,
+           ROUND(CAST(SUM(c) AS DOUBLE), 6) + 0.0 AS jsd_nats
+    FROM contrib
+    """,
+)
+def jsd_source_unigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between src0's and src1's unigram
+    distributions — the corpus-mixing diagnostic run before blending
+    sources (JSD ~ 0: interchangeable; ~ ln 2: disjoint vocabularies).
+    One token-count aggregate over both corpora (shuffled by token),
+    scalar totals broadcast back, per-term contributions decimal-cast
+    before the final sum so the reduction commutes — all built-in
+    expressions, shared tokens() spelling."""
+    from lakeapi_spark.operators.text import tokens
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(
+            F.col("source").isin("src0", "src1")
+            & F.col("text").rlike(r"[^ \t\n\x0B\f\r]")
+        )
+        .select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    )
+    cnt = d.groupBy("tok").agg(
+        F.count(F.when(F.col("source") == "src0", 1)).alias("a"),
+        F.count(F.when(F.col("source") == "src1", 1)).alias("b"),
+    )
+    tot = F.broadcast(cnt.agg(F.sum("a").alias("ta"), F.sum("b").alias("tb")))
+    terms = cnt.crossJoin(tot).select(
+        (F.col("a").cast("double") / F.col("ta")).alias("p"),
+        (F.col("b").cast("double") / F.col("tb")).alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    c = (
+        F.when(F.col("p") > 0, F.lit(0.5) * F.col("p") * F.log(F.col("p") / m)).otherwise(0.0)
+        + F.when(F.col("q") > 0, F.lit(0.5) * F.col("q") * F.log(F.col("q") / m)).otherwise(0.0)
+    ).cast("decimal(28,12)")
+    nv = F.broadcast(cnt.agg(F.count(F.lit(1)).alias("n_vocab")))
+    return (
+        terms.agg(F.sum(c).alias("s"))
+        .crossJoin(nv)
+        .select(
+            "n_vocab",
+            (F.round(F.col("s").cast("double"), 6) + 0.0).alias("jsd_nats"),
+        )
     )

@@ -3583,6 +3583,8 @@ def delta_history(spark: SparkSession, path: str) -> list[dict]:
             "numAddedFiles": 0,
             "numRemovedFiles": 0,
         }
+        counted = {"numAddedFiles": 0, "numRemovedFiles": 0}
+        has_metrics = False
         for line in _read_json_bytes(spark, fpath).splitlines():
             if not line.strip():
                 continue
@@ -3596,10 +3598,17 @@ def delta_history(spark: SparkSession, path: str) -> list[dict]:
                 for k in ("numAddedFiles", "numRemovedFiles"):
                     if k in metrics:
                         entry[k] = int(metrics[k])
+                        has_metrics = True
             elif "add" in action:
-                entry["numAddedFiles"] += 1
+                counted["numAddedFiles"] += 1
             elif "remove" in action:
-                entry["numRemovedFiles"] += 1
+                counted["numRemovedFiles"] += 1
+        if not has_metrics:
+            # foreign commit without operationMetrics: fall back to
+            # counting the actions themselves (never BOTH — a metrics-
+            # carrying commit would otherwise double-count)
+            entry["numAddedFiles"] = counted["numAddedFiles"]
+            entry["numRemovedFiles"] = counted["numRemovedFiles"]
         out.append(entry)
     return sorted(out, key=lambda e: -e["version"])
 
