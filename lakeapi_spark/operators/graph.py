@@ -159,6 +159,9 @@ def weighted_pagerank(
         .filter(F.col("src") != F.col("dst"))  # simple graph: no self-loops
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))  # parallel edges merge additively
+        # nonpositive merged weights drop: they carry no mass, and an
+        # all-nonpositive node would otherwise divide by wdeg = 0
+        .filter(F.col("w") > 0)
         .select(
             "src",
             "dst",

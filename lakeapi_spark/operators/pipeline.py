@@ -224,6 +224,8 @@ def topk_per_group(
     from pyspark import cloudpickle as _cp
     import sys as _sys
 
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
     _cp.register_pickle_by_value(_sys.modules[__name__])
 
     df = df.filter(F.col(order_col).isNotNull())

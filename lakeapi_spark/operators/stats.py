@@ -1833,7 +1833,9 @@ def mann_whitney_u(
         n_a.alias("n_a"),
         n_b.alias("n_b"),
         u.alias("u_stat"),
-        (F.round((u - mu) / sigma, digits) + 0.0).alias("z"),
+        # degenerate contract: an empty side or an all-tied pool has no
+        # sampling distribution — NULL, never an IEEE infinity
+        F.when(sigma > 0, F.round((u - mu) / sigma, digits) + 0.0).alias("z"),
     )
 
 
@@ -1882,13 +1884,14 @@ def chi_square_independence(
         F.col("n"),
         ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
         (F.round(chi2, digits) + 0.0).alias("chi2"),
-        (
+        F.when(
+            mindim > 0,
             F.round(
                 F.sqrt(chi2 / (F.col("n").cast("double") * mindim.cast("double"))),
                 digits,
             )
-            + 0.0
-        ).alias("cramers_v"),
+            + 0.0,
+        ).alias("cramers_v"),  # single-category margin: V undefined -> NULL
     )
 
 

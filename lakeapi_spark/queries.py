@@ -14550,13 +14550,17 @@ def new_vs_returning_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFr
     )
     SELECT n_a, n_b,
            CAST(ra AS DOUBLE) - CAST(n_a * (n_a + 1) AS DOUBLE) / 2 AS u_stat,
-           ROUND((CAST(ra AS DOUBLE) - CAST(n_a * (n_a + 1) AS DOUBLE) / 2
+           CASE WHEN SQRT(CAST(n_a * n_b AS DOUBLE) / 12
+                        * (CAST(n_a + n_b + 1 AS DOUBLE)
+                           - CAST(ties AS DOUBLE)
+                             / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE))) > 0
+           THEN ROUND((CAST(ra AS DOUBLE) - CAST(n_a * (n_a + 1) AS DOUBLE) / 2
                   - CAST(n_a * n_b AS DOUBLE) / 2)
                  / SQRT(CAST(n_a * n_b AS DOUBLE) / 12
                         * (CAST(n_a + n_b + 1 AS DOUBLE)
                            - CAST(ties AS DOUBLE)
                              / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE))), 6)
-           + 0.0 AS z
+           + 0.0 END AS z
     FROM agg
     """,
 )
@@ -14597,9 +14601,10 @@ def mann_whitney_purchase_vs_click(spark: SparkSession, sf_dir: str) -> DataFram
     )
     SELECT n, CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
            ROUND(CAST(chi2d AS DOUBLE), 6) + 0.0 AS chi2,
-           ROUND(SQRT(CAST(chi2d AS DOUBLE)
+           CASE WHEN LEAST(r - 1, c - 1) > 0
+           THEN ROUND(SQRT(CAST(chi2d AS DOUBLE)
                       / (CAST(n AS DOUBLE) * CAST(LEAST(r - 1, c - 1) AS DOUBLE))), 6)
-           + 0.0 AS cramers_v
+           + 0.0 END AS cramers_v
     FROM agg
     """,
 )
@@ -15058,8 +15063,14 @@ def channel_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ship_latency_percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-to-ship latency percentiles per order priority — the SLA
     readout shape (p50/p90/p99 of an integer day gap, exact holistic
-    percentiles per bounded group). One fact join shuffled on the
-    order key, one percentile aggregate per priority."""
+    percentiles per bounded group COUNT). One fact join shuffled on
+    the order key, one percentile aggregate per priority. Scale note:
+    exact percentile() holds each group's values in one task — fine
+    while a priority's rows fit an executor; at 100 TB swap in
+    approx_percentile (mergeable sketch, and the day-gap domain is a
+    few hundred DISTINCT ints, so the sketch is rank-exact there) or
+    pre-collapse to (priority, days, count) — the histogram trick —
+    before ranking."""
     l = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_orderdate"

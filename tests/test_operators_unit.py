@@ -3682,3 +3682,37 @@ def test_topk_per_group_exact_across_partitions_and_batches(spark):
     dfn = spark.createDataFrame(rows_n, "g int, id long, v double")
     asc = topk_per_group(dfn, ["g"], "v", k=2, tiebreak_col="id", descending=False)
     assert [(r.id, r.rank) for r in asc.orderBy("rank").collect()] == [(3, 1), (4, 2)]
+
+
+def test_mann_whitney_and_chi2_degenerate_contracts(spark):
+    """Degenerate shapes NULL instead of IEEE infinity: an empty side
+    or an all-tied value pool has no U sampling distribution; a
+    single-category margin leaves Cramér's V undefined (dof 0)."""
+    from lakeapi_spark.operators.stats import (
+        chi_square_independence,
+        mann_whitney_u,
+    )
+
+    # group_b empty
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (3.0, "a")], "v double, g string"
+    )
+    r = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+    assert r.n_b == 0 and r.z is None
+    # all values tied across both groups -> sigma 0
+    tied = spark.createDataFrame(
+        [(5.0, "a"), (5.0, "a"), (5.0, "b"), (5.0, "b")], "v double, g string"
+    )
+    r2 = mann_whitney_u(tied, "v", "g", "a", "b").collect()[0]
+    assert r2.z is None and r2.n_a == 2 and r2.n_b == 2
+    # healthy case still produces a number
+    ok = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a"), (9.0, "b"), (10.0, "b")], "v double, g string"
+    )
+    assert mann_whitney_u(ok, "v", "g", "a", "b").collect()[0].z is not None
+
+    one_cat = spark.createDataFrame(
+        [("x", 1), ("x", 2), ("x", 1)], "a string, b int"
+    )
+    c = chi_square_independence(one_cat, "a", "b").collect()[0]
+    assert c.dof == 0 and c.cramers_v is None and c.chi2 == 0.0
