@@ -13949,13 +13949,19 @@ def mad_outlier_events_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     element-vs-interpolation median selection — which DuckDB expresses
     PRECISELY as quantile_disc vs quantile_cont. The oracle therefore
     pins the approx path's full robust_z values bit-for-bit, not just
-    the flagged id set. The ~2000-row event_type groups clear the
-    min_group_rows=1000 floor the dial now enforces
+    the flagged id set. min_group_rows=0 is the documented explicit
+    opt-out of the dial's group-size floor: the floor protects callers
+    comparing against INTERPOLATING (exact-path) medians, while this
+    query's oracle is the disc twin — the element-selection semantics
+    hold at any group size the sketch is rank-exact for (accuracy
+    10000 >> every fixture group).
     (operators/stats.mad_outliers)."""
     from lakeapi_spark.operators.stats import mad_outliers
 
     e = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    return mad_outliers(e, "event_type", "value", k=3.5, approx_accuracy=10000)
+    return mad_outliers(
+        e, "event_type", "value", k=3.5, approx_accuracy=10000, min_group_rows=0
+    )
 
 
 @register(
