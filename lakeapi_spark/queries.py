@@ -14554,7 +14554,7 @@ def new_vs_returning_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFr
              SUM(t * t * t - t) AS ties
       FROM ranked
     )
-    SELECT n_a, n_b,
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
            CAST(ra AS DOUBLE) - CAST(n_a * (n_a + 1) AS DOUBLE) / 2 AS u_stat,
            CASE WHEN SQRT(CAST(n_a * n_b AS DOUBLE) / 12
                         * (CAST(n_a + n_b + 1 AS DOUBLE)
@@ -14605,7 +14605,7 @@ def mann_whitney_purchase_vs_click(spark: SparkSession, sf_dir: str) -> DataFram
              COUNT(DISTINCT a) AS r, COUNT(DISTINCT b) AS c, MAX(n) AS n
       FROM m
     )
-    SELECT n, CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+    SELECT CAST(n AS BIGINT) AS n, CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
            ROUND(CAST(chi2d AS DOUBLE), 6) + 0.0 AS chi2,
            CASE WHEN LEAST(r - 1, c - 1) > 0
            THEN ROUND(SQRT(CAST(chi2d AS DOUBLE)
@@ -15120,7 +15120,7 @@ def ship_latency_percentiles_by_priority(spark: SparkSession, sf_dir: str) -> Da
       FROM votes GROUP BY query_id
     )
     SELECT e.label AS true_label, COUNT(*) AS n_queries,
-           SUM(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END) AS n_correct,
+           CAST(SUM(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
            ROUND(CAST(SUM(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END) AS DOUBLE)
                  / COUNT(*), 4) + 0.0 AS accuracy
     FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
