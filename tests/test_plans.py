@@ -377,3 +377,37 @@ def test_topk_per_group_no_window_one_shuffle(spark, sf_dir):
     n_exchange = plan.count("Exchange hashpartitioning")
     assert n_exchange <= 1, f"{n_exchange} shuffles\n{plan}"
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_decile_bridge_no_global_sort(spark, sf_dir):
+    """The decile bridge must NOT plan a global NTILE sort: boundaries
+    come from one percentile aggregate, assignment is a broadcast
+    compare — no range partitioning anywhere, and the only windows run
+    over the 10-row decile relation."""
+    df = QUERIES["decile_revenue_bridge"].build(spark, sf_dir)
+    plan = plan_str(spark, df)
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_session_attribution_single_user_exchange(spark, sf_dir):
+    """Both attribution models come from ONE union+window pass: a
+    single hash exchange on user_id feeds the running first/last
+    windows; the final (model, channel) aggregate is the only other
+    exchange."""
+    df = QUERIES["session_attribution_first_last"].build(spark, sf_dir)
+    plan = plan_str(spark, df)
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange <= 3, f"{n_exchange} shuffles\n{plan}"
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_rolling_mau_no_range_self_join(spark, sf_dir):
+    """Rolling 28-day MAU explodes the bounded distinct user-day
+    relation — never a range self-join of events: no SortMergeJoin,
+    no CartesianProduct, and the only nested-loop join is the 1-row
+    broadcast date-range."""
+    df = QUERIES["rolling_28d_mau"].build(spark, sf_dir)
+    plan = plan_str(spark, df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
