@@ -875,3 +875,131 @@ def exp_smooth_final(
     return staged.mapInPandas(
         _ses_kernel_factory(alpha_num), schema=out_schema
     ).withColumnRenamed("_k", key_col)
+
+
+def _hw_reduce_keys(keys, xs, alpha_num: int, gamma_num: int, season_num: int):
+    """Per-key rows (key, n_events, level, trend, s0..s6, sae) for
+    ADDITIVE Holt-Winters smoothing with period 7 and the one-step
+    backtest in the same pass. Zero-init seasonal states (l_1 = x_1,
+    b_1 = 0, s_j = 0 — the first season learns in place, a fully
+    replayable contract), position-based seasonality (step t uses
+    slot (t-1) % 7), and for t >= 2:
+
+        sd  = s[(t-1) % 7]
+        f_t = l + b + sd                               (forecast)
+        l'  = (a*(x_t - sd) + (1000-a)*(l + b))   TDIV 1000
+        b'  = (g*(l' - l)   + (1000-g)*b)         TDIV 1000
+        s[(t-1)%7] = (c*(x_t - l') + (1000-c)*sd) TDIV 1000
+
+    all int64 micro-units with TRUNCATING (toward-zero) division —
+    the same DuckDB `//` contract as :func:`_holt_reduce_keys` (level
+    deltas and trend go negative). sae accumulates |x_t - f_t|."""
+    import numpy as np
+    import pandas as pd
+
+    def tdiv(a: int, b: int) -> int:  # C/DuckDB-style toward-zero
+        return a // b if a >= 0 else -((-a) // b)
+
+    abeta = 1000 - alpha_num
+    gbeta = 1000 - gamma_num
+    cbeta = 1000 - season_num
+    rows = []
+    n = len(keys)
+    change = np.ones(n, dtype=bool)
+    change[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.concatenate((starts[1:], [n]))
+    for st, en in zip(starts, ends):
+        seg = xs[st:en]
+        lvl, trd, sae = int(seg[0]), 0, 0
+        s = [0] * 7
+        for i, x in enumerate(seg[1:]):
+            slot = (i + 1) % 7
+            sd = s[slot]
+            f = lvl + trd + sd
+            sae += abs(int(x) - f)
+            new_l = tdiv(alpha_num * (int(x) - sd) + abeta * (lvl + trd), 1000)
+            trd = tdiv(gamma_num * (new_l - lvl) + gbeta * trd, 1000)
+            s[slot] = tdiv(season_num * (int(x) - new_l) + cbeta * sd, 1000)
+            lvl = new_l
+        rows.append((keys[st], en - st, lvl, trd, *s, sae))
+    return pd.DataFrame(
+        rows,
+        columns=["_k", "n_events", "level", "trend",
+                 "s0", "s1", "s2", "s3", "s4", "s5", "s6", "sae"],
+    )
+
+
+def _hw_kernel_factory(alpha_num: int, gamma_num: int, season_num: int):
+    def kernel(batches):
+        import numpy as np
+
+        carry_k = carry_x = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys = pdf["_k"].to_numpy(dtype=object)
+            xs = pdf["_x"].to_numpy(dtype=np.int64)
+            if carry_k is not None:
+                keys = np.concatenate((carry_k, keys))
+                xs = np.concatenate((carry_x, xs))
+            # carry the trailing run of the last key (order-agnostic,
+            # works for string keys unlike searchsorted)
+            last = keys[-1]
+            cut = len(keys)
+            while cut > 0 and keys[cut - 1] == last:
+                cut -= 1
+            carry_k, carry_x = keys[cut:], xs[cut:]
+            if cut:
+                yield _hw_reduce_keys(
+                    keys[:cut], xs[:cut], alpha_num, gamma_num, season_num
+                )
+        if carry_k is not None and len(carry_k):
+            yield _hw_reduce_keys(
+                carry_k, carry_x, alpha_num, gamma_num, season_num
+            )
+
+    return kernel
+
+
+def holt_winters_backtest(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    x_col: str,
+    alpha_num: int = 300,
+    gamma_num: int = 100,
+    season_num: int = 300,
+) -> DataFrame:
+    """Per-key ADDITIVE Holt-Winters (level + trend + 7-slot seasonal)
+    smoothing with the rolling-origin one-step backtest in the same
+    sequential pass — the seasonality-aware top rung of the
+    SES -> Holt ladder (a Holt forecast lags weekly-periodic series by
+    the seasonal amplitude; HW's l + b + s_dow does not). Same plan
+    shape and determinism contract as :func:`holt_smooth_backtest`:
+    one repartition+sort, whole-partition Arrow kernel with
+    batch-boundary key carry, recursive-CTE-replayable integer math
+    (toward-zero division). ``order_col`` must totally order each
+    key's series (e.g. the day). Returns (key, n_events, level,
+    trend, s0..s6, sae) in int64 micro-units."""
+    from pyspark import cloudpickle as _cp
+    import sys as _sys
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+
+    staged = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.col(order_col).alias("_o"),
+            F.col(x_col).cast("long").alias("_x"),
+        )
+        .repartition("_k")
+        .sortWithinPartitions("_k", "_o")
+    )
+    out_schema = (
+        "_k string, n_events long, level long, trend long, "
+        "s0 long, s1 long, s2 long, s3 long, s4 long, s5 long, s6 long, sae long"
+    )
+    return staged.mapInPandas(
+        _hw_kernel_factory(alpha_num, gamma_num, season_num), schema=out_schema
+    ).withColumnRenamed("_k", key_col)

@@ -15393,3 +15393,99 @@ def jsd_source_unigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.col("s").cast("double"), 6) + 0.0).alias("jsd_nats"),
         )
     )
+
+
+def _hw_oracle_sql() -> str:
+    """Recursive-CTE oracle for additive Holt-Winters (alpha=.3,
+    gamma=.1, season=.3, period 7) over per-event-type daily value
+    totals. The seasonal slot for the step from rn to rn+1 is rn % 7;
+    nl must inline everywhere it is referenced (a recursive CTE cannot
+    name an intermediate), so the SQL is assembled here instead of
+    hand-inlined nine times."""
+    sd = "(CASE r.rn % 7 " + " ".join(
+        f"WHEN {j} THEN r.s{j}" for j in range(7)
+    ) + " END)"
+    nl = f"((300 * (e.x - {sd}) + 700 * (r.l + r.b)) // 1000)"
+    s_cols = ", ".join(
+        f"CASE WHEN r.rn % 7 = {j} THEN (300 * (e.x - {nl}) + 700 * r.s{j}) // 1000 "
+        f"ELSE r.s{j} END"
+        for j in range(7)
+    )
+    zeros = ", ".join(["CAST(0 AS BIGINT)"] * 7)
+    return f"""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2
+    ), ev AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn, x
+      FROM d
+    ), rec AS (
+      WITH RECURSIVE r(event_type, rn, l, b, s0, s1, s2, s3, s4, s5, s6, sae) AS (
+        SELECT event_type, rn, x, CAST(0 AS BIGINT), {zeros}, CAST(0 AS BIGINT)
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.event_type, e.rn,
+               {nl},
+               (100 * ({nl} - r.l) + 900 * r.b) // 1000,
+               {s_cols},
+               r.sae + ABS(e.x - (r.l + r.b + {sd}))
+        FROM r JOIN ev e ON e.event_type = r.event_type AND e.rn = r.rn + 1
+      )
+      SELECT * FROM r
+    )
+    SELECT event_type, MAX(rn) AS n_days,
+           MAX_BY(l, rn) AS level, MAX_BY(b, rn) AS trend,
+           MAX_BY(s0, rn) AS s0, MAX_BY(s1, rn) AS s1, MAX_BY(s2, rn) AS s2,
+           MAX_BY(s3, rn) AS s3, MAX_BY(s4, rn) AS s4, MAX_BY(s5, rn) AS s5,
+           MAX_BY(s6, rn) AS s6,
+           MAX_BY(sae, rn) AS sae,
+           CAST((2 * MAX_BY(sae, rn) + (MAX(rn) - 1)) // (2 * (MAX(rn) - 1)) AS DOUBLE)
+             / 1000000.0 AS mae
+    FROM rec GROUP BY event_type
+    HAVING MAX(rn) >= 2
+    """
+
+
+@register("holt_winters_backtest_event_daily", _hw_oracle_sql())
+def holt_winters_backtest_event_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (level + trend + 7-slot weekly seasonal)
+    over per-event-type DAILY value totals, with the rolling-origin
+    one-step MAE from the same sequential pass — the seasonality-aware
+    top rung of the ses_backtest_mae -> holt_backtest_user_spend
+    forecast ladder: on weekday-periodic traffic a Holt forecast lags
+    by the seasonal amplitude; HW's l + b + s_slot does not, and the
+    per-series MAEs say which model earns the page. Integer
+    micro-units, toward-zero division, zero-init seasonals — bit-
+    replayable by the recursive-CTE oracle.
+    operators/windows.holt_winters_backtest."""
+    from lakeapi_spark.operators.windows import holt_winters_backtest
+
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.round(F.col("value") * 1000000, 0).cast("long").alias("xm"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("xm").alias("x"))
+    )
+    out = holt_winters_backtest(
+        daily, "event_type", "day", "x", alpha_num=300, gamma_num=100, season_num=300
+    )
+    return out.filter(F.col("n_events") >= 2).select(
+        "event_type",
+        F.col("n_events").alias("n_days"),
+        "level",
+        "trend",
+        "s0", "s1", "s2", "s3", "s4", "s5", "s6",
+        "sae",
+        # integer half-up mean — `div` keeps it in int64 (a double
+        # quotient could round up across an integer boundary)
+        F.expr(
+            "CAST((2 * sae + (n_events - 1)) DIV (2 * (n_events - 1)) AS DOUBLE)"
+            " / 1000000.0"
+        ).alias("mae"),
+    )

@@ -3716,3 +3716,30 @@ def test_mann_whitney_and_chi2_degenerate_contracts(spark):
     )
     c = chi_square_independence(one_cat, "a", "b").collect()[0]
     assert c.dof == 0 and c.cramers_v is None and c.chi2 == 0.0
+
+
+def test_holt_winters_learns_weekly_seasonality(spark):
+    """On a strictly 7-periodic integer series the HW one-step errors
+    must shrink after the first season (the zero-init seasonals learn
+    in place), and the final seasonal vector must rank the slots like
+    the data does; a trend-only Holt keeps paying the amplitude."""
+    from lakeapi_spark.operators.windows import holt_winters_backtest
+
+    base = [100, 200, 300, 400, 500, 600, 700]
+    rows = [("s", i, base[i % 7] * 1_000_000) for i in range(28)]
+    df = spark.createDataFrame(rows, "k string, o int, x long")
+    r = holt_winters_backtest(df, "k", "o", "x", 300, 100, 300).collect()[0]
+    assert r.n_events == 28
+    s = [r.s0, r.s1, r.s2, r.s3, r.s4, r.s5, r.s6]
+    # slot order: step t uses slot (t-1)%7; x at position i has value
+    # base[i%7] and lands in slot i%7 — the learned seasonal profile
+    # must be monotone like base over the slots the data visited
+    learned = [s[j] for j in range(1, 7)]
+    assert learned == sorted(learned) and learned[0] < learned[-1]
+    # two keys with different series stay independent under the carry
+    two = spark.createDataFrame(
+        rows + [("t", i, (700 - base[i % 7]) * 1_000_000) for i in range(28)],
+        "k string, o int, x long",
+    ).repartition(1)
+    got = {x.k: x.sae for x in holt_winters_backtest(two, "k", "o", "x").collect()}
+    assert got["s"] == r.sae and len(got) == 2
