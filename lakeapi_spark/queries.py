@@ -15436,11 +15436,13 @@ def _hw_oracle_sql() -> str:
       SELECT * FROM r
     )
     SELECT event_type, MAX(rn) AS n_days,
-           MAX_BY(l, rn) AS level, MAX_BY(b, rn) AS trend,
-           MAX_BY(s0, rn) AS s0, MAX_BY(s1, rn) AS s1, MAX_BY(s2, rn) AS s2,
-           MAX_BY(s3, rn) AS s3, MAX_BY(s4, rn) AS s4, MAX_BY(s5, rn) AS s5,
-           MAX_BY(s6, rn) AS s6,
-           MAX_BY(sae, rn) AS sae,
+           CAST(MAX_BY(l, rn) AS BIGINT) AS level,
+           CAST(MAX_BY(b, rn) AS BIGINT) AS trend,
+           CAST(MAX_BY(s0, rn) AS BIGINT) AS s0, CAST(MAX_BY(s1, rn) AS BIGINT) AS s1,
+           CAST(MAX_BY(s2, rn) AS BIGINT) AS s2, CAST(MAX_BY(s3, rn) AS BIGINT) AS s3,
+           CAST(MAX_BY(s4, rn) AS BIGINT) AS s4, CAST(MAX_BY(s5, rn) AS BIGINT) AS s5,
+           CAST(MAX_BY(s6, rn) AS BIGINT) AS s6,
+           CAST(MAX_BY(sae, rn) AS BIGINT) AS sae,
            CAST((2 * MAX_BY(sae, rn) + (MAX(rn) - 1)) // (2 * (MAX(rn) - 1)) AS DOUBLE)
              / 1000000.0 AS mae
     FROM rec GROUP BY event_type
