@@ -15491,3 +15491,239 @@ def holt_winters_backtest_event_daily(spark: SparkSession, sf_dir: str) -> DataF
             " / 1000000.0"
         ).alias("mae"),
     )
+
+
+@register(
+    "attribution_u_shaped",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT event_id AS tid, user_id, ts, event_type FROM events
+      WHERE event_type IN ('view', 'click')
+    ), j AS (
+      SELECT p.event_id, p.cents, t.event_type, t.ts AS tts, t.tid
+      FROM p JOIN t ON p.user_id = t.user_id
+       AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 24 HOURS
+    ), pos AS (
+      SELECT event_id, cents, event_type,
+             ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY tts, tid) AS rn,
+             COUNT(*) OVER (PARTITION BY event_id) AS nt
+      FROM j
+    ), touch AS (
+      SELECT event_type AS channel,
+             CAST(ROUND(CAST(cents AS DOUBLE) / 100.0 *
+               CASE WHEN nt = 1 THEN 1.0
+                    WHEN nt = 2 THEN 0.5
+                    WHEN rn = 1 OR rn = nt THEN 0.4
+                    ELSE 0.2 / (nt - 2) END, 6) AS DECIMAL(28,10)) AS credit
+      FROM pos
+    ), direct AS (
+      SELECT 'direct' AS channel,
+             CAST(ROUND(CAST(cents AS DOUBLE) / 100.0, 6)
+                  AS DECIMAL(28,10)) AS credit
+      FROM p WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.event_id = p.event_id)
+    )
+    SELECT channel,
+           ROUND(CAST(SUM(credit) AS DOUBLE), 2) + 0.0 AS attributed_revenue,
+           COUNT(*) AS n_credits
+    FROM (SELECT * FROM touch UNION ALL SELECT * FROM direct)
+    GROUP BY channel
+    """,
+)
+def attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based 40/20/40) multi-touch attribution: the
+    first and last touch in the purchase's 24 h window take 40% each,
+    middles split the remaining 20% (1 touch: all; 2 touches: 50/50)
+    — the boundary-weighted standard between the first/last extremes
+    and linear. Same day-bucketed range-join shape as
+    attribution_linear_touch (bounded x2 fan-out, no range nested
+    loop); positions come from one window over the bounded per-
+    purchase touch set with a (ts, event_id) total order."""
+    e = table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / F.lit(86400))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        day.alias("db"),
+    )
+    t = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("tid"),
+        "user_id",
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+        day.alias("tb"),
+    )
+    probes = p.select(
+        "event_id",
+        "user_id",
+        "pts",
+        "cents",
+        F.explode(F.array(F.col("db"), F.col("db") - 1)).alias("tb"),
+    )
+    j = probes.join(t, ["user_id", "tb"]).filter(
+        (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 24 HOURS"))
+    )
+    wp = Window.partitionBy("event_id")
+    wo = Window.partitionBy("event_id").orderBy("tts", "tid")
+    pos = j.select(
+        "event_id",
+        "cents",
+        "channel",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("nt"),
+    )
+    w = (
+        F.when(F.col("nt") == 1, F.lit(1.0))
+        .when(F.col("nt") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("nt")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("nt") - 2))
+    )
+    touch = pos.select(
+        "channel",
+        F.round(F.col("cents").cast("double") / 100.0 * w, 6)
+        .cast("decimal(28,10)")
+        .alias("credit"),
+    )
+    direct = p.join(
+        j.select("event_id").distinct(), "event_id", "left_anti"
+    ).select(
+        F.lit("direct").alias("channel"),
+        F.round(F.col("cents").cast("double") / 100.0, 6)
+        .cast("decimal(28,10)")
+        .alias("credit"),
+    )
+    return (
+        touch.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            (F.round(F.sum("credit").cast("double"), 2) + 0.0).alias(
+                "attributed_revenue"
+            ),
+            F.count(F.lit(1)).alias("n_credits"),
+        )
+    )
+
+
+@register(
+    "attribution_time_decay",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts,
+             CAST(floor(epoch(ts)) AS BIGINT) AS pe,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT user_id, ts, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS te
+      FROM events WHERE event_type IN ('view', 'click')
+    ), j AS (
+      SELECT p.event_id, p.cents, t.event_type,
+             CAST(1 AS DOUBLE)
+               / CAST((CAST(1 AS BIGINT) << ((p.pe - t.te) // 86400)) AS DOUBLE)
+               AS raw
+      FROM p JOIN t ON p.user_id = t.user_id
+       AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 7 DAYS
+    ), wsum AS (
+      SELECT event_id, cents, event_type, raw,
+             SUM(raw) OVER (PARTITION BY event_id) AS s
+      FROM j
+    ), touch AS (
+      SELECT event_type AS channel,
+             CAST(ROUND(CAST(cents AS DOUBLE) / 100.0 * raw / s, 6)
+                  AS DECIMAL(28,10)) AS credit
+      FROM wsum
+    ), direct AS (
+      SELECT 'direct' AS channel,
+             CAST(ROUND(CAST(cents AS DOUBLE) / 100.0, 6)
+                  AS DECIMAL(28,10)) AS credit
+      FROM p WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.event_id = p.event_id)
+    )
+    SELECT channel,
+           ROUND(CAST(SUM(credit) AS DOUBLE), 2) + 0.0 AS attributed_revenue,
+           COUNT(*) AS n_credits
+    FROM (SELECT * FROM touch UNION ALL SELECT * FROM direct)
+    GROUP BY channel
+    """,
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution over a 7-day window: each
+    touch's raw weight halves per whole day of age (2^-age_days —
+    EXACT powers of two, so the per-purchase normalizer is an exact
+    double sum regardless of addition order; the half-life never
+    enters libm), normalized within the purchase. Day-bucketed range
+    join with x8 bounded fan-out (a 7-day window spans at most eight
+    epoch-day buckets) — the same no-range-nested-loop discipline as
+    the other attribution queries."""
+    e = table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / F.lit(86400))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.unix_timestamp("ts").cast("long").alias("pe"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        day.alias("db"),
+    )
+    t = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("ts").alias("tts"),
+        F.unix_timestamp("ts").cast("long").alias("te"),
+        F.col("event_type").alias("channel"),
+        day.alias("tb"),
+    )
+    probes = p.select(
+        "event_id",
+        "user_id",
+        "pts",
+        "pe",
+        "cents",
+        F.explode(
+            F.array(*[F.col("db") - i for i in range(8)])
+        ).alias("tb"),
+    )
+    raw = F.lit(1.0) / F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(floor((pe - te) / 86400) AS INT)) AS DOUBLE)"
+    )
+    j = (
+        probes.join(t, ["user_id", "tb"])
+        .filter(
+            (F.col("tts") < F.col("pts"))
+            & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 7 DAYS"))
+        )
+        .select("event_id", "cents", "channel", raw.alias("raw"))
+    )
+    ws = Window.partitionBy("event_id")
+    touch = j.select(
+        "channel",
+        F.round(
+            F.col("cents").cast("double") / 100.0 * F.col("raw")
+            / F.sum("raw").over(ws),
+            6,
+        )
+        .cast("decimal(28,10)")
+        .alias("credit"),
+    )
+    direct = p.join(
+        j.select("event_id").distinct(), "event_id", "left_anti"
+    ).select(
+        F.lit("direct").alias("channel"),
+        F.round(F.col("cents").cast("double") / 100.0, 6)
+        .cast("decimal(28,10)")
+        .alias("credit"),
+    )
+    return (
+        touch.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            (F.round(F.sum("credit").cast("double"), 2) + 0.0).alias(
+                "attributed_revenue"
+            ),
+            F.count(F.lit(1)).alias("n_credits"),
+        )
+    )
