@@ -244,6 +244,10 @@ def eigenvector_centrality(
         .filter(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))
+        # nonpositive merged weights would zero or negate the L1
+        # normalizer and silently corrupt every score downstream —
+        # drop them loudly, mirroring weighted_pagerank's contract
+        .filter(F.col("w") > 0)
         .persist()
     )
     if cache_handles is not None:

@@ -220,7 +220,13 @@ def topk_per_group(
     (tiebreak ascending breaks order_col ties both phases the same
     way). NULL order values sort last and cannot displace winners;
     rows with NULL in ``order_col`` are dropped (a NULL can never be
-    a top-k winner under a total order)."""
+    a top-k winner under a total order). For float/double order
+    columns NaN rows are dropped too: Spark sorts NaN *first* in a
+    descending sort (phase 1) but the phase-2 struct key negates the
+    value, and ``-NaN`` is still NaN which ``array_sort`` places
+    *last* — the two phases would disagree and true winners discarded
+    in phase 1 could never be recovered. NaN, like NULL, is not an
+    orderable value under this contract."""
     from pyspark import cloudpickle as _cp
     import sys as _sys
 
@@ -229,6 +235,12 @@ def topk_per_group(
     _cp.register_pickle_by_value(_sys.modules[__name__])
 
     df = df.filter(F.col(order_col).isNotNull())
+    order_dtype = dict(df.dtypes)[order_col]
+    if order_dtype in ("float", "double"):
+        # phase 1 (desc sort: NaN first) and phase 2 (array_sort of the
+        # negated key: NaN last) order NaN differently — drop it so both
+        # phases see the same total order (see docstring).
+        df = df.filter(~F.isnan(F.col(order_col)))
     payload_order = [c for c in df.columns if c not in group_cols]
     # group cols FIRST: the phase-1 kernel reads the leading n_group
     # columns as the run key

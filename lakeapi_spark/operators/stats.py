@@ -175,9 +175,13 @@ def mad_outliers(
         return F.expr(f"percentile({col_sql}, 0.5)")
 
     if approx_accuracy is not None and min_group_rows > 0:
+        # count NON-NULL values, not rows: percentile() ignores NULLs,
+        # so a group of 10k rows with 20 non-null values has an
+        # effective sample of 20 — exactly the small-sample flip the
+        # floor exists to prevent.
         small = (
             df.groupBy(F.col(group_col).alias("_g"))
-            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.count(F.col(value_col)).alias("_n"))
             .filter(F.col("_n") < min_group_rows)
         )
         bad = [(r["_g"], r["_n"]) for r in small.limit(5).collect()]

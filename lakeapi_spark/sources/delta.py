@@ -3584,7 +3584,7 @@ def delta_history(spark: SparkSession, path: str) -> list[dict]:
             "numRemovedFiles": 0,
         }
         counted = {"numAddedFiles": 0, "numRemovedFiles": 0}
-        has_metrics = False
+        from_metrics: set[str] = set()
         for line in _read_json_bytes(spark, fpath).splitlines():
             if not line.strip():
                 continue
@@ -3598,17 +3598,19 @@ def delta_history(spark: SparkSession, path: str) -> list[dict]:
                 for k in ("numAddedFiles", "numRemovedFiles"):
                     if k in metrics:
                         entry[k] = int(metrics[k])
-                        has_metrics = True
+                        from_metrics.add(k)
             elif "add" in action:
                 counted["numAddedFiles"] += 1
             elif "remove" in action:
                 counted["numRemovedFiles"] += 1
-        if not has_metrics:
-            # foreign commit without operationMetrics: fall back to
-            # counting the actions themselves (never BOTH — a metrics-
-            # carrying commit would otherwise double-count)
-            entry["numAddedFiles"] = counted["numAddedFiles"]
-            entry["numRemovedFiles"] = counted["numRemovedFiles"]
+        # fall back to counting the actions themselves PER KEY: a
+        # foreign commit may report only one of the two counters in
+        # operationMetrics, and the metrics value wins only for the
+        # keys it actually carries (never BOTH for one key — a
+        # metrics-carrying key would otherwise double-count)
+        for k in counted:
+            if k not in from_metrics:
+                entry[k] = counted[k]
         out.append(entry)
     return sorted(out, key=lambda e: -e["version"])
 

@@ -2613,6 +2613,40 @@ class TestDeltaHistoryRestore:
         assert hist[0]["numRemovedFiles"] >= 1  # the DV re-add removes first
         assert all(h["timestamp"] > 0 for h in hist)
 
+    def test_history_partial_metrics_falls_back_per_key(self, spark, tmp_path):
+        """ADVICE r11 #4: a foreign commit whose operationMetrics carries
+        only ONE of numAddedFiles/numRemovedFiles must not suppress the
+        action-count fallback for the missing counter — metrics win
+        per-key, counting fills per-key."""
+        import json as _json
+
+        from lakeapi_spark.sources.delta import delta_history, write_delta
+
+        path = str(tmp_path / "h_partial")
+        write_delta(spark.range(5).selectExpr("id AS k"), path)
+        commit = [
+            {
+                "commitInfo": {
+                    "operation": "FOREIGN",
+                    "timestamp": 1700000000000,
+                    # only the add counter is reported by this writer
+                    "operationMetrics": {"numAddedFiles": "7"},
+                }
+            },
+            {"add": {"path": "x1.parquet", "partitionValues": {}, "size": 1,
+                     "modificationTime": 0, "dataChange": True}},
+            {"remove": {"path": "gone.parquet", "deletionTimestamp": 0,
+                        "dataChange": True}},
+            {"remove": {"path": "gone2.parquet", "deletionTimestamp": 0,
+                        "dataChange": True}},
+        ]
+        log = tmp_path / "h_partial" / "_delta_log" / f"{1:020d}.json"
+        log.write_text("\n".join(_json.dumps(a) for a in commit) + "\n")
+        h = delta_history(spark, path)[0]
+        assert h["version"] == 1 and h["operation"] == "FOREIGN"
+        assert h["numAddedFiles"] == 7  # metrics value wins for its key
+        assert h["numRemovedFiles"] == 2  # counted: metrics lacked the key
+
     def test_restore_undoes_delete_and_keeps_history(self, spark, tmp_path):
         from lakeapi_spark.sources.delta import (
             delete_delta,

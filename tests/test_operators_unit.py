@@ -3684,6 +3684,71 @@ def test_topk_per_group_exact_across_partitions_and_batches(spark):
     assert [(r.id, r.rank) for r in asc.orderBy("rank").collect()] == [(3, 1), (4, 2)]
 
 
+def test_topk_per_group_drops_nan_order_values(spark):
+    """ADVICE r11 #1: Spark's desc sort puts NaN FIRST (phase 1) but
+    array_sort of the negated key puts NaN LAST (phase 2) — NaN rows
+    crowding phase-1 slots would silently discard true winners. The
+    contract drops NaN like NULL; real winners must all survive."""
+    from lakeapi_spark.operators.pipeline import topk_per_group
+
+    nan = float("nan")
+    rows = [(1, i, nan) for i in range(10)] + [
+        (1, 10, 5.0), (1, 11, 4.0), (1, 12, 3.0)
+    ]
+    # one partition so phase 1 sees NaN-first crowding if unfiltered
+    df = spark.createDataFrame(rows, "g int, id long, v double").coalesce(1)
+    got = [
+        (r.id, r.v, r.rank)
+        for r in topk_per_group(df, ["g"], "v", k=2, tiebreak_col="id")
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [(10, 5.0, 1), (11, 4.0, 2)]
+    # ascending too, and no NaN row ever appears
+    asc = topk_per_group(df, ["g"], "v", k=2, tiebreak_col="id", descending=False)
+    assert [(r.id, r.rank) for r in asc.orderBy("rank").collect()] == [
+        (12, 1), (11, 2)
+    ]
+
+
+def test_eigenvector_centrality_drops_nonpositive_merged_weights(spark):
+    """ADVICE r11 #2: parallel edges merge additively; a pair whose
+    weights sum to <= 0 must be dropped (like weighted_pagerank), not
+    allowed to zero/negate the L1 normalizer. Star 0-{1,2,3} where
+    edge (0,3) nets to 0: node 3 becomes isolated and disappears,
+    remaining scores stay a valid distribution."""
+    from lakeapi_spark.operators.graph import eigenvector_centrality
+
+    edges = spark.createDataFrame(
+        [(0, 1, 2), (0, 2, 2), (0, 3, 3), (0, 3, -3)],
+        "src long, dst long, w long",
+    )
+    got = {r.node: r.score for r in
+           eigenvector_centrality(edges, weight="w", iters=3).collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[0] > got[1] == got[2]
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    spark.catalog.clearCache()
+
+
+def test_mad_outliers_group_floor_counts_non_null_values(spark):
+    """ADVICE r11 #3: the min_group_rows floor must count NON-NULL
+    values (percentile ignores NULLs) — a big group that is mostly
+    NULL has a tiny effective sample and must refuse."""
+    import pytest as _pytest
+
+    from lakeapi_spark.operators.stats import mad_outliers
+
+    rows = [(i, "g", 10.0 if i < 5 else None) for i in range(50)]
+    df = spark.createDataFrame(rows, "id int, grp string, value double")
+    with _pytest.raises(ValueError, match="min_group_rows"):
+        mad_outliers(df, "grp", "value", approx_accuracy=10000,
+                     min_group_rows=20).collect()
+    # 5 non-null values pass a floor of 5
+    mad_outliers(df, "grp", "value", approx_accuracy=10000,
+                 min_group_rows=5).collect()
+
+
 def test_mann_whitney_and_chi2_degenerate_contracts(spark):
     """Degenerate shapes NULL instead of IEEE infinity: an empty side
     or an all-tied value pool has no U sampling distribution; a
