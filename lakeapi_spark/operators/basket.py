@@ -80,11 +80,11 @@ def market_basket_pairs(
             ).alias("lift"),
         )
     )
-    w = Window.orderBy(F.col("n_both").desc(), "item_a", "item_b")
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= top_n)
-    )
+    from lakeapi_spark.operators.pipeline import ranked_topk
+
+    return ranked_topk(
+        scored, [F.col("n_both").desc(), F.col("item_a"), F.col("item_b")], k=top_n
+    ).withColumn("rank", F.col("rank").cast("long"))
 
 
 def market_basket_triples(
@@ -167,8 +167,10 @@ def market_basket_triples(
             ).alias("lift3"),
         )
     )
-    w = Window.orderBy(F.col("n_all").desc(), "item_a", "item_b", "item_c")
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= top_n)
-    )
+    from lakeapi_spark.operators.pipeline import ranked_topk
+
+    return ranked_topk(
+        scored,
+        [F.col("n_all").desc(), F.col("item_a"), F.col("item_b"), F.col("item_c")],
+        k=top_n,
+    ).withColumn("rank", F.col("rank").cast("long"))

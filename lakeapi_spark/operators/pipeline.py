@@ -282,6 +282,36 @@ def topk_per_group(
     return out
 
 
+def ranked_topk(
+    df: DataFrame,
+    order: list[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Global EXACT top-k + 1-based rank WITHOUT ranking the full
+    relation: ``orderBy(...).limit(k)`` compiles to
+    TakeOrderedAndProject (a per-partition k-row heap merged on the
+    driver — no global sort, no single-partition shuffle of the
+    input), and the ``row_number`` window then runs over the k-row
+    result only, so the one single-partition WindowExec in the plan
+    has a CONSTANT input bound of k rows at any corpus size.
+
+    Identical output to ``row_number().over(Window.orderBy(order))``
+    followed by ``filter(rank <= k)`` whenever ``order`` is a total
+    order (callers append a unique tiebreak column, same as every
+    window in this repo). Use this instead of rank-then-filter any
+    time the ranked relation's cardinality grows with the data
+    (per-token, per-part, per-node, per-pair aggregates): those are
+    "contracted" relations, but contraction is linear in key
+    cardinality, and at 100x the keys the global window becomes the
+    exact single-partition sort :func:`topk_per_group` was built to
+    kill (VERDICT r11 hygiene item #2)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    top = df.orderBy(*order).limit(k)
+    return top.withColumn(rank_col, F.row_number().over(Window.orderBy(*order)))
+
+
 def row_number_paged(
     df: DataFrame, order: list[tuple[str, str]], limit: int, offset: int
 ) -> DataFrame:

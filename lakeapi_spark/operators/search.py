@@ -345,6 +345,7 @@ def hybrid_search(
     exact ranking."""
     from pyspark.sql.window import Window
 
+    from lakeapi_spark.operators.pipeline import ranked_topk
     from lakeapi_spark.operators.similarity import cosine_parts, dot, norm
 
     s = 0.0  # sequential sum, bit-matching the oracle's fold (see seeded_centroids)
@@ -354,12 +355,16 @@ def hybrid_search(
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
 
     scores = bm25_scores(index, search_text)
-    w_rank = Window.orderBy(F.col("bm25_score").desc(), F.col("__id"))
-    cand = (
-        scores.withColumn("__r", F.row_number().over(w_rank))
-        .filter(F.col("__r") <= n_candidates)
-        .withColumn("__mx", F.max("bm25_score").over(Window.partitionBy()))
-    )
+    # candidate cut via TakeOrderedAndProject — the match set is
+    # doc-linear, so a rank-then-filter window over it would be the
+    # single-partition sort this module avoids everywhere else; the
+    # __mx / final-rank windows below run over n_candidates rows only
+    cand = ranked_topk(
+        scores,
+        [F.col("bm25_score").desc(), F.col("__id")],
+        k=n_candidates,
+        rank_col="__r",
+    ).withColumn("__mx", F.max("bm25_score").over(Window.partitionBy()))
     e = emb.select(
         F.col(vec_id_col).alias("__id"),
         F.col(vec_col).alias("__v"),

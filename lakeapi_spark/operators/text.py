@@ -760,12 +760,11 @@ def bpe_merge_candidates(
         .groupBy("pair")
         .agg(F.sum("freq").alias("weighted_count"))
     )
-    w = Window.orderBy(F.col("weighted_count").desc(), F.col("pair"))
-    return (
-        counted.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_n)
-        .select("pair", "weighted_count", "rank")
-    )
+    from lakeapi_spark.operators.pipeline import ranked_topk
+
+    return ranked_topk(
+        counted, [F.col("weighted_count").desc(), F.col("pair")], k=top_n
+    ).select("pair", "weighted_count", "rank")
 
 
 def oov_rate(
@@ -795,12 +794,15 @@ def oov_rate(
     toks = base.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("token")
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    from lakeapi_spark.operators.pipeline import ranked_topk
+
     vocab = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= vocab_size)
+        ranked_topk(
+            toks.groupBy("token").agg(F.count(F.lit(1)).alias("n")),
+            [F.col("n").desc(), F.col("token")],
+            k=vocab_size,
+            rank_col="rnk",
+        )
         .select("token", F.lit(1).alias("in_vocab"))
         .persist()
     )

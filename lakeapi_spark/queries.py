@@ -24,7 +24,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from lakeapi_spark.catalog import dec, money_sum, table
-from lakeapi_spark.operators.pipeline import QueryRequest, apply_query, topk
+from lakeapi_spark.operators.pipeline import (
+    QueryRequest,
+    apply_query,
+    ranked_topk,
+    topk,
+)
 from lakeapi_spark.operators.search import search
 from lakeapi_spark.operators.nearby import nearby
 
@@ -922,13 +927,11 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = bm25_index_for(
         d, "doc_id", "text", key=(uri, latest_modification(spark, uri))
     )
-    wb = Window.orderBy(F.col("bm25_score").desc(), F.col("__id"))
-    bm_rank = (
-        bm25_scores(idx, "spark window")
-        .withColumn("rank", F.row_number().over(wb))
-        .filter(F.col("rank") <= 50)
-        .select(F.col("__id").alias("id"), "rank")
-    )
+    bm_rank = ranked_topk(
+        bm25_scores(idx, "spark window"),
+        [F.col("bm25_score").desc(), F.col("__id")],
+        k=50,
+    ).select(F.col("__id").alias("id"), "rank")
     dense_rank = brute_force_topk(
         e, e.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=50
     ).select(F.col("neighbor_id").alias("id"), "rank")
@@ -6525,10 +6528,9 @@ def pagerank_cust_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     pr = pagerank(edges, iters=2)
-    w = Window.orderBy(F.col("pr").desc(), F.col("node"))
     return (
-        pr.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 50)
+        ranked_topk(pr, [F.col("pr").desc(), F.col("node")], k=50)
+        .withColumn("rank", F.col("rank").cast("long"))
         .select("node", "pr", "rank")
     )
 
@@ -6617,10 +6619,9 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = d.select(F.explode(tokens(F.col("text"))).alias("token"))
     truth = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_n"))
-    w = Window.orderBy(F.col("true_n").desc(), F.col("token"))
     top = (
-        truth.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 30)
+        ranked_topk(truth, [F.col("true_n").desc(), F.col("token")], k=30)
+        .withColumn("rank", F.col("rank").cast("long"))
         # 30 rows, but derived from the full corpus aggregation — the
         # persist stops the probe branch re-scanning/re-tokenizing the
         # corpus a third time (grid build + truth are the honest 2
@@ -11421,11 +11422,9 @@ def ppr_nation_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("c_custkey") * 2).alias("node"))
     )
     pr = personalized_pagerank(edges, seeds, iters=2)
-    w = Window.orderBy(F.col("pr").desc(), "node")
-    return (
-        pr.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 50)
-    )
+    return ranked_topk(
+        pr, [F.col("pr").desc(), F.col("node")], k=50
+    ).withColumn("rank", F.col("rank").cast("long"))
 
 
 @register(
@@ -12464,8 +12463,7 @@ def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), "t")
-    rk = f.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 1000)
+    rk = ranked_topk(f, [F.col("n").desc(), F.col("t")], k=1000, rank_col="r")
     # decimal(18,9) terms: the x*y / x*x products land at precision 37,
     # scale 18 — inside BOTH engines' 38-digit cap, so the products and
     # their sums are EXACT. Wider terms (28,12) overflowed the cap and
@@ -12550,12 +12548,9 @@ def part_popularity_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.sum("term").cast("double"), 4) + 0.0).alias("score"),
         F.count(F.lit(1)).alias("n_sales"),
     )
-    w = Window.orderBy(F.col("score").desc(), "l_partkey")
-    return (
-        s.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .select("rank", "l_partkey", "score", "n_sales")
-    )
+    return ranked_topk(
+        s, [F.col("score").desc(), F.col("l_partkey")], k=20
+    ).select("rank", "l_partkey", "score", "n_sales")
 
 
 @register(

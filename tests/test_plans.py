@@ -379,6 +379,93 @@ def test_topk_per_group_no_window_one_shuffle(spark, sf_dir):
     assert "Exchange rangepartitioning" not in plan, plan
 
 
+def _walk_physical(node):
+    """Yield every node of a physical plan tree (descending through
+    AQE wrappers via initialPlan)."""
+    if node.nodeName() == "AdaptiveSparkPlan":
+        node = node.initialPlan()
+    yield node
+    ch = node.children()
+    for i in range(ch.length()):
+        yield from _walk_physical(ch.apply(i))
+
+
+def _unbounded_global_windows(df) -> list[str]:
+    """Window/WindowGroupLimit nodes with an EMPTY partition spec whose
+    subtree contains no TakeOrderedAndProject / GlobalLimit / local
+    aggregate-to-one-row bound — i.e. single-partition sorts whose
+    input grows with the data."""
+    bad = []
+    for node in _walk_physical(df._jdf.queryExecution().executedPlan()):
+        if not node.nodeName().startswith("Window"):
+            continue
+        try:
+            if not node.partitionSpec().isEmpty():
+                continue  # partitioned window — bounded per group
+        except Exception:
+            pass  # no partitionSpec accessor: treat as global, check bound
+        subtree = node.toString()
+        if not any(
+            tag in subtree
+            for tag in ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
+        ):
+            bad.append(node.simpleString(120))
+    return bad
+
+
+def test_ranked_topk_sites_plan_bounded_windows(spark, sf_dir):
+    """VERDICT r11 hygiene sweep: every converted rank-then-filter site
+    must plan TakeOrderedAndProject (per-partition heap, no global
+    sort of a key-linear relation), and any remaining unpartitioned
+    WindowExec must sit ABOVE a limit — constant input bound k at any
+    corpus size. Hashes over all 11 converted queries re-verified vs
+    the oracle this round (drive_contract)."""
+    converted = [
+        "search_rrf_fusion",
+        "pagerank_cust_supp",
+        "heavy_hitters_cms",
+        "ppr_nation_seeded",
+        "vocab_zipf_fit",
+        "part_popularity_decayed",
+        "hybrid_search_rerank",
+        "bpe_merge_candidates",
+        "oov_rate_docs",
+        "market_basket_part_pairs",
+        "market_basket_triples",
+    ]
+    for name in converted:
+        df = QUERIES[name].build(spark, sf_dir)
+        plan = plan_str(spark, df)
+        assert "TakeOrderedAndProject" in plan, f"{name}:\n{plan}"
+        bad = _unbounded_global_windows(df)
+        assert not bad, f"{name}: unbounded global window(s): {bad}"
+
+
+def test_ranked_topk_exact_vs_window_truth(spark):
+    """ranked_topk must equal rank-then-filter on a total order,
+    including ties broken by the tiebreak column."""
+    import random
+
+    from pyspark.sql.window import Window as _W
+
+    from lakeapi_spark.operators.pipeline import ranked_topk
+
+    rng = random.Random(11)
+    rows = [(i, float(rng.randrange(50))) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(8)
+    order = [F.col("v").desc(), F.col("id")]
+    got = sorted(
+        (r.id, r.v, r.rank) for r in ranked_topk(df, order, k=25).collect()
+    )
+    want = sorted(
+        (r.id, r.v, r.rank)
+        for r in df.withColumn("rank", F.row_number().over(_W.orderBy(*order)))
+        .filter(F.col("rank") <= 25)
+        .collect()
+    )
+    assert got == want and len(got) == 25
+
+
 def test_decile_bridge_no_global_sort(spark, sf_dir):
     """The decile bridge must NOT plan a global NTILE sort: boundaries
     come from one percentile aggregate, assignment is a broadcast
