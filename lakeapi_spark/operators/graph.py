@@ -546,6 +546,81 @@ def k_core(
     )
 
 
+def weighted_k_core(
+    edges: DataFrame,
+    s_min: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_iter: int = 30,
+) -> DataFrame:
+    """The s-core (weighted k-core; Eidsaa & Almaas 2013, public) of
+    the undirected weighted graph induced by ``edges``: the maximal
+    subgraph where every node keeps STRENGTH (sum of incident merged
+    edge weights) >= ``s_min``. Where :func:`k_core` counts neighbors,
+    this weighs them — two weight-10 ties survive a threshold ten
+    weight-1 acquaintances would not, the right cohesion filter when
+    edge weight encodes support/volume (co-purchase counts, message
+    totals). Returns (node, strength, degree), both over the surviving
+    core.
+
+    Parallel edges merge additively and nonpositive merged weights are
+    dropped (the weighted_pagerank/eigenvector contract — a negative
+    weight would let a node's strength be pulled below zero by one
+    edge while still counting its degree). Same iterative-peel scale
+    shape as :func:`k_core`: per round one node-keyed SUM aggregate +
+    two broadcast anti-joins against the churn-sized peeled set,
+    localCheckpoint per round for O(1) planning; raises RuntimeError
+    if ``max_iter`` rounds exhaust before the fixpoint."""
+    w_expr = F.col(weight).cast("long")
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), w_expr.alias("w"))
+        .unionByName(
+            edges.select(
+                F.col(dst).alias("u"), F.col(src).alias("v"), w_expr.alias("w")
+            )
+        )
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+        .filter(F.col("w") > 0)
+        .localCheckpoint(eager=True)
+    )
+    cur = und
+    for _ in range(max_iter):
+        strength = cur.groupBy("u").agg(F.sum("w").alias("s"))
+        bad = strength.filter(F.col("s") < s_min).select(
+            F.col("u").alias("_bad")
+        ).localCheckpoint(eager=True)
+        if bad.count() == 0:
+            break
+        cur = (
+            cur.join(F.broadcast(bad), cur.u == bad._bad, "left_anti")
+            .join(
+                F.broadcast(bad.withColumnRenamed("_bad", "_bad2")),
+                cur.v == F.col("_bad2"),
+                "left_anti",
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        leftover = (
+            cur.groupBy("u")
+            .agg(F.sum("w").alias("s"))
+            .filter(F.col("s") < s_min)
+            .count()
+        )
+        if leftover:
+            raise RuntimeError(
+                f"weighted_k_core: peel did not reach fixpoint within "
+                f"max_iter={max_iter} rounds ({leftover} node(s) still below "
+                f"strength {s_min}); raise max_iter for deep-peel graphs"
+            )
+    return cur.groupBy(F.col("u").alias("node")).agg(
+        F.sum("w").alias("strength"), F.count(F.lit(1)).alias("degree")
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     rounds: int = 3,

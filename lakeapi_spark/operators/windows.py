@@ -1003,3 +1003,148 @@ def holt_winters_backtest(
     return staged.mapInPandas(
         _hw_kernel_factory(alpha_num, gamma_num, season_num), schema=out_schema
     ).withColumnRenamed("_k", key_col)
+
+
+_HWM_SCALE = 1_000_000  # seasonal factors stored as millionths (1.0 == 1e6)
+
+
+def _tdiv(a: int, b: int) -> int:
+    """C/DuckDB-style toward-zero integer division for any signs."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _hwm_reduce_keys(keys, xs, alpha_num: int, gamma_num: int, season_num: int):
+    """Per-key rows (key, n_events, level, trend, s0..s6, sae) for
+    MULTIPLICATIVE Holt-Winters (period 7) with the one-step backtest
+    in the same pass — the retail-seasonality twin of
+    :func:`_hw_reduce_keys`: weekday effect scales WITH the level
+    (a store doing 2x volume has 2x the Saturday bump), so the
+    seasonal state is a RATIO, stored in integer millionths
+    (s == 1_000_000 means factor 1.0). Identity-init seasonals
+    (s_j = 1e6 — the first season learns in place), l_1 = x_1,
+    b_1 = 0, and for t >= 2 with slot = (t-1) % 7:
+
+        sd  = s[slot]
+        f_t = (l + b) * sd                          TDIV 1e6
+        des = x_t * 1e6                             TDIV sd   (0 if sd = 0)
+        l'  = (a*des + (1000-a)*(l + b))            TDIV 1000
+        b'  = (g*(l' - l) + (1000-g)*b)             TDIV 1000
+        rat = x_t * 1e6                             TDIV l'   (0 if l' = 0)
+        s[slot] = (c*rat + (1000-c)*sd)             TDIV 1000
+
+    All integer math with toward-zero division (the DuckDB ``//``
+    contract), exact-Python-int intermediates (the x*1e6 products
+    exceed int64 around x ~ 9e12 micro-units; the recursive-CTE
+    oracle stays in BIGINT, so callers keep x below that — the
+    shipped query's daily micro-unit totals are ~1e10). The sd=0 /
+    l'=0 division guards are part of the replayable contract, not
+    error handling: both engines take the same branch on the same
+    numbers. Multiplicative HW assumes a strictly positive series;
+    callers filter keys to MIN(x) > 0 (the shipped query does)."""
+    import numpy as np
+    import pandas as pd
+
+    abeta = 1000 - alpha_num
+    gbeta = 1000 - gamma_num
+    cbeta = 1000 - season_num
+    rows = []
+    n = len(keys)
+    change = np.ones(n, dtype=bool)
+    change[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.concatenate((starts[1:], [n]))
+    for st, en in zip(starts, ends):
+        seg = xs[st:en]
+        lvl, trd, sae = int(seg[0]), 0, 0
+        s = [_HWM_SCALE] * 7
+        for i, x in enumerate(seg[1:]):
+            x = int(x)
+            slot = (i + 1) % 7
+            sd = s[slot]
+            f = _tdiv((lvl + trd) * sd, _HWM_SCALE)
+            sae += abs(x - f)
+            des = _tdiv(x * _HWM_SCALE, sd) if sd != 0 else 0
+            new_l = _tdiv(alpha_num * des + abeta * (lvl + trd), 1000)
+            trd = _tdiv(gamma_num * (new_l - lvl) + gbeta * trd, 1000)
+            rat = _tdiv(x * _HWM_SCALE, new_l) if new_l != 0 else 0
+            s[slot] = _tdiv(season_num * rat + cbeta * sd, 1000)
+            lvl = new_l
+        rows.append((keys[st], en - st, lvl, trd, *s, sae))
+    return pd.DataFrame(
+        rows,
+        columns=["_k", "n_events", "level", "trend",
+                 "s0", "s1", "s2", "s3", "s4", "s5", "s6", "sae"],
+    )
+
+
+def _hwm_kernel_factory(alpha_num: int, gamma_num: int, season_num: int):
+    def kernel(batches):
+        import numpy as np
+
+        carry_k = carry_x = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys = pdf["_k"].to_numpy(dtype=object)
+            xs = pdf["_x"].to_numpy(dtype=np.int64)
+            if carry_k is not None:
+                keys = np.concatenate((carry_k, keys))
+                xs = np.concatenate((carry_x, xs))
+            last = keys[-1]
+            cut = len(keys)
+            while cut > 0 and keys[cut - 1] == last:
+                cut -= 1
+            carry_k, carry_x = keys[cut:], xs[cut:]
+            if cut:
+                yield _hwm_reduce_keys(
+                    keys[:cut], xs[:cut], alpha_num, gamma_num, season_num
+                )
+        if carry_k is not None and len(carry_k):
+            yield _hwm_reduce_keys(
+                carry_k, carry_x, alpha_num, gamma_num, season_num
+            )
+
+    return kernel
+
+
+def holt_winters_multiplicative_backtest(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    x_col: str,
+    alpha_num: int = 300,
+    gamma_num: int = 100,
+    season_num: int = 300,
+) -> DataFrame:
+    """Per-key MULTIPLICATIVE Holt-Winters (level + trend + 7-slot
+    ratio seasonal) smoothing with the rolling-origin one-step
+    backtest in the same sequential pass — see :func:`_hwm_reduce_keys`
+    for the integer contract. Same plan shape as
+    :func:`holt_winters_backtest`: one repartition+sort, whole-
+    partition Arrow kernel with batch-boundary key carry — the state
+    is sequential per key but keys distribute, so 1e9 series run as
+    independent partition-local scans. Returns (key, n_events, level,
+    trend, s0..s6, sae); level/trend/sae in the input's micro-units,
+    s0..s6 in millionths of the seasonal factor."""
+    from pyspark import cloudpickle as _cp
+    import sys as _sys
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+
+    staged = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.col(order_col).alias("_o"),
+            F.col(x_col).cast("long").alias("_x"),
+        )
+        .repartition("_k")
+        .sortWithinPartitions("_k", "_o")
+    )
+    out_schema = (
+        "_k string, n_events long, level long, trend long, "
+        "s0 long, s1 long, s2 long, s3 long, s4 long, s5 long, s6 long, sae long"
+    )
+    return staged.mapInPandas(
+        _hwm_kernel_factory(alpha_num, gamma_num, season_num), schema=out_schema
+    ).withColumnRenamed("_k", key_col)

@@ -13815,12 +13815,59 @@ def pagerank_weighted_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     handles: list = []
     edges = _weighted_copurchase_edges(spark, sf_dir)
     pr = weighted_pagerank(edges, weight="w", iters=2, cache_handles=handles)
-    w = _W.orderBy(F.col("pr").desc(), F.col("node"))
     return (
-        pr.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 50)
+        ranked_topk(pr, [F.col("pr").desc(), F.col("node")], k=50)
+        .withColumn("rank", F.col("rank").cast("long"))
         .select("node", "pr", "rank")
     )
+
+
+def _weighted_kcore_oracle(s_min: int = 5, rounds: int = 16) -> str:
+    """Unrolled peel oracle for weighted_k_core (same trick as
+    _kcore_oracle: fixed round count with margin over the measured
+    fixpoint — 10 peels at sf0.01, 0 at sf0.001; 16 unrolled)."""
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    # round references the previous relation three times — 3^rounds
+    # expansion blows the file-handle budget before it blows the
+    # planner. Materializing makes the chain linear.
+    ctes = [", e_0 AS MATERIALIZED (SELECT u, v, w FROM e)"]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f""", s_{r} AS MATERIALIZED (SELECT u AS nd, SUM(w) AS s FROM e_{r - 1} GROUP BY 1)
+    , e_{r} AS MATERIALIZED (
+      SELECT x.u, x.v, x.w FROM e_{r - 1} x
+      JOIN s_{r} a ON a.nd = x.u AND a.s >= {s_min}
+      JOIN s_{r} b ON b.nd = x.v AND b.s >= {s_min}
+    )"""
+        )
+    return (
+        _WEIGHTED_EDGES_SQL
+        + "\n".join(ctes)
+        + f"""
+    SELECT u AS node, CAST(SUM(w) AS BIGINT) AS strength,
+           CAST(COUNT(*) AS BIGINT) AS degree
+    FROM e_{rounds} GROUP BY 1
+    """
+    )
+
+
+@register("kcore_weighted_copurchase", _weighted_kcore_oracle())
+def kcore_weighted_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-strength s-core of the WEIGHTED co-purchase graph
+    (operators/graph.weighted_k_core): peel parts whose total
+    co-purchase support falls below 5 until every survivor keeps
+    strength >= 5 — the volume-aware cohesion backbone, where
+    kcore_copurchase's unweighted 2-core keeps any part with two weak
+    ties, this demands real support mass (measured at sf0.01: a
+    10-round peel cascade that the degree-based core never triggers).
+    The oracle unrolls the same peel 16 rounds (fixpoint at 10 with
+    margin); Spark iterates with a convergence probe, per-round
+    localCheckpoint, and broadcast anti-joins against the churn-sized
+    peeled set."""
+    from lakeapi_spark.operators.graph import weighted_k_core
+
+    edges = _weighted_copurchase_edges(spark, sf_dir)
+    return weighted_k_core(edges, s_min=5)
 
 
 @register(
@@ -13874,10 +13921,9 @@ def eigencentrality_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = eigenvector_centrality(
         edges, weight="w", iters=3, cache_handles=handles
     )
-    w = _W.orderBy(F.col("score").desc(), F.col("node"))
     return (
-        x.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 50)
+        ranked_topk(x, [F.col("score").desc(), F.col("node")], k=50)
+        .withColumn("rank", F.col("rank").cast("long"))
         .select("node", "score", "rank")
     )
 
@@ -15481,6 +15527,120 @@ def holt_winters_backtest_event_daily(spark: SparkSession, sf_dir: str) -> DataF
         "sae",
         # integer half-up mean — `div` keeps it in int64 (a double
         # quotient could round up across an integer boundary)
+        F.expr(
+            "CAST((2 * sae + (n_events - 1)) DIV (2 * (n_events - 1)) AS DOUBLE)"
+            " / 1000000.0"
+        ).alias("mae"),
+    )
+
+
+def _hwm_oracle_sql() -> str:
+    """Recursive-CTE oracle for MULTIPLICATIVE Holt-Winters (alpha=.3,
+    gamma=.1, season=.3, period 7, seasonal factors in integer
+    millionths) over per-event-type daily value totals, keys filtered
+    to strictly positive series. Assembled programmatically because a
+    recursive CTE cannot name intermediates: nl (which itself inlines
+    the deseasonalized term) must repeat in every expression that
+    reads it."""
+    sd = "(CASE r.rn % 7 " + " ".join(
+        f"WHEN {j} THEN r.s{j}" for j in range(7)
+    ) + " END)"
+    des = f"(CASE WHEN {sd} = 0 THEN 0 ELSE (e.x * 1000000) // {sd} END)"
+    nl = f"((300 * {des} + 700 * (r.l + r.b)) // 1000)"
+    rat = f"(CASE WHEN {nl} = 0 THEN 0 ELSE (e.x * 1000000) // {nl} END)"
+    s_cols = ", ".join(
+        f"CASE WHEN r.rn % 7 = {j} THEN (300 * {rat} + 700 * r.s{j}) // 1000 "
+        f"ELSE r.s{j} END"
+        for j in range(7)
+    )
+    ones = ", ".join(["CAST(1000000 AS BIGINT)"] * 7)
+    return f"""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2
+    ), pos AS (
+      SELECT event_type FROM d GROUP BY 1 HAVING MIN(x) > 0
+    ), ev AS (
+      SELECT d.event_type,
+             ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY day) AS rn, x
+      FROM d JOIN pos USING (event_type)
+    ), rec AS (
+      WITH RECURSIVE r(event_type, rn, l, b, s0, s1, s2, s3, s4, s5, s6, sae) AS (
+        SELECT event_type, rn, x, CAST(0 AS BIGINT), {ones}, CAST(0 AS BIGINT)
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.event_type, e.rn,
+               {nl},
+               (100 * ({nl} - r.l) + 900 * r.b) // 1000,
+               {s_cols},
+               r.sae + ABS(e.x - ((r.l + r.b) * {sd}) // 1000000)
+        FROM r JOIN ev e ON e.event_type = r.event_type AND e.rn = r.rn + 1
+      )
+      SELECT * FROM r
+    )
+    SELECT event_type, MAX(rn) AS n_days,
+           CAST(MAX_BY(l, rn) AS BIGINT) AS level,
+           CAST(MAX_BY(b, rn) AS BIGINT) AS trend,
+           CAST(MAX_BY(s0, rn) AS BIGINT) AS s0, CAST(MAX_BY(s1, rn) AS BIGINT) AS s1,
+           CAST(MAX_BY(s2, rn) AS BIGINT) AS s2, CAST(MAX_BY(s3, rn) AS BIGINT) AS s3,
+           CAST(MAX_BY(s4, rn) AS BIGINT) AS s4, CAST(MAX_BY(s5, rn) AS BIGINT) AS s5,
+           CAST(MAX_BY(s6, rn) AS BIGINT) AS s6,
+           CAST(MAX_BY(sae, rn) AS BIGINT) AS sae,
+           CAST((2 * MAX_BY(sae, rn) + (MAX(rn) - 1)) // (2 * (MAX(rn) - 1)) AS DOUBLE)
+             / 1000000.0 AS mae
+    FROM rec GROUP BY event_type
+    HAVING MAX(rn) >= 2
+    """
+
+
+@register("holt_winters_mult_backtest_event_daily", _hwm_oracle_sql())
+def holt_winters_mult_backtest_event_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multiplicative Holt-Winters (level + trend + 7-slot RATIO
+    seasonal) over per-event-type daily value totals with the
+    rolling-origin one-step MAE — the retail-seasonality twin of
+    holt_winters_backtest_event_daily: when the weekday bump scales
+    with volume (2x traffic means 2x the Saturday spike, not +fixed),
+    the additive model under-forecasts peaks as the series grows and
+    the multiplicative MAE says so. Keys are filtered to strictly
+    positive daily series (the model divides by level and seasonal
+    state); integer millionth-units, toward-zero division, identity-
+    init seasonals — bit-replayable by the recursive-CTE oracle.
+    operators/windows.holt_winters_multiplicative_backtest."""
+    from lakeapi_spark.operators.windows import (
+        holt_winters_multiplicative_backtest,
+    )
+
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.round(F.col("value") * 1000000, 0).cast("long").alias("xm"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("xm").alias("x"))
+    )
+    pos = (
+        daily.groupBy("event_type")
+        .agg(F.min("x").alias("_mn"))
+        .filter(F.col("_mn") > 0)
+        .select("event_type")
+    )
+    out = holt_winters_multiplicative_backtest(
+        daily.join(F.broadcast(pos), "event_type"),
+        "event_type", "day", "x",
+        alpha_num=300, gamma_num=100, season_num=300,
+    )
+    return out.filter(F.col("n_events") >= 2).select(
+        "event_type",
+        F.col("n_events").alias("n_days"),
+        "level",
+        "trend",
+        "s0", "s1", "s2", "s3", "s4", "s5", "s6",
+        "sae",
         F.expr(
             "CAST((2 * sae + (n_events - 1)) DIV (2 * (n_events - 1)) AS DOUBLE)"
             " / 1000000.0"

@@ -3032,6 +3032,45 @@ def test_k_core_converges_and_raises_on_max_iter(spark):
         k_core(chain, 2, max_iter=1)
 
 
+def test_weighted_k_core_strength_peel(spark):
+    """s-core semantics: the peel is by STRENGTH, not degree — a
+    degree-1 node with one heavy edge survives a threshold that peels
+    a degree-3 node with light edges; the cascade re-evaluates
+    survivors; parallel edges merge additively and nonpositive merged
+    weights drop before any strength is computed; max_iter exhaustion
+    raises."""
+    import pytest
+
+    from lakeapi_spark.operators.graph import weighted_k_core
+
+    # triangle 1-2-3 with heavy edges (w=5 each: strengths 10), node 4
+    # hangs off 1 with one w=6 edge (strength 6), node 5 hangs off 2
+    # with three... use: 5-2 w=1, 5-3 w=1, 5-1 w=1 (degree 3, strength 3)
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 5), (1, 3, 5), (1, 4, 6), (2, 5, 1), (3, 5, 1), (1, 5, 1)],
+        "src long, dst long, w long",
+    )
+    got = {r.node: (r.strength, r.degree)
+           for r in weighted_k_core(edges, s_min=6).collect()}
+    # node 5 (strength 3) peels; node 4 (degree 1, strength 6) stays
+    assert 5 not in got and got[4] == (6, 1)
+    assert got[1] == (16, 3) and got[2] == (10, 2) and got[3] == (10, 2)
+    # parallel edges merge: two w=3 edges act as one w=6; a +3/-3 pair
+    # nets to 0 and drops entirely (node 7 vanishes from the graph)
+    merged = spark.createDataFrame(
+        [(1, 2, 3), (2, 1, 3), (1, 7, 3), (1, 7, -3)],
+        "src long, dst long, w long",
+    )
+    gm = {r.node: r.strength for r in weighted_k_core(merged, s_min=6).collect()}
+    assert gm == {1: 6, 2: 6}
+    # strength-peel chain: each round removes one more node
+    chain = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(1, 8)], "src long, dst long, w long"
+    )
+    with pytest.raises(RuntimeError, match="did not reach fixpoint"):
+        weighted_k_core(chain, s_min=2, max_iter=1)
+
+
 def test_bm25_refresh_pins_read_to_recorded_version(spark, tmp_path, monkeypatch):
     """Race guard: if a commit lands between the refresh's
     delta_snapshot() probe and its table read, the index must still
@@ -3808,3 +3847,50 @@ def test_holt_winters_learns_weekly_seasonality(spark):
     ).repartition(1)
     got = {x.k: x.sae for x in holt_winters_backtest(two, "k", "o", "x").collect()}
     assert got["s"] == r.sae and len(got) == 2
+
+
+def test_holt_winters_multiplicative_learns_ratio_seasonality(spark):
+    """Multiplicative HW on a GROWING series whose weekday bump scales
+    with the level (x = level_t * factor[dow]): the learned seasonal
+    ratios (millionths) must rank like the true factors and bracket
+    1e6 (peak > 1.0 > trough), and on this proportional-seasonality
+    shape the multiplicative one-step SAE must beat the additive
+    model's, which keeps paying the growing amplitude."""
+    from lakeapi_spark.operators.windows import (
+        holt_winters_backtest,
+        holt_winters_multiplicative_backtest,
+    )
+
+    factor = [0.5, 0.8, 1.0, 1.2, 1.5, 1.0, 1.0]
+    rows = [
+        ("s", i, int((1000 + 25 * i) * factor[i % 7] * 1_000_000))
+        for i in range(56)
+    ]
+    df = spark.createDataFrame(rows, "k string, o int, x long")
+    m = holt_winters_multiplicative_backtest(df, "k", "o", "x").collect()[0]
+    assert m.n_events == 56
+    s = [m.s0, m.s1, m.s2, m.s3, m.s4, m.s5, m.s6]
+    # x at position i lands in slot i%7 (step t uses slot (t-1)%7)
+    assert s[4] > s[3] > s[2] > s[1] > s[0]  # ranks like factor
+    assert s[4] > 1_000_000 > s[0]  # ratios bracket 1.0
+    a = holt_winters_backtest(df, "k", "o", "x").collect()[0]
+    assert m.sae < a.sae
+    # independent keys under the batch-boundary carry
+    two = spark.createDataFrame(
+        rows + [("t", i, 5_000_000) for i in range(56)],
+        "k string, o int, x long",
+    ).repartition(1)
+    got = {
+        x.k: x.sae
+        for x in holt_winters_multiplicative_backtest(two, "k", "o", "x").collect()
+    }
+    assert got["s"] == m.sae and len(got) == 2
+    # a constant positive series is a fixed point: identity seasonals,
+    # zero trend, level == x
+    ct = [
+        x
+        for x in holt_winters_multiplicative_backtest(two, "k", "o", "x").collect()
+        if x.k == "t"
+    ][0]
+    assert ct.level == 5_000_000 and ct.trend == 0 and ct.sae == 0
+    assert ct.s0 == ct.s6 == 1_000_000
