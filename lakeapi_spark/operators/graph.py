@@ -546,6 +546,156 @@ def k_core(
     )
 
 
+def betweenness_bounded(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 4,
+    scale: int = 1_000_000,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    round_digits: int = 4,
+    dedupe_edges: bool = True,
+    cache_handles: list | None = None,
+) -> DataFrame:
+    """Sampled-source, bounded-depth betweenness centrality (Brandes
+    2001; the pivot-sampling estimator of Brandes & Pich 2007 — both
+    public) over the undirected simple graph of ``edges``: run
+    Brandes' two-phase dependency accumulation from each seed, capped
+    at ``max_depth`` BFS levels, and sum each node's dependency over
+    the seeds. The bridge-detection measure: a node scores high when
+    many shortest paths from the seeds pass THROUGH it, which degree/
+    PageRank both miss (a low-degree cut vertex outranks a celebrity
+    leaf). Exact betweenness is all-sources all-pairs — quadratic and
+    unthinkable at 100 TB; sampled sources x bounded depth is the
+    standard estimator, and both caps are explicit parameters.
+
+    Returns (node, bc_fp, bc) for nodes with positive accumulated
+    dependency: bc_fp = integer dependency in ``scale``-ths, bc =
+    round(bc_fp / scale, round_digits). Seeds' own rows are excluded
+    (Brandes accumulates dependency of s on v != s only).
+
+    EXACT-replay contract (the recursive-oracle discipline): phase 1
+    is level-synchronous multi-source BFS carrying integer path
+    counts sigma(s, v); phase 2 walks levels deepest-first
+    accumulating
+
+        delta(v) = SUM over successors w of
+                   (sigma_v * (scale + delta_w)) DIV sigma_w
+
+    in int64 with truncating division — deterministic under any sum
+    order, so a SQL engine re-derives it bit-for-bit (a double
+    accumulation would be order-sensitive). Nodes at the depth cap
+    take delta = 0: dependency flowing from beyond the horizon is
+    deliberately not estimated.
+
+    Scale shape: every relation is (seed x node)-sized, never
+    edge-sized; each forward round is one frontier⋈edges equi-join +
+    one anti-join against the visited set + a keyed partial-agg SUM,
+    each backward round one join against the next level's (sigma,
+    delta) relation. localCheckpoint per round keeps planning O(1)
+    like k_core/connected_components; per-round counts are bounded by
+    ``max_depth`` — a constant, not the peel-depth unknown k_core
+    faces. Nothing is explicitly broadcast."""
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+    )
+    if dedupe_edges:
+        # sigma counts PATHS — a duplicate edge row would double-count
+        # every path through it (BFS reachability is idempotent, path
+        # counting is not). Callers whose edge build guarantees
+        # distinct pairs skip the shuffle.
+        und = und.distinct()
+    und = und.persist()
+    handles = [und]
+    lvl0 = (
+        seeds.select(F.col(node).alias("s"))
+        .distinct()
+        .select("s", F.col("s").alias("node"), F.lit(1).cast("long").alias("sigma"))
+        .localCheckpoint(eager=True)
+    )
+    levels = [lvl0]
+    visited = lvl0.select("s", "node")
+    for _ in range(max_depth):
+        f = levels[-1].select("s", F.col("node").alias("u"), "sigma")
+        nxt = (
+            f.join(und, "u")
+            .select("s", F.col("v").alias("node"), "sigma")
+            .join(visited, ["s", "node"], "left_anti")
+            .groupBy("s", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        levels.append(nxt)
+        visited = visited.union(nxt.select("s", "node")).localCheckpoint(
+            eager=True
+        )
+    # backward accumulation; deepest level takes delta = 0 (zero rows
+    # can never pass the positive-dependency output filter, so whether
+    # the deepest level sits at the cap or the frontier emptied early
+    # is immaterial to the result)
+    dnext = levels[-1].withColumn("delta", F.lit(0).cast("long"))
+    deltas = []
+    for l in range(len(levels) - 2, 0, -1):
+        w_side = dnext.select(
+            "s",
+            F.col("node").alias("w"),
+            F.col("sigma").alias("sigma_w"),
+            F.col("delta").alias("delta_w"),
+        )
+        v_side = levels[l].select("s", F.col("node").alias("u"), "sigma")
+        contrib = (
+            v_side.join(und, "u")
+            .select("s", F.col("u").alias("node"), "sigma", F.col("v").alias("w"))
+            .join(w_side, ["s", "w"])
+            .select(
+                "s",
+                "node",
+                F.expr(f"(sigma * ({scale} + delta_w)) DIV sigma_w").alias("c"),
+            )
+        )
+        dl = (
+            levels[l]
+            .join(
+                contrib.groupBy("s", "node").agg(F.sum("c").alias("delta")),
+                ["s", "node"],
+                "left",
+            )
+            .withColumn("delta", F.coalesce("delta", F.lit(0).cast("long")))
+            .localCheckpoint(eager=True)
+        )
+        deltas.append(dl.select("s", "node", "delta"))
+        dnext = dl
+    if cache_handles is not None:
+        cache_handles.extend(handles)
+    else:
+        for h in handles:
+            h.unpersist()
+    if not deltas:
+        return (
+            lvl0.select("node")
+            .withColumn("bc_fp", F.lit(0).cast("long"))
+            .withColumn("bc", F.lit(0.0))
+            .filter(F.lit(False))
+        )
+    u = deltas[0]
+    for d in deltas[1:]:
+        u = u.unionByName(d)
+    return (
+        u.groupBy("node")
+        .agg(F.sum("delta").alias("bc_fp"))
+        .filter(F.col("bc_fp") > 0)
+        .withColumn(
+            "bc",
+            F.round(F.col("bc_fp").cast("double") / scale, round_digits) + 0.0,
+        )
+    )
+
+
 def weighted_k_core(
     edges: DataFrame,
     s_min: int,

@@ -13822,6 +13822,85 @@ def pagerank_weighted_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _betweenness_oracle(n_seeds: int = 8, depth: int = 4, scale: int = 1_000_000) -> str:
+    """Unrolled Brandes oracle: forward BFS ``depth`` levels carrying
+    integer path counts, then the backward dependency walk in
+    ``scale``-ths with truncating division — every sum an integer, so
+    the accumulation is order-independent and bit-replayable. All
+    CTEs MATERIALIZED (each level references the previous one
+    multiple times; inlining would be exponential)."""
+    parts = [
+        _STRONG_EDGES_SQL,
+        f""", deg AS (SELECT u, COUNT(*) AS d FROM e GROUP BY 1)
+    , seeds AS (SELECT u AS s FROM deg ORDER BY d DESC, u LIMIT {n_seeds})
+    , f_0 AS MATERIALIZED (SELECT s, s AS node, CAST(1 AS BIGINT) AS sigma FROM seeds)
+    , vis_0 AS MATERIALIZED (SELECT s, node FROM f_0)""",
+    ]
+    for l in range(1, depth + 1):
+        parts.append(
+            f""", f_{l} AS MATERIALIZED (
+      SELECT f.s, e.v AS node, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+      FROM f_{l - 1} f JOIN e ON e.u = f.node
+      WHERE NOT EXISTS (SELECT 1 FROM vis_{l - 1} x WHERE x.s = f.s AND x.node = e.v)
+      GROUP BY 1, 2)
+    , vis_{l} AS MATERIALIZED (
+      SELECT s, node FROM vis_{l - 1} UNION ALL SELECT s, node FROM f_{l})"""
+        )
+    parts.append(
+        f""", d_{depth} AS MATERIALIZED (
+      SELECT s, node, sigma, CAST(0 AS BIGINT) AS delta FROM f_{depth})"""
+    )
+    for l in range(depth - 1, 0, -1):
+        parts.append(
+            f""", c_{l} AS MATERIALIZED (
+      SELECT v.s, v.node, SUM((v.sigma * ({scale} + d.delta)) // d.sigma) AS c
+      FROM f_{l} v JOIN e ON e.u = v.node
+      JOIN d_{l + 1} d ON d.s = v.s AND d.node = e.v
+      GROUP BY 1, 2)
+    , d_{l} AS MATERIALIZED (
+      SELECT f.s, f.node, f.sigma, CAST(COALESCE(c.c, 0) AS BIGINT) AS delta
+      FROM f_{l} f LEFT JOIN c_{l} c ON c.s = f.s AND c.node = f.node)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT s, node, delta FROM d_{l}" for l in range(1, depth)
+    )
+    parts.append(
+        f"""
+    SELECT node, CAST(SUM(delta) AS BIGINT) AS bc_fp,
+           ROUND(CAST(SUM(delta) AS DOUBLE) / {scale}, 4) + 0.0 AS bc
+    FROM ({union}) GROUP BY 1 HAVING SUM(delta) > 0"""
+    )
+    return "\n".join(parts)
+
+
+@register("betweenness_copurchase_sampled", _betweenness_oracle())
+def betweenness_copurchase_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source bounded-depth betweenness over the strong
+    co-purchase graph: Brandes dependency accumulation from the 8
+    highest-degree parts (ties to the smaller id — a deterministic
+    pivot set, not a random one, so the oracle re-derives it), BFS
+    capped at 4 levels — the bridge-part detector: a part that links
+    two co-purchase communities scores high here while PageRank and
+    degree both sleep on it. Integer path counts, dependency in
+    millionths with truncating division (order-independent sums);
+    positive-dependency rows only.
+    operators/graph.betweenness_bounded; the oracle unrolls the same
+    forward/backward walk with MATERIALIZED CTEs."""
+    from lakeapi_spark.operators.graph import betweenness_bounded
+
+    edges = _strong_copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    seeds = deg.orderBy(F.col("d").desc(), "node").limit(8).select("node")
+    return betweenness_bounded(
+        edges, seeds, max_depth=4, scale=1_000_000, dedupe_edges=False
+    )
+
+
 def _weighted_kcore_oracle(s_min: int = 5, rounds: int = 16) -> str:
     """Unrolled peel oracle for weighted_k_core (same trick as
     _kcore_oracle: fixed round count with margin over the measured

@@ -3032,6 +3032,41 @@ def test_k_core_converges_and_raises_on_max_iter(spark):
         k_core(chain, 2, max_iter=1)
 
 
+def test_betweenness_bounded_known_graphs(spark):
+    """Brandes dependency on shapes with known answers: path (the
+    middle carries one unit per endpoint seed), star (the hub carries
+    n-1 per leaf seed), depth cap (dependency beyond the horizon is
+    not estimated), diamond (two shortest paths split sigma — the
+    truncating fixed-point halves exactly), and barbell (the bridge
+    endpoints outscore every triangle node — the signature degree and
+    PageRank both miss)."""
+    from lakeapi_spark.operators.graph import betweenness_bounded
+
+    def bc(edges, seeds, **kw):
+        e = spark.createDataFrame(edges, "src long, dst long")
+        s = spark.createDataFrame([(x,) for x in seeds], "node long")
+        return {r.node: r.bc for r in betweenness_bounded(e, s, **kw).collect()}
+
+    assert bc([(1, 2), (2, 3)], [1, 3]) == {2: 2.0}
+    assert bc([(0, 1), (0, 2), (0, 3)], [1, 2, 3]) == {0: 6.0}
+    chain = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    assert bc(chain, [1], max_depth=2) == {2: 1.0}
+    assert bc(chain, [1], max_depth=4) == {2: 3.0, 3: 2.0, 4: 1.0}
+    # diamond: sigma(4) = 2, each middle carries (1e6 + 0) DIV 2
+    assert bc([(1, 2), (1, 3), (2, 4), (3, 4)], [1]) == {2: 0.5, 3: 0.5}
+    # barbell: triangles {1,2,3} and {4,5,6} bridged by 3-4; seeds at
+    # the far corners — the bridge endpoints carry the inter-community
+    # flow and must dominate
+    barbell = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6)]
+    got = bc(barbell, [1, 2, 5, 6], max_depth=4)
+    assert got[3] > max(got.get(1, 0.0), got.get(2, 0.0))
+    assert got[4] > max(got.get(5, 0.0), got.get(6, 0.0))
+    # duplicate edge rows must not double path counts when deduping
+    dup = [(1, 2), (1, 2), (2, 3)]
+    assert bc(dup, [1, 3]) == {2: 2.0}
+    spark.catalog.clearCache()
+
+
 def test_weighted_k_core_strength_peel(spark):
     """s-core semantics: the peel is by STRENGTH, not degree — a
     degree-1 node with one heavy edge survives a threshold that peels
