@@ -237,6 +237,78 @@ def enriched_events_stream(events: DataFrame, user_dim: DataFrame) -> DataFrame:
     return events.join(F.broadcast(user_dim), "user_id", "left")
 
 
+def streaming_progress_metrics(progresses, spark: SparkSession) -> DataFrame:
+    """The per-micro-batch OBSERVABILITY relation a production pipeline
+    reads before it trusts an exactly-once sink: one row per
+    micro-batch with the late-data and state-health counters from
+    Spark's StreamingQueryProgress —
+
+    - ``rows_dropped_late``: rows the watermark discarded (summed over
+      stateful operators; ``numRowsDroppedByWatermark``). A nonzero
+      trend here means upstream lag is eating data silently.
+    - ``watermark`` + ``watermark_lag_seconds``: the event-time
+      watermark and how far it trails the batch's processing time —
+      the staleness bound on every downstream maintained index.
+    - ``state_rows`` / ``state_bytes``: total state-store footprint,
+      the number that says whether the watermark is actually bounding
+      state or it is growing toward an OOM three days out.
+
+    ``progresses`` is ``query.recentProgress`` (list of dicts; JSON
+    strings also accepted). recentProgress retains the last ~100
+    micro-batches — long-running jobs should feed a
+    StreamingQueryListener's stream into this instead; for
+    availableNow drains (backfills, tests, the registered query) the
+    buffer always covers the run. Driver-side metadata only: the
+    relation is micro-batch-sized, never data-sized."""
+    import datetime as _dt
+    import json as _json
+
+    def _ts(s):
+        if not s:
+            return None
+        return _dt.datetime.strptime(s, "%Y-%m-%dT%H:%M:%S.%fZ").replace(
+            tzinfo=_dt.timezone.utc
+        )
+
+    rows = []
+    for p in progresses:
+        if isinstance(p, str):
+            p = _json.loads(p)
+        elif not isinstance(p, dict):  # py4j StreamingQueryProgress
+            p = _json.loads(p.json)
+        ops = p.get("stateOperators") or []
+        bt = _ts(p.get("timestamp"))
+        wm = _ts((p.get("eventTime") or {}).get("watermark"))
+        # Spark reports epoch 0 ("1970-01-01T00:00:00.000Z") before the
+        # first watermark is established — that is "no watermark yet",
+        # not a 56-year lag
+        if wm is not None and wm.timestamp() == 0:
+            wm = None
+        rows.append(
+            (
+                int(p["batchId"]),
+                bt,
+                int(p.get("numInputRows") or 0),
+                wm,
+                sum(int(o.get("numRowsDroppedByWatermark") or 0) for o in ops),
+                sum(int(o.get("numRowsTotal") or 0) for o in ops),
+                sum(int(o.get("memoryUsedBytes") or 0) for o in ops),
+                len(ops),
+                (
+                    round((bt - wm).total_seconds(), 3)
+                    if bt is not None and wm is not None
+                    else None
+                ),
+            )
+        )
+    schema = (
+        "batch_id long, batch_ts timestamp, num_input_rows long, "
+        "watermark timestamp, rows_dropped_late long, state_rows long, "
+        "state_bytes long, n_state_operators int, watermark_lag_seconds double"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def parquet_batch_sink(path: str):
     """foreachBatch writer with replay-idempotence: every micro-batch
     lands in its own `_batch_id=N` partition, written with dynamic

@@ -976,3 +976,127 @@ def test_stream_maintained_hll_windowed_distinct(spark, tmp_path):
     got2 = estimates(read_delta(spark, hll).select("day", "reg", "mx"))
     want2 = estimates(hll_build(read_delta(spark, fact), "user_id", ("day",), b=8))
     assert got2 == want2 and got2 != got
+
+
+def test_streaming_progress_metrics_matches_batch_replay(spark, tmp_path):
+    """VERDICT r11 #6 property: the per-micro-batch metrics relation's
+    rows_dropped_late must equal a BATCH replay of the watermark rule.
+    Spark propagates the watermark with ONE BATCH of lag (measured
+    here, and the reason the replay is worth pinning in a test): the
+    filtering watermark for micro-batch N is
+    (max event time through batch N-2) - delay — batch N-1's maximum
+    is only committed at its end and becomes the filter at N — and a
+    row drops iff its 5-minute window's END <= that watermark
+    (INCLUSIVE: the 12:45 boundary row below, whose window end equals
+    the watermark exactly, drops). Two scenarios: one late row, and a
+    late burst with the boundary case. Also checks watermark
+    progression, state growth, and input accounting."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lakeapi_spark.streaming.pipeline import streaming_progress_metrics
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    def run(name, batches, delay_min=10, width_min=5):
+        src = str(tmp_path / name)
+        os.makedirs(src)
+        for i, rows in enumerate(batches):
+            d = f"{src}/f{i}"
+            spark.createDataFrame(
+                rows, "ts timestamp, user_id long, value double"
+            ).coalesce(1).write.mode("overwrite").parquet(d)
+            for root, _dirs, files in os.walk(d):
+                for fn in files:
+                    os.utime(os.path.join(root, fn), (1_000_000 + i,) * 2)
+        stream = (
+            spark.readStream.schema("ts timestamp, user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        agg = (
+            stream.withWatermark("ts", f"{delay_min} minutes")
+            .groupBy(F.window("ts", f"{width_min} minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(f"metrics_{name}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        prog = list(q.recentProgress)
+        q.stop()
+        return streaming_progress_metrics(prog, spark)
+
+    def batch_replay_drops(batches, delay_min=10, width_min=5):
+        """Replay the watermark rule: batch N filters with the
+        watermark from data through batch N-2 (one-batch propagation
+        lag), dropping rows whose window end <= watermark."""
+        dropped, max_prev, max_prev_prev = 0, None, None
+        for rows in batches:
+            wm = (
+                None
+                if max_prev_prev is None
+                else max_prev_prev - dt.timedelta(minutes=delay_min)
+            )
+            for (t, _u, _v) in rows:
+                wend = t0 + dt.timedelta(
+                    minutes=((t - t0).total_seconds() // 60 // width_min + 1)
+                    * width_min
+                )
+                if wm is not None and wend <= wm:
+                    dropped += 1
+            batch_max = max(t for (t, _u, _v) in rows)
+            max_prev_prev = max_prev
+            max_prev = (
+                batch_max if max_prev is None else max(max_prev, batch_max)
+            )
+        return dropped
+
+    # scenario 1: single late row in batch 2
+    b1 = [
+        [(ts(0), 1, 1.0), (ts(2), 1, 1.0), (ts(30), 1, 1.0)],
+        [(ts(31), 2, 1.0)],
+        [(ts(1), 2, 99.0), (ts(32), 2, 1.0)],
+    ]
+    m1 = run("s1", b1).orderBy("batch_id").collect()
+    data1 = [r for r in m1 if r.num_input_rows > 0]
+    assert sum(r.rows_dropped_late for r in data1) == batch_replay_drops(b1) == 1
+    assert sum(r.num_input_rows for r in m1) == 6
+    # the drop lands in the batch that carried the late row
+    assert data1[2].rows_dropped_late == 1
+    # watermark is unset in batch 0, then advances monotonically
+    assert data1[0].watermark is None
+    wms = [r.watermark for r in data1[1:]]
+    assert all(w is not None for w in wms) and wms == sorted(wms)
+    assert all(
+        r.watermark_lag_seconds is None or r.watermark_lag_seconds >= 0 for r in m1
+    )
+    # state holds at least the live (non-evicted) windows
+    assert data1[0].state_rows >= 2 and data1[0].n_state_operators == 1
+
+    # scenario 2: a late burst, plus a boundary row whose window end
+    # equals the filtering watermark exactly (end <= wm: drops). The
+    # one-batch propagation lag shows here: batch 1's late rows pass
+    # (its filter watermark predates batch 0's max), batch 2 filters
+    # with 13:00 - 10min = 12:50 and drops both the 12:45 boundary row
+    # (window end 12:50 == wm) and the 12:07 row.
+    b2 = [
+        [(ts(0), 1, 1.0), (ts(60), 1, 1.0)],
+        [(ts(3), 2, 1.0), (ts(4), 2, 1.0), (ts(61), 2, 1.0)],
+        [(ts(45), 3, 1.0), (ts(7), 3, 1.0), (ts(62), 3, 1.0)],
+    ]
+    m2 = run("s2", b2).orderBy("batch_id").collect()
+    data2 = [r for r in m2 if r.num_input_rows > 0]
+    want2 = batch_replay_drops(b2)
+    assert sum(r.rows_dropped_late for r in data2) == want2 == 2
+    assert [r.rows_dropped_late for r in data2] == [0, 0, 2]
