@@ -109,7 +109,7 @@ def main() -> None:
     # never settles, host_contended=true says so IN the artifact
     # instead of leaving adjudication to BENCHNOTES archaeology.
     CALIB_SETTLED = 0.140
-    EXTRA_ROUNDS = 3
+    EXTRA_ROUNDS = 5
     calibs: list[float] = [cpu_calibration()]
     timings: dict[str, float] = {n: float("inf") for n in bench_queries}
 
@@ -129,21 +129,45 @@ def main() -> None:
     timings = {n: round(t, 3) for n, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "calib_sec": min(calibs),
-                "calibs": [round(c, 3) for c in calibs],
-                "rounds": rounds,
-                "host_contended": min(calibs) > CALIB_SETTLED,
-            }
+    artifact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "calib_sec": min(calibs),
+        "calibs": [round(c, 3) for c in calibs],
+        "rounds": rounds,
+        "host_contended": min(calibs) > CALIB_SETTLED,
+    }
+    line = json.dumps(artifact)
+    print(line)
+
+    # Capture discipline, part 2 (VERDICT r11 #3): two consecutive
+    # official captures landed in contended windows despite the
+    # auto-extension. Persist the best SETTLED run as a committed
+    # companion (BENCH_BEST.json) so a contended official artifact is
+    # adjudicated against a settled measurement of the same code, not
+    # against BENCHNOTES archaeology. Replacement rule: take the new
+    # run if the existing companion is missing/contended, or if the
+    # new run's host was at least as settled (lower calib).
+    if not artifact["host_contended"] and sf == 0.1:
+        best_path = os.environ.get(
+            "SPARK_GRAFT_BENCH_BEST",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BEST.json"),
         )
-    )
+        try:
+            with open(best_path) as f:
+                prev = json.load(f)
+        except Exception:
+            prev = None
+        if (
+            prev is None
+            or prev.get("host_contended", True)
+            or artifact["calib_sec"] <= prev.get("calib_sec", float("inf"))
+        ):
+            with open(best_path, "w") as f:
+                f.write(line + "\n")
 
 
 if __name__ == "__main__":

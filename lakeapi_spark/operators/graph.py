@@ -546,6 +546,113 @@ def k_core(
     )
 
 
+def _bfs_sigma_levels(und, seeds, node: str, max_depth: int):
+    """Level-synchronous multi-source BFS over a doubled edge relation
+    ``und(u, v)``, carrying integer shortest-path counts: returns the
+    per-level relations [(s, node, sigma)] for levels 0..<=max_depth
+    (level 0 = the seeds, sigma 1). Each round is one frontier⋈edges
+    equi-join + one anti-join against the visited set + a keyed SUM;
+    every relation is (seed x node)-sized; localCheckpoint per round
+    keeps planning O(1). Shared by betweenness_bounded and
+    harmonic_centrality_sampled."""
+    lvl0 = (
+        seeds.select(F.col(node).alias("s"))
+        .distinct()
+        .select("s", F.col("s").alias("node"), F.lit(1).cast("long").alias("sigma"))
+        .localCheckpoint(eager=True)
+    )
+    levels = [lvl0]
+    visited = lvl0.select("s", "node")
+    for _ in range(max_depth):
+        f = levels[-1].select("s", F.col("node").alias("u"), "sigma")
+        nxt = (
+            f.join(und, "u")
+            .select("s", F.col("v").alias("node"), "sigma")
+            .join(visited, ["s", "node"], "left_anti")
+            .groupBy("s", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        levels.append(nxt)
+        visited = visited.union(nxt.select("s", "node")).localCheckpoint(
+            eager=True
+        )
+    return levels
+
+
+def harmonic_centrality_sampled(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 4,
+    scale: int = 1_000_000,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    round_digits: int = 4,
+    dedupe_edges: bool = True,
+    cache_handles: list | None = None,
+) -> DataFrame:
+    """Sampled-source, bounded-depth HARMONIC centrality (Marchiori &
+    Latora 2000; Boldi & Vigna's axiomatic pick among the closeness
+    family — both public) over the undirected simple graph of
+    ``edges``: H(v) = sum over seeds s (v != s, d(s,v) <= max_depth)
+    of 1/d(s,v). Harmonic handles disconnected graphs where classic
+    closeness breaks (unreachable pairs contribute 0 instead of
+    infinity), and the same two caps as :func:`betweenness_bounded`
+    make it affordable: sampled sources, bounded depth — beyond the
+    horizon contributes nothing by construction.
+
+    Returns (node, hc_fp, hc): hc_fp = integer sum of
+    (scale DIV distance) — exact integers (scale=1e6: 1e6, 5e5,
+    333333, 250000, ...), so the accumulation is order-independent
+    and a SQL oracle replays it bit-for-bit; hc = round(hc_fp/scale).
+
+    Same forward BFS and scale shape as betweenness (shared
+    :func:`_bfs_sigma_levels`), minus the backward pass — one pass,
+    (seed x node)-sized relations throughout."""
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+    )
+    if dedupe_edges:
+        und = und.distinct()
+    und = und.persist()
+    handles = [und]
+    levels = _bfs_sigma_levels(und, seeds, node, max_depth)
+    if cache_handles is not None:
+        cache_handles.extend(handles)
+    else:
+        for h in handles:
+            h.unpersist()
+    parts = [
+        lv.select("s", "node", F.lit(scale // d).cast("long").alias("t"))
+        for d, lv in enumerate(levels)
+        if d >= 1
+    ]
+    if not parts:
+        return (
+            levels[0]
+            .select("node")
+            .withColumn("hc_fp", F.lit(0).cast("long"))
+            .withColumn("hc", F.lit(0.0))
+            .filter(F.lit(False))
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy("node")
+        .agg(F.sum("t").alias("hc_fp"))
+        .withColumn(
+            "hc",
+            F.round(F.col("hc_fp").cast("double") / scale, round_digits) + 0.0,
+        )
+    )
+
+
 def betweenness_bounded(
     edges: DataFrame,
     seeds: DataFrame,
@@ -610,30 +717,7 @@ def betweenness_bounded(
         und = und.distinct()
     und = und.persist()
     handles = [und]
-    lvl0 = (
-        seeds.select(F.col(node).alias("s"))
-        .distinct()
-        .select("s", F.col("s").alias("node"), F.lit(1).cast("long").alias("sigma"))
-        .localCheckpoint(eager=True)
-    )
-    levels = [lvl0]
-    visited = lvl0.select("s", "node")
-    for _ in range(max_depth):
-        f = levels[-1].select("s", F.col("node").alias("u"), "sigma")
-        nxt = (
-            f.join(und, "u")
-            .select("s", F.col("v").alias("node"), "sigma")
-            .join(visited, ["s", "node"], "left_anti")
-            .groupBy("s", "node")
-            .agg(F.sum("sigma").alias("sigma"))
-            .localCheckpoint(eager=True)
-        )
-        if nxt.count() == 0:
-            break
-        levels.append(nxt)
-        visited = visited.union(nxt.select("s", "node")).localCheckpoint(
-            eager=True
-        )
+    levels = _bfs_sigma_levels(und, seeds, node, max_depth)
     # backward accumulation; deepest level takes delta = 0 (zero rows
     # can never pass the positive-dependency output filter, so whether
     # the deepest level sits at the cap or the frontier emptied early
@@ -677,7 +761,8 @@ def betweenness_bounded(
             h.unpersist()
     if not deltas:
         return (
-            lvl0.select("node")
+            levels[0]
+            .select("node")
             .withColumn("bc_fp", F.lit(0).cast("long"))
             .withColumn("bc", F.lit(0.0))
             .filter(F.lit(False))

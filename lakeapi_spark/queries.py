@@ -13895,13 +13895,12 @@ def pagerank_weighted_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _betweenness_oracle(n_seeds: int = 8, depth: int = 4, scale: int = 1_000_000) -> str:
-    """Unrolled Brandes oracle: forward BFS ``depth`` levels carrying
-    integer path counts, then the backward dependency walk in
-    ``scale``-ths with truncating division — every sum an integer, so
-    the accumulation is order-independent and bit-replayable. All
-    CTEs MATERIALIZED (each level references the previous one
-    multiple times; inlining would be exponential)."""
+def _bfs_forward_ctes(n_seeds: int, depth: int) -> list[str]:
+    """Shared forward-BFS CTE chain for the sampled-centrality oracles:
+    top-``n_seeds`` degree seeds, then ``depth`` MATERIALIZED frontier
+    levels f_l(s, node, sigma) with visited-set anti-joins (inlining
+    would be exponential — each level references the previous one
+    multiple times)."""
     parts = [
         _STRONG_EDGES_SQL,
         f""", deg AS (SELECT u, COUNT(*) AS d FROM e GROUP BY 1)
@@ -13919,6 +13918,58 @@ def _betweenness_oracle(n_seeds: int = 8, depth: int = 4, scale: int = 1_000_000
     , vis_{l} AS MATERIALIZED (
       SELECT s, node FROM vis_{l - 1} UNION ALL SELECT s, node FROM f_{l})"""
         )
+    return parts
+
+
+def _harmonic_oracle(n_seeds: int = 8, depth: int = 4, scale: int = 1_000_000) -> str:
+    """Unrolled harmonic-centrality oracle: the forward BFS levels,
+    each contributing scale // distance per (seed, node) — exact
+    integers, order-independent sum."""
+    parts = _bfs_forward_ctes(n_seeds, depth)
+    union = " UNION ALL ".join(
+        f"SELECT s, node, CAST({scale // d} AS BIGINT) AS t FROM f_{d}"
+        for d in range(1, depth + 1)
+    )
+    parts.append(
+        f"""
+    SELECT node, CAST(SUM(t) AS BIGINT) AS hc_fp,
+           ROUND(CAST(SUM(t) AS DOUBLE) / {scale}, 4) + 0.0 AS hc
+    FROM ({union}) GROUP BY 1"""
+    )
+    return "\n".join(parts)
+
+
+@register("harmonic_centrality_sampled", _harmonic_oracle())
+def harmonic_centrality_sampled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source bounded-depth harmonic centrality over the strong
+    co-purchase graph: H(v) = sum over the 8 highest-degree pivot
+    seeds of 1/d(seed, v), BFS capped at 4 levels — the closeness-
+    family measure that stays finite on disconnected graphs
+    (unreachable pairs contribute 0, not infinity). Shares the
+    forward-BFS machinery (and its fixed-point integer contract) with
+    betweenness_copurchase_sampled; one pass, no backward walk.
+    operators/graph.harmonic_centrality_sampled."""
+    from lakeapi_spark.operators.graph import harmonic_centrality_sampled
+
+    edges = _strong_copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    seeds = deg.orderBy(F.col("d").desc(), "node").limit(8).select("node")
+    return harmonic_centrality_sampled(
+        edges, seeds, max_depth=4, scale=1_000_000, dedupe_edges=False
+    )
+
+
+def _betweenness_oracle(n_seeds: int = 8, depth: int = 4, scale: int = 1_000_000) -> str:
+    """Unrolled Brandes oracle: the shared forward BFS (integer path
+    counts), then the backward dependency walk in ``scale``-ths with
+    truncating division — every sum an integer, so the accumulation is
+    order-independent and bit-replayable."""
+    parts = _bfs_forward_ctes(n_seeds, depth)
     parts.append(
         f""", d_{depth} AS MATERIALIZED (
       SELECT s, node, sigma, CAST(0 AS BIGINT) AS delta FROM f_{depth})"""

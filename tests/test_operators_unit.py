@@ -3067,6 +3067,38 @@ def test_betweenness_bounded_known_graphs(spark):
     spark.catalog.clearCache()
 
 
+def test_harmonic_centrality_sampled_known_graphs(spark):
+    """Harmonic = sum of 1/d from the seeds: exact fixed-point terms
+    on a path, additive across seeds, silent (not infinite) on
+    disconnected components, truncated at the depth cap."""
+    from lakeapi_spark.operators.graph import harmonic_centrality_sampled
+
+    def hc(edges, seeds, **kw):
+        e = spark.createDataFrame(edges, "src long, dst long")
+        s = spark.createDataFrame([(x,) for x in seeds], "node long")
+        return {
+            r.node: (r.hc_fp, r.hc)
+            for r in harmonic_centrality_sampled(e, s, **kw).collect()
+        }
+
+    chain = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    got = hc(chain, [1])
+    assert got == {
+        2: (1_000_000, 1.0),
+        3: (500_000, 0.5),
+        4: (333_333, 0.3333),
+        5: (250_000, 0.25),
+    }
+    # two seeds sum; the far component {8,9} is unreachable and absent
+    got2 = hc(chain + [(8, 9)], [1, 5])
+    assert got2[3] == (1_000_000, 1.0)  # 0.5 from each end
+    assert got2[2] == (1_333_333, 1.3333) and got2[4] == (1_333_333, 1.3333)
+    assert 8 not in got2 and 9 not in got2
+    # depth cap: node 5 is 4 hops from seed 1 — gone at max_depth=3
+    assert 5 not in hc(chain, [1], max_depth=3)
+    spark.catalog.clearCache()
+
+
 def test_weighted_k_core_strength_peel(spark):
     """s-core semantics: the peel is by STRENGTH, not degree — a
     degree-1 node with one heavy edge survives a threshold that peels
