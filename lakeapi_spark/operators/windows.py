@@ -1108,6 +1108,124 @@ def _hwm_kernel_factory(alpha_num: int, gamma_num: int, season_num: int):
     return kernel
 
 
+def _croston_reduce_keys(keys, xs, alpha_num: int):
+    """Per-key rows (key, n_periods, n_demand, z, p, sae) for
+    Croston's method (Croston 1972, public) over a GAP-FILLED series
+    (every period present, zero demand included — the zeros ARE the
+    signal): separate SES states for demand SIZE z (micro-units) and
+    inter-demand INTERVAL p (milli-periods), updated only on nonzero
+    periods; the one-step forecast z*1000 TDIV p backtests every
+    period after the first demand. The right model when most periods
+    are zero — plain SES/Holt decay toward zero between demands and
+    systematically under-forecast the next spike.
+
+        q += 1 each period
+        on demand x>0:  z' = (a*x      + (1000-a)*z) TDIV 1000
+                        p' = (a*q*1000 + (1000-a)*p) TDIV 1000 ; q = 0
+        (first demand initializes z = x, p = q*1000)
+
+    All int64 toward-zero math, replayable by a recursive-CTE oracle;
+    sae accumulates |x - forecast| over started periods."""
+    import numpy as np
+    import pandas as pd
+
+    abeta = 1000 - alpha_num
+    rows = []
+    n = len(keys)
+    change = np.ones(n, dtype=bool)
+    change[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.concatenate((starts[1:], [n]))
+    for st, en in zip(starts, ends):
+        seg = xs[st:en]
+        z = p = None
+        q = 0
+        sae = 0
+        n_demand = 0
+        for x in seg:
+            x = int(x)
+            if z is not None:
+                sae += abs(x - _tdiv(z * 1000, p))
+            q += 1
+            if x > 0:
+                if z is None:
+                    z, p = x, q * 1000
+                else:
+                    z = _tdiv(alpha_num * x + abeta * z, 1000)
+                    p = _tdiv(alpha_num * q * 1000 + abeta * p, 1000)
+                n_demand += 1
+                q = 0
+        rows.append((keys[st], en - st, n_demand, z or 0, p or 0, sae))
+    return pd.DataFrame(
+        rows, columns=["_k", "n_periods", "n_demand", "z", "p", "sae"]
+    )
+
+
+def _croston_kernel_factory(alpha_num: int):
+    def kernel(batches):
+        import numpy as np
+
+        carry_k = carry_x = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys = pdf["_k"].to_numpy(dtype=object)
+            xs = pdf["_x"].to_numpy(dtype=np.int64)
+            if carry_k is not None:
+                keys = np.concatenate((carry_k, keys))
+                xs = np.concatenate((carry_x, xs))
+            last = keys[-1]
+            cut = len(keys)
+            while cut > 0 and keys[cut - 1] == last:
+                cut -= 1
+            carry_k, carry_x = keys[cut:], xs[cut:]
+            if cut:
+                yield _croston_reduce_keys(keys[:cut], xs[:cut], alpha_num)
+        if carry_k is not None and len(carry_k):
+            yield _croston_reduce_keys(carry_k, carry_x, alpha_num)
+
+    return kernel
+
+
+def croston_backtest(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    x_col: str,
+    alpha_num: int = 100,
+) -> DataFrame:
+    """Per-key Croston intermittent-demand smoothing with the
+    rolling-origin one-step backtest — see :func:`_croston_reduce_keys`
+    for the integer contract. ``df`` must be the GAP-FILLED series
+    (one row per period per key, zeros present); ``order_col`` totally
+    orders each key's periods. Same plan shape as the other
+    sequential kernels: one repartition+sort, whole-partition Arrow
+    kernel with batch-boundary key carry — keys distribute, so 1e9
+    sparse SKUs run as independent partition-local scans. Returns
+    (key, n_periods, n_demand, z, p, sae): z in the input's
+    micro-units, p in milli-periods."""
+    from pyspark import cloudpickle as _cp
+    import sys as _sys
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+
+    staged = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.col(order_col).alias("_o"),
+            F.col(x_col).cast("long").alias("_x"),
+        )
+        .repartition("_k")
+        .sortWithinPartitions("_k", "_o")
+    )
+    out_schema = (
+        "_k string, n_periods long, n_demand long, z long, p long, sae long"
+    )
+    return staged.mapInPandas(
+        _croston_kernel_factory(alpha_num), schema=out_schema
+    ).withColumnRenamed("_k", key_col)
+
+
 def holt_winters_multiplicative_backtest(
     df: DataFrame,
     key_col: str,

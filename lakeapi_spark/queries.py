@@ -15737,6 +15737,144 @@ def holt_winters_backtest_event_daily(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def _croston_oracle_sql() -> str:
+    """Recursive-CTE oracle for Croston's method (alpha=.1) over
+    gap-filled daily part demand, 1995, top-20 parts by lineitem
+    count. State expressions are assembled here because the recursive
+    CTE cannot name intermediates (q+1 and the started-gate repeat);
+    the idle-period division is NULLIF-guarded so a vectorized CASE
+    evaluation cannot divide by the pre-start p = 0."""
+    znew = (
+        "CAST(CASE WHEN e.x > 0 THEN "
+        "(CASE WHEN r.started = 0 THEN e.x ELSE (100 * e.x + 900 * r.z) // 1000 END) "
+        "ELSE r.z END AS BIGINT)"
+    )
+    pnew = (
+        "CAST(CASE WHEN e.x > 0 THEN "
+        "(CASE WHEN r.started = 0 THEN (r.q + 1) * 1000 "
+        "ELSE (100 * (r.q + 1) * 1000 + 900 * r.p) // 1000 END) "
+        "ELSE r.p END AS BIGINT)"
+    )
+    return f"""
+    WITH l95 AS (
+      SELECT l_partkey, CAST(l_shipdate AS DATE) AS day, l_quantity
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE)
+            BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+    ), sel AS (
+      SELECT l_partkey FROM l95 GROUP BY 1
+      ORDER BY COUNT(*) DESC, l_partkey LIMIT 20
+    ), days AS (
+      SELECT CAST(UNNEST(generate_series(DATE '1995-01-01', DATE '1995-12-31',
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+    ), daily AS (
+      SELECT l.l_partkey, l.day,
+             SUM(CAST(ROUND(l.l_quantity * 1000000, 0) AS BIGINT)) AS x
+      FROM l95 l JOIN sel USING (l_partkey) GROUP BY 1, 2
+    ), ev AS (
+      SELECT s.l_partkey,
+             ROW_NUMBER() OVER (PARTITION BY s.l_partkey ORDER BY d.day) AS rn,
+             COALESCE(dd.x, 0) AS x
+      FROM sel s CROSS JOIN days d
+      LEFT JOIN daily dd ON dd.l_partkey = s.l_partkey AND dd.day = d.day
+    ), rec AS (
+      WITH RECURSIVE r(l_partkey, rn, started, z, p, q, nd, sae) AS (
+        SELECT l_partkey, 0, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM sel
+        UNION ALL
+        SELECT e.l_partkey, e.rn,
+               CASE WHEN e.x > 0 THEN 1 ELSE r.started END,
+               {znew},
+               {pnew},
+               CAST(CASE WHEN e.x > 0 THEN 0 ELSE r.q + 1 END AS BIGINT),
+               r.nd + CASE WHEN e.x > 0 THEN 1 ELSE 0 END,
+               r.sae + CASE WHEN r.started = 1
+                            THEN ABS(e.x - (r.z * 1000 // NULLIF(r.p, 0)))
+                            ELSE 0 END
+        FROM r JOIN ev e ON e.l_partkey = r.l_partkey AND e.rn = r.rn + 1
+      )
+      SELECT * FROM r
+    )
+    SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+           MAX(rn) AS n_periods,
+           CAST(MAX_BY(nd, rn) AS BIGINT) AS n_demand,
+           CAST(MAX_BY(z, rn) AS BIGINT) AS z,
+           CAST(MAX_BY(p, rn) AS BIGINT) AS p,
+           CAST(MAX_BY(sae, rn) AS BIGINT) AS sae,
+           CAST((MAX_BY(z, rn) * 1000 // MAX_BY(p, rn)) AS DOUBLE) / 1000000.0
+             AS demand_rate
+    FROM rec GROUP BY 1
+    """
+
+
+@register("croston_part_demand_daily", _croston_oracle_sql())
+def croston_part_demand_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston intermittent-demand smoothing over GAP-FILLED daily part
+    quantities (1995, top-20 parts by lineitem count): separate SES
+    states for demand size and inter-demand interval, updated only on
+    demand days, with the rolling one-step backtest — the forecast
+    rung the rest of the ladder (SES/Holt/HW) gets wrong when most
+    periods are ZERO, because level smoothing decays toward zero
+    between demands and under-forecasts every spike. demand_rate =
+    z/p is the Croston per-period rate. Integer micro-units/
+    milli-periods, toward-zero division, recursive-CTE-replayable.
+    The zeros are injected deterministically: a 365-day spine per
+    part, left-joined and coalesced.
+    operators/windows.croston_backtest."""
+    from lakeapi_spark.operators.windows import croston_backtest
+
+    l = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            F.col("l_shipdate").cast("date").alias("day"),
+            "l_quantity",
+        )
+        .filter(
+            (F.col("day") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("day") <= F.lit("1995-12-31").cast("date"))
+        )
+    )
+    sel = (
+        l.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "l_partkey")
+        .limit(20)
+        .select("l_partkey")
+    )
+    daily = (
+        l.join(F.broadcast(sel), "l_partkey")
+        .groupBy("l_partkey", "day")
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 1000000, 0).cast("long")).alias("x")
+        )
+    )
+    spine = sel.select(
+        "l_partkey",
+        F.explode(
+            F.expr(
+                "sequence(DATE'1995-01-01', DATE'1995-12-31', interval 1 day)"
+            )
+        ).alias("day"),
+    )
+    series = (
+        spine.join(daily, ["l_partkey", "day"], "left")
+        .withColumn("x", F.coalesce("x", F.lit(0)))
+        .withColumn("k", F.col("l_partkey").cast("string"))
+    )
+    out = croston_backtest(series, "k", "day", "x", alpha_num=100)
+    return out.select(
+        F.col("k").cast("long").alias("l_partkey"),
+        "n_periods",
+        "n_demand",
+        "z",
+        "p",
+        "sae",
+        F.expr("CAST((z * 1000 DIV p) AS DOUBLE) / 1000000.0").alias("demand_rate"),
+    )
+
+
 def _hwm_oracle_sql() -> str:
     """Recursive-CTE oracle for MULTIPLICATIVE Holt-Winters (alpha=.3,
     gamma=.1, season=.3, period 7, seasonal factors in integer

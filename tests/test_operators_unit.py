@@ -3916,6 +3916,63 @@ def test_holt_winters_learns_weekly_seasonality(spark):
     assert got["s"] == r.sae and len(got) == 2
 
 
+def test_croston_intermittent_demand(spark):
+    """Croston on a strictly periodic intermittent series (demand 6
+    every 3rd day): the states converge to exactly z = demand size,
+    p = 3000 milli-periods, demand rate 2/day — and a plain SES over
+    the same gap-filled series backtests WORSE (it decays toward zero
+    between demands and under-forecasts every spike), which is the
+    whole reason Croston exists. Replays the integer contract in
+    Python as the truth; keys stay independent under the batch carry."""
+    from lakeapi_spark.operators.windows import croston_backtest
+
+    rows = [
+        ("s", t, 6_000_000 if t % 3 == 0 else 0) for t in range(1, 31)
+    ]
+    df = spark.createDataFrame(rows, "k string, o int, x long")
+    r = croston_backtest(df, "k", "o", "x", alpha_num=100).collect()[0]
+    assert (r.n_periods, r.n_demand) == (30, 10)
+    assert r.z == 6_000_000 and r.p == 3000  # exact fixed point
+    # reference replay of the documented contract
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    z = p = None
+    q = sae = 0
+    for (_k, _t, x) in rows:
+        if z is not None:
+            sae += abs(x - tdiv(z * 1000, p))
+        q += 1
+        if x > 0:
+            z, p = (x, q * 1000) if z is None else (
+                tdiv(100 * x + 900 * z, 1000),
+                tdiv(100 * q * 1000 + 900 * p, 1000),
+            )
+            q = 0
+    assert r.sae == sae
+    # SES over the same series pays more: its one-step forecast chases
+    # the zeros down and the spikes up
+    ses_l, ses_sae = None, 0
+    for (_k, _t, x) in rows:
+        if ses_l is not None:
+            ses_sae += abs(x - ses_l)
+            ses_l = tdiv(100 * x + 900 * ses_l, 1000)
+        else:
+            ses_l = x
+    assert r.sae < ses_sae
+    # two keys under one partition: the carry keeps them independent
+    two = spark.createDataFrame(
+        rows + [("t", t, 9_000_000 if t == 15 else 0) for t in range(1, 31)],
+        "k string, o int, x long",
+    ).repartition(1)
+    got = {x.k: (x.n_demand, x.z, x.p, x.sae)
+           for x in croston_backtest(two, "k", "o", "x").collect()}
+    assert got["s"] == (10, r.z, r.p, r.sae)
+    # single demand at t=15: z = 9e6, p = 15000, sae accrues only after
+    assert got["t"][0] == 1 and got["t"][1] == 9_000_000 and got["t"][2] == 15000
+
+
 def test_holt_winters_multiplicative_learns_ratio_seasonality(spark):
     """Multiplicative HW on a GROWING series whose weekday bump scales
     with the level (x = level_t * factor[dow]): the learned seasonal
