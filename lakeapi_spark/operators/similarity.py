@@ -1104,6 +1104,83 @@ def kmeans_transition_matrix(
     )
 
 
+def pca_top_component(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    iters: int = 5,
+    scale: int = 1_000_000,
+    cache_handles: list | None = None,
+) -> DataFrame:
+    """Top principal component of an embedding column by RELATIONAL
+    power iteration — the first step of every embedding diagnostic
+    (anisotropy check, dominant-direction removal a la all-but-the-top,
+    Mu & Viswanath 2018, public): mean-center in integer micro-units,
+    build the d x d covariance as a RELATION (dim j, dim k, c), then
+    iterate x <- L1-normalize(C x) exactly like
+    graph.eigenvector_centrality iterates its adjacency — no driver
+    linear algebra, no collect. Returns (dim, loading_fp, loading),
+    dim 1-based, loadings L1-normalized in ``scale``-ths.
+
+    EXACT-replay contract: x_fp = round(x * 1e6); mean, covariance
+    (c = scatter-sum DIV (n * 1e6), micro-units), matvec
+    (DIV 1e6) and L1 normalization (y * 1e6 DIV sum|y|) are all int64
+    toward-zero — bit-replayable by an unrolled SQL oracle. A
+    degenerate covariance (all-zero — constant vectors) yields NULL
+    loadings rather than a division error.
+
+    Scale shape: the covariance build is the expensive step — a
+    vec_id-keyed self-join fanning each row to d^2 products (d = 64:
+    4096/row) feeding ONE partial-agg shuffle of d^2 groups; beyond
+    d ~ a few hundred, sample rows before calling (the estimate
+    converges at modest n). Iterations touch only the d^2 relation
+    with the d-row x broadcast; int64 stays safe while
+    n * scale^2 * d stays under 2^63 (documented: ~1e5 rows of unit
+    floats at d = 64 uses < 1e15)."""
+    ex = emb.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.col(vec_col)).alias("_p", "_x"),
+    ).select(
+        "_id",
+        (F.col("_p") + 1).alias("j"),
+        F.round(F.col("_x").cast("double") * scale, 0).cast("long").alias("xf"),
+    )
+    n = ex.select("_id").distinct().count()  # one job; d*n relation is cheap
+    m = ex.groupBy("j").agg(F.expr(f"SUM(xf) DIV {n}").alias("mf"))
+    cen = ex.join(F.broadcast(m), "j").select(
+        "_id", "j", (F.col("xf") - F.col("mf")).alias("v")
+    )
+    cb = cen.select("_id", F.col("j").alias("k"), F.col("v").alias("vk"))
+    cov = (
+        cen.join(cb, "_id")
+        .groupBy("j", "k")
+        .agg(F.expr(f"SUM(v * vk) DIV ({n} * {scale})").alias("c"))
+        .persist()
+    )
+    x = cov.select("j").distinct().withColumn("x", F.lit(scale).cast("long"))
+    for _ in range(iters):
+        y = (
+            cov.join(F.broadcast(x.withColumnRenamed("j", "k")), "k")
+            .groupBy("j")
+            .agg(F.expr(f"SUM(c * x) DIV {scale}").alias("y"))
+        )
+        l1 = F.broadcast(y.agg(F.sum(F.abs(F.col("y"))).alias("l")))
+        x = y.crossJoin(l1).select(
+            "j",
+            F.expr(f"CAST(y * {scale} DIV NULLIF(l, 0) AS LONG)").alias("x"),
+        )
+    if cache_handles is not None:
+        # the result is LAZY — the persisted covariance must outlive
+        # the caller's action (the eigenvector_centrality release
+        # contract); one-shot callers rely on session cache hygiene
+        cache_handles.append(cov)
+    return x.select(
+        F.col("j").cast("long").alias("dim"),
+        F.col("x").alias("loading_fp"),
+        (F.round(F.col("x").cast("double") / scale, 6) + 0.0).alias("loading"),
+    )
+
+
 def random_projection(
     emb: DataFrame,
     id_col: str,

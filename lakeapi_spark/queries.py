@@ -11145,6 +11145,90 @@ def conformal_user_daily_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conformal_interval_report(obs, "split", "y", "pred", alpha=0.1)
 
 
+@register(
+    "seasonal_decompose_dow_events",
+    f"""
+    WITH d AS (
+      SELECT event_type, {_EPOCH} // 86400 AS day,
+             SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type, day, x,
+             COUNT(*) OVER w AS cnt, SUM(x) OVER w AS sw
+      FROM d
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), det AS (
+      SELECT event_type, day % 7 AS dow, x - (sw // 7) AS dv
+      FROM t WHERE cnt = 7
+    ), si AS (
+      SELECT event_type, dow, COUNT(*) AS n_days,
+             CAST(SUM(dv) // COUNT(*) AS BIGINT) AS s_index
+      FROM det GROUP BY 1, 2
+    )
+    SELECT si.event_type, CAST(si.dow AS BIGINT) AS dow,
+           CAST(si.n_days AS BIGINT) AS n_days, si.s_index,
+           CAST(SUM(ABS(det.dv - si.s_index)) // si.n_days AS BIGINT)
+             AS mean_abs_residual
+    FROM det JOIN si USING (event_type, dow)
+    GROUP BY si.event_type, si.dow, si.n_days, si.s_index
+    """,
+)
+def seasonal_decompose_dow_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of per-event-type daily value
+    (STL-lite): centered 7-observation moving-average TREND (full
+    frames only), additive day-of-week index over the detrended
+    series, and the mean absolute residual — the number that says how
+    much signal is left AFTER trend and weekly seasonality, i.e.
+    whether an anomaly detector still has anything to explain. Unlike
+    seasonal_dow_index_events (global multiplicative ratio, no trend
+    removal) this is per event type and trend-removed, so a series
+    that GROWS does not smear its growth into the weekday profile.
+    Integer micro-units end-to-end: trend = frame-sum DIV 7, index =
+    detrended-sum DIV n, all toward-zero — bit-replayable. Plan: one
+    fact aggregate to the (type x day) relation, one partitioned
+    rows-frame window over it, two group-sized aggregates."""
+    from pyspark.sql.window import Window as _W
+
+    e = table(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts").cast("double") / 86400).cast("long")
+    daily = (
+        e.groupBy("event_type", day.alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 1000000, 0).cast("long")).alias("x"))
+    )
+    w = _W.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    det = (
+        daily.withColumn("cnt", F.count(F.lit(1)).over(w))
+        .withColumn("sw", F.sum("x").over(w))
+        .filter(F.col("cnt") == 7)
+        .select(
+            "event_type",
+            (F.col("day") % 7).alias("dow"),
+            (F.col("x") - F.expr("sw DIV 7")).alias("dv"),
+        )
+    )
+    si = det.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr("SUM(dv) DIV COUNT(1)").cast("long").alias("s_index"),
+    )
+    return (
+        det.join(F.broadcast(si), ["event_type", "dow"])
+        .groupBy("event_type", "dow", "n_days", "s_index")
+        .agg(
+            F.expr("SUM(ABS(dv - s_index)) DIV MAX(n_days)")
+            .cast("long")
+            .alias("mean_abs_residual")
+        )
+        .select(
+            "event_type",
+            F.col("dow").cast("long").alias("dow"),
+            F.col("n_days").cast("long").alias("n_days"),
+            "s_index",
+            "mean_abs_residual",
+        )
+    )
+
+
 _SEASONAL_CTE = """
     WITH daily AS (
       SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
@@ -13131,6 +13215,66 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return ngram_containment_pairs(d, "doc_id", "text", threshold=0.4)
+
+
+def _pca_oracle(iters: int = 5, scale: int = 1_000_000) -> str:
+    """Unrolled power-iteration oracle for pca_top_component: integer
+    mean-centering, the d x d covariance relation, then ``iters``
+    matvec + L1-normalize rounds, every division toward zero. All
+    MATERIALIZED (each x_t is referenced by the next matvec)."""
+    parts = [
+        f"""
+    WITH ex AS MATERIALIZED (
+      SELECT vec_id, j, CAST(ROUND(CAST(x AS DOUBLE) * {scale}, 0) AS BIGINT) AS xf
+      FROM (SELECT vec_id, UNNEST(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS j FROM embeddings)
+    ), nn AS (SELECT COUNT(DISTINCT vec_id) AS n FROM ex)
+    , m AS MATERIALIZED (
+      SELECT j, CAST(SUM(xf) // (SELECT n FROM nn) AS BIGINT) AS mf
+      FROM ex GROUP BY 1)
+    , cen AS MATERIALIZED (
+      SELECT e.vec_id, e.j, e.xf - m.mf AS v FROM ex e JOIN m USING (j))
+    , cov AS MATERIALIZED (
+      SELECT a.j, b.j AS k,
+             CAST(SUM(a.v * b.v) // ((SELECT n FROM nn) * {scale}) AS BIGINT) AS c
+      FROM cen a JOIN cen b ON a.vec_id = b.vec_id GROUP BY 1, 2)
+    , x_0 AS (SELECT DISTINCT j, CAST({scale} AS BIGINT) AS x FROM m)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", y_{t} AS MATERIALIZED (
+      SELECT c.j, CAST(SUM(c.c * x.x) // {scale} AS BIGINT) AS y
+      FROM cov c JOIN x_{t - 1} x ON x.j = c.k GROUP BY 1)
+    , x_{t} AS MATERIALIZED (
+      SELECT j, CAST(y * {scale} //
+                     NULLIF((SELECT SUM(ABS(y)) FROM y_{t}), 0) AS BIGINT) AS x
+      FROM y_{t})"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST(j AS BIGINT) AS dim, x AS loading_fp,
+           ROUND(CAST(x AS DOUBLE) / {scale}.0, 6) + 0.0 AS loading
+    FROM x_{iters}"""
+    )
+    return "\n".join(parts)
+
+
+@register("pca_top_component_embeddings", _pca_oracle())
+def pca_top_component_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embeddings table by relational
+    power iteration — the anisotropy diagnostic run before trusting
+    cosine similarity (embedding sets with a dominant common direction
+    need it removed, all-but-the-top style, or every pair looks
+    similar). No driver linear algebra: the covariance is a d^2-row
+    RELATION built by one vec_id self-join + partial-agg shuffle, and
+    each iteration is a broadcast matvec — the
+    eigenvector_centrality plan shape on the dimension graph. Exact
+    integer micro-unit contract (toward-zero divisions) replayed by
+    the unrolled oracle. operators/similarity.pca_top_component."""
+    from lakeapi_spark.operators.similarity import pca_top_component
+
+    e = table(spark, sf_dir, "embeddings")
+    return pca_top_component(e, "vec_id", "embedding", iters=5)
 
 
 @register(

@@ -3916,6 +3916,31 @@ def test_holt_winters_learns_weekly_seasonality(spark):
     assert got["s"] == r.sae and len(got) == 2
 
 
+def test_pca_top_component_known_axis(spark):
+    """Power iteration recovers a planted dominant direction: points
+    spread along (1, 2, 0, 0) (plus a tiny orthogonal wiggle) must
+    yield L1-normalized loadings ~(1/3, 2/3, 0, 0) with matching
+    signs; constant vectors (zero covariance) yield NULL loadings
+    instead of a division error."""
+    from lakeapi_spark.operators.similarity import pca_top_component
+
+    rows = [
+        (i, [float(t), 2.0 * t, 0.001 * (i % 2), 0.0])
+        for i, t in enumerate([x / 10.0 for x in range(-5, 6)])
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.dim: r.loading for r in pca_top_component(df, "vec_id", "embedding").collect()}
+    assert abs(abs(got[1]) - 1 / 3) < 0.01 and abs(abs(got[2]) - 2 / 3) < 0.01
+    assert got[1] * got[2] > 0  # same sign: the axis is (1, 2), not (1, -2)
+    assert abs(got[3]) < 0.01 and abs(got[4]) < 0.01
+    const = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(5)], "vec_id long, embedding array<float>"
+    )
+    degen = pca_top_component(const, "vec_id", "embedding").collect()
+    assert all(r.loading_fp is None for r in degen)
+    spark.catalog.clearCache()
+
+
 def test_croston_intermittent_demand(spark):
     """Croston on a strictly periodic intermittent series (demand 6
     every 3rd day): the states converge to exactly z = demand size,
