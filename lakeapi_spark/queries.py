@@ -13217,11 +13217,12 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(d, "doc_id", "text", threshold=0.4)
 
 
-def _pca_oracle(iters: int = 5, scale: int = 1_000_000) -> str:
-    """Unrolled power-iteration oracle for pca_top_component: integer
-    mean-centering, the d x d covariance relation, then ``iters``
-    matvec + L1-normalize rounds, every division toward zero. All
-    MATERIALIZED (each x_t is referenced by the next matvec)."""
+def _pca_ctes(iters: int = 5, scale: int = 1_000_000) -> list[str]:
+    """Shared CTE chain for the power-iteration oracles: integer
+    mean-centering (ex/m/cen), the d x d covariance relation, then
+    ``iters`` matvec + L1-normalize rounds ending at ``x_{iters}``,
+    every division toward zero. All MATERIALIZED (each x_t is
+    referenced by the next matvec)."""
     parts = [
         f"""
     WITH ex AS MATERIALIZED (
@@ -13250,6 +13251,11 @@ def _pca_oracle(iters: int = 5, scale: int = 1_000_000) -> str:
                      NULLIF((SELECT SUM(ABS(y)) FROM y_{t}), 0) AS BIGINT) AS x
       FROM y_{t})"""
         )
+    return parts
+
+
+def _pca_oracle(iters: int = 5, scale: int = 1_000_000) -> str:
+    parts = _pca_ctes(iters, scale)
     parts.append(
         f"""
     SELECT CAST(j AS BIGINT) AS dim, x AS loading_fp,
@@ -13257,6 +13263,102 @@ def _pca_oracle(iters: int = 5, scale: int = 1_000_000) -> str:
     FROM x_{iters}"""
     )
     return "\n".join(parts)
+
+
+def _anisotropy_oracle(iters: int = 5, scale: int = 1_000_000) -> str:
+    """PCA chain + L2-renormalized top direction + variance share:
+    both engines hit the SAME IEEE sqrt (correctly rounded by the
+    standard), so the integer L2 norm floor(sqrt(sum w^2)) is
+    bit-identical and everything after stays in int64."""
+    parts = _pca_ctes(iters, scale)
+    parts.append(
+        f""", l2 AS (
+      SELECT CAST(FLOOR(SQRT(CAST(SUM(x * x) AS DOUBLE))) AS BIGINT) AS l
+      FROM x_{iters})
+    , w2 AS MATERIALIZED (
+      SELECT j, CAST(x * {scale} // NULLIF((SELECT l FROM l2), 0) AS BIGINT) AS wx
+      FROM x_{iters})
+    , proj AS MATERIALIZED (
+      SELECT c.vec_id, CAST(SUM(c.v * w2.wx) // {scale} AS BIGINT) AS p
+      FROM cen c JOIN w2 ON w2.j = c.j GROUP BY 1)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM proj) AS n_vecs,
+           (SELECT CAST(SUM(p * p) AS BIGINT) FROM proj) AS top_ss,
+           (SELECT CAST(SUM(v * v) AS BIGINT) FROM cen) AS total_ss,
+           ROUND(CAST((SELECT SUM(p * p) FROM proj) AS DOUBLE)
+                 / CAST((SELECT SUM(v * v) FROM cen) AS DOUBLE), 6) + 0.0
+             AS top_var_ratio"""
+    )
+    return "\n".join(parts)
+
+
+@register("embedding_anisotropy_topcomp", _anisotropy_oracle())
+def embedding_anisotropy_topcomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy readout for the embeddings table — the diagnostic
+    behind all-but-the-top (Mu & Viswanath 2018, public): the share of
+    total centered variance captured by the TOP principal component.
+    Isotropic embeddings put ~1/d here; a dominant common direction
+    (the usual pathology that makes every cosine look similar) shows
+    up as a ratio far above it, and is what you subtract before
+    trusting similarity search. Composes the relational power
+    iteration (pca_top_component's exact integer contract) with an
+    L2 renormalization of the top direction (floor(sqrt(.)) — IEEE
+    sqrt is correctly rounded, so both engines agree bit-for-bit) and
+    two quadratic-form aggregates over the centered relation. One
+    row: (n_vecs, top_ss, total_ss, top_var_ratio)."""
+    from lakeapi_spark.operators.similarity import pca_top_component
+
+    e = table(spark, sf_dir, "embeddings")
+    w = pca_top_component(e, "vec_id", "embedding", iters=5)
+    l2 = F.broadcast(
+        w.agg(
+            F.floor(
+                F.sqrt(F.sum(F.col("loading_fp") * F.col("loading_fp")).cast("double"))
+            )
+            .cast("long")
+            .alias("l")
+        )
+    )
+    w2 = F.broadcast(
+        w.crossJoin(l2).select(
+            F.col("dim").alias("j"),
+            F.expr("CAST(loading_fp * 1000000 DIV NULLIF(l, 0) AS LONG)").alias("wx"),
+        )
+    )
+    # rebuild the centered relation with the operator's exact exprs
+    ex = e.select(
+        F.col("vec_id").alias("_id"),
+        F.posexplode(F.col("embedding")).alias("_p", "_x"),
+    ).select(
+        "_id",
+        (F.col("_p") + 1).alias("j"),
+        F.round(F.col("_x").cast("double") * 1000000, 0).cast("long").alias("xf"),
+    )
+    n = ex.select("_id").distinct().count()
+    m = ex.groupBy("j").agg(F.expr(f"SUM(xf) DIV {n}").alias("mf"))
+    cen = ex.join(F.broadcast(m), "j").select(
+        "_id", "j", (F.col("xf") - F.col("mf")).alias("v")
+    ).persist()
+    proj = (
+        cen.join(w2, "j")
+        .groupBy("_id")
+        .agg(F.expr("SUM(v * wx) DIV 1000000").cast("long").alias("p"))
+    )
+    tv = proj.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(F.col("p") * F.col("p")).alias("top_ss"),
+    )
+    tot = cen.agg(F.sum(F.col("v") * F.col("v")).alias("total_ss"))
+    return tv.crossJoin(F.broadcast(tot)).select(
+        "n_vecs",
+        "top_ss",
+        "total_ss",
+        (
+            F.round(
+                F.col("top_ss").cast("double") / F.col("total_ss").cast("double"), 6
+            )
+            + 0.0
+        ).alias("top_var_ratio"),
+    )
 
 
 @register("pca_top_component_embeddings", _pca_oracle())
@@ -15879,6 +15981,202 @@ def holt_winters_backtest_event_daily(spark: SparkSession, sf_dir: str) -> DataF
             " / 1000000.0"
         ).alias("mae"),
     )
+
+
+def _shootout_oracle_sql() -> str:
+    """Four recursive-CTE blocks over ONE shared gap-free daily series
+    (keys filtered to strictly positive so the multiplicative model is
+    well-defined and all four compare on identical data): SES, Holt,
+    additive HW, multiplicative HW — each replaying its kernel's
+    integer contract — joined into a per-key SAE table with a
+    deterministic argmin (tie preference follows ladder order: the
+    simpler model wins ties)."""
+    # --- additive HW expressions (same algebra as _hw_oracle_sql) ---
+    sd = "(CASE r.rn % 7 " + " ".join(
+        f"WHEN {j} THEN r.s{j}" for j in range(7)
+    ) + " END)"
+    nl = f"((300 * (e.x - {sd}) + 700 * (r.l + r.b)) // 1000)"
+    s_cols = ", ".join(
+        f"CASE WHEN r.rn % 7 = {j} THEN (300 * (e.x - {nl}) + 700 * r.s{j}) // 1000 "
+        f"ELSE r.s{j} END"
+        for j in range(7)
+    )
+    zeros = ", ".join(["CAST(0 AS BIGINT)"] * 7)
+    # --- multiplicative HW expressions (same as _hwm_oracle_sql) ---
+    msd = sd
+    mdes = f"(CASE WHEN {msd} = 0 THEN 0 ELSE (e.x * 1000000) // {msd} END)"
+    mnl = f"((300 * {mdes} + 700 * (r.l + r.b)) // 1000)"
+    mrat = f"(CASE WHEN {mnl} = 0 THEN 0 ELSE (e.x * 1000000) // {mnl} END)"
+    ms_cols = ", ".join(
+        f"CASE WHEN r.rn % 7 = {j} THEN (300 * {mrat} + 700 * r.s{j}) // 1000 "
+        f"ELSE r.s{j} END"
+        for j in range(7)
+    )
+    ones = ", ".join(["CAST(1000000 AS BIGINT)"] * 7)
+    return f"""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2
+    ), pos AS (
+      SELECT event_type FROM d GROUP BY 1 HAVING MIN(x) > 0
+    ), ev AS (
+      SELECT d.event_type,
+             ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY day) AS rn, x
+      FROM d JOIN pos USING (event_type)
+    ), rec_ses AS (
+      WITH RECURSIVE r(event_type, rn, l, sae) AS (
+        SELECT event_type, rn, x, CAST(0 AS BIGINT) FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.event_type, e.rn,
+               (300 * e.x + 700 * r.l) // 1000,
+               r.sae + ABS(e.x - r.l)
+        FROM r JOIN ev e ON e.event_type = r.event_type AND e.rn = r.rn + 1
+      )
+      SELECT event_type, MAX(rn) AS n_days,
+             CAST(MAX_BY(sae, rn) AS BIGINT) AS sae
+      FROM r GROUP BY 1 HAVING MAX(rn) >= 2
+    ), rec_holt AS (
+      WITH RECURSIVE r(event_type, rn, l, b, sae) AS (
+        SELECT event_type, rn, x, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.event_type, e.rn,
+               (300 * e.x + 700 * (r.l + r.b)) // 1000,
+               (100 * ((300 * e.x + 700 * (r.l + r.b)) // 1000 - r.l)
+                + 900 * r.b) // 1000,
+               r.sae + ABS(e.x - (r.l + r.b))
+        FROM r JOIN ev e ON e.event_type = r.event_type AND e.rn = r.rn + 1
+      )
+      SELECT event_type, CAST(MAX_BY(sae, rn) AS BIGINT) AS sae
+      FROM r GROUP BY 1 HAVING MAX(rn) >= 2
+    ), rec_hwa AS (
+      WITH RECURSIVE r(event_type, rn, l, b, s0, s1, s2, s3, s4, s5, s6, sae) AS (
+        SELECT event_type, rn, x, CAST(0 AS BIGINT), {zeros}, CAST(0 AS BIGINT)
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.event_type, e.rn,
+               {nl},
+               (100 * ({nl} - r.l) + 900 * r.b) // 1000,
+               {s_cols},
+               r.sae + ABS(e.x - (r.l + r.b + {sd}))
+        FROM r JOIN ev e ON e.event_type = r.event_type AND e.rn = r.rn + 1
+      )
+      SELECT event_type, CAST(MAX_BY(sae, rn) AS BIGINT) AS sae
+      FROM r GROUP BY 1 HAVING MAX(rn) >= 2
+    ), rec_hwm AS (
+      WITH RECURSIVE r(event_type, rn, l, b, s0, s1, s2, s3, s4, s5, s6, sae) AS (
+        SELECT event_type, rn, x, CAST(0 AS BIGINT), {ones}, CAST(0 AS BIGINT)
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.event_type, e.rn,
+               {mnl},
+               (100 * ({mnl} - r.l) + 900 * r.b) // 1000,
+               {ms_cols},
+               r.sae + ABS(e.x - ((r.l + r.b) * {msd}) // 1000000)
+        FROM r JOIN ev e ON e.event_type = r.event_type AND e.rn = r.rn + 1
+      )
+      SELECT event_type, CAST(MAX_BY(sae, rn) AS BIGINT) AS sae
+      FROM r GROUP BY 1 HAVING MAX(rn) >= 2
+    )
+    SELECT s.event_type, s.n_days,
+           s.sae AS sae_ses, h.sae AS sae_holt,
+           a.sae AS sae_hw_add, m.sae AS sae_hw_mult,
+           CASE WHEN s.sae <= h.sae AND s.sae <= a.sae AND s.sae <= m.sae
+                  THEN 'ses'
+                WHEN h.sae <= a.sae AND h.sae <= m.sae THEN 'holt'
+                WHEN a.sae <= m.sae THEN 'hw_add'
+                ELSE 'hw_mult' END AS winner
+    FROM rec_ses s
+    JOIN rec_holt h USING (event_type)
+    JOIN rec_hwa a USING (event_type)
+    JOIN rec_hwm m USING (event_type)
+    """
+
+
+@register("forecast_shootout_event_daily", _shootout_oracle_sql())
+def forecast_shootout_event_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The forecast-ladder shootout: SES, Holt, additive
+    Holt-Winters, and multiplicative Holt-Winters backtested on the
+    SAME per-event-type daily series (keys filtered to strictly
+    positive so the multiplicative model is defined and all four see
+    identical data), with per-key SAEs side by side and a
+    deterministic winner (ties prefer the simpler model, ladder
+    order) — the model-selection readout that says which rung each
+    series actually earns, instead of four disconnected MAE pages.
+    One repartition+sort feeds all four sequential kernels over the
+    same staged relation; the SES/Holt kernels key on a dense integer
+    id from a bounded (n-event-types-row) rank window. Every SAE is
+    int64 micro-units under each kernel's replayable contract."""
+    from pyspark.sql.window import Window as _W
+
+    from lakeapi_spark.operators.windows import (
+        exp_smooth_backtest,
+        holt_smooth_backtest,
+        holt_winters_backtest,
+        holt_winters_multiplicative_backtest,
+    )
+
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.round(F.col("value") * 1000000, 0).cast("long").alias("xm"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("xm").alias("x"))
+    )
+    pos = (
+        daily.groupBy("event_type")
+        .agg(F.min("x").alias("_mn"))
+        .filter(F.col("_mn") > 0)
+        .select("event_type")
+    )
+    daily = daily.join(F.broadcast(pos), "event_type").persist()
+    # the SES/Holt kernels carry int64 keys: dense id over the bounded
+    # event-type relation (a handful of rows — the global window is
+    # constant-size by construction)
+    tid_dim = pos.withColumn(
+        "tid", F.row_number().over(_W.orderBy("event_type")).cast("long")
+    )
+    dd = daily.join(F.broadcast(tid_dim), "event_type")
+    ses = exp_smooth_backtest(dd, "tid", "day", "day", "x").select(
+        "tid", F.col("n_events").alias("n_days"), F.col("sae").alias("sae_ses")
+    )
+    holt = holt_smooth_backtest(dd, "tid", "day", "day", "x").select(
+        "tid", F.col("sae").alias("sae_holt")
+    )
+    hwa = (
+        holt_winters_backtest(daily, "event_type", "day", "x")
+        .filter(F.col("n_events") >= 2)
+        .select("event_type", F.col("sae").alias("sae_hw_add"))
+    )
+    hwm = (
+        holt_winters_multiplicative_backtest(daily, "event_type", "day", "x")
+        .filter(F.col("n_events") >= 2)
+        .select("event_type", F.col("sae").alias("sae_hw_mult"))
+    )
+    s1, s2 = F.col("sae_ses"), F.col("sae_holt")
+    s3, s4 = F.col("sae_hw_add"), F.col("sae_hw_mult")
+    winner = (
+        F.when((s1 <= s2) & (s1 <= s3) & (s1 <= s4), F.lit("ses"))
+        .when((s2 <= s3) & (s2 <= s4), F.lit("holt"))
+        .when(s3 <= s4, F.lit("hw_add"))
+        .otherwise(F.lit("hw_mult"))
+    )
+    out = (
+        ses.join(holt, "tid")
+        .join(F.broadcast(tid_dim), "tid")
+        .join(hwa, "event_type")
+        .join(hwm, "event_type")
+        .select(
+            "event_type", "n_days",
+            "sae_ses", "sae_holt", "sae_hw_add", "sae_hw_mult",
+            winner.alias("winner"),
+        )
+    )
+    return out
 
 
 def _croston_oracle_sql() -> str:
