@@ -149,8 +149,13 @@ def main() -> None:
     # companion (BENCH_BEST.json) so a contended official artifact is
     # adjudicated against a settled measurement of the same code, not
     # against BENCHNOTES archaeology. Replacement rule: take the new
-    # run if the existing companion is missing/contended, or if the
-    # new run's host was at least as settled (lower calib).
+    # run if the existing companion is missing/contended, if its
+    # query set is stale (code added/removed bench entries), or if
+    # the new SETTLED total is lower — the single-thread calib cannot
+    # rank two settled runs (measured: a calib-0.133 run read 20%
+    # slower than a calib-0.137 run because only MULTI-core
+    # throughput was degraded), so among settled runs the total is
+    # the comparator.
     if not artifact["host_contended"] and sf == 0.1:
         best_path = os.environ.get(
             "SPARK_GRAFT_BENCH_BEST",
@@ -164,7 +169,8 @@ def main() -> None:
         if (
             prev is None
             or prev.get("host_contended", True)
-            or artifact["calib_sec"] <= prev.get("calib_sec", float("inf"))
+            or set(prev.get("queries", {})) != set(timings)
+            or artifact["value"] < prev.get("value", float("inf"))
         ):
             with open(best_path, "w") as f:
                 f.write(line + "\n")
