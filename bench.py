@@ -52,6 +52,61 @@ def cpu_calibration() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _par_calib_worker(_: int) -> float:
+    """One slice of the multi-core probe: same kernel shape as
+    cpu_calibration at 1/4 weight, run in a separate PROCESS."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = b"calib"
+    for _ in range(15_000):
+        h = hashlib.md5(h).digest()
+    s = 0
+    for i in range(750_000):
+        s += i
+    return time.perf_counter() - t0
+
+
+PAR_WORKERS = 8
+
+
+def cpu_calibration_parallel() -> float:
+    """Multi-core probe (VERDICT r12 #8): wall-clock of PAR_WORKERS
+    concurrent processes each running the 1/4-weight kernel. Round 12
+    found an asymmetric host failure mode — multi-core throughput
+    degraded 20-25% while the single-thread calib was UNCHANGED — so
+    the single-thread probe alone can read `settled` on a host whose
+    parallel stages are degraded. On an uncontended 32-core host the
+    8 workers run fully parallel and this reads ~= one 1/4-weight
+    kernel (~0.035s) + pool spawn overhead; contention shows up as a
+    multiple of that."""
+    import concurrent.futures
+
+    with concurrent.futures.ProcessPoolExecutor(max_workers=PAR_WORKERS) as ex:
+        # first map pays pool spawn (~60-90ms of fork+import noise that
+        # would swamp the ~35ms kernel); the timed second map is pure
+        # concurrent compute + tiny IPC
+        list(ex.map(_par_calib_worker, range(PAR_WORKERS)))
+        t0 = time.perf_counter()
+        list(ex.map(_par_calib_worker, range(PAR_WORKERS)))
+        return round(time.perf_counter() - t0, 3)
+
+
+def code_fingerprint() -> str:
+    """Short content hash of the query catalog, embedded in every
+    artifact so BENCH_BEST staleness is detected when queries are
+    REIMPLEMENTED (not just added/removed): a same-name-set artifact
+    from an older code state must not survive as the best-settled
+    record (ADVICE r12)."""
+    import hashlib
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "lakeapi_spark", "queries.py"
+    )
+    with open(path, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()[:12]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(os.path.normpath(sf_dir)).removeprefix("sf") or "0.1")
@@ -109,8 +164,15 @@ def main() -> None:
     # never settles, host_contended=true says so IN the artifact
     # instead of leaving adjudication to BENCHNOTES archaeology.
     CALIB_SETTLED = 0.140
+    # multi-core probe threshold (VERDICT r12 #8): warmed 8-process
+    # sweep measured 0.046-0.083 on a settled host (min of the ~4+
+    # bracketing probes lands <= 0.065); the r12 degraded-host episode
+    # (-20-25% multi-core at unchanged single-thread calib) maps to
+    # sustained readings >= ~0.085
+    PAR_CALIB_SETTLED = 0.070
     EXTRA_ROUNDS = 5
     calibs: list[float] = [cpu_calibration()]
+    par_calibs: list[float] = [cpu_calibration_parallel()]
     timings: dict[str, float] = {n: float("inf") for n in bench_queries}
 
     def timed_round() -> None:
@@ -118,12 +180,16 @@ def main() -> None:
             timings[name] = min(timings[name], run(name, q))
             spark.catalog.clearCache()  # drop operator-persisted intermediates
         calibs.append(cpu_calibration())
+        par_calibs.append(cpu_calibration_parallel())
+
+    def contended() -> bool:
+        return min(calibs) > CALIB_SETTLED or min(par_calibs) > PAR_CALIB_SETTLED
 
     rounds = 0
     for _ in range(3):
         timed_round()
         rounds += 1
-    while min(calibs) > CALIB_SETTLED and rounds < 3 + EXTRA_ROUNDS:
+    while contended() and rounds < 3 + EXTRA_ROUNDS:
         timed_round()
         rounds += 1
     timings = {n: round(t, 3) for n, t in timings.items()}
@@ -137,8 +203,11 @@ def main() -> None:
         "sf": sf,
         "calib_sec": min(calibs),
         "calibs": [round(c, 3) for c in calibs],
+        "par_calib_sec": min(par_calibs),
+        "par_calibs": [round(c, 3) for c in par_calibs],
         "rounds": rounds,
-        "host_contended": min(calibs) > CALIB_SETTLED,
+        "host_contended": contended(),
+        "code_fingerprint": code_fingerprint(),
     }
     line = json.dumps(artifact)
     print(line)
@@ -170,6 +239,10 @@ def main() -> None:
             prev is None
             or prev.get("host_contended", True)
             or set(prev.get("queries", {})) != set(timings)
+            # fingerprint mismatch == the catalog changed since the
+            # companion was captured (reimplemented queries don't move
+            # the name set) — treat as stale (ADVICE r12)
+            or prev.get("code_fingerprint") != artifact["code_fingerprint"]
             or artifact["value"] < prev.get("value", float("inf"))
         ):
             with open(best_path, "w") as f:

@@ -1155,8 +1155,18 @@ def pca_top_component(
         cen.join(cb, "_id")
         .groupBy("j", "k")
         .agg(F.expr(f"SUM(v * vk) DIV ({n} * {scale})").alias("c"))
-        .persist()
     )
+    if cache_handles is not None:
+        # long-lived callers reuse the persisted covariance across
+        # requests and release it themselves (the
+        # eigenvector_centrality release contract)
+        cov = cov.persist()
+        cache_handles.append(cov)
+    else:
+        # one-shot callers: materialize the tiny d^2-row relation NOW
+        # (one extra job) so no session-cache entry outlives the call —
+        # localCheckpoint blocks are GC-managed, persist() is not
+        cov = cov.localCheckpoint(eager=True)
     x = cov.select("j").distinct().withColumn("x", F.lit(scale).cast("long"))
     for _ in range(iters):
         y = (
@@ -1169,11 +1179,6 @@ def pca_top_component(
             "j",
             F.expr(f"CAST(y * {scale} DIV NULLIF(l, 0) AS LONG)").alias("x"),
         )
-    if cache_handles is not None:
-        # the result is LAZY — the persisted covariance must outlive
-        # the caller's action (the eigenvector_centrality release
-        # contract); one-shot callers rely on session cache hygiene
-        cache_handles.append(cov)
     return x.select(
         F.col("j").cast("long").alias("dim"),
         F.col("x").alias("loading_fp"),

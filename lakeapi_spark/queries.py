@@ -1224,55 +1224,72 @@ def stream_watermark_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from lakeapi_spark.streaming.pipeline import streaming_progress_metrics
 
+    import shutil
+
     e = table(spark, sf_dir, "events").select("ts", "user_id", "value")
     p50, p90 = e.selectExpr(
         "percentile(unix_timestamp(ts), 0.5)", "percentile(unix_timestamp(ts), 0.9)"
     ).first()
     cut = F.unix_timestamp("ts")
     stage = tempfile.mkdtemp(prefix="wm_metrics_")
-    src = f"{stage}/src"  # checkpoint lives OUTSIDE the source glob
-    parts = [
-        ("f1", e.filter(cut <= p50)),
-        ("f2", e.filter(cut > p90)),
-        ("f3", e.filter((cut > p50) & (cut <= p90))),  # late arrivals
-    ]
-    for i, (name, df) in enumerate(parts):
-        d = f"{src}/{name}"
-        df.coalesce(1).write.mode("overwrite").parquet(d)
-        # the file source orders micro-batches by mtime: pin it
-        # explicitly instead of sleeping between writes
-        for root, _dirs, files in os.walk(d):
-            for fn in files:
-                os.utime(os.path.join(root, fn), (1_000_000 + i, 1_000_000 + i))
-    stream = (
-        spark.readStream.schema("ts timestamp, user_id long, value double")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src + "/*")
-    )
-    agg = (
-        stream.withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "5 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    qname = f"wm_metrics_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .option("checkpointLocation", f"{stage}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
-    progress = list(q.recentProgress)
-    q.stop()
-    return (
-        streaming_progress_metrics(progress, spark)
-        # append mode may tack on a no-input batch to emit finalized
-        # windows; keep the row count deterministic for the driver
-        .filter(F.col("num_input_rows") > 0)
-        .orderBy("batch_id")
-    )
+    try:
+        src = f"{stage}/src"  # checkpoint lives OUTSIDE the source glob
+        parts = [
+            ("f1", e.filter(cut <= p50)),
+            ("f2", e.filter(cut > p90)),
+            ("f3", e.filter((cut > p50) & (cut <= p90))),  # late arrivals
+        ]
+        for i, (name, df) in enumerate(parts):
+            d = f"{src}/{name}"
+            df.coalesce(1).write.mode("overwrite").parquet(d)
+            # the file source orders micro-batches by mtime: pin it
+            # explicitly instead of sleeping between writes
+            for root, _dirs, files in os.walk(d):
+                for fn in files:
+                    os.utime(os.path.join(root, fn), (1_000_000 + i, 1_000_000 + i))
+        stream = (
+            spark.readStream.schema("ts timestamp, user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        qname = f"wm_metrics_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", f"{stage}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # a False return means the drain timed out: proceeding would
+        # hand the driver PARTIAL recentProgress (flaky rows-only row
+        # on a slow host) — fail loudly instead (ADVICE r12)
+        if not q.awaitTermination(180):
+            q.stop()
+            raise RuntimeError(
+                "stream_watermark_metrics: availableNow drain did not "
+                "terminate within 180s; refusing to report partial progress"
+            )
+        progress = list(q.recentProgress)
+        q.stop()
+        out = (
+            streaming_progress_metrics(progress, spark)
+            # append mode may tack on a no-input batch to emit finalized
+            # windows; keep the row count deterministic for the driver
+            .filter(F.col("num_input_rows") > 0)
+            .orderBy("batch_id")
+        )
+        # the metrics relation is built from driver-side progress dicts
+        # (createDataFrame), so nothing references the staging dir once
+        # the stream has stopped — localCheckpoint would be overkill
+        return out
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 @register(
@@ -12155,7 +12172,10 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeapi_spark.operators.graph import k_core
 
     edges = _strong_copurchase_edges(spark, sf_dir)
-    return k_core(edges, k=2)
+    # max_iter pinned to the oracle's unrolled round count so a peel
+    # that needs more rounds fails LOUDLY on the Spark side instead of
+    # silently diverging from a pre-fixpoint oracle relation (ADVICE r12)
+    return k_core(edges, k=2, max_iter=6)
 
 
 @register(
@@ -13335,9 +13355,11 @@ def embedding_anisotropy_topcomp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = ex.select("_id").distinct().count()
     m = ex.groupBy("j").agg(F.expr(f"SUM(xf) DIV {n}").alias("mf"))
+    # localCheckpoint, not persist: one-shot query, nothing must
+    # outlive the driver's collect (ADVICE r12 cache-hygiene fix)
     cen = ex.join(F.broadcast(m), "j").select(
         "_id", "j", (F.col("xf") - F.col("mf")).alias("v")
-    ).persist()
+    ).localCheckpoint(eager=True)
     proj = (
         cen.join(w2, "j")
         .groupBy("_id")
@@ -14316,7 +14338,9 @@ def kcore_weighted_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakeapi_spark.operators.graph import weighted_k_core
 
     edges = _weighted_copurchase_edges(spark, sf_dir)
-    return weighted_k_core(edges, s_min=5)
+    # max_iter == the oracle's 16 unrolled rounds: a deeper cascade
+    # raises on the Spark side rather than diverging silently (ADVICE r12)
+    return weighted_k_core(edges, s_min=5, max_iter=16)
 
 
 @register(
@@ -16133,7 +16157,10 @@ def forecast_shootout_event_daily(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("_mn") > 0)
         .select("event_type")
     )
-    daily = daily.join(F.broadcast(pos), "event_type").persist()
+    # localCheckpoint, not persist: the staged relation feeds all four
+    # kernels within ONE final plan, and GC-managed blocks don't leak
+    # session cache for one-shot callers (ADVICE r12)
+    daily = daily.join(F.broadcast(pos), "event_type").localCheckpoint(eager=True)
     # the SES/Holt kernels carry int64 keys: dense id over the bounded
     # event-type relation (a handful of rows — the global window is
     # constant-size by construction)
