@@ -346,6 +346,62 @@ def triangle_count(
     )
 
 
+def _bfs_hops_dense(und: DataFrame, seeds0: DataFrame, max_hops: int) -> DataFrame:
+    """Single-row BFS for graphs whose COUNTED doubled-edge relation
+    fits the dense budget: aggregate the whole adjacency into one
+    ``map<node, array<node>>`` row, then run every expansion round as
+    higher-order array functions (transform / flatten / array_except)
+    over that row — ZERO per-round Spark jobs. The frontier-join plan
+    pays ~2 broadcast-materialization jobs per round (frontier +
+    visited), pure scheduler latency when the graph is a few thousand
+    edges; here the entire expansion is one expression tree evaluated
+    inside the final action. State is node-sized arrays in a single
+    row — bounded by the caller's dense budget check, never unmeasured.
+
+    ``und`` must be the doubled (u, v) relation; ``seeds0`` a (node)
+    relation. Returns the same (node, hops) contract as the frontier
+    path: min-hop by BFS invariant, seeds at 0, only nodes within
+    ``max_hops``."""
+    adj = (
+        und.groupBy("u")
+        .agg(F.collect_set("v").alias("vs"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("u", "vs"))).alias("adj"))
+    )
+    fr0 = seeds0.agg(F.collect_set("node").alias("fr0"))
+    # 1-row x 1-row cross: constant-bounded by construction
+    st = adj.crossJoin(F.broadcast(fr0)).withColumn("vis0", F.col("fr0"))
+    empty = F.slice(F.col("fr0"), 1, 0)  # typed empty array, no cast guess
+    for h in range(1, max_hops + 1):
+        st = st.withColumn(
+            f"fr{h}",
+            F.array_except(
+                F.array_distinct(
+                    F.flatten(
+                        F.transform(
+                            F.col(f"fr{h - 1}"),
+                            lambda k: F.coalesce(
+                                F.element_at(F.col("adj"), k), empty
+                            ),
+                        )
+                    )
+                ),
+                F.col(f"vis{h - 1}"),
+            ),
+        ).withColumn(f"vis{h}", F.concat(F.col(f"vis{h - 1}"), F.col(f"fr{h}")))
+    # ONE combined explode so the 1-row lineage is evaluated once, not
+    # once per hop level. NB: the hop level is bound via a def, not a
+    # lambda default — F.transform treats a TWO-parameter lambda as
+    # (element, index) and would feed the array index into `h`.
+    def _level(h: int):
+        return F.transform(
+            F.col(f"fr{h}"),
+            lambda x: F.struct(x.alias("node"), F.lit(h).cast("int").alias("hops")),
+        )
+
+    combined = F.concat(*[_level(h) for h in range(0, max_hops + 1)])
+    return st.select(F.explode(combined).alias("s")).select("s.node", "s.hops")
+
+
 def bfs_hops(
     edges: DataFrame,
     seeds: DataFrame,
@@ -355,6 +411,7 @@ def bfs_hops(
     node: str = "node",
     broadcast_frontier: bool = True,
     broadcast_limit: int = 4_000_000,
+    dense_limit: int = 2_000_000,
     cache_handles: list | None = None,
 ) -> DataFrame:
     """Breadth-first min-hop distances from a seed set over the
@@ -378,6 +435,14 @@ def bfs_hops(
     long-lived serving sessions can unpersist after their action (the
     pagerank/minhash release contract); one-shot callers may ignore
     it.
+
+    Dense fast path: the same single count that settles the broadcast
+    guard dispatches graphs whose doubled-edge relation fits
+    ``dense_limit`` rows to :func:`_bfs_hops_dense` — the whole
+    expansion as higher-order array functions over one aggregated
+    adjacency row, zero per-round jobs (the per-round broadcast
+    materializations are pure scheduler latency on a few-thousand-edge
+    graph). ``dense_limit=0`` disables the dispatch.
 
     Broadcast-budget fallback: one count of the persisted edge
     relation bounds every frontier and the visited set (node sets,
@@ -419,6 +484,17 @@ def bfs_hops(
         # BFS round at fixture scale). The count doubles as the edge
         # build's materializing action, so round 1 starts warm.
         edge_bound = und.count()
+        if edge_bound <= dense_limit:
+            # small-graph fast path (VERDICT r12 #1b): the SAME budget
+            # probe that clears the broadcast guard also tells us the
+            # whole graph fits one adjacency row — run every round as
+            # array expressions instead of paying ~2 broadcast jobs of
+            # scheduler latency per round. dense_limit=0 disables
+            # (tests exercise the frontier plan through it).
+            dist = _bfs_hops_dense(und, dist.select("node"), max_hops)
+            if cache_handles is not None:
+                cache_handles.extend(handles)
+            return dist
         per_round_counts = edge_bound > broadcast_limit
         if per_round_counts:
             # seeds were never counted — budget-check them before the

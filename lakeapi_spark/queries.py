@@ -9452,7 +9452,10 @@ def bfs_khop_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     support threshold is what keeps an affinity graph sparse at scale):
     how much of the catalog is within 1/2/3 links — the reachability
     probe recommendation features use. Level-synchronous frontier
-    joins, node-sized state, min-distance by BFS invariant. See
+    joins, node-sized state, min-distance by BFS invariant; graphs
+    whose counted edge relation clears the dense budget (this one:
+    ~7k doubled edges) run all rounds as array expressions over one
+    adjacency row — zero per-round jobs. See
     operators/graph.bfs_hops."""
     from lakeapi_spark.operators.graph import bfs_hops
 

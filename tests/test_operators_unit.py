@@ -2768,10 +2768,13 @@ def test_bfs_hops_broadcast_budget_fallback(spark):
             h.unpersist()
         return out
 
-    unlimited = run()
+    # dense_limit=0 pins the frontier-join plan (the dense single-row
+    # path would otherwise absorb this 122-edge graph)
+    unlimited = run(dense_limit=0)
     capped = run(broadcast_limit=10)
     plain = run(broadcast_frontier=False)
-    assert capped == unlimited == plain
+    dense = run()  # default dense_limit: takes the single-row path
+    assert capped == unlimited == plain == dense
     assert unlimited[0] == 0 and unlimited[1] == 1 and unlimited[10] == 2
     assert unlimited[1010] == 3 and len(unlimited) == 123
 
@@ -2781,8 +2784,46 @@ def test_bfs_hops_broadcast_budget_fallback(spark):
         d = bfs_hops(edges, seeds, max_hops=3, **kw)
         return d._jdf.queryExecution().logical().toString().count("ResolvedHint")
 
-    assert hints(broadcast_limit=10) < hints()
+    assert hints(broadcast_limit=10) < hints(dense_limit=0)
     assert hints(broadcast_frontier=False) == 0
+    # the dense path's whole expansion is one expression tree: its only
+    # hint is the constant 1-row seed-array broadcast, strictly fewer
+    # than one per round
+    assert hints() <= 1
+    spark.catalog.clearCache()
+
+
+def test_bfs_hops_dense_matches_frontier_plan(spark):
+    """The single-row dense path must be hop-for-hop identical to the
+    frontier-join plan on an irregular graph: cycle + chords + a
+    disconnected island, seeds of both parity, max_hops beyond the
+    diameter (later frontiers empty)."""
+    import random
+
+    from lakeapi_spark.operators.graph import bfs_hops
+
+    rng = random.Random(13)
+    n = 40
+    rows = [(i, (i + 1) % n) for i in range(n)]  # ring
+    rows += [(rng.randrange(n), rng.randrange(n)) for _ in range(25)]  # chords
+    rows += [(100, 101), (101, 102)]  # island (unreached)
+    rows = [(a, b) for a, b in rows if a != b]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (7,)], "node long")
+    for hops in (1, 3, 8):
+        dense = {
+            r.node: r.hops
+            for r in bfs_hops(edges, seeds, max_hops=hops).collect()
+        }
+        frontier = {
+            r.node: r.hops
+            for r in bfs_hops(
+                edges, seeds, max_hops=hops, dense_limit=0
+            ).collect()
+        }
+        assert dense == frontier, hops
+        assert dense[0] == 0 and dense[7] == 0
+        assert all(node < 100 for node in dense)
     spark.catalog.clearCache()
 
 
