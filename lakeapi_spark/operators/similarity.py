@@ -1137,6 +1137,34 @@ def pca_top_component(
     with the d-row x broadcast; int64 stays safe while
     n * scale^2 * d stays under 2^63 (documented: ~1e5 rows of unit
     floats at d = 64 uses < 1e15)."""
+    cen, n = _centered_relation(emb, id_col, vec_col, scale)
+    cov = _cov_of_centered(cen, n, scale)
+    if cache_handles is not None:
+        # long-lived callers reuse the persisted covariance across
+        # requests and release it themselves (the
+        # eigenvector_centrality release contract)
+        cov = cov.persist()
+        cache_handles.append(cov)
+    else:
+        # one-shot callers: materialize the tiny d^2-row relation NOW
+        # (one extra job) so no session-cache entry outlives the call —
+        # localCheckpoint blocks are GC-managed, persist() is not
+        cov = cov.localCheckpoint(eager=True)
+    x = _power_iterate_cov(cov, iters, scale)
+    return x.select(
+        F.col("j").cast("long").alias("dim"),
+        F.col("x").alias("loading_fp"),
+        (F.round(F.col("x").cast("double") / scale, 6) + 0.0).alias("loading"),
+    )
+
+
+def _centered_relation(
+    emb: DataFrame, id_col: str, vec_col: str, scale: int
+) -> tuple[DataFrame, int]:
+    """(vec, dim 1-based, integer-centered value) relation + row count
+    — the shared first step of the PCA family. Exact contract: xf =
+    round(x * scale) as int64, mean = SUM(xf) DIV n (toward zero),
+    v = xf - mean."""
     ex = emb.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.col(vec_col)).alias("_p", "_x"),
@@ -1150,23 +1178,137 @@ def pca_top_component(
     cen = ex.join(F.broadcast(m), "j").select(
         "_id", "j", (F.col("xf") - F.col("mf")).alias("v")
     )
+    return cen, n
+
+
+def _cov_of_centered(cen: DataFrame, n: int, scale: int) -> DataFrame:
+    """d x d covariance RELATION (j, k, c) from a centered relation:
+    one vec_id self-join fanning to d^2 products, one partial-agg
+    shuffle of d^2 groups; c = scatter-sum DIV (n * scale)."""
     cb = cen.select("_id", F.col("j").alias("k"), F.col("v").alias("vk"))
-    cov = (
+    return (
         cen.join(cb, "_id")
         .groupBy("j", "k")
         .agg(F.expr(f"SUM(v * vk) DIV ({n} * {scale})").alias("c"))
     )
-    if cache_handles is not None:
-        # long-lived callers reuse the persisted covariance across
-        # requests and release it themselves (the
-        # eigenvector_centrality release contract)
-        cov = cov.persist()
-        cache_handles.append(cov)
-    else:
-        # one-shot callers: materialize the tiny d^2-row relation NOW
-        # (one extra job) so no session-cache entry outlives the call —
-        # localCheckpoint blocks are GC-managed, persist() is not
-        cov = cov.localCheckpoint(eager=True)
+
+
+def _unit_direction(x: DataFrame, scale: int) -> DataFrame:
+    """L2-renormalize a power-iteration result (j, x) to a broadcast
+    unit direction (j, wx) in scale-ths. floor(sqrt(.)) over an int64
+    sum of squares: IEEE sqrt is correctly rounded, so both engines
+    produce the identical integer norm (the embedding_anisotropy
+    contract)."""
+    l2 = F.broadcast(
+        x.agg(
+            F.floor(F.sqrt(F.sum(F.col("x") * F.col("x")).cast("double")))
+            .cast("long")
+            .alias("l")
+        )
+    )
+    return F.broadcast(
+        x.crossJoin(l2).select(
+            "j",
+            F.expr(f"CAST(x * {scale} DIV NULLIF(l, 0) AS LONG)").alias("wx"),
+        )
+    )
+
+
+def abtt_corrected_anisotropy(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    iters: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """All-but-the-top CORRECTION with a before/after anisotropy
+    readout (Mu & Viswanath 2018, public): find the top principal
+    direction w, subtract each vector's projection (v' = v - (v.w)w),
+    then run a SECOND power iteration on the corrected relation to
+    measure how much top-direction variance remains. One row:
+
+      (n_vecs, total_ss, top_ss, before_ratio, after_ss,
+       top_ss_residual, after_ratio)
+
+    A dominant common direction shows before_ratio >> 1/d and
+    after_ratio back near the isotropic floor — the dial that says the
+    correction worked (and the pre-condition check before trusting
+    cosine retrieval). EXACT integer contract end-to-end: projection
+    p = SUM(v * wx) DIV scale per vector, corrected component
+    v' = v - ((p * wx) DIV scale), every sum-of-squares an int64 —
+    the unrolled two-block oracle replays it bit-for-bit.
+
+    Scale shape: two covariance builds (each ONE vec_id self-join ->
+    d^2-group partial agg) + 2*iters broadcast matvecs + three
+    co-keyed joins on vec_id; the centered and corrected relations are
+    localCheckpoint-materialized (one-shot cache hygiene, ADVICE r12)
+    so each feeds its two consumers without recompute. Nothing
+    driver-side but the bounded count."""
+    cen, n = _centered_relation(emb, id_col, vec_col, scale)
+    cen = cen.localCheckpoint(eager=True)
+    cov = _cov_of_centered(cen, n, scale).localCheckpoint(eager=True)
+    w1 = _unit_direction(_power_iterate_cov(cov, iters, scale), scale)
+    p = (
+        cen.join(w1, "j")
+        .groupBy("_id")
+        .agg(F.expr(f"SUM(v * wx) DIV {scale}").cast("long").alias("p"))
+    )
+    cen2 = (
+        cen.join(p, "_id")
+        .join(w1, "j")
+        .select("_id", "j", F.expr(f"v - ((p * wx) DIV {scale})").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    cov2 = _cov_of_centered(cen2, n, scale).localCheckpoint(eager=True)
+    w2 = _unit_direction(_power_iterate_cov(cov2, iters, scale), scale)
+    p2 = (
+        cen2.join(w2, "j")
+        .groupBy("_id")
+        .agg(F.expr(f"SUM(v * wx) DIV {scale}").cast("long").alias("p"))
+    )
+    tot = cen.agg(
+        F.countDistinct("_id").cast("long").alias("n_vecs"),
+        F.sum(F.col("v") * F.col("v")).alias("total_ss"),
+    )
+    top = p.agg(F.sum(F.col("p") * F.col("p")).alias("top_ss"))
+    aft = cen2.agg(F.sum(F.col("v") * F.col("v")).alias("after_ss"))
+    topr = p2.agg(F.sum(F.col("p") * F.col("p")).alias("top_ss_residual"))
+    return (
+        tot.crossJoin(F.broadcast(top))
+        .crossJoin(F.broadcast(aft))
+        .crossJoin(F.broadcast(topr))
+        .select(
+            "n_vecs",
+            "total_ss",
+            "top_ss",
+            (
+                F.round(
+                    F.col("top_ss").cast("double")
+                    / F.col("total_ss").cast("double"),
+                    6,
+                )
+                + 0.0
+            ).alias("before_ratio"),
+            "after_ss",
+            "top_ss_residual",
+            (
+                F.round(
+                    F.col("top_ss_residual").cast("double")
+                    / F.col("after_ss").cast("double"),
+                    6,
+                )
+                + 0.0
+            ).alias("after_ratio"),
+        )
+    )
+
+
+def _power_iterate_cov(cov: DataFrame, iters: int, scale: int) -> DataFrame:
+    """The matvec + L1-normalize rounds of the relational power
+    iteration, factored so the all-but-the-top residual pass reuses the
+    EXACT expressions (bit-replayable toward-zero int64): x_0 = scale
+    on every dim, y = (C x) DIV scale, x = y*scale DIV sum|y|. Returns
+    (j, x)."""
     x = cov.select("j").distinct().withColumn("x", F.lit(scale).cast("long"))
     for _ in range(iters):
         y = (
@@ -1179,11 +1321,7 @@ def pca_top_component(
             "j",
             F.expr(f"CAST(y * {scale} DIV NULLIF(l, 0) AS LONG)").alias("x"),
         )
-    return x.select(
-        F.col("j").cast("long").alias("dim"),
-        F.col("x").alias("loading_fp"),
-        (F.round(F.col("x").cast("double") / scale, 6) + 0.0).alias("loading"),
-    )
+    return x
 
 
 def random_projection(

@@ -1266,3 +1266,164 @@ def holt_winters_multiplicative_backtest(
     return staged.mapInPandas(
         _hwm_kernel_factory(alpha_num, gamma_num, season_num), schema=out_schema
     ).withColumnRenamed("_k", key_col)
+
+
+# ---------------------------------------------------------------------------
+# Banded NTILE — the scale path for global tile assignment (VERDICT r12 #1a)
+# ---------------------------------------------------------------------------
+
+
+def _tile_end_ranks(n: int, n_tiles: int) -> list[int]:
+    """1-indexed cumulative end position of tiles 1..n_tiles-1 under
+    SQL NTILE sizing: the first (n mod t) tiles hold ceil(n/t) rows,
+    the rest floor(n/t)."""
+    base, extra = divmod(n, n_tiles)
+    ends, acc = [], 0
+    for i in range(1, n_tiles):
+        acc += base + (1 if i <= extra else 0)
+        ends.append(acc)
+    return ends
+
+
+def ntile_boundaries(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    n_tiles: int,
+    descending: bool = False,
+    n_buckets: int = 1024,
+) -> list[tuple[int, float, object, object]]:
+    """EXACT order statistics at the NTILE tile ends WITHOUT a global
+    sort — the distributed-selection pass structure (histogram-guided
+    selection, Blum et al. rank selection relationalized):
+
+    1. ONE aggregate: count + min/max of the direction-adjusted sort
+       value ``s`` (s = value, negated when descending; key ascending
+       is always the tiebreak, so descending order is (-v, k) — NOT a
+       reversal of the ascending order).
+    2. ONE bounded-group shuffle: histogram of ``floor((s-mn)/w)``
+       over ``n_buckets`` buckets. floor((s-mn)/w) is weakly monotone
+       in s under IEEE arithmetic, so bucket boundaries respect the
+       total order; the driver cumulative over <= n_buckets counts
+       locates, for each target rank, its bucket and local rank.
+    3. ONE scan filtered to the <= n_tiles-1 target buckets; a window
+       PARTITIONED by bucket ranks only those candidate rows (expected
+       n/n_buckets each) and picks the boundary tuples.
+
+    Returns [(global_rank, s_boundary, key_boundary, native_value)...]
+    sorted by rank — at most n_tiles-1 entries, a K-bounded driver
+    collect. Exactness contract: the (s, k) comparisons that define
+    the selection are the same comparisons :func:`ntile_banded` uses
+    for assignment, so banded assignment == NTILE(t) OVER (ORDER BY
+    value [DESC], key) row for row; ``s`` is the value cast to double
+    (exact for |v| < 2^53 — all catalog metrics).
+
+    Scale: 3 passes over (value, key) — the minimum for exact
+    selection — each a 2-column pruned scan; no global sort, no
+    single-partition exchange. A pathologically skewed bucket (one
+    value dominating) would make step 3's candidate set large; the
+    refinement is to re-histogram within that bucket (not needed for
+    the bounded-domain metrics registered here)."""
+    from bisect import bisect_left
+
+    s = F.col(value_col).cast("double")
+    if descending:
+        s = -s
+    sel = df.select(
+        s.alias("__s"),
+        F.col(key_col).alias("__k"),
+        F.col(value_col).alias("__v"),
+    )
+    first = sel.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__s").alias("mn"),
+        F.max("__s").alias("mx"),
+    ).first()
+    n, mn, mx = first["n"], first["mn"], first["mx"]
+    if n == 0:
+        return []
+    ends = _tile_end_ranks(n, n_tiles)
+    if not ends:
+        return []
+    width = (mx - mn) / n_buckets if mx > mn else 1.0
+    b = F.least(
+        F.greatest(
+            F.floor((F.col("__s") - F.lit(mn)) / F.lit(width)).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(n_buckets - 1),
+    )
+    hist = sorted(
+        (r["__b"], r["cnt"])
+        for r in sel.groupBy(b.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    buckets = [bk for bk, _ in hist]
+    cum = []
+    acc = 0
+    for _, cnt in hist:
+        acc += cnt
+        cum.append(acc)
+    # bucket -> {local_rank: global_rank}; ends can repeat when n < n_tiles
+    # (trailing empty tiles), so selection works over the DISTINCT ranks
+    # and the return expands back to one entry per tile end.
+    targets: dict[int, dict[int, int]] = {}
+    for r in set(ends):
+        i = bisect_left(cum, r)
+        before = cum[i - 1] if i else 0
+        targets.setdefault(buckets[i], {})[r - before] = r
+    cand = sel.withColumn("__b", b).filter(F.col("__b").isin(list(targets)))
+    rn = F.row_number().over(Window.partitionBy("__b").orderBy("__s", "__k"))
+    picked = cand.withColumn("__rn", rn).filter(
+        F.col("__rn") <= max(max(lr) for lr in targets.values())
+    )
+    found: dict[int, tuple] = {}
+    for row in picked.collect():
+        g = targets.get(row["__b"], {}).get(row["__rn"])
+        if g is not None:
+            found[g] = (row["__s"], row["__k"], row["__v"])
+    missing = [r for r in set(ends) if r not in found]
+    assert not missing, f"selection missed boundary ranks {missing}"
+    return [(r, *found[r]) for r in ends]
+
+
+def ntile_banded(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    n_tiles: int,
+    descending: bool = False,
+    n_buckets: int = 1024,
+    tile_col: str = "tile",
+) -> DataFrame:
+    """NTILE(n_tiles) OVER (ORDER BY value [DESC], key) WITHOUT the
+    global sort: :func:`ntile_boundaries` selects the exact boundary
+    TUPLES (s, k) at the tile-end ranks, and assignment is the pure
+    map-side expression ``1 + #{boundaries strictly below (s, k)}`` —
+    broadcast-free (the <= n_tiles-1 boundaries inline as literals).
+
+    Tuple boundaries (not value boundaries) are what make this
+    EXACTLY NTILE: ties on the value split across tiles by the key
+    order, the same way the window's total order splits them. The
+    registered NTILE-family queries keep their NTILE oracles — the
+    equivalence is hash-verified, not argued.
+
+    Scale: 3 bounded passes for the boundaries + the map-side
+    assignment fused into whatever consumes it; the single-partition
+    NTILE sort this replaces is the one plan shape
+    tests/test_plans.py::test_registry_no_unbounded_global_windows
+    bans over data-sized inputs."""
+    bnds = ntile_boundaries(
+        df, value_col, key_col, n_tiles, descending=descending, n_buckets=n_buckets
+    )
+    s = F.col(value_col).cast("double")
+    if descending:
+        s = -s
+    tile = F.lit(1)
+    for _rank, sb, kb, _v in bnds:
+        above = (s > F.lit(sb)) | (
+            (s == F.lit(sb)) & (F.col(key_col) > F.lit(kb))
+        )
+        tile = tile + F.when(above, 1).otherwise(0)
+    return df.withColumn(tile_col, tile.cast("int"))

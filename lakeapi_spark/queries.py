@@ -3223,22 +3223,53 @@ def agg_filter_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decile assignment via NTILE over a total order (orderkey
-    tiebreak makes it deterministic), reduced to per-decile stats.
-    A global ORDER BY window is a single-partition sort — fine for
-    result-sized inputs, wrong at 100 TB; the scale path computes
-    approx_percentile boundaries (mergeable KLL sketch) and assigns
-    tiles with a broadcast range join, no global sort. min/max are
-    selections of stored doubles (no arithmetic), so they hash-match
-    the oracle without rounding."""
+    """Decile assignment over the (o_totalprice, o_orderkey) total
+    order, reduced to per-decile stats. The oracle stays NTILE; the
+    implementation is the BANDED scale path (r13, VERDICT r12 #1a):
+    exact boundary tuples from histogram-guided selection
+    (operators/windows.ntile_boundaries — 3 bounded passes, no global
+    sort) + a map-side compare-and-count assignment. Hash-identical to
+    the NTILE window it replaced because the boundaries are TUPLES
+    (value, key), so ties split across tiles exactly like the window's
+    total order. min/max are selections of stored doubles (no
+    arithmetic), so they hash-match without rounding."""
+    from lakeapi_spark.operators.windows import ntile_banded
+
     o = table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    t = o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+    t = ntile_banded(
+        o.select("o_totalprice", "o_orderkey"),
+        "o_totalprice",
+        "o_orderkey",
+        10,
+        tile_col="decile",
+    )
     return t.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
     )
+
+
+@register(
+    "ntile_deciles_banded",
+    """
+    WITH t AS (
+      SELECT o_totalprice,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile, COUNT(*) AS n, MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+    FROM t GROUP BY decile
+    """,
+)
+def ntile_deciles_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered scale twin of window_ntile_deciles (VERDICT r12
+    #1a): same NTILE oracle, banded implementation — so the driver row
+    for THIS name is the hash-proof that exact-boundary banded
+    assignment == a global NTILE sort. Kept as a separate registration
+    to carry fresh driver evidence for the new code path; the twin and
+    the converted original share one builder."""
+    return window_ntile_deciles(spark, sf_dir)
 
 
 @register(
@@ -9148,18 +9179,37 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation — recency/frequency/monetary quintiles per
     customer, reduced to segment counts: the standard CRM slicing of a
-    customer base. Quintiles come from NTILE over TOTAL orders
-    (custkey tiebreak), so bucket assignment is engine-identical;
-    monetary stays integer cents end-to-end. Global-ORDER-BY windows
-    are single-partition sorts over the CUSTOMER relation (result-
-    bounded); at 100 TB the tiles would come from approx_percentile
-    boundaries + a broadcast range join, the same swap documented at
-    window_ntile_deciles."""
+    customer base. The oracle stays NTILE over the three total orders
+    (custkey tiebreak); the implementation is the BANDED scale path
+    (r13, VERDICT r12 #1a): per metric, exact boundary TUPLES from
+    operators/windows.ntile_boundaries (3 bounded passes each over the
+    localCheckpoint-materialized customer relation — no recompute, no
+    session-cache residue) and map-side compare-and-count assignment.
+    Tuple boundaries make the assignment NTILE-identical under ties;
+    monetary stays integer cents end-to-end. At 100 TB the customer
+    relation is one shuffle of orders and every subsequent pass scans
+    the checkpointed 3-column relation, never orders again."""
+    from lakeapi_spark.operators.windows import ntile_banded
+
+    c = _rfm_customer_relation(spark, sf_dir).localCheckpoint(eager=True)
+    q = ntile_banded(c, "rec_days", "o_custkey", 5, tile_col="r_q")
+    q = ntile_banded(q, "freq", "o_custkey", 5, descending=True, tile_col="f_q")
+    q = ntile_banded(q, "mon_cents", "o_custkey", 5, descending=True, tile_col="m_q")
+    return q.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("mon_cents").cast("long").alias("monetary_cents"),
+    )
+
+
+def _rfm_customer_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-customer (rec_days, freq, mon_cents) relation the RFM
+    family quintiles over — one groupBy shuffle of orders, monetary in
+    integer cents, recency vs the corpus max order date."""
     o = table(spark, sf_dir, "orders")
     mx = F.broadcast(
         o.agg(F.max(F.col("o_orderdate").cast("date")).alias("mxd"))
     )
-    c = (
+    return (
         o.groupBy("o_custkey")
         .agg(
             F.max(F.col("o_orderdate").cast("date")).alias("lastd"),
@@ -9174,17 +9224,106 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mon_cents",
         )
     )
-    q = c.select(
-        F.ntile(5).over(Window.orderBy("rec_days", "o_custkey")).alias("r_q"),
-        F.ntile(5).over(Window.orderBy(F.col("freq").desc(), "o_custkey")).alias("f_q"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("mon_cents").desc(), "o_custkey"))
-        .alias("m_q"),
-        "mon_cents",
+
+
+@register(
+    "rfm_segments_banded",
+    """
+    WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mxd FROM orders),
+    c AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                            (SELECT mxd FROM mx)) AS BIGINT) AS rec_days,
+             COUNT(*) AS freq,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT) AS mon_cents
+      FROM orders GROUP BY o_custkey
+    ), q AS (
+      SELECT NTILE(5) OVER (ORDER BY rec_days, o_custkey) AS r_q,
+             NTILE(5) OVER (ORDER BY freq DESC, o_custkey) AS f_q,
+             NTILE(5) OVER (ORDER BY mon_cents DESC, o_custkey) AS m_q,
+             mon_cents
+      FROM c
     )
-    return q.groupBy("r_q", "f_q", "m_q").agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        F.sum("mon_cents").cast("long").alias("monetary_cents"),
+    SELECT r_q, f_q, m_q, COUNT(*) AS n_customers,
+           CAST(SUM(mon_cents) AS BIGINT) AS monetary_cents
+    FROM q GROUP BY r_q, f_q, m_q
+    """,
+)
+def rfm_segments_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered scale twin of customer_rfm_segments (VERDICT r12
+    #1a, the name it suggested): same three-NTILE oracle, banded
+    implementation — the driver row for this name is the hash-proof
+    that exact tuple-boundary assignment reproduces all three quintile
+    windows (one ascending, two descending) simultaneously. Shares one
+    builder with the converted original."""
+    return customer_rfm_segments(spark, sf_dir)
+
+
+@register(
+    "rfm_quintile_boundaries",
+    """
+    WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mxd FROM orders),
+    c AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                            (SELECT mxd FROM mx)) AS BIGINT) AS rec_days,
+             COUNT(*) AS freq,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS BIGINT) AS mon_cents
+      FROM orders GROUP BY o_custkey
+    ), n AS (SELECT COUNT(*) AS n FROM c),
+    ends AS (
+      SELECT i, CAST(i * (n // 5) + LEAST(i, n % 5) AS BIGINT) AS end_rank
+      FROM range(1, 5) t(i), n
+    ),
+    r AS (
+      SELECT 'recency' AS metric,
+             ROW_NUMBER() OVER (ORDER BY rec_days, o_custkey) AS rn,
+             rec_days AS val, o_custkey FROM c
+      UNION ALL
+      SELECT 'frequency',
+             ROW_NUMBER() OVER (ORDER BY freq DESC, o_custkey),
+             CAST(freq AS BIGINT), o_custkey FROM c
+      UNION ALL
+      SELECT 'monetary',
+             ROW_NUMBER() OVER (ORDER BY mon_cents DESC, o_custkey),
+             mon_cents, o_custkey FROM c
+    )
+    SELECT metric, CAST(i AS INT) AS tile, end_rank,
+           CAST(val AS BIGINT) AS boundary_value,
+           CAST(o_custkey AS BIGINT) AS boundary_custkey
+    FROM r JOIN ends ON r.rn = ends.end_rank
+    """,
+)
+def rfm_quintile_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BOUNDARY relation the banded RFM path computes — (metric,
+    tile, end_rank, boundary value, boundary custkey) for the four
+    quintile ends of each of the three orders. This pins the exact
+    rank rule (end_i = i*(n DIV 5) + LEAST(i, n MOD 5), the SQL NTILE
+    sizing) and the tuple the selection picks at each rank; the oracle
+    re-derives the same rows by ranking the full relation (fine in
+    DuckDB) while Spark runs the 3-pass histogram-guided selection —
+    never a global sort. The 12-row result is driver-assembled from
+    ntile_boundaries' K-bounded collect, which is the honest shape: a
+    boundary table IS driver-sized (it gets broadcast into the
+    assignment expression). Degenerate n < tiles (duplicate end ranks)
+    can't occur on this relation; operators/windows.ntile_boundaries
+    handles it for callers that can hit it."""
+    from lakeapi_spark.operators.windows import ntile_boundaries
+
+    c = _rfm_customer_relation(spark, sf_dir).localCheckpoint(eager=True)
+    rows = []
+    for metric, col, desc in [
+        ("recency", "rec_days", False),
+        ("frequency", "freq", True),
+        ("monetary", "mon_cents", True),
+    ]:
+        bnds = ntile_boundaries(c, col, "o_custkey", 5, descending=desc)
+        for i, (rank, _s, k, v) in enumerate(bnds, start=1):
+            rows.append((metric, i, rank, int(v), int(k)))
+    return spark.createDataFrame(
+        rows,
+        "metric string, tile int, end_rank long, "
+        "boundary_value long, boundary_custkey long",
     )
 
 
@@ -13312,6 +13451,82 @@ def _anisotropy_oracle(iters: int = 5, scale: int = 1_000_000) -> str:
              AS top_var_ratio"""
     )
     return "\n".join(parts)
+
+
+def _abtt_oracle(iters: int = 5, scale: int = 1_000_000) -> str:
+    """PCA chain + projection removal + a SECOND unrolled power
+    iteration on the corrected relation — the all-but-the-top oracle.
+    Every intermediate MATERIALIZED (two iteration chains reference
+    their predecessors; plain CTE inlining would explode 3^rounds)."""
+    parts = _pca_ctes(iters, scale)
+    parts.append(
+        f""", l2 AS (
+      SELECT CAST(FLOOR(SQRT(CAST(SUM(x * x) AS DOUBLE))) AS BIGINT) AS l
+      FROM x_{iters})
+    , w2 AS MATERIALIZED (
+      SELECT j, CAST(x * {scale} // NULLIF((SELECT l FROM l2), 0) AS BIGINT) AS wx
+      FROM x_{iters})
+    , proj AS MATERIALIZED (
+      SELECT c.vec_id, CAST(SUM(c.v * w2.wx) // {scale} AS BIGINT) AS p
+      FROM cen c JOIN w2 ON w2.j = c.j GROUP BY 1)
+    , cen2 AS MATERIALIZED (
+      SELECT c.vec_id, c.j, c.v - CAST((p.p * w2.wx) // {scale} AS BIGINT) AS v
+      FROM cen c JOIN proj p ON p.vec_id = c.vec_id JOIN w2 ON w2.j = c.j)
+    , cov2 AS MATERIALIZED (
+      SELECT a.j, b.j AS k,
+             CAST(SUM(a.v * b.v) // ((SELECT n FROM nn) * {scale}) AS BIGINT) AS c
+      FROM cen2 a JOIN cen2 b ON a.vec_id = b.vec_id GROUP BY 1, 2)
+    , x2_0 AS (SELECT DISTINCT j, CAST({scale} AS BIGINT) AS x FROM m)"""
+    )
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", y2_{t} AS MATERIALIZED (
+      SELECT c.j, CAST(SUM(c.c * x.x) // {scale} AS BIGINT) AS y
+      FROM cov2 c JOIN x2_{t - 1} x ON x.j = c.k GROUP BY 1)
+    , x2_{t} AS MATERIALIZED (
+      SELECT j, CAST(y * {scale} //
+                     NULLIF((SELECT SUM(ABS(y)) FROM y2_{t}), 0) AS BIGINT) AS x
+      FROM y2_{t})"""
+        )
+    parts.append(
+        f""", l2b AS (
+      SELECT CAST(FLOOR(SQRT(CAST(SUM(x * x) AS DOUBLE))) AS BIGINT) AS l
+      FROM x2_{iters})
+    , w2b AS MATERIALIZED (
+      SELECT j, CAST(x * {scale} // NULLIF((SELECT l FROM l2b), 0) AS BIGINT) AS wx
+      FROM x2_{iters})
+    , proj2 AS MATERIALIZED (
+      SELECT c.vec_id, CAST(SUM(c.v * w.wx) // {scale} AS BIGINT) AS p
+      FROM cen2 c JOIN w2b w ON w.j = c.j GROUP BY 1)
+    SELECT (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) FROM cen) AS n_vecs,
+           (SELECT CAST(SUM(v * v) AS BIGINT) FROM cen) AS total_ss,
+           (SELECT CAST(SUM(p * p) AS BIGINT) FROM proj) AS top_ss,
+           ROUND(CAST((SELECT SUM(p * p) FROM proj) AS DOUBLE)
+                 / CAST((SELECT SUM(v * v) FROM cen) AS DOUBLE), 6) + 0.0
+             AS before_ratio,
+           (SELECT CAST(SUM(v * v) AS BIGINT) FROM cen2) AS after_ss,
+           (SELECT CAST(SUM(p * p) AS BIGINT) FROM proj2) AS top_ss_residual,
+           ROUND(CAST((SELECT SUM(p * p) FROM proj2) AS DOUBLE)
+                 / CAST((SELECT SUM(v * v) FROM cen2) AS DOUBLE), 6) + 0.0
+             AS after_ratio"""
+    )
+    return "\n".join(parts)
+
+
+@register("embedding_abtt_corrected", _abtt_oracle())
+def embedding_abtt_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top correction with the before/after anisotropy
+    readout (ROADMAP_r12 #2's remaining half): subtract each vector's
+    top-PC projection, then re-run the power iteration on the RESIDUAL
+    relation and report how much dominant-direction variance remains.
+    before_ratio is embedding_anisotropy_topcomp's dial; after_ratio
+    is the proof the correction worked. Exact int64 contract both
+    blocks; the oracle unrolls TWO MATERIALIZED power-iteration
+    chains. operators/similarity.abtt_corrected_anisotropy."""
+    from lakeapi_spark.operators.similarity import abtt_corrected_anisotropy
+
+    e = table(spark, sf_dir, "embeddings")
+    return abtt_corrected_anisotropy(e, "vec_id", "embedding", iters=5)
 
 
 @register("embedding_anisotropy_topcomp", _anisotropy_oracle())

@@ -4084,3 +4084,90 @@ def test_holt_winters_multiplicative_learns_ratio_seasonality(spark):
     ][0]
     assert ct.level == 5_000_000 and ct.trend == 0 and ct.sae == 0
     assert ct.s0 == ct.s6 == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# Banded NTILE (r13: the scale path for the NTILE family, VERDICT r12 #1a)
+# ---------------------------------------------------------------------------
+
+
+def test_ntile_banded_equals_window_ntile(spark):
+    """ntile_banded must equal NTILE(t) OVER (ORDER BY v [DESC], id)
+    row for row — heavy ties, ascending and descending, n < tiles,
+    constant column."""
+    import random
+
+    from pyspark.sql.window import Window as _W
+
+    from lakeapi_spark.operators.windows import ntile_banded
+
+    rng = random.Random(13)
+    cases = [
+        (997, 10, False),
+        (1000, 5, True),
+        (37, 5, False),
+        (3, 5, False),  # n < tiles: trailing empty tiles, duplicate end ranks
+        (500, 7, True),
+    ]
+    for nrows, tiles, desc in cases:
+        rows = [(i, float(rng.randrange(40))) for i in range(nrows)]
+        df = spark.createDataFrame(rows, "id long, v double").repartition(6)
+        order = [F.col("v").desc(), F.col("id")] if desc else [F.col("v"), F.col("id")]
+        want = {
+            r.id: r.t
+            for r in df.withColumn(
+                "t", F.ntile(tiles).over(_W.orderBy(*order))
+            ).collect()
+        }
+        got = {
+            r.id: r.tile
+            for r in ntile_banded(df, "v", "id", tiles, descending=desc).collect()
+        }
+        assert got == want, (nrows, tiles, desc)
+    # constant value column: tiles split purely by key
+    cdf = spark.createDataFrame([(i, 7) for i in range(50)], "id long, v long")
+    want = {
+        r.id: r.t
+        for r in cdf.withColumn("t", F.ntile(5).over(_W.orderBy("v", "id"))).collect()
+    }
+    got = {r.id: r.tile for r in ntile_banded(cdf, "v", "id", 5).collect()}
+    assert got == want
+
+
+def test_ntile_boundaries_ranks_and_tuples(spark):
+    """Boundary tuples are exactly the rows at the NTILE tile-end
+    ranks of the requested total order."""
+    from lakeapi_spark.operators.windows import ntile_boundaries
+
+    rows = [(i, (i * 7) % 13) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    truth = sorted(rows, key=lambda r: (r[1], r[0]))
+    bnds = ntile_boundaries(df, "v", "id", 4)
+    assert [r for r, *_ in bnds] == [25, 50, 75]
+    for rank, _s, k, v in bnds:
+        assert (k, v) == (truth[rank - 1][0], truth[rank - 1][1])
+
+
+def test_abtt_correction_kills_planted_direction(spark):
+    """Plant a dominant common direction on top of small noise: the
+    before_ratio must be near 1, and after the all-but-the-top
+    subtraction the residual top-PC share must collapse toward the
+    isotropic floor."""
+    import random
+
+    from lakeapi_spark.operators.similarity import abtt_corrected_anisotropy
+
+    rng = random.Random(7)
+    d = 8
+    u = [1.0 if j < 2 else 0.0 for j in range(d)]  # planted direction
+    rows = []
+    for i in range(200):
+        a = rng.uniform(-1.0, 1.0)  # dominant coefficient
+        vec = [a * u[j] + rng.uniform(-0.05, 0.05) for j in range(d)]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    row = abtt_corrected_anisotropy(df, "vec_id", "embedding", iters=5).first()
+    assert row.n_vecs == 200
+    assert row.before_ratio > 0.8, row
+    assert row.after_ratio < 0.5 * row.before_ratio, row
+    assert 0 < row.after_ss < row.total_ss
