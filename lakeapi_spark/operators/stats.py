@@ -1458,22 +1458,42 @@ def calibration_bins(
     labels are 0/1 counts), so both engines emit identical doubles.
     Returns (bin, n, mean_score, pos_rate, abs_gap).
 
-    Scale note: the unpartitioned ntile is a single-task global sort —
-    deliberate, because calibration runs on EVAL-set scores (bounded by
-    construction, like the benchmark side of decontamination), where
-    exact equal-count bins matter more than parallel binning. For
-    corpus-sized score columns use fixed-width bins over the score
-    domain instead (the psi_drift binning shape), which needs no global
-    order."""
+    Scale note (r13 window-audit sweep): with a single tiebreak column
+    the equal-count bins come from the BANDED path — exact boundary
+    tuples via histogram-guided selection + map-side assignment
+    (operators/windows.ntile_banded, NTILE-identical by construction)
+    — so score columns of any size bin without a global sort. The
+    multi-tiebreak fallback keeps the unpartitioned ntile window and
+    inherits its eval-set boundedness argument."""
     from pyspark.sql.window import Window
 
     sq = F.round(F.col(score_col).cast("double") * score_scale, 0).cast("long")
+    if len(order_cols) == 1:
+        from lakeapi_spark.operators.windows import ntile_banded
+
+        base = df.select(
+            F.col(score_col).alias("_s"),
+            F.col(order_cols[0]).alias("_k"),
+            F.col(label_col).cast("long").alias("_y"),
+        )
+        binned = ntile_banded(base, "_s", "_k", n_bins, tile_col="bin").select(
+            F.round(F.col("_s").cast("double") * score_scale, 0)
+            .cast("long")
+            .alias("_sq"),
+            "_y",
+            "bin",
+        )
+        return _calibration_readout(binned, score_scale, digits)
     w = Window.orderBy(F.col(score_col), *[F.col(c) for c in order_cols])
     binned = df.select(
         sq.alias("_sq"),
         F.col(label_col).cast("long").alias("_y"),
         F.ntile(n_bins).over(w).alias("bin"),
     )
+    return _calibration_readout(binned, score_scale, digits)
+
+
+def _calibration_readout(binned: DataFrame, score_scale: int, digits: int) -> DataFrame:
     mean_score = F.sum("_sq").cast("double") / (
         F.count(F.lit(1)) * score_scale
     ).cast("double")
@@ -1619,29 +1639,33 @@ def conformal_interval_report(
     no quantile interpolation, so both engines agree exactly. Returns
     one row (n_cal, k, q_hat, n_test, n_covered, coverage).
 
-    Scale: residuals are computed map-side; the rank pick is a
-    row_number over the CALIBRATION split only (eval-sized by
-    construction — same boundedness argument as calibration_bins), and
+    Scale (r13 window-audit sweep): residuals are computed map-side;
+    the rank pick runs through operators/windows.order_statistics —
+    3-pass histogram-guided selection, so the calibration split can be
+    corpus-sized without ever collapsing to one partition (the old
+    global row_number is gone). q_hat is a K-bounded driver value by
+    contract (it broadcasts into the coverage filter either way);
     coverage is one aggregate over the test stream."""
-    from pyspark.sql.window import Window
+    import math
+
+    from lakeapi_spark.operators.windows import order_statistics
 
     resid = F.abs(F.col(y_col).cast("double") - F.col(pred_col).cast("double"))
     cal = per_obs.filter(F.col(split_col) == "cal").select(resid.alias("_r"))
-    n_cal_k = cal.agg(
-        F.count(F.lit(1)).alias("n_cal"),
-        F.ceil(
-            (F.count(F.lit(1)) + 1) * F.lit(1.0 - alpha)
-        ).cast("long").alias("k"),
-    )
-    ranked = cal.select(
-        "_r", F.row_number().over(Window.orderBy("_r")).alias("_rn")
-    )
-    q_hat = (
-        ranked.crossJoin(F.broadcast(n_cal_k))
-        .filter(F.col("_rn") == F.least(F.col("k"), F.col("n_cal")))
-        .select(
-            "n_cal", "k", (F.round(F.col("_r"), digits) + 0.0).alias("q_hat")
-        )
+    info: dict[str, int] = {}
+
+    def _rank_fn(n: int) -> list[int]:
+        # same IEEE product as the old F.ceil((count+1) * (1-alpha))
+        k = math.ceil((n + 1) * (1.0 - alpha))
+        info.update(n_cal=n, k=k)
+        return [min(k, n)]
+
+    sel = order_statistics(cal, "_r", None, _rank_fn)
+    spark = per_obs.sparkSession
+    schema = "n_cal long, k long, _r double"
+    rows = [(info["n_cal"], info["k"], float(sel[0][3]))] if sel else []
+    q_hat = spark.createDataFrame(rows, schema).select(
+        "n_cal", "k", (F.round(F.col("_r"), digits) + 0.0).alias("q_hat")
     )
     test = per_obs.filter(F.col(split_col) == "test").select(resid.alias("_r"))
     cov = test.crossJoin(F.broadcast(q_hat)).groupBy("n_cal", "k", "q_hat").agg(

@@ -281,26 +281,23 @@ def word_id_export(
     text -> ids -> packed context windows -> shards.
 
     Plan: vocab = one map-side-combined shuffle on token + a
-    single-partition rank over the (Heaps-law-small) vocab relation;
-    id mapping joins the BROADCAST vocab against the posexploded
-    corpus (no corpus shuffle); the per-doc reassembly is the one
-    unavoidable id-keyed aggregate. OOV policy is the standard
-    dataloader contract: ids >= 0 index the embedding table, -1 routes
-    to the UNK embedding."""
-    from pyspark.sql.window import Window
+    ranked_topk pick of the top ``vocab_size`` tokens
+    (TakeOrderedAndProject: per-partition heap over the vocab
+    relation, rank window over the k-row result only — no global sort
+    of the Heaps-law vocab, r13 window-audit sweep); id mapping joins
+    the BROADCAST vocab against the posexploded corpus (no corpus
+    shuffle); the per-doc reassembly is the one unavoidable id-keyed
+    aggregate. OOV policy is the standard dataloader contract: ids >=
+    0 index the embedding table, -1 routes to the UNK embedding."""
+    from lakeapi_spark.operators.pipeline import ranked_topk
 
     tl = df.select(
         F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("p", "tok")
     )
     freq = tl.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-    vocab = (
-        freq.withColumn(
-            "tid",
-            (F.row_number().over(Window.partitionBy().orderBy(F.col("n").desc(), "tok")) - 1).cast("long"),
-        )
-        .filter(F.col("tid") < vocab_size)
-        .select("tok", "tid")
-    )
+    vocab = ranked_topk(
+        freq, [F.col("n").desc(), F.col("tok")], k=vocab_size, rank_col="_rk"
+    ).select("tok", (F.col("_rk") - 1).cast("long").alias("tid"))
     ids = tl.join(F.broadcast(vocab), "tok", "left").select(
         id_col, "p", F.coalesce("tid", F.lit(-1)).alias("tid")
     )

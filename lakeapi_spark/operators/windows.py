@@ -1293,9 +1293,37 @@ def ntile_boundaries(
     descending: bool = False,
     n_buckets: int = 1024,
 ) -> list[tuple[int, float, object, object]]:
-    """EXACT order statistics at the NTILE tile ends WITHOUT a global
-    sort — the distributed-selection pass structure (histogram-guided
-    selection, Blum et al. rank selection relationalized):
+    """EXACT order statistics at the NTILE tile-end ranks — see
+    :func:`order_statistics` for the selection machinery; this wrapper
+    derives the ranks from the SQL NTILE sizing rule."""
+    return order_statistics(
+        df,
+        value_col,
+        key_col,
+        lambda n: _tile_end_ranks(n, n_tiles),
+        descending=descending,
+        n_buckets=n_buckets,
+    )
+
+
+def order_statistics(
+    df: DataFrame,
+    value_col: str,
+    key_col: str | None,
+    ranks,
+    descending: bool = False,
+    n_buckets: int = 1024,
+) -> list[tuple[int, float, object, object]]:
+    """EXACT order statistics at arbitrary 1-based ranks WITHOUT a
+    global sort — the distributed-selection pass structure
+    (histogram-guided selection, Blum et al. rank selection
+    relationalized). ``ranks`` is a list of ranks or a callable
+    ``n -> list[int]`` evaluated against the exact row count (so
+    callers can pick count-dependent ranks — NTILE tile ends, the
+    conformal k — without a separate count job). ``key_col=None``
+    selects by value order alone: the VALUE at each rank is still
+    deterministic under ties (ties share a bucket and any of them is
+    the rank's value), only the reported key is None.
 
     1. ONE aggregate: count + min/max of the direction-adjusted sort
        value ``s`` (s = value, negated when descending; key ascending
@@ -1329,9 +1357,10 @@ def ntile_boundaries(
     s = F.col(value_col).cast("double")
     if descending:
         s = -s
+    key_expr = F.col(key_col) if key_col is not None else F.lit(0).cast("long")
     sel = df.select(
         s.alias("__s"),
-        F.col(key_col).alias("__k"),
+        key_expr.alias("__k"),
         F.col(value_col).alias("__v"),
     )
     first = sel.agg(
@@ -1342,9 +1371,12 @@ def ntile_boundaries(
     n, mn, mx = first["n"], first["mn"], first["mx"]
     if n == 0:
         return []
-    ends = _tile_end_ranks(n, n_tiles)
+    ends = list(ranks(n)) if callable(ranks) else list(ranks)
     if not ends:
         return []
+    bad_ranks = [r for r in ends if not 1 <= r <= n]
+    if bad_ranks:
+        raise ValueError(f"ranks out of [1, {n}]: {bad_ranks}")
     width = (mx - mn) / n_buckets if mx > mn else 1.0
     b = F.least(
         F.greatest(
@@ -1385,6 +1417,8 @@ def ntile_boundaries(
             found[g] = (row["__s"], row["__k"], row["__v"])
     missing = [r for r in set(ends) if r not in found]
     assert not missing, f"selection missed boundary ranks {missing}"
+    if key_col is None:
+        return [(r, found[r][0], None, found[r][2]) for r in ends]
     return [(r, *found[r]) for r in ends]
 
 

@@ -498,3 +498,56 @@ def test_rolling_mau_no_range_self_join(spark, sf_dir):
     plan = plan_str(spark, df)
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+# Unpartitioned WindowExec sites whose input does NOT grow with the
+# corpus (VERDICT r12 #1a audit): each entry names WHY the global
+# window's input is bounded. Anything NOT listed here that plans an
+# unpartitioned data-sized window fails the registry audit below.
+_GLOBAL_WINDOW_ALLOWLIST = {
+    # bounded key domains (calendar buckets / design cells / strata)
+    "monthly_revenue_mom": "one row per month — calendar-bounded",
+    "mi_event_type_dow": "event_type x day-of-week cells",
+    "chi2_event_type_dow": "event_type x day-of-week cells",
+    "did_value_policy": "4 design cells (treated x post)",
+    "cusum_changepoint_daily": "one row per day — calendar-bounded",
+    "survival_km_conversion": "one row per distinct day-grain event time",
+    "fdr_bh_nation_price_tests": "one test per nation (25)",
+    "forecast_shootout_event_daily": "model x event_type rows",
+    "neyman_allocation_sample": "one row per order-priority stratum (5)",
+    # constant-bounded by construction
+    "bootstrap_ci_order_value": "B=40 bootstrap replicates",
+    "decile_revenue_bridge": "10-row decile relation",
+    # histogram-collapsed value grids (bounded by the rounding grain)
+    "ks_value_drift_events": "distinct rounded values of a [0,100] grid",
+    "mann_whitney_purchase_vs_click": "distinct rounded values histogram",
+    "isotonic_calibration_value": "score-bucket histogram",
+    # contracted relations where the windowed relation is broadcast
+    # or reduced to one row immediately after (the single-partition
+    # pass costs what the broadcast costs anyway; the 100 TB swap is
+    # documented in the operator docstring)
+    "text_unigram_logprob": "vocab total; vocab is broadcast right after",
+    "text_bigram_logprob": "unigram vocab total; broadcast right after",
+    "curation_verdicts": "contains unigram_logprob's vocab total",
+    "pareto_revenue_parts": "per-part relation reduced to ONE row; swap = weighted-quantile histogram refinement",
+}
+
+
+def test_registry_no_unbounded_global_windows(spark, sf_dir):
+    """r13 sweep (VERDICT r12 #1a): EVERY registered query must either
+    plan no unpartitioned WindowExec over a data-sized input, or appear
+    in the justified allowlist above. Guards against reintroducing the
+    single-partition global sort the banded-NTILE / ranked_topk /
+    order_statistics conversions removed."""
+    offenders = {}
+    for name, q in QUERIES.items():
+        df = q.build(spark, sf_dir)
+        bad = _unbounded_global_windows(df)
+        if bad and name not in _GLOBAL_WINDOW_ALLOWLIST:
+            offenders[name] = bad[:1]
+    assert not offenders, f"unallowlisted global windows: {offenders}"
+    stale = sorted(
+        n for n in _GLOBAL_WINDOW_ALLOWLIST
+        if not _unbounded_global_windows(QUERIES[n].build(spark, sf_dir))
+    )
+    assert not stale, f"allowlist entries no longer needed: {stale}"
