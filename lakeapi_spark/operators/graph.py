@@ -1208,3 +1208,155 @@ def adamic_adar_topk(
             ).alias("aa"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted shortest paths — Dijkstra-by-rounds over small-int costs (r13,
+# ROADMAP_r12 #3)
+# ---------------------------------------------------------------------------
+
+
+def _dijkstra_levels(
+    undw: DataFrame, seeds: DataFrame, node: str, max_dist: int, max_c: int
+) -> dict[int, DataFrame]:
+    """Level-synchronous multi-source DIJKSTRA over a doubled weighted
+    edge relation ``undw(u, v, c)`` with small-int costs 1..max_c:
+    settle nodes by exact distance value, one round per distance unit.
+    Round d's candidates come from the settled levels d-1..d-max_c
+    (an edge of cost c extends a node settled at d-c to total d); the
+    anti-join against the visited set removes anything already settled
+    shorter, which is exactly Dijkstra's invariant for positive
+    integer costs — no priority queue, just max_c frontier levels in
+    flight. Returns {distance: (s, node) relation} for the NON-EMPTY
+    levels 0..max_dist; stops early when max_c consecutive levels come
+    up empty (nothing further is reachable).
+
+    The unweighted special case (all costs 1) degenerates to
+    :func:`_bfs_sigma_levels`' forward walk minus sigma; relations
+    stay (seed x node)-sized, localCheckpoint per round keeps planning
+    O(1), and the edge relation joins co-partitioned — nothing is
+    broadcast unmeasured (the bfs_hops budget discipline)."""
+    lvl0 = (
+        seeds.select(F.col(node).alias("s"))
+        .distinct()
+        .select("s", F.col("s").alias("node"))
+        .localCheckpoint(eager=True)
+    )
+    levels = {0: lvl0}
+    visited = lvl0
+    for d in range(1, max_dist + 1):
+        win = [
+            levels[dd].select(
+                "s",
+                F.col("node").alias("u"),
+                F.lit(d - dd).cast("long").alias("need"),
+            )
+            for dd in range(max(0, d - max_c), d)
+            if dd in levels
+        ]
+        if not win:
+            break  # max_c consecutive empty levels: frontier exhausted
+        f = win[0]
+        for w_ in win[1:]:
+            f = f.unionByName(w_)
+        nxt = (
+            f.join(undw, "u")
+            .filter(F.col("c") == F.col("need"))
+            .select("s", F.col("v").alias("node"))
+            .distinct()
+            .join(visited, ["s", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() > 0:
+            levels[d] = nxt
+            visited = visited.union(nxt).localCheckpoint(eager=True)
+    return levels
+
+
+def weighted_harmonic_sampled(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_dist: int = 6,
+    scale: int = 1_000_000,
+    src: str = "src",
+    dst: str = "dst",
+    cost: str = "c",
+    node: str = "node",
+    round_digits: int = 4,
+    dedupe_edges: bool = True,
+    cache_handles: list | None = None,
+) -> DataFrame:
+    """Sampled-source WEIGHTED harmonic centrality: H(v) = sum over
+    seeds s (v != s, weighted distance d(s,v) <= max_dist) of 1/d(s,v),
+    where distances run Dijkstra-by-rounds (:func:`_dijkstra_levels`)
+    over positive small-int edge costs in ``cost`` — the centrality
+    that respects TIE STRENGTH (a strongly supported co-purchase edge
+    is a short hop, a barely-supported one a long detour), where the
+    unweighted variant treats both alike. Same sampled-source +
+    bounded-total-distance caps as harmonic_centrality_sampled, same
+    exact-integer readout: hc_fp = sum of (scale DIV distance) — every
+    term an exact integer, the accumulation order-independent, the
+    whole walk replayable by an unrolled SQL oracle.
+
+    The max edge cost is MEASURED (one bounded aggregate), not
+    assumed: it sets how many frontier levels stay in flight, and a
+    non-positive cost raises instead of silently looping."""
+    undw = (
+        edges.select(
+            F.col(src).alias("u"),
+            F.col(dst).alias("v"),
+            F.col(cost).cast("long").alias("c"),
+        )
+        .union(
+            edges.select(
+                F.col(dst).alias("u"),
+                F.col(src).alias("v"),
+                F.col(cost).cast("long").alias("c"),
+            )
+        )
+        .filter(F.col("u") != F.col("v"))
+    )
+    if dedupe_edges:
+        undw = undw.groupBy("u", "v").agg(F.min("c").alias("c"))
+    undw = undw.persist()
+    probe = undw.agg(F.max("c").alias("mx"), F.min("c").alias("mn")).first()
+    if probe["mx"] is None:
+        undw.unpersist()
+        return (
+            seeds.select(F.col(node).alias("node"))
+            .withColumn("hc_fp", F.lit(0).cast("long"))
+            .withColumn("hc", F.lit(0.0))
+            .filter(F.lit(False))
+        )
+    if probe["mn"] < 1:
+        undw.unpersist()
+        raise ValueError(f"edge costs must be positive ints, min={probe['mn']}")
+    levels = _dijkstra_levels(undw, seeds, node, max_dist, int(probe["mx"]))
+    if cache_handles is not None:
+        cache_handles.append(undw)
+    else:
+        undw.unpersist()
+    parts = [
+        lv.select("s", "node", F.lit(scale // d).cast("long").alias("t"))
+        for d, lv in levels.items()
+        if d >= 1
+    ]
+    if not parts:
+        return (
+            levels[0]
+            .select("node")
+            .withColumn("hc_fp", F.lit(0).cast("long"))
+            .withColumn("hc", F.lit(0.0))
+            .filter(F.lit(False))
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy("node")
+        .agg(F.sum("t").alias("hc_fp"))
+        .withColumn(
+            "hc",
+            F.round(F.col("hc_fp").cast("double") / scale, round_digits) + 0.0,
+        )
+    )

@@ -4171,3 +4171,83 @@ def test_abtt_correction_kills_planted_direction(spark):
     assert row.before_ratio > 0.8, row
     assert row.after_ratio < 0.5 * row.before_ratio, row
     assert 0 < row.after_ss < row.total_ss
+
+
+def test_weighted_harmonic_k4_and_barbell(spark):
+    """Dijkstra-by-rounds ground truth: K4 (uniform cost) matches the
+    unweighted answer; a barbell with a cost-3 bridge walks the longer
+    distances exactly, including the empty intermediate levels."""
+    from lakeapi_spark.operators.graph import weighted_harmonic_sampled
+
+    # K4, cost 1 everywhere, seed 0: every other node at distance 1
+    k4 = spark.createDataFrame(
+        [(a, b, 1) for a in range(4) for b in range(a + 1, 4)],
+        "src long, dst long, c long",
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r.node: r.hc_fp
+        for r in weighted_harmonic_sampled(k4, seeds, max_dist=6).collect()
+    }
+    assert got == {1: 1_000_000, 2: 1_000_000, 3: 1_000_000}
+
+    # barbell: triangle 0-1-2, triangle 3-4-5, bridge 2-3 at cost 3
+    edges = [(0, 1, 1), (0, 2, 1), (1, 2, 1), (3, 4, 1), (3, 5, 1), (4, 5, 1), (2, 3, 3)]
+    bb = spark.createDataFrame(edges, "src long, dst long, c long")
+    got = {
+        r.node: r.hc_fp
+        for r in weighted_harmonic_sampled(bb, seeds, max_dist=6).collect()
+    }
+    # dists from 0: 1->1, 2->1, 3->4 (1+3, levels 2..3 empty), 4/5->5
+    assert got == {
+        1: 1_000_000,
+        2: 1_000_000,
+        3: 250_000,
+        4: 200_000,
+        5: 200_000,
+    }
+
+    # two seeds accumulate: from 0 AND 5
+    seeds2 = spark.createDataFrame([(0,), (5,)], "node long")
+    got = {
+        r.node: r.hc_fp
+        for r in weighted_harmonic_sampled(bb, seeds2, max_dist=6).collect()
+    }
+    # from 5: 3->1, 4->1, 2->4, 1->5, 0->5
+    assert got == {
+        0: 200_000,
+        1: 1_000_000 + 200_000,
+        2: 1_000_000 + 250_000,
+        3: 250_000 + 1_000_000,
+        4: 200_000 + 1_000_000,
+        5: 200_000,
+    }
+
+
+def test_weighted_harmonic_cost1_equals_unweighted(spark):
+    """All-cost-1 Dijkstra must reproduce the unweighted harmonic
+    walk on a random sparse graph."""
+    import random
+
+    from lakeapi_spark.operators.graph import (
+        harmonic_centrality_sampled,
+        weighted_harmonic_sampled,
+    )
+
+    rng = random.Random(29)
+    pairs = sorted({tuple(sorted(rng.sample(range(30), 2))) for _ in range(60)})
+    e1 = spark.createDataFrame(
+        [(a, b, 1) for a, b in pairs], "src long, dst long, c long"
+    )
+    seeds = spark.createDataFrame([(0,), (7,), (13,)], "node long")
+    got = {
+        r.node: r.hc_fp
+        for r in weighted_harmonic_sampled(e1, seeds, max_dist=4).collect()
+    }
+    want = {
+        r.node: r.hc_fp
+        for r in harmonic_centrality_sampled(
+            e1.select("src", "dst"), seeds, max_depth=4
+        ).collect()
+    }
+    assert got == want and len(got) > 5
