@@ -1360,3 +1360,133 @@ def weighted_harmonic_sampled(
             F.round(F.col("hc_fp").cast("double") / scale, round_digits) + 0.0,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution — absorbing chain over channel
+# transitions (r13, ROADMAP_r12 #6)
+# ---------------------------------------------------------------------------
+
+
+def absorbing_removal_effects(
+    trans: DataFrame,
+    channels: list[str],
+    iters: int = 12,
+    scale: int = 1_000_000,
+    conv: str = "conv",
+    drop: str = "drop",
+    start: str = "START",
+) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2014, public)
+    from a transition-COUNT relation ``trans(f, t, cnt)`` whose states
+    are ``start``, the ``channels``, and the absorbing ``conv`` /
+    ``drop``: P(absorb in conv | start) is estimated by ``iters``
+    bounded matrix-power rounds (x_{k+1}(s) = sum_t P(s->t) * x_k(t),
+    x(conv) = scale, x(drop) = 0, integer millionths with toward-zero
+    division — the eigenvector/PageRank fixed-point contract, so an
+    unrolled SQL oracle replays it bit-for-bit). The removal effect of
+    channel c re-runs the SAME recurrence on the matrix with c's rows
+    AND inbound transitions deleted (mass through a removed channel is
+    lost, NOT renormalized — the standard removal semantics), all
+    scenarios as one extra relation dimension, so the 1 + n_channels
+    absorption problems share every join of one iteration chain.
+
+    Returns one row per channel: (channel, p_conv_all, p_conv_removed
+    — both in scale-ths — removal_effect = 1 - p_removed/p_all, and
+    attr_share = the removal effect normalized over channels).
+
+    Scale shape: the transition relation is (states^2)-bounded —
+    everything here is bounded by the channel vocabulary, not the
+    event volume; the one data-sized step (counting transitions) is
+    the CALLER's single user-partitioned window pass. iters bounds the
+    absorption horizon exactly like the centrality oracles bound BFS
+    depth; journeys longer than iters contribute what their first
+    iters steps reach."""
+    spark = trans.sparkSession
+    tot = trans.groupBy("f").agg(F.sum("cnt").alias("n"))
+    prob = trans.join(tot, "f").select(
+        "f", "t", F.expr(f"CAST(cnt * {scale} DIV n AS LONG)").alias("p")
+    )
+    scen = spark.createDataFrame([("all",)] + [(c,) for c in channels], "sc string")
+    ts = (
+        prob.crossJoin(F.broadcast(scen))
+        .filter(
+            (F.col("sc") == "all")
+            | ((F.col("f") != F.col("sc")) & (F.col("t") != F.col("sc")))
+        )
+        .localCheckpoint(eager=True)
+    )
+    x = (
+        ts.select("sc", F.col("f").alias("state"))
+        .distinct()
+        .withColumn("x", F.lit(0).cast("long"))
+    )
+    for _ in range(iters):
+        xr = x.select(
+            F.col("sc").alias("xsc"), F.col("state").alias("xstate"), F.col("x")
+        )
+        xv = (
+            F.when(F.col("t") == conv, F.lit(scale).cast("long"))
+            .when(F.col("t") == drop, F.lit(0).cast("long"))
+            .otherwise(F.coalesce(F.col("x"), F.lit(0)))
+        )
+        x = (
+            ts.join(
+                xr,
+                (ts["sc"] == F.col("xsc")) & (ts["t"] == F.col("xstate")),
+                "left",
+            )
+            .groupBy(ts["sc"].alias("sc"), ts["f"].alias("state"))
+            .agg(F.sum(F.col("p") * xv).alias("_s"))
+            .select(
+                "sc",
+                "state",
+                F.expr(f"CAST(_s DIV {scale} AS LONG)").alias("x"),
+            )
+        )
+    x = x.localCheckpoint(eager=True)
+    pa = F.broadcast(
+        x.agg(
+            F.max(
+                F.when(
+                    (F.col("sc") == "all") & (F.col("state") == start), F.col("x")
+                )
+            ).alias("p_all")
+        )
+    )
+    per = (
+        scen.filter(F.col("sc") != "all")
+        .join(
+            x.filter(F.col("state") == start).select("sc", "x"), "sc", "left"
+        )
+        .select(
+            F.col("sc").alias("channel"),
+            F.coalesce(F.col("x"), F.lit(0)).alias("p_removed"),
+        )
+        .crossJoin(pa)
+    )
+    re = per.select(
+        "channel",
+        F.col("p_all").cast("long").alias("p_conv_all"),
+        F.col("p_removed").cast("long").alias("p_conv_removed"),
+        F.expr(
+            f"CAST((p_all - p_removed) * {scale} DIV NULLIF(p_all, 0) AS LONG)"
+        ).alias("re_fp"),
+    ).localCheckpoint(eager=True)
+    sre = F.broadcast(re.agg(F.sum("re_fp").alias("sum_re")))
+    return re.crossJoin(sre).select(
+        "channel",
+        "p_conv_all",
+        "p_conv_removed",
+        (F.round(F.col("re_fp").cast("double") / scale, 6) + 0.0).alias(
+            "removal_effect"
+        ),
+        (
+            F.round(
+                F.col("re_fp").cast("double")
+                / F.expr("CAST(NULLIF(sum_re, 0) AS DOUBLE)"),
+                6,
+            )
+            + 0.0
+        ).alias("attr_share"),
+    )

@@ -14984,6 +14984,154 @@ def session_attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _markov_removal_oracle(iters: int = 12, scale: int = 1_000_000) -> str:
+    """Unrolled absorbing-chain oracle for the Markov removal-effect
+    attribution: journey transitions -> integer millionth
+    probabilities -> scenario-dimensioned matrix -> ``iters``
+    MATERIALIZED matrix-power rounds -> removal-effect readout. Each
+    x_k is referenced by x_{{k+1}}; MATERIALIZED keeps the chain
+    linear (plain CTEs would inline exponentially)."""
+    parts = [
+        f"""
+    WITH t AS (
+      SELECT user_id, {_EPOCH} * 1000000000 + event_id AS comb,
+             {_CHANNEL_SQL} AS channel
+      FROM events WHERE event_type IN ('view', 'click')
+    ), pu AS (
+      SELECT user_id, MIN({_EPOCH} * 1000000000 + event_id) AS pmin
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), jt AS (
+      SELECT t.user_id, t.comb, t.channel, pu.pmin
+      FROM t LEFT JOIN pu USING (user_id)
+      WHERE pu.pmin IS NULL OR t.comb < pu.pmin
+    ), seq AS (
+      SELECT user_id, channel, pmin,
+             LAG(channel) OVER (PARTITION BY user_id ORDER BY comb) AS prev,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY comb DESC) AS rn_d
+      FROM jt
+    ), trans0 AS (
+      SELECT COALESCE(prev, 'START') AS f, channel AS t FROM seq
+      UNION ALL
+      SELECT channel, CASE WHEN pmin IS NOT NULL THEN 'conv' ELSE 'drop' END
+      FROM seq WHERE rn_d = 1
+      UNION ALL
+      SELECT 'START', 'conv' FROM pu
+      WHERE user_id NOT IN (SELECT DISTINCT user_id FROM jt)
+    ), cnt AS (SELECT f, t, COUNT(*) AS cnt FROM trans0 GROUP BY 1, 2),
+    tot AS (SELECT f, SUM(cnt) AS n FROM cnt GROUP BY 1),
+    prob AS (
+      SELECT f, t, CAST(cnt * {scale} // n AS BIGINT) AS p
+      FROM cnt JOIN tot USING (f)
+    ),
+    scen AS (SELECT * FROM (VALUES ('all'), ('organic'), ('paid'),
+                                   ('email'), ('social')) s(sc)),
+    ts AS MATERIALIZED (
+      SELECT sc, f, t, p FROM prob CROSS JOIN scen
+      WHERE sc = 'all' OR (f <> sc AND t <> sc)
+    ), x_0 AS MATERIALIZED (
+      SELECT DISTINCT sc, f AS state, CAST(0 AS BIGINT) AS x FROM ts
+    )"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""", x_{k} AS MATERIALIZED (
+      SELECT ts.sc, ts.f AS state,
+             CAST(SUM(ts.p * (CASE WHEN ts.t = 'conv' THEN {scale}
+                                   WHEN ts.t = 'drop' THEN 0
+                                   ELSE COALESCE(x.x, 0) END)) // {scale} AS BIGINT) AS x
+      FROM ts LEFT JOIN x_{k - 1} x ON x.sc = ts.sc AND x.state = ts.t
+      GROUP BY 1, 2)"""
+        )
+    parts.append(
+        f""", pa AS (
+      SELECT MAX(CASE WHEN sc = 'all' AND state = 'START' THEN x END) AS p_all
+      FROM x_{iters})
+    , per AS (
+      SELECT s.sc AS channel, COALESCE(x.x, 0) AS p_removed
+      FROM (SELECT sc FROM scen WHERE sc <> 'all') s
+      LEFT JOIN x_{iters} x ON x.sc = s.sc AND x.state = 'START'
+    ), re AS (
+      SELECT channel, (SELECT p_all FROM pa) AS p_all, p_removed,
+             CAST(((SELECT p_all FROM pa) - p_removed) * {scale}
+                  // NULLIF((SELECT p_all FROM pa), 0) AS BIGINT) AS re_fp
+      FROM per
+    )
+    SELECT channel,
+           CAST(p_all AS BIGINT) AS p_conv_all,
+           CAST(p_removed AS BIGINT) AS p_conv_removed,
+           ROUND(CAST(re_fp AS DOUBLE) / {scale}, 6) + 0.0 AS removal_effect,
+           ROUND(CAST(re_fp AS DOUBLE)
+                 / CAST(NULLIF((SELECT SUM(re_fp) FROM re), 0) AS DOUBLE), 6)
+             + 0.0 AS attr_share
+    FROM re"""
+    )
+    return "\n".join(parts)
+
+
+@register("markov_removal_attribution", _markov_removal_oracle())
+def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (ROADMAP_r12 #6): model each
+    user's pre-purchase view/click journey as a first-order chain over
+    acquisition channels (START -> touches -> conv at the first
+    purchase / drop otherwise; touch-less purchasers transition
+    START -> conv directly), then credit each channel by how much the
+    absorption probability into conv falls when that channel — its
+    outgoing rows AND its inbound mass — is deleted. The data-sized
+    work is ONE user-partitioned window pass (lag + last-touch rank);
+    the chain itself is channel-vocabulary-bounded and all five
+    scenarios (full + 4 removals) ride one 12-round bounded
+    matrix-power pipeline in exact integer millionths.
+    operators/graph.absorbing_removal_effects; the oracle unrolls the
+    identical recurrence."""
+    from lakeapi_spark.operators.graph import absorbing_removal_effects
+
+    e = table(spark, sf_dir, "events")
+    comb = (
+        F.unix_timestamp(F.col("ts")).cast("long")
+        * F.lit(1000000000).cast("long")
+        + F.col("event_id")
+    )
+    t = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", comb.alias("comb"), _channel_col().alias("channel")
+    )
+    pu = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(comb).alias("pmin"))
+    )
+    jt = t.join(pu, "user_id", "left").filter(
+        F.col("pmin").isNull() | (F.col("comb") < F.col("pmin"))
+    )
+    w = Window.partitionBy("user_id").orderBy("comb")
+    wd = Window.partitionBy("user_id").orderBy(F.col("comb").desc())
+    seq = jt.select(
+        "user_id",
+        "channel",
+        F.lag("channel").over(w).alias("prev"),
+        F.row_number().over(wd).alias("rn_d"),
+        F.col("pmin").isNotNull().alias("cv"),
+    )
+    inc = seq.select(
+        F.coalesce("prev", F.lit("START")).alias("f"), F.col("channel").alias("t")
+    )
+    fin = seq.filter(F.col("rn_d") == 1).select(
+        F.col("channel").alias("f"),
+        F.when(F.col("cv"), "conv").otherwise("drop").alias("t"),
+    )
+    direct = pu.join(jt.select("user_id").distinct(), "user_id", "left_anti").select(
+        F.lit("START").alias("f"), F.lit("conv").alias("t")
+    )
+    trans = (
+        inc.unionByName(fin)
+        .unionByName(direct)
+        .groupBy("f", "t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return absorbing_removal_effects(
+        trans, ["organic", "paid", "email", "social"], iters=12
+    )
+
+
 @register(
     "funnel_windowed_3step",
     f"""

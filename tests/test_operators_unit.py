@@ -4251,3 +4251,41 @@ def test_weighted_harmonic_cost1_equals_unweighted(spark):
         ).collect()
     }
     assert got == want and len(got) > 5
+
+
+def test_markov_removal_effects_two_channel_closed_form(spark):
+    """Hand-replayed absorbing chain: START->a (2/5), START->b (3/5),
+    a->conv (1/2), b->conv (2/3). Every expected integer below is the
+    closed-form truncating-division result."""
+    from lakeapi_spark.operators.graph import absorbing_removal_effects
+
+    trans = spark.createDataFrame(
+        [
+            ("START", "a", 2),
+            ("START", "b", 3),
+            ("a", "conv", 1),
+            ("a", "drop", 1),
+            ("b", "conv", 2),
+            ("b", "drop", 1),
+        ],
+        "f string, t string, cnt long",
+    )
+    rows = {
+        r.channel: r
+        for r in absorbing_removal_effects(trans, ["a", "b"], iters=12).collect()
+    }
+    # p_all: x(a)=500000, x(b)=2000000//3=666666,
+    # x(START)=(400000*500000 + 600000*666666)//1e6 = 599999
+    assert rows["a"].p_conv_all == 599999
+    assert rows["b"].p_conv_all == 599999
+    # removing a leaves START->b only: 600000*666666//1e6 = 399999
+    assert rows["a"].p_conv_removed == 399999
+    # removing b leaves START->a only: 400000*500000//1e6 = 200000
+    assert rows["b"].p_conv_removed == 200000
+    # re_fp: (599999-399999)*1e6//599999 = 333333;
+    #        (599999-200000)*1e6//599999 = 666666
+    assert rows["a"].removal_effect == 0.333333
+    assert rows["b"].removal_effect == 0.666666
+    # shares normalize over sum 999999
+    assert rows["a"].attr_share == 0.333333
+    assert rows["b"].attr_share == 0.666667
