@@ -16650,25 +16650,10 @@ def forecast_shootout_event_daily(spark: SparkSession, sf_dir: str) -> DataFrame
     return out
 
 
-def _croston_oracle_sql() -> str:
-    """Recursive-CTE oracle for Croston's method (alpha=.1) over
-    gap-filled daily part demand, 1995, top-20 parts by lineitem
-    count. State expressions are assembled here because the recursive
-    CTE cannot name intermediates (q+1 and the started-gate repeat);
-    the idle-period division is NULLIF-guarded so a vectorized CASE
-    evaluation cannot divide by the pre-start p = 0."""
-    znew = (
-        "CAST(CASE WHEN e.x > 0 THEN "
-        "(CASE WHEN r.started = 0 THEN e.x ELSE (100 * e.x + 900 * r.z) // 1000 END) "
-        "ELSE r.z END AS BIGINT)"
-    )
-    pnew = (
-        "CAST(CASE WHEN e.x > 0 THEN "
-        "(CASE WHEN r.started = 0 THEN (r.q + 1) * 1000 "
-        "ELSE (100 * (r.q + 1) * 1000 + 900 * r.p) // 1000 END) "
-        "ELSE r.p END AS BIGINT)"
-    )
-    return f"""
+#: shared oracle CTE prefix for the intermittent-demand queries:
+#: 1995 lineitem window, top-20 parts by count, 365-day gap-filled
+#: spine with rn/x (zeros injected) — mirrors _intermittent_part_series
+_INTERMITTENT_SERIES_SQL = """
     WITH l95 AS (
       SELECT l_partkey, CAST(l_shipdate AS DATE) AS day, l_quantity
       FROM lineitem
@@ -16687,10 +16672,77 @@ def _croston_oracle_sql() -> str:
     ), ev AS (
       SELECT s.l_partkey,
              ROW_NUMBER() OVER (PARTITION BY s.l_partkey ORDER BY d.day) AS rn,
-             COALESCE(dd.x, 0) AS x
+             d.day, COALESCE(dd.x, 0) AS x
       FROM sel s CROSS JOIN days d
       LEFT JOIN daily dd ON dd.l_partkey = s.l_partkey AND dd.day = d.day
-    ), rec AS (
+    )"""
+
+
+def _intermittent_part_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled 1995 daily demand series for the top-20 parts by
+    lineitem count — (l_partkey, day, x) with x in quantity
+    micro-units and explicit zeros from a 365-day spine per part. The
+    shared input of croston_part_demand_daily and the intermittent
+    shootout."""
+    l = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            F.col("l_shipdate").cast("date").alias("day"),
+            "l_quantity",
+        )
+        .filter(
+            (F.col("day") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("day") <= F.lit("1995-12-31").cast("date"))
+        )
+    )
+    sel = (
+        l.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "l_partkey")
+        .limit(20)
+        .select("l_partkey")
+    )
+    daily = (
+        l.join(F.broadcast(sel), "l_partkey")
+        .groupBy("l_partkey", "day")
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 1000000, 0).cast("long")).alias("x")
+        )
+    )
+    spine = sel.select(
+        "l_partkey",
+        F.explode(
+            F.expr(
+                "sequence(DATE'1995-01-01', DATE'1995-12-31', interval 1 day)"
+            )
+        ).alias("day"),
+    )
+    return (
+        spine.join(daily, ["l_partkey", "day"], "left")
+        .withColumn("x", F.coalesce("x", F.lit(0)))
+    )
+
+
+def _croston_oracle_sql() -> str:
+    """Recursive-CTE oracle for Croston's method (alpha=.1) over
+    gap-filled daily part demand, 1995, top-20 parts by lineitem
+    count. State expressions are assembled here because the recursive
+    CTE cannot name intermediates (q+1 and the started-gate repeat);
+    the idle-period division is NULLIF-guarded so a vectorized CASE
+    evaluation cannot divide by the pre-start p = 0."""
+    znew = (
+        "CAST(CASE WHEN e.x > 0 THEN "
+        "(CASE WHEN r.started = 0 THEN e.x ELSE (100 * e.x + 900 * r.z) // 1000 END) "
+        "ELSE r.z END AS BIGINT)"
+    )
+    pnew = (
+        "CAST(CASE WHEN e.x > 0 THEN "
+        "(CASE WHEN r.started = 0 THEN (r.q + 1) * 1000 "
+        "ELSE (100 * (r.q + 1) * 1000 + 900 * r.p) // 1000 END) "
+        "ELSE r.p END AS BIGINT)"
+    )
+    return _INTERMITTENT_SERIES_SQL + f""", rec AS (
       WITH RECURSIVE r(l_partkey, rn, started, z, p, q, nd, sae) AS (
         SELECT l_partkey, 0, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
                CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
@@ -16737,44 +16789,8 @@ def croston_part_demand_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/windows.croston_backtest."""
     from lakeapi_spark.operators.windows import croston_backtest
 
-    l = (
-        table(spark, sf_dir, "lineitem")
-        .select(
-            "l_partkey",
-            F.col("l_shipdate").cast("date").alias("day"),
-            "l_quantity",
-        )
-        .filter(
-            (F.col("day") >= F.lit("1995-01-01").cast("date"))
-            & (F.col("day") <= F.lit("1995-12-31").cast("date"))
-        )
-    )
-    sel = (
-        l.groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), "l_partkey")
-        .limit(20)
-        .select("l_partkey")
-    )
-    daily = (
-        l.join(F.broadcast(sel), "l_partkey")
-        .groupBy("l_partkey", "day")
-        .agg(
-            F.sum(F.round(F.col("l_quantity") * 1000000, 0).cast("long")).alias("x")
-        )
-    )
-    spine = sel.select(
-        "l_partkey",
-        F.explode(
-            F.expr(
-                "sequence(DATE'1995-01-01', DATE'1995-12-31', interval 1 day)"
-            )
-        ).alias("day"),
-    )
-    series = (
-        spine.join(daily, ["l_partkey", "day"], "left")
-        .withColumn("x", F.coalesce("x", F.lit(0)))
-        .withColumn("k", F.col("l_partkey").cast("string"))
+    series = _intermittent_part_series(spark, sf_dir).withColumn(
+        "k", F.col("l_partkey").cast("string")
     )
     out = croston_backtest(series, "k", "day", "x", alpha_num=100)
     return out.select(
@@ -16785,6 +16801,202 @@ def croston_part_demand_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p",
         "sae",
         F.expr("CAST((z * 1000 DIV p) AS DOUBLE) / 1000000.0").alias("demand_rate"),
+    )
+
+
+def _croston_shootout_oracle_sql() -> str:
+    """Five recursive-CTE blocks over the SAME gap-filled intermittent
+    series (zeros present — the domain Croston exists for): SES, Holt,
+    additive HW, multiplicative HW (its zero-guards are part of the
+    pinned kernel contract, so it is total here and expected to lose),
+    and Croston. Pre-first-demand periods contribute ZERO error to all
+    five (the ladder models carry level 0 through leading zeros;
+    Croston's gate skips them), so the SAEs cover the same periods and
+    the argmin is a fair fight."""
+    sd = "(CASE r.rn % 7 " + " ".join(
+        f"WHEN {j} THEN r.s{j}" for j in range(7)
+    ) + " END)"
+    nl = f"((300 * (e.x - {sd}) + 700 * (r.l + r.b)) // 1000)"
+    s_cols = ", ".join(
+        f"CASE WHEN r.rn % 7 = {j} THEN (300 * (e.x - {nl}) + 700 * r.s{j}) // 1000 "
+        f"ELSE r.s{j} END"
+        for j in range(7)
+    )
+    zeros = ", ".join(["CAST(0 AS BIGINT)"] * 7)
+    msd = sd
+    mdes = f"(CASE WHEN {msd} = 0 THEN 0 ELSE (e.x * 1000000) // {msd} END)"
+    mnl = f"((300 * {mdes} + 700 * (r.l + r.b)) // 1000)"
+    mrat = f"(CASE WHEN {mnl} = 0 THEN 0 ELSE (e.x * 1000000) // {mnl} END)"
+    ms_cols = ", ".join(
+        f"CASE WHEN r.rn % 7 = {j} THEN (300 * {mrat} + 700 * r.s{j}) // 1000 "
+        f"ELSE r.s{j} END"
+        for j in range(7)
+    )
+    ones = ", ".join(["CAST(1000000 AS BIGINT)"] * 7)
+    znew = (
+        "CAST(CASE WHEN e.x > 0 THEN "
+        "(CASE WHEN r.started = 0 THEN e.x ELSE (100 * e.x + 900 * r.z) // 1000 END) "
+        "ELSE r.z END AS BIGINT)"
+    )
+    pnew = (
+        "CAST(CASE WHEN e.x > 0 THEN "
+        "(CASE WHEN r.started = 0 THEN (r.q + 1) * 1000 "
+        "ELSE (100 * (r.q + 1) * 1000 + 900 * r.p) // 1000 END) "
+        "ELSE r.p END AS BIGINT)"
+    )
+    return _INTERMITTENT_SERIES_SQL + f""", rec_ses AS (
+      WITH RECURSIVE r(l_partkey, rn, l, sae) AS (
+        SELECT l_partkey, rn, x, CAST(0 AS BIGINT) FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.l_partkey, e.rn, (300 * e.x + 700 * r.l) // 1000,
+               r.sae + ABS(e.x - r.l)
+        FROM r JOIN ev e ON e.l_partkey = r.l_partkey AND e.rn = r.rn + 1
+      )
+      SELECT l_partkey, MAX(rn) AS n_periods,
+             CAST(MAX_BY(sae, rn) AS BIGINT) AS sae
+      FROM r GROUP BY 1
+    ), rec_holt AS (
+      WITH RECURSIVE r(l_partkey, rn, l, b, sae) AS (
+        SELECT l_partkey, rn, x, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.l_partkey, e.rn,
+               (300 * e.x + 700 * (r.l + r.b)) // 1000,
+               (100 * ((300 * e.x + 700 * (r.l + r.b)) // 1000 - r.l)
+                + 900 * r.b) // 1000,
+               r.sae + ABS(e.x - (r.l + r.b))
+        FROM r JOIN ev e ON e.l_partkey = r.l_partkey AND e.rn = r.rn + 1
+      )
+      SELECT l_partkey, CAST(MAX_BY(sae, rn) AS BIGINT) AS sae FROM r GROUP BY 1
+    ), rec_hwa AS (
+      WITH RECURSIVE r(l_partkey, rn, l, b, s0, s1, s2, s3, s4, s5, s6, sae) AS (
+        SELECT l_partkey, rn, x, CAST(0 AS BIGINT), {zeros}, CAST(0 AS BIGINT)
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.l_partkey, e.rn,
+               {nl},
+               (100 * ({nl} - r.l) + 900 * r.b) // 1000,
+               {s_cols},
+               r.sae + ABS(e.x - (r.l + r.b + {sd}))
+        FROM r JOIN ev e ON e.l_partkey = r.l_partkey AND e.rn = r.rn + 1
+      )
+      SELECT l_partkey, CAST(MAX_BY(sae, rn) AS BIGINT) AS sae FROM r GROUP BY 1
+    ), rec_hwm AS (
+      WITH RECURSIVE r(l_partkey, rn, l, b, s0, s1, s2, s3, s4, s5, s6, sae) AS (
+        SELECT l_partkey, rn, x, CAST(0 AS BIGINT), {ones}, CAST(0 AS BIGINT)
+        FROM ev WHERE rn = 1
+        UNION ALL
+        SELECT e.l_partkey, e.rn,
+               {mnl},
+               (100 * ({mnl} - r.l) + 900 * r.b) // 1000,
+               {ms_cols},
+               r.sae + ABS(e.x - ((r.l + r.b) * {msd}) // 1000000)
+        FROM r JOIN ev e ON e.l_partkey = r.l_partkey AND e.rn = r.rn + 1
+      )
+      SELECT l_partkey, CAST(MAX_BY(sae, rn) AS BIGINT) AS sae FROM r GROUP BY 1
+    ), rec_cro AS (
+      WITH RECURSIVE r(l_partkey, rn, started, z, p, q, nd, sae) AS (
+        SELECT l_partkey, 0, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM sel
+        UNION ALL
+        SELECT e.l_partkey, e.rn,
+               CASE WHEN e.x > 0 THEN 1 ELSE r.started END,
+               {znew},
+               {pnew},
+               CAST(CASE WHEN e.x > 0 THEN 0 ELSE r.q + 1 END AS BIGINT),
+               r.nd + CASE WHEN e.x > 0 THEN 1 ELSE 0 END,
+               r.sae + CASE WHEN r.started = 1
+                            THEN ABS(e.x - (r.z * 1000 // NULLIF(r.p, 0)))
+                            ELSE 0 END
+        FROM r JOIN ev e ON e.l_partkey = r.l_partkey AND e.rn = r.rn + 1
+      )
+      SELECT l_partkey, CAST(MAX_BY(nd, rn) AS BIGINT) AS n_demand,
+             CAST(MAX_BY(sae, rn) AS BIGINT) AS sae
+      FROM r GROUP BY 1
+    )
+    SELECT CAST(s.l_partkey AS BIGINT) AS l_partkey, s.n_periods, c.n_demand,
+           s.sae AS sae_ses, h.sae AS sae_holt,
+           a.sae AS sae_hw_add, m.sae AS sae_hw_mult, c.sae AS sae_croston,
+           CASE WHEN s.sae <= h.sae AND s.sae <= a.sae AND s.sae <= m.sae
+                     AND s.sae <= c.sae THEN 'ses'
+                WHEN h.sae <= a.sae AND h.sae <= m.sae AND h.sae <= c.sae
+                  THEN 'holt'
+                WHEN a.sae <= m.sae AND a.sae <= c.sae THEN 'hw_add'
+                WHEN m.sae <= c.sae THEN 'hw_mult'
+                ELSE 'croston' END AS winner
+    FROM rec_ses s
+    JOIN rec_holt h USING (l_partkey)
+    JOIN rec_hwa a USING (l_partkey)
+    JOIN rec_hwm m USING (l_partkey)
+    JOIN rec_cro c USING (l_partkey)
+    """
+
+
+@register("croston_shootout_part_daily", _croston_shootout_oracle_sql())
+def croston_shootout_part_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIVE-model shootout on the intermittent domain (ROADMAP_r12
+    #1 remainder): SES, Holt, additive HW, multiplicative HW, and
+    Croston backtested on the same gap-filled 1995 daily part-demand
+    series — the domain where the ladder's level smoothers decay to
+    zero between demand spikes and Croston's split size/interval
+    states are the right model. All five are TOTAL on zero-heavy
+    series (HW-mult by its pinned zero-guards) and pre-first-demand
+    periods contribute zero error to every model, so the per-part SAEs
+    cover identical periods; winner = ladder-order argmin (simpler
+    model wins ties, Croston last as the specialist). One
+    localCheckpoint-materialized series feeds all five sequential
+    Arrow kernels. operators/windows.{{exp,holt,hw,hwm,croston}}."""
+    from lakeapi_spark.operators.windows import (
+        croston_backtest,
+        exp_smooth_backtest,
+        holt_smooth_backtest,
+        holt_winters_backtest,
+        holt_winters_multiplicative_backtest,
+    )
+
+    series = _intermittent_part_series(spark, sf_dir).localCheckpoint(eager=True)
+    skey = series.withColumn("k", F.col("l_partkey").cast("string"))
+    ses = exp_smooth_backtest(series, "l_partkey", "day", "day", "x").select(
+        "l_partkey",
+        F.col("n_events").alias("n_periods"),
+        F.col("sae").alias("sae_ses"),
+    )
+    holt = holt_smooth_backtest(series, "l_partkey", "day", "day", "x").select(
+        "l_partkey", F.col("sae").alias("sae_holt")
+    )
+    hwa = holt_winters_backtest(skey, "k", "day", "x").select(
+        F.col("k").cast("long").alias("l_partkey"),
+        F.col("sae").alias("sae_hw_add"),
+    )
+    hwm = holt_winters_multiplicative_backtest(skey, "k", "day", "x").select(
+        F.col("k").cast("long").alias("l_partkey"),
+        F.col("sae").alias("sae_hw_mult"),
+    )
+    cro = croston_backtest(skey, "k", "day", "x", alpha_num=100).select(
+        F.col("k").cast("long").alias("l_partkey"),
+        "n_demand",
+        F.col("sae").alias("sae_croston"),
+    )
+    s1, s2 = F.col("sae_ses"), F.col("sae_holt")
+    s3, s4, s5 = F.col("sae_hw_add"), F.col("sae_hw_mult"), F.col("sae_croston")
+    winner = (
+        F.when((s1 <= s2) & (s1 <= s3) & (s1 <= s4) & (s1 <= s5), F.lit("ses"))
+        .when((s2 <= s3) & (s2 <= s4) & (s2 <= s5), F.lit("holt"))
+        .when((s3 <= s4) & (s3 <= s5), F.lit("hw_add"))
+        .when(s4 <= s5, F.lit("hw_mult"))
+        .otherwise(F.lit("croston"))
+    )
+    return (
+        ses.join(holt, "l_partkey")
+        .join(hwa, "l_partkey")
+        .join(hwm, "l_partkey")
+        .join(cro, "l_partkey")
+        .select(
+            "l_partkey", "n_periods", "n_demand",
+            "sae_ses", "sae_holt", "sae_hw_add", "sae_hw_mult", "sae_croston",
+            winner.alias("winner"),
+        )
     )
 
 
