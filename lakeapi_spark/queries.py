@@ -1222,7 +1222,10 @@ def stream_watermark_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from lakeapi_spark.streaming.pipeline import streaming_progress_metrics
+    from lakeapi_spark.streaming.pipeline import (
+        ProgressCapture,
+        streaming_progress_metrics,
+    )
 
     import shutil
 
@@ -1258,25 +1261,35 @@ def stream_watermark_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"))
         )
         qname = f"wm_metrics_{uuid.uuid4().hex[:8]}"
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("append")
-            .option("checkpointLocation", f"{stage}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        # a False return means the drain timed out: proceeding would
-        # hand the driver PARTIAL recentProgress (flaky rows-only row
-        # on a slow host) — fail loudly instead (ADVICE r12)
-        if not q.awaitTermination(180):
-            q.stop()
-            raise RuntimeError(
-                "stream_watermark_metrics: availableNow drain did not "
-                "terminate within 180s; refusing to report partial progress"
+        n_staged = e.count()
+        with ProgressCapture(spark) as cap:
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("append")
+                .option("checkpointLocation", f"{stage}/ckpt")
+                .trigger(availableNow=True)
+                .start()
             )
-        progress = list(q.recentProgress)
-        q.stop()
+            # a False return means the drain timed out: proceeding would
+            # hand the driver PARTIAL recentProgress (flaky rows-only row
+            # on a slow host) — fail loudly instead (ADVICE r12)
+            if not q.awaitTermination(180):
+                q.stop()
+                raise RuntimeError(
+                    "stream_watermark_metrics: availableNow drain did not "
+                    "terminate within 180s; refusing to report partial progress"
+                )
+            # recentProgress can drop early-batch rows on a fast drain
+            # (r13, measured); merge with listener-captured events so the
+            # 3-data-row contract is deterministic. Only the DATA batches
+            # are required: the trailing finalization batch is
+            # conditional (it runs only when the last file advances the
+            # watermark, which the withheld-late-slice scenario does not)
+            progress = cap.await_batches(
+                q, n_batches=len(parts), min_input_rows=n_staged
+            )
+            q.stop()
         out = (
             streaming_progress_metrics(progress, spark)
             # append mode may tack on a no-input batch to emit finalized
@@ -1288,6 +1301,142 @@ def stream_watermark_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (createDataFrame), so nothing references the staging dir once
         # the stream has stopped — localCheckpoint would be overkill
         return out
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@register("stream_state_bound", None)  # streaming: rows-only check
+def stream_state_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming state-store BOUND assertion (ROADMAP_r12 #4): feed a
+    watermarked (window x user) aggregation — a key space that GROWS
+    with the stream — from four time-ordered slices of the events
+    table, then check per micro-batch that the state store holds
+    EXACTLY the keys the watermark says should be live:
+    numRowsTotal(batch) == #distinct (window, user) keys seen so far
+    whose window_end > the batch's reported watermark (the eviction
+    watermark — measured r13: state cleanup at the end of batch b uses
+    max event time through b-1 minus the delay, i.e. the same lagging
+    value progress reports; the late-data FILTER lags one batch more).
+    The builder RAISES on any batch where state deviates from the
+    bound, and raises if the final state did not shrink below the
+    cumulative key count (no eviction = watermark not bounding state =
+    the unbounded-state failure this query exists to catch). Returns
+    the per-batch relation (batch_id, input rows, state rows, expected
+    live keys, cumulative keys, bounded). Driver-metadata-sized; not
+    SQL-expressible (rows-only); the eviction arithmetic is
+    property-tested against a synthetic growing-key stream in
+    tests/test_streaming.py."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from lakeapi_spark.streaming.pipeline import (
+        ProgressCapture,
+        streaming_progress_metrics,
+    )
+
+    e = table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    p25, p50, p75 = e.selectExpr(
+        "percentile(unix_timestamp(ts), 0.25)",
+        "percentile(unix_timestamp(ts), 0.5)",
+        "percentile(unix_timestamp(ts), 0.75)",
+    ).first()
+    cut = F.unix_timestamp("ts")
+    stage = tempfile.mkdtemp(prefix="state_bound_")
+    try:
+        src = f"{stage}/src"  # checkpoint lives OUTSIDE the source glob
+        slices = [
+            e.filter(cut <= p25),
+            e.filter((cut > p25) & (cut <= p50)),
+            e.filter((cut > p50) & (cut <= p75)),
+            e.filter(cut > p75),
+        ]
+        for i, df in enumerate(slices):
+            d = f"{src}/f{i}"
+            df.coalesce(1).write.mode("overwrite").parquet(d)
+            for root, _dirs, files in os.walk(d):
+                for fn in files:
+                    os.utime(os.path.join(root, fn), (1_000_000 + i, 1_000_000 + i))
+        stream = (
+            spark.readStream.schema("ts timestamp, user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        qname = f"state_bound_{uuid.uuid4().hex[:8]}"
+        n_staged = e.count()
+        with ProgressCapture(spark) as cap:
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("append")
+                .option("checkpointLocation", f"{stage}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(180):
+                q.stop()
+                raise RuntimeError(
+                    "stream_state_bound: availableNow drain did not terminate "
+                    "within 180s; refusing to report partial progress"
+                )
+            # one batch per staged file + the finalization batch;
+            # raises rather than asserting against a partial view
+            progress = cap.await_batches(
+                q, n_batches=len(slices) + 1, min_input_rows=n_staged
+            )
+            q.stop()
+        metrics = streaming_progress_metrics(progress, spark).orderBy("batch_id")
+        rows = metrics.collect()  # micro-batch-sized driver relation
+        # batch b consumed staged slice b (mtime order IS micro-batch
+        # order; the trailing no-input finalization batch sees all
+        # slices). Every batch is asserted against its own REPORTED
+        # watermark: eviction follows the reported value, and WHICH
+        # batch first carries one is racy on a fast drain (the batch-0
+        # watermark commit can land in batch 1 or batch 2) — a batch
+        # with no watermark yet simply admits every key seen so far.
+        keys = F.struct(F.window("ts", "5 minutes").alias("w"), F.col("user_id"))
+        wend = F.col("k.w.end")
+        out, n_files = [], len(slices)
+        for r in rows:
+            upto = min(r.batch_id, n_files - 1)
+            cum = slices[0]
+            for s_ in slices[1:upto + 1]:
+                cum = cum.unionByName(s_)
+            kd = cum.select(keys.alias("k")).distinct()
+            cum_keys = kd.count()
+            live = (
+                kd.filter(wend > F.lit(r.watermark)).count()
+                if r.watermark is not None
+                else cum_keys
+            )
+            bounded = r.state_rows == live
+            out.append(
+                (r.batch_id, r.num_input_rows, r.state_rows, live, cum_keys, bounded)
+            )
+            if not bounded:
+                raise RuntimeError(
+                    f"stream_state_bound: batch {r.batch_id} holds "
+                    f"{r.state_rows} state rows, watermark admits {live}"
+                )
+        if not out:
+            raise RuntimeError("stream_state_bound: no progress rows")
+        if out[-1][2] >= out[-1][4]:
+            raise RuntimeError(
+                "stream_state_bound: final state never shrank below the "
+                f"cumulative key count ({out[-1][2]} >= {out[-1][4]}) — "
+                "watermark is not bounding state"
+            )
+        return spark.createDataFrame(
+            out,
+            "batch_id long, num_input_rows long, state_rows long, "
+            "expected_live_keys long, cum_keys long, state_bounded boolean",
+        )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
 

@@ -698,3 +698,86 @@ def hll_maintained_delta_sink(
         )
 
     return write
+
+
+class ProgressCapture:
+    """Reliable per-micro-batch progress capture (r13): for short
+    availableNow drains, ``query.recentProgress`` alone sometimes
+    surfaces only the LAST few batches (measured: a 4-file drain
+    intermittently lost the batch-0/1 rows), so the observability
+    queries also subscribe a StreamingQueryListener and merge both
+    sources by batchId. Usage:
+
+        cap = ProgressCapture(spark)
+        with cap:                       # addListener / removeListener
+            q = ...start(); q.awaitTermination(...); q.stop()
+            progress = cap.await_batches(q, n_batches=5,
+                                         min_input_rows=10_000)
+
+    ``await_batches`` polls the merged view until batchIds 0..n-1 are
+    all present AND the data batches account for ``min_input_rows``
+    input rows (the listener bus is asynchronous — events for early
+    batches can land after awaitTermination returns), then returns the
+    progress dicts sorted by batchId; it raises on timeout instead of
+    returning a partial view a bound-assertion could false-fail on."""
+
+    def __init__(self, spark: SparkSession):
+        import json as _json
+
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        self._spark = spark
+        self.by_batch: dict[int, dict] = {}
+        outer = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = _json.loads(event.progress.json)
+                outer.by_batch[int(p["batchId"])] = p
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        self._listener = _L()
+
+    def __enter__(self):
+        self._spark.streams.addListener(self._listener)
+        return self
+
+    def __exit__(self, *exc):
+        self._spark.streams.removeListener(self._listener)
+        return False
+
+    def merged(self, query) -> dict[int, dict]:
+        import json as _json
+
+        out = dict(self.by_batch)
+        for p in query.recentProgress:
+            d = _json.loads(p.json) if not isinstance(p, dict) else p
+            out.setdefault(int(d["batchId"]), d)
+        return out
+
+    def await_batches(
+        self, query, n_batches: int, min_input_rows: int, timeout: float = 60.0
+    ) -> list[dict]:
+        import time as _time
+
+        deadline = _time.monotonic() + timeout
+        while True:
+            m = self.merged(query)
+            inputs = sum(int(p.get("numInputRows") or 0) for p in m.values())
+            if all(b in m for b in range(n_batches)) and inputs >= min_input_rows:
+                return [m[b] for b in sorted(m)]
+            if _time.monotonic() > deadline:
+                raise RuntimeError(
+                    f"progress capture incomplete after {timeout}s: have "
+                    f"batches {sorted(m)} ({inputs} input rows), need "
+                    f"0..{n_batches - 1} and >= {min_input_rows} rows"
+                )
+            _time.sleep(0.25)

@@ -1100,3 +1100,102 @@ def test_streaming_progress_metrics_matches_batch_replay(spark, tmp_path):
     want2 = batch_replay_drops(b2)
     assert sum(r.rows_dropped_late for r in data2) == want2 == 2
     assert [r.rows_dropped_late for r in data2] == [0, 0, 2]
+
+
+def test_stream_state_bound_growing_keys_evicted(spark, tmp_path):
+    """r13 state-bound property (ROADMAP_r12 #4): a (window x user)
+    aggregation whose key space GROWS every batch must hold exactly
+    the keys its reported watermark admits — eviction at the end of
+    batch b uses the same lagging watermark the progress row reports
+    (max event time through b-1, minus the delay; measured r13) — and
+    the final state must be a small fraction of the cumulative keys.
+    ProgressCapture merges listener events with recentProgress because
+    a fast availableNow drain can drop early progress rows."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lakeapi_spark.streaming.pipeline import (
+        ProgressCapture,
+        streaming_progress_metrics,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    n_batches, per_batch = 4, 3
+    batches = [
+        [
+            (t0 + dt.timedelta(minutes=30 * i), 10 * i + u, 1.0)
+            for u in range(per_batch)
+        ]
+        for i in range(n_batches)
+    ]
+    src = str(tmp_path / "grow_src")
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        d = f"{src}/f{i}"
+        spark.createDataFrame(
+            rows, "ts timestamp, user_id long, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        for root, _dirs, files in os.walk(d):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (1_000_000 + i,) * 2)
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    with ProgressCapture(spark) as cap:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("grow_keys")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "grow_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        progress = cap.await_batches(
+            q, n_batches=n_batches, min_input_rows=n_batches * per_batch
+        )
+        q.stop()
+    metrics = (
+        streaming_progress_metrics(progress, spark).orderBy("batch_id").collect()
+    )
+
+    def key_end(t, u):
+        mins = (t - t0).total_seconds() // 60
+        return (
+            t0 + dt.timedelta(minutes=(mins // 5 + 1) * 5),
+            u,
+        )
+
+    checked = 0
+    for r in metrics:
+        upto = min(r.batch_id, n_batches - 1)
+        keys = {
+            key_end(t, u)
+            for rows in batches[: upto + 1]
+            for (t, u, _v) in rows
+        }
+        if r.watermark is None:
+            live = len(keys)
+        else:
+            wm = (
+                r.watermark.replace(tzinfo=None)
+                if r.watermark.tzinfo is not None
+                else r.watermark
+            )
+            live = sum(1 for (end, _u) in keys if end > wm)
+        assert r.state_rows == live, (r.batch_id, r.state_rows, live)
+        checked += 1
+    assert checked >= n_batches
+    # boundedness: the final batch's watermark evicted the old windows
+    final = metrics[-1]
+    assert final.state_rows <= per_batch * 2
+    assert final.state_rows < n_batches * per_batch
