@@ -9477,6 +9477,111 @@ def rfm_quintile_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantile_sketch_rollup",
+    """
+    WITH vals AS (SELECT o_totalprice AS v FROM orders),
+    s AS (SELECT COUNT(*) AS n, MIN(v) AS mn, MAX(v) AS mx FROM vals),
+    hist AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((v - (SELECT mn FROM s))
+                 / (((SELECT mx FROM s) - (SELECT mn FROM s)) / 512)) AS INT),
+             0), 511) AS b,
+             COUNT(*) AS c
+      FROM vals GROUP BY 1
+    ), cum AS (
+      SELECT b, c,
+             SUM(c) OVER (ORDER BY b) AS cm,
+             SUM(c) OVER (ORDER BY b) - c AS cmb
+      FROM hist
+    ), ps AS (SELECT CAST(p AS DOUBLE) AS p
+              FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(p)),
+    tgt AS (
+      SELECT p, GREATEST(1, CAST(CEIL(p * (SELECT n FROM s)) AS BIGINT)) AS r
+      FROM ps
+    ), pick AS (
+      SELECT t.p, t.r, c.b, c.c, c.cmb
+      FROM tgt t JOIN cum c ON c.cmb < t.r AND t.r <= c.cm
+    ), ord AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM vals
+    ), est AS (
+      SELECT p, r,
+             (SELECT mn FROM s)
+             + (((SELECT mx FROM s) - (SELECT mn FROM s)) / 512)
+               * (b + CAST(r - cmb AS DOUBLE) / CAST(c AS DOUBLE)) AS e
+      FROM pick
+    )
+    SELECT est.p,
+           (SELECT CAST(n AS BIGINT) FROM s) AS n,
+           ROUND(est.e, 4) + 0.0 AS est,
+           o.v AS exact,
+           ROUND(ABS(ROUND(est.e, 4) - o.v), 4) + 0.0 AS abs_err,
+           ROUND(ABS(ROUND(est.e, 4) - o.v), 4)
+             <= (((SELECT mx FROM s) - (SELECT mn FROM s)) / 512) + 0.0001
+             AS within_bucket
+    FROM est JOIN ord o ON o.rn = est.r
+    """,
+)
+def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-of-percentiles / distributed-quantile dial
+    (ROADMAP_r12 #5): estimate {p25, p50, p75, p90, p99} of order
+    value from a MERGEABLE 512-bucket equi-width histogram sketch —
+    counts add, so each executor partial-aggregates its slice and the
+    shuffle reduce IS the merge; this is the t-digest-lite that scales
+    to any volume in 2 bounded passes (min/max, histogram) — and
+    compare each estimate against the EXACT order statistic at the
+    same rank (operators/windows.order_statistics — the 3-pass
+    histogram-guided selection, no global sort). abs_err must sit
+    within one bucket width (both the estimate and the truth live in
+    the rank's bucket), which the within_bucket flag asserts on every
+    row. Rank rule pinned as max(1, ceil(p*n)); interpolation
+    arithmetic is plain IEEE doubles evaluated in the same order on
+    both engines, rounded(4) at the readout."""
+    import math
+    from bisect import bisect_left
+
+    from lakeapi_spark.operators.windows import order_statistics
+
+    o = table(spark, sf_dir, "orders").select(F.col("o_totalprice").alias("v"))
+    n, mn, mx = o.agg(
+        F.count(F.lit(1)), F.min("v"), F.max("v")
+    ).first()
+    width = (mx - mn) / 512
+    b = F.least(
+        F.greatest(F.floor((F.col("v") - F.lit(mn)) / F.lit(width)).cast("int"), F.lit(0)),
+        F.lit(511),
+    )
+    hist = sorted(
+        (r["b"], r["c"])
+        for r in o.groupBy(b.alias("b")).agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    buckets = [bk for bk, _ in hist]
+    cm, acc = [], 0
+    for _, c in hist:
+        acc += c
+        cm.append(acc)
+    probs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    ranks = [max(1, int(math.ceil(p * n))) for p in probs]
+    exact = {rank: v for rank, _s, _k, v in order_statistics(o, "v", None, ranks)}
+    rows = []
+    for p, r in zip(probs, ranks):
+        i = bisect_left(cm, r)
+        cmb = cm[i - 1] if i else 0
+        # same IEEE ops in the same order as the oracle's est expression
+        e = mn + width * (buckets[i] + float(r - cmb) / float(cm[i] - cmb))
+        rows.append((p, n, e, float(exact[r])))
+    out = spark.createDataFrame(rows, "p double, n long, e double, exact double")
+    est_r = F.round(F.col("e"), 4)
+    err = F.round(F.abs(est_r - F.col("exact")), 4)
+    return out.select(
+        "p",
+        "n",
+        (est_r + 0.0).alias("est"),
+        "exact",
+        (err + 0.0).alias("abs_err"),
+        (err <= F.lit(width + 0.0001)).alias("within_bucket"),
+    )
+
+
+@register(
     "top2_plus_other_by_nation",
     """
     WITH rev AS (
