@@ -463,6 +463,19 @@ def _group_median(
     )
 
 
+def _array_median(arr) -> "F.Column":
+    """Exact median of a SORTED double array with the engine-portable
+    even-count rule of :func:`_group_median`: mean of the elements at
+    positions (n+1) div 2 and (n+2) div 2 (one element when n is odd —
+    (a+a)/2 == a exactly in IEEE, and two-term addition is commutative,
+    so this is bit-identical to AVG over the two rank-picked rows).
+    Caller guarantees n >= 1 (element_at is 1-indexed)."""
+    n = F.size(arr)
+    lo = F.floor((n + 1) / F.lit(2)).cast("int")
+    hi = F.floor((n + 2) / F.lit(2)).cast("int")
+    return (F.element_at(arr, lo) + F.element_at(arr, hi)) / F.lit(2.0)
+
+
 def theil_sen_trend(
     df: DataFrame,
     group_cols: list[str],
@@ -478,56 +491,64 @@ def theil_sen_trend(
     (group_cols..., n_pairs, slope, intercept); groups with < 2 points
     have no pairs and drop.
 
-    Scale shape: the input here is a PRE-AGGREGATED per-(group, period)
-    series — bounded by groups x periods, never the fact table — so the
-    O(m^2) pair self-join is quadratic only in the number of PERIODS
-    (80 months -> 3,160 pairs per group). The join keys on the group
-    columns (one exchange of the small series), medians window over
-    per-group pair sets, and the residual pass broadcasts the
-    |groups|-row slope table back onto the series. Slopes are rounded
-    BEFORE the residual pass so both engines feed bit-identical slopes
-    into the intercept medians."""
+    Scale shape (r13): the input is a PRE-AGGREGATED per-(group,
+    period) series — bounded by groups x periods, never the fact table
+    — so the whole estimator fits ONE aggregation: collect each group's
+    (x, y) points into a sorted array and run the O(periods^2) pair
+    expansion, both medians, and the residual pass as higher-order
+    array expressions over that row (same nested-transform shape as
+    the co-purchase basket pair build). One exchange on the group key,
+    zero self-joins/windows/broadcasts/persists — the previous
+    join+window spelling paid 4 extra exchanges and a 3-reference
+    persist for identical numbers (the per-group pair array, 80 months
+    -> 3,160 doubles, is the same relation the join materialized
+    row-wise). Medians are rank-picked (:func:`_array_median`), slopes
+    rounded BEFORE the residual pass, so both engines feed
+    bit-identical doubles forward; ``cache_handles`` is kept for
+    signature compatibility (nothing is persisted any more)."""
+    del cache_handles  # no persisted state in the single-pass shape
     x = F.col(x_col).cast("long")
     y = F.col(y_col).cast("double")
-    # persisted: the series feeds BOTH sides of the pair self-join and
-    # the residual pass — without it the upstream rollup (often a fact-
-    # table join + aggregate) re-executes three times (plan-audited:
-    # 3 source re-scans -> 1, 2.3 s -> 1.9 s at sf0.1). Bounded by contract:
-    # groups x periods rows.
-    series = df.select(*group_cols, x.alias("_x"), y.alias("_y")).persist()
-    if cache_handles is not None:
-        cache_handles.append(series)
-    a = series
-    b = series.select(
-        *group_cols, F.col("_x").alias("_x2"), F.col("_y").alias("_y2")
+    g = df.groupBy(*group_cols).agg(
+        F.array_sort(
+            F.collect_list(F.struct(x.alias("x"), y.alias("y")))
+        ).alias("_pts")
     )
-    pairs = (
-        a.join(b, on=list(group_cols))
-        .filter(F.col("_x") < F.col("_x2"))
-        .select(
-            *group_cols,
-            (
-                (F.col("_y2") - F.col("_y"))
-                / (F.col("_x2") - F.col("_x")).cast("double")
-            ).alias("_s"),
+    pts = F.col("_pts")
+    # all (i, j) index pairs with x_i < x_j: slice from i+2 walks j > i
+    # over the x-sorted array; the strict-inequality filter preserves
+    # the operator contract (tied x values pair with NOTHING, exactly
+    # like the previous `_x < _x2` join filter)
+    slopes = F.array_sort(
+        F.flatten(
+            F.transform(
+                pts,
+                lambda p, i: F.transform(
+                    F.filter(
+                        F.slice(pts, i + 2, F.size(pts)),
+                        lambda q: q["x"] > p["x"],
+                    ),
+                    lambda q: (q["y"] - p["y"])
+                    / (q["x"] - p["x"]).cast("double"),
+                ),
+            )
         )
     )
-    slope = _group_median(pairs, group_cols, "_s").select(
+    g = g.withColumn("_sl", slopes).filter(F.size("_sl") > 0)
+    g = g.select(
         *group_cols,
-        F.col("_n").alias("n_pairs"),
-        (F.round(F.col("_median"), round_digits) + 0.0).alias("slope"),
+        "_pts",
+        F.size("_sl").cast("long").alias("n_pairs"),
+        (F.round(_array_median(F.col("_sl")), round_digits) + 0.0).alias("slope"),
     )
-    resid = series.join(F.broadcast(slope), on=list(group_cols)).select(
+    resid = F.array_sort(
+        F.transform(pts, lambda p: p["y"] - F.col("slope") * p["x"])
+    )
+    return g.select(
         *group_cols,
         "n_pairs",
         "slope",
-        (F.col("_y") - F.col("slope") * F.col("_x")).alias("_r"),
-    )
-    return _group_median(resid, [*group_cols, "n_pairs", "slope"], "_r").select(
-        *group_cols,
-        "n_pairs",
-        "slope",
-        (F.round(F.col("_median"), round_digits) + 0.0).alias("intercept"),
+        (F.round(_array_median(resid), round_digits) + 0.0).alias("intercept"),
     )
 
 
@@ -1053,66 +1074,104 @@ def acf_zero_filled(
     engine-deterministic. Scale shape: one series-sized aggregate, one
     k-exploded equi-join (series stays tiny relative to the fact table
     it aggregates), no per-lag passes. Returns (lag, n_pairs, acf)."""
-    # the series relation feeds four consumers (totals, both sides of
-    # the lag join, boundary sums) — persist so the upstream fact-table
-    # aggregate runs ONCE, not once per reference
-    d = daily.select(
-        F.col(day_col).alias("_d"), F.col(val_col).alias("_x")
-    ).persist()
-    g = d.agg(
-        F.min("_d").alias("_mn"),
-        F.max("_d").alias("_mx"),
-        F.sum("_x").alias("_s"),
-        F.sum(F.col("_x") * F.col("_x")).alias("_q"),
+    # r13 single-pass shape: the series is GRID-BOUNDED (one row per
+    # observed day — thousands of rows regardless of fact-table size),
+    # so the whole estimator collapses into one aggregation row: sort
+    # the (day, value) points, expand to the dense zero-filled span as
+    # an int64 array, and compute every A_k / boundary sum as
+    # higher-order array folds. The previous spelling (persist + a
+    # k-exploded self-join + two more joins) paid ~14 extra Spark jobs
+    # of scheduler overhead for identical integers. All arithmetic
+    # stays exact int64 until the single final double expression,
+    # which is written in the same order as before.
+    zero = F.lit(0).cast("long")
+    row = daily.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(day_col).cast("long").alias("d"),
+                    F.col(val_col).cast("long").alias("x"),
+                )
+            )
+        ).alias("_pts")
+    ).filter(F.size("_pts") > 0)
+    pts = F.col("_pts")
+    # dense span [mn, mx]: each point contributes (gap zeros ++ [x]);
+    # observed-day mask alongside so row-presence semantics match the
+    # old observed-day equi-join exactly (a lag row only exists when
+    # some (d, d+k) pair is OBSERVED, even if its values are 0)
+    gap = lambda p, i: F.when(i == 0, F.lit(0)).otherwise(  # noqa: E731
+        p["d"] - F.element_at(pts, i)["d"] - 1
+    ).cast("int")
+    row = row.select(
+        F.flatten(
+            F.transform(
+                pts,
+                lambda p, i: F.concat(
+                    F.array_repeat(zero, gap(p, i)), F.array(p["x"])
+                ),
+            )
+        ).alias("_dx"),
+        F.flatten(
+            F.transform(
+                pts,
+                lambda p, i: F.concat(
+                    F.array_repeat(F.lit(0), gap(p, i)), F.array(F.lit(1))
+                ),
+            )
+        ).alias("_ob"),
     )
-    ks = F.explode(F.array(*[F.lit(k) for k in range(1, max_lag + 1)])).alias("_k")
-    # A_k: one equi-join of the series against itself shifted by k
-    lagged = d.select("_d", "_x", ks).select(
-        "_k", (F.col("_d") + F.col("_k")).alias("_d2"), F.col("_x").alias("_xa")
+    dx, ob = F.col("_dx"), F.col("_ob")
+    n_i = F.size(dx)
+    s_i = F.aggregate(dx, zero, lambda a, v: a + v)
+    q_i = F.aggregate(dx, zero, lambda a, v: a + v * v)
+    # per-lag folds over index positions: element_at is O(1) on arrays
+    lags = F.transform(
+        F.sequence(F.lit(1), F.lit(max_lag)),
+        lambda k: F.struct(
+            k.cast("long").alias("k"),
+            F.aggregate(
+                F.sequence(F.lit(1), F.greatest(n_i - k, F.lit(1))),
+                zero,
+                lambda a, i: a
+                + F.when(
+                    i <= n_i - k, F.element_at(dx, i) * F.element_at(dx, i + k)
+                ).otherwise(zero),
+            ).alias("ak"),
+            F.aggregate(
+                F.sequence(F.lit(1), F.greatest(n_i - k, F.lit(1))),
+                zero,
+                lambda a, i: a
+                + F.when(
+                    i <= n_i - k,
+                    (F.element_at(ob, i) * F.element_at(ob, i + k)).cast("long"),
+                ).otherwise(zero),
+            ).alias("npob"),
+            F.aggregate(F.slice(dx, 1, k.cast("int")), zero, lambda a, v: a + v)
+            .alias("head"),
+            F.aggregate(
+                F.slice(dx, -k.cast("int"), k.cast("int")), zero, lambda a, v: a + v
+            ).alias("tail"),
+        ),
     )
-    b = d.select(F.col("_d").alias("_d2"), F.col("_x").alias("_xb"))
-    ak = (
-        lagged.join(b, "_d2")
-        .groupBy("_k")
-        .agg(F.sum(F.col("_xa") * F.col("_xb")).alias("_ak"))
-    )
-    # head/tail boundary sums per k (series x k, conditional agg)
-    ht = (
-        d.select("_d", "_x", ks)
-        .crossJoin(F.broadcast(g.select("_mn", "_mx")))
-        .groupBy("_k")
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("_d") < F.col("_mn") + F.col("_k"), F.col("_x"))),
-                F.lit(0),
-            ).alias("_head"),
-            F.coalesce(
-                F.sum(F.when(F.col("_d") > F.col("_mx") - F.col("_k"), F.col("_x"))),
-                F.lit(0),
-            ).alias("_tail"),
-        )
-    )
-    n = (F.col("_mx") - F.col("_mn") + 1).cast("double")
+    ex = row.select(
+        n_i.cast("long").alias("_n"),
+        s_i.alias("_s"),
+        q_i.alias("_q"),
+        F.explode(lags).alias("_l"),
+    ).filter(F.col("_l.npob") > 0)
+    n = F.col("_n").cast("double")
     s = F.col("_s").cast("double")
     q = F.col("_q").cast("double")
-    kd = F.col("_k").cast("double")
-    bk = 2 * s - F.col("_head").cast("double") - F.col("_tail").cast("double")
-    num = n * n * F.col("_ak").cast("double") - n * s * bk + (n - kd) * s * s
+    kd = F.col("_l.k").cast("double")
+    bk = 2 * s - F.col("_l.head").cast("double") - F.col("_l.tail").cast("double")
+    num = n * n * F.col("_l.ak").cast("double") - n * s * bk + (n - kd) * s * s
     den = n * n * q - n * s * s
-    out = (
-        ak.join(ht, "_k")
-        .crossJoin(F.broadcast(g))
-        .select(
-            F.col("_k").cast("long").alias("lag"),
-            (F.col("_mx") - F.col("_mn") + 1 - F.col("_k")).cast("long").alias(
-                "n_pairs"
-            ),
-            (F.round(num / den, digits) + 0.0).alias("acf"),
-        )
+    return ex.select(
+        F.col("_l.k").alias("lag"),
+        (F.col("_n") - F.col("_l.k")).cast("long").alias("n_pairs"),
+        (F.round(num / den, digits) + 0.0).alias("acf"),
     )
-    out = out.localCheckpoint(eager=True)  # sever from the persisted lineage
-    d.unpersist()
-    return out
 
 
 #: Poisson(1) inverse-CDF thresholds (cumulative e^-1 * 1/k! sums),

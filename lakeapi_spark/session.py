@@ -120,6 +120,14 @@ def get_spark(
         builder = builder.master(master)
     elif not os.environ.get("SPARK_CONNECT_MODE_ENABLED") and "SPARK_MASTER" not in os.environ:
         builder = builder.master(f"local[{cpus}]")
+    # Deployment-specific overrides (cluster memory sizing, shuffle
+    # tuning, A/B experiments) without code edits: semicolon-separated
+    # k=v pairs. Applied before extra_conf so programmatic callers win.
+    env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
+    for pair in env_conf.split(";"):
+        if "=" in pair:
+            k, _, v = pair.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

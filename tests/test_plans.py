@@ -302,15 +302,21 @@ def test_shuffle_shard_no_global_sort(spark, sf_dir):
     assert "rangepartitioning" not in plan, plan
 
 
-def test_theil_sen_series_computed_once(spark, sf_dir):
-    """The pair self-join consumes the PERSISTED monthly series: the
-    orders/customer rollup must appear as InMemoryRelation reuse, not
-    as three independent source scans (the pre-persist plan re-ran the
-    fact join per reference: 7 exchanges, 2.3s -> 1.9s at sf0.1)."""
+def test_theil_sen_single_pass_no_self_join(spark, sf_dir):
+    """r13 single-pass contract: the estimator is ONE aggregation over
+    the monthly rollup (pair expansion + both medians as array
+    expressions), so the fact side is scanned once and there is no
+    pair self-join, no window, and no persisted intermediate at all —
+    the previous join+window spelling needed a persist to avoid 3
+    source re-scans and still paid 4 more exchanges."""
     df = QUERIES["theil_sen_revenue_trend"].build(spark, sf_dir)
     plan = plan_str(spark, df)
-    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, plan
-    spark.catalog.clearCache()  # release the operator-persisted series
+    assert plan.count("orders.parquet") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "InMemoryRelation" not in plan, plan
+    # monthly rollup + per-group collect: nothing else is wide
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 
 def test_feature_hash_single_shuffle(spark, sf_dir):
