@@ -359,17 +359,31 @@ def _bfs_hops_dense(und: DataFrame, seeds0: DataFrame, max_hops: int) -> DataFra
     row — bounded by the caller's dense budget check, never unmeasured.
 
     ``und`` must be the doubled (u, v) relation; ``seeds0`` a (node)
-    relation. Returns the same (node, hops) contract as the frontier
-    path: min-hop by BFS invariant, seeds at 0, only nodes within
-    ``max_hops``."""
+    relation (dupes fine — the seed collect_set dedupes). Returns the
+    same (node, hops) contract as the frontier path: min-hop by BFS
+    invariant, seeds at 0, only nodes within ``max_hops``."""
     adj = (
         und.groupBy("u")
         .agg(F.collect_set("v").alias("vs"))
         .agg(F.map_from_entries(F.collect_list(F.struct("u", "vs"))).alias("adj"))
     )
     fr0 = seeds0.agg(F.collect_set("node").alias("fr0"))
-    # 1-row x 1-row cross: constant-bounded by construction
-    st = adj.crossJoin(F.broadcast(fr0)).withColumn("vis0", F.col("fr0"))
+    # merge the two 1-row aggregates WITHOUT a join: a 2-row union
+    # folded by first(ignorenulls) costs one exchange inside the same
+    # job, where the previous broadcast cross-join paid a separate
+    # broadcast-materialization job per action (r13, guide §2.4 —
+    # pure scheduler latency on constant-bounded relations)
+    adj_t = adj.schema[0].dataType
+    fr_t = fr0.schema[0].dataType
+    st = (
+        adj.select("adj", F.lit(None).cast(fr_t).alias("fr0"))
+        .unionByName(fr0.select(F.lit(None).cast(adj_t).alias("adj"), "fr0"))
+        .agg(
+            F.first("adj", ignorenulls=True).alias("adj"),
+            F.first("fr0", ignorenulls=True).alias("fr0"),
+        )
+        .withColumn("vis0", F.col("fr0"))
+    )
     empty = F.slice(F.col("fr0"), 1, 0)  # typed empty array, no cast guess
     for h in range(1, max_hops + 1):
         st = st.withColumn(
@@ -490,8 +504,13 @@ def bfs_hops(
             # whole graph fits one adjacency row — run every round as
             # array expressions instead of paying ~2 broadcast jobs of
             # scheduler latency per round. dense_limit=0 disables
-            # (tests exercise the frontier plan through it).
-            dist = _bfs_hops_dense(und, dist.select("node"), max_hops)
+            # (tests exercise the frontier plan through it). The raw
+            # seed projection goes in (not the distinct'd dist): the
+            # seed collect_set dedupes for free, saving the distinct's
+            # exchange (r13).
+            dist = _bfs_hops_dense(
+                und, seeds.select(F.col(node).alias("node")), max_hops
+            )
             if cache_handles is not None:
                 cache_handles.extend(handles)
             return dist

@@ -181,6 +181,15 @@ class Bm25Index:
     term_df: DataFrame  # (__tok, __df)
     n_docs: int
     avgdl: float
+    #: True for session-memoized builds whose relations share the
+    #: postings lineage: query time then derives doclen as
+    #: sum(__tf) per doc (value-identical for every doc that can match
+    #: a term), so one corpus materialization serves the whole query
+    #: even after an external clearCache dropped the cache. False for
+    #: parquet-backed indexes (incremental/loaded), where the stored
+    #: doclen is a cheap doc-sized read and re-deriving it would scan
+    #: the full postings file past the term-pruned row groups.
+    doclen_from_postings: bool = False
 
     def unpersist(self) -> None:
         for d in (self.postings, self.doclen, self.term_df):
@@ -196,9 +205,18 @@ def build_bm25_index(df: DataFrame, id_col: str, text_col: str) -> Bm25Index:
     ``repartition(__id)`` on both postings and doclen gives them the same
     hash partitioning, so the per-query join satisfies EnsureRequirements
     with no new exchange. The build cost (2 shuffles) is paid once per
-    table version instead of per query."""
-    toks_arr = tokens(F.col(text_col))
-    base = df.select(F.col(id_col).alias("__id"), toks_arr.alias("__toks"))
+    table version instead of per query. ``fan_out`` before the tokenize
+    (guide §2.5): a narrow single-file corpus scan would otherwise
+    tokenize every document in one task — and under the serving
+    session's clearCache hygiene that lineage re-runs, so the build
+    stage must be parallel each time, not just the first."""
+    from lakeapi_spark.operators.scale import TEXT_TASK_BYTES, fan_out
+
+    toks_arr = tokens(F.col("__text"))
+    base = fan_out(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")),
+        per_partition_bytes=TEXT_TASK_BYTES,
+    ).select("__id", toks_arr.alias("__toks"))
     doclen = base.select("__id", F.size("__toks").alias("__dl")).repartition("__id").persist()
     postings = (
         base.select("__id", F.explode("__toks").alias("__tok"))
@@ -209,7 +227,10 @@ def build_bm25_index(df: DataFrame, id_col: str, text_col: str) -> Bm25Index:
     )
     term_df = postings.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df")).persist()
     n_docs, avgdl = doclen.agg(F.count(F.lit(1)), F.avg("__dl")).first()
-    return Bm25Index(postings, doclen, term_df, int(n_docs), float(avgdl))
+    return Bm25Index(
+        postings, doclen, term_df, int(n_docs), float(avgdl),
+        doclen_from_postings=True,
+    )
 
 
 def bm25_scores(
@@ -221,18 +242,34 @@ def bm25_scores(
 ) -> DataFrame:
     """(__id, score) for every doc matching >= 1 term — identical scores
     to ``bm25_search`` (same formula, same stats), but computed from the
-    index: term filters prune the postings scan, term stats broadcast,
-    and the only wide operations are the co-partitioned doclen join and
-    the final per-doc sum."""
+    index. r13: the per-term DF is the filtered postings grouped by
+    term (filter on the group key commutes with the aggregate, so it
+    equals ``term_df`` filtered — and never touches the term_df
+    relation), and for session-memoized indexes
+    (``doclen_from_postings``) the document length is ``sum(__tf)`` per
+    doc — equal to the stored ``__dl`` for every doc that can match a
+    term (docs with zero postings never reach the join). Touching one
+    relation instead of three matters when an external ``clearCache``
+    has dropped the index materialization (session hygiene between
+    bench queries does exactly that): each referenced relation re-runs
+    its full corpus lineage independently, so the old three-relation
+    plan paid THREE tokenize passes per query and this one pays one.
+    Parquet-backed indexes keep reading their doc-sized stored doclen.
+    Wide ops: the co-partitioned doclen join + the final per-doc sum,
+    as before."""
     terms = sorted({t.lower() for t in _terms(search_text)})
     post = index.postings.filter(F.col("__tok").isin(terms))
-    dfreq = index.term_df.filter(F.col("__tok").isin(terms))
+    dfreq = post.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    if index.doclen_from_postings:
+        doclen = index.postings.groupBy("__id").agg(F.sum("__tf").alias("__dl"))
+    else:
+        doclen = index.doclen
     idf = F.log((F.lit(index.n_docs) - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1)
     denom = F.col("__tf") + k1 * (1 - b + b * F.col("__dl") / F.lit(index.avgdl))
     contrib = idf * F.col("__tf") * (k1 + 1) / denom
     return (
         post.join(F.broadcast(dfreq), "__tok")
-        .join(index.doclen, "__id")
+        .join(doclen, "__id")
         .groupBy("__id")
         .agg(F.round(F.sum(contrib), 4).alias(score_col))
     )
@@ -268,11 +305,21 @@ def bm25_index_for(
 ) -> Bm25Index:
     """Memoized index: ``key = (identity, version)`` plus the build
     columns. A new version of the same identity evicts + unpersists the
-    stale entry (shared artifacts.versioned_artifact contract)."""
+    stale entry (shared artifacts.versioned_artifact contract).
+
+    Revive-on-access (r13): an external ``spark.catalog.clearCache()``
+    (the bench/serving session hygiene between queries) silently drops
+    the index's materialization while the memo keeps handing out the
+    same DataFrames — every downstream branch then re-runs the full
+    corpus lineage. Re-marking the dropped relations persistent costs
+    nothing when they are still cached and restores single-
+    materialization semantics when they are not (the rebuild itself
+    still runs inside whichever query touches the index first — nothing
+    is precomputed outside it)."""
     from lakeapi_spark.artifacts import versioned_artifact
 
     identity, version = key
-    return versioned_artifact(
+    idx = versioned_artifact(
         _BM25_CACHE,
         identity,
         version,
@@ -280,6 +327,10 @@ def bm25_index_for(
         lambda: build_bm25_index(df, id_col, text_col),
         lambda idx: idx.unpersist(),
     )
+    for rel in (idx.postings, idx.doclen, idx.term_df):
+        if not rel.storageLevel.useMemory:
+            rel.persist()
+    return idx
 
 
 def save_bm25_index(index: Bm25Index, path: str) -> None:

@@ -57,19 +57,30 @@ def cms_build(
     depth: int = 4,
     width: int = 512,
     seed: int = 42,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build the count-min grid over ``df[key_col]`` occurrences:
     (row, col, cnt) with one output row per NON-EMPTY cell. One scan:
     each key explodes into its ``depth`` (row, col) targets, then a
     single groupBy(row, col) count with map-side partial aggregation —
-    the shuffle carries at most depth * width cells."""
+    the shuffle carries at most depth * width cells.
+
+    ``weight_col`` builds the IDENTICAL grid from a pre-aggregated
+    (key, count) relation instead of the raw occurrence stream:
+    cell[r][c] = sum over keys hashing there of their counts — equal
+    by commutativity to counting the occurrences one by one. Callers
+    that already aggregate per-key ground truth (heavy-hitter
+    demonstrations) thus hash each DISTINCT key ``depth`` times
+    instead of each occurrence, and the explode fans out a vocab-sized
+    relation, not the corpus."""
     key = F.col(key_col).cast("string")
     targets = _cms_targets(key, depth, width, seed)
-    ex = df.select(F.explode(targets).alias("t"))
+    w = F.lit(1).cast("long") if weight_col is None else F.col(weight_col).cast("long")
+    ex = df.select(w.alias("_w"), F.explode(targets).alias("t"))
     return (
-        ex.select(F.col("t.row").alias("row"), F.col("t.col").alias("col"))
+        ex.select(F.col("t.row").alias("row"), F.col("t.col").alias("col"), "_w")
         .groupBy("row", "col")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("_w").alias("cnt"))
     )
 
 

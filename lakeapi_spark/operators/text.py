@@ -897,12 +897,18 @@ def feature_hash_counts(
     distributed relation (cf. vocab_top_tokens for the fitted twin).
 
     One explode + one partial-agg shuffle on (id, idx); empty docs have
-    no tokens and produce no rows."""
+    no tokens and produce no rows. ``fan_out`` first (guide §2.5 input
+    parallelism): the per-occurrence portable md5 is the whole cost of
+    this operator, and a narrow single-file scan would otherwise hash
+    the entire corpus in one task (r13, measured 1.76 s -> the md5
+    stage spread across cores)."""
     from lakeapi_spark.operators.sampling import key_hash
+    from lakeapi_spark.operators.scale import TEXT_TASK_BYTES, fan_out
 
-    toks = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
-    )
+    toks = fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")),
+        per_partition_bytes=TEXT_TASK_BYTES,
+    ).select("id", F.explode(tokens(F.col("__t"))).alias("tok"))
     return (
         toks.select("id", (key_hash(F.col("tok")) % dim).alias("idx"))
         .groupBy("id", "idx")

@@ -6888,17 +6888,17 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_partition_bytes=TEXT_TASK_BYTES,
     )
     toks = d.select(F.explode(tokens(F.col("text"))).alias("token"))
-    truth = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_n"))
-    top = (
-        ranked_topk(truth, [F.col("true_n").desc(), F.col("token")], k=30)
-        .withColumn("rank", F.col("rank").cast("long"))
-        # 30 rows, but derived from the full corpus aggregation — the
-        # persist stops the probe branch re-scanning/re-tokenizing the
-        # corpus a third time (grid build + truth are the honest 2
-        # passes; production sketch-only use is 1)
-        .persist()
+    # r13 (guide §2.3, aggregate before you shuffle): tokenize ONCE.
+    # The per-token ground truth is the corpus aggregate anyway, and
+    # the CMS grid built FROM it (cell += true_n per distinct token)
+    # is integer-identical to counting occurrences one by one — so the
+    # sketch pass now fans out the VOCAB-sized relation instead of
+    # re-tokenizing the corpus. The persist is bounded by the vocab.
+    truth = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_n")).persist()
+    top = ranked_topk(truth, [F.col("true_n").desc(), F.col("token")], k=30).withColumn(
+        "rank", F.col("rank").cast("long")
     )
-    sketch = cms_build(toks, "token", depth=4, width=512)
+    sketch = cms_build(truth, "token", depth=4, width=512, weight_col="true_n")
     est = cms_estimate(sketch, top.select("token"), "token", depth=4, width=512)
     return top.join(
         est.withColumnRenamed("key", "token").withColumnRenamed("est", "est_n"),
