@@ -1097,33 +1097,51 @@ def _wedge_candidates(
 ) -> tuple[DataFrame, DataFrame]:
     """Shared wedge scaffolding for the link-prediction pair: from the
     oriented simple edge list (src < dst), return (deg: (n, d) over the
-    undirected view, wed: (u, v, w) open wedges u-w-v with u < v and
-    (u, v) not already an edge).
+    undirected view, wed: (u, v, dw) open wedges u-w-v with u < v, dw =
+    degree of the middle node, and (u, v) not already an edge).
+
+    r13 shape (guide §2.4 — remove shuffles outright): wedges are
+    enumerated by GROUPING the doubled edge relation on the middle
+    node and expanding sorted-neighbor pairs in-row (the co-purchase
+    basket pattern), instead of the former w1 ⋈ w2 self-join. That
+    join shuffled the edge relation TWICE on the middle key and then
+    re-attached deg(w) via a broadcast; here one edge-sized exchange
+    builds (w, neighbors) and every pair leaves the expansion already
+    carrying dw — identical wedge set (neighbor sets are exact:
+    collect_set over the doubled simple relation), strictly fewer
+    edge passes at any scale. The degree relation is a projection of
+    the same aggregate, not a second pass.
 
     ``max_hub_degree`` is the explicit fan-out bound: a middle node of
-    degree d emits O(d^2) wedges, so one hub dominates the join at
-    scale. The strong-graph support threshold bounds this implicitly
-    for co-purchase graphs; the cap makes the bound a dial (standard
-    Adamic-Adar practice — an excluded hub's contribution is
-    1/ln(huge) ~ 0 anyway, and for common neighbors a hub certifies
-    little). Both wedge sides are pruned with a broadcast semi-join
-    against the allowed-middle set, so capped fan-out never reaches
-    the shuffle."""
+    degree d emits O(d^2) wedges, so one hub dominates at scale. The
+    cap now filters BEFORE the pair expansion, so capped fan-out is
+    never generated at all (the former semi-join pruning, minus the
+    joins). Collecting a hub's neighbor set is degree-linear per node
+    — the same per-key memory the join's build side held. Standard
+    Adamic-Adar practice: an excluded hub contributes 1/ln(huge) ~ 0,
+    and for common neighbors a hub certifies little."""
     und = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    deg = und.groupBy(F.col("src").alias("n")).agg(F.count(F.lit(1)).alias("d"))
-    w1 = und.select(F.col("src").alias("u"), F.col("dst").alias("w"))
-    w2 = und.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    nb = und.groupBy(F.col("src").alias("w")).agg(
+        F.array_sort(F.collect_set("dst")).alias("ns")
+    )
+    deg = nb.select(F.col("w").alias("n"), F.size("ns").alias("d"))
     if max_hub_degree is not None:
-        mid_ok = F.broadcast(
-            deg.filter(F.col("d") <= max_hub_degree).select(F.col("n").alias("w"))
+        nb = nb.filter(F.size("ns") <= max_hub_degree)
+    ns = F.col("ns")
+    pairs = F.flatten(
+        F.transform(
+            ns,
+            lambda x, i: F.transform(
+                F.slice(ns, i + 2, F.size(ns)),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
         )
-        w1 = w1.join(mid_ok, "w", "semi")
-        w2 = w2.join(mid_ok, "w", "semi")
+    )
     wed = (
-        w1.join(w2, "w")
-        .filter(F.col("u") < F.col("v"))
+        nb.select(F.size("ns").alias("dw"), F.explode(pairs).alias("p"))
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"), "dw")
         .join(
             edges.select(F.col("src").alias("u"), F.col("dst").alias("v")),
             ["u", "v"],
@@ -1141,9 +1159,9 @@ def common_neighbors_topk(
     Jaccard. ``edges`` is the oriented simple edge list (src < dst).
     Returns (rank, u, v, cn, jaccard).
 
-    Plan: one wedge equi-join on the middle node (u < v orientation
-    halves it), anti-join against existing edges, degree relation
-    broadcast; top-n as sort+limit so Catalyst plans
+    Plan: wedges enumerated by middle-node grouping (u < v orientation
+    halves them), anti-join against existing edges, endpoint degree
+    relation broadcast; top-n as sort+limit so Catalyst plans
     TakeOrderedAndProject (per-partition heap + driver merge) instead
     of a single-partition global window — the rank window then runs
     over ``top_n`` rows only. ``max_hub_degree`` bounds the wedge
@@ -1195,14 +1213,14 @@ def adamic_adar_topk(
     double before the round), so the SUM — the usual float-order
     hazard — is an integer and the top-n order is engine-exact.
     Returns (rank, u, v, cn, aa). Same wedge shape and
-    ``max_hub_degree`` bound as common neighbors."""
+    ``max_hub_degree`` bound as common neighbors; the middle degree
+    arrives ON the wedge row (r13 — see :func:`_wedge_candidates`), so
+    the former deg broadcast join is gone entirely."""
     from pyspark.sql.window import Window
 
     deg, wed = _wedge_candidates(edges, max_hub_degree)
-    contrib = wed.join(
-        F.broadcast(deg.select(F.col("n").alias("w"), F.col("d").alias("dw"))),
-        "w",
-    ).select(
+    del deg  # degrees ride the wedge rows
+    contrib = wed.select(
         "u",
         "v",
         F.round(F.lit(1000000000000.0) / F.log(F.col("dw").cast("double")), 0)

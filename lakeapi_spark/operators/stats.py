@@ -1229,12 +1229,21 @@ def bootstrap_mean_ci(
     and rounded."""
     from pyspark.sql.window import Window
 
+    from lakeapi_spark.operators.scale import TEXT_TASK_BYTES, fan_out
     from lakeapi_spark.operators.text import portable_hash60
 
     m_mod = 1 << 31
     jumps = _lcg_jumps(n_reps)
 
-    base = df.select(F.col(id_col).alias("_id"), F.col(val_col).alias("_x"))
+    # fan_out before the explode (guide §2.5): the n_reps-way row
+    # expansion and its per-copy md5/LCG arithmetic are the operator's
+    # whole cost, and a narrow single-file scan would run them all in
+    # one task (r13: the 40x explode of a one-row-group orders table
+    # was a single 0.67 s task; spread, the stage tracks core count).
+    base = fan_out(
+        df.select(F.col(id_col).alias("_id"), F.col(val_col).alias("_x")),
+        per_partition_bytes=TEXT_TASK_BYTES,
+    )
     seeded = base.select(
         "_x",
         (portable_hash60(F.col("_id").cast("string")) % F.lit(m_mod)).alias("_h0"),
