@@ -15088,9 +15088,18 @@ def _channel_sessions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     channel) 30-min-gap sessions with n_events / start / end /
     converted. One exchange on the composite key covers both window
     passes and the aggregate."""
+    # r13 (guide §2.5): the per-row JSON channel parse runs AFTER a
+    # byte-capped fan_out — a one-row-group events scan otherwise
+    # parses every props payload in a single task before the window
+    # exchange ever spreads the work.
+    from lakeapi_spark.operators.scale import TEXT_TASK_BYTES, fan_out
+
     e = table(spark, sf_dir, "events")
     ep = F.unix_timestamp(F.col("ts")).cast("long")
-    ce = e.select(
+    ce = fan_out(
+        e.select("user_id", "ts", "event_id", "event_type", "props"),
+        per_partition_bytes=TEXT_TASK_BYTES,
+    ).select(
         "user_id",
         "ts",
         "event_id",
