@@ -12390,7 +12390,12 @@ def _strong_copurchase_edges_build(
         .count()
         .filter(F.col("count") >= 2)
         .select("src", "dst")
-        .coalesce(max(1, cache_partitions))
+        # repartition, NOT coalesce (r13): coalesce folds the final
+        # pair aggregation into the single cached partition — a 1.2M
+        # partial-row reduce ran as ONE ~1s task, twice when two cache
+        # consumers raced. The narrow exchange costs a few-thousand-row
+        # round-robin and lets the agg keep its AQE width.
+        .repartition(max(1, cache_partitions))
         .persist()
     )
 
@@ -12425,7 +12430,7 @@ def _weighted_copurchase_edges(
         .count()
         .filter(F.col("count") >= 2)
         .select("src", "dst", F.col("count").alias("w"))
-        .coalesce(max(1, cache_partitions))
+        .repartition(max(1, cache_partitions))  # see _strong_copurchase_edges_build
         .persist()
     )
 
