@@ -32,7 +32,11 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from lakeapi_spark.operators.scale import TEXT_TASK_BYTES, fan_out
+from lakeapi_spark.operators.scale import (
+    MINHASH_TASK_BYTES,
+    TEXT_TASK_BYTES,
+    fan_out,
+)
 from lakeapi_spark.operators.text import portable_hash60, tokens
 
 #: Mersenne prime 2^31-1: minhash permutation values stay < 2^31 and
@@ -85,7 +89,12 @@ def word_bigrams(text: Column) -> Column:
     )
 
 
-def doc_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def doc_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    task_bytes: int = TEXT_TASK_BYTES,
+) -> DataFrame:
     """(id, sh: array<string>) — the DISTINCT word-bigram set per doc,
     kept as a per-row array (no explode, no shuffle). Docs with fewer
     than two tokens are dropped here (they have no bigrams; explode
@@ -105,12 +114,17 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     re-evaluates the whole tokenize→bigram pipeline per row on the
     narrow (often single-partition) scan side — measured 8.5s vs 0.7s
     for the signature stage at sf0.1. Never filter on a derived heavy
-    column downstream of fan_out."""
+    column downstream of fan_out.
+
+    ``task_bytes`` sizes the fan-out per downstream compute weight:
+    stages that pay much more than tokenize per source byte (the
+    128-permutation minhash kernel) pass a smaller budget
+    (scale.MINHASH_TASK_BYTES) so small inputs still spread."""
     toks = fan_out(
         df.filter(F.col(text_col).rlike(r"[^ \t\n\x0B\f\r][ \t\n\x0B\f\r]+[^ \t\n\x0B\f\r]")).select(
             F.col(id_col).alias("id"), F.col(text_col).alias("_txt")
         ),
-        per_partition_bytes=TEXT_TASK_BYTES,
+        per_partition_bytes=task_bytes,
     ).select("id", tokens(F.col("_txt")).alias("t"))
     bigrams = F.when(F.size("t") < 2, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -286,7 +300,11 @@ def ngram_containment_pairs(
 
 
 def hashed_shingles(
-    df: DataFrame, id_col: str, text_col: str, shingles: DataFrame | None = None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingles: DataFrame | None = None,
+    task_bytes: int = TEXT_TASK_BYTES,
 ) -> DataFrame:
     """(id, hs: array<long>) — the bigram set hashed once to 60-bit
     via :func:`portable_hash60` (md5 fold, re-derivable in DuckDB SQL).
@@ -298,7 +316,11 @@ def hashed_shingles(
     transform, so CollapseProject inlining it is harmless (collection
     arguments are evaluated once per row, unlike lambda-body
     references)."""
-    sh = shingles if shingles is not None else doc_shingles(df, id_col, text_col)
+    sh = (
+        shingles
+        if shingles is not None
+        else doc_shingles(df, id_col, text_col, task_bytes=task_bytes)
+    )
     return sh.select("id", F.transform("sh", lambda g: portable_hash60(g)).alias("hs"))
 
 
@@ -454,12 +476,16 @@ def minhash_lsh_pairs(
     exact operator.
 
     Plan shape: shingle + signature are per-row codegen (no shuffle);
-    the only shuffles are the bucket explode->self-join (equi-join on
-    the band key) and the two id-keyed verify joins, plus a tiny
-    distinct on the post-threshold result. Verification fetches each
-    side's shingle ARRAY and intersects in-row (array_intersect) —
-    linear in candidate volume, never O(n^2) over the corpus. Bucket
-    skew (a hot band key) is handled by AQE skew-join.
+    the only shuffles are ONE bucket groupBy (candidate pairs are
+    enumerated in-row from each bucket's sorted id list — the self-join
+    formulation shuffled the bucket relation twice AND re-ran the
+    signature kernel once per join side) and the two id-keyed verify
+    joins, plus a tiny distinct on the post-threshold result.
+    Verification fetches each side's shingle ARRAY and intersects
+    in-row (array_intersect) — linear in candidate volume, never O(n^2)
+    over the corpus. A hot bucket with k members expands k^2/2 pairs
+    under either formulation; the groupBy keeps the expansion in the
+    reduce task instead of a skew-join fetch.
 
     The shingle relation feeds both the signature branch and the two
     verify sides, so it is persisted. Pass ``cache_handles`` (a list)
@@ -473,7 +499,9 @@ def minhash_lsh_pairs(
     ``'builtin'`` keeps the pure-DataFrame formulation — both produce
     identical buckets."""
     rows = num_hashes // bands
-    hs = hashed_shingles(df, id_col, text_col).persist()
+    hs = hashed_shingles(
+        df, id_col, text_col, task_bytes=MINHASH_TASK_BYTES
+    ).persist()
     if cache_handles is not None:
         cache_handles.append(hs)
     # NO distinct on buckets: a pair matching in several bands yields
@@ -488,11 +516,31 @@ def minhash_lsh_pairs(
         sig = minhash_signature(df, id_col, text_col, num_hashes, hashed=hs)
         band_arr = F.array(*[band_key("sig", b, rows) for b in range(bands)])
         buckets = sig.select("id", F.explode(band_arr).alias("bucket"))
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    # candidate pairs per equal bucket VALUE (cross-band fold collisions
+    # pair exactly like the old a.bucket == b.bucket self-join): sorted
+    # member list, strict x < y pair expansion in-row. Duplicate ids in
+    # one bucket (one doc, two bands folding equal) produce x == y and
+    # drop, exactly as id_a < id_b did.
+    members = (
+        buckets.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(
+                    "ids", i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     cand = (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        members.select(F.explode(pair_structs).alias("p"))
+        .filter(F.col("p.id_a") < F.col("p.id_b"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
     )
     sa = hs.select(F.col("id").alias("id_a"), F.col("hs").alias("sh_a"))
     sb = hs.select(F.col("id").alias("id_b"), F.col("hs").alias("sh_b"))

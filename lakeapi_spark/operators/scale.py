@@ -19,6 +19,17 @@ from pyspark.sql import DataFrame
 #: far fewer source bytes than an IO-bound scan would use
 TEXT_TASK_BYTES = 64 * 1024
 
+#: per-task budget for the minhash signature path: on top of
+#: tokenize+shingle, every shingle pays an md5 fold plus 128 universal-
+#: hash permutations in the bucket kernel — roughly an order of
+#: magnitude more compute per source byte than a plain token stage
+#: (measured at sf0.1: the shingle+hash stage alone is 160 ms per 64 KiB
+#: task, far above scheduling overhead, and the whole pipeline ran at
+#: 4-task width on 32 cores). The smaller budget only changes behavior
+#: for small inputs — fan_out still clamps at the session parallelism,
+#: and on many-file cluster inputs it is a no-op.
+MINHASH_TASK_BYTES = 8 * 1024
+
 
 def fan_out(
     df: DataFrame,

@@ -220,9 +220,14 @@ def build_bm25_index(df: DataFrame, id_col: str, text_col: str) -> Bm25Index:
     doclen = base.select("__id", F.size("__toks").alias("__dl")).repartition("__id").persist()
     postings = (
         base.select("__id", F.explode("__toks").alias("__tok"))
+        # repartition BEFORE the aggregate: hash(__id) satisfies the
+        # (__id, __tok) grouping (subset clustering), so the count runs
+        # complete on the id-partitioned rows and the old post-agg
+        # repartition("__id") exchange disappears — one exchange of raw
+        # token rows instead of two of tf rows (r13, guide §2.4)
+        .repartition("__id")
         .groupBy("__id", "__tok")
         .agg(F.count(F.lit(1)).alias("__tf"))
-        .repartition("__id")
         .persist()
     )
     term_df = postings.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df")).persist()

@@ -929,6 +929,82 @@ def largest_remainder_allocation(
     )
 
 
+def largest_remainder_rollup(
+    facts: DataFrame,
+    group_col: str,
+    weight_col: str,
+    headers: DataFrame,
+    header_key: str,
+    total_col: str,
+    rollup_cols: list[str],
+) -> DataFrame:
+    """Closed-form rollup of largest_remainder_allocation: per rollup
+    key (header attributes), (n_items, alloc_cents, n_bumped) WITHOUT
+    materializing the per-row allocation. The identities (all integer):
+
+        sum_i base_i = sum_i (t*w_i DIV W)          with W = sum_i w_i
+        rem          = t - sum_i base_i             in [0, n) for W > 0
+        n_bumped     = #(rk <= rem) = clamp(rem, 0, n)
+        sum_i alloc_i = sum_i base_i + n_bumped     ( = t when W > 0 )
+
+    so the row-level operator's tie-break ``order_col`` never matters
+    to the rollup — WHICH rows are bumped depends on it, HOW MANY does
+    not (clamp covers totals outside [0, W), where the row-level
+    ``rk <= rem`` comparison bumps none/all). Groups with W <= 0
+    contribute NULL alloc/bumped (exactly the row-level operator's
+    NULL-allocation rows under a skipping SUM); their rows still count
+    in n_items.
+
+    Plan shape: ONE partial-agg shuffle of (group, weight) collecting
+    the per-group weight array (groups are small: lineitems per order),
+    an equi-join against the header relation that reuses the aggregate's
+    hash partitioning on the fact side, then per-row array expressions —
+    no windows, no sorts, no row_number, and the weight column is the
+    only fact payload shuffled. The row-level operator stays the
+    per-row audit path; the planted-data unit test pins the two to
+    identical rollups."""
+    per_group = facts.groupBy(F.col(group_col).alias("_k")).agg(
+        F.collect_list(F.col(weight_col).cast("long")).alias("_ws"),
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(weight_col).cast("long")).alias("_wsum"),
+    )
+    j = per_group.join(
+        headers.select(
+            F.col(header_key).alias("_k"),
+            F.col(total_col).cast("long").alias("_t"),
+            *rollup_cols,
+        ),
+        "_k",
+    )
+    terms = j.select(
+        *rollup_cols,
+        "_n",
+        "_t",
+        F.when(
+            F.col("_wsum") > 0,
+            F.expr("aggregate(_ws, 0L, (a, x) -> a + (_t * x) div _wsum)"),
+        ).alias("_bsum"),
+    ).select(
+        *rollup_cols,
+        "_n",
+        "_bsum",
+        # guard on _bsum: least/greatest SKIP nulls, so an unguarded
+        # clamp would turn a W<=0 group's NULL remainder into n bumps
+        F.when(
+            F.col("_bsum").isNotNull(),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(F.col("_n"), F.col("_t") - F.col("_bsum")),
+            ),
+        ).alias("_bump"),
+    )
+    return terms.groupBy(*rollup_cols).agg(
+        F.sum("_n").alias("n_items"),
+        F.sum(F.col("_bsum") + F.col("_bump")).cast("long").alias("alloc_cents"),
+        F.sum("_bump").alias("n_bumped"),
+    )
+
+
 def roc_auc(
     df: DataFrame,
     group_cols: list[str],

@@ -9718,14 +9718,17 @@ def allocate_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     split across its lineitems proportional to extended price so the
     parts sum EXACTLY to the header total (the allocation audit
     downstream ledgers require), rolled up per order priority. All
-    integer arithmetic; see operators/stats.largest_remainder_allocation.
-    One orderkey-partitioned window pass after the fact-to-header
-    equi-join; priority rollup partial-aggregates map-side."""
-    from lakeapi_spark.operators.stats import largest_remainder_allocation
+    integer arithmetic. The rollup never needs the per-row allocation:
+    operators/stats.largest_remainder_rollup computes the per-priority
+    sums in closed form (sum(allocated) = t, n_bumped = clamp(rem)),
+    replacing the three orderkey windows + remainder sort of the
+    row-level operator with one per-order array aggregation — the
+    l_linenumber tie-break column drops out entirely (WHICH rows are
+    bumped depends on it, HOW MANY does not)."""
+    from lakeapi_spark.operators.stats import largest_remainder_rollup
 
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
-        "l_linenumber",
         F.round(F.col("l_extendedprice").cast("double") * 100, 0)
         .cast("long")
         .alias("w"),
@@ -9737,18 +9740,8 @@ def allocate_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("t"),
     )
-    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
-        "l_orderkey", "l_linenumber", "o_orderpriority", "w", "t"
-    )
-    # priority rides the allocation window as a passthrough column —
-    # the rollup needs no second fact-sized join back to orders.
-    alloc = largest_remainder_allocation(
-        j, "l_orderkey", "w", "t", "l_linenumber", passthrough=["o_orderpriority"]
-    )
-    return alloc.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.sum("allocated").cast("long").alias("alloc_cents"),
-        F.sum(F.col("bumped").cast("long")).alias("n_bumped"),
+    return largest_remainder_rollup(
+        li, "l_orderkey", "w", o, "o_orderkey", "t", ["o_orderpriority"]
     )
 
 
@@ -12362,16 +12355,28 @@ def _strong_copurchase_edges(
 def _strong_copurchase_edges_build(
     spark: SparkSession, sf_dir: str, cache_partitions: int = 1
 ) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
+        li
         # explicit repartition ON the groupBy key: the scan's natural
         # parallelism is row-group-bounded (3 tasks at sf0.1), so the
         # fat map tasks serialize collect_set; pre-hashing by key costs
         # the SAME single exchange the groupBy needs anyway (Catalyst
         # reuses the partitioning) and spreads build work over every
         # core. Partial agg is no loss: order keys are near-unique.
-        .repartition(F.col("l_orderkey"))
+        # The EXPLICIT partition count pins the width: without it AQE
+        # coalesces this small-byte shuffle to its 1 MiB-minimum
+        # partitions (5 tasks at sf0.1) and serializes the CPU-bound
+        # set-build + O(basket^2) pair expansion — bytes are the wrong
+        # proxy for this stage. Scale-adaptive: never below the session
+        # parallelism, never narrower than the scan.
+        .repartition(
+            max(
+                spark.sparkContext.defaultParallelism,
+                li.rdd.getNumPartitions(),
+            ),
+            F.col("l_orderkey"),
+        )
         .groupBy(F.col("l_orderkey").alias("o"))
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     )
@@ -12408,10 +12413,17 @@ def _weighted_copurchase_edges(
     (weighted PageRank / eigenvector). Identical build and cache-layout
     discipline as :func:`_strong_copurchase_edges`; the only delta is
     that the >= 2 support count survives the projection."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .repartition(F.col("l_orderkey"))
+        li
+        # explicit width for the same reason as _strong_copurchase_edges_build
+        .repartition(
+            max(
+                spark.sparkContext.defaultParallelism,
+                li.rdd.getNumPartitions(),
+            ),
+            F.col("l_orderkey"),
+        )
         .groupBy(F.col("l_orderkey").alias("o"))
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     )

@@ -2689,6 +2689,59 @@ def test_largest_remainder_allocation_exact(spark):
     assert [out[("h", i)].allocated for i in (1, 2)] == [2, 5]
 
 
+def test_largest_remainder_rollup_matches_row_level(spark):
+    """The closed-form rollup must reproduce the row-level operator's
+    per-rollup-key sums on planted data covering every branch: normal
+    groups, a zero-weight-sum group (NULL allocations), a negative
+    total (rem < 0: zero bumps), and a total far above the weight
+    mass."""
+    from lakeapi_spark.operators.stats import (
+        largest_remainder_allocation,
+        largest_remainder_rollup,
+    )
+
+    facts = [
+        ("a", 1, 3), ("a", 2, 3), ("a", 3, 3),      # rem 1 -> 1 bump
+        ("b", 1, 1), ("b", 2, 2),                    # rem 1 -> 1 bump
+        ("z", 1, 0), ("z", 2, 0),                    # W = 0 -> NULLs
+        ("n", 1, 5), ("n", 2, 5),                    # t < 0 -> rem < 0
+        ("big", 1, 1), ("big", 2, 1),                # t >> W path
+    ]
+    headers = [
+        ("a", "P1", 10), ("b", "P1", 7), ("z", "P2", 9),
+        ("n", "P2", -3), ("big", "P3", 1000001),
+    ]
+    f = spark.createDataFrame(facts, "k string, ln int, w long")
+    h = spark.createDataFrame(headers, "hk string, pri string, t long")
+    joined = f.join(h, f.k == h.hk).select("k", "ln", "w", "t", "pri")
+    row_level = largest_remainder_allocation(
+        joined, "k", "w", "t", "ln", passthrough=["pri"]
+    )
+    want = {
+        (r.pri): (r.n_items, r.alloc_cents, r.n_bumped)
+        for r in row_level.groupBy("pri")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("allocated").cast("long").alias("alloc_cents"),
+            F.sum(F.col("bumped").cast("long")).alias("n_bumped"),
+        )
+        .collect()
+    }
+    got = {
+        (r.pri): (r.n_items, r.alloc_cents, r.n_bumped)
+        for r in largest_remainder_rollup(
+            f, "k", "w", h, "hk", "t", ["pri"]
+        ).collect()
+    }
+    assert got == want
+    # spot-check the planted expectations themselves
+    assert got["P1"] == (5, 17, 2)
+    # z is all-NULL (skipped by SUM); n: bases -1,-1 (div truncates
+    # toward zero), rem -1 -> 0 bumps, alloc -2
+    assert got["P2"] == (4, -2, 0)
+    assert got["P3"] == (2, 1000001, 1)
+
+
 def test_gini_concentration_bounds(spark):
     from lakeapi_spark.operators.stats import gini_concentration
 
