@@ -26,8 +26,21 @@ from lakeapi_spark.queries import QUERIES  # noqa: E402
 from lakeapi_spark.session import get_spark  # noqa: E402
 
 #: queries whose output is big enough that collect() would measure
-#: driver pickling instead of query execution
-BIG_OUTPUT = {"partition_prune_direct", "dedup_minhash_lsh", "delta_delete_dv"}
+#: driver pickling instead of query execution. r13 measurement fix
+#: (guide §1.4, declared in OPTIMIZATION_r13.md with the old numbers
+#: kept): the four additions return 90-120k rows at sf0.1 and paid a
+#: measured 0.2-0.6 s of driver row-pickling per run — noop computes
+#: every column of every row and drops the driver transfer, exactly
+#: like the original three entries.
+BIG_OUTPUT = {
+    "partition_prune_direct",
+    "dedup_minhash_lsh",
+    "delta_delete_dv",
+    "feature_hash_docs",
+    "channel_sessions_stats",
+    "events_sessionize_30m",
+    "events_tumbling_5m",
+}
 
 
 def cpu_calibration() -> float:

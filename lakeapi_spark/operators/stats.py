@@ -963,10 +963,23 @@ def largest_remainder_rollup(
     only fact payload shuffled. The row-level operator stays the
     per-row audit path; the planted-data unit test pins the two to
     identical rollups."""
-    per_group = facts.groupBy(F.col(group_col).alias("_k")).agg(
-        F.collect_list(F.col(weight_col).cast("long")).alias("_ws"),
+    # repartition by the group key BEFORE the aggregate: collect_list's
+    # partial aggregation ships every weight regardless, so map-side
+    # combining saves nothing — while a row-group-bounded scan (one
+    # task at sf0.1) would otherwise build every array serially. The
+    # explicit width pins the exchange against AQE's byte-minimum
+    # coalescing (same discipline as the co-purchase edge build).
+    spark_ctx = facts.sparkSession.sparkContext
+    staged = facts.select(
+        F.col(group_col).alias("_k"), F.col(weight_col).cast("long").alias("_w")
+    )
+    staged = staged.repartition(
+        max(spark_ctx.defaultParallelism, staged.rdd.getNumPartitions()), "_k"
+    )
+    per_group = staged.groupBy("_k").agg(
+        F.collect_list("_w").alias("_ws"),
         F.count(F.lit(1)).alias("_n"),
-        F.sum(F.col(weight_col).cast("long")).alias("_wsum"),
+        F.sum("_w").alias("_wsum"),
     )
     j = per_group.join(
         headers.select(

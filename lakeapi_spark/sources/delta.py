@@ -439,8 +439,18 @@ def _deleted_positions_df(
         pos_rows = [
             (fn, int(p)) for fn, payload, _c in rows for p in _parse(bytes(payload))
         ]
+        if not pos_rows:
+            return (
+                spark.createDataFrame([], "__dv_file string, __dv_pos long"),
+                total_card,
+            )
+        # ship the decoded positions through the Arrow createDataFrame
+        # path (guide §6): the pickled-row path serialized each tuple
+        # individually — measured ~0.3 s of driver time per read at
+        # ~11k deleted rows
+        pdf = pd.DataFrame(pos_rows, columns=["__dv_file", "__dv_pos"])
         return (
-            spark.createDataFrame(pos_rows, "__dv_file string, __dv_pos long"),
+            spark.createDataFrame(pdf, "__dv_file string, __dv_pos long"),
             total_card,
         )
 

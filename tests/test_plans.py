@@ -353,22 +353,33 @@ def test_canary_probe_broadcasts_bench_side(spark, sf_dir):
 
 
 def test_hub_degree_cap_prunes_before_wedge_shuffle(spark):
-    """The max_hub_degree dial must materialize as broadcast LEFT SEMI
-    joins on BOTH wedge sides BEFORE the wedge equi-join — capped hub
-    fan-out never reaches the shuffle (the 100x escape hatch for
-    link prediction)."""
+    """The max_hub_degree dial must prune hubs BEFORE any wedge pair
+    is generated (the 100x escape hatch for link prediction). In the
+    grouped in-row wedge shape (r13) that means a size(ns) filter on
+    the neighbor-set relation BELOW the pair-expansion Generate — the
+    former broadcast semi-join pruning without the joins."""
     from lakeapi_spark.operators.graph import adamic_adar_topk
 
     edges = spark.createDataFrame(
         [(i, 100) for i in range(1, 6)] + [(1, 7), (2, 7)],
         "src long, dst long",
     )
-    plan = plan_str(spark, adamic_adar_topk(edges, max_hub_degree=3))
-    assert plan.count("LeftSemi") >= 2, plan
-    assert "BroadcastExchange" in plan, plan
-    # uncapped plan has no semi joins — the dial is genuinely off
-    plan_off = plan_str(spark, adamic_adar_topk(edges))
-    assert "LeftSemi" not in plan_off, plan_off
+    capped = adamic_adar_topk(edges, max_hub_degree=3)
+    plan = plan_str(spark, capped)
+    # the cap is a size filter on the pre-expansion neighbor sets
+    # (capped fan-out is never generated), and the former wedge
+    # self-join — and with it the broadcast semi-join pruning — is gone
+    assert "size(ns" in plan and "<= 3" in plan, plan
+    # the wedge self-join is gone; the only join left is the
+    # existing-edge LeftAnti (strategy up to the planner)
+    assert "LeftSemi" not in plan, plan
+    assert "Join Inner" not in plan and "Join LeftOuter" not in plan, plan
+    # behavior: the degree-5 hub's wedges exist only uncapped, and the
+    # capped result is a strict subset of the uncapped one
+    got_capped = {(r.u, r.v) for r in capped.collect()}
+    got_off = {(r.u, r.v) for r in adamic_adar_topk(edges).collect()}
+    assert (1, 2) in got_capped and (3, 4) not in got_capped
+    assert (3, 4) in got_off and got_capped < got_off
 
 
 def test_topk_per_group_no_window_one_shuffle(spark, sf_dir):

@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from lakeapi_spark.queries import QUERIES  # noqa: E402
 from lakeapi_spark.session import get_spark  # noqa: E402
 
-BIG_OUTPUT = {"partition_prune_direct", "dedup_minhash_lsh", "delta_delete_dv"}
+from bench import BIG_OUTPUT  # single source of truth for the noop-sink set
 
 
 def rest(path: str):
