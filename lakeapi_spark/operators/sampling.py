@@ -216,24 +216,30 @@ def dsir_importance(
     keep = 1 iff the rounded mean is positive (more target-like than
     the corpus average).
 
-    100 TB design: ONE gram pass carries the target flag, so both
-    bucket histograms come out of a single map-side-combined shuffle
-    whose output is at most ``buckets`` rows -- collected driver-side
-    (K-bounded, the same discipline as the IVF centroid sample and the
-    vocab broadcast) into a LITERAL ratio relation that broadcasts;
-    ln stays an ENGINE expression so the oracle's ln sees identical
-    double inputs. The corpus then streams through one broadcast join
-    + one per-doc aggregate -- no corpus-wide shuffle beyond the
-    per-doc groupBy. The gram relation feeds the histogram job and the
-    scoring job; pass ``cache_handles`` to persist it once.
+    100 TB design (r13, guide §2.4 — remove shuffles outright): ONE
+    tokenize pass materializes the per-doc bucket ARRAY (id, _tgt, bs),
+    persisted once. The histogram explodes it into a map-side-combined
+    aggregate whose output is at most ``buckets`` rows -- collected
+    driver-side (K-bounded, the same discipline as the IVF centroid
+    sample and the vocab broadcast); ln stays an ENGINE expression
+    (computed over the exact integer counts in a K-row local relation,
+    then collected) so the oracle's ln sees identical double inputs.
+    Scoring is then a MAP-ONLY fold over each doc's bucket array
+    against a K-element literal lookup -- no per-doc shuffle, no
+    broadcast join: the old plan shuffled the corpus-sized exploded
+    gram stream into a groupBy(doc) after a broadcast join; this one
+    shuffles nothing after the histogram. The fold accumulates the
+    rounded per-bucket ratios in array order -- the same order the
+    exploded rows reached the old avg(), so logw_mean is bit-identical.
 
-    ``storage_level`` controls the tokenize-once persist of the gram
+    ``storage_level`` controls the tokenize-once persist of the bucket
     relation: the default is DISK_ONLY — at corpus scale the relation
-    is ~3 words per gram occurrence (≈ corpus-sized), and caching it in
-    executor memory would evict working memory the histogram/scoring
-    shuffles need; local spill-to-disk reads are one sequential pass.
-    Small/interactive corpora can pass MEMORY_AND_DISK to skip the
-    serialization round-trip."""
+    is one int64 per gram occurrence (strictly smaller than the old
+    3-words-per-gram exploded rows), and caching it in executor memory
+    would evict working memory the histogram shuffle needs; local
+    spill-to-disk reads are one sequential pass. Small/interactive
+    corpora can pass MEMORY_AND_DISK to skip the serialization
+    round-trip."""
     from pyspark import StorageLevel
 
     from lakeapi_spark.operators.text import tokens
@@ -263,16 +269,20 @@ def dsir_importance(
         )
     )
     g = (
-        staged.select("id", "_tgt", F.explode(grams_arr).alias("g"))
-        .select("id", "_tgt", (key_hash(F.col("g")) % K).alias("b"))
-        .persist(storage_level)  # feeds the histogram job AND the scoring
-        # job: (id, _tgt, b) is three words per gram — tokenize once, not
-        # twice (and never resident in executor memory, see docstring)
+        staged.select(
+            "id",
+            "_tgt",
+            F.transform(grams_arr, lambda s: key_hash(s) % K).alias("bs"),
+        ).persist(storage_level)
+        # one row per doc with its bucket ids — feeds the histogram job
+        # AND the scoring pass: tokenize once, never resident in
+        # executor memory (see docstring)
     )
     if cache_handles is not None:
         cache_handles.append(g)
     hist = (
-        g.groupBy("b")
+        g.select("_tgt", F.explode("bs").alias("b"))
+        .groupBy("b")
         .agg(
             F.count(F.lit(1)).alias("c_r"),
             F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("c_t"),
@@ -282,24 +292,63 @@ def dsir_importance(
     n_r = sum(int(r["c_r"]) for r in hist)
     n_t = sum(int(r["c_t"]) for r in hist)
     spark = df.sparkSession
-    ratios = spark.createDataFrame(
-        [(int(r["b"]), int(r["c_t"]), int(r["c_r"])) for r in hist],
-        "b long, c_t long, c_r long",
-    ).select(
-        "b",
-        F.round(
-            F.log(((F.col("c_t") + 1) * F.lit(n_r + K)).cast("double"))
-            - F.log(((F.col("c_r") + 1) * F.lit(n_t + K)).cast("double")),
-            6,
-        ).alias("lr"),
-    )
-    scored = (
-        g.join(F.broadcast(ratios), "b")
-        .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            (F.round(F.avg("lr"), 4) + F.lit(0.0)).alias("logw_mean"),  # -0.0 -> +0.0
+    # the log-ratio per bucket stays an ENGINE expression over a K-row
+    # local relation (identical double inputs for the oracle's ln).
+    # The relation ships as ARROW (pandas input): a tuple-list
+    # createDataFrame routes the rows through pickled parallelize
+    # slices whose collect measured 4-7 s on local[32]; the Arrow path
+    # is ~0.1 s for the same rows.
+    if hist:
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "b": [int(r["b"]) for r in hist],
+                "c_t": [int(r["c_t"]) for r in hist],
+                "c_r": [int(r["c_r"]) for r in hist],
+            }
         )
+        ratio_rows = (
+            spark.createDataFrame(pdf)
+            .select(
+                "b",
+                F.round(
+                    F.log(((F.col("c_t") + 1) * F.lit(n_r + K)).cast("double"))
+                    - F.log(((F.col("c_r") + 1) * F.lit(n_t + K)).cast("double")),
+                    6,
+                ).alias("lr"),
+            )
+            .collect()
+        )
+    else:
+        ratio_rows = []
+    lr_by_b = {int(r["b"]): float(r["lr"]) for r in ratio_rows}
+    # ONE parsed array literal: spelling it as K F.lit()/F.array calls
+    # costs thousands of py4j round-trips (~0.7 s of measured driver
+    # time); repr() round-trips every double exactly through the SQL
+    # parser's parseDouble
+    lr_lookup = F.expr(
+        "array(" + ",".join(f"{lr_by_b.get(i, 0.0)!r}D" for i in range(K)) + ")"
+    )
+    # map-only scoring: every bucket in a doc's array is present in the
+    # histogram by construction, so element_at never misses; docs with
+    # zero grams produced no rows under the old explode and are
+    # filtered the same way here
+    scored = g.filter(F.size("bs") > 0).select(
+        "id",
+        F.size("bs").cast("long").alias("n_grams"),
+        (
+            F.round(
+                F.aggregate(
+                    "bs",
+                    F.lit(0.0),
+                    lambda acc, b: acc + F.element_at(lr_lookup, b.cast("int") + 1),
+                )
+                / F.size("bs"),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("logw_mean"),  # -0.0 -> +0.0
     )
     return scored.select(
         "id",

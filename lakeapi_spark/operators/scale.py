@@ -31,6 +31,22 @@ TEXT_TASK_BYTES = 64 * 1024
 MINHASH_TASK_BYTES = 8 * 1024
 
 
+def local_df(spark, rows: list[tuple], columns: list[str], schema: str | None = None):
+    """Small driver-side local relation, shipped as ARROW.
+
+    A tuple-list ``createDataFrame`` routes rows through pickled
+    ``parallelize`` slices: every evaluation spins Python-fed tasks
+    across defaultParallelism partitions (~0.3 s of worker churn on
+    local[32] for even a 4-row relation, multi-second if a consumer
+    coalesces those slices into one task). The pandas/Arrow path
+    evaluates JVM-side. Use for constant dimension tables in query
+    paths; rows must be plain scalars (no None-typed columns)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=columns)
+    return spark.createDataFrame(pdf, schema) if schema else spark.createDataFrame(pdf)
+
+
 def fan_out(
     df: DataFrame,
     min_partitions: int | None = None,

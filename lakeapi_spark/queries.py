@@ -417,9 +417,11 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle runs the naive inequality join; ours never expands the fact
     side. Post-aggregated per band so the check is value-level."""
     from lakeapi_spark.operators.joins import range_join_binned
+    from lakeapi_spark.operators.scale import local_df
 
     o = table(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(
+    bands = local_df(
+        spark,
         [("low", 0.0, 100000.0), ("mid", 100000.0, 250000.0),
          ("high", 250000.0, 400000.0), ("whale", 400000.0, 1000000.0)],
         ["band", "lo", "hi"],

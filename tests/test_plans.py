@@ -280,16 +280,17 @@ def test_unigram_logprob_vocab_broadcast_and_bounded_shuffles(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 
-def test_dsir_ratio_join_is_broadcast(spark, sf_dir):
-    """dsir_importance_weights plan contract: the corpus's gram stream
-    joins the K-bounded bucket-ratio table through a BROADCAST — never
-    a shuffle of the exploded corpus — and the only hash exchanges are
-    the two bucket-count aggregates plus the per-doc aggregate."""
+def test_dsir_scoring_is_map_only(spark, sf_dir):
+    """dsir_importance_weights plan contract (r13): scoring is a
+    MAP-ONLY fold over the persisted per-doc bucket arrays against a
+    K-element literal ratio lookup — no join of any kind and no hash
+    exchange in the scoring plan (the bucket histogram runs eagerly at
+    build time as a K-bounded aggregate; the old plan broadcast-joined
+    the exploded gram stream and shuffled it into a per-doc groupBy)."""
     df = QUERIES["dsir_importance_weights"].build(spark, sf_dir)
     plan = plan_str(spark, df, mode="simple")
-    assert "BroadcastHashJoin" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
-    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
 
 
 def test_shuffle_shard_no_global_sort(spark, sf_dir):
