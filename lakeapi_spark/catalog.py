@@ -10,6 +10,8 @@ double but round(4) (error ~1e-10 at these magnitudes — safe).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -38,8 +40,15 @@ def ensure_session_confs(spark: SparkSession) -> None:
       convert below;
     - partition values stay strings (md5-derived partition dirs like
       '12' must not be inferred as ints).
-    All are runtime-settable SQL confs.
+    All are runtime-settable SQL confs. Asserted ONCE per session
+    (flag on the session object, like the table memo): each conf.set is
+    a ~2-3 ms py4j round-trip and ``table()`` runs ~150 times per bench
+    pass — the confs are idempotent and nothing in the serving/bench
+    paths unsets them mid-session.
     """
+    if getattr(spark, "_lakeapi_confs_set", False):
+        return
+    spark._lakeapi_confs_set = True
     for k, v in (
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
@@ -52,13 +61,41 @@ def ensure_session_confs(spark: SparkSession) -> None:
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy scan DataFrame for a testdata table, MEMOIZED per session
+    and file version.
+
+    ``spark.read.parquet`` re-reads the footer to infer the schema on
+    every call — measured 80-95 ms per call on local[32], and the
+    bench queries call ``table()`` ~150 times per pass, so the handles
+    were costing more driver time than several queries' entire
+    execution. The memo holds only the LAZY plan handle (the
+    reference's register-routes-once shape, core/route.py): no data is
+    cached — every action still scans the parquet file — and the key
+    carries the file's (mtime, size) so a rewritten table gets a fresh
+    scan with the new schema. The memo dict lives ON the session
+    object, so a new session never sees a dead session's plans."""
     ensure_session_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = None
+    try:
+        st = os.stat(path)
+        key = (sf_dir, name, st.st_mtime_ns, st.st_size)
+    except OSError:
+        pass  # odd path (dir listing race): fall through unmemoized
+    memo = getattr(spark, "_lakeapi_table_memo", None)
+    if memo is None:
+        memo = {}
+        spark._lakeapi_table_memo = memo
+    if key is not None and key in memo:
+        return memo[key]
+    df = spark.read.parquet(path)
     # ns-timestamp columns surface as long under nanosAsLong: convert to
     # a real timestamp (µs truncation; `div` keeps 64-bit precision —
     # float division would corrupt ~1.7e18 nano epochs)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if key is not None:
+        memo[key] = df
     return df
 
 

@@ -94,6 +94,7 @@ def doc_shingles(
     id_col: str,
     text_col: str,
     task_bytes: int = TEXT_TASK_BYTES,
+    partition_by_id: bool = False,
 ) -> DataFrame:
     """(id, sh: array<string>) — the DISTINCT word-bigram set per doc,
     kept as a per-row array (no explode, no shuffle). Docs with fewer
@@ -119,12 +120,20 @@ def doc_shingles(
     ``task_bytes`` sizes the fan-out per downstream compute weight:
     stages that pay much more than tokenize per source byte (the
     128-permutation minhash kernel) pass a smaller budget
-    (scale.MINHASH_TASK_BYTES) so small inputs still spread."""
+    (scale.MINHASH_TASK_BYTES) so small inputs still spread.
+
+    ``partition_by_id`` switches the fan-out exchange to HASH
+    partitioning on the doc id (same spread — ids are near-unique) so
+    a persisted shingle relation carries ``HashPartitioning(id)`` into
+    later id-keyed joins: minhash's two verify joins then reuse it and
+    the corpus-sized shingle ARRAYS are never shuffled again
+    (guide §2.3/§2.4)."""
     toks = fan_out(
         df.filter(F.col(text_col).rlike(r"[^ \t\n\x0B\f\r][ \t\n\x0B\f\r]+[^ \t\n\x0B\f\r]")).select(
             F.col(id_col).alias("id"), F.col(text_col).alias("_txt")
         ),
         per_partition_bytes=task_bytes,
+        by=["id"] if partition_by_id else None,
     ).select("id", tokens(F.col("_txt")).alias("t"))
     bigrams = F.when(F.size("t") < 2, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -305,6 +314,7 @@ def hashed_shingles(
     text_col: str,
     shingles: DataFrame | None = None,
     task_bytes: int = TEXT_TASK_BYTES,
+    partition_by_id: bool = False,
 ) -> DataFrame:
     """(id, hs: array<long>) — the bigram set hashed once to 60-bit
     via :func:`portable_hash60` (md5 fold, re-derivable in DuckDB SQL).
@@ -319,7 +329,10 @@ def hashed_shingles(
     sh = (
         shingles
         if shingles is not None
-        else doc_shingles(df, id_col, text_col, task_bytes=task_bytes)
+        else doc_shingles(
+            df, id_col, text_col, task_bytes=task_bytes,
+            partition_by_id=partition_by_id,
+        )
     )
     return sh.select("id", F.transform("sh", lambda g: portable_hash60(g)).alias("hs"))
 
@@ -499,8 +512,15 @@ def minhash_lsh_pairs(
     ``'builtin'`` keeps the pure-DataFrame formulation — both produce
     identical buckets."""
     rows = num_hashes // bands
+    # partition_by_id: the persisted relation carries HashPartitioning
+    # on the doc id, so BOTH verify joins below reuse it — the shingle
+    # arrays (the heavy bytes of this pipeline) are shuffled zero
+    # times instead of twice, and the verify stage runs at the
+    # relation's full width instead of whatever AQE coalesced the
+    # id exchanges to (measured: a 2-task 0.43 s verify stage)
     hs = hashed_shingles(
-        df, id_col, text_col, task_bytes=MINHASH_TASK_BYTES
+        df, id_col, text_col, task_bytes=MINHASH_TASK_BYTES,
+        partition_by_id=True,
     ).persist()
     if cache_handles is not None:
         cache_handles.append(hs)

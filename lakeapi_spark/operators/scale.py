@@ -51,6 +51,7 @@ def fan_out(
     df: DataFrame,
     min_partitions: int | None = None,
     per_partition_bytes: int | None = None,
+    by: list | None = None,
 ) -> DataFrame:
     """Round-robin repartition ONLY when the input has fewer partitions
     than the session's default parallelism. Narrow inputs (small files,
@@ -65,7 +66,14 @@ def fan_out(
     contamination probe at sf0.1 is 0.79 s at ~10 source-sized tasks vs
     1.17 s at 32). The cap scales away on real inputs — a 1 GiB narrow
     file at 64 KiB/task asks for ~16k tasks and clamps back to the
-    session parallelism."""
+    session parallelism.
+
+    ``by`` (column names/Columns) switches the exchange from
+    round-robin to HASH partitioning on those keys — same spread for a
+    near-unique key, but the output carries ``HashPartitioning`` that
+    later equi-joins/aggregations on the same key reuse with no new
+    exchange (guide §2.4). Use when the fanned-out relation is
+    persisted and then joined by that key."""
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     if per_partition_bytes:
@@ -76,4 +84,4 @@ def fan_out(
             pass
     if df.rdd.getNumPartitions() >= target:
         return df
-    return df.repartition(target)
+    return df.repartition(target, *by) if by else df.repartition(target)
