@@ -82,6 +82,25 @@ def fan_out(
             target = max(2, min(target, math.ceil(sz / per_partition_bytes)))
         except Exception:  # noqa: BLE001 - connect mode / stats missing
             pass
-    if df.rdd.getNumPartitions() >= target:
+    # partition probe via the physical plan's output partitioning: the
+    # same count `.rdd.getNumPartitions()` reports for the initial plan,
+    # WITHOUT building the RDD DAG — the `.rdd` hop measured 50-110 ms
+    # of extra driver work per fan_out call (r13, guide §5: the driver
+    # is part of the query path), and fan_out sits in most text/vector
+    # pipelines. The QueryExecution is shared with the stats probe
+    # above, so its optimization pass is paid once.
+    n_in = 0
+    try:
+        n_in = int(
+            df._jdf.queryExecution()
+            .executedPlan()
+            .outputPartitioning()
+            .numPartitions()
+        )
+    except Exception:  # noqa: BLE001 - connect mode / exotic plan
+        pass
+    if n_in <= 0:  # unknown/zero partitioning: fall back to the RDD probe
+        n_in = df.rdd.getNumPartitions()
+    if n_in >= target:
         return df
     return df.repartition(target, *by) if by else df.repartition(target)

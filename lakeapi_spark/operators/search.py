@@ -213,19 +213,22 @@ def build_bm25_index(df: DataFrame, id_col: str, text_col: str) -> Bm25Index:
     from lakeapi_spark.operators.scale import TEXT_TASK_BYTES, fan_out
 
     toks_arr = tokens(F.col("__text"))
+    # ONE exchange for the whole build, of the RAW (id, text) rows —
+    # the smallest relation in the pipeline (r13, guide §2.4): the
+    # fan-out hashes on __id, and HashPartitioning(__id) satisfies
+    # both doclen's clustering and the (__id, __tok) grouping (subset
+    # rule), so tokenize, explode and the tf aggregate all run in that
+    # one id-partitioned stage and the exploded token stream never
+    # reaches the wire. The old plan round-robined the text, then paid
+    # a second exchange of the exploded tokens into the aggregate.
     base = fan_out(
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")),
         per_partition_bytes=TEXT_TASK_BYTES,
+        by=["__id"],
     ).select("__id", toks_arr.alias("__toks"))
-    doclen = base.select("__id", F.size("__toks").alias("__dl")).repartition("__id").persist()
+    doclen = base.select("__id", F.size("__toks").alias("__dl")).persist()
     postings = (
         base.select("__id", F.explode("__toks").alias("__tok"))
-        # repartition BEFORE the aggregate: hash(__id) satisfies the
-        # (__id, __tok) grouping (subset clustering), so the count runs
-        # complete on the id-partitioned rows and the old post-agg
-        # repartition("__id") exchange disappears — one exchange of raw
-        # token rows instead of two of tf rows (r13, guide §2.4)
-        .repartition("__id")
         .groupBy("__id", "__tok")
         .agg(F.count(F.lit(1)).alias("__tf"))
         .persist()

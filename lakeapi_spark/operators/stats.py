@@ -1315,7 +1315,15 @@ def bootstrap_mean_ci(
     row (n_replicates, ci_lo, mean_full, ci_hi) — n_replicates is the
     SURVIVING replicate count (< n_reps flags a degenerate tiny
     input), values divided by ``unit`` (e.g. 100 for cents->currency)
-    and rounded."""
+    and rounded.
+
+    ``mean_full`` rides the SAME exploded pass as a pseudo-replicate
+    ``b = -1`` whose weight is the constant 1 (r13, guide §2.4): its
+    group sums are then exactly sum(x) / count(*) in int64, so the
+    rounded mean is bit-identical to a separate full-table aggregate —
+    which used to be one, scanning the input a second time. The
+    (n_reps + 1)-row group aggregate is persisted so the CI branch and
+    the mean branch share one corpus pass."""
     from pyspark.sql.window import Window
 
     from lakeapi_spark.operators.scale import TEXT_TASK_BYTES, fan_out
@@ -1339,14 +1347,18 @@ def bootstrap_mean_ci(
     )
     r = seeded.select(
         "_x", "_h0",
-        F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("b"),
+        F.explode(F.sequence(F.lit(-1), F.lit(n_reps - 1))).alias("b"),
     )
-    A_b = F.element_at(F.array(*[F.lit(a) for a, _ in jumps]), F.col("b") + 1)
-    C_b = F.element_at(F.array(*[F.lit(c) for _, c in jumps]), F.col("b") + 1)
+    # b = -1 is the mean_full pseudo-replicate: weight 1 for every row.
+    # Its LCG index is clamped to a valid array slot (the drawn uniform
+    # is never used on that branch).
+    idx = F.greatest(F.col("b") + 1, F.lit(1))
+    A_b = F.element_at(F.array(*[F.lit(a) for a, _ in jumps]), idx)
+    C_b = F.element_at(F.array(*[F.lit(c) for _, c in jumps]), idx)
     u = ((A_b * F.col("_h0") + C_b) % F.lit(m_mod)).cast("double") / F.lit(
         float(m_mod)
     )
-    w = F.when(u < _POISSON1_CDF[0], F.lit(0))
+    w = F.when(F.col("b") == -1, F.lit(1)).when(u < _POISSON1_CDF[0], F.lit(0))
     for k in range(1, len(_POISSON1_CDF)):
         w = w.when(u < _POISSON1_CDF[k], F.lit(k))
     w = w.otherwise(F.lit(len(_POISSON1_CDF)))
@@ -1355,6 +1367,14 @@ def bootstrap_mean_ci(
         .groupBy("b")
         .agg(F.sum("_wx").alias("_s"), F.sum("_w").alias("_n"))
         .filter(F.col("_n") > 0)
+        # (n_reps + 1) rows: CI branch + mean branch share the persisted
+        # relation. coalesce(1) narrows only the FINAL agg merge (the
+        # partial aggregation of the exploded corpus stays at stage
+        # width) so every downstream job over the 41-row cache runs 1
+        # task instead of 32 — and the rank windows' SinglePartition
+        # requirement is already satisfied.
+        .coalesce(1)
+        .persist()
     )
     mean_b = F.round(
         F.col("_s").cast("double") / F.col("_n").cast("double") / F.lit(unit),
@@ -1366,7 +1386,8 @@ def bootstrap_mean_ci(
     # silently NULL the bound. n_replicates reports the SURVIVING
     # count so a dropped replicate is visible in the output.
     rk = (
-        m.select(mean_b.alias("mean_b"), "b")
+        m.filter(F.col("b") >= 0)
+        .select(mean_b.alias("mean_b"), "b")
         .withColumn("rnk", F.row_number().over(Window.orderBy("mean_b", "b")))
         .withColumn(
             "rnk_d",
@@ -1380,10 +1401,13 @@ def bootstrap_mean_ci(
         F.min(F.when(F.col("rnk_d") == trim + 1, F.col("mean_b"))).alias("ci_hi"),
         F.count(F.lit(1)).alias("_n_surv"),
     )
-    full = base.agg(
+    # min-over-guarded-when keeps the one-row shape on EMPTY input
+    # (a filter(b == -1) relation would cross-join to zero rows)
+    full = m.agg(
         (
             F.round(
-                F.sum("_x").cast("double") / F.count(F.lit(1)).cast("double")
+                F.min(F.when(F.col("b") == -1, F.col("_s"))).cast("double")
+                / F.min(F.when(F.col("b") == -1, F.col("_n"))).cast("double")
                 / F.lit(unit),
                 digits,
             )

@@ -15107,10 +15107,16 @@ def _channel_sessions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     channel) 30-min-gap sessions with n_events / start / end /
     converted. One exchange on the composite key covers both window
     passes and the aggregate."""
-    # r13 (guide §2.5): the per-row JSON channel parse runs AFTER a
-    # byte-capped fan_out — a one-row-group events scan otherwise
-    # parses every props payload in a single task before the window
-    # exchange ever spreads the work.
+    # r13 (guide §2.4/§2.5): the per-row JSON channel parse runs AFTER
+    # a fan_out — a one-row-group events scan otherwise parses every
+    # props payload in a single task — and the fan-out exchange HASHES
+    # on user_id: HashPartitioning(user_id) satisfies the window's
+    # ClusteredDistribution(user_id, channel) (subset rule — every row
+    # of a (user, channel) group shares the user), so the parse and
+    # both window passes run in ONE stage at the fan-out's explicit
+    # width. The old round-robin spread paid a second corpus-sized
+    # exchange into the window, which AQE then coalesced to 3 tasks
+    # (0.50 s serialized on a CPU-bound two-window stage).
     from lakeapi_spark.operators.scale import TEXT_TASK_BYTES, fan_out
 
     e = table(spark, sf_dir, "events")
@@ -15118,6 +15124,7 @@ def _channel_sessions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     ce = fan_out(
         e.select("user_id", "ts", "event_id", "event_type", "props"),
         per_partition_bytes=TEXT_TASK_BYTES,
+        by=["user_id"],
     ).select(
         "user_id",
         "ts",
