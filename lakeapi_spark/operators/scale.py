@@ -82,16 +82,24 @@ def fan_out(
             target = max(2, min(target, math.ceil(sz / per_partition_bytes)))
         except Exception:  # noqa: BLE001 - connect mode / stats missing
             pass
-    # partition probe via the physical plan's output partitioning: the
-    # same count `.rdd.getNumPartitions()` reports for the initial plan,
-    # WITHOUT building the RDD DAG — the `.rdd` hop measured 50-110 ms
-    # of extra driver work per fan_out call (r13, guide §5: the driver
-    # is part of the query path), and fan_out sits in most text/vector
-    # pipelines. The QueryExecution is shared with the stats probe
-    # above, so its optimization pass is paid once.
-    n_in = 0
+    if plan_partitions(df) >= target:
+        return df
+    return df.repartition(target, *by) if by else df.repartition(target)
+
+
+def plan_partitions(df: DataFrame) -> int:
+    """Partition count of ``df``'s initial physical plan — the same
+    number ``.rdd.getNumPartitions()`` reports, WITHOUT building the
+    RDD DAG: the `.rdd` hop measured 50-110 ms of extra driver work
+    per call on a fresh plan (r13, guide §5: the driver is part of the
+    query path), while reading ``executedPlan().outputPartitioning()``
+    is ~19 ms and shares its QueryExecution (and thus the optimization
+    pass) with any sizeInBytes probe on the same DataFrame. Falls back
+    to the RDD probe when the partitioning is unknown/zero (local
+    relations, connect mode)."""
+    n = 0
     try:
-        n_in = int(
+        n = int(
             df._jdf.queryExecution()
             .executedPlan()
             .outputPartitioning()
@@ -99,8 +107,4 @@ def fan_out(
         )
     except Exception:  # noqa: BLE001 - connect mode / exotic plan
         pass
-    if n_in <= 0:  # unknown/zero partitioning: fall back to the RDD probe
-        n_in = df.rdd.getNumPartitions()
-    if n_in >= target:
-        return df
-    return df.repartition(target, *by) if by else df.repartition(target)
+    return n if n > 0 else df.rdd.getNumPartitions()

@@ -969,12 +969,14 @@ def largest_remainder_rollup(
     # task at sf0.1) would otherwise build every array serially. The
     # explicit width pins the exchange against AQE's byte-minimum
     # coalescing (same discipline as the co-purchase edge build).
+    from lakeapi_spark.operators.scale import plan_partitions
+
     spark_ctx = facts.sparkSession.sparkContext
     staged = facts.select(
         F.col(group_col).alias("_k"), F.col(weight_col).cast("long").alias("_w")
     )
     staged = staged.repartition(
-        max(spark_ctx.defaultParallelism, staged.rdd.getNumPartitions()), "_k"
+        max(spark_ctx.defaultParallelism, plan_partitions(staged)), "_k"
     )
     per_group = staged.groupBy("_k").agg(
         F.collect_list("_w").alias("_ws"),

@@ -12357,6 +12357,8 @@ def _strong_copurchase_edges(
 def _strong_copurchase_edges_build(
     spark: SparkSession, sf_dir: str, cache_partitions: int = 1
 ) -> DataFrame:
+    from lakeapi_spark.operators.scale import plan_partitions
+
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = (
         li
@@ -12375,7 +12377,7 @@ def _strong_copurchase_edges_build(
         .repartition(
             max(
                 spark.sparkContext.defaultParallelism,
-                li.rdd.getNumPartitions(),
+                plan_partitions(li),
             ),
             F.col("l_orderkey"),
         )
@@ -12415,6 +12417,8 @@ def _weighted_copurchase_edges(
     (weighted PageRank / eigenvector). Identical build and cache-layout
     discipline as :func:`_strong_copurchase_edges`; the only delta is
     that the >= 2 support count survives the projection."""
+    from lakeapi_spark.operators.scale import plan_partitions
+
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     baskets = (
         li
@@ -12422,7 +12426,7 @@ def _weighted_copurchase_edges(
         .repartition(
             max(
                 spark.sparkContext.defaultParallelism,
-                li.rdd.getNumPartitions(),
+                plan_partitions(li),
             ),
             F.col("l_orderkey"),
         )
