@@ -221,6 +221,12 @@ def main() -> None:
         "rounds": rounds,
         "host_contended": contended(),
         "code_fingerprint": code_fingerprint(),
+        # the parallelism this run measured at — the driver also runs
+        # the bench at reduced core counts for scaling curves, and a
+        # cross-width capture must never replace the full-width
+        # companion (r13: an 8-core run silently replaced a 32-core
+        # BENCH_BEST because the rule had no width field)
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 1)),
     }
     line = json.dumps(artifact)
     print(line)
@@ -248,18 +254,36 @@ def main() -> None:
                 prev = json.load(f)
         except Exception:
             prev = None
-        if (
-            prev is None
-            or prev.get("host_contended", True)
-            or set(prev.get("queries", {})) != set(timings)
-            # fingerprint mismatch == the catalog changed since the
-            # companion was captured (reimplemented queries don't move
-            # the name set) — treat as stale (ADVICE r12)
-            or prev.get("code_fingerprint") != artifact["code_fingerprint"]
-            or artifact["value"] < prev.get("value", float("inf"))
-        ):
+        if should_replace_best(prev, artifact, os.cpu_count() or 1):
             with open(best_path, "w") as f:
                 f.write(line + "\n")
+
+
+def should_replace_best(prev, artifact: dict, full_width_cpus: int) -> bool:
+    """BENCH_BEST replacement predicate for a SETTLED candidate run.
+
+    Only FULL-width runs may own the companion (it exists to
+    adjudicate the official full-width artifact; the driver also runs
+    the bench at reduced core counts for scaling curves, and r13 found
+    an 8-core run silently replacing a 32-core companion). A
+    full-width candidate replaces when the existing companion is
+    missing, contended, stale (query-set, code-fingerprint, or width
+    mismatch — totals are only comparable between same-width settled
+    runs), or simply slower."""
+    if artifact["cpus"] != full_width_cpus:
+        return False
+    return (
+        prev is None
+        or prev.get("host_contended", True)
+        or set(prev.get("queries", {})) != set(artifact["queries"])
+        # fingerprint mismatch == the catalog changed since the
+        # companion was captured (reimplemented queries don't move
+        # the name set) — treat as stale (ADVICE r12)
+        or prev.get("code_fingerprint") != artifact["code_fingerprint"]
+        # a missing/different width also means stale (r13)
+        or prev.get("cpus") != artifact["cpus"]
+        or artifact["value"] < prev.get("value", float("inf"))
+    )
 
 
 if __name__ == "__main__":

@@ -4342,3 +4342,28 @@ def test_markov_removal_effects_two_channel_closed_form(spark):
     # shares normalize over sum 999999
     assert rows["a"].attr_share == 0.333333
     assert rows["b"].attr_share == 0.666667
+
+
+def test_bench_best_replacement_is_width_gated():
+    """BENCH_BEST replacement predicate (r13): only a FULL-width run
+    may own the companion; a reduced-width capture (the driver's
+    scaling-curve runs) must never replace it, a width-stale or
+    fingerprint-stale companion is replaced, and among same-width
+    settled runs the lower total wins."""
+    from bench import should_replace_best
+
+    art = {"cpus": 32, "queries": {"a": 1.0}, "value": 10.0,
+           "code_fingerprint": "f1"}
+    prev = {"cpus": 32, "queries": {"a": 1.2}, "value": 9.0,
+            "code_fingerprint": "f1", "host_contended": False}
+    assert should_replace_best(None, art, 32)  # missing companion
+    assert not should_replace_best(prev, art, 32)  # slower candidate
+    assert should_replace_best(prev, dict(art, value=8.0), 32)
+    # reduced-width candidate never owns the companion
+    assert not should_replace_best(prev, dict(art, cpus=8), 32)
+    # width-stale / fingerprint-stale / contended companions replaced
+    assert should_replace_best(dict(prev, cpus=8), art, 32)
+    assert should_replace_best(dict(prev, code_fingerprint="f0"), art, 32)
+    assert should_replace_best(dict(prev, host_contended=True), art, 32)
+    # query-set drift is stale
+    assert should_replace_best(dict(prev, queries={"b": 1.0}), art, 32)
