@@ -105,6 +105,17 @@ def cpu_calibration_parallel() -> float:
         return round(time.perf_counter() - t0, 3)
 
 
+def _affinity_cpus() -> int:
+    """Effective core count: the scheduling AFFINITY width, not the
+    host's physical count (ADVICE r13) — a taskset/cgroup-limited run
+    must not record full width (and thereby replace the full-width
+    BENCH_BEST companion, the exact bug the width gate exists for)."""
+    try:
+        return len(os.sched_getaffinity(0))
+    except AttributeError:  # non-Linux
+        return os.cpu_count() or 1
+
+
 def code_fingerprint() -> str:
     """Short content hash of the query catalog, embedded in every
     artifact so BENCH_BEST staleness is detected when queries are
@@ -226,7 +237,7 @@ def main() -> None:
         # cross-width capture must never replace the full-width
         # companion (r13: an 8-core run silently replaced a 32-core
         # BENCH_BEST because the rule had no width field)
-        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 1)),
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", _affinity_cpus())),
     }
     line = json.dumps(artifact)
     print(line)
@@ -254,7 +265,7 @@ def main() -> None:
                 prev = json.load(f)
         except Exception:
             prev = None
-        if should_replace_best(prev, artifact, os.cpu_count() or 1):
+        if should_replace_best(prev, artifact, _affinity_cpus()):
             with open(best_path, "w") as f:
                 f.write(line + "\n")
 

@@ -48,7 +48,7 @@ def ensure_session_confs(spark: SparkSession) -> None:
     """
     if getattr(spark, "_lakeapi_confs_set", False):
         return
-    spark._lakeapi_confs_set = True
+    ok = True
     for k, v in (
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
@@ -56,8 +56,16 @@ def ensure_session_confs(spark: SparkSession) -> None:
     ):
         try:
             spark.conf.set(k, v)
+            if spark.conf.get(k) != v:
+                ok = False
         except Exception:  # immutable on some builds — best effort
-            pass
+            ok = False
+    # latch ONLY after every conf verifiably holds (ADVICE r13): a
+    # session where any set failed keeps re-asserting per call, so the
+    # old self-healing behavior is preserved for the broken-session
+    # case while the healthy path pays the ~6 ms only once
+    if ok:
+        spark._lakeapi_confs_set = True
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

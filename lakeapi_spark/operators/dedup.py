@@ -373,10 +373,12 @@ def minhash_signature(
     the hoisted projection gets the same when() double-reference
     CollapseProject blocker so it isn't inlined back into the per-
     permutation lambda body."""
+    from lakeapi_spark.operators.scale import lit_array
+
     hs = hashed if hashed is not None else hashed_shingles(df, id_col, text_col)
     a_c, b_c = minhash_perm_constants(num_hashes)
-    a_arr = F.array(*[F.lit(a) for a in a_c])
-    b_arr = F.array(*[F.lit(b) for b in b_c])
+    a_arr = lit_array(a_c, "long")
+    b_arr = lit_array(b_c, "long")
     hsm_rel = hs.select(
         "id",
         F.when(

@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from lakeapi_spark.operators.scale import TEXT_TASK_BYTES, fan_out
+from lakeapi_spark.operators.scale import TEXT_TASK_BYTES, fan_out, lit_array
 
 
 def key_hash(col: Column) -> Column:
@@ -183,6 +183,15 @@ def mixture_sample(
     return df.filter(key_hash(F.col(key_col)) % mod < keep)
 
 
+#: buckets ceiling for dsir's K-element literal-array score lookup
+#: (ADVICE r13): at the default 1024 the parsed literal is ~25 KB —
+#: one py4j call, tiny plan; at 2^17 (plausible for hashed feature
+#: spaces) it would be a multi-MB expression parsed and shipped with
+#: every plan. Above the ceiling the dense lookup ships as a one-row
+#: broadcast relation instead (constant plan size, same fold).
+LR_LOOKUP_MAX_BUCKETS = 8192
+
+
 def dsir_importance(
     df: DataFrame,
     id_col: str,
@@ -280,61 +289,69 @@ def dsir_importance(
     )
     if cache_handles is not None:
         cache_handles.append(g)
-    hist = (
+    # ONE K-bounded driver collect: the global totals ride the K-row
+    # histogram as single-partition window sums (K rows, one tiny
+    # exchange), and the log-ratio stays an ENGINE expression computed
+    # over the exact integer counts — identical double inputs for the
+    # oracle's ln, same products as the former two-step
+    # (collect counts -> Arrow local relation -> collect ratios) shape,
+    # which paid a second collect job and a driver Arrow round-trip per
+    # call (r14, guide §5).
+    w_all = Window.partitionBy()
+    ratio_rows = (
         g.select("_tgt", F.explode("bs").alias("b"))
         .groupBy("b")
         .agg(
             F.count(F.lit(1)).alias("c_r"),
             F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("c_t"),
         )
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    ((F.col("c_t") + 1) * (F.sum("c_r").over(w_all) + K)).cast(
+                        "double"
+                    )
+                )
+                - F.log(
+                    ((F.col("c_r") + 1) * (F.sum("c_t").over(w_all) + K)).cast(
+                        "double"
+                    )
+                ),
+                6,
+            ).alias("lr"),
+        )
         .collect()
-    )  # K-bounded driver collect
-    n_r = sum(int(r["c_r"]) for r in hist)
-    n_t = sum(int(r["c_t"]) for r in hist)
-    spark = df.sparkSession
-    # the log-ratio per bucket stays an ENGINE expression over a K-row
-    # local relation (identical double inputs for the oracle's ln).
-    # The relation ships as ARROW (pandas input): a tuple-list
-    # createDataFrame routes the rows through pickled parallelize
-    # slices whose collect measured 4-7 s on local[32]; the Arrow path
-    # is ~0.1 s for the same rows.
-    if hist:
+    )
+    lr_by_b = {int(r["b"]): float(r["lr"]) for r in ratio_rows}
+    if K <= LR_LOOKUP_MAX_BUCKETS:
+        # ONE parsed array literal: spelling it as K F.lit()/F.array
+        # calls costs thousands of py4j round-trips (~0.7 s of measured
+        # driver time); repr() round-trips every double exactly through
+        # the SQL parser's parseDouble
+        lr_lookup = F.expr(
+            "array(" + ",".join(f"{lr_by_b.get(i, 0.0)!r}D" for i in range(K)) + ")"
+        )
+        lookup_at = lambda b: F.element_at(lr_lookup, b.cast("int") + 1)  # noqa: E731
+        src = g
+    else:
+        # a multi-MB literal would have to parse and ship per plan
+        # (ADVICE r13): above the ceiling the dense lookup rides a
+        # one-row broadcast relation instead — constant plan size, one
+        # tiny broadcast, same element_at fold
         import pandas as pd
 
-        pdf = pd.DataFrame(
-            {
-                "b": [int(r["b"]) for r in hist],
-                "c_t": [int(r["c_t"]) for r in hist],
-                "c_r": [int(r["c_r"]) for r in hist],
-            }
+        arr_rel = df.sparkSession.createDataFrame(
+            pd.DataFrame({"_lrs": [[lr_by_b.get(i, 0.0) for i in range(K)]]}),
+            "_lrs array<double>",
         )
-        ratio_rows = (
-            spark.createDataFrame(pdf)
-            .select(
-                "b",
-                F.round(
-                    F.log(((F.col("c_t") + 1) * F.lit(n_r + K)).cast("double"))
-                    - F.log(((F.col("c_r") + 1) * F.lit(n_t + K)).cast("double")),
-                    6,
-                ).alias("lr"),
-            )
-            .collect()
-        )
-    else:
-        ratio_rows = []
-    lr_by_b = {int(r["b"]): float(r["lr"]) for r in ratio_rows}
-    # ONE parsed array literal: spelling it as K F.lit()/F.array calls
-    # costs thousands of py4j round-trips (~0.7 s of measured driver
-    # time); repr() round-trips every double exactly through the SQL
-    # parser's parseDouble
-    lr_lookup = F.expr(
-        "array(" + ",".join(f"{lr_by_b.get(i, 0.0)!r}D" for i in range(K)) + ")"
-    )
+        src = g.crossJoin(F.broadcast(arr_rel))
+        lookup_at = lambda b: F.element_at(F.col("_lrs"), b.cast("int") + 1)  # noqa: E731
     # map-only scoring: every bucket in a doc's array is present in the
     # histogram by construction, so element_at never misses; docs with
     # zero grams produced no rows under the old explode and are
     # filtered the same way here
-    scored = g.filter(F.size("bs") > 0).select(
+    scored = src.filter(F.size("bs") > 0).select(
         "id",
         F.size("bs").cast("long").alias("n_grams"),
         (
@@ -342,7 +359,7 @@ def dsir_importance(
                 F.aggregate(
                     "bs",
                     F.lit(0.0),
-                    lambda acc, b: acc + F.element_at(lr_lookup, b.cast("int") + 1),
+                    lambda acc, b: acc + lookup_at(b),
                 )
                 / F.size("bs"),
                 4,
@@ -557,7 +574,7 @@ def budget_select(
             )
         )
     )
-    arr = F.array(*[F.lit(float(b)) for b in bnds])
+    arr = lit_array([float(b) for b in bnds], "double")
     # count of boundaries strictly above the score: highest scores ->
     # bucket 0, so bucket ASC == score DESC between buckets
     bucket = F.size(F.filter(arr, lambda b: b > F.col(score_col).cast("double")))

@@ -31,6 +31,45 @@ TEXT_TASK_BYTES = 64 * 1024
 MINHASH_TASK_BYTES = 8 * 1024
 
 
+def lit_array(vals, kind: str):
+    """K-element literal array column built as ONE parsed ``F.expr``
+    string. ``F.array(*[F.lit(v) for v in vals])`` costs ``len(vals)+1``
+    py4j round-trips at ~1-3 ms each (measured r13/r14: a 64-element
+    query-vector literal is ~0.15 s of pure driver time, a 128-element
+    permutation table ~0.3 s); one parsed SQL string is one round-trip
+    regardless of size (guide §5 — the driver is part of the query
+    path).
+
+    ``kind``: ``"long"`` (``NL`` literals), ``"double"`` (``reprD`` —
+    repr() round-trips every finite double exactly through the SQL
+    parser's parseDouble; non-finite values are rejected), or
+    ``"string"`` (single-quoted, quote/backslash escaped). The column
+    is value- and type-identical to the F.lit formulation (asserted in
+    tests/test_operators_unit.py)."""
+    from pyspark.sql import functions as F
+
+    vals = list(vals)
+    if not vals:
+        raise ValueError("lit_array needs at least one element (type anchor)")
+    if kind == "long":
+        body = ",".join(f"{int(v)}L" for v in vals)
+    elif kind == "double":
+        items = []
+        for v in vals:
+            f = float(v)
+            if not math.isfinite(f):
+                raise ValueError(f"non-finite double literal: {v!r}")
+            items.append(f"{f!r}D")
+        body = ",".join(items)
+    elif kind == "string":
+        body = ",".join(
+            "'" + str(v).replace("\\", "\\\\").replace("'", "''") + "'" for v in vals
+        )
+    else:  # pragma: no cover - programmer error
+        raise ValueError(f"unknown literal kind: {kind}")
+    return F.expr(f"array({body})")
+
+
 def local_df(spark, rows: list[tuple], columns: list[str], schema: str | None = None):
     """Small driver-side local relation, shipped as ARROW.
 
@@ -73,7 +112,12 @@ def fan_out(
     near-unique key, but the output carries ``HashPartitioning`` that
     later equi-joins/aggregations on the same key reuse with no new
     exchange (guide §2.4). Use when the fanned-out relation is
-    persisted and then joined by that key."""
+    persisted and then joined by that key. With ``by`` set the hash
+    exchange happens even when the input is already wide enough
+    (ADVICE r13: on many-file cluster corpora the silent no-op dropped
+    the HashPartitioning the downstream joins rely on — the exchange is
+    not wasted there, it replaces the one those joins would insert);
+    the width then never shrinks below the input's."""
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     if per_partition_bytes:
@@ -82,8 +126,9 @@ def fan_out(
             target = max(2, min(target, math.ceil(sz / per_partition_bytes)))
         except Exception:  # noqa: BLE001 - connect mode / stats missing
             pass
-    if plan_partitions(df) >= target:
-        return df
+    cur = plan_partitions(df)
+    if cur >= target:
+        return df.repartition(cur, *by) if by else df
     return df.repartition(target, *by) if by else df.repartition(target)
 
 

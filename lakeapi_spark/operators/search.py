@@ -202,14 +202,16 @@ class Bm25Index:
 def build_bm25_index(df: DataFrame, id_col: str, text_col: str) -> Bm25Index:
     """One corpus pass -> cached postings + stats relations.
 
-    ``repartition(__id)`` on both postings and doclen gives them the same
-    hash partitioning, so the per-query join satisfies EnsureRequirements
-    with no new exchange. The build cost (2 shuffles) is paid once per
-    table version instead of per query. ``fan_out`` before the tokenize
-    (guide §2.5): a narrow single-file corpus scan would otherwise
-    tokenize every document in one task — and under the serving
-    session's clearCache hygiene that lineage re-runs, so the build
-    stage must be parallel each time, not just the first."""
+    The ``fan_out(by=['__id'])`` hash exchange gives postings and doclen
+    the same HashPartitioning(__id) — unconditionally, since fan_out
+    hash-repartitions whenever ``by`` is set (ADVICE r13) — so the
+    per-query join satisfies EnsureRequirements with no new exchange.
+    The build cost is paid once per table version instead of per query.
+    ``fan_out`` before the tokenize (guide §2.5): a narrow single-file
+    corpus scan would otherwise tokenize every document in one task —
+    and under the serving session's clearCache hygiene that lineage
+    re-runs, so the build stage must be parallel each time, not just
+    the first."""
     from lakeapi_spark.operators.scale import TEXT_TASK_BYTES, fan_out
 
     toks_arr = tokens(F.col("__text"))
@@ -405,13 +407,16 @@ def hybrid_search(
     from pyspark.sql.window import Window
 
     from lakeapi_spark.operators.pipeline import ranked_topk
+    from lakeapi_spark.operators.scale import lit_array
     from lakeapi_spark.operators.similarity import cosine_parts, dot, norm
 
     s = 0.0  # sequential sum, bit-matching the oracle's fold (see seeded_centroids)
     for x in query_vec:
         s += float(x) * float(x)
     qnorm = math.sqrt(s)
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    # one parsed literal (scale.lit_array): a 64-dim vector as F.lit
+    # calls costs ~65 py4j round-trips of pure driver time (guide §5)
+    qlit = lit_array([float(x) for x in query_vec], "double")
 
     scores = bm25_scores(index, search_text)
     # candidate cut via TakeOrderedAndProject — the match set is

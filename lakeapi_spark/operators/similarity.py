@@ -341,9 +341,11 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
 
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit signature: bit i = (vec . plane_i) >= 0, packed to a long."""
+    from lakeapi_spark.operators.scale import lit_array
+
     bits = []
     for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        lit_plane = lit_array([float(x) for x in plane], "double")
         dot = F.aggregate(
             F.zip_with(vec, lit_plane, lambda x, p: x.cast("double") * p),
             F.lit(0.0),
@@ -449,11 +451,13 @@ def _nearest_centroids(vec: Column, centroids: np.ndarray, n: int) -> Column:
     """Array of the ``n`` nearest centroid ids by cosine (ties by id).
     Centroids are shipped as literals — tiny (n_centroids x dim doubles)
     and deterministic on every executor."""
+    from lakeapi_spark.operators.scale import lit_array
+
     cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
     scored = F.array(
         *[
             F.struct(
-                (-dot(vec, F.array(*[F.lit(float(x)) for x in c]))).alias("negdot"),
+                (-dot(vec, lit_array([float(x) for x in c], "double"))).alias("negdot"),
                 F.lit(i).alias("cid"),
             )
             for i, c in enumerate(cn)
@@ -495,11 +499,15 @@ def _nearest_seeded(
     (ties by cid): rounding to 4 digits before ranking makes the
     assignment robust to last-ULP float-sum differences across engines,
     so an oracle re-derives identical inverted lists."""
+    from lakeapi_spark.operators.scale import lit_array
+
     scored = F.array(
         *[
             F.struct(
                 (-F.round(
-                    dot(vec, F.array(*[F.lit(x) for x in c])) / (vnorm * F.lit(cn)), 4
+                    dot(vec, lit_array([float(x) for x in c], "double"))
+                    / (vnorm * F.lit(cn)),
+                    4,
                 )).alias("negcos"),
                 F.lit(i).alias("cid"),
             )

@@ -1288,6 +1288,7 @@ def bootstrap_mean_ci(
     trim: int = 1,
     unit: float = 1.0,
     digits: int = 6,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """Percentile-bootstrap confidence interval for the mean of
     ``val_col`` (int64) via the ONLINE Poisson bootstrap (Oza-Russell /
@@ -1328,7 +1329,7 @@ def bootstrap_mean_ci(
     the mean branch share one corpus pass."""
     from pyspark.sql.window import Window
 
-    from lakeapi_spark.operators.scale import TEXT_TASK_BYTES, fan_out
+    from lakeapi_spark.operators.scale import TEXT_TASK_BYTES, fan_out, lit_array
     from lakeapi_spark.operators.text import portable_hash60
 
     m_mod = 1 << 31
@@ -1355,8 +1356,10 @@ def bootstrap_mean_ci(
     # Its LCG index is clamped to a valid array slot (the drawn uniform
     # is never used on that branch).
     idx = F.greatest(F.col("b") + 1, F.lit(1))
-    A_b = F.element_at(F.array(*[F.lit(a) for a, _ in jumps]), idx)
-    C_b = F.element_at(F.array(*[F.lit(c) for _, c in jumps]), idx)
+    # one parsed literal array each, not 2*n_reps F.lit round-trips
+    # (scale.lit_array — guide §5)
+    A_b = F.element_at(lit_array([a for a, _ in jumps], "long"), idx)
+    C_b = F.element_at(lit_array([c for _, c in jumps], "long"), idx)
     u = ((A_b * F.col("_h0") + C_b) % F.lit(m_mod)).cast("double") / F.lit(
         float(m_mod)
     )
@@ -1378,6 +1381,13 @@ def bootstrap_mean_ci(
         .coalesce(1)
         .persist()
     )
+    # cache_handles: the (n_reps+1)-row aggregate above is persisted;
+    # long-lived serving sessions pass a list and unpersist() after
+    # their action (the dsir/minhash release convention — ADVICE r13:
+    # repeated calls otherwise accumulate orphaned cache entries until
+    # an external clearCache)
+    if cache_handles is not None:
+        cache_handles.append(m)
     mean_b = F.round(
         F.col("_s").cast("double") / F.col("_n").cast("double") / F.lit(unit),
         digits,
@@ -1468,6 +1478,7 @@ def permutation_test_means(
     shuffle, one B-group partial-aggregated sum, order statistics
     over the B-row relation. Returns one row
     (n_a, n_b, diff_obs, n_reps, n_ge, p_value)."""
+    from lakeapi_spark.operators.scale import lit_array
     from lakeapi_spark.operators.text import portable_hash60
 
     m_mod = 1 << 31
@@ -1511,8 +1522,8 @@ def permutation_test_means(
         "_x", "_h0",
         F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("b"),
     )
-    A_b = F.element_at(F.array(*[F.lit(a) for a, _ in jumps]), F.col("b") + 1)
-    C_b = F.element_at(F.array(*[F.lit(c) for _, c in jumps]), F.col("b") + 1)
+    A_b = F.element_at(lit_array([a for a, _ in jumps], "long"), F.col("b") + 1)
+    C_b = F.element_at(lit_array([c for _, c in jumps], "long"), F.col("b") + 1)
     hb = (A_b * F.col("_h0") + C_b) % F.lit(m_mod)
     in_a = (hb * F.lit(n)) < F.lit(n_a * m_mod)  # exact integer Bernoulli
     rep = (

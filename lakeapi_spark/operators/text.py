@@ -51,7 +51,9 @@ def token_count(text: Column) -> Column:
 
 
 def _count_hits(toks: Column, words: list[str]) -> Column:
-    return F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+    from lakeapi_spark.operators.scale import lit_array
+
+    return F.size(F.array_intersect(toks, lit_array(words, "string")))
 
 
 def quality_score(text: Column) -> Column:

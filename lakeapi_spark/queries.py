@@ -30,6 +30,7 @@ from lakeapi_spark.operators.pipeline import (
     ranked_topk,
     topk,
 )
+from lakeapi_spark.operators.scale import lit_array as scale_lit_array
 from lakeapi_spark.operators.search import search
 from lakeapi_spark.operators.nearby import nearby
 
@@ -1619,7 +1620,7 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
     n_stop = F.size(
-        F.array_intersect(toks, F.array(*[F.lit(s) for s in _GOPHER_STOPS]))
+        F.array_intersect(toks, scale_lit_array(_GOPHER_STOPS, "string"))
     )
     ok_wc = n_words.between(50, 100000)
     ok_mwl = (total_len >= 3 * n_words) & (total_len <= 10 * n_words)

@@ -4367,3 +4367,46 @@ def test_bench_best_replacement_is_width_gated():
     assert should_replace_best(dict(prev, host_contended=True), art, 32)
     # query-set drift is stale
     assert should_replace_best(dict(prev, queries={"b": 1.0}), art, 32)
+
+
+def test_lit_array_matches_flit_formulation(spark):
+    """lit_array builds a K-element literal array as ONE parsed expr
+    (guide §5 — py4j per-op driver cost); it must be value- AND
+    type-identical to the F.array(*[F.lit(v) ...]) formulation it
+    replaces, for every supported kind."""
+    from pyspark.sql import functions as F
+
+    from lakeapi_spark.operators.scale import lit_array
+
+    cases = [
+        ([3, -7, 0, 2**62, -(2**62)], "long"),
+        ([0.1, -1e-9, 3.5, 1.7976931348623157e308, 5e-324], "double"),
+        (["a'b", "c\\d", "e f", ""], "string"),
+    ]
+    for vals, kind in cases:
+        old = spark.range(1).select(F.array(*[F.lit(v) for v in vals]).alias("a"))
+        new = spark.range(1).select(lit_array(vals, kind).alias("a"))
+        assert old.schema == new.schema, kind
+        assert old.first()[0] == new.first()[0], kind
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lit_array([], "long")
+    with _pytest.raises(ValueError):
+        lit_array([float("nan")], "double")
+
+
+def test_fan_out_by_repartitions_even_when_wide(spark):
+    """ADVICE r13: with ``by`` set, fan_out must deliver
+    HashPartitioning on the keys even when the input is already at
+    target width — downstream co-partitioned joins rely on it."""
+    from lakeapi_spark.operators.scale import fan_out, plan_partitions
+
+    wide = spark.range(1000).repartition(64)  # wider than any target
+    out = fan_out(wide, min_partitions=8, by=["id"])
+    assert plan_partitions(out) == 64  # width never shrinks
+    # the logical plan must carry the hash repartition on the key (the
+    # physical partitioning reads Unknown pre-execution under AQE)
+    assert "repartitionbyexpression [id" in out._jdf.queryExecution().optimizedPlan().toString().lower()
+    # without by: unchanged passthrough
+    assert fan_out(wide, min_partitions=8) is wide
