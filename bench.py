@@ -105,6 +105,38 @@ def cpu_calibration_parallel() -> float:
         return round(time.perf_counter() - t0, 3)
 
 
+#: rows for the CPU-bound scaling canary — sized so the probe runs a
+#: few hundred ms at full width (large enough that per-task scheduling
+#: is noise, small enough not to distort the bench run)
+CANARY_ROWS = 1 << 27
+
+
+def cpu_canary(spark) -> float:
+    """Engine-side CPU-bound scaling probe (VERDICT r13 #2): a wide
+    xxhash64 fold over ``CANARY_ROWS`` synthetic rows, partitioned at
+    the session's defaultParallelism — pure per-core compute with no
+    shuffle and no IO, so its wall time MUST track the core count.
+
+    Why it exists: the real bench queries at sf0.1 are dominated by a
+    fixed per-query driver/scheduler floor, so their 8-vs-32-core
+    scaling curve is flat — which the driver's heuristic cannot
+    distinguish from "the env contract is ignored". The canary makes
+    the distinction observable in the artifact itself: a flat QUERY
+    curve plus a canary that tracks the core ratio reads
+    "driver-latency-bound at this SF", a flat canary would read "env
+    ignored"."""
+    from pyspark.sql import functions as F
+
+    par = spark.sparkContext.defaultParallelism
+    df = spark.range(0, CANARY_ROWS, 1, par).select(
+        F.xxhash64(F.xxhash64(F.xxhash64("id"))).alias("h")
+    )
+    t0 = time.perf_counter()
+    # bit_xor: overflow-free under ANSI mode, cannot be constant-folded
+    df.agg(F.expr("bit_xor(h)")).collect()
+    return round(time.perf_counter() - t0, 3)
+
+
 def _affinity_cpus() -> int:
     """Effective core count: the scheduling AFFINITY width, not the
     host's physical count (ADVICE r13) — a taskset/cgroup-limited run
@@ -197,6 +229,10 @@ def main() -> None:
     EXTRA_ROUNDS = 5
     calibs: list[float] = [cpu_calibration()]
     par_calibs: list[float] = [cpu_calibration_parallel()]
+    # engine-side scaling canary: one warm run, then min of the
+    # bracketing timed runs (same discipline as the calib probes)
+    cpu_canary(spark)
+    canaries: list[float] = [cpu_canary(spark)]
     timings: dict[str, float] = {n: float("inf") for n in bench_queries}
 
     def timed_round() -> None:
@@ -205,6 +241,7 @@ def main() -> None:
             spark.catalog.clearCache()  # drop operator-persisted intermediates
         calibs.append(cpu_calibration())
         par_calibs.append(cpu_calibration_parallel())
+        canaries.append(cpu_canary(spark))
 
     def contended() -> bool:
         return min(calibs) > CALIB_SETTLED or min(par_calibs) > PAR_CALIB_SETTLED
@@ -232,6 +269,13 @@ def main() -> None:
         "rounds": rounds,
         "host_contended": contended(),
         "code_fingerprint": code_fingerprint(),
+        # the parallelism the session ACTUALLY runs at (must equal the
+        # cpus field when the env contract holds) plus the CPU-bound
+        # scaling canary — see cpu_canary() for why a flat real-query
+        # scaling curve needs this to be adjudicable
+        "parallelism": spark.sparkContext.defaultParallelism,
+        "cpu_canary_sec": min(canaries),
+        "canary_rows": CANARY_ROWS,
         # the parallelism this run measured at — the driver also runs
         # the bench at reduced core counts for scaling curves, and a
         # cross-width capture must never replace the full-width

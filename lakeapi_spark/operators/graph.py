@@ -1444,74 +1444,67 @@ def absorbing_removal_effects(
     prob = trans.join(tot, "f").select(
         "f", "t", F.expr(f"CAST(cnt * {scale} DIV n AS LONG)").alias("p")
     )
-    scen = spark.createDataFrame([("all",)] + [(c,) for c in channels], "sc string")
-    ts = (
-        prob.crossJoin(F.broadcast(scen))
-        .filter(
-            (F.col("sc") == "all")
-            | ((F.col("f") != F.col("sc")) & (F.col("t") != F.col("sc")))
+    # The absorption recurrence runs DRIVER-SIDE over the collected
+    # probability relation (r14, guide §5): everything past this point
+    # is (states^2 x scenarios)-bounded by the operator's contract, and
+    # the relational loop paid iters x (join + agg) of AQE stage-jobs
+    # plus a growing plan — ~4 s of near-pure scheduler latency at
+    # sf0.01. Python ints are exact and DIV is replicated toward-zero
+    # (similarity._trunc_div), so every integer below matches the
+    # relational rounds bit-for-bit; the DOUBLE formatting (round /
+    # attr_share division) stays an ENGINE expression over the shipped
+    # integer relation so half-up rounding semantics match the oracle
+    # exactly as before.
+    from lakeapi_spark.operators.scale import local_df
+    from lakeapi_spark.operators.similarity import _trunc_div
+
+    prows = [(r["f"], r["t"], int(r["p"])) for r in prob.collect()]
+    scen_names = ["all"] + list(channels)
+    x_by_scen: dict = {}
+    for sc in scen_names:
+        ts_rows = (
+            prows
+            if sc == "all"
+            else [(f, t, p) for (f, t, p) in prows if f != sc and t != sc]
         )
-        .localCheckpoint(eager=True)
+        x = {f: 0 for (f, _, _) in ts_rows}
+        for _ in range(iters):
+            nxt = {}
+            for f in x:
+                s = 0
+                for ff, t, p in ts_rows:
+                    if ff != f:
+                        continue
+                    if t == conv:
+                        xv = scale
+                    elif t == drop:
+                        xv = 0
+                    else:
+                        xv = x.get(t, 0)  # left-join miss coalesces to 0
+                    s += p * xv
+                nxt[f] = _trunc_div(s, scale)
+            x = nxt
+        x_by_scen[sc] = x
+    p_all = x_by_scen["all"].get(start)  # None == the old NULL max(when)
+    out_rows = []
+    for c in channels:
+        p_removed = x_by_scen[c].get(start, 0) or 0  # coalesce(x, 0)
+        re_fp = (
+            None
+            if p_all is None or p_all == 0
+            else _trunc_div((p_all - p_removed) * scale, p_all)
+        )
+        out_rows.append((c, p_all, p_removed, re_fp))
+    nn = [r[3] for r in out_rows if r[3] is not None]
+    sum_re = sum(nn) if nn else None  # SUM over all-NULL is NULL
+    re = local_df(
+        spark,
+        [r + (sum_re,) for r in out_rows],
+        ["channel", "p_conv_all", "p_conv_removed", "re_fp", "sum_re"],
+        "channel string, p_conv_all bigint, p_conv_removed bigint,"
+        " re_fp bigint, sum_re bigint",
     )
-    x = (
-        ts.select("sc", F.col("f").alias("state"))
-        .distinct()
-        .withColumn("x", F.lit(0).cast("long"))
-    )
-    for _ in range(iters):
-        xr = x.select(
-            F.col("sc").alias("xsc"), F.col("state").alias("xstate"), F.col("x")
-        )
-        xv = (
-            F.when(F.col("t") == conv, F.lit(scale).cast("long"))
-            .when(F.col("t") == drop, F.lit(0).cast("long"))
-            .otherwise(F.coalesce(F.col("x"), F.lit(0)))
-        )
-        x = (
-            ts.join(
-                xr,
-                (ts["sc"] == F.col("xsc")) & (ts["t"] == F.col("xstate")),
-                "left",
-            )
-            .groupBy(ts["sc"].alias("sc"), ts["f"].alias("state"))
-            .agg(F.sum(F.col("p") * xv).alias("_s"))
-            .select(
-                "sc",
-                "state",
-                F.expr(f"CAST(_s DIV {scale} AS LONG)").alias("x"),
-            )
-        )
-    x = x.localCheckpoint(eager=True)
-    pa = F.broadcast(
-        x.agg(
-            F.max(
-                F.when(
-                    (F.col("sc") == "all") & (F.col("state") == start), F.col("x")
-                )
-            ).alias("p_all")
-        )
-    )
-    per = (
-        scen.filter(F.col("sc") != "all")
-        .join(
-            x.filter(F.col("state") == start).select("sc", "x"), "sc", "left"
-        )
-        .select(
-            F.col("sc").alias("channel"),
-            F.coalesce(F.col("x"), F.lit(0)).alias("p_removed"),
-        )
-        .crossJoin(pa)
-    )
-    re = per.select(
-        "channel",
-        F.col("p_all").cast("long").alias("p_conv_all"),
-        F.col("p_removed").cast("long").alias("p_conv_removed"),
-        F.expr(
-            f"CAST((p_all - p_removed) * {scale} DIV NULLIF(p_all, 0) AS LONG)"
-        ).alias("re_fp"),
-    ).localCheckpoint(eager=True)
-    sre = F.broadcast(re.agg(F.sum("re_fp").alias("sum_re")))
-    return re.crossJoin(sre).select(
+    return re.select(
         "channel",
         "p_conv_all",
         "p_conv_removed",

@@ -30,6 +30,15 @@ TEXT_TASK_BYTES = 64 * 1024
 #: and on many-file cluster inputs it is a no-op.
 MINHASH_TASK_BYTES = 8 * 1024
 
+#: per-task budget for the BM25 index build: tokenize + token explode +
+#: per-(doc, token) hash aggregation — heavier per source byte than a
+#: plain token scan (the exploded stream is aggregated in-stage since
+#: the r13 one-exchange build). Interleaved A/B at sf0.1 (4 rounds):
+#: search_bm25_score 0.671 -> 0.604 s min (4/4 wins) vs the 64 KiB
+#: text budget; rrf/hybrid within noise. Byte-based, so it scales away
+#: on real inputs exactly like TEXT_TASK_BYTES.
+BM25_TASK_BYTES = 16 * 1024
+
 
 def lit_array(vals, kind: str):
     """K-element literal array column built as ONE parsed ``F.expr``

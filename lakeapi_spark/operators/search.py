@@ -212,7 +212,7 @@ def build_bm25_index(df: DataFrame, id_col: str, text_col: str) -> Bm25Index:
     and under the serving session's clearCache hygiene that lineage
     re-runs, so the build stage must be parallel each time, not just
     the first."""
-    from lakeapi_spark.operators.scale import TEXT_TASK_BYTES, fan_out
+    from lakeapi_spark.operators.scale import BM25_TASK_BYTES, fan_out
 
     toks_arr = tokens(F.col("__text"))
     # ONE exchange for the whole build, of the RAW (id, text) rows —
@@ -225,7 +225,7 @@ def build_bm25_index(df: DataFrame, id_col: str, text_col: str) -> Bm25Index:
     # a second exchange of the exploded tokens into the aggregate.
     base = fan_out(
         df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text")),
-        per_partition_bytes=TEXT_TASK_BYTES,
+        per_partition_bytes=BM25_TASK_BYTES,
         by=["__id"],
     ).select("__id", toks_arr.alias("__toks"))
     doclen = base.select("__id", F.size("__toks").alias("__dl")).persist()

@@ -1158,7 +1158,7 @@ def pca_top_component(
         # (one extra job) so no session-cache entry outlives the call —
         # localCheckpoint blocks are GC-managed, persist() is not
         cov = cov.localCheckpoint(eager=True)
-    x = _power_iterate_cov(cov, iters, scale)
+    x = _power_direction(cov, iters, scale)
     return x.select(
         F.col("j").cast("long").alias("dim"),
         F.col("x").alias("loading_fp"),
@@ -1255,7 +1255,7 @@ def abtt_corrected_anisotropy(
     cen, n = _centered_relation(emb, id_col, vec_col, scale)
     cen = cen.localCheckpoint(eager=True)
     cov = _cov_of_centered(cen, n, scale).localCheckpoint(eager=True)
-    w1 = _unit_direction(_power_iterate_cov(cov, iters, scale), scale)
+    w1 = _unit_direction(_power_direction(cov, iters, scale), scale)
     p = (
         cen.join(w1, "j")
         .groupBy("_id")
@@ -1268,7 +1268,7 @@ def abtt_corrected_anisotropy(
         .localCheckpoint(eager=True)
     )
     cov2 = _cov_of_centered(cen2, n, scale).localCheckpoint(eager=True)
-    w2 = _unit_direction(_power_iterate_cov(cov2, iters, scale), scale)
+    w2 = _unit_direction(_power_direction(cov2, iters, scale), scale)
     p2 = (
         cen2.join(w2, "j")
         .groupBy("_id")
@@ -1309,6 +1309,77 @@ def abtt_corrected_anisotropy(
             ).alias("after_ratio"),
         )
     )
+
+
+def _trunc_div(a: int, b: int):
+    """SQL ``DIV`` twin: int64 division truncating TOWARD ZERO (Python's
+    ``//`` floors, which differs on negative operands)."""
+    if b == 0:
+        return None
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _power_iterate_cov_local(rows, iters: int, scale: int):
+    """Driver-side exact-int64 twin of :func:`_power_iterate_cov` over
+    the COLLECTED (j, k, c) covariance rows — K-bounded by contract
+    (d^2 rows). The relational formulation pays 2 broadcast
+    materializations of scheduler latency PER ROUND (10-20 AQE stage
+    jobs for the standard iters=5), which dominated the registry sweep
+    (embedding_abtt_corrected: 15.4 s at sf0.01, nearly all driver/
+    scheduler). Python ints are exact, DIV is replicated toward-zero,
+    and int64 sums are order-free, so the returned loadings are
+    bit-identical to the relational rounds — asserted by the existing
+    planted-direction/known-axis unit tests and the unrolled SQL
+    oracles. Returns [(j, x_j)] sorted by j, or None when any value
+    degenerates to NULL (all-zero covariance) — callers then fall back
+    to the relational path, which reproduces engine NULL semantics
+    exactly."""
+    keys = sorted({r[0] for r in rows})
+    by_j: dict = {}
+    for j, k, c in rows:
+        by_j.setdefault(j, []).append((k, c))
+    x = {j: scale for j in keys}
+    for _ in range(iters):
+        y = {}
+        for j in keys:
+            s, seen = 0, False
+            for k, c in by_j.get(j, ()):  # SUM(c*x) ignores NULL terms
+                xv = x.get(k)
+                if xv is None or c is None:
+                    continue
+                s += c * xv
+                seen = True
+            y[j] = _trunc_div(s, scale) if seen else None
+        nn = [v for v in y.values() if v is not None]
+        l1 = sum(abs(v) for v in nn) if nn else None  # SUM over all-NULL is NULL
+        x = {
+            j: (
+                None
+                if y[j] is None or l1 is None
+                else _trunc_div(y[j] * scale, l1)  # y*scale DIV NULLIF(l,0)
+            )
+            for j in keys
+        }
+    if any(v is None for v in x.values()):
+        return None
+    return [(j, x[j]) for j in keys]
+
+
+def _power_direction(cov: DataFrame, iters: int, scale: int) -> DataFrame:
+    """Power-iteration result (j, x) as a DataFrame: collect the
+    K-bounded covariance, iterate driver-side
+    (:func:`_power_iterate_cov_local`), ship the d-row result back as
+    an Arrow local relation; degenerate (NULL-producing) inputs fall
+    back to the relational rounds so engine NULL semantics are
+    preserved bit-for-bit."""
+    from lakeapi_spark.operators.scale import local_df
+
+    rows = [(int(r[0]), int(r[1]), int(r[2])) for r in cov.collect()]
+    res = _power_iterate_cov_local(rows, iters, scale) if rows else None
+    if res is None:
+        return _power_iterate_cov(cov, iters, scale)
+    return local_df(cov.sparkSession, res, ["j", "x"], "j int, x bigint")
 
 
 def _power_iterate_cov(cov: DataFrame, iters: int, scale: int) -> DataFrame:

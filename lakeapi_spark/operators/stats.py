@@ -1397,25 +1397,42 @@ def bootstrap_mean_ci(
     # an ascending rank of n_reps - trim would match nothing and
     # silently NULL the bound. n_replicates reports the SURVIVING
     # count so a dropped replicate is visible in the output.
-    rk = (
-        m.filter(F.col("b") >= 0)
-        .select(mean_b.alias("mean_b"), "b")
-        .withColumn("rnk", F.row_number().over(Window.orderBy("mean_b", "b")))
-        .withColumn(
-            "rnk_d",
-            F.row_number().over(
-                Window.orderBy(F.col("mean_b").desc(), F.col("b").desc())
-            ),
+    #
+    # ONE aggregate over the 41-row cache (r14, guide §5): the rank
+    # windows PARTITION on the is-replicate flag instead of filtering
+    # first, so the b = -1 mean_full row rides the same relation and
+    # the former ci ⨯ full crossJoin (two branch jobs over the cache)
+    # folds into a single pass. Ranks within the b >= 0 partition are
+    # identical to the filtered formulation; the b = -1 partition's
+    # rank is never read.
+    is_rep = F.col("b") >= 0
+    rk = m.select("b", "_s", "_n", mean_b.alias("mean_b")).select(
+        "b",
+        "_s",
+        "_n",
+        "mean_b",
+        F.row_number()
+        .over(Window.partitionBy(is_rep).orderBy("mean_b", "b"))
+        .alias("rnk"),
+        F.row_number()
+        .over(
+            Window.partitionBy(is_rep).orderBy(
+                F.col("mean_b").desc(), F.col("b").desc()
+            )
         )
-    )
-    ci = rk.agg(
-        F.min(F.when(F.col("rnk") == trim + 1, F.col("mean_b"))).alias("ci_lo"),
-        F.min(F.when(F.col("rnk_d") == trim + 1, F.col("mean_b"))).alias("ci_hi"),
-        F.count(F.lit(1)).alias("_n_surv"),
+        .alias("rnk_d"),
     )
     # min-over-guarded-when keeps the one-row shape on EMPTY input
-    # (a filter(b == -1) relation would cross-join to zero rows)
-    full = m.agg(
+    return rk.agg(
+        # coalesce: SUM over an empty relation is NULL where the old
+        # COUNT(*) over the filtered branch was 0
+        F.coalesce(F.sum(is_rep.cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_replicates"),
+        (
+            F.min(F.when(is_rep & (F.col("rnk") == trim + 1), F.col("mean_b")))
+            + 0.0
+        ).alias("ci_lo"),
         (
             F.round(
                 F.min(F.when(F.col("b") == -1, F.col("_s"))).cast("double")
@@ -1424,16 +1441,11 @@ def bootstrap_mean_ci(
                 digits,
             )
             + 0.0
-        ).alias("mean_full")
-    )
-    return (
-        ci.crossJoin(F.broadcast(full))
-        .select(
-            F.col("_n_surv").cast("long").alias("n_replicates"),
-            (F.col("ci_lo") + 0.0).alias("ci_lo"),
-            "mean_full",
-            (F.col("ci_hi") + 0.0).alias("ci_hi"),
-        )
+        ).alias("mean_full"),
+        (
+            F.min(F.when(is_rep & (F.col("rnk_d") == trim + 1), F.col("mean_b")))
+            + 0.0
+        ).alias("ci_hi"),
     )
 
 
